@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text scalar-function library (SURVEY §2.7: C1, C9, C10, C11, F12;
+  * plus the training-data text-analysis ops: language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Everything here is a pure `Column => Column` composition of Spark
+  * built-ins — fully codegen'd, no UDFs — so Catalyst can fold, push
+  * and pipeline them, and each has an exact ANSI-SQL mirror for the
+  * DuckDB oracle.
+  */
+object TextFns {
+
+  /** Whitespace tokens of trimmed text; empty array for blank text. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** C10 — word count (`len(content.split())`,
+    * reference `/root/reference/src/news_extractor.py:191`).
+    */
+  def wordCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Reading time in minutes at 200 wpm (news_extractor.py:192). */
+  def readingTime(c: Column): Column =
+    greatest(lit(1L), ceil(wordCount(c) / lit(200.0)).cast("long"))
+
+  /** C1 — fixed-size chunker: `text[i:i+size]` slices, stride = size,
+    * no overlap (reference `/root/reference/src/services/chunker.py:17-22`).
+    * Returns `array<string>`; pair with `posexplode` for
+    * `(chunk_index, chunk)`.
+    */
+  def chunks(c: Column, size: Int): Column = {
+    val n = ceil(length(c) / lit(size.toDouble)).cast("int")
+    when(length(c).isNull || length(c) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(0), n - 1), i => c.substr(i * size + 1, lit(size))))
+  }
+
+  /** C9 — URL/title slug: lowercase, non-alphanumeric runs → `_`,
+    * truncated (reference `structured_extraction_v2.py:3317-3319`).
+    */
+  def slug(c: Column, maxLen: Int = 50): Column =
+    substring(regexp_replace(lower(c), "[^a-z0-9]+", "_"), 1, maxLen)
+
+  /** C9 — deterministic content ids. */
+  def contentHash(c: Column): Column = sha2(c, 256)
+  def chunkId(c: Column): Column = md5(c)
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase
+    * text; `fingerprint64` is its leading 16 hex chars (64 bits).
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+  def fingerprint64(c: Column): Column = substring(fingerprint(c), 1, 16)
+
+  /** C11 — case-insensitive contains. */
+  def icontains(c: Column, kw: String): Column = lower(c).contains(kw.toLowerCase)
+
+  /** F12 — snippet truncation `text[:n] + "..."`. */
+  def snippet(c: Column, n: Int): Column =
+    when(length(c) > n, concat(substring(c, 1, n), lit("...")))
+      .otherwise(c)
+
+  /** Count of occurrences of an exact token. */
+  def tokenCount(c: Column, token: String): Column =
+    size(filter(tokens(c), t => t === lit(token))).cast("long")
+
+  /** Ratio of tokens that are in `stopwords`; null for empty text. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(c)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(null).cast("double"))
+      .otherwise(
+        size(filter(toks, t => array_contains(stops, t))).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Word n-gram shingles (distinct), for Jaccard / MinHash dedup.
+    * Empty array when the document has fewer than `n` tokens.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i =>
+              concat_ws(
+                " ",
+                (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+  }
+}

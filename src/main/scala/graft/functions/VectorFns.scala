@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.expressions.CosineSimilarity
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** V1/V2 — vector functions: cosine similarity (custom codegen
+  * Expression) and a deterministic hashing text featurizer standing in
+  * for the external embedding client (reference
+  * `/root/reference/src/services/embeddings.py:52-104` — OpenAI
+  * text-embedding-3-small; the engine keeps the embedder pluggable and
+  * uses this featurizer for deterministic tests/oracles).
+  */
+object VectorFns {
+
+  /** Cosine similarity of two vector columns (array<float|double>). */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity.cosine(a, b)
+
+  /** Sequential-fold dot product via higher-order functions — kept for
+    * oracle-mirroring; `cosine` above is the fast path.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Deterministic hashing featurizer: token-count vector of dimension
+    * `dim` (≤16), bucket = first hex digit of md5(token) mod dim.
+    * Pure column expression → exactly mirrorable in DuckDB SQL.
+    */
+  def embedText(text: Column, dim: Int = 16): Column = {
+    require(dim > 0 && dim <= 16, "featurizer dim must be in 1..16")
+    val toks = TextFns.tokens(text)
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      j =>
+        size(
+          filter(
+            toks,
+            t =>
+              ((instr(lit("0123456789abcdef"), substring(md5(t), 1, 1)) - 1)
+                % dim) === j)).cast("double"))
+  }
+}

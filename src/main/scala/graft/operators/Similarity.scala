@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** V2/V3 — similarity search over an embedding column
+  * (reference: Pinecone cosine top-k,
+  * `/root/reference/src/services/embeddings.py:204-235`).
+  *
+  * Brute-force top-k is the exact baseline (plans as
+  * TakeOrderedAndProject — per-partition heap, no global sort); the
+  * IVF variant is the 100 TB path: coarse-quantize vectors into
+  * `nlist` cells on ingest, probe only `nprobe` cells per query.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for one query vector; optional pre-filter is
+    * pushed BELOW the score computation (strictly better than the
+    * reference's over-fetch-then-filter, SURVEY §2.9 V3).
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      embCol: String,
+      query: Array[Double],
+      k: Int,
+      prefilter: Column = lit(true)): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.filter(prefilter)
+      .withColumn("score", VectorFns.cosine(col(embCol), q))
+      .orderBy(col("score").desc, col(df.columns.head))
+      .limit(k)
+  }
+
+  /** Exact k-NN self-join: for every vector its single nearest
+    * neighbor (excluding itself). Quadratic verify — bounded use; the
+    * scale path is `ivfAssign` + per-cell knn.
+    */
+  def nearestNeighborJoin(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val a = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val b = df.select(col(idCol).as("nn_id"), col(embCol).as("nn_emb"))
+    val scored = a
+      .join(b, col("id") =!= col("nn_id"))
+      .withColumn("score", VectorFns.cosine(col("emb"), col("nn_emb")))
+    Relational
+      .dedupeFirstWins(scored, Seq(col("id")), Seq(col("score").desc, col("nn_id")))
+      .select(col("id"), col("nn_id"), col("score"))
+  }
+
+  /** IVF coarse assignment: nearest of `centroids` per row (cell id =
+    * centroid index). Centroids are broadcast as a literal array —
+    * at scale they come from a sampled k-means fit.
+    */
+  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[Array[Double]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFns.cosine(col(embCol), array(c.map(lit): _*)).as("sim"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell", greatest(scored: _*).getField("cell"))
+  }
+
+  /** IVF top-k: probe only the query's `nprobe` nearest cells, then
+    * exact rank inside the probed subset. At 1000 executors this reads
+    * `nprobe/nlist` of the corpus instead of all of it.
+    */
+  def ivfTopK(
+      assigned: DataFrame,
+      embCol: String,
+      centroids: Seq[Array[Double]],
+      query: Array[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cos(query, c), i) }
+      .sortBy(-_._1)
+      .take(nprobe)
+      .map(_._2)
+    bruteForceTopK(
+      assigned.filter(col("cell").isin(probeCells: _*)),
+      embCol,
+      query,
+      k)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for the training-data pipeline: language
+  * ID (marker-word heuristic), quality scoring, token counting,
+  * fingerprinting, plus the reference's risk-keyword scan
+  * (F5, `/root/reference/src/risk_detection.py:21-82`).
+  */
+object TextAnalysis {
+
+  /** Marker-word language scores: for each (lang, markers) pair count
+    * exact-token hits; predicted = argmax with lexicographic-lang
+    * tie-break. Pure column expr — no UDF, exactly mirrorable in SQL.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = TextFns.tokens(text)
+    // argmax by (hits, -langRank): greatest() on structs compares
+    // field-by-field, so ties on hits resolve to the lexicographically
+    // FIRST language (negated rank).
+    val ranked = markers.map(_._1).sorted.zipWithIndex.toMap
+    val scored = markers.map { case (lang, words) =>
+      val stops = array(words.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(stops, t))).as("hits"),
+        lit(-ranked(lang)).as("rank"),
+        lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** Quality score in [0,1]: harmonic blend of length, punctuation
+    * sanity and stopword presence — the heuristics a pretraining
+    * quality filter uses (length/punct/stopword ratios).
+    * Deterministic; round(…, 6) when oracle-compared.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = size(TextFns.tokens(text)).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val stopRatio = coalesce(TextFns.stopwordRatio(text, stopwords), lit(0.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    val avgTokLen = when(nToks === 0, lit(0.0)).otherwise(nChars / nToks)
+    val tokLenScore =
+      when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.4 + stopScore * 0.3 + tokLenScore * 0.3, 6)
+  }
+
+  /** F5 — risk keyword scan: per category take the FIRST matching
+    * keyword (reference short-circuits, `risk_detection.py:64-80`),
+    * emit array<struct(risk_type, keyword, severity)>; explode at the
+    * call site (the reference's explode-after-UDF join, J5).
+    */
+  def riskSignals(
+      text: Column,
+      categories: Seq[(String, Seq[String], String)]): Column = {
+    val lowered = lower(text)
+    val structs = categories.map { case (riskType, keywords, severity) =>
+      val firstKw = keywords.foldRight(lit(null).cast("string")) { (kw, rest) =>
+        when(lowered.contains(kw), lit(kw)).otherwise(rest)
+      }
+      struct(lit(riskType).as("risk_type"), firstKw.as("keyword"), lit(severity).as("severity"))
+    }
+    filter(array(structs: _*), s => s.getField("keyword").isNotNull)
+  }
+
+  /** A5 — keyword sentiment: positive/(positive+negative) counts of
+    * docs whose text contains any positive vs negative keyword; null
+    * when both are 0 (reference `structured_extraction_v2.py:3196-3207`).
+    * Returns the per-row ±1/0 contribution columns; aggregate at call
+    * site.
+    */
+  def sentimentFlags(text: Column, positive: Seq[String], negative: Seq[String])
+      : (Column, Column) = {
+    val l = lower(text)
+    val pos = positive.map(k => l.contains(k)).reduce(_ || _)
+    val neg = negative.map(k => l.contains(k)).reduce(_ || _)
+    (when(pos, 1L).otherwise(0L), when(neg, 1L).otherwise(0L))
+  }
+}
