@@ -42,7 +42,13 @@ object SparkEntry {
   // Queries
   // ---------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ textQueries ++ dedupQueries ++ vectorQueries
+
+  def oracleSql: Map[String, String] =
+    relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-family: aggregations ------------------------------------------------
     "q1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -304,7 +310,7 @@ object SparkEntry {
   // Oracle SQL (DuckDB dialect, same tables)
   // ---------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  private def relationalOracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -445,5 +451,399 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY week_start, event_type
         |ORDER BY week_start, event_type""".stripMargin
+  )
+
+  // ---------------------------------------------------------------
+  // Text / scalar-function queries (SURVEY §2.7, §2.2)
+  // ---------------------------------------------------------------
+
+  private val langMarkers = Seq(
+    "dataish" -> Seq("data", "stream", "batch"),
+    "sqlish" -> Seq("table", "query", "join"),
+    "vecish" -> Seq("vector", "hash", "key"))
+  private val riskCats = Seq(
+    ("capacity", Seq("big", "huge"), "medium"),
+    ("freshness", Seq("stale", "old"), "low"),
+    ("latency", Seq("slow", "lag"), "high"))
+  private val qualityStops = Seq("the", "a", "of")
+
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1 — fixed-size chunker (chunker.py:17-22)
+    "c1_chunker" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          posexplode(TextFns.chunks(col("text"), 200)).as(Seq("chunk_index", "chunk")))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"), col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_index"))
+    },
+    // C2 — money parser (scraper_v2.py:2835-2864) on constructed strings
+    "c2_parse_money" -> { (s, dir) =>
+      val cents = round(col("p_retailprice") * 100).cast("long")
+      val moneyStr = when(col("p_partkey") % 3 === 0, concat(lit("$"), cents.cast("string"), lit("K")))
+        .when(col("p_partkey") % 3 === 1, concat(lit("about $"), cents.cast("string"), lit("M")))
+        .otherwise(concat(lit("US$"), cents.cast("string"), lit("B")))
+      t(s, dir, "part")
+        .select(col("p_partkey"), moneyStr.as("money_str"))
+        .withColumn("amount_usd", MoneyFns.parseMoney(col("money_str")))
+        .orderBy(col("p_partkey"))
+    },
+    // C3 — multi-format date parse round-trip (structured_extraction_v2.py:2095-2163)
+    "c3_date_parse" -> { (s, dir) =>
+      val dateStr = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "MMMM d, yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "M/d/yyyy"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), dateStr.as("date_str"))
+        .withColumn("parsed", date_format(DateFns.parseDateMulti(col("date_str")), "yyyy-MM-dd"))
+        .orderBy(col("o_orderkey"))
+    },
+    // C9 — deterministic ids: md5 chunk id, sha256 content hash, slug
+    "c9_content_ids" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFns.chunkId(col("text")).as("chunk_md5"),
+          TextFns.contentHash(col("text")).as("content_sha"),
+          TextFns.slug(col("text"), 50).as("slug"))
+        .orderBy(col("doc_id"))
+    },
+    // C10 — word count + reading time (news_extractor.py:191-192)
+    "c10_reading_time" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFns.wordCount(col("text")).as("word_count"),
+          TextFns.readingTime(col("text")).as("reading_time"))
+        .orderBy(col("doc_id"))
+    },
+    // C12 — embedded-JSON field extraction (scraper_v2.py:120-181)
+    "c12_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 90)
+        .orderBy(col("event_id"))
+    },
+    // F1 — substring source filter (rag_search.py:54-65)
+    "f1_source_filter" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(TextFns.icontains(col("source"), "src1"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    // F2 — min-length content filter (handle_chunking.py:150-156)
+    "f2_min_length" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 300)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+        .orderBy(col("doc_id"))
+    },
+    // F5 — risk keyword scan, first hit per category (risk_detection.py:47-82)
+    "f5_risk_scan" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(TextAnalysis.riskSignals(col("text"), riskCats)).as("r"))
+        .select(
+          col("doc_id"),
+          col("r.risk_type").as("risk_type"),
+          col("r.keyword").as("keyword"),
+          col("r.severity").as("severity"))
+        .orderBy(col("doc_id"), col("risk_type"))
+    },
+    // F12 — snippet truncation (rag_search.py:96-97)
+    "f12_snippet" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.snippet(col("text"), 100).as("snip"))
+        .orderBy(col("doc_id"))
+    },
+    // Language ID via marker tokens (training-data text analysis)
+    "t_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text"), langMarkers).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+    // Quality score (length / stopword / token-shape heuristics)
+    "t_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text"), qualityStops).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    // Document fingerprint (normalized md5 + 64-bit prefix)
+    "t_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFns.fingerprint(col("text")).as("fp"),
+          TextFns.fingerprint64(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+    // Per-key ranked top-k (W1 per-company variant)
+    "wp_topk_per_source" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }
+  )
+
+  private def textOracle: Map[String, String] = Map(
+    "c1_chunker" ->
+      """SELECT doc_id, CAST(gs.i AS BIGINT) AS chunk_index,
+        | substring(text, CAST(gs.i*200+1 AS INT), 200) AS chunk
+        |FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(text)/200.0) AS BIGINT)-1)) AS i) gs
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "c2_parse_money" ->
+      """WITH b AS (SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS cents FROM part)
+        |SELECT p_partkey,
+        | CASE WHEN p_partkey % 3 = 0 THEN '$' || CAST(cents AS VARCHAR) || 'K'
+        |      WHEN p_partkey % 3 = 1 THEN 'about $' || CAST(cents AS VARCHAR) || 'M'
+        |      ELSE 'US$' || CAST(cents AS VARCHAR) || 'B' END AS money_str,
+        | CASE WHEN p_partkey % 3 = 0 THEN CAST(cents AS DOUBLE) * 1000.0
+        |      WHEN p_partkey % 3 = 1 THEN CAST(cents AS DOUBLE) * 1000000.0
+        |      ELSE CAST(cents AS DOUBLE) * 1000000000.0 END AS amount_usd
+        |FROM b ORDER BY p_partkey""".stripMargin,
+    "c3_date_parse" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%B %-d, %Y')
+        |      ELSE strftime(o_orderdate, '%-m/%-d/%Y') END AS date_str,
+        | strftime(o_orderdate, '%Y-%m-%d') AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "c9_content_ids" ->
+      """SELECT doc_id, md5(text) AS chunk_md5, sha256(text) AS content_sha,
+        | substring(regexp_replace(lower(text), '[^a-z0-9]+', '_', 'g'), 1, 50) AS slug
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c10_reading_time" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS word_count,
+        | greatest(1, CAST(ceil(len(regexp_split_to_array(trim(text), '\s+')) / 200.0) AS BIGINT)) AS reading_time
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c12_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) > 90 ORDER BY event_id""".stripMargin,
+    "f1_source_filter" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE contains(lower(source), 'src1') ORDER BY doc_id""".stripMargin,
+    "f2_min_length" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len FROM documents
+        |WHERE length(text) >= 300 ORDER BY doc_id""".stripMargin,
+    "f5_risk_scan" ->
+      """WITH hits AS (
+        | SELECT doc_id, 'capacity' AS risk_type,
+        |        CASE WHEN contains(lower(text),'big') THEN 'big' WHEN contains(lower(text),'huge') THEN 'huge' END AS keyword,
+        |        'medium' AS severity FROM documents
+        | UNION ALL
+        | SELECT doc_id, 'freshness',
+        |        CASE WHEN contains(lower(text),'stale') THEN 'stale' WHEN contains(lower(text),'old') THEN 'old' END,
+        |        'low' FROM documents
+        | UNION ALL
+        | SELECT doc_id, 'latency',
+        |        CASE WHEN contains(lower(text),'slow') THEN 'slow' WHEN contains(lower(text),'lag') THEN 'lag' END,
+        |        'high' FROM documents)
+        |SELECT doc_id, risk_type, keyword, severity FROM hits
+        |WHERE keyword IS NOT NULL ORDER BY doc_id, risk_type""".stripMargin,
+    "f12_snippet" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) > 100 THEN substring(text,1,100) || '...' ELSE text END AS snip
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_lang_id" ->
+      """WITH h AS (SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(trim(text),'\s+'), t -> list_contains(['data','stream','batch'], t))) AS h_data,
+        | len(list_filter(regexp_split_to_array(trim(text),'\s+'), t -> list_contains(['table','query','join'], t))) AS h_sql,
+        | len(list_filter(regexp_split_to_array(trim(text),'\s+'), t -> list_contains(['vector','hash','key'], t))) AS h_vec
+        |FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN h_data >= h_sql AND h_data >= h_vec THEN 'dataish'
+        |      WHEN h_sql >= h_vec THEN 'sqlish' ELSE 'vecish' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      """WITH b AS (SELECT doc_id,
+        | CAST(length(text) AS DOUBLE) AS nc,
+        | CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE) AS nt,
+        | CAST(len(list_filter(regexp_split_to_array(trim(text),'\s+'), t -> list_contains(['the','a','of'], t))) AS DOUBLE) AS ns
+        |FROM documents)
+        |SELECT doc_id,
+        | least(nc/500.0, 1.0)*0.4 + least((ns/nt)*5.0, 1.0)*0.3 +
+        | (CASE WHEN nc/nt >= 3 AND nc/nt <= 10 THEN 1.0 ELSE 0.5 END)*0.3 AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        | substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "wp_topk_per_source" ->
+      """SELECT source, doc_id, n_chars FROM (
+        | SELECT source, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin
+  )
+
+  // ---------------------------------------------------------------
+  // Dedup-family queries (training-data pipeline ops)
+  // ---------------------------------------------------------------
+
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact_dedup" -> { (s, dir) =>
+      Dedup
+        .exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    "dd_jaccard_pairs" -> { (s, dir) =>
+      Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "dd_minhash_pairs" -> { (s, dir) =>
+      Dedup
+        .minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 3, 8, 1, 0.05)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  private def dedupOracle: Map[String, String] = Map(
+    "dd_exact_dedup" ->
+      """SELECT doc_id, fp FROM (
+        | SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |        row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+        | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dd_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        |       FROM tok WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dd_minhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |        FROM tok WHERE len(tk) >= 3),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 7),
+        |         i -> list_aggregate(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sg
+        |        FROM shl WHERE len(sh) > 0),
+        |banded AS (SELECT doc_id, gs.b AS band, md5(sg[gs.b + 1]) AS bucket
+        |           FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        |         WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+        |FROM cand JOIN shl sa ON sa.doc_id = id_a JOIN shl sb ON sb.doc_id = id_b
+        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+
+  // ---------------------------------------------------------------
+  // Vector / similarity queries (SURVEY §2.9) + RAG pipeline (E1)
+  // ---------------------------------------------------------------
+
+  /** DuckDB mirror of the CosineSimilarity expression: sequential
+    * left-fold in double — bit-exact vs the codegen loop.
+    */
+  private def sqlCosine(a: String, b: String): String = {
+    val n = s"least(len($a), len($b))"
+    def fold(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, $n), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""CASE WHEN sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}) = 0 THEN 0.0
+       | ELSE ${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))
+       | END""".stripMargin
+  }
+
+  private def vectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V2 — brute-force cosine top-k vs the vec_id=0 query vector
+    "v2_cosine_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      emb
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("score", VectorFns.cosine(col("embedding"), col("q")))
+        .select(col("vec_id"), col("label"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    // V3 — metadata-filtered search: predicate BELOW the top-k
+    "v3_filtered_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      emb
+        .filter(col("vec_id") =!= 0 && col("label") === 1)
+        .crossJoin(q)
+        .withColumn("score", VectorFns.cosine(col("embedding"), col("q")))
+        .select(col("vec_id"), col("label"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    },
+    // exact 1-NN self-join (embedding near-dup baseline)
+    "v_nn_top1" -> { (s, dir) =>
+      Similarity
+        .nearestNeighborJoin(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("id"))
+    },
+    // E1 — RAG retrieval end-to-end (chunk → embed → filter → topk)
+    "rag_e2e" -> { (s, dir) =>
+      pipelines.Rag.topKChunks(
+        t(s, dir, "documents"),
+        "spark join window",
+        10,
+        chunkSize = 200,
+        dim = 16,
+        sourceContains = Some("src1"))
+    }
+  )
+
+  private def vectorOracle: Map[String, String] = Map(
+    "v2_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "v3_filtered_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score
+         |FROM embeddings, q WHERE vec_id <> 0 AND label = 1
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "v_nn_top1" ->
+      s"""SELECT id, nn_id, score FROM (
+         | SELECT a.vec_id AS id, b.vec_id AS nn_id,
+         |        ${sqlCosine("a.embedding", "b.embedding")} AS score,
+         |        row_number() OVER (PARTITION BY a.vec_id
+         |          ORDER BY ${sqlCosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         |WHERE rn = 1 ORDER BY id""".stripMargin,
+    "rag_e2e" -> {
+      val bucket =
+        "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"
+      s"""WITH chunks AS (
+         | SELECT doc_id, source, CAST(gs.i AS BIGINT) AS chunk_index,
+         |        substring(text, CAST(gs.i*200+1 AS INT), 200) AS chunk
+         | FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(text)/200.0) AS BIGINT)-1)) AS i) gs
+         | WHERE contains(lower(source), 'src1')),
+         |vec AS (
+         | SELECT doc_id, chunk_index, source,
+         |        list_transform(generate_series(0, 15), j -> CAST(len(list_filter(
+         |          regexp_split_to_array(trim(chunk), '\\s+'), t -> $bucket = j)) AS DOUBLE)) AS v
+         | FROM chunks),
+         |q AS (
+         | SELECT list_transform(generate_series(0, 15), j -> CAST(len(list_filter(
+         |          regexp_split_to_array(trim('spark join window'), '\\s+'), t -> $bucket = j)) AS DOUBLE)) AS qv)
+         |SELECT doc_id, chunk_index, source, ${sqlCosine("v", "qv")} AS score
+         |FROM vec, q
+         |ORDER BY score DESC, doc_id, chunk_index LIMIT 10""".stripMargin
+    }
   )
 }

@@ -45,7 +45,9 @@ object TextAnalysis {
     val avgTokLen = when(nToks === 0, lit(0.0)).otherwise(nChars / nToks)
     val tokLenScore =
       when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
-    round(lenScore * 0.4 + stopScore * 0.3 + tokLenScore * 0.3, 6)
+    // raw double, no rounding: both engines evaluate the identical
+    // op sequence, so results are bit-exact without it
+    lenScore * 0.4 + stopScore * 0.3 + tokLenScore * 0.3
   }
 
   /** F5 — risk keyword scan: per category take the FIRST matching
