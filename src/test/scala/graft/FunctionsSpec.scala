@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.{DateFns, MoneyFns, TextFns, VectorFns}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("dummy").select(c).collect().head.getAs[T](0)
+
+  private def oneSeq[T](c: org.apache.spark.sql.Column): Seq[T] =
+    Seq("x").toDF("dummy").select(c).collect().head.getSeq[T](0).toSeq
+
+  // C1 chunker --------------------------------------------------------------
+  test("chunks: 2350 chars -> 1000/1000/350 (FIXTURES golden case)") {
+    val text = "ab" * 1175
+    val out = Seq(text).toDF("t").select(TextFns.chunks($"t", 1000).as("c"))
+      .collect().head.getSeq[String](0)
+    assert(out.map(_.length) == Seq(1000, 1000, 350))
+    assert(out.mkString == text) // recombination invariant
+  }
+  test("chunks: empty and exact-multiple") {
+    assert(oneSeq[String](TextFns.chunks(lit(""), 100)) == Seq())
+    val out = oneSeq[String](TextFns.chunks(lit("a" * 200), 100))
+    assert(out.map(_.length) == Seq(100, 100))
+  }
+
+  // C2 money ---------------------------------------------------------------
+  test("parseMoney golden cases from scraper_v2.py:2835-2864") {
+    val cases = Seq(
+      "$5.5B" -> 5.5e9, "10M" -> 1.0e7, "100K" -> 1.0e5,
+      "about $27M" -> 2.7e7, "US$100k" -> 1.0e5, "~$1,200 thousand" -> 1.2e6,
+      "over $3.2 billion" -> 3.2e9, "usd 42" -> 42.0)
+    val df = cases.map(_._1).toDF("s").select($"s", MoneyFns.parseMoney($"s").as("v"))
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"for '$s'") }
+  }
+  test("parseMoney unparseable -> null") {
+    val r = Seq("no number here").toDF("s").select(MoneyFns.parseMoney($"s")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  // C3 dates ---------------------------------------------------------------
+  test("parseDateMulti formats") {
+    val cases = Seq(
+      "2022-11-18" -> "2022-11-18", "November 18, 2022" -> "2022-11-18",
+      "November 2022" -> "2022-11-01", "2022-11" -> "2022-11-01",
+      "11/18/2022" -> "2022-11-18")
+    val got = cases.map(_._1).toDF("s")
+      .select($"s", date_format(DateFns.parseDateMulti($"s"), "yyyy-MM-dd").as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"for '$s'") }
+    val bad = Seq("not a date").toDF("s").select(DateFns.parseDateMulti($"s")).collect().head
+    assert(bad.isNullAt(0))
+  }
+  test("rejectFuture nulls future dates") {
+    val df = Seq("2999-01-01", "2020-01-01").toDF("s")
+      .select(DateFns.rejectFuture(to_date($"s")).as("d"))
+    val got = df.collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(got.toSeq == Seq(None, Some("2020-01-01")))
+  }
+
+  // C9/C10 -----------------------------------------------------------------
+  test("slug, wordCount, readingTime, snippet, fingerprint") {
+    assert(one[String](TextFns.slug(lit("Hello, World! 123"))) == "hello_world_123")
+    assert(one[Long](TextFns.wordCount(lit("a b  c"))) == 3L)
+    assert(one[Long](TextFns.wordCount(lit("  "))) == 0L)
+    assert(one[Long](TextFns.readingTime(lit("word"))) == 1L)
+    assert(one[String](TextFns.snippet(lit("abcdef"), 3)) == "abc...")
+    assert(one[String](TextFns.snippet(lit("ab"), 3)) == "ab")
+    assert(
+      one[String](TextFns.fingerprint(lit("A  b\tc"))) ==
+        one[String](TextFns.fingerprint(lit("a b c"))))
+  }
+
+  test("shingles: n-grams distinct, short text -> empty") {
+    assert(
+      oneSeq[String](TextFns.shingles(lit("a b c d"), 3)) == Seq("a b c", "b c d"))
+    assert(oneSeq[String](TextFns.shingles(lit("a b"), 3)) == Seq())
+    // duplicate shingles collapse
+    assert(oneSeq[String](TextFns.shingles(lit("x y x y x y"), 2)).sorted ==
+      Seq("x y", "y x"))
+  }
+
+  // V — cosine expression ---------------------------------------------------
+  test("cosine: identical=1, orthogonal=0, known value, zero-vector=0") {
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      Seq((a, b)).toDF("a", "b").select(VectorFns.cosine($"a", $"b")).collect().head.getDouble(0)
+    assert(math.abs(cos(Seq(1, 2, 3), Seq(1, 2, 3)) - 1.0) < 1e-12)
+    assert(cos(Seq(1, 0), Seq(0, 1)) == 0.0)
+    assert(math.abs(cos(Seq(1, 0), Seq(1, 1)) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(cos(Seq(0, 0), Seq(1, 1)) == 0.0)
+  }
+  test("cosine: float arrays cast, null propagates") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(math.abs(df.select(VectorFns.cosine($"a", $"b")).collect().head.getDouble(0) - 1.0) < 1e-12)
+    val n = Seq((Seq(1.0), null.asInstanceOf[Seq[Double]])).toDF("a", "b")
+      .select(VectorFns.cosine($"a", $"b")).collect().head
+    assert(n.isNullAt(0))
+  }
+  test("embedText: deterministic, dim-sized, counts tokens") {
+    val v = oneSeq[Double](VectorFns.embedText(lit("spark spark join"), 16))
+    assert(v.length == 16)
+    assert(v.sum == 3.0) // every token lands in exactly one bucket
+    val v2 = oneSeq[Double](VectorFns.embedText(lit("spark spark join"), 16))
+    assert(v == v2)
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // D — first-wins dedup ----------------------------------------------------
+  test("dedupeFirstWins keeps encounter-order first (D1/D6 semantics)") {
+    val df = Seq((1, "a", 10), (2, "a", 20), (3, "b", 30)).toDF("pos", "k", "v")
+    val got = Relational
+      .dedupeFirstWins(df, Seq($"k"), Seq($"pos"))
+      .orderBy($"k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (3, "b")))
+  }
+
+  test("topK: filter then order then limit") {
+    val df = (1 to 100).map(i => (i, i % 7)).toDF("id", "grp")
+    val got = Relational.topK(df, $"grp" === 3, Seq($"id".desc), 2)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(94, 87))
+  }
+
+  test("runningCap: cumulative weight cutoff (W5)") {
+    val df = Seq(("s", 1, 100L), ("s", 2, 100L), ("s", 3, 100L)).toDF("g", "pos", "w")
+    val got = Relational.runningCap(df, Seq($"g"), Seq($"pos"), $"w", 250L)
+      .collect().map(_.getInt(1)).toSeq.sorted
+    assert(got == Seq(1, 2))
+  }
+
+  test("changeDetection: added/removed/changed, same dropped (I1)") {
+    val old = Seq(("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("k", "h")
+    val fresh = Seq(("b", "h2x"), ("c", "h3"), ("d", "h4")).toDF("k", "h")
+    val got = Relational.changeDetection(old, fresh, Seq("k"), "h")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "removed", "b" -> "changed", "d" -> "added"))
+  }
+
+  // Dedup family ------------------------------------------------------------
+  private val nearDupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely unrelated text here"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first of identical docs") {
+    val kept = Dedup.exact(nearDupDocs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("ngramJaccardPairs finds exact and near dups, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(nearDupDocs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLshPairs surfaces the exact dup with jaccard 1.0") {
+    val pairs = Dedup.minhashLshPairs(nearDupDocs, "text", "doc_id", 3, 8, 1, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(1.0))
+  }
+
+  test("simhash: identical fingerprints for dups, close for near-dups") {
+    val fp = nearDupDocs
+      .select($"doc_id", Dedup.simhashFingerprint(graft.functions.TextFns.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L).length == 16 && fp(1L).matches("[0-9a-f]{16}"))
+    def ham(a: String, b: String): Int =
+      Seq((a, b)).toDF("a", "b").select(Dedup.hammingHex($"a", $"b"))
+        .collect().head.getInt(0)
+    assert(ham(fp(1L), fp(4L)) == 0)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("embeddingNearDupPairs thresholds on cosine") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), (3L, Seq(0.0, 1.0))
+    ).toDF("id", "emb")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "emb", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // Similarity --------------------------------------------------------------
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0), 0), (1L, Seq(0.9, 0.1, 0.0), 0),
+    (2L, Seq(0.0, 1.0, 0.0), 1), (3L, Seq(0.0, 0.9, 0.1), 1),
+    (4L, Seq(0.0, 0.0, 1.0), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by cosine with prefilter pushed down") {
+    val got = Similarity
+      .bruteForceTopK(vecs, "embedding", Array(1.0, 0.0, 0.0), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L))
+    val filtered = Similarity
+      .bruteForceTopK(vecs, "embedding", Array(1.0, 0.0, 0.0), 2, $"label" === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered == Set(2L, 3L))
+  }
+
+  test("nearestNeighborJoin: each vector's 1-NN") {
+    val got = Similarity.nearestNeighborJoin(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 1L && got(1L) == 0L && got(2L) == 3L && got(3L) == 2L)
+  }
+
+  test("ivfAssign + ivfTopK probe only nearest cells") {
+    val centroids = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val assigned = Similarity.ivfAssign(vecs, "embedding", centroids)
+    val cells = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(0L) == 0 && cells(1L) == 0 && cells(2L) == 1 && cells(4L) == 2)
+    val top = Similarity.ivfTopK(assigned, "embedding", centroids, Array(1.0, 0.05, 0.0), 2, 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L)) // only cell 0 probed
+  }
+
+  // TextAnalysis ------------------------------------------------------------
+  test("langId argmax with lexicographic tie-break") {
+    val markers = Seq("aa" -> Seq("x"), "bb" -> Seq("y"))
+    val got = Seq("x x y", "y", "z").toDF("t")
+      .select(TextAnalysis.langId($"t", markers)).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("aa", "bb", "aa")) // tie on zero hits -> first lang
+  }
+
+  test("riskSignals: first keyword per category only") {
+    val cats = Seq(("lay", Seq("layoff", "laid off"), "high"), ("sec", Seq("breach"), "critical"))
+    val got = Seq("massive layoff after laid off rumors and a breach").toDF("t")
+      .select(explode(TextAnalysis.riskSignals($"t", cats)).as("r"))
+      .select("r.risk_type", "r.keyword", "r.severity")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("lay", "layoff", "high"), ("sec", "breach", "critical")))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val scores = Seq("", "a", "the quick brown fox of the glen", "x" * 1000)
+      .toDF("t").select(TextAnalysis.qualityScore($"t", Seq("the", "a", "of")))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("sentimentFlags count docs with pos/neg keywords") {
+    val (p, n) = TextAnalysis.sentimentFlags($"t", Seq("launches"), Seq("layoff"))
+    val got = Seq("X launches Y", "Z layoff", "nothing", "launches amid layoff")
+      .toDF("t").select(p.as("p"), n.as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 0L), (0L, 1L), (0L, 0L), (1L, 1L)))
+  }
+}
