@@ -43,10 +43,10 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relationalQueries ++ textQueries ++ dedupQueries ++ vectorQueries
+    relationalQueries ++ textQueries ++ dedupQueries ++ vectorQueries ++ miscQueries
 
   def oracleSql: Map[String, String] =
-    relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle
+    relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++ miscOracle
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-family: aggregations ------------------------------------------------
@@ -844,6 +844,290 @@ object SparkEntry {
          |SELECT doc_id, chunk_index, source, ${sqlCosine("v", "qv")} AS score
          |FROM vec, q
          |ORDER BY score DESC, doc_id, chunk_index LIMIT 10""".stripMargin
+    }
+  )
+
+  // ---------------------------------------------------------------
+  // Misc: remaining SURVEY §2 ops — theta/fuzzy joins, payload
+  // assembly, first-match join, set aggs, regex extractors,
+  // classifier chains, incremental work-list, simhash, multimodal
+  // ---------------------------------------------------------------
+
+  private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2 — broadcast substring theta-join (structured_extraction_v2.py:1005-1014)
+    "j2_substring_join" -> { (s, dir) =>
+      import s.implicits._
+      val lexicon = broadcast(Seq("data", "spark", "join", "merge").toDF("kw"))
+      t(s, dir, "documents")
+        .join(lexicon, col("text").contains(col("kw")))
+        .groupBy(col("kw"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("kw"))
+    },
+    // J4 — normalized fuzzy key join (structured_extraction_v2.py:952-1001)
+    "j4_normalized_join" -> { (s, dir) =>
+      import s.implicits._
+      val dim = broadcast(Seq("src-1", "src-3", "src-15").toDF("post_key"))
+      t(s, dir, "documents")
+        .join(dim, regexp_replace(lower(col("post_key")), "-", "") === col("source"))
+        .groupBy(col("post_key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("post_key"))
+    },
+    // J6 — nested payload assembly (structured_extraction_v2.py:3484-3494)
+    "j6_customer_payload" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("csv"),
+          dsum(col("o_totalprice")).as("total"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"),
+          coalesce(col("csv"), lit("")).as("orderkeys_csv"),
+          coalesce(col("total"), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    },
+    // J7 — first-match join (structured_extraction_v2.py:2259-2280)
+    "j7_first_match_join" -> { (s, dir) =>
+      val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      val joined = t(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"))
+      Relational
+        .dedupeFirstWins(
+          joined,
+          Seq(col("s_suppkey")),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .select(
+          col("s_suppkey"),
+          col("s_name"),
+          col("l_orderkey"),
+          col("l_linenumber"))
+        .orderBy(col("s_suppkey"))
+    },
+    // D8 — set union / collect_set (structured_extraction_v2.py:2836-2837)
+    "d8_source_sets" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(array_join(sort_array(collect_set(col("source"))), ",").as("sources_csv"))
+        .orderBy(col("lang"))
+    },
+    // F10 — amount-threshold predicate (scraper_v2.py:2509)
+    "f10_amount_threshold" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_extendedprice") >= 90000)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    // C4 — founded-year regex extraction (structured_extraction_v2.py:351-441)
+    "c4_founded_year" -> { (s, dir) =>
+      val yr = year(col("o_orderdate")).cast("string")
+      val str = when(col("o_orderkey") % 2 === 0, concat(lit("founded in "), yr))
+        .otherwise(concat(lit("established back in "), yr))
+      val extracted = coalesce(
+        nullif(regexp_extract(col("blurb"), "founded in (\\d{4})", 1), lit("")),
+        nullif(regexp_extract(col("blurb"), "established.*?(\\d{4})", 1), lit("")))
+        .cast("long")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), str.as("blurb"))
+        .withColumn(
+          "founded_year",
+          when(extracted.between(1900, 2100), extracted).otherwise(lit(null).cast("long")))
+        .orderBy(col("o_orderkey"))
+    },
+    // C8 — URL normalization (scraper_v2.py:956-970)
+    "c8_url_normalize" -> { (s, dir) =>
+      val url = concat(lit("https://www."), col("source"), lit(".example.com/p/"), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn(
+          "host",
+          regexp_replace(regexp_extract(col("url"), "^https?://([^/]+)", 1), "^www\\.", ""))
+        .orderBy(col("doc_id"))
+    },
+    // C17 — keyword classifier chain (scraper_v2.py:2608-2650)
+    "c17_classifier" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(col("text").contains("stream"), "streaming")
+            .when(col("text").contains("batch"), "batch")
+            .when(col("text").contains("table"), "relational")
+            .otherwise("other")
+            .as("category"))
+        .orderBy(col("doc_id"))
+    },
+    // I2 — incremental work-list: changed keys drive reprocessing
+    // (orbit_daily_update_dag.py:233-299)
+    "i2_worklist" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      def half(p: Column): DataFrame =
+        e.filter(p)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum((col("value") * 100).cast("decimal(18,0)")).cast("long").as("cents"))
+          .withColumn(
+            "snap_hash",
+            md5(concat_ws(":", col("cnt").cast("string"), col("cents").cast("string"))))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val changed = Relational
+        .changeDetection(
+          half(col("ts") < cut),
+          half(col("ts") >= cut),
+          Seq("user_id", "event_type"),
+          "snap_hash")
+        .filter(col("status") === "changed")
+        .select(col("user_id"), col("event_type"))
+      e.filter(col("ts") >= cut)
+        .join(changed, Seq("user_id", "event_type"), "left_semi")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    // U1 — union by name with missing columns (handle_chunking.py:217)
+    "u1_union_by_name" -> { (s, dir) =>
+      val a = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand").as("tag"), lit("part").as("src"))
+      val b = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("src"), col("id"), col("tag"))
+    },
+    // SimHash fingerprints (training-data near-dup family)
+    "dd_simhash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Dedup.simhashFingerprint(TextFns.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    // Multimodal stub pipeline — no SQL oracle (rows-only check):
+    // binary media column -> mapPartitions feature extraction
+    "mm_media_features" -> { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal
+        .extractFeatures(media)
+        .select(
+          col("media_id"),
+          col("n_bytes"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"))
+        .orderBy(col("media_id"))
+    }
+  )
+
+  /** DuckDB mirror of Dedup.simhashFingerprint: 16 hex digits, each
+    * from 4 bit-votes, votes summed over token md5 bits.
+    */
+  private def sqlSimhash(tk: String): String = {
+    val digits = (0 until 16).map { pos =>
+      val votes = (0 until 4).map { bit =>
+        val mask = 1 << (3 - bit)
+        s"(CASE WHEN list_reduce(list_transform($tk, t -> CASE WHEN (CAST(floor((strpos('0123456789abcdef', substring(md5(t), ${pos + 1}, 1)) - 1) / $mask) AS INT) % 2) = 1 THEN 1 ELSE -1 END), (x,y) -> x+y) > 0 THEN $mask ELSE 0 END)"
+      }.mkString(" + ")
+      s"substring('0123456789abcdef', ($votes) + 1, 1)"
+    }
+    digits.mkString(" || ")
+  }
+
+  private def miscOracle: Map[String, String] = Map(
+    "j2_substring_join" ->
+      """WITH lexicon(kw) AS (VALUES ('data'), ('spark'), ('join'), ('merge'))
+        |SELECT kw, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents JOIN lexicon ON contains(text, kw)
+        |GROUP BY kw ORDER BY kw""".stripMargin,
+    "j4_normalized_join" ->
+      """WITH dim(post_key) AS (VALUES ('src-1'), ('src-3'), ('src-15'))
+        |SELECT post_key, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents JOIN dim ON replace(lower(post_key), '-', '') = source
+        |GROUP BY post_key ORDER BY post_key""".stripMargin,
+    "j6_customer_payload" ->
+      """SELECT c_custkey, c_name,
+        | COALESCE(cnt, 0) AS n_orders,
+        | COALESCE(csv, '') AS orderkeys_csv,
+        | COALESCE(total, 0.0) AS total_spent
+        |FROM customer LEFT JOIN (
+        | SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |        array_to_string(list_sort(list(o_orderkey)), ',') AS csv,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "j7_first_match_join" ->
+      """SELECT s_suppkey, s_name, l_orderkey, l_linenumber FROM (
+        | SELECT s_suppkey, s_name, l_orderkey, l_linenumber,
+        |        row_number() OVER (PARTITION BY s_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        | FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        | WHERE l_quantity >= 49) WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
+    "d8_source_sets" ->
+      """SELECT lang,
+        | array_to_string(list_sort(list_distinct(list(source))), ',') AS sources_csv
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "f10_amount_threshold" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem WHERE l_extendedprice >= 90000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "c4_founded_year" ->
+      """WITH b AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'founded in ' || CAST(year(o_orderdate) AS VARCHAR)
+        |       ELSE 'established back in ' || CAST(year(o_orderdate) AS VARCHAR) END AS blurb
+        | FROM orders),
+        |x AS (
+        | SELECT o_orderkey, blurb,
+        |  CAST(COALESCE(NULLIF(regexp_extract(blurb, 'founded in (\d{4})', 1), ''),
+        |                NULLIF(regexp_extract(blurb, 'established.*?(\d{4})', 1), '')) AS BIGINT) AS y
+        | FROM b)
+        |SELECT o_orderkey, blurb,
+        | CASE WHEN y BETWEEN 1900 AND 2100 THEN y ELSE NULL END AS founded_year
+        |FROM x ORDER BY o_orderkey""".stripMargin,
+    "c8_url_normalize" ->
+      """WITH b AS (
+        | SELECT doc_id, 'https://www.' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents)
+        |SELECT doc_id, url,
+        | regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1), '^www\.', '') AS host
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "c17_classifier" ->
+      """SELECT doc_id,
+        | CASE WHEN contains(text, 'stream') THEN 'streaming'
+        |      WHEN contains(text, 'batch') THEN 'batch'
+        |      WHEN contains(text, 'table') THEN 'relational'
+        |      ELSE 'other' END AS category
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "i2_worklist" ->
+      """WITH halves AS (
+        | SELECT user_id, event_type, (ts >= TIMESTAMP '2024-01-16 00:00:00') AS is_new,
+        |        COUNT(*) AS cnt,
+        |        CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+        | FROM events GROUP BY user_id, event_type, is_new),
+        |o AS (SELECT user_id, event_type, md5(CAST(cnt AS VARCHAR) || ':' || CAST(cents AS VARCHAR)) AS h FROM halves WHERE NOT is_new),
+        |n AS (SELECT user_id, event_type, md5(CAST(cnt AS VARCHAR) || ':' || CAST(cents AS VARCHAR)) AS h FROM halves WHERE is_new),
+        |changed AS (
+        | SELECT o.user_id, o.event_type FROM o JOIN n
+        |   ON o.user_id = n.user_id AND o.event_type = n.event_type
+        | WHERE o.h <> n.h)
+        |SELECT e.user_id, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events e JOIN changed c ON e.user_id = c.user_id AND e.event_type = c.event_type
+        |WHERE e.ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY e.user_id, e.event_type ORDER BY e.user_id, e.event_type""".stripMargin,
+    "u1_union_by_name" ->
+      """SELECT id, tag, src FROM (
+        | SELECT p_partkey AS id, p_brand AS tag, 'part' AS src FROM part
+        | UNION ALL BY NAME
+        | SELECT s_suppkey AS id, 'supplier' AS src FROM supplier)
+        |ORDER BY src, id, tag""".stripMargin,
+    "dd_simhash" -> {
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
+         |SELECT doc_id, ${sqlSimhash("tk")} AS simhash
+         |FROM tok ORDER BY doc_id""".stripMargin
     }
   )
 }

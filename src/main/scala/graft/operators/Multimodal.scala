@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * as opaque `binary` columns with typed metadata, processed in
+  * partition-parallel batches.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container): `decodeStub` derives deterministic pseudo-features from
+  * the bytes. The Spark-side plumbing — schema, batching via
+  * mapPartitions, partition sizing, explode of per-frame rows — is
+  * real and is what matters at 100 TB: media bytes never pass through
+  * a shuffle; feature extraction is a narrow map; only the small
+  * feature vectors flow downstream.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("mime", StringType, nullable = true))), nullable = true)))
+
+  /** Wrap a text table into a media table (test fixture path: bytes =
+    * utf-8 of text). Production path ingests real blobs with the same
+    * schema.
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(mediaType).as("media_type"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        length(col(textCol)).cast("long").as("duration_ms"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  /** STUB decode: deterministic 16-bin byte histogram + length.
+    * Replace with a real decoder (image resize / audio features /
+    * frame grab) behind the same row-in row-out contract.
+    */
+  private[graft] def decodeStub(bytes: Array[Byte]): (Long, Array[Double]) = {
+    val hist = new Array[Double](16)
+    if (bytes != null) {
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) % 16) += 1.0
+        i += 1
+      }
+    }
+    (if (bytes == null) 0L else bytes.length.toLong, hist)
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType), nullable = false)))
+
+  /** Feature extraction over the binary column — a narrow
+    * mapPartitions (no shuffle); one stub decode per row, batched per
+    * partition the way a Pandas-UDF/Arrow batch would be.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "media_type", "content").rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val (n, hist) = decodeStub(r.getAs[Array[Byte]]("content"))
+          Row(r.getLong(0), r.getString(1), n, hist.toSeq)
+        }
+    }
+    spark.createDataFrame(rdd, featSchema)
+  }
+
+  /** Frame sampling for "video" rows: emit one row per sampled offset
+    * (every `strideBytes` bytes in the stub; every Nth frame for a
+    * real decoder). Pure-column: explode over a computed offset range.
+    */
+  def sampleFrames(media: DataFrame, strideBytes: Int): DataFrame =
+    media
+      .filter(col("media_type") === "video")
+      .select(
+        col("media_id"),
+        posexplode(
+          transform(
+            sequence(
+              lit(0),
+              greatest(ceil(length(col("content")) / lit(strideBytes.toDouble)).cast("int") - 1, lit(0))),
+            i => substring(col("content"), i * strideBytes + 1, lit(strideBytes))))
+          .as(Seq("frame_index", "frame_bytes")))
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+/** SURVEY §2.11 — the reference's incremental daily-batch semantics
+  * re-expressed as Structured Streaming
+  * (`/root/reference/dags/orbit_daily_update_dag.py:126-299`,
+  * `src/agents/tools.py:330-335`).
+  *
+  * All operators are watermark-bounded so state stores stay finite on
+  * an unbounded stream — the 100 TB posture: state is keyed by
+  * (entity, page) with late data evicted, never an ever-growing set.
+  */
+object Streams {
+
+  /** I1/I3 — content-hash dedup on an append stream: a page re-crawled
+    * with an unchanged hash is dropped; a changed hash passes through
+    * (the downstream upsert is then last-wins by deterministic id).
+    * State bounded by the watermark on `tsCol`.
+    */
+  def dedupByContentHash(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      hashCol: String,
+      watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ hashCol)
+
+  /** I5 — sliding windowed aggregate with late-data tolerance
+    * (30-day news-mention analogue; here parameterized).
+    */
+  def slidingCounts(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowLen: String,
+      slide: String,
+      watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol),
+        col("n_events"))
+
+  /** I4 — date-partitioned append JSON sink (risk-signal log:
+    * one JSONL partition per day, append-only).
+    */
+  def datePartitionedJsonSink(
+      stream: DataFrame,
+      tsCol: String,
+      path: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    stream
+      .withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .writeStream
+      .format("json")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+
+  /** I2 — foreachBatch incremental merge: per micro-batch, compute the
+    * changed work-list (against the previous materialized state) and
+    * hand only changed keys to `process`. The batch-mode analogue is
+    * Relational.changeDetection + semi-join.
+    */
+  def incrementalMerge(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      hashCol: String,
+      loadPrevious: () => Option[DataFrame],
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val work = loadPrevious() match {
+          case Some(prev) =>
+            graft.operators.Relational
+              .changeDetection(prev, batch, keyCols.toSeq, hashCol)
+              .filter(col("status").isin("added", "changed"))
+          case None => batch
+        }
+        process(work, id)
+      }
+      .trigger(Trigger.AvailableNow())
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.pipelines.{Payload, Rag}
+import org.apache.spark.sql.functions._
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // J6 payload assembly -----------------------------------------------------
+  test("Payload.assemble nests sorted child arrays, empty for missing") {
+    val companies = Seq(("acme", "Acme"), ("bcorp", "BCorp")).toDF("company_id", "name")
+    val events = Seq(
+      ("acme", "funding", 2L), ("acme", "layoff", 1L)
+    ).toDF("company_id", "event_type", "seq")
+    val out = Payload.assemble(
+      companies, "company_id",
+      Seq((events, "company_id", Seq("seq", "event_type"), "events")))
+    val rows = out.orderBy("company_id").collect()
+    val acme = rows(0).getSeq[org.apache.spark.sql.Row](2)
+    assert(acme.map(_.getString(1)) == Seq("layoff", "funding")) // sorted by seq
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](2).isEmpty)  // bcorp: [] not null
+    val json = Payload.toJsonDocs(out).orderBy("payload_json").collect().map(_.getString(0))
+    assert(json.exists(_.contains("\"events\":[{\"seq\":1")))
+  }
+
+  // E1 RAG ------------------------------------------------------------------
+  test("Rag.topKChunks: chunking + scoring + source filter end-to-end") {
+    val docs = Seq(
+      (1L, "spark join window " * 20, "siteA"),
+      (2L, "unrelated words entirely", "siteA"),
+      (3L, "spark join window", "siteB")
+    ).toDF("doc_id", "text", "source")
+    val hits = Rag.topKChunks(docs, "spark join window", 3, chunkSize = 100,
+      sourceContains = Some("sitea"))
+    val got = hits.collect()
+    assert(got.nonEmpty && got.forall(_.getString(2) == "siteA")) // filter held
+    assert(got.head.getLong(0) == 1L)                             // best match first
+    assert(got.head.getDouble(3) > 0.99)                          // near-identical text
+    // unfiltered finds doc 3 too
+    val all = Rag.topKChunks(docs, "spark join window", 10, chunkSize = 100)
+    assert(all.collect().map(_.getLong(0)).contains(3L))
+  }
+
+  // Multimodal --------------------------------------------------------------
+  test("Multimodal: schema, feature extraction, frame sampling") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "media_type", "content", "meta"))
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).getLong(2) == 8L && feats(1).getLong(2) == 2L)
+    assert(feats(0).getSeq[Double](3).sum == 8.0) // every byte in one bin
+    val frames = Multimodal.sampleFrames(media, 3).orderBy("media_id", "frame_index").collect()
+    val f1 = frames.filter(_.getLong(0) == 1L)
+    assert(f1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(f1.map(r => new String(r.getAs[Array[Byte]](2), "UTF-8")).mkString == "abcdefgh")
+    // deterministic stub: same bytes -> same features
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(again(0).getSeq[Double](3) == feats(0).getSeq[Double](3))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Crawl(ts: Timestamp, company_id: String, page_type: String, content_hash: String)
+
+  test("I1/I3 — dedupByContentHash drops unchanged re-crawls, keeps changed") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Crawl]
+    val deduped = Streams.dedupByContentHash(
+      input.toDF(), "ts", Seq("company_id", "page_type"), "content_hash")
+    val q = deduped.writeStream.format("memory").queryName("dedup_t").outputMode("append").start()
+    input.addData(
+      Crawl(ts("2024-01-01 00:00:00"), "acme", "home", "h1"),
+      Crawl(ts("2024-01-02 00:00:00"), "acme", "home", "h1"), // unchanged -> dropped
+      Crawl(ts("2024-01-03 00:00:00"), "acme", "home", "h2"), // changed -> kept
+      Crawl(ts("2024-01-01 00:00:00"), "acme", "jobs", "h1")  // other page -> kept
+    )
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_t").select("page_type", "content_hash")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("home", "h1"), ("home", "h2"), ("jobs", "h1")))
+  }
+
+  case class Ev(ts: Timestamp, company_id: String)
+
+  test("I5 — slidingCounts windows with watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = Streams.slidingCounts(input.toDF(), "ts", "company_id", "2 days", "1 day")
+    val q = counts.writeStream.format("memory").queryName("slide_t").outputMode("complete").start()
+    input.addData(
+      Ev(ts("2024-01-01 06:00:00"), "acme"),
+      Ev(ts("2024-01-01 18:00:00"), "acme"),
+      Ev(ts("2024-01-02 06:00:00"), "acme"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide_t")
+      .select(date_format($"window_start", "yyyy-MM-dd").as("d"), $"n_events")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // windows sliding daily, len 2d: [12-31,1-2)=2, [1-1,1-3)=3, [1-2,1-4)=1
+    assert(got == Map("2023-12-31" -> 2L, "2024-01-01" -> 3L, "2024-01-02" -> 1L))
+  }
+
+  test("I2 — incrementalMerge processes only added/changed keys") {
+    implicit val sc = spark.sqlContext
+    val prev = Seq(("acme", "home", "h1"), ("acme", "jobs", "h2"))
+      .toDF("company_id", "page_type", "content_hash")
+    val input = MemoryStream[Crawl]
+    var seen: Set[(String, String)] = Set.empty
+    val writer = Streams.incrementalMerge(
+      input.toDF().drop("ts"),
+      Seq("company_id", "page_type"),
+      "content_hash",
+      () => Some(prev),
+      (work, _) => {
+        seen = work.select("company_id", "page_type").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      })
+    val q = writer.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("ckpt").toString).start()
+    input.addData(
+      Crawl(ts("2024-01-05 00:00:00"), "acme", "home", "h1"),   // same
+      Crawl(ts("2024-01-05 00:00:00"), "acme", "jobs", "h2x"),  // changed
+      Crawl(ts("2024-01-05 00:00:00"), "acme", "blog", "h9"))   // added
+    q.processAllAvailable()
+    q.stop()
+    assert(seen == Set(("acme", "jobs"), ("acme", "blog")))
+  }
+
+  test("I4 — datePartitionedJsonSink writes date= partitions") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("risk").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    input.addData(Ev(ts("2024-01-01 10:00:00"), "acme"), Ev(ts("2024-01-02 11:00:00"), "bcorp"))
+    val q = Streams.datePartitionedJsonSink(input.toDF(), "ts", out, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("date=")).sorted
+    assert(dirs.toSeq == Seq("date=2024-01-01", "date=2024-01-02"))
+  }
+}
