@@ -69,17 +69,18 @@ object SparkEntry {
     // A1 — funding-summary shape: per-key total + latest-by-date
     // (SURVEY §2.4 A1, reference structured_extraction_v2.py:1984-2000)
     "a1_customer_summary" -> { (s, dir) =>
-      val o = t(s, dir, "orders")
-      val agg = o
+      // single hash-agg pass: latest-by-date via max_by with a
+      // deterministic (date, key) tie-break — one shuffle, no window
+      // sort (same result as the row_number formulation)
+      t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("order_count"))
-      val latest = Relational
-        .latestPerKey(o, Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")))
-        .select(
-          col("o_custkey"),
-          col("o_orderstatus").as("last_status"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_orderdate"))
-      agg.join(latest, "o_custkey").orderBy(col("o_custkey"))
+        .agg(
+          dsum(col("o_totalprice")).as("total_spent"),
+          count(lit(1)).as("order_count"),
+          max_by(col("o_orderstatus"), struct(col("o_orderdate"), col("o_orderkey")))
+            .as("last_status"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_orderdate"))
+        .orderBy(col("o_custkey"))
     },
     // A2 — event-type histogram (structured_extraction_v2.py:3503-3508)
     "a2_event_histogram" -> { (s, dir) =>
@@ -1001,10 +1002,9 @@ object SparkEntry {
     },
     // SimHash fingerprints (training-data near-dup family)
     "dd_simhash" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          Dedup.simhashFingerprint(TextFns.tokens(col("text"))).as("simhash"))
+      Dedup
+        .simhashTable(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
     },
     // Multimodal stub pipeline — no SQL oracle (rows-only check):

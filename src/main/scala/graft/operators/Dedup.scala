@@ -25,9 +25,29 @@ object Dedup {
       Seq(TextFns.fingerprint(col(textCol))),
       Seq(col(idCol)))
 
-  /** Distinct word-n-gram shingles per doc: (id, shingle). */
-  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
+  /** Distinct word-n-gram shingles per doc: (id, shingle).
+    *
+    * Built explode-first (tokenize once → posexplode → window `lead`
+    * to form n-grams) rather than with array lambdas:
+    * higher-order-function lambdas are interpreted (no codegen) and
+    * re-evaluate subtrees per element, which profiled ~100× slower at
+    * sf0.1. This shape is one window shuffle on the doc id and stays
+    * fully codegen'd — the 100 TB-safe layout.
+    */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, k) =>
+      acc.withColumn(s"__t$k", lead(col("tok"), k).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(k => col(s"__t$k"))
+    withLeads
+      .filter((1 until n).map(k => col(s"__t$k").isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"))
+      .dropDuplicates("id", "shingle")
+  }
 
   /** N-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle;
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
@@ -68,23 +88,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature column: `numHashes` permutations approximated
-    * by seed-prefixed md5 lexicographic minima over the shingle set —
-    * deterministic and portable (same construction expressible in the
-    * DuckDB oracle).
+  /** MinHash signatures as a table: (id, s0..s{k-1}) where
+    * s_i = min over the doc's shingle set of md5(i ++ ":" ++ shingle) —
+    * deterministic, portable (mirrored in the DuckDB oracle), and
+    * computed as explode -> codegen'd hash-agg (one shuffle on id):
+    * each (id, shingle) row fans out to `numHashes` hash rows, the
+    * per-seed minima come from `min(when(seed = i, h))` aggregates.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit(":"), s)))))
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val seeded = sh
+      .withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
+      .select(
+        col("id"),
+        col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
+    val aggs = (0 until numHashes).map(i => min(when(col("seed") === i, col("h"))).as(s"s$i"))
+    seeded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash+LSH candidate pairs: band the signature (`bandSize` rows
     * per band), bucket-join on (band index, band hash), then verify
     * with exact Jaccard over shingle sets.
     *
-    * Plan shape: one explode to (id, band, bucket), one shuffle on the
-    * bucket key, pair join inside buckets, then a verify join — the
-    * canonical scalable MinHash dedup.
+    * Plan shape: tokenize/shingle (one window shuffle) -> signature
+    * hash-agg (one shuffle on id) -> project (id, band, bucket) ->
+    * one shuffle on the bucket key -> pair join inside buckets ->
+    * verify join. The band shuffle carries only (id, band, bucket);
+    * shingle sets are joined back per candidate pair, so the wide
+    * arrays never ride through the bucket shuffle (matters at 100 TB).
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -96,29 +127,31 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
-    val withSh = df
-      .select(col(idCol).as("id"), TextFns.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // Band shuffle carries only (id, band, bucket) — shingle sets are
-    // joined back per candidate pair, so the wide arrays never ride
-    // through the bucket shuffle (matters at 100 TB).
-    val banded = sig.select(
-      col("id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(numBands - 1)),
-          b => md5(concat_ws("|", slice(col("sig"), b * bandSize + 1, lit(bandSize)))))
-      ).as(Seq("band", "bucket")))
+    // The shingle table feeds three branches (signatures + two verify
+    // joins); persist it so tokenize+window runs once. At cluster
+    // scale this is the stage you'd checkpoint to storage instead.
+    val sh = shingleTable(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(sh, numHashes)
+    val bucketCols = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (0 until bandSize).map(k => col(s"s${b * bandSize + k}")): _*))
+          .as("bucket"))
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded
       .select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val shSets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
     cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -150,6 +183,39 @@ object Dedup {
       votes.reduce(_ + _)
     }
     concat(digitExprs.map(d => lit(hexDigits).substr(d + 1, lit(1))): _*)
+  }
+
+  /** SimHash as a table op: (id, simhash) — semantics of
+    * `simhashFingerprint` but computed as explode → 64 codegen'd
+    * `sum(when)` bit-vote aggregates (one shuffle on id, md5 computed
+    * once per token). Use this at scale; the column version is for
+    * small in-memory arrays. Docs with zero tokens are absent here
+    * (the column version gives them the all-zero fingerprint).
+    */
+  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hexDigits = "0123456789abcdef"
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(TextFns.tokens(col(textCol))).as("tok"))
+    val withHex = toks.select(col("id"), substring(md5(col("tok")), 1, 16).as("hx"))
+    val voteAggs = for {
+      pos <- 0 until 16
+      bit <- 0 until 4
+    } yield {
+      val mask = 1 << (3 - bit)
+      val d = instr(lit(hexDigits), substring(col("hx"), pos + 1, 1)) - 1
+      sum(when((floor(d.cast("int") / mask).cast("int") % 2) === 1, 1).otherwise(-1))
+        .as(s"v_${pos}_$bit")
+    }
+    val votes = withHex.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val digits = (0 until 16).map { pos =>
+      val dv = (0 until 4).map { bit =>
+        val mask = 1 << (3 - bit)
+        when(col(s"v_${pos}_$bit") > 0, lit(mask)).otherwise(lit(0))
+      }.reduce(_ + _)
+      lit(hexDigits).substr(dv + 1, lit(1))
+    }
+    votes.select(col("id"), concat(digits: _*).as("simhash"))
   }
 
   /** Hamming distance between two same-length hex fingerprints. */

@@ -39,12 +39,16 @@ object Similarity {
   def nearestNeighborJoin(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val a = df.select(col(idCol).as("id"), col(embCol).as("emb"))
     val b = df.select(col(idCol).as("nn_id"), col(embCol).as("nn_emb"))
-    val scored = a
-      .join(b, col("id") =!= col("nn_id"))
+    // argmax via max_by over (score, -nn_id): one hash agg over the
+    // pair stream instead of a window sort of all N² scored rows
+    // (ties break to the smallest nn_id, matching row_number order)
+    a.join(b, col("id") =!= col("nn_id"))
       .withColumn("score", VectorFns.cosine(col("emb"), col("nn_emb")))
-    Relational
-      .dedupeFirstWins(scored, Seq(col("id")), Seq(col("score").desc, col("nn_id")))
-      .select(col("id"), col("nn_id"), col("score"))
+      .groupBy(col("id"))
+      .agg(
+        max_by(struct(col("nn_id"), col("score")), struct(col("score"), -col("nn_id")))
+          .as("best"))
+      .select(col("id"), col("best.nn_id").as("nn_id"), col("best.score").as("score"))
   }
 
   /** IVF coarse assignment: nearest of `centroids` per row (cell id =

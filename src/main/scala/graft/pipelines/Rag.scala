@@ -13,18 +13,41 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   top-k — strictly better than the reference's over-fetch) →
   *   orderBy(score desc).limit(k) (W1) → projection (F11).
   *
-  * The embedder is the deterministic hashing featurizer; a production
-  * deployment swaps in a batched external client behind the same
-  * column contract (SURVEY §7.4 non-determinism firewall).
+  * The embedder is the deterministic hashing featurizer computed as
+  * explode → codegen'd count aggregates (array-lambda featurizing
+  * profiled ~5× slower — HOF lambdas are interpreted); the query-side
+  * vector is computed on the driver. A production deployment swaps in
+  * a batched external embedding client behind the same column
+  * contract (SURVEY §7.4 non-determinism firewall).
   */
 object Rag {
 
-  /** Chunk documents into (doc_id, chunk_index, chunk). */
+  private val hexDigits = "0123456789abcdef"
+
+  /** Chunk documents into (doc_id, source, chunk_index, chunk). */
   def chunkDocs(docs: DataFrame, textCol: String, idCol: String, chunkSize: Int): DataFrame =
     docs.select(
       col(idCol),
       col("source"),
       posexplode(TextFns.chunks(col(textCol), chunkSize)).as(Seq("chunk_index", "chunk")))
+
+  /** Driver-side featurizer for the query string — must match the
+    * distributed bucket function exactly (first hex digit of
+    * md5(token) mod dim).
+    */
+  def embedQueryVector(text: String, dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    text.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      v(hexDigits.indexOf(hex.charAt(0)) % dim) += 1.0
+    }
+    v
+  }
+
+  /** Token-bucket expression mirroring embedQueryVector. */
+  private def bucketExpr(tok: Column, dim: Int): Column =
+    (instr(lit(hexDigits), substring(md5(tok), 1, 1)) - 1) % dim
 
   /** Full retrieval: top-k chunks for a query string. */
   def topKChunks(
@@ -40,9 +63,28 @@ object Rag {
       case Some(substr) => chunks.filter(lower(col("source")).contains(substr.toLowerCase))
       case None         => chunks
     }
-    val qvec = VectorFns.embedText(lit(queryText), dim)
+    // explode tokens -> one md5 per token -> dim count aggregates
+    val toks = filtered.select(
+      col("doc_id"),
+      col("chunk_index"),
+      explode(TextFns.tokens(col("chunk"))).as("tok"))
+    val counts = (0 until dim).map(j =>
+      sum(when(bucketExpr(col("tok"), dim) === j, 1).otherwise(0)).as(s"c$j"))
+    val vecs = toks
+      .groupBy(col("doc_id"), col("chunk_index"))
+      .agg(counts.head, counts.tail: _*)
+      .select(
+        col("doc_id"),
+        col("chunk_index"),
+        array((0 until dim).map(j => col(s"c$j").cast("double")): _*).as("vec"))
+    val qvec = array(embedQueryVector(queryText, dim).map(lit): _*)
+    // chunks with zero tokens vanish at the explode; rejoin and score
+    // them 0.0 (cosine-with-zero-norm semantics)
     filtered
-      .withColumn("score", VectorFns.cosine(VectorFns.embedText(col("chunk"), dim), qvec))
+      .join(vecs, Seq("doc_id", "chunk_index"), "left")
+      .withColumn(
+        "score",
+        coalesce(VectorFns.cosine(col("vec"), qvec), lit(0.0)))
       .orderBy(col("score").desc, col("doc_id"), col("chunk_index"))
       .limit(k)
       .select(
