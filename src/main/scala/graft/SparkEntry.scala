@@ -43,10 +43,165 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relationalQueries ++ textQueries ++ dedupQueries ++ vectorQueries ++ miscQueries
+    relationalQueries ++ textQueries ++ dedupQueries ++ vectorQueries ++
+      miscQueries ++ extraQueries
 
   def oracleSql: Map[String, String] =
-    relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++ miscOracle
+    relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++
+      miscOracle ++ extraOracle
+
+  // ---------------------------------------------------------------
+  // Extra coverage: W3, A8, C5-C7, C13, F3, J3
+  // ---------------------------------------------------------------
+
+  private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W3 — latest run-folder selection (orbit_daily_update_dag.py:142-158)
+    "w3_latest_run" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(concat(lit("daily_"), date_format(col("ts"), "yyyy-MM-dd")).as("run_name"))
+        .distinct()
+        .withColumn("run_date", to_date(regexp_extract(col("run_name"), "daily_(\\d{4}-\\d{2}-\\d{2})", 1)))
+        .orderBy(col("run_date").desc)
+        .limit(1)
+        .select(col("run_name"), date_format(col("run_date"), "yyyy-MM-dd").as("run_date"))
+    },
+    // A8 — batch summary: per-day totals with countDistinct
+    // (handle_chunking.py:228-262)
+    "a8_batch_summary" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("day"))
+    },
+    // C5/C6/C7 — headcount/round/stars/rating regex extraction with
+    // range guards (scraper_v2.py:2652-2786; structured_extraction_v2.py:2165-2252)
+    "c5_regex_extractors" -> { (s, dir) =>
+      val letter = when(col("s_suppkey") % 3 === 0, "a")
+        .when(col("s_suppkey") % 3 === 1, "b")
+        .otherwise("c")
+      val rating = when(col("s_suppkey") % 4 === 0, "3.9")
+        .when(col("s_suppkey") % 4 === 1, "4.5")
+        .when(col("s_suppkey") % 4 === 2, "0.2")
+        .otherwise("7.8")
+      val blurb = concat(
+        lit("Team of "), ((col("s_suppkey") * 7) % 120000).cast("string"),
+        lit(" employees. Raised a series "), letter,
+        lit(" round. "), (col("s_suppkey") % 4000).cast("string"),
+        lit(" stars on github. glassdoor: "), rating)
+      val head = nullif(regexp_extract(col("blurb"), "(\\d+) employees", 1), lit("")).cast("long")
+      val stars = nullif(regexp_extract(col("blurb"), "(\\d+) stars", 1), lit("")).cast("long")
+      val gd = nullif(regexp_extract(col("blurb"), "glassdoor: (\\d\\.\\d)", 1), lit("")).cast("double")
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), blurb.as("blurb"))
+        .select(
+          col("s_suppkey"),
+          col("blurb"),
+          when(head.between(10, 100000), head).as("headcount"),
+          regexp_extract(col("blurb"), "series ([a-z]) ", 1).as("round_letter"),
+          stars.as("github_stars"),
+          when(gd.between(0.0, 5.0), gd).as("glassdoor_rating"))
+        .orderBy(col("s_suppkey"))
+    },
+    // C13 — priority-fallback JSON text recovery (handle_chunking.py:27-112)
+    "c13_json_recovery" -> { (s, dir) =>
+      val js = when(col("doc_id") % 3 === 0,
+        concat(lit("{\"full_text\":\""), col("lang"), lit("0\"}")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("{\"content\":\""), col("lang"), lit("1\"}")))
+        .otherwise(concat(lit("{\"body\":\""), col("lang"), lit("2\"}")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), js.as("js"))
+        .withColumn(
+          "recovered",
+          coalesce(
+            get_json_object(col("js"), "$.full_text"),
+            get_json_object(col("js"), "$.content"),
+            get_json_object(col("js"), "$.body")))
+        .orderBy(col("doc_id"))
+    },
+    // F3 — paragraph split + keyword filter (structured_extraction_v2.py:1274-1325)
+    "f3_keyword_paragraphs" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          posexplode(split(col("text"), " table ")).as(Seq("para_index", "para")))
+        .filter(col("para").contains("join"))
+        .select(col("doc_id"), col("para_index").cast("long").as("para_index"), col("para"))
+        .orderBy(col("doc_id"), col("para_index"))
+    },
+    // J3 — provenance URL-mapping broadcast lookup
+    // (structured_extraction_v2.py:938-948)
+    "j3_provenance_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val urlMap = broadcast(Seq(
+        ("en", "https://site/en"), ("de", "https://site/de")).toDF("lang", "source_url"))
+      t(s, dir, "documents")
+        .join(urlMap, Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"), col("source_url"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def extraOracle: Map[String, String] = Map(
+    "w3_latest_run" ->
+      """SELECT run_name, strftime(run_date, '%Y-%m-%d') AS run_date FROM (
+        | SELECT DISTINCT 'daily_' || strftime(ts, '%Y-%m-%d') AS run_name,
+        |        CAST(regexp_extract('daily_' || strftime(ts, '%Y-%m-%d'), 'daily_(\d{4}-\d{2}-\d{2})', 1) AS DATE) AS run_date
+        | FROM events)
+        |ORDER BY run_date DESC LIMIT 1""".stripMargin,
+    "a8_batch_summary" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "c5_regex_extractors" ->
+      """WITH b AS (
+        | SELECT s_suppkey,
+        |  'Team of ' || CAST((s_suppkey * 7) % 120000 AS VARCHAR) ||
+        |  ' employees. Raised a series ' ||
+        |  (CASE WHEN s_suppkey % 3 = 0 THEN 'a' WHEN s_suppkey % 3 = 1 THEN 'b' ELSE 'c' END) ||
+        |  ' round. ' || CAST(s_suppkey % 4000 AS VARCHAR) ||
+        |  ' stars on github. glassdoor: ' ||
+        |  (CASE WHEN s_suppkey % 4 = 0 THEN '3.9' WHEN s_suppkey % 4 = 1 THEN '4.5'
+        |        WHEN s_suppkey % 4 = 2 THEN '0.2' ELSE '7.8' END) AS blurb
+        | FROM supplier),
+        |x AS (
+        | SELECT s_suppkey, blurb,
+        |  CAST(NULLIF(regexp_extract(blurb, '(\d+) employees', 1), '') AS BIGINT) AS head,
+        |  regexp_extract(blurb, 'series ([a-z]) ', 1) AS round_letter,
+        |  CAST(NULLIF(regexp_extract(blurb, '(\d+) stars', 1), '') AS BIGINT) AS github_stars,
+        |  CAST(NULLIF(regexp_extract(blurb, 'glassdoor: (\d\.\d)', 1), '') AS DOUBLE) AS gd
+        | FROM b)
+        |SELECT s_suppkey, blurb,
+        | CASE WHEN head BETWEEN 10 AND 100000 THEN head END AS headcount,
+        | round_letter, github_stars,
+        | CASE WHEN gd BETWEEN 0.0 AND 5.0 THEN gd END AS glassdoor_rating
+        |FROM x ORDER BY s_suppkey""".stripMargin,
+    "c13_json_recovery" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN '{"full_text":"' || lang || '0"}'
+        |       WHEN doc_id % 3 = 1 THEN '{"content":"' || lang || '1"}'
+        |       ELSE '{"body":"' || lang || '2"}' END AS js
+        | FROM documents)
+        |SELECT doc_id, js,
+        | COALESCE(js->>'$.full_text', js->>'$.content', js->>'$.body') AS recovered
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "f3_keyword_paragraphs" ->
+      """SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS para_index, parts[p.i] AS para
+        |FROM (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents),
+        |     LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) p
+        |WHERE contains(parts[p.i], 'join')
+        |ORDER BY doc_id, para_index""".stripMargin,
+    "j3_provenance_lookup" ->
+      """WITH urlmap(lang, source_url) AS (VALUES ('en', 'https://site/en'), ('de', 'https://site/de'))
+        |SELECT doc_id, d.lang, u.source_url
+        |FROM documents d LEFT JOIN urlmap u ON d.lang = u.lang
+        |ORDER BY doc_id""".stripMargin
+  )
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-family: aggregations ------------------------------------------------

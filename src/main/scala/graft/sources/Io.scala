@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SURVEY §2.1 — sources and sinks. The reference's edges are JSON
+  * (pretty + JSONL), text files and blob stores; the engine
+  * standardizes on Parquet internally with JSON at the edges.
+  *
+  * Cloud stores (the reference's GCS, S5) are path schemes to Spark —
+  * `gs://`/`s3a://` URIs work through the same readers once the
+  * connector jars are on the cluster; nothing here is local-FS bound.
+  */
+object Io {
+
+  /** S1 — seed scan: one JSON array document (multiLine) — the Forbes
+    * seed file shape (`/root/reference/src/scraper_v2.py:4133-4147`).
+    */
+  def readJsonArray(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", "true")
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** S10-shape — JSONL (one object per line), e.g. risk-signal logs. */
+  def readJsonl(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** S7 — recursive text scan with file provenance: one row per line
+    * plus the source path (`input_file_name`), the
+    * `*_clean.txt`-walk analogue (`handle_chunking.py:12-25`).
+    */
+  def readTextTree(spark: SparkSession, glob: String): DataFrame =
+    spark.read
+      .textFile(glob)
+      .withColumn("source_path", input_file_name())
+
+  /** §1.3 — permissive JSON parsing with quarantine: malformed rows
+    * land in a reject frame instead of aborting (the reference drops
+    * ValidationError rows with a warning,
+    * `structured_extraction_v2.py:2300-2302`). Returns (valid, rejects).
+    */
+  def parseJsonQuarantine(
+      df: DataFrame,
+      jsonCol: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val parsed = df.withColumn(
+      "__parsed",
+      from_json(col(jsonCol), schema, Map("mode" -> "PERMISSIVE")))
+    // from_json yields null (or a row of nulls for top-level structs)
+    // on corrupt input; a row is valid when at least one field parsed
+    val anyField = schema.fieldNames
+      .map(f => col(s"__parsed.$f").isNotNull)
+      .reduce(_ || _)
+    val valid = parsed.filter(col("__parsed").isNotNull && anyField)
+      .select(col("*"), col("__parsed.*")).drop("__parsed", jsonCol)
+    val rejects = parsed.filter(col("__parsed").isNull || !anyField)
+      .drop("__parsed")
+    (valid, rejects)
+  }
+
+  /** S10 — date-partitioned append JSONL sink (risk signals:
+    * `data/risk_signals/risk_signals_{date}.jsonl`,
+    * `src/agents/tools.py:308-337`).
+    */
+  def writeDatePartitionedJson(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write
+      .mode("append")
+      .partitionBy("date")
+      .json(path)
+
+  /** S11 — payload sink: one JSON document per entity
+    * (`structured_extraction_v2.py:798-833`). Partitioned by the key
+    * so a point lookup (E2) prunes to one directory.
+    */
+  def writePayloads(df: DataFrame, keyCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(keyCol).json(path)
+
+  /** Engine-internal standard: partitioned Parquet. `partitionBy` on
+    * the natural pruning key (company/date) is what makes I2-style
+    * incremental skips free at scale.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** A9/S13 — metrics via `observe`: named aggregates collected on the
+    * driver after an action, the accumulator-based counter analogue
+    * (`src/agents/metrics.py:20-26`). Returns the observed DataFrame;
+    * read results from `QueryExecutionListener` or
+    * `Observation` at the call site.
+    */
+  def withRowMetrics(df: DataFrame, name: String): DataFrame =
+    df.observe(
+      name,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(df.columns.head).isNull, 1L).otherwise(0L)).as("null_keys"))
+}

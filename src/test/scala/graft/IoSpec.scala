@@ -1,0 +1,76 @@
+package graft
+
+import graft.sources.Io
+import java.nio.file.Files
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("S1 readJsonArray: multiLine JSON array (seed-file shape)") {
+    val dir = tmp("seed")
+    Files.writeString(
+      java.nio.file.Paths.get(dir, "seed.json"),
+      """[{"company_name":"Acme","website":"https://acme.ai"},
+        | {"company_name":"BCorp","website":"https://bcorp.com"}]""".stripMargin)
+    val df = Io.readJsonArray(spark, s"$dir/seed.json")
+    assert(df.count() == 2)
+    assert(df.columns.sorted.toSeq == Seq("company_name", "website"))
+  }
+
+  test("S7 readTextTree: glob + file provenance") {
+    val dir = tmp("txt")
+    Files.createDirectories(java.nio.file.Paths.get(dir, "a"))
+    Files.writeString(java.nio.file.Paths.get(dir, "a", "x_clean.txt"), "line1\nline2")
+    val df = Io.readTextTree(spark, s"$dir/*/*_clean.txt")
+    assert(df.count() == 2)
+    assert(df.select("source_path").head.getString(0).contains("x_clean.txt"))
+  }
+
+  test("§1.3 parseJsonQuarantine: valid rows parsed, corrupt quarantined") {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("amount", DoubleType)))
+    val df = Seq(
+      """{"name":"a","amount":1.5}""",
+      """{"name":"b"}""",
+      """not json at all""",
+      """{"other":"field"}""").toDF("js")
+    val (valid, rejects) = Io.parseJsonQuarantine(df, "js", schema)
+    assert(valid.count() == 2)
+    assert(rejects.count() == 2)
+    assert(valid.columns.toSeq == Seq("name", "amount"))
+  }
+
+  test("S10/S11 sinks: date-partitioned JSONL + key-partitioned payloads") {
+    val out1 = tmp("risk")
+    val df = Seq(
+      ("2024-01-01 10:00:00", "acme", "layoff"),
+      ("2024-01-02 09:00:00", "bcorp", "breach")
+    ).toDF("ts", "company_id", "risk_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    Io.writeDatePartitionedJson(df, "ts", out1)
+    val dirs = new java.io.File(out1).listFiles().map(_.getName).filter(_.startsWith("date=")).sorted
+    assert(dirs.toSeq == Seq("date=2024-01-01", "date=2024-01-02"))
+    val back = Io.readJsonl(spark, out1)
+    assert(back.count() == 2)
+
+    val out2 = tmp("payloads")
+    Io.writePayloads(Seq(("acme", 1), ("bcorp", 2)).toDF("company_id", "v"), "company_id", out2)
+    val pdirs = new java.io.File(out2).listFiles().map(_.getName).filter(_.startsWith("company_id=")).sorted
+    assert(pdirs.toSeq == Seq("company_id=acme", "company_id=bcorp"))
+  }
+
+  test("A9 withRowMetrics: observe() counters") {
+    val obs = Observation("m")
+    val df = Seq(1, 2, 3).toDF("x").observe(obs, count(lit(1)).as("n_rows"))
+    df.write.format("noop").mode("overwrite").save()
+    assert(obs.get("n_rows") == 3L)
+    // the Io helper compiles onto any frame
+    val o2 = Io.withRowMetrics(Seq((1, "a")).toDF("k", "v"), "t")
+    o2.write.format("noop").mode("overwrite").save()
+  }
+}
