@@ -96,14 +96,11 @@ object Dedup {
     * per-seed minima come from `min(when(seed = i, h))` aggregates.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val seeded = sh
-      .withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
-      .select(
-        col("id"),
-        col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
-    val aggs = (0 until numHashes).map(i => min(when(col("seed") === i, col("h"))).as(s"s$i"))
-    seeded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // one codegen'd pass: k min-aggregates over k hash expressions per
+    // shingle row — no k-fold row fan-out, one shuffle on id
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"s$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH candidate pairs: band the signature (`bandSize` rows
@@ -243,8 +240,8 @@ object Dedup {
       idCol: String,
       embCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    val a = df.select(col(idCol).as("id_a"), col(embCol).cast("array<double>").as("emb_a"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).cast("array<double>").as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("score", graft.functions.VectorFns.cosine(col("emb_a"), col("emb_b")))

@@ -37,8 +37,10 @@ object Similarity {
     * scale path is `ivfAssign` + per-cell knn.
     */
   def nearestNeighborJoin(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val a = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-    val b = df.select(col(idCol).as("nn_id"), col(embCol).as("nn_emb"))
+    // cast float->double BELOW the join: per input row (N), not per
+    // joined pair (N²) — the cast allocates a new array each call
+    val a = df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+    val b = df.select(col(idCol).as("nn_id"), col(embCol).cast("array<double>").as("nn_emb"))
     // argmax via max_by over (score, -nn_id): one hash agg over the
     // pair stream instead of a window sort of all N² scored rows
     // (ties break to the smallest nn_id, matching row_number order)

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{MoneyFns, TextFns}
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** SURVEY §5 property tests (seeded-random cases): chunker
+  * invariants, money-parser round trips, dedup idempotence.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("C1 property: chunks recombine to the input; all but last are full") {
+    val texts = Seq.fill(40)(rnd.alphanumeric.take(rnd.nextInt(3000)).mkString)
+    val rows = texts.toDF("t")
+      .select(TextFns.chunks($"t", 100).as("c"), $"t")
+      .collect()
+    rows.foreach { r =>
+      val chunks = r.getSeq[String](0)
+      assert(chunks.mkString == r.getString(1))
+      if (chunks.nonEmpty) {
+        assert(chunks.init.forall(_.length == 100))
+        assert(chunks.last.nonEmpty && chunks.last.length <= 100)
+      }
+    }
+  }
+
+  test("C2 property: parseMoney round-trips integer amounts across suffixes") {
+    val suffixes = Seq("K" -> 1e3, "M" -> 1e6, "B" -> 1e9, "" -> 1.0)
+    val prefixes = Seq("$", "about $", "US$", "~$", "over $")
+    val cases = Seq.fill(60) {
+      val n = 1L + rnd.nextInt(999999)
+      val (sfx, mult) = suffixes(rnd.nextInt(suffixes.length))
+      val pre = prefixes(rnd.nextInt(prefixes.length))
+      (s"$pre$n$sfx", n * mult)
+    }
+    val got = cases.map(_._1).distinct.toDF("s")
+      .select($"s", MoneyFns.parseMoney($"s").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"for '$s'") }
+  }
+
+  test("D property: dedupeFirstWins is idempotent and keeps min order key") {
+    (1 to 5).foreach { _ =>
+      val rs = Seq.fill(30)((rnd.nextInt(6), rnd.nextInt(1000))).distinct
+      val df = rs.toDF("k", "pos")
+      val once = Relational.dedupeFirstWins(df, Seq($"k"), Seq($"pos"))
+      val twice = Relational.dedupeFirstWins(once, Seq($"k"), Seq($"pos"))
+      val a = once.orderBy("k").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      val b = twice.orderBy("k").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(a == b)
+      val mins = rs.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).min }
+      assert(a.toMap == mins)
+    }
+  }
+
+  test("C3 property: parseDateMulti round-trips random dates in all formats") {
+    val fmts = Seq("yyyy-MM-dd", "MMMM d, yyyy", "M/d/yyyy")
+    val dates = Seq.fill(40) {
+      java.time.LocalDate.of(1990 + rnd.nextInt(35), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28))
+    }
+    fmts.foreach { f =>
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(f, java.util.Locale.US)
+      val pairs = dates.map(d => d.format(fmt) -> d.toString)
+      val got = pairs.map(_._1).distinct.toDF("s")
+        .select($"s", date_format(graft.functions.DateFns.parseDateMulti($"s"), "yyyy-MM-dd").as("d"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      pairs.foreach { case (s, want) => assert(got(s) == want, s"format $f, input '$s'") }
+    }
+  }
+}
