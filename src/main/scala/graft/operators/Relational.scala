@@ -59,6 +59,29 @@ object Relational {
       .drop("__run")
   }
 
+  /** Skew-resistant aggregation: two-phase salted combine. Phase 1
+    * aggregates on (keys, salt) — spreading a hot key over
+    * `saltBuckets` reducers — phase 2 merges the partials. Results
+    * are identical to a direct groupBy for algebraic aggregates
+    * (sum/count here). AQE handles moderate skew; this is the explicit
+    * tool for the pathological hot-key case at 100 TB.
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn(
+      "__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partial = salted
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("n_rows"))
+  }
+
   /** J8/I1 — content-hash change detection between two snapshots of
     * the same keyed table: emits (keys..., status) with status ∈
     * {added, removed, changed} (unchanged rows dropped). Reference

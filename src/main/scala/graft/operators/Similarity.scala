@@ -66,6 +66,46 @@ object Similarity {
     df.withColumn("cell", greatest(scored: _*).getField("cell"))
   }
 
+  /** Random-hyperplane LSH signature (cosine-preserving, SimHash for
+    * vectors): `nBits` sign bits of projections onto deterministic
+    * pseudo-random planes (seeded — stable across runs/executors).
+    * Near-identical-direction vectors land in the same bucket; use
+    * multi-table OR multi-probe for recall at scale.
+    */
+  def hyperplaneSignature(df: DataFrame, embCol: String, dim: Int, nBits: Int, seed: Long = 42L): DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val emb = col(embCol).cast("array<double>")
+    val bits = planes.map { p =>
+      val dot = VectorFns.cosine(emb, array(p.map(lit): _*)) // sign(cos)=sign(dot)
+      when(dot > 0, lit("1")).otherwise(lit("0"))
+    }
+    df.withColumn("lsh_bucket", concat(bits: _*))
+  }
+
+  /** LSH-bucketed near-dup pairs: pairs sharing the full signature,
+    * verified with exact cosine — candidate generation is one shuffle
+    * on the bucket key, linear in corpus size.
+    */
+  def lshNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      nBits: Int,
+      threshold: Double,
+      seed: Long = 42L): DataFrame = {
+    val signed = hyperplaneSignature(df, embCol, dim, nBits, seed)
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"), col("lsh_bucket"))
+    val a = signed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("lsh_bucket"))
+    val b = signed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("lsh_bucket"))
+    a.join(b, Seq("lsh_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", VectorFns.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** IVF top-k: probe only the query's `nprobe` nearest cells, then
     * exact rank inside the probed subset. At 1000 executors this reads
     * `nprobe/nlist` of the corpus instead of all of it.

@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.HtmlFns
+import graft.operators.{Jobs, Relational, Similarity}
+import org.apache.spark.sql.functions._
+
+class HtmlJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val html =
+    """<html><head><title>Acme — AI for Everyone</title>
+      |<meta name="description" content="Acme builds AI.">
+      |<script type="application/ld+json">{"@type":"Organization","name":"Acme"}</script>
+      |</head><body>
+      |<a href="/about">About</a> <a href="https://ext.com/x">ext</a>
+      |<img src="/logo.png">
+      |<p>Welcome to <b>Acme</b>.</p>
+      |<table><caption>Pricing</caption>
+      | <tr><th>Tier</th><th>Price</th></tr>
+      | <tr><td>Free</td><td>$0</td></tr>
+      | <tr><td>Pro</td><td>$99</td></tr></table>
+      |</body></html>""".stripMargin
+
+  test("C12/C16 — jsonld scripts, links, images, title, meta, text") {
+    val df = Seq(html).toDF("html")
+    val r = df.select(
+      HtmlFns.jsonLdScripts($"html").as("ld"),
+      HtmlFns.links($"html").as("links"),
+      HtmlFns.images($"html").as("imgs"),
+      HtmlFns.title($"html").as("title"),
+      HtmlFns.metaContent($"html", "description").as("desc"),
+      HtmlFns.textContent($"html").as("text")).head()
+    assert(r.getSeq[String](0).head.contains("\"@type\":\"Organization\""))
+    assert(r.getSeq[String](1) == Seq("/about", "https://ext.com/x"))
+    assert(r.getSeq[String](2) == Seq("/logo.png"))
+    assert(r.getString(3) == "Acme — AI for Everyone")
+    assert(r.getString(4) == "Acme builds AI.")
+    assert(r.getString(5).contains("Welcome to Acme") && !r.getString(5).contains("<"))
+  }
+
+  test("C15 — table extraction: caption, th headers, data rows") {
+    val tables = HtmlFns.extractTablesImpl(html)
+    assert(tables.length == 1)
+    assert(tables.head.caption == "Pricing")
+    assert(tables.head.headers == Seq("Tier", "Price"))
+    assert(tables.head.rows == Seq(Seq("Free", "$0"), Seq("Pro", "$99")))
+    // as a UDF over a frame
+    val n = Seq(html).toDF("html")
+      .select(explode(HtmlFns.extractTables($"html")).as("t"))
+      .select("t.caption").count()
+    assert(n == 1)
+  }
+
+  test("C14 — recursive JSON job mining finds nested job-shaped dicts") {
+    val json =
+      """{"page":{"widgets":[{"jobs":[
+        |{"title":"SWE","location":{"name":"NYC"},"absolute_url":"https://x/1"},
+        |{"title":"Designer","department":"Design"},
+        |{"name":"not a job"}]}]}}""".stripMargin
+    val jobs = HtmlFns.mineJobsImpl(json)
+    assert(jobs.map(_.title).toSet == Set("SWE", "Designer"))
+    assert(jobs.find(_.title == "SWE").get.location == "NYC")
+    assert(HtmlFns.mineJobsImpl("not json") == Seq())
+  }
+
+  test("S4/U2/D1/A6 — ATS parse, union-dedup, openings counts") {
+    val gh = Seq(("acme",
+      """{"jobs":[{"title":"Software Engineer","absolute_url":"https://gh/1","location":{"name":"NYC"},"updated_at":"2024"},
+        |{"title":"Sales Lead","absolute_url":"https://gh/2","location":{"name":"SF"},"updated_at":"2024"}]}""".stripMargin))
+      .toDF("company_id", "resp")
+    val lv = Seq(("acme",
+      """[{"text":"Software Engineer","hostedUrl":"https://gh/1","categories":{"location":"NYC","team":"Eng"},"createdAt":1}]"""))
+      .toDF("company_id", "resp")
+    val g = Jobs.parseGreenhouse(gh, "resp")
+    val l = Jobs.parseLever(lv, "resp")
+    assert(g.count() == 2 && l.count() == 1)
+    // same (title,url) from lever deduped away; greenhouse wins (prio 0)
+    val all = Jobs.unionDedup(
+      Seq(g, l),
+      f => when(col("source") === "greenhouse", 0).otherwise(1))
+    assert(all.count() == 2)
+    assert(all.filter(col("source") === "lever").count() == 0)
+    val counts = Jobs.openingsCounts(all).head()
+    assert(counts.getLong(1) == 2L && counts.getLong(2) == 1L && counts.getLong(3) == 1L)
+  }
+
+  test("LSH hyperplane buckets: same-direction vectors collide, orthogonal don't") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.01, 0.0)), (2L, Seq(0.99, 0.0, 0.01)), (3L, Seq(0.0, 0.0, 1.0))
+    ).toDF("id", "emb")
+    val pairs = Similarity.lshNearDupPairs(df, "id", "emb", dim = 3, nBits = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // deterministic across invocations
+    val sig1 = Similarity.hyperplaneSignature(df, "emb", 3, 8).select("lsh_bucket").collect()
+    val sig2 = Similarity.hyperplaneSignature(df, "emb", 3, 8).select("lsh_bucket").collect()
+    assert(sig1.map(_.getString(0)).toSeq == sig2.map(_.getString(0)).toSeq)
+  }
+
+  test("saltedSumCount equals direct aggregation") {
+    val df = (1 to 1000).map(i => ("hot", i.toDouble)) ++ (1 to 10).map(i => ("cold", i.toDouble))
+    val got = Relational.saltedSumCount(df.toDF("k", "v"), Seq("k"), "v", 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got("hot") == ((1 to 1000).sum.toDouble, 1000L))
+    assert(got("cold") == (55.0, 10L))
+  }
+}
