@@ -1153,7 +1153,7 @@ object SparkEntry {
       val b = t(s, dir, "supplier")
         .select(col("s_suppkey").as("id"), lit("supplier").as("src"))
       a.unionByName(b, allowMissingColumns = true)
-        .orderBy(col("src"), col("id"), col("tag"))
+        .orderBy(col("src"), col("id"))
     },
     // SimHash fingerprints (training-data near-dup family)
     "dd_simhash" -> { (s, dir) =>
@@ -1278,7 +1278,7 @@ object SparkEntry {
         | SELECT p_partkey AS id, p_brand AS tag, 'part' AS src FROM part
         | UNION ALL BY NAME
         | SELECT s_suppkey AS id, 'supplier' AS src FROM supplier)
-        |ORDER BY src, id, tag""".stripMargin,
+        |ORDER BY src, id""".stripMargin,
     "dd_simhash" -> {
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
          |SELECT doc_id, ${sqlSimhash("tk")} AS simhash
