@@ -734,6 +734,15 @@ object SparkEntry {
           TextFns.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id"))
     },
+    // BPE-ish token counting (training-data token budgeting)
+    "t_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFns.wordCount(col("text")).as("ws_tokens"),
+          TextFns.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
     // Per-key ranked top-k (W1 per-company variant)
     "wp_topk_per_source" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -831,6 +840,11 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         | substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "wp_topk_per_source" ->
       """SELECT source, doc_id, n_chars FROM (

@@ -65,6 +65,24 @@ object TextFns {
     when(length(c) > n, concat(substring(c, 1, n), lit("...")))
       .otherwise(c)
 
+  /** Unicode-light text normalization for dedup keys: lowercase,
+    * collapse whitespace, strip zero-width chars.
+    */
+  def normalizeText(c: Column): Column =
+    regexp_replace(
+      lower(regexp_replace(trim(c), "[\\u200B\\u200C\\u200D\\uFEFF]", "")),
+      "\\s+",
+      " ")
+
+  /** BPE-ish token count: word / number / punctuation-run tokens with
+    * leading-space folding, the shape of a GPT-style pre-tokenizer
+    * (lookahead-free so the same pattern runs on Java regex and RE2).
+    */
+  val bpeTokenPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0))).cast("long")
+
   /** Count of occurrences of an exact token. */
   def tokenCount(c: Column, token: String): Column =
     size(filter(tokens(c), t => t === lit(token))).cast("long")

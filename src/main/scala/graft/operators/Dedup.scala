@@ -231,6 +231,59 @@ object Dedup {
       })
   }
 
+  /** Resolve near-dup pairs into clusters: iterative min-label
+    * propagation (bounded rounds) assigns every doc the smallest id
+    * reachable through the pair graph — the standard "collapse dup
+    * clusters, keep one canonical doc" step after MinHash/SimHash.
+    * Each round is one shuffle join; `maxIters` bounds chain depth
+    * (2^maxIters hops — 10 rounds covers any realistic dup chain).
+    * Returns (id, cluster_id).
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
+      .select(col("id"), least(col("id"), col("cluster_id")).as("cluster_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("n_label"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
+            .as("cluster_id"))
+      // truncate lineage each round — iterative joins otherwise
+      // re-derive the whole history every action
+      val materialized = next.localCheckpoint()
+      converged = iter >= 2 && materialized.except(labels).isEmpty
+      labels = materialized
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one canonical doc per dup cluster (smallest id); docs in no
+    * pair keep themselves. Returns the deduplicated frame.
+    */
+  def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    df.join(
+        clusters.withColumnRenamed("id", idCol),
+        Seq(idCol),
+        "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs over an embedding column —
     * see Similarity.knnJoin for the bucketed variant; this is the
     * exact quadratic baseline, use only on bounded partitions.

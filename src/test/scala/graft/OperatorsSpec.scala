@@ -78,6 +78,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
   }
 
+  test("clusterPairs + resolveClusters: chain collapses to min id") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
+    val docs = Seq(2L, 5L, 9L, 11L, 12L, 99L).toDF("doc_id")
+    val kept = Dedup.resolveClusters(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 99L)) // canonical per cluster + untouched doc
+  }
+
+  test("normalizeText and bpeTokenCount") {
+    val r = Seq("  Hello,   World42!​ ").toDF("t")
+      .select(
+        graft.functions.TextFns.normalizeText($"t"),
+        graft.functions.TextFns.bpeTokenCount(lit("Hello, world 42!")))
+      .head()
+    assert(r.getString(0) == "hello, world42!")
+    // tokens: "Hello" "," " world" " 42" "!"
+    assert(r.getLong(1) == 5L)
+  }
+
   test("embeddingNearDupPairs thresholds on cosine") {
     val df = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), (3L, Seq(0.0, 1.0))
