@@ -44,11 +44,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ textQueries ++ dedupQueries ++ vectorQueries ++
-      miscQueries ++ extraQueries
+      miscQueries ++ extraQueries ++ SparkEntryCoverage.queries
 
   def oracleSql: Map[String, String] =
     relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++
-      miscOracle ++ extraOracle
+      miscOracle ++ extraOracle ++ SparkEntryCoverage.oracleSql
 
   // ---------------------------------------------------------------
   // Extra coverage: W3, A8, C5-C7, C13, F3, J3

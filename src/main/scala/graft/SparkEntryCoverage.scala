@@ -1,0 +1,418 @@
+package graft
+
+import graft.functions._
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Second coverage wave for the driver contract: SURVEY §2 rows that
+  * previously existed only as library functions + unit tests now get
+  * oracle-checked queries — F4/F6-F9 predicate filters, the S4/C14/A6
+  * ATS jobs pipeline, C15/C16 HTML facet extraction, IVF and
+  * hyperplane-LSH similarity (the 100 TB scale paths of V2), dup
+  * cluster resolution, and exact embedding near-dup pairs.
+  *
+  * Inputs are driver test tables; free-text/HTML/JSON columns are
+  * constructed deterministically from table columns so a DuckDB oracle
+  * can mirror every query exactly.
+  */
+object SparkEntryCoverage {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read
+        .parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Hyperplanes for v_lsh_pairs — same seeded generator as
+    * Similarity.hyperplaneSignature(seed=42); the literal values are
+    * interpolated into the oracle SQL so both sides use identical
+    * planes.
+    */
+  private val LshDim = 64
+  private val LshBits = 8
+  private lazy val lshPlanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(LshBits)(Array.fill(LshDim)(rnd.nextGaussian()))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F4 — keyword timeline filter: events of selected types as
+    // "date: type" lines (structured_extraction_v2.py:1328-1346)
+    "f4_timeline" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(
+          col("event_id"),
+          concat(date_format(col("ts"), "yyyy-MM-dd"), lit(": "), col("event_type"))
+            .as("line"))
+        .orderBy(col("event_id"))
+    },
+    // F6 — page-error predicate: drop error pages / short error blurbs
+    // (scraper_v2.py:1093-1129)
+    "f6_page_error" -> { (s, dir) =>
+      val pageText = when(col("doc_id") % 7 === 0, concat(lit("404 Not Found: "), col("text")))
+        .when(col("doc_id") % 7 === 1, lit("Error loading page"))
+        .when(col("doc_id") % 7 === 2, concat(lit("Checking your browser... "), col("text")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pageText.as("page_text"))
+        .filter(!Filters.pageError(col("page_text")))
+        .select(col("doc_id"), substring(col("page_text"), 1, 40).as("head40"))
+        .orderBy(col("doc_id"))
+    },
+    // F7 — placeholder/section/name-validity gauntlet
+    // (structured_extraction_v2.py:112-215)
+    "f7_name_filter" -> { (s, dir) =>
+      val name = when(col("c_custkey") % 5 === 0, lit("John Doe"))
+        .when(col("c_custkey") % 5 === 1, lit("About Us"))
+        .when(col("c_custkey") % 5 === 2, lit("Ada Lovelace"))
+        .when(col("c_custkey") % 5 === 3, lit("grace hopper"))
+        .otherwise(lit("Grace Murray Hopper"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), name.as("name"))
+        .filter(
+          Filters.isValidFullName(col("name")) &&
+            !Filters.isPlaceholderName(col("name")) &&
+            !Filters.isWebsiteSection(col("name")))
+        .orderBy(col("c_custkey"))
+    },
+    // F8 — geo cleaning over candidate arrays: explode → plausibility
+    // filter → distinct set per doc (structured_extraction_v2.py:1758-1845)
+    "f8_geo_clean" -> { (s, dir) =>
+      val cand = array(
+        lit("San Francisco"),
+        lit("visit London"),
+        when(col("doc_id") % 3 === 0, lit("New York")).otherwise(lit("click here")),
+        initcap(col("lang")),
+        lit("NY"),
+        lit("Paris"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(cand).as("cand"))
+        .filter(Filters.isPlausibleCity(col("cand")))
+        .groupBy(col("doc_id"))
+        .agg(array_join(array_sort(collect_set(col("cand"))), ",").as("cities_csv"))
+        .orderBy(col("doc_id"))
+    },
+    // F9 — article-link predicate: same-domain, skip listing paths,
+    // require article-ish segment (news_extractor.py:91-130)
+    "f9_article_links" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 4 === 0, concat(lit("https://site.example.com/blog/post-"), id))
+        .when(col("doc_id") % 4 === 1, concat(lit("https://site.example.com/category/cat-"), id))
+        .when(col("doc_id") % 4 === 2, concat(lit("https://other.example.com/blog/x-"), id))
+        .otherwise(concat(lit("https://www.site.example.com/news/item-"), id))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .filter(Filters.looksLikeArticleLink(col("url"), lit("site.example.com")))
+        .orderBy(col("doc_id"))
+    },
+    // S4+C14+U2+D1+A6 — ATS pipeline end-to-end: Greenhouse + Lever
+    // JSON payloads → parse/explode → union → first-wins dedup on
+    // (title,url) → openings counts with eng/sales regex splits
+    // (ats_extractor.py:114-288; scraper_v2.py:1045-1055,2693-2724)
+    "s4_ats_jobs" -> { (s, dir) =>
+      val key = col("s_suppkey").cast("string")
+      val title1 = when(col("s_suppkey") % 3 === 0, lit("Software Engineer"))
+        .when(col("s_suppkey") % 3 === 1, lit("Sales Executive"))
+        .otherwise(lit("Product Designer"))
+      val gh = concat(
+        lit("{\"jobs\":[{\"title\":\""), title1,
+        lit("\",\"absolute_url\":\"https://gh/a"), key,
+        lit("\",\"location\":{\"name\":\"Remote\"}},{\"title\":\"Data Engineer\",\"absolute_url\":\"https://gh/b"), key,
+        lit("\"}]}"))
+      val lv = concat(
+        lit("[{\"text\":\"Data Engineer\",\"hostedUrl\":\"https://gh/b"), key,
+        lit("\",\"categories\":{\"location\":\"NYC\",\"team\":\"Data\"}}]"))
+      val base = t(s, dir, "supplier")
+        .select((col("s_suppkey") % 10).as("company_id"), gh.as("gh_resp"), lv.as("lv_resp"))
+      val ghJobs = Jobs.parseGreenhouse(base.select(col("company_id"), col("gh_resp")), "gh_resp")
+      val lvJobs = Jobs.parseLever(base.select(col("company_id"), col("lv_resp")), "lv_resp")
+      val deduped = Jobs.unionDedup(
+        Seq(ghJobs, lvJobs),
+        _ => when(col("source") === "greenhouse", 0).otherwise(1))
+      Jobs
+        .openingsCounts(deduped)
+        .orderBy(col("company_id"))
+    },
+    // C14 — recursive embedded-JSON job mining (scraper_v2.py:469-489)
+    "c14_mined_jobs" -> { (s, dir) =>
+      val key = col("p_partkey").cast("string")
+      val json = concat(
+        lit("{\"meta\":{\"title\":\"Dept "), key,
+        lit("\",\"department\":\"Platform\"},\"postings\":[{\"title\":\"Engineer "), key,
+        lit("\",\"url\":\"https://jobs/"), key,
+        lit("\"},{\"noise\":true}]}"))
+      t(s, dir, "part")
+        .select(col("p_partkey"), explode(HtmlFns.mineJobs(json)).as("job"))
+        .select(
+          col("p_partkey"),
+          col("job.title").as("title"),
+          col("job.department").as("department"),
+          col("job.url").as("url"))
+        .orderBy(col("p_partkey"), col("title"))
+    },
+    // C15 — HTML table extraction (scraper_v2.py:299-350)
+    "c15_html_tables" -> { (s, dir) =>
+      val html = concat(
+        lit("<table><caption>Stats</caption><tr><th>name</th><th>key</th></tr><tr><td>"),
+        col("n_name"),
+        lit("</td><td>"),
+        col("n_nationkey").cast("string"),
+        lit("</td></tr><tr><td>x</td><td>y</td></tr></table>"))
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), explode(HtmlFns.extractTables(html)).as("tbl"))
+        .select(
+          col("n_nationkey"),
+          col("tbl.caption").as("caption"),
+          array_join(col("tbl.headers"), "|").as("headers"),
+          array_join(transform(col("tbl.rows"), r => array_join(r, "|")), ";").as("rows_csv"))
+        .orderBy(col("n_nationkey"))
+    },
+    // C16 — HTML facet extraction: title/meta/links/images/text
+    // (scraper_v2.py:182-468)
+    "c16_html_facets" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><meta name=\"description\" content=\"about-"), col("lang"),
+        lit("\"></head><body><a href=\"/blog/a-"), id,
+        lit("\">read</a><img src=\"/img/"), id,
+        lit(".png\"><p>Hello <b>world</b></p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(
+          col("doc_id"),
+          HtmlFns.title(col("html")).as("title"),
+          HtmlFns.metaContent(col("html"), "description").as("meta_desc"),
+          array_join(HtmlFns.links(col("html")), ",").as("links_csv"),
+          array_join(HtmlFns.images(col("html")), ",").as("images_csv"),
+          HtmlFns.textContent(col("html")).as("text_content"))
+        .orderBy(col("doc_id"))
+    },
+    // V2 scale path — IVF top-k: coarse-quantize into 4 cells
+    // (centroids = vectors 1..4), probe the query's 2 nearest cells
+    "v_ivf_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val assigned = Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents)
+      Similarity
+        .ivfTopK(assigned, "embedding", cents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
+    // V2 scale path — hyperplane-LSH near-dup pairs: bucket on 8 sign
+    // bits, verify candidates with exact cosine
+    "v_lsh_pairs" -> { (s, dir) =>
+      Similarity
+        .lshNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          LshDim, LshBits, 0.25, 42L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // Dup-cluster resolution: LSH/Jaccard pairs → connected components
+    // → keep canonical doc per cluster (training-data dedup tail)
+    "dd_cluster_resolve" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+      Dedup
+        .resolveClusters(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    // Embedding-cosine near-dup pairs (exact quadratic baseline; the
+    // LSH variant above is the scale path)
+    "dd_embed_neardup" -> { (s, dir) =>
+      Dedup
+        .embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  // ---------------------------------------------------------------
+  // Oracle SQL (DuckDB)
+  // ---------------------------------------------------------------
+
+  /** Sequential left-fold cosine, bit-identical to CosineSimilarity
+    * (same as SparkEntry.sqlCosine — duplicated to keep this object
+    * self-contained).
+    */
+  private def sqlCosine(a: String, b: String): String = {
+    val n = s"least(len($a), len($b))"
+    def fold(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, $n), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""CASE WHEN sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}) = 0 THEN 0.0
+       | ELSE ${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))
+       | END""".stripMargin
+  }
+
+  /** Literal DuckDB list for a plane vector (Double.toString is
+    * round-trip exact; DuckDB parses correctly rounded).
+    */
+  private def sqlPlane(p: Array[Double]): String =
+    p.mkString("[", ", ", "]")
+
+  /** Sign-of-dot bit for one plane: same sign as the cosine the Spark
+    * side computes (division by positive norms preserves sign).
+    */
+  private def sqlLshBit(emb: String, p: Array[Double]): String =
+    s"(CASE WHEN list_reduce(list_transform(generate_series(1, $LshDim), " +
+      s"i -> CAST($emb[i] AS DOUBLE) * (${sqlPlane(p)})[i]), (x,y) -> x+y) > 0 " +
+      "THEN '1' ELSE '0' END)"
+
+  def oracleSql: Map[String, String] = Map(
+    "f4_timeline" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') || ': ' || event_type AS line
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |ORDER BY event_id""".stripMargin,
+    "f6_page_error" -> {
+      val phrases = Seq(
+        "404 not found", "403 forbidden", "500 internal server error",
+        "access denied", "page not found", "this page could not be found",
+        "site can''t be reached", "connection refused", "err_",
+        "service unavailable", "too many requests", "captcha",
+        "are you a robot", "enable javascript", "checking your browser")
+      val phraseHit = phrases.map(p => s"contains(lower(page_text), '$p')").mkString(" OR ")
+      s"""WITH b AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN '404 Not Found: ' || text
+         |       WHEN doc_id % 7 = 1 THEN 'Error loading page'
+         |       WHEN doc_id % 7 = 2 THEN 'Checking your browser... ' || text
+         |       ELSE text END AS page_text
+         | FROM documents)
+         |SELECT doc_id, substring(page_text, 1, 40) AS head40 FROM b
+         |WHERE NOT (($phraseHit)
+         |  OR (length(trim(page_text)) < 50 AND contains(lower(page_text), 'error')))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "f7_name_filter" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 5 = 2 THEN 'Ada Lovelace' ELSE 'Grace Murray Hopper' END AS name
+        |FROM customer WHERE c_custkey % 5 IN (2, 4)
+        |ORDER BY c_custkey""".stripMargin,
+    "f8_geo_clean" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'New York,Paris,San Francisco'
+        |      ELSE 'Paris,San Francisco' END AS cities_csv
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f9_article_links" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 0 THEN 'https://site.example.com/blog/post-' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'https://www.site.example.com/news/item-' || CAST(doc_id AS VARCHAR) END AS url
+        |FROM documents WHERE doc_id % 4 IN (0, 3)
+        |ORDER BY doc_id""".stripMargin,
+    "s4_ats_jobs" ->
+      """WITH sup AS (
+        | SELECT s_suppkey, s_suppkey % 10 AS company_id,
+        |  CASE WHEN s_suppkey % 3 = 0 THEN 'Software Engineer'
+        |       WHEN s_suppkey % 3 = 1 THEN 'Sales Executive'
+        |       ELSE 'Product Designer' END AS t1
+        | FROM supplier),
+        |jobs AS (
+        | SELECT company_id, t1 AS title FROM sup
+        | UNION ALL
+        | SELECT company_id, 'Data Engineer' FROM sup)
+        |SELECT company_id, CAST(COUNT(*) AS BIGINT) AS job_openings_count,
+        | CAST(COUNT(*) FILTER (WHERE regexp_matches(lower(title),
+        |   'engineer|developer|software|infra|platform|data|ml|ai')) AS BIGINT) AS engineering_openings,
+        | CAST(COUNT(*) FILTER (WHERE regexp_matches(lower(title),
+        |   'sales|account exec|business development|revenue')) AS BIGINT) AS sales_openings
+        |FROM jobs GROUP BY company_id ORDER BY company_id""".stripMargin,
+    "c14_mined_jobs" ->
+      """SELECT p_partkey, 'Dept ' || CAST(p_partkey AS VARCHAR) AS title,
+        |       'Platform' AS department, CAST(NULL AS VARCHAR) AS url
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'Engineer ' || CAST(p_partkey AS VARCHAR),
+        |       NULL, 'https://jobs/' || CAST(p_partkey AS VARCHAR)
+        |FROM part
+        |ORDER BY p_partkey, title""".stripMargin,
+    "c15_html_tables" ->
+      """SELECT n_nationkey, 'Stats' AS caption, 'name|key' AS headers,
+        | n_name || '|' || CAST(n_nationkey AS VARCHAR) || ';x|y' AS rows_csv
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "c16_html_facets" ->
+      """SELECT doc_id,
+        | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        | 'about-' || lang AS meta_desc,
+        | '/blog/a-' || CAST(doc_id AS VARCHAR) AS links_csv,
+        | '/img/' || CAST(doc_id AS VARCHAR) || '.png' AS images_csv,
+        | 'Doc ' || CAST(doc_id AS VARCHAR) || ' read Hello world' AS text_content
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "v_ivf_topk" -> {
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT b.vec_id, b.label, b.embedding, c.cell,
+         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+         | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
+         |assign AS (
+         | SELECT vec_id, label, embedding, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |probe AS (
+         | SELECT cell FROM (
+         |  SELECT c.cell, ${sqlCosine("c.ce", "q.qe")} AS sim FROM cents c, q
+         |  ORDER BY sim DESC, cell ASC LIMIT 2))
+         |SELECT a.vec_id, a.label, a.cell, ${sqlCosine("a.embedding", "q.qe")} AS score
+         |FROM assign a, q
+         |WHERE a.cell IN (SELECT cell FROM probe)
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
+    },
+    "v_lsh_pairs" -> {
+      val bucketExpr = lshPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
+      s"""WITH sig AS (
+         | SELECT vec_id, embedding, $bucketExpr AS lsh_bucket FROM embeddings)
+         |SELECT id_a, id_b, score FROM (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        ${sqlCosine("a.embedding", "b.embedding")} AS score
+         | FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id)
+         |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
+    },
+    "dd_cluster_resolve" ->
+      """WITH RECURSIVE tok AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        |       FROM tok WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT id_a, id_b FROM cand
+        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+        |WHERE comp.id IS NULL OR comp.cluster = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "dd_embed_neardup" -> {
+      s"""SELECT id_a, id_b, score FROM (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        ${sqlCosine("a.embedding", "b.embedding")} AS score
+         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE score >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+}
