@@ -1,0 +1,44 @@
+package graft
+
+/** Ad-hoc profiler: time named SparkEntry queries against a testdata
+  * dir and print each physical plan — the `.explain("formatted")`
+  * feedback loop for plan tuning.
+  *
+  * Usage: runMain graft.Profile <sfDir> [-x] <query> [query ...]
+  * (-x prints the formatted plan before running; repeat runs twice
+  * and reports both timings so plan-compile cost is visible.)
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val rest = args.drop(1)
+    val explain = rest.contains("-x")
+    val names = rest.filterNot(_ == "-x")
+    val cpus = sys.env
+      .get("SPARK_GRAFT_CPUS")
+      .map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = Engine.session("graft-profile", s"local[$cpus]", cpus)
+    spark.read.parquet(s"$sfDir/region.parquet").write
+      .format("noop").mode("overwrite").save()
+
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[profile] unknown query: $name")
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          if (explain) {
+            println(s"===== plan: $name =====")
+            df.explain("formatted")
+          }
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -16,6 +16,15 @@ object VectorFns {
   /** Cosine similarity of two vector columns (array<float|double>). */
   def cosine(a: Column, b: Column): Column = CosineSimilarity.cosine(a, b)
 
+  /** Codegen dot product (pair-scan kernel; see DotProduct). */
+  def dotc(a: Column, b: Column): Column = graft.expressions.DotProduct.dot(a, b)
+
+  /** L2 norm via the same accumulation chain CosineSimilarity uses
+    * internally — `cosine(a,b) == dotc(a,b)/(norm2(a)*norm2(b))`
+    * bit-for-bit.
+    */
+  def norm2(a: Column): Column = sqrt(graft.expressions.DotProduct.dot(a, a))
+
   /** Sequential-fold dot product via higher-order functions — kept for
     * oracle-mirroring; `cosine` above is the fast path.
     */

@@ -293,11 +293,24 @@ object Dedup {
       idCol: String,
       embCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(embCol).cast("array<double>").as("emb_a"))
-    val b = df.select(col(idCol).as("id_b"), col(embCol).cast("array<double>").as("emb_b"))
-    a.crossJoin(b)
+    import graft.functions.VectorFns
+    // norms below the join (per row), constant-key equi-join → codegen
+    // BroadcastHashJoin, one dot fold per pair (see Similarity notes)
+    val base = df
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      .withColumn("norm", VectorFns.norm2(col("emb")))
+      .withColumn("__k", lit(0))
+    val a = base.select(
+      col("__k"), col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val b = base.select(
+      col("__k").as("__k2"), col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, col("__k") === col("__k2"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", graft.functions.VectorFns.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("denom", col("norm_a") * col("norm_b"))
+      .withColumn(
+        "score",
+        when(col("denom") === 0.0, 0.0)
+          .otherwise(VectorFns.dotc(col("emb_a"), col("emb_b")) / col("denom")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }

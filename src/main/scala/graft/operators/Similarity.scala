@@ -35,22 +35,43 @@ object Similarity {
   /** Exact k-NN self-join: for every vector its single nearest
     * neighbor (excluding itself). Quadratic verify — bounded use; the
     * scale path is `ivfAssign` + per-cell knn.
+    *
+    * Pair-scan engineering (the O(N²) hot loop):
+    *   - cast float→double and compute norms BELOW the join (per row,
+    *     not per pair); per pair only one codegen dot-product fold —
+    *     `dot/(norm·norm)` is bit-identical to CosineSimilarity;
+    *   - a constant-key equi-join plans as codegen BroadcastHashJoin
+    *     instead of the interpreted BroadcastNestedLoopJoin a
+    *     `id =!= nn_id` theta-join gets;
+    *   - argmax as two HashAggregates (max score, then min id at that
+    *     score) — max_by over a struct falls back to SortAggregate,
+    *     which sorts the whole pair stream twice.
     */
   def nearestNeighborJoin(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    // cast float->double BELOW the join: per input row (N), not per
-    // joined pair (N²) — the cast allocates a new array each call
-    val a = df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
-    val b = df.select(col(idCol).as("nn_id"), col(embCol).cast("array<double>").as("nn_emb"))
-    // argmax via max_by over (score, -nn_id): one hash agg over the
-    // pair stream instead of a window sort of all N² scored rows
-    // (ties break to the smallest nn_id, matching row_number order)
-    a.join(b, col("id") =!= col("nn_id"))
-      .withColumn("score", VectorFns.cosine(col("emb"), col("nn_emb")))
+    val base = df
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      .withColumn("norm", VectorFns.norm2(col("emb")))
+      .withColumn("__k", lit(0))
+    val b = base.select(
+      col("__k").as("__k2"),
+      col("id").as("nn_id"),
+      col("emb").as("nn_emb"),
+      col("norm").as("nn_norm"))
+    def pairs: DataFrame = base
+      .join(b, col("__k") === col("__k2"))
+      .filter(col("id") =!= col("nn_id"))
+      .withColumn("denom", col("norm") * col("nn_norm"))
+      .withColumn(
+        "score",
+        when(col("denom") === 0.0, 0.0)
+          .otherwise(VectorFns.dotc(col("emb"), col("nn_emb")) / col("denom")))
+      .select(col("id"), col("nn_id"), col("score"))
+    val best = pairs.groupBy(col("id")).agg(max(col("score")).as("best_score"))
+    pairs
+      .join(best, Seq("id"))
+      .filter(col("score") === col("best_score"))
       .groupBy(col("id"))
-      .agg(
-        max_by(struct(col("nn_id"), col("score")), struct(col("score"), -col("nn_id")))
-          .as("best"))
-      .select(col("id"), col("best.nn_id").as("nn_id"), col("best.score").as("score"))
+      .agg(min(col("nn_id")).as("nn_id"), max(col("best_score")).as("score"))
   }
 
   /** IVF coarse assignment: nearest of `centroids` per row (cell id =
@@ -97,11 +118,18 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val signed = hyperplaneSignature(df, embCol, dim, nBits, seed)
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"), col("lsh_bucket"))
-    val a = signed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("lsh_bucket"))
-    val b = signed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("lsh_bucket"))
+      .withColumn("norm", VectorFns.norm2(col("emb")))
+    val a = signed.select(
+      col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"), col("lsh_bucket"))
+    val b = signed.select(
+      col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"), col("lsh_bucket"))
     a.join(b, Seq("lsh_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", VectorFns.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("denom", col("norm_a") * col("norm_b"))
+      .withColumn(
+        "score",
+        when(col("denom") === 0.0, 0.0)
+          .otherwise(VectorFns.dotc(col("emb_a"), col("emb_b")) / col("denom")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
