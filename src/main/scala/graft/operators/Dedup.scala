@@ -124,19 +124,24 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
-    // The shingle table feeds three branches (signatures + two verify
-    // joins); persist it so tokenize+window runs once. At cluster
-    // scale this is the stage you'd checkpoint to storage instead.
+    // One aggregation pass computes BOTH the k-min signature columns
+    // and the shingle set per doc — the shingle stream is shuffled
+    // once, and the persisted frame is one row per doc (id, sh, s0..)
+    // instead of one row per (doc, shingle).
     val sh = shingleTable(df, textCol, idCol, n)
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"s$i"))
+    val sigSets = sh
+      .groupBy(col("id"))
+      .agg(collect_list(col("shingle")).as("sh"), sigAggs: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sh, numHashes)
     val bucketCols = (0 until numBands).map { b =>
       struct(
         lit(b).as("band"),
         md5(concat_ws("|", (0 until bandSize).map(k => col(s"s${b * bandSize + k}")): _*))
           .as("bucket"))
     }
-    val banded = sig
+    val banded = sigSets
       .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded
@@ -145,7 +150,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shSets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
+    val shSets = sigSets.select(col("id"), col("sh"))
     cand
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -264,7 +269,7 @@ object Dedup {
       // truncate lineage each round — iterative joins otherwise
       // re-derive the whole history every action
       val materialized = next.localCheckpoint()
-      converged = iter >= 2 && materialized.except(labels).isEmpty
+      converged = materialized.except(labels).isEmpty
       labels = materialized
       iter += 1
     }

@@ -57,6 +57,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("V2 property: dot/(norm*norm) decomposition is bit-identical to cosine") {
+    // the pair-scan rewrite (Similarity/Dedup) relies on this holding
+    // exactly, not approximately — oracles hash-compare raw doubles
+    val vecs = Seq.fill(50)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+    val a = df.select($"id".as("id_a"), $"emb".as("emb_a"),
+      graft.functions.VectorFns.norm2($"emb").as("norm_a"))
+    val b = df.select($"id".as("id_b"), $"emb".as("emb_b"),
+      graft.functions.VectorFns.norm2($"emb").as("norm_b"))
+    val both = a.crossJoin(b)
+      .select(
+        graft.functions.VectorFns.cosine($"emb_a", $"emb_b").as("cos"),
+        (graft.functions.VectorFns.dotc($"emb_a", $"emb_b") / ($"norm_a" * $"norm_b"))
+          .as("decomposed"))
+      .collect()
+    both.foreach { r =>
+      assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("C3 property: parseDateMulti round-trips random dates in all formats") {
     val fmts = Seq("yyyy-MM-dd", "MMMM d, yyyy", "M/d/yyyy")
     val dates = Seq.fill(40) {
