@@ -238,6 +238,79 @@ object SparkEntryCoverage {
       Dedup
         .embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    // S3 — RSS/Atom feed parsing: feed XML → (title, url) entries,
+    // limit 25 per feed (scraper_v2.py:972-1043)
+    "s3_feed_entries" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val item = concat(
+        lit("<item><title>t"), id,
+        lit("</title><link>https://feed/"), id, lit("</link></item>"))
+      t(s, dir, "documents")
+        .select(col("source"), item.as("item"))
+        .groupBy(col("source"))
+        .agg(concat_ws("", sort_array(collect_list(col("item")))).as("xml"))
+        .select(
+          col("source"),
+          posexplode(regexp_extract_all(col("xml"), lit("<item>(.*?)</item>"), lit(1)))
+            .as(Seq("entry_index", "entry")))
+        .filter(col("entry_index") < 25)
+        .select(
+          col("source"),
+          col("entry_index").cast("long").as("entry_index"),
+          regexp_extract(col("entry"), "<title>(.*?)</title>", 1).as("title"),
+          regexp_extract(col("entry"), "<link>(.*?)</link>", 1).as("url"))
+        .orderBy(col("source"), col("entry_index"))
+    },
+    // D2 — article dedup on coalesce(url, title) derived key
+    // (scraper_v2.py:1058-1069)
+    "d2_article_dedup" -> { (s, dir) =>
+      val url = when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://a/"), (col("doc_id") % 50).cast("string")))
+      val title = concat(lit("T"), (col("doc_id") % 40).cast("string"))
+      Relational
+        .dedupeFirstWins(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"), title.as("title")),
+          Seq(coalesce(lower(col("url")), lower(col("title")))),
+          Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
+    },
+    // I3 — vector-upsert last-wins merge: union of two snapshot
+    // batches, keep the newest row per chunk id (embeddings.py:192-199)
+    "i3_upsert_lastwins" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(
+          (col("event_id") % 200).as("chunk_id"),
+          col("event_id"),
+          col("ts"),
+          col("value"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val oldBatch = e.filter(col("ts") < cut)
+      val newBatch = e.filter(col("ts") >= cut)
+      Relational
+        .latestPerKey(
+          oldBatch.unionByName(newBatch),
+          Seq(col("chunk_id")),
+          Seq(col("ts"), col("event_id")))
+        .select(col("chunk_id"), col("event_id"), col("value"))
+        .orderBy(col("chunk_id"))
+    },
+    // SimHash near-dup pairs: bucket on the fingerprint's leading 2
+    // hex chars, verify with exact Hamming distance ≤ 8 of 64 bits
+    "dd_simhash_pairs" -> { (s, dir) =>
+      val sim = Dedup.simhashTable(t(s, dir, "documents"), "text", "doc_id")
+      val a = sim.select(
+        col("id").as("id_a"), col("simhash").as("sh_a"),
+        substring(col("simhash"), 1, 2).as("pfx"))
+      val b = sim.select(
+        col("id").as("id_b"), col("simhash").as("sh_b"),
+        substring(col("simhash"), 1, 2).as("pfx"))
+      a.join(b, Seq("pfx"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hammingHex(col("sh_a"), col("sh_b")).cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -271,6 +344,20 @@ object SparkEntryCoverage {
     s"(CASE WHEN list_reduce(list_transform(generate_series(1, $LshDim), " +
       s"i -> CAST($emb[i] AS DOUBLE) * (${sqlPlane(p)})[i]), (x,y) -> x+y) > 0 " +
       "THEN '1' ELSE '0' END)"
+
+  /** DuckDB mirror of Dedup.simhashFingerprint (same as
+    * SparkEntry.sqlSimhash).
+    */
+  private def sqlSimhash(tk: String): String = {
+    val digits = (0 until 16).map { pos =>
+      val votes = (0 until 4).map { bit =>
+        val mask = 1 << (3 - bit)
+        s"(CASE WHEN list_reduce(list_transform($tk, t -> CASE WHEN (CAST(floor((strpos('0123456789abcdef', substring(md5(t), ${pos + 1}, 1)) - 1) / $mask) AS INT) % 2) = 1 THEN 1 ELSE -1 END), (x,y) -> x+y) > 0 THEN $mask ELSE 0 END)"
+      }.mkString(" + ")
+      s"substring('0123456789abcdef', ($votes) + 1, 1)"
+    }
+    digits.mkString(" || ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "f4_timeline" ->
@@ -413,6 +500,56 @@ object SparkEntryCoverage {
          |        ${sqlCosine("a.embedding", "b.embedding")} AS score
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE score >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
+    "s3_feed_entries" ->
+      """WITH items AS (
+        | SELECT source,
+        |  '<item><title>t' || CAST(doc_id AS VARCHAR) || '</title><link>https://feed/' ||
+        |  CAST(doc_id AS VARCHAR) || '</link></item>' AS item
+        | FROM documents),
+        |feeds AS (SELECT source, string_agg(item, '' ORDER BY item) AS xml FROM items GROUP BY source),
+        |entries AS (
+        | SELECT source, u.entry, u.i FROM feeds,
+        |  LATERAL (SELECT unnest(regexp_extract_all(xml, '<item>(.*?)</item>', 1)) AS entry,
+        |                  unnest(generate_series(1, len(regexp_extract_all(xml, '<item>(.*?)</item>', 1)))) AS i) u)
+        |SELECT source, CAST(i - 1 AS BIGINT) AS entry_index,
+        | regexp_extract(entry, '<title>(.*?)</title>', 1) AS title,
+        | regexp_extract(entry, '<link>(.*?)</link>', 1) AS url
+        |FROM entries WHERE i <= 25
+        |ORDER BY source, entry_index""".stripMargin,
+    "d2_article_dedup" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE 'https://a/' || CAST(doc_id % 50 AS VARCHAR) END AS url,
+        |  'T' || CAST(doc_id % 40 AS VARCHAR) AS title
+        | FROM documents)
+        |SELECT doc_id, url, title FROM (
+        | SELECT doc_id, url, title,
+        |        row_number() OVER (PARTITION BY COALESCE(lower(url), lower(title))
+        |                           ORDER BY doc_id) AS rn
+        | FROM b) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "i3_upsert_lastwins" ->
+      """SELECT chunk_id, event_id, value FROM (
+        | SELECT event_id % 200 AS chunk_id, event_id, value,
+        |        row_number() OVER (PARTITION BY event_id % 200
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY chunk_id""".stripMargin,
+    "dd_simhash_pairs" -> {
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+         |sim AS (SELECT doc_id, ${sqlSimhash("tk")} AS simhash FROM tok),
+         |pairs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+         | FROM sim a JOIN sim b
+         |   ON substring(a.simhash, 1, 2) = substring(b.simhash, 1, 2)
+         |  AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         | SELECT id_a, id_b,
+         |  CAST(list_reduce(list_transform(generate_series(1, 16), i ->
+         |    bit_count(xor(strpos('0123456789abcdef', substring(sh_a, i, 1)) - 1,
+         |                  strpos('0123456789abcdef', substring(sh_b, i, 1)) - 1))), (x,y) -> x+y) AS BIGINT) AS hamming
+         | FROM pairs)
+         |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
     }
   )
 }
