@@ -298,18 +298,8 @@ object SparkEntryCoverage {
     // SimHash near-dup pairs: bucket on the fingerprint's leading 2
     // hex chars, verify with exact Hamming distance ≤ 8 of 64 bits
     "dd_simhash_pairs" -> { (s, dir) =>
-      val sim = Dedup.simhashTable(t(s, dir, "documents"), "text", "doc_id")
-      val a = sim.select(
-        col("id").as("id_a"), col("simhash").as("sh_a"),
-        substring(col("simhash"), 1, 2).as("pfx"))
-      val b = sim.select(
-        col("id").as("id_b"), col("simhash").as("sh_b"),
-        substring(col("simhash"), 1, 2).as("pfx"))
-      a.join(b, Seq("pfx"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming", Dedup.hammingHex(col("sh_a"), col("sh_b")).cast("long"))
-        .filter(col("hamming") <= 8)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      Dedup
+        .simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 2, 8)
         .orderBy(col("id_a"), col("id_b"))
     }
   )

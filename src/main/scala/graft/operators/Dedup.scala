@@ -236,6 +236,41 @@ object Dedup {
       })
   }
 
+  /** SimHash near-dup pairs: bucket on the fingerprint's leading
+    * `prefixLen` hex chars, verify candidates with exact Hamming
+    * distance ≤ `maxHamming`.
+    *
+    * Pair-scan engineering: the fingerprint is split into two 32-bit
+    * halves BELOW the join (`conv` hex→long per row), so the per-pair
+    * work is two codegen'd `bit_count(xor)` — not the interpreted
+    * 16-digit fold `hammingHex` does. The sim table is persisted: both
+    * join sides and the hex→long projection run once.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      prefixLen: Int,
+      maxHamming: Int): DataFrame = {
+    val sim = simhashTable(df, textCol, idCol)
+      .withColumn("hi", conv(substring(col("simhash"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("simhash"), 9, 8), 16, 10).cast("long"))
+      .withColumn("pfx", substring(col("simhash"), 1, prefixLen))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sim.select(
+      col("id").as("id_a"), col("hi").as("hi_a"), col("lo").as("lo_a"), col("pfx"))
+    val b = sim.select(
+      col("id").as("id_b"), col("hi").as("hi_b"), col("lo").as("lo_b"), col("pfx"))
+    a.join(b, Seq("pfx"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn(
+        "hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Resolve near-dup pairs into clusters: iterative min-label
     * propagation (bounded rounds) assigns every doc the smallest id
     * reachable through the pair graph — the standard "collapse dup

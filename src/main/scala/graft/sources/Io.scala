@@ -99,4 +99,23 @@ object Io {
       name,
       count(lit(1)).as("n_rows"),
       sum(when(col(df.columns.head).isNull, 1L).otherwise(0L)).as("null_keys"))
+
+  /** Bucketed managed table: pre-shuffles on the join key at write
+    * time so repeated joins/aggregations on that key run with NO
+    * exchange — the co-located-join layout for fact tables reused
+    * across queries at 100 TB (pay the shuffle once on ingest, not
+    * per query). Same bucket count on both sides is required for the
+    * shuffle-free sort-merge join.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

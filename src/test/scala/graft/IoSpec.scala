@@ -73,4 +73,24 @@ class IoSpec extends SparkSpec {
     val o2 = Io.withRowMetrics(Seq((1, "a")).toDF("k", "v"), "t")
     o2.write.format("noop").mode("overwrite").save()
   }
+
+  test("writeBucketed: join on the bucket key plans with no shuffle exchange") {
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Io.writeBucketed(a, "bkt_a", "k", 4)
+    Io.writeBucketed(b, "bkt_b", "k", 4)
+    // force a sort-merge join so the exchange (or its absence) shows
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() == 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
 }
