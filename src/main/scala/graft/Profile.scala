@@ -34,8 +34,12 @@ object Profile {
           (1 to 2).foreach { i =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
-            println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            System.gc()
+            println(f"[profile] $name run$i: $dt%.3f s")
           }
       }
     }
