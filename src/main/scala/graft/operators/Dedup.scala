@@ -196,24 +196,32 @@ object Dedup {
     */
   def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hexDigits = "0123456789abcdef"
+    // Lane-packed bit votes: per token and hex position, the 4 bits of
+    // the digit are spread into four 16-bit lanes of one long
+    // (bit_j << 16j), so ONE sum aggregate per position carries all 4
+    // ones-counts (safe to 65535 tokens/doc; cap docs above that
+    // upstream). vote_j > 0  ⟺  2*ones_j > n_tokens — same result as
+    // the per-bit ±1 vote sums, with 17 aggregates instead of 64.
     val toks = df.select(
       col(idCol).as("id"),
       explode(TextFns.tokens(col(textCol))).as("tok"))
     val withHex = toks.select(col("id"), substring(md5(col("tok")), 1, 16).as("hx"))
-    val voteAggs = for {
-      pos <- 0 until 16
-      bit <- 0 until 4
-    } yield {
-      val mask = 1 << (3 - bit)
-      val d = instr(lit(hexDigits), substring(col("hx"), pos + 1, 1)) - 1
-      sum(when((floor(d.cast("int") / mask).cast("int") % 2) === 1, 1).otherwise(-1))
-        .as(s"v_${pos}_$bit")
+    val laneAggs = (0 until 16).map { pos =>
+      val d = (instr(lit(hexDigits), substring(col("hx"), pos + 1, 1)) - 1).cast("long")
+      val packed = (0 until 4).map { bit =>
+        val mask = 1 << (3 - bit)
+        shiftleft(floor(d / mask).cast("long") % 2, 16 * bit)
+      }.reduce(_ + _)
+      sum(packed).as(s"l_$pos")
     }
-    val votes = withHex.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = withHex
+      .groupBy(col("id"))
+      .agg(laneAggs.head, (laneAggs.tail :+ count(lit(1)).as("n_toks")): _*)
     val digits = (0 until 16).map { pos =>
       val dv = (0 until 4).map { bit =>
         val mask = 1 << (3 - bit)
-        when(col(s"v_${pos}_$bit") > 0, lit(mask)).otherwise(lit(0))
+        val ones = shiftright(col(s"l_$pos"), 16 * bit) % 65536
+        when(ones * 2 > col("n_toks"), lit(mask)).otherwise(lit(0))
       }.reduce(_ + _)
       lit(hexDigits).substr(dv + 1, lit(1))
     }
@@ -280,15 +288,26 @@ object Dedup {
     * Returns (id, cluster_id).
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list once — every round joins it twice, and
+    // without this the whole upstream pair pipeline (shingle/LSH/
+    // verify) re-runs per round
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
       .select(col("id"), least(col("id"), col("cluster_id")).as("cluster_id"))
     var iter = 0
     var converged = false
+    // labels only ever DECREASE (least/min propagation), so the label
+    // sum is a strictly decreasing convergence witness: sum unchanged
+    // ⟺ no label changed — one scalar agg per round instead of an
+    // except() set-difference join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("cluster_id")).cast("long"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     while (iter < maxIters && !converged) {
       // propagate: my new label = min(my label, labels of my neighbors)
       val viaNeighbors = edges
@@ -304,7 +323,9 @@ object Dedup {
       // truncate lineage each round — iterative joins otherwise
       // re-derive the whole history every action
       val materialized = next.localCheckpoint()
-      converged = materialized.except(labels).isEmpty
+      val s = labelSum(materialized)
+      converged = s == prevSum
+      prevSum = s
       labels = materialized
       iter += 1
     }
