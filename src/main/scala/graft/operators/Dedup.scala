@@ -88,18 +88,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The `numHashes` per-shingle hash expressions behind the MinHash
+    * signature: 8-hex-char (32-bit) slices of md5(shingle),
+    * md5("1:"++shingle), ... — one md5 evaluation per 4 hash
+    * functions instead of one each, and lexicographic min on lowercase
+    * hex equals numeric min on the 32-bit value. Deterministic and
+    * exactly mirrorable in DuckDB SQL.
+    */
+  private[graft] def minhashExprs(shingle: Column, numHashes: Int): Seq[Column] = {
+    val seeds = (numHashes + 3) / 4
+    val bases = (0 until seeds).map { s =>
+      if (s == 0) md5(shingle) else md5(concat(lit(s"$s:"), shingle))
+    }
+    (0 until numHashes).map(i => substring(bases(i / 4), (i % 4) * 8 + 1, 8))
+  }
+
   /** MinHash signatures as a table: (id, s0..s{k-1}) where
-    * s_i = min over the doc's shingle set of md5(i ++ ":" ++ shingle) —
-    * deterministic, portable (mirrored in the DuckDB oracle), and
-    * computed as explode -> codegen'd hash-agg (one shuffle on id):
-    * each (id, shingle) row fans out to `numHashes` hash rows, the
-    * per-seed minima come from `min(when(seed = i, h))` aggregates.
+    * s_i = min over the doc's shingle set of the i-th `minhashExprs`
+    * slice — computed as explode -> codegen'd hash-agg (one shuffle on
+    * id), k min-aggregates in a single pass.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    // one codegen'd pass: k min-aggregates over k hash expressions per
-    // shingle row — no k-fold row fan-out, one shuffle on id
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"s$i"))
+    val hs = minhashExprs(col("shingle"), numHashes)
+    val aggs = hs.zipWithIndex.map { case (h, i) => min(h).as(s"s$i") }
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -129,8 +140,8 @@ object Dedup {
     // once, and the persisted frame is one row per doc (id, sh, s0..)
     // instead of one row per (doc, shingle).
     val sh = shingleTable(df, textCol, idCol, n)
-    val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"s$i"))
+    val sigAggs = minhashExprs(col("shingle"), numHashes).zipWithIndex
+      .map { case (h, i) => min(h).as(s"s$i") }
     val sigSets = sh
       .groupBy(col("id"))
       .agg(collect_list(col("shingle")).as("sh"), sigAggs: _*)

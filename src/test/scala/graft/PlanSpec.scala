@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the scale guarantees the README
+  * claims, pinned by tests: filter/column pushdown reaches the parquet
+  * scan, top-k plans as TakeOrderedAndProject (no global sort), small
+  * dims broadcast, and the similarity pair scan stays on hash joins +
+  * hash aggregates (no interpreted nested-loop join, no sort
+  * aggregate).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // execute THIS dataframe's plan so AQE finalizes it (join strategy
+    // swaps and codegen stage wrapping only show on the final plan;
+    // .write would clone the plan and leave this one unexecuted)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("f2_min_length: column pruning reaches the parquet scan") {
+    val p = plan("f2_min_length")
+    // only doc_id and text are read, not the full row
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("w1_top_orders: filter + orderBy + limit plans as TakeOrderedAndProject") {
+    val p = plan("w1_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the predicate is pushed to the scan, not evaluated above the sort
+    assert(p.contains("PushedFilters") && p.contains("o_orderpriority"), p)
+  }
+
+  test("j1_region_rollup: dimension joins broadcast") {
+    val p = plan("j1_region_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("v_nn_top1: argmax runs as hash aggregates, not a sort aggregate") {
+    val p = plan("v_nn_top1")
+    // the N² pair product is intentional (exact verify baseline —
+    // IVF/LSH are the scale paths); what must NOT appear is the
+    // sort-based aggregate that max_by(struct) used to force
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q1_pricing_summary: whole-stage codegen covers the agg pipeline") {
+    val p = plan("q1_pricing_summary")
+    // codegen stages print as "*(n) Op" in the final plan tree
+    assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
+  }
+}
