@@ -1299,6 +1299,16 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
          |SELECT doc_id, ${sqlSimhash("tk")} AS simhash
          |FROM tok ORDER BY doc_id""".stripMargin
+    },
+    // mirror of Multimodal.decodeStub's 16-bin byte histogram —
+    // valid because the fixture text is pure ASCII (byte == codepoint)
+    "mm_media_features" -> {
+      def bin(b: Int) =
+        s"CAST(len(list_filter(list_transform(generate_series(1, CAST(length(text) AS INT)), " +
+          s"i -> ascii(substring(text, i, 1)) % 16), x -> x = $b)) AS DOUBLE)"
+      s"""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         | ${bin(0)} AS f0, ${bin(1)} AS f1
+         |FROM documents ORDER BY media_id""".stripMargin
     }
   )
 }
