@@ -55,4 +55,20 @@ class PlanSpec extends SparkSpec {
     // codegen stages print as "*(n) Op" in the final plan tree
     assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
   }
+
+  test("partitionBy layout: a partition-key filter prunes at the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    val df = (1 to 100)
+      .map(i => (i.toLong, s"c${i % 5}", s"v$i"))
+      .toDF("id", "company_id", "payload")
+    graft.sources.Io.writeParquet(df, dir, Seq("company_id"))
+    val q = spark.read.parquet(dir).filter(col("company_id") === "c3")
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters (directory pruning),
+    // not as a post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters: [isnotnull(company_id"), p)
+    assert(p.contains("(company_id") && p.contains("= c3"), p)
+  }
 }
