@@ -301,6 +301,18 @@ object SparkEntryCoverage {
       Dedup
         .simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 2, 8)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    // Multimodal frame sampling: one row per strideBytes window of the
+    // binary content (the every-Nth-frame path for a real decoder)
+    "mm_frame_sample" -> { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "video")
+      Multimodal
+        .sampleFrames(media, 100)
+        .select(
+          col("media_id"),
+          col("frame_index").cast("long").as("frame_index"),
+          length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
+        .orderBy(col("media_id"), col("frame_index"))
     }
   )
 
@@ -525,6 +537,13 @@ object SparkEntryCoverage {
         |        row_number() OVER (PARTITION BY event_id % 200
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY chunk_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(gs.i AS BIGINT) AS frame_index,
+        | CAST(least(100, length(text) - gs.i * 100) AS BIGINT) AS n_frame_bytes
+        |FROM documents,
+        | LATERAL (SELECT unnest(generate_series(0,
+        |   greatest(CAST(ceil(length(text) / 100.0) AS INT) - 1, 0))) AS i) gs
+        |ORDER BY media_id, frame_index""".stripMargin,
     "dd_simhash_pairs" -> {
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
          |sim AS (SELECT doc_id, ${sqlSimhash("tk")} AS simhash FROM tok),
