@@ -139,12 +139,21 @@ object Dedup {
     // and the shingle set per doc — the shingle stream is shuffled
     // once, and the persisted frame is one row per doc (id, sh, s0..)
     // instead of one row per (doc, shingle).
+    // Shingle rows are shuffled ONCE on id (repartition), then both
+    // aggregations (fixed-width min-sig -> HashAggregate codegen;
+    // collect_list -> ObjectHashAggregate) run as partition-local
+    // passes over the co-located data and zip back with a no-shuffle
+    // join. Keeping the two aggs separate keeps each generated class
+    // small (the fused wide agg paid ~10s of Janino compile).
     val sh = shingleTable(df, textCol, idCol, n)
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigAggs = minhashExprs(col("shingle"), numHashes).zipWithIndex
       .map { case (h, i) => min(h).as(s"s$i") }
-    val sigSets = sh
-      .groupBy(col("id"))
-      .agg(collect_list(col("shingle")).as("sh"), sigAggs: _*)
+    val sig = sh.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val sets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
+    val sigSets = sig
+      .join(sets, Seq("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketCols = (0 until numBands).map { b =>
       struct(
