@@ -107,4 +107,31 @@ class FunctionsSpec extends SparkSpec {
     val v2 = oneSeq[Double](VectorFns.embedText(lit("spark spark join"), 16))
     assert(v == v2)
   }
+
+  test("GraftExtensions: cosine_similarity / dot_product callable from SQL") {
+    val r = spark
+      .sql(
+        "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+          "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()
+      .head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    // SQL and Column API agree bit-for-bit on arbitrary vectors
+    val both = spark
+      .sql(
+        "SELECT cosine_similarity(array(0.3D, -1.2D, 2.0D), array(1.1D, 0.7D, -0.4D)) AS s")
+      .collect()
+      .head
+      .getDouble(0)
+    import spark.implicits._
+    val viaColumn = Seq((Seq(0.3, -1.2, 2.0), Seq(1.1, 0.7, -0.4)))
+      .toDF("a", "b")
+      .select(VectorFns.cosine($"a", $"b"))
+      .collect()
+      .head
+      .getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(both) ==
+      java.lang.Double.doubleToLongBits(viaColumn))
+  }
 }
