@@ -302,6 +302,14 @@ object SparkEntryCoverage {
         .simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 2, 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Winnowing rolling-hash fingerprints (k=8 char grams, window 10):
+    // the near-dup-robust document fingerprint set
+    "t_winnow" -> { (s, dir) =>
+      TextAnalysis
+        .winnowTable(t(s, dir, "documents"), "text", "doc_id", 8, 10)
+        .select(col("id").as("doc_id"), col("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    },
     // Multimodal frame sampling: one row per strideBytes window of the
     // binary content (the every-Nth-frame path for a real decoder)
     "mm_frame_sample" -> { (s, dir) =>
@@ -537,6 +545,19 @@ object SparkEntryCoverage {
         |        row_number() OVER (PARTITION BY event_id % 200
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY chunk_id""".stripMargin,
+    "t_winnow" ->
+      """WITH grams AS (
+        | SELECT doc_id, greatest(length(text) - 7, 0) AS n,
+        |        list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+        |                       i -> substring(md5(substring(text, CAST(i AS INT), 8)), 1, 8)) AS hs
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, n - 9),
+        |                      i -> list_aggregate(hs[i:i+9], 'min'))) AS fps
+        | FROM grams WHERE n >= 10)
+        |SELECT doc_id, unnest(fps) AS fp FROM wins
+        |ORDER BY doc_id, fp""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(gs.i AS BIGINT) AS frame_index,
         | CAST(least(100, length(text) - gs.i * 100) AS BIGINT) AS n_frame_bytes

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -66,6 +67,45 @@ object TextAnalysis {
       struct(lit(riskType).as("risk_type"), firstKw.as("keyword"), lit(severity).as("severity"))
     }
     filter(array(structs: _*), s => s.getField("keyword").isNotNull)
+  }
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting,
+    * Schleimer et al. 2003): char k-gram hashes → sliding window of w
+    * hashes → the distinct per-window minima are the doc's
+    * fingerprints. Near-dup docs share most fingerprints; robust to
+    * insertions unlike a whole-doc hash.
+    *
+    * Layout: explode k-gram positions (codegen substr+md5 per row, no
+    * interpreted array lambdas), one window shuffle on the doc id for
+    * the sliding minima. The hash is the leading 8 hex chars of
+    * md5(gram) — lexicographic min on fixed-width lowercase hex equals
+    * numeric min, and mirrors exactly in SQL. Returns (id, fp) rows.
+    */
+  def winnowTable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      w: Int): DataFrame = {
+    val nGrams = greatest(length(col(textCol)) - (k - 1), lit(0))
+    val grams = df
+      .select(col(idCol).as("id"), col(textCol).as("__t"), nGrams.as("__n"))
+      .select(
+        col("id"),
+        col("__t"),
+        col("__n"),
+        posexplode(sequence(lit(1), col("__n"))).as(Seq("__j", "i")))
+      .select(
+        col("id"),
+        col("__n"),
+        col("i"),
+        substring(md5(col("__t").substr(col("i"), lit(k))), 1, 8).as("h"))
+    val win = Window.partitionBy(col("id")).orderBy(col("i")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("win_min", min(col("h")).over(win))
+      .filter(col("i") <= col("__n") - (w - 1)) // only full windows
+      .select(col("id"), col("win_min").as("fp"))
+      .distinct()
   }
 
   /** A5 — keyword sentiment: positive/(positive+negative) counts of
