@@ -302,6 +302,34 @@ object SparkEntryCoverage {
         .simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 2, 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // As-of join: each click gets the latest preceding purchase value
+    // for the same user (union + ignore-nulls window, one shuffle)
+    "j_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Relational
+        .asofJoin(clicks, purchases, "user_id", "ts", Seq("value"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    // Range join (point-in-interval) via grid bucketing: quantity →
+    // price band without a cross product
+    "j_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val bands = Seq((0.0, 10.0, "low"), (10.0, 30.0, "mid"), (30.0, 50.0, "high"))
+        .toDF("lo", "hi", "band")
+      Relational
+        .rangeJoinBucketed(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          bands, "l_quantity", "lo", "hi", 7.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("band"))
+    },
     // Winnowing rolling-hash fingerprints (k=8 char grams, window 10):
     // the near-dup-robust document fingerprint set
     "t_winnow" -> { (s, dir) =>
@@ -545,6 +573,26 @@ object SparkEntryCoverage {
         |        row_number() OVER (PARTITION BY event_id % 200
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY chunk_id""".stripMargin,
+    "j_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts, event_id AS tie, value FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        | SELECT user_id, ts, event_id, NULL AS tie, NULL AS v, 1 AS is_left FROM clicks
+        | UNION ALL
+        | SELECT user_id, ts, NULL, tie, value, 0 FROM purch),
+        |w AS (
+        | SELECT user_id, ts, event_id, is_left,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY ts, is_left, tie
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        | FROM u)
+        |SELECT user_id, event_id, asof_value FROM w WHERE is_left = 1
+        |ORDER BY user_id, event_id""".stripMargin,
+    "j_range_join" ->
+      """WITH bands(lo, hi, band) AS (VALUES (0.0, 10.0, 'low'), (10.0, 30.0, 'mid'), (30.0, 50.0, 'high'))
+        |SELECT l_orderkey, l_linenumber, l_quantity, band
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+        |ORDER BY l_orderkey, l_linenumber, band""".stripMargin,
     "t_winnow" ->
       """WITH grams AS (
         | SELECT doc_id, greatest(length(text) - 7, 0) AS n,

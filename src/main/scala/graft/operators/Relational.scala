@@ -59,6 +59,79 @@ object Relational {
       .drop("__run")
   }
 
+  /** As-of join (Spark has no native one): for each left row attach
+    * the value of the LATEST right row with `ts_right <= ts_left` on
+    * the same key. Composed from existing ops per the
+    * compose-before-custom-plan rule: tag + union + one ignore-nulls
+    * `last_value` window — a single shuffle on the key, no range
+    * explosion, no per-left-row subquery. This is the 100 TB-safe
+    * layout (a join + filter + rank formulation shuffles the full
+    * left×right candidate product instead).
+    *
+    * `left`/`right` must share `keyCol` and `tsCol`; the right frame's
+    * `valueCols` are attached to each left row (null when no right row
+    * precedes it). Ties on (key, ts) resolve right-before-left
+    * (inclusive as-of), then by `tieBreak` among right rows.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      tieBreak: Column): DataFrame = {
+    val lTagged = left
+      .withColumn("__is_left", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+    val vNulled = valueCols.foldLeft(lTagged) { (df, v) =>
+      df.withColumn(s"__v_$v", lit(null).cast(right.schema(v).dataType))
+    }
+    val rTagged = valueCols
+      .foldLeft(right.withColumn("__is_left", lit(0)).withColumn("__tie", tieBreak.cast("long"))) {
+        (df, v) => df.withColumn(s"__v_$v", col(v))
+      }
+      .select((Seq(keyCol, tsCol, "__is_left", "__tie") ++ valueCols.map(v => s"__v_$v")).map(col): _*)
+    val unioned = vNulled.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__is_left"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
+    }
+    withAsof
+      .filter(col("__is_left") === 1)
+      .drop((Seq("__is_left", "__tie") ++ valueCols.map(v => s"__v_$v")): _*)
+  }
+
+  /** Range join (point-in-interval) via grid bucketing: each right
+    * interval [start, end] is exploded over the fixed-size grid cells
+    * it covers, the join is an equi-join on the cell, and the exact
+    * containment predicate filters inside the bucket. Candidate volume
+    * is O(intervals × avg_cells + points), never the cross product —
+    * the standard scale layout for interval joins.
+    */
+  def rangeJoinBucketed(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      cellSize: Double): DataFrame = {
+    val cellOfPoint = floor(col(pointCol) / cellSize).cast("long")
+    val cells = intervals.withColumn(
+      "__cell",
+      explode(
+        sequence(
+          floor(col(startCol) / cellSize).cast("long"),
+          floor(col(endCol) / cellSize).cast("long"))))
+    points
+      .withColumn("__cell", cellOfPoint)
+      .join(cells, Seq("__cell"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__cell")
+  }
+
   /** Skew-resistant aggregation: two-phase salted combine. Phase 1
     * aggregates on (keys, salt) — spreading a hot key over
     * `saltBuckets` reducers — phase 2 merges the partials. Results

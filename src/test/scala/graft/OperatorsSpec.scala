@@ -175,4 +175,33 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 0L), (0L, 1L), (0L, 0L), (1L, 1L)))
   }
+
+  test("asofJoin: latest right row at or before each left ts, per key") {
+    val left = Seq(("a", 5L, 100L), ("a", 10L, 101L), ("a", 2L, 102L), ("b", 7L, 103L))
+      .toDF("k", "ts", "lid")
+    val right = Seq(("a", 3L, 1L, 30.0), ("a", 10L, 2L, 99.0), ("a", 3L, 3L, 31.0), ("c", 1L, 4L, 7.0))
+      .toDF("k", "ts", "rid", "v")
+    val got = graft.operators.Relational
+      .asofJoin(left, right, "k", "ts", Seq("v"), $"rid")
+      .select($"lid", $"asof_v")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(100L).contains(31.0)) // ties at ts=3 resolve to larger rid
+    assert(got(101L).contains(99.0)) // inclusive: right row AT ts counts
+    assert(got(102L).isEmpty)        // nothing precedes ts=2
+    assert(got(103L).isEmpty)        // no right rows for key b
+  }
+
+  test("rangeJoinBucketed: exact containment incl. boundaries, no misses across cells") {
+    val points = Seq((1L, 0.5), (2L, 10.0), (3L, 29.9), (4L, 55.0)).toDF("pid", "x")
+    val ivals = Seq((0.0, 10.0, "low"), (10.0, 30.0, "mid")).toDF("lo", "hi", "band")
+    val got = graft.operators.Relational
+      .rangeJoinBucketed(points, ivals, "x", "lo", "hi", 3.0)
+      .select($"pid", $"band")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(got == Set((1L, "low"), (2L, "low"), (2L, "mid"), (3L, "mid")))
+  }
 }
