@@ -1,8 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.streaming.{
+  DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger
+}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 
 /** SURVEY §2.11 — the reference's incremental daily-batch semantics
   * re-expressed as Structured Streaming
@@ -67,6 +69,43 @@ object Streams {
       .partitionBy("date")
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+
+  /** One page-crawl observation (key = entity+page identity). */
+  case class PageUpdate(key: String, content_hash: String, ts: java.sql.Timestamp)
+
+  /** A detected content transition for a key (prev_hash null on the
+    * first sighting).
+    */
+  case class ChangeEvent(key: String, prev_hash: String, new_hash: String)
+
+  /** I1 as CUSTOM state — `flatMapGroupsWithState`: per key the state
+    * store holds only the last seen hash; each micro-batch emits one
+    * ChangeEvent per hash TRANSITION (first sighting included),
+    * something `dropDuplicates` can't express (it keeps rows, not
+    * transitions, and re-admits a hash seen before an intervening
+    * change). State is O(keys) — one string per (entity, page) —
+    * regardless of stream length.
+    */
+  def changeEvents(updates: Dataset[PageUpdate]): Dataset[ChangeEvent] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[PageUpdate], state: GroupState[String]) => {
+          // batch arrival order is not event order — replay by ts
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.content_hash))
+          var prev = state.getOption
+          val out = Seq.newBuilder[ChangeEvent]
+          sorted.foreach { r =>
+            if (!prev.contains(r.content_hash)) {
+              out += ChangeEvent(key, prev.orNull, r.content_hash)
+              prev = Some(r.content_hash)
+            }
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+        })
+  }
 
   /** I2 — foreachBatch incremental merge: per micro-batch, compute the
     * changed work-list (against the previous materialized state) and

@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("home", "h1"), ("home", "h2"), ("jobs", "h1")))
   }
 
+  test("I1 custom state — changeEvents emits hash transitions across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Streams.PageUpdate]
+    val q = Streams.changeEvents(input.toDS())
+      .writeStream.format("memory").queryName("chg_t").outputMode("append").start()
+    input.addData(
+      Streams.PageUpdate("acme/home", "h1", ts("2024-01-01 00:00:00")),
+      Streams.PageUpdate("acme/home", "h1", ts("2024-01-02 00:00:00")), // same -> no event
+      Streams.PageUpdate("acme/home", "h2", ts("2024-01-03 00:00:00"))) // change -> event
+    q.processAllAvailable()
+    // state persists ACROSS batches: re-seeing h2 emits nothing,
+    // changing back to h1 does
+    input.addData(
+      Streams.PageUpdate("acme/home", "h2", ts("2024-01-04 00:00:00")),
+      Streams.PageUpdate("acme/home", "h1", ts("2024-01-05 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chg_t")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-"), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      ("acme/home", "-", "h1"),
+      ("acme/home", "h1", "h2"),
+      ("acme/home", "h2", "h1")))
+  }
+
   case class Ev(ts: Timestamp, company_id: String)
 
   test("I5 — slidingCounts windows with watermark") {
