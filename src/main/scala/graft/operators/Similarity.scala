@@ -134,6 +134,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Lloyd's k-means fit for the IVF coarse quantizer: deterministic
+    * init (the k rows with the smallest id), then `iters` rounds of
+    * assign (broadcast centroids, codegen cosine argmax) + update
+    * (posexplode dims → one hash-agg per (cell, dim) → rebuild
+    * vectors). Per round: one narrow pass + one shuffle keyed by
+    * (cell, dim) — at 100 TB you run this on a sample, which is
+    * exactly what the `df` argument is. Empty cells keep their
+    * previous centroid. Returns k dense centroids for `ivfAssign` /
+    * `ivfTopK`.
+    */
+  def fitCentroids(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int): Seq[Array[Double]] = {
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Any]](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toArray
+    var cents: Seq[Array[Double]] = df
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(embCol))
+      .collect()
+      .map(vecOf)
+      .toSeq
+    (1 to iters).foreach { _ =>
+      val means = ivfAssign(df, embCol, cents)
+        .select(
+          col("cell"),
+          posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("dim"), col("m")))),
+            s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]](1).toArray)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
+
   /** IVF top-k: probe only the query's `nprobe` nearest cells, then
     * exact rank inside the probed subset. At 1000 executors this reads
     * `nprobe/nlist` of the corpus instead of all of it.

@@ -193,6 +193,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got(103L).isEmpty)        // no right rows for key b
   }
 
+  test("fitCentroids recovers two separated clusters; ivfTopK probes the right cell") {
+    // two tight direction-clusters in 4-d
+    val clusterA = (0 until 10).map(i => (i.toLong, Seq(1.0, 0.01 * i, 0.0, 0.0)))
+    val clusterB = (10 until 20).map(i => (i.toLong, Seq(0.0, 0.0, 1.0, 0.01 * (i - 10))))
+    val df = (clusterA ++ clusterB).toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.fitCentroids(df, "vec_id", "embedding", 2, 3)
+    assert(cents.length == 2)
+    // one centroid per cluster: dominant dims differ
+    val dominant = cents.map(c => c.indexOf(c.max)).toSet
+    assert(dominant == Set(0, 2))
+    // probing 1 cell for a query near cluster B returns only B members
+    val assigned = graft.operators.Similarity.ivfAssign(df, "embedding", cents)
+    val top = graft.operators.Similarity
+      .ivfTopK(assigned, "embedding", cents, Array(0.0, 0.0, 1.0, 0.05), 3, 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(top.forall(_ >= 10L), s"expected only cluster-B ids, got $top")
+  }
+
   test("rangeJoinBucketed: exact containment incl. boundaries, no misses across cells") {
     val points = Seq((1L, 0.5), (2L, 10.0), (3L, 29.9), (4L, 55.0)).toDF("pid", "x")
     val ivals = Seq((0.0, 10.0, "low"), (10.0, 30.0, "mid")).toDF("lo", "hi", "band")
