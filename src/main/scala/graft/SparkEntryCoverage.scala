@@ -302,6 +302,25 @@ object SparkEntryCoverage {
         .simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 2, 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // W1/F1 fallback-if-empty retrieval (SURVEY §7.4 hard part 3):
+    // company filter matches nothing -> fall back to global top-k
+    // (rag_search.py:54-65 semantics; driver-side conditional)
+    "rag_fallback" -> { (s, dir) =>
+      pipelines.Orbit.ragSearchCompany(
+        t(s, dir, "documents"), "zzz", "spark join window", 10, chunkSize = 200)
+    },
+    // W1 per-key top-k via the bounded-heap Aggregator (map-side
+    // partials shuffle ≤k rows per key per partition — the scale path;
+    // same results as the wp_topk_per_source window formulation)
+    "wp_topk_agg" -> { (s, dir) =>
+      val topk = udaf(new graft.expressions.TopKAggregator(3))
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+        .select(col("source"), explode(col("top")).as("e"))
+        .select(col("source"), col("e._2").as("doc_id"), col("e._1").as("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    },
     // As-of join: each click gets the latest preceding purchase value
     // for the same user (union + ignore-nulls window, one shuffle)
     "j_asof_join" -> { (s, dir) =>
@@ -573,6 +592,30 @@ object SparkEntryCoverage {
         |        row_number() OVER (PARTITION BY event_id % 200
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY chunk_id""".stripMargin,
+    "rag_fallback" -> {
+      val bucket =
+        "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"
+      s"""WITH chunks AS (
+         | SELECT doc_id, source, CAST(gs.i AS BIGINT) AS chunk_index,
+         |        substring(text, CAST(gs.i*200+1 AS INT), 200) AS chunk
+         | FROM documents, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(text)/200.0) AS BIGINT)-1)) AS i) gs),
+         |vec AS (
+         | SELECT doc_id, chunk_index, source,
+         |        list_transform(generate_series(0, 15), j -> CAST(len(list_filter(
+         |          regexp_split_to_array(trim(chunk), '\\s+'), t -> $bucket = j)) AS DOUBLE)) AS v
+         | FROM chunks),
+         |q AS (
+         | SELECT list_transform(generate_series(0, 15), j -> CAST(len(list_filter(
+         |          regexp_split_to_array(trim('zzz spark join window'), '\\s+'), t -> $bucket = j)) AS DOUBLE)) AS qv)
+         |SELECT doc_id, chunk_index, source, ${sqlCosine("v", "qv")} AS score
+         |FROM vec, q
+         |ORDER BY score DESC, doc_id, chunk_index LIMIT 10""".stripMargin
+    },
+    "wp_topk_agg" ->
+      """SELECT source, doc_id, n_chars FROM (
+        | SELECT source, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
     "j_asof_join" ->
       """WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |purch AS (SELECT user_id, ts, event_id AS tie, value FROM events WHERE event_type = 'purchase'),
