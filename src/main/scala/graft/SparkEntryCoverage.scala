@@ -50,6 +50,46 @@ object SparkEntryCoverage {
             .as("line"))
         .orderBy(col("event_id"))
     },
+    // J5 — risk enrichment join: retrieval-row context (source, score
+    // stand-in) attached to each exploded risk signal — the
+    // explode-after-UDF join (risk_detection.py:179-193)
+    "j5_risk_enriched" -> { (s, dir) =>
+      val cats = Seq(
+        ("capacity", Seq("big", "huge"), "medium"),
+        ("latency", Seq("slow", "lag"), "high"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("source"),
+          (col("n_chars") % 100).cast("double").as("score"),
+          explode(TextAnalysis.riskSignals(col("text"), cats)).as("r"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("score"),
+          col("r.risk_type").as("risk_type"),
+          col("r.keyword").as("keyword"),
+          col("r.severity").as("severity"))
+        .orderBy(col("doc_id"), col("risk_type"))
+    },
+    // E2 — payload point lookup: key-partitioned read of the
+    // assembled nested payload (api.py:388-430 / tools.py:66-153)
+    "e2_payload_lookup" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spent"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("c_custkey") % 100 === 42)
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    },
     // F6 — page-error predicate: drop error pages / short error blurbs
     // (scraper_v2.py:1093-1129)
     "f6_page_error" -> { (s, dir) =>
@@ -421,6 +461,31 @@ object SparkEntryCoverage {
       """SELECT event_id, strftime(ts, '%Y-%m-%d') || ': ' || event_type AS line
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |ORDER BY event_id""".stripMargin,
+    "j5_risk_enriched" ->
+      """WITH hits AS (
+        | SELECT doc_id, source, CAST(n_chars % 100 AS DOUBLE) AS score, 'capacity' AS risk_type,
+        |        CASE WHEN contains(lower(text),'big') THEN 'big'
+        |             WHEN contains(lower(text),'huge') THEN 'huge' END AS keyword,
+        |        'medium' AS severity
+        | FROM documents
+        | UNION ALL
+        | SELECT doc_id, source, CAST(n_chars % 100 AS DOUBLE), 'latency',
+        |        CASE WHEN contains(lower(text),'slow') THEN 'slow'
+        |             WHEN contains(lower(text),'lag') THEN 'lag' END,
+        |        'high'
+        | FROM documents)
+        |SELECT doc_id, source, score, risk_type, keyword, severity FROM hits
+        |WHERE keyword IS NOT NULL ORDER BY doc_id, risk_type""".stripMargin,
+    "e2_payload_lookup" ->
+      """SELECT c_custkey, c_name,
+        | COALESCE(n_orders, 0) AS n_orders,
+        | COALESCE(total_spent, 0.0) AS total_spent
+        |FROM customer LEFT JOIN (
+        | SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        | FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |WHERE c_custkey % 100 = 42
+        |ORDER BY c_custkey""".stripMargin,
     "f6_page_error" -> {
       val phrases = Seq(
         "404 not found", "403 forbidden", "500 internal server error",

@@ -326,7 +326,7 @@ object Dedup {
     // ⟺ no label changed — one scalar agg per round instead of an
     // except() set-difference join.
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster_id")).cast("long"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("cluster_id")).cast("long"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     while (iter < maxIters && !converged) {
       // propagate: my new label = min(my label, labels of my neighbors)
