@@ -79,6 +79,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow property: near-dup docs share most fingerprints; disjoint docs share none") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("quick", "swift") // one word changed
+    val other = "completely different content with zero overlap whatsoever in any gram xyz"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis
+      .winnowTable(df, "text", "doc_id", 8, 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val shared12 = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    assert(shared12 > 0.5, s"near-dups should share most fingerprints, got $shared12")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // every fingerprint is the hash of some gram of the doc
+    val grams1 = (0 until base.length - 7).map(i => base.substring(i, i + 8)).toSet
+    val gramHashes = grams1.map(g =>
+      java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8))
+    assert(fps(1L).subsetOf(gramHashes))
+  }
+
   test("C3 property: parseDateMulti round-trips random dates in all formats") {
     val fmts = Seq("yyyy-MM-dd", "MMMM d, yyyy", "M/d/yyyy")
     val dates = Seq.fill(40) {
