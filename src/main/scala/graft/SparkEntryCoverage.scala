@@ -389,6 +389,19 @@ object SparkEntryCoverage {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("band"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("band"))
     },
+    // Quality-signal ratios (punct density, stopword ratio) and
+    // order-preserving stopword removal (training-data preprocessing)
+    "t_punct_stop" -> { (s, dir) =>
+      val pt = concat(col("text"), lit(" ... end! (v"), col("doc_id").cast("string"), lit(")"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pt.as("pt"))
+        .select(
+          col("doc_id"),
+          TextFns.punctRatio(col("pt")).as("punct_ratio"),
+          TextFns.stopwordRatio(col("pt"), Seq("the", "a", "of")).as("stop_ratio"),
+          TextFns.removeStopwords(col("pt"), Seq("data", "table")).as("no_stops"))
+        .orderBy(col("doc_id"))
+    },
     // Winnowing rolling-hash fingerprints (k=8 char grams, window 10):
     // the near-dup-robust document fingerprint set
     "t_winnow" -> { (s, dir) =>
@@ -701,6 +714,20 @@ object SparkEntryCoverage {
         |SELECT l_orderkey, l_linenumber, l_quantity, band
         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
         |ORDER BY l_orderkey, l_linenumber, band""".stripMargin,
+    "t_punct_stop" ->
+      """WITH b AS (
+        | SELECT doc_id, text || ' ... end! (v' || CAST(doc_id AS VARCHAR) || ')' AS pt
+        | FROM documents),
+        |t AS (SELECT doc_id, pt, regexp_split_to_array(trim(pt), '\s+') AS tk FROM b)
+        |SELECT doc_id,
+        | CASE WHEN length(pt) = 0 THEN NULL
+        |      ELSE CAST(length(regexp_replace(pt, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+        |           CAST(length(pt) AS DOUBLE) END AS punct_ratio,
+        | CASE WHEN len(tk) = 0 THEN NULL
+        |      ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','of'], x))) AS DOUBLE) /
+        |           CAST(len(tk) AS DOUBLE) END AS stop_ratio,
+        | array_to_string(list_filter(tk, x -> NOT list_contains(['data','table'], x)), ' ') AS no_stops
+        |FROM t ORDER BY doc_id""".stripMargin,
     "t_winnow" ->
       """WITH grams AS (
         | SELECT doc_id, greatest(length(text) - 7, 0) AS n,

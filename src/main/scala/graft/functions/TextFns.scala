@@ -87,6 +87,24 @@ object TextFns {
   def tokenCount(c: Column, token: String): Column =
     size(filter(tokens(c), t => t === lit(token))).cast("long")
 
+  /** Ratio of punctuation characters to total length; null for empty
+    * text (a pretraining quality signal: boilerplate/code/nav text has
+    * extreme punctuation density).
+    */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(null).cast("double"))
+      .otherwise(
+        length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("double") /
+          length(c).cast("double"))
+
+  /** Remove stopword tokens, preserving original token order
+    * (training-data preprocessing).
+    */
+  def removeStopwords(c: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    concat_ws(" ", filter(tokens(c), t => !array_contains(stops, t)))
+  }
+
   /** Ratio of tokens that are in `stopwords`; null for empty text. */
   def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(c)
