@@ -70,6 +70,27 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
 
+  /** Session-gap aggregation: events closer than `gap` merge into one
+    * session per key (dynamic windows — `session_window` built-in).
+    * No reference counterpart (SURVEY §2.11); completes the streaming
+    * window surface next to the tumbling/sliding `slidingCounts`.
+    */
+  def sessionCounts(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol),
+        col("n_events"))
+
   /** One page-crawl observation (key = entity+page identity). */
   case class PageUpdate(key: String, content_hash: String, ts: java.sql.Timestamp)
 

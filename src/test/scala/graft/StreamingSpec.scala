@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("home", "h1"), ("home", "h2"), ("jobs", "h1")))
   }
 
+  test("session windows — events within the gap merge, beyond it split") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = Streams.sessionCounts(
+      input.toDF().toDF("ts", "user"), "ts", "user", "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_t")
+      .outputMode("complete").start()
+    input.addData(
+      (ts("2024-01-01 00:00:00"), "u1"),
+      (ts("2024-01-01 00:05:00"), "u1"), // within gap -> same session
+      (ts("2024-01-01 01:00:00"), "u1"), // past gap -> new session
+      (ts("2024-01-01 00:00:00"), "u2"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_t")
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got("u1") == Seq(1L, 2L)) // one 2-event session, one 1-event
+    assert(got("u2") == Seq(1L))
+  }
+
   test("I1 custom state — changeEvents emits hash transitions across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Streams.PageUpdate]
