@@ -224,17 +224,36 @@ object SparkEntry {
     // A1 — funding-summary shape: per-key total + latest-by-date
     // (SURVEY §2.4 A1, reference structured_extraction_v2.py:1984-2000)
     "a1_customer_summary" -> { (s, dir) =>
-      // single hash-agg pass: latest-by-date via max_by with a
-      // deterministic (date, key) tie-break — one shuffle, no window
-      // sort (same result as the row_number formulation)
-      t(s, dir, "orders")
+      // latest-by-(date, key) argmax as max over ONE encoded long —
+      // max_by with a struct ordering key (or a string value) forces
+      // SortAggregate, which sorts the whole fact table; encoding
+      // (days, orderkey) into a long keeps both aggregation passes
+      // HashAggregate with map-side partials, and the single join
+      // fetches the winning row's status. orderkey < 1e10 at any SF
+      // in this schema, so the encoding is collision-free.
+      val o = t(s, dir, "orders")
+      val enc =
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long") *
+          10000000000L + col("o_orderkey")
+      val agg = o
         .groupBy(col("o_custkey"))
         .agg(
           dsum(col("o_totalprice")).as("total_spent"),
           count(lit(1)).as("order_count"),
-          max_by(col("o_orderstatus"), struct(col("o_orderdate"), col("o_orderkey")))
-            .as("last_status"),
+          max(enc).as("__best"),
           date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_orderdate"))
+      val best = o.select(
+        col("o_custkey"),
+        enc.as("__best"),
+        col("o_orderstatus").as("last_status"))
+      agg
+        .join(best, Seq("o_custkey", "__best"))
+        .select(
+          col("o_custkey"),
+          col("total_spent"),
+          col("order_count"),
+          col("last_status"),
+          col("last_orderdate"))
         .orderBy(col("o_custkey"))
     },
     // A2 — event-type histogram (structured_extraction_v2.py:3503-3508)

@@ -50,6 +50,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("a1_customer_summary: latest-by-date argmax stays in hash aggregates") {
+    val p = plan("a1_customer_summary")
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q1_pricing_summary: whole-stage codegen covers the agg pipeline") {
     val p = plan("q1_pricing_summary")
     // codegen stages print as "*(n) Op" in the final plan tree
