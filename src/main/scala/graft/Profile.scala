@@ -22,6 +22,27 @@ object Profile {
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
 
+    if (rest.contains("-audit")) {
+      // plan audit: flag scale-hostile physical operators in every
+      // query's FINAL (AQE-resolved) plan
+      val flags = Seq("SortAggregate", "BroadcastNestedLoopJoin", "CartesianProduct")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          df.collect()
+          val p = df.queryExecution.executedPlan.toString
+          val hits = flags.filter(p.contains)
+          println(s"[audit] $name: ${if (hits.isEmpty) "clean" else hits.mkString(", ")}")
+        } catch {
+          case e: Throwable => println(s"[audit] $name: ERROR ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      spark.stop()
+      return
+    }
+
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[profile] unknown query: $name")

@@ -920,11 +920,13 @@ object SparkEntry {
         |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |        FROM tok WHERE len(tk) >= 3),
         |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 7),
-        |         i -> list_aggregate(list_transform(sh, s -> substring(
-        |                CASE WHEN i // 4 = 0 THEN md5(s) ELSE md5(CAST(i // 4 AS VARCHAR) || ':' || s) END,
-        |                (i % 4) * 8 + 1, 8)), 'min')) AS sg
+        |         i -> list_aggregate(list_transform(sh, s -> list_reduce(
+        |                list_transform(generate_series(1, 8), d -> strpos('0123456789abcdef',
+        |                  substring(CASE WHEN i // 4 = 0 THEN md5(s) ELSE md5(CAST(i // 4 AS VARCHAR) || ':' || s) END,
+        |                            CAST((i % 4) * 8 + d AS INT), 1)) - 1),
+        |                (a, b) -> a * 16 + b)), 'min')) AS sg
         |        FROM shl WHERE len(sh) > 0),
-        |banded AS (SELECT doc_id, gs.b AS band, md5(sg[gs.b + 1]) AS bucket
+        |banded AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
         |           FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket

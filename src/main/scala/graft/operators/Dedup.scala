@@ -89,18 +89,20 @@ object Dedup {
   }
 
   /** The `numHashes` per-shingle hash expressions behind the MinHash
-    * signature: 8-hex-char (32-bit) slices of md5(shingle),
-    * md5("1:"++shingle), ... — one md5 evaluation per 4 hash
-    * functions instead of one each, and lexicographic min on lowercase
-    * hex equals numeric min on the 32-bit value. Deterministic and
-    * exactly mirrorable in DuckDB SQL.
+    * signature: 32-bit LONGS parsed from the 8-hex-char slices of
+    * md5(shingle), md5("1:"++shingle), ... — one md5 evaluation per 4
+    * hash functions, and numeric values so the min-aggregates keep a
+    * mutable fixed-width buffer (min over STRINGS has an immutable
+    * buffer and demotes the whole aggregation to SortAggregate).
+    * Deterministic and exactly mirrorable in DuckDB SQL.
     */
   private[graft] def minhashExprs(shingle: Column, numHashes: Int): Seq[Column] = {
     val seeds = (numHashes + 3) / 4
     val bases = (0 until seeds).map { s =>
       if (s == 0) md5(shingle) else md5(concat(lit(s"$s:"), shingle))
     }
-    (0 until numHashes).map(i => substring(bases(i / 4), (i % 4) * 8 + 1, 8))
+    (0 until numHashes).map(i =>
+      conv(substring(bases(i / 4), (i % 4) * 8 + 1, 8), 16, 10).cast("long"))
   }
 
   /** MinHash signatures as a table: (id, s0..s{k-1}) where
