@@ -81,6 +81,16 @@ object Multimodal {
     spark.createDataFrame(rdd, featSchema)
   }
 
+  /** STUB resize: bound the binary payload to `targetBytes`
+    * (deterministic crop; a real image decoder does the width×height
+    * resample behind the same contract — binary in, bounded binary
+    * out, narrow map, metadata updated). Shorter inputs pass through.
+    */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame =
+    media
+      .withColumn("content_resized", substring(col("content"), 1, targetBytes))
+      .withColumn("resized_bytes", length(col("content_resized")).cast("long"))
+
   /** Frame sampling for "video" rows: emit one row per sampled offset
     * (every `strideBytes` bytes in the stub; every Nth frame for a
     * real decoder). Pure-column: explode over a computed offset range.

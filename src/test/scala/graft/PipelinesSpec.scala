@@ -57,5 +57,9 @@ class PipelinesSpec extends SparkSpec {
     // deterministic stub: same bytes -> same features
     val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(again(0).getSeq[Double](3) == feats(0).getSeq[Double](3))
+    // resize bounds payload size; shorter content passes through
+    val resized = Multimodal.resizeStub(media, 4).orderBy("media_id").collect()
+    assert(resized.map(_.getAs[Long]("resized_bytes")).toSeq == Seq(4L, 2L))
+    assert(new String(resized(0).getAs[Array[Byte]]("content_resized"), "UTF-8") == "abcd")
   }
 }
