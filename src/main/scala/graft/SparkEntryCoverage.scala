@@ -50,6 +50,31 @@ object SparkEntryCoverage {
             .as("line"))
         .orderBy(col("event_id"))
     },
+    // OLAP rollup with grouping markers (beyond the reference —
+    // subtotal/grand-total rows for the pricing summary shape)
+    "a_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+    },
+    // lead/lag window family: inter-event gap seconds per user
+    "w_event_gaps" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn(
+          "gap_us",
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast("long"))
+        .select(col("user_id"), col("event_id"), col("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
     // J5 — risk enrichment join: retrieval-row context (source, score
     // stand-in) attached to each exploded risk signal — the
     // explode-after-UDF join (risk_detection.py:179-193)
@@ -474,6 +499,18 @@ object SparkEntryCoverage {
       """SELECT event_id, strftime(ts, '%Y-%m-%d') || ': ' || event_type AS line
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |ORDER BY event_id""".stripMargin,
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "w_event_gaps" ->
+      """SELECT user_id, event_id,
+        | CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "j5_risk_enriched" ->
       """WITH hits AS (
         | SELECT doc_id, source, CAST(n_chars % 100 AS DOUBLE) AS score, 'capacity' AS risk_type,
