@@ -50,6 +50,25 @@ object SparkEntryCoverage {
             .as("line"))
         .orderBy(col("event_id"))
     },
+    // set ops beyond the reference's unions: intersect / except
+    "u3_intersect_except" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val fast = d.filter(col("text").contains("fast")).select(col("doc_id"))
+      val data = d.filter(col("text").contains("data")).select(col("doc_id"))
+      fast.intersect(data).withColumn("op", lit("both"))
+        .unionByName(fast.except(data).withColumn("op", lit("fast_only")))
+        .orderBy(col("op"), col("doc_id"))
+    },
+    // pivot: event-type histogram as one row per user (conditional-agg
+    // mirror in the oracle — same values, engine-native PIVOT plan)
+    "a_pivot" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
     // OLAP rollup with grouping markers (beyond the reference —
     // subtotal/grand-total rows for the pricing summary shape)
     "a_rollup" -> { (s, dir) =>
@@ -499,6 +518,21 @@ object SparkEntryCoverage {
       """SELECT event_id, strftime(ts, '%Y-%m-%d') || ': ' || event_type AS line
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |ORDER BY event_id""".stripMargin,
+    "u3_intersect_except" ->
+      """WITH fast AS (SELECT doc_id FROM documents WHERE contains(text, 'fast')),
+        |dat AS (SELECT doc_id FROM documents WHERE contains(text, 'data'))
+        |SELECT doc_id, 'both' AS op FROM (SELECT doc_id FROM fast INTERSECT SELECT doc_id FROM dat)
+        |UNION ALL
+        |SELECT doc_id, 'fast_only' FROM (SELECT doc_id FROM fast EXCEPT SELECT doc_id FROM dat)
+        |ORDER BY op, doc_id""".stripMargin,
+    "a_pivot" ->
+      """SELECT user_id,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(COUNT(*) AS BIGINT) AS n_items,
