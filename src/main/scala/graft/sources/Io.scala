@@ -100,6 +100,26 @@ object Io {
       count(lit(1)).as("n_rows"),
       sum(when(col(df.columns.head).isNull, 1L).otherwise(0L)).as("null_keys"))
 
+  /** CSV source with explicit schema (never inference for curated
+    * tables, §1.3) — header + permissive mode, corrupt rows preserved
+    * in `_corrupt_record` when the schema declares it.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** Columnar ORC sink/source round-trip (engine standard is Parquet;
+    * ORC for interop with hive-side consumers).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed managed table: pre-shuffles on the join key at write
     * time so repeated joins/aggregations on that key run with NO
     * exchange — the co-located-join layout for fact tables reused

@@ -74,6 +74,24 @@ class IoSpec extends SparkSpec {
     o2.write.format("noop").mode("overwrite").save()
   }
 
+  test("CSV with explicit schema and ORC round-trip") {
+    val dir = tmp("csv")
+    Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"),
+      "id,name,amount\n1,acme,1.5\n2,bcorp,2.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DoubleType)))
+    val csv = Io.readCsv(spark, s"$dir/data.csv", schema)
+    assert(csv.count() == 2)
+    assert(csv.schema == schema)
+    val orcDir = tmp("orc") + "/t"
+    Io.writeOrc(csv, orcDir)
+    val back = Io.readOrc(spark, orcDir).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back.head.getDouble(2) == 1.5)
+  }
+
   test("writeBucketed: join on the bucket key plans with no shuffle exchange") {
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
