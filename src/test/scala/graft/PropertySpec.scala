@@ -79,6 +79,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKAggregator property: equals the window row_number formulation on random data") {
+    val rows = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, rnd.nextLong().abs % 1000))
+      .zipWithIndex.map { case ((k, v, _), i) => (k, v, i.toLong) } // unique ids
+    val df = rows.toDF("k", "v", "id")
+    val topk = org.apache.spark.sql.functions.udaf(new graft.expressions.TopKAggregator(4))
+    val viaAgg = df.groupBy($"k").agg(topk($"v", $"id").as("top"))
+      .select($"k", explode($"top").as("e"))
+      .select($"k", $"e._1".as("v"), $"e._2".as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (k, g) =>
+      g.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2)).take(4).map(t => (k, t._1, t._2))
+    }.toSet
+    assert(viaAgg == expected)
+  }
+
+  test("asofJoin property: equals per-row brute-force latest-preceding on random data") {
+    val leftRows = Seq.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val rightRows = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, 1000L + i, rnd.nextInt(1000).toDouble) }
+    val left = leftRows.toDF("k", "ts", "lid")
+    val right = rightRows.toDF("k", "ts", "rid", "v")
+    val got = graft.operators.Relational
+      .asofJoin(left, right, "k", "ts", Seq("v"), $"rid")
+      .select($"lid", $"asof_v")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    leftRows.foreach { case (k, ts, lid) =>
+      val want = rightRows
+        .filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)) // ties: larger rid wins (last in asc order)
+        .lastOption.map(_._4)
+      assert(got(lid) == want, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+
   test("winnow property: near-dup docs share most fingerprints; disjoint docs share none") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val nearDup = base.replace("quick", "swift") // one word changed
