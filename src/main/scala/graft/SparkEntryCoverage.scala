@@ -306,6 +306,17 @@ object SparkEntryCoverage {
           LshDim, LshBits, 0.25, 42L)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Ingest-time embedding normalization (cosine -> dot at query time)
+    "v_normalize" -> { (s, dir) =>
+      Similarity
+        .normalizeEmbeddings(t(s, dir, "embeddings"), "embedding")
+        .select(
+          col("vec_id"),
+          col("norm"),
+          element_at(col("embedding_unit"), 1).as("u0"),
+          element_at(col("embedding_unit"), 2).as("u1"))
+        .orderBy(col("vec_id"))
+    },
     // Dup-cluster resolution: LSH/Jaccard pairs → connected components
     // → keep canonical doc per cluster (training-data dedup tail)
     "dd_cluster_resolve" -> { (s, dir) =>
@@ -675,6 +686,17 @@ object SparkEntryCoverage {
          |        ${sqlCosine("a.embedding", "b.embedding")} AS score
          | FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
+    },
+    "v_normalize" -> {
+      val normExpr =
+        "sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), " +
+          "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))"
+      s"""SELECT vec_id, $normExpr AS norm,
+         | CASE WHEN $normExpr = 0.0 THEN CAST(embedding[1] AS DOUBLE)
+         |      ELSE CAST(embedding[1] AS DOUBLE) / $normExpr END AS u0,
+         | CASE WHEN $normExpr = 0.0 THEN CAST(embedding[2] AS DOUBLE)
+         |      ELSE CAST(embedding[2] AS DOUBLE) / $normExpr END AS u1
+         |FROM embeddings ORDER BY vec_id""".stripMargin
     },
     "dd_cluster_resolve" ->
       """WITH RECURSIVE tok AS (

@@ -74,6 +74,20 @@ object Similarity {
       .agg(min(col("nn_id")).as("nn_id"), max(col("best_score")).as("score"))
   }
 
+  /** Ingest-time L2 normalization: with unit vectors stored, every
+    * downstream cosine is a plain dot product — at 100 TB you pay the
+    * division once per row at write time instead of once per pair per
+    * query. Zero vectors stay zero (cosine-with-zero = 0 semantics).
+    */
+  def normalizeEmbeddings(df: DataFrame, embCol: String): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    val n = VectorFns.norm2(emb)
+    df.withColumn("norm", n)
+      .withColumn(
+        s"${embCol}_unit",
+        when(n === 0.0, emb).otherwise(transform(emb, x => x / n)))
+  }
+
   /** IVF coarse assignment: nearest of `centroids` per row (cell id =
     * centroid index). Centroids are broadcast as a literal array —
     * at scale they come from a sampled k-means fit.
