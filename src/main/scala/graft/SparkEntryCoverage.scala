@@ -334,6 +334,32 @@ object SparkEntryCoverage {
         .embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // D6 — order-preserving text-part dedup: first occurrence of each
+    // paragraph keeps its position, output re-sorted by position
+    // (handle_chunking.py:94-102)
+    "d6_ordered_parts" -> { (s, dir) =>
+      val parts = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          posexplode(split(col("text"), " table ")).as(Seq("pos", "part")))
+        .filter(length(trim(col("part"))) > 0)
+      Relational
+        .dedupeFirstWins(parts, Seq(col("doc_id"), trim(col("part"))), Seq(col("pos")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("part"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    // F7 — placeholder-date rejection: epoch/sentinel dates dropped
+    // (is_placeholder_date, structured_extraction_v2.py:112-215)
+    "f7_date_filter" -> { (s, dir) =>
+      val d = when(col("o_orderkey") % 4 === 0, lit("1970-01-01"))
+        .when(col("o_orderkey") % 4 === 1, lit("9999-12-31"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(d).as("d"))
+        .filter(!Filters.isPlaceholderDate(col("d")))
+        .select(col("o_orderkey"), date_format(col("d"), "yyyy-MM-dd").as("d"))
+        .orderBy(col("o_orderkey"))
+    },
     // S3 — RSS/Atom feed parsing: feed XML → (title, url) entries,
     // limit 25 per feed (scraper_v2.py:972-1043)
     "s3_feed_entries" -> { (s, dir) =>
@@ -729,6 +755,26 @@ object SparkEntryCoverage {
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE score >= 0.45 ORDER BY id_a, id_b""".stripMargin
     },
+    "d6_ordered_parts" ->
+      """WITH parts AS (
+        | SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS pos, pr[p.i] AS part
+        | FROM (SELECT doc_id, string_split(text, ' table ') AS pr FROM documents),
+        |      LATERAL (SELECT unnest(generate_series(1, len(pr))) AS i) p
+        | WHERE length(trim(pr[p.i])) > 0)
+        |SELECT doc_id, pos, part FROM (
+        | SELECT doc_id, pos, part,
+        |        row_number() OVER (PARTITION BY doc_id, trim(part) ORDER BY pos) AS rn
+        | FROM parts) WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin,
+    "f7_date_filter" ->
+      """WITH b AS (
+        | SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderkey % 4 = 0 THEN '1970-01-01'
+        |            WHEN o_orderkey % 4 = 1 THEN '9999-12-31'
+        |            ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE) AS d
+        | FROM orders)
+        |SELECT o_orderkey, strftime(d, '%Y-%m-%d') AS d FROM b
+        |WHERE d IS NOT NULL AND d NOT IN (DATE '1970-01-01', DATE '1900-01-01', DATE '9999-12-31')
+        |ORDER BY o_orderkey""".stripMargin,
     "s3_feed_entries" ->
       """WITH items AS (
         | SELECT source,
