@@ -22,6 +22,30 @@ object Profile {
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
 
+    if (rest.contains("-determinism")) {
+      // rerun-stability guard: every query executed twice, rows
+      // compared — catches nondeterministic tie-breaks that a single
+      // oracle compare can pass by luck
+      var bad = 0
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          val b = fn(spark, sfDir).collect().map(_.toString).toSeq
+          if (a == b) println(s"[determinism] $name: stable (${a.size} rows)")
+          else { bad += 1; println(s"[determinism] $name: UNSTABLE") }
+        } catch {
+          case e: Throwable => bad += 1; println(s"[determinism] $name: ERROR ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      println(s"[determinism] unstable/error count: $bad")
+      spark.stop()
+      return
+    }
+
     if (rest.contains("-audit")) {
       // plan audit: flag scale-hostile physical operators in every
       // query's FINAL (AQE-resolved) plan
