@@ -306,6 +306,24 @@ object SparkEntryCoverage {
           LshDim, LshBits, 0.25, 42L)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Product-quantization codes: 8 subspaces × 4 centroids (from
+    // vectors 1..4), the FAISS-style compact ANN encoding
+    "v_pq_codes" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val centroids = (0 until 8).map(s => full.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+      Similarity
+        .pqEncode(emb, "embedding", subDim, centroids)
+        .select(
+          col("vec_id"),
+          concat_ws(",", (0 until 8).map(s => col(s"pq_$s")): _*).as("codes_csv"))
+        .orderBy(col("vec_id"))
+    },
     // Ingest-time embedding normalization (cosine -> dot at query time)
     "v_normalize" -> { (s, dir) =>
       Similarity
@@ -712,6 +730,28 @@ object SparkEntryCoverage {
          |        ${sqlCosine("a.embedding", "b.embedding")} AS score
          | FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
+    },
+    "v_pq_codes" -> {
+      // sub = slice s of a vector; fold cosine over the 8-dim slices
+      def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
+      val cos = sqlCosine("sub_v", "sub_c")
+      s"""WITH cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT e.vec_id, gs.s, c.cell,
+         |        ${subSlice("e.embedding", "gs.s")} AS sub_v,
+         |        ${subSlice("c.ce", "gs.s")} AS sub_c
+         | FROM embeddings e
+         | CROSS JOIN cents c
+         | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs),
+         |best AS (
+         | SELECT vec_id, s, cell FROM (
+         |  SELECT vec_id, s, cell,
+         |         row_number() OVER (PARTITION BY vec_id, s ORDER BY $cos DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1)
+         |SELECT vec_id, string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes_csv
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
     "v_normalize" -> {
       val normExpr =

@@ -148,6 +148,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Product-quantization encoding: the embedding is split into
+    * `numSub` contiguous subvectors; each is coded as the index of its
+    * nearest subspace centroid (cosine argmax, ties to the larger
+    * index — `greatest` struct semantics). At 100 TB the 8-byte code
+    * replaces the 256-byte vector in the candidate index; exact
+    * re-ranking touches full vectors only for the shortlist.
+    * `centroids(s)(c)` = centroid c of subspace s.
+    */
+  def pqEncode(
+      df: DataFrame,
+      embCol: String,
+      subDim: Int,
+      centroids: Seq[Seq[Array[Double]]]): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    centroids.zipWithIndex.foldLeft(df) { case (acc, (subCents, s)) =>
+      val sub = slice(emb, s * subDim + 1, subDim)
+      val scored = subCents.zipWithIndex.map { case (c, i) =>
+        struct(
+          VectorFns.cosine(sub, array(c.map(lit): _*)).as("sim"),
+          lit(i).as("cell"))
+      }
+      acc.withColumn(s"pq_$s", greatest(scored: _*).getField("cell"))
+    }
+  }
+
   /** Lloyd's k-means fit for the IVF coarse quantizer: deterministic
     * init (the k rows with the smallest id), then `iters` rounds of
     * assign (broadcast centroids, codegen cosine argmax) + update
