@@ -324,6 +324,28 @@ object SparkEntryCoverage {
           concat_ws(",", (0 until 8).map(s => col(s"pq_$s")): _*).as("codes_csv"))
         .orderBy(col("vec_id"))
     },
+    // PQ top-k: ADC lookup-table scan + exact re-rank of the shortlist
+    "v_pq_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val centroids = (0 until 8).map(s => full.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+      val encoded = Similarity.pqEncode(emb.filter(col("vec_id") =!= 0), "embedding", subDim, centroids)
+      Similarity
+        .pqTopK(encoded, "embedding", centroids, query, subDim, 50, 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // Ingest-time embedding normalization (cosine -> dot at query time)
     "v_normalize" -> { (s, dir) =>
       Similarity
@@ -752,6 +774,46 @@ object SparkEntryCoverage {
          |  FROM scored) WHERE rn = 1)
          |SELECT vec_id, string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes_csv
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+    "v_pq_topk" -> {
+      def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
+      val codeCos = sqlCosine("sub_v", "sub_c")
+      s"""WITH cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         | SELECT e.vec_id, e.label, e.embedding, gs.s, c.cell,
+         |        ${subSlice("e.embedding", "gs.s")} AS sub_v,
+         |        ${subSlice("c.ce", "gs.s")} AS sub_c
+         | FROM embeddings e
+         | CROSS JOIN cents c
+         | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs
+         | WHERE e.vec_id <> 0),
+         |best AS (
+         | SELECT vec_id, label, embedding, s, cell FROM (
+         |  SELECT vec_id, label, embedding, s, cell,
+         |         row_number() OVER (PARTITION BY vec_id, s ORDER BY $codeCos DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |adcv AS (
+         | SELECT c.cell, gs.s,
+         |        list_reduce(list_transform(generate_series(1, 8),
+         |          i -> CAST((${subSlice("q.qe", "gs.s")})[i] AS DOUBLE) *
+         |               CAST((${subSlice("c.ce", "gs.s")})[i] AS DOUBLE)), (x,y) -> x+y) AS v
+         | FROM cents c CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs, q),
+         |approx AS (
+         | SELECT b.vec_id, any_value(b.label) AS label, any_value(b.embedding) AS embedding,
+         |        list(a.v ORDER BY b.s) AS vals
+         | FROM best b JOIN adcv a ON a.s = b.s AND a.cell = b.cell
+         | GROUP BY b.vec_id),
+         |short AS (
+         | SELECT vec_id, label, embedding,
+         |        vals[1]+vals[2]+vals[3]+vals[4]+vals[5]+vals[6]+vals[7]+vals[8] AS approx_score
+         | FROM approx
+         | ORDER BY approx_score DESC, vec_id LIMIT 50)
+         |SELECT vec_id, label, approx_score, ${sqlCosine("embedding", "q.qe")} AS score
+         |FROM short, q
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     },
     "v_normalize" -> {
       val normExpr =

@@ -173,6 +173,48 @@ object Similarity {
     }
   }
 
+  /** PQ approximate top-k with exact re-rank (asymmetric distance):
+    * the query is NOT quantized — per subspace a 4-entry lookup table
+    * of dot(query_s, centroid_c) is precomputed driver-side, the
+    * approximate score is 8 array lookups + adds per row (no vector
+    * math on the scan), the `shortlist` best by approximate score are
+    * re-ranked with exact cosine. At 100 TB the scan touches only the
+    * byte codes; full vectors are read for `shortlist` rows.
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      embCol: String,
+      centroids: Seq[Seq[Array[Double]]],
+      query: Array[Double],
+      subDim: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val adc: Seq[Seq[Double]] = centroids.zipWithIndex.map { case (subCents, s) =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      subCents.map(c => dot(qs, c))
+    }
+    val approx = adc.zipWithIndex
+      .map { case (tbl, s) =>
+        element_at(array(tbl.map(lit): _*), col(s"pq_$s").cast("int") + 1)
+      }
+      .reduce(_ + _) // fixed left-to-right order — mirrored in the oracle
+    val short = encoded
+      .withColumn("approx_score", approx)
+      .orderBy(col("approx_score").desc, col("vec_id"))
+      .limit(shortlist)
+    short
+      .withColumn(
+        "score",
+        VectorFns.cosine(col(embCol), array(query.map(lit): _*)))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Lloyd's k-means fit for the IVF coarse quantizer: deterministic
     * init (the k rows with the smallest id), then `iters` rounds of
     * assign (broadcast centroids, codegen cosine argmax) + update
