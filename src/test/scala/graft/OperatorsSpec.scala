@@ -211,6 +211,26 @@ class OperatorsSpec extends SparkSpec {
     assert(top.forall(_ >= 10L), s"expected only cluster-B ids, got $top")
   }
 
+  test("pqEncode/pqTopK: codes pick nearest subspace centroid; rerank returns exact best") {
+    // 4-d vectors, 2 subspaces of 2 dims; centroids from ids 1 and 2
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (2L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 0.1, 0.9)), // near vector 1 in both subspaces
+      (4L, Seq(0.1, 0.9, 0.9, 0.1))) // near vector 2 in both subspaces
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = (0 until 2).map(s =>
+      Seq(vecs(0)._2.slice(s * 2, s * 2 + 2).toArray, vecs(1)._2.slice(s * 2, s * 2 + 2).toArray))
+    val encoded = graft.operators.Similarity.pqEncode(df, "embedding", 2, cents)
+    val codes = encoded.orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("pq_0")), r.getInt(r.fieldIndex("pq_1"))))
+    assert(codes.toSeq == Seq((1L, 0, 0), (2L, 1, 1), (3L, 0, 0), (4L, 1, 1)))
+    val top = graft.operators.Similarity
+      .pqTopK(encoded, "embedding", cents, Array(1.0, 0.0, 0.0, 1.0), 2, 3, 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L)) // exact rerank finds the identical vector
+  }
+
   test("rangeJoinBucketed: exact containment incl. boundaries, no misses across cells") {
     val points = Seq((1L, 0.5), (2L, 10.0), (3L, 29.9), (4L, 55.0)).toDF("pid", "x")
     val ivals = Seq((0.0, 10.0, "low"), (10.0, 30.0, "mid")).toDF("lo", "hi", "band")
