@@ -324,6 +324,28 @@ object SparkEntryCoverage {
           concat_ws(",", (0 until 8).map(s => col(s"pq_$s")): _*).as("codes_csv"))
         .orderBy(col("vec_id"))
     },
+    // Edit-distance fuzzy match (entity resolution): canonical names ∪
+    // typo variants, blocked on the name suffix, verified with
+    // levenshtein ≤ 2 — candidates via the block equi-join, never
+    // all-pairs
+    "dd_fuzzy_match" -> { (s, dir) =>
+      val canon = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      // variant: drop the 6th char ("Customer#…" -> "Custoer#…")
+      val typo = canon.select(
+        (col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100)).as("name"))
+      val all = canon.unionByName(typo)
+        .withColumn("blk", substring(col("name"), -4, 4))
+      val a = all.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+      val b = all.select(col("id").as("id_b"), col("name").as("name_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("lev") <= 2)
+        .select(col("id_a"), col("id_b"), col("lev"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // PQ top-k: ADC lookup-table scan + exact re-rank of the shortlist
     "v_pq_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -775,6 +797,18 @@ object SparkEntryCoverage {
          |SELECT vec_id, string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes_csv
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+    "dd_fuzzy_match" ->
+      """WITH canon AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |typo AS (SELECT id + 1000000 AS id,
+        |                substring(name, 1, 5) || substring(name, 7, 100) AS name
+        |         FROM canon),
+        |al AS (SELECT id, name, substring(name, length(name) - 3, 4) AS blk
+        |       FROM (SELECT * FROM canon UNION ALL SELECT * FROM typo))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+        |FROM al a JOIN al b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "v_pq_topk" -> {
       def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
       val codeCos = sqlCosine("sub_v", "sub_c")
