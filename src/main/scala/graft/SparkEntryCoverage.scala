@@ -324,6 +324,28 @@ object SparkEntryCoverage {
           concat_ws(",", (0 until 8).map(s => col(s"pq_$s")): _*).as("codes_csv"))
         .orderBy(col("vec_id"))
     },
+    // TF-IDF term weighting: explode tokens -> per-(doc, term) tf ->
+    // per-term df -> tf * ln(N/df), all hash aggregates + one
+    // broadcast of the scalar doc count
+    "t_tfidf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val terms = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term"))
+        .crossJoin(n)
+        .withColumn(
+          "tfidf",
+          // round(6): JVM Math.log and libm ln differ in the last ulp
+          round(
+            col("tf").cast("double") *
+              log(col("n_docs").cast("double") / col("df").cast("double")),
+            6))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
     // Edit-distance fuzzy match (entity resolution): canonical names ∪
     // typo variants, blocked on the name suffix, verified with
     // levenshtein ≤ 2 — candidates via the block equi-join, never
@@ -797,6 +819,17 @@ object SparkEntryCoverage {
          |SELECT vec_id, string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes_csv
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+    "t_tfidf" ->
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |terms AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |       round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term, n
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
     "dd_fuzzy_match" ->
       """WITH canon AS (SELECT c_custkey AS id, c_name AS name FROM customer),
         |typo AS (SELECT id + 1000000 AS id,
