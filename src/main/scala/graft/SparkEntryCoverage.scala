@@ -346,6 +346,44 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
         .orderBy(col("doc_id"), col("term"))
     },
+    // BM25 document scoring for a 2-term query (≤2 contributions per
+    // doc keeps the float sum commutative-safe; ln rounded at 6)
+    "t_bm25" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qTerms = Seq("data", "join")
+      val dl = docs.select(col("doc_id"), TextFns.wordCount(col("text")).as("dl"))
+      val stats = broadcast(
+        dl.agg(
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avglen"),
+          count(lit(1)).as("n")))
+      val tf = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = log(
+        (col("n").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0)
+      val num = col("tf").cast("double") * lit(2.2)
+      val den = col("tf").cast("double") +
+        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / col("avglen")))
+      tf.join(df, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(stats)
+        .withColumn("contrib", idf * num / den)
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib")), 6).as("bm25"))
+        .orderBy(col("doc_id"))
+    },
+    // distribution histogram: fixed-width price bins
+    "a_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bin", least(floor(col("o_totalprice") / 50000.0).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bin"))
+    },
     // Edit-distance fuzzy match (entity resolution): canonical names ∪
     // typo variants, blocked on the name suffix, verified with
     // levenshtein ≤ 2 — candidates via the block equi-join, never
@@ -819,6 +857,26 @@ object SparkEntryCoverage {
          |SELECT vec_id, string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes_csv
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+    "t_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+        |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+        |       WHERE term IN ('data', 'join') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        | SELECT tf.doc_id,
+        |        ln((CAST(n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+        |           (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+        | FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, stats)
+        |SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "a_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
     "t_tfidf" ->
       """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |terms AS (
