@@ -376,6 +376,38 @@ object SparkEntryCoverage {
         .agg(round(sum(col("contrib")), 6).as("bm25"))
         .orderBy(col("doc_id"))
     },
+    // exact median per group: middle-row indexing (no approx sketch —
+    // deterministic, avg of the two middle values on even counts)
+    "a_median" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+        .filter(
+          col("rn") === ((col("cnt") + 1) / 2).cast("long") ||
+            col("rn") === (col("cnt") / 2).cast("long") + 1)
+        .groupBy(col("l_returnflag"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("median_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    // A-family at skew: two-phase salted sum (exact long cents so both
+    // phases and the oracle's single-phase sum agree bit-for-bit)
+    "a_salted_sum" -> { (s, dir) =>
+      val cents = t(s, dir, "events")
+        .select(
+          col("event_type"),
+          (col("value") * 100).cast("decimal(18,0)").cast("long").as("cents"))
+      Relational
+        .saltedSumCount(cents, Seq("event_type"), "cents", 8)
+        .select(
+          col("event_type"),
+          (col("sum_cents").cast("double") / 100.0).as("total_value"),
+          col("n_rows"))
+        .orderBy(col("event_type"))
+    },
     // distribution histogram: fixed-width price bins
     "a_histogram" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -873,6 +905,21 @@ object SparkEntryCoverage {
         | FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, stats)
         |SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "a_median" ->
+      """WITH r AS (
+        | SELECT l_returnflag, l_quantity,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |        COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        | FROM lineitem)
+        |SELECT l_returnflag, SUM(l_quantity) / COUNT(*) AS median_qty
+        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a_salted_sum" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,0)) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a_histogram" ->
       """SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
         | CAST(COUNT(*) AS BIGINT) AS n_orders
