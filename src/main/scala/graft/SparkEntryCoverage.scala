@@ -376,6 +376,46 @@ object SparkEntryCoverage {
         .agg(round(sum(col("contrib")), 6).as("bm25"))
         .orderBy(col("doc_id"))
     },
+    // cumulative daily revenue: exact decimal day totals, running sum
+    // in date order (frame order fixes the float accumulation)
+    "w_cumulative_revenue" -> { (s, dir) =>
+      // exact long cents through the window: float window sums are
+      // tree-summed in some engines (order-dependent bits); integer
+      // sums are order-free
+      val daily = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum((col("o_totalprice") * 100).cast("decimal(18,0)").cast("long")).as("day_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily
+        .withColumn("cum_cents", sum(col("day_cents")).over(w))
+        .select(
+          col("day"),
+          (col("day_cents").cast("double") / 100.0).as("day_revenue"),
+          (col("cum_cents").cast("double") / 100.0).as("cum_revenue"))
+        .orderBy(col("day"))
+    },
+    // batch sessionization: gap > 1h starts a new session; session id
+    // = running count of session starts per user (integer-exact)
+    "w_sessionize" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn(
+          "new_sess",
+          when(
+            col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 3600L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
     // exact median per group: middle-row indexing (no approx sketch —
     // deterministic, avg of the two middle values on even counts)
     "a_median" -> { (s, dir) =>
@@ -905,6 +945,34 @@ object SparkEntryCoverage {
         | FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, stats)
         |SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "w_cumulative_revenue" ->
+      """WITH daily AS (
+        | SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |        CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS day_cents
+        | FROM orders GROUP BY day)
+        |SELECT day, CAST(day_cents AS DOUBLE) / 100.0 AS day_revenue,
+        |       CAST(SUM(day_cents) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_revenue
+        |FROM daily ORDER BY day""".stripMargin,
+    "w_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts,
+        |        epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id, event_id, ts,
+        |        CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM g),
+        |sid AS (
+        | SELECT user_id,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "a_median" ->
       """WITH r AS (
         | SELECT l_returnflag, l_quantity,
