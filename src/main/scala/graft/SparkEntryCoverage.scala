@@ -376,6 +376,29 @@ object SparkEntryCoverage {
         .agg(round(sum(col("contrib")), 6).as("bm25"))
         .orderBy(col("doc_id"))
     },
+    // weekly distinct users (I5 sibling: exact distinct per window)
+    "i5_weekly_users" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(window(col("ts"), "7 days").getField("start"), "yyyy-MM-dd")
+            .as("week_start"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("week_start"))
+    },
+    // JSON array parsing: embedded array-of-objects -> from_json ->
+    // explode (the JSON-LD @graph shape, scraper_v2.py:120-181)
+    "c12_json_array" -> { (s, dir) =>
+      val js = concat(
+        lit("[{\"t\":\"a\",\"v\":"), (col("doc_id") % 7).cast("string"),
+        lit("},{\"t\":\"b\",\"v\":"), (col("doc_id") % 3).cast("string"),
+        lit("}]"))
+      val schema = "array<struct<t:string,v:long>>"
+      t(s, dir, "documents")
+        .select(col("doc_id"), from_json(js, org.apache.spark.sql.types.DataType.fromDDL(schema)).as("arr"))
+        .select(col("doc_id"), explode(col("arr")).as("e"))
+        .select(col("doc_id"), col("e.t").as("t"), col("e.v").as("v"))
+        .orderBy(col("doc_id"), col("t"))
+    },
     // cumulative daily revenue: exact decimal day totals, running sum
     // in date order (frame order fixes the float accumulation)
     "w_cumulative_revenue" -> { (s, dir) =>
@@ -945,6 +968,15 @@ object SparkEntryCoverage {
         | FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, stats)
         |SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "i5_weekly_users" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 604800000000) * 604800000000), '%Y-%m-%d') AS week_start,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY week_start ORDER BY week_start""".stripMargin,
+    "c12_json_array" ->
+      """SELECT doc_id, 'a' AS t, CAST(doc_id % 7 AS BIGINT) AS v FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'b', CAST(doc_id % 3 AS BIGINT) FROM documents
+        |ORDER BY doc_id, t""".stripMargin,
     "w_cumulative_revenue" ->
       """WITH daily AS (
         | SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
