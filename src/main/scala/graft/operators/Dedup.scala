@@ -216,33 +216,54 @@ object Dedup {
     * small in-memory arrays. Docs with zero tokens are absent here
     * (the column version gives them the all-zero fingerprint).
     */
-  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashTable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxTokensPerDoc: Long = Int.MaxValue): DataFrame = {
+    require(
+      maxTokensPerDoc <= Int.MaxValue,
+      s"simhashTable: lane capacity is ${Int.MaxValue} tokens/doc")
     val hexDigits = "0123456789abcdef"
     // Lane-packed bit votes: per token and hex position, the 4 bits of
-    // the digit are spread into four 16-bit lanes of one long
-    // (bit_j << 16j), so ONE sum aggregate per position carries all 4
-    // ones-counts (safe to 65535 tokens/doc; cap docs above that
-    // upstream). vote_j > 0  ⟺  2*ones_j > n_tokens — same result as
-    // the per-bit ±1 vote sums, with 17 aggregates instead of 64.
+    // the digit are spread into 2×32-bit lanes of TWO longs
+    // (bit_0 + bit_1<<32, bit_2 + bit_3<<32), so two sum aggregates per
+    // position carry all 4 ones-counts. vote_j > 0 ⟺ 2*ones_j >
+    // n_tokens — same result as the per-bit ±1 vote sums, with 33
+    // aggregates instead of 64. 32-bit lanes keep the ANSI sum within
+    // long range to 2^31 tokens/doc (worst-case addend 2^32+1); lane
+    // extraction uses shiftrightunsigned + AND-mask, valid for the full
+    // lane range regardless of the sign bit. The cap is ENFORCED via
+    // assert_true on the per-doc token count, not just documented.
     val toks = df.select(
       col(idCol).as("id"),
       explode(TextFns.tokens(col(textCol))).as("tok"))
     val withHex = toks.select(col("id"), substring(md5(col("tok")), 1, 16).as("hx"))
-    val laneAggs = (0 until 16).map { pos =>
+    val laneAggs = (0 until 16).flatMap { pos =>
       val d = (instr(lit(hexDigits), substring(col("hx"), pos + 1, 1)) - 1).cast("long")
-      val packed = (0 until 4).map { bit =>
+      def bitOf(bit: Int): Column = {
         val mask = 1 << (3 - bit)
-        shiftleft(floor(d / mask).cast("long") % 2, 16 * bit)
-      }.reduce(_ + _)
-      sum(packed).as(s"l_$pos")
+        floor(d / mask).cast("long") % 2
+      }
+      Seq(
+        sum(bitOf(0) + shiftleft(bitOf(1), 32)).as(s"l_${pos}_a"),
+        sum(bitOf(2) + shiftleft(bitOf(3), 32)).as(s"l_${pos}_b"))
     }
     val votes = withHex
       .groupBy(col("id"))
       .agg(laneAggs.head, (laneAggs.tail :+ count(lit(1)).as("n_toks")): _*)
+      .withColumn(
+        "__cap",
+        assert_true(
+          col("n_toks") <= maxTokensPerDoc,
+          lit(s"simhashTable: doc exceeds $maxTokensPerDoc tokens; cap or chunk upstream")))
+      .filter(col("__cap").isNull) // always true; forces the assert to evaluate
     val digits = (0 until 16).map { pos =>
       val dv = (0 until 4).map { bit =>
         val mask = 1 << (3 - bit)
-        val ones = shiftright(col(s"l_$pos"), 16 * bit) % 65536
+        val lane = col(s"l_${pos}_${if (bit < 2) "a" else "b"}")
+        val ones =
+          shiftrightunsigned(lane, 32 * (bit % 2)).bitwiseAND(lit(0xFFFFFFFFL))
         when(ones * 2 > col("n_toks"), lit(mask)).otherwise(lit(0))
       }.reduce(_ + _)
       lit(hexDigits).substr(dv + 1, lit(1))
@@ -323,32 +344,34 @@ object Dedup {
       .select(col("id"), least(col("id"), col("cluster_id")).as("cluster_id"))
     var iter = 0
     var converged = false
-    // labels only ever DECREASE (least/min propagation), so the label
-    // sum is a strictly decreasing convergence witness: sum unchanged
-    // ⟺ no label changed — one scalar agg per round instead of an
-    // except() set-difference join.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster_id")).cast("long"), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // Convergence witness: labels only ever DECREASE (least/min
+    // propagation), so "no row's new label is strictly smaller" ⟺
+    // fixpoint. The changed-flag rides the frame being checkpointed
+    // anyway, so the witness is one scalar agg per round, works for ANY
+    // id type (string, long, decimal — unlike a sum, which nulls out on
+    // strings and can wrap on extreme longs), and costs no extra join.
     while (iter < maxIters && !converged) {
       // propagate: my new label = min(my label, labels of my neighbors)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("n_label"))
+      val newLabel =
+        least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .select(
           col("id"),
-          least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
-            .as("cluster_id"))
+          newLabel.as("cluster_id"),
+          (newLabel < col("cluster_id")).as("__changed"))
       // truncate lineage each round — iterative joins otherwise
       // re-derive the whole history every action
       val materialized = next.localCheckpoint()
-      val s = labelSum(materialized)
-      converged = s == prevSum
-      prevSum = s
-      labels = materialized
+      val changed = materialized
+        .agg(coalesce(sum(when(col("__changed"), 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+      converged = changed == 0L
+      labels = materialized.drop("__changed")
       iter += 1
     }
     labels
@@ -389,6 +412,10 @@ object Dedup {
       col("__k").as("__k2"), col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, col("__k") === col("__k2"))
       .filter(col("id_a") < col("id_b"))
+      .filter(
+        assert_true(
+          size(col("emb_a")) === size(col("emb_b")),
+          lit("embeddingNearDupPairs: embeddings must all have the same length")).isNull)
       .withColumn("denom", col("norm_a") * col("norm_b"))
       .withColumn(
         "score",

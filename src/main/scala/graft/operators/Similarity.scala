@@ -45,7 +45,15 @@ object Similarity {
     *     `id =!= nn_id` theta-join gets;
     *   - argmax as two HashAggregates (max score, then min id at that
     *     score) — max_by over a struct falls back to SortAggregate,
-    *     which sorts the whole pair stream twice.
+    *     which sorts the whole pair stream twice;
+    *   - the scored pair frame is persisted before the best-score
+    *     self-join, so the quadratic scan runs ONCE per action (the
+    *     pair rows are three narrow columns — far cheaper to cache than
+    *     to recompute N² dot products);
+    *   - vector lengths are asserted equal per pair: the split cosine
+    *     uses full-length norms while CosineSimilarity truncates to
+    *     min(len), so equal length is the contract that keeps them
+    *     bit-identical.
     */
   def nearestNeighborJoin(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val base = df
@@ -57,15 +65,20 @@ object Similarity {
       col("id").as("nn_id"),
       col("emb").as("nn_emb"),
       col("norm").as("nn_norm"))
-    def pairs: DataFrame = base
+    val pairs: DataFrame = base
       .join(b, col("__k") === col("__k2"))
       .filter(col("id") =!= col("nn_id"))
+      .filter(
+        assert_true(
+          size(col("emb")) === size(col("nn_emb")),
+          lit("nearestNeighborJoin: embeddings must all have the same length")).isNull)
       .withColumn("denom", col("norm") * col("nn_norm"))
       .withColumn(
         "score",
         when(col("denom") === 0.0, 0.0)
           .otherwise(VectorFns.dotc(col("emb"), col("nn_emb")) / col("denom")))
       .select(col("id"), col("nn_id"), col("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = pairs.groupBy(col("id")).agg(max(col("score")).as("best_score"))
     pairs
       .join(best, Seq("id"))
@@ -139,6 +152,10 @@ object Similarity {
       col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"), col("lsh_bucket"))
     a.join(b, Seq("lsh_bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(
+        assert_true(
+          size(col("emb_a")) === size(col("emb_b")),
+          lit("lshNearDupPairs: embeddings must all have the same length")).isNull)
       .withColumn("denom", col("norm_a") * col("norm_b"))
       .withColumn(
         "score",
@@ -188,7 +205,8 @@ object Similarity {
       query: Array[Double],
       subDim: Int,
       shortlist: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
@@ -205,13 +223,13 @@ object Similarity {
       .reduce(_ + _) // fixed left-to-right order — mirrored in the oracle
     val short = encoded
       .withColumn("approx_score", approx)
-      .orderBy(col("approx_score").desc, col("vec_id"))
+      .orderBy(col("approx_score").desc, col(idCol))
       .limit(shortlist)
     short
       .withColumn(
         "score",
         VectorFns.cosine(col(embCol), array(query.map(lit): _*)))
-      .orderBy(col("score").desc, col("vec_id"))
+      .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 

@@ -78,6 +78,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
   }
 
+  test("clusterPairs propagates string ids (non-numeric convergence witness)") {
+    val pairs = Seq(("b", "e"), ("e", "i"), ("k", "l")).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters ==
+      Map("b" -> "b", "e" -> "b", "i" -> "b", "k" -> "k", "l" -> "k"))
+  }
+
+  test("simhashTable: lanes stay correct past 32767 tokens (32-bit unsigned lanes)") {
+    // 40000 copies of one token: every bit vote is unanimous, so the
+    // fingerprint must equal the single-token fingerprint. The old
+    // 16-bit packing corrupted (or, under ANSI, overflowed on) any
+    // ones-count >= 32768.
+    val many = Seq((1L, Seq.fill(40000)("zebra").mkString(" "))).toDF("doc_id", "text")
+    val one = Seq((1L, "zebra")).toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame): String =
+      Dedup.simhashTable(df, "text", "doc_id").collect().head.getString(1)
+    assert(fp(many) == fp(one))
+    // and the cap is enforced, not just documented
+    intercept[Exception] {
+      Dedup.simhashTable(many, "text", "doc_id", maxTokensPerDoc = 100).collect()
+    }
+  }
+
   test("clusterPairs + resolveClusters: chain collapses to min id") {
     val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("id_a", "id_b")
     val clusters = Dedup.clusterPairs(pairs)
