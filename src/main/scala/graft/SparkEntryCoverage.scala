@@ -439,21 +439,15 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_id"))
     },
-    // exact median per group: middle-row indexing (no approx sketch —
-    // deterministic, avg of the two middle values on even counts)
+    // exact median per group (no approx sketch): Spark's exact
+    // percentile aggregate — percentile_cont(0.5) = avg of the two
+    // middle values on even counts, identical to middle-row indexing
+    // but ONE hash-agg pass instead of sorting every row of the group
+    // through two window passes (3 giant window partitions at scale)
     "a_median" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
-        .filter(
-          col("rn") === ((col("cnt") + 1) / 2).cast("long") ||
-            col("rn") === (col("cnt") / 2).cast("long") + 1)
         .groupBy(col("l_returnflag"))
-        .agg((sum(col("l_quantity")) / count(lit(1))).as("median_qty"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
         .orderBy(col("l_returnflag"))
     },
     // A-family at skew: two-phase salted sum (exact long cents so both
@@ -1006,15 +1000,8 @@ object SparkEntryCoverage {
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "a_median" ->
-      """WITH r AS (
-        | SELECT l_returnflag, l_quantity,
-        |        row_number() OVER (PARTITION BY l_returnflag
-        |          ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
-        |        COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
-        | FROM lineitem)
-        |SELECT l_returnflag, SUM(l_quantity) / COUNT(*) AS median_qty
-        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, median(l_quantity) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a_salted_sum" ->
       """SELECT event_type,
         | CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,0)) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,

@@ -157,11 +157,16 @@ object Dedup {
     val sigSets = sig
       .join(sets, Seq("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket key per band: for bandSize 1 the signature value ITSELF is
+    // the bucket (injective — exactly the candidate structure an md5 of
+    // it would give, minus the hash work and with an 8-byte instead of
+    // 32-char shuffle key); wider bands hash the band tuple to one
+    // md5 string.
     val bucketCols = (0 until numBands).map { b =>
-      struct(
-        lit(b).as("band"),
-        md5(concat_ws("|", (0 until bandSize).map(k => col(s"s${b * bandSize + k}")): _*))
-          .as("bucket"))
+      val bucket =
+        if (bandSize == 1) col(s"s${b * bandSize}")
+        else md5(concat_ws("|", (0 until bandSize).map(k => col(s"s${b * bandSize + k}")): _*))
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
     val banded = sigSets
       .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
@@ -176,10 +181,13 @@ object Dedup {
     cand
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // |A∪B| = |A|+|B|−|A∩B| (shingle lists are distinct per doc), so
+      // the per-pair work is one intersect — no union array is built
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -238,18 +246,24 @@ object Dedup {
     val toks = df.select(
       col(idCol).as("id"),
       explode(TextFns.tokens(col(textCol))).as("tok"))
-    val withHex = toks.select(col("id"), substring(md5(col("tok")), 1, 16).as("hx"))
+    // the 64 fingerprint bits as two 32-bit words, parsed ONCE per
+    // token — every bit vote below is then a single shift+AND on a
+    // long instead of a per-position substring+instr over the hex
+    val withBits = toks.select(
+      col("id"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("w0"),
+      conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("w1"))
     val laneAggs = (0 until 16).flatMap { pos =>
-      val d = (instr(lit(hexDigits), substring(col("hx"), pos + 1, 1)) - 1).cast("long")
-      def bitOf(bit: Int): Column = {
-        val mask = 1 << (3 - bit)
-        floor(d / mask).cast("long") % 2
-      }
+      val x = if (pos < 8) col("w0") else col("w1")
+      val s = 4 * (7 - (pos % 8)) // hex digit pos's bit offset in the word
+      // bit b of the digit (b=0 is the digit's MSB, mask 1<<(3-b))
+      def bitOf(b: Int): Column =
+        shiftrightunsigned(x, s + 3 - b).bitwiseAND(lit(1L))
       Seq(
         sum(bitOf(0) + shiftleft(bitOf(1), 32)).as(s"l_${pos}_a"),
         sum(bitOf(2) + shiftleft(bitOf(3), 32)).as(s"l_${pos}_b"))
     }
-    val votes = withHex
+    val votes = withBits
       .groupBy(col("id"))
       .agg(laneAggs.head, (laneAggs.tail :+ count(lit(1)).as("n_toks")): _*)
       .withColumn(
@@ -404,6 +418,9 @@ object Dedup {
     // BroadcastHashJoin, one dot fold per pair (see Similarity notes)
     val base = df
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      // parallelize the quadratic scan (see nearestNeighborJoin: pinned
+      // width, or AQE coalesces the tiny input back to one partition)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .withColumn("norm", VectorFns.norm2(col("emb")))
       .withColumn("__k", lit(0))
     val a = base.select(

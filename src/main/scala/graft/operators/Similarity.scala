@@ -43,21 +43,27 @@ object Similarity {
     *   - a constant-key equi-join plans as codegen BroadcastHashJoin
     *     instead of the interpreted BroadcastNestedLoopJoin a
     *     `id =!= nn_id` theta-join gets;
-    *   - argmax as two HashAggregates (max score, then min id at that
-    *     score) — max_by over a struct falls back to SortAggregate,
-    *     which sorts the whole pair stream twice;
-    *   - the scored pair frame is persisted before the best-score
-    *     self-join, so the quadratic scan runs ONCE per action (the
-    *     pair rows are three narrow columns — far cheaper to cache than
-    *     to recompute N² dot products);
+    *   - argmax in ONE pass over the pair stream: a partition-window
+    *     max(score) over id, filter to the max, then a hash-agg min id
+    *     tie-break — the N² rows are never materialized twice, cached,
+    *     or self-joined (max_by over a struct would be one pass too but
+    *     falls back to SortAggregate with an immutable buffer);
     *   - vector lengths are asserted equal per pair: the split cosine
     *     uses full-length norms while CosineSimilarity truncates to
     *     min(len), so equal length is the contract that keeps them
     *     bit-identical.
     */
   def nearestNeighborJoin(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    // repartition the streamed side on id: a small parquet scan arrives
+    // in ~1 partition, which would run the whole O(N²) scan on one
+    // thread; hash(id) also becomes the cached pair frame's layout, so
+    // the argmax groupBy and the best-score join below need no further
+    // exchange over the N² rows. The partition count is pinned to
+    // cluster width — size-based AQE would coalesce the (tiny) N-row
+    // input back to one partition and serialize the N² work.
     val base = df
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .withColumn("norm", VectorFns.norm2(col("emb")))
       .withColumn("__k", lit(0))
     val b = base.select(
@@ -78,10 +84,9 @@ object Similarity {
         when(col("denom") === 0.0, 0.0)
           .otherwise(VectorFns.dotc(col("emb"), col("nn_emb")) / col("denom")))
       .select(col("id"), col("nn_id"), col("score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val best = pairs.groupBy(col("id")).agg(max(col("score")).as("best_score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     pairs
-      .join(best, Seq("id"))
+      .withColumn("best_score", max(col("score")).over(w))
       .filter(col("score") === col("best_score"))
       .groupBy(col("id"))
       .agg(min(col("nn_id")).as("nn_id"), max(col("best_score")).as("score"))

@@ -75,38 +75,28 @@ object TextAnalysis {
     * fingerprints. Near-dup docs share most fingerprints; robust to
     * insertions unlike a whole-doc hash.
     *
-    * Layout: explode k-gram positions (codegen substr+md5 per row, no
-    * interpreted array lambdas), one window shuffle on the doc id for
-    * the sliding minima. The hash is the leading 8 hex chars of
-    * md5(gram) — lexicographic min on fixed-width lowercase hex equals
-    * numeric min, and mirrors exactly in SQL. Returns (id, fp) rows.
+    * Computed by the `WinnowFingerprints` expression — one eval per
+    * doc (reused digest, O(n) deque sliding min), then a single
+    * explode. No per-gram rows ride a shuffle and no WindowExec runs;
+    * the hash is the leading 8 hex chars of md5(gram), identical to
+    * the relational explode→window-min→distinct formulation that the
+    * SQL oracle mirrors. Returns (id, fp) rows.
     */
   def winnowTable(
       df: DataFrame,
       textCol: String,
       idCol: String,
       k: Int,
-      w: Int): DataFrame = {
-    val nGrams = greatest(length(col(textCol)) - (k - 1), lit(0))
-    val grams = df
-      .select(col(idCol).as("id"), col(textCol).as("__t"), nGrams.as("__n"))
+      w: Int): DataFrame =
+    df
+      // spread the per-doc eval across the cluster — a small parquet
+      // scan arrives in one partition and would serialize the work
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(
-        col("id"),
-        col("__t"),
-        col("__n"),
-        posexplode(sequence(lit(1), col("__n"))).as(Seq("__j", "i")))
-      .select(
-        col("id"),
-        col("__n"),
-        col("i"),
-        substring(md5(col("__t").substr(col("i"), lit(k))), 1, 8).as("h"))
-    val win = Window.partitionBy(col("id")).orderBy(col("i")).rowsBetween(0, w - 1)
-    grams
-      .withColumn("win_min", min(col("h")).over(win))
-      .filter(col("i") <= col("__n") - (w - 1)) // only full windows
-      .select(col("id"), col("win_min").as("fp"))
-      .distinct()
-  }
+        col(idCol).as("id"),
+        explode(
+          graft.expressions.WinnowFingerprints.winnowFps(col(textCol), k, w))
+          .as("fp"))
 
   /** A5 — keyword sentiment: positive/(positive+negative) counts of
     * docs whose text contains any positive vs negative keyword; null
