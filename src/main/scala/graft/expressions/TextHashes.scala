@@ -1,0 +1,346 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared per-document text-hash kernels for the dedup family.
+  *
+  * These mirror the engine's relational formulations bit-for-bit (the
+  * DuckDB oracles are written against those), but run as ONE
+  * interpreted eval per document instead of exploding a row per
+  * token/shingle through shuffles, windows and wide aggregates:
+  * corpus-linear, embarrassingly parallel, no per-gram rows on the
+  * wire — the shape that survives a 100 TB corpus. CodegenFallback is
+  * deliberate: each call does its own tight loops over one doc.
+  */
+private[expressions] object TextHashKernels {
+
+  /** Exactly `TextFns.tokens`: whitespace split of the space-trimmed
+    * text (Spark `trim` removes 0x20 only; `split` keeps trailing
+    * empties, Java `Pattern.split` with limit -1).
+    */
+  def tokens(text: UTF8String): Array[String] = {
+    val t = text.trim().toString
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
+  }
+
+  /** Distinct word n-gram shingles, first-occurrence order. */
+  def shingles(text: UTF8String, n: Int): Array[String] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array.empty[String]
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Unsigned big-endian int from 4 digest bytes at `off` — equals
+    * `conv(substring(hex_digest, off*2+1, 8), 16, 10)`.
+    */
+  def word32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+}
+
+/** `word_shingles(text, n)` — the distinct word-n-gram shingle set of
+  * a document (the row-per-shingle relational form is
+  * `Dedup.shingleTable`; semantics identical).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(n >= 1, "word_shingles: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = TextHashKernels.shingles(input.asInstanceOf[UTF8String], n)
+    val arr = new Array[Any](sh.length)
+    var i = 0
+    while (i < sh.length) { arr(i) = UTF8String.fromString(sh(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def prettyName: String = "word_shingles"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}
+
+/** `minhash_sig(shingles, k)` — k-min-hash signature of a shingle
+  * set as `array<long>`. Hash i of shingle s is the i%4-th 32-bit
+  * big-endian word of md5(s) for i<4, of md5("1:"++s) for i<8, … —
+  * exactly `Dedup.minhashExprs` (`conv` of the 8-hex-char md5 slices),
+  * so the DuckDB oracle's md5 fold mirrors it unchanged. Empty input
+  * yields null (a doc with no shingles has no signature, matching the
+  * groupBy-min formulation where such docs are absent).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(numHashes >= 1, "minhash_sig: numHashes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val nSh = sh.numElements()
+    if (nSh == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val seeds = (numHashes + 3) / 4
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      val s = sh.getUTF8String(i).toString
+      var b = 0
+      while (b < seeds) {
+        md.reset()
+        val payload = if (b == 0) s else s"$b:" + s
+        md.update(payload.getBytes("UTF-8"))
+        val d = md.digest()
+        var j = b * 4
+        val hi = math.min((b + 1) * 4, numHashes)
+        while (j < hi) {
+          val v = TextHashKernels.word32(d, (j % 4) * 4)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  override def prettyName: String = "minhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def signature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+}
+
+/** `simhash64(text)` — the 64-bit SimHash fingerprint as a
+  * 16-hex-char string: per token the leading 64 md5 bits vote ±1 on
+  * each bit position (set ⟺ 2·ones > n_tokens), identical to
+  * `Dedup.simhashTable`'s explode → bit-vote-aggregate formulation
+  * and its SQL mirror. Null for docs with zero tokens (such docs are
+  * absent from the aggregate formulation). `maxTokensPerDoc` is
+  * enforced per doc — the guard for corpora that should have been
+  * chunked upstream.
+  */
+case class SimHash64(child: Expression, maxTokensPerDoc: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHashKernels.tokens(input.asInstanceOf[UTF8String])
+    if (toks.length == 0) return null
+    if (toks.length > maxTokensPerDoc)
+      throw new IllegalArgumentException(
+        s"simhash64: doc exceeds $maxTokensPerDoc tokens; cap or chunk upstream")
+    val md = MessageDigest.getInstance("MD5")
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      md.update(toks(i).getBytes("UTF-8"))
+      val d = md.digest()
+      var bit = 0
+      while (bit < 64) {
+        if (((d(bit >> 3) >> (7 - (bit & 7))) & 1) == 1) ones(bit) += 1
+        bit += 1
+      }
+      i += 1
+    }
+    val n = toks.length
+    val hex = WinnowFingerprints.hexDigits
+    val out = new Array[Byte](16)
+    var p = 0
+    while (p < 16) {
+      var digit = 0
+      var b = 0
+      while (b < 4) {
+        if (2 * ones(p * 4 + b) > n) digit |= 1 << (3 - b)
+        b += 1
+      }
+      out(p) = hex(digit)
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def prettyName: String = "simhash64"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def simhash(text: Column, maxTokensPerDoc: Long = Int.MaxValue): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text), maxTokensPerDoc))
+}
+
+/** `sorted_hashes64(strings)` — each string's 64-bit hash (md5's first
+  * 8 bytes, big-endian signed), sorted ascending and deduplicated.
+  *
+  * This is the set-as-sorted-longs representation production dedup
+  * pipelines verify against: set size and intersection over the hashes
+  * equal the string-set versions up to 64-bit collisions (~1e-15 for
+  * the ~100-element sets a candidate pair compares), and a pair
+  * verification becomes a zero-allocation merge walk instead of
+  * hashing a hundred strings per pair.
+  */
+case class SortedHashes64(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"sorted_hashes64 requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      val d = md.digest()
+      hs(i) = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sorted)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override def prettyName: String = "sorted_hashes64"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedHashes64 {
+  def hashes(strings: Column): Column =
+    ColumnBridge.column(SortedHashes64(ColumnBridge.expression(strings)))
+}
+
+/** `sorted_intersect_size(a, b)` — |A∩B| of two ascending-sorted long
+  * arrays by a merge walk: O(|A|+|B|), no per-pair allocation. The hot
+  * kernel of LSH pair verification.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _                      => false
+      })) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires array<long> inputs, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def prettyName: String = "sorted_intersect_size"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object SortedIntersectSize {
+  def intersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

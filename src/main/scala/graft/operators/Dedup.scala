@@ -25,29 +25,24 @@ object Dedup {
       Seq(TextFns.fingerprint(col(textCol))),
       Seq(col(idCol)))
 
-  /** Distinct word-n-gram shingles per doc: (id, shingle).
+  /** Distinct word-n-gram shingle SETS per doc: (id, sh:array<string>).
     *
-    * Built explode-first (tokenize once → posexplode → window `lead`
-    * to form n-grams) rather than with array lambdas:
-    * higher-order-function lambdas are interpreted (no codegen) and
-    * re-evaluate subtrees per element, which profiled ~100× slower at
-    * sf0.1. This shape is one window shuffle on the doc id and stays
-    * fully codegen'd — the 100 TB-safe layout.
+    * One `WordShingles` eval per document (tokenize + slide + dedupe
+    * in a tight loop) — no row-per-token explode, window or
+    * dropDuplicates aggregate. The input is spread to cluster width
+    * first: shingling is per-doc work, and a small scan would
+    * otherwise serialize it on one partition.
     */
-  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val toks = df.select(
-      col(idCol).as("id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val withLeads = (1 until n).foldLeft(toks) { (acc, k) =>
-      acc.withColumn(s"__t$k", lead(col("tok"), k).over(w))
-    }
-    val parts = col("tok") +: (1 until n).map(k => col(s"__t$k"))
-    withLeads
-      .filter((1 until n).map(k => col(s"__t$k").isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
-      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"))
-      .dropDuplicates("id", "shingle")
-  }
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol).as("id"),
+        graft.expressions.WordShingles.shingles(col(textCol), n).as("sh"))
+
+  /** Distinct word-n-gram shingles per doc as rows: (id, shingle). */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleSets(df, textCol, idCol, n)
+      .select(col("id"), explode(col("sh")).as("shingle"))
 
   /** N-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle;
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
@@ -64,12 +59,22 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Int = 1000): DataFrame = {
-    val sh = shingleTable(df, textCol, idCol, n)
+    // shingles ride as 64-bit hashes from here on: the equi-join and
+    // the common-count only need equality, and long keys shuffle and
+    // compare far cheaper than shingle strings (collisions ~1e-15 for
+    // the set sizes a pair compares — the standard production tradeoff)
+    val sets = shingleSets(df, textCol, idCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("id"),
+        graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col("id"), explode(col("hs")).as("shingle"))
     val filtered = sh
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDf)
       .drop("__df")
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("sz"))
     val a = filtered.select(col("id").as("id_a"), col("shingle"))
     val b = filtered.select(col("id").as("id_b"), col("shingle"))
     val common = a
@@ -120,12 +125,14 @@ object Dedup {
     * per band), bucket-join on (band index, band hash), then verify
     * with exact Jaccard over shingle sets.
     *
-    * Plan shape: tokenize/shingle (one window shuffle) -> signature
-    * hash-agg (one shuffle on id) -> project (id, band, bucket) ->
-    * one shuffle on the bucket key -> pair join inside buckets ->
-    * verify join. The band shuffle carries only (id, band, bucket);
-    * shingle sets are joined back per candidate pair, so the wide
-    * arrays never ride through the bucket shuffle (matters at 100 TB).
+    * Plan shape: ONE narrow pass computes each doc's shingle set and
+    * k-min signature (`WordShingles` + `MinHashSignature`, per-doc
+    * evals — no shingle rows ever ride a shuffle) -> project (id,
+    * band, bucket) -> one shuffle on the bucket key -> pair join
+    * inside buckets -> verify join. The band shuffle carries only
+    * (id, band, bucket); shingle sets are joined back per candidate
+    * pair, so the wide arrays never ride through the bucket shuffle
+    * (matters at 100 TB).
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -137,25 +144,15 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
-    // One aggregation pass computes BOTH the k-min signature columns
-    // and the shingle set per doc — the shingle stream is shuffled
-    // once, and the persisted frame is one row per doc (id, sh, s0..)
-    // instead of one row per (doc, shingle).
-    // Shingle rows are shuffled ONCE on id (repartition), then both
-    // aggregations (fixed-width min-sig -> HashAggregate codegen;
-    // collect_list -> ObjectHashAggregate) run as partition-local
-    // passes over the co-located data and zip back with a no-shuffle
-    // join. Keeping the two aggs separate keeps each generated class
-    // small (the fused wide agg paid ~10s of Janino compile).
-    val sh = shingleTable(df, textCol, idCol, n)
-      .repartition(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigAggs = minhashExprs(col("shingle"), numHashes).zipWithIndex
-      .map { case (h, i) => min(h).as(s"s$i") }
-    val sig = sh.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val sets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
-    val sigSets = sig
-      .join(sets, Seq("id"))
+    val sigSets = shingleSets(df, textCol, idCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("id"),
+        graft.expressions.MinHashSignature.signature(col("sh"), numHashes).as("sig"),
+        // shingle sets as sorted 64-bit hashes: verification is a
+        // merge walk on longs, not string-set intersection (collisions
+        // ~1e-15 at pair scale — the standard production tradeoff)
+        graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket key per band: for bandSize 1 the signature value ITSELF is
     // the bucket (injective — exactly the candidate structure an md5 of
@@ -163,9 +160,10 @@ object Dedup {
     // 32-char shuffle key); wider bands hash the band tuple to one
     // md5 string.
     val bucketCols = (0 until numBands).map { b =>
+      val vals = (0 until bandSize).map(k => element_at(col("sig"), b * bandSize + k + 1))
       val bucket =
-        if (bandSize == 1) col(s"s${b * bandSize}")
-        else md5(concat_ws("|", (0 until bandSize).map(k => col(s"s${b * bandSize + k}")): _*))
+        if (bandSize == 1) vals.head
+        else md5(concat_ws("|", vals.map(_.cast("string")): _*))
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
     val banded = sigSets
@@ -177,17 +175,19 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shSets = sigSets.select(col("id"), col("sh"))
+    val shSets = sigSets.select(col("id"), col("hs"))
     cand
-      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      // |A∪B| = |A|+|B|−|A∩B| (shingle lists are distinct per doc), so
-      // the per-pair work is one intersect — no union array is built
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(shSets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(shSets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      // |A∪B| = |A|+|B|−|A∩B| (hash sets are distinct per doc); the
+      // per-pair work is ONE sorted merge walk over longs
+      .withColumn(
+        "common",
+        graft.expressions.SortedIntersectSize.intersectSize(col("hs_a"), col("hs_b")))
       .withColumn(
         "jaccard",
         col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+          (size(col("hs_a")) + size(col("hs_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -228,62 +228,19 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxTokensPerDoc: Long = Int.MaxValue): DataFrame = {
-    require(
-      maxTokensPerDoc <= Int.MaxValue,
-      s"simhashTable: lane capacity is ${Int.MaxValue} tokens/doc")
-    val hexDigits = "0123456789abcdef"
-    // Lane-packed bit votes: per token and hex position, the 4 bits of
-    // the digit are spread into 2×32-bit lanes of TWO longs
-    // (bit_0 + bit_1<<32, bit_2 + bit_3<<32), so two sum aggregates per
-    // position carry all 4 ones-counts. vote_j > 0 ⟺ 2*ones_j >
-    // n_tokens — same result as the per-bit ±1 vote sums, with 33
-    // aggregates instead of 64. 32-bit lanes keep the ANSI sum within
-    // long range to 2^31 tokens/doc (worst-case addend 2^32+1); lane
-    // extraction uses shiftrightunsigned + AND-mask, valid for the full
-    // lane range regardless of the sign bit. The cap is ENFORCED via
-    // assert_true on the per-doc token count, not just documented.
-    val toks = df.select(
-      col(idCol).as("id"),
-      explode(TextFns.tokens(col(textCol))).as("tok"))
-    // the 64 fingerprint bits as two 32-bit words, parsed ONCE per
-    // token — every bit vote below is then a single shift+AND on a
-    // long instead of a per-position substring+instr over the hex
-    val withBits = toks.select(
-      col("id"),
-      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("w0"),
-      conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("w1"))
-    val laneAggs = (0 until 16).flatMap { pos =>
-      val x = if (pos < 8) col("w0") else col("w1")
-      val s = 4 * (7 - (pos % 8)) // hex digit pos's bit offset in the word
-      // bit b of the digit (b=0 is the digit's MSB, mask 1<<(3-b))
-      def bitOf(b: Int): Column =
-        shiftrightunsigned(x, s + 3 - b).bitwiseAND(lit(1L))
-      Seq(
-        sum(bitOf(0) + shiftleft(bitOf(1), 32)).as(s"l_${pos}_a"),
-        sum(bitOf(2) + shiftleft(bitOf(3), 32)).as(s"l_${pos}_b"))
-    }
-    val votes = withBits
-      .groupBy(col("id"))
-      .agg(laneAggs.head, (laneAggs.tail :+ count(lit(1)).as("n_toks")): _*)
-      .withColumn(
-        "__cap",
-        assert_true(
-          col("n_toks") <= maxTokensPerDoc,
-          lit(s"simhashTable: doc exceeds $maxTokensPerDoc tokens; cap or chunk upstream")))
-      .filter(col("__cap").isNull) // always true; forces the assert to evaluate
-    val digits = (0 until 16).map { pos =>
-      val dv = (0 until 4).map { bit =>
-        val mask = 1 << (3 - bit)
-        val lane = col(s"l_${pos}_${if (bit < 2) "a" else "b"}")
-        val ones =
-          shiftrightunsigned(lane, 32 * (bit % 2)).bitwiseAND(lit(0xFFFFFFFFL))
-        when(ones * 2 > col("n_toks"), lit(mask)).otherwise(lit(0))
-      }.reduce(_ + _)
-      lit(hexDigits).substr(dv + 1, lit(1))
-    }
-    votes.select(col("id"), concat(digits: _*).as("simhash"))
-  }
+      maxTokensPerDoc: Long = Int.MaxValue): DataFrame =
+    // One `SimHash64` eval per doc (per-token md5 + 64 int bit-vote
+    // counters in a tight loop) — no row-per-token explode and no
+    // wide vote aggregate; the token cap is enforced inside the eval.
+    // Docs with zero tokens are dropped (null fingerprint), matching
+    // the aggregate formulation where they are absent.
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol).as("id"),
+        graft.expressions.SimHash64
+          .simhash(col(textCol), maxTokensPerDoc)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Hamming distance between two same-length hex fingerprints. */
   def hammingHex(a: Column, b: Column): Column = {
@@ -379,8 +336,10 @@ object Dedup {
           newLabel.as("cluster_id"),
           (newLabel < col("cluster_id")).as("__changed"))
       // truncate lineage each round — iterative joins otherwise
-      // re-derive the whole history every action
-      val materialized = next.localCheckpoint()
+      // re-derive the whole history every action. Lazy: the
+      // changed-count action below materializes the checkpoint, so
+      // each round runs ONE job, not a checkpoint job plus an agg job.
+      val materialized = next.localCheckpoint(eager = false)
       val changed = materialized
         .agg(coalesce(sum(when(col("__changed"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
