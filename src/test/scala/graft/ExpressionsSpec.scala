@@ -1,0 +1,106 @@
+package graft
+
+import graft.expressions.{MinHashSignature, SimHash64, SortedHashes64, SortedIntersectSize, WinnowFingerprints, WordShingles}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the per-document kernel expressions, pinned against
+  * the relational/built-in formulations they replaced (which the
+  * DuckDB oracles mirror).
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WordShingles matches tokenize+slide+distinct; short/empty docs empty") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b"),           // fewer tokens than n
+      (3L, ""),              // blank
+      (4L, "  x   y z  "),   // ragged whitespace
+      (5L, "p q p q p q")    // duplicate shingles collapse
+    ).toDF("id", "t")
+    val got = df.select($"id", WordShingles.shingles($"t", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) == Set("a b c", "b c d"))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    assert(got(4L) == Set("x y z"))
+    assert(got(5L) == Set("p q p", "q p q"))
+  }
+
+  test("MinHashSignature equals the md5-slice min formulation") {
+    // independent recomputation of Dedup.minhashExprs semantics on an
+    // exploded table, vs the expression over the same shingle set
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today ok")
+    ).toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.shingleTable(docs, "text", "doc_id", 3)
+    val hs = graft.operators.Dedup.minhashExprs($"shingle", 8).zipWithIndex
+      .map { case (h, i) => min(h).as(s"s$i") }
+    val viaAgg = sh.groupBy($"id").agg(hs.head, hs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val viaExpr = graft.operators.Dedup.shingleSets(docs, "text", "doc_id", 3)
+      .select($"id", MinHashSignature.signature($"sh", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaAgg == viaExpr)
+  }
+
+  test("SimHash64 equals the column-wise fingerprint; zero tokens null; cap enforced") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown cat"),
+      (3L, "   ")
+    ).toDF("id", "t")
+    val viaExpr = df.select($"id", SimHash64.simhash($"t").as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val viaCol = df.filter(length(trim($"t")) > 0)
+      .select($"id",
+        graft.operators.Dedup.simhashFingerprint(graft.functions.TextFns.tokens($"t")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr(1L).contains(viaCol(1L)))
+    assert(viaExpr(2L).contains(viaCol(2L)))
+    assert(viaExpr(3L).isEmpty)
+    intercept[Exception] {
+      df.filter($"id" === 1L)
+        .select(SimHash64.simhash($"t", maxTokensPerDoc = 2)).collect()
+    }
+  }
+
+  test("SortedHashes64 + SortedIntersectSize agree with string-set intersection") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq("a"))
+    ).toDF("a", "b")
+    val got = df.select(
+      SortedIntersectSize.intersectSize(
+        SortedHashes64.hashes($"a"), SortedHashes64.hashes($"b")).as("c"),
+      size(array_intersect($"a", $"b")).as("expect"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    got.foreach { case (c, e) => assert(c == e) }
+  }
+
+  test("WinnowFingerprints equals the explode+window+distinct formulation") {
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val k = 8; val w = 10
+    val viaExpr = graft.operators.TextAnalysis
+      .winnowTable(docs, "text", "doc_id", k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // relational reference formulation
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"i").rowsBetween(0, w - 1)
+    val nG = greatest(length($"text") - (k - 1), lit(0))
+    val viaWindow = docs
+      .select($"doc_id".as("id"), $"text", nG.as("n"))
+      .select($"id", $"text", $"n", posexplode(sequence(lit(1), $"n")).as(Seq("j", "i")))
+      .select($"id", $"n", $"i", substring(md5($"text".substr($"i", lit(k))), 1, 8).as("h"))
+      .withColumn("m", min($"h").over(win))
+      .filter($"i" <= $"n" - (w - 1))
+      .select($"id", $"m").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExpr == viaWindow)
+  }
+}
