@@ -702,6 +702,29 @@ object SparkEntryCoverage {
         .select(col("id").as("doc_id"), col("fp"))
         .orderBy(col("doc_id"), col("fp"))
     },
+    // Benchmark decontamination: corpus docs' distinct 3-gram overlap
+    // with the src0 "benchmark" slice — the pretraining hygiene step
+    // that flags training docs leaking eval data
+    "dd_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup
+        .crossCorpusOverlap(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text",
+          "doc_id",
+          3)
+        .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    // C4/Gopher repetition filter signals: duplicate-bigram fraction
+    // and top-bigram share per doc
+    "t_repetition" -> { (s, dir) =>
+      TextAnalysis
+        .repetitionStats(t(s, dir, "documents"), "text", "doc_id", 2)
+        .select(col("id").as("doc_id"), col("n_ngrams"), col("dup_frac"), col("top_frac"))
+        .orderBy(col("doc_id"))
+    },
     // Multimodal frame sampling: one row per strideBytes window of the
     // binary content (the every-Nth-frame path for a real decoder)
     "mm_frame_sample" -> { (s, dir) =>
@@ -1241,6 +1264,31 @@ object SparkEntryCoverage {
         | FROM grams WHERE n >= 10)
         |SELECT doc_id, unnest(fps) AS fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin,
+    "dd_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |        unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM tok WHERE len(tk) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        |cnt AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |        FROM sh JOIN bench USING (s) WHERE sh.source <> 'src0' GROUP BY sh.doc_id)
+        |SELECT d.doc_id, COALESCE(c.n_overlap, 0) AS n_overlap,
+        |       COALESCE(c.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |g AS (SELECT doc_id, len(tk) - 1 AS total,
+        |       unnest(list_transform(generate_series(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1])) AS gm
+        |      FROM tok WHERE len(tk) >= 2),
+        |cnt AS (SELECT doc_id, total, gm, COUNT(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(MAX(total) AS BIGINT) AS n_ngrams,
+        |       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS dup_frac,
+        |       CAST(MAX(c) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(gs.i AS BIGINT) AS frame_index,
         | CAST(least(100, length(text) - gs.i * 100) AS BIGINT) AS n_frame_bytes

@@ -344,3 +344,62 @@ object SortedIntersectSize {
     ColumnBridge.column(
       SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** `ngram_stats(text, n)` — word n-gram occurrence statistics of one
+  * document: struct(total, distinct, top) where `total` counts all
+  * n-gram occurrences, `distinct` the distinct n-grams, and `top` the
+  * occurrences of the most frequent one. The inputs to the C4/Gopher
+  * family of repetition quality filters (duplicate-n-gram fraction,
+  * top-n-gram fraction). Null when the doc has fewer than n tokens.
+  */
+case class NgramStats(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(n >= 1, "ngram_stats: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"ngram_stats requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("distinct", LongType, nullable = false),
+      StructField("top", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHashKernels.tokens(input.asInstanceOf[UTF8String])
+    val total = toks.length - (n - 1)
+    if (total <= 0) return null
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var top = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, counts.size.toLong, top.toLong))
+  }
+
+  override def prettyName: String = "ngram_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramStats {
+  def stats(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramStats(ColumnBridge.expression(text), n))
+}

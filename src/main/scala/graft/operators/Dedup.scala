@@ -363,6 +363,42 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** Benchmark decontamination (cross-corpus n-gram overlap): per
+    * corpus doc, how many of its distinct word-n-gram shingles appear
+    * anywhere in the `benchmark` corpus — the standard pretraining
+    * hygiene step that drops training docs leaking eval data.
+    *
+    * Scale shape: the benchmark shingle-hash set is distinct'd and
+    * broadcast (benchmark suites are MBs, corpora are TBs), so the
+    * corpus side streams map-side with no shuffle of corpus shingles;
+    * overlaps aggregate per doc id. Shingles compare as 64-bit hashes
+    * (collision odds ~1e-9 corpus-wide — the production tradeoff).
+    * Returns (id, n_overlap, contaminated) for every corpus doc, 0 for
+    * docs with no shingles.
+    */
+  def crossCorpusOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    import graft.expressions.SortedHashes64
+    val c = shingleSets(corpus, textCol, idCol, n)
+      .select(col("id"), explode(SortedHashes64.hashes(col("sh"))).as("h"))
+    val b = shingleSets(benchmark, textCol, idCol, n)
+      .select(explode(SortedHashes64.hashes(col("sh"))).as("h"))
+      .distinct()
+    val counts = c
+      .join(broadcast(b), Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** Embedding-cosine near-duplicate pairs over an embedding column —
     * see Similarity.knnJoin for the bucketed variant; this is the
     * exact quadratic baseline, use only on bounded partitions.

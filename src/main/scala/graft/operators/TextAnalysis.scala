@@ -98,6 +98,26 @@ object TextAnalysis {
           graft.expressions.WinnowFingerprints.winnowFps(col(textCol), k, w))
           .as("fp"))
 
+  /** C4/Gopher-style repetition quality signals per doc: the
+    * duplicate-n-gram fraction (1 − distinct/total occurrences) and
+    * the top-n-gram fraction (most frequent n-gram's share). Highly
+    * repetitive docs (boilerplate, spam, degenerate generations) score
+    * high on both. One `NgramStats` eval per doc; docs with fewer than
+    * n tokens are dropped. Returns (id, n_ngrams, dup_frac, top_frac).
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol).as("id"),
+        graft.expressions.NgramStats.stats(col(textCol), n).as("st"))
+      .filter(col("st").isNotNull)
+      .select(
+        col("id"),
+        col("st.total").as("n_ngrams"),
+        (lit(1.0) - col("st.distinct").cast("double") / col("st.total").cast("double"))
+          .as("dup_frac"),
+        (col("st.top").cast("double") / col("st.total").cast("double")).as("top_frac"))
+
   /** A5 — keyword sentiment: positive/(positive+negative) counts of
     * docs whose text contains any positive vs negative keyword; null
     * when both are 0 (reference `structured_extraction_v2.py:3196-3207`).

@@ -113,6 +113,33 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(2L, 11L, 99L)) // canonical per cluster + untouched doc
   }
 
+  test("crossCorpusOverlap flags docs sharing n-grams with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma"
+      (2L, "nothing in common here at all"),
+      (3L, "xy")                          // too short for shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusOverlap(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (1L, true))
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false))
+  }
+
+  test("repetitionStats: dup and top bigram fractions") {
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab -> total 5, distinct 2, top 3
+      (2L, "u v w x"),     // all distinct: total 3, top 1
+      (3L, "solo")         // too short -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 1.0 - 2.0 / 5.0, 3.0 / 5.0)))
+    assert(got(2L) == ((3L, 0.0, 1.0 / 3.0)))
+    assert(!got.contains(3L))
+  }
+
   test("normalizeText and bpeTokenCount") {
     val r = Seq("  Hello,   World42!​ ").toDF("t")
       .select(
