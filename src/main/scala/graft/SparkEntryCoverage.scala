@@ -702,6 +702,37 @@ object SparkEntryCoverage {
         .select(col("id").as("doc_id"), col("fp"))
         .orderBy(col("doc_id"), col("fp"))
     },
+    // Deterministic 10% hash sample: same rows every run, any engine,
+    // any partitioning (the sample-for-kmeans / subcorpus primitive)
+    "s_hash_sample" -> { (s, dir) =>
+      Sampling
+        .hashSample(t(s, dir, "documents"), col("doc_id"), 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    // Deterministic train/val/test split assignment, counted per split
+    "s_split_assign" -> { (s, dir) =>
+      Sampling
+        .splitAssign(
+          t(s, dir, "documents"),
+          col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("source"))
+    },
+    // The SQL surface end-to-end: the same V2 top-k through spark.sql
+    // with the GraftExtensions-registered cosine_similarity function
+    "v_sql_topk" -> { (s, dir) =>
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_sqlv")
+      s.sql(
+        """WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qe
+          |           FROM embeddings_sqlv WHERE vec_id = 0)
+          |SELECT vec_id, label,
+          |       cosine_similarity(CAST(embedding AS ARRAY<DOUBLE>), qe) AS score
+          |FROM embeddings_sqlv, q WHERE vec_id <> 0
+          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+    },
     // Benchmark decontamination: corpus docs' distinct 3-gram overlap
     // with the src0 "benchmark" slice — the pretraining hygiene step
     // that flags training docs leaking eval data
@@ -747,6 +778,15 @@ object SparkEntryCoverage {
     * (same as SparkEntry.sqlCosine — duplicated to keep this object
     * self-contained).
     */
+  /** DuckDB mirror of `Sampling.hash32`: leading 32 md5 bits of the
+    * stringified key as a BIGINT (hex fold, same as the minhash
+    * oracle's slice parsing).
+    */
+  private def sqlHash32(key: String): String =
+    s"list_reduce(list_transform(generate_series(1, 8), " +
+      s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
+      s"(a, b) -> a * 16 + b)"
+
   private def sqlCosine(a: String, b: String): String = {
     val n = s"least(len($a), len($b))"
     def fold(x: String, y: String) =
@@ -1264,6 +1304,22 @@ object SparkEntryCoverage {
         | FROM grams WHERE n >= 10)
         |SELECT doc_id, unnest(fps) AS fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin,
+    "s_hash_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${sqlHash32("doc_id")} < ${Sampling.threshold(0.1)}
+         |ORDER BY doc_id""".stripMargin,
+    "s_split_assign" ->
+      s"""WITH h AS (SELECT source, ${sqlHash32("doc_id")} AS h FROM documents)
+         |SELECT CASE WHEN h < ${Sampling.threshold(0.8)} THEN 'train'
+         |            WHEN h < ${Sampling.threshold(0.9)} THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       source, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "v_sql_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "dd_decontaminate" ->
       """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
         |sh AS (SELECT doc_id, source,

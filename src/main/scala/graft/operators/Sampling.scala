@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic hash-based sampling and dataset splitting.
+  *
+  * At 100 TB a sample must be (a) reproducible across runs and engines
+  * (no RNG state, no partition-order dependence), (b) stable under
+  * repartitioning, and (c) pushable below wide operators. Keying on
+  * `md5(key)`'s leading 32 bits gives all three: the predicate is a
+  * pure per-row expression (pipelines into the scan), and the same
+  * rows are selected by any engine that can compute md5 — which is
+  * exactly how the DuckDB oracle mirrors it. This is the sampling
+  * primitive behind k-means fitting, eval-split carving and
+  * per-experiment subcorpora (reference samples ad hoc in pandas;
+  * SURVEY §2.4 A-family).
+  */
+object Sampling {
+
+  private val Space: Double = 4294967296.0 // 2^32
+
+  /** Leading 32 md5 bits of the key as an unsigned long — uniform on
+    * [0, 2^32), deterministic, engine-portable.
+    */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** The exact threshold used for `fraction`: computed ONCE here (Java
+    * double→long truncation) and inlined as a literal on both the
+    * Spark and oracle side — two engines rounding `fraction * 2^32`
+    * independently could disagree on the boundary hash.
+    */
+  def threshold(fraction: Double): Long = (fraction * Space).toLong
+
+  /** Keep rows whose key hashes into the first `fraction` of the hash
+    * space. Deterministic: same keys selected every run, on any
+    * engine, under any partitioning.
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(hash32(key) < lit(threshold(fraction)))
+  }
+
+  /** Assign each row a split label by cumulative hash-range buckets,
+    * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. The last
+    * split absorbs the remainder of the space, so weights that sum to
+    * 1 partition it exactly; every key lands in exactly one split,
+    * stable across runs and engines.
+    */
+  def splitAssign(
+      df: DataFrame,
+      key: Column,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(threshold)
+    val h = hash32(key)
+    val assigned = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
+      when(h < lit(hi), lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+}

@@ -140,6 +140,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("Sampling: hashSample deterministic subset; splitAssign partitions exactly") {
+    val df = (1L to 1000L).toDF("id")
+    val s1 = operators.Sampling.hashSample(df, $"id", 0.2).collect().map(_.getLong(0)).toSet
+    val s2 = operators.Sampling.hashSample(df, $"id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 1000)
+    // nested fractions: a 10% sample is a subset of the 20% sample
+    val s3 = operators.Sampling.hashSample(df, $"id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+    val splits = operators.Sampling
+      .splitAssign(df, $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 1000L)
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
   test("normalizeText and bpeTokenCount") {
     val r = Seq("  Hello,   World42!​ ").toDF("t")
       .select(
