@@ -1,9 +1,9 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, MinHashSignature, NgramStats, SimHash64, SortedHashes64, SortedIntersectSize, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extensions: registers the engine's codegen expressions as
   * SQL functions, so `spark.sql("SELECT cosine_similarity(a, b)")`
@@ -36,6 +36,84 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => {
           require(args.length == 2, "dot_product takes 2 arguments")
           DotProduct(args.head, args(1))
+        }))
+    // per-document text kernels — int parameters must be foldable
+    // literals (they shape the computation, not per-row inputs)
+    def intArg(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: expected an integer literal, got $other")
+    }
+    ext.injectFunction(
+      (
+        FunctionIdentifier("word_shingles"),
+        info(
+          "word_shingles",
+          "word_shingles(text, n) - distinct word n-gram shingles of a document"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "word_shingles takes 2 arguments")
+          WordShingles(args.head, intArg(args(1), "word_shingles"))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_sig"),
+        info(
+          "minhash_sig",
+          "minhash_sig(shingles, k) - k-min-hash signature of a shingle set as array<long>"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "minhash_sig takes 2 arguments")
+          MinHashSignature(args.head, intArg(args(1), "minhash_sig"))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        info(
+          "simhash64",
+          "simhash64(text) - 64-bit SimHash fingerprint as 16 hex chars"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "simhash64 takes 1 argument")
+          SimHash64(args.head, Int.MaxValue)
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("winnow_fps"),
+        info(
+          "winnow_fps",
+          "winnow_fps(text, k, w) - distinct winnowing fingerprints (k-gram, window w)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "winnow_fps takes 3 arguments")
+          WinnowFingerprints(args.head, intArg(args(1), "winnow_fps"), intArg(args(2), "winnow_fps"))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("ngram_stats"),
+        info(
+          "ngram_stats",
+          "ngram_stats(text, n) - struct(total, distinct, top) word n-gram occurrence stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "ngram_stats takes 2 arguments")
+          NgramStats(args.head, intArg(args(1), "ngram_stats"))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("sorted_hashes64"),
+        info(
+          "sorted_hashes64",
+          "sorted_hashes64(strings) - sorted distinct 64-bit md5 hashes of the strings"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "sorted_hashes64 takes 1 argument")
+          SortedHashes64(args.head)
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("sorted_intersect_size"),
+        info(
+          "sorted_intersect_size",
+          "sorted_intersect_size(a, b) - |A∩B| of two ascending-sorted array<long>"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "sorted_intersect_size takes 2 arguments")
+          SortedIntersectSize(args.head, args(1))
         }))
   }
 }

@@ -108,6 +108,28 @@ class FunctionsSpec extends SparkSpec {
     assert(v == v2)
   }
 
+  test("GraftExtensions: text kernels callable from SQL") {
+    val r = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS sh, " +
+        "simhash64('hello world') AS fp, " +
+        "minhash_sig(word_shingles('a b c d', 3), 4) AS sig, " +
+        "ngram_stats('x y x y', 2) AS st, " +
+        "sorted_intersect_size(sorted_hashes64(array('p','q','r')), " +
+        "                      sorted_hashes64(array('q','r','s'))) AS c, " +
+        "size(winnow_fps('abcdefghijklmnopqrstuvwxyz', 8, 10)) AS nf")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getString(1).matches("[0-9a-f]{16}"))
+    assert(r.getSeq[Long](2).length == 4)
+    assert(r.getStruct(3).getLong(0) == 3L && r.getStruct(3).getLong(2) == 2L)
+    assert(r.getInt(4) == 2)
+    assert(r.getInt(5) > 0)
+    // a non-literal n parameter is rejected, not silently misread
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', length('xy'))").collect()
+    }
+  }
+
   test("GraftExtensions: cosine_similarity / dot_product callable from SQL") {
     val r = spark
       .sql(
