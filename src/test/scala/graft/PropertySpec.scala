@@ -28,6 +28,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kernel property: WordShingles == relational shingling on ragged text") {
+    // random texts with mixed whitespace (spaces, tabs, newlines,
+    // runs), empty and short docs — the tokenization edge cases
+    val words = Vector("fox", "dog", "a", "Thé", "42", "x-y", "q")
+    val ws = Vector(" ", "  ", "\t", "\n", " \t ")
+    def randText(): String = {
+      val n = rnd.nextInt(12)
+      val sb = new StringBuilder
+      if (rnd.nextBoolean()) sb.append(ws(rnd.nextInt(ws.length)))
+      (0 until n).foreach { i =>
+        if (i > 0) sb.append(ws(rnd.nextInt(ws.length)))
+        sb.append(words(rnd.nextInt(words.length)))
+      }
+      if (rnd.nextBoolean()) sb.append(ws(rnd.nextInt(ws.length)))
+      sb.toString
+    }
+    val docs = (1L to 60L).map(i => (i, randText())).toDF("doc_id", "text")
+    val viaKernel = graft.operators.Dedup.shingleTable(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // relational reference: explode tokens, window lead, distinct
+    val toks = docs.select(
+      $"doc_id".as("id"),
+      posexplode(TextFns.tokens($"text")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"pos")
+    val viaRelational = toks
+      .withColumn("t1", lead($"tok", 1).over(w))
+      .filter($"t1".isNotNull)
+      .select($"id", concat_ws(" ", $"tok", $"t1").as("shingle"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaKernel == viaRelational)
+  }
+
+  test("kernel property: SimHash64 == column fingerprint on random docs") {
+    val docs = (1L to 40L)
+      .map(i => (i, Seq.fill(1 + rnd.nextInt(30))(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaKernel = graft.operators.Dedup.simhashTable(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaColumn = docs
+      .select($"doc_id",
+        graft.operators.Dedup.simhashFingerprint(TextFns.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaKernel == viaColumn)
+  }
+
   test("C2 property: parseMoney round-trips integer amounts across suffixes") {
     val suffixes = Seq("K" -> 1e3, "M" -> 1e6, "B" -> 1e9, "" -> 1.0)
     val prefixes = Seq("$", "about $", "US$", "~$", "over $")
