@@ -81,6 +81,20 @@ object SparkEntryCoverage {
           grouping(col("l_linestatus")).cast("long").as("g_status"))
         .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
     },
+    // exact multi-quantile per group: percentile_cont at dyadic
+    // fractions over the integer-valued quantity — interpolation is
+    // exact rational arithmetic, so Spark and DuckDB agree bit-for-bit
+    "a_quantiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(
+          col("l_linestatus"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"))
+        .orderBy(col("l_linestatus"))
+    },
     // lead/lag window family: inter-event gap seconds per user
     "w_event_gaps" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -1304,6 +1318,12 @@ object SparkEntryCoverage {
         | FROM grams WHERE n >= 10)
         |SELECT doc_id, unnest(fps) AS fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin,
+    "a_quantiles" ->
+      """SELECT l_linestatus,
+        |       quantile_cont(l_quantity, 0.25) AS q25,
+        |       quantile_cont(l_quantity, 0.5)  AS q50,
+        |       quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "s_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${sqlHash32("doc_id")} < ${Sampling.threshold(0.1)}
