@@ -54,6 +54,26 @@ private[expressions] object TextHashKernels {
   def word32(d: Array[Byte], off: Int): Long =
     ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
       ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+
+  /** Signed big-endian long from the first 8 digest bytes. */
+  def word64(d: Array[Byte]): Long =
+    (word32(d, 0) << 32) | word32(d, 4)
+
+  private val hexDigits: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** The low 4*`width` bits of `v` as lowercase hex bytes — the ONE
+    * hex emitter all kernels share, so the md5-slice oracle mirrors
+    * can't drift apart copy by copy.
+    */
+  def hexBytes(v: Long, width: Int): Array[Byte] = {
+    val b = new Array[Byte](width)
+    var p = 0
+    while (p < width) {
+      b(p) = hexDigits(((v >>> ((width - 1 - p) * 4)) & 0xf).toInt)
+      p += 1
+    }
+    b
+  }
 }
 
 /** `word_shingles(text, n)` — the distinct word-n-gram shingle set of
@@ -100,7 +120,9 @@ object WordShingles {
   * exactly `Dedup.minhashExprs` (`conv` of the 8-hex-char md5 slices),
   * so the DuckDB oracle's md5 fold mirrors it unchanged. Empty input
   * yields null (a doc with no shingles has no signature, matching the
-  * groupBy-min formulation where such docs are absent).
+  * groupBy-min formulation where such docs are absent); null ELEMENTS
+  * are skipped (a null shingle is not a set member — the aggregate
+  * formulation's `min` ignores null hashes the same way).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression
@@ -122,12 +144,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def nullSafeEval(input: Any): Any = {
     val sh = input.asInstanceOf[ArrayData]
     val nSh = sh.numElements()
-    if (nSh == 0) return null
     val md = MessageDigest.getInstance("MD5")
     val seeds = (numHashes + 3) / 4
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < nSh) {
+      if (sh.isNullAt(i)) { i += 1 }
+      else {
+      any = true
       val s = sh.getUTF8String(i).toString
       var b = 0
       while (b < seeds) {
@@ -145,7 +170,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         b += 1
       }
       i += 1
+      }
     }
+    if (!any) return null
     new GenericArrayData(mins.map(v => v: Any))
   }
 
@@ -206,20 +233,13 @@ case class SimHash64(child: Expression, maxTokensPerDoc: Long)
       i += 1
     }
     val n = toks.length
-    val hex = WinnowFingerprints.hexDigits
-    val out = new Array[Byte](16)
-    var p = 0
-    while (p < 16) {
-      var digit = 0
-      var b = 0
-      while (b < 4) {
-        if (2 * ones(p * 4 + b) > n) digit |= 1 << (3 - b)
-        b += 1
-      }
-      out(p) = hex(digit)
-      p += 1
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (2 * ones(bit) > n) fp |= 1L << (63 - bit)
+      bit += 1
     }
-    UTF8String.fromBytes(out)
+    UTF8String.fromBytes(TextHashKernels.hexBytes(fp, 16))
   }
 
   override def prettyName: String = "simhash64"
@@ -261,22 +281,22 @@ case class SortedHashes64(child: Expression)
     val n = arr.numElements()
     val md = MessageDigest.getInstance("MD5")
     val hs = new Array[Long](n)
+    var m = 0 // null elements are skipped: not set members
     var i = 0
     while (i < n) {
-      md.reset()
-      md.update(arr.getUTF8String(i).getBytes)
-      val d = md.digest()
-      hs(i) = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        hs(m) = TextHashKernels.word64(md.digest())
+        m += 1
+      }
       i += 1
     }
-    java.util.Arrays.sort(hs)
+    java.util.Arrays.sort(hs, 0, m)
     // dedupe in place (sorted)
     var w = 0
     i = 0
-    while (i < n) {
+    while (i < m) {
       if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
       i += 1
     }
@@ -323,11 +343,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      // null slots are not set members; skip them rather than reading
+      // them as 0 (getLong on a null slot silently yields 0)
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }

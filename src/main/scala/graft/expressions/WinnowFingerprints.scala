@@ -63,9 +63,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     while (i < n) {
       md.reset()
       md.update(text.substring(i, i + k).getBytes)
-      val d = md.digest()
-      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      hs(i) = TextHashKernels.word32(md.digest(), 0)
       i += 1
     }
     // monotonic-deque sliding minimum over windows [i, i+w-1]
@@ -82,19 +80,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       if (i >= w - 1) out.add(hs(deque(head)))
       i += 1
     }
-    val hex = WinnowFingerprints.hexDigits
     val arr = new Array[Any](out.size)
     val it = out.iterator()
     var j = 0
     while (it.hasNext) {
-      val v = it.next()
-      val b = new Array[Byte](8)
-      var p = 0
-      while (p < 8) {
-        b(p) = hex(((v >>> ((7 - p) * 4)) & 0xf).toInt)
-        p += 1
-      }
-      arr(j) = UTF8String.fromBytes(b)
+      arr(j) = UTF8String.fromBytes(TextHashKernels.hexBytes(it.next(), 8))
       j += 1
     }
     new GenericArrayData(arr)
@@ -107,9 +97,6 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 object WinnowFingerprints {
-
-  private[expressions] val hexDigits: Array[Byte] =
-    "0123456789abcdef".getBytes("US-ASCII")
 
   /** Column API: distinct winnowing fingerprints of a text column. */
   def winnowFps(text: Column, k: Int, w: Int): Column =

@@ -34,7 +34,7 @@ object Dedup {
     * otherwise serialize it on one partition.
     */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Width.spread(df)
       .select(
         col(idCol).as("id"),
         graft.expressions.WordShingles.shingles(col(textCol), n).as("sh"))
@@ -51,6 +51,14 @@ object Dedup {
     * shingles can skew — AQE skew-join handles moderate skew, and a
     * document-frequency cap (`maxDf`) drops degenerate buckets the way
     * production dedup pipelines drop stop-shingles.
+    *
+    * Caching contract (also `minhashLshPairs`/`simhashNearDupPairs`):
+    * the returned plan reads an internally persisted frame so both
+    * join sides share one upstream pass. The blocks live until the
+    * session clears them — long-lived sessions should
+    * `spark.catalog.clearCache()` (or unpersist all persistent RDDs)
+    * after consuming the result, as the engine's Bench/Profile mains
+    * do between queries.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -234,7 +242,7 @@ object Dedup {
     // wide vote aggregate; the token cap is enforced inside the eval.
     // Docs with zero tokens are dropped (null fingerprint), matching
     // the aggregate formulation where they are absent.
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Width.spread(df)
       .select(
         col(idCol).as("id"),
         graft.expressions.SimHash64
@@ -411,11 +419,12 @@ object Dedup {
     import graft.functions.VectorFns
     // norms below the join (per row), constant-key equi-join → codegen
     // BroadcastHashJoin, one dot fold per pair (see Similarity notes)
-    val base = df
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
-      // parallelize the quadratic scan (see nearestNeighborJoin: pinned
-      // width, or AQE coalesces the tiny input back to one partition)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // parallelize the quadratic scan when the input is narrow (see
+    // nearestNeighborJoin)
+    val base = Width
+      .spreadBy(
+        df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb")),
+        col("id"))
       .withColumn("norm", VectorFns.norm2(col("emb")))
       .withColumn("__k", lit(0))
     val a = base.select(

@@ -54,16 +54,15 @@ object Similarity {
     *     bit-identical.
     */
   def nearestNeighborJoin(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    // repartition the streamed side on id: a small parquet scan arrives
-    // in ~1 partition, which would run the whole O(N²) scan on one
-    // thread; hash(id) also becomes the cached pair frame's layout, so
-    // the argmax groupBy and the best-score join below need no further
-    // exchange over the N² rows. The partition count is pinned to
-    // cluster width — size-based AQE would coalesce the (tiny) N-row
-    // input back to one partition and serialize the N² work.
-    val base = df
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // spread the streamed side on id: a small parquet scan arrives in
+    // ~1 partition, which would run the whole O(N²) scan on one
+    // thread; hash(id) also becomes the pair stream's layout, so the
+    // window argmax below needs no further exchange over the N² rows.
+    // No-op for inputs already at cluster width (Width.spreadBy).
+    val base = Width
+      .spreadBy(
+        df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb")),
+        col("id"))
       .withColumn("norm", VectorFns.norm2(col("emb")))
       .withColumn("__k", lit(0))
     val b = base.select(

@@ -88,10 +88,8 @@ object TextAnalysis {
       idCol: String,
       k: Int,
       w: Int): DataFrame =
-    df
-      // spread the per-doc eval across the cluster — a small parquet
-      // scan arrives in one partition and would serialize the work
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Width
+      .spread(df)
       .select(
         col(idCol).as("id"),
         explode(
@@ -106,7 +104,7 @@ object TextAnalysis {
     * n tokens are dropped. Returns (id, n_ngrams, dup_frac, top_frac).
     */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Width.spread(df)
       .select(
         col(idCol).as("id"),
         graft.expressions.NgramStats.stats(col(textCol), n).as("st"))

@@ -79,6 +79,24 @@ class ExpressionsSpec extends SparkSpec {
     got.foreach { case (c, e) => assert(c == e) }
   }
 
+  test("null array elements are skipped, not crashed on or counted as zero") {
+    // SQL-surface inputs can carry null elements; they are not set
+    // members: minhash/sorted-hash skip them, intersect never reads a
+    // null slot as hash 0
+    val r = spark.sql(
+      "SELECT minhash_sig(array('a', CAST(NULL AS STRING)), 4) AS sig, " +
+        "minhash_sig(array(CAST(NULL AS STRING)), 4) AS sig_null, " +
+        "sorted_hashes64(array('a', CAST(NULL AS STRING), 'b')) AS hs, " +
+        "sorted_intersect_size(array(CAST(NULL AS BIGINT), 1L, 2L), array(0L, 2L)) AS c")
+      .collect().head
+    val clean = spark.sql("SELECT minhash_sig(array('a'), 4) AS sig, " +
+      "sorted_hashes64(array('a', 'b')) AS hs").collect().head
+    assert(r.getSeq[Long](0) == clean.getSeq[Long](0)) // null member ignored
+    assert(r.isNullAt(1)) // all-null set == empty set == no signature
+    assert(r.getSeq[Long](2) == clean.getSeq[Long](1))
+    assert(r.getInt(3) == 1) // only 2 matches; null slot is not hash 0
+  }
+
   test("WinnowFingerprints equals the explode+window+distinct formulation") {
     val docs = Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
