@@ -81,6 +81,32 @@ object SparkEntryCoverage {
           grouping(col("l_linestatus")).cast("long").as("g_status"))
         .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
     },
+    // TPC-H Q4 pattern: EXISTS correlated subquery as a left-semi join
+    // with a non-equi conjunct (late-shipped orders per priority)
+    "q4_priority_exists" -> { (s, dir) =>
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"))
+      val l = t(s, dir, "lineitem")
+      o.join(
+          l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // TPC-H Q16 pattern: count-distinct aggregate + HAVING filter
+    "q16_supplier_cnt" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .filter(col("supplier_cnt") > 40)
+        .orderBy(col("p_brand"), col("p_size"))
+    },
     // exact multi-quantile per group: percentile_cont at dyadic
     // fractions over the integer-valued quantity — interpolation is
     // exact rational arithmetic, so Spark and DuckDB agree bit-for-bit
@@ -1318,6 +1344,21 @@ object SparkEntryCoverage {
         | FROM grams WHERE n >= 10)
         |SELECT doc_id, unnest(fps) AS fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY p_brand, p_size
+        |HAVING COUNT(DISTINCT l_suppkey) > 40
+        |ORDER BY p_brand, p_size""".stripMargin,
     "a_quantiles" ->
       """SELECT l_linestatus,
         |       quantile_cont(l_quantity, 0.25) AS q25,

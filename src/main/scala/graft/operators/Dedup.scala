@@ -323,26 +323,33 @@ object Dedup {
       .select(col("id"), least(col("id"), col("cluster_id")).as("cluster_id"))
     var iter = 0
     var converged = false
-    // Convergence witness: labels only ever DECREASE (least/min
-    // propagation), so "no row's new label is strictly smaller" ⟺
-    // fixpoint. The changed-flag rides the frame being checkpointed
-    // anyway, so the witness is one scalar agg per round, works for ANY
-    // id type (string, long, decimal — unlike a sum, which nulls out on
-    // strings and can wrap on extreme longs), and costs no extra join.
-    while (iter < maxIters && !converged) {
-      // propagate: my new label = min(my label, labels of my neighbors)
+    // One propagation hop: my new label = min(my label, my neighbors')
+    def hop(l: DataFrame): DataFrame = {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(l.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("n_label"))
       val newLabel =
         least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
-      val next = labels
-        .join(viaNeighbors, Seq("id"), "left")
+      l.join(viaNeighbors, Seq("id"), "left")
         .select(
           col("id"),
           newLabel.as("cluster_id"),
           (newLabel < col("cluster_id")).as("__changed"))
+    }
+    // Convergence witness: labels only ever DECREASE (least/min
+    // propagation), so "no row's label got strictly smaller on the
+    // LAST hop" ⟺ fixpoint. The changed-flag rides the frame being
+    // checkpointed anyway, so the witness is one scalar agg per round,
+    // works for ANY id type (string, long, decimal — unlike a sum,
+    // which nulls out on strings and can wrap on extreme longs), and
+    // costs no extra join. Two hops run per round before the witness:
+    // driver-side actions (plan compile + checkpoint + agg) dominate a
+    // round on small edge lists, and checking only the second hop is
+    // sound — if that hop changed nothing, the labeling is a fixpoint
+    // regardless of the first.
+    while (iter < maxIters && !converged) {
+      val next = hop(hop(labels).drop("__changed"))
       // truncate lineage each round — iterative joins otherwise
       // re-derive the whole history every action. Lazy: the
       // changed-count action below materializes the checkpoint, so
@@ -353,7 +360,7 @@ object Dedup {
         .head().getLong(0)
       converged = changed == 0L
       labels = materialized.drop("__changed")
-      iter += 1
+      iter += 2
     }
     labels
   }
