@@ -121,6 +121,18 @@ object SparkEntryCoverage {
           element_at(col("qs"), 3).as("q75"))
         .orderBy(col("l_linestatus"))
     },
+    // full grouping-sets lattice: cube over (flag, status) with
+    // grouping() markers disambiguating the null super-aggregate rows
+    "a_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+    },
     // lead/lag window family: inter-event gap seconds per user
     "w_event_gaps" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -891,6 +903,14 @@ object SparkEntryCoverage {
         | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
         | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "a_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
     "w_event_gaps" ->
       """SELECT user_id, event_id,
