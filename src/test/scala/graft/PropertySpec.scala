@@ -74,6 +74,30 @@ class PropertySpec extends SparkSpec {
     assert(viaKernel == viaColumn)
   }
 
+  test("kernel property: WinnowFingerprints handles unicode and long docs like the window form") {
+    // multibyte chars exercise the codepoint-substring path; the long
+    // doc guards against accidental quadratic behavior in the deque
+    val uni = "héllo wörld ünïcode ∂ata θεσσαλονίκη 北京 données naïve " * 4
+    val long = Seq.fill(4000)(rnd.alphanumeric.take(6).mkString).mkString(" ") // ~28k chars
+    val docs = Seq((1L, uni), (2L, long)).toDF("doc_id", "text")
+    val k = 8; val w = 10
+    val viaExpr = graft.operators.TextAnalysis
+      .winnowTable(docs, "text", "doc_id", k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"i").rowsBetween(0, w - 1)
+    val nG = greatest(length($"text") - (k - 1), lit(0))
+    val viaWindow = docs
+      .select($"doc_id".as("id"), $"text", nG.as("n"))
+      .select($"id", $"text", $"n", posexplode(sequence(lit(1), $"n")).as(Seq("j", "i")))
+      .select($"id", $"n", $"i", substring(md5($"text".substr($"i", lit(k))), 1, 8).as("h"))
+      .withColumn("m", min($"h").over(win))
+      .filter($"i" <= $"n" - (w - 1))
+      .select($"id", $"m").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExpr == viaWindow)
+  }
+
   test("C2 property: parseMoney round-trips integer amounts across suffixes") {
     val suffixes = Seq("K" -> 1e3, "M" -> 1e6, "B" -> 1e9, "" -> 1.0)
     val prefixes = Seq("$", "about $", "US$", "~$", "over $")
