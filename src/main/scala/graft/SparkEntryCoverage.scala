@@ -990,9 +990,9 @@ object SparkEntryCoverage {
         | SELECT company_id, 'Data Engineer' FROM sup)
         |SELECT company_id, CAST(COUNT(*) AS BIGINT) AS job_openings_count,
         | CAST(COUNT(*) FILTER (WHERE regexp_matches(lower(title),
-        |   'engineer|developer|software|infra|platform|data|ml|ai')) AS BIGINT) AS engineering_openings,
+        |   '\b(engineer|developer|software|infra|platform|data|ml|ai)\b')) AS BIGINT) AS engineering_openings,
         | CAST(COUNT(*) FILTER (WHERE regexp_matches(lower(title),
-        |   'sales|account exec|business development|revenue')) AS BIGINT) AS sales_openings
+        |   '\b(sales|account exec|business development|revenue)\b')) AS BIGINT) AS sales_openings
         |FROM jobs GROUP BY company_id ORDER BY company_id""".stripMargin,
     "c14_mined_jobs" ->
       """SELECT p_partkey, 'Dept ' || CAST(p_partkey AS VARCHAR) AS title,

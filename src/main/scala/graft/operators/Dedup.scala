@@ -76,13 +76,17 @@ object Dedup {
       .select(
         col("id"),
         graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("id"), explode(col("hs")).as("shingle"))
+    // the df-cap drops degenerate stop-shingles from the WHOLE jaccard
+    // universe — both the intersection counts and the set sizes below
+    // come from the capped table, so capped shingles don't deflate the
+    // score by inflating only the denominator
     val filtered = sh
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDf)
       .drop("__df")
-    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = filtered.select(col("id").as("id_a"), col("shingle"))
     val b = filtered.select(col("id").as("id_b"), col("shingle"))
     val common = a
@@ -302,12 +306,15 @@ object Dedup {
   }
 
   /** Resolve near-dup pairs into clusters: iterative min-label
-    * propagation (bounded rounds) assigns every doc the smallest id
-    * reachable through the pair graph — the standard "collapse dup
+    * propagation with pointer jumping assigns every doc the smallest
+    * id reachable through the pair graph — the standard "collapse dup
     * clusters, keep one canonical doc" step after MinHash/SimHash.
-    * Each round is one shuffle join; `maxIters` bounds chain depth
-    * (2^maxIters hops — 10 rounds covers any realistic dup chain).
-    * Returns (id, cluster_id).
+    * Each round runs one neighbor-min hop (labels flow one edge) plus
+    * one pointer-jump shortcut (label(x) ← label(label(x))), so the
+    * propagation distance roughly DOUBLES per round: `maxIters` = 10
+    * rounds covers chains ~2^10 long. If the cap is hit before the
+    * fixpoint, a warning is logged and the (partially propagated)
+    * labels are returned. Returns (id, cluster_id).
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     // materialize the edge list once — every round joins it twice, and
@@ -337,19 +344,30 @@ object Dedup {
           newLabel.as("cluster_id"),
           (newLabel < col("cluster_id")).as("__changed"))
     }
+    // Pointer-jump shortcut: my new label = my label's label. Every
+    // label IS a node id present in the label table (it's the min of a
+    // node and its neighbors, all of which appear in the edge list),
+    // so the lookup join always resolves. Combined with one hop per
+    // round this gives the standard O(log n)-round connected-
+    // components convergence instead of one edge per round.
+    def shortcut(l: DataFrame): DataFrame = {
+      val parents = l.select(col("id").as("__pid"), col("cluster_id").as("__p_label"))
+      val better = coalesce(col("__p_label"), col("cluster_id"))
+      l.join(parents, col("cluster_id") === col("__pid"), "left")
+        .select(
+          col("id"),
+          better.as("cluster_id"),
+          (col("__changed") || better < col("cluster_id")).as("__changed"))
+    }
     // Convergence witness: labels only ever DECREASE (least/min
-    // propagation), so "no row's label got strictly smaller on the
-    // LAST hop" ⟺ fixpoint. The changed-flag rides the frame being
+    // propagation), so "no row's label got strictly smaller this
+    // round" ⟺ fixpoint. The changed-flag rides the frame being
     // checkpointed anyway, so the witness is one scalar agg per round,
     // works for ANY id type (string, long, decimal — unlike a sum,
     // which nulls out on strings and can wrap on extreme longs), and
-    // costs no extra join. Two hops run per round before the witness:
-    // driver-side actions (plan compile + checkpoint + agg) dominate a
-    // round on small edge lists, and checking only the second hop is
-    // sound — if that hop changed nothing, the labeling is a fixpoint
-    // regardless of the first.
+    // costs no extra join.
     while (iter < maxIters && !converged) {
-      val next = hop(hop(labels).drop("__changed"))
+      val next = shortcut(hop(labels))
       // truncate lineage each round — iterative joins otherwise
       // re-derive the whole history every action. Lazy: the
       // changed-count action below materializes the checkpoint, so
@@ -360,8 +378,13 @@ object Dedup {
         .head().getLong(0)
       converged = changed == 0L
       labels = materialized.drop("__changed")
-      iter += 2
+      iter += 1
     }
+    if (!converged)
+      org.apache.log4j.Logger
+        .getLogger(getClass)
+        .warn(s"clusterPairs: iteration cap ($maxIters rounds) hit before convergence; " +
+          "labels may be under-propagated — raise maxIters for extremely long dup chains")
     labels
   }
 
@@ -434,6 +457,9 @@ object Dedup {
         col("id"))
       .withColumn("norm", VectorFns.norm2(col("emb")))
       .withColumn("__k", lit(0))
+      // both sides of the self-join read one scan/norm pass (same
+      // caching contract as ngramJaccardPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(
       col("__k"), col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
     val b = base.select(

@@ -77,8 +77,10 @@ object Jobs {
     * regexes (`scraper_v2.py:2693-2724`).
     */
   def openingsCounts(jobs: DataFrame): DataFrame = {
-    val eng = "(?i)(engineer|developer|software|infra|platform|data|ml|ai)"
-    val sales = "(?i)(sales|account exec|business development|revenue)"
+    // word-bounded: an unanchored 'ai'/'ml'/'data' matches inside
+    // unrelated words ("Email", "Claims") and inflates the counts
+    val eng = "(?i)\\b(engineer|developer|software|infra|platform|data|ml|ai)\\b"
+    val sales = "(?i)\\b(sales|account exec|business development|revenue)\\b"
     jobs
       .groupBy(col("company_id"))
       .agg(

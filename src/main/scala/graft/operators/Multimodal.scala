@@ -33,7 +33,14 @@ object Multimodal {
     * schema.
     */
   def fromText(df: DataFrame, idCol: String, textCol: String, mediaType: String): DataFrame =
-    df.select(
+    df
+      // media_id is non-nullable by schema: fail loudly on an id the
+      // long cast nulls out instead of NPE-ing in extractFeatures
+      .filter(
+        assert_true(
+          col(idCol).isNotNull && col(idCol).cast("long").isNotNull,
+          lit(s"fromText: id column '$idCol' must be non-null and castable to long")).isNull)
+      .select(
       col(idCol).cast("long").as("media_id"),
       lit(mediaType).as("media_type"),
       encode(col(textCol), "UTF-8").as("content"),
@@ -94,17 +101,22 @@ object Multimodal {
   /** Frame sampling for "video" rows: emit one row per sampled offset
     * (every `strideBytes` bytes in the stub; every Nth frame for a
     * real decoder). Pure-column: explode over a computed offset range.
+    * Empty or null content yields ZERO frames (not one phantom empty
+    * frame) — downstream decoders never see data-less media.
     */
-  def sampleFrames(media: DataFrame, strideBytes: Int): DataFrame =
+  def sampleFrames(media: DataFrame, strideBytes: Int): DataFrame = {
+    val nFrames = ceil(length(col("content")) / lit(strideBytes.toDouble)).cast("int")
     media
       .filter(col("media_type") === "video")
       .select(
         col("media_id"),
         posexplode(
-          transform(
-            sequence(
-              lit(0),
-              greatest(ceil(length(col("content")) / lit(strideBytes.toDouble)).cast("int") - 1, lit(0))),
-            i => substring(col("content"), i * strideBytes + 1, lit(strideBytes))))
+          when(
+            col("content").isNotNull && nFrames > 0,
+            transform(
+              sequence(lit(0), nFrames - 1),
+              i => substring(col("content"), i * strideBytes + 1, lit(strideBytes))))
+            .otherwise(array().cast("array<binary>")))
           .as(Seq("frame_index", "frame_bytes")))
+  }
 }

@@ -80,28 +80,38 @@ object Relational {
       tsCol: String,
       valueCols: Seq[String],
       tieBreak: Column): DataFrame = {
+    // Right rows carry ALL valueCols in ONE struct: the struct itself
+    // is non-null for every right row (even when its fields are null),
+    // so `last(..., ignoreNulls)` skips exactly the interleaved LEFT
+    // rows — a right row whose value is genuinely null still wins as
+    // the latest row, and every attached column comes from the SAME
+    // right row.
     val lTagged = left
       .withColumn("__is_left", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
-    val vNulled = valueCols.foldLeft(lTagged) { (df, v) =>
-      df.withColumn(s"__v_$v", lit(null).cast(right.schema(v).dataType))
-    }
-    val rTagged = valueCols
-      .foldLeft(right.withColumn("__is_left", lit(0)).withColumn("__tie", tieBreak.cast("long"))) {
-        (df, v) => df.withColumn(s"__v_$v", col(v))
-      }
-      .select((Seq(keyCol, tsCol, "__is_left", "__tie") ++ valueCols.map(v => s"__v_$v")).map(col): _*)
-    val unioned = vNulled.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn(
+        "__vals",
+        lit(null).cast(
+          org.apache.spark.sql.types.StructType(
+            valueCols.map(v => right.schema(v).copy(name = v)))))
+    val rTagged = right
+      .withColumn("__is_left", lit(0))
+      .withColumn("__tie", tieBreak.cast("long"))
+      .withColumn("__vals", struct(valueCols.map(col): _*))
+      .select(Seq(keyCol, tsCol, "__is_left", "__tie", "__vals").map(col): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window
       .partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__is_left"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsof = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
-    }
-    withAsof
+    val withAsof = unioned
+      .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(w))
+    valueCols
+      .foldLeft(withAsof) { (df, v) =>
+        df.withColumn(s"asof_$v", col("__asof").getField(v))
+      }
       .filter(col("__is_left") === 1)
-      .drop((Seq("__is_left", "__tie") ++ valueCols.map(v => s"__v_$v")): _*)
+      .drop("__is_left", "__tie", "__vals", "__asof")
   }
 
   /** Range join (point-in-interval) via grid bucketing: each right
@@ -168,16 +178,22 @@ object Relational {
       fresh: DataFrame,
       keys: Seq[String],
       hashCol: String): DataFrame = {
-    val o = old.select(keys.map(col) :+ col(hashCol).as("__old_hash"): _*)
-    val n = fresh.select(keys.map(col) :+ col(hashCol).as("__new_hash"): _*)
+    // presence markers, NOT hash nullability, decide added/removed —
+    // a nullable hash column (null content) must not fake a missing
+    // row; the change test is null-safe (<=>) so null↔value
+    // transitions count as changed, not silently "same"
+    val o = old.select(
+      keys.map(col) ++ Seq(col(hashCol).as("__old_hash"), lit(true).as("__in_old")): _*)
+    val n = fresh.select(
+      keys.map(col) ++ Seq(col(hashCol).as("__new_hash"), lit(true).as("__in_new")): _*)
     o.join(n, keys, "full_outer")
       .withColumn(
         "status",
-        when(col("__old_hash").isNull, lit("added"))
-          .when(col("__new_hash").isNull, lit("removed"))
-          .when(col("__old_hash") =!= col("__new_hash"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__old_hash") <=> col("__new_hash")), lit("changed"))
           .otherwise(lit("same")))
       .filter(col("status") =!= "same")
-      .drop("__old_hash", "__new_hash")
+      .drop("__old_hash", "__new_hash", "__in_old", "__in_new")
   }
 }

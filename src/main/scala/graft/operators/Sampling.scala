@@ -35,7 +35,9 @@ object Sampling {
 
   /** Keep rows whose key hashes into the first `fraction` of the hash
     * space. Deterministic: same keys selected every run, on any
-    * engine, under any partitioning.
+    * engine, under any partitioning. Null keys hash to null and are
+    * never selected — consistent with `splitAssign`, which gives them
+    * a null split label.
     */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
@@ -45,8 +47,10 @@ object Sampling {
   /** Assign each row a split label by cumulative hash-range buckets,
     * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. The last
     * split absorbs the remainder of the space, so weights that sum to
-    * 1 partition it exactly; every key lands in exactly one split,
-    * stable across runs and engines.
+    * 1 partition it exactly; every non-null key lands in exactly one
+    * split, stable across runs and engines. Null keys get a NULL split
+    * label (not a silent fall-through into the last split, which would
+    * skew its size and composition) — filter or impute them upstream.
     */
   def splitAssign(
       df: DataFrame,
@@ -60,6 +64,8 @@ object Sampling {
       lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
       when(h < lit(hi), lit(name)).otherwise(rest)
     }
-    df.withColumn(splitCol, assigned)
+    df.withColumn(
+      splitCol,
+      when(key.isNull, lit(null).cast("string")).otherwise(assigned))
   }
 }

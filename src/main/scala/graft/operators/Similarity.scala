@@ -110,12 +110,15 @@ object Similarity {
     * at scale they come from a sampled k-means fit.
     */
   def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign: centroids must be non-empty")
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(
         VectorFns.cosine(col(embCol), array(c.map(lit): _*)).as("sim"),
         lit(i).as("cell"))
     }
-    df.withColumn("cell", greatest(scored: _*).getField("cell"))
+    // greatest() rejects a single argument — one centroid is cell 0
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn("cell", best.getField("cell"))
   }
 
   /** Random-hyperplane LSH signature (cosine-preserving, SimHash for
@@ -147,9 +150,13 @@ object Similarity {
       nBits: Int,
       threshold: Double,
       seed: Long = 42L): DataFrame = {
+    // persisted: both self-join sides read one scan + one projection
+    // pass (nBits hyperplane folds per row) — same caching contract as
+    // Dedup.ngramJaccardPairs
     val signed = hyperplaneSignature(df, embCol, dim, nBits, seed)
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"), col("lsh_bucket"))
       .withColumn("norm", VectorFns.norm2(col("emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = signed.select(
       col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"), col("lsh_bucket"))
     val b = signed.select(

@@ -29,7 +29,8 @@ object TextAnalysis {
         lit(-ranked(lang)).as("rank"),
         lit(lang).as("lang"))
     }
-    greatest(scored: _*).getField("lang")
+    // greatest() rejects a single argument — one language wins outright
+    (if (scored.size == 1) scored.head else greatest(scored: _*)).getField("lang")
   }
 
   /** Quality score in [0,1]: harmonic blend of length, punctuation

@@ -29,6 +29,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(1, 2))
   }
 
+  test("asofJoin: a latest right row with a NULL value wins (no stale carry)") {
+    val left = Seq(("k", 3L)).toDF("key", "ts")
+    val right = Seq(("k", 1L, Some(5L)), ("k", 2L, None))
+      .toDF("key", "ts", "v")
+    val got = Relational
+      .asofJoin(left, right, "key", "ts", Seq("v"), col("ts"))
+      .select("asof_v").head()
+    assert(got.isNullAt(0)) // latest right row (ts=2) has v = null
+  }
+
+  test("changeDetection: null hashes classify by presence, not hash nullness") {
+    val old = Seq(("a", Some("h1")), ("b", None), ("c", None)).toDF("k", "h")
+    val fresh = Seq(("a", None), ("b", Some("h2")), ("c", None), ("d", None)).toDF("k", "h")
+    val got = Relational.changeDetection(old, fresh, Seq("k"), "h")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a: value->null = changed; b: null->value = changed;
+    // c: null->null = same (dropped); d: new key with null hash = added
+    assert(got == Map("a" -> "changed", "b" -> "changed", "d" -> "added"))
+  }
+
+  test("clusterPairs: a 40-node chain converges within the default rounds") {
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val clusters = Dedup.clusterPairs(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 40 && clusters.values.forall(_ == 1L))
+  }
+
   test("changeDetection: added/removed/changed, same dropped (I1)") {
     val old = Seq(("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("k", "h")
     val fresh = Seq(("b", "h2x"), ("c", "h3"), ("d", "h4")).toDF("k", "h")
