@@ -33,6 +33,10 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // result can be null for a NULL array ELEMENT even when both array
+  // inputs are non-null (see nullSafeEval)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -40,6 +44,9 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      // a null element nulls the whole fold — matching the SQL-fold
+      // oracle semantics, not getDouble's silent null-as-0.0
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -51,13 +58,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $dot;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
        """.stripMargin
     })
 

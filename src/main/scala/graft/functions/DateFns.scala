@@ -34,7 +34,9 @@ object DateFns {
     )
   }
 
-  /** Reference rejects future dates (placeholder guard). */
+  /** Reference rejects future dates (placeholder guard); today is not
+    * a future date and passes through.
+    */
   def rejectFuture(d: Column): Column =
-    when(d < current_date(), d).otherwise(lit(null).cast("date"))
+    when(d <= current_date(), d).otherwise(lit(null).cast("date"))
 }

@@ -26,7 +26,15 @@ object HtmlFns {
 
   /** C16 — href targets of anchor tags. */
   def links(html: Column): Column =
-    regexp_extract_all(html, lit("(?i)<a[^>]+href\\s*=\\s*[\"']([^\"'#]+)[\"']"), lit(1))
+    // capture the whole href, then strip any #fragment — excluding '#'
+    // from the capture class would silently drop every link that
+    // CONTAINS a fragment, not just pure anchors; pure-anchor hrefs
+    // ("#top") strip to empty and are filtered out
+    filter(
+      transform(
+        regexp_extract_all(html, lit("(?i)<a[^>]+href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+        u => regexp_replace(u, "#.*$", "")),
+      u => u =!= "")
 
   /** C16 — image sources. */
   def images(html: Column): Column =
@@ -75,10 +83,11 @@ object HtmlFns {
       val allRows = rowRe.findAllMatchIn(body).map { rm =>
         cellRe.findAllMatchIn(rm.group(1)).map(cm => cellText(cm.group(1))).toSeq
       }.toSeq.filter(_.nonEmpty)
-      val hasTh = "(?is)<th[^>]*>".r.findFirstIn(body).isDefined
+      // the first row is the header row whether it uses <th> or <td> —
+      // the reference's pandas.read_html promotes the first row the
+      // same way for th-less tables
       val (headers, rows) =
         if (allRows.isEmpty) (Seq.empty[String], Seq.empty[Seq[String]])
-        else if (hasTh) (allRows.head, allRows.tail)
         else (allRows.head, allRows.tail)
       HtmlTable(caption, headers, rows)
     }.toSeq

@@ -56,8 +56,12 @@ object Orbit {
       .groupBy(col("company_id"))
       .agg(
         sum(
-          when(to_date(col("date_published")) >= date_sub(asOf, 30), 1L)
-            .otherwise(0L)).as("news_mentions_30d"),
+          // bounded on BOTH ends: a point-in-time asOf must not count
+          // articles published after it
+          when(
+            to_date(col("date_published")) >= date_sub(asOf, 30) &&
+              to_date(col("date_published")) <= asOf,
+            1L).otherwise(0L)).as("news_mentions_30d"),
         sum(posF).as("n_pos"),
         sum(negF).as("n_neg"))
       .select(

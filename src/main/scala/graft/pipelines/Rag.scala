@@ -36,8 +36,18 @@ object Rag {
     * md5(token) mod dim).
     */
   def embedQueryVector(text: String, dim: Int): Array[Double] = {
+    // EXACTLY TextFns.tokens semantics (space-only trim, regex split
+    // keeping empties): the driver-side query vector must tokenize the
+    // way the distributed bucket function does, or a query identical
+    // to a chunk's text would not score cosine 1 against it
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val t = text.substring(lo, hi)
+    val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
     val v = new Array[Double](dim)
-    text.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+    toks.foreach { tok =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
       v(hexDigits.indexOf(hex.charAt(0)) % dim) += 1.0

