@@ -1,0 +1,126 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming wave of the driver contract (SURVEY §2.11): each query
+  * here actually RUNS Structured Streaming — a parquet file source
+  * micro-batched by `Trigger.AvailableNow`, the §2.11 operator under
+  * test, and a memory sink whose table is returned for the oracle
+  * compare. The streams terminate (AvailableNow drains the source and
+  * stops), so the results are finite and deterministic, and DuckDB can
+  * mirror the semantics in batch SQL — the same batch/stream parity
+  * the operators promise (`dags/orbit_daily_update_dag.py:126-299`
+  * re-expressed as unbounded computation).
+  */
+object SparkEntryStreaming {
+
+  /** events.parquet carries TIMESTAMP(NANOS): read as long
+    * (nanosAsLong) and convert to µs precision, the same loader
+    * contract as the batch queries.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(schema)
+      // glob, not the bare file path: FileStreamSource derives its
+      // basePath from the non-glob prefix, and a plain file path makes
+      // it reject ("Option 'basePath' must be a directory")
+      .parquet(s"$dir/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain an AvailableNow stream into a named memory-sink table and
+    * return it. The query name doubles as the sink table name.
+    */
+  private def drain(
+      df: DataFrame,
+      name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // I5 as a live stream — daily tumbling counts per event type
+    // through withWatermark + window(); complete mode so every window
+    // is in the sink when the source drains
+    "st_window_counts" -> { (s, dir) =>
+      val counts = Streams.slidingCounts(
+        eventStream(s, dir), "ts", "event_type", "1 day", "1 day")
+      drain(counts, "st_window_counts_sink", "complete")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd").as("d"),
+          col("event_type"),
+          col("n_events"))
+        .orderBy(col("d"), col("event_type"))
+    },
+    // I1 as a live stream — flatMapGroupsWithState hash-transition
+    // detection per user over the event-type sequence (event_id is the
+    // replay clock: unique and monotone, so stream replay order and
+    // the oracle's lag() order coincide exactly)
+    "st_change_events" -> { (s, dir) =>
+      import s.implicits._
+      val updates = eventStream(s, dir)
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("event_type").as("content_hash"),
+          timestamp_seconds(col("event_id")).as("ts"))
+        .as[Streams.PageUpdate]
+      drain(Streams.changeEvents(updates).toDF(), "st_change_events_sink", "append")
+        .select(
+          col("key"),
+          coalesce(col("prev_hash"), lit("-")).as("prev_hash"),
+          col("new_hash"))
+        .orderBy(col("key"), col("prev_hash"), col("new_hash"))
+    },
+    // I1/I3 as a live stream — watermark-bounded streaming dedup; only
+    // the dedup key is projected so the kept-row choice inside a
+    // micro-batch can't leak nondeterminism into the result
+    "st_dedup_keys" -> { (s, dir) =>
+      val deduped = Streams.dedupByContentHash(
+        eventStream(s, dir),
+        "ts",
+        Seq("user_id"),
+        "event_type",
+        // delay longer than the table's time span: state never expires
+        // mid-drain, so the stream computes an exact distinct
+        watermark = "365 days")
+      drain(
+        deduped.select(col("user_id"), col("event_type")),
+        "st_dedup_keys_sink",
+        "append")
+        .orderBy(col("user_id"), col("event_type"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "st_window_counts" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
+    // a row emits exactly when its hash differs from the previous
+    // row's (runs collapse, so the previous ROW at an emission is the
+    // previous STATE); first sighting emits with prev '-'
+    "st_change_events" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS h,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events)
+        |SELECT key, COALESCE(prev, '-') AS prev_hash, h AS new_hash
+        |FROM o WHERE prev IS NULL OR prev <> h
+        |ORDER BY key, prev_hash, new_hash""".stripMargin,
+    "st_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}

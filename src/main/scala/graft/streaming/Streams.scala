@@ -120,8 +120,10 @@ object Streams {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[PageUpdate], state: GroupState[String]) => {
-          // batch arrival order is not event order — replay by ts
-          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.content_hash))
+          // batch arrival order is not event order — replay by ts at
+          // full precision (getTime alone truncates to ms and would
+          // tie-break sub-ms updates by hash instead of time)
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.content_hash))
           var prev = state.getOption
           val out = Seq.newBuilder[ChangeEvent]
           sorted.foreach { r =>

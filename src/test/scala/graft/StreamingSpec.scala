@@ -99,6 +99,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("2023-12-31" -> 2L, "2024-01-01" -> 3L, "2024-01-02" -> 1L))
   }
 
+  test("I5 — append mode drops events later than the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // tumbling daily windows, 1-day lateness tolerance, APPEND mode:
+    // only watermark-closed windows emit, and a late event behind the
+    // watermark is dropped instead of mutating an already-emitted row
+    val counts = Streams.slidingCounts(input.toDF(), "ts", "company_id", "1 day", "1 day")
+    val q = counts.writeStream.format("memory").queryName("late_t").outputMode("append").start()
+    input.addData(
+      Ev(ts("2024-01-01 06:00:00"), "acme"),
+      Ev(ts("2024-01-05 00:00:00"), "acme")) // advances watermark to Jan 4
+    q.processAllAvailable()
+    input.addData(
+      Ev(ts("2024-01-01 12:00:00"), "acme"), // late: behind Jan-4 watermark -> dropped
+      Ev(ts("2024-01-06 00:00:00"), "acme")) // advances watermark further
+    q.processAllAvailable()
+    q.stop()
+    val jan1 = spark.table("late_t")
+      .filter(date_format($"window_start", "yyyy-MM-dd") === "2024-01-01")
+      .collect().map(_.getLong(3)).toSeq
+    // exactly one emission for the Jan-1 window, and the late event
+    // did not count into it
+    assert(jan1 == Seq(1L))
+  }
+
+  test("I1 — dropDuplicatesWithinWatermark re-emits after state expiry") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Crawl]
+    val deduped = Streams.dedupByContentHash(
+      input.toDF(), "ts", Seq("company_id", "page_type"), "content_hash")
+    val q = deduped.writeStream.format("memory").queryName("expiry_t")
+      .outputMode("append").start()
+    input.addData(Crawl(ts("2024-01-01 00:00:00"), "acme", "home", "h1"))
+    q.processAllAvailable()
+    // within the 1-day delay of the first sighting's state: dropped
+    // (also advances the watermark far past the state's expiry)
+    input.addData(Crawl(ts("2024-01-10 00:00:00"), "acme", "home", "h1"))
+    q.processAllAvailable()
+    // state for (acme,home,h1) has expired -> identical re-crawl
+    // RE-EMITS; the downstream last-wins upsert absorbs it
+    input.addData(Crawl(ts("2024-01-10 12:00:00"), "acme", "home", "h1"))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("expiry_t").count()
+    assert(n == 2, s"expected first emit + post-expiry re-emit, got $n rows")
+  }
+
   test("I2 — incrementalMerge processes only added/changed keys") {
     implicit val sc = spark.sqlContext
     val prev = Seq(("acme", "home", "h1"), ("acme", "jobs", "h2"))
