@@ -24,6 +24,16 @@ object Rag {
 
   private val hexDigits = "0123456789abcdef"
 
+  /** V4 — query augmentation: prepend the company id to the query text
+    * before embedding so the company's own tokens pull its chunks up
+    * the ranking (reference `src/rag_search.py:41-42`,
+    * `src/agents/tools.py:218-219` — `f"{company_id} {query}"`). Blank
+    * parts collapse (concat_ws semantics) so a missing company id
+    * degrades to the bare query instead of a leading-space token.
+    */
+  def augmentQuery(companyId: String, query: String): String =
+    Seq(companyId, query).map(_.trim).filter(_.nonEmpty).mkString(" ")
+
   /** Chunk documents into (doc_id, source, chunk_index, chunk). */
   def chunkDocs(docs: DataFrame, textCol: String, idCol: String, chunkSize: Int): DataFrame =
     docs.select(

@@ -42,6 +42,22 @@ class PipelinesSpec extends SparkSpec {
     assert(all.collect().map(_.getLong(0)).contains(3L))
   }
 
+  test("V4 augmentQuery: company tokens steer retrieval toward that company") {
+    val docs = Seq(
+      (1L, "acme ships spark pipelines", "siteA"),
+      (2L, "bcorp ships spark pipelines", "siteB")
+    ).toDF("doc_id", "text", "source")
+    assert(Rag.augmentQuery("acme", "spark pipelines") == "acme spark pipelines")
+    assert(Rag.augmentQuery("", "spark pipelines") == "spark pipelines")
+    assert(Rag.augmentQuery("acme", "  ") == "acme")
+    // the bare query ties the two docs; the augmented query breaks the
+    // tie toward the named company (rag_search.py:41-42 semantics)
+    val bare = Rag.topKChunks(docs, "spark pipelines", 2, chunkSize = 100).collect()
+    assert(bare.map(_.getDouble(3)).distinct.length == 1)
+    val aug = Rag.topKChunks(docs, Rag.augmentQuery("acme", "spark pipelines"), 2, chunkSize = 100).collect()
+    assert(aug.head.getLong(0) == 1L && aug(0).getDouble(3) > aug(1).getDouble(3))
+  }
+
   // Multimodal --------------------------------------------------------------
   test("Multimodal: schema, feature extraction, frame sampling") {
     val docs = Seq((1L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text")
