@@ -40,14 +40,25 @@ object SparkEntryStreaming {
       df: DataFrame,
       name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    // State-store partition count is fixed at query start from
+    // spark.sql.shuffle.partitions; at harness scale the per-partition
+    // commit overhead (one delta file per state partition per batch)
+    // dominates, so run the short-lived drain with fewer state
+    // partitions and restore the session setting after. On a real
+    // cluster a long-lived stream keeps the session default.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
