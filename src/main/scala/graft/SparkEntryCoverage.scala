@@ -133,6 +133,38 @@ object SparkEntryCoverage {
           grouping(col("l_linestatus")).cast("long").as("g_status"))
         .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
     },
+    // unpivot/melt: wide metric columns -> long (metric, value) rows
+    // via stack() — the Generate-based melt that never shuffles;
+    // exact-decimal sums keep the re-aggregation hash-matchable
+    "a_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"),
+          expr(
+            "stack(3, 'discount', l_discount, 'extendedprice', l_extendedprice, " +
+              "'quantity', l_quantity) as (metric, v)"))
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    // ranking-window family: ntile quartiles + rank over order spend,
+    // PARTITIONED by status (a global ntile would funnel the table
+    // through one window partition — per-key windows scale)
+    "w_ntile" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .groupBy(col("o_orderstatus"), col("quartile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("rk")).as("min_rank"),
+          max(col("rk")).as("max_rank"))
+        .orderBy(col("o_orderstatus"), col("quartile"))
+    },
     // lead/lag window family: inter-event gap seconds per user
     "w_event_gaps" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -912,6 +944,28 @@ object SparkEntryCoverage {
         | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "a_unpivot" ->
+      """SELECT l_returnflag, metric, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_returnflag, 'discount' AS metric, l_discount AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'quantity', l_quantity FROM lineitem)
+        |GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""".stripMargin,
+    "w_ntile" ->
+      """WITH r AS (
+        | SELECT o_orderstatus,
+        |        ntile(4) OVER w AS quartile,
+        |        rank() OVER w AS rk
+        | FROM orders WHERE o_orderpriority = '1-URGENT'
+        | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT o_orderstatus, CAST(quartile AS BIGINT) AS quartile,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(rk) AS BIGINT) AS min_rank,
+        |       CAST(MAX(rk) AS BIGINT) AS max_rank
+        |FROM r GROUP BY o_orderstatus, quartile
+        |ORDER BY o_orderstatus, quartile""".stripMargin,
     "w_event_gaps" ->
       """SELECT user_id, event_id,
         | CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us

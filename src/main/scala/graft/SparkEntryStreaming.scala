@@ -94,6 +94,20 @@ object SparkEntryStreaming {
           col("new_hash"))
         .orderBy(col("key"), col("prev_hash"), col("new_hash"))
     },
+    // session windows as a live stream — gap-merged dynamic windows
+    // per user through session_window(); complete mode so every
+    // session is in the sink when the source drains. Session starts
+    // ride out as epoch micros (integer-exact on both sides).
+    "st_session_counts" -> { (s, dir) =>
+      val sessions = Streams.sessionCounts(
+        eventStream(s, dir), "ts", "user_id", "1 hour")
+      drain(sessions, "st_session_counts_sink", "complete")
+        .select(
+          col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
     // I1/I3 as a live stream — watermark-bounded streaming dedup; only
     // the dedup key is projected so the kept-row choice inside a
     // micro-batch can't leak nondeterminism into the result
@@ -130,6 +144,28 @@ object SparkEntryStreaming {
         |SELECT key, COALESCE(prev, '-') AS prev_hash, h AS new_hash
         |FROM o WHERE prev IS NULL OR prev <> h
         |ORDER BY key, prev_hash, new_hash""".stripMargin,
+    // session_window semantics: windows are [start, start+gap) merged
+    // on overlap, so an event exactly `gap` after its predecessor
+    // starts a NEW session — the gaps-and-islands mirror must use >=
+    "st_session_counts" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN gap_us IS NULL OR gap_us >= 3600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sid AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s)
+        |SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sid GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "st_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin
