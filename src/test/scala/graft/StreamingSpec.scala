@@ -184,4 +184,40 @@ class StreamingSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("date=")).sorted
     assert(dirs.toSeq == Seq("date=2024-01-01", "date=2024-01-02"))
   }
+
+  test("checkpoint recovery — restarted aggregation resumes state, not recompute") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = "ts TIMESTAMP, company_id STRING"
+
+    def drainOnce(sinkName: String): Unit = {
+      val counts = Streams.slidingCounts(
+        spark.readStream.schema(schema).parquet(in),
+        "ts", "company_id", "1 day", "1 day")
+      val q = counts.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Seq((ts("2024-01-01 06:00:00"), "acme"), (ts("2024-01-01 09:00:00"), "acme"))
+      .toDF("ts", "company_id").write.mode("append").parquet(in)
+    drainOnce("ckpt_run1")
+    assert(spark.table("ckpt_run1").select(sum($"n_events")).head().getLong(0) == 2L)
+
+    // second run against the SAME checkpoint: the file source must skip
+    // the already-processed file, and the window state (acme Jan-1 = 2)
+    // must come back from the state store — the new event lands on top
+    // of the restored count, not on a recomputed-from-scratch one
+    Seq((ts("2024-01-01 18:00:00"), "acme"))
+      .toDF("ts", "company_id").write.mode("append").parquet(in)
+    drainOnce("ckpt_run2")
+    val jan1 = spark.table("ckpt_run2")
+      .filter(date_format($"window_start", "yyyy-MM-dd") === "2024-01-01")
+      .select($"n_events").collect().map(_.getLong(0)).toSeq
+    assert(jan1 == Seq(3L), s"expected restored 2 + 1 new = 3, got $jan1")
+  }
 }
