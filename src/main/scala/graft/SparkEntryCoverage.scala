@@ -817,6 +817,24 @@ object SparkEntryCoverage {
           |FROM embeddings_sqlv, q WHERE vec_id <> 0
           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     },
+    // TPC-H Q17 pattern — correlated scalar subquery (per-part average
+    // threshold) through the SQL surface: Catalyst decorrelates it into
+    // an aggregate + join, no per-row re-execution (what a naive
+    // engine would do and the thing that dies first at 100 TB)
+    "q17_small_qty" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+      t(s, dir, "part").createOrReplaceTempView("part_q17")
+      s.sql(
+        """SELECT p_brand,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+          |       COUNT(*) AS n_small
+          |FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+          |WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+          |                    FROM lineitem_q17 l2
+          |                    WHERE l2.l_partkey = p_partkey)
+          |GROUP BY p_brand
+          |ORDER BY p_brand""".stripMargin)
+    },
     // Benchmark decontamination: corpus docs' distinct 3-gram overlap
     // with the src0 "benchmark" slice — the pretraining hygiene step
     // that flags training docs leaking eval data
@@ -944,6 +962,19 @@ object SparkEntryCoverage {
         | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    // avg(l_quantity) is exact here — quantities are integer-valued
+    // doubles, so the sum is order-independent and both engines
+    // compute the identical threshold (no float-boundary flips)
+    "q17_small_qty" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "a_unpivot" ->
       """SELECT l_returnflag, metric, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM (
