@@ -805,6 +805,14 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("source"))
     },
+    // Per-source deterministic cap (≤25 docs per source, hash-order
+    // winners) — the "no domain dominates the corpus" control
+    "s_stratified_cap" -> { (s, dir) =>
+      Sampling
+        .stratifiedCap(t(s, dir, "documents"), col("source"), col("doc_id"), 25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     // The SQL surface end-to-end: the same V2 top-k through spark.sql
     // with the GraftExtensions-registered cosine_similarity function
     "v_sql_topk" -> { (s, dir) =>
@@ -1481,6 +1489,11 @@ object SparkEntryCoverage {
          |            ELSE 'test' END AS split,
          |       source, CAST(COUNT(*) AS BIGINT) AS n
          |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "s_stratified_cap" ->
+      s"""SELECT doc_id, source FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ${sqlHash32("doc_id")}, doc_id) <= 25
+         |ORDER BY doc_id""".stripMargin,
     "v_sql_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score

@@ -68,4 +68,26 @@ object Sampling {
       splitCol,
       when(key.isNull, lit(null).cast("string")).otherwise(assigned))
   }
+
+  /** Per-stratum deterministic cap: keep at most `cap` rows per
+    * stratum (e.g. per domain/source), winners chosen by hash order —
+    * the standard "no domain dominates the corpus" pretraining control,
+    * reproducible across runs and engines like `hashSample`.
+    *
+    * Scale shape: one row_number window per stratum — strata are
+    * numerous and individually modest (domains), so partitions stay
+    * bounded. For a pathologically heavy stratum, pre-thin it with
+    * `hashSample(cap / estimated_count)` before the exact window: the
+    * hash ORDER is the same expression, so pre-thinning keeps exactly
+    * the eventual winners' superset.
+    */
+  def stratifiedCap(df: DataFrame, stratum: Column, key: Column, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(hash32(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }
