@@ -67,8 +67,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver scrapes a bounded log tail, which truncates the line
+    // once the corpus passes ~100 queries — persist the full map to a
+    // repo file too so every per-query timing survives the round.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
     spark.stop()
   }
 }

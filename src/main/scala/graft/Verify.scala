@@ -17,6 +17,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist() internally (jaccard/minhash/lsh pair
+      // generators) would otherwise accumulate MEMORY_AND_DISK blocks
+      // across all 120+ queries in this one session — drop them between
+      // queries, same hygiene as Bench
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -17,15 +17,21 @@ private[graft] object Width {
   private def width(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
-  /** Round-robin spread for keyless per-doc passes. */
+  /** Round-robin spread for keyless per-doc passes. Streaming frames
+    * pass through untouched — `df.rdd` is illegal on a stream, and
+    * micro-batch width is the source's concern, not ours.
+    */
   def spread(df: DataFrame): DataFrame =
-    if (df.rdd.getNumPartitions >= width(df)) df else df.repartition(width(df))
+    if (df.isStreaming) df
+    else if (df.rdd.getNumPartitions >= width(df)) df
+    else df.repartition(width(df))
 
   /** Hash spread on `key` — for pair scans whose downstream agg/window
     * reuses the hash(key) layout. Pinned count: size-based AQE would
     * coalesce a tiny input back to one partition.
     */
   def spreadBy(df: DataFrame, key: Column): DataFrame =
-    if (df.rdd.getNumPartitions >= width(df)) df
+    if (df.isStreaming) df
+    else if (df.rdd.getNumPartitions >= width(df)) df
     else df.repartition(width(df), key)
 }

@@ -97,6 +97,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(3) == 1) // only 2 matches; null slot is not hash 0
   }
 
+  test("DoubleSortableBits: order-preserving, involution round-trips exactly") {
+    import graft.expressions.DoubleSortableBits.{fromSortableBits, sortableBits}
+    val xs = Seq(
+      Double.NegativeInfinity, -1.5, -1.0, -0.9999999999999999, -1e-300,
+      -0.0, 0.0, 1e-300, 0.5, 0.9999999999999999, 1.0, 1.5,
+      Double.PositiveInfinity)
+    val df = xs.toDF("x")
+    val bits = df.select(sortableBits($"x")).collect().map(_.getLong(0)).toSeq
+    // strict order preserved over the distinct values (-0.0 < 0.0 in bits)
+    assert(bits == bits.sorted && bits.distinct == bits)
+    // involution: decode(encode(x)) is bit-exact
+    val back = df.select(fromSortableBits(sortableBits($"x"))).collect().map(_.getDouble(0))
+    xs.zip(back).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b))
+    }
+  }
+
   test("WinnowFingerprints equals the explode+window+distinct formulation") {
     val docs = Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),

@@ -227,6 +227,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0L) == 1L && got(1L) == 0L && got(2L) == 3L && got(3L) == 2L)
   }
 
+  test("nearestNeighborJoin: exact score ties break to min nn_id") {
+    // 1 and 2 are identical vectors: 0's two best scores tie exactly,
+    // so the deterministic winner is the smaller id (oracle's
+    // ORDER BY score DESC, nn_id semantics). Same for 1 vs {0?no} —
+    // 1's NN is its duplicate 2; 2's NN is its duplicate 1.
+    val dup = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.6, 0.8)), (2L, Seq(0.6, 0.8)),
+      (3L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.nearestNeighborJoin(dup, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val m = got.map(r => r._1 -> r._2).toMap
+    assert(m(0L) == 1L) // tie between 1 and 2 -> min id
+    assert(m(1L) == 2L && m(2L) == 1L) // identical pair are mutual NNs, score 1.0
+    assert(got.find(_._1 == 1L).get._3 == 1.0)
+  }
+
   test("ivfAssign + ivfTopK probe only nearest cells") {
     val centroids = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
     val assigned = Similarity.ivfAssign(vecs, "embedding", centroids)

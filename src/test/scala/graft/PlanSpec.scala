@@ -45,8 +45,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("v_nn_top1")
     // the N² pair product is intentional (exact verify baseline —
     // IVF/LSH are the scale paths); what must NOT appear is the
-    // sort-based aggregate that max_by(struct) used to force
+    // sort-based aggregate that max_by(struct) used to force, or the
+    // WindowExec over the pair stream that cost ~2 µs/row (r2's 3.5×
+    // regression) — the argmax is two chained hash aggs on longs
     assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
     assert(p.contains("HashAggregate"), p)
   }
 
