@@ -305,6 +305,53 @@ object SparkEntryCoverage {
         .openingsCounts(deduped)
         .orderBy(col("company_id"))
     },
+    // S4 — full vendor routing: detect_ats over (html, url) decides
+    // which parser runs; Workable + Ashby come from their API JSON
+    // shapes, Workday from data-automation-id HTML blocks (second
+    // Workday job has no location element → null)
+    // (ats_extractor.py:43-113 detect, 289-560 parsers)
+    "s4_ats_vendors" -> { (s, dir) =>
+      val key = col("s_suppkey").cast("string")
+      val v = col("s_suppkey") % 3
+      val html = when(
+        v === 0,
+        concat(lit("<iframe src=\"https://apply.workable.com/acme-"), key, lit("/\"></iframe>")))
+        .when(v === 1, lit("<div>open roles</div>"))
+        .otherwise(concat(
+          lit("<li data-automation-id=\"jobPosting\"><a data-automation-id=\"jobTitle\" href=\"/job/JR-"),
+          key,
+          lit("\">Staff Engineer "), key,
+          lit("</a><span data-automation-id=\"locations\">Austin</span></li>" +
+            "<li data-automation-id=\"jobPosting\"><a data-automation-id=\"jobTitle\" href=\"/job/PR-"),
+          key,
+          lit("\">Platform Engineer "), key,
+          lit("</a></li><script src=\"https://acme.myworkdayjobs.com/w.js\"></script>")))
+      // the ashby arm carries its marker ONLY in the careers URL —
+      // detect must consult both inputs like the reference
+      val url = when(v === 1, concat(lit("https://jobs.ashbyhq.com/org-"), key))
+        .otherwise(lit("https://acme.example.com/careers"))
+      val wb = concat(
+        lit("{\"results\":[{\"title\":\"Backend Engineer\",\"location\":{\"city\":[\"Berlin\",\"Remote\"]}," +
+          "\"department\":\"Eng\",\"shortlink\":\"https://wk/"), key, lit("\"}]}"))
+      val as = concat(
+        lit("{\"jobPostings\":[{\"title\":\"Data Scientist\",\"locationName\":\"NYC\"," +
+          "\"team\":{\"name\":\"Data\"},\"publishedJobUrl\":\"https://ash/"), key, lit("\"}]}"))
+      val base = t(s, dir, "supplier")
+        .select(
+          col("s_suppkey").as("company_id"),
+          html.as("html"), url.as("careers_url"), wb.as("wb_resp"), as.as("as_resp"))
+        .withColumn("vendor", Jobs.detectAts(col("html"), col("careers_url")))
+      val wbJobs = Jobs.parseWorkable(
+        base.filter(col("vendor") === "workable").select(col("company_id"), col("wb_resp")), "wb_resp")
+      val asJobs = Jobs.parseAshby(
+        base.filter(col("vendor") === "ashby").select(col("company_id"), col("as_resp")), "as_resp")
+      val wdJobs = Jobs.parseWorkday(
+        base.filter(col("vendor") === "workday").select(col("company_id"), col("html")), "html")
+      Jobs
+        .unionDedup(Seq(wbJobs, asJobs, wdJobs), _ => lit(0))
+        .select(col("company_id"), col("source"), col("title"), col("url"), col("location"))
+        .orderBy(col("company_id"), col("title"))
+    },
     // C14 — recursive embedded-JSON job mining (scraper_v2.py:469-489)
     "c14_mined_jobs" -> { (s, dir) =>
       val key = col("p_partkey").cast("string")
@@ -1087,6 +1134,20 @@ object SparkEntryCoverage {
         | CAST(COUNT(*) FILTER (WHERE regexp_matches(lower(title),
         |   '\b(sales|account exec|business development|revenue)\b')) AS BIGINT) AS sales_openings
         |FROM jobs GROUP BY company_id ORDER BY company_id""".stripMargin,
+    "s4_ats_vendors" ->
+      """WITH sup AS (
+        | SELECT s_suppkey, CAST(s_suppkey AS VARCHAR) AS k, s_suppkey % 3 AS v FROM supplier),
+        |jobs AS (
+        | SELECT s_suppkey AS company_id, 'workable' AS source, 'Backend Engineer' AS title,
+        |        'https://wk/' || k AS url, 'Berlin, Remote' AS location FROM sup WHERE v = 0
+        | UNION ALL
+        | SELECT s_suppkey, 'ashby', 'Data Scientist', 'https://ash/' || k, 'NYC' FROM sup WHERE v = 1
+        | UNION ALL
+        | SELECT s_suppkey, 'workday', 'Staff Engineer ' || k, '/job/JR-' || k, 'Austin' FROM sup WHERE v = 2
+        | UNION ALL
+        | SELECT s_suppkey, 'workday', 'Platform Engineer ' || k, '/job/PR-' || k, NULL FROM sup WHERE v = 2)
+        |SELECT company_id, source, title, url, location FROM jobs
+        |ORDER BY company_id, title""".stripMargin,
     "c14_mined_jobs" ->
       """SELECT p_partkey, 'Dept ' || CAST(p_partkey AS VARCHAR) AS title,
         |       'Platform' AS department, CAST(NULL AS VARCHAR) AS url

@@ -33,6 +33,57 @@ object Jobs {
       StructField("team", StringType)))),
     StructField("createdAt", LongType))))
 
+  /** Workable `apply.workable.com/api/v3/accounts/<slug>/jobs`
+    * response shape (`ats_extractor.py:289-390`): `location.city` is
+    * an array the reference comma-joins.
+    */
+  val workableSchema: StructType = StructType(Seq(
+    StructField("results", ArrayType(StructType(Seq(
+      StructField("title", StringType),
+      StructField("location", StructType(Seq(
+        StructField("city", ArrayType(StringType))))),
+      StructField("department", StringType),
+      StructField("url", StringType),
+      StructField("shortlink", StringType),
+      StructField("published_on", StringType)))))))
+
+  /** Ashby `api.ashbyhq.com/public/job_postings` response shape
+    * (`ats_extractor.py:491-560`).
+    */
+  val ashbySchema: StructType = StructType(Seq(
+    StructField("jobPostings", ArrayType(StructType(Seq(
+      StructField("title", StringType),
+      StructField("locationName", StringType),
+      StructField("team", StructType(Seq(StructField("name", StringType)))),
+      StructField("publishedJobUrl", StringType),
+      StructField("publishedAt", StringType)))))))
+
+  /** Vendor routing over (page html, careers url) — the reference's
+    * ordered substring checks, first match wins
+    * (`ats_extractor.py:43-113`). The reference's iframe-src fallback
+    * scan is subsumed: an iframe's src is a substring of the html, so
+    * the same contains() checks fire on it. NULL when no vendor
+    * marker is present (caller falls back to generic HTML mining).
+    */
+  def detectAts(html: Column, url: Column): Column = {
+    val h = lower(coalesce(html, lit("")))
+    val u = lower(coalesce(url, lit("")))
+    when(h.contains("greenhouse") || u.contains("greenhouse.io"), "greenhouse")
+      .when(h.contains("lever.co") || u.contains("lever.co"), "lever")
+      .when(h.contains("workable") || u.contains("workable.com"), "workable")
+      .when(h.contains("ashby") || u.contains("ashbyhq.com"), "ashby")
+      .when(h.contains("bamboohr") || u.contains("bamboohr.com"), "bamboohr")
+      .when(h.contains("icims") || u.contains("icims.com"), "icims")
+      .when(
+        h.contains("workday.com") || h.contains("myworkdayjobs.com") ||
+          u.contains("workday.com") || u.contains("myworkdayjobs.com"),
+        "workday")
+      .when(h.contains("taleo") || u.contains("taleo.net") || u.contains("oraclecloud.com"), "oracle")
+      .when(h.contains("smartrecruiters") || u.contains("smartrecruiters.com"), "smartrecruiters")
+      .when(h.contains("jobvite") || u.contains("jobvite.com"), "jobvite")
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Parse a frame of (company_id, response-json) Greenhouse payloads
     * into normalized jobs.
     */
@@ -56,6 +107,61 @@ object Jobs {
         col("j.hostedUrl").as("url"),
         col("j.categories.location").as("location"),
         lit("lever").as("source"))
+
+  /** Parse Workable API payloads into normalized jobs: the city
+    * array is comma-joined like the reference's `', '.join(...)`,
+    * and `shortlink` backs up a missing `url`
+    * (`ats_extractor.py:367-380`).
+    */
+  def parseWorkable(df: DataFrame, jsonCol: String): DataFrame =
+    df.withColumn("__p", from_json(col(jsonCol), workableSchema))
+      .select(col("company_id"), explode(col("__p.results")).as("j"))
+      .select(
+        col("company_id"),
+        col("j.title").as("title"),
+        coalesce(col("j.url"), col("j.shortlink")).as("url"),
+        array_join(col("j.location.city"), ", ").as("location"),
+        lit("workable").as("source"))
+
+  /** Parse Ashby job-postings payloads into normalized jobs
+    * (`ats_extractor.py:538-556`).
+    */
+  def parseAshby(df: DataFrame, jsonCol: String): DataFrame =
+    df.withColumn("__p", from_json(col(jsonCol), ashbySchema))
+      .select(col("company_id"), explode(col("__p.jobPostings")).as("j"))
+      .select(
+        col("company_id"),
+        col("j.title").as("title"),
+        col("j.publishedJobUrl").as("url"),
+        col("j.locationName").as("location"),
+        lit("ashby").as("source"))
+
+  /** Parse Workday careers HTML into normalized jobs: Workday pages
+    * carry `data-automation-id` attributes, so job blocks are the
+    * `<li>/<div>` elements whose automation id starts with
+    * job/posting; per block the `jobTitle` anchor gives title+href
+    * and an optional `locations` element the location — the regex
+    * mirror of the reference's soup scan
+    * (`ats_extractor.py:751-783`). Same 5<len<200 title sanity cut.
+    */
+  def parseWorkday(df: DataFrame, htmlCol: String): DataFrame = {
+    val block =
+      "(?s)<(?:li|div)[^>]*data-automation-id=\"(?:job|posting)[^\"]*\"[^>]*>.*?</(?:li|div)>"
+    val anchor = "(?s)<a[^>]*data-automation-id=\"jobTitle\"[^>]*>([^<]*)</a>"
+    val loc = "(?s)data-automation-id=\"locations?\"[^>]*>([^<]*)<"
+    val href = "href=\"([^\"]*)\""
+    def orNull(c: Column): Column = when(c === "", lit(null).cast("string")).otherwise(c)
+    df.select(
+        col("company_id"),
+        explode(regexp_extract_all(col(htmlCol), lit(block), lit(0))).as("__b"))
+      .select(
+        col("company_id"),
+        trim(regexp_extract(col("__b"), anchor, 1)).as("title"),
+        orNull(regexp_extract(col("__b"), href, 1)).as("url"),
+        orNull(trim(regexp_extract(col("__b"), loc, 1))).as("location"),
+        lit("workday").as("source"))
+      .filter(length(col("title")) > 5 && length(col("title")) < 200)
+  }
 
   /** U2+D1 — union jobs from all extractors and dedup on
     * (lower(title), lower(url)) keeping the first-seen row by

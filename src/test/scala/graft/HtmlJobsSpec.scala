@@ -84,6 +84,68 @@ class HtmlJobsSpec extends SparkSpec {
     assert(counts.getLong(1) == 2L && counts.getLong(2) == 1L && counts.getLong(3) == 1L)
   }
 
+  test("S4 — detectAts: ordered vendor routing over html and url") {
+    val cases = Seq(
+      // html marker wins in reference priority order
+      ("<iframe src='https://boards.greenhouse.io/x'>", "https://a.com", "greenhouse"),
+      ("<script src='https://api.lever.co/v0/postings/x'>", "https://a.com", "lever"),
+      ("<iframe src='https://apply.workable.com/acme/'>", "https://a.com", "workable"),
+      ("<div data-ashby-board>", "https://a.com", "ashby"),
+      ("powered by bamboohr", "https://a.com", "bamboohr"),
+      ("careers.icims.com embed", "https://a.com", "icims"),
+      ("<script src='https://acme.myworkdayjobs.com/w.js'>", "https://a.com", "workday"),
+      ("taleo career section", "https://a.com", "oracle"),
+      ("jobs.smartrecruiters.com", "https://a.com", "smartrecruiters"),
+      ("jobvite widget", "https://a.com", "jobvite"),
+      // url-only markers
+      ("<div>plain</div>", "https://jobs.ashbyhq.com/org", "ashby"),
+      ("<div>plain</div>", "https://x.wd5.myworkdayjobs.com/ext", "workday"),
+      ("<div>plain</div>", "https://acme.oraclecloud.com/hcm", "oracle"),
+      // greenhouse outranks a later marker in the same page
+      ("greenhouse and workable both mentioned", "https://a.com", "greenhouse"),
+      // nothing → null
+      ("<div>plain</div>", "https://a.com", null))
+    val got = cases.map(c => (c._1, c._2)).toDF("html", "url")
+      .select(Jobs.detectAts(col("html"), col("url"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == cases.map(_._3))
+  }
+
+  test("S4 — parseWorkable/parseAshby API shapes, parseWorkday HTML blocks") {
+    val wb = Seq(("acme",
+      """{"results":[{"title":"Backend Engineer","location":{"city":["Berlin","Remote"]},
+        |"department":"Eng","shortlink":"https://wk/1"},
+        |{"title":"No City","location":{},"url":"https://wk/2"}]}""".stripMargin))
+      .toDF("company_id", "resp")
+    val w = Jobs.parseWorkable(wb, "resp").collect()
+      .map(r => (r.getString(1), r.getString(2), if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(w == Seq(
+      ("Backend Engineer", "https://wk/1", "Berlin, Remote"),
+      ("No City", "https://wk/2", null)))
+
+    val as = Seq(("acme",
+      """{"jobPostings":[{"title":"Data Scientist","locationName":"NYC",
+        |"team":{"name":"Data"},"publishedJobUrl":"https://ash/1"}]}""".stripMargin))
+      .toDF("company_id", "resp")
+    val a = Jobs.parseAshby(as, "resp").head()
+    assert(a.getString(1) == "Data Scientist" && a.getString(2) == "https://ash/1" &&
+      a.getString(3) == "NYC" && a.getString(4) == "ashby")
+
+    val html =
+      """<ul data-automation-id="jobResults">
+        |<li data-automation-id="jobPosting"><a data-automation-id="jobTitle" href="/job/JR-1">Staff Engineer</a>
+        |<span data-automation-id="locations">Austin</span></li>
+        |<li data-automation-id="jobPosting"><a data-automation-id="jobTitle" href="/job/PR-2">Platform Engineer</a></li>
+        |<li data-automation-id="jobPosting"><a data-automation-id="jobTitle" href="/x">tiny</a></li>
+        |</ul>""".stripMargin
+    val wd = Jobs.parseWorkday(Seq(("acme", html)).toDF("company_id", "html"), "html")
+      .collect().map(r => (r.getString(1), r.getString(2), if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    // 'tiny' fails the 5<len<200 sanity cut; missing location → null
+    assert(wd == Seq(
+      ("Staff Engineer", "/job/JR-1", "Austin"),
+      ("Platform Engineer", "/job/PR-2", null)))
+  }
+
   test("LSH hyperplane buckets: same-direction vectors collide, orthogonal don't") {
     val df = Seq(
       (1L, Seq(1.0, 0.01, 0.0)), (2L, Seq(0.99, 0.0, 0.01)), (3L, Seq(0.0, 0.0, 1.0))
