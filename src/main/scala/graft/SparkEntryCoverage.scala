@@ -702,27 +702,58 @@ object SparkEntryCoverage {
         .select(col("o_orderkey"), date_format(col("d"), "yyyy-MM-dd").as("d"))
         .orderBy(col("o_orderkey"))
     },
-    // S3 — RSS/Atom feed parsing: feed XML → (title, url) entries,
-    // limit 25 per feed (scraper_v2.py:972-1043)
+    // S3 — real RSS *and* Atom feed parsing: per-source feeds built in
+    // alternating dialects, then Feeds.feedEntries handles both —
+    // RSS <item> title/link/description/pubDate (CDATA descriptions,
+    // relative links resolved against the feed URL) and Atom <entry>
+    // title/<link href>/summary/updated-else-published — with the
+    // reference's per-feed limit 25 (scraper_v2.py:972-1043)
     "s3_feed_entries" -> { (s, dir) =>
       val id = col("doc_id").cast("string")
-      val item = concat(
-        lit("<item><title>t"), id,
-        lit("</title><link>https://feed/"), id, lit("</link></item>"))
+      val rssLink = when(col("doc_id") % 2 === 0, concat(lit("<link>/a/"), id, lit("</link>")))
+        .otherwise(concat(lit("<link>https://feed/"), id, lit("</link>")))
+      val rssDesc = when(
+        col("doc_id") % 5 === 0,
+        concat(lit("<description><![CDATA[s"), id, lit("]]></description>")))
+        .otherwise(concat(lit("<description>s"), id, lit("</description>")))
+      val rssItem = concat(
+        lit("<item><title>t"), id, lit("</title>"), rssLink, rssDesc,
+        lit("<pubDate>Mon, 01 Jan 2024</pubDate></item>"))
+      val atomLink = when(col("doc_id") % 2 === 0, concat(lit("<link>/a/"), id, lit("</link>")))
+        .otherwise(concat(lit("<link href=\"https://feed/"), id, lit("\"/>")))
+      val atomDate = when(
+        col("doc_id") % 3 === 0,
+        lit("<published>2024-03-01T00:00:00Z</published>"))
+        .otherwise(lit("<updated>2024-02-01T00:00:00Z</updated>"))
+      val atomEntry = concat(
+        lit("<entry><title>t"), id, lit("</title>"), atomLink,
+        lit("<summary>s"), id, lit("</summary>"), atomDate, lit("</entry>"))
+      val isRssSource = length(col("source")) % 2 === 0
+      val blk = when(isRssSource, rssItem).otherwise(atomEntry)
       t(s, dir, "documents")
-        .select(col("source"), item.as("item"))
+        .select(col("source"), blk.as("blk"))
         .groupBy(col("source"))
-        .agg(concat_ws("", sort_array(collect_list(col("item")))).as("xml"))
+        .agg(concat_ws("", sort_array(collect_list(col("blk")))).as("body"))
         .select(
           col("source"),
-          posexplode(regexp_extract_all(col("xml"), lit("<item>(.*?)</item>"), lit(1)))
-            .as(Seq("entry_index", "entry")))
-        .filter(col("entry_index") < 25)
+          when(
+            length(col("source")) % 2 === 0,
+            concat(lit("<rss version=\"2.0\"><channel>"), col("body"), lit("</channel></rss>")))
+            .otherwise(
+              concat(lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">"), col("body"), lit("</feed>")))
+            .as("xml"))
+        .select(
+          col("source"),
+          posexplode(
+            Feeds.feedEntries(col("xml"), lit("https://news.example.com/feeds/rss.xml"), 25))
+            .as(Seq("entry_index", "e")))
         .select(
           col("source"),
           col("entry_index").cast("long").as("entry_index"),
-          regexp_extract(col("entry"), "<title>(.*?)</title>", 1).as("title"),
-          regexp_extract(col("entry"), "<link>(.*?)</link>", 1).as("url"))
+          col("e.title").as("title"),
+          col("e.url").as("url"),
+          col("e.summary").as("summary"),
+          col("e.published").as("published"))
         .orderBy(col("source"), col("entry_index"))
     },
     // D2 — article dedup on coalesce(url, title) derived key
@@ -1414,20 +1445,38 @@ object SparkEntryCoverage {
         |WHERE d IS NOT NULL AND d NOT IN (DATE '1970-01-01', DATE '1900-01-01', DATE '9999-12-31')
         |ORDER BY o_orderkey""".stripMargin,
     "s3_feed_entries" ->
-      """WITH items AS (
-        | SELECT source,
-        |  '<item><title>t' || CAST(doc_id AS VARCHAR) || '</title><link>https://feed/' ||
-        |  CAST(doc_id AS VARCHAR) || '</link></item>' AS item
+      """WITH d AS (
+        | SELECT source, doc_id, CAST(doc_id AS VARCHAR) AS k, length(source) % 2 = 0 AS is_rss
         | FROM documents),
-        |feeds AS (SELECT source, string_agg(item, '' ORDER BY item) AS xml FROM items GROUP BY source),
-        |entries AS (
-        | SELECT source, u.entry, u.i FROM feeds,
-        |  LATERAL (SELECT unnest(regexp_extract_all(xml, '<item>(.*?)</item>', 1)) AS entry,
-        |                  unnest(generate_series(1, len(regexp_extract_all(xml, '<item>(.*?)</item>', 1)))) AS i) u)
-        |SELECT source, CAST(i - 1 AS BIGINT) AS entry_index,
-        | regexp_extract(entry, '<title>(.*?)</title>', 1) AS title,
-        | regexp_extract(entry, '<link>(.*?)</link>', 1) AS url
-        |FROM entries WHERE i <= 25
+        |blocks AS (
+        | SELECT source, doc_id, k, is_rss,
+        |  CASE WHEN is_rss THEN
+        |   '<item><title>t' || k || '</title>' ||
+        |   CASE WHEN doc_id % 2 = 0 THEN '<link>/a/' || k || '</link>'
+        |        ELSE '<link>https://feed/' || k || '</link>' END ||
+        |   CASE WHEN doc_id % 5 = 0 THEN '<description><![CDATA[s' || k || ']]></description>'
+        |        ELSE '<description>s' || k || '</description>' END ||
+        |   '<pubDate>Mon, 01 Jan 2024</pubDate></item>'
+        |  ELSE
+        |   '<entry><title>t' || k || '</title>' ||
+        |   CASE WHEN doc_id % 2 = 0 THEN '<link>/a/' || k || '</link>'
+        |        ELSE '<link href="https://feed/' || k || '"/>' END ||
+        |   '<summary>s' || k || '</summary>' ||
+        |   CASE WHEN doc_id % 3 = 0 THEN '<published>2024-03-01T00:00:00Z</published>'
+        |        ELSE '<updated>2024-02-01T00:00:00Z</updated>' END || '</entry>'
+        |  END AS blk
+        | FROM d),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY source ORDER BY blk) AS rn FROM blocks)
+        |SELECT source, CAST(rn - 1 AS BIGINT) AS entry_index,
+        | 't' || k AS title,
+        | CASE WHEN doc_id % 2 = 0 THEN 'https://news.example.com/a/' || k
+        |      ELSE 'https://feed/' || k END AS url,
+        | 's' || k AS summary,
+        | CASE WHEN is_rss THEN 'Mon, 01 Jan 2024'
+        |      WHEN doc_id % 3 = 0 THEN '2024-03-01T00:00:00Z'
+        |      ELSE '2024-02-01T00:00:00Z' END AS published
+        |FROM ranked WHERE rn <= 25
         |ORDER BY source, entry_index""".stripMargin,
     "d2_article_dedup" ->
       """WITH b AS (

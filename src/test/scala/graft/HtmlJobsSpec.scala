@@ -146,6 +146,46 @@ class HtmlJobsSpec extends SparkSpec {
       ("Platform Engineer", "/job/PR-2", null)))
   }
 
+  test("S3 — feedEntries parses RSS and Atom with urljoin and limits") {
+    import graft.operators.Feeds
+    val rss =
+      """<rss version="2.0"><channel>
+        |<item><title> A </title><link>/p/1</link><description><![CDATA[first &amp; best]]></description>
+        |<pubDate>Mon, 01 Jan 2024</pubDate></item>
+        |<item><title>B</title><link>https://other.com/x</link></item>
+        |<item><title>C</title></item>
+        |</channel></rss>""".stripMargin
+    val atom =
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        |<entry><title>X</title><link href="https://abs.com/1"/><summary>sx</summary>
+        |<updated>2024-02-01</updated><published>2023-01-01</published></entry>
+        |<entry><title>Y</title><link>rel.html</link><published>2024-03-01</published></entry>
+        |</feed>""".stripMargin
+    val df = Seq(
+      ("rss", rss, "https://base.com/feeds/main.xml"),
+      ("atom", atom, "https://base.com/feeds/main.xml"),
+      ("broken", "not xml at all", "https://base.com/")
+    ).toDF("src", "xml", "base")
+    val got = df
+      .select(col("src"), explode(Feeds.feedEntries(col("xml"), col("base"))).as("e"))
+      .select(col("src"), col("e.title"), col("e.url"), col("e.summary"), col("e.published"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      // trim + CDATA strip; root-relative link joins scheme+authority
+      ("rss", "A", "https://base.com/p/1", "first &amp; best", "Mon, 01 Jan 2024"),
+      ("rss", "B", "https://other.com/x", "", ""),
+      // missing link → the feed url itself (urljoin(base, ""))
+      ("rss", "C", "https://base.com/feeds/main.xml", "", ""),
+      // href wins; updated outranks published
+      ("atom", "X", "https://abs.com/1", "sx", "2024-02-01"),
+      // text link, non-root relative → base directory; published fallback
+      ("atom", "Y", "https://base.com/feeds/rel.html", "", "2024-03-01")))
+    // limit truncates
+    val lim = df.filter(col("src") === "rss")
+      .select(size(Feeds.feedEntries(col("xml"), col("base"), 2))).head().getInt(0)
+    assert(lim == 2)
+  }
+
   test("LSH hyperplane buckets: same-direction vectors collide, orthogonal don't") {
     val df = Seq(
       (1L, Seq(1.0, 0.01, 0.0)), (2L, Seq(0.99, 0.0, 0.01)), (3L, Seq(0.0, 0.0, 1.0))
