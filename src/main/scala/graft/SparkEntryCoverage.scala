@@ -352,6 +352,29 @@ object SparkEntryCoverage {
         .select(col("company_id"), col("source"), col("title"), col("url"), col("location"))
         .orderBy(col("company_id"), col("title"))
     },
+    // C6 — investor + valuation extraction: known-VC list hit wins
+    // (arm 0), else led-by / participation-from capture patterns
+    // (arms 1-2); valuation from the $X billion|million patterns
+    // (structured_extraction_v2.py:2165-2252)
+    "c6_investors" -> { (s, dir) =>
+      val desc = when(
+        col("doc_id") % 4 === 0,
+        lit("The round was led by Accel with broad support."))
+        .when(
+          col("doc_id") % 4 === 1,
+          lit("Round led by Alpha Partners, at a $1.5 billion valuation."))
+        .when(
+          col("doc_id") % 4 === 2,
+          lit("Growth financing with participation from Beta Fund. valued at $250 million"))
+        .otherwise(lit("Quarterly product update, no financing."))
+      t(s, dir, "documents")
+        .select(col("doc_id"), desc.as("description"))
+        .select(
+          col("doc_id"),
+          array_join(MoneyFns.extractInvestors(col("description")), ",").as("investors_csv"),
+          MoneyFns.extractValuation(col("description")).as("valuation_usd"))
+        .orderBy(col("doc_id"))
+    },
     // C14 — recursive embedded-JSON job mining (scraper_v2.py:469-489)
     "c14_mined_jobs" -> { (s, dir) =>
       val key = col("p_partkey").cast("string")
@@ -1165,6 +1188,16 @@ object SparkEntryCoverage {
         | CAST(COUNT(*) FILTER (WHERE regexp_matches(lower(title),
         |   '\b(sales|account exec|business development|revenue)\b')) AS BIGINT) AS sales_openings
         |FROM jobs GROUP BY company_id ORDER BY company_id""".stripMargin,
+    "c6_investors" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 0 THEN 'Accel'
+        |      WHEN doc_id % 4 = 1 THEN 'Alpha Partners'
+        |      WHEN doc_id % 4 = 2 THEN 'Beta Fund'
+        |      ELSE '' END AS investors_csv,
+        | CASE WHEN doc_id % 4 = 1 THEN CAST(1500000000 AS BIGINT)
+        |      WHEN doc_id % 4 = 2 THEN CAST(250000000 AS BIGINT)
+        |      ELSE CAST(NULL AS BIGINT) END AS valuation_usd
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "s4_ats_vendors" ->
       """WITH sup AS (
         | SELECT s_suppkey, CAST(s_suppkey AS VARCHAR) AS k, s_suppkey % 3 AS v FROM supplier),

@@ -42,6 +42,38 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  // C6 investors/valuation -------------------------------------------------
+  test("extractInvestors: known list wins, else capture patterns with cleanup") {
+    val cases = Seq(
+      // known-VC substring hit wins outright, list order preserved
+      ("Backed by Sequoia and Accel this round", Seq("Accel", "Sequoia")),
+      // led by + participation from, deduped, trailing junk stripped
+      ("Round led by Alpha Partners, with participation from Gamma Labs.",
+        Seq("Alpha Partners", "Gamma Labs")),
+      // stoplist + length cutoffs drop false positives
+      ("led by Round. backed from Ab.", Seq()),
+      ("nothing to see", Seq()))
+    val got = cases.map(_._1).toDF("d")
+      .select($"d", MoneyFns.extractInvestors($"d").as("inv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"for '$s'") }
+  }
+
+  test("extractValuation: pattern priority and units") {
+    val cases = Seq(
+      ("at a $1.5 billion valuation", 1500000000L),
+      ("a $300 million valuation", 300000000L),
+      ("now valued at $2.5 billion overall", 2500000000L),
+      ("a valuation of $750 million today", 750000000L))
+    val got = cases.map(_._1).toDF("d")
+      .select($"d", MoneyFns.extractValuation($"d").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"for '$s'") }
+    val none = Seq("no valuation mentioned").toDF("d")
+      .select(MoneyFns.extractValuation($"d")).collect().head
+    assert(none.isNullAt(0))
+  }
+
   // C3 dates ---------------------------------------------------------------
   test("parseDateMulti formats") {
     val cases = Seq(
