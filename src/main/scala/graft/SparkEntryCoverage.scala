@@ -409,25 +409,75 @@ object SparkEntryCoverage {
           array_join(transform(col("tbl.rows"), r => array_join(r, "|")), ";").as("rows_csv"))
         .orderBy(col("n_nationkey"))
     },
-    // C16 — HTML facet extraction: title/meta/links/images/text
-    // (scraper_v2.py:182-468)
+    // C16 — full HTML facet extraction: title/meta/links/images/text
+    // plus scripts, forms (with labeled fields), navigation structure
+    // (nav/footer/breadcrumbs, urljoined) and per-page statistics
+    // (scraper_v2.py:182-468 basic facets, 259-298 forms, 868-903
+    // scripts, 905-955 navigation, 1148-1172 statistics)
     "c16_html_facets" -> { (s, dir) =>
       val id = col("doc_id").cast("string")
       val html = concat(
         lit("<html><head><title>Doc "), id,
         lit("</title><meta name=\"description\" content=\"about-"), col("lang"),
-        lit("\"></head><body><a href=\"/blog/a-"), id,
+        lit("\"><script src=\"https://cdn.example.com/app-"), id,
+        lit(".js\" async></script><script type=\"application/json\" id=\"data\">{\"k\":"), id,
+        lit("}</script></head><body>" +
+          "<nav><a href=\"/home\">Home</a><a href=\"https://ext.example.org/x-"), id,
+        lit("\">Partners</a></nav>" +
+          "<ol class=\"breadcrumb\"><a href=\"/\">Root</a><a href=\"/docs/"), id,
+        lit("\">Here</a></ol>" +
+          "<form action=\"/subscribe\" method=\"post\" id=\"f\">" +
+          "<label for=\"em\">Email address</label>" +
+          "<input type=\"email\" id=\"em\" name=\"email\" required>" +
+          "<input type=\"submit\" value=\"Go\"></form>" +
+          "<a href=\"/blog/a-"), id,
         lit("\">read</a><img src=\"/img/"), id,
-        lit(".png\"><p>Hello <b>world</b></p></body></html>"))
+        lit(".png\"><p>Hello <b>world</b></p>" +
+          "<footer><a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      val base = lit("https://docs.example.com/pages/index.html")
+      def anchorsCsv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(transform(c, a => concat(a.getField("text"), lit("@"), a.getField("href"))), ",")
       t(s, dir, "documents")
         .select(col("doc_id"), html.as("html"))
+        .withColumn("scripts", HtmlFns.scripts(col("html")))
+        .withColumn("form", element_at(HtmlFns.extractForms(col("html")), 1))
+        .withColumn("nav", HtmlFns.navigation(col("html"), base))
+        .withColumn("stats", HtmlFns.pageStatistics(col("html"), base))
         .select(
           col("doc_id"),
           HtmlFns.title(col("html")).as("title"),
           HtmlFns.metaContent(col("html"), "description").as("meta_desc"),
           array_join(HtmlFns.links(col("html")), ",").as("links_csv"),
           array_join(HtmlFns.images(col("html")), ",").as("images_csv"),
-          HtmlFns.textContent(col("html")).as("text_content"))
+          HtmlFns.textContent(col("html")).as("text_content"),
+          size(col("scripts")).cast("long").as("n_scripts"),
+          array_join(
+            filter(transform(col("scripts"), sc => sc.getField("src")), sr => sr =!= ""),
+            ",").as("script_srcs_csv"),
+          size(filter(col("scripts"), sc => sc.getField("async"))).cast("long")
+            .as("script_async_count"),
+          size(filter(col("scripts"), sc => sc.getField("has_json"))).cast("long")
+            .as("script_json_count"),
+          col("form.action").as("form_action"),
+          col("form.method").as("form_method"),
+          array_join(
+            transform(
+              col("form.fields"),
+              f => concat_ws(
+                ":",
+                f.getField("ftype"), f.getField("name"), f.getField("label"),
+                f.getField("required").cast("string"))),
+            ",").as("form_fields_csv"),
+          anchorsCsv(col("nav.main_nav")).as("main_nav_csv"),
+          anchorsCsv(col("nav.footer_links")).as("footer_csv"),
+          anchorsCsv(col("nav.breadcrumbs")).as("breadcrumbs_csv"),
+          col("stats.total_links").as("total_links"),
+          col("stats.internal_links").as("internal_links"),
+          col("stats.external_links").as("external_links"),
+          col("stats.total_images").as("total_images"),
+          col("stats.total_forms").as("total_forms"),
+          col("stats.total_tables").as("total_tables"),
+          col("stats.word_count").as("word_count"))
         .orderBy(col("doc_id"))
     },
     // V2 scale path — IVF top-k: coarse-quantize into 4 cells
@@ -1229,9 +1279,31 @@ object SparkEntryCoverage {
       """SELECT doc_id,
         | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
         | 'about-' || lang AS meta_desc,
-        | '/blog/a-' || CAST(doc_id AS VARCHAR) AS links_csv,
+        | '/home,https://ext.example.org/x-' || CAST(doc_id AS VARCHAR) ||
+        |   ',/,/docs/' || CAST(doc_id AS VARCHAR) ||
+        |   ',/blog/a-' || CAST(doc_id AS VARCHAR) || ',/privacy' AS links_csv,
         | '/img/' || CAST(doc_id AS VARCHAR) || '.png' AS images_csv,
-        | 'Doc ' || CAST(doc_id AS VARCHAR) || ' read Hello world' AS text_content
+        | 'Doc ' || CAST(doc_id AS VARCHAR) ||
+        |   ' Home Partners Root Here Email address read Hello world Privacy' AS text_content,
+        | CAST(2 AS BIGINT) AS n_scripts,
+        | 'https://cdn.example.com/app-' || CAST(doc_id AS VARCHAR) || '.js' AS script_srcs_csv,
+        | CAST(1 AS BIGINT) AS script_async_count,
+        | CAST(1 AS BIGINT) AS script_json_count,
+        | '/subscribe' AS form_action,
+        | 'POST' AS form_method,
+        | 'email:email:Email address:true,submit:::false' AS form_fields_csv,
+        | 'Home@https://docs.example.com/home,Partners@https://ext.example.org/x-' ||
+        |   CAST(doc_id AS VARCHAR) AS main_nav_csv,
+        | 'Privacy@https://docs.example.com/privacy' AS footer_csv,
+        | 'Root@https://docs.example.com/,Here@https://docs.example.com/docs/' ||
+        |   CAST(doc_id AS VARCHAR) AS breadcrumbs_csv,
+        | CAST(6 AS BIGINT) AS total_links,
+        | CAST(5 AS BIGINT) AS internal_links,
+        | CAST(1 AS BIGINT) AS external_links,
+        | CAST(1 AS BIGINT) AS total_images,
+        | CAST(1 AS BIGINT) AS total_forms,
+        | CAST(0 AS BIGINT) AS total_tables,
+        | CAST(12 AS BIGINT) AS word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
     "v_ivf_topk" -> {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

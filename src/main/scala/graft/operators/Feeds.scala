@@ -19,20 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Feeds {
 
-  /** `urljoin(base, link)` for the feed cases: absolute schemes kept,
-    * root-relative joined to the base's scheme+authority, other
-    * relatives to the base's directory, empty → the base itself.
+  /** `urljoin(base, link)` for the feed cases — shared with the HTML
+    * facet extractors (see [[graft.functions.HtmlFns.urlJoin]]).
     */
   def absolutize(link: Column, base: Column): Column =
-    when(link.isNull || link === "", base)
-      .when(link.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), link)
-      .when(
-        link.startsWith("/"),
-        concat(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1), link))
-      .when(
-        base.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$"),
-        concat(base, lit("/"), link))
-      .otherwise(concat(regexp_extract(base, "^(.*/)[^/]*$", 1), link))
+    graft.functions.HtmlFns.urlJoin(link, base)
 
   private def stripCdata(c: Column): Column =
     regexp_replace(c, "(?s)^<!\\[CDATA\\[(.*)\\]\\]>$", "$1")

@@ -146,6 +146,56 @@ class HtmlJobsSpec extends SparkSpec {
       ("Platform Engineer", "/job/PR-2", null)))
   }
 
+  test("C16 — forms, scripts, navigation, statistics facets") {
+    val html =
+      """<html><head>
+        |<script src="/a.js" defer></script>
+        |<script id="st">  [1,2,3]  </script>
+        |</head><body>
+        |<nav class="top"><a href="/x">X <b>bold</b></a></nav>
+        |<header><a href="https://other.com/y">Y</a></header>
+        |<ul class="crumb breadcrumbs"><a href="/c1">C1</a></ul>
+        |<form action="/go" method="post" name="f1">
+        |  <label for="q">Query</label>
+        |  <input type="text" id="q" name="q" placeholder="type here" required value="v0">
+        |  <textarea name="notes"></textarea>
+        |  <select name="opt"><option>o</option></select>
+        |</form>
+        |<form><input name="bare"></form>
+        |<table><tr><td>t</td></tr></table>
+        |</body></html>""".stripMargin
+    val df = Seq(html).toDF("html")
+
+    val forms = HtmlFns.extractFormsImpl(html)
+    assert(forms.size == 2)
+    val f1 = forms.head
+    assert(f1.action == "/go" && f1.method == "POST" && f1.name == "f1")
+    assert(f1.fields.map(_.ftype) == Seq("text", "textarea", "select"))
+    val q = f1.fields.head
+    assert(q.label == "Query" && q.required && q.placeholder == "type here" && q.value == "v0")
+    assert(!f1.fields(1).required && f1.fields(1).label == "")
+    assert(forms(1).method == "GET" && forms(1).fields.map(_.name) == Seq("bare"))
+
+    val sc = df.select(explode(HtmlFns.scripts(col("html"))).as("s"))
+      .select("s.src", "s.async", "s.defer", "s.has_json").collect()
+    assert(sc.length == 2)
+    assert(sc(0).getString(0) == "/a.js" && !sc(0).getBoolean(1) && sc(0).getBoolean(2))
+    assert(sc(1).getString(0) == "" && sc(1).getBoolean(3)) // [1,2,3] is json
+
+    val nav = df.select(HtmlFns.navigation(col("html"), lit("https://base.com/p/i.html")).as("n"))
+      .select("n.main_nav", "n.footer_links", "n.breadcrumbs").head()
+    val main = nav.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1)))
+    assert(main == Seq(("X bold", "https://base.com/x"), ("Y", "https://other.com/y")))
+    assert(nav.getSeq[org.apache.spark.sql.Row](1).isEmpty) // no footer
+    assert(nav.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0)) == Seq("C1"))
+
+    val st = df.select(HtmlFns.pageStatistics(col("html"), lit("https://base.com/")).as("s"))
+      .select("s.total_links", "s.internal_links", "s.external_links",
+        "s.total_forms", "s.total_tables").head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4)) ==
+      ((3L, 2L, 1L, 2L, 1L)))
+  }
+
   test("S3 — feedEntries parses RSS and Atom with urljoin and limits") {
     import graft.operators.Feeds
     val rss =
