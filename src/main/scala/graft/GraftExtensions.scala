@@ -3,7 +3,7 @@ package graft
 import graft.expressions.{CosineSimilarity, DotProduct, MinHashSignature, NgramStats, SimHash64, SortedHashes64, SortedIntersectSize, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extensions: registers the engine's codegen expressions as
   * SQL functions, so `spark.sql("SELECT cosine_similarity(a, b)")`
@@ -37,14 +37,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(args.length == 2, "dot_product takes 2 arguments")
           DotProduct(args.head, args(1))
         }))
-    // per-document text kernels — int parameters must be foldable
-    // literals (they shape the computation, not per-row inputs)
-    def intArg(e: Expression, fn: String): Int = e match {
-      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-      case other =>
-        throw new IllegalArgumentException(
-          s"$fn: expected an integer literal, got $other")
-    }
+    // per-document text kernels — int parameters must be FOLDABLE (they
+    // shape the computation, not per-row inputs), but not necessarily a
+    // bare IntegerType literal: `word_shingles(t, 1+2)`, a BIGINT
+    // literal, or a CAST all fold to a constant here, and non-foldable
+    // args get a typed AnalysisException instead of a raw plan-time
+    // IllegalArgumentException.
+    def intArg(e: Expression, fn: String, param: String): Int =
+      if (e.foldable) e.eval() match {
+        case i: Int                  => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short                => s.toInt
+        case b: Byte                 => b.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"$fn: parameter '$param' must be a constant integer, got $other")
+      }
+      else
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> s"`$fn`",
+            "paramName" -> s"`$param`",
+            "paramType" -> "\"INT\""))
     ext.injectFunction(
       (
         FunctionIdentifier("word_shingles"),
@@ -53,7 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(text, n) - distinct word n-gram shingles of a document"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "word_shingles takes 2 arguments")
-          WordShingles(args.head, intArg(args(1), "word_shingles"))
+          WordShingles(args.head, intArg(args(1), "word_shingles", "n"))
         }))
     ext.injectFunction(
       (
@@ -63,7 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_sig(shingles, k) - k-min-hash signature of a shingle set as array<long>"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "minhash_sig takes 2 arguments")
-          MinHashSignature(args.head, intArg(args(1), "minhash_sig"))
+          MinHashSignature(args.head, intArg(args(1), "minhash_sig", "k"))
         }))
     ext.injectFunction(
       (
@@ -83,7 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "winnow_fps(text, k, w) - distinct winnowing fingerprints (k-gram, window w)"),
         (args: Seq[Expression]) => {
           require(args.length == 3, "winnow_fps takes 3 arguments")
-          WinnowFingerprints(args.head, intArg(args(1), "winnow_fps"), intArg(args(2), "winnow_fps"))
+          WinnowFingerprints(args.head, intArg(args(1), "winnow_fps", "k"), intArg(args(2), "winnow_fps", "w"))
         }))
     ext.injectFunction(
       (
@@ -93,7 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "ngram_stats(text, n) - struct(total, distinct, top) word n-gram occurrence stats"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "ngram_stats takes 2 arguments")
-          NgramStats(args.head, intArg(args(1), "ngram_stats"))
+          NgramStats(args.head, intArg(args(1), "ngram_stats", "n"))
         }))
     ext.injectFunction(
       (

@@ -904,10 +904,17 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
         | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
+      // the engine caps shingle document-frequency at 1000 (stop-shingle
+      // drop) BEFORE both the intersection counts and the set sizes —
+      // QUALIFY mirrors that cap so the oracle agrees on any corpus
+      // where it actually fires (df of a shingle string == df of its
+      // 64-bit hash, the only thing the engine sees)
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
         |       FROM tok WHERE len(tk) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -156,10 +156,18 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getStruct(3).getLong(0) == 3L && r.getStruct(3).getLong(2) == 2L)
     assert(r.getInt(4) == 2)
     assert(r.getInt(5) > 0)
-    // a non-literal n parameter is rejected, not silently misread
-    intercept[Exception] {
-      spark.sql("SELECT word_shingles('a b c', length('xy'))").collect()
+    // a foldable-but-not-literal n constant-folds (1+1 → 2, BIGINT ok)
+    val folded = spark
+      .sql("SELECT word_shingles('a b c', 1 + 1) AS s2, " +
+        "word_shingles('a b c', CAST(2 AS BIGINT)) AS s2l")
+      .collect().head
+    assert(folded.getSeq[String](0) == Seq("a b", "b c"))
+    assert(folded.getSeq[String](1) == Seq("a b", "b c"))
+    // a genuinely non-foldable n is rejected with a typed analysis error
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles('a b c', CAST(rand() * 2 AS INT))").collect()
     }
+    assert(err.getCondition == "NON_FOLDABLE_ARGUMENT")
   }
 
   test("GraftExtensions: cosine_similarity / dot_product callable from SQL") {
