@@ -218,6 +218,42 @@ object SparkEntryCoverage {
           coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
         .orderBy(col("c_custkey"))
     },
+    // E3 — end-to-end nested payload assembly + canonical JSON
+    // serialization (structured_extraction_v2.py:3394-3548, the
+    // reference's core product): parent + per-child sorted arrays,
+    // empty arrays (not null) for childless parents, one JSON doc per
+    // row. Children are filtered so the empty-array branch actually
+    // fires; every field is a non-null string/bigint so Spark's
+    // to_json and the DuckDB oracle cannot diverge on null-omission
+    // or double rendering.
+    "e3_payload_assembly" -> { (s, dir) =>
+      val companies = t(s, dir, "customer").select(
+        col("c_custkey").as("company_id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+      val orders = t(s, dir, "orders")
+      val events = orders
+        .filter(col("o_totalprice") > 150000)
+        .select(
+          col("o_custkey").as("company_id"),
+          col("o_orderkey").as("event_id"),
+          col("o_orderpriority").as("title"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("occurred_on"),
+          col("o_orderstatus").as("event_type"),
+          round(col("o_totalprice") * 100).cast("long").as("amount_cents"))
+      val priorities = orders
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_custkey").as("company_id"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+      val assembled = graft.pipelines.Payload.assemble(
+        companies,
+        "company_id",
+        Seq(
+          (events, "company_id",
+            Seq("event_id", "title", "occurred_on", "event_type", "amount_cents"), "events"),
+          (priorities, "company_id", Seq("priority", "n"), "priority_counts")))
+      graft.pipelines.Payload.toJsonDocs(assembled).orderBy(col("payload_json"))
+    },
     // F6 — page-error predicate: drop error pages / short error blurbs
     // (scraper_v2.py:1093-1129)
     "f6_page_error" -> { (s, dir) =>
@@ -1185,6 +1221,32 @@ object SparkEntryCoverage {
         | FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
         |WHERE c_custkey % 100 = 42
         |ORDER BY c_custkey""".stripMargin,
+    // struct_pack field order mirrors the Spark struct order exactly;
+    // CAST(to_json(...) AS VARCHAR) because DuckDB's JSON type would
+    // otherwise come back as a JSON-typed column, not a string
+    "e3_payload_assembly" ->
+      """WITH companies AS (
+        |  SELECT c_custkey AS company_id, c_name AS name, c_mktsegment AS segment FROM customer),
+        |ev AS (
+        |  SELECT o_custkey AS company_id,
+        |    list_sort(list(struct_pack(event_id := o_orderkey, title := o_orderpriority,
+        |      occurred_on := strftime(o_orderdate, '%Y-%m-%d'),
+        |      event_type := o_orderstatus,
+        |      amount_cents := CAST(round(o_totalprice * 100) AS BIGINT)))) AS events
+        |  FROM orders WHERE o_totalprice > 150000 GROUP BY 1),
+        |pc AS (
+        |  SELECT company_id, list_sort(list(struct_pack(priority := p, n := n))) AS priority_counts
+        |  FROM (SELECT o_custkey AS company_id, o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n
+        |        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT CAST(to_json(struct_pack(
+        |    company_id := c.company_id, name := c.name, segment := c.segment,
+        |    events := coalesce(e.events, []),
+        |    priority_counts := coalesce(p.priority_counts, []))) AS VARCHAR) AS payload_json
+        |FROM companies c
+        |LEFT JOIN ev e ON e.company_id = c.company_id
+        |LEFT JOIN pc p ON p.company_id = c.company_id
+        |ORDER BY payload_json""".stripMargin,
     "f6_page_error" -> {
       val phrases = Seq(
         "404 not found", "403 forbidden", "500 internal server error",
@@ -1740,11 +1802,15 @@ object SparkEntryCoverage {
         |       CAST(MAX(c) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
+      // empty docs emit ZERO frames (mirrors Multimodal.sampleFrames's
+      // when(nFrames > 0) guard — without the WHERE, the series would
+      // still yield i=0 for length 0 and diverge on any empty text)
       """SELECT doc_id AS media_id, CAST(gs.i AS BIGINT) AS frame_index,
         | CAST(least(100, length(text) - gs.i * 100) AS BIGINT) AS n_frame_bytes
         |FROM documents,
         | LATERAL (SELECT unnest(generate_series(0,
         |   greatest(CAST(ceil(length(text) / 100.0) AS INT) - 1, 0))) AS i) gs
+        |WHERE length(text) > 0
         |ORDER BY media_id, frame_index""".stripMargin,
     "dd_simhash_pairs" -> {
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
