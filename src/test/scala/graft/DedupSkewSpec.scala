@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew fixture for the dedup pair generators (SURVEY §2.12
+  * T2/T3 at 100 TB): one hot shingle at ~100× the median document
+  * frequency — the "every page has the same boilerplate footer" shape
+  * that makes naive shingle-join dedup quadratic in production.
+  *
+  * The point is MEASURED boundedness, not just green output: the
+  * candidate-pair volume (sum over join buckets of C(df, 2) — exactly
+  * the row count the pair join emits before any filter) is computed
+  * with and without the df cap, and the cap must collapse it from
+  * quadratic-in-corpus to linear-in-planted-dups. AQE's skew-join
+  * split handles moderate residual skew at runtime; the cap removes
+  * the degenerate buckets AQE can only dilute, not shrink.
+  */
+class DedupSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 300 // corpus size; hot shingle df = N, median df = 1
+
+  /** Doc i: a shared 3-word boilerplate phrase (ONE hot 3-gram shingle
+    * with df = N) followed by unique filler words (every other shingle
+    * has df 1). Docs N..N+4 are planted near-dups of docs 0..4 (same
+    * filler, one appended word).
+    */
+  private lazy val corpus = {
+    val base = (0 until N).map { i =>
+      (i.toLong, s"common anchor phrase u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }
+    val dups = (0 until 5).map { i =>
+      (N + i.toLong, s"common anchor phrase u${i}a u${i}b u${i}c u${i}d u${i}e extra")
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  /** Candidate-pair volume of the shingle equi-join: sum of C(df, 2)
+    * over shingles, optionally df-capped — the exact number of rows
+    * the `a JOIN b ON shingle` stage produces (before id_a < id_b
+    * halves it).
+    */
+  private def candidateVolume(maxDf: Option[Int]): Long = {
+    val df = Dedup
+      .shingleTable(corpus, "text", "doc_id", 3)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val kept = maxDf.fold(df)(cap => df.filter(col("df") <= cap))
+    kept
+      .agg(sum(col("df") * (col("df") - 1) / 2).cast("long"))
+      .head().getLong(0)
+  }
+
+  test("hot shingle makes the uncapped pair stage quadratic; the df cap bounds it") {
+    val uncapped = candidateVolume(None)
+    val capped = candidateVolume(Some(100))
+    // the single hot shingle alone contributes C(305, 2) = 46 360 pairs
+    assert(uncapped >= N.toLong * (N - 1) / 2, s"uncapped volume $uncapped not quadratic?")
+    // capped: only the planted dups' shared rare shingles survive —
+    // bounded by (planted pairs) × (shingles per doc), nowhere near N²
+    assert(capped <= 5L * 10, s"capped volume $capped should be linear in planted dups")
+  }
+
+  test("ngramJaccardPairs under skew: exactly the planted pairs, no boilerplate pairs") {
+    val pairs = Dedup
+      .ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5, maxDf = 100)
+      .orderBy(col("id_a"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(pairs == (0 until 5).map(i => (i.toLong, (N + i).toLong)))
+  }
+
+  test("minhashLshPairs under skew: verify step still emits exactly the planted pairs") {
+    // the hot shingle CAN put unrelated docs in one band bucket (it
+    // wins a doc's min-hash with prob ~1/|shingles|), so the candidate
+    // stage sees some boilerplate collisions — the exact-jaccard verify
+    // must still cut the output to the planted near-dups only
+    val pairs = Dedup
+      .minhashLshPairs(corpus, "text", "doc_id", 3, 8, 1, 0.5)
+      .orderBy(col("id_a"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(pairs == (0 until 5).map(i => (i.toLong, (N + i).toLong)))
+  }
+}
