@@ -45,12 +45,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ textQueries ++ dedupQueries ++ vectorQueries ++
       miscQueries ++ extraQueries ++ SparkEntryCoverage.queries ++
-      SparkEntryStreaming.queries
+      SparkEntryStreaming.queries ++ SparkEntryTpch.queries
 
   def oracleSql: Map[String, String] =
     relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++
       miscOracle ++ extraOracle ++ SparkEntryCoverage.oracleSql ++
-      SparkEntryStreaming.oracleSql
+      SparkEntryStreaming.oracleSql ++ SparkEntryTpch.oracleSql
 
   // ---------------------------------------------------------------
   // Extra coverage: W3, A8, C5-C7, C13, F3, J3
