@@ -108,6 +108,33 @@ object SparkEntryStreaming {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))
     },
+    // stream-stream event-time interval join — purchases paired with
+    // the same user's clicks in the preceding 4 hours, both sides
+    // watermarked (365 days > the table's span, so no state evicts
+    // mid-drain and the result is the exact interval join)
+    "st_stream_join" -> { (s, dir) =>
+      val ev = eventStream(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id").as("c_user"),
+          col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val joined = Streams.intervalJoin(
+        purchases, clicks, "p_user", "c_user", "p_ts", "c_ts",
+        lookback = "4 hours", watermark = "365 days")
+      drain(
+        joined.select(col("p_user").as("user_id"), col("purchase_id"), col("click_id")),
+        "st_stream_join_sink",
+        "append")
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+    },
     // I1/I3 as a live stream — watermark-bounded streaming dedup; only
     // the dedup key is projected so the kept-row choice inside a
     // micro-batch can't leak nondeterminism into the result
@@ -168,6 +195,13 @@ object SparkEntryStreaming {
         |ORDER BY user_id, session_start_us""".stripMargin,
     "st_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    "st_stream_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts <= p.ts
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin
   )
 }

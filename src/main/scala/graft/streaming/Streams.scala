@@ -59,6 +59,39 @@ object Streams {
         col(keyCol),
         col("n_events"))
 
+  /** Stream-stream event-time interval join: pair each left event
+    * with the same key's right events inside
+    * `[left.ts - lookback, left.ts]` — the "purchase joined to the
+    * clicks that led to it" shape. Both sides carry watermarks and
+    * the join condition bounds event time on BOTH sides, which is
+    * what lets Spark evict right-side state older than
+    * `watermark + lookback` instead of buffering the stream forever —
+    * the unbounded-state trap of an unconstrained stream-stream join.
+    * Inner join, append mode: a match emits exactly once, when both
+    * sides have arrived.
+    *
+    * Column layout: callers pre-project distinct names (the join
+    * condition references both sides' ts columns, so they cannot
+    * share names).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(
+      r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+  }
+
   /** I4 — date-partitioned append JSON sink (risk-signal log:
     * one JSONL partition per day, append-only).
     */
