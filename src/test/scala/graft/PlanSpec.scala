@@ -80,4 +80,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(company_id"), p)
     assert(p.contains("(company_id") && p.contains("= c3"), p)
   }
+
+  test("q18_large_orders: HAVING keys run as a semi join, top-k as TakeOrdered") {
+    val p = plan("q18_large_orders")
+    // the >200-quantity order keys reach orders as a LeftSemi join
+    // (one pass, no IN-list materialized on the driver), and the
+    // LIMIT 100 never globally sorts
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q7_volume_shipping: both nation dims broadcast, no nested loop") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("e3_payload_assembly: child nesting is two-phase, never sort-based") {
+    val p = plan("e3_payload_assembly")
+    // collect_list aggregates as partial+final ObjectHashAggregate
+    // (map-side combine per child), not SortAggregate
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
