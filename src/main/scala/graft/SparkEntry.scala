@@ -634,7 +634,7 @@ object SparkEntry {
   // Text / scalar-function queries (SURVEY §2.7, §2.2)
   // ---------------------------------------------------------------
 
-  private val langMarkers = Seq(
+  private[graft] val langMarkers = Seq(
     "dataish" -> Seq("data", "stream", "batch"),
     "sqlish" -> Seq("table", "query", "join"),
     "vecish" -> Seq("vector", "hash", "key"))
@@ -642,7 +642,7 @@ object SparkEntry {
     ("capacity", Seq("big", "huge"), "medium"),
     ("freshness", Seq("stale", "old"), "low"),
     ("latency", Seq("slow", "lag"), "high"))
-  private val qualityStops = Seq("the", "a", "of")
+  private[graft] val qualityStops = Seq("the", "a", "of")
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — fixed-size chunker (chunker.py:17-22)

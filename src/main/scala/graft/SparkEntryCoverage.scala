@@ -1053,6 +1053,55 @@ object SparkEntryCoverage {
         .select(col("id").as("doc_id"), col("n_ngrams"), col("dup_frac"), col("top_frac"))
         .orderBy(col("doc_id"))
     },
+    // The pretraining funnel END-TO-END as one declarative plan:
+    // language gate → quality gate → exact dedup → benchmark
+    // decontamination → deterministic 50% hash sample. Every stage is
+    // individually oracle-checked elsewhere (t_lang_id,
+    // t_quality_score, dd_exact_dedup, dd_decontaminate,
+    // s_hash_sample); this composes them the way a real corpus build
+    // runs, in one Catalyst plan — gates fuse into the scan
+    // projection, the only shuffles are the dedup window and the
+    // shingle-overlap agg, and the sample predicate costs one md5
+    // per surviving row.
+    "t_funnel_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src0")
+      val gated = docs
+        .filter(col("source") =!= "src0")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text"), SparkEntry.langMarkers))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text"), SparkEntry.qualityStops))
+        .filter(col("lang_pred") === "dataish" && col("quality") >= 0.5)
+      val deduped = Dedup.exact(gated, "text", "doc_id")
+      val clean = Dedup
+        .crossCorpusOverlap(deduped, bench, "text", "doc_id", 3)
+        .filter(!col("contaminated"))
+        .select(col("id").as("doc_id"))
+      Sampling
+        .hashSample(deduped.join(clean, "doc_id"), col("doc_id"), 0.5)
+        .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    // PII scrub — the standard pretraining redaction pass: emails,
+    // SSNs, phone numbers, IPv4s → typed placeholders, plus per-class
+    // audit counts. One codegen'd regexp projection, no UDF.
+    "t_pii_scrub" -> { (s, dir) =>
+      val planted = when(
+        col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" Contact user"), col("doc_id"), lit("@example.com or 555-123-4567.")))
+        .when(
+          col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" SSN 123-45-6789 leaked from 10.0.0."), col("doc_id") % 256, lit(".")))
+        .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" Call (415) 555-0133.")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), planted.as("raw"))
+        .select(
+          col("doc_id"),
+          TextFns.redactPii(col("raw")).as("redacted"),
+          TextFns.piiCounts(col("raw")).as("p"))
+        .select(col("doc_id"), col("redacted"), col("p.n_emails"), col("p.n_ssns"), col("p.n_phones"), col("p.n_ips"))
+        .orderBy(col("doc_id"))
+    },
     // Multimodal frame sampling: one row per strideBytes window of the
     // binary content (the every-Nth-frame path for a real decoder)
     "mm_frame_sample" -> { (s, dir) =>
@@ -1801,6 +1850,61 @@ object SparkEntryCoverage {
         |       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS dup_frac,
         |       CAST(MAX(c) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_funnel_e2e" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN len(list_filter(tk, t -> list_contains(['data','stream','batch'], t))) >= len(list_filter(tk, t -> list_contains(['table','query','join'], t)))
+         |        AND len(list_filter(tk, t -> list_contains(['data','stream','batch'], t))) >= len(list_filter(tk, t -> list_contains(['vector','hash','key'], t)))
+         |       THEN 'dataish'
+         |       WHEN len(list_filter(tk, t -> list_contains(['table','query','join'], t))) >= len(list_filter(tk, t -> list_contains(['vector','hash','key'], t)))
+         |       THEN 'sqlish' ELSE 'vecish' END AS lang_pred
+         |  FROM tok),
+         |qb AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text),'\\s+'), t -> list_contains(['the','a','of'], t))) AS DOUBLE) AS ns
+         |  FROM documents),
+         |qual AS (SELECT doc_id,
+         |  least(nc/500.0, 1.0)*0.4 + least((ns/nt)*5.0, 1.0)*0.3 +
+         |  (CASE WHEN nc/nt >= 3 AND nc/nt <= 10 THEN 1.0 ELSE 0.5 END)*0.3 AS quality
+         |  FROM qb),
+         |base AS (SELECT d.doc_id, d.text, d.source, l.lang_pred, q.quality
+         |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+         |  WHERE d.source <> 'src0' AND l.lang_pred = 'dataish' AND q.quality >= 0.5),
+         |ded AS (SELECT * FROM base
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) = 1),
+         |dsh AS (SELECT b.doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t.tk) - 2),
+         |          i -> t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2]))) AS s
+         |        FROM ded b JOIN tok t USING (doc_id) WHERE len(t.tk) >= 3),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |        FROM documents JOIN tok USING (doc_id) WHERE source = 'src0' AND len(tk) >= 3),
+         |cont AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (s))
+         |SELECT doc_id, source, lang_pred, quality FROM ded
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |  AND ${sqlHash32("doc_id")} < ${Sampling.threshold(0.5)}
+         |ORDER BY doc_id""".stripMargin,
+    "t_pii_scrub" -> {
+      // interpolate the ENGINE's own patterns so the two sides cannot
+      // drift; the patterns are RE2-safe by construction (TextFns note)
+      val (em, ssn, ph, ip) = (TextFns.EmailRe, TextFns.SsnRe, TextFns.PhoneRe, TextFns.Ipv4Re)
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567.'
+         |         WHEN doc_id % 4 = 1 THEN text || ' SSN 123-45-6789 leaked from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |         WHEN doc_id % 4 = 2 THEN text || ' Call (415) 555-0133.'
+         |         ELSE text END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$em', '[EMAIL]', 'g'), '$ssn', '[SSN]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(raw, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$ssn')) AS BIGINT) AS n_ssns,
+         |  CAST(len(regexp_extract_all(raw, '$ph')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ips
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
     "mm_frame_sample" ->
       // empty docs emit ZERO frames (mirrors Multimodal.sampleFrames's
       // when(nFrames > 0) guard — without the WHERE, the series would

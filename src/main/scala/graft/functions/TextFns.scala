@@ -130,4 +130,39 @@ object TextFns {
                 " ",
                 (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
   }
+
+  /** PII patterns for pretraining-corpus redaction. RE2-compatible
+    * (no backrefs, no lazy quantifiers) so the DuckDB oracle applies
+    * the IDENTICAL regex — and a real Spark cluster gets plain
+    * java.util.regex, codegen'd inside the scan projection. Order
+    * matters: SSN before phone (both are digit runs, SSN's 3-2-4
+    * grouping must win), email before phone (digits inside an address
+    * must not be re-matched once the email is already a placeholder).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhoneRe = "\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails / SSNs / phone numbers / IPv4 addresses to typed
+    * placeholders — the standard PII scrub before a corpus ships to
+    * training. Pure nested regexp_replace: one codegen'd projection
+    * pass per row, no UDF, no shuffle.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailRe, "[EMAIL]"),
+          SsnRe, "[SSN]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  /** Count of matches per PII class (audit metric for the scrub). */
+  def piiCounts(c: Column): Column =
+    struct(
+      regexp_count(c, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(c, lit(SsnRe)).cast("long").as("n_ssns"),
+      regexp_count(c, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(c, lit(Ipv4Re)).cast("long").as("n_ips"))
 }
