@@ -992,6 +992,19 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("source"))
     },
+    // Mixture (curriculum) sampling: largest corpus matching a target
+    // source composition (50/30/20), water-filled per-group hash
+    // fractions — deterministic, engine-portable like hashSample
+    "s_mixture_sample" -> { (s, dir) =>
+      Sampling
+        .mixtureSample(
+          t(s, dir, "documents"),
+          col("source"),
+          col("doc_id"),
+          Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     // Per-source deterministic cap (≤25 docs per source, hash-order
     // winners) — the "no domain dominates the corpus" control
     "s_stratified_cap" -> { (s, dir) =>
@@ -1820,6 +1833,18 @@ object SparkEntryCoverage {
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${sqlHash32("doc_id")}, doc_id) <= 25
          |ORDER BY doc_id""".stripMargin,
+    // mirrors Sampling.mixtureSample's water-filling exactly: T =
+    // min(n_g / w_g), f_g = w_g * T / n_g, keep hash32 < f_g * 2^32 —
+    // counts and fractions recomputed from the same data via the same
+    // IEEE double ops, so the boundary rows agree bit-for-bit
+    "s_mixture_sample" ->
+      s"""WITH w(g, wt) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
+         |cnt AS (SELECT source AS g, CAST(count(*) AS DOUBLE) AS n FROM documents JOIN w ON source = g GROUP BY 1),
+         |t AS (SELECT min(n / wt) AS t FROM cnt JOIN w USING (g)),
+         |f AS (SELECT g, wt * t.t / n AS f FROM cnt JOIN w USING (g), t)
+         |SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.g
+         |WHERE CAST(${sqlHash32("d.doc_id")} AS DOUBLE) < f.f * 4294967296.0
+         |ORDER BY d.doc_id""".stripMargin,
     "v_sql_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score

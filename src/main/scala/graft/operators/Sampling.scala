@@ -90,4 +90,52 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Mixture (curriculum) sampling: carve the LARGEST corpus whose
+    * group composition matches `targets` exactly in expectation —
+    * the "30% web, 50% code, 20% academic" pretraining mixture knob.
+    *
+    * Water-filling: the feasible total is `T = min over g of
+    * n_g / w_g` (the scarcest group binds), each group keeps the
+    * deterministic hash-fraction `f_g = w_g * T / n_g` of its rows
+    * (the binding group keeps all of them, f = 1). Groups not named
+    * in `targets` are dropped. Same reproducibility contract as
+    * `hashSample`: pure per-row hash predicate, identical rows on any
+    * engine/partitioning; the per-group fractions derive from exact
+    * counts via IEEE double division, so an oracle recomputes them
+    * bit-identically.
+    *
+    * Scale shape: one tiny count agg (|groups| rows) broadcast back —
+    * the corpus side is a single map-side filter, no shuffle of data
+    * rows.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 > 0.0), "target weights must be positive")
+    val wCol = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, wt)) => when(group === g, lit(wt)).otherwise(acc)
+    }
+    val targeted = df
+      .withColumn("__w", wCol)
+      .filter(col("__w").isNotNull)
+    val counts = targeted
+      .groupBy(group.as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"), first(col("__w")).as("__gw"))
+    val feasible = counts
+      .agg(min(col("__n") / col("__gw")).as("__t"))
+    val fractions = broadcast(
+      counts
+        .crossJoin(broadcast(feasible))
+        .select(
+          col("__g"),
+          (col("__gw") * col("__t") / col("__n")).as("__f")))
+    targeted
+      .join(fractions, group === col("__g"))
+      .filter(hash32(key).cast("double") < col("__f") * lit(Space))
+      .drop("__w", "__g", "__f")
+  }
 }
