@@ -137,6 +137,39 @@ object SparkEntryTpch {
         .filter(bracket)
         .agg(sum(rev).cast("double").as("revenue"))
     },
+    // Q8 — national market share inside a region, by order year:
+    // the deepest join tree the schema expresses (7 relations), with
+    // a conditional-share ratio on exact decimal sums
+    "q8_market_share" -> { (s, dir) =>
+      val vol = rev
+      t(s, dir, "part")
+        .filter(col("p_type") === "PROMO")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(
+          t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+          col("c_nationkey") === col("c_nk"))
+        .join(
+          broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(
+          broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
     // Q22 — idle wealthy customers: scalar-subquery threshold +
     // anti join on recent orders, rolled up by nation
     "q22_idle_customers" -> { (s, dir) =>
@@ -214,6 +247,26 @@ object SparkEntryTpch {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        | CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |      CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS vol,
+        |        n2.n_name AS supp_nation
+        | FROM part JOIN lineitem ON p_partkey = l_partkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE r_name = 'AMERICA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |   AND p_type = 'PROMO')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
