@@ -108,6 +108,24 @@ object SparkEntryStreaming {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))
     },
+    // stream-static enrichment — the most common streaming shape:
+    // each event joined to a static dimension (broadcast per
+    // micro-batch, no stream state at all), append mode
+    "st_enrich" -> { (s, dir) =>
+      val dim = broadcast(
+        s.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_custkey") < 150)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")))
+      val enriched = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .join(dim, Seq("user_id"), "left")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      drain(enriched, "st_enrich_sink", "append")
+        .orderBy(col("event_id"))
+    },
     // stream-stream event-time interval join — purchases paired with
     // the same user's clicks in the preceding 4 hours, both sides
     // watermarked (365 days > the table's span, so no state evicts
@@ -196,6 +214,12 @@ object SparkEntryStreaming {
     "st_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "st_enrich" ->
+      """SELECT event_id, user_id,
+        | COALESCE((SELECT c_mktsegment FROM customer
+        |           WHERE c_custkey = user_id AND c_custkey < 150), 'UNKNOWN') AS segment
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "st_stream_join" ->
       """SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
