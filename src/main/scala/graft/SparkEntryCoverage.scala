@@ -992,6 +992,27 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("source"))
     },
+    // Time-series gap fill: densify each user's daily activity series
+    // (missing days as explicit zero rows) — sequence+explode of the
+    // per-user date bounds left-joined to the daily counts, the
+    // standard resample-to-calendar shape for feature pipelines
+    "w_gap_fill" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val daily = e
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = e
+        .groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      days
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    },
     // Mixture (curriculum) sampling: largest corpus matching a target
     // source composition (50/30/20), water-filled per-group hash
     // fractions — deterministic, engine-portable like hashSample
@@ -1833,6 +1854,13 @@ object SparkEntryCoverage {
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${sqlHash32("doc_id")}, doc_id) <= 25
          |ORDER BY doc_id""".stripMargin,
+    "w_gap_fill" ->
+      """WITH bounds AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events GROUP BY 1),
+        |days AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+        |cnt AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day, COALESCE(c.n, 0) AS n_events
+        |FROM days d LEFT JOIN cnt c ON c.user_id = d.user_id AND c.day = d.day
+        |ORDER BY d.user_id, day""".stripMargin,
     // mirrors Sampling.mixtureSample's water-filling exactly: T =
     // min(n_g / w_g), f_g = w_g * T / n_g, keep hash32 < f_g * 2^32 —
     // counts and fractions recomputed from the same data via the same
