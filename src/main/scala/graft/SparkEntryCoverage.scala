@@ -992,6 +992,16 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("source"))
     },
+    // Sequence packing: docs assigned to 512-token training bins per
+    // source (greedy concat-then-chunk in deterministic hash order)
+    "t_pack_bins" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextFns.wordCount(col("text")).as("n_tokens"))
+      Sampling
+        .packBins(docs, col("source"), col("doc_id"), col("n_tokens"), 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_bin"))
+        .orderBy(col("doc_id"))
+    },
     // Time-series gap fill: densify each user's daily activity series
     // (missing days as explicit zero rows) — sequence+explode of the
     // per-user date bounds left-joined to the daily counts, the
@@ -1854,6 +1864,19 @@ object SparkEntryCoverage {
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${sqlHash32("doc_id")}, doc_id) <= 25
          |ORDER BY doc_id""".stripMargin,
+    "t_pack_bins" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |        CASE WHEN length(trim(text)) = 0 THEN 0
+         |             ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |        END AS n_tokens,
+         |        ${sqlHash32("doc_id")} AS h
+         |      FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens, CAST(cum_before // 512 AS BIGINT) AS pack_bin
+         |FROM c ORDER BY doc_id""".stripMargin,
     "w_gap_fill" ->
       """WITH bounds AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events GROUP BY 1),
         |days AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),

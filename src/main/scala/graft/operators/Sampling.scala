@@ -109,6 +109,36 @@ object Sampling {
     * the corpus side is a single map-side filter, no shuffle of data
     * rows.
     */
+  /** Sequence packing (concat-and-chunk): assign each doc to a fixed
+    * token-budget bin within its group — the "pack short documents
+    * into 4k-token training sequences" step. Docs are ordered by the
+    * deterministic hash (same shuffle-free reproducibility contract as
+    * `hashSample`), the running token total BEFORE each doc is divided
+    * by the budget, and the quotient is the bin: greedy concat-then-
+    * chunk, where an overflowing doc spills into the next bin exactly
+    * like the flattened-stream chunker a trainer runs. Integer `div`
+    * on longs, so the oracle's floor-division mirrors bit-for-bit.
+    *
+    * Scale shape: one window per group (groups are
+    * sources/domains — numerous, individually bounded); the window
+    * needs only a running sum, no frame buffering.
+    */
+  def packBins(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      tokenCount: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(hash32(key), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(tokenCount).over(w) - tokenCount)
+      .withColumn("pack_bin", expr(s"__cum div $budget"))
+      .drop("__cum")
+  }
+
   def mixtureSample(
       df: DataFrame,
       group: Column,
