@@ -9,6 +9,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * harness but overridable for a real cluster, broadcast threshold
   * left at default so small dims (region/nation/seed-sized tables)
   * broadcast automatically.
+  *
+  * Deploying on a real cluster (1000-executor / 100 TB posture), keep
+  * this factory and override per-deployment:
+  *   - `spark.sql.shuffle.partitions` ≈ 2-3× total cores (AQE
+  *     coalesces down, it never splits up — oversize, don't undersize);
+  *   - `spark.sql.files.maxPartitionBytes` 256m for scan parallelism
+  *     against large parquet row groups;
+  *   - `spark.sql.adaptive.advisoryPartitionSizeInBytes` 128m so AQE
+  *     coalesces toward executor-memory-friendly shuffle blocks;
+  *   - leave `spark.sql.autoBroadcastJoinThreshold` at default unless
+  *     dim tables exceed 10 MB compressed — every dim join in this
+  *     engine is written broadcast-first;
+  *   - state-store streaming queries: size
+  *     `spark.sql.shuffle.partitions` at FIRST start (it is frozen
+  *     into the checkpoint) and keep watermarks on every stateful op,
+  *     as `streaming/Streams.scala` does.
+  * Nothing in the engine assumes local mode: every operator's
+  * partitioning contract is declared in its plan (PlanSpec pins), and
+  * the only `.collect()` sites are constant bootstraps (centroids,
+  * query vectors) that are cluster-safe by size.
   */
 object Engine {
 
