@@ -222,4 +222,80 @@ class PropertySpec extends SparkSpec {
       pairs.foreach { case (s, want) => assert(got(s) == want, s"format $f, input '$s'") }
     }
   }
+
+  test("PII property: redaction is idempotent and leaves no live PII behind") {
+    val pii = Vector(
+      "bob.smith+x@corp.example.org", "123-45-6789", "(212) 555-0147",
+      "555-123-4567", "10.20.30.40")
+    val fill = Vector("hello", "order", "42nd", "v1.2", "sum:")
+    def randText(): String =
+      (0 until rnd.nextInt(12)).map { _ =>
+        if (rnd.nextInt(3) == 0) pii(rnd.nextInt(pii.length))
+        else fill(rnd.nextInt(fill.length))
+      }.mkString(" ")
+    val docs = (1 to 80).map(_ => randText()).toDF("t")
+    val rows = docs
+      .select(
+        TextFns.redactPii($"t").as("once"),
+        TextFns.redactPii(TextFns.redactPii($"t")).as("twice"))
+      .collect()
+    rows.foreach { r =>
+      val once = r.getString(0)
+      assert(once == r.getString(1), s"not idempotent: $once")
+      pii.foreach(p => assert(!once.contains(p), s"live PII '$p' survived in: $once"))
+    }
+  }
+
+  test("packBins property: bins are contiguous per group and sized by the running budget") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"g${i % 4}", 1 + rnd.nextInt(100)))
+      .toDF("id", "g", "n")
+    val got = graft.operators.Sampling
+      .packBins(docs, $"g", $"id", $"n".cast("long"), 150L)
+      .select($"g", $"id", $"n".cast("long").as("n"), $"pack_bin")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    got.values.foreach { rows =>
+      // replay the greedy packing in plain Scala using the same
+      // deterministic hash order and check bin assignment exactly
+      val ordered = rows.sortBy { case (_, id, _, _) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        val hex = md5.take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex, 16), id)
+      }
+      var cum = 0L
+      ordered.foreach { case (_, _, n, bin) =>
+        assert(bin == cum / 150L, s"bin $bin != ${cum / 150L} at cum $cum")
+        cum += n
+      }
+      // bins are contiguous 0..max
+      val bins = ordered.map(_._4)
+      assert(bins.distinct.sorted.toSeq == (0L to bins.max).toSeq, bins.mkString(","))
+    }
+  }
+
+  test("mixtureSample property: binding group keeps everything, composition tracks targets") {
+    val docs = ((1L to 300L).map(i => (i, "web")) ++
+      (301L to 400L).map(i => (i, "code")) ++
+      (401L to 460L).map(i => (i, "papers")) ++
+      (461L to 500L).map(i => (i, "ignored")))
+      .toDF("id", "src")
+    val targets = Seq("web" -> 0.5, "code" -> 0.3, "papers" -> 0.2)
+    val got = graft.operators.Sampling
+      .mixtureSample(docs, $"src", $"id", targets)
+      .groupBy($"src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(300/.5, 100/.3, 60/.2) = 300 — papers binds with f = 1
+    assert(got("papers") == 60L, got.toString)
+    assert(!got.contains("ignored"), got.toString)
+    // expected web 150, code 90; hash sampling is binomial around the
+    // expectation — accept ±35% (seeded data, so this is deterministic
+    // in practice; the band is for test-data regeneration)
+    assert(math.abs(got("web") - 150L) <= 52, got.toString)
+    assert(math.abs(got("code") - 90L) <= 32, got.toString)
+    val total = got.values.sum.toDouble
+    assert(total >= 200 && total <= 400, got.toString)
+  }
 }
