@@ -382,7 +382,9 @@ object SparkEntryCoverage {
       val asJobs = Jobs.parseAshby(
         base.filter(col("vendor") === "ashby").select(col("company_id"), col("as_resp")), "as_resp")
       val wdJobs = Jobs.parseWorkday(
-        base.filter(col("vendor") === "workday").select(col("company_id"), col("html")), "html")
+        base.filter(col("vendor") === "workday")
+          .select(col("company_id"), col("html"), col("careers_url")),
+        "html", "careers_url")
       Jobs
         .unionDedup(Seq(wbJobs, asJobs, wdJobs), _ => lit(0))
         .select(col("company_id"), col("source"), col("title"), col("url"), col("location"))
@@ -1412,9 +1414,11 @@ object SparkEntryCoverage {
         | UNION ALL
         | SELECT s_suppkey, 'ashby', 'Data Scientist', 'https://ash/' || k, 'NYC' FROM sup WHERE v = 1
         | UNION ALL
-        | SELECT s_suppkey, 'workday', 'Staff Engineer ' || k, '/job/JR-' || k, 'Austin' FROM sup WHERE v = 2
+        | SELECT s_suppkey, 'workday', 'Staff Engineer ' || k,
+        |        'https://acme.example.com/job/JR-' || k, 'Austin' FROM sup WHERE v = 2
         | UNION ALL
-        | SELECT s_suppkey, 'workday', 'Platform Engineer ' || k, '/job/PR-' || k, NULL FROM sup WHERE v = 2)
+        | SELECT s_suppkey, 'workday', 'Platform Engineer ' || k,
+        |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
     "c14_mined_jobs" ->

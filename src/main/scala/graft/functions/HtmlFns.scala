@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
 object HtmlFns {
 
   /** `urljoin(base, link)` for the common cases: absolute schemes
-    * kept, root-relative joined to the base's scheme+authority, other
+    * kept, protocol-relative (`//host/path`) adopt the base's scheme
+    * (urllib semantics — NOT root-relative, which would double the
+    * host), root-relative joined to the base's scheme+authority, other
     * relatives to the base's directory, empty → the base itself.
     */
   def urlJoin(link: Column, base: Column): Column =
     when(link.isNull || link === "", base)
       .when(link.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), link)
+      .when(
+        link.startsWith("//"),
+        concat(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1), lit(":"), link))
       .when(
         link.startsWith("/"),
         concat(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1), link))
@@ -146,9 +151,16 @@ object HtmlFns {
     val ls = links(html)
     val authority = "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)"
     val domain = regexp_extract(baseUrl, authority, 1)
+    // a link carries an authority if it has a scheme OR is
+    // protocol-relative (//host/...) — both compare against the base
+    // domain; authority-free hrefs are internal by construction
     val internal = filter(
       ls,
-      l => !l.rlike("^[A-Za-z][A-Za-z0-9+.-]*://") || regexp_extract(l, authority, 1) === domain)
+      l => {
+        val auth = when(l.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), regexp_extract(l, authority, 1))
+          .when(l.startsWith("//"), regexp_extract(l, "^//([^/]+)", 1))
+        auth.isNull || auth === domain
+      })
     val text = textContent(html)
     struct(
       size(ls).cast("long").as("total_links"),

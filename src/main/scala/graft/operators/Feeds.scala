@@ -49,7 +49,9 @@ object Feeds {
         childText(b, "description").as("summary"),
         childText(b, "pubDate").as("published")))
     val atom = transform(atomItems, b => {
-      val href = regexp_extract(b, "(?is)<link[^>]*href=\"([^\"]*)\"", 1)
+      // quote-agnostic: ElementTree's .get("href") doesn't care which
+      // quote style the feed uses, so neither do we
+      val href = regexp_extract(b, "(?is)<link[^>]*href=[\"']([^\"']*)[\"']", 1)
       val link = when(href =!= "", href).otherwise(childText(b, "link"))
       val updated = childText(b, "updated")
       struct(

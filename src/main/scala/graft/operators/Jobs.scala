@@ -110,8 +110,9 @@ object Jobs {
 
   /** Parse Workable API payloads into normalized jobs: the city
     * array is comma-joined like the reference's `', '.join(...)`,
-    * and `shortlink` backs up a missing `url`
-    * (`ats_extractor.py:367-380`).
+    * and `shortlink` backs up a missing OR empty `url` — the
+    * reference's `job.get('url') or job.get('shortlink')` is falsy on
+    * `""` too (`ats_extractor.py:367-380`).
     */
   def parseWorkable(df: DataFrame, jsonCol: String): DataFrame =
     df.withColumn("__p", from_json(col(jsonCol), workableSchema))
@@ -119,7 +120,7 @@ object Jobs {
       .select(
         col("company_id"),
         col("j.title").as("title"),
-        coalesce(col("j.url"), col("j.shortlink")).as("url"),
+        coalesce(nullif(col("j.url"), lit("")), col("j.shortlink")).as("url"),
         array_join(col("j.location.city"), ", ").as("location"),
         lit("workable").as("source"))
 
@@ -140,24 +141,32 @@ object Jobs {
     * carry `data-automation-id` attributes, so job blocks are the
     * `<li>/<div>` elements whose automation id starts with
     * job/posting; per block the `jobTitle` anchor gives title+href
-    * and an optional `locations` element the location — the regex
-    * mirror of the reference's soup scan
-    * (`ats_extractor.py:751-783`). Same 5<len<200 title sanity cut.
+    * (the href comes from THAT anchor's tag, not the first href in
+    * the block — logo/share links precede it on real pages) and an
+    * optional `locations` element the location — the regex mirror of
+    * the reference's soup scan (`ats_extractor.py:751-783`), which
+    * also resolves the href against the careers URL
+    * (`urljoin(base_url, href)`, `:771`). Same 5<len<200 title
+    * sanity cut.
     */
-  def parseWorkday(df: DataFrame, htmlCol: String): DataFrame = {
+  def parseWorkday(df: DataFrame, htmlCol: String, urlCol: String): DataFrame = {
     val block =
       "(?s)<(?:li|div)[^>]*data-automation-id=\"(?:job|posting)[^\"]*\"[^>]*>.*?</(?:li|div)>"
+    val anchorTag = "(?s)<a[^>]*data-automation-id=\"jobTitle\"[^>]*>"
     val anchor = "(?s)<a[^>]*data-automation-id=\"jobTitle\"[^>]*>([^<]*)</a>"
     val loc = "(?s)data-automation-id=\"locations?\"[^>]*>([^<]*)<"
-    val href = "href=\"([^\"]*)\""
     def orNull(c: Column): Column = when(c === "", lit(null).cast("string")).otherwise(c)
+    val href =
+      regexp_extract(regexp_extract(col("__b"), anchorTag, 0), "href=[\"']([^\"']*)[\"']", 1)
     df.select(
         col("company_id"),
+        col(urlCol).as("__base"),
         explode(regexp_extract_all(col(htmlCol), lit(block), lit(0))).as("__b"))
       .select(
         col("company_id"),
         trim(regexp_extract(col("__b"), anchor, 1)).as("title"),
-        orNull(regexp_extract(col("__b"), href, 1)).as("url"),
+        when(href === "", lit(null).cast("string"))
+          .otherwise(graft.functions.HtmlFns.urlJoin(href, col("__base"))).as("url"),
         orNull(trim(regexp_extract(col("__b"), loc, 1))).as("location"),
         lit("workday").as("source"))
       .filter(length(col("title")) > 5 && length(col("title")) < 200)

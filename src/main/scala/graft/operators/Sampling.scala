@@ -152,9 +152,18 @@ object Sampling {
     val targeted = df
       .withColumn("__w", wCol)
       .filter(col("__w").isNotNull)
-    val counts = targeted
-      .groupBy(group.as("__g"))
-      .agg(count(lit(1)).cast("double").as("__n"), first(col("__w")).as("__gw"))
+    // counts start from the TARGET list, not the data: a target group
+    // with zero rows means the water level is T = 0 and the whole
+    // sample is empty — the honest exact-composition answer, not a
+    // silent re-normalization over whichever groups happen to exist
+    val targetRows = targets.map { case (g, wt) => (g, wt) }
+    val spark = df.sparkSession
+    val tgt = spark.createDataFrame(targetRows).toDF("__g", "__gw")
+    val counts = tgt.join(
+      targeted.groupBy(group.as("__g")).agg(count(lit(1)).cast("double").as("__n")),
+      Seq("__g"),
+      "left")
+      .na.fill(0.0, Seq("__n"))
     val feasible = counts
       .agg(min(col("__n") / col("__gw")).as("__t"))
     val fractions = broadcast(
@@ -162,7 +171,10 @@ object Sampling {
         .crossJoin(broadcast(feasible))
         .select(
           col("__g"),
-          (col("__gw") * col("__t") / col("__n")).as("__f")))
+          // a zero-count group has no rows to keep anyway, but ANSI
+          // mode would still throw on its w*T/0 — pin its f to 0
+          when(col("__n") === 0.0, lit(0.0))
+            .otherwise(col("__gw") * col("__t") / col("__n")).as("__f")))
     targeted
       .join(fractions, group === col("__g"))
       .filter(hash32(key).cast("double") < col("__f") * lit(Space))

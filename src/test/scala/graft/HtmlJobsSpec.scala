@@ -115,13 +115,16 @@ class HtmlJobsSpec extends SparkSpec {
     val wb = Seq(("acme",
       """{"results":[{"title":"Backend Engineer","location":{"city":["Berlin","Remote"]},
         |"department":"Eng","shortlink":"https://wk/1"},
-        |{"title":"No City","location":{},"url":"https://wk/2"}]}""".stripMargin))
+        |{"title":"No City","location":{},"url":"https://wk/2"},
+        |{"title":"Empty Url","location":{},"url":"","shortlink":"https://wk/3"}]}""".stripMargin))
       .toDF("company_id", "resp")
     val w = Jobs.parseWorkable(wb, "resp").collect()
       .map(r => (r.getString(1), r.getString(2), if (r.isNullAt(3)) null else r.getString(3))).toSeq
     assert(w == Seq(
       ("Backend Engineer", "https://wk/1", "Berlin, Remote"),
-      ("No City", "https://wk/2", null)))
+      ("No City", "https://wk/2", null),
+      // empty-string url is falsy in the reference — shortlink wins
+      ("Empty Url", "https://wk/3", null)))
 
     val as = Seq(("acme",
       """{"jobPostings":[{"title":"Data Scientist","locationName":"NYC",
@@ -133,17 +136,21 @@ class HtmlJobsSpec extends SparkSpec {
 
     val html =
       """<ul data-automation-id="jobResults">
-        |<li data-automation-id="jobPosting"><a data-automation-id="jobTitle" href="/job/JR-1">Staff Engineer</a>
+        |<li data-automation-id="jobPosting"><a href="/logo.png">logo</a><a data-automation-id="jobTitle" href="/job/JR-1">Staff Engineer</a>
         |<span data-automation-id="locations">Austin</span></li>
         |<li data-automation-id="jobPosting"><a data-automation-id="jobTitle" href="/job/PR-2">Platform Engineer</a></li>
         |<li data-automation-id="jobPosting"><a data-automation-id="jobTitle" href="/x">tiny</a></li>
         |</ul>""".stripMargin
-    val wd = Jobs.parseWorkday(Seq(("acme", html)).toDF("company_id", "html"), "html")
+    val wd = Jobs.parseWorkday(
+      Seq(("acme", html, "https://acme.wd5.myworkdayjobs.com/careers"))
+        .toDF("company_id", "html", "careers_url"),
+      "html", "careers_url")
       .collect().map(r => (r.getString(1), r.getString(2), if (r.isNullAt(3)) null else r.getString(3))).toSeq
-    // 'tiny' fails the 5<len<200 sanity cut; missing location → null
+    // 'tiny' fails the 5<len<200 sanity cut; missing location → null;
+    // hrefs resolve against the careers URL like the reference's urljoin
     assert(wd == Seq(
-      ("Staff Engineer", "/job/JR-1", "Austin"),
-      ("Platform Engineer", "/job/PR-2", null)))
+      ("Staff Engineer", "https://acme.wd5.myworkdayjobs.com/job/JR-1", "Austin"),
+      ("Platform Engineer", "https://acme.wd5.myworkdayjobs.com/job/PR-2", null)))
   }
 
   test("C16 — forms, scripts, navigation, statistics facets") {
@@ -196,6 +203,25 @@ class HtmlJobsSpec extends SparkSpec {
       ((3L, 2L, 1L, 2L, 1L)))
   }
 
+  test("urlJoin: protocol-relative links adopt the base scheme (urllib semantics)") {
+    val rows = Seq(
+      ("//cdn.other.org/x", "https://docs.example.com/p/i.html", "https://cdn.other.org/x"),
+      ("//cdn.other.org/x", "http://docs.example.com/", "http://cdn.other.org/x"),
+      ("/root", "https://docs.example.com/p/i.html", "https://docs.example.com/root"),
+      ("rel.html", "https://docs.example.com/p/i.html", "https://docs.example.com/p/rel.html"))
+    rows.foreach { case (link, base, want) =>
+      val got = Seq((link, base)).toDF("l", "b")
+        .select(HtmlFns.urlJoin(col("l"), col("b"))).head().getString(0)
+      assert(got == want, s"urlJoin($link, $base) = $got, want $want")
+    }
+    // ...and pageStatistics classifies a foreign //host link as EXTERNAL
+    val page = """<a href="//cdn.other.org/x">c</a><a href="//base.com/y">s</a><a href="/in">i</a>"""
+    val st = Seq(page).toDF("html")
+      .select(HtmlFns.pageStatistics(col("html"), lit("https://base.com/")).as("s"))
+      .select("s.internal_links", "s.external_links").head()
+    assert((st.getLong(0), st.getLong(1)) == ((2L, 1L)))
+  }
+
   test("S3 — feedEntries parses RSS and Atom with urljoin and limits") {
     import graft.operators.Feeds
     val rss =
@@ -210,6 +236,7 @@ class HtmlJobsSpec extends SparkSpec {
         |<entry><title>X</title><link href="https://abs.com/1"/><summary>sx</summary>
         |<updated>2024-02-01</updated><published>2023-01-01</published></entry>
         |<entry><title>Y</title><link>rel.html</link><published>2024-03-01</published></entry>
+        |<entry><title>Z</title><link href='https://sq.com/2'/></entry>
         |</feed>""".stripMargin
     val df = Seq(
       ("rss", rss, "https://base.com/feeds/main.xml"),
@@ -229,7 +256,9 @@ class HtmlJobsSpec extends SparkSpec {
       // href wins; updated outranks published
       ("atom", "X", "https://abs.com/1", "sx", "2024-02-01"),
       // text link, non-root relative → base directory; published fallback
-      ("atom", "Y", "https://base.com/feeds/rel.html", "", "2024-03-01")))
+      ("atom", "Y", "https://base.com/feeds/rel.html", "", "2024-03-01"),
+      // single-quoted href parses the same (ElementTree is quote-agnostic)
+      ("atom", "Z", "https://sq.com/2", "", "")))
     // limit truncates
     val lim = df.filter(col("src") === "rss")
       .select(size(Feeds.feedEntries(col("xml"), col("base"), 2))).head().getInt(0)

@@ -297,5 +297,12 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(got("code") - 90L) <= 32, got.toString)
     val total = got.values.sum.toDouble
     assert(total >= 200 && total <= 400, got.toString)
+    // a target group with ZERO rows sinks the water level to T = 0:
+    // the exact-composition contract means an empty sample, not a
+    // silent renormalization over whichever groups happen to exist
+    val gone = graft.operators.Sampling
+      .mixtureSample(docs, $"src", $"id", targets :+ ("absent" -> 0.1))
+      .count()
+    assert(gone == 0L, s"expected empty sample for a missing target group, got $gone rows")
   }
 }
