@@ -994,6 +994,51 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("source"))
     },
+    // Incremental exact dedup — the daily-ingest shape: today's batch
+    // dedups within itself (first-wins), then drops anything whose
+    // content fingerprint the historical corpus already has (broadcast
+    // anti-join on fingerprints, never on documents). Every 5th batch
+    // doc re-posts a historical text, so the anti-join provably fires.
+    "dd_incremental" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250).alias("b")
+        .join(hist.alias("h"), col("b.doc_id") - 250 === col("h.doc_id"))
+        .select(
+          col("b.doc_id").as("doc_id"),
+          when(col("b.doc_id") % 5 === 0, col("h.text")).otherwise(col("b.text")).as("text"))
+      val histFps = hist
+        .select(TextFns.fingerprint(col("text")).as("fp"))
+        .distinct()
+      Dedup.exact(batch, "text", "doc_id")
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+        .join(histFps, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    // Per-source length outliers by z-score, with the moments computed
+    // from EXACT decimal power sums (sum x, sum x²) cast to double at
+    // the edge — the one way distributed variance is deterministic
+    // across engines and partitionings (Welford/naive float orderings
+    // are not); sqrt and division are correctly-rounded IEEE on both
+    // sides, so the oracle hash-matches
+    "a_zscore_outliers" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val x = col("n_chars").cast("decimal(18,0)")
+      val m = d
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("s1"),
+          sum(x * x).cast("double").as("s2"))
+      val z = (col("n_chars").cast("double") - col("s1") / col("n")) /
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      d.join(broadcast(m), "source")
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 1.8)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("z"))
+        .orderBy(col("doc_id"))
+    },
     // Sequence packing: docs assigned to 512-token training bins per
     // source (greedy concat-then-chunk in deterministic hash order)
     "t_pack_bins" -> { (s, dir) =>
@@ -1868,6 +1913,26 @@ object SparkEntryCoverage {
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${sqlHash32("doc_id")}, doc_id) <= 25
          |ORDER BY doc_id""".stripMargin,
+    "dd_incremental" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 5 = 0 THEN h.text ELSE b.text END AS text
+        |          FROM documents b JOIN hist h ON b.doc_id - 250 = h.doc_id WHERE b.doc_id >= 250),
+        |hfp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM hist),
+        |bd AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM batch
+        |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, fp FROM bd WHERE fp NOT IN (SELECT fp FROM hfp)
+        |ORDER BY doc_id""".stripMargin,
+    "a_zscore_outliers" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s2
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  (CAST(d.n_chars AS DOUBLE) - m.s1 / m.n) / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS z
+        |FROM documents d JOIN m USING (source)
+        |WHERE abs((CAST(d.n_chars AS DOUBLE) - m.s1 / m.n) / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) > 1.8
+        |ORDER BY d.doc_id""".stripMargin,
     "t_pack_bins" ->
       s"""WITH t AS (SELECT doc_id, source,
          |        CASE WHEN length(trim(text)) = 0 THEN 0
