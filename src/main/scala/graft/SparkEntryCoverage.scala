@@ -1156,19 +1156,18 @@ object SparkEntryCoverage {
     // per surviving row.
     "t_funnel_e2e" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("source") === "src0")
-      val gated = docs
-        .filter(col("source") =!= "src0")
-        .withColumn("lang_pred", TextAnalysis.langId(col("text"), SparkEntry.langMarkers))
-        .withColumn("quality", TextAnalysis.qualityScore(col("text"), SparkEntry.qualityStops))
-        .filter(col("lang_pred") === "dataish" && col("quality") >= 0.5)
-      val deduped = Dedup.exact(gated, "text", "doc_id")
-      val clean = Dedup
-        .crossCorpusOverlap(deduped, bench, "text", "doc_id", 3)
-        .filter(!col("contaminated"))
-        .select(col("id").as("doc_id"))
-      Sampling
-        .hashSample(deduped.join(clean, "doc_id"), col("doc_id"), 0.5)
+      graft.pipelines.Corpus
+        .funnel(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text",
+          "doc_id",
+          SparkEntry.langMarkers,
+          keepLang = "dataish",
+          SparkEntry.qualityStops,
+          minQuality = 0.5,
+          shingleN = 3,
+          sampleFraction = 0.5)
         .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"))
         .orderBy(col("doc_id"))
     },
