@@ -1031,11 +1031,17 @@ object SparkEntryCoverage {
           count(lit(1)).as("n"),
           sum(x).cast("double").as("s1"),
           sum(x * x).cast("double").as("s2"))
-      val z = (col("n_chars").cast("double") - col("s1") / col("n")) /
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-      d.join(broadcast(m), "source")
+      val variance = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+      val z = (col("n_chars").cast("double") - col("s1") / col("n")) / sqrt(col("__var"))
+      d.join(broadcast(m.filter(col("n") > 1)), "source")
+        // zero-variance sources have no outliers by definition — and
+        // without the guard the two engines disagree on 0/0 (Spark
+        // ANSI throws / NULLs, DuckDB NaN-sorts-high passes the filter)
+        .withColumn("__var", variance)
+        .filter(col("__var") > 0.0)
         .withColumn("z", z)
         .filter(abs(col("z")) > 1.8)
+        .drop("__var")
         .select(col("doc_id"), col("source"), col("n_chars"), col("z"))
         .orderBy(col("doc_id"))
     },
@@ -1919,18 +1925,22 @@ object SparkEntryCoverage {
         |hfp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM hist),
         |bd AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM batch
         |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
-        |SELECT doc_id, fp FROM bd WHERE fp NOT IN (SELECT fp FROM hfp)
+        |SELECT doc_id, fp FROM bd
+        |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
     "a_zscore_outliers" ->
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s1,
         |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s2
-        |  FROM documents GROUP BY source)
+        |  FROM documents GROUP BY source),
+        |v AS (SELECT source, n, s1, (s2 - s1 * s1 / n) / (n - 1) AS var
+        |      FROM m WHERE n > 1)
         |SELECT d.doc_id, d.source, d.n_chars,
-        |  (CAST(d.n_chars AS DOUBLE) - m.s1 / m.n) / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS z
-        |FROM documents d JOIN m USING (source)
-        |WHERE abs((CAST(d.n_chars AS DOUBLE) - m.s1 / m.n) / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) > 1.8
+        |  (CAST(d.n_chars AS DOUBLE) - v.s1 / v.n) / sqrt(v.var) AS z
+        |FROM documents d JOIN v USING (source)
+        |WHERE v.var > 0
+        |  AND abs((CAST(d.n_chars AS DOUBLE) - v.s1 / v.n) / sqrt(v.var)) > 1.8
         |ORDER BY d.doc_id""".stripMargin,
     "t_pack_bins" ->
       s"""WITH t AS (SELECT doc_id, source,
@@ -1956,11 +1966,16 @@ object SparkEntryCoverage {
     // min(n_g / w_g), f_g = w_g * T / n_g, keep hash32 < f_g * 2^32 —
     // counts and fractions recomputed from the same data via the same
     // IEEE double ops, so the boundary rows agree bit-for-bit
+    // counts seed from the TARGET list (left join, missing -> 0) so a
+    // target group with no rows sinks T to 0 and the sample is empty —
+    // the same water-filling semantics the engine implements
     "s_mixture_sample" ->
       s"""WITH w(g, wt) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
-         |cnt AS (SELECT source AS g, CAST(count(*) AS DOUBLE) AS n FROM documents JOIN w ON source = g GROUP BY 1),
-         |t AS (SELECT min(n / wt) AS t FROM cnt JOIN w USING (g)),
-         |f AS (SELECT g, wt * t.t / n AS f FROM cnt JOIN w USING (g), t)
+         |cnt AS (SELECT g, wt, COALESCE(c.n, 0.0) AS n FROM w
+         |        LEFT JOIN (SELECT source AS g, CAST(count(*) AS DOUBLE) AS n
+         |                   FROM documents GROUP BY 1) c USING (g)),
+         |t AS (SELECT min(n / wt) AS t FROM cnt),
+         |f AS (SELECT g, CASE WHEN n = 0 THEN 0.0 ELSE wt * t.t / n END AS f FROM cnt, t)
          |SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.g
          |WHERE CAST(${sqlHash32("d.doc_id")} AS DOUBLE) < f.f * 4294967296.0
          |ORDER BY d.doc_id""".stripMargin,

@@ -24,8 +24,10 @@ object HtmlFns {
     when(link.isNull || link === "", base)
       .when(link.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), link)
       .when(
-        link.startsWith("//"),
+        link.startsWith("//") && base.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
         concat(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1), lit(":"), link))
+      // schemeless base: urllib returns the protocol-relative link as-is
+      .when(link.startsWith("//"), link)
       .when(
         link.startsWith("/"),
         concat(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1), link))

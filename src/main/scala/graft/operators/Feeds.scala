@@ -49,9 +49,12 @@ object Feeds {
         childText(b, "description").as("summary"),
         childText(b, "pubDate").as("published")))
     val atom = transform(atomItems, b => {
-      // quote-agnostic: ElementTree's .get("href") doesn't care which
-      // quote style the feed uses, so neither do we
-      val href = regexp_extract(b, "(?is)<link[^>]*href=[\"']([^\"']*)[\"']", 1)
+      // quote-agnostic like ElementTree's .get("href"), but matched
+      // per quote STYLE — a single mixed class [^"']* would truncate
+      // an URL containing the opposite quote (…/d'arc)
+      val hrefD = regexp_extract(b, "(?is)<link[^>]*href=\"([^\"]*)\"", 1)
+      val hrefS = regexp_extract(b, "(?is)<link[^>]*href='([^']*)'", 1)
+      val href = when(hrefD =!= "", hrefD).otherwise(hrefS)
       val link = when(href =!= "", href).otherwise(childText(b, "link"))
       val updated = childText(b, "updated")
       struct(

@@ -156,8 +156,11 @@ object Jobs {
     val anchor = "(?s)<a[^>]*data-automation-id=\"jobTitle\"[^>]*>([^<]*)</a>"
     val loc = "(?s)data-automation-id=\"locations?\"[^>]*>([^<]*)<"
     def orNull(c: Column): Column = when(c === "", lit(null).cast("string")).otherwise(c)
-    val href =
-      regexp_extract(regexp_extract(col("__b"), anchorTag, 0), "href=[\"']([^\"']*)[\"']", 1)
+    // per-quote-style extraction — a mixed [^"']* class would truncate
+    // an href containing the opposite quote character
+    val tag = regexp_extract(col("__b"), anchorTag, 0)
+    val hrefD = regexp_extract(tag, "href=\"([^\"]*)\"", 1)
+    val href = when(hrefD =!= "", hrefD).otherwise(regexp_extract(tag, "href='([^']*)'", 1))
     df.select(
         col("company_id"),
         col(urlCol).as("__base"),

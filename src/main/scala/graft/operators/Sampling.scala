@@ -156,9 +156,7 @@ object Sampling {
     // with zero rows means the water level is T = 0 and the whole
     // sample is empty — the honest exact-composition answer, not a
     // silent re-normalization over whichever groups happen to exist
-    val targetRows = targets.map { case (g, wt) => (g, wt) }
-    val spark = df.sparkSession
-    val tgt = spark.createDataFrame(targetRows).toDF("__g", "__gw")
+    val tgt = df.sparkSession.createDataFrame(targets).toDF("__g", "__gw")
     val counts = tgt.join(
       targeted.groupBy(group.as("__g")).agg(count(lit(1)).cast("double").as("__n")),
       Seq("__g"),

@@ -207,6 +207,7 @@ class HtmlJobsSpec extends SparkSpec {
     val rows = Seq(
       ("//cdn.other.org/x", "https://docs.example.com/p/i.html", "https://cdn.other.org/x"),
       ("//cdn.other.org/x", "http://docs.example.com/", "http://cdn.other.org/x"),
+      ("//cdn.other.org/x", "example.com/page", "//cdn.other.org/x"),
       ("/root", "https://docs.example.com/p/i.html", "https://docs.example.com/root"),
       ("rel.html", "https://docs.example.com/p/i.html", "https://docs.example.com/p/rel.html"))
     rows.foreach { case (link, base, want) =>
@@ -237,6 +238,7 @@ class HtmlJobsSpec extends SparkSpec {
         |<updated>2024-02-01</updated><published>2023-01-01</published></entry>
         |<entry><title>Y</title><link>rel.html</link><published>2024-03-01</published></entry>
         |<entry><title>Z</title><link href='https://sq.com/2'/></entry>
+        |<entry><title>Q</title><link href="https://ex.com/d'arc"/></entry>
         |</feed>""".stripMargin
     val df = Seq(
       ("rss", rss, "https://base.com/feeds/main.xml"),
@@ -258,7 +260,9 @@ class HtmlJobsSpec extends SparkSpec {
       // text link, non-root relative → base directory; published fallback
       ("atom", "Y", "https://base.com/feeds/rel.html", "", "2024-03-01"),
       // single-quoted href parses the same (ElementTree is quote-agnostic)
-      ("atom", "Z", "https://sq.com/2", "", "")))
+      ("atom", "Z", "https://sq.com/2", "", ""),
+      // an apostrophe INSIDE a double-quoted href doesn't truncate it
+      ("atom", "Q", "https://ex.com/d'arc", "", "")))
     // limit truncates
     val lim = df.filter(col("src") === "rss")
       .select(size(Feeds.feedEntries(col("xml"), col("base"), 2))).head().getInt(0)
