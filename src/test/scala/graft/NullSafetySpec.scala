@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{HtmlFns, TextFns}
+import graft.operators.{Feeds, Jobs}
+import org.apache.spark.sql.functions._
+
+/** Null-input contracts: real corpora carry null documents/fields even
+  * though the driver's test tables don't. Every kernel expression and
+  * text function must pass a NULL through (null-in → null-out, or a
+  * documented fallback) without throwing — the behavior a 100 TB run
+  * hits on day one.
+  */
+class NullSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val row = Seq((1L, Option.empty[String])).toDF("id", "t")
+
+  test("custom kernel expressions are null-tolerant via the SQL surface") {
+    row.createOrReplaceTempView("nulls_t")
+    val r = spark.sql(
+      """SELECT word_shingles(t, 3) AS a, simhash64(t) AS b,
+        |       winnow_fps(t, 5, 4) AS c, ngram_stats(t, 2) AS d,
+        |       sorted_hashes64(CAST(NULL AS ARRAY<STRING>)) AS e,
+        |       minhash_sig(CAST(NULL AS ARRAY<STRING>), 4) AS f,
+        |       cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS g,
+        |       dot_product(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>)) AS h
+        |FROM nulls_t""".stripMargin).head()
+    (0 until 8).foreach(i => assert(r.isNullAt(i), s"column $i should be null"))
+  }
+
+  test("text functions pass nulls through without throwing") {
+    val r = row.select(
+      TextFns.tokens($"t").as("tokens"),
+      TextFns.fingerprint($"t").as("fp"),
+      TextFns.redactPii($"t").as("pii"),
+      TextFns.wordCount($"t").as("wc"),
+      TextFns.normalizeText($"t").as("norm"),
+      TextFns.chunks($"t", 100).as("chunks")).head()
+    (0 until 5).foreach(i => assert(r.isNullAt(i), s"column $i should be null"))
+    // chunks' documented null fallback is the EMPTY array (a null doc
+    // chunks to no chunks — downstream explode simply emits nothing)
+    assert(r.getSeq[String](5).isEmpty)
+  }
+
+  test("feed/ATS parsers tolerate null html/url inputs") {
+    val feeds = row.select(Feeds.feedEntries($"t", lit("https://b.com/")).as("e")).head()
+    assert(feeds.isNullAt(0)) // null xml -> null entry array
+    val vendor = row.select(Jobs.detectAts($"t", $"t")).head()
+    assert(vendor.isNullAt(0)) // no markers anywhere -> null vendor
+    val stats = row.select(HtmlFns.pageStatistics($"t", lit("https://b.com/")).as("s"))
+      .select("s.total_links").head()
+    assert(stats.isNullAt(0) || stats.getLong(0) == 0L)
+    // urlJoin(link, NULL base): absolute links survive, relatives null out
+    val uj = Seq(("https://abs.com/x", Option.empty[String])).toDF("l", "b")
+      .select(HtmlFns.urlJoin($"l", $"b")).head()
+    assert(uj.getString(0) == "https://abs.com/x")
+  }
+}
