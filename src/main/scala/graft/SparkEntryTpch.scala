@@ -170,6 +170,40 @@ object SparkEntryTpch {
             sum(vol).cast("double")).as("mkt_share"))
         .orderBy(col("o_year"))
     },
+    // Q13 — customer order-count distribution: double aggregation
+    // (count per customer, then histogram of the counts) over a
+    // conditioned left join — the distribution-of-counts shape
+    "q13_custdist" -> { (s, dir) =>
+      val perCust = t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // Q15 — top supplier by quarter revenue: a scalar max subquery
+    // over the same derived revenue table (Catalyst reuses the agg
+    // subtree rather than recomputing it per row)
+    "q15_top_supplier" -> { (s, dir) =>
+      val quarterRev = t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).cast("double").as("total_revenue"))
+      val best = quarterRev.agg(max(col("total_revenue")).as("__best"))
+      t(s, dir, "supplier")
+        .join(quarterRev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(best))
+        .filter(col("total_revenue") === col("__best"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
     // Q22 — idle wealthy customers: scalar-subquery threshold +
     // anti join on recent orders, rolled up by nation
     "q22_idle_customers" -> { (s, dir) =>
@@ -267,6 +301,22 @@ object SparkEntryTpch {
         |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |   AND p_type = 'PROMO')
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
