@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.pipelines.{Payload, Rag}
+import graft.pipelines.{Corpus, Payload, Rag}
 import org.apache.spark.sql.functions._
 
 class PipelinesSpec extends SparkSpec {
@@ -77,5 +77,28 @@ class PipelinesSpec extends SparkSpec {
     val resized = Multimodal.resizeStub(media, 4).orderBy("media_id").collect()
     assert(resized.map(_.getAs[Long]("resized_bytes")).toSeq == Seq(4L, 2L))
     assert(new String(resized(0).getAs[Array[Byte]]("content_resized"), "UTF-8") == "abcd")
+  }
+
+  test("Corpus.funnel: each gate drops exactly its own casualties") {
+    val markers = Seq("good" -> Seq("data"), "bad" -> Seq("noise"))
+    val docs = Seq(
+      // survives every stage (long enough, dataish, unique, clean)
+      (1L, ("data stream " * 30) + "unique alpha beta gamma delta"),
+      // wrong language -> lang gate
+      (2L, ("noise noise " * 30) + "something else entirely here now"),
+      // too short -> quality gate (length term sinks the score)
+      (3L, "data tiny"),
+      // exact duplicate of 1 -> dedup keeps the lower id
+      (4L, ("data stream " * 30) + "unique alpha beta gamma delta"),
+      // shares 3-grams with the benchmark -> decontamination
+      (5L, ("data stream " * 30) + "leaked shared benchmark phrase verbatim")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the leaked shared benchmark phrase verbatim text"))
+      .toDF("doc_id", "text")
+    val got = Corpus
+      .funnel(docs, bench, "text", "doc_id", markers,
+        keepLang = "good", stopwords = Seq("the"), minQuality = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"expected only doc 1 to survive, got $got")
   }
 }
