@@ -25,7 +25,7 @@ object Similarity {
       query: Array[Double],
       k: Int,
       prefilter: Column = lit(true)): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val q = array(query.toIndexedSeq.map(lit): _*)
     df.filter(prefilter)
       .withColumn("score", VectorFns.cosine(col(embCol), q))
       .orderBy(col("score").desc, col(df.columns.head))
@@ -135,7 +135,7 @@ object Similarity {
     require(centroids.nonEmpty, "ivfAssign: centroids must be non-empty")
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(
-        VectorFns.cosine(col(embCol), array(c.map(lit): _*)).as("sim"),
+        VectorFns.cosine(col(embCol), array(c.toIndexedSeq.map(lit): _*)).as("sim"),
         lit(i).as("cell"))
     }
     // greatest() rejects a single argument — one centroid is cell 0
@@ -154,10 +154,10 @@ object Similarity {
     val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
     val emb = col(embCol).cast("array<double>")
     val bits = planes.map { p =>
-      val dot = VectorFns.cosine(emb, array(p.map(lit): _*)) // sign(cos)=sign(dot)
+      val dot = VectorFns.cosine(emb, array(p.toIndexedSeq.map(lit): _*)) // sign(cos)=sign(dot)
       when(dot > 0, lit("1")).otherwise(lit("0"))
     }
-    df.withColumn("lsh_bucket", concat(bits: _*))
+    df.withColumn("lsh_bucket", concat(bits.toIndexedSeq: _*))
   }
 
   /** LSH-bucketed near-dup pairs: pairs sharing the full signature,
@@ -216,7 +216,7 @@ object Similarity {
       val sub = slice(emb, s * subDim + 1, subDim)
       val scored = subCents.zipWithIndex.map { case (c, i) =>
         struct(
-          VectorFns.cosine(sub, array(c.map(lit): _*)).as("sim"),
+          VectorFns.cosine(sub, array(c.toIndexedSeq.map(lit): _*)).as("sim"),
           lit(i).as("cell"))
       }
       acc.withColumn(s"pq_$s", greatest(scored: _*).getField("cell"))
@@ -261,7 +261,7 @@ object Similarity {
     short
       .withColumn(
         "score",
-        VectorFns.cosine(col(embCol), array(query.map(lit): _*)))
+        VectorFns.cosine(col(embCol), array(query.toIndexedSeq.map(lit): _*)))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

@@ -44,5 +44,5 @@ object Payload {
 
   /** Serialize assembled payloads to one JSON document per row. */
   def toJsonDocs(assembled: DataFrame): DataFrame =
-    assembled.select(to_json(struct(assembled.columns.map(col): _*)).as("payload_json"))
+    assembled.select(to_json(struct(assembled.columns.toIndexedSeq.map(col): _*)).as("payload_json"))
 }

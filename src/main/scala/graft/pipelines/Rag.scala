@@ -97,7 +97,7 @@ object Rag {
         col("doc_id"),
         col("chunk_index"),
         array((0 until dim).map(j => col(s"c$j").cast("double")): _*).as("vec"))
-    val qvec = array(embedQueryVector(queryText, dim).map(lit): _*)
+    val qvec = array(embedQueryVector(queryText, dim).toIndexedSeq.map(lit): _*)
     // chunks with zero tokens vanish at the explode; rejoin and score
     // them 0.0 (cosine-with-zero-norm semantics)
     filtered
