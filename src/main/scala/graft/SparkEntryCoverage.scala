@@ -994,6 +994,35 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("source"))
     },
+    // Corpus-wide line dedup (C4/RefinedWeb rule): drop every 5-token
+    // line that occurs >= 3 times ACROSS the corpus (boilerplate
+    // removal), then reassemble each doc's surviving lines in their
+    // original positions. Line granularity here is fixed 5-token
+    // windows (the synthetic text has no punctuation); the operator
+    // shape — segment → global df count → cap → positional
+    // reassembly — is the real pipeline's.
+    "t_line_dedup" -> { (s, dir) =>
+      val toks = TextFns.tokens(col("text"))
+      val nLines = ceil(size(toks) / lit(5.0)).cast("int")
+      val lines = when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(0), nLines - 1), i => concat_ws(" ", slice(toks, i * 5 + 1, lit(5)))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+        .withColumn(
+          "__df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("line"))))
+        .filter(col("__df") < 3)
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")),
+            " ").as("cleaned"),
+          count(lit(1)).as("n_lines_kept"))
+        .orderBy(col("doc_id"))
+    },
     // Incremental exact dedup — the daily-ingest shape: today's batch
     // dedups within itself (first-wins), then drops anything whose
     // content fingerprint the historical corpus already has (broadcast
@@ -1918,6 +1947,16 @@ object SparkEntryCoverage {
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${sqlHash32("doc_id")}, doc_id) <= 25
          |ORDER BY doc_id""".stripMargin,
+    "t_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |lines AS (SELECT doc_id, i AS pos, array_to_string(tk[(i*5+1):(i*5+5)], ' ') AS line
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(tk)/5.0) AS INT) - 1)) AS i)),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |         QUALIFY count(*) OVER (PARTITION BY line) < 3)
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned,
+        |       CAST(count(*) AS BIGINT) AS n_lines_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_incremental" ->
       """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 5 = 0 THEN h.text ELSE b.text END AS text
