@@ -1007,12 +1007,9 @@ object SparkEntryCoverage {
       val lines = when(size(toks) === 0, array().cast("array<string>"))
         .otherwise(
           transform(sequence(lit(0), nLines - 1), i => concat_ws(" ", slice(toks, i * 5 + 1, lit(5)))))
-      t(s, dir, "documents")
+      val exploded = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
-        .withColumn(
-          "__df",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("line"))))
-        .filter(col("__df") < 3)
+      Dedup.rareLineSurvivors(exploded, "line", maxDf = 3)
         .groupBy(col("doc_id"))
         .agg(
           array_join(

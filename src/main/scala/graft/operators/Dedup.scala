@@ -25,6 +25,31 @@ object Dedup {
       Seq(TextFns.fingerprint(col(textCol))),
       Seq(col(idCol)))
 
+  /** Corpus-wide line dedup (C4/RefinedWeb boilerplate rule): keep
+    * only rows of an already-exploded (id, pos, line) stream whose
+    * `line` occurs fewer than `maxDf` times across the whole corpus.
+    *
+    * Two-phase on purpose: `groupBy(line).count()` shrinks a hot
+    * boilerplate line ("all rights reserved", cookie banners) to one
+    * partial row per map partition BEFORE the shuffle, the `< maxDf`
+    * filter runs on the COUNTS, and only then do we join back — so
+    * the join's build side contains no hot keys by construction. A
+    * hot line on the probe side hashes into an empty bucket and
+    * streams straight through. The alternative
+    * `count().over(Window.partitionBy(line))` ships every occurrence
+    * of the hot line to ONE task and buffers the group — at corpus
+    * scale the hot line is the common case, and AQE cannot split a
+    * window group the way it splits a skewed join.
+    */
+  def rareLineSurvivors(exploded: DataFrame, lineCol: String, maxDf: Int): DataFrame = {
+    val rare = exploded
+      .groupBy(col(lineCol))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") < maxDf)
+      .select(col(lineCol))
+    exploded.join(rare, Seq(lineCol))
+  }
+
   /** Distinct word-n-gram shingle SETS per doc: (id, sh:array<string>).
     *
     * One `WordShingles` eval per document (tokenize + slide + dedupe

@@ -85,4 +85,39 @@ class DedupSkewSpec extends SparkSpec {
       .toSeq
     assert(pairs == (0 until 5).map(i => (i.toLong, (N + i).toLong)))
   }
+
+  /** Line-dedup skew: one boilerplate line at ~100× the median line
+    * frequency (df = N vs 1), the exact shape corpus line dedup exists
+    * for. Correctness AND plan shape are both asserted: the two-phase
+    * groupBy-count → filter-on-counts → join-back must (a) drop the
+    * hot line everywhere while keeping every unique line, and (b)
+    * contain no WindowExec — a `count().over(partitionBy(line))`
+    * would funnel all N occurrences of the hot line into one buffered
+    * window group, the straggler/spill AQE cannot split.
+    */
+  private lazy val linedCorpus = {
+    val rows = (0 until N).map { i =>
+      (i.toLong, Seq((0, "all rights reserved"), (1, s"unique line $i")))
+    }
+    rows.toDF("doc_id", "lines")
+      .select(col("doc_id"), explode(col("lines")).as("pl"))
+      .select(col("doc_id"), col("pl._1").as("pos"), col("pl._2").as("line"))
+  }
+
+  test("rareLineSurvivors under skew: hot boilerplate line dies, unique lines survive") {
+    val out = Dedup.rareLineSurvivors(linedCorpus, "line", maxDf = 3)
+    val kept = out.select(col("line")).collect().map(_.getString(0)).toSet
+    assert(!kept.contains("all rights reserved"), "hot line must be dropped")
+    assert(kept.size == N, s"all $N unique lines must survive, got ${kept.size}")
+    assert(out.count() == N.toLong)
+  }
+
+  test("rareLineSurvivors plan: HashAggregate + join, no WindowExec") {
+    val plan = Dedup
+      .rareLineSurvivors(linedCorpus, "line", maxDf = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"skew-prone WindowExec in plan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected two-phase HashAggregate:\n$plan")
+    assert(plan.contains("Join"), s"expected join-back:\n$plan")
+  }
 }
