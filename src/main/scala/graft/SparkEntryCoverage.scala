@@ -38,6 +38,18 @@ object SparkEntryCoverage {
     Array.fill(LshBits)(Array.fill(LshDim)(rnd.nextGaussian()))
   }
 
+  /** Banded-LSH configuration for v_lsh_banded — 4 bands × 4 bits,
+    * same seeded generator as `hyperplaneSignature(seed=42)` (the
+    * first 8 planes coincide with `lshPlanes` by construction: one
+    * Random(42) stream).
+    */
+  private val LshBands = 4
+  private val LshBandBits = 4
+  private lazy val lshBandPlanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(LshBands * LshBandBits)(Array.fill(LshDim)(rnd.nextGaussian()))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F4 — keyword timeline filter: events of selected types as
     // "date: type" lines (structured_extraction_v2.py:1328-1346)
@@ -546,6 +558,17 @@ object SparkEntryCoverage {
         .lshNearDupPairs(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           LshDim, LshBits, 0.25, 42L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // V2 scale path, recall variant — banded hyperplane LSH: 4 bands
+    // × 4 bits, candidate on ANY full-band agreement (OR-of-ANDs),
+    // exact-cosine verify. Strictly higher recall than the one-table
+    // full-signature match at the same bit budget.
+    "v_lsh_banded" -> { (s, dir) =>
+      Similarity
+        .bandedLshNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          LshDim, LshBands, LshBandBits, 0.25, 42L)
         .orderBy(col("id_a"), col("id_b"))
     },
     // Product-quantization codes: 8 subspaces × 4 centroids (from
@@ -1570,6 +1593,24 @@ object SparkEntryCoverage {
          | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |        ${sqlCosine("a.embedding", "b.embedding")} AS score
          | FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id)
+         |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
+    },
+    "v_lsh_banded" -> {
+      val sigExpr = lshBandPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
+      s"""WITH sig AS (
+         | SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
+         |banded AS (
+         | SELECT vec_id, gs.band, substring(sig, gs.band * $LshBandBits + 1, $LshBandBits) AS bucket
+         | FROM sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band) gs),
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, score FROM (
+         | SELECT c.id_a, c.id_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS score
+         | FROM cand c
+         | JOIN embeddings ea ON ea.vec_id = c.id_a
+         | JOIN embeddings eb ON eb.vec_id = c.id_b)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
     },
     "v_pq_codes" -> {

@@ -160,35 +160,68 @@ object Similarity {
     df.withColumn("lsh_bucket", concat(bits.toIndexedSeq: _*))
   }
 
-  /** LSH-bucketed near-dup pairs: pairs sharing the full signature,
-    * verified with exact cosine — candidate generation is one shuffle
-    * on the bucket key, linear in corpus size.
+  /** Banded random-hyperplane LSH near-dup pairs: the `bands ×
+    * bitsPerBand`-bit signature is split into `bands` bands; a pair is
+    * a candidate when it agrees on ALL bits of ANY band (the
+    * MinHash-banding OR-of-ANDs, `Dedup.minhashLshPairs`'s structure
+    * applied to cosine space). Candidates are verified with exact
+    * cosine, so banding only ever adds recall, never false positives.
+    *
+    * Why bands: a single full-signature match loses a cosine-0.85
+    * near-dup whenever ANY of its bits disagrees — recall collapses
+    * multiplicatively with signature width. With collision probability
+    * p = (1 - θ/π) per bit, banding turns per-pair recall into
+    * 1 - (1 - p^r)^b, tunable to ≥0.99 while random pairs stay
+    * filtered by the r-bit AND (measured floor in AnnRecallSpec).
+    *
+    * Plan shape (100 TB posture, mirrors `Dedup.minhashLshPairs`): one
+    * persisted pass computes (id, emb, norm, signature); the band
+    * explode and bucket self-join carry only (id, band, bucket) — the
+    * embedding arrays never ride the bucket shuffle `bands` times;
+    * candidate pairs are dedup'd across bands BEFORE the verify join
+    * pulls embeddings back by id, so each surviving pair is scored
+    * exactly once.
     */
-  def lshNearDupPairs(
+  def bandedLshNearDupPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
       dim: Int,
-      nBits: Int,
+      bands: Int,
+      bitsPerBand: Int,
       threshold: Double,
       seed: Long = 42L): DataFrame = {
-    // persisted: both self-join sides read one scan + one projection
-    // pass (nBits hyperplane folds per row) — same caching contract as
-    // Dedup.ngramJaccardPairs
-    val signed = hyperplaneSignature(df, embCol, dim, nBits, seed)
+    require(bands > 0 && bitsPerBand > 0, "bands and bitsPerBand must be positive")
+    // persisted: the band explode and both verify sides read one scan
+    // + one projection pass (bands*bitsPerBand hyperplane folds per
+    // row) — same caching contract as Dedup.ngramJaccardPairs
+    val signed = hyperplaneSignature(df, embCol, dim, bands * bitsPerBand, seed)
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"), col("lsh_bucket"))
       .withColumn("norm", VectorFns.norm2(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = signed.select(
-      col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"), col("lsh_bucket"))
-    val b = signed.select(
-      col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"), col("lsh_bucket"))
-    a.join(b, Seq("lsh_bucket"))
+    val bucketCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        substring(col("lsh_bucket"), b * bitsPerBand + 1, bitsPerBand).as("bucket"))
+    }
+    val banded = signed
+      .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val ea = signed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val eb = signed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
+    cand
+      .join(ea, Seq("id_a"))
+      .join(eb, Seq("id_b"))
       .filter(
         assert_true(
           size(col("emb_a")) === size(col("emb_b")),
-          lit("lshNearDupPairs: embeddings must all have the same length")).isNull)
+          lit("bandedLshNearDupPairs: embeddings must all have the same length")).isNull)
       .withColumn("denom", col("norm_a") * col("norm_b"))
       .withColumn(
         "score",
@@ -197,6 +230,20 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** LSH-bucketed near-dup pairs on the FULL signature (one band of
+    * `nBits` bits) — the high-precision/low-recall corner of
+    * `bandedLshNearDupPairs`; prefer banding when recall matters.
+    */
+  def lshNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      nBits: Int,
+      threshold: Double,
+      seed: Long = 42L): DataFrame =
+    bandedLshNearDupPairs(df, idCol, embCol, dim, bands = 1, bitsPerBand = nBits, threshold, seed)
 
   /** Product-quantization encoding: the embedding is split into
     * `numSub` contiguous subvectors; each is coded as the index of its
