@@ -1226,6 +1226,37 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"))
         .orderBy(col("doc_id"))
     },
+    // Funnel with the near-dup collapse stage: every 9th doc gets a
+    // planted near-duplicate (same text + 3 appended marker tokens,
+    // Jaccard ~0.9 vs its source, id + 100000 so the ORIGINAL is the
+    // smallest-id canonical). MinHash-LSH pairs → connected components
+    // → smallest-id survivor runs between exact dedup and
+    // decontamination; planted dups that pass the gates must vanish
+    // from the output, each collapsed into its source doc.
+    "t_funnel_neardup" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val planted = base
+        .filter(col("doc_id") % 9 === 0)
+        .select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" data stream batch")).as("text"),
+          col("source"))
+      graft.pipelines.Corpus
+        .funnel(
+          base.unionByName(planted).filter(col("source") =!= "src0"),
+          base.filter(col("source") === "src0"),
+          "text",
+          "doc_id",
+          SparkEntry.langMarkers,
+          keepLang = "dataish",
+          SparkEntry.qualityStops,
+          minQuality = 0.5,
+          shingleN = 3,
+          sampleFraction = 1.0,
+          nearDupJaccard = Some(0.3))
+        .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
     // PII scrub — the standard pretraining redaction pass: emails,
     // SSNs, phone numbers, IPv4s → typed placeholders, plus per-class
     // audit counts. One codegen'd regexp projection, no UDF.
@@ -2087,21 +2118,19 @@ object SparkEntryCoverage {
         |       CAST(MAX(c) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_funnel_e2e" ->
+      // lang/quality CTEs are DERIVED from the engine's own marker/
+      // stopword/weight constants (TextAnalysis.langIdSql/qualitySql)
+      // — a marker or weight edit re-generates both sides, so this
+      // composed oracle cannot silently desynchronize from
+      // t_quality_score/t_lang_id
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents),
-         |lang AS (SELECT doc_id,
-         |  CASE WHEN len(list_filter(tk, t -> list_contains(['data','stream','batch'], t))) >= len(list_filter(tk, t -> list_contains(['table','query','join'], t)))
-         |        AND len(list_filter(tk, t -> list_contains(['data','stream','batch'], t))) >= len(list_filter(tk, t -> list_contains(['vector','hash','key'], t)))
-         |       THEN 'dataish'
-         |       WHEN len(list_filter(tk, t -> list_contains(['table','query','join'], t))) >= len(list_filter(tk, t -> list_contains(['vector','hash','key'], t)))
-         |       THEN 'sqlish' ELSE 'vecish' END AS lang_pred
+         |lang AS (SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS lang_pred
          |  FROM tok),
          |qb AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
          |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
-         |  CAST(len(list_filter(regexp_split_to_array(trim(text),'\\s+'), t -> list_contains(['the','a','of'], t))) AS DOUBLE) AS ns
+         |  ${TextAnalysis.stopHitsSql(SparkEntry.qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
          |  FROM documents),
-         |qual AS (SELECT doc_id,
-         |  least(nc/500.0, 1.0)*0.4 + least((ns/nt)*5.0, 1.0)*0.3 +
-         |  (CASE WHEN nc/nt >= 3 AND nc/nt <= 10 THEN 1.0 ELSE 0.5 END)*0.3 AS quality
+         |qual AS (SELECT doc_id, ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS quality
          |  FROM qb),
          |base AS (SELECT d.doc_id, d.text, d.source, l.lang_pred, q.quality
          |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
@@ -2120,6 +2149,68 @@ object SparkEntryCoverage {
          |SELECT doc_id, source, lang_pred, quality FROM ded
          |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
          |  AND ${sqlHash32("doc_id")} < ${Sampling.threshold(0.5)}
+         |ORDER BY doc_id""".stripMargin,
+    "t_funnel_neardup" ->
+      // same derived lang/quality fragments as t_funnel_e2e; the
+      // near-dup stage mirrors dd_minhash_pairs (signature/banding)
+      // and dd_cluster_resolve (recursive components) over the
+      // exact-dedup survivors
+      s"""WITH RECURSIVE docs AS (
+         | SELECT doc_id, text, source FROM documents
+         | UNION ALL
+         | SELECT doc_id + 100000, text || ' data stream batch', source
+         | FROM documents WHERE doc_id % 9 = 0),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM docs),
+         |lang AS (SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS lang_pred
+         |  FROM tok),
+         |qb AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
+         |  ${TextAnalysis.stopHitsSql(SparkEntry.qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
+         |  FROM docs),
+         |qual AS (SELECT doc_id, ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS quality
+         |  FROM qb),
+         |base AS (SELECT d.doc_id, d.text, d.source, l.lang_pred, q.quality
+         |  FROM docs d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+         |  WHERE d.source <> 'src0' AND l.lang_pred = 'dataish' AND q.quality >= 0.5),
+         |ded AS (SELECT * FROM base
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) = 1),
+         |shl AS (SELECT b.doc_id, list_distinct(list_transform(generate_series(1, len(t.tk)-2),
+         |         i -> t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2])) AS sh
+         |        FROM ded b JOIN tok t USING (doc_id) WHERE len(t.tk) >= 3),
+         |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 7),
+         |         i -> list_aggregate(list_transform(sh, s -> list_reduce(
+         |                list_transform(generate_series(1, 8), d -> strpos('0123456789abcdef',
+         |                  substring(CASE WHEN i // 4 = 0 THEN md5(s) ELSE md5(CAST(i // 4 AS VARCHAR) || ':' || s) END,
+         |                            CAST((i % 4) * 8 + d AS INT), 1)) - 1),
+         |                (a, b) -> a * 16 + b)), 'min')) AS sg
+         |        FROM shl WHERE len(sh) > 0),
+         |banded AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
+         |           FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |  JOIN shl sa ON sa.doc_id = id_a JOIN shl sb ON sb.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         |canon AS (SELECT d.* FROM ded d LEFT JOIN comp ON comp.id = d.doc_id
+         |          WHERE comp.id IS NULL OR comp.cluster = d.doc_id),
+         |dsh AS (SELECT c.doc_id, unnest(s.sh) AS s FROM canon c JOIN shl s USING (doc_id)),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |        FROM documents JOIN tok USING (doc_id) WHERE source = 'src0' AND len(tk) >= 3),
+         |cont AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (s))
+         |SELECT doc_id, source, lang_pred, quality FROM canon
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
          |ORDER BY doc_id""".stripMargin,
     "t_pii_scrub" -> {
       // interpolate the ENGINE's own patterns so the two sides cannot

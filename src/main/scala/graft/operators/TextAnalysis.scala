@@ -33,24 +33,76 @@ object TextAnalysis {
     (if (scored.size == 1) scored.head else greatest(scored: _*)).getField("lang")
   }
 
+  /** qualityScore's tunables, shared with the DuckDB SQL mirror below
+    * so the engine and every oracle that inlines the formula cannot
+    * desynchronize.
+    */
+  val QualityLenDenom = 500.0
+  val QualityStopMult = 5.0
+  val QualityTokLenLo = 3
+  val QualityTokLenHi = 10
+  val QualityWeights: (Double, Double, Double) = (0.4, 0.3, 0.3)
+
   /** Quality score in [0,1]: harmonic blend of length, punctuation
     * sanity and stopword presence — the heuristics a pretraining
     * quality filter uses (length/punct/stopword ratios).
     * Deterministic; round(…, 6) when oracle-compared.
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val (wLen, wStop, wTok) = QualityWeights
     val nChars = length(text).cast("double")
     val nToks = size(TextFns.tokens(text)).cast("double")
-    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val lenScore = least(nChars / lit(QualityLenDenom), lit(1.0))
     val stopRatio = coalesce(TextFns.stopwordRatio(text, stopwords), lit(0.0))
-    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    val stopScore = least(stopRatio * QualityStopMult, lit(1.0))
     val avgTokLen = when(nToks === 0, lit(0.0)).otherwise(nChars / nToks)
     val tokLenScore =
-      when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
+      when(avgTokLen >= QualityTokLenLo && avgTokLen <= QualityTokLenHi, lit(1.0))
+        .otherwise(lit(0.5))
     // raw double, no rounding: both engines evaluate the identical
     // op sequence, so results are bit-exact without it
-    lenScore * 0.4 + stopScore * 0.3 + tokLenScore * 0.3
+    lenScore * wLen + stopScore * wStop + tokLenScore * wTok
   }
+
+  /** DuckDB literal list for a token set: `['the','a','of']`. */
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB mirror of [[langId]] over a token-array expression `tk`:
+    * argmax by (hits, lexicographically-first tie-break), generated
+    * from the SAME marker table the engine uses — a marker edit
+    * re-derives both sides. The CASE chain in lex-lang order picks the
+    * first language whose hit count is >= every later language's,
+    * which is exactly greatest(struct(hits, -rank)).
+    */
+  def langIdSql(markers: Seq[(String, Seq[String])], tk: String): String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter($tk, t -> list_contains(${sqlList(words)}, t)))"
+    val byLang = markers.sortBy(_._1).map { case (lang, words) => (lang, hits(words)) }
+    val cases = byLang.zipWithIndex.dropRight(1).map { case ((lang, h), i) =>
+      val laterGe = byLang.drop(i + 1).map { case (_, h2) => s"$h >= $h2" }.mkString(" AND ")
+      s"WHEN $laterGe THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${byLang.last._1}' END"
+  }
+
+  /** DuckDB mirror of [[qualityScore]] given nc/nt/ns expressions
+    * (char count, token count, stopword count — all DOUBLE), generated
+    * from the same weight constants as the engine formula. `nt` is
+    * never 0 on the DuckDB side (regexp_split of an empty string
+    * yields [''], length 1), so empty text scores 0.15 on both sides.
+    */
+  def qualitySql(nc: String, nt: String, ns: String): String = {
+    val (wLen, wStop, wTok) = QualityWeights
+    s"least($nc/$QualityLenDenom, 1.0)*$wLen + least(($ns/$nt)*$QualityStopMult, 1.0)*$wStop + " +
+      s"(CASE WHEN $nc/$nt >= $QualityTokLenLo AND $nc/$nt <= $QualityTokLenHi THEN 1.0 ELSE 0.5 END)*$wTok"
+  }
+
+  /** DuckDB stopword-count expression over a token array `tk` for the
+    * given stopword list (pairs with [[qualitySql]]'s `ns`).
+    */
+  def stopHitsSql(stopwords: Seq[String], tk: String): String =
+    s"CAST(len(list_filter($tk, t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE)"
 
   /** F5 — risk keyword scan: per category take the FIRST matching
     * keyword (reference short-circuits, `risk_detection.py:64-80`),

@@ -23,6 +23,16 @@ object Corpus {
     * @param minQuality     inclusive quality floor
     * @param shingleN       n-gram size for decontamination overlap
     * @param sampleFraction deterministic hash-sample fraction (1.0 = keep all)
+    * @param nearDupJaccard when set, a MinHash near-dup stage runs
+    *                       between exact dedup and decontamination:
+    *                       LSH candidate pairs at this Jaccard
+    *                       threshold are clustered (connected
+    *                       components) and each cluster keeps its
+    *                       smallest-id canonical doc — the C4/Gopher
+    *                       near-dup collapse every production corpus
+    *                       build runs
+    * @param minhashHashes  MinHash signature width for the near-dup stage
+    * @param minhashBandSize band size for the near-dup LSH (hashes per band)
     * @return surviving rows of `docs` plus `lang_pred` and `quality`
     */
   def funnel(
@@ -35,16 +45,31 @@ object Corpus {
       stopwords: Seq[String],
       minQuality: Double,
       shingleN: Int = 3,
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0,
+      nearDupJaccard: Option[Double] = None,
+      minhashHashes: Int = 8,
+      minhashBandSize: Int = 1): DataFrame = {
     val gated = docs
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol), langMarkers))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol), stopwords))
       .filter(col("lang_pred") === keepLang && col("quality") >= minQuality)
     val deduped = Dedup.exact(gated, textCol, idCol)
+    // near-dup collapse (optional): candidates from banded MinHash,
+    // exact-Jaccard verified, clustered, smallest id survives — the
+    // stage is linear in corpus size (the band shuffle carries only
+    // (id, band, bucket)), so inserting it does not change the
+    // funnel's 100 TB posture
+    val canonical = nearDupJaccard.fold(deduped) { threshold =>
+      val pairs = Dedup
+        .minhashLshPairs(
+          deduped, textCol, idCol, shingleN, minhashHashes, minhashBandSize, threshold)
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolveClusters(deduped, idCol, pairs)
+    }
     val clean = Dedup
-      .crossCorpusOverlap(deduped, benchmark, textCol, idCol, shingleN)
+      .crossCorpusOverlap(canonical, benchmark, textCol, idCol, shingleN)
       .filter(!col("contaminated"))
       .select(col("id").as(idCol))
-    Sampling.hashSample(deduped.join(clean, idCol), col(idCol), sampleFraction)
+    Sampling.hashSample(canonical.join(clean, idCol), col(idCol), sampleFraction)
   }
 }
