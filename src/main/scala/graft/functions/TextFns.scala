@@ -141,7 +141,10 @@ object TextFns {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-  val PhoneRe = "\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+  // optional +1 / 1- country-code prefix is consumed so a
+  // country-coded number redacts whole ('1-555-123-4567' must not
+  // leak its leading '1-'); still RE2-safe — no lookbehind
+  val PhoneRe = "(?:\\+?1[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** Redact emails / SSNs / phone numbers / IPv4 addresses to typed

@@ -226,7 +226,7 @@ class PropertySpec extends SparkSpec {
   test("PII property: redaction is idempotent and leaves no live PII behind") {
     val pii = Vector(
       "bob.smith+x@corp.example.org", "123-45-6789", "(212) 555-0147",
-      "555-123-4567", "10.20.30.40")
+      "555-123-4567", "1-555-123-4567", "+1 555-123-4567", "10.20.30.40")
     val fill = Vector("hello", "order", "42nd", "v1.2", "sum:")
     def randText(): String =
       (0 until rnd.nextInt(12)).map { _ =>
