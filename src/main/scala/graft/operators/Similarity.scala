@@ -328,19 +328,65 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int,
-      iters: Int): Seq[Array[Double]] = {
+      iters: Int,
+      seed: Long = 42L): Seq[Array[Double]] = {
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getAs[scala.collection.Seq[Any]](0).map {
         case f: Float  => f.toDouble
         case d: Double => d
       }.toArray
-    var cents: Seq[Array[Double]] = df
-      .orderBy(col(idCol))
-      .limit(k)
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 1.0 else 1.0 - dot / d
+    }
+    // k-means++ init (seeded, deterministic) on a hash-spread sample:
+    // the first-k-by-id alternative is quality-blind — adjacent ids
+    // are often correlated, seeding several centroids into one dense
+    // region and starving cells elsewhere, which is exactly what the
+    // IVF probed-mass/recall tradeoff rides on. The sample is ordered
+    // by md5(id) (stable across runs/partitionings), capped driver-
+    // side — the same constant-bootstrap collect() contract as the
+    // centroids themselves.
+    val sampleCap = math.max(50 * k, 256)
+    val sample: Array[Array[Double]] = df
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleCap)
       .select(col(embCol))
       .collect()
       .map(vecOf)
-      .toSeq
+    val rnd = new java.util.Random(seed)
+    var cents: Seq[Array[Double]] =
+      if (sample.length <= k) sample.toSeq
+      else {
+        val chosen = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+        // minDist2(i) = squared cosine-distance of sample(i) to its
+        // nearest chosen centroid; D² weighting is the k-means++ rule
+        val minDist2 = sample.map(v => { val d = cosDist(v, chosen.head); d * d })
+        while (chosen.size < k) {
+          val total = minDist2.sum
+          val idx =
+            if (total <= 0.0) rnd.nextInt(sample.length)
+            else {
+              val r = rnd.nextDouble() * total
+              var acc = 0.0; var i = 0
+              while (i < sample.length - 1 && acc + minDist2(i) < r) { acc += minDist2(i); i += 1 }
+              i
+            }
+          val c = sample(idx)
+          chosen += c
+          var i = 0
+          while (i < sample.length) {
+            val d = cosDist(sample(i), c)
+            if (d * d < minDist2(i)) minDist2(i) = d * d
+            i += 1
+          }
+        }
+        chosen.toSeq
+      }
     (1 to iters).foreach { _ =>
       val means = ivfAssign(df, embCol, cents)
         .select(
