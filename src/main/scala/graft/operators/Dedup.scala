@@ -42,12 +42,16 @@ object Dedup {
     * window group the way it splits a skewed join.
     */
   def rareLineSurvivors(exploded: DataFrame, lineCol: String, maxDf: Int): DataFrame = {
-    val rare = exploded
+    // persisted: the count pass and the probe side read ONE
+    // segmentation/explode pass (tokenize + slice per doc dominates
+    // this operator) — same caching contract as ngramJaccardPairs
+    val cached = exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = cached
       .groupBy(col(lineCol))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") < maxDf)
       .select(col(lineCol))
-    exploded.join(rare, Seq(lineCol))
+    cached.join(rare, Seq(lineCol))
   }
 
   /** Distinct word-n-gram shingle SETS per doc: (id, sh:array<string>).
