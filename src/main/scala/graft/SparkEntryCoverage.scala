@@ -1228,17 +1228,21 @@ object SparkEntryCoverage {
     },
     // Funnel with the near-dup collapse stage: every 9th doc gets a
     // planted near-duplicate (same text + 3 appended marker tokens,
-    // Jaccard ~0.9 vs its source, id + 100000 so the ORIGINAL is the
-    // smallest-id canonical). MinHash-LSH pairs → connected components
-    // → smallest-id survivor runs between exact dedup and
-    // decontamination; planted dups that pass the gates must vanish
-    // from the output, each collapsed into its source doc.
+    // Jaccard ~0.9 vs its source). Ids are remapped collision-free at
+    // ANY scale factor: original doc_id n → 2n, its planted dup →
+    // 2n+1 — so the ORIGINAL is always the smallest-id canonical and
+    // no planted id can shadow a real document (an additive offset
+    // would collide once the corpus outgrows it). MinHash-LSH pairs →
+    // connected components → smallest-id survivor runs between exact
+    // dedup and decontamination; planted dups that pass the gates
+    // must vanish from the output, each collapsed into its source.
     "t_funnel_neardup" -> { (s, dir) =>
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val base = t(s, dir, "documents")
+        .select((col("doc_id") * 2).as("doc_id"), col("text"), col("source"))
       val planted = base
-        .filter(col("doc_id") % 9 === 0)
+        .filter(col("doc_id") % 18 === 0)
         .select(
-          (col("doc_id") + 100000).as("doc_id"),
+          (col("doc_id") + 1).as("doc_id"),
           concat(col("text"), lit(" data stream batch")).as("text"),
           col("source"))
       graft.pipelines.Corpus
@@ -2156,9 +2160,9 @@ object SparkEntryCoverage {
       // and dd_cluster_resolve (recursive components) over the
       // exact-dedup survivors
       s"""WITH RECURSIVE docs AS (
-         | SELECT doc_id, text, source FROM documents
+         | SELECT doc_id * 2 AS doc_id, text, source FROM documents
          | UNION ALL
-         | SELECT doc_id + 100000, text || ' data stream batch', source
+         | SELECT doc_id * 2 + 1, text || ' data stream batch', source
          | FROM documents WHERE doc_id % 9 = 0),
          |tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM docs),
          |lang AS (SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS lang_pred
@@ -2207,7 +2211,8 @@ object SparkEntryCoverage {
          |dsh AS (SELECT c.doc_id, unnest(s.sh) AS s FROM canon c JOIN shl s USING (doc_id)),
          |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
          |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-         |        FROM documents JOIN tok USING (doc_id) WHERE source = 'src0' AND len(tk) >= 3),
+         |        FROM docs JOIN tok USING (doc_id)
+         |        WHERE source = 'src0' AND doc_id % 2 = 0 AND len(tk) >= 3),
          |cont AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (s))
          |SELECT doc_id, source, lang_pred, quality FROM canon
          |WHERE doc_id NOT IN (SELECT doc_id FROM cont)

@@ -303,7 +303,7 @@ object SparkEntryTpch {
           "left_semi")
         .join(excess, col("s_suppkey") === col("x_suppkey"), "left_semi")
         .select(col("s_name"), col("s_suppkey"))
-        .orderBy(col("s_name"))
+        .orderBy(col("s_name"), col("s_suppkey"))
     },
     // Q2 — min-cost supplier per part in a region (adapted: unit cost
     // = min observed l_extendedprice / l_quantity per (part, supplier)
@@ -339,11 +339,13 @@ object SparkEntryTpch {
     },
     // Q9 — product-line profit by supplier nation and order year
     // (adapted: supply cost = 0.6 × p_retailprice in place of
-    // partsupp). Two exact decimal sums per group, cast to double and
-    // subtracted at the edge — the determinism rule for mixed money
-    // math.
+    // partsupp). Decimals stay EXACT until the edge: the 0.6 factor
+    // multiplies the double-cast SUM, never the per-row decimal — a
+    // mid-stream double→decimal cast would hang the oracle match on
+    // Spark and DuckDB rounding doubles to 2dp identically at .xx5
+    // boundaries.
     "q9_product_profit" -> { (s, dir) =>
-      val cost = (col("p_retailprice") * lit(0.6)).cast("decimal(18,2)") *
+      val cost = col("p_retailprice").cast("decimal(18,2)") *
         col("l_quantity").cast("decimal(18,2)")
       t(s, dir, "lineitem")
         .join(
@@ -359,7 +361,7 @@ object SparkEntryTpch {
           t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
-        .agg((sum(rev).cast("double") - sum(cost).cast("double")).as("profit"))
+        .agg((sum(rev).cast("double") - lit(0.6) * sum(cost).cast("double")).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
     // Q11 — important parts by shipped value for a nation group:
@@ -538,7 +540,7 @@ object SparkEntryTpch {
         |  JOIN pt ON pt.l_partkey = sh.l_partkey
         |  WHERE CAST(sh.sq AS DOUBLE) > 0.5 * CAST(pt.tq AS DOUBLE))
         |AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
-        |ORDER BY s_name""".stripMargin,
+        |ORDER BY s_name, s_suppkey""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
@@ -559,7 +561,7 @@ object SparkEntryTpch {
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |  - CAST(SUM(CAST(p_retailprice * CAST(0.6 AS DOUBLE) AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |  - CAST(0.6 AS DOUBLE) * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'
         |JOIN supplier ON s_suppkey = l_suppkey

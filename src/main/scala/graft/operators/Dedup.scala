@@ -50,8 +50,13 @@ object Dedup {
       .groupBy(col(lineCol))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") < maxDf)
-      .select(col(lineCol))
-    cached.join(rare, Seq(lineCol))
+      .select(col(lineCol).as("__rare_line"))
+    // null-SAFE equality: groupBy treats NULL lines as one group, so
+    // the join back must match them too — a plain equi-join would
+    // silently drop every NULL-line row regardless of its frequency
+    cached
+      .join(rare, cached(lineCol) <=> col("__rare_line"))
+      .drop("__rare_line")
   }
 
   /** Distinct word-n-gram shingle SETS per doc: (id, sh:array<string>).
@@ -345,9 +350,10 @@ object Dedup {
     * id reachable through the pair graph — the standard "collapse dup
     * clusters, keep one canonical doc" step after MinHash/SimHash.
     * Each round runs one neighbor-min hop (labels flow one edge) plus
-    * one pointer-jump shortcut (label(x) ← label(label(x))), so the
-    * propagation distance roughly DOUBLES per round: `maxIters` = 10
-    * rounds covers chains ~2^10 long. If the cap is hit before the
+    * TWO pointer-jump shortcuts (label(x) ← label(label(x)), twice),
+    * so the propagation distance contracts roughly 4× per round:
+    * `maxIters` = 10 rounds covers chains ~4^10 long. If the cap is
+    * hit before the
     * fixpoint, a warning is logged and the (partially propagated)
     * labels are returned. Returns (id, cluster_id).
     */

@@ -31,13 +31,18 @@ private[graft] object Width {
   private def width(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
-  /** Operators whose physical form introduces an exchange, leaving
-    * the frame at `spark.sql.shuffle.partitions` width already.
+  /** Operators whose physical form ALWAYS introduces an exchange,
+    * leaving the frame at `spark.sql.shuffle.partitions` width.
+    * Join and explicit repartition are deliberately absent: a join
+    * may plan as broadcast (no exchange on the streamed side — a
+    * narrow scan stays narrow through it), and `coalesce(n)` is a
+    * RepartitionOperation whose whole point is FEWER partitions; both
+    * fall through to the size estimate, which errs toward spreading.
     */
   private def alreadyShuffled(plan: LogicalPlan): Boolean =
     plan.exists {
-      case _: Aggregate | _: Join | _: Window | _: Sort | _: Distinct |
-          _: Deduplicate | _: RepartitionOperation | _: SetOperation => true
+      case _: Aggregate | _: Window | _: Sort | _: Distinct |
+          _: Deduplicate | _: SetOperation => true
       case _ => false
     }
 

@@ -112,6 +112,16 @@ class DedupSkewSpec extends SparkSpec {
     assert(out.count() == N.toLong)
   }
 
+  test("rareLineSurvivors: NULL lines follow the same df rule, not silent drop") {
+    val rows = Seq((1L, 0, "unique line"), (2L, 0, null), (3L, 0, "all rights reserved"))
+    val withNull = rows.toDF("doc_id", "pos", "line")
+      .union(linedCorpus.select(col("doc_id") + 1000, col("pos"), col("line")))
+    val kept = Dedup.rareLineSurvivors(withNull, "line", maxDf = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L), "a rare NULL line must survive like any rare line")
+    assert(!kept.contains(3L), "hot line still dies")
+  }
+
   test("rareLineSurvivors plan: HashAggregate + join, no WindowExec") {
     val plan = Dedup
       .rareLineSurvivors(linedCorpus, "line", maxDf = 3)
