@@ -1048,6 +1048,33 @@ object SparkEntryCoverage {
     // content fingerprint the historical corpus already has (broadcast
     // anti-join on fingerprints, never on documents). Every 5th batch
     // doc re-posts a historical text, so the anti-join provably fires.
+    // Incremental NEAR-dup — the fuzzy version of dd_incremental:
+    // today's batch is checked against the historical corpus with
+    // MinHash-LSH (batch bands join history bands, exact-Jaccard
+    // verify) and matching batch docs are dropped. Every 7th batch
+    // doc re-posts a historical text with 3 appended tokens
+    // (Jaccard ~0.9 — an exact fingerprint would miss it), so the
+    // near-dup anti-join provably fires where dd_incremental's
+    // exact-hash path cannot.
+    "dd_incremental_neardup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250).alias("b")
+        .join(hist.alias("h"), col("b.doc_id") - 250 === col("h.doc_id"))
+        .select(
+          col("b.doc_id").as("doc_id"),
+          when(
+            col("b.doc_id") % 7 === 0,
+            concat(col("h.text"), lit(" data stream batch"))).otherwise(col("b.text")).as("text"))
+      val matched = Dedup
+        .minhashLshAgainst(batch, hist, "text", "doc_id", 3, 8, 1, 0.3)
+        .select(col("id_a").as("m_id"))
+        .distinct()
+      batch
+        .join(matched, col("doc_id") === col("m_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     "dd_incremental" -> { (s, dir) =>
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val hist = d.filter(col("doc_id") < 250)
@@ -2030,6 +2057,40 @@ object SparkEntryCoverage {
         |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned,
         |       CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_incremental_neardup" -> {
+      // DuckDB mirror of MinHashSignature (8 hashes from md5 slices) —
+      // same formula as the dd_minhash_pairs / t_funnel_neardup oracles
+      def sig(sh: String) =
+        s"list_transform(generate_series(0, 7), i -> list_aggregate(list_transform($sh, " +
+          "s -> list_reduce(list_transform(generate_series(1, 8), d -> strpos('0123456789abcdef', " +
+          "substring(CASE WHEN i // 4 = 0 THEN md5(s) ELSE md5(CAST(i // 4 AS VARCHAR) || ':' || s) END, " +
+          "CAST((i % 4) * 8 + d AS INT), 1)) - 1), (a, b) -> a * 16 + b)), 'min'))"
+      val shingles =
+        "list_distinct(list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |hist AS (SELECT doc_id, text FROM d WHERE doc_id < 250),
+         |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 7 = 0 THEN h.text || ' data stream batch' ELSE b.text END AS text
+         |          FROM d b JOIN hist h ON b.doc_id - 250 = h.doc_id WHERE b.doc_id >= 250),
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM batch),
+         |htok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM hist),
+         |bshl AS (SELECT doc_id, $shingles AS sh FROM btok WHERE len(tk) >= 3),
+         |hshl AS (SELECT doc_id, $shingles AS sh FROM htok WHERE len(tk) >= 3),
+         |bsig AS (SELECT doc_id, ${sig("sh")} AS sg FROM bshl WHERE len(sh) > 0),
+         |hsig AS (SELECT doc_id, ${sig("sh")} AS sg FROM hshl WHERE len(sh) > 0),
+         |bband AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
+         |          FROM bsig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
+         |hband AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
+         |          FROM hsig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
+         |cand AS (SELECT DISTINCT b.doc_id AS id_a, h.doc_id AS id_b
+         |         FROM bband b JOIN hband h ON b.band = h.band AND b.bucket = h.bucket),
+         |matched AS (SELECT DISTINCT id_a FROM cand
+         |  JOIN bshl sa ON sa.doc_id = id_a JOIN hshl sb ON sb.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.3)
+         |SELECT doc_id FROM batch
+         |WHERE doc_id NOT IN (SELECT id_a FROM matched)
+         |ORDER BY doc_id""".stripMargin
+    },
     "dd_incremental" ->
       """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 5 = 0 THEN h.text ELSE b.text END AS text

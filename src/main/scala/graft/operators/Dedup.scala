@@ -196,31 +196,8 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
-    val sigSets = shingleSets(df, textCol, idCol, n)
-      .filter(size(col("sh")) > 0)
-      .select(
-        col("id"),
-        graft.expressions.MinHashSignature.signature(col("sh"), numHashes).as("sig"),
-        // shingle sets as sorted 64-bit hashes: verification is a
-        // merge walk on longs, not string-set intersection (collisions
-        // ~1e-15 at pair scale — the standard production tradeoff)
-        graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bucket key per band: for bandSize 1 the signature value ITSELF is
-    // the bucket (injective — exactly the candidate structure an md5 of
-    // it would give, minus the hash work and with an 8-byte instead of
-    // 32-char shuffle key); wider bands hash the band tuple to one
-    // md5 string.
-    val bucketCols = (0 until numBands).map { b =>
-      val vals = (0 until bandSize).map(k => element_at(col("sig"), b * bandSize + k + 1))
-      val bucket =
-        if (bandSize == 1) vals.head
-        else md5(concat_ws("|", vals.map(_.cast("string")): _*))
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    val banded = sigSets
-      .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sigSets = minhashSigSets(df, textCol, idCol, n, numHashes)
+    val banded = bandTable(sigSets, numBands, bandSize)
     val cand = banded
       .select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")), Seq("band", "bucket"))
@@ -233,6 +210,95 @@ object Dedup {
       .join(shSets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       // |A∪B| = |A|+|B|−|A∩B| (hash sets are distinct per doc); the
       // per-pair work is ONE sorted merge walk over longs
+      .withColumn(
+        "common",
+        graft.expressions.SortedIntersectSize.intersectSize(col("hs_a"), col("hs_b")))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** One persisted pass per corpus: (id, sig, hs) — MinHash signature
+    * for banding plus the sorted 64-bit shingle hashes verification
+    * merge-walks over. Same caching contract as ngramJaccardPairs.
+    */
+  private def minhashSigSets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int): DataFrame =
+    shingleSets(df, textCol, idCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("id"),
+        graft.expressions.MinHashSignature.signature(col("sh"), numHashes).as("sig"),
+        // shingle sets as sorted 64-bit hashes: verification is a
+        // merge walk on longs, not string-set intersection (collisions
+        // ~1e-15 at pair scale — the standard production tradeoff)
+        graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (id, band, bucket) rows from a signature table. Bucket key per
+    * band: for bandSize 1 the signature value ITSELF is the bucket
+    * (injective — exactly the candidate structure an md5 of it would
+    * give, minus the hash work and with an 8-byte instead of 32-char
+    * shuffle key); wider bands hash the band tuple to one md5 string.
+    */
+  private def bandTable(sigSets: DataFrame, numBands: Int, bandSize: Int): DataFrame = {
+    val bucketCols = (0 until numBands).map { b =>
+      val vals = (0 until bandSize).map(k => element_at(col("sig"), b * bandSize + k + 1))
+      val bucket =
+        if (bandSize == 1) vals.head
+        else md5(concat_ws("|", vals.map(_.cast("string")): _*))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    sigSets
+      .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Cross-corpus MinHash near-dup matches: batch docs whose Jaccard
+    * vs ANY history doc clears `threshold` — the incremental-ingest
+    * analog of [[minhashLshPairs]] (T1's `dd_incremental` is the
+    * exact-fingerprint version of the same daily shape). Returns
+    * (id_a = batch id, id_b = history id, jaccard).
+    *
+    * Scale posture: both sides project to (id, band, bucket) before
+    * the bucket equi-join, so shingle arrays never ride the band
+    * shuffle; candidates dedupe before the verify join pulls hash
+    * sets back by id. In a real daily pipeline the history side's
+    * signature table is computed ONCE and persisted/stored — only the
+    * (small) batch side is signed per run, so per-day cost is linear
+    * in the batch, not the corpus.
+    */
+  def minhashLshAgainst(
+      batch: DataFrame,
+      history: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int,
+      bandSize: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val bSig = minhashSigSets(batch, textCol, idCol, n, numHashes)
+    val hSig = minhashSigSets(history, textCol, idCol, n, numHashes)
+    val cand = bandTable(bSig, numBands, bandSize)
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(
+        bandTable(hSig, numBands, bandSize)
+          .select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(bSig.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hSig.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn(
         "common",
         graft.expressions.SortedIntersectSize.intersectSize(col("hs_a"), col("hs_b")))

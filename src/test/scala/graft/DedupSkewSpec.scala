@@ -86,6 +86,26 @@ class DedupSkewSpec extends SparkSpec {
     assert(pairs == (0 until 5).map(i => (i.toLong, (N + i).toLong)))
   }
 
+  test("minhashLshAgainst: batch near-dups of history match; fresh docs don't") {
+    // history = docs 0..N-1; batch = 5 near-dups of docs 0..4 plus 5
+    // fresh docs sharing only the hot boilerplate shingle
+    val hist = corpus.filter(col("doc_id") < N)
+    val batch = ((0 until 5).map { i =>
+      (1000 + i.toLong, s"common anchor phrase u${i}a u${i}b u${i}c u${i}d u${i}e extra")
+    } ++ (0 until 5).map { i =>
+      (2000 + i.toLong, s"common anchor phrase f${i}a f${i}b f${i}c f${i}d f${i}e")
+    }).toDF("doc_id", "text")
+    val m = Dedup
+      .minhashLshAgainst(batch, hist, "text", "doc_id", 3, 8, 1, 0.5)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(m == (0 until 5).map(i => (1000 + i.toLong, i.toLong)),
+      s"expected exactly the planted (batch, history) matches, got $m")
+  }
+
   /** Line-dedup skew: one boilerplate line at ~100× the median line
     * frequency (df = N vs 1), the exact shape corpus line dedup exists
     * for. Correctness AND plan shape are both asserted: the two-phase
