@@ -560,6 +560,20 @@ object SparkEntryCoverage {
           LshDim, LshBits, 0.25, 42L)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // V2 scale path, query side — LSH-bucketed top-k with radius-1
+    // multi-probe: only rows whose 8-bit signature is within 1 sign
+    // flip of the query's bucket are scored (9/256 of the bucket
+    // space), then exact-ranked
+    "v_lsh_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect().head
+        .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      Similarity
+        .lshTopK(emb.filter(col("vec_id") =!= 0), "embedding", LshDim, LshBits, query, 10, 1, 42L)
+        .select(col("vec_id"), col("label"), col("score"))
+    },
     // V2 scale path, recall variant — banded hyperplane LSH: 4 bands
     // × 4 bits, candidate on ANY full-band agreement (OR-of-ANDs),
     // exact-cosine verify. Strictly higher recall than the one-table
@@ -588,6 +602,30 @@ object SparkEntryCoverage {
           col("vec_id"),
           concat_ws(",", (0 until 8).map(s => col(s"pq_$s")): _*).as("codes_csv"))
         .orderBy(col("vec_id"))
+    },
+    // Vocabulary coverage / OOV rate: build the corpus top-100
+    // vocabulary (count desc, term asc — total order), broadcast it,
+    // and score every doc's out-of-vocabulary token fraction — the
+    // tokenizer-fit signal a pretraining mixture is tuned against.
+    // Two hash aggs + one broadcast anti-join; nothing quadratic.
+    "t_oov_rate" -> { (s, dir) =>
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val vocab = broadcast(
+        terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term")).limit(100)
+          .select(col("term")))
+      val tot = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      val oov = terms.join(vocab, Seq("term"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+      tot.join(oov, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
     },
     // TF-IDF term weighting: explode tokens -> per-(doc, term) tf ->
     // per-term df -> tf * ln(N/df), all hash aggregates + one
@@ -1657,6 +1695,20 @@ object SparkEntryCoverage {
          | FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
     },
+    "v_lsh_topk" -> {
+      val sigE = lshPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
+      val sigQ = lshPlanes.map(p => sqlLshBit("q.qe", p)).mkString(" || ")
+      val ham = (1 to LshBits)
+        .map(i => s"(CASE WHEN substring(s, $i, 1) = substring(qsv, $i, 1) THEN 0 ELSE 1 END)")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT $sigQ AS qsv FROM q),
+         |sig AS (SELECT vec_id, label, embedding, $sigE AS s FROM embeddings WHERE vec_id <> 0),
+         |cand AS (SELECT vec_id, label, embedding FROM sig, qs WHERE $ham <= 1)
+         |SELECT vec_id, label, score FROM (
+         | SELECT c.vec_id, c.label, ${sqlCosine("c.embedding", "q.qe")} AS score FROM cand c, q)
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
     "v_lsh_banded" -> {
       val sigExpr = lshBandPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
       s"""WITH sig AS (
@@ -1762,6 +1814,21 @@ object SparkEntryCoverage {
       """SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
         | CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+    "t_oov_rate" ->
+      // the length-guard keeps empty docs out on BOTH sides: DuckDB's
+      // split of '' yields [''] (one token) where the engine's guarded
+      // tokens() yields []
+      """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |               FROM documents WHERE length(trim(text)) > 0),
+        |vocab AS (SELECT term FROM (SELECT term, count(*) AS tf FROM terms GROUP BY 1
+        |          ORDER BY tf DESC, term LIMIT 100)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM terms GROUP BY 1),
+        |oov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov FROM terms
+        |        WHERE term NOT IN (SELECT term FROM vocab) GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+        |  CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS oov_rate
+        |FROM tot t LEFT JOIN oov o USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "t_tfidf" ->
       """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |terms AS (

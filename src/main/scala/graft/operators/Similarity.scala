@@ -245,6 +245,40 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     bandedLshNearDupPairs(df, idCol, embCol, dim, bands = 1, bitsPerBand = nBits, threshold, seed)
 
+  /** LSH-bucketed approximate top-k: probe every bucket within
+    * `radius` sign-bit flips of the query's bucket (multi-probe LSH —
+    * radius 1 probes nBits+1 of the 2^nBits buckets), then exact-rank
+    * the probed rows. The query's signature is computed driver-side
+    * from the SAME seeded plane stream `hyperplaneSignature` folds
+    * per row, so the bucket predicate is a pure column comparison —
+    * at scale the scan reads only the probed buckets' partitions when
+    * the corpus is stored bucket-partitioned.
+    */
+  def lshTopK(
+      df: DataFrame,
+      embCol: String,
+      dim: Int,
+      nBits: Int,
+      query: Array[Double],
+      k: Int,
+      radius: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    // sequential left fold, the exact op order of the column-side dot
+    val qSig = planes.map { p =>
+      var dot = 0.0; var i = 0
+      while (i < math.min(dim, query.length)) { dot += query(i) * p(i); i += 1 }
+      if (dot > 0) '1' else '0'
+    }.mkString
+    val signed = hyperplaneSignature(df, embCol, dim, nBits, seed)
+    val hamming = (0 until nBits)
+      .map(i =>
+        when(substring(col("lsh_bucket"), i + 1, 1) === lit(qSig(i).toString), 0).otherwise(1))
+      .reduce((a: Column, b: Column) => a + b)
+    bruteForceTopK(signed.filter(hamming <= radius), embCol, query, k)
+  }
+
   /** Product-quantization encoding: the embedding is split into
     * `numSub` contiguous subvectors; each is coded as the index of its
     * nearest subspace centroid (cosine argmax, ties to the larger

@@ -64,6 +64,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall@10 = $recall (approx=$approx exact=$exactTop10)")
   }
 
+  // The driver embeddings are near-uniform (weak neighbor structure —
+  // the ANN worst case, as for IVF/PQ above): the query's true
+  // neighbors sit at cosine ~0.3-0.4 where per-bit sign agreement is
+  // only ~0.6, so tight configs (8 bits, radius 1: ~3.5% of bucket
+  // space) find nothing. 4 bits at radius 1 probes 5/16 of the space
+  // for a measured 0.3 recall — the honest probe-mass/recall
+  // tradeoff on unclusterable data; the floor pins 0.2 to survive
+  // test-data regeneration.
+  test("LSH multi-probe top-k (4 bits, radius 1) recall@10 >= 0.2 vs brute force") {
+    val approx = ids(
+      Similarity.lshTopK(corpus, "embedding", dim = 64, nBits = 4, query, k = 10, radius = 1))
+    val recall = (approx & exactTop10).size / 10.0
+    info(s"lshTopK recall@10 = $recall (probed hamming<=1 of 4-bit buckets)")
+    assert(recall >= 0.2, s"lshTopK recall@10 = $recall")
+  }
+
   // ---- banded hyperplane LSH: pair recall on planted near-dups ----
   //
   // 200 seeded random unit vectors plus 40 planted near-dups at
