@@ -585,6 +585,22 @@ object SparkEntryCoverage {
           LshDim, LshBands, LshBandBits, 0.25, 42L)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Semantic dedup (SemDeDup shape): banded-LSH near-dup pairs over
+    // the embedding space → connected components → smallest-id
+    // canonical vector survives. The embedding-space analog of
+    // dd_cluster_resolve's text-shingle pipeline — candidate
+    // generation linear via the band join, exact-cosine verify,
+    // O(log n)-round clustering.
+    "dd_semdedup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity
+        .bandedLshNearDupPairs(emb, "vec_id", "embedding", LshDim, LshBands, LshBandBits, 0.45, 42L)
+        .select(col("id_a"), col("id_b"))
+      Dedup
+        .resolveClusters(emb, "vec_id", pairs)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
     // Product-quantization codes: 8 subspaces × 4 centroids (from
     // vectors 1..4), the FAISS-style compact ANN encoding
     "v_pq_codes" -> { (s, dir) =>
@@ -1726,6 +1742,36 @@ object SparkEntryCoverage {
          | JOIN embeddings ea ON ea.vec_id = c.id_a
          | JOIN embeddings eb ON eb.vec_id = c.id_b)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
+    },
+    "dd_semdedup" -> {
+      val sigExpr = lshBandPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
+      s"""WITH RECURSIVE sig AS (
+         | SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
+         |banded AS (
+         | SELECT vec_id, gs.band, substring(sig, gs.band * $LshBandBits + 1, $LshBandBits) AS bucket
+         | FROM sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band) gs),
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.vec_id < b.vec_id),
+         |pairs AS (
+         | SELECT id_a, id_b FROM (
+         |  SELECT c.id_a, c.id_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS score
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+         | WHERE score >= 0.45),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         |SELECT e.vec_id, e.label
+         |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+         |WHERE comp.id IS NULL OR comp.cluster = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
     },
     "v_pq_codes" -> {
       // sub = slice s of a vector; fold cosine over the 8-dim slices
