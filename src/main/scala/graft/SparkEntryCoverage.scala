@@ -619,6 +619,53 @@ object SparkEntryCoverage {
           concat_ws(",", (0 until 8).map(s => col(s"pq_$s")): _*).as("codes_csv"))
         .orderBy(col("vec_id"))
     },
+    // Mean token frequency-rank per doc — the CCNet-style
+    // "commonness" quality signal without the transcendental: every
+    // token gets its corpus frequency rank (1 = most frequent, total
+    // order (tf desc, term)), and a doc's score is the exact integer
+    // rank sum over token count. Rare-token-heavy docs rank high.
+    // No ln/perplexity on purpose: transcendentals are not
+    // bit-portable across engines; integer sums and one division are.
+    // The global row_number window sorts the VOCABULARY (distinct
+    // terms), not the corpus — bounded, but at web-corpus vocab scale
+    // (~100M+ terms) swap in two-phase partition-offset ranking.
+    "t_token_rank" -> { (s, dir) =>
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val ranked = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("tf").desc, col("term"))).cast("long"))
+        .select(col("term"), col("rank"))
+      terms.join(ranked, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("rank_sum").cast("double") / col("n_tokens").cast("double")).as("mean_rank"))
+        .orderBy(col("doc_id"))
+    },
+    // Robust per-source length outliers via median/MAD — the
+    // outlier gate that survives heavy-tailed length distributions
+    // where mean/stddev (a_zscore_outliers) get dragged by the tail.
+    // Exact interpolated percentiles on both sides; deviations and
+    // the 3-MAD threshold are pure IEEE double ops.
+    "t_mad_outliers" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val med = d.groupBy(col("source")).agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+      val withMed = d.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_chars").cast("double") - col("med")))
+      val mad = withMed
+        .groupBy(col("source").as("m_source"))
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      withMed.join(broadcast(mad), col("source") === col("m_source"))
+        .filter(col("mad") > 0.0 && col("dev") > lit(3.0) * col("mad"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("dev"), col("mad"))
+        .orderBy(col("doc_id"))
+    },
     // Vocabulary coverage / OOV rate: build the corpus top-100
     // vocabulary (count desc, term asc — total order), broadcast it,
     // and score every doc's out-of-vocabulary token fraction — the
@@ -1860,6 +1907,27 @@ object SparkEntryCoverage {
       """SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
         | CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+    "t_token_rank" ->
+      """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |               FROM documents WHERE length(trim(text)) > 0),
+        |ranked AS (SELECT term, CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS rank
+        |           FROM terms GROUP BY term),
+        |agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               CAST(sum(r.rank) AS BIGINT) AS rank_sum
+        |        FROM terms t JOIN ranked r USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       CAST(rank_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_rank
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "t_mad_outliers" ->
+      """WITH med AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY 1),
+        |dev AS (SELECT d.doc_id, d.source, d.n_chars,
+        |               abs(CAST(d.n_chars AS DOUBLE) - m.med) AS dev
+        |        FROM documents d JOIN med m USING (source)),
+        |mad AS (SELECT source, median(dev) AS mad FROM dev GROUP BY 1)
+        |SELECT v.doc_id, v.source, v.n_chars, v.dev, a.mad
+        |FROM dev v JOIN mad a USING (source)
+        |WHERE a.mad > 0.0 AND v.dev > CAST(3.0 AS DOUBLE) * a.mad
+        |ORDER BY v.doc_id""".stripMargin,
     "t_oov_rate" ->
       // the length-guard keeps empty docs out on BOTH sides: DuckDB's
       // split of '' yields [''] (one token) where the engine's guarded
