@@ -33,22 +33,17 @@ object SparkEntryCoverage {
     */
   private val LshDim = 64
   private val LshBits = 8
-  private lazy val lshPlanes: Array[Array[Double]] = {
-    val rnd = new java.util.Random(42L)
-    Array.fill(LshBits)(Array.fill(LshDim)(rnd.nextGaussian()))
-  }
+  private lazy val lshPlanes: Array[Array[Double]] =
+    Similarity.hyperplanes(LshDim, LshBits, 42L)
 
   /** Banded-LSH configuration for v_lsh_banded — 4 bands × 4 bits,
-    * same seeded generator as `hyperplaneSignature(seed=42)` (the
-    * first 8 planes coincide with `lshPlanes` by construction: one
-    * Random(42) stream).
+    * same seeded stream (the first 8 planes coincide with `lshPlanes`
+    * by construction: one Random(42) stream).
     */
   private val LshBands = 4
   private val LshBandBits = 4
-  private lazy val lshBandPlanes: Array[Array[Double]] = {
-    val rnd = new java.util.Random(42L)
-    Array.fill(LshBands * LshBandBits)(Array.fill(LshDim)(rnd.nextGaussian()))
-  }
+  private lazy val lshBandPlanes: Array[Array[Double]] =
+    Similarity.hyperplanes(LshDim, LshBands * LshBandBits, 42L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F4 — keyword timeline filter: events of selected types as
@@ -626,18 +621,18 @@ object SparkEntryCoverage {
     // rank sum over token count. Rare-token-heavy docs rank high.
     // No ln/perplexity on purpose: transcendentals are not
     // bit-portable across engines; integer sums and one division are.
-    // The global row_number window sorts the VOCABULARY (distinct
-    // terms), not the corpus — bounded, but at web-corpus vocab scale
-    // (~100M+ terms) swap in two-phase partition-offset ranking.
+    // Ranking uses Relational.globalRank (distributed range sort +
+    // zipWithIndex partition offsets) — a partition-less row_number
+    // window would funnel the whole vocabulary through one task, the
+    // WindowExec shape the t_line_dedup skew fix exists to avoid.
     "t_token_rank" -> { (s, dir) =>
       val terms = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      val ranked = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-        .withColumn(
-          "rank",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("tf").desc, col("term"))).cast("long"))
+      val ranked = Relational
+        .globalRank(
+          terms.groupBy(col("term")).agg(count(lit(1)).as("tf")),
+          Seq(col("tf").desc, col("term")),
+          "rank")
         .select(col("term"), col("rank"))
       terms.join(ranked, Seq("term"))
         .groupBy(col("doc_id"))

@@ -196,4 +196,25 @@ object Relational {
       .filter(col("status") =!= "same")
       .drop("__old_hash", "__new_hash", "__in_old", "__in_new")
   }
+
+  /** Dense global rank (1-based) by a TOTAL order, without the
+    * single-task `row_number().over(Window.orderBy(...))` funnel: the
+    * frame is range-sort-partitioned (distributed sort), then
+    * `zipWithIndex` assigns global positions with one lightweight
+    * per-partition count job — every partition ranks its own slice.
+    * This is the sanctioned RDD use (genuine per-partition imperative
+    * logic); result is deterministic because the order is total, so
+    * ranks are independent of partition boundaries.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

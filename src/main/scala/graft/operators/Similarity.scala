@@ -149,9 +149,17 @@ object Similarity {
     * Near-identical-direction vectors land in the same bucket; use
     * multi-table OR multi-probe for recall at scale.
     */
-  def hyperplaneSignature(df: DataFrame, embCol: String, dim: Int, nBits: Int, seed: Long = 42L): DataFrame = {
+  /** The ONE source of hyperplane truth: every consumer (row-side
+    * signature fold, driver-side query signature) derives its planes
+    * from this seeded stream, so bucket spaces cannot drift apart.
+    */
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
-    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def hyperplaneSignature(df: DataFrame, embCol: String, dim: Int, nBits: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nBits, seed)
     val emb = col(embCol).cast("array<double>")
     val bits = planes.map { p =>
       val dot = VectorFns.cosine(emb, array(p.toIndexedSeq.map(lit): _*)) // sign(cos)=sign(dot)
@@ -263,9 +271,10 @@ object Similarity {
       k: Int,
       radius: Int = 1,
       seed: Long = 42L): DataFrame = {
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    // sequential left fold, the exact op order of the column-side dot
+    val planes = hyperplanes(dim, nBits, seed)
+    // raw dot suffices: the column side folds cosine, and
+    // sign(cosine) = sign(dot) — the bucket bit agrees even though
+    // the scalar values differ
     val qSig = planes.map { p =>
       var dot = 0.0; var i = 0
       while (i < math.min(dim, query.length)) { dot += query(i) * p(i); i += 1 }

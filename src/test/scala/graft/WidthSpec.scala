@@ -17,11 +17,17 @@ class WidthSpec extends SparkSpec {
   private def width: Int = spark.sparkContext.defaultParallelism
 
   private lazy val tmp = {
-    val dir = java.nio.file.Files.createTempDirectory("widthspec").toString
+    val dir = java.nio.file.Files.createTempDirectory("widthspec")
+    // recursive delete on JVM exit — createTempDirectory alone leaks
+    // one fixture dir per test run
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))))
     (1 to 100).map(i => (i.toLong, s"doc $i text")).toDF("id", "text")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/docs.parquet")
-    dir
+    dir.toString
   }
 
   private def narrowScan: DataFrame = spark.read.parquet(s"$tmp/docs.parquet")
