@@ -170,10 +170,55 @@ object SparkEntryStreaming {
         "st_dedup_keys_sink",
         "append")
         .orderBy(col("user_id"), col("event_type"))
+    },
+    // dd_incremental as a LIVE stream — the daily-ingest shape with
+    // the batch arriving as a file stream: stream-static inner join
+    // re-posts every 5th doc's historical text, streaming
+    // dropDuplicates dedups within the stream, and a stream-static
+    // broadcast ANTI join drops anything whose fingerprint the
+    // historical corpus already has. Exactly dd_incremental's
+    // semantics, so its oracle SQL carries over verbatim.
+    "st_incremental" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val hist = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id").as("h_id"), col("text").as("h_text"))
+      val histFps = hist
+        .select(graft.functions.TextFns.fingerprint(col("h_text")).as("fp"))
+        .distinct()
+      val batch = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 250)
+        .join(hist, col("doc_id") - 250 === col("h_id"))
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 5 === 0, col("h_text")).otherwise(col("text")).as("text"))
+        .select(
+          col("doc_id"),
+          graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+        .dropDuplicates("fp")
+        .join(broadcast(histFps), Seq("fp"), "left_anti")
+      drain(batch.select(col("doc_id"), col("fp")), "st_incremental_sink", "append")
+        .orderBy(col("doc_id"))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical to dd_incremental's oracle: the streaming form keeps
+    // the same semantics (within-batch fp dedup is an identity on
+    // this corpus — no two batch rows share a fingerprint — so
+    // arrival-order dropDuplicates and the rn=1 first-wins agree)
+    "st_incremental" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 5 = 0 THEN h.text ELSE b.text END AS text
+        |          FROM documents b JOIN hist h ON b.doc_id - 250 = h.doc_id WHERE b.doc_id >= 250),
+        |hfp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM hist),
+        |bd AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM batch
+        |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, fp FROM bd
+        |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
+        |ORDER BY doc_id""".stripMargin,
     "st_window_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events
