@@ -685,6 +685,16 @@ object SparkEntryCoverage {
             .as("oov_rate"))
         .orderBy(col("doc_id"))
     },
+    // CCNet-style unigram-LM perplexity: the corpus's own add-one
+    // smoothed unigram model scores every doc's mean negative
+    // log-likelihood — the statistical quality gate perplexity-sharded
+    // pretraining corpora are built on. Micro-nat integer accumulation
+    // keeps the per-doc sum order-independent (TextAnalysis.perplexity).
+    "t_perplexity" -> { (s, dir) =>
+      TextAnalysis.perplexity(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // TF-IDF term weighting: explode tokens -> per-(doc, term) tf ->
     // per-term df -> tf * ln(N/df), all hash aggregates + one
     // broadcast of the scalar doc count
@@ -1260,6 +1270,19 @@ object SparkEntryCoverage {
           Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    },
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // target-vs-raw log ratios score every doc; top-100 by mean
+    // per-token log importance skews the corpus toward the target
+    // (here lang='en') without a learned classifier. Bucket ratio
+    // table is broadcast (≤1024 rows at any corpus size); doc sums
+    // are exact micro-nat integers (see Sampling.dsirWeights).
+    "s_dsir_sample" -> { (s, dir) =>
+      Sampling
+        .dsirWeights(t(s, dir, "documents"), "text", "doc_id", col("lang") === "en", 1024)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("avg_loglik").desc, col("doc_id"))
+        .limit(100)
     },
     // Per-source deterministic cap (≤25 docs per source, hash-order
     // winners) — the "no domain dominates the corpus" control
@@ -2328,6 +2351,43 @@ object SparkEntryCoverage {
          |SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.g
          |WHERE CAST(${sqlHash32("d.doc_id")} AS DOUBLE) < f.f * 4294967296.0
          |ORDER BY d.doc_id""".stripMargin,
+    "s_dsir_sample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, ${sqlHash32("term")} % 1024 AS f
+         |  FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |        FROM documents WHERE length(trim(text)) > 0)),
+         |fc AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cr,
+         |              CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS ct
+         |       FROM tok GROUP BY f),
+         |tots AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM fc),
+         |lr AS (SELECT fc.f,
+         |         CAST(round((ln((CAST(ct AS DOUBLE)+1.0)/(CAST(tt AS DOUBLE)+1024.0))
+         |                   - ln((CAST(cr AS DOUBLE)+1.0)/(CAST(tr AS DOUBLE)+1024.0)))*1000000) AS BIGINT) AS lr6
+         |       FROM fc, tots)
+         |SELECT tok.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(lr.lr6) AS BIGINT) AS weight6,
+         |       round(CAST(SUM(lr.lr6) AS DOUBLE) / (COUNT(*)*1000000.0), 6) AS avg_loglik
+         |FROM tok JOIN lr USING (f)
+         |GROUP BY tok.doc_id
+         |ORDER BY avg_loglik DESC, doc_id LIMIT 100""".stripMargin,
+    "t_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |lp AS (SELECT term,
+        |         CAST(round(ln((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS lp6
+        |       FROM vocab, tot)
+        |SELECT tok.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(-SUM(lp.lp6) AS BIGINT) AS nll_sum6,
+        |       round(CAST(-SUM(lp.lp6) AS DOUBLE) / (COUNT(*)*1000000.0), 6) AS mean_nll,
+        |       round(exp(CAST(-SUM(lp.lp6) AS DOUBLE) / (COUNT(*)*1000000.0)), 4) AS ppl
+        |FROM tok JOIN lp ON tok.term = lp.term
+        |GROUP BY tok.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "v_sql_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score

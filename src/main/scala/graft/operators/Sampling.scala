@@ -139,6 +139,68 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hash every token
+    * into `buckets` feature buckets, fit target-vs-raw unigram bucket
+    * distributions (add-one smoothed over the bucket count), and score
+    * each doc by its summed per-token log importance ratio
+    * ln(p_target/p_raw). Ranking a raw crawl by this score skews a
+    * 100 TB corpus toward a target domain without a learned
+    * classifier — the mixture-selection step the reference has no
+    * analogue for (SURVEY §2.12 sampling family).
+    *
+    * Determinism: the per-bucket log ratio is rounded once to
+    * micro-nats (BIGINT); doc accumulation is an exact integer sum
+    * (same contract as TextAnalysis.perplexity), and `hash32`-bucketed
+    * features make the whole score engine-portable. Scale shape: ONE
+    * map-side-combined hash agg over the token stream computes raw and
+    * target counts together (count + conditional count — no second
+    * pass, no left join), and the scoring join broadcasts the ratio
+    * table, bounded by `buckets` rows regardless of corpus size. Two
+    * streaming passes, one unavoidable shuffle (the per-doc agg).
+    * Returns (id, n_tokens, weight6, avg_loglik).
+    */
+  def dsirWeights(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(
+        col(idCol).as("id"),
+        isTarget.as("__tgt"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
+      .select(col("id"), col("__tgt"), (hash32(col("term")) % buckets).as("f"))
+    val fc = toks.groupBy(col("f")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val tots = broadcast(fc.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt")))
+    val lr = broadcast(
+      fc.crossJoin(tots).select(
+        col("f"),
+        round(
+          (log(
+            (col("ct").cast("double") + lit(1.0)) /
+              (col("tt").cast("double") + lit(buckets.toDouble))) -
+            log(
+              (col("cr").cast("double") + lit(1.0)) /
+                (col("tr").cast("double") + lit(buckets.toDouble)))) * lit(1e6),
+          0).cast("long").as("lr6")))
+    toks.join(lr, Seq("f"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr6")).as("weight6"))
+      .select(
+        col("id"),
+        col("n_tokens"),
+        col("weight6"),
+        round(
+          col("weight6").cast("double") / (col("n_tokens").cast("double") * lit(1e6)),
+          6).as("avg_loglik"))
+  }
+
   def mixtureSample(
       df: DataFrame,
       group: Column,

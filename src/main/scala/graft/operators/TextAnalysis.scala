@@ -169,6 +169,53 @@ object TextAnalysis {
           .as("dup_frac"),
         (col("st.top").cast("double") / col("st.total").cast("double")).as("top_frac"))
 
+  /** CCNet-style unigram LM perplexity scoring (Wenzek et al. 2020
+    * shard a crawled corpus by LM perplexity; the reference's quality
+    * gates are keyword heuristics, this is the statistical upgrade a
+    * pretraining pipeline runs). The LM here is the corpus's own
+    * add-one-smoothed unigram model, so the score reads "how typical
+    * of the corpus is this doc" — low = head, high = tail/gibberish.
+    *
+    * Determinism contract (DuckDB hash-matched): each vocab entry's
+    * log-probability is computed ONCE, scaled to micro-nats and
+    * rounded to a BIGINT; per-doc accumulation is then an exact
+    * integer sum, immune to float summation order across partitions
+    * (JVM Math.log and libm ln differ in the last ulp — one rounding
+    * point, same rule as t_tfidf's round-6). The final mean divides
+    * two exact integers (one IEEE op) and ppl rounds exp() at 4dp.
+    *
+    * Scale shape: two streaming passes over the token stream, each a
+    * map-side-combined hash agg, plus one shuffle equi-join
+    * token→vocab (the vocab is unbounded so it is NOT force-broadcast;
+    * AQE may still choose to). Nothing is cached — at 100 TB
+    * re-exploding the scan beats materializing the token stream.
+    * Returns (id, n_tokens, nll_sum6, mean_nll, ppl).
+    */
+  def perplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")))
+    val lp = vocab.crossJoin(tot).select(
+      col("term"),
+      round(
+        log(
+          (col("cnt").cast("double") + lit(1.0)) /
+            (col("t").cast("double") + col("v").cast("double"))) * lit(1e6),
+        0).cast("long").as("lp6"))
+    val mean = col("nll_sum6").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
+    toks.join(lp, Seq("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("lp6"))).as("nll_sum6"))
+      .select(
+        col("id"),
+        col("n_tokens"),
+        col("nll_sum6"),
+        round(mean, 6).as("mean_nll"),
+        round(exp(mean), 4).as("ppl"))
+  }
+
   /** A5 — keyword sentiment: positive/(positive+negative) counts of
     * docs whose text contains any positive vs negative keyword; null
     * when both are 0 (reference `structured_extraction_v2.py:3196-3207`).

@@ -183,6 +183,46 @@ class OperatorsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("perplexity: gibberish scores tail, common-vocab docs score head") {
+    val common = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, s"$common again and again"),
+      (5L, "zxqv wkjh qqpl mnbv xxyz"), // every token a hapax
+      (6L, "   ") // blank -> dropped on both sides
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!got.contains(6L))
+    val worst = got.maxBy(_._2)._1
+    assert(worst == 5L, s"gibberish doc should have max mean_nll, got $got")
+    assert(got(5L) > got(1L) && got(1L) == got(2L))
+    // ppl = exp(mean_nll) within rounding
+    val row = TextAnalysis.perplexity(df, "text", "doc_id")
+      .filter($"id" === 5L).head()
+    assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
+  }
+
+  test("dsirWeights: target-distinctive tokens rank above raw-typical ones") {
+    val df = Seq(
+      (1L, "alpha beta gamma", true),
+      (2L, "alpha beta delta", true),
+      (3L, "omega psi chi", false),
+      (4L, "omega psi chi", false),
+      (5L, "alpha beta gamma", false), // target-LIKE but not in target
+      (6L, "omega psi chi", false),
+      (7L, " ", false)
+    ).toDF("doc_id", "text", "tgt")
+    val got = operators.Sampling
+      .dsirWeights(df, "text", "doc_id", $"tgt", 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!got.contains(7L))
+    // docs made of target-distinctive tokens outscore raw-typical docs,
+    // whether or not they were themselves in the target slice
+    assert(got(5L) == got(1L))
+    assert(got(1L) > got(3L) && got(2L) > got(4L))
+  }
+
   test("normalizeText and bpeTokenCount") {
     val r = Seq("  Hello,   World42!​ ").toDF("t")
       .select(
