@@ -174,21 +174,31 @@ object Sampling {
         isTarget.as("__tgt"),
         explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
       .select(col("id"), col("__tgt"), (hash32(col("term")) % buckets).as("f"))
+    // The bucket-stats table is bounded by `buckets` rows at ANY corpus
+    // size, so collecting it is a constant bootstrap (the same licence
+    // as Similarity's centroid fit), not a data-scale action — and it
+    // buys back a whole corpus pass: computing totals and ratios as
+    // DataFrame aggs would re-scan the token stream to re-derive fc.
+    // Rounding is BigDecimal HALF_UP to match Spark round()/DuckDB
+    // round() half-away-from-zero on the negative ratios.
     val fc = toks.groupBy(col("f")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
-    val tots = broadcast(fc.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt")))
-    val lr = broadcast(
-      fc.crossJoin(tots).select(
-        col("f"),
-        round(
-          (log(
-            (col("ct").cast("double") + lit(1.0)) /
-              (col("tt").cast("double") + lit(buckets.toDouble))) -
-            log(
-              (col("cr").cast("double") + lit(1.0)) /
-                (col("tr").cast("double") + lit(buckets.toDouble)))) * lit(1e6),
-          0).cast("long").as("lr6")))
+      .collect()
+    val tr = fc.map(_.getLong(1)).sum.toDouble
+    val tt = fc.map(_.getLong(2)).sum.toDouble
+    val b = buckets.toDouble
+    val lrRows = fc.toSeq.map { r =>
+      val cr = r.getLong(1)
+      val ct = r.getLong(2)
+      val ratio = math.log((ct + 1.0) / (tt + b)) - math.log((cr + 1.0) / (tr + b))
+      val lr6 = BigDecimal(ratio * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      (r.getLong(0), lr6)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lr = broadcast(lrRows.toDF("f", "lr6"))
     toks.join(lr, Seq("f"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr6")).as("weight6"))

@@ -184,11 +184,15 @@ object TextAnalysis {
     * point, same rule as t_tfidf's round-6). The final mean divides
     * two exact integers (one IEEE op) and ppl rounds exp() at 4dp.
     *
-    * Scale shape: two streaming passes over the token stream, each a
-    * map-side-combined hash agg, plus one shuffle equi-join
-    * token→vocab (the vocab is unbounded so it is NOT force-broadcast;
-    * AQE may still choose to). Nothing is cached — at 100 TB
-    * re-exploding the scan beats materializing the token stream.
+    * Scale shape: two streaming passes over the token stream (count
+    * the vocab, score the docs), each a map-side-combined hash agg,
+    * plus one shuffle equi-join token→vocab (the vocab is unbounded so
+    * it is NOT force-broadcast; AQE may still choose to). The VOCAB
+    * agg — the term dictionary, orders of magnitude smaller than the
+    * token stream — is persisted so the scalar-totals agg and the
+    * scoring join read one materialization instead of re-exploding the
+    * corpus a third time; callers running many queries clear it via
+    * `spark.catalog.clearCache()` (the Dedup kernel-pass contract).
     * Returns (id, n_tokens, nll_sum6, mean_nll, ppl).
     */
   def perplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -196,6 +200,7 @@ object TextAnalysis {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = broadcast(vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")))
     val lp = vocab.crossJoin(tot).select(
       col("term"),
