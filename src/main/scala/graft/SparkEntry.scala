@@ -894,6 +894,15 @@ object SparkEntry {
       Dedup
         .minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 3, 8, 1, 0.05)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    // Shared-span pairs via winnowing fingerprints — the approximate
+    // ExactSubstr dedup (Lee et al. 2021): >= 2 shared winnow
+    // fingerprints witness long verbatim character spans; the df-cap
+    // kills boilerplate fingerprints before they pair quadratically
+    "dd_span_pairs" -> { (s, dir) =>
+      Dedup
+        .winnowSpanPairs(t(s, dir, "documents"), "text", "doc_id", 8, 10, 10, 2)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -922,6 +931,25 @@ object SparkEntry {
         |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
         |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dd_span_pairs" ->
+      // winnow k=8 w=10 as in t_winnow's oracle (same fp values both
+      // sides); df-cap 10 mirrored with QUALIFY before the pair join
+      """WITH grams AS (
+        | SELECT doc_id, greatest(length(text) - 7, 0) AS n,
+        |        list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+        |                       i -> substring(md5(substring(text, CAST(i AS INT), 8)), 1, 8)) AS hs
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, n - 9),
+        |                      i -> list_aggregate(hs[i:i+9], 'min'))) AS fps
+        | FROM grams WHERE n >= 10),
+        |fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        |fp AS (SELECT doc_id, fp FROM fp0 QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 10)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "dd_minhash_pairs" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),

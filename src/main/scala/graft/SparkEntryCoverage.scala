@@ -1271,6 +1271,15 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
+    // Temperature-based source balancing (T5/mT5 n^alpha rule):
+    // alpha=0.5 flattens the domain mix toward uniform; broadcast
+    // per-group fraction table + pure md5 threshold predicate
+    "s_temperature_mix" -> { (s, dir) =>
+      Sampling
+        .temperatureSample(t(s, dir, "documents"), col("source"), col("doc_id"), 0.5, 200L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
     // target-vs-raw log ratios score every doc; top-100 by mean
     // per-token log importance skews the corpus toward the target
@@ -2348,6 +2357,14 @@ object SparkEntryCoverage {
          |                   FROM documents GROUP BY 1) c USING (g)),
          |t AS (SELECT min(n / wt) AS t FROM cnt),
          |f AS (SELECT g, CASE WHEN n = 0 THEN 0.0 ELSE wt * t.t / n END AS f FROM cnt, t)
+         |SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.g
+         |WHERE CAST(${sqlHash32("d.doc_id")} AS DOUBLE) < f.f * 4294967296.0
+         |ORDER BY d.doc_id""".stripMargin,
+    "s_temperature_mix" ->
+      s"""WITH c AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |s AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
+         |f AS (SELECT g, least(1.0, pow(CAST(n AS DOUBLE), 0.5) / s.z * 200.0 / CAST(n AS DOUBLE)) AS f
+         |      FROM c, s)
          |SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.g
          |WHERE CAST(${sqlHash32("d.doc_id")} AS DOUBLE) < f.f * 4294967296.0
          |ORDER BY d.doc_id""".stripMargin,

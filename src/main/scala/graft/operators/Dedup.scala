@@ -594,4 +594,46 @@ object Dedup {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** Shared-span pairs via winnowing fingerprints (Schleimer et al.
+    * 2003 — the approximate, distributable form of exact-substring
+    * dedup, Lee et al. 2021): two docs sharing ≥ `minShared` winnow
+    * fingerprints almost surely share long verbatim character spans,
+    * since each fingerprint witnesses a k-gram that survived the
+    * w-window min — a shared span of length ≥ k+w-1 is GUARANTEED to
+    * contribute at least one identical fingerprint. Fingerprint
+    * granularity keeps this linear in corpus size where a true
+    * suffix-array ExactSubstr build is monolithic.
+    *
+    * Same scale discipline as `ngramJaccardPairs`: the fingerprint
+    * equi-join IS the blocking; the document-frequency cap (`maxDf`)
+    * drops boilerplate fingerprints (site chrome, licence blocks)
+    * whose buckets would otherwise pair quadratically; the capped
+    * table is persisted once for both join sides (clearCache
+    * contract). Returns (id_a, id_b, shared_fps).
+    */
+  def winnowSpanPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      w: Int,
+      maxDf: Int,
+      minShared: Int): DataFrame = {
+    require(maxDf >= 2, "maxDf < 2 would drop every shareable fingerprint")
+    require(minShared >= 1, "minShared must be positive")
+    val filtered = TextAnalysis
+      .winnowTable(df, textCol, idCol, k, w)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = filtered.select(col("id").as("id_a"), col("fp"))
+    val b = filtered.select(col("id").as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= lit(minShared.toLong))
+  }
 }

@@ -211,6 +211,44 @@ object Sampling {
           6).as("avg_loglik"))
   }
 
+  /** Temperature-based source balancing (the T5/mT5 `n^alpha` rule):
+    * group g is sampled with probability mass proportional to
+    * `count(g)^alpha`, flattening a head-heavy domain distribution
+    * toward uniform as alpha → 0 while alpha = 1 reproduces the raw
+    * mix. `total` sets the target sample size; a group whose quota
+    * exceeds its population is taken whole (fraction capped at 1, so
+    * the realized total can undershoot — the honest behavior, not a
+    * silent re-spread over other groups).
+    *
+    * Same determinism and scale shape as `mixtureSample`: per-group
+    * exact counts → one broadcast fraction table (bounded by the
+    * number of distinct groups) → a pure per-row md5 threshold
+    * predicate that pipelines into the scan.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      alpha: Double,
+      total: Long): DataFrame = {
+    require(alpha >= 0.0, "alpha must be non-negative")
+    require(total > 0, "total must be positive")
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).cast("double").as("__n"))
+    val z = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__z"))
+    val fractions = broadcast(
+      counts
+        .crossJoin(broadcast(z))
+        .select(
+          col("__g"),
+          least(
+            lit(1.0),
+            pow(col("__n"), lit(alpha)) / col("__z") * lit(total.toDouble) / col("__n"))
+            .as("__f")))
+    df.join(fractions, group === col("__g"))
+      .filter(hash32(key).cast("double") < col("__f") * lit(Space))
+      .drop("__g", "__f")
+  }
+
   def mixtureSample(
       df: DataFrame,
       group: Column,

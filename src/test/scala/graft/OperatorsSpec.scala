@@ -223,6 +223,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) > got(3L) && got(2L) > got(4L))
   }
 
+  test("temperatureSample: alpha<1 flattens toward small groups; alpha=1 is proportional") {
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("id", "g")
+    def kept(alpha: Double) = operators.Sampling
+      .temperatureSample(df, $"g", $"id", alpha, 200L)
+      .groupBy($"g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = kept(0.5)
+    val prop = kept(1.0)
+    // alpha=1 reproduces the raw mix: keep fraction equal across groups
+    assert(math.abs(prop("big") / 900.0 - prop.getOrElse("small", 0L) / 100.0) < 0.1)
+    // alpha=0.5 up-weights the small group's keep fraction
+    assert(flat("small") / 100.0 > flat("big") / 900.0)
+    // deterministic
+    assert(kept(0.5) == flat)
+  }
+
+  test("winnowSpanPairs: shared long span pairs; boilerplate span dies at the df-cap") {
+    def doc(i: Long, unique: String, span: String) = (i, s"$unique $span")
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      doc(1L, "alpha block one with plenty of padding text around it", shared),
+      doc(2L, "beta block two with different padding text around it!", shared),
+      (3L, "gamma block three totally unrelated content with no overlap at all in sight here")
+    ).toDF("doc_id", "text")
+    val pairs = operators.Dedup
+      .winnowSpanPairs(docs, "text", "doc_id", 8, 10, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the span-sharing pair, got $pairs")
+    // plant the SAME span in many docs with a low df-cap: the hot
+    // fingerprints die at the cap, so no quadratic pair blow-up
+    val many = (1L to 20L).map(i => (i, s"unique prefix number $i $shared")).toDF("doc_id", "text")
+    val capped = operators.Dedup
+      .winnowSpanPairs(many, "text", "doc_id", 8, 10, 5, 2)
+      .count()
+    assert(capped == 0L, s"df-capped boilerplate span should yield no pairs, got $capped")
+  }
+
   test("normalizeText and bpeTokenCount") {
     val r = Seq("  Hello,   World42!​ ").toDF("t")
       .select(
