@@ -201,6 +201,26 @@ object SparkEntryStreaming {
         .join(broadcast(histFps), Seq("fp"), "left_anti")
       drain(batch.select(col("doc_id"), col("fp")), "st_incremental_sink", "append")
         .orderBy(col("doc_id"))
+    },
+    // Batch-fit / stream-score parity: the unigram LM is fit on the
+    // static history (docs < 250) and the streamed batch (docs >= 250)
+    // is scored per doc, unseen terms falling back to the smoothed OOV
+    // log-prob — the train-offline / score-online seam of a corpus
+    // intake pipeline. Micro-nat integer sums stay exact under
+    // micro-batch arrival order; complete mode drains the per-doc agg.
+    "st_perplexity" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lm = graft.operators.TextAnalysis
+        .fitUnigramLm(docs.filter(col("doc_id") < 250), "text")
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 250)
+      val scored = graft.operators.TextAnalysis
+        .scoreUnigramLm(stream, "text", "doc_id", lm)
+      drain(scored, "st_perplexity_sink", "complete")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -218,6 +238,30 @@ object SparkEntryStreaming {
         |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
+        |ORDER BY doc_id""".stripMargin,
+    "st_perplexity" ->
+      // fit on history, score the batch; OOV fallback ln(1/(T+V)).
+      // (On this synthetic corpus the batch has zero OOV tokens — the
+      // OOV path is exercised by OperatorsSpec instead.)
+      """WITH tokh AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 250 AND length(trim(text)) > 0),
+        |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokh GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |lp AS (SELECT term,
+        |         CAST(round(ln((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS lp6
+        |       FROM vocab, tot),
+        |oov AS (SELECT CAST(round(ln(1.0/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS oov6 FROM tot),
+        |tokb AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE doc_id >= 250 AND length(trim(text)) > 0)
+        |SELECT tokb.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(-SUM(COALESCE(lp.lp6, oov.oov6)) AS BIGINT) AS nll_sum6,
+        |       round(CAST(-SUM(COALESCE(lp.lp6, oov.oov6)) AS DOUBLE) / (COUNT(*)*1000000.0), 6) AS mean_nll,
+        |       round(exp(CAST(-SUM(COALESCE(lp.lp6, oov.oov6)) AS DOUBLE) / (COUNT(*)*1000000.0)), 4) AS ppl
+        |FROM tokb LEFT JOIN lp ON tokb.term = lp.term, oov
+        |GROUP BY tokb.doc_id
         |ORDER BY doc_id""".stripMargin,
     "st_window_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, event_type,

@@ -195,24 +195,59 @@ object TextAnalysis {
     * `spark.catalog.clearCache()` (the Dedup kernel-pass contract).
     * Returns (id, n_tokens, nll_sum6, mean_nll, ppl).
     */
-  def perplexity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def perplexity(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    scoreUnigramLm(df, textCol, idCol, fitUnigramLm(df, textCol))
+
+  /** Fit the add-one-smoothed unigram LM of `df`: the term log-prob
+    * table (term, lp6 micro-nats) plus the OOV fallback lp6 an unseen
+    * term scores (count 0 → ln(1/(T+V))). The vocab agg — the term
+    * dictionary — is persisted (clearCache contract); the scalar
+    * totals are a 1-row constant-bootstrap collect, which also bakes
+    * the denominator into the lp expression as a literal instead of a
+    * third corpus pass re-deriving the vocab for a crossJoin.
+    */
+  def fitUnigramLm(df: DataFrame, textCol: String): (DataFrame, Long) = {
     val toks = df
       .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = broadcast(vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")))
-    val lp = vocab.crossJoin(tot).select(
+    val tot = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")).head()
+    // empty fit corpus: every score-side term is OOV at lp 0 — the
+    // degenerate-but-defined answer, not an NPE on the null sum
+    val denom = if (tot.isNullAt(0)) 1.0 else tot.getLong(0).toDouble + tot.getLong(1).toDouble
+    val lp = vocab.select(
       col("term"),
-      round(
-        log(
-          (col("cnt").cast("double") + lit(1.0)) /
-            (col("t").cast("double") + col("v").cast("double"))) * lit(1e6),
-        0).cast("long").as("lp6"))
+      round(log((col("cnt").cast("double") + lit(1.0)) / lit(denom)) * lit(1e6), 0)
+        .cast("long").as("lp6"))
+    val oov6 = BigDecimal(math.log(1.0 / denom) * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    (lp, oov6)
+  }
+
+  /** Score `df` under a fitted unigram LM — possibly fit on a
+    * DIFFERENT corpus (the train-offline / score-online seam): per-doc
+    * exact micro-nat NLL sums with the OOV fallback for unseen terms.
+    * Stateless until the per-doc agg, so the same plan scores a batch
+    * frame or a structured stream (complete/update mode). The LM join
+    * is left unhinted: Catalyst broadcasts a small vocab and shuffles
+    * a web-scale one.
+    * Returns (id, n_tokens, nll_sum6, mean_nll, ppl).
+    */
+  def scoreUnigramLm(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lm: (DataFrame, Long)): DataFrame = {
+    val (lp, oov6) = lm
     val mean = col("nll_sum6").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
-    toks.join(lp, Seq("term"))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
+      .join(lp, Seq("term"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), (-sum(col("lp6"))).as("nll_sum6"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (-sum(coalesce(col("lp6"), lit(oov6)))).as("nll_sum6"))
       .select(
         col("id"),
         col("n_tokens"),

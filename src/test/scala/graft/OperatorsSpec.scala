@@ -203,6 +203,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
+  test("fitUnigramLm/scoreUnigramLm: cross-corpus scoring with OOV fallback") {
+    def lp6(p: Double): Long =
+      BigDecimal(math.log(p) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val hist = Seq((1L, "aa bb cc aa"), (2L, "aa bb")).toDF("doc_id", "text")
+    val lm = TextAnalysis.fitUnigramLm(hist, "text")
+    // T=6 tokens, V=3 vocab -> denom 9; aa seen 3x, zz unseen
+    val scored = TextAnalysis
+      .scoreUnigramLm(
+        Seq((10L, "aa aa"), (11L, "zz zz")).toDF("doc_id", "text"),
+        "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scored(10L) == ((2L, -2L * lp6(4.0 / 9.0))))
+    assert(scored(11L) == ((2L, -2L * lp6(1.0 / 9.0))))
+    // the OOV doc is strictly less likely than the in-vocab doc
+    assert(scored(11L)._2 > scored(10L)._2)
+  }
+
   test("dsirWeights: target-distinctive tokens rank above raw-typical ones") {
     val df = Seq(
       (1L, "alpha beta gamma", true),
