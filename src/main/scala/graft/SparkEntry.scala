@@ -895,6 +895,21 @@ object SparkEntry {
         .minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 3, 8, 1, 0.05)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Span-level decontamination: excise benchmark-overlapping 5-token
+    // windows from training docs and reassemble, instead of dropping
+    // whole docs — overlapping benchmark n-grams catch any alignment
+    "dd_excise" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup
+        .exciseContaminated(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          "text",
+          "doc_id",
+          5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // Shared-span pairs via winnowing fingerprints — the approximate
     // ExactSubstr dedup (Lee et al. 2021): >= 2 shared winnow
     // fingerprints witness long verbatim character spans; the df-cap
@@ -932,6 +947,22 @@ object SparkEntry {
         |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_excise" ->
+      """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |bench AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk)-4),
+        |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) AS line
+        |          FROM tok WHERE source = 'src0' AND len(tk) >= 5),
+        |lines AS (SELECT doc_id, i AS pos, array_to_string(tk[(i*5+1):(i*5+5)], ' ') AS line,
+        |                 CAST(ceil(len(tk)/5.0) AS INT) AS n_lines
+        |          FROM tok, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(tk)/5.0) AS INT) - 1)) AS i)
+        |          WHERE source <> 'src0'),
+        |kept AS (SELECT doc_id, pos, line, n_lines FROM lines
+        |         WHERE line NOT IN (SELECT line FROM bench))
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(max(n_lines) - count(*) AS BIGINT) AS n_dropped
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_span_pairs" ->
       // winnow k=8 w=10 as in t_winnow's oracle (same fp values both
       // sides); df-cap 10 mirrored with QUALIFY before the pair join

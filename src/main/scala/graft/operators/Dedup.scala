@@ -553,6 +553,57 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Span-level decontamination: where `crossCorpusOverlap` + filter
+    * DROPS a training doc for benchmark overlap, this EXCISES only the
+    * contaminated spans and reassembles the doc — the surgical form
+    * (a news article quoting one eval question keeps its other 2 000
+    * words). The corpus doc is segmented into fixed n-token windows
+    * (t_line_dedup's segmentation); a window is excised when it
+    * appears verbatim among the benchmark's OVERLAPPING n-grams, so an
+    * aligned leak is caught at any token offset. Survivors reassemble
+    * in original position order; a fully-contaminated doc (every
+    * window excised, or blank text) drops out entirely.
+    *
+    * Scale shape: the benchmark window set is distinct'd and broadcast
+    * (benchmark suites are MBs, corpora TBs) and corpus windows stream
+    * map-side through the anti-join; the only corpus shuffle is the
+    * per-doc reassembly agg, whose groups are bounded by doc length.
+    * Returns (id, clean_text, n_kept, n_dropped).
+    */
+  def exciseContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "window size must be positive")
+    val toks = TextFns.tokens(col(textCol))
+    val nLines = ceil(size(toks) / lit(n.toDouble)).cast("int")
+    val lines = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
+    val exploded = corpus.select(
+      col(idCol).as("id"),
+      nLines.as("__n_lines"),
+      posexplode(lines).as(Seq("pos", "line")))
+    val bench = shingleSets(benchmark, textCol, idCol, n)
+      .select(explode(col("sh")).as("line"))
+      .distinct()
+    exploded
+      .join(broadcast(bench), Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        (max(col("__n_lines")).cast("long") - count(lit(1))).as("n_dropped"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over an embedding column —
     * see Similarity.knnJoin for the bucketed variant; this is the
     * exact quadratic baseline, use only on bounded partitions.
