@@ -895,9 +895,10 @@ object SparkEntry {
         .minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 3, 8, 1, 0.05)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // Span-level decontamination: excise benchmark-overlapping 5-token
-    // windows from training docs and reassemble, instead of dropping
-    // whole docs — overlapping benchmark n-grams catch any alignment
+    // Span-level decontamination: excise the tokens covered by any
+    // benchmark-overlapping 5-gram from training docs and reassemble,
+    // instead of dropping whole docs — overlapping n-grams on BOTH
+    // sides catch a leak at any token offset
     "dd_excise" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       Dedup
@@ -951,17 +952,22 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
         |             FROM documents WHERE length(trim(text)) > 0),
         |bench AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk)-4),
-        |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) AS line
+        |           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) AS gram
         |          FROM tok WHERE source = 'src0' AND len(tk) >= 5),
-        |lines AS (SELECT doc_id, i AS pos, array_to_string(tk[(i*5+1):(i*5+5)], ' ') AS line,
-        |                 CAST(ceil(len(tk)/5.0) AS INT) AS n_lines
-        |          FROM tok, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(tk)/5.0) AS INT) - 1)) AS i)
-        |          WHERE source <> 'src0'),
-        |kept AS (SELECT doc_id, pos, line, n_lines FROM lines
-        |         WHERE line NOT IN (SELECT line FROM bench))
-        |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+        |corp AS (SELECT doc_id, tk FROM tok WHERE source <> 'src0'),
+        |grams AS (SELECT doc_id, i - 1 AS p, array_to_string(tk[i:i+4], ' ') AS gram
+        |          FROM corp, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i)),
+        |matched AS (SELECT doc_id, p FROM grams JOIN bench USING (gram)),
+        |covered AS (SELECT DISTINCT doc_id, p + d AS pos
+        |            FROM matched, LATERAL (SELECT unnest(generate_series(0, 4)) AS d)),
+        |toks AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok, len(tk) AS n_toks
+        |         FROM corp, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok, t.n_toks FROM toks t
+        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos))
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
         |       CAST(count(*) AS BIGINT) AS n_kept,
-        |       CAST(max(n_lines) - count(*) AS BIGINT) AS n_dropped
+        |       CAST(max(n_toks) - count(*) AS BIGINT) AS n_dropped
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_span_pairs" ->
       // winnow k=8 w=10 as in t_winnow's oracle (same fp values both

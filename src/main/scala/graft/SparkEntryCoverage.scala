@@ -2361,12 +2361,18 @@ object SparkEntryCoverage {
          |WHERE CAST(${sqlHash32("d.doc_id")} AS DOUBLE) < f.f * 4294967296.0
          |ORDER BY d.doc_id""".stripMargin,
     "s_temperature_mix" ->
+      // the normalizer is a SEQUENTIAL fold in group order (list_reduce
+      // over list(... ORDER BY g)) mirroring the engine's sorted Scala
+      // fold — a plain SUM would accumulate in engine-dependent order;
+      // thresholds truncate once to integer hash cutoffs (long compare
+      // at row scope, matching (f * 2^32).toLong)
       s"""WITH c AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
-         |s AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
-         |f AS (SELECT g, least(1.0, pow(CAST(n AS DOUBLE), 0.5) / s.z * 200.0 / CAST(n AS DOUBLE)) AS f
-         |      FROM c, s)
+         |z AS (SELECT list_reduce(list(pow(CAST(n AS DOUBLE), 0.5) ORDER BY g), (a, b) -> a + b) AS z FROM c),
+         |f AS (SELECT g, CAST(trunc(least(1.0, pow(CAST(n AS DOUBLE), 0.5) / z.z * 200.0 / CAST(n AS DOUBLE))
+         |                           * 4294967296.0) AS BIGINT) AS t
+         |      FROM c, z)
          |SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.g
-         |WHERE CAST(${sqlHash32("d.doc_id")} AS DOUBLE) < f.f * 4294967296.0
+         |WHERE ${sqlHash32("d.doc_id")} < f.t
          |ORDER BY d.doc_id""".stripMargin,
     "s_dsir_sample" ->
       s"""WITH tok AS (

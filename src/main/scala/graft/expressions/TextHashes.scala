@@ -48,6 +48,25 @@ private[expressions] object TextHashKernels {
     out.toArray(new Array[String](out.size))
   }
 
+  /** All word n-grams in POSITIONAL order (index i = n-gram starting
+    * at token i) — no distinct, unlike `shingles`, so
+    * `posexplode` recovers the start offset for span-level work.
+    */
+  def shinglesAll(text: UTF8String, n: Int): Array[String] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array.empty[String]
+    val out = new Array[String](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
   /** Unsigned big-endian int from 4 digest bytes at `off` — equals
     * `conv(substring(hex_digest, off*2+1, 8), 16, 10)`.
     */
@@ -112,6 +131,48 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}
+
+/** `word_shingles_all(text, n)` — every word n-gram in positional
+  * order (no distinct): index i holds the n-gram starting at token i,
+  * so `posexplode` yields (start, gram) pairs. One tight kernel pass
+  * per doc where the equivalent
+  * `transform(sequence(...), p -> concat_ws(slice(...)))` runs the
+  * interpreted higher-order-function path per POSITION (measured ~4×
+  * slower on the span-excision gram pass).
+  */
+case class WordShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(n >= 1, "word_shingles_all: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"word_shingles_all requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = TextHashKernels.shinglesAll(input.asInstanceOf[UTF8String], n)
+    val arr = new Array[Any](sh.length)
+    var i = 0
+    while (i < sh.length) { arr(i) = UTF8String.fromString(sh(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def prettyName: String = "word_shingles_all"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShinglesAll {
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShinglesAll(ColumnBridge.expression(text), n))
 }
 
 /** `minhash_sig(shingles, k)` — k-min-hash signature of a shingle

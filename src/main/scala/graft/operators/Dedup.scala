@@ -555,19 +555,25 @@ object Dedup {
 
   /** Span-level decontamination: where `crossCorpusOverlap` + filter
     * DROPS a training doc for benchmark overlap, this EXCISES only the
-    * contaminated spans and reassembles the doc — the surgical form
+    * contaminated tokens and reassembles the doc — the surgical form
     * (a news article quoting one eval question keeps its other 2 000
-    * words). The corpus doc is segmented into fixed n-token windows
-    * (t_line_dedup's segmentation); a window is excised when it
-    * appears verbatim among the benchmark's OVERLAPPING n-grams, so an
-    * aligned leak is caught at any token offset. Survivors reassemble
-    * in original position order; a fully-contaminated doc (every
-    * window excised, or blank text) drops out entirely.
+    * words). Every OVERLAPPING n-gram of the corpus doc is checked
+    * against the benchmark's overlapping n-grams, so a leak is caught
+    * at ANY token offset (a fixed-window segmentation would only
+    * guarantee catching leaks of >= 2n-1 tokens); a match marks its n
+    * token positions covered, covered tokens are removed, and the
+    * survivors reassemble in original order. A fully-contaminated doc
+    * (every token covered, or blank text) drops out entirely.
     *
-    * Scale shape: the benchmark window set is distinct'd and broadcast
-    * (benchmark suites are MBs, corpora TBs) and corpus windows stream
-    * map-side through the anti-join; the only corpus shuffle is the
-    * per-doc reassembly agg, whose groups are bounded by doc length.
+    * Scale shape: the benchmark n-gram set is distinct'd and broadcast
+    * (benchmark suites are MBs, corpora TBs) and corpus n-grams stream
+    * map-side through the match join; matches collapse to ONE small
+    * covered-position array per contaminated doc, which joins back to
+    * the corpus row so the excision is a per-row array expression —
+    * the corpus token stream is never shuffled, never reassembled by
+    * aggregation, and only the gram pass explodes it. The only
+    * full-corpus shuffle-free cost is that gram pass; the join back is
+    * broadcast-sized by construction (only docs with matches appear).
     * Returns (id, clean_text, n_kept, n_dropped).
     */
   def exciseContaminated(
@@ -578,30 +584,36 @@ object Dedup {
       n: Int): DataFrame = {
     require(n > 0, "window size must be positive")
     val toks = TextFns.tokens(col(textCol))
-    val nLines = ceil(size(toks) / lit(n.toDouble)).cast("int")
-    val lines = when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), nLines - 1),
-          i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
-    val exploded = corpus.select(
-      col(idCol).as("id"),
-      nLines.as("__n_lines"),
-      posexplode(lines).as(Seq("pos", "line")))
+    val base = corpus
+      .select(col(idCol).as("id"), col(textCol).as("__text"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+    // positional n-gram kernel: one tight pass per doc; posexplode's
+    // index IS the 0-based token start offset
+    val grams = base
+      .select(
+        col("id"),
+        posexplode(graft.expressions.WordShinglesAll.shingles(col("__text"), n))
+          .as(Seq("p", "gram")))
     val bench = shingleSets(benchmark, textCol, idCol, n)
-      .select(explode(col("sh")).as("line"))
+      .select(explode(col("sh")).as("gram"))
       .distinct()
-    exploded
-      .join(broadcast(bench), Seq("line"), "left_anti")
+    val coveredSets = grams
+      .join(broadcast(bench), Seq("gram"))
+      .select(col("id"), explode(sequence(col("p"), col("p") + n - 1)).as("pos"))
       .groupBy(col("id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")),
-          " ").as("clean_text"),
-        count(lit(1)).as("n_kept"),
-        (max(col("__n_lines")).cast("long") - count(lit(1))).as("n_dropped"))
+      .agg(collect_set(col("pos")).as("__cov"))
+    val cov = coalesce(col("__cov"), array().cast("array<int>"))
+    val keptArr = filter(
+      transform(col("tk"), (t, i) => when(array_contains(cov, i), lit(null)).otherwise(t)),
+      x => x.isNotNull)
+    base
+      .join(broadcast(coveredSets), Seq("id"), "left")
+      .select(
+        col("id"),
+        array_join(keptArr, " ").as("clean_text"),
+        size(keptArr).cast("long").as("n_kept"),
+        (size(col("tk")) - size(keptArr)).cast("long").as("n_dropped"))
+      .filter(col("n_kept") > 0)
   }
 
   /** Embedding-cosine near-duplicate pairs over an embedding column —
@@ -656,12 +668,16 @@ object Dedup {
     * granularity keeps this linear in corpus size where a true
     * suffix-array ExactSubstr build is monolithic.
     *
-    * Same scale discipline as `ngramJaccardPairs`: the fingerprint
-    * equi-join IS the blocking; the document-frequency cap (`maxDf`)
-    * drops boilerplate fingerprints (site chrome, licence blocks)
-    * whose buckets would otherwise pair quadratically; the capped
-    * table is persisted once for both join sides (clearCache
-    * contract). Returns (id_a, id_b, shared_fps).
+    * The fingerprint equi-join IS the blocking; the document-frequency
+    * cap (`maxDf`) drops boilerplate fingerprints (site chrome,
+    * licence blocks) whose buckets would otherwise pair quadratically.
+    * The cap runs through `rareLineSurvivors`' two-phase count +
+    * join-back — winnow fps are hot precisely where boilerplate
+    * repeats, the case the window-cap shape funnels into one task
+    * (ngramJaccardPairs' measured window argument holds for
+    * mostly-unique shingles, not here). The fp table is persisted once
+    * for both join sides (clearCache contract).
+    * Returns (id_a, id_b, shared_fps).
     */
   def winnowSpanPairs(
       df: DataFrame,
@@ -673,12 +689,8 @@ object Dedup {
       minShared: Int): DataFrame = {
     require(maxDf >= 2, "maxDf < 2 would drop every shareable fingerprint")
     require(minShared >= 1, "minShared must be positive")
-    val filtered = TextAnalysis
-      .winnowTable(df, textCol, idCol, k, w)
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = rareLineSurvivors(
+      TextAnalysis.winnowTable(df, textCol, idCol, k, w), "fp", maxDf + 1)
     val a = filtered.select(col("id").as("id_a"), col("fp"))
     val b = filtered.select(col("id").as("id_b"), col("fp"))
     a.join(b, Seq("fp"))

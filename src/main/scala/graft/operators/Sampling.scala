@@ -220,10 +220,20 @@ object Sampling {
     * the realized total can undershoot — the honest behavior, not a
     * silent re-spread over other groups).
     *
-    * Same determinism and scale shape as `mixtureSample`: per-group
-    * exact counts → one broadcast fraction table (bounded by the
-    * number of distinct groups) → a pure per-row md5 threshold
-    * predicate that pipelines into the scan.
+    * Determinism: a float normalizer summed in Spark partition order
+    * would make the per-row threshold run-dependent, so the per-group
+    * exact counts are collected (bounded by the number of distinct
+    * groups — the same boundedness the broadcast fraction table
+    * already assumes) and the normalizer is a SEQUENTIAL fold in group
+    * order, reproducible on any engine that folds in the same order
+    * (the oracle mirrors it with an ORDER BY list_reduce). Each
+    * group's keep-threshold is truncated ONCE to an integer hash
+    * cutoff, so the per-row predicate `hash32(key) < t` compares
+    * longs — no float at row scope. `pow` itself is the one op not
+    * IEEE-correctly-rounded across libms; a last-ulp divergence moves
+    * a group's cutoff only if f*2^32 sits within ~f*4e-7 of an
+    * integer — the same residual class as the repo's micro-nat ln
+    * rounding.
     */
   def temperatureSample(
       df: DataFrame,
@@ -233,20 +243,20 @@ object Sampling {
       total: Long): DataFrame = {
     require(alpha >= 0.0, "alpha must be non-negative")
     require(total > 0, "total must be positive")
-    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).cast("double").as("__n"))
-    val z = counts.agg(sum(pow(col("__n"), lit(alpha))).as("__z"))
-    val fractions = broadcast(
-      counts
-        .crossJoin(broadcast(z))
-        .select(
-          col("__g"),
-          least(
-            lit(1.0),
-            pow(col("__n"), lit(alpha)) / col("__z") * lit(total.toDouble) / col("__n"))
-            .as("__f")))
-    df.join(fractions, group === col("__g"))
-      .filter(hash32(key).cast("double") < col("__f") * lit(Space))
-      .drop("__g", "__f")
+    val counts = df.groupBy(group.cast("string").as("__g")).agg(count(lit(1)).as("__n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1)
+    val z = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.pow(n.toDouble, alpha) }
+    val thresholds = counts.toSeq.map { case (g, n) =>
+      val f = math.min(1.0, math.pow(n.toDouble, alpha) / z * total.toDouble / n.toDouble)
+      (g, (f * Space).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.join(broadcast(thresholds.toDF("__g", "__t")), group.cast("string") === col("__g"))
+      .filter(hash32(key) < col("__t"))
+      .drop("__g", "__t")
   }
 
   def mixtureSample(

@@ -203,23 +203,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
-  test("exciseContaminated: drops only the aligned leaked window; full leak drops the doc") {
+  test("exciseContaminated: excises a leak at ANY token offset; full leak drops the doc") {
     val leak = "what is the capital of"
     val bench = Seq((100L, s"quiz intro words here $leak france answer follows")).toDF("doc_id", "text")
     val corpus = Seq(
-      // window 2 (tokens 11-15) == the leaked 5-gram at benchmark offset 5
       (1L, s"one two three four five six seven eight nine ten $leak and more trailing words here"),
       (2L, "completely unrelated content with no benchmark overlap at all"),
-      (3L, leak) // the whole doc IS the leak -> dropped entirely
+      (3L, leak), // the whole doc IS the leak -> dropped entirely
+      (4L, s"pre amble $leak tail words") // leak NOT aligned to any 5-token grid
     ).toDF("doc_id", "text")
     val got = operators.Dedup
       .exciseContaminated(corpus, bench, "text", "doc_id", 5)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(!got.contains(3L), "fully-contaminated doc must drop out")
-    assert(got(1L)._3 == 1L, s"exactly the aligned window excised, got ${got(1L)}")
-    assert(!got(1L)._1.contains("capital"))
-    assert(got(1L)._1.startsWith("one two three four five"))
-    assert(got(2L) == (("completely unrelated content with no benchmark overlap at all", 2L, 0L)))
+    assert(got(1L) == ((
+      "one two three four five six seven eight nine ten and more trailing words here",
+      15L, 5L)))
+    assert(got(2L) == (("completely unrelated content with no benchmark overlap at all", 9L, 0L)))
+    assert(got(4L) == (("pre amble tail words", 4L, 5L)))
   }
 
   test("fitUnigramLm/scoreUnigramLm: cross-corpus scoring with OOV fallback") {
