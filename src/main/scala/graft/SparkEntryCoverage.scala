@@ -1381,6 +1381,29 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"))
         .orderBy(col("doc_id"))
     },
+    // Funnel with the CCNet-style perplexity gate: after the heuristic
+    // lang/quality gates, the unigram LM fit on the survivors drops
+    // the high-NLL tail (threshold shared with the oracle via
+    // FunnelPplMax), then exact dedup + decontamination as in
+    // t_funnel_e2e (sample 1.0 isolates the ppl stage's effect)
+    "t_funnel_ppl" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.pipelines.Corpus
+        .funnel(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text",
+          "doc_id",
+          SparkEntry.langMarkers,
+          keepLang = "dataish",
+          SparkEntry.qualityStops,
+          minQuality = 0.5,
+          shingleN = 3,
+          sampleFraction = 1.0,
+          maxMeanNll = Some(FunnelPplMax))
+        .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
     // Funnel with the near-dup collapse stage: every 9th doc gets a
     // planted near-duplicate (same text + 3 appended marker tokens,
     // Jaccard ~0.9 vs its source). Ids are remapped collision-free at
@@ -1463,6 +1486,12 @@ object SparkEntryCoverage {
     * stringified key as a BIGINT (hex fold, same as the minhash
     * oracle's slice parsing).
     */
+  /** t_funnel_ppl's NLL ceiling — ONE constant interpolated into both
+    * the Spark call and the oracle SQL (the repo's shared-threshold
+    * rule), cutting the ~15% most corpus-atypical gate survivors.
+    */
+  private val FunnelPplMax: Double = 3.41
+
   private def sqlHash32(key: String): String =
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
@@ -2473,6 +2502,49 @@ object SparkEntryCoverage {
          |SELECT doc_id, source, lang_pred, quality FROM ded
          |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
          |  AND ${sqlHash32("doc_id")} < ${Sampling.threshold(0.5)}
+         |ORDER BY doc_id""".stripMargin,
+    "t_funnel_ppl" ->
+      // t_funnel_e2e's derived lang/quality fragments + the perplexity
+      // gate CTEs (same micro-nat formulas as the t_perplexity oracle,
+      // fit over the gated population `base`); threshold interpolated
+      // from FunnelPplMax so both sides share one literal
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents),
+         |lang AS (SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS lang_pred
+         |  FROM tok),
+         |qb AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
+         |  ${TextAnalysis.stopHitsSql(SparkEntry.qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
+         |  FROM documents),
+         |qual AS (SELECT doc_id, ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS quality
+         |  FROM qb),
+         |base AS (SELECT d.doc_id, d.text, d.source, l.lang_pred, q.quality
+         |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+         |  WHERE d.source <> 'src0' AND l.lang_pred = 'dataish' AND q.quality >= 0.5),
+         |ptok AS (SELECT b.doc_id, unnest(t.tk) AS term FROM base b JOIN tok t USING (doc_id)
+         |  WHERE length(trim(b.text)) > 0),
+         |pvocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM ptok GROUP BY term),
+         |ptot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM pvocab),
+         |plp AS (SELECT term,
+         |  CAST(round(ln((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS lp6
+         |  FROM pvocab, ptot),
+         |pnll AS (SELECT ptok.doc_id,
+         |  round(CAST(-SUM(plp.lp6) AS DOUBLE)/(COUNT(*)*1000000.0), 6) AS mean_nll
+         |  FROM ptok JOIN plp USING (term) GROUP BY ptok.doc_id),
+         |pbase AS (SELECT base.* FROM base JOIN pnll USING (doc_id)
+         |  WHERE pnll.mean_nll <= $FunnelPplMax),
+         |ded AS (SELECT * FROM pbase
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) = 1),
+         |dsh AS (SELECT b.doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t.tk) - 2),
+         |          i -> t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2]))) AS s
+         |        FROM ded b JOIN tok t USING (doc_id) WHERE len(t.tk) >= 3),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |        FROM documents JOIN tok USING (doc_id) WHERE source = 'src0' AND len(tk) >= 3),
+         |cont AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (s))
+         |SELECT doc_id, source, lang_pred, quality FROM ded
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
          |ORDER BY doc_id""".stripMargin,
     "t_funnel_neardup" ->
       // same derived lang/quality fragments as t_funnel_e2e; the

@@ -33,6 +33,12 @@ object Corpus {
     *                       build runs
     * @param minhashHashes  MinHash signature width for the near-dup stage
     * @param minhashBandSize band size for the near-dup LSH (hashes per band)
+    * @param maxMeanNll     when set, a CCNet-style perplexity gate runs
+    *                       after the heuristic gates: the unigram LM is
+    *                       fit on the gate survivors themselves and
+    *                       docs whose mean NLL (micro-nat exact sums,
+    *                       rounded at 6) exceeds the threshold — the
+    *                       atypical/gibberish tail — are dropped
     * @return surviving rows of `docs` plus `lang_pred` and `quality`
     */
   def funnel(
@@ -48,12 +54,20 @@ object Corpus {
       sampleFraction: Double = 1.0,
       nearDupJaccard: Option[Double] = None,
       minhashHashes: Int = 8,
-      minhashBandSize: Int = 1): DataFrame = {
+      minhashBandSize: Int = 1,
+      maxMeanNll: Option[Double] = None): DataFrame = {
     val gated = docs
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol), langMarkers))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol), stopwords))
       .filter(col("lang_pred") === keepLang && col("quality") >= minQuality)
-    val deduped = Dedup.exact(gated, textCol, idCol)
+    val pplGated = maxMeanNll.fold(gated) { thr =>
+      val keep = TextAnalysis
+        .perplexity(gated, textCol, idCol)
+        .filter(col("mean_nll") <= thr)
+        .select(col("id").as(idCol))
+      gated.join(keep, idCol)
+    }
+    val deduped = Dedup.exact(pplGated, textCol, idCol)
     // near-dup collapse (optional): candidates from banded MinHash,
     // exact-Jaccard verified, clustered, smallest id survives — the
     // stage is linear in corpus size (the band shuffle carries only

@@ -101,4 +101,32 @@ class PipelinesSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L), s"expected only doc 1 to survive, got $got")
   }
+
+  test("Corpus.funnel perplexity gate drops the corpus-atypical tail") {
+    val markers = Seq("good" -> Seq("data"))
+    val typical = ("data stream pipeline " * 15).trim
+    val docs = Seq(
+      (1L, s"$typical one"),
+      (2L, s"$typical two"),
+      (3L, s"$typical three"),
+      // passes lang (has 'data') and quality, but every other token is
+      // a hapax -> highest mean NLL under the survivors' own LM
+      (4L, "data zxqv wkjh qqpl mnbv xxyz gfds trew uyio plkj " * 4)
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark only text nothing shared")).toDF("doc_id", "text")
+    def run(thr: Option[Double]) = Corpus
+      .funnel(docs, bench, "text", "doc_id", markers,
+        keepLang = "good", stopwords = Seq("the"), minQuality = 0.3,
+        maxMeanNll = thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val noGate = run(None)
+    assert(noGate.contains(4L), "gibberish doc must pass the heuristic gates")
+    // threshold between the typical docs' NLL and the gibberish doc's
+    val scored = graft.operators.TextAnalysis
+      .perplexity(
+        docs.filter($"doc_id" =!= 100L), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val thr = (scored(1L) + scored(4L)) / 2
+    assert(run(Some(thr)) == noGate - 4L, "only the high-NLL doc drops")
+  }
 }
