@@ -764,6 +764,14 @@ object SparkEntry {
           TextFns.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     },
+    // Token-window chunking with stride (64-token windows advancing 32:
+    // overlapping LM-pretrain context windows; last window truncates)
+    "t_chunk_windows" -> { (s, dir) =>
+      TextAnalysis
+        .tokenWindows(t(s, dir, "documents"), "text", "doc_id", 64, 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("win_index"))
+    },
     // Per-key ranked top-k (W1 per-company variant)
     "wp_topk_per_source" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -867,6 +875,21 @@ object SparkEntry {
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_chunk_windows" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents WHERE length(trim(text)) > 0
+        |), w AS (
+        | SELECT doc_id, toks, len(toks) AS tlen,
+        |        CAST(ceil(greatest(len(toks) - 64, 0) / 32.0) AS BIGINT) + 1 AS nwin
+        | FROM d
+        |)
+        |SELECT doc_id, CAST(gs.i AS BIGINT) AS win_index,
+        |       CAST(gs.i*32 AS BIGINT) AS start_token,
+        |       array_to_string(toks[CAST(gs.i*32+1 AS INT) : CAST(gs.i*32+64 AS INT)], ' ') AS chunk,
+        |       CAST(least(64, tlen - gs.i*32) AS BIGINT) AS chunk_tokens
+        |FROM w, LATERAL (SELECT unnest(generate_series(0, nwin-1)) AS i) gs
+        |ORDER BY doc_id, win_index""".stripMargin,
     "wp_topk_per_source" ->
       """SELECT source, doc_id, n_chars FROM (
         | SELECT source, doc_id, n_chars,

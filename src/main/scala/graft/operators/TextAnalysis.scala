@@ -169,6 +169,50 @@ object TextAnalysis {
           .as("dup_frac"),
         (col("st.top").cast("double") / col("st.total").cast("double")).as("top_frac"))
 
+  /** Token-window chunking with stride — context-window training-example
+    * prep (the token-granularity upgrade of C1's char chunker,
+    * reference `/root/reference/src/services/chunker.py:17-22`): slide
+    * a `window`-token frame over the whitespace token stream advancing
+    * `stride` tokens (stride < window ⇒ overlap, the usual LM-pretrain
+    * shape, e.g. 64/32). Every doc emits ceil(max(nTok−window,0)/stride)+1
+    * windows, so short docs still yield one (possibly short) example and
+    * the final window truncates at the doc end rather than padding.
+    *
+    * Scale shape: pure per-row `transform(sequence)` + `posexplode` —
+    * no shuffle, no UDF, stays inside whole-stage codegen; output rows
+    * ≈ nTok/stride per doc, linear in corpus tokens. Returns
+    * (id, win_index, start_token, chunk, chunk_tokens).
+    */
+  def tokenWindows(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val nwin =
+      ceil(greatest(col("__tlen") - window, lit(0)) / lit(stride.toDouble)).cast("long") + 1L
+    Width.spread(df)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("__toks"))
+      .withColumn("__tlen", size(col("__toks")).cast("long"))
+      .select(
+        col("id"),
+        col("__tlen"),
+        posexplode(transform(sequence(lit(0L), nwin - 1L), w =>
+          struct(
+            (w * stride).as("start_token"),
+            array_join(slice(col("__toks"), (w * stride + 1L).cast("int"), lit(window)), " ")
+              .as("chunk")))))
+      .select(
+        col("id"),
+        col("pos").cast("long").as("win_index"),
+        col("col.start_token"),
+        col("col.chunk"),
+        least(lit(window.toLong), col("__tlen") - col("col.start_token")).as("chunk_tokens"))
+  }
+
   /** CCNet-style unigram LM perplexity scoring (Wenzek et al. 2020
     * shard a crawled corpus by LM perplexity; the reference's quality
     * gates are keyword heuristics, this is the statistical upgrade a

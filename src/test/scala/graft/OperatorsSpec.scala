@@ -183,6 +183,31 @@ class OperatorsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("tokenWindows: stride overlap, short-doc single window, truncated tail") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, ten),        // 10 tokens, window 4 stride 2 -> ceil(6/2)+1 = 4 windows
+      (2L, "a b c"),    // shorter than window -> exactly 1 truncated window
+      (3L, "  ")        // blank -> dropped
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenWindows(df, "text", "doc_id", 4, 2)
+      .orderBy($"id", $"win_index").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L))
+    val d1 = byDoc(1L).map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(d1.length == 4)
+    assert(d1(0) == (0L, 0L, "w1 w2 w3 w4", 4L))
+    assert(d1(1) == (1L, 2L, "w3 w4 w5 w6", 4L)) // stride-2 overlap
+    assert(d1(3) == (3L, 6L, "w7 w8 w9 w10", 4L))
+    val d2 = byDoc(2L).map(r => (r.getLong(1), r.getString(3), r.getLong(4)))
+    assert(d2.toSeq == Seq((0L, "a b c", 3L))) // truncated, not padded
+    // non-overlapping stride == window covers each token exactly once
+    val flat = TextAnalysis.tokenWindows(df, "text", "doc_id", 4, 4)
+      .filter($"id" === 1L).orderBy($"win_index")
+      .collect().map(_.getString(3)).mkString(" ")
+    assert(flat == ten)
+  }
+
   test("perplexity: gibberish scores tail, common-vocab docs score head") {
     val common = "the quick brown fox jumps over the lazy dog"
     val df = Seq(
