@@ -1198,6 +1198,26 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // T1 incremental, Bloom-prefilter variant: history fingerprints
+    // compress to a broadcast Bloom filter; only probe-positives reach
+    // the exact verify joins, so history is never shuffled (plan shape
+    // pinned in OperatorsSpec). Result is exact — identical semantics
+    // to dd_incremental's anti-join, different planted overlap (%3)
+    "dd_bloom_incremental" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250).alias("b")
+        .join(hist.alias("h"), col("b.doc_id") - 250 === col("h.doc_id"))
+        .select(
+          col("b.doc_id").as("doc_id"),
+          when(col("b.doc_id") % 3 === 0, col("h.text")).otherwise(col("b.text")).as("text"))
+      val histFps = hist
+        .select(TextFns.fingerprint(col("text")).as("fp"))
+        .distinct()
+      Dedup.bloomIncremental(batch, histFps, "text", "doc_id", 1L << 14)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
     // Per-source length outliers by z-score, with the moments computed
     // from EXACT decimal power sums (sum x, sum x²) cast to double at
     // the edge — the one way distributed variance is deterministic
@@ -2331,6 +2351,16 @@ object SparkEntryCoverage {
     "dd_incremental" ->
       """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 5 = 0 THEN h.text ELSE b.text END AS text
+        |          FROM documents b JOIN hist h ON b.doc_id - 250 = h.doc_id WHERE b.doc_id >= 250),
+        |hfp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM hist),
+        |bd AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM batch
+        |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, fp FROM bd
+        |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
+        |ORDER BY doc_id""".stripMargin,
+    "dd_bloom_incremental" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 3 = 0 THEN h.text ELSE b.text END AS text
         |          FROM documents b JOIN hist h ON b.doc_id - 250 = h.doc_id WHERE b.doc_id >= 250),
         |hfp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM hist),
         |bd AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM batch

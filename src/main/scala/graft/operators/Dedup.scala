@@ -1,8 +1,11 @@
 package graft.operators
 
 import graft.functions.TextFns
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Training-data deduplication family: exact, n-gram Jaccard,
@@ -308,6 +311,66 @@ object Dedup {
           (size(col("hs_a")) + size(col("hs_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental exact dedup with a Bloom prefilter — T1's daily-ingest
+    * shape at warehouse scale (reference `structured_extraction_v2.py`'s
+    * seen-set skip, re-expressed for a history too big to shuffle):
+    * survivors = batch docs (internally first-wins deduped) whose
+    * content fingerprint is absent from `historyFps`, the persisted
+    * one-column (`fp`) fingerprint table of everything already ingested.
+    *
+    * Why not a plain anti-join: `batch ANTI history` has the huge side
+    * on the RIGHT, and BroadcastHashJoin LeftAnti can only build right —
+    * so Spark sort-merge-joins, shuffling the FULL history every run.
+    * Here history is never shuffled:
+    *   1. one map-side aggregate builds a Bloom filter over
+    *      `xxhash64(fp)` of history (`stat.bloomFilter`, ~1.2 GB for
+    *      1e9 items at 1% fpp — broadcastable);
+    *   2. the batch probes it through Spark's codegen
+    *      `BloomFilterMightContain` (the runtime-filter expression):
+    *      negatives are DEFINITELY new and bypass the joins entirely;
+    *   3. positives (true dups + ~fpp of the new) verify exactly —
+    *      `history SEMI broadcast(positives)` scans history map-side,
+    *      then `positives ANTI broadcast(matched)` — both joins
+    *      broadcast only increment-bounded sets.
+    * Result is exact (false positives only route rows into step 3,
+    * never change the outcome). Assumes the daily increment ≪ history,
+    * which is what makes the two broadcasts safe. Caching contract of
+    * [[ngramJaccardPairs]] applies (probed batch persisted once for
+    * the route split).
+    */
+  def bloomIncremental(
+      batch: DataFrame,
+      historyFps: DataFrame,
+      textCol: String,
+      idCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "need expectedItems > 0, fpp in (0,1)")
+    val hfp = historyFps.select(col("fp"))
+    val bf = hfp.select(xxhash64(col("fp")).as("h")).stat.bloomFilter("h", expectedItems, fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probed = exact(batch, textCol, idCol)
+      .withColumn("fp", TextFns.fingerprint(col(textCol)))
+      .withColumn(
+        "__maybe",
+        ColumnBridge.column(BloomFilterMightContain(
+          Literal(bfBytes, BinaryType),
+          ColumnBridge.expression(xxhash64(col("fp"))))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val positives = probed.filter(col("__maybe"))
+    val matched = hfp
+      .join(broadcast(positives.select(col("fp"))), Seq("fp"), "left_semi")
+      .distinct()
+    probed
+      .filter(!col("__maybe"))
+      .unionByName(positives.join(broadcast(matched), Seq("fp"), "left_anti"))
+      .drop("__maybe")
   }
 
   /** 64-bit SimHash fingerprint as a 16-hex-char string. Token bits

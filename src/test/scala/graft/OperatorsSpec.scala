@@ -183,6 +183,27 @@ class OperatorsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("bloomIncremental: exact anti-join semantics, no history shuffle") {
+    val hist = (1 to 200).map(i => s"history document number $i unique body")
+    val histFps = hist.toDF("text")
+      .select(graft.functions.TextFns.fingerprint($"text").as("fp"))
+    val batch = Seq(
+      (1000L, hist(3)),                       // dup of history -> dropped
+      (1001L, "History   document number 4 UNIQUE body"), // same after normalize -> dropped
+      (1002L, "genuinely new content alpha"),
+      (1003L, "genuinely new content alpha"), // internal dup -> first wins
+      (1004L, "genuinely new content beta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomIncremental(batch, histFps, "text", "doc_id", 4096L)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1002L, 1004L))
+    // the verify path must touch history via broadcast only — a
+    // SortMergeJoin would mean the full history shuffled per run
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+    assert(!plan.contains("SortMergeJoin"), s"history shuffled:\n$plan")
+    got.unpersist(); spark.catalog.clearCache()
+  }
+
   test("tokenWindows: stride overlap, short-doc single window, truncated tail") {
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")
     val df = Seq(
