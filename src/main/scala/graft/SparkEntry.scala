@@ -1078,6 +1078,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
     },
+    // Semantic decontamination: corpus rows whose max cosine vs any
+    // held-out benchmark vector reaches 0.35 are dropped; bench rides
+    // as a constant literal, so the pass is map-only (no join/shuffle)
+    "dd_semantic_decontam" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .semanticDecontaminate(
+          emb.filter(col("vec_id") % 20 =!= 0),
+          emb.filter(col("vec_id") % 20 === 0),
+          "embedding",
+          0.35)
+        .select(col("vec_id"), col("label"), col("bench_sim"))
+        .orderBy(col("vec_id"))
+    },
     // exact 1-NN self-join (embedding near-dup baseline)
     "v_nn_top1" -> { (s, dir) =>
       Similarity
@@ -1107,6 +1121,13 @@ object SparkEntry {
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score
          |FROM embeddings, q WHERE vec_id <> 0 AND label = 1
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "dd_semantic_decontam" ->
+      s"""WITH bench AS (SELECT embedding AS be FROM embeddings WHERE vec_id % 20 = 0),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+         |sims AS (SELECT c.vec_id, c.label, max(${sqlCosine("c.embedding", "b.be")}) AS bench_sim
+         |         FROM corpus c, bench b GROUP BY 1, 2)
+         |SELECT vec_id, label, bench_sim FROM sims
+         |WHERE bench_sim < 0.35 ORDER BY vec_id""".stripMargin,
     "v_nn_top1" ->
       s"""SELECT id, nn_id, score FROM (
          | SELECT a.vec_id AS id, b.vec_id AS nn_id,

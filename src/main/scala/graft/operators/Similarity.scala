@@ -32,6 +32,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic decontamination — the embedding analog of T7's shingle
+    * decontamination (and the cross-corpus complement of
+    * `dd_semdedup`): drop corpus rows whose max cosine vs ANY held-out
+    * benchmark embedding reaches `tau`; survivors keep their audit
+    * score as `bench_sim`.
+    *
+    * Scale shape: benchmark suites are tiny next to a pretraining
+    * corpus (10³–10⁵ vectors vs 10⁹⁺ docs), so the bench vectors ride
+    * as a CONSTANT array literal (same driver-collect bootstrap
+    * contract as `fitCentroids`) and the max-similarity is a per-row
+    * `aggregate` fold — one map-only pass over the corpus, zero
+    * shuffle, zero join. The crossJoin+groupBy alternative shuffles
+    * |corpus|×|bench| score rows; this shuffles nothing.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      embCol: String,
+      tau: Double): DataFrame = {
+    require(tau > -1.0, s"tau must exceed cosine's floor of -1, got $tau")
+    val vecs: Seq[Seq[Double]] = bench
+      .select(col(embCol))
+      .collect()
+      .toSeq
+      .map(_.getAs[scala.collection.Seq[Any]](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toSeq)
+    require(vecs.nonEmpty, "empty benchmark: nothing to decontaminate against")
+    val benchLit = typedLit(vecs)
+    Width.spread(corpus)
+      .withColumn(
+        "bench_sim",
+        aggregate(
+          benchLit,
+          lit(-1.0),
+          (acc, bv) => greatest(acc, VectorFns.cosine(col(embCol), bv))))
+      .filter(col("bench_sim") < tau)
+  }
+
   /** Exact k-NN self-join: for every vector its single nearest
     * neighbor (excluding itself). Quadratic verify — bounded use; the
     * scale path is `ivfAssign` + per-cell knn.

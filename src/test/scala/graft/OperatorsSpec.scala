@@ -183,6 +183,27 @@ class OperatorsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("semanticDecontaminate: drops bench-similar vectors in a map-only pass") {
+    val bench = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f)),  // cosine ~0.994 vs bench -> dropped
+      (2L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal -> survives, sim 0
+      (3L, Seq(-1.0f, 0.0f, 0.0f)), // opposite -> survives, sim -1
+      (4L, Seq(0.0f, 0.0f, 0.0f))   // zero vector -> cosine-with-zero = 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench, "embedding", 0.9)
+      .orderBy($"vec_id").collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    assert(got.toMap.apply(2L) == 0.0 && got.toMap.apply(3L) == -1.0)
+    // bench rides as a literal: the corpus pass must be free of joins
+    // and key shuffles (the crossJoin+groupBy shape ships
+    // |corpus|x|bench| score rows); Width.spread's round-robin widen
+    // of the small scan is the one allowed Exchange
+    val plan = Similarity.semanticDecontaminate(corpus, bench, "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("hashpartitioning"), plan)
+  }
+
   test("bloomIncremental: exact anti-join semantics, no history shuffle") {
     val hist = (1 to 200).map(i => s"history document number $i unique body")
     val histFps = hist.toDF("text")
