@@ -772,6 +772,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("win_index"))
     },
+    // Corpus composition report per (source, lang): counts, token
+    // share, quality distribution — all-exact aggregates only
+    "t_corpus_stats" -> { (s, dir) =>
+      TextAnalysis
+        .corpusStats(t(s, dir, "documents"), "text", qualityStops)
+        .orderBy(col("source"), col("lang"))
+    },
+    // Tokenizer fertility per source (BPE-ish tokens per word)
+    "t_fertility" -> { (s, dir) =>
+      TextAnalysis
+        .fertility(t(s, dir, "documents"), "text")
+        .orderBy(col("source"))
+    },
     // Per-key ranked top-k (W1 per-company variant)
     "wp_topk_per_source" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -890,6 +903,40 @@ object SparkEntry {
         |       CAST(least(64, tlen - gs.i*32) AS BIGINT) AS chunk_tokens
         |FROM w, LATERAL (SELECT unnest(generate_series(0, nwin-1)) AS i) gs
         |ORDER BY doc_id, win_index""".stripMargin,
+    "t_corpus_stats" -> {
+      // derived from the engine's own constants (qualitySql/stopHitsSql)
+      // so a weight/stopword edit re-generates both sides
+      val tk = "regexp_split_to_array(trim(text),'\\s+')"
+      s"""WITH b AS (SELECT source, lang,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tk) END AS toks,
+         |  CAST(length(text) AS DOUBLE) AS nc, CAST(len($tk) AS DOUBLE) AS nt,
+         |  ${TextAnalysis.stopHitsSql(qualityStops, tk)} AS ns
+         |FROM documents),
+         |q AS (SELECT source, lang, toks, ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS q FROM b),
+         |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
+         |        CAST(sum(toks) AS BIGINT) AS tokens,
+         |        CAST(count(*) FILTER (q >= 0.5) AS BIGINT) AS hi_q,
+         |        min(q) AS min_quality, max(q) AS max_quality
+         |      FROM q GROUP BY 1, 2)
+         |SELECT source, lang, docs, tokens,
+         |       CAST(tokens AS DOUBLE) / CAST((SELECT sum(tokens) FROM g) AS DOUBLE) AS token_share,
+         |       CAST(hi_q AS DOUBLE) / CAST(docs AS DOUBLE) AS hi_quality_frac,
+         |       min_quality, max_quality
+         |FROM g ORDER BY source, lang""".stripMargin
+    },
+    "t_fertility" -> {
+      val ws = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END"
+      val bpe = s"len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}'))"
+      s"""WITH b AS (SELECT source, CAST($ws AS BIGINT) AS ws, CAST($bpe AS BIGINT) AS bpe FROM documents),
+         |g AS (SELECT source, CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |        min(CASE WHEN ws > 0 THEN CAST(bpe AS DOUBLE)/CAST(ws AS DOUBLE) END) AS min_fertility,
+         |        max(CASE WHEN ws > 0 THEN CAST(bpe AS DOUBLE)/CAST(ws AS DOUBLE) END) AS max_fertility
+         |      FROM b GROUP BY 1)
+         |SELECT source, ws_tokens, bpe_tokens,
+         |       CASE WHEN ws_tokens > 0 THEN CAST(bpe_tokens AS DOUBLE)/CAST(ws_tokens AS DOUBLE) END AS fertility,
+         |       min_fertility, max_fertility
+         |FROM g ORDER BY source""".stripMargin
+    },
     "wp_topk_per_source" ->
       """SELECT source, doc_id, n_chars FROM (
         | SELECT source, doc_id, n_chars,

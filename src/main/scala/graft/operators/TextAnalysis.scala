@@ -169,6 +169,83 @@ object TextAnalysis {
           .as("dup_frac"),
         (col("st.top").cast("double") / col("st.total").cast("double")).as("top_frac"))
 
+  /** Corpus composition report per (source, lang): doc/token counts,
+    * each group's share of corpus tokens, and quality-distribution
+    * summaries — the audit table a corpus build publishes alongside
+    * the data (C4/RefinedWeb-style composition tables).
+    *
+    * Determinism across engines: only exact aggregates ride the
+    * group-by — counts, long token sums, and min/max of per-row
+    * doubles (order-independent); ratios divide exact sums cast to
+    * double at the edge. A sum or mean OVER per-row doubles would be
+    * partition-order-dependent and is deliberately absent (the repo's
+    * oracle determinism rule). Two narrow passes: one group-by, one
+    * re-aggregate of the (tiny) group table for the corpus total,
+    * broadcast back — no second corpus scan at scale if callers cache.
+    */
+  def corpusStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val base = Width.spread(df)
+      .select(
+        col("source"),
+        col("lang"),
+        TextFns.wordCount(col(textCol)).as("__toks"),
+        qualityScore(col(textCol), stopwords).as("__q"))
+    val grouped = base
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("__toks")).as("tokens"),
+        sum(when(col("__q") >= 0.5, 1L).otherwise(0L)).as("__hi_q"),
+        min(col("__q")).as("min_quality"),
+        max(col("__q")).as("max_quality"))
+    grouped
+      .crossJoin(broadcast(grouped.agg(sum(col("tokens")).cast("double").as("__tot"))))
+      .select(
+        col("source"),
+        col("lang"),
+        col("docs"),
+        col("tokens"),
+        (col("tokens").cast("double") / col("__tot")).as("token_share"),
+        (col("__hi_q").cast("double") / col("docs").cast("double")).as("hi_quality_frac"),
+        col("min_quality"),
+        col("max_quality"))
+  }
+
+  /** Tokenizer fertility per source: BPE-ish tokens emitted per
+    * whitespace word — the budgeting number that converts a corpus
+    * word count into a training token count (and flags sources whose
+    * text shape inflates tokenization: code, tables, non-Latin).
+    * `fertility` is the ratio of exact per-source sums; min/max are
+    * over per-doc ratios (docs with zero words excluded). One
+    * group-by, all-exact aggregates.
+    */
+  def fertility(df: DataFrame, textCol: String): DataFrame = {
+    val perDoc = when(
+      col("__ws") > 0,
+      col("__bpe").cast("double") / col("__ws").cast("double"))
+    Width.spread(df)
+      .select(
+        col("source"),
+        TextFns.wordCount(col(textCol)).as("__ws"),
+        TextFns.bpeTokenCount(col(textCol)).as("__bpe"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("__ws")).as("ws_tokens"),
+        sum(col("__bpe")).as("bpe_tokens"),
+        min(perDoc).as("min_fertility"),
+        max(perDoc).as("max_fertility"))
+      .select(
+        col("source"),
+        col("ws_tokens"),
+        col("bpe_tokens"),
+        when(
+          col("ws_tokens") > 0,
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"),
+        col("min_fertility"),
+        col("max_fertility"))
+  }
+
   /** Token-window chunking with stride — context-window training-example
     * prep (the token-granularity upgrade of C1's char chunker,
     * reference `/root/reference/src/services/chunker.py:17-22`): slide
