@@ -1112,6 +1112,21 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     },
+    // Token-budget carve: keep docs in hash order while each source's
+    // running token total stays within 800 — the "N tokens per source"
+    // corpus knob (stratifiedCap counts docs; budgets count tokens)
+    "s_token_budget" -> { (s, dir) =>
+      Sampling
+        .tokenBudget(
+          t(s, dir, "documents")
+            .withColumn("n_toks", TextFns.wordCount(col("text"))),
+          col("source"),
+          col("doc_id"),
+          col("n_toks"),
+          800L)
+        .select(col("doc_id"), col("source"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    },
     // Deterministic train/val/test split assignment, counted per split
     "s_split_assign" -> { (s, dir) =>
       Sampling
@@ -2291,6 +2306,17 @@ object SparkEntryCoverage {
     "s_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${sqlHash32("doc_id")} < ${Sampling.threshold(0.1)}
+         |ORDER BY doc_id""".stripMargin,
+    "s_token_budget" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_toks,
+         |  ${sqlHash32("doc_id")} AS h FROM documents),
+         |r AS (SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+         |        sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS run
+         |      FROM b)
+         |SELECT doc_id, source, n_toks FROM r WHERE run <= 800
          |ORDER BY doc_id""".stripMargin,
     "s_split_assign" ->
       s"""WITH h AS (SELECT source, ${sqlHash32("doc_id")} AS h FROM documents)

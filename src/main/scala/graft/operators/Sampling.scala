@@ -91,6 +91,31 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budget sampling: keep docs, in deterministic hash order,
+    * while each group's running TOKEN total stays within `budget` —
+    * the "take ~1B tokens per source" corpus-carving knob
+    * (stratifiedCap counts documents; training budgets are tokens).
+    * Composed as `runningCap` over the hashSample ordering, so the
+    * kept set is reproducible on any engine/partitioning and nests
+    * within any larger budget's kept set (prefix property of the
+    * fixed hash order).
+    *
+    * Scale shape: one running-sum window per group, same posture as
+    * `packBins` (groups are sources/domains — numerous, individually
+    * bounded; no frame buffering). For a pathologically heavy group,
+    * pre-thin with `hashSample(budget / estimated_tokens)` — the
+    * shared hash order keeps a superset of the eventual winners.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      tokenCount: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    Relational.runningCap(df, Seq(group), Seq(hash32(key), key), tokenCount, budget)
+  }
+
   /** Mixture (curriculum) sampling: carve the LARGEST corpus whose
     * group composition matches `targets` exactly in expectation —
     * the "30% web, 50% code, 20% academic" pretraining mixture knob.

@@ -183,6 +183,21 @@ class OperatorsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("tokenBudget: per-group running token cap in hash order; budgets nest") {
+    val df = (1L to 60L).map(i => (s"g${i % 3}", i, 10L + i % 7)).toDF("g", "id", "toks")
+    def kept(budget: Long) =
+      graft.operators.Sampling.tokenBudget(df, $"g", $"id", $"toks", budget)
+        .collect().map(r => r.getLong(1)).toSet
+    val k50 = kept(50L); val k120 = kept(120L)
+    assert(k50.nonEmpty && k50.size < k120.size && k120.size < 60)
+    assert(k50.subsetOf(k120), "a smaller budget must keep a prefix of a larger one")
+    // per-group totals never exceed the budget
+    val totals = graft.operators.Sampling.tokenBudget(df, $"g", $"id", $"toks", 120L)
+      .groupBy($"g").agg(sum($"toks").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.forall(_ <= 120L))
+  }
+
   test("semanticDecontaminate: drops bench-similar vectors in a map-only pass") {
     val bench = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(
