@@ -695,6 +695,15 @@ object SparkEntryCoverage {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // Interpolated-bigram perplexity: the context-conditioned upgrade
+    // of t_perplexity — word sequences, not word bags, set the score
+    // (TextAnalysis.perplexityBigram; same micro-nat exact-integer
+    // accumulation, first token scored under the unigram)
+    "t_perplexity_bigram" -> { (s, dir) =>
+      TextAnalysis.perplexityBigram(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // TF-IDF term weighting: explode tokens -> per-(doc, term) tf ->
     // per-term df -> tf * ln(N/df), all hash aggregates + one
     // broadcast of the scalar doc count
@@ -2496,6 +2505,40 @@ object SparkEntryCoverage {
         |FROM tok JOIN lp ON tok.term = lp.term
         |GROUP BY tok.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "t_perplexity_bigram" -> {
+      // weights interpolated from the engine's own constants; both
+      // CTE chains derive (t+v) from exact counts, so every log-prob
+      // is the identical IEEE expression on both engines
+      val bw = TextAnalysis.BigramWeight
+      val uw = TextAnalysis.UnigramWeight
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |tok AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS pos, tk[CAST(gs.i+1 AS INT)] AS term,
+         |          CASE WHEN gs.i = 0 THEN NULL ELSE tk[CAST(gs.i AS INT)] END AS prev
+         |        FROM tk, LATERAL (SELECT unnest(generate_series(0, len(tk)-1)) AS i) gs),
+         |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         |big AS (SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS cab FROM tok
+         |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(SUM(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
+         |unilp AS (SELECT term,
+         |    CAST(round(ln((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS lp6
+         |  FROM vocab, tot),
+         |bilp AS (SELECT b.prev, b.term,
+         |    CAST(round(ln($bw*(CAST(b.cab AS DOUBLE)/CAST(c.ca AS DOUBLE)) +
+         |      $uw*((CAST(vv.cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE))))*1000000) AS BIGINT) AS lp6
+         |  FROM big b JOIN ctx c USING (prev) JOIN vocab vv ON vv.term = b.term, tot),
+         |scored AS (
+         |  SELECT tok.doc_id, u.lp6 FROM tok JOIN unilp u USING (term) WHERE tok.pos = 0
+         |  UNION ALL
+         |  SELECT tok.doc_id, b.lp6 FROM tok JOIN bilp b
+         |    ON tok.prev = b.prev AND tok.term = b.term WHERE tok.pos > 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(-SUM(lp6) AS BIGINT) AS nll_sum6,
+         |       round(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0), 6) AS mean_nll,
+         |       round(exp(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0)), 4) AS ppl
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "v_sql_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score

@@ -377,6 +377,129 @@ object TextAnalysis {
         round(exp(mean), 4).as("ppl"))
   }
 
+  /** Interpolation weights of the bigram LM: p(w|v) =
+    * BigramWeight·p_MLE(w|v) + UnigramWeight·p_add1(w). Two literals
+    * (not λ and 1−λ) so both engines parse the identical doubles.
+    */
+  val BigramWeight = 0.7
+  val UnigramWeight = 0.3
+
+  /** The (id, pos, prev, term) adjacent-token-pair stream of a corpus:
+    * pos 0 rows carry a null `prev`. Built per-row with
+    * `transform(sequence)` + posexplode — no self-join on position,
+    * no window; the pair stream is assembled inside codegen before it
+    * ever shuffles.
+    */
+  def bigramPairs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Width.spread(df)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("__tk"))
+      .select(
+        col("id"),
+        posexplode(transform(sequence(lit(1), size(col("__tk"))), i =>
+          struct(
+            element_at(col("__tk"), i).as("term"),
+            when(i === 1, lit(null).cast("string"))
+              .otherwise(element_at(col("__tk"), i - 1)).as("prev")))))
+      .select(col("id"), col("pos"), col("col.term"), col("col.prev"))
+
+  /** Interpolated-bigram upgrade of [[perplexity]] (the KenLM-shaped
+    * gate CCNet actually ships: context-conditioned, not bag-of-words):
+    * every doc scored under the corpus's own interpolated bigram LM.
+    * First tokens score under the add-one unigram; later tokens under
+    * BigramWeight·c(v,w)/c(v,·) + UnigramWeight·p_add1(w). Gibberish
+    * with plausible WORDS but implausible SEQUENCES — the case a
+    * unigram gate cannot see — scores tail here.
+    */
+  def perplexityBigram(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    scoreBigramLm(df, textCol, idCol, fitBigramLm(df, textCol))
+
+  /** Fit the interpolated bigram LM of `df`. Returns (biLp — (prev,
+    * term, lp6) for every SEEN bigram; uniLp — (term, lp6 unigram,
+    * lpbo6 backoff = UnigramWeight·p_add1); oov6 — unseen first
+    * token; oovbo6 — unseen later token). Same determinism contract
+    * as [[fitUnigramLm]]: each log-prob is computed once per TYPE,
+    * scaled to micro-nats and rounded to BIGINT, so scoring is exact
+    * integer accumulation. The vocab and bigram-count aggs (term/pair
+    * dictionaries, far smaller than the token stream) are persisted
+    * (clearCache contract); totals are a 1-row bootstrap collect.
+    */
+  def fitBigramLm(df: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, Long, Long) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = bigramPairs(df, textCol, df.columns.head)
+      .select(col("prev"), col("term"))
+    val vocab = pairs.groupBy(col("term")).agg(count(lit(1)).as("cnt")).persist(mem)
+    val tot = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")).head()
+    val denom = if (tot.isNullAt(0)) 1.0 else tot.getLong(0).toDouble + tot.getLong(1).toDouble
+    val pAdd1 = (col("cnt").cast("double") + lit(1.0)) / lit(denom)
+    val uniLp = vocab.select(
+      col("term"),
+      round(log(pAdd1) * lit(1e6), 0).cast("long").as("lp6"),
+      round(log(lit(UnigramWeight) * pAdd1) * lit(1e6), 0).cast("long").as("lpbo6"))
+    val big = pairs
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term"))
+      .agg(count(lit(1)).as("cab"))
+      .persist(mem)
+    val ctx = big.groupBy(col("prev")).agg(sum(col("cab")).as("ca"))
+    val biLp = big
+      .join(ctx, "prev")
+      .join(vocab, "term")
+      .select(
+        col("prev"),
+        col("term"),
+        round(
+          log(
+            lit(BigramWeight) * (col("cab").cast("double") / col("ca").cast("double")) +
+              lit(UnigramWeight) * pAdd1) * lit(1e6),
+          0).cast("long").as("lp6"))
+    def half6(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    (biLp, uniLp, half6(math.log(1.0 / denom)), half6(math.log(UnigramWeight / denom)))
+  }
+
+  /** Score `df` under a fitted bigram LM (possibly fit on a different
+    * corpus — the train-offline / score-online seam of
+    * [[scoreUnigramLm]]). First tokens join the unigram table; later
+    * tokens join the bigram table with the per-term backoff as the
+    * unseen-pair fallback. Two vocab-sized equi-joins over the token
+    * stream (left unhinted — Catalyst broadcasts a small LM, shuffles
+    * a web-scale one), then one exact-integer per-doc agg.
+    * Returns (id, n_tokens, nll_sum6, mean_nll, ppl).
+    */
+  def scoreBigramLm(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lm: (DataFrame, DataFrame, Long, Long)): DataFrame = {
+    val (biLp, uniLp, oov6, oovbo6) = lm
+    val pairs = bigramPairs(df, textCol, idCol)
+    val first = pairs
+      .filter(col("pos") === 0)
+      .join(uniLp.select(col("term"), col("lp6").as("__u")), Seq("term"), "left")
+      .select(col("id"), coalesce(col("__u"), lit(oov6)).as("lp6"))
+    val rest = pairs
+      .filter(col("pos") > 0)
+      .join(
+        biLp.select(col("prev"), col("term"), col("lp6").as("__b")),
+        Seq("prev", "term"),
+        "left")
+      .join(uniLp.select(col("term"), col("lpbo6").as("__bo")), Seq("term"), "left")
+      .select(col("id"), coalesce(col("__b"), col("__bo"), lit(oovbo6)).as("lp6"))
+    val mean = col("nll_sum6").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
+    first
+      .unionByName(rest)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("lp6"))).as("nll_sum6"))
+      .select(
+        col("id"),
+        col("n_tokens"),
+        col("nll_sum6"),
+        round(mean, 6).as("mean_nll"),
+        round(exp(mean), 4).as("ppl"))
+  }
+
   /** A5 — keyword sentiment: positive/(positive+negative) counts of
     * docs whose text contains any positive vs negative keyword; null
     * when both are 0 (reference `structured_extraction_v2.py:3196-3207`).

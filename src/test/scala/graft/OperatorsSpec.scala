@@ -285,6 +285,37 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
+  test("perplexityBigram: scrambled word ORDER scores tail where unigram is blind") {
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy brown the jumps fox" // same bag of words
+    val df = (1L to 8L).map(i => (i, natural)).toDF("doc_id", "text")
+      .union(Seq((9L, scrambled)).toDF("doc_id", "text"))
+    val bi = TextAnalysis.perplexityBigram(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bi(9L) > bi(1L), s"bigram LM must punish scrambled order: $bi")
+    val uni = TextAnalysis.perplexity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // identical word bag -> unigram can't separate them
+    assert(math.abs(uni(9L) - uni(1L)) < 1e-9)
+  }
+
+  test("scoreBigramLm: cross-corpus scoring hits backoff and OOV fallbacks") {
+    val fit = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("doc_id", "text")
+    val lm = TextAnalysis.fitBigramLm(fit, "text")
+    val score = Seq(
+      (10L, "alpha beta"),   // seen bigram
+      (11L, "beta alpha"),   // seen terms, UNSEEN pair -> per-term backoff
+      (12L, "omega zeta")    // unseen everything -> oov + oov-backoff
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scoreBigramLm(score, "text", "doc_id", lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L))
+    assert(got.forall { case (_, n, nll) => n == 2L && !nll.isNaN && nll > 0 })
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId(10L) < byId(11L) && byId(11L) < byId(12L),
+      s"seen pair < backoff < full OOV expected: $byId")
+  }
+
   test("exciseContaminated: excises a leak at ANY token offset; full leak drops the doc") {
     val leak = "what is the capital of"
     val bench = Seq((100L, s"quiz intro words here $leak france answer follows")).toDF("doc_id", "text")
