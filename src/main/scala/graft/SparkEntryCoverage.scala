@@ -695,6 +695,24 @@ object SparkEntryCoverage {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // KMV distinct-count sketch: per-source vocabulary-size estimate
+    // from the 64 smallest distinct token hashes, published next to
+    // the exact count it approximates. Deterministic order statistic
+    // over the shared portable hash — oracle-checkable where an HLL
+    // is a black box (Sketches.kmvDistinct)
+    "a_kmv_distinct" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+      Sketches
+        .kmvDistinct(tok, Seq(col("source")), col("term"), 64)
+        .join(
+          tok.groupBy(col("source"))
+            .agg(countDistinct(col("term")).as("n_exact")),
+          "source")
+        .select(col("source"), col("n_exact"), col("n_seen"), col("kmv_est"))
+        .orderBy(col("source"))
+    },
     // Interpolated-bigram perplexity: the context-conditioned upgrade
     // of t_perplexity — word sequences, not word bags, set the score
     // (TextAnalysis.perplexityBigram; same micro-nat exact-integer
@@ -2505,6 +2523,21 @@ object SparkEntryCoverage {
         |FROM tok JOIN lp ON tok.term = lp.term
         |GROUP BY tok.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "a_kmv_distinct" -> {
+      val k = 64
+      s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |hh AS (SELECT DISTINCT source, ${sqlHash32("term")} AS h FROM tok),
+         |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+         |agg AS (SELECT source, CAST(count(*) FILTER (rn <= $k) AS BIGINT) AS n_seen,
+         |          max(h) FILTER (rn = $k) AS hk
+         |        FROM rk GROUP BY 1),
+         |ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM tok GROUP BY 1)
+         |SELECT source, n_exact, n_seen,
+         |       CASE WHEN n_seen < $k THEN CAST(n_seen AS DOUBLE)
+         |            ELSE ${(k - 1).toDouble * 4294967296.0} / CAST(hk AS DOUBLE) END AS kmv_est
+         |FROM ex JOIN agg USING (source) ORDER BY source""".stripMargin
+    },
     "t_perplexity_bigram" -> {
       // weights interpolated from the engine's own constants; both
       // CTE chains derive (t+v) from exact counts, so every log-prob

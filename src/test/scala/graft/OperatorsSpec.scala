@@ -285,6 +285,22 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
+  test("kmvDistinct: estimate tracks exact cardinality; exact below k; partition-stable") {
+    val big = (1 to 5000).map(i => ("big", s"val$i"))      // 5000 distinct
+    val small = (1 to 30).flatMap(i => Seq(("small", s"v$i"), ("small", s"v$i"))) // 30 distinct, dup'd
+    val df = (big ++ small).toDF("g", "key")
+    def run(parts: Int) = graft.operators.Sketches
+      .kmvDistinct(df.repartition(parts), Seq($"g"), $"key", 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = run(4)
+    assert(got("small") == (30L, 30.0), s"below-k group must be exact: $got")
+    val (nSeen, est) = got("big")
+    assert(nSeen == 64L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"KMV estimate too far off: $est")
+    // pure order statistic: any partitioning merges to the identical sketch
+    assert(run(13) == got)
+  }
+
   test("perplexityBigram: scrambled word ORDER scores tail where unigram is blind") {
     val natural = "the quick brown fox jumps over the lazy dog"
     val scrambled = "dog the over quick lazy brown the jumps fox" // same bag of words
