@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** SURVEY §2.1 — sources and sinks. The reference's edges are JSON
   * (pretty + JSONL), text files and blob stores; the engine
@@ -135,6 +135,38 @@ object Io {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Training-shard export: the shape a trainer's data loader reads —
+    * `shard=K/part-*.json.gz` JSONL directories with a FIXED shard
+    * count and a bounded records-per-file. Shard assignment is
+    * `pmod(hash32(key), numShards)` over the engine's portable md5
+    * hash, NOT Spark's internal partitioner — the same doc lands in
+    * the same shard on any engine, any partitioning, any rerun, so
+    * dataloader resume/repeat contracts survive a re-export.
+    *
+    * One clustering shuffle on the shard id (hash-uniform by
+    * construction, so no skew), then each shard directory is written
+    * by bounded-size files — `maxRecordsPerFile` is what keeps a
+    * 100 TB export from producing multi-GB unsplittable gzip members.
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      key: Column,
+      path: String,
+      numShards: Int,
+      maxRecordsPerFile: Long = 0L,
+      gzip: Boolean = true): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    val sharded = df
+      .withColumn("__shard", pmod(graft.operators.Sampling.hash32(key), lit(numShards.toLong)))
+      .repartition(col("__shard"))
+      .write
+      .mode("overwrite")
+      .partitionBy("__shard")
+      .option("compression", if (gzip) "gzip" else "none")
+    (if (maxRecordsPerFile > 0L) sharded.option("maxRecordsPerFile", maxRecordsPerFile)
+     else sharded).json(path)
+  }
 
   /** Bucketed managed table: pre-shuffles on the join key at write
     * time so repeated joins/aggregations on that key run with NO

@@ -68,6 +68,24 @@ class IoSpec extends SparkSpec {
     assert(pdirs.toSeq == Seq("company_id=acme", "company_id=bcorp"))
   }
 
+  test("writeTrainingShards: portable hash sharding, bounded gzip files, round-trip") {
+    val out = tmp("shards")
+    val df = (1L to 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    Io.writeTrainingShards(df, col("doc_id"), out, numShards = 4, maxRecordsPerFile = 25L)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("__shard=")).sorted
+    assert(dirs.toSeq == (0 to 3).map(i => s"__shard=$i"))
+    // maxRecordsPerFile splits each shard into multiple gzip members
+    val files = new java.io.File(out, "__shard=0").listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(files.length >= 2, s"expected split files, got ${files.length}")
+    val back = spark.read.json(out)
+    assert(back.count() == 200)
+    // every row sits in the shard the PORTABLE hash assigns — not
+    // wherever Spark's internal partitioner happened to put it
+    val misplaced = back.filter(
+      col("__shard") =!= pmod(graft.operators.Sampling.hash32(col("doc_id")), lit(4L)))
+    assert(misplaced.count() == 0)
+  }
+
   test("A9 withRowMetrics: observe() counters") {
     val obs = Observation("m")
     val df = Seq(1, 2, 3).toDF("x").observe(obs, count(lit(1)).as("n_rows"))
