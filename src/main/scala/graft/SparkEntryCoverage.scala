@@ -1596,6 +1596,44 @@ object SparkEntryCoverage {
     digits.mkString(" || ")
   }
 
+  /** The t_funnel_e2e oracle, shared verbatim by the streaming funnel
+    * (st_funnel runs the same semantics as a live stream — within-
+    * batch arrival-order dedup equals the rn=1 first-wins here because
+    * the file source delivers rows in doc_id order). lang/quality CTEs
+    * are DERIVED from the engine's own marker/stopword/weight
+    * constants (TextAnalysis.langIdSql/qualitySql) — a marker or
+    * weight edit re-generates both sides, so this composed oracle
+    * cannot silently desynchronize from t_quality_score/t_lang_id.
+    */
+  private[graft] lazy val funnelE2eOracle: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents),
+       |lang AS (SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS lang_pred
+       |  FROM tok),
+       |qb AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+       |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
+       |  ${TextAnalysis.stopHitsSql(SparkEntry.qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
+       |  FROM documents),
+       |qual AS (SELECT doc_id, ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS quality
+       |  FROM qb),
+       |base AS (SELECT d.doc_id, d.text, d.source, l.lang_pred, q.quality
+       |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |  WHERE d.source <> 'src0' AND l.lang_pred = 'dataish' AND q.quality >= 0.5),
+       |ded AS (SELECT * FROM base
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       |    ORDER BY doc_id) = 1),
+       |dsh AS (SELECT b.doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t.tk) - 2),
+       |          i -> t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2]))) AS s
+       |        FROM ded b JOIN tok t USING (doc_id) WHERE len(t.tk) >= 3),
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       |        FROM documents JOIN tok USING (doc_id) WHERE source = 'src0' AND len(tk) >= 3),
+       |cont AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (s))
+       |SELECT doc_id, source, lang_pred, quality FROM ded
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+       |  AND ${sqlHash32("doc_id")} < ${Sampling.threshold(0.5)}
+       |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "f4_timeline" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') || ': ' || event_type AS line
@@ -2602,39 +2640,7 @@ object SparkEntryCoverage {
         |       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS dup_frac,
         |       CAST(MAX(c) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "t_funnel_e2e" ->
-      // lang/quality CTEs are DERIVED from the engine's own marker/
-      // stopword/weight constants (TextAnalysis.langIdSql/qualitySql)
-      // — a marker or weight edit re-generates both sides, so this
-      // composed oracle cannot silently desynchronize from
-      // t_quality_score/t_lang_id
-      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents),
-         |lang AS (SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS lang_pred
-         |  FROM tok),
-         |qb AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
-         |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
-         |  ${TextAnalysis.stopHitsSql(SparkEntry.qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
-         |  FROM documents),
-         |qual AS (SELECT doc_id, ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS quality
-         |  FROM qb),
-         |base AS (SELECT d.doc_id, d.text, d.source, l.lang_pred, q.quality
-         |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
-         |  WHERE d.source <> 'src0' AND l.lang_pred = 'dataish' AND q.quality >= 0.5),
-         |ded AS (SELECT * FROM base
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
-         |    ORDER BY doc_id) = 1),
-         |dsh AS (SELECT b.doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t.tk) - 2),
-         |          i -> t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2]))) AS s
-         |        FROM ded b JOIN tok t USING (doc_id) WHERE len(t.tk) >= 3),
-         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
-         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-         |        FROM documents JOIN tok USING (doc_id) WHERE source = 'src0' AND len(tk) >= 3),
-         |cont AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (s))
-         |SELECT doc_id, source, lang_pred, quality FROM ded
-         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-         |  AND ${sqlHash32("doc_id")} < ${Sampling.threshold(0.5)}
-         |ORDER BY doc_id""".stripMargin,
+    "t_funnel_e2e" -> funnelE2eOracle,
     "t_funnel_ppl" ->
       // t_funnel_e2e's derived lang/quality fragments + the perplexity
       // gate CTEs (same micro-nat formulas as the t_perplexity oracle,

@@ -208,6 +208,32 @@ object SparkEntryStreaming {
     // log-prob — the train-offline / score-online seam of a corpus
     // intake pipeline. Micro-nat integer sums stay exact under
     // micro-batch arrival order; complete mode drains the per-doc agg.
+    // The corpus funnel as a live stream (Corpus.streamFunnel): gates
+    // and sample per-row, exact dedup via state-store dropDuplicates,
+    // decontamination via the benchmark's constant shingle-hash set —
+    // semantics identical to t_funnel_e2e, whose oracle is shared
+    "st_funnel" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("source") =!= "src0")
+      val funneled = graft.pipelines.Corpus
+        .streamFunnel(
+          stream,
+          docs.filter(col("source") === "src0"),
+          "text",
+          "doc_id",
+          SparkEntry.langMarkers,
+          keepLang = "dataish",
+          SparkEntry.qualityStops,
+          minQuality = 0.5,
+          shingleN = 3,
+          sampleFraction = 0.5)
+        .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"))
+      drain(funneled, "st_funnel_sink", "append")
+        .orderBy(col("doc_id"))
+    },
     "st_perplexity" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val lm = graft.operators.TextAnalysis
@@ -225,6 +251,9 @@ object SparkEntryStreaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // batch/stream parity: the live funnel keeps t_funnel_e2e's exact
+    // semantics, so its oracle is shared verbatim
+    "st_funnel" -> SparkEntryCoverage.funnelE2eOracle,
     // identical to dd_incremental's oracle: the streaming form keeps
     // the same semantics (within-batch fp dedup is an identity on
     // this corpus — no two batch rows share a fingerprint — so

@@ -86,4 +86,56 @@ object Corpus {
       .select(col("id").as(idCol))
     Sampling.hashSample(canonical.join(clean, idCol), col(idCol), sampleFraction)
   }
+
+  /** The funnel as a STRUCTURED STREAM: same gates, dedup,
+    * decontamination and sample over an unbounded `docs` stream (the
+    * corpus-intake analog of the reference's daily incremental DAG).
+    * Every batch stage is re-expressed in its stream-safe form —
+    * semantics are unchanged, so [[funnel]]'s oracle carries over:
+    *   - lang/quality gates and the hash sample are per-row
+    *     expressions (stateless);
+    *   - exact dedup becomes streaming `dropDuplicates` on the content
+    *     fingerprint — state-store-backed first-wins in arrival order
+    *     (bound state with `withWatermark` upstream on a real feed);
+    *   - decontamination swaps the broadcast shingle-hash JOIN for a
+    *     per-row `arrays_overlap` against the static benchmark's
+    *     collected hash set (same shared-hash criterion): benchmark
+    *     suites are MBs, so the set rides as a constant like
+    *     `semanticDecontaminate`'s vectors, keeping the stream side
+    *     join-free and append-mode-clean.
+    * Returns surviving rows plus `lang_pred` and `quality`.
+    */
+  def streamFunnel(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      langMarkers: Seq[(String, Seq[String])],
+      keepLang: String,
+      stopwords: Seq[String],
+      minQuality: Double,
+      shingleN: Int = 3,
+      sampleFraction: Double = 1.0): DataFrame = {
+    import graft.expressions.{SortedHashes64, WordShingles}
+    val benchHashes: Seq[Long] = Dedup
+      .shingleSets(benchmark, textCol, idCol, shingleN)
+      .select(explode(SortedHashes64.hashes(col("sh"))).as("h"))
+      .distinct()
+      .collect()
+      .toSeq
+      .map(_.getLong(0))
+    val docHashes =
+      SortedHashes64.hashes(WordShingles.shingles(col(textCol), shingleN))
+    Sampling.hashSample(
+      docs
+        .withColumn("lang_pred", TextAnalysis.langId(col(textCol), langMarkers))
+        .withColumn("quality", TextAnalysis.qualityScore(col(textCol), stopwords))
+        .filter(col("lang_pred") === keepLang && col("quality") >= minQuality)
+        .withColumn("__fp", graft.functions.TextFns.fingerprint(col(textCol)))
+        .dropDuplicates("__fp")
+        .drop("__fp")
+        .filter(!arrays_overlap(docHashes, typedLit(benchHashes))),
+      col(idCol),
+      sampleFraction)
+  }
 }
