@@ -1260,6 +1260,32 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // Exact distributed Pearson correlation per group, from the five
+    // decimal power sums (Σx, Σy, Σxy, Σx², Σy²) cast to double only
+    // at the edge — corr() builtins accumulate floats in partition
+    // order and are not reproducible across engines; power sums are
+    // (the a_zscore_outliers discipline extended to two variables)
+    "a_corr_exact" -> { (s, dir) =>
+      val x = col("l_quantity").cast("decimal(18,0)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
     // Per-source length outliers by z-score, with the moments computed
     // from EXACT decimal power sums (sum x, sum x²) cast to double at
     // the edge — the one way distributed variance is deterministic
@@ -2459,6 +2485,17 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "a_corr_exact" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "a_zscore_outliers" ->
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
