@@ -1154,6 +1154,21 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("source"), col("n_toks"))
         .orderBy(col("doc_id"))
     },
+    // Weighted sample: 5 docs per source, probability proportional to
+    // token count (Efraimidis-Spirakis exponential keys over the
+    // portable hash — deterministic weighted reservoir)
+    "s_weighted_sample" -> { (s, dir) =>
+      Sampling
+        .weightedSample(
+          t(s, dir, "documents")
+            .withColumn("n_toks", TextFns.wordCount(col("text"))),
+          col("source"),
+          col("doc_id"),
+          col("n_toks"),
+          5)
+        .select(col("doc_id"), col("source"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    },
     // Deterministic train/val/test split assignment, counted per split
     "s_split_assign" -> { (s, dir) =>
       Sampling
@@ -2397,6 +2412,18 @@ object SparkEntryCoverage {
     "s_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${sqlHash32("doc_id")} < ${Sampling.threshold(0.1)}
+         |ORDER BY doc_id""".stripMargin,
+    "s_weighted_sample" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_toks,
+         |  ${sqlHash32("doc_id")} AS h FROM documents),
+         |k AS (SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+         |        round(ln(CAST(h + 1 AS DOUBLE) / 4294967296.0) / CAST(n_toks AS DOUBLE), 9) AS es
+         |      FROM b WHERE n_toks > 0),
+         |r AS (SELECT doc_id, source, n_toks,
+         |        row_number() OVER (PARTITION BY source ORDER BY es DESC, doc_id) AS rn FROM k)
+         |SELECT doc_id, source, n_toks FROM r WHERE rn <= 5
          |ORDER BY doc_id""".stripMargin,
     "s_token_budget" ->
       s"""WITH b AS (SELECT doc_id, source,

@@ -116,6 +116,46 @@ object Sampling {
     Relational.runningCap(df, Seq(group), Seq(hash32(key), key), tokenCount, budget)
   }
 
+  /** Weighted sampling without replacement, k per group
+    * (Efraimidis–Spirakis A-ES): each row draws u = (hash32(key)+1)/2^32
+    * from ITS OWN hash — deterministic, engine-portable — and ranks by
+    * the exponential key ln(u)/w; the k largest keys per group are the
+    * weighted sample (a row with twice the weight is twice as likely
+    * to make the cut, exactly). `tokenBudget` fills a budget in a
+    * fixed order; this draws a SIZE-k sample with probability
+    * proportional to weight — the "sample 10k docs, long docs
+    * proportionally likelier" knob.
+    *
+    * The key is rounded at 9 decimals on both engines before ranking:
+    * ln is correctly rounded to within 1 ulp but not identically
+    * across libms, and an ulp straddling a rank boundary would flip
+    * the selection — the same one-rounding-point rule as the micro-nat
+    * LMs, applied at the comparison site. Zero/negative weights are
+    * excluded (their draw probability is 0).
+    *
+    * Scale shape: one row_number window per group over per-row keys —
+    * the stratifiedCap posture (numerous, individually bounded
+    * groups); pre-thin a pathologically heavy group with `hashSample`
+    * first if needed.
+    */
+  def weightedSample(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hash32(key) + lit(1L)).cast("double") / lit(Space)
+    val esKey = round(log(u) / weight.cast("double"), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(esKey.desc, key)
+    df.filter(weight > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Mixture (curriculum) sampling: carve the LARGEST corpus whose
     * group composition matches `targets` exactly in expectation —
     * the "30% web, 50% code, 20% academic" pretraining mixture knob.

@@ -285,6 +285,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
+  test("weightedSample: weight-proportional inclusion, size-k, partition-stable") {
+    // one whale (weight 1e9) among 200 minnows (weight 1): its A-ES
+    // key ln(u)/1e9 ~ 0- beats any minnow's, so it must be drawn
+    val df = ((1L to 200L).map(i => ("g", i, 1L)) :+ (("g", 999L, 1000000000L)))
+      .toDF("g", "id", "w")
+    val got = graft.operators.Sampling.weightedSample(df, $"g", $"id", $"w", 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.size == 10 && got.contains(999L), s"whale must be sampled: $got")
+    // deterministic under repartitioning
+    val again = graft.operators.Sampling.weightedSample(df.repartition(7), $"g", $"id", $"w", 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(again == got)
+    // zero-weight rows can never be drawn
+    val withZero = df.union(Seq(("g", 5000L, 0L)).toDF("g", "id", "w"))
+    assert(!graft.operators.Sampling.weightedSample(withZero, $"g", $"id", $"w", 10)
+      .collect().map(_.getLong(1)).contains(5000L))
+  }
+
   test("kmvDistinct: estimate tracks exact cardinality; exact below k; partition-stable") {
     val big = (1 to 5000).map(i => ("big", s"val$i"))      // 5000 distinct
     val small = (1 to 30).flatMap(i => Seq(("small", s"v$i"), ("small", s"v$i"))) // 30 distinct, dup'd
