@@ -1275,6 +1275,31 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // Interval-overlap join: purchase activity windows [ts, ts+value
+    // min] paired with overlapping click windows of the same user —
+    // cell-bucketed equi-join, per-row first-overlap-cell dedup
+    // (Relational.intervalOverlapJoin; no theta nest-loop, no
+    // dropDuplicates shuffle)
+    "j_interval_overlap" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def side(tp: String, pre: String) = ev
+        .filter(col("event_type") === tp)
+        .select(
+          col("user_id"),
+          col("event_id").as(s"${pre}_id"),
+          unix_micros(col("ts")).cast("double").as(s"${pre}_s"),
+          (unix_micros(col("ts")).cast("double") + col("value") * lit(60000000.0))
+            .as(s"${pre}_e"))
+      Relational
+        .intervalOverlapJoin(
+          side("purchase", "p"),
+          side("click", "c"),
+          Seq("user_id"),
+          "p_s", "p_e", "c_s", "c_e",
+          cellSize = 3.6e9)
+        .select(col("user_id"), col("p_id"), col("c_id"))
+        .orderBy(col("user_id"), col("p_id"), col("c_id"))
+    },
     // Exact distributed Pearson correlation per group, from the five
     // decimal power sums (Σx, Σy, Σxy, Σx², Σy²) cast to double only
     // at the edge — corr() builtins accumulate floats in partition
@@ -2512,6 +2537,16 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "j_interval_overlap" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, CAST(epoch_us(ts) AS DOUBLE) AS ps,
+        |            CAST(epoch_us(ts) AS DOUBLE) + value*60000000.0 AS pe
+        |          FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, CAST(epoch_us(ts) AS DOUBLE) AS cs,
+        |        CAST(epoch_us(ts) AS DOUBLE) + value*60000000.0 AS ce
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p_id, c_id
+        |FROM p JOIN c ON p.user_id = c.user_id AND ps <= ce AND cs <= pe
+        |ORDER BY p.user_id, p_id, c_id""".stripMargin,
     "a_corr_exact" ->
       """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,

@@ -142,6 +142,45 @@ object Relational {
       .drop("__cell")
   }
 
+  /** Interval×interval overlap join ([[rangeJoinBucketed]] handles
+    * point-in-interval; this pairs two INTERVAL sets): rows whose
+    * [start, end] ranges intersect (closed ends — an exact touch
+    * counts), equi-keyed on `keys`. Column names across the two sides
+    * must be disjoint.
+    *
+    * Scale shape: both sides explode into fixed-size time cells and
+    * equi-join on (keys, cell) — a theta-join would nest-loop the full
+    * key group. A pair overlapping across several shared cells would
+    * duplicate, so each pair is kept ONLY in the cell containing
+    * max(startL, startR): that point lies in both intervals (so the
+    * cell is matched), making the dedup a per-row predicate instead of
+    * a dropDuplicates shuffle over the pair stream. Cells per row =
+    * interval_length/cellSize — size `cellSize` to the p99 interval.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      startL: String,
+      endL: String,
+      startR: String,
+      endR: String,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    def cells(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__cell",
+      explode(
+        sequence(
+          floor(col(s) / cellSize).cast("long"),
+          floor(col(e) / cellSize).cast("long"))))
+    cells(left, startL, endL)
+      .join(cells(right, startR, endR), keys :+ "__cell")
+      .filter(col(startL) <= col(endR) && col(startR) <= col(endL))
+      .filter(
+        floor(greatest(col(startL), col(startR)) / cellSize).cast("long") === col("__cell"))
+      .drop("__cell")
+  }
+
   /** Skew-resistant aggregation: two-phase salted combine. Phase 1
     * aggregates on (keys, salt) — spreading a hot key over
     * `saltBuckets` reducers — phase 2 merges the partials. Results

@@ -285,6 +285,29 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
+  test("intervalOverlapJoin: equals the naive theta join, one row per pair") {
+    val left = Seq(
+      ("u", 1L, 0.0, 25.0),    // spans 3 cells at cellSize 10
+      ("u", 2L, 40.0, 50.0),   // touches right #12 at exactly 50
+      ("v", 3L, 0.0, 100.0)    // other key: must not pair with u
+    ).toDF("k", "l_id", "l_s", "l_e")
+    val right = Seq(
+      ("u", 11L, 5.0, 24.0),   // overlaps #1 across cells 0..2
+      ("u", 12L, 50.0, 60.0),  // boundary touch with #2
+      ("u", 13L, 26.0, 39.0),  // gap: overlaps nothing
+      ("v", 14L, 99.0, 120.0)
+    ).toDF("k", "r_id", "r_s", "r_e")
+    val got = Relational
+      .intervalOverlapJoin(left, right, Seq("k"), "l_s", "l_e", "r_s", "r_e", 10.0)
+      .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = left.join(right, Seq("k"))
+      .filter($"l_s" <= $"r_e" && $"r_s" <= $"l_e")
+      .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == naive.sorted, s"bucketed=$got naive=$naive")
+    assert(got.length == got.distinct.length, "multi-cell pairs must not duplicate")
+    assert(got.toSet == Set((1L, 11L), (2L, 12L), (3L, 14L)))
+  }
+
   test("weightedSample: weight-proportional inclusion, size-k, partition-stable") {
     // one whale (weight 1e9) among 200 minnows (weight 1): its A-ES
     // key ln(u)/1e9 ~ 0- beats any minnow's, so it must be drawn
