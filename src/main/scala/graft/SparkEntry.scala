@@ -1170,7 +1170,8 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
     "dd_semantic_decontam" ->
       s"""WITH bench AS (SELECT embedding AS be FROM embeddings WHERE vec_id % 20 = 0),
-         |corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+         |corpus AS (SELECT vec_id, label, embedding FROM embeddings
+         |           WHERE vec_id % 20 <> 0 AND embedding IS NOT NULL),
          |sims AS (SELECT c.vec_id, c.label, max(${sqlCosine("c.embedding", "b.be")}) AS bench_sim
          |         FROM corpus c, bench b GROUP BY 1, 2)
          |SELECT vec_id, label, bench_sim FROM sims

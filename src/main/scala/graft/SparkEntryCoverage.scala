@@ -1320,9 +1320,15 @@ object SparkEntryCoverage {
         .select(
           col("l_returnflag"),
           col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          // zero-variance/n=1 guard: without it Spark's x/0.0 -> NULL
+          // while DuckDB's -> NaN/Inf, a silent oracle divergence on
+          // any constant-valued group (the a_zscore_outliers rule)
+          when(
+            col("n") * col("sxx") - col("sx") * col("sx") > 0.0 &&
+              col("n") * col("syy") - col("sy") * col("sy") > 0.0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
             .as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     },
@@ -1662,10 +1668,16 @@ object SparkEntryCoverage {
     digits.mkString(" || ")
   }
 
-  /** The t_funnel_e2e oracle, shared verbatim by the streaming funnel
-    * (st_funnel runs the same semantics as a live stream — within-
-    * batch arrival-order dedup equals the rn=1 first-wins here because
-    * the file source delivers rows in doc_id order). lang/quality CTEs
+  /** The t_funnel_e2e oracle, shared verbatim by the streaming funnel.
+    * st_funnel's dedup is streaming dropDuplicates — first-wins in
+    * ARRIVAL order, which equals this oracle's min-doc_id first-wins
+    * under either of two conditions, both of which hold here: the
+    * single-split file source delivers rows in doc_id order, and (the
+    * stronger, split-independent one) this corpus has NO duplicate
+    * fingerprints at all, so the kept-row choice never arises. On a
+    * multi-split corpus WITH duplicates, shuffle fetch order decides
+    * the streaming survivor and min-id parity is not guaranteed —
+    * that is streaming-dedup semantics, not a defect. lang/quality CTEs
     * are DERIVED from the engine's own marker/stopword/weight
     * constants (TextAnalysis.langIdSql/qualitySql) — a marker or
     * weight edit re-generates both sides, so this composed oracle
@@ -2556,7 +2568,9 @@ object SparkEntryCoverage {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         | FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |       (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price
+        |       CASE WHEN n*sxx - sx*sx > 0.0 AND n*syy - sy*sy > 0.0
+        |            THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        |       END AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "a_zscore_outliers" ->
       """WITH m AS (

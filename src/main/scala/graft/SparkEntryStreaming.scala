@@ -202,12 +202,6 @@ object SparkEntryStreaming {
       drain(batch.select(col("doc_id"), col("fp")), "st_incremental_sink", "append")
         .orderBy(col("doc_id"))
     },
-    // Batch-fit / stream-score parity: the unigram LM is fit on the
-    // static history (docs < 250) and the streamed batch (docs >= 250)
-    // is scored per doc, unseen terms falling back to the smoothed OOV
-    // log-prob — the train-offline / score-online seam of a corpus
-    // intake pipeline. Micro-nat integer sums stay exact under
-    // micro-batch arrival order; complete mode drains the per-doc agg.
     // The corpus funnel as a live stream (Corpus.streamFunnel): gates
     // and sample per-row, exact dedup via state-store dropDuplicates,
     // decontamination via the benchmark's constant shingle-hash set —
@@ -234,6 +228,12 @@ object SparkEntryStreaming {
       drain(funneled, "st_funnel_sink", "append")
         .orderBy(col("doc_id"))
     },
+    // Batch-fit / stream-score parity: the unigram LM is fit on the
+    // static history (docs < 250) and the streamed batch (docs >= 250)
+    // is scored per doc, unseen terms falling back to the smoothed OOV
+    // log-prob — the train-offline / score-online seam of a corpus
+    // intake pipeline. Micro-nat integer sums stay exact under
+    // micro-batch arrival order; complete mode drains the per-doc agg.
     "st_perplexity" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val lm = graft.operators.TextAnalysis

@@ -52,8 +52,13 @@ object Similarity {
       embCol: String,
       tau: Double): DataFrame = {
     require(tau > -1.0, s"tau must exceed cosine's floor of -1, got $tau")
+    // null embeddings carry no similarity evidence on either side:
+    // null bench rows would NPE the driver map, and a null corpus row
+    // would silently survive (greatest skips the null cosine) while a
+    // SQL mirror's max() goes NULL and drops it — scope both out
     val vecs: Seq[Seq[Double]] = bench
       .select(col(embCol))
+      .filter(col(embCol).isNotNull)
       .collect()
       .toSeq
       .map(_.getAs[scala.collection.Seq[Any]](0).map {
@@ -63,6 +68,7 @@ object Similarity {
     require(vecs.nonEmpty, "empty benchmark: nothing to decontaminate against")
     val benchLit = typedLit(vecs)
     Width.spread(corpus)
+      .filter(col(embCol).isNotNull)
       .withColumn(
         "bench_sim",
         aggregate(

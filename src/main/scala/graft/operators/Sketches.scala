@@ -33,6 +33,10 @@ object Sketches {
     val kmv = udaf(new graft.expressions.KmvAggregator(k))
     Width.spread(df)
       .withColumn("__h", Sampling.hash32(key))
+      // null keys hash to null, which the non-nullable Long aggregator
+      // input would reject at runtime — ignore them, the same "null
+      // keys are never selected" contract as hashSample/splitAssign
+      .filter(col("__h").isNotNull)
       .groupBy(groupCols: _*)
       .agg(kmv(col("__h")).as("__mins"))
       .select(

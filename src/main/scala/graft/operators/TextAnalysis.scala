@@ -179,9 +179,11 @@ object TextAnalysis {
     * doubles (order-independent); ratios divide exact sums cast to
     * double at the edge. A sum or mean OVER per-row doubles would be
     * partition-order-dependent and is deliberately absent (the repo's
-    * oracle determinism rule). Two narrow passes: one group-by, one
-    * re-aggregate of the (tiny) group table for the corpus total,
-    * broadcast back — no second corpus scan at scale if callers cache.
+    * oracle determinism rule). The group table (bounded by
+    * |sources|×|langs|) is persisted so the corpus-total re-aggregate
+    * and the final projection share ONE corpus scan — without it the
+    * self-crossJoin would run the wordCount/quality pass twice
+    * (clearCache contract, as the Dedup kernels).
     */
   def corpusStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
     val base = Width.spread(df)
@@ -198,6 +200,7 @@ object TextAnalysis {
         sum(when(col("__q") >= 0.5, 1L).otherwise(0L)).as("__hi_q"),
         min(col("__q")).as("min_quality"),
         max(col("__q")).as("max_quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grouped
       .crossJoin(broadcast(grouped.agg(sum(col("tokens")).cast("double").as("__tot"))))
       .select(

@@ -95,8 +95,13 @@ object Corpus {
     *   - lang/quality gates and the hash sample are per-row
     *     expressions (stateless);
     *   - exact dedup becomes streaming `dropDuplicates` on the content
-    *     fingerprint — state-store-backed first-wins in arrival order
-    *     (bound state with `withWatermark` upstream on a real feed);
+    *     fingerprint — state-store-backed first-wins in ARRIVAL order
+    *     (bound state with `withWatermark` upstream on a real feed).
+    *     Arrival order is the streaming dedup contract: which
+    *     duplicate survives matches the batch funnel's min-id rule
+    *     only when the source delivers id-ordered rows or duplicates
+    *     never straddle input splits — the duplicate SET removed is
+    *     identical either way;
     *   - decontamination swaps the broadcast shingle-hash JOIN for a
     *     per-row `arrays_overlap` against the static benchmark's
     *     collected hash set (same shared-hash criterion): benchmark

@@ -158,11 +158,11 @@ object Io {
       gzip: Boolean = true): Unit = {
     require(numShards > 0, "numShards must be positive")
     val sharded = df
-      .withColumn("__shard", pmod(graft.operators.Sampling.hash32(key), lit(numShards.toLong)))
-      .repartition(col("__shard"))
+      .withColumn("shard", pmod(graft.operators.Sampling.hash32(key), lit(numShards.toLong)))
+      .repartition(col("shard"))
       .write
       .mode("overwrite")
-      .partitionBy("__shard")
+      .partitionBy("shard")
       .option("compression", if (gzip) "gzip" else "none")
     (if (maxRecordsPerFile > 0L) sharded.option("maxRecordsPerFile", maxRecordsPerFile)
      else sharded).json(path)

@@ -72,17 +72,17 @@ class IoSpec extends SparkSpec {
     val out = tmp("shards")
     val df = (1L to 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
     Io.writeTrainingShards(df, col("doc_id"), out, numShards = 4, maxRecordsPerFile = 25L)
-    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("__shard=")).sorted
-    assert(dirs.toSeq == (0 to 3).map(i => s"__shard=$i"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 to 3).map(i => s"shard=$i"))
     // maxRecordsPerFile splits each shard into multiple gzip members
-    val files = new java.io.File(out, "__shard=0").listFiles().filter(_.getName.endsWith(".json.gz"))
+    val files = new java.io.File(out, "shard=0").listFiles().filter(_.getName.endsWith(".json.gz"))
     assert(files.length >= 2, s"expected split files, got ${files.length}")
     val back = spark.read.json(out)
     assert(back.count() == 200)
     // every row sits in the shard the PORTABLE hash assigns — not
     // wherever Spark's internal partitioner happened to put it
     val misplaced = back.filter(
-      col("__shard") =!= pmod(graft.operators.Sampling.hash32(col("doc_id")), lit(4L)))
+      col("shard") =!= pmod(graft.operators.Sampling.hash32(col("doc_id")), lit(4L)))
     assert(misplaced.count() == 0)
   }
 
