@@ -464,12 +464,14 @@ object TextAnalysis {
 
   /** Score `df` under a fitted bigram LM (possibly fit on a different
     * corpus — the train-offline / score-online seam of
-    * [[scoreUnigramLm]]). First tokens join the unigram table; later
-    * tokens join the bigram table with the per-term backoff as the
-    * unseen-pair fallback. Two vocab-sized equi-joins over the token
-    * stream (left unhinted — Catalyst broadcasts a small LM, shuffles
-    * a web-scale one), then one exact-integer per-doc agg.
-    * Returns (id, n_tokens, nll_sum6, mean_nll, ppl).
+    * [[scoreUnigramLm]]). ONE pass over the pair stream with two
+    * dictionary equi-joins — unigram by term (first-token lp + the
+    * per-term backoff in the same row), bigram by (prev, term); a
+    * pos-0 row's null `prev` simply misses the left join. Routing is a
+    * per-row CASE, so the pair stream is never split/unioned or
+    * scanned twice. Joins left unhinted — Catalyst broadcasts a small
+    * LM, shuffles a web-scale one — then one exact-integer per-doc
+    * agg. Returns (id, n_tokens, nll_sum6, mean_nll, ppl).
     */
   def scoreBigramLm(
       df: DataFrame,
@@ -477,22 +479,21 @@ object TextAnalysis {
       idCol: String,
       lm: (DataFrame, DataFrame, Long, Long)): DataFrame = {
     val (biLp, uniLp, oov6, oovbo6) = lm
-    val pairs = bigramPairs(df, textCol, idCol)
-    val first = pairs
-      .filter(col("pos") === 0)
-      .join(uniLp.select(col("term"), col("lp6").as("__u")), Seq("term"), "left")
-      .select(col("id"), coalesce(col("__u"), lit(oov6)).as("lp6"))
-    val rest = pairs
-      .filter(col("pos") > 0)
+    val mean = col("nll_sum6").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
+    bigramPairs(df, textCol, idCol)
+      .join(
+        uniLp.select(col("term"), col("lp6").as("__u"), col("lpbo6").as("__bo")),
+        Seq("term"),
+        "left")
       .join(
         biLp.select(col("prev"), col("term"), col("lp6").as("__b")),
         Seq("prev", "term"),
         "left")
-      .join(uniLp.select(col("term"), col("lpbo6").as("__bo")), Seq("term"), "left")
-      .select(col("id"), coalesce(col("__b"), col("__bo"), lit(oovbo6)).as("lp6"))
-    val mean = col("nll_sum6").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
-    first
-      .unionByName(rest)
+      .select(
+        col("id"),
+        when(col("pos") === 0, coalesce(col("__u"), lit(oov6)))
+          .otherwise(coalesce(col("__b"), col("__bo"), lit(oovbo6)))
+          .as("lp6"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), (-sum(col("lp6"))).as("nll_sum6"))
       .select(
