@@ -785,6 +785,24 @@ object SparkEntry {
         .fertility(t(s, dir, "documents"), "text")
         .orderBy(col("source"))
     },
+    // Exact per-source top-5 terms (heavy hitters): two-phase — the
+    // token stream collapses to (source, term, n) via a map-side-
+    // combined hash agg, and the rank window runs over that
+    // vocab-bounded COUNTS table, never the token stream
+    "t_top_terms" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n").desc, col("term"))
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("term"), col("n"))
+        .orderBy(col("source"), col("rank"))
+    },
     // Per-key ranked top-k (W1 per-company variant)
     "wp_topk_per_source" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -937,6 +955,15 @@ object SparkEntry {
          |       min_fertility, max_fertility
          |FROM g ORDER BY source""".stripMargin
     },
+    "t_top_terms" ->
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT source, term, n,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS BIGINT) AS rank
+        |       FROM cnt)
+        |SELECT source, rank, term, n FROM rk WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     "wp_topk_per_source" ->
       """SELECT source, doc_id, n_chars FROM (
         | SELECT source, doc_id, n_chars,
