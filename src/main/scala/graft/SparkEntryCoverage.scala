@@ -1626,7 +1626,7 @@ object SparkEntryCoverage {
     */
   private val FunnelPplMax: Double = 3.41
 
-  private def sqlHash32(key: String): String =
+  private[graft] def sqlHash32(key: String): String =
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
       s"(a, b) -> a * 16 + b)"

@@ -228,6 +228,26 @@ object SparkEntryStreaming {
       drain(funneled, "st_funnel_sink", "append")
         .orderBy(col("doc_id"))
     },
+    // Streaming KMV: the per-source vocabulary-size sketch maintained
+    // live over the document stream (update-on-every-batch cardinality
+    // monitoring). KMV's buffer is a pure order statistic with
+    // commutative, duplicate-absorbing merges, so the drained stream's
+    // sketch is BIT-IDENTICAL to the batch sketch over the same rows —
+    // the oracle recomputes it exactly, no parity caveats needed
+    "st_kmv_distinct" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tok = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(length(trim(col("text"))) > 0)
+        .select(
+          col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      val sketch = graft.operators.Sketches
+        .kmvDistinct(tok, Seq(col("source")), col("term"), 64)
+      drain(sketch, "st_kmv_distinct_sink", "complete")
+        .orderBy(col("source"))
+    },
     // Batch-fit / stream-score parity: the unigram LM is fit on the
     // static history (docs < 250) and the streamed batch (docs >= 250)
     // is scored per doc, unseen terms falling back to the smoothed OOV
@@ -254,6 +274,20 @@ object SparkEntryStreaming {
     // batch/stream parity: the live funnel keeps t_funnel_e2e's exact
     // semantics, so its oracle is shared verbatim
     "st_funnel" -> SparkEntryCoverage.funnelE2eOracle,
+    // sketch merge-invariance makes the streamed KMV bit-equal to the
+    // batch recomputation (a_kmv_distinct's oracle minus the exact-
+    // count column)
+    "st_kmv_distinct" ->
+      s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |hh AS (SELECT DISTINCT source, ${SparkEntryCoverage.sqlHash32("term")} AS h FROM tok),
+         |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh)
+         |SELECT source, CAST(count(*) FILTER (rn <= 64) AS BIGINT) AS n_seen,
+         |       CASE WHEN count(*) FILTER (rn <= 64) < 64
+         |            THEN CAST(count(*) FILTER (rn <= 64) AS DOUBLE)
+         |            ELSE ${63.0 * 4294967296.0} / CAST(max(h) FILTER (rn = 64) AS DOUBLE) END AS kmv_est
+         |FROM rk GROUP BY source
+         |ORDER BY source""".stripMargin,
     // identical to dd_incremental's oracle: the streaming form keeps
     // the same semantics (within-batch fp dedup is an identity on
     // this corpus — no two batch rows share a fingerprint — so
