@@ -276,6 +276,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin property: equals the naive theta join on random intervals") {
+    def randIntervals(n: Int, pre: String) = (1L to n.toLong).map { i =>
+      val s = rnd.nextDouble() * 200.0
+      (s"k${rnd.nextInt(4)}", i, s, s + rnd.nextDouble() * 55.0)
+    }.toDF("k", s"${pre}_id", s"${pre}_s", s"${pre}_e")
+    val left = randIntervals(80, "l")
+    val right = randIntervals(80, "r")
+    for (cell <- Seq(1.0, 10.0, 64.0, 1000.0)) { // incl. one-cell-covers-all
+      val got = Relational
+        .intervalOverlapJoin(left, right, Seq("k"), "l_s", "l_e", "r_s", "r_e", cell)
+        .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val naive = left.join(right, Seq("k"))
+        .filter($"l_s" <= $"r_e" && $"r_s" <= $"l_e")
+        .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sorted.toSeq == naive.sorted.toSeq, s"cellSize=$cell")
+      assert(got.length == got.distinct.length, s"dup pairs at cellSize=$cell")
+    }
+  }
+
+  test("tokenWindows property: windows tile the token stream exactly") {
+    val texts = (1L to 50L).map { i =>
+      val n = rnd.nextInt(40)
+      (i, (1 to n).map(_ => s"w${rnd.nextInt(9)}").mkString("  "))
+    }.toDF("doc_id", "text")
+    for ((win, stride) <- Seq((8, 8), (8, 3), (5, 1))) {
+      val rows = graft.operators.TextAnalysis
+        .tokenWindows(texts, "text", "doc_id", win, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      val byDoc = rows.groupBy(_._1)
+      val expected = texts.select($"doc_id", TextFns.tokens($"text")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      byDoc.foreach { case (id, ws) =>
+        val toks = expected(id)
+        assert(toks.nonEmpty)
+        // window count formula, start positions on the stride grid
+        assert(ws.length == math.ceil(math.max(toks.length - win, 0) / stride.toDouble).toInt + 1)
+        ws.sortBy(_._2).foreach { case (_, wIdx, start, chunk, nTok) =>
+          assert(start == wIdx * stride)
+          val want = toks.slice(start.toInt, start.toInt + win)
+          assert(chunk == want.mkString(" "), s"doc $id window $wIdx")
+          assert(nTok == want.length)
+        }
+      }
+      // blank docs emit nothing; every non-blank doc emits >= 1 window
+      assert(byDoc.keySet == expected.filter(_._2.nonEmpty).keySet)
+    }
+  }
+
+  test("kmv property: sketch equals k smallest distinct hashes, any partitioning") {
+    val keys = (1 to 400).map(_ => s"k${rnd.nextInt(120)}") // ~120 distinct, duplicated
+    val df = keys.map(("g", _)).toDF("g", "key")
+    val k = 16
+    val got = graft.operators.Sketches
+      .kmvDistinct(df.repartition(11), Seq($"g"), $"key", k)
+      .head()
+    // reference: exact k smallest distinct portable hashes
+    val hashes = df.select(graft.operators.Sampling.hash32($"key")).distinct()
+      .collect().map(_.getLong(0)).sorted.take(k)
+    assert(got.getLong(1) == k.toLong)
+    val expectedEst = (k - 1).toDouble * 4294967296.0 / hashes.last.toDouble
+    assert(got.getDouble(2) == expectedEst)
+  }
+
   test("mixtureSample property: binding group keeps everything, composition tracks targets") {
     val docs = ((1L to 300L).map(i => (i, "web")) ++
       (301L to 400L).map(i => (i, "code")) ++
