@@ -55,4 +55,28 @@ class NullSafetySpec extends SparkSpec {
       .select(HtmlFns.urlJoin($"l", $"b")).head()
     assert(uj.getString(0) == "https://abs.com/x")
   }
+
+  test("kmvDistinct ignores null keys instead of crashing the aggregator") {
+    val df = Seq(("g", Some("a")), ("g", None), ("g", Some("b")), ("g", None))
+      .toDF("g", "key")
+    val got = graft.operators.Sketches
+      .kmvDistinct(df, Seq($"g"), $"key", 8).head()
+    assert(got.getLong(1) == 2L && got.getDouble(2) == 2.0) // a, b; nulls ignored
+  }
+
+  test("semanticDecontaminate scopes out null embeddings on both sides") {
+    val bench = Seq(
+      (0L, Some(Seq(1.0f, 0.0f))),
+      (1L, Option.empty[Seq[Float]]) // would NPE the driver collect unguarded
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Some(Seq(0.0f, 1.0f))), // orthogonal -> survives
+      (11L, Some(Seq(1.0f, 0.0f))), // identical to bench -> dropped
+      (12L, Option.empty[Seq[Float]]) // null: no evidence -> scoped out
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .semanticDecontaminate(corpus, bench, "embedding", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L))
+  }
 }
