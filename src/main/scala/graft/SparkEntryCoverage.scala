@@ -747,32 +747,41 @@ object SparkEntryCoverage {
     // BM25 document scoring for a 2-term query (≤2 contributions per
     // doc keeps the float sum commutative-safe; ln rounded at 6)
     "t_bm25" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val qTerms = Seq("data", "join")
-      val dl = docs.select(col("doc_id"), TextFns.wordCount(col("text")).as("dl"))
-      val stats = broadcast(
-        dl.agg(
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avglen"),
-          count(lit(1)).as("n")))
-      val tf = docs
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-        .filter(col("term").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val idf = log(
-        (col("n").cast("double") - col("df").cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5) + 1.0)
-      val num = col("tf").cast("double") * lit(2.2)
-      val den = col("tf").cast("double") +
-        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / col("avglen")))
-      tf.join(df, Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(stats)
-        .withColumn("contrib", idf * num / den)
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("contrib")), 6).as("bm25"))
+      bm25Scores(t(s, dir, "documents"), Seq("data", "join"))
         .orderBy(col("doc_id"))
+    },
+    // Hybrid retrieval: BM25 top-50 and featurizer-cosine top-50 fused
+    // by reciprocal-rank fusion (Rag.rrfFuse). Each leg bounds its
+    // candidates with TakeOrderedAndProject BEFORE ranking, so the
+    // rank windows and the fusion join see <= 50 rows per leg at any
+    // corpus size — the retrieve-then-fuse shape hybrid search ships
+    "r_hybrid_rrf" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val lex = bm25Scores(docs, Seq("data", "join"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+        .withColumn(
+          "rank",
+          row_number().over(w.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val qv = VectorFns.embedText(lit("data join window"), 16)
+      val vec = docs
+        .select(
+          col("doc_id"),
+          VectorFns.cosine(VectorFns.embedText(col("text"), 16), qv).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+        .withColumn(
+          "rank",
+          row_number().over(w.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      graft.pipelines.Rag
+        .rrfFuse(lex, vec, "doc_id", c = 60, k = 10)
+        .select(
+          col("doc_id"),
+          col("rank_a").as("lex_rank"),
+          col("rank_b").as("vec_rank"),
+          col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
     },
     // weekly distinct users (I5 sibling: exact distinct per window)
     "i5_weekly_users" -> { (s, dir) =>
@@ -1626,6 +1635,40 @@ object SparkEntryCoverage {
     */
   private val FunnelPplMax: Double = 3.41
 
+  /** Exact BM25 scores of `docs` for a bag of query terms (k1=1.2,
+    * b=0.75): hash aggs + one broadcast scalar, shared by t_bm25 and
+    * the hybrid-retrieval fusion. The per-doc sum spans at most
+    * |qTerms| doubles — commutative at 2 terms, rounded at 6 —
+    * keeping the score engine-reproducible.
+    */
+  private def bm25Scores(
+      docs: org.apache.spark.sql.DataFrame,
+      qTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val dl = docs.select(col("doc_id"), TextFns.wordCount(col("text")).as("dl"))
+    val stats = broadcast(
+      dl.agg(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avglen"),
+        count(lit(1)).as("n")))
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+    val num = col("tf").cast("double") * lit(2.2)
+    val den = col("tf").cast("double") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / col("avglen")))
+    tf.join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("contrib", idf * num / den)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+  }
+
   private[graft] def sqlHash32(key: String): String =
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
@@ -2092,6 +2135,40 @@ object SparkEntryCoverage {
         | FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, stats)
         |SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "r_hybrid_rrf" -> {
+      val bucket = "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"
+      def vexpr(src: String) =
+        s"list_transform(generate_series(0, 15), j -> CAST(len(list_filter(" +
+          s"regexp_split_to_array(trim($src), '\\s+'), t -> $bucket = j)) AS DOUBLE))"
+      s"""WITH dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+         |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+         |       WHERE term IN ('data', 'join') GROUP BY doc_id, term),
+         |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         | SELECT tf.doc_id,
+         |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+         |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+         |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+         |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+         | FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |bm AS (SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib GROUP BY doc_id),
+         |lexr AS (SELECT doc_id, ra FROM (
+         |   SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra FROM bm)
+         |   WHERE ra <= 50),
+         |vvec AS (SELECT doc_id, ${vexpr("text")} AS v FROM documents),
+         |qvec AS (SELECT ${vexpr("'data join window'")} AS qv),
+         |vscore AS (SELECT doc_id, ${sqlCosine("v", "qv")} AS score FROM vvec, qvec),
+         |vecr AS (SELECT doc_id, rb FROM (
+         |   SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb FROM vscore)
+         |   WHERE rb <= 50),
+         |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.ra, v.rb,
+         |        COALESCE(1.0/(60.0 + l.ra), 0.0) + COALESCE(1.0/(60.0 + v.rb), 0.0) AS rrf
+         |      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, ra AS lex_rank, rb AS vec_rank, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
     "i5_weekly_users" ->
       """SELECT strftime(make_timestamp((epoch_us(ts) // 604800000000) * 604800000000), '%Y-%m-%d') AS week_start,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

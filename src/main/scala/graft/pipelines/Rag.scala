@@ -113,4 +113,26 @@ object Rag {
         col("source"),
         col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: two ranked candidate lists (each
+    * (id, rank) with rank 1-based) fuse by Σ 1/(c + rank); a doc
+    * present in only one list contributes only that leg (full outer
+    * join, the other leg scores 0). Rank arithmetic is integer →
+    * one exact IEEE division per leg, so fusion is as deterministic
+    * as its inputs; ties break on id.
+    *
+    * Scale shape: the inputs are ALREADY top-N lists (each leg's
+    * retrieval bounds its candidates with TakeOrderedAndProject), so
+    * the fusion join touches ≤ 2N rows regardless of corpus size.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, c: Int, k: Int): DataFrame = {
+    require(c >= 0 && k > 0, "need c >= 0 and k > 0")
+    def leg(r: Column) = coalesce(lit(1.0) / (lit(c.toDouble) + r), lit(0.0))
+    a.select(col(idCol), col("rank").as("rank_a"))
+      .join(b.select(col(idCol), col("rank").as("rank_b")), Seq(idCol), "full_outer")
+      .withColumn("rrf", leg(col("rank_a")) + leg(col("rank_b")))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

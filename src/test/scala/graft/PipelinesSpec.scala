@@ -79,6 +79,22 @@ class PipelinesSpec extends SparkSpec {
     assert(new String(resized(0).getAs[Array[Byte]]("content_resized"), "UTF-8") == "abcd")
   }
 
+  test("Rag.rrfFuse: both-leg docs beat one-leg docs; missing leg scores zero") {
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val vec = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val got = graft.pipelines.Rag.rrfFuse(lex, vec, "id", c = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // doc 2 is in both lists -> 1/62 + 1/61; singles get one leg only
+    assert(math.abs(got(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(got(1L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(got(4L) - 1.0 / 62) < 1e-12)
+    assert(got(2L) > got.filterKeys(_ != 2L).values.max, "both-leg doc must lead")
+    // k truncates by fused score with id tie-break
+    val top2 = graft.pipelines.Rag.rrfFuse(lex, vec, "id", 60, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(2L, 1L))
+  }
+
   test("Corpus.funnel: each gate drops exactly its own casualties") {
     val markers = Seq("good" -> Seq("data"), "bad" -> Seq("noise"))
     val docs = Seq(
