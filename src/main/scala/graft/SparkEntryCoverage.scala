@@ -1284,6 +1284,27 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // Ordered funnel conversion: signup -> click -> purchase, each
+    // stage within 12h of the previous one's completion
+    // (Relational.orderedFunnel: chained min-aggs on the user key, no
+    // event-stream window)
+    "w_event_funnel" -> { (s, dir) =>
+      Relational
+        .orderedFunnel(
+          t(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"),
+          maxGapUs = 43200000000L)
+        .select(
+          col("user").as("user_id"),
+          col("t1").as("t1_us"),
+          col("t2").as("t2_us"),
+          col("t3").as("t3_us"),
+          when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L)
+            .otherwise(1L).as("stages_completed"))
+        .orderBy(col("user_id"))
+    },
     // Interval-overlap join: purchase activity windows [ts, ts+value
     // min] paired with overlapping click windows of the same user —
     // cell-bucketed equi-join, per-row first-overlap-cell dedup
@@ -2626,6 +2647,19 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "w_event_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s USING (user_id)
+        |      WHERE event_type = 'click' AND us > t1 AND us <= t1 + 43200000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 43200000000 GROUP BY 1)
+        |SELECT s.user_id, CAST(t1 AS BIGINT) AS t1_us, CAST(t2 AS BIGINT) AS t2_us,
+        |       CAST(t3 AS BIGINT) AS t3_us,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |         AS stages_completed
+        |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "j_interval_overlap" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, CAST(epoch_us(ts) AS DOUBLE) AS ps,
         |            CAST(epoch_us(ts) AS DOUBLE) + value*60000000.0 AS pe

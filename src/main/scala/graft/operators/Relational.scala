@@ -142,6 +142,50 @@ object Relational {
       .drop("__cell")
   }
 
+  /** Ordered event-funnel conversion (product-analytics sequence
+    * match): for each user, the earliest completion time of every
+    * funnel stage, where stage i+1 must occur strictly AFTER stage i's
+    * completion and within `maxGapUs`. Returns (user, t1..tn) epoch-µs
+    * longs with nulls from the first missed stage onward (a null t_i
+    * nulls the downstream filter, so later stages cannot resurrect —
+    * the monotone-prefix funnel invariant).
+    *
+    * Shape: one min-agg per stage over that stage's events (each
+    * frame ≤ |users| rows) chained by equi-joins on the user key —
+    * every join reuses the same hash partitioning, and the event
+    * stream is scanned per stage with the type filter pushed to the
+    * scan. No window over the raw event stream, no per-user
+    * sequence materialization.
+    */
+  def orderedFunnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      maxGapUs: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(maxGapUs > 0, "maxGapUs must be positive")
+    val base = events.select(
+      col(userCol).as("user"),
+      unix_micros(col(tsCol)).as("__us"),
+      col(typeCol).as("__tp"))
+    val first = base
+      .filter(col("__tp") === stages.head)
+      .groupBy(col("user"))
+      .agg(min(col("__us")).as("t1"))
+    stages.drop(1).zipWithIndex.foldLeft(first) { case (prev, (tp, i)) =>
+      val nCol = s"t${i + 2}"
+      val nxt = base
+        .filter(col("__tp") === tp)
+        .join(prev.select(col("user"), col(s"t${i + 1}").as("__pt")), "user")
+        .filter(col("__us") > col("__pt") && col("__us") <= col("__pt") + maxGapUs)
+        .groupBy(col("user"))
+        .agg(min(col("__us")).as(nCol))
+      prev.join(nxt, Seq("user"), "left")
+    }
+  }
+
   /** Interval×interval overlap join ([[rangeJoinBucketed]] handles
     * point-in-interval; this pairs two INTERVAL sets): rows whose
     * [start, end] ranges intersect (closed ends — an exact touch

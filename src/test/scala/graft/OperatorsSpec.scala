@@ -285,6 +285,32 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
+  test("orderedFunnel: strict order, gap cutoff, missed stages never resurrect") {
+    def ev(u: Long, tUs: Long, tp: String) =
+      (u, new java.sql.Timestamp(tUs / 1000), tp)
+    val gap = 100_000_000L // 100 s in µs
+    val events = Seq(
+      // u1 completes all three in order within gaps
+      ev(1L, 1_000_000L, "a"), ev(1L, 2_000_000L, "b"), ev(1L, 3_000_000L, "c"),
+      // u2: b BEFORE a — strictly-after rule means stage 2 not reached
+      ev(2L, 5_000_000L, "b"), ev(2L, 6_000_000L, "a"),
+      // u3: b arrives past the gap (a full second past — the test
+      // timestamps have millisecond resolution)
+      ev(3L, 1_000_000L, "a"), ev(3L, 1_000_000L + gap + 1_000_000L, "b"),
+      // u4: no b at all, but c inside a's window — must NOT resurrect
+      ev(4L, 1_000_000L, "a"), ev(4L, 2_000_000L, "c")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Relational
+      .orderedFunnel(events, "user_id", "ts", "event_type", Seq("a", "b", "c"), gap)
+      .collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(2), r.isNullAt(3)))
+      .toMap
+    assert(got(1L) == ((false, false)))
+    assert(got(2L) == ((true, true)))
+    assert(got(3L) == ((true, true)))
+    assert(got(4L) == ((true, true)), "stage 3 resurrected past a missing stage 2")
+  }
+
   test("intervalOverlapJoin: equals the naive theta join, one row per pair") {
     val left = Seq(
       ("u", 1L, 0.0, 25.0),    // spans 3 cells at cellSize 10
