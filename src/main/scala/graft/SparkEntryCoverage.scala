@@ -1284,6 +1284,24 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // Retention cohorts: users cohorted by first-activity week, then
+    // distinct actives per (cohort, week offset) — exact counts on
+    // epoch-aligned integer week indexes (one min-agg + one join +
+    // one count-distinct, all on the user key's partitioning)
+    "a_retention" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cwk"), (col("wk") - col("cwk")).as("offset_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(
+          date_format(timestamp_micros(col("cwk") * 604800000000L), "yyyy-MM-dd")
+            .as("cohort_week"),
+          col("offset_weeks"),
+          col("n_users"))
+        .orderBy(col("cohort_week"), col("offset_weeks"))
+    },
     // Ordered funnel conversion: signup -> click -> purchase, each
     // stage within 12h of the previous one's completion
     // (Relational.orderedFunnel: chained min-aggs on the user key, no
@@ -2647,6 +2665,14 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "a_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)
+        |SELECT strftime(make_timestamp(cwk * 604800000000), '%Y-%m-%d') AS cohort_week,
+        |       CAST(wk - cwk AS BIGINT) AS offset_weeks,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin,
     "w_event_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
         |s AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
