@@ -1284,6 +1284,28 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // Exact per-group median by rank selection: the two middle ranks
+    // (equal when n is odd) average to the median — integer ranks and
+    // a <=2-element exact sum, so the result is engine-reproducible
+    // where interpolating percentile built-ins are not. Window per
+    // source (bounded groups, the stratifiedCap posture)
+    "a_group_median" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn(
+          "n",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+        .groupBy(col("source"))
+        .agg(
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("median_chars"))
+        .orderBy(col("source"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -2665,6 +2687,14 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "a_group_median" ->
+      """WITH r AS (SELECT source, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM documents)
+        |SELECT source, CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS median_chars
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY source ORDER BY source""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)
