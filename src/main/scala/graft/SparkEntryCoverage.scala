@@ -1163,6 +1163,14 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("source"), col("n_toks"))
         .orderBy(col("doc_id"))
     },
+    // Contrastive negatives: 3 deterministic pseudo-random negatives
+    // per doc from a 20% hash-sampled pool (broadcast ring, map-side
+    // modular assignment — Sampling.hashNegatives)
+    "s_hash_negatives" -> { (s, dir) =>
+      Sampling
+        .hashNegatives(t(s, dir, "documents"), col("doc_id"), 3, 0.2)
+        .orderBy(col("anchor"), col("j"))
+    },
     // Weighted sample: 5 docs per source, probability proportional to
     // token count (Efraimidis-Spirakis exponential keys over the
     // portable hash — deterministic weighted reservoir)
@@ -2588,6 +2596,18 @@ object SparkEntryCoverage {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${sqlHash32("doc_id")} < ${Sampling.threshold(0.1)}
          |ORDER BY doc_id""".stripMargin,
+    "s_hash_negatives" ->
+      s"""WITH pool AS (SELECT doc_id AS neg_id,
+         |        CAST(row_number() OVER (ORDER BY ${sqlHash32("doc_id")}, doc_id) AS BIGINT) - 1 AS rk
+         |      FROM documents WHERE ${sqlHash32("doc_id")} < ${Sampling.threshold(0.2)}),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM pool),
+         |probes AS (SELECT doc_id AS anchor, CAST(gs.j AS BIGINT) AS j,
+         |        ${sqlHash32("doc_id || ':' || gs.j")} AS h
+         |      FROM documents, LATERAL (SELECT unnest(generate_series(1, 3)) AS j) gs)
+         |SELECT anchor, j, neg_id
+         |FROM probes, n JOIN pool ON pool.rk = probes.h % n.c
+         |WHERE neg_id <> anchor
+         |ORDER BY anchor, j""".stripMargin,
     "s_weighted_sample" ->
       s"""WITH b AS (SELECT doc_id, source,
          |  CASE WHEN length(trim(text)) = 0 THEN 0

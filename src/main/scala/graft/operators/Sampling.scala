@@ -156,6 +156,44 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic contrastive negative sampling: `k` pseudo-random
+    * negatives per anchor, drawn from a hash-sampled candidate POOL —
+    * the shape contrastive-training pipelines use (negatives come
+    * from a sampled pool, not the full corpus). Negative j of anchor
+    * a is pool[hash32(a ++ ":" ++ j) mod |pool|]: reproducible on any
+    * engine/partitioning, uniform over the pool, and independent
+    * across (anchor, j) slots. Self-pairs are dropped (a ~1/|pool|
+    * slot loss, deterministic too).
+    *
+    * Scale shape: the pool is rank-indexed once (a bounded window —
+    * `poolFraction` sizes it to stay broadcastable) and the
+    * assignment is a map-side broadcast equi-join on the modular
+    * rank; anchors never shuffle.
+    */
+  def hashNegatives(
+      df: DataFrame,
+      key: Column,
+      k: Int,
+      poolFraction: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pool = hashSample(df.select(key.as("__nid")), col("__nid"), poolFraction)
+      .withColumn(
+        "__rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(hash32(col("__nid")), col("__nid"))).cast("long") - 1L)
+    val poolSize = broadcast(pool.agg(count(lit(1)).as("__c")))
+    df.select(key.as("anchor"))
+      .crossJoin(poolSize)
+      .select(col("anchor"), col("__c"), explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn(
+        "__rk",
+        pmod(hash32(concat(col("anchor").cast("string"), lit(":"), col("j").cast("string"))), col("__c")))
+      .join(broadcast(pool), Seq("__rk"))
+      .filter(col("__nid") =!= col("anchor"))
+      .select(col("anchor"), col("j").cast("long").as("j"), col("__nid").as("neg_id"))
+  }
+
   /** Mixture (curriculum) sampling: carve the LARGEST corpus whose
     * group composition matches `targets` exactly in expectation —
     * the "30% web, 50% code, 20% academic" pretraining mixture knob.

@@ -334,6 +334,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 11L), (2L, 12L), (3L, 14L)))
   }
 
+  test("hashNegatives: k per anchor from the pool, no self-pairs, partition-stable") {
+    val df = (1L to 200L).map(Tuple1(_)).toDF("id")
+    def run(parts: Int) = graft.operators.Sampling
+      .hashNegatives(df.repartition(parts), $"id", 4, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(3)
+    val pool = got.map(_._3)
+    assert(pool.size > 10 && pool.size <= 60, s"pool unexpectedly sized: ${pool.size}")
+    assert(got.forall { case (a, _, n) => a != n }, "self-pair leaked")
+    val perAnchor = got.groupBy(_._1).map(_._2.size)
+    // each slot is lost ONLY to a self-hit (probability 1/|pool| per
+    // slot) — most anchors keep all 4, none lose more than half here
+    assert(perAnchor.max == 4 && perAnchor.min >= 2)
+    assert(perAnchor.count(_ == 4) > 150)
+    assert(run(11) == got, "negative assignment must not depend on partitioning")
+  }
+
   test("weightedSample: weight-proportional inclusion, size-k, partition-stable") {
     // one whale (weight 1e9) among 200 minnows (weight 1): its A-ES
     // key ln(u)/1e9 ~ 0- beats any minnow's, so it must be drawn
