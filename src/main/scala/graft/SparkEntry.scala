@@ -1152,6 +1152,17 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
     },
+    // int8 scalar quantization of the embedding store (per-vector
+    // scale; codes joined to a csv so the compare is schema-simple)
+    "v_int8_quant" -> { (s, dir) =>
+      Similarity
+        .int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(
+          col("id").as("vec_id"),
+          col("scale"),
+          concat_ws(",", col("qvec")).as("qvec_csv"))
+        .orderBy(col("vec_id"))
+    },
     // Semantic decontamination: corpus rows whose max cosine vs any
     // held-out benchmark vector reaches 0.35 are dropped; bench rides
     // as a constant literal, so the pass is map-only (no join/shuffle)
@@ -1195,6 +1206,16 @@ object SparkEntry {
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score
          |FROM embeddings, q WHERE vec_id <> 0 AND label = 1
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "v_int8_quant" ->
+      """WITH b AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT vec_id, CASE WHEN ma > 0.0 THEN 127.0 / ma ELSE 0.0 END AS scale FROM b)
+        |SELECT e.vec_id, s.scale,
+        |       array_to_string(list_transform(e.embedding, v ->
+        |         greatest(-127, least(127, CAST(round(CAST(v AS DOUBLE) * s.scale) AS BIGINT)))), ',') AS qvec_csv
+        |FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "dd_semantic_decontam" ->
       s"""WITH bench AS (SELECT embedding AS be FROM embeddings WHERE vec_id % 20 = 0),
          |corpus AS (SELECT vec_id, label, embedding FROM embeddings

@@ -78,6 +78,29 @@ object Similarity {
       .filter(col("bench_sim") < tau)
   }
 
+  /** Per-vector int8 scalar quantization (the vector-db storage
+    * compressor): scale = 127/max|x_i|, q_i = clamp(round(x_i·scale)).
+    * 4× smaller than float32 with dequant error ≤ 0.5/scale per dim —
+    * the standard memory/recall tradeoff ahead of a PQ codebook.
+    * Zero vectors quantize to scale 0 and all-zero codes. Pure
+    * per-row expressions (map-only), deterministic: max/abs/round are
+    * exact IEEE ops an oracle reproduces bit-for-bit.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val x = col(embCol).cast("array<double>")
+    val maxAbs = array_max(transform(x, v => abs(v)))
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    Width.spread(df)
+      .filter(col(embCol).isNotNull)
+      .withColumn("scale", scale)
+      .select(
+        col(idCol).as("id"),
+        col("scale"),
+        transform(x, v =>
+          greatest(lit(-127L), least(lit(127L), round(v * col("scale"), 0).cast("long"))))
+          .as("qvec"))
+  }
+
   /** Exact k-NN self-join: for every vector its single nearest
     * neighbor (excluding itself). Quadratic verify — bounded use; the
     * scale path is `ivfAssign` + per-cell knn.

@@ -198,6 +198,23 @@ class OperatorsSpec extends SparkSpec {
     assert(totals.forall(_ <= 120L))
   }
 
+  test("int8Quantize: codes in [-127,127], dequant error <= 0.5/scale, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.003f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.int8Quantize(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).toMap
+      .map { case (k, v) => k -> v }
+    val (s1, q1) = (rows(1L)._1, rows(1L)._2)
+    assert(s1 == 127.0) // maxabs is exactly 1.0
+    assert(q1 == Seq(64L, -127L, 32L, 0L)) // 0.5*127 = 63.5 rounds away from zero
+    q1.zip(Seq(0.5, -1.0, 0.25, 0.003)).foreach { case (q, x) =>
+      assert(math.abs(q / s1 - x) <= 0.5 / s1 + 1e-12)
+    }
+    assert(rows(2L)._1 == 0.0 && rows(2L)._2.forall(_ == 0L)) // zero vector: no div-by-zero
+  }
+
   test("semanticDecontaminate: drops bench-similar vectors in a map-only pass") {
     val bench = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(
