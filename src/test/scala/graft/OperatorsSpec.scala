@@ -204,15 +204,17 @@ class OperatorsSpec extends SparkSpec {
       (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val rows = Similarity.int8Quantize(df, "vec_id", "embedding")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).toMap
-      .map { case (k, v) => k -> v }
-    val (s1, q1) = (rows(1L)._1, rows(1L)._2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2))))
+      .toMap
+    val (s1, q1) = rows(1L)
     assert(s1 == 127.0) // maxabs is exactly 1.0
     assert(q1 == Seq(64L, -127L, 32L, 0L)) // 0.5*127 = 63.5 rounds away from zero
     q1.zip(Seq(0.5, -1.0, 0.25, 0.003)).foreach { case (q, x) =>
-      assert(math.abs(q / s1 - x) <= 0.5 / s1 + 1e-12)
+      assert(math.abs(q.toDouble / s1 - x) <= 0.5 / s1 + 1e-12)
     }
-    assert(rows(2L)._1 == 0.0 && rows(2L)._2.forall(_ == 0L)) // zero vector: no div-by-zero
+    val (s2, q2) = rows(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0L)) // zero vector: no div-by-zero
   }
 
   test("semanticDecontaminate: drops bench-similar vectors in a map-only pass") {
