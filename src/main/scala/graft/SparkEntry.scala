@@ -772,6 +772,38 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("win_index"))
     },
+    // Character-distribution entropy per doc (gibberish/boilerplate
+    // signal: natural text ~4.1 bits, repeated chars ~0): each
+    // (doc, char) term -p·ln p rounds to micro-nat BIGINTs before the
+    // per-doc sum, so accumulation is exact-integer and order-free
+    // (the perplexity discipline applied to characters)
+    "t_char_entropy" -> { (s, dir) =>
+      val cnt = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(lower(col("text")), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val n = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cnt
+        .join(n, "doc_id")
+        .withColumn("t6", round(-(p * log(p)) * lit(1e6), 0).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("n")).as("n_chars"),
+          (sum(col("t6")).cast("double") / lit(1e6)).as("entropy_nats"))
+        .orderBy(col("doc_id"))
+    },
+    // Language-ID confusion matrix: declared lang × predicted lang
+    // counts — the audit that catches a drifting marker table
+    "t_langid_confusion" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(
+          col("lang"),
+          TextAnalysis.langId(col("text"), langMarkers).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
     // Corpus composition report per (source, lang): counts, token
     // share, quality distribution — all-exact aggregates only
     "t_corpus_stats" -> { (s, dir) =>
@@ -921,6 +953,23 @@ object SparkEntry {
         |       CAST(least(64, tlen - gs.i*32) AS BIGINT) AS chunk_tokens
         |FROM w, LATERAL (SELECT unnest(generate_series(0, nwin-1)) AS i) gs
         |ORDER BY doc_id, win_index""".stripMargin,
+    "t_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |t AS (SELECT cnt.doc_id, n.n,
+        |        CAST(round(-((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) *
+        |          ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)))*1000000) AS BIGINT) AS t6
+        |      FROM cnt JOIN n ON cnt.doc_id = n.doc_id)
+        |SELECT doc_id, max(n) AS n_chars,
+        |       CAST(SUM(t6) AS DOUBLE) / 1000000.0 AS entropy_nats
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_langid_confusion" ->
+      s"""WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents)
+         |SELECT lang, ${TextAnalysis.langIdSql(langMarkers, "tk")} AS lang_pred,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM tok GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
     "t_corpus_stats" -> {
       // derived from the engine's own constants (qualitySql/stopHitsSql)
       // so a weight/stopword edit re-generates both sides
