@@ -1292,6 +1292,36 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // Winsorized mean per source (robust-stats family, next to the
+    // z-score/MAD gates): values clipped at the exact rank-(k+1) and
+    // rank-(n-k) order statistics with k = n div 10 — all-integer
+    // rank arithmetic (a float 0.1*n cut point would sit on a binary
+    // rounding boundary), then an exact long sum divided at the edge
+    "a_winsor_mean" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn(
+          "n",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .withColumn("k", expr("n div 10"))
+      val bounds = ranked
+        .groupBy(col("source"))
+        .agg(
+          max(when(col("rn") === col("k") + 1, col("n_chars"))).as("lo"),
+          max(when(col("rn") === col("n") - col("k"), col("n_chars"))).as("hi"))
+      ranked
+        .join(broadcast(bounds), "source")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(greatest(col("lo"), least(col("hi"), col("n_chars")))).cast("double") /
+            count(lit(1)).cast("double")).as("winsor_mean_chars"))
+        .orderBy(col("source"))
+    },
     // Exact per-group median by rank selection: the two middle ranks
     // (equal when n is odd) average to the median — integer ranks and
     // a <=2-element exact sum, so the result is engine-reproducible
@@ -2707,6 +2737,21 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "a_winsor_mean" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM documents),
+        |rk AS (SELECT *, n // 10 AS k FROM r),
+        |b AS (SELECT source,
+        |        max(CASE WHEN rn = k + 1 THEN n_chars END) AS lo,
+        |        max(CASE WHEN rn = n - k THEN n_chars END) AS hi
+        |      FROM rk GROUP BY source)
+        |SELECT rk.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(greatest(b.lo, least(b.hi, rk.n_chars))) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS winsor_mean_chars
+        |FROM rk JOIN b ON rk.source = b.source
+        |GROUP BY rk.source ORDER BY rk.source""".stripMargin,
     "a_group_median" ->
       """WITH r AS (SELECT source, n_chars,
         |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
