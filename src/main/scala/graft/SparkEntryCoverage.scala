@@ -1292,6 +1292,34 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // Per-user EWMA of purchase values in event-time order — the
+    // time-series smoother. EWMA is order-DEPENDENT by definition, so
+    // determinism comes from sorting each key's bounded sequence
+    // (ts, event_id total order) and folding it sequentially; DuckDB's
+    // list_reduce seeds with the first element, so the Spark fold
+    // seeds identically and both engines run the same IEEE chain.
+    // Per-key arrays: for keys with unbounded history, window the
+    // input first (the sessionize posture)
+    "w_ewma" -> { (s, dir) =>
+      val seq = array_sort(
+        collect_list(
+          struct(
+            expr("unix_micros(ts)").as("us"),
+            col("event_id"),
+            col("value"))))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(transform(seq, x => x.getField("value")).as("vs"))
+        .select(
+          col("user_id"),
+          size(col("vs")).cast("long").as("n_purchases"),
+          aggregate(
+            slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+            element_at(col("vs"), 1),
+            (acc, x) => lit(0.3) * x + lit(0.7) * acc).as("ewma_value"))
+        .orderBy(col("user_id"))
+    },
     // Winsorized mean per source (robust-stats family, next to the
     // z-score/MAD gates): values clipped at the exact rank-(k+1) and
     // rank-(n-k) order statistics with k = n div 10 — all-integer
@@ -2737,6 +2765,13 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "w_ewma" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT user_id, list(value ORDER BY us, event_id) AS vs FROM p GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_purchases,
+        |       list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_value
+        |FROM l ORDER BY user_id""".stripMargin,
     "a_winsor_mean" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
