@@ -783,10 +783,15 @@ object SparkEntry {
         .select(col("doc_id"), explode(split(lower(col("text")), "")).as("ch"))
         .groupBy(col("doc_id"), col("ch"))
         .agg(count(lit(1)).as("c"))
-      val n = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
       val p = col("c").cast("double") / col("n").cast("double")
       cnt
-        .join(n, "doc_id")
+        // total chars as a window sum over the per-(doc, char) COUNTS
+        // (bounded ~alphabet rows per doc) — a groupBy+join-back would
+        // run the corpus-wide char explode/aggregate twice
+        .withColumn(
+          "n",
+          sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
         .withColumn("t6", round(-(p * log(p)) * lit(1e6), 0).cast("long"))
         .groupBy(col("doc_id"))
         .agg(

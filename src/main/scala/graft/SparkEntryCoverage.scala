@@ -1326,15 +1326,7 @@ object SparkEntryCoverage {
     // rank arithmetic (a float 0.1*n cut point would sit on a binary
     // rounding boundary), then an exact long sum divided at the edge
     "a_winsor_mean" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      val ranked = t(s, dir, "documents")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn(
-          "n",
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      val ranked = rankedByChars(t(s, dir, "documents"))
         .withColumn("k", expr("n div 10"))
       val bounds = ranked
         .groupBy(col("source"))
@@ -1356,15 +1348,7 @@ object SparkEntryCoverage {
     // where interpolating percentile built-ins are not. Window per
     // source (bounded groups, the stratifiedCap posture)
     "a_group_median" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      t(s, dir, "documents")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn(
-          "n",
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      rankedByChars(t(s, dir, "documents"))
         .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
         .groupBy(col("source"))
         .agg(
@@ -1794,6 +1778,52 @@ object SparkEntryCoverage {
       .withColumn("contrib", idf * num / den)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")), 6).as("bm25"))
+  }
+
+  /** Documents ranked by (n_chars, doc_id) within source plus the
+    * group size — the shared prelude of the rank-based robust stats
+    * (a_group_median, a_winsor_mean); one definition so both queries
+    * agree on rank semantics.
+    */
+  private def rankedByChars(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn(
+        "n",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+  }
+
+  /** DuckDB mirror of [[bm25Scores]] as a CTE block ending in
+    * `bm(doc_id, bm25)` — shared by the t_bm25 and r_hybrid_rrf
+    * oracles so a k1/b/term edit re-generates both (the
+    * qualitySql/langIdSql convention). `dl` carries the same blank-doc
+    * guard as `TextFns.wordCount` (regexp_split of '' is [''], length
+    * 1 — unguarded it would shift avglen and every score on a corpus
+    * with blank docs).
+    */
+  private def bm25Sql(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""dl AS (SELECT doc_id,
+       |        CASE WHEN length(trim(text)) = 0 THEN 0
+       |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+       |      FROM documents),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+       |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       | SELECT tf.doc_id,
+       |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+       |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+       |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+       |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+       | FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+       |bm AS (SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib GROUP BY doc_id)""".stripMargin
   }
 
   private[graft] def sqlHash32(key: String): String =
@@ -2247,40 +2277,18 @@ object SparkEntryCoverage {
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
     "t_bm25" ->
-      """WITH dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl FROM documents),
-        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
-        |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
-        |       WHERE term IN ('data', 'join') GROUP BY doc_id, term),
-        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |contrib AS (
-        | SELECT tf.doc_id,
-        |        ln((CAST(n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
-        |           (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
-        |        (CAST(tf.tf AS DOUBLE) * 2.2) /
-        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
-        | FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, stats)
-        |SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${bm25Sql(Seq("data", "join"))}
+         |SELECT doc_id, bm25 FROM bm ORDER BY doc_id""".stripMargin,
     "r_hybrid_rrf" -> {
       val bucket = "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"
+      // blank docs mirror embedText's guarded tokens (zero vector) —
+      // an unguarded regexp_split would give them a unit vector at
+      // md5('')'s bucket
       def vexpr(src: String) =
-        s"list_transform(generate_series(0, 15), j -> CAST(len(list_filter(" +
-          s"regexp_split_to_array(trim($src), '\\s+'), t -> $bucket = j)) AS DOUBLE))"
-      s"""WITH dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl FROM documents),
-         |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
-         |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
-         |       WHERE term IN ('data', 'join') GROUP BY doc_id, term),
-         |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |contrib AS (
-         | SELECT tf.doc_id,
-         |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
-         |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
-         |        (CAST(tf.tf AS DOUBLE) * 2.2) /
-         |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
-         | FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
-         |bm AS (SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib GROUP BY doc_id),
+        s"CASE WHEN length(trim($src)) = 0 THEN list_transform(generate_series(0, 15), j -> 0.0) " +
+          s"ELSE list_transform(generate_series(0, 15), j -> CAST(len(list_filter(" +
+          s"regexp_split_to_array(trim($src), '\\s+'), t -> $bucket = j)) AS DOUBLE)) END"
+      s"""WITH ${bm25Sql(Seq("data", "join"))},
          |lexr AS (SELECT doc_id, ra FROM (
          |   SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra FROM bm)
          |   WHERE ra <= 50),

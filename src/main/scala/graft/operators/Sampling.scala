@@ -182,13 +182,22 @@ object Sampling {
         row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(hash32(col("__nid")), col("__nid"))).cast("long") - 1L)
-    val poolSize = broadcast(pool.agg(count(lit(1)).as("__c")))
+    // counted eagerly (the pool is broadcast-small by design — the
+    // constant-bootstrap licence): an empty pool would otherwise make
+    // pmod(h, 0) NULL and silently return ZERO negatives for the
+    // whole corpus; the count also rides as a literal, so no 1-row
+    // crossJoin reaches the plan
+    val poolSize = pool.count()
+    require(
+      poolSize > 0,
+      s"hashNegatives: empty candidate pool (poolFraction=$poolFraction) — raise the fraction")
     df.select(key.as("anchor"))
-      .crossJoin(poolSize)
-      .select(col("anchor"), col("__c"), explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col("anchor"), explode(sequence(lit(1), lit(k))).as("j"))
       .withColumn(
         "__rk",
-        pmod(hash32(concat(col("anchor").cast("string"), lit(":"), col("j").cast("string"))), col("__c")))
+        pmod(
+          hash32(concat(col("anchor").cast("string"), lit(":"), col("j").cast("string"))),
+          lit(poolSize)))
       .join(broadcast(pool), Seq("__rk"))
       .filter(col("__nid") =!= col("anchor"))
       .select(col("anchor"), col("j").cast("long").as("j"), col("__nid").as("neg_id"))
