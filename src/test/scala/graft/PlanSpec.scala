@@ -104,4 +104,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("w_event_funnel: stage chaining is joins + hash aggs, no event-stream window") {
+    val p = plan("w_event_funnel")
+    // each stage is a min-agg joined on the user key — a window/
+    // sequence-collection formulation would buffer per-user event
+    // streams; none may appear
+    assert(!p.contains("WindowExec") && !p.contains("SortAggregate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t_top_terms: rank window runs over the counts table, after the hash agg") {
+    val p = plan("t_top_terms")
+    // the token stream must collapse via HashAggregate BEFORE any
+    // window sort: the Window consumes the (source, term) count agg's
+    // output, i.e. sits ABOVE it (plans print root-first, so the
+    // Window's index is the smaller one)
+    assert(p.contains("Window") && p.contains("HashAggregate"), p)
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"), p)
+  }
+
+  test("r_hybrid_rrf: both retrieval legs bound candidates with TakeOrdered") {
+    val p = plan("r_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
