@@ -1467,6 +1467,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
     },
+    // Multimodal exact dedup: duplicate media detected by content
+    // digest WITHOUT decoding (bytes never shuffle — only the 32-byte
+    // sha2 rides the groupBy). Every 4th doc's media carries the
+    // previous doc's bytes, so the dup groups provably form
+    "mm_binary_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.alias("a")
+        .join(d.alias("b"), col("a.doc_id") - 1 === col("b.doc_id"), "left")
+        .select(
+          col("a.doc_id").as("doc_id"),
+          when(col("a.doc_id") % 4 === 0 && col("b.text").isNotNull, col("b.text"))
+            .otherwise(col("a.text")).as("text"))
+      Multimodal
+        .fromText(planted, "doc_id", "text", "image")
+        .withColumn("fp", sha2(col("content"), 256))
+        .groupBy(col("fp"))
+        .agg(
+          min(col("media_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          concat_ws(",", array_sort(collect_list(col("media_id")))).as("ids_csv"))
+        .filter(col("n_copies") > 1)
+        .select(col("canonical_id"), col("n_copies"), col("ids_csv"))
+        .orderBy(col("canonical_id"))
+    },
     // Multimodal stub pipeline — no SQL oracle (rows-only check):
     // binary media column -> mapPartitions feature extraction
     "mm_media_features" -> { (s, dir) =>
@@ -1497,6 +1521,21 @@ object SparkEntry {
   }
 
   private def miscOracle: Map[String, String] = Map(
+    // sha256 of the VARCHAR hashes its UTF-8 bytes — exactly the bytes
+    // Multimodal.fromText encodes, so the digests agree
+    "mm_binary_dedup" ->
+      """WITH planted AS (
+        |  SELECT a.doc_id,
+        |         CASE WHEN a.doc_id % 4 = 0 AND b.text IS NOT NULL THEN b.text
+        |              ELSE a.text END AS text
+        |  FROM documents a LEFT JOIN documents b ON a.doc_id - 1 = b.doc_id),
+        |g AS (SELECT sha256(text) AS fp,
+        |        min(doc_id) AS canonical_id,
+        |        CAST(count(*) AS BIGINT) AS n_copies,
+        |        array_to_string(list_sort(list(doc_id)), ',') AS ids_csv
+        |      FROM planted GROUP BY 1)
+        |SELECT canonical_id, n_copies, ids_csv FROM g
+        |WHERE n_copies > 1 ORDER BY canonical_id""".stripMargin,
     "j2_substring_join" ->
       """WITH lexicon(kw) AS (VALUES ('data'), ('spark'), ('join'), ('merge'))
         |SELECT kw, CAST(COUNT(*) AS BIGINT) AS n_docs
