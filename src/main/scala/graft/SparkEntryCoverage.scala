@@ -1374,6 +1374,46 @@ object SparkEntryCoverage {
           col("n_users"))
         .orderBy(col("cohort_week"), col("offset_weeks"))
     },
+    // Skew-resistant salted join: events salt on event_id, the
+    // customer dim replicates into 8 buckets — results identical to
+    // the plain join (oracle is the plain join), the plan spreads a
+    // hot user over 8 reducers (Relational.saltedJoin)
+    "j_salted_join" -> { (s, dir) =>
+      Relational
+        .saltedJoin(
+          t(s, dir, "events"),
+          t(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          "user_id",
+          col("event_id"),
+          saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("c_mktsegment"))
+    },
+    // CDC apply: first-seen value per user forms the base snapshot,
+    // the second half of the event stream becomes a changelog where
+    // errors are DELETEs — latest change per key wins, a winning
+    // delete removes the key (Relational.applyChanges)
+    "i_cdc_apply" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val base = Relational
+        .dedupeFirstWins(
+          ev.filter(col("event_id") < 5000),
+          Seq(col("user_id")),
+          Seq(col("event_id")))
+        .select(col("user_id"), col("value"))
+      val changes = ev
+        .filter(col("event_id") >= 5000)
+        .select(
+          col("user_id"),
+          col("value"),
+          when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
+          col("event_id").as("seq"))
+      Relational
+        .applyChanges(base, changes, Seq("user_id"), Seq("value"), "op", "seq")
+        .orderBy(col("user_id"))
+    },
     // Ordered funnel conversion: signup -> click -> purchase, each
     // stage within 12h of the previous one's completion
     // (Relational.orderedFunnel: chained min-aggs on the user key, no
@@ -2811,6 +2851,26 @@ object SparkEntryCoverage {
         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin,
+    "j_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "i_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT user_id, value, CAST(-9223372036854775808 AS BIGINT) AS seq, 'upsert' AS op
+        |  FROM (SELECT user_id, value,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |        FROM events WHERE event_id < 5000)
+        |  WHERE rn = 1),
+        |chg AS (SELECT user_id, value, event_id AS seq,
+        |          CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+        |        FROM events WHERE event_id >= 5000),
+        |u AS (SELECT user_id, value, seq, op FROM base
+        |      UNION ALL SELECT user_id, value, seq, op FROM chg),
+        |w AS (SELECT user_id, max_by(op, seq) AS op, max_by(value, seq) AS value
+        |      FROM u GROUP BY 1)
+        |SELECT user_id, value FROM w WHERE op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
     "w_event_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
         |s AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),

@@ -248,6 +248,64 @@ object Relational {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("n_rows"))
   }
 
+  /** Skew-resistant equi-join ([[saltedSumCount]]'s pattern for
+    * JOINS): the big side salts on a deterministic per-row expression,
+    * the small side replicates into every salt bucket, and the join
+    * runs on (key, salt) — a hot key's rows spread over `saltBuckets`
+    * reducers instead of funnelling one. Results are identical to the
+    * plain equi-join (every big row still meets every matching small
+    * row exactly once, in its own bucket). AQE's skew splitting covers
+    * moderate skew; this is the explicit tool for the pathological
+    * hot-key join at 100 TB. Cost: the small side ships
+    * saltBuckets× — size the bucket count to the skew, not beyond.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBy: Column,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = big.withColumn(
+      "__salt",
+      pmod(graft.operators.Sampling.hash32(saltBy), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn(
+      "__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Apply a CDC changelog to a base snapshot (the engine-side half
+    * of I3's upsert contract, extended with DELETES): changes carry
+    * (keys…, op ∈ upsert|delete, seq); the LATEST change per key wins
+    * (ties broken deterministically by requiring a total `seq`), a
+    * winning delete removes the key, and untouched base rows pass
+    * through. One shuffle on the key (the union sorts within groups
+    * via max_by, no window). Base rows rank below every change
+    * (seq = Long.MinValue).
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      opCol: String,
+      seqCol: String): DataFrame = {
+    val cols = keys ++ valueCols
+    val b = base
+      .select(cols.map(col): _*)
+      .withColumn("__op", lit("upsert"))
+      .withColumn("__seq", lit(Long.MinValue))
+    val c = changes.select(
+      (cols.map(col) :+ col(opCol).as("__op") :+ col(seqCol).cast("long").as("__seq")): _*)
+    b.unionByName(c)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max_by(struct(("__op" +: valueCols).map(col): _*), col("__seq")).as("__w"))
+      .filter(col("__w.__op") =!= "delete")
+      .select(keys.map(col) ++ valueCols.map(v => col(s"__w.$v").as(v)): _*)
+  }
+
   /** J8/I1 — content-hash change detection between two snapshots of
     * the same keyed table: emits (keys..., status) with status ∈
     * {added, removed, changed} (unchanged rows dropped). Reference

@@ -304,6 +304,34 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - math.exp(row.getDouble(3))) < 1e-2)
   }
 
+  test("saltedJoin: equals the plain equi-join; hot key spreads over buckets") {
+    val big = ((1L to 300L).map(i => ("hot", i)) ++ Seq(("cold", 400L), ("miss", 500L)))
+      .toDF("k", "row_id")
+    val small = Seq(("hot", "H"), ("cold", "C"), ("other", "O")).toDF("k", "v")
+    val got = Relational.saltedJoin(big, small, "k", $"row_id", 8)
+      .select($"row_id", $"v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val plain = big.join(small, "k")
+      .select($"row_id", $"v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.sorted == plain.sorted && got.length == 301)
+    // the hot key's rows really occupy multiple salt buckets
+    val buckets = big.filter($"k" === "hot")
+      .select(pmod(graft.operators.Sampling.hash32($"row_id"), lit(8L))).distinct().count()
+    assert(buckets > 1)
+  }
+
+  test("applyChanges: latest change wins, deletes remove, base passes through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", "upsert", 10L), (1L, "a3", "upsert", 20L), // last upsert wins
+      (2L, "x", "delete", 5L),                              // delete removes
+      (3L, "c2", "upsert", 7L), (3L, "zz", "delete", 3L),   // stale delete loses
+      (4L, "new", "upsert", 1L)                             // insert of a new key
+    ).toDF("k", "v", "op", "seq")
+    val got = Relational.applyChanges(base, changes, Seq("k"), Seq("v"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a3", 3L -> "c2", 4L -> "new"), got.toString)
+  }
+
   test("orderedFunnel: strict order, gap cutoff, missed stages never resurrect") {
     def ev(u: Long, tUs: Long, tp: String) =
       (u, new java.sql.Timestamp(tUs / 1000), tp)
