@@ -1374,6 +1374,26 @@ object SparkEntryCoverage {
           col("n_users"))
         .orderBy(col("cohort_week"), col("offset_weeks"))
     },
+    // N-gram novelty: fraction of each doc's distinct trigrams that
+    // appear NOWHERE else in the corpus — the diversity complement of
+    // the repetition filter (near-zero novelty = templated/boilerplate
+    // docs). Two-phase shingle df (the WordShingles kernel feeds both
+    // sides), never a pair join
+    "t_ngram_novelty" -> { (s, dir) =>
+      val sh = Dedup.shingleTable(t(s, dir, "documents"), "text", "doc_id", 3)
+      val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      sh.join(dfc, "shingle")
+        .groupBy(col("id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(
+          col("id").as("doc_id"),
+          col("n_shingles"),
+          col("n_unique"),
+          (col("n_unique").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
     // Skew-resistant salted join: events salt on event_id, the
     // customer dim replicates into 8 buckets — results identical to
     // the plain join (oracle is the plain join), the plan spreads a
@@ -2851,6 +2871,17 @@ object SparkEntryCoverage {
         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin,
+    "t_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM tok WHERE len(tk) >= 3),
+        |dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) FILTER (df = 1) AS BIGINT) AS n_unique,
+        |       CAST(count(*) FILTER (df = 1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN dfc ON sh.s = dfc.s
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "j_salted_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
