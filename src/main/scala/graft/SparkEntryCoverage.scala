@@ -1380,7 +1380,11 @@ object SparkEntryCoverage {
     // docs). Two-phase shingle df (the WordShingles kernel feeds both
     // sides), never a pair join
     "t_ngram_novelty" -> { (s, dir) =>
+      // persisted: the df-count aggregate and the probe side read ONE
+      // scan + shingle-kernel pass (the Dedup caching contract —
+      // unpersisted, the corpus would tokenize/shingle twice)
       val sh = Dedup.shingleTable(t(s, dir, "documents"), "text", "doc_id", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       sh.join(dfc, "shingle")
         .groupBy(col("id"))

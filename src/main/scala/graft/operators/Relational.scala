@@ -266,9 +266,12 @@ object Relational {
       saltBy: Column,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    // null-safe: hash32(null) is null and a null salt would silently
+    // drop the row from the equi-join — bucket null salts to 0 so the
+    // plain-join equivalence holds for nullable salt expressions too
     val salted = big.withColumn(
       "__salt",
-      pmod(graft.operators.Sampling.hash32(saltBy), lit(saltBuckets.toLong)))
+      pmod(coalesce(graft.operators.Sampling.hash32(saltBy), lit(0L)), lit(saltBuckets.toLong)))
     val replicated = small.withColumn(
       "__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
@@ -283,6 +286,11 @@ object Relational {
     * through. One shuffle on the key (the union sorts within groups
     * via max_by, no window). Base rows rank below every change
     * (seq = Long.MinValue).
+    *
+    * Malformed-op contract: ONLY the exact string "delete" deletes;
+    * any other op — including null or a typo — applies as an upsert
+    * (null-safe filter, so a null op cannot silently delete). Feeds
+    * needing strict validation should reject unknown ops upstream.
     */
   def applyChanges(
       base: DataFrame,
@@ -302,7 +310,7 @@ object Relational {
       .groupBy(keys.map(col): _*)
       .agg(
         max_by(struct(("__op" +: valueCols).map(col): _*), col("__seq")).as("__w"))
-      .filter(col("__w.__op") =!= "delete")
+      .filter(!(col("__w.__op") <=> "delete"))
       .select(keys.map(col) ++ valueCols.map(v => col(s"__w.$v").as(v)): _*)
   }
 

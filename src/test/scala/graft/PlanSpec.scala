@@ -109,8 +109,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("w_event_funnel")
     // each stage is a min-agg joined on the user key — a window/
     // sequence-collection formulation would buffer per-user event
-    // streams; none may appear
-    assert(!p.contains("WindowExec") && !p.contains("SortAggregate"), p)
+    // streams; none may appear (plan strings print node names WITHOUT
+    // the Exec suffix, so match "Window", not "WindowExec")
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p)
     assert(p.contains("HashAggregate"), p)
   }
 
