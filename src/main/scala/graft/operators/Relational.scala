@@ -306,12 +306,21 @@ object Relational {
       .withColumn("__seq", lit(Long.MinValue))
     val c = changes.select(
       (cols.map(col) :+ col(opCol).as("__op") :+ col(seqCol).cast("long").as("__seq")): _*)
+    // PER-COLUMN max_by on the shared total seq (every max_by picks
+    // the same winning row) instead of one max_by over a struct: a
+    // struct aggregation buffer is immutable and degrades the whole
+    // agg to SortAggregate; with primitive value columns these stay
+    // HashAggregate (the encoded-argmax discipline, audit-pinned).
+    // The delete flag aggregates as a null-safe boolean per the
+    // malformed-op contract.
+    val winners =
+      max_by(col("__op") <=> "delete", col("__seq")).as("__wdel") +:
+        valueCols.map(v => max_by(col(v), col("__seq")).as(v))
     b.unionByName(c)
       .groupBy(keys.map(col): _*)
-      .agg(
-        max_by(struct(("__op" +: valueCols).map(col): _*), col("__seq")).as("__w"))
-      .filter(!(col("__w.__op") <=> "delete"))
-      .select(keys.map(col) ++ valueCols.map(v => col(s"__w.$v").as(v)): _*)
+      .agg(winners.head, winners.tail: _*)
+      .filter(!col("__wdel"))
+      .select(cols.map(col): _*)
   }
 
   /** J8/I1 — content-hash change detection between two snapshots of

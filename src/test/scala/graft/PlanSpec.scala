@@ -125,6 +125,14 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("Window") < p.indexOf("HashAggregate"), p)
   }
 
+  test("i_cdc_apply: changelog winners aggregate in hash aggs, never sort-based") {
+    val p = plan("i_cdc_apply")
+    // per-column max_by on primitive buffers — a struct max_by would
+    // degrade the whole agg to SortAggregate
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("r_hybrid_rrf: both retrieval legs bound candidates with TakeOrdered") {
     val p = plan("r_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"), p)
