@@ -945,6 +945,24 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     },
+    // Near-dup cluster-size histogram — the corpus-health metric a
+    // dedup run reports (how much mass sits in how-big clusters).
+    // Unpaired docs are size-1 clusters; two bounded hash aggs over
+    // the label table, never the pair stream
+    "dd_cluster_sizes" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+          .select(col("id_a"), col("id_b")))
+      docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
     // Embedding-cosine near-dup pairs (exact quadratic baseline; the
     // LSH variant above is the scale path)
     "dd_embed_neardup" -> { (s, dir) =>
@@ -2551,6 +2569,31 @@ object SparkEntryCoverage {
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
         |WHERE comp.id IS NULL OR comp.cluster = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "dd_cluster_sizes" ->
+      """WITH RECURSIVE tok AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        |       FROM tok WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT id_a, id_b FROM cand
+        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+        |lab AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
+        |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+        |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
+        |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
+        |GROUP BY sz ORDER BY sz""".stripMargin,
     "dd_embed_neardup" -> {
       s"""SELECT id_a, id_b, score FROM (
          | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
