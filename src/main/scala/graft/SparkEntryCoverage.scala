@@ -945,6 +945,24 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     },
+    // Cross-source duplication matrix: near-dup PAIRS bucketed by the
+    // unordered source pair — the provenance audit that shows which
+    // feeds copy from each other (pairs stream joins two slim
+    // (id, source) projections; the matrix is |sources|² bounded)
+    "dd_cross_source_dups" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .groupBy(
+          least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_x"), col("source_y"))
+    },
     // Near-dup cluster-size histogram — the corpus-health metric a
     // dedup run reports (how much mass sits in how-big clusters).
     // Unpaired docs are size-1 clusters; two bounded hash aggs over
@@ -2569,6 +2587,25 @@ object SparkEntryCoverage {
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
         |WHERE comp.id IS NULL OR comp.cluster = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "dd_cross_source_dups" ->
+      """WITH tok AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        |       FROM tok WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT id_a, id_b FROM cand
+        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2)
+        |SELECT least(da.source, db.source) AS source_x,
+        |       greatest(da.source, db.source) AS source_y,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs JOIN documents da ON da.doc_id = id_a
+        |           JOIN documents db ON db.doc_id = id_b
+        |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
     "dd_cluster_sizes" ->
       """WITH RECURSIVE tok AS (
         | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
