@@ -1897,6 +1897,39 @@ object SparkEntryCoverage {
           org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
   }
 
+  /** DuckDB mirror of `Dedup.ngramJaccardPairs(…, 3, 0.2)` as a CTE
+    * block ending in `pairs(id_a, id_b)` — shared by the
+    * cluster-resolve, cluster-size, and cross-source-dup oracles so
+    * the shingle size / threshold can never drift between them.
+    */
+  private val jaccardPairsSql: String =
+    """tok AS (
+      | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |       FROM tok WHERE len(tk) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT id_a, id_b FROM cand
+      | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2)""".stripMargin
+
+  /** The connected-components continuation of [[jaccardPairsSql]]
+    * ending in `comp(id, cluster)` (recursive reachability, min-label
+    * cluster ids) — shared by the cluster-resolve and cluster-size
+    * oracles.
+    */
+  private val clusterCompSql: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      | SELECT src, dst FROM edges
+      | UNION
+      | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
+
   /** DuckDB mirror of [[bm25Scores]] as a CTE block ending in
     * `bm(doc_id, bm25)` — shared by the t_bm25 and r_hybrid_rrf
     * oracles so a k1/b/term edit re-generates both (the
@@ -2564,73 +2597,28 @@ object SparkEntryCoverage {
          |FROM embeddings ORDER BY vec_id""".stripMargin
     },
     "dd_cluster_resolve" ->
-      """WITH RECURSIVE tok AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
-        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
-        |       FROM tok WHERE len(tk) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        | SELECT id_a, id_b FROM cand
-        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach(a, b) AS (
-        | SELECT src, dst FROM edges
-        | UNION
-        | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
-        |SELECT d.doc_id, d.lang, d.source
-        |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
-        |WHERE comp.id IS NULL OR comp.cluster = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |$clusterCompSql
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |WHERE comp.id IS NULL OR comp.cluster = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dd_cross_source_dups" ->
-      """WITH tok AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
-        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
-        |       FROM tok WHERE len(tk) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        | SELECT id_a, id_b FROM cand
-        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2)
-        |SELECT least(da.source, db.source) AS source_x,
-        |       greatest(da.source, db.source) AS source_y,
-        |       CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM pairs JOIN documents da ON da.doc_id = id_a
-        |           JOIN documents db ON db.doc_id = id_b
-        |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
+      s"""WITH $jaccardPairsSql
+         |SELECT least(da.source, db.source) AS source_x,
+         |       greatest(da.source, db.source) AS source_y,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs JOIN documents da ON da.doc_id = id_a
+         |           JOIN documents db ON db.doc_id = id_b
+         |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
     "dd_cluster_sizes" ->
-      """WITH RECURSIVE tok AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
-        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
-        |       FROM tok WHERE len(tk) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        | SELECT id_a, id_b FROM cand
-        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach(a, b) AS (
-        | SELECT src, dst FROM edges
-        | UNION
-        | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
-        |lab AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
-        |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
-        |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
-        |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
-        |GROUP BY sz ORDER BY sz""".stripMargin,
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |$clusterCompSql,
+         |lab AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
+         |GROUP BY sz ORDER BY sz""".stripMargin,
     "dd_embed_neardup" -> {
       s"""SELECT id_a, id_b, score FROM (
          | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
