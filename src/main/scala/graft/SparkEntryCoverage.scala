@@ -1900,14 +1900,21 @@ object SparkEntryCoverage {
   /** DuckDB mirror of `Dedup.ngramJaccardPairs(…, 3, 0.2)` as a CTE
     * block ending in `pairs(id_a, id_b)` — shared by the
     * cluster-resolve, cluster-size, and cross-source-dup oracles so
-    * the shingle size / threshold can never drift between them.
+    * the shingle size, threshold, AND the engine's maxDf=1000
+    * stop-shingle cap cannot drift between them (the cap runs BEFORE
+    * both the set sizes and the intersection counts, exactly as the
+    * dd_jaccard_pairs oracle mirrors it — without it these three
+    * oracles would silently diverge on any corpus where a boilerplate
+    * trigram tops 1000 docs).
     */
   private val jaccardPairsSql: String =
     """tok AS (
       | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
       |       FROM tok WHERE len(tk) >= 3),
+      |sh AS (SELECT doc_id, shingle FROM sh0
+      |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
       |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),

@@ -289,8 +289,12 @@ object Relational {
     *
     * Malformed-op contract: ONLY the exact string "delete" deletes;
     * any other op — including null or a typo — applies as an upsert
-    * (null-safe filter, so a null op cannot silently delete). Feeds
-    * needing strict validation should reject unknown ops upstream.
+    * (null-safe filter, so a null op cannot silently delete). A
+    * change with a null (or long-uncastable) `seq` is IGNORED — it
+    * has no position in the change order, so it can neither win nor
+    * delete; dropped explicitly before the union rather than left to
+    * max_by's null-skipping. Feeds needing strict validation should
+    * reject malformed rows upstream.
     */
   def applyChanges(
       base: DataFrame,
@@ -304,8 +308,10 @@ object Relational {
       .select(cols.map(col): _*)
       .withColumn("__op", lit("upsert"))
       .withColumn("__seq", lit(Long.MinValue))
-    val c = changes.select(
-      (cols.map(col) :+ col(opCol).as("__op") :+ col(seqCol).cast("long").as("__seq")): _*)
+    val c = changes
+      .select(
+        (cols.map(col) :+ col(opCol).as("__op") :+ col(seqCol).cast("long").as("__seq")): _*)
+      .filter(col("__seq").isNotNull)
     // PER-COLUMN max_by on the shared total seq (every max_by picks
     // the same winning row) instead of one max_by over a struct: a
     // struct aggregation buffer is immutable and degrades the whole

@@ -330,6 +330,13 @@ class OperatorsSpec extends SparkSpec {
     val got = Relational.applyChanges(base, changes, Seq("k"), Seq("v"), "op", "seq")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a3", 3L -> "c2", 4L -> "new"), got.toString)
+    // null-seq changes are ignored: they can neither win nor delete
+    val withNullSeq = changes.union(
+      Seq((1L, "ghost", "delete", Option.empty[Long]),
+        (9L, "orphan", "upsert", Option.empty[Long])).toDF("k", "v", "op", "seq"))
+    val got2 = Relational.applyChanges(base, withNullSeq, Seq("k"), Seq("v"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == got, s"null-seq rows must be inert: $got2")
   }
 
   test("orderedFunnel: strict order, gap cutoff, missed stages never resurrect") {
