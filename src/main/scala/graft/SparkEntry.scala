@@ -799,6 +799,32 @@ object SparkEntry {
           (sum(col("t6")).cast("double") / lit(1e6)).as("entropy_nats"))
         .orderBy(col("doc_id"))
     },
+    // Mean char entropy per source: because each doc's entropy is an
+    // exact micro-nat INTEGER sum, the cross-doc aggregate stays
+    // exact too — sum the integers, divide once at the edge (a mean
+    // over per-doc doubles would be partition-order-dependent)
+    "a_source_entropy" -> { (s, dir) =>
+      val cnt = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"), explode(split(lower(col("text")), "")).as("ch"))
+        .groupBy(col("doc_id"), col("source"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "n",
+          sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cnt
+        .withColumn("t6", round(-(p * log(p)) * lit(1e6), 0).cast("long"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("t6")).as("h6"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("h6")).cast("double") / (count(lit(1)).cast("double") * lit(1e6)))
+            .as("mean_entropy_nats"))
+        .orderBy(col("source"))
+    },
     // Language-ID confusion matrix: declared lang × predicted lang
     // counts — the audit that catches a drifting marker table
     "t_langid_confusion" -> { (s, dir) =>
@@ -958,6 +984,19 @@ object SparkEntry {
         |       CAST(least(64, tlen - gs.i*32) AS BIGINT) AS chunk_tokens
         |FROM w, LATERAL (SELECT unnest(generate_series(0, nwin-1)) AS i) gs
         |ORDER BY doc_id, win_index""".stripMargin,
+    "a_source_entropy" ->
+      """WITH ch AS (SELECT doc_id, source, unnest(string_split(lower(text), '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, source, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2, 3),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |t AS (SELECT cnt.doc_id, cnt.source,
+        |        CAST(round(-((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) *
+        |          ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)))*1000000) AS BIGINT) AS t6
+        |      FROM cnt JOIN n ON cnt.doc_id = n.doc_id),
+        |h AS (SELECT doc_id, source, CAST(SUM(t6) AS BIGINT) AS h6 FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(h6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_entropy_nats
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "t_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
         |  FROM documents WHERE length(text) > 0),
