@@ -143,8 +143,14 @@ object TextFns {
   val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
   // optional +1 / 1- country-code prefix is consumed so a
   // country-coded number redacts whole ('1-555-123-4567' must not
-  // leak its leading '1-'); still RE2-safe — no lookbehind
-  val PhoneRe = "(?:\\+?1[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+  // leak its leading '1-'); still RE2-safe — no lookbehind. Left
+  // boundaries are explicit per alternative ('\b' can't sit before
+  // '+' or '('): a bare '1' country code and a bare area code must
+  // start at a word boundary, so the match can never begin mid
+  // digit-run ('+41-555-123-4567' redacts '555-123-4567' instead of
+  // matching '1-555-…' and leaking the '+4')
+  val PhoneRe =
+    "(?:\\+1[ .-]|\\b1[ .-])?(?:\\([0-9]{3}\\)|\\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\\b"
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** Redact emails / SSNs / phone numbers / IPv4 addresses to typed

@@ -357,11 +357,20 @@ object Dedup {
     }
     val probed = exact(batch, textCol, idCol)
       .withColumn("fp", TextFns.fingerprint(col(textCol)))
+      // null text → null fp → the Bloom probe is null, which would
+      // fail BOTH branch filters and silently drop the row. A null
+      // join key never matches in the equi-joins below (nor in the
+      // plain left_anti this op is exact-equivalent to), so null
+      // probes are DEFINITELY new: coalesce to false routes them
+      // through the join-bypassing negative branch, preserving the
+      // anti-join's keep-the-null-row semantics.
       .withColumn(
         "__maybe",
-        ColumnBridge.column(BloomFilterMightContain(
-          Literal(bfBytes, BinaryType),
-          ColumnBridge.expression(xxhash64(col("fp"))))))
+        coalesce(
+          ColumnBridge.column(BloomFilterMightContain(
+            Literal(bfBytes, BinaryType),
+            ColumnBridge.expression(xxhash64(col("fp"))))),
+          lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val positives = probed.filter(col("__maybe"))
     val matched = hfp
@@ -634,9 +643,15 @@ object Dedup {
     * covered-position array per contaminated doc, which joins back to
     * the corpus row so the excision is a per-row array expression —
     * the corpus token stream is never shuffled, never reassembled by
-    * aggregation, and only the gram pass explodes it. The only
-    * full-corpus shuffle-free cost is that gram pass; the join back is
-    * broadcast-sized by construction (only docs with matches appear).
+    * aggregation, and only the gram pass explodes it. The join BACK of
+    * the covered-position sets is deliberately UNHINTED: its size is
+    * proportional to the number of contaminated docs — a data
+    * property, not a construction bound (a corpus sharing boilerplate
+    * with the benchmark can mark 1-10% of its rows, each carrying a
+    * position array). Catalyst/AQE broadcasts it when it measures
+    * small and falls back to a shuffled hash join when it doesn't;
+    * a forced broadcast() here would OOM the driver exactly on the
+    * heavily-contaminated corpora this operator exists for.
     * Returns (id, clean_text, n_kept, n_dropped).
     */
   def exciseContaminated(
@@ -670,7 +685,7 @@ object Dedup {
       transform(col("tk"), (t, i) => when(array_contains(cov, i), lit(null)).otherwise(t)),
       x => x.isNotNull)
     base
-      .join(broadcast(coveredSets), Seq("id"), "left")
+      .join(coveredSets, Seq("id"), "left")
       .select(
         col("id"),
         array_join(keptArr, " ").as("clean_text"),

@@ -295,6 +295,15 @@ object Relational {
     * delete; dropped explicitly before the union rather than left to
     * max_by's null-skipping. Feeds needing strict validation should
     * reject malformed rows upstream.
+    *
+    * Sentinel collision: base rows rank at seq = Long.MinValue, so a
+    * change whose seq casts to exactly Long.MinValue would TIE the
+    * base row — and with per-column max_by a tie lets each aggregate
+    * pick fields from a different tied row (a frankenrow). Such
+    * changes are excluded with the null-seq rows: Long.MinValue is
+    * reserved by this operator, not a usable change position. Ties
+    * WITHIN the changelog remain the caller's documented total-`seq`
+    * contract.
     */
   def applyChanges(
       base: DataFrame,
@@ -311,7 +320,7 @@ object Relational {
     val c = changes
       .select(
         (cols.map(col) :+ col(opCol).as("__op") :+ col(seqCol).cast("long").as("__seq")): _*)
-      .filter(col("__seq").isNotNull)
+      .filter(col("__seq").isNotNull && col("__seq") =!= lit(Long.MinValue))
     // PER-COLUMN max_by on the shared total seq (every max_by picks
     // the same winning row) instead of one max_by over a struct: a
     // struct aggregation buffer is immutable and degrades the whole

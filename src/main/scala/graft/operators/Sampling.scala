@@ -346,6 +346,13 @@ object Sampling {
     * a group's cutoff only if f*2^32 sits within ~f*4e-7 of an
     * integer — the same residual class as the repo's micro-nat ln
     * rounding.
+    *
+    * Null-group contract (pinned, like the sibling samplers): rows
+    * whose `group` is null are EXCLUDED from the sample — a null
+    * group has no count row, takes no quota mass, and the inner join
+    * on the threshold table drops its rows. Callers wanting nulls
+    * sampled as a domain should `coalesce(group, lit("__null__"))`
+    * upstream.
     */
   def temperatureSample(
       df: DataFrame,

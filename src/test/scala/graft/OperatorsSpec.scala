@@ -247,10 +247,13 @@ class OperatorsSpec extends SparkSpec {
       (1001L, "History   document number 4 UNIQUE body"), // same after normalize -> dropped
       (1002L, "genuinely new content alpha"),
       (1003L, "genuinely new content alpha"), // internal dup -> first wins
-      (1004L, "genuinely new content beta")
+      (1004L, "genuinely new content beta"),
+      (1005L, null)                           // null text -> null fp: a plain
+      // left_anti KEEPS a null-key row, so the bloom path must too
+      // (null probe routes through the definitely-new branch)
     ).toDF("doc_id", "text")
     val got = Dedup.bloomIncremental(batch, histFps, "text", "doc_id", 4096L)
-    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1002L, 1004L))
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1002L, 1004L, 1005L))
     // the verify path must touch history via broadcast only — a
     // SortMergeJoin would mean the full history shuffled per run
     val plan = got.queryExecution.executedPlan.toString
@@ -337,6 +340,15 @@ class OperatorsSpec extends SparkSpec {
     val got2 = Relational.applyChanges(base, withNullSeq, Seq("k"), Seq("v"), "op", "seq")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2 == got, s"null-seq rows must be inert: $got2")
+    // seq == Long.MinValue collides with the base-row sentinel: such
+    // changes are excluded (reserved position), so they can neither
+    // frankenrow a tie with base nor delete it
+    val withSentinel = changes.union(
+      Seq((1L, "evil", "delete", Long.MinValue),
+        (8L, "phantom", "upsert", Long.MinValue)).toDF("k", "v", "op", "seq"))
+    val got3 = Relational.applyChanges(base, withSentinel, Seq("k"), Seq("v"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got3 == got, s"sentinel-seq rows must be inert: $got3")
   }
 
   test("orderedFunnel: strict order, gap cutoff, missed stages never resurrect") {
@@ -488,6 +500,28 @@ class OperatorsSpec extends SparkSpec {
       15L, 5L)))
     assert(got(2L) == (("completely unrelated content with no benchmark overlap at all", 9L, 0L)))
     assert(got(4L) == (("pre amble tail words", 4L, 5L)))
+  }
+
+  test("exciseContaminated: high-contamination corpus — join-back is unhinted, results exact") {
+    // HALF the corpus leaks the benchmark phrase: the covered-sets
+    // side is O(corpus), so a forced broadcast() on the join-back
+    // would pin a data-dependent volume in the driver. Only the
+    // benchmark-gram side may carry a broadcast hint.
+    val leak = "alpha beta gamma delta epsilon"
+    val bench = Seq((100L, s"context $leak more context")).toDF("doc_id", "text")
+    val corpus = (0 until 400).map { i =>
+      if (i % 2 == 0) (i.toLong, s"u${i}x u${i}y $leak u${i}z tail$i")
+      else (i.toLong, s"u${i}x u${i}y clean body words u${i}z tail$i")
+    }.toDF("doc_id", "text")
+    val out = operators.Dedup.exciseContaminated(corpus, bench, "text", "doc_id", 5)
+    val hints = "ResolvedHint".r.findAllIn(out.queryExecution.analyzed.toString).size
+    assert(hints == 1, s"expected ONLY the benchmark-side broadcast hint, found $hints")
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 400)
+    (0 until 400).foreach { i =>
+      if (i % 2 == 0) assert(got(i.toLong) == ((4L, 5L)), s"doc $i: ${got(i.toLong)}")
+      else assert(got(i.toLong) == ((7L, 0L)), s"doc $i: ${got(i.toLong)}")
+    }
   }
 
   test("fitUnigramLm/scoreUnigramLm: cross-corpus scoring with OOV fallback") {

@@ -246,6 +246,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PhoneRe left boundary: never starts mid digit-run; foreign prefix keeps its digits") {
+    val cases = Seq(
+      // (input, expected after redaction)
+      ("call 555-123-4567 now", "call [PHONE] now"),
+      ("call 1-555-123-4567 now", "call [PHONE] now"),
+      ("call +1 555-123-4567 now", "call [PHONE] now"),
+      ("call +1 (555) 123-4567 now", "call [PHONE] now"),
+      // foreign country code: the '1' of '41' must NOT be eaten as a
+      // +1 country code (the old regex matched '1-555-…' leaking '+4')
+      ("call +41-555-123-4567 now", "call +41-[PHONE] now"),
+      // digit run that merely CONTAINS a phone shape is not a phone
+      ("id 4555-123-4567 end", "id 4555-123-4567 end"),
+      // paren form after a digit still redacts (the paren anchors it)
+      ("x4(555) 123-4567", "x4[PHONE]"))
+    val got = cases.map(_._1).toDF("t")
+      .select($"t", TextFns.redactPii($"t").as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"input '$in'") }
+  }
+
   test("packBins property: bins are contiguous per group and sized by the running budget") {
     val docs = (1L to 200L)
       .map(i => (i, s"g${i % 4}", 1 + rnd.nextInt(100)))
