@@ -1329,31 +1329,23 @@ object SparkEntryCoverage {
         .orderBy(col("doc_id"))
     },
     // Per-user EWMA of purchase values in event-time order — the
-    // time-series smoother. EWMA is order-DEPENDENT by definition, so
-    // determinism comes from sorting each key's bounded sequence
-    // (ts, event_id total order) and folding it sequentially; DuckDB's
-    // list_reduce seeds with the first element, so the Spark fold
-    // seeds identically and both engines run the same IEEE chain.
-    // Per-key arrays: for keys with unbounded history, window the
-    // input first (the sessionize posture)
+    // time-series smoother. EWMA is order-DEPENDENT by definition;
+    // Series.ewmaOrdered runs the sequential IEEE chain per key over
+    // a shuffle-sorted stream with O(1) per-key state (external sort,
+    // no collect_list buffer — a whale key with 10M purchases streams
+    // instead of materializing). DuckDB's list_reduce seeds with the
+    // first element; the fold seeds identically, so both engines run
+    // the same IEEE chain bit-for-bit.
     "w_ewma" -> { (s, dir) =>
-      val seq = array_sort(
-        collect_list(
-          struct(
-            expr("unix_micros(ts)").as("us"),
-            col("event_id"),
-            col("value"))))
-      t(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"))
-        .agg(transform(seq, x => x.getField("value")).as("vs"))
+      Series.ewmaOrdered(
+          t(s, dir, "events")
+            .filter(col("event_type") === "purchase")
+            .withColumn("us", expr("unix_micros(ts)")),
+          "user_id", Seq("us", "event_id"), "value", 0.3)
         .select(
           col("user_id"),
-          size(col("vs")).cast("long").as("n_purchases"),
-          aggregate(
-            slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
-            element_at(col("vs"), 1),
-            (acc, x) => lit(0.3) * x + lit(0.7) * acc).as("ewma_value"))
+          col("n").as("n_purchases"),
+          col("ewma").as("ewma_value"))
         .orderBy(col("user_id"))
     },
     // Winsorized mean per source (robust-stats family, next to the

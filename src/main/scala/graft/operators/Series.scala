@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+
+/** Order-dependent per-key sequence operators (time-series family).
+  *
+  * EWMA, and any linear recurrence like it, is defined as a
+  * SEQUENTIAL fold over each key's events in time order. The naive
+  * distributed shapes both fail a scale test:
+  *
+  *   - `collect_list` + `aggregate(...)` materializes a key's entire
+  *     history in ONE aggregation buffer — a whale/bot key with 10M
+  *     events is a straight OOM, and AQE cannot split an aggregate
+  *     buffer the way it splits a skewed join.
+  *   - a composable (A, B) segment merge (acc' = αx + (1-α)acc over a
+  *     length-n segment is A = (1-α)ⁿ, result = A·acc₀ + B) is
+  *     associative in exact arithmetic but NOT in IEEE doubles: the
+  *     merge tree's rounding differs from the sequential chain's, so
+  *     results drift in the last bits AND become partition-count
+  *     dependent (partial-aggregate merge order is not deterministic).
+  *
+  * The shape used here is the classic ordered streaming fold:
+  * hash-repartition by key, external sort within partitions by
+  * (key, order), then one forward pass holding O(1) state per key —
+  * the sort spills to disk (no per-key memory at any history length)
+  * and the fold applies the EXACT IEEE chain of the sequential
+  * definition, bit-identical to a single-threaded reference (e.g.
+  * DuckDB's `list_reduce`) and independent of partition count because
+  * each key lives in exactly one partition and its fold order is the
+  * total (key, order) sort order. This is the sanctioned imperative
+  * per-partition case (SURVEY §0's "rarely" clause): the recurrence
+  * itself is inexpressible as a bounded-buffer Catalyst aggregate
+  * without changing its floating-point semantics.
+  */
+object Series {
+
+  /** Per-key EWMA in event order: seed acc = first value, then
+    * acc' = alpha·x + (1-alpha)·acc per subsequent value — the same
+    * chain as `list_reduce(vs, (acc, x) -> alpha*x + (1-alpha)*acc)`
+    * seeded with the head.
+    *
+    * Output: (keyCol, n: long, ewma: double) — `n` counts the key's
+    * rows (null values included, mirroring `collect_list(struct(...))`
+    * + `size`), and a null value poisons the fold to null from that
+    * point on (IEEE null-propagation parity with `aggregate` /
+    * `list_reduce` folding a null element). Null keys form one group,
+    * as in `groupBy`. Ties in `orderCols` make the fold order — and
+    * thus the result — undefined between the tied rows; pass a total
+    * order (the callers order by (event_time, event_id)).
+    */
+  def ewmaOrdered(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val in = df.select((keyCol +: orderCols :+ valueCol).map(col): _*)
+    val keyField = in.schema.head
+    val valueIdx = in.schema.length - 1
+    val outSchema = StructType(Seq(
+      keyField.copy(name = keyCol),
+      StructField("n", LongType, nullable = false),
+      StructField("ewma", DoubleType, nullable = true)))
+    val parted = numPartitions match {
+      case Some(p) => in.repartition(p, col(keyCol))
+      case None    => in.repartition(col(keyCol))
+    }
+    val sorted = parted.sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+    val a = alpha
+    sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Row = null          // finished group awaiting emit
+        private var curKey: Any = null
+        private var open = false                 // a group is accumulating
+        private var n = 0L
+        private var acc: java.lang.Double = null
+        private var accPoisoned = false          // null value seen -> null result
+        private def close(): Row = {
+          val r = Row(curKey, n, if (accPoisoned) null else acc)
+          open = false
+          r
+        }
+        private def advance(): Unit = {
+          while (pending == null && it.hasNext) {
+            val row = it.next()
+            val k = row.get(0)
+            if (!open || k != curKey) {
+              if (open) pending = close()
+              curKey = k; open = true; n = 0L; acc = null; accPoisoned = false
+            }
+            val v: java.lang.Double =
+              if (row.isNullAt(valueIdx)) null else row.getDouble(valueIdx)
+            if (n == 0L) { if (v == null) accPoisoned = true else acc = v }
+            else if (!accPoisoned) {
+              if (v == null || acc == null) accPoisoned = true
+              else acc = a * v + (1.0 - a) * acc
+            }
+            n += 1
+          }
+          if (pending == null && open) pending = close()
+        }
+        override def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

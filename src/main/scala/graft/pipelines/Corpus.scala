@@ -56,10 +56,22 @@ object Corpus {
       minhashHashes: Int = 8,
       minhashBandSize: Int = 1,
       maxMeanNll: Option[Double] = None): DataFrame = {
+    // The gated frame is the funnel's fan-out point: the perplexity
+    // arm reads it twice (LM fit + score) and the dedup/near-dup/
+    // decontamination arms each re-derive from it. Unpersisted, every
+    // arm re-runs the parquet scan + lang/quality kernels (the r4
+    // plan census counted 10 corpus scans in t_funnel_neardup);
+    // persisted, the corpus is read ONCE and every arm reads the
+    // cached gate survivors — the rareLineSurvivors caching contract
+    // one level up. MEMORY_AND_DISK spills at 100 TB instead of
+    // rescanning; sessions clear it with the usual
+    // spark.catalog.clearCache() between queries (see
+    // ngramJaccardPairs' contract note).
     val gated = docs
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol), langMarkers))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol), stopwords))
       .filter(col("lang_pred") === keepLang && col("quality") >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pplGated = maxMeanNll.fold(gated) { thr =>
       val keep = TextAnalysis
         .perplexity(gated, textCol, idCol)
@@ -73,13 +85,17 @@ object Corpus {
     // stage is linear in corpus size (the band shuffle carries only
     // (id, band, bucket)), so inserting it does not change the
     // funnel's 100 TB posture
-    val canonical = nearDupJaccard.fold(deduped) { threshold =>
+    val canonical0 = nearDupJaccard.fold(deduped) { threshold =>
       val pairs = Dedup
         .minhashLshPairs(
           deduped, textCol, idCol, shingleN, minhashHashes, minhashBandSize, threshold)
         .select(col("id_a"), col("id_b"))
       Dedup.resolveClusters(deduped, idCol, pairs)
     }
+    // second fan-out: decontamination's shingle pass AND the final
+    // keep-join both read the canonical survivors — persist so the
+    // dedup window (and the cluster resolve, when enabled) runs once
+    val canonical = canonical0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clean = Dedup
       .crossCorpusOverlap(canonical, benchmark, textCol, idCol, shingleN)
       .filter(!col("contaminated"))

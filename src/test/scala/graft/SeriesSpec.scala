@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Series
+import org.apache.spark.sql.functions._
+
+/** Series.ewmaOrdered — the bounded replacement for the
+  * collect_list + aggregate() EWMA (r4 VERDICT "what's wrong" #2).
+  * The contract under test: bit-identical to the sequential
+  * array-fold definition, independent of partition count, O(1)
+  * per-key state (no per-key array ever materializes).
+  */
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic mixed fixture: one whale key (most rows), several
+  // small keys, values from integer arithmetic (exact doubles vary
+  // in magnitude and sign)
+  private lazy val events = {
+    val rows = (0 until 5000).map { i =>
+      val key = if (i % 3 != 0) 1L else (i % 7).toLong + 2 // key 1 = whale
+      val v = (((i * 2654435761L) % 997) - 498).toDouble / 7.0
+      (key, i.toLong * 1000, i.toLong, v)
+    }
+    rows.toDF("user_id", "us", "event_id", "value")
+  }
+
+  /** The old unbounded formulation, kept here as the executable
+    * reference semantics.
+    */
+  private def arrayFold(df: org.apache.spark.sql.DataFrame) = {
+    val seq = array_sort(collect_list(struct(col("us"), col("event_id"), col("value"))))
+    df.groupBy(col("user_id"))
+      .agg(transform(seq, x => x.getField("value")).as("vs"))
+      .select(
+        col("user_id"),
+        size(col("vs")).cast("long").as("n"),
+        aggregate(
+          slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+          element_at(col("vs"), 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc).as("ewma"))
+  }
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Any)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.get(2)))).toMap
+
+  test("ewmaOrdered: bit-identical to the sequential array-fold reference") {
+    val got = asMap(Series.ewmaOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.3))
+    val want = asMap(arrayFold(events))
+    assert(got.keySet == want.keySet)
+    // exact == on doubles on purpose: the fold must run the SAME
+    // IEEE chain as the sequential definition, not an approximation
+    assert(got == want)
+  }
+
+  test("ewmaOrdered: result independent of partition count (whale key spans no boundary)") {
+    val base = asMap(
+      Series.ewmaOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.3,
+        numPartitions = Some(1)))
+    for (p <- Seq(2, 3, 17, 64)) {
+      val got = asMap(
+        Series.ewmaOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.3,
+          numPartitions = Some(p)))
+      assert(got == base, s"partition count $p changed the result")
+    }
+  }
+
+  test("ewmaOrdered: null value poisons the fold from that point; null key is one group") {
+    val df = Seq[(java.lang.Long, Long, Long, java.lang.Double)](
+      (10L, 1L, 1L, 2.0), (10L, 2L, 2L, null), (10L, 3L, 3L, 8.0), // null mid-stream
+      (11L, 1L, 4L, 4.0), (11L, 2L, 5L, 14.0),                     // clean
+      (null, 1L, 6L, 5.0), (null, 2L, 7L, 15.0)                    // null key group
+    ).toDF("user_id", "us", "event_id", "value")
+    val got = Series.ewmaOrdered(df, "user_id", Seq("us", "event_id"), "value", 0.3)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> ((r.getLong(1), r.get(2))))
+      .toMap
+    assert(got(10L) == ((3L, null)))
+    assert(got(11L) == ((2L, 0.3 * 14.0 + 0.7 * 4.0)))
+    assert(got(-1L) == ((2L, 0.3 * 15.0 + 0.7 * 5.0)))
+  }
+
+  test("ewmaOrdered plan: no ObjectHashAggregate/SortAggregate collect_list buffer") {
+    val plan = Series.ewmaOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+  }
+}
