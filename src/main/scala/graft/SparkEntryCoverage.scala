@@ -546,6 +546,36 @@ object SparkEntryCoverage {
         .ivfTopK(assigned, "embedding", cents, query, 10, 2)
         .select(col("vec_id"), col("label"), col("cell"), col("score"))
     },
+    // V2 scale path, PERSISTED index — the reference's index is built
+    // once and queried forever (Pinecone auto-create-then-reuse); here
+    // the IVF fit/assignment is written to parquet (cells partitioned
+    // BY cell, so the probe prunes to 2/4 of the files) and the query
+    // runs entirely off the loaded index. Must return exactly what
+    // the in-line v_ivf_topk returns — same oracle.
+    "v_ivf_persisted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val idxPath = s"/tmp/graft_idx/ivf_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents.toSeq),
+        cents.toSeq,
+        idxPath)
+      val (loadedCents, loadedCells) = graft.sources.Io.readIvfIndex(s, idxPath)
+      Similarity
+        .ivfTopK(loadedCells, "embedding", loadedCents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
     // V2 scale path — hyperplane-LSH near-dup pairs: bucket on 8 sign
     // bits, verify candidates with exact cosine
     "v_lsh_pairs" -> { (s, dir) =>
@@ -567,6 +597,23 @@ object SparkEntryCoverage {
         .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
       Similarity
         .lshTopK(emb.filter(col("vec_id") =!= 0), "embedding", LshDim, LshBits, query, 10, 1, 42L)
+        .select(col("vec_id"), col("label"), col("score"))
+    },
+    // V2 scale path, query side, RECALL variant — banded LSH top-k:
+    // candidate on ANY full-band agreement with the query (4 bands ×
+    // 4 bits, the OR-of-ANDs that fixed the pair path), exact-ranked.
+    // The retrieval-side answer to lshTopK's single-table recall
+    // collapse (AnnRecallSpec: 0.9 vs 0.3 measured).
+    "v_lsh_topk_banded" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect().head
+        .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      Similarity
+        .bandedLshTopK(
+          emb.filter(col("vec_id") =!= 0), "embedding",
+          LshDim, LshBands, LshBandBits, query, 10, 42L)
         .select(col("vec_id"), col("label"), col("score"))
     },
     // V2 scale path, recall variant — banded hyperplane LSH: 4 bands
@@ -2314,6 +2361,30 @@ object SparkEntryCoverage {
          |WHERE a.cell IN (SELECT cell FROM probe)
          |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
     },
+    // identical semantics to v_ivf_topk by construction: the persisted
+    // index must round-trip to the same assignment and ranking
+    "v_ivf_persisted" -> {
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT b.vec_id, b.label, b.embedding, c.cell,
+         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+         | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
+         |assign AS (
+         | SELECT vec_id, label, embedding, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |probe AS (
+         | SELECT cell FROM (
+         |  SELECT c.cell, ${sqlCosine("c.ce", "q.qe")} AS sim FROM cents c, q
+         |  ORDER BY sim DESC, cell ASC LIMIT 2))
+         |SELECT a.vec_id, a.label, a.cell, ${sqlCosine("a.embedding", "q.qe")} AS score
+         |FROM assign a, q
+         |WHERE a.cell IN (SELECT cell FROM probe)
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
+    },
     "v_lsh_pairs" -> {
       val bucketExpr = lshPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
       s"""WITH sig AS (
@@ -2334,6 +2405,22 @@ object SparkEntryCoverage {
          |qs AS (SELECT $sigQ AS qsv FROM q),
          |sig AS (SELECT vec_id, label, embedding, $sigE AS s FROM embeddings WHERE vec_id <> 0),
          |cand AS (SELECT vec_id, label, embedding FROM sig, qs WHERE $ham <= 1)
+         |SELECT vec_id, label, score FROM (
+         | SELECT c.vec_id, c.label, ${sqlCosine("c.embedding", "q.qe")} AS score FROM cand c, q)
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "v_lsh_topk_banded" -> {
+      val sigE = lshBandPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
+      val sigQ = lshBandPlanes.map(p => sqlLshBit("q.qe", p)).mkString(" || ")
+      val anyBand = (0 until LshBands)
+        .map(b =>
+          s"substring(s, ${b * LshBandBits + 1}, $LshBandBits) = " +
+            s"substring(qsv, ${b * LshBandBits + 1}, $LshBandBits)")
+        .mkString(" OR ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT $sigQ AS qsv FROM q),
+         |sig AS (SELECT vec_id, label, embedding, $sigE AS s FROM embeddings WHERE vec_id <> 0),
+         |cand AS (SELECT vec_id, label, embedding FROM sig, qs WHERE $anyBand)
          |SELECT vec_id, label, score FROM (
          | SELECT c.vec_id, c.label, ${sqlCosine("c.embedding", "q.qe")} AS score FROM cand c, q)
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin

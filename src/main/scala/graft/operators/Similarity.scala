@@ -330,6 +330,17 @@ object Similarity {
     * per row, so the bucket predicate is a pure column comparison —
     * at scale the scan reads only the probed buckets' partitions when
     * the corpus is stored bucket-partitioned.
+    *
+    * RECALL WARNING — single-table corner: one full-signature table
+    * loses a neighbor whenever more than `radius` of its nBits sign
+    * bits disagree, and per-bit agreement for a cosine-s neighbor is
+    * only 1 - acos(s)/pi (~0.6 at s≈0.35), so recall collapses
+    * multiplicatively with nBits (measured 0.3 at 4 bits/radius 1 in
+    * AnnRecallSpec, floor 0.2). Retrieval users should reach for
+    * [[bandedLshTopK]] (OR-of-ANDs banding, measured floor 0.5) or
+    * [[ivfTopK]] (probed-mass control, floor 0.7); this single-table
+    * form is kept for the bucket-pruned-scan layout where one bucket
+    * column IS the partition key.
     */
   def lshTopK(
       df: DataFrame,
@@ -355,6 +366,45 @@ object Similarity {
         when(substring(col("lsh_bucket"), i + 1, 1) === lit(qSig(i).toString), 0).otherwise(1))
       .reduce((a: Column, b: Column) => a + b)
     bruteForceTopK(signed.filter(hamming <= radius), embCol, query, k)
+  }
+
+  /** Banded LSH top-k — [[bandedLshNearDupPairs]]'s OR-of-ANDs
+    * treatment applied to single-query retrieval: a row is probed when
+    * ANY of its `bands` signature bands agrees with the query's band
+    * on ALL `bitsPerBand` bits, then the probed rows are exact-ranked.
+    * Per-neighbor probe probability is 1 - (1 - p^r)^b for per-bit
+    * agreement p — tunable to ≥0.9 where the single-table form
+    * ([[lshTopK]]) collapses. The band predicate is a pure column
+    * expression (no join, no shuffle): at scale, store the corpus
+    * partitioned by the first band's bucket and the probe prunes to
+    * 1/2^bitsPerBand of the files before the residual bands filter
+    * map-side.
+    */
+  def bandedLshTopK(
+      df: DataFrame,
+      embCol: String,
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int,
+      query: Array[Double],
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0, "bands and bitsPerBand must be positive")
+    val nBits = bands * bitsPerBand
+    val planes = hyperplanes(dim, nBits, seed)
+    val qSig = planes.map { p =>
+      var dot = 0.0; var i = 0
+      while (i < math.min(dim, query.length)) { dot += query(i) * p(i); i += 1 }
+      if (dot > 0) '1' else '0'
+    }.mkString
+    val signed = hyperplaneSignature(df, embCol, dim, nBits, seed)
+    val anyBand = (0 until bands)
+      .map { b =>
+        substring(col("lsh_bucket"), b * bitsPerBand + 1, bitsPerBand) ===
+          lit(qSig.substring(b * bitsPerBand, (b + 1) * bitsPerBand))
+      }
+      .reduce((a: Column, c: Column) => a || c)
+    bruteForceTopK(signed.filter(anyBand), embCol, query, k)
   }
 
   /** Product-quantization encoding: the embedding is split into

@@ -186,4 +186,89 @@ object Io {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  // ---- persistent ANN indexes -------------------------------------
+  //
+  // The reference's vector index is PERSISTENT: built once, queried
+  // many times, upserted incrementally (Pinecone auto-create-then-
+  // reuse, `src/services/embeddings.py:117-152`). At 100 TB the index
+  // BUILD (k-means fit + full-corpus assignment/encoding) is the
+  // expensive artifact — a retrieval path that re-fits per query pays
+  // it every time. These sinks/sources make the fit a one-time cost:
+  // centroids/codebooks are tiny parquet side tables, and the
+  // assigned corpus is laid out partitioned BY CELL so an IVF probe
+  // reads only the probed cells' directories (partition pruning does
+  // the nprobe/nlist read at the FILE level, not with a post-scan
+  // filter).
+
+  /** Persist an IVF index: `path/centroids` (cell, centroid) and
+    * `path/cells` — the corpus with its cell assignment, partitioned
+    * by cell. Loading + `ivfTopK` must return exactly what the
+    * in-line fit returned for the same centroids.
+    */
+  def writeIvfIndex(
+      assigned: DataFrame,
+      centroids: Seq[Array[Double]],
+      path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Load an IVF index written by [[writeIvfIndex]]: (centroids in
+    * cell order, assigned corpus). Filters on `cell` prune to the
+    * probed partition directories.
+    */
+  def readIvfIndex(spark: SparkSession, path: String): (Seq[Array[Double]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      .toSeq
+    (cents, spark.read.parquet(s"$path/cells"))
+  }
+
+  /** Persist a PQ index: `path/codebooks` (sub, cell, centroid) and
+    * `path/codes` — the byte-coded corpus (the pq_* columns replace
+    * the full vectors in the scan; keep the embedding column in
+    * `codes` only if the exact re-rank should read it from the index
+    * rather than joining back to the corpus).
+    */
+  def writePqIndex(
+      codes: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]],
+      path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex
+      .flatMap { case (subCents, s) =>
+        subCents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+      }
+      .toDF("sub", "cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a PQ index written by [[writePqIndex]]: (codebooks indexed
+    * [sub][cell], coded corpus).
+    */
+  def readPqIndex(
+      spark: SparkSession,
+      path: String): (Seq[Seq[Array[Double]]], DataFrame) = {
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("sub"), col("cell"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[scala.collection.Seq[Double]](2).toArray))
+      .groupBy(_._1)
+      .toSeq
+      .sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    (books, spark.read.parquet(s"$path/codes"))
+  }
 }

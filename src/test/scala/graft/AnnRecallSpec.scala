@@ -80,6 +80,59 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.2, s"lshTopK recall@10 = $recall")
   }
 
+  // Banded treatment of the SAME retrieval problem: with per-bit
+  // agreement p ~= 0.61 for this data's cosine-0.3-0.4 neighbors,
+  // 16 bands x 4 bits predicts per-neighbor probe probability
+  // 1 - (1 - 0.61^4)^16 ~= 0.91 where the single-table path above
+  // measures 0.3 — the floor pins 0.5 to survive regeneration.
+  test("banded LSH top-k (16 bands x 4 bits) recall@10 >= 0.5 vs brute force") {
+    val approx = ids(
+      Similarity.bandedLshTopK(
+        corpus, "embedding", dim = 64, bands = 16, bitsPerBand = 4, query, k = 10))
+    val recall = (approx & exactTop10).size / 10.0
+    info(s"bandedLshTopK recall@10 = $recall")
+    assert(recall >= 0.5, s"bandedLshTopK recall@10 = $recall")
+  }
+
+  test("persisted IVF index round-trips: loaded centroids + cells reproduce the in-line top-k") {
+    val cents = Similarity.fitCentroids(corpus, "vec_id", "embedding", k = 16, iters = 5)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
+    val inline = Similarity.ivfTopK(assigned, "embedding", cents, query, 10, 8)
+      .select(col("vec_id"), col("score")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val path = "/tmp/graft_idx/spec_ivf"
+    graft.sources.Io.writeIvfIndex(assigned, cents, path)
+    val (lc, cells) = graft.sources.Io.readIvfIndex(spark, path)
+    assert(lc.length == cents.length)
+    lc.zip(cents).foreach { case (a, b) => assert(a.toSeq == b.toSeq, "centroid drift") }
+    val loaded = Similarity.ivfTopK(cells, "embedding", lc, query, 10, 8)
+      .select(col("vec_id"), col("score")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(loaded.toSeq == inline.toSeq, s"persisted != inline: $loaded vs $inline")
+  }
+
+  test("persisted PQ index round-trips codebooks and codes exactly") {
+    val subDim = 8
+    val sample = corpus
+      .filter(col("vec_id").between(1, 16))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val codebooks = (0 until query.length / subDim)
+      .map(s => sample.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val encoded = Similarity.pqEncode(corpus, "embedding", subDim, codebooks)
+      .select(col("vec_id") +: (0 until query.length / subDim).map(s => col(s"pq_$s")): _*)
+    val path = "/tmp/graft_idx/spec_pq"
+    graft.sources.Io.writePqIndex(encoded, codebooks, path)
+    val (books, codes) = graft.sources.Io.readPqIndex(spark, path)
+    assert(books.length == codebooks.length)
+    books.zip(codebooks).foreach { case (ls, cs) =>
+      assert(ls.length == cs.length)
+      ls.zip(cs).foreach { case (a, b) => assert(a.toSeq == b.toSeq, "codebook drift") }
+    }
+    val a = encoded.orderBy(col("vec_id")).collect().map(_.toSeq)
+    val b = codes.orderBy(col("vec_id")).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "codes drift")
+  }
+
   // ---- banded hyperplane LSH: pair recall on planted near-dups ----
   //
   // 200 seeded random unit vectors plus 40 planted near-dups at
