@@ -1542,6 +1542,19 @@ object SparkEntry {
           element_at(col("features"), 1).as("f0"),
           element_at(col("features"), 2).as("f1"))
         .orderBy(col("media_id"))
+    },
+    // T17 near-dup: perceptual-hash pairs over the media corpus —
+    // aHash bits from the stub features, high-byte prefix buckets,
+    // exact Hamming verify (the image analog of dd_simhash_pairs).
+    // maxBucket 8 exercises the degenerate-bucket cap: same-language
+    // text byte-histograms cluster into a few perceptual classes
+    // (39k pairs uncapped at sf0.01 — the quadratic failure the cap
+    // exists for), so only discriminative buckets emit pairs.
+    "mm_phash_neardup" -> { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal
+        .phashNearDupPairs(media, 2, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -1676,6 +1689,26 @@ object SparkEntry {
       s"""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
          | ${bin(0)} AS f0, ${bin(1)} AS f1
          |FROM documents ORDER BY media_id""".stripMargin
+    },
+    "mm_phash_neardup" -> {
+      // same byte-histogram mirror as mm_media_features; bit i set
+      // when bin count * 16 exceeds the byte length (integer-exact
+      // mean test, identical to the Spark side)
+      def bin(b: Int) =
+        s"len(list_filter(list_transform(generate_series(1, CAST(length(text) AS INT)), " +
+          s"i -> ascii(substring(text, i, 1)) % 16), x -> x = $b))"
+      val phash = (0 until 16)
+        .map(i => s"(CASE WHEN ${bin(i)} * 16 > length(text) THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT doc_id AS id, CAST($phash AS BIGINT) AS phash FROM documents),
+         |hp AS (SELECT id, phash, phash // 256 AS pfx FROM h),
+         |small AS (SELECT pfx FROM hp GROUP BY pfx HAVING count(*) <= 8),
+         |c AS (SELECT hp.* FROM hp JOIN small USING (pfx)),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |        bit_count(xor(a.phash, b.phash)) AS hamming
+         |      FROM c a JOIN c b ON a.pfx = b.pfx AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
+         |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
     }
   )
 }

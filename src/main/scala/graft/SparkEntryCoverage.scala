@@ -971,6 +971,36 @@ object SparkEntryCoverage {
         .pqTopK(encoded, "embedding", centroids, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // PQ top-k off the PERSISTED index: codebooks + codes written to
+    // parquet once (the expensive encode is the build-time artifact),
+    // the query loads and ranks without re-encoding anything — same
+    // oracle as v_pq_topk, results must be identical
+    "v_pq_persisted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val centroids = (0 until 8).map(s => full.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+      val idxPath = s"/tmp/graft_idx/pq_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePqIndex(
+        Similarity.pqEncode(emb.filter(col("vec_id") =!= 0), "embedding", subDim, centroids),
+        centroids,
+        idxPath)
+      val (books, codes) = graft.sources.Io.readPqIndex(s, idxPath)
+      Similarity
+        .pqTopK(codes, "embedding", books, query, subDim, 50, 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // Ingest-time embedding normalization (cosine -> dot at query time)
     "v_normalize" -> { (s, dir) =>
       Similarity
@@ -2091,6 +2121,91 @@ object SparkEntryCoverage {
        |  AND ${sqlHash32("doc_id")} < ${Sampling.threshold(0.5)}
        |ORDER BY doc_id""".stripMargin
 
+  /** The dd_incremental_neardup oracle — DuckDB mirror of
+    * MinHashSignature (8 hashes from md5 slices, same formula as the
+    * dd_minhash_pairs / t_funnel_neardup oracles). Shared verbatim by
+    * the streaming variant (st_incremental_neardup): near-dup-vs-
+    * static-history is stateless across micro-batches, so per-batch
+    * application in foreachBatch computes exactly the batch result.
+    */
+  private[graft] lazy val incrementalNeardupOracle: String = {
+    def sig(sh: String) =
+      s"list_transform(generate_series(0, 7), i -> list_aggregate(list_transform($sh, " +
+        "s -> list_reduce(list_transform(generate_series(1, 8), d -> strpos('0123456789abcdef', " +
+        "substring(CASE WHEN i // 4 = 0 THEN md5(s) ELSE md5(CAST(i // 4 AS VARCHAR) || ':' || s) END, " +
+        "CAST((i % 4) * 8 + d AS INT), 1)) - 1), (a, b) -> a * 16 + b)), 'min'))"
+    val shingles =
+      "list_distinct(list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |hist AS (SELECT doc_id, text FROM d WHERE doc_id < 250),
+       |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 7 = 0 THEN h.text || ' data stream batch' ELSE b.text END AS text
+       |          FROM d b JOIN hist h ON b.doc_id - 250 = h.doc_id WHERE b.doc_id >= 250),
+       |btok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM batch),
+       |htok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM hist),
+       |bshl AS (SELECT doc_id, $shingles AS sh FROM btok WHERE len(tk) >= 3),
+       |hshl AS (SELECT doc_id, $shingles AS sh FROM htok WHERE len(tk) >= 3),
+       |bsig AS (SELECT doc_id, ${sig("sh")} AS sg FROM bshl WHERE len(sh) > 0),
+       |hsig AS (SELECT doc_id, ${sig("sh")} AS sg FROM hshl WHERE len(sh) > 0),
+       |bband AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
+       |          FROM bsig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
+       |hband AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
+       |          FROM hsig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
+       |cand AS (SELECT DISTINCT b.doc_id AS id_a, h.doc_id AS id_b
+       |         FROM bband b JOIN hband h ON b.band = h.band AND b.bucket = h.bucket),
+       |matched AS (SELECT DISTINCT id_a FROM cand
+       |  JOIN bshl sa ON sa.doc_id = id_a JOIN hshl sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.3)
+       |SELECT doc_id FROM batch
+       |WHERE doc_id NOT IN (SELECT id_a FROM matched)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The v_pq_topk oracle (ADC lookup-table scan + exact re-rank),
+    * shared verbatim by v_pq_persisted: the persisted index must
+    * reproduce the in-line encode + rank exactly.
+    */
+  private[graft] lazy val pqTopkOracle: String = {
+    def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
+    val codeCos = sqlCosine("sub_v", "sub_c")
+    s"""WITH cents AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+       | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       | SELECT e.vec_id, e.label, e.embedding, gs.s, c.cell,
+       |        ${subSlice("e.embedding", "gs.s")} AS sub_v,
+       |        ${subSlice("c.ce", "gs.s")} AS sub_c
+       | FROM embeddings e
+       | CROSS JOIN cents c
+       | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs
+       | WHERE e.vec_id <> 0),
+       |best AS (
+       | SELECT vec_id, label, embedding, s, cell FROM (
+       |  SELECT vec_id, label, embedding, s, cell,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY $codeCos DESC, cell DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |adcv AS (
+       | SELECT c.cell, gs.s,
+       |        list_reduce(list_transform(generate_series(1, 8),
+       |          i -> CAST((${subSlice("q.qe", "gs.s")})[i] AS DOUBLE) *
+       |               CAST((${subSlice("c.ce", "gs.s")})[i] AS DOUBLE)), (x,y) -> x+y) AS v
+       | FROM cents c CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs, q),
+       |approx AS (
+       | SELECT b.vec_id, any_value(b.label) AS label, any_value(b.embedding) AS embedding,
+       |        list(a.v ORDER BY b.s) AS vals
+       | FROM best b JOIN adcv a ON a.s = b.s AND a.cell = b.cell
+       | GROUP BY b.vec_id),
+       |short AS (
+       | SELECT vec_id, label, embedding,
+       |        vals[1]+vals[2]+vals[3]+vals[4]+vals[5]+vals[6]+vals[7]+vals[8] AS approx_score
+       | FROM approx
+       | ORDER BY approx_score DESC, vec_id LIMIT 50)
+       |SELECT vec_id, label, approx_score, ${sqlCosine("embedding", "q.qe")} AS score
+       |FROM short, q
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "f4_timeline" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') || ': ' || event_type AS line
@@ -2631,46 +2746,10 @@ object SparkEntryCoverage {
         |FROM al a JOIN al b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
-    "v_pq_topk" -> {
-      def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
-      val codeCos = sqlCosine("sub_v", "sub_c")
-      s"""WITH cents AS (
-         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
-         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |scored AS (
-         | SELECT e.vec_id, e.label, e.embedding, gs.s, c.cell,
-         |        ${subSlice("e.embedding", "gs.s")} AS sub_v,
-         |        ${subSlice("c.ce", "gs.s")} AS sub_c
-         | FROM embeddings e
-         | CROSS JOIN cents c
-         | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs
-         | WHERE e.vec_id <> 0),
-         |best AS (
-         | SELECT vec_id, label, embedding, s, cell FROM (
-         |  SELECT vec_id, label, embedding, s, cell,
-         |         row_number() OVER (PARTITION BY vec_id, s ORDER BY $codeCos DESC, cell DESC) AS rn
-         |  FROM scored) WHERE rn = 1),
-         |adcv AS (
-         | SELECT c.cell, gs.s,
-         |        list_reduce(list_transform(generate_series(1, 8),
-         |          i -> CAST((${subSlice("q.qe", "gs.s")})[i] AS DOUBLE) *
-         |               CAST((${subSlice("c.ce", "gs.s")})[i] AS DOUBLE)), (x,y) -> x+y) AS v
-         | FROM cents c CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs, q),
-         |approx AS (
-         | SELECT b.vec_id, any_value(b.label) AS label, any_value(b.embedding) AS embedding,
-         |        list(a.v ORDER BY b.s) AS vals
-         | FROM best b JOIN adcv a ON a.s = b.s AND a.cell = b.cell
-         | GROUP BY b.vec_id),
-         |short AS (
-         | SELECT vec_id, label, embedding,
-         |        vals[1]+vals[2]+vals[3]+vals[4]+vals[5]+vals[6]+vals[7]+vals[8] AS approx_score
-         | FROM approx
-         | ORDER BY approx_score DESC, vec_id LIMIT 50)
-         |SELECT vec_id, label, approx_score, ${sqlCosine("embedding", "q.qe")} AS score
-         |FROM short, q
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
-    },
+    "v_pq_topk" -> pqTopkOracle,
+    // the persisted index must reproduce the in-line encode+rank
+    // exactly — one oracle, two paths
+    "v_pq_persisted" -> pqTopkOracle,
     "v_normalize" -> {
       val normExpr =
         "sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), " +
@@ -2937,40 +3016,7 @@ object SparkEntryCoverage {
         |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned,
         |       CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "dd_incremental_neardup" -> {
-      // DuckDB mirror of MinHashSignature (8 hashes from md5 slices) —
-      // same formula as the dd_minhash_pairs / t_funnel_neardup oracles
-      def sig(sh: String) =
-        s"list_transform(generate_series(0, 7), i -> list_aggregate(list_transform($sh, " +
-          "s -> list_reduce(list_transform(generate_series(1, 8), d -> strpos('0123456789abcdef', " +
-          "substring(CASE WHEN i // 4 = 0 THEN md5(s) ELSE md5(CAST(i // 4 AS VARCHAR) || ':' || s) END, " +
-          "CAST((i % 4) * 8 + d AS INT), 1)) - 1), (a, b) -> a * 16 + b)), 'min'))"
-      val shingles =
-        "list_distinct(list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
-      s"""WITH d AS (SELECT doc_id, text FROM documents),
-         |hist AS (SELECT doc_id, text FROM d WHERE doc_id < 250),
-         |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 7 = 0 THEN h.text || ' data stream batch' ELSE b.text END AS text
-         |          FROM d b JOIN hist h ON b.doc_id - 250 = h.doc_id WHERE b.doc_id >= 250),
-         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM batch),
-         |htok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM hist),
-         |bshl AS (SELECT doc_id, $shingles AS sh FROM btok WHERE len(tk) >= 3),
-         |hshl AS (SELECT doc_id, $shingles AS sh FROM htok WHERE len(tk) >= 3),
-         |bsig AS (SELECT doc_id, ${sig("sh")} AS sg FROM bshl WHERE len(sh) > 0),
-         |hsig AS (SELECT doc_id, ${sig("sh")} AS sg FROM hshl WHERE len(sh) > 0),
-         |bband AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
-         |          FROM bsig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
-         |hband AS (SELECT doc_id, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
-         |          FROM hsig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
-         |cand AS (SELECT DISTINCT b.doc_id AS id_a, h.doc_id AS id_b
-         |         FROM bband b JOIN hband h ON b.band = h.band AND b.bucket = h.bucket),
-         |matched AS (SELECT DISTINCT id_a FROM cand
-         |  JOIN bshl sa ON sa.doc_id = id_a JOIN hshl sb ON sb.doc_id = id_b
-         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.3)
-         |SELECT doc_id FROM batch
-         |WHERE doc_id NOT IN (SELECT id_a FROM matched)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "dd_incremental_neardup" -> incrementalNeardupOracle,
     "dd_incremental" ->
       """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |batch AS (SELECT b.doc_id, CASE WHEN b.doc_id % 5 = 0 THEN h.text ELSE b.text END AS text

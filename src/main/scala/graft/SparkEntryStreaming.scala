@@ -228,6 +228,54 @@ object SparkEntryStreaming {
       drain(funneled, "st_funnel_sink", "append")
         .orderBy(col("doc_id"))
     },
+    // dd_incremental_neardup as a LIVE stream — the reference's daily
+    // incremental with NEAR-dup hygiene: each micro-batch runs
+    // MinHash-LSH against the static history table inside
+    // foreachBatch (the per-batch escape hatch for operators whose
+    // multi-join shape the streaming planner can't host), and only
+    // docs with no history near-dup survive to the sink. Near-dup-
+    // vs-static is stateless across batches, so per-batch application
+    // computes exactly the batch result at ANY batch split — the
+    // batch query's oracle carries over verbatim. At scale the
+    // history side is the persisted signature table, re-read per
+    // batch (incremental index maintenance is the i3 upsert's job).
+    "st_incremental_neardup" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") < 250)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 250)
+        .join(
+          hist.select(col("doc_id").as("h_id"), col("text").as("h_text")),
+          col("doc_id") - 250 === col("h_id"))
+        .select(
+          col("doc_id"),
+          when(
+            col("doc_id") % 7 === 0,
+            concat(col("h_text"), lit(" data stream batch"))).otherwise(col("text")).as("text"))
+      val outPath = s"/tmp/graft_stream/st_incr_neardup"
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val matched = graft.operators.Dedup
+            .minhashLshAgainst(batch, hist, "text", "doc_id", 3, 8, 1, 0.3)
+            .select(col("id_a").as("m_id"))
+            .distinct()
+          batch
+            .join(matched, col("doc_id") === col("m_id"), "left_anti")
+            .select(col("doc_id"))
+            .write.mode(if (batchId == 0) "overwrite" else "append").parquet(outPath)
+          // minhashLshAgainst persists signature tables internally;
+          // drop them so a multi-batch drain doesn't accumulate blocks
+          batch.sparkSession.catalog.clearCache()
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath).orderBy(col("doc_id"))
+    },
     // Streaming KMV: the per-source vocabulary-size sketch maintained
     // live over the document stream (update-on-every-batch cardinality
     // monitoring). KMV's buffer is a pure order statistic with
@@ -288,6 +336,10 @@ object SparkEntryStreaming {
          |            ELSE ${63.0 * 4294967296.0} / CAST(max(h) FILTER (rn = 64) AS DOUBLE) END AS kmv_est
          |FROM rk GROUP BY source
          |ORDER BY source""".stripMargin,
+    // identical to dd_incremental_neardup's oracle: near-dup-vs-static
+    // is stateless across micro-batches, so the foreachBatch
+    // application computes the batch result at any batch split
+    "st_incremental_neardup" -> SparkEntryCoverage.incrementalNeardupOracle,
     // identical to dd_incremental's oracle: the streaming form keeps
     // the same semantics (within-batch fp dedup is an identity on
     // this corpus — no two batch rows share a fingerprint — so

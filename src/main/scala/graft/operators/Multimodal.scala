@@ -119,4 +119,55 @@ object Multimodal {
             .otherwise(array().cast("array<binary>")))
           .as(Seq("frame_index", "frame_bytes")))
   }
+
+  /** Perceptual-hash near-dup pairs over a media corpus — the
+    * image-dedup analog of [[Dedup.simhashNearDupPairs]]'s text
+    * pipeline (aHash over the stub features here; a real decoder
+    * swaps in a DCT pHash behind the same 64-bit-code contract):
+    * bit i of the 16-bit code = (feature-bin i above the mean), pairs
+    * bucket on the code's high byte and verify with exact Hamming
+    * distance. The mean test is integer-exact (hist counts are
+    * integral, `hist*16 > n_bytes` avoids the float mean).
+    *
+    * Scale shape: codes are 8-byte longs — the bucket join never
+    * carries media bytes or feature arrays; prefix bucketing bounds
+    * candidates the way simhash's prefix does (pairs differing in a
+    * high-byte bit are missed — the standard LSH recall trade,
+    * documented not hidden). `maxBucket` is the T2 df-cap applied to
+    * code buckets: a bucket holding more than `maxBucket` codes is a
+    * degenerate perceptual class (near-uniform media — with the text
+    * stub, same-language byte histograms — where "near-dup" carries
+    * no signal and the pair join goes quadratic); two-phase
+    * count-then-filter kills it BEFORE the self-join, the same shape
+    * as [[Dedup.rareLineSurvivors]]. Returns (id_a, id_b, hamming).
+    */
+  def phashNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    require(maxBucket > 1, "maxBucket must exceed 1 (a 1-member bucket has no pairs)")
+    val feats = extractFeatures(media)
+    val bits = (0 until 16).map(i =>
+      when(
+        element_at(col("features"), i + 1) * 16.0 > col("n_bytes").cast("double"),
+        lit(1L << i)).otherwise(lit(0L)))
+    val hashed = feats
+      .select(col("media_id").as("id"), bits.reduce(_ + _).as("phash"))
+      .withColumn("pfx", shiftright(col("phash"), 8))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallBuckets = hashed
+      .groupBy(col("pfx"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("pfx"))
+    val capped = hashed.join(smallBuckets, Seq("pfx"))
+    val a = capped.select(col("id").as("id_a"), col("phash").as("ph_a"), col("pfx"))
+    val b = capped.select(col("id").as("id_b"), col("phash").as("ph_b"), col("pfx"))
+    a.join(b, Seq("pfx"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

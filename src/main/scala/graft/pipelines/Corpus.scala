@@ -56,22 +56,38 @@ object Corpus {
       minhashHashes: Int = 8,
       minhashBandSize: Int = 1,
       maxMeanNll: Option[Double] = None): DataFrame = {
-    // The gated frame is the funnel's fan-out point: the perplexity
-    // arm reads it twice (LM fit + score) and the dedup/near-dup/
-    // decontamination arms each re-derive from it. Unpersisted, every
-    // arm re-runs the parquet scan + lang/quality kernels (the r4
-    // plan census counted 10 corpus scans in t_funnel_neardup);
-    // persisted, the corpus is read ONCE and every arm reads the
-    // cached gate survivors — the rareLineSurvivors caching contract
-    // one level up. MEMORY_AND_DISK spills at 100 TB instead of
-    // rescanning; sessions clear it with the usual
-    // spark.catalog.clearCache() between queries (see
-    // ngramJaccardPairs' contract note).
-    val gated = docs
+    // Persist-at-fan-out discipline (the rareLineSurvivors caching
+    // contract one level up), scoped by where a cache buys work that
+    // nothing else dedups. Within ONE action, AQE's exchange reuse
+    // collapses identical shuffle subtrees at runtime, and the
+    // single-plan funnels' fan-outs (decontamination + keep-join
+    // reading the same dedup window) sit exactly in that class —
+    // persisting them measured no better than unpersisted at sf0.1
+    // (within session noise, r5 bench-discipline runs) while paying a
+    // full-width columnar materialization, so the plain e2e funnel
+    // stays persist-free. Persist is reserved for reuse AQE cannot
+    // reach:
+    //   - gated, when the perplexity gate is on: the LM fit is an
+    //     aggregate over a different projection (not an
+    //     exchange-identical subtree) and the keep-join probe is a
+    //     third shape — measured win (t_funnel_ppl improved while its
+    //     sibling e2e was flat in the same session);
+    //   - deduped + canonical, when the near-dup stage is on: the
+    //     cluster-resolve label propagation re-reads them across
+    //     SEPARATE driver-iterated jobs, where single-plan reuse
+    //     cannot apply and unpersisted frames recompute from the
+    //     parquet scan per round — the r4 census's 10 corpus scans,
+    //     now 3 (Profile -x, r5).
+    // MEMORY_AND_DISK spills at 100 TB instead of rescanning;
+    // sessions clear the blocks with spark.catalog.clearCache()
+    // between queries (see ngramJaccardPairs' contract note).
+    def cached(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated0 = docs
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol), langMarkers))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol), stopwords))
       .filter(col("lang_pred") === keepLang && col("quality") >= minQuality)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = if (maxMeanNll.isDefined) cached(gated0) else gated0
     val pplGated = maxMeanNll.fold(gated) { thr =>
       val keep = TextAnalysis
         .perplexity(gated, textCol, idCol)
@@ -79,7 +95,8 @@ object Corpus {
         .select(col("id").as(idCol))
       gated.join(keep, idCol)
     }
-    val deduped = Dedup.exact(pplGated, textCol, idCol)
+    val deduped0 = Dedup.exact(pplGated, textCol, idCol)
+    val deduped = if (nearDupJaccard.isDefined) cached(deduped0) else deduped0
     // near-dup collapse (optional): candidates from banded MinHash,
     // exact-Jaccard verified, clustered, smallest id survives — the
     // stage is linear in corpus size (the band shuffle carries only
@@ -92,10 +109,7 @@ object Corpus {
         .select(col("id_a"), col("id_b"))
       Dedup.resolveClusters(deduped, idCol, pairs)
     }
-    // second fan-out: decontamination's shingle pass AND the final
-    // keep-join both read the canonical survivors — persist so the
-    // dedup window (and the cluster resolve, when enabled) runs once
-    val canonical = canonical0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonical = if (nearDupJaccard.isDefined) cached(canonical0) else canonical0
     val clean = Dedup
       .crossCorpusOverlap(canonical, benchmark, textCol, idCol, shingleN)
       .filter(!col("contaminated"))
