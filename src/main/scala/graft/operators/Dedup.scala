@@ -503,34 +503,58 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    // __changed doubles as the DELTA-ITERATION frontier: a round's
+    // joins build only on rows whose label moved, so late rounds —
+    // when the changed count has collapsed to a few deep chains —
+    // cost O(frontier), not O(V). Correctness rests on the hop alone
+    // (monotone min-propagation: a neighbor whose label did NOT
+    // change since the last hop was already folded into my label, so
+    // only frontier neighbors can lower it; at hop-fixpoint every
+    // edge has equal labels on both ends, i.e. per-component
+    // constant = the component min). The pointer jumps stay pure
+    // acceleration: a jump through a stale parent is caught by later
+    // hops, never by the final answer.
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
-      .select(col("id"), least(col("id"), col("cluster_id")).as("cluster_id"))
+      .select(
+        col("id"),
+        least(col("id"), col("cluster_id")).as("cluster_id"),
+        lit(true).as("__changed"))
     var iter = 0
     var converged = false
-    // One propagation hop: my new label = min(my label, my neighbors')
+    // One propagation hop: my new label = min(my label, my FRONTIER
+    // neighbors') — non-frontier neighbors contributed in an earlier
+    // round.
     def hop(l: DataFrame): DataFrame = {
+      val frontier = l
+        .filter(col("__changed"))
+        .select(col("id").as("dst"), col("cluster_id").as("__f_label"))
       val viaNeighbors = edges
-        .join(l.withColumnRenamed("id", "dst"), "dst")
+        .join(frontier, "dst")
         .groupBy(col("src").as("id"))
-        .agg(min(col("cluster_id")).as("n_label"))
+        .agg(min(col("__f_label")).as("n_label"))
       val newLabel =
         least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
-      l.join(viaNeighbors, Seq("id"), "left")
+      l.drop("__changed")
+        .join(viaNeighbors, Seq("id"), "left")
         .select(
           col("id"),
           newLabel.as("cluster_id"),
           (newLabel < col("cluster_id")).as("__changed"))
     }
-    // Pointer-jump shortcut: my new label = my label's label. Every
-    // label IS a node id present in the label table (it's the min of a
-    // node and its neighbors, all of which appear in the edge list),
-    // so the lookup join always resolves. Combined with one hop per
-    // round this gives the standard O(log n)-round connected-
-    // components convergence instead of one edge per round.
+    // Pointer-jump shortcut: my new label = my label's label, probing
+    // only parents whose label changed THIS round (an unchanged
+    // parent's label is what I already hold). Every label IS a node
+    // id present in the label table (it's the min of a node and its
+    // neighbors, all of which appear in the edge list), so the lookup
+    // join always resolves. Combined with one hop per round this
+    // gives the standard O(log n)-round connected-components
+    // convergence instead of one edge per round.
     def shortcut(l: DataFrame): DataFrame = {
-      val parents = l.select(col("id").as("__pid"), col("cluster_id").as("__p_label"))
+      val parents = l
+        .filter(col("__changed"))
+        .select(col("id").as("__pid"), col("cluster_id").as("__p_label"))
       val better = coalesce(col("__p_label"), col("cluster_id"))
       l.join(parents, col("cluster_id") === col("__pid"), "left")
         .select(
@@ -562,7 +586,8 @@ object Dedup {
         .agg(coalesce(sum(when(col("__changed"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
       converged = changed == 0L
-      labels = materialized.drop("__changed")
+      // __changed rides into the next round as its frontier
+      labels = materialized
       iter += 1
       org.apache.log4j.Logger
         .getLogger(getClass)
@@ -573,7 +598,7 @@ object Dedup {
         .getLogger(getClass)
         .warn(s"clusterPairs: iteration cap ($maxIters rounds) hit before convergence; " +
           "labels may be under-propagated — raise maxIters for extremely long dup chains")
-    labels
+    labels.drop("__changed")
   }
 
   /** Keep one canonical doc per dup cluster (smallest id); docs in no

@@ -56,6 +56,27 @@ class OperatorsSpec extends SparkSpec {
     assert(clusters.size == 40 && clusters.values.forall(_ == 1L))
   }
 
+  test("clusterPairs delta iteration: stale pointer jumps never survive to the fixpoint") {
+    // Adversarial for the frontier optimization: a star whose center
+    // label keeps dropping AFTER leaves jumped through it (leaves
+    // pick up a stale parent label mid-round and must be re-fixed by
+    // later hops), plus a deep chain attached to one leaf, plus an
+    // isolated pair — three components, minima 1, 50, 500.
+    val star = (61L to 75L).map(l => (60L, l))            // center 60, leaves 61-75
+    val chainIn = (1L until 60L).map(i => (i, i + 1))     // chain 1..60 reaches the center
+    val tail = (75L until 90L).map(i => (i, i + 1))       // chain off leaf 75
+    val comp2 = Seq((50L + 200L, 51L + 200L), (51L + 200L, 52L + 200L)).map {
+      case (a, b) => (b, a) // reversed edge order: min arrives via dst
+    }
+    val comp3 = Seq((501L, 500L))
+    val pairs = (star ++ chainIn ++ tail ++ comp2 ++ comp3).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 89L).foreach(i => assert(got(i) == 1L, s"node $i -> ${got(i)}"))
+    (250L to 252L).foreach(i => assert(got(i) == 250L, s"node $i -> ${got(i)}"))
+    assert(got(500L) == 500L && got(501L) == 500L)
+  }
+
   test("changeDetection: added/removed/changed, same dropped (I1)") {
     val old = Seq(("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("k", "h")
     val fresh = Seq(("b", "h2x"), ("c", "h3"), ("d", "h4")).toDF("k", "h")
