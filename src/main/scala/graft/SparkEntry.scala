@@ -1109,6 +1109,24 @@ object SparkEntry {
       Dedup
         .winnowSpanPairs(t(s, dir, "documents"), "text", "doc_id", 8, 10, 10, 2)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    // Containment pairs — the asymmetric axis next to Jaccard: every
+    // 6th doc gets a planted "quote" doc holding only its first 12
+    // tokens (id map n -> 2n, quote -> 2n+1, collision-free at any
+    // SF). The quote's shingles are a subset of its source's, so
+    // containment = 1.0 while Jaccard is tiny — exactly the
+    // embedded-document case the operator exists for.
+    "dd_containment_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      val quotes = docs
+        .filter(col("doc_id") % 12 === 0)
+        .select(
+          (col("doc_id") + 1).as("doc_id"),
+          array_join(slice(TextFns.tokens(col("text")), 1, 12), " ").as("text"))
+      Dedup
+        .containmentPairs(docs.unionByName(quotes), "text", "doc_id", 3, 0.8)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -1137,6 +1155,28 @@ object SparkEntry {
         |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
         |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dd_containment_pairs" ->
+      // same shingle/df-cap mirror as dd_jaccard_pairs over the
+      // quote-planted corpus; score = |A∩B| / min(|A|,|B|)
+      """WITH base AS (SELECT doc_id * 2 AS doc_id, text FROM documents),
+        |q0 AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk
+        |       FROM base WHERE doc_id % 12 = 0),
+        |quotes AS (SELECT doc_id + 1 AS doc_id, array_to_string(tk[1:12], ' ') AS text FROM q0),
+        |alldocs AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM quotes),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM alldocs),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        |       FROM tok WHERE len(tk) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "dd_excise" ->
       """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk

@@ -576,6 +576,46 @@ object SparkEntryCoverage {
         .ivfTopK(loadedCells, "embedding", loadedCents, query, 10, 2)
         .select(col("vec_id"), col("label"), col("cell"), col("score"))
     },
+    // Incremental index maintenance (the reference's Pinecone upsert
+    // shape): the BASE build lands every 5th vector with a stale
+    // (reversed) embedding; an upsert batch at seq 1 replaces them
+    // with the true versions — assignment against the frozen
+    // centroids, append-only write, last-wins read. The effective
+    // corpus must equal the plain table, so v_ivf_topk's oracle is
+    // shared: a broken last-wins would rank the reversed vectors and
+    // miss.
+    "v_ivf_upsert" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toSeq
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus
+        .withColumn(
+          "embedding",
+          when(col("vec_id") % 5 === 0, reverse(col("embedding"))).otherwise(col("embedding")))
+      val idxPath = s"/tmp/graft_idx/ivf_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(
+        Similarity.ivfAssign(stale, "embedding", cents), cents, idxPath)
+      graft.sources.Io.upsertIvfIndex(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 5 === 0), "embedding", cents),
+        idxPath,
+        seq = 1L)
+      val (loadedCents, latest) = graft.sources.Io.readIvfIndexLatest(s, idxPath, "vec_id")
+      Similarity
+        .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
     // V2 scale path — hyperplane-LSH near-dup pairs: bucket on 8 sign
     // bits, verify candidates with exact cosine
     "v_lsh_pairs" -> { (s, dir) =>
@@ -1309,6 +1349,21 @@ object SparkEntryCoverage {
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("source"))
+    },
+    // Leakage-safe split: near-dup clusters are the split unit — a
+    // val doc whose near-dup sits in train is leakage. Same
+    // train/val/test thresholds as s_split_assign, hashed on the
+    // cluster's canonical id so no near-dup pair straddles a split.
+    "s_leakage_split" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+      Sampling
+        .leakageSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
     },
     // Corpus-wide line dedup (C4/RefinedWeb rule): drop every 5-token
     // line that occurs >= 3 times ACROSS the corpus (boilerplate
@@ -2161,6 +2216,33 @@ object SparkEntryCoverage {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The v_ivf_topk oracle (coarse assign, probe 2/4 cells, exact
+    * rank), shared by v_ivf_persisted (index round-trip must be
+    * identity) and v_ivf_upsert (last-wins upserts must converge to
+    * the plain corpus).
+    */
+  private[graft] lazy val ivfTopkOracle: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cents AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+       | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |scored AS (
+       | SELECT b.vec_id, b.label, b.embedding, c.cell,
+       |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+       | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
+       |assign AS (
+       | SELECT vec_id, label, embedding, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |probe AS (
+       | SELECT cell FROM (
+       |  SELECT c.cell, ${sqlCosine("c.ce", "q.qe")} AS sim FROM cents c, q
+       |  ORDER BY sim DESC, cell ASC LIMIT 2))
+       |SELECT a.vec_id, a.label, a.cell, ${sqlCosine("a.embedding", "q.qe")} AS score
+       |FROM assign a, q
+       |WHERE a.cell IN (SELECT cell FROM probe)
+       |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
+
   /** The v_pq_topk oracle (ADC lookup-table scan + exact re-rank),
     * shared verbatim by v_pq_persisted: the persisted index must
     * reproduce the in-line encode + rank exactly.
@@ -2454,52 +2536,14 @@ object SparkEntryCoverage {
         | CAST(0 AS BIGINT) AS total_tables,
         | CAST(12 AS BIGINT) AS word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "v_ivf_topk" -> {
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |cents AS (
-         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
-         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
-         |scored AS (
-         | SELECT b.vec_id, b.label, b.embedding, c.cell,
-         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
-         | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
-         |assign AS (
-         | SELECT vec_id, label, embedding, cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-         |  FROM scored) WHERE rn = 1),
-         |probe AS (
-         | SELECT cell FROM (
-         |  SELECT c.cell, ${sqlCosine("c.ce", "q.qe")} AS sim FROM cents c, q
-         |  ORDER BY sim DESC, cell ASC LIMIT 2))
-         |SELECT a.vec_id, a.label, a.cell, ${sqlCosine("a.embedding", "q.qe")} AS score
-         |FROM assign a, q
-         |WHERE a.cell IN (SELECT cell FROM probe)
-         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
-    },
+    "v_ivf_topk" -> ivfTopkOracle,
     // identical semantics to v_ivf_topk by construction: the persisted
     // index must round-trip to the same assignment and ranking
-    "v_ivf_persisted" -> {
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |cents AS (
-         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
-         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
-         |scored AS (
-         | SELECT b.vec_id, b.label, b.embedding, c.cell,
-         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
-         | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
-         |assign AS (
-         | SELECT vec_id, label, embedding, cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-         |  FROM scored) WHERE rn = 1),
-         |probe AS (
-         | SELECT cell FROM (
-         |  SELECT c.cell, ${sqlCosine("c.ce", "q.qe")} AS sim FROM cents c, q
-         |  ORDER BY sim DESC, cell ASC LIMIT 2))
-         |SELECT a.vec_id, a.label, a.cell, ${sqlCosine("a.embedding", "q.qe")} AS score
-         |FROM assign a, q
-         |WHERE a.cell IN (SELECT cell FROM probe)
-         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
-    },
+    "v_ivf_persisted" -> ivfTopkOracle,
+    // ditto for the upserted index: stale versions written at seq 0
+    // are fully replaced by the seq-1 upsert, so the effective corpus
+    // IS the plain embeddings table
+    "v_ivf_upsert" -> ivfTopkOracle,
     "v_lsh_pairs" -> {
       val bucketExpr = lshPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
       s"""WITH sig AS (
@@ -3001,6 +3045,21 @@ object SparkEntryCoverage {
          |            ELSE 'test' END AS split,
          |       source, CAST(COUNT(*) AS BIGINT) AS n
          |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "s_leakage_split" ->
+      // jaccard pairs + connected components (the shared recursive
+      // mirror), then the s_split_assign thresholds hashed on the
+      // cluster's canonical id (own id for singletons)
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |$clusterCompSql,
+         |keyed AS (
+         | SELECT d.doc_id,
+         |        CASE WHEN c.cluster IS NOT NULL THEN c.cluster ELSE d.doc_id END AS k
+         | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |h AS (SELECT doc_id, ${sqlHash32("k")} AS h FROM keyed)
+         |SELECT doc_id, CASE WHEN h < ${Sampling.threshold(0.8)} THEN 'train'
+         |            WHEN h < ${Sampling.threshold(0.9)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
     "s_stratified_cap" ->
       s"""SELECT doc_id, source FROM documents
          |QUALIFY row_number() OVER (PARTITION BY source

@@ -148,6 +148,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Shingle-CONTAINMENT near-dup pairs: containment = |A∩B| /
+    * min(|A|,|B|) — the asymmetric overlap measure that catches a
+    * small doc embedded in a big one (a quoted article, a licence
+    * block, a chat message inside a dump), which Jaccard structurally
+    * misses: a 100-shingle doc fully contained in a 10 000-shingle
+    * doc has Jaccard 0.01 but containment 1.0. The standard second
+    * axis production dedup runs next to Jaccard (Broder's
+    * resemblance/containment pairing).
+    *
+    * Same scale shape, df-cap and caching contract as
+    * [[ngramJaccardPairs]] — the candidate stage is the identical
+    * shingle equi-join, only the verify score differs. Returns
+    * (id_a, id_b, containment).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("id"),
+        graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
+    val sh = sets.select(col("id"), explode(col("hs")).as("shingle"))
+    val filtered = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col("id").as("id_a"), col("shingle"))
+    val b = filtered.select(col("id").as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn(
+        "containment",
+        col("common").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** The `numHashes` per-shingle hash expressions behind the MinHash
     * signature: 32-bit LONGS parsed from the 8-hex-char slices of
     * md5(shingle), md5("1:"++shingle), ... — one md5 evaluation per 4

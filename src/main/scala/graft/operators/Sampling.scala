@@ -69,6 +69,39 @@ object Sampling {
       when(key.isNull, lit(null).cast("string")).otherwise(assigned))
   }
 
+  /** Leakage-safe train/val/test split: near-dup CLUSTERS are the
+    * split unit, not documents — two near-duplicate docs must never
+    * land in different splits (a val doc whose near-dup sits in train
+    * is leakage: the model has effectively seen the answer). Split
+    * assignment hashes `coalesce(cluster_id, id)` — the cluster's
+    * canonical id for paired docs, the doc's own id for singletons —
+    * through the same deterministic [[splitAssign]] thresholds, so
+    * every member of a cluster shares one hash and one split.
+    *
+    * `pairs` is any near-dup pair stream ((id_a, id_b) — Jaccard,
+    * MinHash, SimHash, embedding); cluster resolution is
+    * [[Dedup.clusterPairs]]' O(log n)-round delta iteration. Scale
+    * shape: one left join of the corpus against the label table
+    * (labels exist only for paired docs — broadcast-sized when dup
+    * rates are production-normal) plus the per-row hash.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    val labels = Dedup
+      .clusterPairs(pairs)
+      .select(col("id").as(idCol), col("cluster_id").as("__cluster"))
+    splitAssign(
+      df.join(labels, Seq(idCol), "left"),
+      coalesce(col("__cluster"), col(idCol)),
+      splits,
+      splitCol)
+      .drop("__cluster")
+  }
+
   /** Per-stratum deterministic cap: keep at most `cap` rows per
     * stratum (e.g. per domain/source), winners chosen by hash order —
     * the standard "no domain dominates the corpus" pretraining control,

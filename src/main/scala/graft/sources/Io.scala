@@ -217,12 +217,19 @@ object Io {
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // base rows carry upsert-stamp 0 so the cell files share ONE
+    // schema with later upsertIvfIndex appends (mixed parquet schemas
+    // under a directory read back nondeterministically without
+    // mergeSchema)
+    assigned
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Load an IVF index written by [[writeIvfIndex]]: (centroids in
     * cell order, assigned corpus). Filters on `cell` prune to the
-    * probed partition directories.
+    * probed partition directories. Upsert stamps are dropped — use
+    * [[readIvfIndexLatest]] when the index has live upserts.
     */
   def readIvfIndex(spark: SparkSession, path: String): (Seq[Array[Double]], DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids")
@@ -230,7 +237,51 @@ object Io {
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
       .toSeq
-    (cents, spark.read.parquet(s"$path/cells"))
+    (cents, spark.read.parquet(s"$path/cells").drop("__seq"))
+  }
+
+  /** Incremental IVF upsert — the reference's index maintenance shape
+    * (Pinecone upserts vectors into an EXISTING index; the fit is
+    * never repeated): `assigned` (new/changed vectors already
+    * cell-assigned against the index's frozen centroids via
+    * [[graft.operators.Similarity.ivfAssign]]) lands as an APPEND to
+    * the cell-partitioned layout, stamped with `seq` — a caller
+    * batch number that must increase per upsert. No rewrite of
+    * existing files, no shuffle of the existing index: the append
+    * touches only the incoming rows' cell directories.
+    * [[readIvfIndexLatest]] resolves replaced ids last-wins on the
+    * stamp. (Re-fitting centroids is a REBUILD, not an upsert —
+    * assignment against frozen centroids is what keeps the increment
+    * cheap, at the cost of drift the operator's caller monitors.)
+    */
+  def upsertIvfIndex(assigned: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
+    assigned
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Load an IVF index with upserts applied: centroids + the LATEST
+    * version of every vector (max `__seq` per `idCol`; ties broken to
+    * the base — callers must use distinct positive stamps per
+    * upsert). One window shuffle on the id — the read-side cost of
+    * the append-only write path.
+    */
+  def readIvfIndexLatest(
+      spark: SparkSession,
+      path: String,
+      idCol: String): (Seq[Array[Double]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      .toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(cells, Seq(col(idCol)), Seq(col("__seq").desc))
+      .drop("__seq")
+    (cents, latest)
   }
 
   /** Persist a PQ index: `path/codebooks` (sub, cell, centroid) and

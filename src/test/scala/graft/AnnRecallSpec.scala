@@ -109,6 +109,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(loaded.toSeq == inline.toSeq, s"persisted != inline: $loaded vs $inline")
   }
 
+  test("upserted IVF index: last-wins replaces stale vectors, append touches only new cells") {
+    val cents = Similarity.fitCentroids(corpus, "vec_id", "embedding", k = 16, iters = 5)
+    val path = "/tmp/graft_idx/spec_ivf_upsert"
+    // base: every 3rd vector written stale (reversed embedding)
+    val stale = corpus.withColumn(
+      "embedding",
+      when(col("vec_id") % 3 === 0, reverse(col("embedding"))).otherwise(col("embedding")))
+    graft.sources.Io.writeIvfIndex(
+      Similarity.ivfAssign(stale, "embedding", cents), cents, path)
+    graft.sources.Io.upsertIvfIndex(
+      Similarity.ivfAssign(corpus.filter(col("vec_id") % 3 === 0), "embedding", cents),
+      path, seq = 1L)
+    val (_, latest) = graft.sources.Io.readIvfIndexLatest(spark, path, "vec_id")
+    // one row per id, and every row equals the TRUE corpus vector
+    val truthMap = corpus.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    val got = latest.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1))
+    assert(got.length == truthMap.size, s"${got.length} rows vs ${truthMap.size} ids")
+    got.foreach { case (id, emb) =>
+      assert(emb == truthMap(id), s"vec $id kept a stale version")
+    }
+  }
+
   test("persisted PQ index round-trips codebooks and codes exactly") {
     val subDim = 8
     val sample = corpus

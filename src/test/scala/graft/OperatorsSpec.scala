@@ -56,6 +56,43 @@ class OperatorsSpec extends SparkSpec {
     assert(clusters.size == 40 && clusters.values.forall(_ == 1L))
   }
 
+  test("containmentPairs: embedded doc scores 1.0 where Jaccard is tiny") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")      // 58 3-shingles
+    val quote = (1 to 10).map(i => s"w$i").mkString(" ")    // 8 shingles, all in big
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", "doc_id", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    // the same pair fails a 0.2 Jaccard gate — containment is the
+    // axis that sees it
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2).collect()
+    assert(jac.isEmpty, "jaccard should miss the embedded doc at 0.2")
+    spark.catalog.clearCache()
+  }
+
+  test("leakageSafeSplit: near-dup cluster members always share a split") {
+    val docs = (1L to 300L).map { i =>
+      // pairs (2k, 2k+1) are near-dups: same text + one marker token
+      val base = (1 to 12).map(j => s"t${i / 2}_$j").mkString(" ")
+      (i, if (i % 2 == 0) base else s"$base extra")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3)
+      .select(col("id_a"), col("id_b"))
+    val split = graft.operators.Sampling
+      .leakageSafeSplit(docs, "doc_id", pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc assigned, and each near-dup pair co-located
+    assert(split.size == 300)
+    (1L to 149L).foreach { k =>
+      assert(split(2 * k) == split(2 * k + 1), s"pair ${2 * k}/${2 * k + 1} straddles splits")
+    }
+    // sanity: the split is a real split, not one bucket
+    assert(split.values.toSet.size >= 2)
+    spark.catalog.clearCache()
+  }
+
   test("clusterPairs delta iteration: stale pointer jumps never survive to the fixpoint") {
     // Adversarial for the frontier optimization: a star whose center
     // label keeps dropping AFTER leaves jumped through it (leaves
