@@ -746,6 +746,32 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text"), qualityStops).as("quality"))
         .orderBy(col("doc_id"))
     },
+    // Per-source ADAPTIVE quality gate (the FineWeb/C4 "keep the top
+    // 60% of each domain" rule): a fixed global threshold over- or
+    // under-prunes sources with different quality distributions, so
+    // the cutoff is each source's exact 40th-percentile rank —
+    // all-integer rank arithmetic ((4n+9) div 10, the a_winsor_mean
+    // discipline), total (quality, doc_id) order for determinism.
+    // Source partitions flow through one task each (bounded by the
+    // source count; pre-thin a pathological source with hashSample,
+    // same caveat as stratifiedCap).
+    "t_quality_gate" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("source"),
+          TextAnalysis.qualityScore(col("text"), qualityStops).as("quality"))
+      val ranked = scored
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      ranked
+        .filter(col("rn") > expr("(4 * n + 9) div 10"))
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
     // Document fingerprint (normalized md5 + 64-bit prefix)
     "t_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -949,16 +975,34 @@ object SparkEntry {
         | CASE WHEN h_data >= h_sql AND h_data >= h_vec THEN 'dataish'
         |      WHEN h_sql >= h_vec THEN 'sqlish' ELSE 'vecish' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin,
+    // lang/quality oracle fragments are DERIVED from the engine's own
+    // constants (TextAnalysis.qualitySql convention) — a weight or
+    // stopword edit re-generates both sides
     "t_quality_score" ->
-      """WITH b AS (SELECT doc_id,
-        | CAST(length(text) AS DOUBLE) AS nc,
-        | CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE) AS nt,
-        | CAST(len(list_filter(regexp_split_to_array(trim(text),'\s+'), t -> list_contains(['the','a','of'], t))) AS DOUBLE) AS ns
-        |FROM documents)
-        |SELECT doc_id,
-        | least(nc/500.0, 1.0)*0.4 + least((ns/nt)*5.0, 1.0)*0.3 +
-        | (CASE WHEN nc/nt >= 3 AND nc/nt <= 10 THEN 1.0 ELSE 0.5 END)*0.3 AS quality
-        |FROM b ORDER BY doc_id""".stripMargin,
+      s"""WITH b AS (SELECT doc_id,
+         | CAST(length(text) AS DOUBLE) AS nc,
+         | CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
+         | ${TextAnalysis.stopHitsSql(qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
+         |FROM documents)
+         |SELECT doc_id,
+         | ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS quality
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "t_quality_gate" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         | CAST(length(text) AS DOUBLE) AS nc,
+         | CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
+         | ${TextAnalysis.stopHitsSql(qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
+         |FROM documents),
+         |q AS (SELECT doc_id, source,
+         | ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS quality
+         |FROM b),
+         |r AS (SELECT doc_id, source, quality,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n
+         |FROM q)
+         |SELECT doc_id, source, quality FROM r
+         |WHERE rn > (4 * n + 9) // 10
+         |ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,

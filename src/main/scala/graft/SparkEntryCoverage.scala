@@ -1468,6 +1468,27 @@ object SparkEntryCoverage {
     // instead of materializing). DuckDB's list_reduce seeds with the
     // first element; the fold seeds identically, so both engines run
     // the same IEEE chain bit-for-bit.
+    // Rolling median of the last 10 purchases per user — the bounded-
+    // window robust smoother next to w_ewma: the frame is ROWS
+    // -9..current, so the aggregation buffer holds ≤10 values per row
+    // regardless of a key's history length (the whale-key-safe shape
+    // by construction). Exact percentile interpolation matches
+    // DuckDB's median on both parities (odd = middle, even = mean of
+    // the two middles).
+    "w_rolling_median" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("us", expr("unix_micros(ts)"))
+        .select(
+          col("user_id"),
+          col("event_id"),
+          percentile(col("value"), lit(0.5)).over(w).as("med"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
     "w_ewma" -> { (s, dir) =>
       Series.ewmaOrdered(
           t(s, dir, "events")
@@ -3096,6 +3117,13 @@ object SparkEntryCoverage {
         |SELECT doc_id, fp FROM bd
         |WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = bd.fp)
         |ORDER BY doc_id""".stripMargin,
+    "w_rolling_median" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  median(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
     "w_ewma" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
         |  FROM events WHERE event_type = 'purchase'),
