@@ -55,4 +55,29 @@ object Engine {
   /** Read one of the driver test tables from an sf directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize `events.ts` to a session-tz TIMESTAMP at microsecond
+    * precision. The driver's testdata has shipped the column as both
+    * Parquet TIMESTAMP(NANOS) — which Spark reads as long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong` — and TIMESTAMP(MICROS) —
+    * which Spark reads as TIMESTAMP_NTZ — across generations, so the
+    * loader dispatches on the observed type instead of assuming one.
+    * Session tz is UTC (set in [[session]]), so the NTZ cast is a pure
+    * type retag, not a wall-clock shift.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions
+            .col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

@@ -22,12 +22,10 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is Parquet TIMESTAMP(NANOS) which Spark refuses by
-      // default; read as long nanos and truncate to microseconds.
+      // events.ts: nanos-long or NTZ depending on testdata generation —
+      // Engine.normalizeEventTs dispatches on the observed type.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Engine.normalizeEventTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Exact decimal sum of a 2-dp double column, returned as double. */

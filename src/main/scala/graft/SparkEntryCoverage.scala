@@ -20,10 +20,10 @@ object SparkEntryCoverage {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      // events.ts: nanos-long or NTZ depending on testdata generation —
+      // Engine.normalizeEventTs dispatches on the observed type.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Engine.normalizeEventTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Hyperplanes for v_lsh_pairs — same seeded generator as

@@ -17,20 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntryStreaming {
 
-  /** events.parquet carries TIMESTAMP(NANOS): read as long
-    * (nanosAsLong) and convert to µs precision, the same loader
-    * contract as the batch queries.
+  /** events.parquet has shipped as TIMESTAMP(NANOS) (read as long
+    * under nanosAsLong) and TIMESTAMP(MICROS) (read as NTZ) across
+    * testdata generations; normalize to µs TIMESTAMP, the same loader
+    * contract as the batch queries (Engine.normalizeEventTs).
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream
-      .schema(schema)
-      // glob, not the bare file path: FileStreamSource derives its
-      // basePath from the non-glob prefix, and a plain file path makes
-      // it reject ("Option 'basePath' must be a directory")
-      .parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Engine.normalizeEventTs(
+      s.readStream
+        .schema(schema)
+        // glob, not the bare file path: FileStreamSource derives its
+        // basePath from the non-glob prefix, and a plain file path makes
+        // it reject ("Option 'basePath' must be a directory")
+        .parquet(s"$dir/[e]vents.parquet"))
   }
 
   /** Drain an AvailableNow stream into a named memory-sink table and
