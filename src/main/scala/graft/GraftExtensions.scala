@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, MinHashSignature, NgramStats, SimHash64, SortedHashes64, SortedIntersectSize, WinnowFingerprints, WordShingles}
+import graft.expressions.{CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, NgramStats, SimHash64, SortedHashes64, SortedIntersectSize, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "funcName" -> s"`$fn`",
             "paramName" -> s"`$param`",
             "paramType" -> "\"INT\""))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("nfc_normalize"),
+        info(
+          "nfc_normalize",
+          "nfc_normalize(text) - Unicode NFC canonical composition (UAX #15)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "nfc_normalize takes 1 argument")
+          NfcNormalize(args.head)
+        }))
     ext.injectFunction(
       (
         FunctionIdentifier("word_shingles"),

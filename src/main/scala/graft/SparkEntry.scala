@@ -779,6 +779,28 @@ object SparkEntry {
           TextFns.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id"))
     },
+    // Unicode NFC canonicalization (graft.expressions.NfcNormalize,
+    // codegen kernel) — run before fingerprinting so combining-mark
+    // and precomposed spellings dedup together. The corpus tables are
+    // ASCII, so a fixed non-NFC suffix (combining-acute e, then the
+    // precomposed form) is appended on BOTH sides to make the
+    // composition observable: len_nfc == len_raw - 1 iff the kernel
+    // actually composed.
+    "t_nfc_normalize" -> { (s, dir) =>
+      val raw = concat(
+        substring(col("text"), 1, 32),
+        lit(" cafe\u0301 caf\u00e9")).as("raw")
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw)
+        .select(
+          col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(graft.expressions.NfcNormalize.nfcNormalize(col("raw")))
+            .as("len_nfc"),
+          md5(graft.expressions.NfcNormalize.nfcNormalize(col("raw")))
+            .as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    },
     // BPE-ish token counting (training-data token budgeting)
     "t_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -847,6 +869,42 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           (sum(col("h6")).cast("double") / (count(lit(1)).cast("double") * lit(1e6)))
             .as("mean_entropy_nats"))
+        .orderBy(col("source"))
+    },
+    // Corpus-drift audit: KL(P_source ‖ P_corpus) over word unigram
+    // distributions — how far each source's language drifts from the
+    // corpus mix (the mixture-weighting signal DSIR-style samplers
+    // consume). Exactness: the micro-nat integer discipline — each
+    // (source, word) term p·ln(p/q) rounds to a BIGINT before the
+    // per-source sum, so accumulation is order-free. Scale: the token
+    // stream collapses ONCE to vocab-bounded (source, word) counts
+    // via a map-side-combined hash agg; the corpus distribution and
+    // the per-source totals are rollups of THAT table, never a second
+    // token pass; the probe joins are vocab-bounded both sides
+    // (AQE-planned), and the grand total rides a 1-row broadcast
+    // scalar (documented driver-action class).
+    "t_source_kl" -> { (s, dir) =>
+      val sw = t(s, dir, "documents")
+        .select(
+          col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c_sw"))
+        .persist()
+      val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+      val tot = sw.agg(sum(col("c_sw")).as("n"))
+      val p = col("c_sw").cast("double") / col("n_s").cast("double")
+      val q = col("c_w").cast("double") / col("n").cast("double")
+      sw.join(cw, Seq("w"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("t6", round(p * log(p / q) * lit(1e6), 0).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          max(col("n_s")).as("n_tokens"),
+          (sum(col("t6")).cast("double") / lit(1e6)).as("kl_nats"))
         .orderBy(col("source"))
     },
     // Language-ID confusion matrix: declared lang × predicted lang
@@ -1006,6 +1064,19 @@ object SparkEntry {
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         | substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // chr(769) = U+0301 combining acute, chr(233) = precomposed é —
+    // the same decomposed-then-precomposed suffix the Spark side
+    // appends; DuckDB's nfc_normalize implements the same UAX #15
+    // algorithm as the engine's NfcNormalize kernel
+    "t_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  substr(text, 1, 32) || ' cafe' || chr(769) || ' caf' || chr(233) AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | length(raw) AS len_raw,
+        | length(nfc_normalize(raw)) AS len_nfc,
+        | md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
@@ -1039,6 +1110,28 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(h6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_entropy_nats
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    // same micro-nat BIGINT discipline as the entropy family; Spark's
+    // split('\s+') drops no empty leading token for these texts, and
+    // the length(w)>0 guard makes both sides identical anyway
+    "t_source_kl" ->
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+        |       FROM tok WHERE length(w) > 0 GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n FROM sw),
+        |t AS (SELECT sw.source,
+        |        ns.n_s,
+        |        CAST(round((CAST(c_sw AS DOUBLE)/CAST(n_s AS DOUBLE)) *
+        |          ln((CAST(c_sw AS DOUBLE)/CAST(n_s AS DOUBLE)) /
+        |             (CAST(c_w AS DOUBLE)/CAST(n AS DOUBLE)))*1000000) AS BIGINT) AS t6
+        |      FROM sw JOIN cw ON sw.w = cw.w
+        |           JOIN ns ON sw.source = ns.source
+        |           CROSS JOIN tot)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(t6) AS DOUBLE) / 1000000.0 AS kl_nats
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "t_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
         |  FROM documents WHERE length(text) > 0),

@@ -138,4 +138,39 @@ class ExpressionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(viaExpr == viaWindow)
   }
+
+  test("NfcNormalize composes combining marks; identity on NFC; null/empty safe") {
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val precomposed = "caf\u00e9"   // precomposed \u00e9
+    val hangulJamo = "\u1100\u1161" // choseong kiyeok + jungseong a
+    val hangulSyllable = "\uAC00" // NFC of the jamo pair
+    val emoji = "ok \uD83D\uDC4D\uD83C\uDFFD end" // non-BMP, already NFC
+    val df = Seq(
+      (1L, decomposed),
+      (2L, precomposed),
+      (3L, hangulJamo),
+      (4L, hangulSyllable),
+      (5L, emoji),
+      (6L, ""),
+      (7L, null.asInstanceOf[String]),
+      (8L, "plain ascii unchanged")
+    ).toDF("id", "t")
+    val got = df
+      .select($"id", graft.expressions.NfcNormalize.nfcNormalize($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains(precomposed))     // composition happened
+    assert(got(2L).contains(precomposed))     // already-NFC unchanged
+    assert(got(3L).contains(hangulSyllable))  // jamo compose to syllable
+    assert(got(4L).contains(hangulSyllable))
+    assert(got(5L).contains(emoji))           // astral chars untouched
+    assert(got(6L).contains(""))
+    assert(got(7L).isEmpty)                   // null in → null out
+    assert(got(8L).contains("plain ascii unchanged"))
+    // SQL surface (GraftExtensions) resolves the same kernel
+    df.createOrReplaceTempView("nfc_in")
+    val viaSql = spark
+      .sql("SELECT id, nfc_normalize(t) AS n FROM nfc_in WHERE id = 1")
+      .collect().head.getString(1)
+    assert(viaSql == precomposed)
+  }
 }
