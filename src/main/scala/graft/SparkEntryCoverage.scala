@@ -1098,6 +1098,21 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
     },
+    // PageRank centrality over the near-dup pair graph (the Common
+    // Crawl host-rank signal re-expressed over the engine's own dup
+    // edges: high-rank hub documents are the boilerplate centers a
+    // sampler down-weights). Exact integer fixed-point throughout —
+    // see operators/Graph.scala for the recurrence and the per-
+    // iteration shuffle shape.
+    "g_pagerank" -> { (s, dir) =>
+      val pairs = Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+      Graph
+        .pageRank(pairs)
+        .select(col("id").as("doc_id"), col("rank_units"), col("rank"))
+        .orderBy(col("doc_id"))
+    },
     // Embedding-cosine near-dup pairs (exact quadratic baseline; the
     // LSH variant above is the scale path)
     "dd_embed_neardup" -> { (s, dir) =>
@@ -2082,6 +2097,17 @@ object SparkEntryCoverage {
       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
       |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
 
+  /** One PageRank iteration as a DuckDB CTE — `cur` from `prev`, the
+    * exact integer recurrence of `Graph.pageRank` (damp=85,
+    * unit=1e12). Kept as a generator so the 5 unrolled iterations in
+    * the g_pagerank oracle cannot drift from each other.
+    */
+  private def pageRankIterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT e.dst AS id, b.base + SUM(((r.r * 85) // 100) // d.deg) AS r
+       |      FROM edges e JOIN $prev r ON r.id = e.src
+       |           JOIN deg d ON d.id = e.src CROSS JOIN b
+       |      GROUP BY e.dst, b.base)""".stripMargin
+
   /** DuckDB mirror of [[bm25Scores]] as a CTE block ending in
     * `bm(doc_id, bm25)` — shared by the t_bm25 and r_hybrid_rrf
     * oracles so a k1/b/term edit re-generates both (the
@@ -2856,6 +2882,26 @@ object SparkEntryCoverage {
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE score >= 0.45 ORDER BY id_a, id_b""".stripMargin
     },
+    // mirror of Graph.pageRank: same integer fixed-point recurrence
+    // (// is floor division; every value non-negative, so it equals
+    // Spark's truncating `div`), 5 unrolled iterations over the same
+    // UNION ALL-symmetrized jaccard pair edges
+    "g_pagerank" ->
+      s"""WITH $jaccardPairsSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |b AS (SELECT (((100 - 85) * 1000000000000) // 100) // n AS base FROM nn),
+         |r0 AS (SELECT id, 1000000000000 // n AS r FROM deg CROSS JOIN nn),
+         |${pageRankIterSql("r0", "r1")},
+         |${pageRankIterSql("r1", "r2")},
+         |${pageRankIterSql("r2", "r3")},
+         |${pageRankIterSql("r3", "r4")},
+         |${pageRankIterSql("r4", "r5")}
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_units,
+         |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r5 ORDER BY doc_id""".stripMargin,
     "d6_ordered_parts" ->
       """WITH parts AS (
         | SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS pos, pr[p.i] AS part

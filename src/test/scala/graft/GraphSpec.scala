@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph.pageRank pinned against an independent driver-side
+  * implementation of the same integer recurrence, plus the structural
+  * properties the fixed-point discipline promises.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: the identical recurrence, computed sequentially on
+    * scala.collection Maps (no Spark), for an undirected edge list.
+    */
+  private def refPageRank(
+      pairs: Seq[(Long, Long)],
+      iters: Int = 5,
+      damp: Long = 85L,
+      unit: Long = 1000000000000L): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val n = adj.size.toLong
+    val base = ((100L - damp) * unit / 100L) / n
+    var r = adj.keys.map(_ -> unit / n).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = r.map { case (u, ru) => u -> (ru * damp / 100L / deg(u)) }
+      r = adj.keys.map { v =>
+        v -> (base + adj(v).map(contrib).sum)
+      }.toMap
+    }
+    r
+  }
+
+  private val pathAndTriangle: Seq[(Long, Long)] =
+    // a 4-path (1-2-3-4) and a triangle (10-11-12) sharing no nodes
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+
+  test("pageRank matches the sequential integer recurrence exactly") {
+    val pairs = pathAndTriangle.toDF("id_a", "id_b")
+    val got = Graph.pageRank(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(pathAndTriangle))
+  }
+
+  test("pageRank is partition-invariant (exact, not approximately)") {
+    val base = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1, 3, 7).foreach { p =>
+      val got = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b").repartition(p))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == base, s"diverged at $p partitions")
+    }
+  }
+
+  test("pageRank structure: symmetric nodes tie, hubs dominate, mass ~conserved") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val got = Graph.pageRank(star.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // leaves are structurally identical -> exactly equal ranks
+    assert(Set(got(2L), got(3L), got(4L), got(5L)).size == 1)
+    // the hub outranks every leaf
+    assert(got(1L) > got(2L))
+    // integer truncation only LOSES mass, and only a little
+    val unit = 1000000000000L
+    val total = got.values.sum
+    assert(total <= unit && total > unit * 99L / 100L)
+  }
+
+  test("pageRank on an empty pair table returns an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Graph.pageRank(empty).collect().isEmpty)
+  }
+}
