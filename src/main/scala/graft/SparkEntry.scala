@@ -1408,6 +1408,28 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     },
+    // MMR diversified re-rank: top-20 retrieval shortlist → greedy
+    // λ·rel − (1−λ)·maxSim selection of 5 (Carbonell & Goldstein
+    // 1998) — near-duplicate hits stop crowding the result list. The
+    // corpus-wide top-20 is distributed (TakeOrderedAndProject); only
+    // the bounded shortlist rides to the driver for the inherently
+    // sequential greedy chain (see Similarity.mmrRerank).
+    "r_mmr_rerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      val pool = emb
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("score", VectorFns.cosine(col("embedding"), col("q")))
+        .select(col("vec_id"), col("embedding"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+      Similarity
+        .mmrRerank(pool, "vec_id", "embedding", "score", 5, 0.7, 0.3)
+        .select(col("rank"), col("vec_id"), col("score"), col("mmr"))
+        .orderBy(col("rank"))
+    },
     // V3 — metadata-filtered search: predicate BELOW the top-k
     "v3_filtered_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -1474,6 +1496,33 @@ object SparkEntry {
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score
          |FROM embeddings, q WHERE vec_id <> 0 AND label = 1
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    // unrolled greedy MMR: step i picks argmax(0.7·score − 0.3·max
+    // sim to steps 1..i−1), ties on vec_id — the same IEEE chain as
+    // Similarity.mmrRerank (0.3 is a LITERAL on both sides; 1.0−0.7
+    // is a different double)
+    "r_mmr_rerank" -> {
+      def sel(i: Int): String =
+        if (i == 1)
+          """s1 AS (SELECT 1 AS rank, vec_id, score, 0.7*score AS mmr FROM pool
+            |       ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+        else {
+          val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+          s"""s$i AS (SELECT $i AS rank, p.vec_id, p.score,
+             |  0.7*p.score - 0.3*(SELECT max(s) FROM sims WHERE ia = p.vec_id AND ib IN ($prev)) AS mmr
+             |  FROM pool p WHERE p.vec_id NOT IN ($prev)
+             |  ORDER BY mmr DESC, p.vec_id LIMIT 1)""".stripMargin
+        }
+      val selects = (1 to 5).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH pool AS (SELECT vec_id, embedding, score FROM (
+         |  SELECT e.vec_id, e.embedding, ${sqlCosine("e.embedding", "q.qe")} AS score
+         |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0)
+         | ORDER BY score DESC, vec_id LIMIT 20),
+         |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${sqlCosine("a.embedding", "b.embedding")} AS s
+         |         FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |${(1 to 5).map(sel).mkString(",\n")}
+         |SELECT rank, vec_id, score, mmr FROM ($selects) ORDER BY rank""".stripMargin
+    },
     "v_int8_quant" ->
       """WITH b AS (SELECT vec_id,
         |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma

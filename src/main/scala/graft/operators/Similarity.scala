@@ -475,6 +475,83 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance re-rank of a bounded candidate pool:
+    * greedily pick `k` results maximizing
+    * `lambda·rel − penalty·max(sim to already-picked)` — the standard
+    * diversification pass after retrieval, so near-duplicate hits
+    * don't crowd the result list (the retrieval-side complement of
+    * the dedup family).
+    *
+    * Pool contract: `candidates` is a top-N SHORTLIST (a retrieval
+    * stage's bounded output, N ≲ hundreds) — ids, rel scores and
+    * vectors are collected to the driver (the documented
+    * constant-bootstrap class: the greedy argmax chain is inherently
+    * sequential in k, and k·N pairwise cosines on ≤ hundreds of rows
+    * is driver-trivial at any corpus scale; the EXPENSIVE part, the
+    * corpus-wide top-N, stays distributed upstream).
+    *
+    * Exactness: pairwise cosine uses the same left-to-right
+    * accumulation as the CosineSimilarity kernel and its list_reduce
+    * oracle; `lambda`/`penalty` are caller-supplied literals (pass
+    * 0.7/0.3, NOT 1−λ computed at runtime — 1.0−0.7 is not the same
+    * double as the literal 0.3); ties break on id ascending. The
+    * whole chain is bit-reproducible against an unrolled-CTE SQL
+    * mirror.
+    *
+    * Returns (rank, id, rel, mmr) with rank 1..k in pick order;
+    * step 1's mmr is lambda·rel (empty penalty term).
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      relCol: String,
+      k: Int,
+      lambda: Double,
+      penalty: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pool = candidates
+      .select(
+        col(idCol).cast("long"),
+        col(relCol).cast("double"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    // the kernel fold: dot/normA/normB accumulated left-to-right
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    var rank = 1
+    while (rank <= math.min(k, pool.length)) {
+      val best = pool.iterator
+        .filter { case (id, _, _) => !selected.exists(_._1 == id) }
+        .map { case (id, rel, v) =>
+          val pen =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => cos(v, s._2)).max
+          (id, rel, lambda * rel - penalty * pen, v)
+        }
+        // argmax by (mmr desc, id asc) — deterministic tie-break
+        .reduceLeft { (x, y) =>
+          if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+        }
+      picked += ((rank, best._1, best._2, best._3))
+      selected += ((best._1, best._4))
+      rank += 1
+    }
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    picked.toSeq.toDF("rank", idCol, relCol, "mmr")
+  }
+
   /** Lloyd's k-means fit for the IVF coarse quantizer: deterministic
     * init (the k rows with the smallest id), then `iters` rounds of
     * assign (broadcast centroids, codegen cosine argmax) + update

@@ -221,4 +221,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall <= 0.1, s"full-signature recall = $recall — expected near-zero; " +
       "if this rises, the banded test's contrast claim needs rewording")
   }
+
+  test("mmrRerank diversifies: redundant twin demoted, diverse pick promoted") {
+    import spark.implicits._
+    // rel order: 1 (0.99) > 2 (0.98, near-clone of 1) > 3 (0.90,
+    // orthogonal-ish). Pure top-2 = {1, 2}; MMR with a meaningful
+    // penalty must pick 3 at rank 2.
+    val pool = Seq(
+      (1L, 0.99, Array(1.0, 0.0, 0.0)),
+      (2L, 0.98, Array(0.999, 0.04, 0.0)),
+      (3L, 0.90, Array(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "rel", "vec")
+    val got = Similarity
+      .mmrRerank(pool, "vec_id", "vec", "rel", 3, 0.5, 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got(1) == 1L, "rank 1 must be the top-rel doc")
+    assert(got(2) == 3L, "rank 2 must be the diverse doc, not the near-clone")
+    assert(got(3) == 2L)
+    // and with no penalty it degrades to pure relevance order
+    val flat = Similarity
+      .mmrRerank(pool, "vec_id", "vec", "rel", 3, 1.0, 0.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(flat == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
 }
