@@ -800,6 +800,29 @@ object SparkEntryCoverage {
         .select(col("source"), col("n_exact"), col("n_seen"), col("kmv_est"))
         .orderBy(col("source"))
     },
+    // Count-Min Sketch heavy-hitter estimation: a 4×1024 counter
+    // sketch of the corpus token stream (Sketches.cmsBuild — one
+    // map-side-combined hash agg, output bounded at depth·width rows
+    // regardless of corpus size), probed for the exact top-10 terms
+    // so the published row pairs every estimate with its ground
+    // truth. CMS estimates are SUMS over a portable md5-slice hash —
+    // order-free and engine-reproducible where SpaceSaving/
+    // Misra-Gries are merge-order-dependent.
+    "a_cms_heavy" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+      val sketch = Sketches.cmsBuild(tok, col("term"), depth = 4, width = 1024)
+      val top = tok
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term"))
+        .limit(10)
+      Sketches
+        .cmsEstimate(top, col("term"), sketch, depth = 4, width = 1024)
+        .select(col("term"), col("n_exact"), col("cms_est"))
+        .orderBy(col("term"))
+    },
     // Interpolated-bigram perplexity: the context-conditioned upgrade
     // of t_perplexity — word sequences, not word bags, set the score
     // (TextAnalysis.perplexityBigram; same micro-nat exact-integer
@@ -3391,6 +3414,39 @@ object SparkEntryCoverage {
          |       CASE WHEN n_seen < $k THEN CAST(n_seen AS DOUBLE)
          |            ELSE ${(k - 1).toDouble * 4294967296.0} / CAST(hk AS DOUBLE) END AS kmv_est
          |FROM ex JOIN agg USING (source) ORDER BY source""".stripMargin
+    },
+    "a_cms_heavy" -> {
+      // the engine's cmsBucket: md5("<j>:" || term) first 6 hex chars
+      // as a 24-bit int, mod width — rebuilt character-by-character
+      // (the minhash strpos idiom), so both engines derive identical
+      // buckets and the sketch sums match exactly
+      def bucketSql(j: Int): String =
+        s"""(list_reduce(list_transform(generate_series(1, 6),
+           |   d -> strpos('0123456789abcdef',
+           |          substring(md5('$j:' || term), CAST(d AS INT), 1)) - 1),
+           |   (a, b) -> a * 16 + b) % 1024)""".stripMargin
+      val sketchRows = (0 until 4)
+        .map(j => s"SELECT $j AS j, ${bucketSql(j)} AS bucket FROM tok")
+        .mkString("\n UNION ALL\n ")
+      val probeBuckets = (0 until 4)
+        .map(j => s"${bucketSql(j)} AS b$j")
+        .mkString(",\n   ")
+      val sketchJoins = (0 until 4)
+        .map(j => s"JOIN sketch s$j ON s$j.j = $j AND s$j.bucket = pb.b$j")
+        .mkString("\n ")
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |jb AS ($sketchRows),
+         |sketch AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM jb GROUP BY 1, 2),
+         |top AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+         |        GROUP BY term ORDER BY n_exact DESC, term LIMIT 10),
+         |pb AS (SELECT term, n_exact,
+         |   $probeBuckets
+         | FROM top)
+         |SELECT pb.term, pb.n_exact,
+         |  least(s0.c, s1.c, s2.c, s3.c) AS cms_est
+         |FROM pb $sketchJoins
+         |ORDER BY pb.term""".stripMargin
     },
     "t_perplexity_bigram" -> {
       // weights interpolated from the engine's own constants; both

@@ -3,9 +3,10 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-/** Distinct-count sketching (A-family corpus audits at 100 TB: vocab
-  * size per source, unique URLs per domain — counts where exact
-  * `count(distinct)` would shuffle every distinct value).
+/** Frequency and distinct-count sketching (A-family corpus audits at
+  * 100 TB: vocab size per source, unique URLs per domain, heavy-hitter
+  * token counts — places where the exact computation would shuffle
+  * every distinct value).
   *
   * KMV (k minimum values, Bar-Yossef et al. 2002): hash every value
   * uniformly onto [0, 2^32), keep the k smallest distinct hashes per
@@ -29,6 +30,69 @@ object Sketches {
     * count when < k). One hash-aggregate whose partials carry ≤ k
     * longs per group — the value stream itself never shuffles.
     */
+  /** Bucket index of `value` for CMS row `j`: the repo's portable
+    * md5-slice hash (6 hex chars → 24-bit int) mod `width` — the same
+    * construction on any engine, so a DuckDB oracle rebuilds the
+    * identical sketch.
+    */
+  private[graft] def cmsBucket(value: Column, j: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), value)), 1, 6), 16, 10)
+      .cast("long") % width
+
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) of the frequency
+    * of `key`: `depth` independent hash rows × `width` counters.
+    * Returns the sketch as a table (j, bucket, c) — depth·width rows
+    * regardless of input size.
+    *
+    * Why CMS here: counter updates are SUMS, so the sketch build is
+    * one map-side-combined hash aggregate whose output is
+    * depth·width rows — order-free, partition-free, exactly
+    * reproducible (no Misra-Gries/SpaceSaving merge-order
+    * sensitivity) — and the value stream itself never shuffles more
+    * than depth copies of (j, bucket).
+    */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    val rows = (0 until depth).map(j =>
+      struct(lit(j).as("j"), cmsBucket(key, j, width).as("bucket")))
+    df.filter(key.isNotNull)
+      .select(explode(array(rows: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate lookups against a [[cmsBuild]] sketch: for each
+    * row of `probes`, est = min over the depth rows of the probed
+    * bucket's counter (an overestimate by construction; error ≤
+    * 2N/width with prob 1−(1/2)^depth). `sketch` is depth·width rows —
+    * broadcast-sized by CONSTRUCTION (not by data assumption), so the
+    * probe join is map-side at any corpus size.
+    */
+  def cmsEstimate(
+      probes: DataFrame,
+      key: Column,
+      sketch: DataFrame,
+      depth: Int,
+      width: Int): DataFrame = {
+    val probed = (0 until depth)
+      .foldLeft(probes.withColumn("__key", key)) { (acc, j) =>
+        acc
+          .withColumn(s"__b$j", cmsBucket(col("__key"), j, width))
+          .join(
+            broadcast(
+              sketch
+                .filter(col("j") === j)
+                .select(col("bucket").as(s"__b$j"), col("c").as(s"__c$j"))),
+            Seq(s"__b$j"),
+            "left")
+      }
+    val est = least((0 until depth).map(j => coalesce(col(s"__c$j"), lit(0L))): _*)
+    probed
+      .withColumn("cms_est", est)
+      .drop("__key")
+      .drop((0 until depth).flatMap(j => Seq(s"__b$j", s"__c$j")): _*)
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame = {
     val kmv = udaf(new graft.expressions.KmvAggregator(k))
     Width.spread(df)

@@ -509,6 +509,34 @@ class OperatorsSpec extends SparkSpec {
     assert(run(13) == got)
   }
 
+  test("cmsBuild/cmsEstimate: never underestimates, exact for isolated keys, partition-stable") {
+    val heavy = Seq.fill(500)("hot")
+    val mids = (1 to 50).flatMap(i => Seq.fill(10)(s"mid$i"))
+    val tail = (1 to 2000).map(i => s"rare$i")
+    val df = (heavy ++ mids ++ tail).toDF("key")
+    val exact = df.groupBy($"key").agg(count(lit(1)).as("n_exact"))
+    def run(parts: Int): Map[String, (Long, Long)] = {
+      val sk = graft.operators.Sketches
+        .cmsBuild(df.repartition(parts), $"key", depth = 4, width = 1024)
+      graft.operators.Sketches
+        .cmsEstimate(exact, $"key", sk, depth = 4, width = 1024)
+        .collect()
+        .map(r => r.getAs[String]("key") ->
+          (r.getAs[Long]("n_exact"), r.getAs[Long]("cms_est")))
+        .toMap
+    }
+    val got = run(4)
+    // CMS is a one-sided estimator: collisions only ADD
+    got.foreach { case (k, (ex, est)) =>
+      assert(est >= ex, s"$k underestimated: $est < $ex")
+    }
+    // the heavy hitter dwarfs any collision noise (error <= 2N/width)
+    val (hotEx, hotEst) = got("hot")
+    assert(hotEx == 500L && hotEst - hotEx <= 2L * 3050L / 1024L + 50L)
+    // counter sums are order-free: identical sketch at any partitioning
+    assert(run(13) == got)
+  }
+
   test("perplexityBigram: scrambled word ORDER scores tail where unigram is blind") {
     val natural = "the quick brown fox jumps over the lazy dog"
     val scrambled = "dog the over quick lazy brown the jumps fox" // same bag of words
