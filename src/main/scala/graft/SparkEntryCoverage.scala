@@ -1657,6 +1657,27 @@ object SparkEntryCoverage {
         .applyChanges(base, changes, Seq("user_id"), Seq("value"), "op", "seq")
         .orderBy(col("user_id"))
     },
+    // SCD type-2 history: each user's event-type changelog becomes
+    // versioned rows with [valid_from, valid_to) seq intervals,
+    // consecutive same-state events collapsing into one version —
+    // the queryable-history complement of i_cdc_apply's latest-wins
+    // snapshot (Relational.scd2History)
+    "i_scd2_history" -> { (s, dir) =>
+      Relational
+        .scd2History(
+          t(s, dir, "events")
+            .select(col("user_id"), col("event_id"), col("event_type")),
+          Seq("user_id"),
+          col("event_id"),
+          Seq("event_type"))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("valid_from"),
+          col("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
     // Ordered funnel conversion: signup -> click -> purchase, each
     // stage within 12h of the previous one's completion
     // (Relational.orderedFunnel: chained min-aggs on the user key, no
@@ -3262,6 +3283,18 @@ object SparkEntryCoverage {
         |      FROM u GROUP BY 1)
         |SELECT user_id, value FROM w WHERE op <> 'delete'
         |ORDER BY user_id""".stripMargin,
+    "i_scd2_history" ->
+      """WITH c AS (SELECT user_id, event_id AS seq, event_type FROM events),
+        |m AS (SELECT user_id, seq, event_type,
+        |        lag(event_type) OVER w AS pv, lag(seq) OVER w AS ps
+        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+        |ch AS (SELECT user_id, seq, event_type FROM m
+        |       WHERE ps IS NULL OR pv IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, seq AS valid_from,
+        |       lead(seq) OVER w2 AS valid_to,
+        |       (lead(seq) OVER w2 IS NULL) AS is_current
+        |FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY seq)
+        |ORDER BY user_id, valid_from""".stripMargin,
     "w_event_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
         |s AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),

@@ -370,6 +370,48 @@ object Relational {
       .drop("__old_hash", "__new_hash", "__in_old", "__in_new")
   }
 
+  /** SCD type-2 history build: turn a changelog (key…, seq, tracked
+    * values…) into versioned rows with validity intervals —
+    * `valid_from` = the version's seq, `valid_to` = the NEXT
+    * version's seq (null = still current), consecutive changes whose
+    * tracked values are unchanged collapse into one version
+    * (change-only SCD2, null-safe comparison). The warehouse-side
+    * complement of [[applyChanges]]: applyChanges materializes the
+    * latest snapshot; this keeps the full history queryable by
+    * as-of seq.
+    *
+    * Contract: `seq` must be unique within a key (the applyChanges
+    * totality contract) — with ties the run-collapse pick is
+    * window-order-dependent.
+    *
+    * Scale shape: two per-key windows (lag to collapse runs, lead to
+    * close intervals) over keys that are numerous and individually
+    * bounded — the sessionize posture; no global window, no driver
+    * state.
+    */
+  def scd2History(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: Column,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "scd2History needs at least one tracked column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(seqCol)
+    val sameAsPrev = valueCols
+      .map(c => col(c) <=> lag(col(c), 1).over(w))
+      .reduce(_ && _)
+    // lag(seq) is null exactly on a key's first change (seq itself is
+    // non-null by the totality contract) — guards the all-null first
+    // version from being mistaken for a run continuation
+    val isRunContinuation = sameAsPrev && lag(seqCol, 1).over(w).isNotNull
+    changes
+      .withColumn("__dup", isRunContinuation)
+      .filter(!col("__dup"))
+      .drop("__dup")
+      .withColumn("valid_from", seqCol)
+      .withColumn("valid_to", lead(seqCol, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Dense global rank (1-based) by a TOTAL order, without the
     * single-task `row_number().over(Window.orderBy(...))` funnel: the
     * frame is range-sort-partitioned (distributed sort), then

@@ -509,6 +509,27 @@ class OperatorsSpec extends SparkSpec {
     assert(run(13) == got)
   }
 
+  test("scd2History: runs collapse, intervals chain, null first version survives") {
+    val log = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 5L, "b"), (1L, 7L, "a"),
+      (2L, 3L, null.asInstanceOf[String]), (2L, 4L, null.asInstanceOf[String]),
+      (2L, 9L, "x")
+    ).toDF("k", "seq", "v")
+    val got = graft.operators.Relational
+      .scd2History(log, Seq("k"), $"seq", Seq("v"))
+      .select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, Some("a"), 1L, Some(5L), false),  // run 1-2 collapsed
+      (1L, Some("b"), 5L, Some(7L), false),
+      (1L, Some("a"), 7L, None, true),       // value may RECUR as a new version
+      (2L, None, 3L, Some(9L), false),       // all-null first version kept
+      (2L, Some("x"), 9L, None, true)))
+  }
+
   test("cmsBuild/cmsEstimate: never underestimates, exact for isolated keys, partition-stable") {
     val heavy = Seq.fill(500)("hot")
     val mids = (1 to 50).flatMap(i => Seq.fill(10)(s"mid$i"))
