@@ -823,6 +823,16 @@ object SparkEntryCoverage {
         .select(col("term"), col("n_exact"), col("cms_est"))
         .orderBy(col("term"))
     },
+    // Collocation mining: top-30 bigrams by PMI with min support 5
+    // (TextAnalysis.collocationPmi) — the phrase-detection complement
+    // of t_top_terms' raw frequency ranking; ranked on integer
+    // micro-nat PMI so the order is engine-exact
+    "t_collocations" -> { (s, dir) =>
+      TextAnalysis
+        .collocationPmi(t(s, dir, "documents"), "text", minCount = 5L, k = 30)
+        .select(col("term_a"), col("term_b"), col("n_pair"), col("pmi6"), col("pmi"))
+        .orderBy(col("pmi6").desc, col("term_a"), col("term_b"))
+    },
     // Interpolated-bigram perplexity: the context-conditioned upgrade
     // of t_perplexity — word sequences, not word bags, set the score
     // (TextAnalysis.perplexityBigram; same micro-nat exact-integer
@@ -2141,6 +2151,32 @@ object SparkEntryCoverage {
       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
       |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
 
+  /** The engine's `Sketches.cmsBucket` for CMS row `j`:
+    * md5("<j>:" || term) first 6 hex chars as a 24-bit int
+    * (character-by-character, the minhash strpos idiom) mod 1024 —
+    * identical buckets on both engines.
+    */
+  private def cmsBucketSql(j: Int): String =
+    s"""(list_reduce(list_transform(generate_series(1, 6),
+       |   d -> strpos('0123456789abcdef',
+       |          substring(md5('$j:' || term), CAST(d AS INT), 1)) - 1),
+       |   (a, b) -> a * 16 + b) % 1024)""".stripMargin
+
+  /** CTE block ending in `sketch(j, bucket, c)` — the 4×1024 CMS of
+    * the documents token stream. Shared by a_cms_heavy and the
+    * streamed st_cms_sketch (counter sums are merge-invariant, so the
+    * streamed sketch is bit-equal to this batch mirror).
+    */
+  private[graft] val cmsSketchSql: String = {
+    val sketchRows = (0 until 4)
+      .map(j => s"SELECT $j AS j, ${cmsBucketSql(j)} AS bucket FROM tok")
+      .mkString("\n UNION ALL\n ")
+    s"""tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |jb AS ($sketchRows),
+       |sketch AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM jb GROUP BY 1, 2)""".stripMargin
+  }
+
   /** One PageRank iteration as a DuckDB CTE — `cur` from `prev`, the
     * exact integer recurrence of `Graph.pageRank` (damp=85,
     * unit=1e12). Kept as a generator so the 5 unrolled iterations in
@@ -3449,28 +3485,13 @@ object SparkEntryCoverage {
          |FROM ex JOIN agg USING (source) ORDER BY source""".stripMargin
     },
     "a_cms_heavy" -> {
-      // the engine's cmsBucket: md5("<j>:" || term) first 6 hex chars
-      // as a 24-bit int, mod width — rebuilt character-by-character
-      // (the minhash strpos idiom), so both engines derive identical
-      // buckets and the sketch sums match exactly
-      def bucketSql(j: Int): String =
-        s"""(list_reduce(list_transform(generate_series(1, 6),
-           |   d -> strpos('0123456789abcdef',
-           |          substring(md5('$j:' || term), CAST(d AS INT), 1)) - 1),
-           |   (a, b) -> a * 16 + b) % 1024)""".stripMargin
-      val sketchRows = (0 until 4)
-        .map(j => s"SELECT $j AS j, ${bucketSql(j)} AS bucket FROM tok")
-        .mkString("\n UNION ALL\n ")
       val probeBuckets = (0 until 4)
-        .map(j => s"${bucketSql(j)} AS b$j")
+        .map(j => s"${cmsBucketSql(j)} AS b$j")
         .mkString(",\n   ")
       val sketchJoins = (0 until 4)
         .map(j => s"JOIN sketch s$j ON s$j.j = $j AND s$j.bucket = pb.b$j")
         .mkString("\n ")
-      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |jb AS ($sketchRows),
-         |sketch AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM jb GROUP BY 1, 2),
+      s"""WITH $cmsSketchSql,
          |top AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok
          |        GROUP BY term ORDER BY n_exact DESC, term LIMIT 10),
          |pb AS (SELECT term, n_exact,
@@ -3481,6 +3502,28 @@ object SparkEntryCoverage {
          |FROM pb $sketchJoins
          |ORDER BY pb.term""".stripMargin
     },
+    // same micro-nat discipline; bigrams = adjacent token pairs, the
+    // bigramPairs definition (prev at i-1, term at i, i >= 2)
+    "t_collocations" ->
+      """WITH tk AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT unnest(tk) AS term FROM tk),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bip AS (SELECT tk[CAST(gs.i AS INT)] AS term_a, tk[CAST(gs.i + 1 AS INT)] AS term_b
+        |        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bip),
+        |bi AS (SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_pair FROM bip
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (SELECT term_a, term_b, n_pair,
+        |         CAST(round(ln((CAST(n_pair AS DOUBLE)/CAST(nb.n AS DOUBLE)) /
+        |           ((CAST(ua.c AS DOUBLE)/CAST(nu.n AS DOUBLE)) *
+        |            (CAST(ub.c AS DOUBLE)/CAST(nu.n AS DOUBLE))))*1000000) AS BIGINT) AS pmi6
+        |       FROM bi JOIN uni ua ON ua.term = bi.term_a
+        |            JOIN uni ub ON ub.term = bi.term_b
+        |            CROSS JOIN nu CROSS JOIN nb)
+        |SELECT term_a, term_b, n_pair, pmi6, CAST(pmi6 AS DOUBLE)/1000000.0 AS pmi
+        |FROM sc ORDER BY pmi6 DESC, term_a, term_b LIMIT 30""".stripMargin,
     "t_perplexity_bigram" -> {
       // weights interpolated from the engine's own constants; both
       // CTE chains derive (t+v) from exact counts, so every log-prob

@@ -297,6 +297,22 @@ object SparkEntryStreaming {
       drain(sketch, "st_kmv_distinct_sink", "complete")
         .orderBy(col("source"))
     },
+    // Streamed Count-Min Sketch: counter updates are SUMS, so the
+    // sketch built from micro-batches is bit-equal to the batch build
+    // (the KMV merge-invariance story for frequencies, not distincts);
+    // complete mode drains the 4×1024-row aggregate
+    "st_cms_sketch" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tok = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      val sketch = graft.operators.Sketches
+        .cmsBuild(tok, col("term"), depth = 4, width = 1024)
+      drain(sketch, "st_cms_sketch_sink", "complete")
+        .orderBy(col("j"), col("bucket"))
+    },
     // Batch-fit / stream-score parity: the unigram LM is fit on the
     // static history (docs < 250) and the streamed batch (docs >= 250)
     // is scored per doc, unseen terms falling back to the smoothed OOV
@@ -337,6 +353,12 @@ object SparkEntryStreaming {
          |            ELSE ${63.0 * 4294967296.0} / CAST(max(h) FILTER (rn = 64) AS DOUBLE) END AS kmv_est
          |FROM rk GROUP BY source
          |ORDER BY source""".stripMargin,
+    // counter sums are merge-invariant: the streamed sketch equals
+    // the batch CTE bit-for-bit (shared fragment with a_cms_heavy)
+    "st_cms_sketch" ->
+      s"""WITH ${SparkEntryCoverage.cmsSketchSql}
+         |SELECT j, bucket, c FROM sketch
+         |ORDER BY j, bucket""".stripMargin,
     // identical to dd_incremental_neardup's oracle: near-dup-vs-static
     // is stateless across micro-batches, so the foreachBatch
     // application computes the batch result at any batch split

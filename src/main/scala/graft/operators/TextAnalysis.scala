@@ -406,6 +406,56 @@ object TextAnalysis {
               .otherwise(element_at(col("__tk"), i - 1)).as("prev")))))
       .select(col("id"), col("pos"), col("col.term"), col("col.prev"))
 
+  /** Collocation mining: the corpus's top-k word bigrams by pointwise
+    * mutual information, PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) — the
+    * classic phrase detector (Church & Hanks 1990; the word2vec-phrases
+    * preprocessing step). High-PMI pairs are multiword units a
+    * tokenizer or dedup shingler may want to treat atomically.
+    *
+    * Determinism: PMI rounds to micro-nat BIGINTs (the entropy-family
+    * discipline) and the top-k orders by (pmi6 DESC, term_a, term_b) —
+    * an all-integer/string sort. `minCount` suppresses the
+    * low-support pairs whose PMI is pure noise (and keeps the ranked
+    * table small).
+    *
+    * Scale shape: the token stream collapses once into bigram counts
+    * (map-side-combined hash agg); unigram margins and the two grand
+    * totals are rollups/1-row bootstraps off count tables; the probe
+    * joins are vocab-bounded; the top-k is TakeOrderedAndProject.
+    */
+  def collocationPmi(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = bigramPairs(df, textCol, df.columns.head).persist(mem)
+    val uni = pairs.groupBy(col("term")).agg(count(lit(1)).as("c")).persist(mem)
+    val totU = uni.agg(sum(col("c"))).head()
+    val nUni = if (totU.isNullAt(0)) 1.0 else totU.getLong(0).toDouble
+    val bi = pairs
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("term_a"), col("term").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .persist(mem)
+    val totB = bi.agg(sum(col("n_pair"))).head()
+    val nBi = if (totB.isNullAt(0)) 1.0 else totB.getLong(0).toDouble
+    val pAb = col("n_pair").cast("double") / lit(nBi)
+    val pA = col("ca").cast("double") / lit(nUni)
+    val pB = col("cb").cast("double") / lit(nUni)
+    bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("term").as("term_a"), col("c").as("ca")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("c").as("cb")), "term_b")
+      .select(
+        col("term_a"),
+        col("term_b"),
+        col("n_pair"),
+        round(log(pAb / (pA * pB)) * lit(1e6), 0).cast("long").as("pmi6"))
+      .withColumn("pmi", col("pmi6").cast("double") / lit(1e6))
+      .orderBy(col("pmi6").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** Interpolated-bigram upgrade of [[perplexity]] (the KenLM-shaped
     * gate CCNet actually ships: context-conditioned, not bag-of-words):
     * every doc scored under the corpus's own interpolated bigram LM.
