@@ -1667,6 +1667,29 @@ object SparkEntryCoverage {
         .applyChanges(base, changes, Seq("user_id"), Seq("value"), "op", "seq")
         .orderBy(col("user_id"))
     },
+    // Z-order layout effectiveness: bucket lineitem under (a) a
+    // Morton key over (l_partkey, l_suppkey) and (b) the natural
+    // l_orderkey order, collect per-bucket min/max footer stats, and
+    // count buckets a partkey range-scan must touch. The z-order
+    // layout prunes multi-dimensionally — the lakehouse OPTIMIZE
+    // ZORDER primitive, measured rather than asserted
+    // (Layout.zValue/skippingReport)
+    "o_zorder_skipping" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val z = Layout.zValue(col("l_partkey"), col("l_suppkey"), 10)
+      Layout
+        .skippingReport(
+          li, "zorder", shiftright(z, 11), col("l_partkey"), 100L, 200L)
+        .unionByName(
+          Layout.skippingReport(
+            li,
+            "natural",
+            shiftright(col("l_orderkey"), 8),
+            col("l_partkey"),
+            100L,
+            200L))
+        .orderBy(col("layout"))
+    },
     // SCD type-2 history: each user's event-type changelog becomes
     // versioned rows with [valid_from, valid_to) seq intervals,
     // consecutive same-state events collapsing into one version —
@@ -3319,6 +3342,30 @@ object SparkEntryCoverage {
         |      FROM u GROUP BY 1)
         |SELECT user_id, value FROM w WHERE op <> 'delete'
         |ORDER BY user_id""".stripMargin,
+    "o_zorder_skipping" -> {
+      // the engine's Layout.zValue: bit b of partkey%1024 at position
+      // 2b+1, bit b of suppkey%1024 at position 2b, bucket = z // 2048
+      val zExpr = (0 until 10)
+        .map(b =>
+          s"((l_partkey % 1024) // ${1L << b} % 2) * ${1L << (2 * b + 1)} + " +
+            s"((l_suppkey % 1024) // ${1L << b} % 2) * ${1L << (2 * b)}")
+        .mkString(" + ")
+      s"""WITH zb AS (SELECT ($zExpr) // 2048 AS bucket,
+         |            min(l_partkey) AS mn, max(l_partkey) AS mx
+         |            FROM lineitem GROUP BY 1),
+         |nb AS (SELECT l_orderkey // 256 AS bucket,
+         |       min(l_partkey) AS mn, max(l_partkey) AS mx
+         |       FROM lineitem GROUP BY 1),
+         |zr AS (SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(CASE WHEN mn < 200 AND mx >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS touched
+         |       FROM zb),
+         |nr AS (SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(CASE WHEN mn < 200 AND mx >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS touched
+         |       FROM nb)
+         |SELECT layout, n_buckets, touched FROM zr
+         |UNION ALL SELECT layout, n_buckets, touched FROM nr
+         |ORDER BY layout""".stripMargin
+    },
     "i_scd2_history" ->
       """WITH c AS (SELECT user_id, event_id AS seq, event_type FROM events),
         |m AS (SELECT user_id, seq, event_type,

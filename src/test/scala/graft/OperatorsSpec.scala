@@ -509,6 +509,28 @@ class OperatorsSpec extends SparkSpec {
     assert(run(13) == got)
   }
 
+  test("zValue: exact interleave, range bounds, locality beats natural order") {
+    val got = Seq((3L, 5L), (0L, 0L), (1023L, 1023L), (1024L, 0L))
+      .toDF("x", "y")
+      .select(graft.operators.Layout.zValue($"x", $"y", 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x=3 (bits 0,1 -> positions 1,3), y=5 (bits 0,2 -> positions 0,4)
+    assert(got(0) == 27L)
+    assert(got(1) == 0L)
+    assert(got(2) == (1L << 20) - 1)  // all 20 bits set
+    assert(got(3) == 0L)              // masked to low 10 bits
+    // locality: sorting by z clusters partkey ranges into few buckets
+    val df = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("p", "s")
+    val z = graft.operators.Layout.zValue($"p", $"s", 6)
+    val touched = graft.operators.Layout
+      .skippingReport(df, "z", shiftright(z, 6), $"p", 0L, 8L)
+      .head().getLong(2)
+    val natural = graft.operators.Layout
+      .skippingReport(df, "n", shiftright($"s" * 64 + $"p", 6), $"p", 0L, 8L)
+      .head().getLong(2)
+    assert(touched < natural, s"z-order touched=$touched !< natural=$natural")
+  }
+
   test("scd2History: runs collapse, intervals chain, null first version survives") {
     val log = Seq(
       (1L, 1L, "a"), (1L, 2L, "a"), (1L, 5L, "b"), (1L, 7L, "a"),
