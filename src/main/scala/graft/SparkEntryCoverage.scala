@@ -823,6 +823,19 @@ object SparkEntryCoverage {
         .select(col("term"), col("n_exact"), col("cms_est"))
         .orderBy(col("term"))
     },
+    // Positional inverted index + exact phrase search: the classic
+    // retrieval index next to the vector one — postings at (term,
+    // doc) granularity, phrase match = left-fold of position-
+    // intersection joins, each pruned to one term's postings
+    // (TextAnalysis.invertedIndex/phraseSearch)
+    "r_phrase_search" -> { (s, dir) =>
+      val idx = TextAnalysis
+        .invertedIndex(t(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis
+        .phraseSearch(idx, Seq("table", "hash"))
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
     // Collocation mining: top-30 bigrams by PMI with min support 5
     // (TextAnalysis.collocationPmi) — the phrase-detection complement
     // of t_top_terms' raw frequency ranking; ranked on integer
@@ -3549,6 +3562,16 @@ object SparkEntryCoverage {
          |FROM pb $sketchJoins
          |ORDER BY pb.term""".stripMargin
     },
+    "r_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS pos, tk[CAST(gs.i AS INT)] AS term
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |        FROM documents WHERE length(trim(text)) > 0),
+        |       LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs),
+        |pa AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+        |pb AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
+        |SELECT pa.doc_id, CAST(count(*) AS INT) AS n_hits
+        |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos = pa.pos + 1
+        |GROUP BY pa.doc_id ORDER BY pa.doc_id""".stripMargin,
     // same micro-nat discipline; bigrams = adjacent token pairs, the
     // bigramPairs definition (prev at i-1, term at i, i >= 2)
     "t_collocations" ->

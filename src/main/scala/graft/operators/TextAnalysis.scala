@@ -406,6 +406,57 @@ object TextAnalysis {
               .otherwise(element_at(col("__tk"), i - 1)).as("prev")))))
       .select(col("id"), col("pos"), col("col.term"), col("col.prev"))
 
+  /** Positional inverted index: (term, id, positions) — one row per
+    * (term, document), positions sorted ascending. The row granularity
+    * is deliberate: per-TERM posting arrays would concentrate a
+    * boilerplate term's entire corpus footprint in one aggregation
+    * buffer, while (term, doc) rows shard naturally and partition/
+    * cluster by term on write (so a phrase query's scan prunes to its
+    * terms' postings). Token positions are 0-based.
+    */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Width.spread(df)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.TextFns.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .groupBy(col("term"), col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact phrase search against [[invertedIndex]]: documents where
+    * `phrase`'s terms occur at consecutive positions, with the match
+    * count. Folds left across the phrase — the candidate set after
+    * term i is the array of END positions of matches of the prefix —
+    * so each step is one equi-join on id against ONE term's postings
+    * (scan-pruned by the term predicate) and candidates only shrink.
+    * Boilerplate-term postings are per-doc rows, never whole-corpus
+    * arrays; a df-cap upstream (rareLineSurvivors-style) is the
+    * guard if a phrase term is stopword-frequent.
+    */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val first = index
+      .filter(col("term") === phrase.head)
+      .select(col("id"), col("positions").as("__ends"))
+    val matched = phrase.tail.foldLeft(first) { (acc, term) =>
+      acc
+        .join(
+          index
+            .filter(col("term") === term)
+            .select(col("id"), col("positions").as("__next")),
+          "id")
+        .select(
+          col("id"),
+          array_intersect(
+            transform(col("__ends"), p => p + 1),
+            col("__next")).as("__ends"))
+    }
+    matched
+      .select(col("id"), size(col("__ends")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Collocation mining: the corpus's top-k word bigrams by pointwise
     * mutual information, PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) — the
     * classic phrase detector (Church & Hanks 1990; the word2vec-phrases

@@ -509,6 +509,27 @@ class OperatorsSpec extends SparkSpec {
     assert(run(13) == got)
   }
 
+  test("invertedIndex/phraseSearch: 3-term fold, overlaps count, absent term empty") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b c" twice
+      (2L, "a a b c"),       // once (second 'a' starts it)
+      (3L, "a c b"),         // terms present, phrase absent
+      (4L, "b c a")          // wrap-around is NOT a match
+    ).toDF("doc_id", "text")
+    val idx = graft.operators.TextAnalysis.invertedIndex(docs, "text", "doc_id")
+    val got = graft.operators.TextAnalysis
+      .phraseSearch(idx, Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 1))
+    // absent term kills the fold
+    assert(graft.operators.TextAnalysis
+      .phraseSearch(idx, Seq("a", "zz")).collect().isEmpty)
+    // single-term phrase degrades to a postings lookup
+    val single = graft.operators.TextAnalysis
+      .phraseSearch(idx, Seq("b")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(single == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
   test("zValue: exact interleave, range bounds, locality beats natural order") {
     val got = Seq((3L, 5L), (0L, 0L), (1023L, 1023L), (1024L, 0L))
       .toDF("x", "y")
