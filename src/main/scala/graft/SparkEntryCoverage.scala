@@ -1703,6 +1703,31 @@ object SparkEntryCoverage {
             200L))
         .orderBy(col("layout"))
     },
+    // Incremental aggregate maintenance: the per-user (count, spend)
+    // materialized view built from history (event_id < 5000) is
+    // REFRESHED with the new batch's delta aggregate — raw history is
+    // never re-scanned (Relational.mergeAggDelta). The oracle
+    // recomputes from ALL events, so the green check IS the
+    // incremental == full-recompute theorem for these aggregates
+    "i_incr_agg" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+      def agg(df: DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("spend"))
+      Relational
+        .mergeAggDelta(
+          agg(ev.filter(col("event_id") < 5000)),
+          agg(ev.filter(col("event_id") >= 5000)),
+          Seq("user_id"),
+          Seq("n", "spend"))
+        .select(
+          col("user_id"),
+          col("n").cast("long").as("n"),
+          col("spend").cast("double").as("spend"))
+        .orderBy(col("user_id"))
+    },
     // SCD type-2 history: each user's event-type changelog becomes
     // versioned rows with [valid_from, valid_to) seq intervals,
     // consecutive same-state events collapsing into one version —
@@ -3379,6 +3404,13 @@ object SparkEntryCoverage {
          |UNION ALL SELECT layout, n_buckets, touched FROM nr
          |ORDER BY layout""".stripMargin
     },
+    // full recompute over ALL events — the incremental merge must
+    // land on exactly this
+    "i_incr_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS spend
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "i_scd2_history" ->
       """WITH c AS (SELECT user_id, event_id AS seq, event_type FROM events),
         |m AS (SELECT user_id, seq, event_type,

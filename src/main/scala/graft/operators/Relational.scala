@@ -370,6 +370,40 @@ object Relational {
       .drop("__old_hash", "__new_hash", "__in_old", "__in_new")
   }
 
+  /** Algebraic materialized-view maintenance: merge a delta batch's
+    * aggregate into a base aggregate table without recomputing from
+    * raw history — `merged(k) = base(k) ⊎ delta(k)` for sum-mergeable
+    * aggregates (counts, sums; avg = sum/count at read time). The
+    * lakehouse incremental-refresh primitive: the raw history is never
+    * re-scanned, only the base AGGREGATE (already |keys|-bounded) and
+    * the new batch.
+    *
+    * `aggCols` must be sum-mergeable columns present in both frames;
+    * absent keys on either side contribute typed zeros. Scale shape:
+    * a full-outer join on the key — UNHINTED, the dd_excise lesson:
+    * a delta batch's size is data-dependent (a backfill delta can
+    * rival the base), so AQE picks broadcast only when the delta
+    * actually fits; pre-bucketed base tables keep the merge and the
+    * output write co-partitioned either way.
+    */
+  def mergeAggDelta(
+      base: DataFrame,
+      deltaAgg: DataFrame,
+      keys: Seq[String],
+      aggCols: Seq[String]): DataFrame = {
+    val d = aggCols.foldLeft(deltaAgg) { (df, c) =>
+      df.withColumnRenamed(c, s"__d_$c")
+    }
+    val joined = base.join(d, keys, "full_outer")
+    aggCols
+      .foldLeft(joined) { (df, c) =>
+        df.withColumn(
+          c,
+          coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0)))
+      }
+      .drop(aggCols.map(c => s"__d_$c"): _*)
+  }
+
   /** SCD type-2 history build: turn a changelog (key…, seq, tracked
     * values…) into versioned rows with validity intervals —
     * `valid_from` = the version's seq, `valid_to` = the NEXT

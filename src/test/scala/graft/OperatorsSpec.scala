@@ -509,6 +509,19 @@ class OperatorsSpec extends SparkSpec {
     assert(run(13) == got)
   }
 
+  test("mergeAggDelta: overlap sums, one-sided keys survive, empty delta is identity") {
+    val base = Seq((1L, 2L, 10.0), (2L, 1L, 5.0)).toDF("k", "n", "s")
+    val delta = Seq((2L, 3L, 7.0), (3L, 1L, 1.0)).toDF("k", "n", "s")
+    val got = graft.operators.Relational
+      .mergeAggDelta(base, delta, Seq("k"), Seq("n", "s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> (2L, 10.0), 2L -> (4L, 12.0), 3L -> (1L, 1.0)))
+    val id = graft.operators.Relational
+      .mergeAggDelta(base, delta.filter($"k" < 0), Seq("k"), Seq("n", "s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(id == Map(1L -> (2L, 10.0), 2L -> (1L, 5.0)))
+  }
+
   test("invertedIndex/phraseSearch: 3-term fold, overlaps count, absent term empty") {
     val docs = Seq(
       (1L, "a b c a b c"),   // "a b c" twice
