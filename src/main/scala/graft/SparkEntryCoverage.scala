@@ -1703,6 +1703,33 @@ object SparkEntryCoverage {
             200L))
         .orderBy(col("layout"))
     },
+    // Data-quality gate report (the dbt-tests / expectations
+    // primitive): domain/positivity/not-null row checks share ONE
+    // aggregate pass over orders, uniqueness is a key-count agg,
+    // the FK check is a left-anti join against customer — every
+    // check surveyed in one report instead of a fail-fast assert
+    // (operators/Checks.scala)
+    "dq_checks" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      Checks
+        .rowChecks(
+          orders,
+          Seq(
+            "orders_status_domain" ->
+              col("o_orderstatus").isin("O", "F", "P"),
+            "orders_positive_price" -> (col("o_totalprice") > 0),
+            "orders_date_not_null" -> col("o_orderdate").isNotNull))
+        .unionByName(
+          Checks.uniqueCheck(orders, "orders_unique_key", Seq(col("o_orderkey"))))
+        .unionByName(
+          Checks.referentialCheck(
+            orders,
+            col("o_custkey"),
+            t(s, dir, "customer"),
+            col("c_custkey"),
+            "orders_custkey_fk"))
+        .orderBy(col("check_name"))
+    },
     // Incremental aggregate maintenance: the per-user (count, spend)
     // materialized view built from history (event_id < 5000) is
     // REFRESHED with the new batch's delta aggregate — raw history is
@@ -3404,6 +3431,24 @@ object SparkEntryCoverage {
          |UNION ALL SELECT layout, n_buckets, touched FROM nr
          |ORDER BY layout""".stripMargin
     },
+    "dq_checks" ->
+      """WITH rc AS (
+        | SELECT 'orders_status_domain' AS check_name,
+        |   CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+        | FROM orders
+        | UNION ALL SELECT 'orders_positive_price',
+        |   CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        | UNION ALL SELECT 'orders_date_not_null',
+        |   CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        | UNION ALL SELECT 'orders_unique_key',
+        |   (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        | UNION ALL SELECT 'orders_custkey_fk',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |      ON o.o_custkey = c.c_custkey
+        |    WHERE c.c_custkey IS NULL))
+        |SELECT check_name, n_violations, n_violations = 0 AS pass
+        |FROM rc ORDER BY check_name""".stripMargin,
     // full recompute over ALL events — the incremental merge must
     // land on exactly this
     "i_incr_agg" ->

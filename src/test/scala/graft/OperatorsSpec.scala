@@ -509,6 +509,29 @@ class OperatorsSpec extends SparkSpec {
     assert(run(13) == got)
   }
 
+  test("Checks: null predicate violates, dup keys counted, null FK is an orphan") {
+    val dirty = Seq(
+      (1L, Some(10.0), Some(5L)),
+      (1L, Some(-1.0), Some(6L)),                 // dup key + negative
+      (2L, None, Some(99L)),                      // null price -> violation
+      (3L, Some(3.0), None)                       // null FK -> orphan
+    ).toDF("id", "price", "fk")
+    val parent = Seq(5L, 6L).toDF("pk")
+    val rows = graft.operators.Checks
+      .rowChecks(dirty, Seq(
+        "positive_price" -> ($"price" > 0),
+        "id_small" -> ($"id" < 100)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows("positive_price") == (2L, false)) // negative AND null both violate
+    assert(rows("id_small") == (0L, true))
+    val uniq = graft.operators.Checks
+      .uniqueCheck(dirty, "unique_id", Seq($"id")).head()
+    assert(uniq.getLong(1) == 1L && !uniq.getBoolean(2))
+    val fk = graft.operators.Checks
+      .referentialCheck(dirty, $"fk", parent, $"pk", "fk_check").head()
+    assert(fk.getLong(1) == 2L && !fk.getBoolean(2)) // 99 and null
+  }
+
   test("mergeAggDelta: overlap sums, one-sided keys survive, empty delta is identity") {
     val base = Seq((1L, 2L, 10.0), (2L, 1L, 5.0)).toDF("k", "n", "s")
     val delta = Seq((2L, 3L, 7.0), (3L, 1L, 1.0)).toDF("k", "n", "s")
