@@ -1703,6 +1703,24 @@ object SparkEntryCoverage {
             200L))
         .orderBy(col("layout"))
     },
+    // Epoch plan for data mixing: per-source token counts →
+    // temperature-weighted share of a 1M-token budget → epochs per
+    // source capped at 4 (repeat scarce sources; data-constrained
+    // scaling, Muennighoff et al. 2023). Group-bounded driver
+    // bootstrap, sorted-order normalizer fold, micro-unit BIGINT
+    // outputs (Sampling.epochPlan)
+    "s_epoch_plan" -> { (s, dir) =>
+      Sampling
+        .epochPlan(
+          t(s, dir, "documents"),
+          col("source"),
+          TextFns.wordCount(col("text")),
+          alpha = 0.7,
+          budget = 1000000.0,
+          maxEpochs = 4.0)
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"))
+    },
     // Data-quality gate report (the dbt-tests / expectations
     // primitive): domain/positivity/not-null row checks share ONE
     // aggregate pass over orders, uniqueness is a key-count agg,
@@ -3431,6 +3449,26 @@ object SparkEntryCoverage {
          |UNION ALL SELECT layout, n_buckets, touched FROM nr
          |ORDER BY layout""".stripMargin
     },
+    // the normalizer folds an ORDERED list (left fold seeded with the
+    // first element — bit-equal to the engine's 0.0-seeded foldLeft
+    // over source-sorted counts); every per-source double repeats the
+    // identical IEEE chain
+    "s_epoch_plan" ->
+      """WITH c AS (SELECT source,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY 1),
+        |zl AS (SELECT list_reduce(list(pow(CAST(n_toks AS DOUBLE), 0.7) ORDER BY source),
+        |                          (a, b) -> a + b) AS z FROM c),
+        |p AS (SELECT source, n_toks,
+        |        pow(CAST(n_toks AS DOUBLE), 0.7) / z AS w,
+        |        least((pow(CAST(n_toks AS DOUBLE), 0.7) / z * 1000000.0) / CAST(n_toks AS DOUBLE), 4.0) AS ep
+        |      FROM c CROSS JOIN zl)
+        |SELECT source, n_toks,
+        |  CAST(round(w * 1000000) AS BIGINT) AS w6,
+        |  CAST(round(ep * 1000000) AS BIGINT) AS epochs6,
+        |  CAST(CAST(round(ep * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS epochs
+        |FROM p ORDER BY source""".stripMargin,
     "dq_checks" ->
       """WITH rc AS (
         | SELECT 'orders_status_domain' AS check_name,

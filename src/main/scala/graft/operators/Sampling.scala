@@ -411,6 +411,49 @@ object Sampling {
       .drop("__g", "__t")
   }
 
+  /** Epoch planning for data mixing: given per-group token counts, a
+    * temperature-weighted target share (w_g ∝ n_g^alpha, the
+    * temperatureSample law) of a total token `budget`, report how many
+    * EPOCHS of each group the training run should take —
+    * min(target_g / n_g, maxEpochs), the "repeat scarce sources up to
+    * a cap" plan (data-constrained scaling, Muennighoff et al. 2023).
+    * Returns (group, n_toks, w6, epochs6, epochs): weights and epochs
+    * published as exact micro-unit BIGINTs (the entropy-family
+    * discipline), epochs additionally as the derived double.
+    *
+    * Determinism: group counts collect to the driver (group-bounded
+    * bootstrap, the temperatureSample contract) and the normalizer
+    * folds in SORTED group order — the same left-to-right IEEE chain
+    * the oracle's ordered list_reduce replays.
+    */
+  def epochPlan(
+      df: DataFrame,
+      group: Column,
+      tokenCount: Column,
+      alpha: Double,
+      budget: Double,
+      maxEpochs: Double): DataFrame = {
+    require(alpha >= 0.0, "alpha must be non-negative")
+    require(budget > 0.0 && maxEpochs > 0.0, "budget and maxEpochs must be positive")
+    val counts = df
+      .groupBy(group.cast("string").as("__g"))
+      .agg(sum(tokenCount).as("__n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1)
+    val z = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.pow(n.toDouble, alpha)
+    }
+    val rows = counts.toSeq.map { case (g, n) =>
+      val w = math.pow(n.toDouble, alpha) / z
+      val epochs = math.min(w * budget / n.toDouble, maxEpochs)
+      (g, n, math.round(w * 1e6), math.round(epochs * 1e6), math.round(epochs * 1e6) / 1e6)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("group", "n_toks", "w6", "epochs6", "epochs")
+  }
+
   def mixtureSample(
       df: DataFrame,
       group: Column,
