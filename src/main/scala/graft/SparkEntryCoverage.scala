@@ -836,6 +836,28 @@ object SparkEntryCoverage {
         .select(col("id").as("doc_id"), col("n_hits"))
         .orderBy(col("doc_id"))
     },
+    // Persisted postings: the index artifact written once (bucketed
+    // by term hash — bounded directories, scan prunes to the phrase
+    // terms' buckets), loaded and queried like the reference's
+    // built-once vector index; result must equal the in-line build
+    // (same oracle as r_phrase_search)
+    "r_phrase_persisted" -> { (s, dir) =>
+      val idxPath =
+        s"/tmp/graft_idx/postings_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id"),
+        idxPath)
+      val phrase = Seq("table", "hash")
+      val pruned = graft.sources.Io
+        .readPostings(s, idxPath)
+        .filter(
+          col("term_bucket")
+            .isin(graft.sources.Io.postingsBuckets(s, phrase): _*))
+      TextAnalysis
+        .phraseSearch(pruned, phrase)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
     // Collocation mining: top-30 bigrams by PMI with min support 5
     // (TextAnalysis.collocationPmi) — the phrase-detection complement
     // of t_top_terms' raw frequency ranking; ranked on integer
@@ -2257,6 +2279,21 @@ object SparkEntryCoverage {
       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
       |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
 
+  /** DuckDB mirror of the "table hash" phrase search — shared by the
+    * in-line and persisted-index queries (the persisted path must be
+    * an identity on results).
+    */
+  private val phraseSearchOracle: String =
+    """WITH tok AS (SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS pos, tk[CAST(gs.i AS INT)] AS term
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |        FROM documents WHERE length(trim(text)) > 0),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs),
+      |pa AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+      |pb AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
+      |SELECT pa.doc_id, CAST(count(*) AS INT) AS n_hits
+      |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos = pa.pos + 1
+      |GROUP BY pa.doc_id ORDER BY pa.doc_id""".stripMargin
+
   /** The engine's `Sketches.cmsBucket` for CMS row `j`:
     * md5("<j>:" || term) first 6 hex chars as a 24-bit int
     * (character-by-character, the minhash strpos idiom) mod 1024 —
@@ -3677,16 +3714,9 @@ object SparkEntryCoverage {
          |FROM pb $sketchJoins
          |ORDER BY pb.term""".stripMargin
     },
-    "r_phrase_search" ->
-      """WITH tok AS (SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS pos, tk[CAST(gs.i AS INT)] AS term
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        |        FROM documents WHERE length(trim(text)) > 0),
-        |       LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs),
-        |pa AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
-        |pb AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
-        |SELECT pa.doc_id, CAST(count(*) AS INT) AS n_hits
-        |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos = pa.pos + 1
-        |GROUP BY pa.doc_id ORDER BY pa.doc_id""".stripMargin,
+    "r_phrase_search" -> phraseSearchOracle,
+    // persisted-and-loaded index must land on the identical result
+    "r_phrase_persisted" -> phraseSearchOracle,
     // same micro-nat discipline; bigrams = adjacent token pairs, the
     // bigramPairs definition (prev at i-1, term at i, i >= 2)
     "t_collocations" ->

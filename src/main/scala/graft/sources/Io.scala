@@ -231,6 +231,44 @@ object Io {
     * probed partition directories. Upsert stamps are dropped — use
     * [[readIvfIndexLatest]] when the index has live upserts.
     */
+  /** Persist a positional inverted index
+    * (`TextAnalysis.invertedIndex` output) partitioned by a bounded
+    * TERM-HASH bucket — one directory per bucket (never per term:
+    * vocab-sized directory listings are their own scale problem), so
+    * a phrase query that pre-filters to its terms' buckets prunes the
+    * scan to a handful of partitions at any index size.
+    */
+  def writePostings(index: DataFrame, path: String, buckets: Int = 64): Unit =
+    index
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write
+      .mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(path)
+
+  /** Load a [[writePostings]] index. Pair with
+    * `postingsBuckets(terms)` to pre-filter the partition column.
+    */
+  def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The partition buckets `writePostings` assigned to `terms` — the
+    * pruning predicate for a phrase query over a loaded index.
+    */
+  def postingsBuckets(
+      spark: SparkSession,
+      terms: Seq[String],
+      buckets: Int = 64): Seq[Long] = {
+    import spark.implicits._
+    terms
+      .toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .collect()
+      .map(_.getLong(0))
+      .distinct
+      .toSeq
+  }
+
   def readIvfIndex(spark: SparkSession, path: String): (Seq[Array[Double]], DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell"))
