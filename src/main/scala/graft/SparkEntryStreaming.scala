@@ -297,6 +297,24 @@ object SparkEntryStreaming {
       drain(sketch, "st_kmv_distinct_sink", "complete")
         .orderBy(col("source"))
     },
+    // Streaming data-quality gate: the same one-pass violation
+    // aggregate as the batch dq_checks report, running on live intake
+    // (complete mode) — violation sums are merge-invariant across
+    // micro-batches, so the drained report equals the batch oracle
+    "st_dq_checks" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+      val report = graft.operators.Checks.rowChecks(
+        stream,
+        Seq(
+          "doc_chars_match" -> (col("n_chars") === length(col("text"))),
+          "doc_lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh"),
+          "doc_text_nonblank" -> (length(trim(col("text"))) > 0)))
+      drain(report, "st_dq_checks_sink", "complete")
+        .orderBy(col("check_name"))
+    },
     // Streamed Count-Min Sketch: counter updates are SUMS, so the
     // sketch built from micro-batches is bit-equal to the batch build
     // (the KMV merge-invariance story for frequencies, not distincts);
@@ -353,6 +371,21 @@ object SparkEntryStreaming {
          |            ELSE ${63.0 * 4294967296.0} / CAST(max(h) FILTER (rn = 64) AS DOUBLE) END AS kmv_est
          |FROM rk GROUP BY source
          |ORDER BY source""".stripMargin,
+    // violation sums are merge-invariant; NULL predicate = violation
+    // (the Checks contract)
+    "st_dq_checks" ->
+      """WITH rc AS (
+        | SELECT 'doc_chars_match' AS check_name,
+        |   CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+        | FROM documents
+        | UNION ALL SELECT 'doc_lang_known',
+        |   CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END) AS BIGINT)
+        | FROM documents
+        | UNION ALL SELECT 'doc_text_nonblank',
+        |   CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        | FROM documents)
+        |SELECT check_name, n_violations, n_violations = 0 AS pass
+        |FROM rc ORDER BY check_name""".stripMargin,
     // counter sums are merge-invariant: the streamed sketch equals
     // the batch CTE bit-for-bit (shared fragment with a_cms_heavy)
     "st_cms_sketch" ->
