@@ -1057,6 +1057,39 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"), col("lev"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // End-to-end entity resolution: blocking → levenshtein scoring →
+    // transitive clustering (clusterPairs) → golden record per
+    // cluster (min-id name wins via min_by — unique ids, no tie).
+    // Composes the dd_fuzzy_match pair stage with the dedup family's
+    // cluster resolution, the full ER pipeline in one plan
+    "er_golden" -> { (s, dir) =>
+      val canon = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val typo = canon.select(
+        (col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100)).as("name"))
+      val all = canon.unionByName(typo)
+        .withColumn("blk", substring(col("name"), -4, 4))
+      val a = all.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+      val b = all.select(col("id").as("id_b"), col("name").as("name_b"), col("blk"))
+      val pairs = a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.clusterPairs(pairs)
+        .withColumnRenamed("cluster_id", "__cluster")
+      all
+        .join(labels, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("name"),
+          coalesce(col("__cluster"), col("id")).as("cluster_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          expr("min_by(name, id)").as("canonical_name"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id"))
+    },
     // PQ top-k: ADC lookup-table scan + exact re-rank of the shortlist
     "v_pq_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -2279,6 +2312,24 @@ object SparkEntryCoverage {
       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
       |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
 
+  /** Shared fuzzy-entity pair generation ending in
+    * `pairs(id_a, id_b, lev)` (suffix blocking + levenshtein ≤ 2 over
+    * the canon+typo fixture) — one fragment feeds the dd_fuzzy_match
+    * and er_golden oracles, and `al(id, name, blk)` stays in scope
+    * for the golden-record rollup.
+    */
+  private val fuzzyPairsSql: String =
+    """canon AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      |typo AS (SELECT id + 1000000 AS id,
+      |                substring(name, 1, 5) || substring(name, 7, 100) AS name
+      |         FROM canon),
+      |al AS (SELECT id, name, substring(name, length(name) - 3, 4) AS blk
+      |       FROM (SELECT * FROM canon UNION ALL SELECT * FROM typo)),
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+      |                 CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      |          FROM al a JOIN al b ON a.blk = b.blk AND a.id < b.id
+      |          WHERE levenshtein(a.name, b.name) <= 2)""".stripMargin
+
   /** DuckDB mirror of the "table hash" phrase search — shared by the
     * in-line and persisted-index queries (the persisted path must be
     * an identity on results).
@@ -3049,17 +3100,19 @@ object SparkEntryCoverage {
         |FROM tf JOIN df ON tf.term = df.term, n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
     "dd_fuzzy_match" ->
-      """WITH canon AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-        |typo AS (SELECT id + 1000000 AS id,
-        |                substring(name, 1, 5) || substring(name, 7, 100) AS name
-        |         FROM canon),
-        |al AS (SELECT id, name, substring(name, length(name) - 3, 4) AS blk
-        |       FROM (SELECT * FROM canon UNION ALL SELECT * FROM typo))
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
-        |FROM al a JOIN al b ON a.blk = b.blk AND a.id < b.id
-        |WHERE levenshtein(a.name, b.name) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $fuzzyPairsSql
+         |SELECT id_a, id_b, lev FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // blocking → scoring → transitive clustering → golden record, the
+    // full ER pipeline; comp reuses the shared connected-components
+    // fragment over the shared fuzzy pairs
+    "er_golden" ->
+      s"""WITH RECURSIVE $fuzzyPairsSql,
+         |$clusterCompSql,
+         |lab AS (SELECT al.id, al.name, COALESCE(comp.cluster, al.id) AS cluster_id
+         |        FROM al LEFT JOIN comp ON comp.id = al.id)
+         |SELECT cluster_id, min_by(name, id) AS canonical_name,
+         |       CAST(count(*) AS BIGINT) AS n_members
+         |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     "v_pq_topk" -> pqTopkOracle,
     // the persisted index must reproduce the in-line encode+rank
     // exactly — one oracle, two paths
