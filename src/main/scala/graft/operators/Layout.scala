@@ -20,7 +20,10 @@ object Layout {
 
   /** Morton/Z-value of two dimensions, `bits` bits each (values are
     * masked to `bits` low bits first): bit b of `x` lands at position
-    * 2b+1, bit b of `y` at position 2b. Total 2·bits ≤ 62.
+    * 2b+1, bit b of `y` at position 2b. Total 2·bits ≤ 62. Null
+    * contract: a null in either dimension nulls the key (null-in →
+    * null-out); rows with null layout keys sort together at the end
+    * of a z-ordered write.
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")

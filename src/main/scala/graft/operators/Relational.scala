@@ -379,7 +379,11 @@ object Relational {
     * the new batch.
     *
     * `aggCols` must be sum-mergeable columns present in both frames;
-    * absent keys on either side contribute typed zeros. Scale shape:
+    * absent keys on either side contribute typed zeros. Null-key
+    * contract: standard SQL join semantics — a null key never matches,
+    * so a null-key row on each side survives as its OWN output row
+    * (zeros from the other side); pre-coalesce keys if null should be
+    * a mergeable group. Scale shape:
     * a full-outer join on the key — UNHINTED, the dd_excise lesson:
     * a delta batch's size is data-dependent (a backfill delta can
     * rival the base), so AQE picks broadcast only when the delta

@@ -425,6 +425,11 @@ object Sampling {
     * bootstrap, the temperatureSample contract) and the normalizer
     * folds in SORTED group order — the same left-to-right IEEE chain
     * the oracle's ordered list_reduce replays.
+    *
+    * Null contract: rows with a null `group` are EXCLUDED from the
+    * plan (same rule as temperatureSample/hashSample — null is not a
+    * schedulable source); callers wanting them planned should
+    * `coalesce(group, lit("__null__"))` first.
     */
   def epochPlan(
       df: DataFrame,

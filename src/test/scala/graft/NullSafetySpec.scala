@@ -79,4 +79,34 @@ class NullSafetySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(10L))
   }
+
+  test("epochPlan excludes null groups per the pinned contract") {
+    val df = Seq(
+      (Some("a"), 10L), (Some("a"), 10L), (Some("b"), 20L),
+      (Option.empty[String], 999L) // null source: not schedulable
+    ).toDF("g", "n")
+    val got = graft.operators.Sampling
+      .epochPlan(df, $"g", $"n", 0.7, 100.0, 4.0)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b"))
+  }
+
+  test("mergeAggDelta: null keys never merge — each side's survives with zeros") {
+    val base = Seq((Option(1L), 2L), (Option.empty[Long], 5L)).toDF("k", "n")
+    val delta = Seq((Option.empty[Long], 7L)).toDF("k", "n")
+    val got = graft.operators.Relational
+      .mergeAggDelta(base, delta, Seq("k"), Seq("n"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+    // two separate null-key rows (5+0 and 0+7), never a 12
+    assert(got.sorted.toSeq == Seq(None -> 5L, None -> 7L, Some(1L) -> 2L).sorted)
+  }
+
+  test("zValue nulls the key when either dimension is null") {
+    val got = Seq((Some(3L), Option.empty[Long]), (Option.empty[Long], Some(5L)), (Some(3L), Some(5L)))
+      .toDF("x", "y")
+      .select(graft.operators.Layout.zValue($"x", $"y", 10).as("z"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0) && !got(2).isNullAt(0))
+  }
 }
