@@ -1078,16 +1078,22 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"))
       val labels = Dedup.clusterPairs(pairs)
         .withColumnRenamed("cluster_id", "__cluster")
-      all
+      // canonical = min-id member: min(id) keeps the agg in primitive
+      // HashAggregate (a min_by on the name STRING degrades to
+      // SortAggregate — the i_cdc_apply lesson), the name joins back
+      val members = all
         .join(labels, Seq("id"), "left")
         .select(
           col("id"),
           col("name"),
           coalesce(col("__cluster"), col("id")).as("cluster_id"))
+      members
         .groupBy(col("cluster_id"))
-        .agg(
-          expr("min_by(name, id)").as("canonical_name"),
-          count(lit(1)).as("n_members"))
+        .agg(min(col("id")).as("__min_id"), count(lit(1)).as("n_members"))
+        .join(
+          members.select(col("id").as("__min_id"), col("name").as("canonical_name")),
+          "__min_id")
+        .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
     // PQ top-k: ADC lookup-table scan + exact re-rank of the shortlist
@@ -1775,6 +1781,18 @@ object SparkEntryCoverage {
           maxEpochs = 4.0)
         .withColumnRenamed("group", "source")
         .orderBy(col("source"))
+    },
+    // Column profiling (the data-catalog pass): null count, exact
+    // distinct count, modal value per column — one stacked scan into
+    // a (column, value, n) counts table, stats as rollups of it
+    // (Checks.profile)
+    "dq_profile" -> { (s, dir) =>
+      Checks
+        .profile(
+          t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy(col("col_name"))
     },
     // Data-quality gate report (the dbt-tests / expectations
     // primitive): domain/positivity/not-null row checks share ONE
@@ -3559,6 +3577,22 @@ object SparkEntryCoverage {
         |  CAST(round(ep * 1000000) AS BIGINT) AS epochs6,
         |  CAST(CAST(round(ep * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS epochs
         |FROM p ORDER BY source""".stripMargin,
+    // per-column legs generated from one template (tie-break: highest
+    // n, then smallest value-string — the profile contract)
+    "dq_profile" -> {
+      def leg(c: String): String =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  (SELECT CAST($c AS VARCHAR) FROM orders WHERE $c IS NOT NULL
+           |   GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1) AS top_value,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE $c IS NOT NULL
+           |   GROUP BY CAST($c AS VARCHAR) ORDER BY count(*) DESC, CAST($c AS VARCHAR) LIMIT 1) AS top_n
+           |FROM orders""".stripMargin
+      Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+        .map(leg)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "dq_checks" ->
       """WITH rc AS (
         | SELECT 'orders_status_domain' AS check_name,

@@ -45,6 +45,50 @@ object Checks {
         (coalesce(col("c.n_violations"), lit(0L)) === 0L).as("pass"))
   }
 
+  /** Column profile — the data-catalog pass (null count, exact
+    * distinct count, modal value) for a set of columns in ONE scan:
+    * values stack as (column, value-string) pairs via a generated
+    * explode, collapse through a single map-side-combined hash agg to
+    * (column, value, n), and every per-column stat is a rollup of that
+    * counts table. The counts table is value-cardinality-bounded — for
+    * a near-unique column it approaches the row count (one shuffle,
+    * AQE-split); profile low-cardinality facets when that matters.
+    * Modal tie-break: highest n, then lexicographically smallest
+    * value. Null values count toward n_nulls, never the mode.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val stacked = df
+      .select(
+        explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*))
+          .as("cv"))
+      .select(col("cv.column"), col("cv.value"))
+    val counts = stacked
+      .groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val basics = counts
+      .groupBy(col("column"))
+      .agg(
+        coalesce(sum(when(col("value").isNull, col("n"))), lit(0L))
+          .as("n_nulls"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+    // modal value via a per-column rank window over the counts table
+    // (value-cardinality-bounded) — a min(STRING) aggregate would
+    // degrade to SortAggregate (the i_cdc_apply lesson); the window
+    // sorts within each column's slice only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column"))
+      .orderBy(col("n").desc, col("value"))
+    val top = counts
+      .filter(col("value").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("column"), col("value").as("top_value"), col("n").as("top_n"))
+    basics.join(top, Seq("column"), "left")
+  }
+
   /** Uniqueness check: violations = rows beyond the first per key
     * (total rows − distinct keys, null keys counted like any value
     * via null-safe grouping). Returns the same (check, n_violations,
