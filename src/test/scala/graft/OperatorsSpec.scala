@@ -532,6 +532,24 @@ class OperatorsSpec extends SparkSpec {
     assert(fk.getLong(1) == 2L && !fk.getBoolean(2)) // 99 and null
   }
 
+  test("profile: null/distinct counts exact, modal tie-break smallest value") {
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("a"), Some(2L)),
+      (Some("b"), Some(2L)), (Some("b"), None),
+      (None, Some(2L))
+    ).toDF("s", "v")
+    val got = graft.operators.Checks
+      .profile(df, Seq("s", "v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toMap
+    // s: one null, two distinct, mode tie a/b (both 2) -> 'a'
+    assert(got("s") == (1L, 2L, "a", 2L))
+    // v: one null, two distinct, mode '2' with 3 hits
+    assert(got("v") == (1L, 2L, "2", 3L))
+  }
+
   test("mergeAggDelta: overlap sums, one-sided keys survive, empty delta is identity") {
     val base = Seq((1L, 2L, 10.0), (2L, 1L, 5.0)).toDF("k", "n", "s")
     val delta = Seq((2L, 3L, 7.0), (3L, 1L, 1.0)).toDF("k", "n", "s")
