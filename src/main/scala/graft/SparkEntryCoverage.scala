@@ -3565,7 +3565,8 @@ object SparkEntryCoverage {
       """WITH c AS (SELECT source,
         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_toks
-        |  FROM documents GROUP BY 1),
+        |  FROM documents GROUP BY 1
+        |  HAVING n_toks > 0),
         |zl AS (SELECT list_reduce(list(pow(CAST(n_toks AS DOUBLE), 0.7) ORDER BY source),
         |                          (a, b) -> a + b) AS z FROM c),
         |p AS (SELECT source, n_toks,

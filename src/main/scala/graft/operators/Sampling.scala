@@ -429,7 +429,11 @@ object Sampling {
     * Null contract: rows with a null `group` are EXCLUDED from the
     * plan (same rule as temperatureSample/hashSample — null is not a
     * schedulable source); callers wanting them planned should
-    * `coalesce(group, lit("__null__"))` first.
+    * `coalesce(group, lit("__null__"))` first. Zero-token groups are
+    * excluded too: a source with nothing to sample is not
+    * schedulable, and keeping it would put a 0/0 (NaN) in the epochs
+    * column — which Spark's min and SQL least() order DIFFERENTLY,
+    * the exact cross-engine divergence this module bans.
     */
   def epochPlan(
       df: DataFrame,
@@ -445,6 +449,7 @@ object Sampling {
       .agg(sum(tokenCount).as("__n"))
       .collect()
       .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .filter(_._2 > 0L)
       .sortBy(_._1)
     val z = counts.foldLeft(0.0) { case (acc, (_, n)) =>
       acc + math.pow(n.toDouble, alpha)

@@ -80,15 +80,20 @@ class NullSafetySpec extends SparkSpec {
     assert(got == Set(10L))
   }
 
-  test("epochPlan excludes null groups per the pinned contract") {
+  test("epochPlan excludes null AND zero-token groups per the pinned contract") {
     val df = Seq(
       (Some("a"), 10L), (Some("a"), 10L), (Some("b"), 20L),
-      (Option.empty[String], 999L) // null source: not schedulable
+      (Option.empty[String], 999L), // null source: not schedulable
+      (Some("empty"), 0L)           // zero tokens: would 0/0 -> NaN,
+                                    // which Spark min and SQL least
+                                    // order differently
     ).toDF("g", "n")
-    val got = graft.operators.Sampling
+    val plan = graft.operators.Sampling
       .epochPlan(df, $"g", $"n", 0.7, 100.0, 4.0)
-      .collect().map(_.getString(0)).toSet
-    assert(got == Set("a", "b"))
+      .collect()
+    assert(plan.map(_.getString(0)).toSet == Set("a", "b"))
+    // and no NaN leaked into the published doubles
+    assert(plan.forall(r => !r.getDouble(4).isNaN))
   }
 
   test("mergeAggDelta: null keys never merge — each side's survives with zeros") {
