@@ -510,7 +510,11 @@ object Similarity {
       lambda: Double,
       penalty: Double): DataFrame = {
     require(k > 0, "k must be positive")
+    // null vector/score rows carry no rankable evidence — scoped out,
+    // the semanticDecontaminate null rule (an unguarded collect would
+    // NPE on the first null a generic caller's shortlist carries)
     val pool = candidates
+      .filter(col(vecCol).isNotNull && col(relCol).isNotNull)
       .select(
         col(idCol).cast("long"),
         col(relCol).cast("double"),

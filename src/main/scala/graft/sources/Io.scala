@@ -254,6 +254,9 @@ object Io {
 
   /** The partition buckets `writePostings` assigned to `terms` — the
     * pruning predicate for a phrase query over a loaded index.
+    * `buckets` MUST equal the value the index was written with: a
+    * mismatch prunes to the WRONG partitions and a phrase query
+    * silently returns empty.
     */
   def postingsBuckets(
       spark: SparkSession,
