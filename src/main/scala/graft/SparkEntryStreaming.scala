@@ -297,6 +297,58 @@ object SparkEntryStreaming {
       drain(sketch, "st_kmv_distinct_sink", "complete")
         .orderBy(col("source"))
     },
+    // Streaming index maintenance: a live stream of corrected vectors
+    // upserts into the persisted IVF index per micro-batch (seq =
+    // batchId+1 — later batches win; the base build holds stale
+    // reversed embeddings for exactly those ids), then the read-side
+    // last-wins view serves the same top-k the batch upsert query
+    // proves — the reference's daily incremental, unbounded
+    "st_ivf_upsert" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toSeq
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus.withColumn(
+        "embedding",
+        when(col("vec_id") % 5 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val idxPath = s"/tmp/graft_idx/ivf_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(
+        graft.operators.Similarity.ivfAssign(stale, "embedding", cents),
+        cents,
+        idxPath)
+      val stream = s.readStream
+        .schema(emb.schema)
+        .parquet(s"$dir/[e]mbeddings.parquet")
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 5 === 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertIvfIndex(
+            graft.operators.Similarity.ivfAssign(batch, "embedding", cents),
+            idxPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (loadedCents, latest) =
+        graft.sources.Io.readIvfIndexLatest(s, idxPath, "vec_id")
+      graft.operators.Similarity
+        .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
     // Streaming data-quality gate: the same one-pass violation
     // aggregate as the batch dq_checks report, running on live intake
     // (complete mode) — violation sums are merge-invariant across
@@ -371,6 +423,10 @@ object SparkEntryStreaming {
          |            ELSE ${63.0 * 4294967296.0} / CAST(max(h) FILTER (rn = 64) AS DOUBLE) END AS kmv_est
          |FROM rk GROUP BY source
          |ORDER BY source""".stripMargin,
+    // the streamed upserts must converge to the same last-wins view
+    // the batch upsert proves — one oracle, three paths (in-line,
+    // batch-upserted, stream-upserted)
+    "st_ivf_upsert" -> SparkEntryCoverage.ivfTopkOracle,
     // violation sums are merge-invariant; NULL predicate = violation
     // (the Checks contract)
     "st_dq_checks" ->
