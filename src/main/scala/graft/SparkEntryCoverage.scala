@@ -899,6 +899,53 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
         .orderBy(col("doc_id"), col("term"))
     },
+    // Sparse TF-IDF document similarity — the lexical complement of
+    // the dense-embedding and Jaccard near-dup paths: cosine over
+    // tf·idf weight vectors via an inverted-index join (sparse dot
+    // product touches only SHARED terms). Weights quantize to 1e4
+    // fixed-point BIGINTs BEFORE any sum, so the dot and norms are
+    // exact order-free integer aggregations (the float-sum-order trap
+    // a naive sparse dot hits); df ≤ 100 caps the term join the same
+    // way jaccard's maxDf does (boilerplate terms carry ~zero idf
+    // anyway) and bounds every integer below 1e15
+    "dd_tfidf_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val tf = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val w = tf
+        .join(dfT, Seq("term"))
+        .crossJoin(n)
+        .withColumn(
+          "w4",
+          round(
+            col("tf").cast("double") *
+              log(col("n_docs").cast("double") / col("df").cast("double")) *
+              lit(1e4),
+            0).cast("long"))
+        .select(col("term"), col("doc_id"), col("w4"))
+        .persist()
+      val norms = w.groupBy(col("doc_id")).agg(sum(col("w4") * col("w4")).as("nrm"))
+      w.join(
+          w.select(col("term"), col("doc_id").as("doc_b"), col("w4").as("w4b")),
+          Seq("term"))
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id"), col("doc_b"))
+        .agg(sum(col("w4") * col("w4b")).as("dot"))
+        .join(norms.select(col("doc_id"), col("nrm").as("na")), "doc_id")
+        .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+        .withColumn(
+          "cos",
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cos") >= 0.5)
+        .select(col("doc_id").as("id_a"), col("doc_b").as("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // BM25 document scoring for a 2-term query (≤2 contributions per
     // doc keeps the float sum commutative-safe; ln rounded at 6)
     "t_bm25" -> { (s, dir) =>
@@ -3117,6 +3164,29 @@ object SparkEntryCoverage {
         |       round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
         |FROM tf JOIN df ON tf.term = df.term, n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    // weights quantize to 1e4 fixed-point BIGINTs before any sum —
+    // dot and norms are exact integer aggregations on both engines
+    "dd_tfidf_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |terms AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term HAVING COUNT(*) <= 100),
+        |w AS (SELECT tf.term, tf.doc_id,
+        |        CAST(round(CAST(tf.tf AS DOUBLE) *
+        |          ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) * 10000) AS BIGINT) AS w4
+        |      FROM tf JOIN df ON tf.term = df.term, n),
+        |nrm AS (SELECT doc_id, CAST(sum(w4 * w4) AS BIGINT) AS nrm FROM w GROUP BY 1),
+        |dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |          CAST(sum(a.w4 * b.w4) AS BIGINT) AS dot
+        |        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+        |FROM dot JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "dd_fuzzy_match" ->
       s"""WITH $fuzzyPairsSql
          |SELECT id_a, id_b, lev FROM pairs ORDER BY id_a, id_b""".stripMargin,
