@@ -349,6 +349,106 @@ object SparkEntryStreaming {
         .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
         .select(col("vec_id"), col("label"), col("cell"), col("score"))
     },
+    // Streaming PQ index maintenance — st_ivf_upsert's mirror for the
+    // byte-coded layout: corrected vectors stream in, each micro-batch
+    // re-encodes them against the FROZEN codebooks and appends with
+    // seq = batchId+1; the last-wins read then serves the same top-k
+    // the batch path (v_pq_upsert) proves, completing batch/stream
+    // symmetry for both persistent ANN index families
+    "st_pq_upsert" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val centroids =
+        (0 until 8).map(sub => full.toSeq.map(_.slice(sub * subDim, (sub + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus.withColumn(
+        "embedding",
+        when(col("vec_id") % 5 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val idxPath = s"/tmp/graft_idx/pq_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePqIndex(
+        graft.operators.Similarity.pqEncode(stale, "embedding", subDim, centroids),
+        centroids,
+        idxPath)
+      val stream = s.readStream
+        .schema(emb.schema)
+        .parquet(s"$dir/[e]mbeddings.parquet")
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 5 === 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertPqIndex(
+            graft.operators.Similarity.pqEncode(batch, "embedding", subDim, centroids),
+            idxPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (books, latest) = graft.sources.Io.readPqIndexLatest(s, idxPath, "vec_id")
+      graft.operators.Similarity
+        .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
+    // Streaming POSTINGS maintenance — the reference's daily
+    // incremental re-index of changed pages applied to the retrieval
+    // index: the base build indexes every 5th doc STALE (the phrase
+    // "table hash" appended — postings a broken replacement would
+    // ghost-match), the stream re-indexes the true versions per
+    // micro-batch (doc-version-granular append, seq = batchId+1), and
+    // the last-wins read + pruned phrase query must equal the plain
+    // r_phrase_search oracle. Ghost terms are the sharp edge proven
+    // here: the stale version CONTAINS the phrase, the true version
+    // of most of those docs does not — per-row last-wins would keep
+    // the stale phrase postings, doc-level resolution deletes them.
+    "st_postings_upsert" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stale = docs.withColumn(
+        "text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" table hash")))
+          .otherwise(col("text")))
+      val idxPath = s"/tmp/graft_idx/post_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        graft.operators.TextAnalysis.invertedIndex(stale, "text", "doc_id"),
+        idxPath)
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") % 5 === 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertPostings(
+            graft.operators.TextAnalysis.invertedIndex(batch, "text", "doc_id"),
+            idxPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val phrase = Seq("table", "hash")
+      val pruned = graft.sources.Io
+        .readPostingsLatest(s, idxPath)
+        .filter(
+          col("term_bucket")
+            .isin(graft.sources.Io.postingsBuckets(s, idxPath, phrase): _*))
+      graft.operators.TextAnalysis
+        .phraseSearch(pruned, phrase)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
     // Streaming data-quality gate: the same one-pass violation
     // aggregate as the batch dq_checks report, running on live intake
     // (complete mode) — violation sums are merge-invariant across
@@ -427,6 +527,12 @@ object SparkEntryStreaming {
     // the batch upsert proves — one oracle, three paths (in-line,
     // batch-upserted, stream-upserted)
     "st_ivf_upsert" -> SparkEntryCoverage.ivfTopkOracle,
+    // PQ mirror of the same three-path convergence (in-line v_pq_topk,
+    // batch v_pq_upsert, this stream) — one shared oracle
+    "st_pq_upsert" -> SparkEntryCoverage.pqTopkOracle,
+    // streamed doc-version upserts must converge the postings index
+    // to the plain corpus's phrase results — r_phrase_search's oracle
+    "st_postings_upsert" -> SparkEntryCoverage.phraseSearchOracle,
     // violation sums are merge-invariant; NULL predicate = violation
     // (the Checks contract)
     "st_dq_checks" ->

@@ -55,6 +55,9 @@ object Checks {
     * AQE-split); profile low-cardinality facets when that matters.
     * Modal tie-break: highest n, then lexicographically smallest
     * value. Null values count toward n_nulls, never the mode.
+    * Returns an eagerly assembled local frame (one row per profiled
+    * column, the bounded-result class); the internal counts cache is
+    * released before return, so the call leaves no persistent blocks.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column required")
@@ -86,7 +89,19 @@ object Checks {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("column"), col("value").as("top_value"), col("n").as("top_n"))
-    basics.join(top, Seq("column"), "left")
+    // the profile is ONE ROW PER PROFILED COLUMN — driver-trivial at
+    // any corpus scale — so it assembles eagerly and the counts cache
+    // is dropped before returning: no persistent blocks left at rest
+    // after the call (structural, not a clearCache contract on the
+    // caller). The heavy work (the stacked scan + hash agg) still ran
+    // exactly once, shared by both rollup branches via the persist.
+    val joined = basics.join(top, Seq("column"), "left")
+    val rows = joined.collect()
+    counts.unpersist(blocking = false)
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      joined.schema)
   }
 
   /** Uniqueness check: violations = rows beyond the first per key

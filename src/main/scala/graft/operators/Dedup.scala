@@ -543,14 +543,23 @@ object Dedup {
     * fixpoint, a warning is logged and the (partially propagated)
     * labels are returned. Returns (id, cluster_id).
     */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusterPairs(
+      pairs: DataFrame,
+      maxIters: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     // materialize the edge list once — every round joins it twice, and
     // without this the whole upstream pair pipeline (shingle/LSH/
-    // verify) re-runs per round
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    // verify) re-runs per round. checkpointDir = Some(dir) makes every
+    // truncation a RELIABLE checkpoint under dir (survives executor
+    // loss — the mode for hours-long runs on big clusters) instead of
+    // executor-local blocks; values are identical either way
+    // (Checkpointing.scala for the full contract).
+    val edges = Checkpointing.truncate(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      checkpointDir,
+      eager = true)
     // __changed doubles as the DELTA-ITERATION frontier: a round's
     // joins build only on rows whose label moved, so late rounds —
     // when the changed count has collapsed to a few deep chains —
@@ -629,7 +638,7 @@ object Dedup {
       // re-derive the whole history every action. Lazy: the
       // changed-count action below materializes the checkpoint, so
       // each round runs ONE job, not a checkpoint job plus an agg job.
-      val materialized = next.localCheckpoint(eager = false)
+      val materialized = Checkpointing.truncate(next, checkpointDir, eager = false)
       val changed = materialized
         .agg(coalesce(sum(when(col("__changed"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
@@ -652,15 +661,23 @@ object Dedup {
   /** Keep one canonical doc per dup cluster (smallest id); docs in no
     * pair keep themselves. Returns the deduplicated frame.
     */
-  def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val clusters = clusterPairs(pairs)
+  def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    resolveClustersLabeled(df, idCol, clusterPairs(pairs))
+
+  /** [[resolveClusters]] off PRECOMPUTED cluster labels
+    * ((id, cluster_id) — e.g. a loaded
+    * [[graft.sources.Io.readDupGraphLabels]] artifact): the canonical-
+    * doc filter is a label join, with the pair pipeline and closure
+    * amortized into the artifact build. Labels may cover paired docs
+    * only; unlabeled docs are their own canonicals (singleton rule).
+    */
+  def resolveClustersLabeled(df: DataFrame, idCol: String, labels: DataFrame): DataFrame =
     df.join(
-        clusters.withColumnRenamed("id", idCol),
+        labels.withColumnRenamed("id", idCol),
         Seq(idCol),
         "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
-  }
 
   /** Benchmark decontamination (cross-corpus n-gram overlap): per
     * corpus doc, how many of its distinct word-n-gram shingles appear

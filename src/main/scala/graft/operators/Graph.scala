@@ -39,9 +39,12 @@ object Graph {
     * micro-precision; a 100 TB host graph of ~1e8 nodes wants 1e15).
     *
     * Scale shape: one shuffle per iteration (groupBy dst over the edge
-    * stream), edges symmetrized + localCheckpointed ONCE so the
-    * upstream pair pipeline (shingle/LSH/verify) never re-runs per
-    * iteration; ranks/deg are node-bounded. Degrees never ride the
+    * stream), edges symmetrized + materialized ONCE so the upstream
+    * pair pipeline (shingle/LSH/verify) never re-runs per iteration;
+    * ranks/deg are node-bounded. `checkpointDir = Some(dir)` switches
+    * every truncation from executor-local blocks to reliable
+    * checkpoints under `dir` — identical values, state survives
+    * executor loss; see [[Checkpointing]] for the full contract. Degrees never ride the
     * shuffle — contributions are computed edge-side after a node-table
     * join. The node count is a one-scalar driver bootstrap (documented
     * constant class). Dangling nodes cannot exist (every node comes
@@ -53,14 +56,26 @@ object Graph {
       pairs: DataFrame,
       iters: Int = 5,
       damp: Long = 85L,
-      unit: Long = 1000000000000L): DataFrame = {
+      unit: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(damp >= 0 && damp <= 100, "damp is a percentage")
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      // one materialization feeds deg, r0 and all iterations
-      .localCheckpoint()
+      // edge hygiene, enforced rather than assumed: a self-loop or a
+      // duplicate/reversed-duplicate input pair would silently
+      // double-count degree AND contributions. The distinct is one
+      // extra 16-byte-edge shuffle paid once before the
+      // materialization (identity on the already-distinct id_a<id_b
+      // pair streams the engine produces); the filter also drops
+      // null-id edges, which carry no rankable endpoint.
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      // one materialization feeds deg, r0 and all iterations;
+      // checkpointDir picks executor-local blocks vs the reliable FS
+      // (Checkpointing.scala for the executor-loss tradeoff)
+      .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val n = deg.count()
     if (n == 0L)
@@ -86,9 +101,10 @@ object Graph {
       // lazy checkpoint: truncates lineage so the final single action
       // runs each iteration's join once, not a re-derivation per
       // downstream reference
-      ranks = contrib
-        .select(col("id"), (lit(base) + col("in_mass")).as("r"))
-        .localCheckpoint(eager = false)
+      ranks = Checkpointing.truncate(
+        contrib.select(col("id"), (lit(base) + col("in_mass")).as("r")),
+        checkpointDir,
+        eager = false)
       i += 1
     }
     ranks.select(

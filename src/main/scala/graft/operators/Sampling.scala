@@ -90,12 +90,27 @@ object Sampling {
       idCol: String,
       pairs: DataFrame,
       splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame =
+    leakageSafeSplitLabeled(df, idCol, Dedup.clusterPairs(pairs), splits, splitCol)
+
+  /** [[leakageSafeSplit]] off PRECOMPUTED cluster labels
+    * ((id, cluster_id) — e.g. a loaded
+    * [[graft.sources.Io.readDupGraphLabels]] artifact): the split is
+    * a label join + per-row hash, with the expensive pair pipeline
+    * and transitive closure amortized into the artifact build instead
+    * of re-derived per split job. Labels may cover paired docs only;
+    * unlabeled docs split on their own id (singleton rule).
+    */
+  def leakageSafeSplitLabeled(
+      df: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      splits: Seq[(String, Double)],
       splitCol: String = "split"): DataFrame = {
-    val labels = Dedup
-      .clusterPairs(pairs)
+    val lab = labels
       .select(col("id").as(idCol), col("cluster_id").as("__cluster"))
     splitAssign(
-      df.join(labels, Seq(idCol), "left"),
+      df.join(lab, Seq(idCol), "left"),
       coalesce(col("__cluster"), col(idCol)),
       splits,
       splitCol)
@@ -444,11 +459,19 @@ object Sampling {
       maxEpochs: Double): DataFrame = {
     require(alpha >= 0.0, "alpha must be non-negative")
     require(budget > 0.0 && maxEpochs > 0.0, "budget and maxEpochs must be positive")
+    // the sum casts to long BEFORE the driver unbox (a double-typed
+    // tokenCount column would otherwise ClassCastException), and a
+    // group whose tokenCounts are all NULL sums to NULL — excluded
+    // like a zero-token group (isNullAt guard, not a getLong unbox
+    // that would NPE), per the null contract above
     val counts = df
       .groupBy(group.cast("string").as("__g"))
-      .agg(sum(tokenCount).as("__n"))
+      .agg(sum(tokenCount).cast("long").as("__n"))
       .collect()
-      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some(r.getString(0) -> r.getLong(1))
+      }
       .filter(_._2 > 0L)
       .sortBy(_._1)
     val z = counts.foldLeft(0.0) { case (acc, (_, n)) =>

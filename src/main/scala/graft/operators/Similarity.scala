@@ -374,11 +374,13 @@ object Similarity {
     * on ALL `bitsPerBand` bits, then the probed rows are exact-ranked.
     * Per-neighbor probe probability is 1 - (1 - p^r)^b for per-bit
     * agreement p — tunable to ≥0.9 where the single-table form
-    * ([[lshTopK]]) collapses. The band predicate is a pure column
-    * expression (no join, no shuffle): at scale, store the corpus
-    * partitioned by the first band's bucket and the probe prunes to
-    * 1/2^bitsPerBand of the files before the residual bands filter
-    * map-side.
+    * ([[lshTopK]]) collapses; `probeRadius ≥ 1` (multiprobe: a band
+    * matches within that many sign flips) pushes it toward 1 at the
+    * cost of a larger probed mass. The band predicate is a pure
+    * column expression (no join, no shuffle): at scale, store the
+    * corpus partitioned by the first band's bucket and the probe
+    * prunes to 1/2^bitsPerBand of the files (1 + bitsPerBand buckets
+    * at radius 1) before the residual bands filter map-side.
     */
   def bandedLshTopK(
       df: DataFrame,
@@ -388,8 +390,11 @@ object Similarity {
       bitsPerBand: Int,
       query: Array[Double],
       k: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probeRadius: Int = 0): DataFrame = {
     require(bands > 0 && bitsPerBand > 0, "bands and bitsPerBand must be positive")
+    require(probeRadius >= 0 && probeRadius < bitsPerBand,
+      "probeRadius must be in [0, bitsPerBand)")
     val nBits = bands * bitsPerBand
     val planes = hyperplanes(dim, nBits, seed)
     val qSig = planes.map { p =>
@@ -398,10 +403,28 @@ object Similarity {
       if (dot > 0) '1' else '0'
     }.mkString
     val signed = hyperplaneSignature(df, embCol, dim, nBits, seed)
+    // probeRadius = 0 keeps the exact band-equality predicate (one
+    // string compare per band); radius r relaxes each band to "within
+    // r sign flips" — multiprobe, per-neighbor probe probability
+    // 1 - (1 - P(Binom(bitsPerBand, p) >= bitsPerBand - r))^bands.
+    // Like the exact form it stays a pure column predicate: at scale,
+    // radius-1 probing over a first-band-partitioned layout reads
+    // 1 + bitsPerBand directories instead of 1.
     val anyBand = (0 until bands)
       .map { b =>
-        substring(col("lsh_bucket"), b * bitsPerBand + 1, bitsPerBand) ===
-          lit(qSig.substring(b * bitsPerBand, (b + 1) * bitsPerBand))
+        if (probeRadius == 0)
+          substring(col("lsh_bucket"), b * bitsPerBand + 1, bitsPerBand) ===
+            lit(qSig.substring(b * bitsPerBand, (b + 1) * bitsPerBand))
+        else {
+          val bandHamming = (0 until bitsPerBand)
+            .map { i =>
+              val pos = b * bitsPerBand + i
+              when(substring(col("lsh_bucket"), pos + 1, 1) === lit(qSig(pos).toString), 0)
+                .otherwise(1)
+            }
+            .reduce((x: Column, y: Column) => x + y)
+          bandHamming <= probeRadius
+        }
       }
       .reduce((a: Column, c: Column) => a || c)
     bruteForceTopK(signed.filter(anyBand), embCol, query, k)
@@ -482,13 +505,16 @@ object Similarity {
     * don't crowd the result list (the retrieval-side complement of
     * the dedup family).
     *
-    * Pool contract: `candidates` is a top-N SHORTLIST (a retrieval
-    * stage's bounded output, N ≲ hundreds) — ids, rel scores and
-    * vectors are collected to the driver (the documented
+    * Pool contract (enforced): `candidates` is a top-N SHORTLIST (a
+    * retrieval stage's bounded output, N ≲ hundreds) — ids, rel
+    * scores and vectors are collected to the driver (the documented
     * constant-bootstrap class: the greedy argmax chain is inherently
     * sequential in k, and k·N pairwise cosines on ≤ hundreds of rows
     * is driver-trivial at any corpus scale; the EXPENSIVE part, the
-    * corpus-wide top-N, stays distributed upstream).
+    * corpus-wide top-N, stays distributed upstream). A pool larger
+    * than `maxPool` fails fast with a counted require — the collect
+    * is limit-bounded, so the failure costs maxPool + 1 rows of
+    * driver memory, not an OOM.
     *
     * Exactness: pairwise cosine uses the same left-to-right
     * accumulation as the CosineSimilarity kernel and its list_reduce
@@ -508,19 +534,31 @@ object Similarity {
       relCol: String,
       k: Int,
       lambda: Double,
-      penalty: Double): DataFrame = {
+      penalty: Double,
+      maxPool: Int = 10000): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxPool > 0, "maxPool must be positive")
     // null vector/score rows carry no rankable evidence — scoped out,
     // the semanticDecontaminate null rule (an unguarded collect would
-    // NPE on the first null a generic caller's shortlist carries)
+    // NPE on the first null a generic caller's shortlist carries).
+    // The shortlist contract is ENFORCED, not just documented: the
+    // collect is bounded by limit(maxPool + 1) — a caller who wires a
+    // corpus-proportional frame in here gets a counted require failure
+    // after collecting at most maxPool + 1 rows, never a driver OOM.
     val pool = candidates
       .filter(col(vecCol).isNotNull && col(relCol).isNotNull)
       .select(
         col(idCol).cast("long"),
         col(relCol).cast("double"),
         col(vecCol).cast("array<double>"))
+      .limit(maxPool + 1)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    require(
+      pool.length <= maxPool,
+      s"mmrRerank pool exceeds maxPool=$maxPool rows — candidates must be a bounded " +
+        "retrieval shortlist (top-N upstream), not a corpus-proportional frame; " +
+        "raise maxPool only if the driver can hold the pool")
     // the kernel fold: dot/normA/normB accumulated left-to-right
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val n = math.min(a.length, b.length)

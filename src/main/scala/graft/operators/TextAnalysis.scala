@@ -480,7 +480,15 @@ object TextAnalysis {
       minCount: Long,
       k: Int): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = bigramPairs(df, textCol, df.columns.head).persist(mem)
+    // PMI never reads a doc id, so bigramPairs gets a synthesized
+    // constant id and the stream projects to (prev, term) BEFORE the
+    // persist — guessing an id from df.columns would otherwise risk
+    // carrying a payload column (worst case the full document text)
+    // on every exploded token row of the materialized pair stream
+    val pairs = bigramPairs(
+        df.select(lit(0L).as("__pmi_id"), col(textCol)), textCol, "__pmi_id")
+      .select(col("prev"), col("term"))
+      .persist(mem)
     val uni = pairs.groupBy(col("term")).agg(count(lit(1)).as("c")).persist(mem)
     val totU = uni.agg(sum(col("c"))).head()
     val nUni = if (totU.isNullAt(0)) 1.0 else totU.getLong(0).toDouble
@@ -531,7 +539,10 @@ object TextAnalysis {
   def fitBigramLm(df: DataFrame, textCol: String)
       : (DataFrame, DataFrame, Long, Long) = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = bigramPairs(df, textCol, df.columns.head)
+    // the LM fit never reads a doc id either — same synthesized-id
+    // treatment as collocationPmi
+    val pairs = bigramPairs(
+        df.select(lit(0L).as("__lm_id"), col(textCol)), textCol, "__lm_id")
       .select(col("prev"), col("term"))
     val vocab = pairs.groupBy(col("term")).agg(count(lit(1)).as("cnt")).persist(mem)
     val tot = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")).head()

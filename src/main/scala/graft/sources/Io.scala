@@ -238,31 +238,111 @@ object Io {
     * a phrase query that pre-filters to its terms' buckets prunes the
     * scan to a handful of partitions at any index size.
     */
-  def writePostings(index: DataFrame, path: String, buckets: Int = 64): Unit =
+  def writePostings(index: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = index.sparkSession
+    import spark.implicits._
+    // base rows carry upsert-stamp 0 (the writeIvfIndex rule: one
+    // schema shared with upsertPostings appends)
     index
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
       .write
       .mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(path)
+    // doc-version sidecar (underscore dir — invisible to the data
+    // scan): one (id, seq) row per indexed doc version, so the
+    // read-side last-wins resolution aggregates a doc-count-bounded
+    // slim table instead of re-scanning the whole postings index for
+    // the per-doc max stamp
+    index.select(col("id")).distinct()
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/_docseq")
+    // the bucket count is part of the index's IDENTITY, so it rides
+    // with the index instead of being re-supplied (and possibly
+    // mis-supplied) at read time: an underscore-prefixed child
+    // directory is invisible to the data scan (Spark's file listing
+    // skips `_`/`.` paths), and postingsBuckets reads the modulus
+    // from here — a guessed mismatch would prune to the WRONG
+    // partitions and make phrase queries silently return empty.
+    Seq(buckets).toDF("buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
 
   /** Load a [[writePostings]] index. Pair with
-    * `postingsBuckets(terms)` to pre-filter the partition column.
+    * `postingsBuckets(path, terms)` to pre-filter the partition
+    * column. Upsert stamps are dropped — use [[readPostingsLatest]]
+    * when the index has live upserts.
     */
   def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__seq")
+
+  /** Incremental postings upsert — the IVF/PQ maintenance shape for
+    * the retrieval index: `index` is the
+    * [[graft.operators.TextAnalysis.invertedIndex]] output for the
+    * RE-INDEXED docs only (the daily changed-page increment), landed
+    * as an append to the bucketed layout with a caller seq stamp that
+    * must increase per upsert. Resolution granularity is the DOC
+    * VERSION, not the (term, doc) row: [[readPostingsLatest]] keeps
+    * only rows whose stamp equals their doc's maximum, so a term the
+    * new version DROPPED cannot ghost-match from the old version's
+    * rows — per-row last-wins could never express that deletion.
+    * Contract: an upsert replaces postings for ids PRESENT in the
+    * increment; removing a doc entirely is a tombstone concern this
+    * sink does not model.
+    */
+  def upsertPostings(index: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
+    val buckets = postingsBucketCount(index.sparkSession, path)
+    index
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("term_bucket").parquet(path)
+    index.select(col("id")).distinct()
+      .withColumn("seq", lit(seq))
+      .write.mode("append").parquet(s"$path/_docseq")
+  }
+
+  /** Load a postings index with upserts applied: each doc's LATEST
+    * version's postings only (doc-level max stamp from the `_docseq`
+    * sidecar — doc-count-bounded — joined back on (id, stamp)). The
+    * main index scan stays single and partition-prunable; the join
+    * key is slim. Ties on the stamp keep both versions' rows —
+    * callers must use distinct positive stamps per upsert.
+    */
+  def readPostingsLatest(spark: SparkSession, path: String): DataFrame = {
+    val docSeq = spark.read.parquet(s"$path/_docseq")
+      .groupBy(col("id").as("__did"))
+      .agg(max(col("seq")).as("__max_seq"))
     spark.read.parquet(path)
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      .join(
+        docSeq,
+        col("id") === col("__did") && col("__seq") === col("__max_seq"))
+      .drop("__did", "__max_seq", "__seq")
+  }
+
+  /** The bucket modulus `path`'s index was written with (persisted by
+    * [[writePostings]]) — fails fast on a pre-meta or foreign layout
+    * instead of guessing.
+    */
+  def postingsBucketCount(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/_meta").head().getInt(0)
 
   /** The partition buckets `writePostings` assigned to `terms` — the
-    * pruning predicate for a phrase query over a loaded index.
-    * `buckets` MUST equal the value the index was written with: a
-    * mismatch prunes to the WRONG partitions and a phrase query
-    * silently returns empty.
+    * pruning predicate for a phrase query over a loaded index. The
+    * bucket modulus comes from the index's own persisted `_meta`, so
+    * the write/read pair CANNOT desynchronize — the silent-empty
+    * failure mode of a caller-supplied count is structurally gone.
     */
   def postingsBuckets(
       spark: SparkSession,
-      terms: Seq[String],
-      buckets: Int = 64): Seq[Long] = {
+      path: String,
+      terms: Seq[String]): Seq[Long] = {
     import spark.implicits._
+    val buckets = postingsBucketCount(spark, path)
     terms
       .toDF("term")
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
@@ -271,6 +351,86 @@ object Io {
       .distinct
       .toSeq
   }
+
+  // ---- persistent near-dup pair graph -----------------------------
+  //
+  // The near-dup pair pipeline (shingle → band → verify) and its
+  // transitive closure are, after the ANN index build, the most
+  // expensive artifacts the engine derives — and they feed MANY
+  // consumers: cluster-size health reports, PageRank centrality,
+  // leakage-safe splits, golden-record resolution. At 100 TB that
+  // pipeline is a many-hour scan; re-deriving it inside every
+  // consumer query multiplies it per consumer. These sinks make it a
+  // build-once artifact, the same pattern as the IVF/PQ/postings
+  // indexes above: pairs and cluster labels land as parquet
+  // partitioned by an id-hash bucket (bounded directory count; a
+  // per-doc neighbor or label lookup prunes to one bucket), and every
+  // consumer loads instead of re-deriving.
+
+  /** Persist a near-dup pair graph: `path/pairs` (the verified edge
+    * list, partitioned by `pair_bucket` = hash(id_a) mod `buckets`)
+    * and `path/labels` — the transitive-closure cluster labels
+    * (id, cluster_id) computed here via [[graft.operators.Dedup
+    * .clusterPairs]], partitioned by hash(id) likewise. The pair
+    * frame is WRITTEN FIRST and the closure runs off the written
+    * parquet, so the upstream pair pipeline executes exactly once
+    * per build no matter how expensive its lineage is.
+    *
+    * Labels cover ids that appear in at least one pair — singleton
+    * docs are absent by construction and consumers restore them with
+    * `coalesce(cluster_id, id)`, the same rule the in-line
+    * clusterPairs consumers already apply. The bucket modulus is
+    * persisted in `path/_meta` (the postings-index guard): readers
+    * never guess it. `checkpointDir` passes through to the closure's
+    * iteration-truncation policy ([[graft.operators.Checkpointing]]).
+    */
+  def writeDupGraph(
+      pairs: DataFrame,
+      path: String,
+      buckets: Int = 64,
+      checkpointDir: Option[String] = None): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
+      .write
+      .mode("overwrite")
+      .partitionBy("pair_bucket")
+      .parquet(s"$path/pairs")
+    graft.operators.Dedup
+      .clusterPairs(
+        spark.read.parquet(s"$path/pairs").select(col("id_a"), col("id_b")),
+        checkpointDir = checkpointDir)
+      .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .write
+      .mode("overwrite")
+      .partitionBy("id_bucket")
+      .parquet(s"$path/labels")
+    Seq(buckets).toDF("buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Load a [[writeDupGraph]] edge list: (id_a, id_b) plus whatever
+    * verification columns the build carried (jaccard score etc.).
+    * A neighbor lookup for doc d prunes on
+    * `pair_bucket = hash(d) mod bucketCount` — see [[dupGraphBuckets]].
+    */
+  def readDupGraphPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs").drop("pair_bucket")
+
+  /** Load [[writeDupGraph]] cluster labels: (id, cluster_id), pair-
+    * member ids only — restore singletons with coalesce(label, id).
+    */
+  def readDupGraphLabels(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/labels").drop("id_bucket")
+
+  /** The persisted bucket modulus of a dup-graph artifact — for
+    * building pruning predicates on `pair_bucket`/`id_bucket`.
+    */
+  def dupGraphBucketCount(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/_meta").head().getInt(0)
 
   def readIvfIndex(spark: SparkSession, path: String): (Seq[Array[Double]], DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids")
@@ -344,16 +504,60 @@ object Io {
       .toDF("sub", "cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // base rows carry upsert-stamp 0, the writeIvfIndex rule: one
+    // schema shared with later upsertPqIndex appends
+    codes
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/codes")
   }
 
   /** Load a PQ index written by [[writePqIndex]]: (codebooks indexed
-    * [sub][cell], coded corpus).
+    * [sub][cell], coded corpus). Upsert stamps are dropped — use
+    * [[readPqIndexLatest]] when the index has live upserts.
     */
   def readPqIndex(
       spark: SparkSession,
       path: String): (Seq[Seq[Array[Double]]], DataFrame) = {
-    val books = spark.read.parquet(s"$path/codebooks")
+    (readPqCodebooks(spark, path), spark.read.parquet(s"$path/codes").drop("__seq"))
+  }
+
+  /** Incremental PQ upsert — [[upsertIvfIndex]]'s mirror for the
+    * byte-coded layout: `codes` (new/changed vectors already ENCODED
+    * against the index's FROZEN codebooks via
+    * [[graft.operators.Similarity.pqEncode]]) appends with a caller
+    * seq stamp; no rewrite of existing files, no re-fit.
+    * [[readPqIndexLatest]] resolves replaced ids last-wins on the
+    * stamp. (Re-fitting codebooks is a REBUILD — encoding against
+    * frozen codebooks keeps the increment cheap at the cost of drift
+    * the caller monitors, the exact IVF-centroid tradeoff.)
+    */
+  def upsertPqIndex(codes: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
+    codes
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Load a PQ index with upserts applied: codebooks + the LATEST
+    * version of every code row (max `__seq` per `idCol`, ties to the
+    * base — distinct positive stamps per upsert). One window shuffle
+    * on the id, the read-side cost of the append-only write path —
+    * identical to [[readIvfIndexLatest]]'s contract.
+    */
+  def readPqIndexLatest(
+      spark: SparkSession,
+      path: String,
+      idCol: String): (Seq[Seq[Array[Double]]], DataFrame) = {
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(codes, Seq(col(idCol)), Seq(col("__seq").desc))
+      .drop("__seq")
+    (readPqCodebooks(spark, path), latest)
+  }
+
+  private def readPqCodebooks(spark: SparkSession, path: String): Seq[Seq[Array[Double]]] =
+    spark.read.parquet(s"$path/codebooks")
       .orderBy(col("sub"), col("cell"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getAs[scala.collection.Seq[Double]](2).toArray))
@@ -361,6 +565,4 @@ object Io {
       .toSeq
       .sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    (books, spark.read.parquet(s"$path/codes"))
-  }
 }

@@ -94,6 +94,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"bandedLshTopK recall@10 = $recall")
   }
 
+  // Multiprobe closes the residual gap: with per-band match
+  // probability q = P(Binom(4, 0.61) >= 3) ~= 0.49 at radius 1, the
+  // 16-band OR predicts per-neighbor probe probability
+  // 1 - (1 - 0.49)^16 ~= 0.99996 — recall should be essentially the
+  // probed-candidate ceiling. Floor pinned at 0.7 (the IVF/PQ level)
+  // to survive test-data regeneration; measured 1.0 this data.
+  test("banded LSH top-k with radius-1 multiprobe recall@10 >= 0.7 vs brute force") {
+    val approx = ids(
+      Similarity.bandedLshTopK(
+        corpus, "embedding", dim = 64, bands = 16, bitsPerBand = 4, query, k = 10,
+        probeRadius = 1))
+    val recall = (approx & exactTop10).size / 10.0
+    info(s"bandedLshTopK multiprobe recall@10 = $recall")
+    assert(recall >= 0.7, s"bandedLshTopK multiprobe recall@10 = $recall")
+  }
+
   test("persisted IVF index round-trips: loaded centroids + cells reproduce the in-line top-k") {
     val cents = Similarity.fitCentroids(corpus, "vec_id", "embedding", k = 16, iters = 5)
     val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
@@ -155,6 +171,35 @@ class AnnRecallSpec extends SparkSpec {
     val a = encoded.orderBy(col("vec_id")).collect().map(_.toSeq)
     val b = codes.orderBy(col("vec_id")).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq, "codes drift")
+  }
+
+  test("upserted PQ index: last-wins replaces stale codes against frozen codebooks") {
+    val subDim = 8
+    val sample = corpus
+      .filter(col("vec_id").between(1, 16))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val codebooks = (0 until query.length / subDim)
+      .map(s => sample.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val path = "/tmp/graft_idx/spec_pq_upsert"
+    // base: every 3rd vector coded from a stale (reversed) embedding
+    val stale = corpus.withColumn(
+      "embedding",
+      when(col("vec_id") % 3 === 0, reverse(col("embedding"))).otherwise(col("embedding")))
+    graft.sources.Io.writePqIndex(
+      Similarity.pqEncode(stale, "embedding", subDim, codebooks), codebooks, path)
+    graft.sources.Io.upsertPqIndex(
+      Similarity.pqEncode(corpus.filter(col("vec_id") % 3 === 0), "embedding", subDim, codebooks),
+      path, seq = 1L)
+    val (_, latest) = graft.sources.Io.readPqIndexLatest(spark, path, "vec_id")
+    val truth = Similarity.pqEncode(corpus, "embedding", subDim, codebooks)
+      .select(col("vec_id") +: (0 until query.length / subDim).map(s => col(s"pq_$s")): _*)
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    val got = latest
+      .select(col("vec_id") +: (0 until query.length / subDim).map(s => col(s"pq_$s")): _*)
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    assert(got.toSeq == truth.toSeq, "upserted index did not converge to the true codes")
   }
 
   // ---- banded hyperplane LSH: pair recall on planted near-dups ----
@@ -243,5 +288,24 @@ class AnnRecallSpec extends SparkSpec {
       .mmrRerank(pool, "vec_id", "vec", "rel", 3, 1.0, 0.0)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(flat == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
+  test("mmrRerank shortlist bound is enforced: an oversized pool fails fast, never OOMs") {
+    import spark.implicits._
+    val big = spark.range(0, 50)
+      .select(
+        col("id").as("vec_id"),
+        lit(0.5).as("rel"),
+        array(lit(1.0), lit(0.0)).as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(big, "vec_id", "vec", "rel", 3, 0.7, 0.3, maxPool = 10)
+    }
+    assert(e.getMessage.contains("maxPool"), e.getMessage)
+    // at the bound it still runs (the limit collects maxPool + 1 rows
+    // only to count, not to rank beyond the pool)
+    val ok = Similarity
+      .mmrRerank(big.limit(10), "vec_id", "vec", "rel", 3, 0.7, 0.3, maxPool = 10)
+      .collect()
+    assert(ok.length == 3)
   }
 }

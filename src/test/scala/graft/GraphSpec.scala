@@ -72,4 +72,24 @@ class GraphSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Graph.pageRank(empty).collect().isEmpty)
   }
+
+  test("pageRank edge hygiene: duplicate, reversed-duplicate and self-loop pairs don't skew ranks") {
+    // same graph as the reference run, plus junk a messy pair feed
+    // could carry: an exact duplicate, a reversed duplicate, a
+    // self-loop — none may move degree or contributions
+    val dirty = pathAndTriangle ++ Seq((1L, 2L), (2L, 1L), (3L, 3L))
+    val got = Graph.pageRank(dirty.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(pathAndTriangle))
+  }
+
+  test("pageRank reliable-checkpoint mode is value-identical to executor-local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
+    val local = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Graph
+      .pageRank(pathAndTriangle.toDF("id_a", "id_b"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+  }
 }

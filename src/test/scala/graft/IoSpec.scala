@@ -133,4 +133,64 @@ class IoSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("writePostings persists its bucket modulus; postingsBuckets reads it from the index") {
+    val idx = Seq(
+      ("alpha", 1L, Seq(0, 4)),
+      ("beta", 1L, Seq(2)),
+      ("alpha", 2L, Seq(7))
+    ).toDF("term", "id", "positions")
+    val dir = tmp("postings") + "/idx"
+    // non-default modulus: a reader who GUESSED the default 64 would
+    // prune to the wrong partitions and silently return empty
+    Io.writePostings(idx, dir, buckets = 7)
+    assert(Io.postingsBucketCount(spark, dir) == 7)
+    val buckets = Io.postingsBuckets(spark, dir, Seq("alpha"))
+    val pruned = Io.readPostings(spark, dir)
+      .filter(col("term_bucket").isin(buckets: _*))
+      .filter(col("term") === "alpha")
+    assert(pruned.count() == 2, "meta-driven pruning must keep every posting of the term")
+    // the meta sidecar is invisible to the data scan
+    assert(Io.readPostings(spark, dir).count() == 3)
+  }
+
+  test("writeDupGraph: pairs round-trip, labels equal the in-line closure, meta persisted") {
+    // two clusters (1-2-3 chain, 10-11) and a singleton 99 (no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val dir = tmp("dupg") + "/g"
+    Io.writeDupGraph(pairs, dir, buckets = 8)
+    val backPairs = Io.readDupGraphPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(backPairs == Set((1L, 2L), (2L, 3L), (10L, 11L)))
+    val labels = Io.readDupGraphLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inline = graft.operators.Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == inline, "persisted labels must equal the in-line transitive closure")
+    // labels cover pair members only — singletons restored by coalesce
+    assert(!labels.contains(99L))
+    assert(Io.dupGraphBucketCount(spark, dir) == 8)
+  }
+
+  test("postings doc-version upsert: re-indexed docs replace their WHOLE posting set") {
+    def index(rows: Seq[(Long, String)]) =
+      graft.operators.TextAnalysis.invertedIndex(rows.toDF("id", "text"), "text", "id")
+    val dir = tmp("postup") + "/idx"
+    // v0: doc 1 contains 'stale' (the term its v1 drops), doc 2 untouched
+    Io.writePostings(index(Seq(1L -> "alpha stale alpha", 2L -> "beta gamma")), dir, buckets = 8)
+    // v1 re-indexes doc 1 only: 'stale' gone, 'fresh' added
+    Io.upsertPostings(index(Seq(1L -> "alpha fresh")), dir, seq = 1L)
+    val latest = Io.readPostingsLatest(spark, dir)
+    val byTerm = latest.collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("id")) ->
+        r.getAs[scala.collection.Seq[Int]]("positions").toSeq)
+      .toMap
+    // ghost term deleted: doc 1's old 'stale' posting must NOT survive
+    assert(!byTerm.contains(("stale", 1L)), "dropped term ghost-matched from the old version")
+    // replaced positions, not merged: 'alpha' now has v1's single position
+    assert(byTerm(("alpha", 1L)) == Seq(0))
+    assert(byTerm(("fresh", 1L)) == Seq(1))
+    // untouched doc keeps its base postings
+    assert(byTerm(("beta", 2L)) == Seq(0) && byTerm(("gamma", 2L)) == Seq(1))
+  }
 }

@@ -96,6 +96,22 @@ class NullSafetySpec extends SparkSpec {
     assert(plan.forall(r => !r.getDouble(4).isNaN))
   }
 
+  test("epochPlan: all-null-count groups are excluded (no NPE) and double counts cast") {
+    // group 'nul' sums to NULL (every tokenCount null) — it must be
+    // excluded like a zero-token group, not blow up the driver unbox;
+    // a DOUBLE-typed tokenCount column must plan fine via the cast
+    val df = Seq(
+      (Some("a"), Option(10.5)), (Some("a"), Option(9.5)),
+      (Some("b"), Option(30.0)),
+      (Some("nul"), Option.empty[Double]), (Some("nul"), Option.empty[Double])
+    ).toDF("g", "n")
+    val plan = graft.operators.Sampling
+      .epochPlan(df, $"g", $"n", 0.7, 100.0, 4.0)
+      .collect()
+    assert(plan.map(_.getString(0)).toSet == Set("a", "b"))
+    assert(plan.find(_.getString(0) == "a").get.getLong(1) == 20L)
+  }
+
   test("mergeAggDelta: null keys never merge — each side's survives with zeros") {
     val base = Seq((Option(1L), 2L), (Option.empty[Long], 5L)).toDF("k", "n")
     val delta = Seq((Option.empty[Long], 7L)).toDF("k", "n")

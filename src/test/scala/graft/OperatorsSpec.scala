@@ -56,6 +56,17 @@ class OperatorsSpec extends SparkSpec {
     assert(clusters.size == 40 && clusters.values.forall(_ == 1L))
   }
 
+  test("clusterPairs reliable-checkpoint mode is value-identical to executor-local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_cc").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+    val local = Dedup.clusterPairs(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup
+      .clusterPairs(pairs.toDF("id_a", "id_b"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+  }
+
   test("containmentPairs: embedded doc scores 1.0 where Jaccard is tiny") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")      // 58 3-shingles
     val quote = (1 to 10).map(i => s"w$i").mkString(" ")    // 8 shingles, all in big
@@ -538,6 +549,7 @@ class OperatorsSpec extends SparkSpec {
       (Some("b"), Some(2L)), (Some("b"), None),
       (None, Some(2L))
     ).toDF("s", "v")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val got = graft.operators.Checks
       .profile(df, Seq("s", "v"))
       .collect()
@@ -548,6 +560,10 @@ class OperatorsSpec extends SparkSpec {
     assert(got("s") == (1L, 2L, "a", 2L))
     // v: one null, two distinct, mode '2' with 3 hits
     assert(got("v") == (1L, 2L, "2", 3L))
+    // cache hygiene: the internal counts persist is released before
+    // return — a profile call leaves no NEW persistent blocks at rest
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"profile left persistent RDDs behind: $leaked")
   }
 
   test("mergeAggDelta: overlap sums, one-sided keys survive, empty delta is identity") {
