@@ -67,6 +67,63 @@ object Profile {
       return
     }
 
+    if (rest.contains("-dupgraph")) {
+      // amortization measurement for the persisted dup-graph artifact:
+      // ONE timed build (pair pipeline + closure + writes), then each
+      // consumer timed off the existing artifact — the numbers the
+      // *_persisted queries can't show because the driver contract
+      // makes each query self-contained (build + consume per run)
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val gPath = s"/tmp/graft_idx/dupg_prof_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[dupgraph] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        r
+      }
+      timed("build (pairs + closure + writes)") {
+        graft.sources.Io.writeDupGraph(
+          graft.operators.Dedup
+            .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+            .select(col("id_a"), col("id_b")),
+          gPath)
+      }
+      timed("consume: pageRank") {
+        graft.operators.Graph
+          .pageRank(graft.sources.Io.readDupGraphPairs(spark, gPath))
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("consume: cluster sizes") {
+        docs.select(col("doc_id"))
+          .join(
+            graft.sources.Io.readDupGraphLabels(spark, gPath),
+            col("doc_id") === col("id"), "left")
+          .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("consume: leakage split") {
+        graft.operators.Sampling
+          .leakageSafeSplitLabeled(
+            docs, "doc_id",
+            graft.sources.Io.readDupGraphLabels(spark, gPath),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("consume: cluster resolve") {
+        graft.operators.Dedup
+          .resolveClustersLabeled(
+            docs, "doc_id", graft.sources.Io.readDupGraphLabels(spark, gPath))
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop()
+      return
+    }
+
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[profile] unknown query: $name")

@@ -1422,6 +1422,38 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
     },
+    // Incremental dup-graph maintenance (Io.upsertDupGraph): the base
+    // artifact is built from the HISTORICAL half's pairs only; the
+    // increment (every pair touching a batch doc) appends with a seq
+    // stamp and the labels re-resolve incrementally — old clusters
+    // re-enter the closure as depth-1 star edges, so the merge walks
+    // the increment, not the full pair set. The final labels must
+    // equal the FULL-corpus closure, so dd_cluster_sizes' oracle is
+    // shared: an incremental closure that missed a merge (or dropped
+    // a star) would produce a different histogram.
+    "dd_graph_upsert" -> { (s, dir) =>
+      val gPath = s"/tmp/graft_idx/dupg_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // one pair-pipeline pass feeds both halves
+      graft.sources.Io.writeDupGraph(
+        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
+      graft.sources.Io.upsertDupGraph(
+        pairs.filter(col("id_a") >= 250 || col("id_b") >= 250), gPath, seq = 1L)
+      docs.select(col("doc_id"))
+        .join(
+          graft.sources.Io.readDupGraphLabels(s, gPath),
+          col("doc_id") === col("id"),
+          "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
     // Leakage-safe split off the artifact's labels
     // (Sampling.leakageSafeSplitLabeled): split assignment becomes a
     // label join + per-row hash — the third heavy consumer of the
@@ -2862,7 +2894,9 @@ object SparkEntryCoverage {
       "dd_cluster_sizes_persisted" -> base("dd_cluster_sizes"),
       "dd_cluster_resolve_persisted" -> base("dd_cluster_resolve"),
       "er_golden_persisted" -> base("er_golden"),
-      "s_leakage_persisted" -> base("s_leakage_split"))
+      "s_leakage_persisted" -> base("s_leakage_split"),
+      // incremental closure must converge to the full-corpus closure
+      "dd_graph_upsert" -> base("dd_cluster_sizes"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

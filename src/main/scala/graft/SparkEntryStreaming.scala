@@ -449,6 +449,57 @@ object SparkEntryStreaming {
         .select(col("id").as("doc_id"), col("n_hits"))
         .orderBy(col("doc_id"))
     },
+    // Streaming dup-graph maintenance — the last artifact family gets
+    // its live increment: the base graph holds the historical half's
+    // closure, batch docs stream in, and each micro-batch appends
+    // every pair touching its docs (verified against the full corpus
+    // snapshot, the st_incremental_neardup posture) and re-resolves
+    // labels incrementally via the star-edge merge. The final label
+    // table must equal the full-corpus closure — dd_cluster_sizes'
+    // oracle, shared three ways (in-line, batch upsert, stream).
+    "st_dupgraph_upsert" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val gPath = s"/tmp/graft_idx/dupg_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeDupGraph(
+        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 250)
+        .select(col("doc_id"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ids = batch.select(col("doc_id")).distinct()
+          graft.sources.Io.upsertDupGraph(
+            pairs
+              .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+              .unionByName(
+                pairs.join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+                  .select(col("id_a"), col("id_b")))
+              .distinct(),
+            gPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      docs.select(col("doc_id"))
+        .join(
+          graft.sources.Io.readDupGraphLabels(s, gPath),
+          col("doc_id") === col("id"),
+          "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
     // Streaming data-quality gate: the same one-pass violation
     // aggregate as the batch dq_checks report, running on live intake
     // (complete mode) — violation sums are merge-invariant across
@@ -533,6 +584,9 @@ object SparkEntryStreaming {
     // streamed doc-version upserts must converge the postings index
     // to the plain corpus's phrase results — r_phrase_search's oracle
     "st_postings_upsert" -> SparkEntryCoverage.phraseSearchOracle,
+    // streamed incremental closure must converge to the full-corpus
+    // closure — dd_cluster_sizes' oracle, shared three ways
+    "st_dupgraph_upsert" -> SparkEntryCoverage.oracleSql("dd_cluster_sizes"),
     // violation sums are merge-invariant; NULL predicate = violation
     // (the Checks contract)
     "st_dq_checks" ->

@@ -392,8 +392,11 @@ object Io {
     require(buckets > 0, "buckets must be positive")
     val spark = pairs.sparkSession
     import spark.implicits._
+    // base rows carry upsert-stamp 0, the writeIvfIndex rule: one
+    // schema shared with later upsertDupGraph appends
     pairs
       .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
       .write
       .mode("overwrite")
       .partitionBy("pair_bucket")
@@ -418,7 +421,7 @@ object Io {
     * `pair_bucket = hash(d) mod bucketCount` — see [[dupGraphBuckets]].
     */
   def readDupGraphPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pairs").drop("pair_bucket")
+    spark.read.parquet(s"$path/pairs").drop("pair_bucket", "__seq")
 
   /** Load [[writeDupGraph]] cluster labels: (id, cluster_id), pair-
     * member ids only — restore singletons with coalesce(label, id).
@@ -431,6 +434,69 @@ object Io {
     */
   def dupGraphBucketCount(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/_meta").head().getInt(0)
+
+  /** Incremental dup-graph maintenance — the IVF/PQ/postings upsert
+    * discipline applied to the pair-graph artifact (the reference's
+    * daily changed-page increment, where a batch's new near-dup pairs
+    * must NOT trigger a full-corpus re-closure): `newPairs` (the
+    * increment's verified pairs — batch×batch plus batch×history)
+    * appends to `path/pairs` with a seq stamp, and the label table is
+    * re-resolved INCREMENTALLY — every existing cluster re-enters the
+    * closure as depth-1 star edges (member → its label), so the merge
+    * converges in O(log new-chain-length) rounds over the
+    * increment + star edges instead of re-walking the full pair set's
+    * chains. The rewritten labels are the artifact's new truth
+    * (labels are a resolved VIEW, small next to the pair set — a
+    * doc-count table, not a pair table, so the rewrite is the cheap
+    * part of the update).
+    *
+    * Equivalence: union-with-stars has the same transitive closure as
+    * the full pair set (a star edge is itself a consequence of the
+    * old pairs; every old pair is label-connected through its star),
+    * and min-label propagation keeps cluster ids stable under
+    * increments — the canonical id only ever decreases.
+    */
+  def upsertDupGraph(
+      newPairs: DataFrame,
+      path: String,
+      seq: Long,
+      checkpointDir: Option[String] = None): Unit = {
+    require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
+    val spark = newPairs.sparkSession
+    val buckets = dupGraphBucketCount(spark, path)
+    newPairs
+      .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("pair_bucket").parquet(s"$path/pairs")
+    val oldLabels = readDupGraphLabels(spark, path)
+    val stars = oldLabels
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    val merged = graft.operators.Dedup.clusterPairs(
+      // read the increment back from the artifact (pair lineage runs
+      // once, into the append) and fold in the star edges
+      spark.read.parquet(s"$path/pairs")
+        .filter(coalesce(col("__seq"), lit(0L)) === seq)
+        .select(col("id_a"), col("id_b"))
+        .unionByName(stars),
+      checkpointDir = checkpointDir)
+    // docs untouched by the increment keep their labels; docs in the
+    // merged closure take the new (possibly lower) canonical id
+    val rewritten = oldLabels
+      .join(merged.withColumnRenamed("cluster_id", "__new"), Seq("id"), "full")
+      .select(
+        col("id"),
+        coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    rewritten
+      .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels_next")
+    // swap via re-write (labels dir is doc-bounded): read the staged
+    // table fully, then overwrite the live one — the staged dir
+    // exists so a crashed swap is re-runnable
+    val next = spark.read.parquet(s"$path/labels_next")
+    next
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels")
+  }
 
   def readIvfIndex(spark: SparkSession, path: String): (Seq[Array[Double]], DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids")

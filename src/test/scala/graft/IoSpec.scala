@@ -193,4 +193,25 @@ class IoSpec extends SparkSpec {
     // untouched doc keeps its base postings
     assert(byTerm(("beta", 2L)) == Seq(0) && byTerm(("gamma", 2L)) == Seq(1))
   }
+
+  test("upsertDupGraph: incremental star-edge closure equals the full recompute") {
+    val dir = tmp("dupgup") + "/g"
+    // base: clusters {1,2,3} and {5,6}
+    Io.writeDupGraph(Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b"), dir, buckets = 8)
+    // increment 1: new chain 10-11 AND a bridge 3-5 that must MERGE
+    // the two base clusters down to canonical 1
+    Io.upsertDupGraph(Seq((10L, 11L), (3L, 5L)).toDF("id_a", "id_b"), dir, seq = 1L)
+    // increment 2: extend the new chain
+    Io.upsertDupGraph(Seq((11L, 12L)).toDF("id_a", "id_b"), dir, seq = 2L)
+    val got = Io.readDupGraphLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Dedup
+      .clusterPairs(
+        Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (3L, 5L), (11L, 12L))
+          .toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"incremental $got != full $full")
+    // and the pair set round-trips with both stamps' rows
+    assert(Io.readDupGraphPairs(spark, dir).count() == 6)
+  }
 }
