@@ -22,12 +22,18 @@ object Profile {
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the sweep modes too
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     if (rest.contains("-determinism")) {
       // rerun-stability guard: every query executed twice, rows
       // compared — catches nondeterministic tie-breaks that a single
       // oracle compare can pass by luck
       var bad = 0
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
         try {
           val a = fn(spark, sfDir).collect().map(_.toString).toSeq
           spark.catalog.clearCache()
@@ -50,7 +56,9 @@ object Profile {
       // plan audit: flag scale-hostile physical operators in every
       // query's FINAL (AQE-resolved) plan
       val flags = Seq("SortAggregate", "BroadcastNestedLoopJoin", "CartesianProduct")
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
           df.collect()

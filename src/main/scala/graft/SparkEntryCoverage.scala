@@ -616,6 +616,42 @@ object SparkEntryCoverage {
         .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
         .select(col("vec_id"), col("label"), col("cell"), col("score"))
     },
+    // Tombstone deletes on the persisted IVF index (takedown /
+    // right-to-be-forgotten): every 7th vector deleted at seq 1, the
+    // 14th-multiples RE-UPSERTED at seq 2 (delete-then-restore — the
+    // seq-order semantics a naive id blocklist can't express). The
+    // top-k must rank over exactly the live rows; the oracle runs the
+    // same IVF probe over the effective corpus.
+    "v_ivf_delete" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toSeq
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idxPath = s"/tmp/graft_idx/ivf_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(
+        Similarity.ivfAssign(corpus, "embedding", cents), cents, idxPath)
+      graft.sources.Io.deleteIvfIds(
+        corpus.filter(col("vec_id") % 7 === 0).select(col("vec_id")), idxPath, seq = 1L)
+      graft.sources.Io.upsertIvfIndex(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 14 === 0), "embedding", cents),
+        idxPath,
+        seq = 2L)
+      val (loadedCents, latest) = graft.sources.Io.readIvfIndexLatest(s, idxPath, "vec_id")
+      Similarity
+        .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
     // V2 scale path — hyperplane-LSH near-dup pairs: bucket on 8 sign
     // bits, verify candidates with exact cosine
     "v_lsh_pairs" -> { (s, dir) =>
@@ -867,6 +903,36 @@ object SparkEntryCoverage {
       val phrase = Seq("table", "hash")
       val pruned = graft.sources.Io
         .readPostings(s, idxPath)
+        .filter(
+          col("term_bucket")
+            .isin(graft.sources.Io.postingsBuckets(s, idxPath, phrase): _*))
+      TextAnalysis
+        .phraseSearch(pruned, phrase)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    // Tombstone deletes on the persisted postings index: every 4th
+    // doc deleted at seq 1 (takedown — ALL its terms vanish at once),
+    // the 8th-multiples re-indexed at seq 2 (restored). The phrase
+    // query must see exactly the live docs; the oracle mirrors the
+    // phrase match over the effective corpus.
+    "r_phrase_delete" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxPath =
+        s"/tmp/graft_idx/postings_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
+        idxPath)
+      graft.sources.Io.deletePostingsDocs(
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")), idxPath, seq = 1L)
+      graft.sources.Io.upsertPostings(
+        TextAnalysis.invertedIndex(
+          docs.filter(col("doc_id") % 8 === 0), "text", "doc_id"),
+        idxPath,
+        seq = 2L)
+      val phrase = Seq("table", "hash")
+      val pruned = graft.sources.Io
+        .readPostingsLatest(s, idxPath)
         .filter(
           col("term_bucket")
             .isin(graft.sources.Io.postingsBuckets(s, idxPath, phrase): _*))
@@ -1286,6 +1352,41 @@ object SparkEntryCoverage {
           corpus.filter(col("vec_id") % 5 === 0), "embedding", subDim, centroids),
         idxPath,
         seq = 1L)
+      val (books, latest) = graft.sources.Io.readPqIndexLatest(s, idxPath, "vec_id")
+      Similarity
+        .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
+    // Tombstone deletes on the persisted PQ index — v_ivf_delete's
+    // mirror for the byte-coded layout, same delete-then-restore
+    // seq semantics, oracle over the effective corpus
+    "v_pq_delete" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val centroids = (0 until 8).map(sub => full.toSeq.map(_.slice(sub * subDim, (sub + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idxPath = s"/tmp/graft_idx/pq_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePqIndex(
+        Similarity.pqEncode(corpus, "embedding", subDim, centroids), centroids, idxPath)
+      graft.sources.Io.deletePqIds(
+        corpus.filter(col("vec_id") % 7 === 0).select(col("vec_id")), idxPath, seq = 1L)
+      graft.sources.Io.upsertPqIndex(
+        Similarity.pqEncode(
+          corpus.filter(col("vec_id") % 14 === 0), "embedding", subDim, centroids),
+        idxPath,
+        seq = 2L)
       val (books, latest) = graft.sources.Io.readPqIndexLatest(s, idxPath, "vec_id")
       Similarity
         .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
@@ -2606,10 +2707,13 @@ object SparkEntryCoverage {
     * in-line and persisted-index queries (the persisted path must be
     * an identity on results).
     */
-  private[graft] val phraseSearchOracle: String =
-    """WITH tok AS (SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS pos, tk[CAST(gs.i AS INT)] AS term
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-      |        FROM documents WHERE length(trim(text)) > 0),
+  private[graft] val phraseSearchOracle: String = phraseSearchOracleFor("TRUE")
+
+  /** phraseSearchOracle over a restricted effective corpus (delete variants). */
+  private[graft] def phraseSearchOracleFor(corpusPred: String): String =
+    s"""WITH tok AS (SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS pos, tk[CAST(gs.i AS INT)] AS term
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |        FROM documents WHERE length(trim(text)) > 0 AND ($corpusPred)),
       |       LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs),
       |pa AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
       |pb AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
@@ -2814,7 +2918,12 @@ object SparkEntryCoverage {
     * identity) and v_ivf_upsert (last-wins upserts must converge to
     * the plain corpus).
     */
-  private[graft] lazy val ivfTopkOracle: String =
+  private[graft] lazy val ivfTopkOracle: String = ivfTopkOracleFor("b.vec_id <> 0")
+
+  /** ivfTopkOracle over a restricted effective corpus — the delete
+    * variants swap in the live-rows predicate (tombstones applied).
+    */
+  private[graft] def ivfTopkOracleFor(corpusPred: String): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |cents AS (
        | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
@@ -2822,7 +2931,7 @@ object SparkEntryCoverage {
        |scored AS (
        | SELECT b.vec_id, b.label, b.embedding, c.cell,
        |        ${sqlCosine("b.embedding", "c.ce")} AS sim
-       | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
+       | FROM embeddings b CROSS JOIN cents c WHERE $corpusPred),
        |assign AS (
        | SELECT vec_id, label, embedding, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
@@ -2840,7 +2949,10 @@ object SparkEntryCoverage {
     * shared verbatim by v_pq_persisted: the persisted index must
     * reproduce the in-line encode + rank exactly.
     */
-  private[graft] lazy val pqTopkOracle: String = {
+  private[graft] lazy val pqTopkOracle: String = pqTopkOracleFor("e.vec_id <> 0")
+
+  /** pqTopkOracle over a restricted effective corpus (delete variants). */
+  private[graft] def pqTopkOracleFor(corpusPred: String): String = {
     def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
     val codeCos = sqlCosine("sub_v", "sub_c")
     s"""WITH cents AS (
@@ -2854,7 +2966,7 @@ object SparkEntryCoverage {
        | FROM embeddings e
        | CROSS JOIN cents c
        | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs
-       | WHERE e.vec_id <> 0),
+       | WHERE $corpusPred),
        |best AS (
        | SELECT vec_id, label, embedding, s, cell FROM (
        |  SELECT vec_id, label, embedding, s, cell,
@@ -3151,6 +3263,10 @@ object SparkEntryCoverage {
     // identical semantics to v_ivf_topk by construction: the persisted
     // index must round-trip to the same assignment and ranking
     "v_ivf_persisted" -> ivfTopkOracle,
+    // tombstones applied: effective corpus = all except deleted-and-
+    // not-restored (del %7 at seq 1, restore %14 at seq 2)
+    "v_ivf_delete" ->
+      ivfTopkOracleFor("b.vec_id <> 0 AND NOT (b.vec_id % 7 = 0 AND b.vec_id % 14 <> 0)"),
     // ditto for the upserted index: stale versions written at seq 0
     // are fully replaced by the seq-1 upsert, so the effective corpus
     // IS the plain embeddings table
@@ -3453,6 +3569,8 @@ object SparkEntryCoverage {
     // last-wins upserts must converge the index to the plain table —
     // same oracle again (the v_ivf_upsert rule for the PQ layout)
     "v_pq_upsert" -> pqTopkOracle,
+    "v_pq_delete" ->
+      pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
     "v_normalize" -> {
       val normExpr =
         "sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), " +
@@ -4123,6 +4241,9 @@ object SparkEntryCoverage {
     "r_phrase_search" -> phraseSearchOracle,
     // persisted-and-loaded index must land on the identical result
     "r_phrase_persisted" -> phraseSearchOracle,
+    // tombstoned docs excluded (del %4 at seq 1, re-indexed %8 at 2)
+    "r_phrase_delete" ->
+      phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
     // same micro-nat discipline; bigrams = adjacent token pairs, the
     // bigramPairs definition (prev at i-1, term at i, i >= 2)
     "t_collocations" ->

@@ -258,6 +258,7 @@ object Io {
     // the per-doc max stamp
     index.select(col("id")).distinct()
       .withColumn("seq", lit(0L))
+      .withColumn("deleted", lit(false))
       .write.mode("overwrite").parquet(s"$path/_docseq")
     // the bucket count is part of the index's IDENTITY, so it rides
     // with the index instead of being re-supplied (and possibly
@@ -290,8 +291,7 @@ object Io {
     * new version DROPPED cannot ghost-match from the old version's
     * rows — per-row last-wins could never express that deletion.
     * Contract: an upsert replaces postings for ids PRESENT in the
-    * increment; removing a doc entirely is a tombstone concern this
-    * sink does not model.
+    * increment; removing a doc entirely is [[deletePostingsDocs]].
     */
   def upsertPostings(index: DataFrame, path: String, seq: Long): Unit = {
     require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
@@ -302,6 +302,24 @@ object Io {
       .write.mode("append").partitionBy("term_bucket").parquet(path)
     index.select(col("id")).distinct()
       .withColumn("seq", lit(seq))
+      .withColumn("deleted", lit(false))
+      .write.mode("append").parquet(s"$path/_docseq")
+  }
+
+  /** Tombstone-delete whole documents from a persisted postings
+    * index: `ids` (one column, the doc ids) get a deleted doc-version
+    * row at `seq`, so [[readPostingsLatest]] serves NO postings for
+    * them — every term vanishes at once, no bucket file rewritten.
+    * Re-indexing a doc at a higher stamp (upsertPostings) restores
+    * it. The takedown shape for the retrieval index.
+    */
+  def deletePostingsDocs(ids: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
+    ids
+      .select(col(ids.columns.head).as("id"))
+      .distinct()
+      .withColumn("seq", lit(seq))
+      .withColumn("deleted", lit(true))
       .write.mode("append").parquet(s"$path/_docseq")
   }
 
@@ -313,9 +331,17 @@ object Io {
     * callers must use distinct positive stamps per upsert.
     */
   def readPostingsLatest(spark: SparkSession, path: String): DataFrame = {
-    val docSeq = spark.read.parquet(s"$path/_docseq")
-      .groupBy(col("id").as("__did"))
-      .agg(max(col("seq")).as("__max_seq"))
+    // a doc's effective version is its max-stamp sidecar row; if that
+    // row is a tombstone (deletePostingsDocs), the doc serves nothing
+    val raw = spark.read.parquet(s"$path/_docseq")
+    val withFlag =
+      if (raw.columns.contains("deleted"))
+        raw.withColumn("deleted", coalesce(col("deleted"), lit(false)))
+      else raw.withColumn("deleted", lit(false))
+    val docSeq = graft.operators.Relational
+      .dedupeFirstWins(withFlag, Seq(col("id")), Seq(col("seq").desc))
+      .filter(!col("deleted"))
+      .select(col("id").as("__did"), col("seq").as("__max_seq"))
     spark.read.parquet(path)
       .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
       .join(
@@ -498,6 +524,74 @@ object Io {
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels")
   }
 
+  // ---- tombstone deletes (takedown / right-to-be-forgotten) -------
+  //
+  // A training-data engine must be able to REMOVE documents from its
+  // persisted artifacts — takedown requests, licensing reversals,
+  // contamination discoveries — without rewriting a 100 TB index. The
+  // discipline is the upsert one inverted: deletes land as seq-stamped
+  // tombstone rows in an underscore sidecar (invisible to the data
+  // scan, append-only, no existing file rewritten), and the last-wins
+  // readers treat a tombstone at stamp s as deleting every version
+  // with stamp <= s — so delete-then-reupsert restores the doc, and
+  // upsert-then-delete removes it, purely by seq order. Callers use
+  // stamps distinct from every upsert stamp. Physical purging
+  // (rewriting the data files to actually drop the bytes) is a
+  // compaction concern layered on top; the tombstone makes the doc
+  // UNSERVABLE immediately, which is what the request requires.
+
+  private def writeTombstones(ids: DataFrame, path: String, seq: Long): Unit =
+    ids
+      .select(col(ids.columns.head).as("id"))
+      .distinct()
+      .withColumn("seq", lit(seq))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/_tombstones")) else None
+  }
+
+  /** Drop the rows of `latest` (which still carries `__seq`) whose id
+    * has a tombstone at or above the row's stamp, then drop `__seq`.
+    */
+  private def applyTombstones(
+      latest: DataFrame,
+      idCol: String,
+      path: String): DataFrame = {
+    val spark = latest.sparkSession
+    tombstonesOf(spark, path) match {
+      case None => latest.drop("__seq")
+      case Some(t) =>
+        val tmax = t.groupBy(col("id").as("__tid")).agg(max(col("seq")).as("__tseq"))
+        latest
+          .join(
+            tmax,
+            col(idCol) === col("__tid") && col("__seq") <= col("__tseq"),
+            "left_anti")
+          .drop("__seq")
+    }
+  }
+
+  /** Tombstone-delete vectors from a persisted IVF index: `ids` (one
+    * column, the vector ids) become unservable to
+    * [[readIvfIndexLatest]] from this stamp on — no cell file is
+    * rewritten. Re-upserting an id at a HIGHER stamp restores it.
+    */
+  def deleteIvfIds(ids: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
+    writeTombstones(ids, path, seq)
+  }
+
+  /** Tombstone-delete coded vectors from a persisted PQ index — the
+    * [[deleteIvfIds]] mirror for the byte-coded layout.
+    */
+  def deletePqIds(ids: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
+    writeTombstones(ids, path, seq)
+  }
+
   def readIvfIndex(spark: SparkSession, path: String): (Seq[Array[Double]], DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell"))
@@ -547,8 +641,7 @@ object Io {
       .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
     val latest = graft.operators.Relational
       .dedupeFirstWins(cells, Seq(col(idCol)), Seq(col("__seq").desc))
-      .drop("__seq")
-    (cents, latest)
+    (cents, applyTombstones(latest, idCol, path))
   }
 
   /** Persist a PQ index: `path/codebooks` (sub, cell, centroid) and
@@ -618,8 +711,7 @@ object Io {
       .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
     val latest = graft.operators.Relational
       .dedupeFirstWins(codes, Seq(col(idCol)), Seq(col("__seq").desc))
-      .drop("__seq")
-    (readPqCodebooks(spark, path), latest)
+    (readPqCodebooks(spark, path), applyTombstones(latest, idCol, path))
   }
 
   private def readPqCodebooks(spark: SparkSession, path: String): Seq[Seq[Array[Double]]] =

@@ -214,4 +214,21 @@ class IoSpec extends SparkSpec {
     // and the pair set round-trips with both stamps' rows
     assert(Io.readDupGraphPairs(spark, dir).count() == 6)
   }
+
+  test("tombstones: delete hides every version at or below its stamp; re-upsert restores") {
+    def index(rows: Seq[(Long, String)]) =
+      graft.operators.TextAnalysis.invertedIndex(rows.toDF("id", "text"), "text", "id")
+    val dir = tmp("tomb") + "/idx"
+    Io.writePostings(index(Seq(1L -> "alpha beta", 2L -> "alpha gamma", 3L -> "beta")), dir, buckets = 4)
+    // takedown doc 1 and 2 at seq 1
+    Io.deletePostingsDocs(Seq(1L, 2L).toDF("id"), dir, seq = 1L)
+    val afterDelete = Io.readPostingsLatest(spark, dir)
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(afterDelete == Set(3L), s"deleted docs still served: $afterDelete")
+    // doc 2 re-indexed at seq 2 — restored with its NEW postings only
+    Io.upsertPostings(index(Seq(2L -> "delta")), dir, seq = 2L)
+    val restored = Io.readPostingsLatest(spark, dir)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("id"))).toSet
+    assert(restored == Set(("beta", 3L), ("delta", 2L)), restored.toString)
+  }
 }
