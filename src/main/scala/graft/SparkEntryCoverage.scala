@@ -652,6 +652,43 @@ object SparkEntryCoverage {
         .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
         .select(col("vec_id"), col("label"), col("cell"), col("score"))
     },
+    // Compaction closes the tombstone loop: same delete+restore
+    // history as v_ivf_delete, then compactIvfIndex rewrites the
+    // effective corpus as a fresh stamp-0 base and purges the
+    // sidecar — after which the PLAIN reader (readIvfIndex, no
+    // last-wins resolution) must serve the identical top-k. Same
+    // oracle as v_ivf_delete.
+    "v_ivf_compacted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toSeq
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idxPath = s"/tmp/graft_idx/ivf_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(
+        Similarity.ivfAssign(corpus, "embedding", cents), cents, idxPath)
+      graft.sources.Io.deleteIvfIds(
+        corpus.filter(col("vec_id") % 7 === 0).select(col("vec_id")), idxPath, seq = 1L)
+      graft.sources.Io.upsertIvfIndex(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 14 === 0), "embedding", cents),
+        idxPath,
+        seq = 2L)
+      graft.sources.Io.compactIvfIndex(s, idxPath, "vec_id")
+      val (loadedCents, cells) = graft.sources.Io.readIvfIndex(s, idxPath)
+      Similarity
+        .ivfTopK(cells, "embedding", loadedCents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
     // V2 scale path — hyperplane-LSH near-dup pairs: bucket on 8 sign
     // bits, verify candidates with exact cosine
     "v_lsh_pairs" -> { (s, dir) =>
@@ -933,6 +970,36 @@ object SparkEntryCoverage {
       val phrase = Seq("table", "hash")
       val pruned = graft.sources.Io
         .readPostingsLatest(s, idxPath)
+        .filter(
+          col("term_bucket")
+            .isin(graft.sources.Io.postingsBuckets(s, idxPath, phrase): _*))
+      TextAnalysis
+        .phraseSearch(pruned, phrase)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    // Postings compaction: same takedown+restore history as
+    // r_phrase_delete, then compactPostings rebuilds the bucketed
+    // base (same persisted modulus) — the PLAIN pruned reader must
+    // serve the identical phrase results (r_phrase_delete's oracle)
+    "r_phrase_compacted" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxPath =
+        s"/tmp/graft_idx/postings_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
+        idxPath)
+      graft.sources.Io.deletePostingsDocs(
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")), idxPath, seq = 1L)
+      graft.sources.Io.upsertPostings(
+        TextAnalysis.invertedIndex(
+          docs.filter(col("doc_id") % 8 === 0), "text", "doc_id"),
+        idxPath,
+        seq = 2L)
+      graft.sources.Io.compactPostings(s, idxPath)
+      val phrase = Seq("table", "hash")
+      val pruned = graft.sources.Io
+        .readPostings(s, idxPath)
         .filter(
           col("term_bucket")
             .isin(graft.sources.Io.postingsBuckets(s, idxPath, phrase): _*))
@@ -1390,6 +1457,42 @@ object SparkEntryCoverage {
       val (books, latest) = graft.sources.Io.readPqIndexLatest(s, idxPath, "vec_id")
       Similarity
         .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
+    // PQ compaction — v_ivf_compacted's mirror: delete+restore
+    // history, compact, then the PLAIN reader serves the same top-k
+    // (v_pq_delete's oracle)
+    "v_pq_compacted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val centroids = (0 until 8).map(sub => full.toSeq.map(_.slice(sub * subDim, (sub + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idxPath = s"/tmp/graft_idx/pq_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePqIndex(
+        Similarity.pqEncode(corpus, "embedding", subDim, centroids), centroids, idxPath)
+      graft.sources.Io.deletePqIds(
+        corpus.filter(col("vec_id") % 7 === 0).select(col("vec_id")), idxPath, seq = 1L)
+      graft.sources.Io.upsertPqIndex(
+        Similarity.pqEncode(
+          corpus.filter(col("vec_id") % 14 === 0), "embedding", subDim, centroids),
+        idxPath,
+        seq = 2L)
+      graft.sources.Io.compactPqIndex(s, idxPath, "vec_id")
+      val (books, codes) = graft.sources.Io.readPqIndex(s, idxPath)
+      Similarity
+        .pqTopK(codes, "embedding", books, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
     // Ingest-time embedding normalization (cosine -> dot at query time)
@@ -3267,6 +3370,9 @@ object SparkEntryCoverage {
     // not-restored (del %7 at seq 1, restore %14 at seq 2)
     "v_ivf_delete" ->
       ivfTopkOracleFor("b.vec_id <> 0 AND NOT (b.vec_id % 7 = 0 AND b.vec_id % 14 <> 0)"),
+    // compaction must preserve the effective corpus exactly
+    "v_ivf_compacted" ->
+      ivfTopkOracleFor("b.vec_id <> 0 AND NOT (b.vec_id % 7 = 0 AND b.vec_id % 14 <> 0)"),
     // ditto for the upserted index: stale versions written at seq 0
     // are fully replaced by the seq-1 upsert, so the effective corpus
     // IS the plain embeddings table
@@ -3570,6 +3676,8 @@ object SparkEntryCoverage {
     // same oracle again (the v_ivf_upsert rule for the PQ layout)
     "v_pq_upsert" -> pqTopkOracle,
     "v_pq_delete" ->
+      pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
+    "v_pq_compacted" ->
       pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
     "v_normalize" -> {
       val normExpr =
@@ -4243,6 +4351,8 @@ object SparkEntryCoverage {
     "r_phrase_persisted" -> phraseSearchOracle,
     // tombstoned docs excluded (del %4 at seq 1, re-indexed %8 at 2)
     "r_phrase_delete" ->
+      phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
+    "r_phrase_compacted" ->
       phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
     // same micro-nat discipline; bigrams = adjacent token pairs, the
     // bigramPairs definition (prev at i-1, term at i, i >= 2)

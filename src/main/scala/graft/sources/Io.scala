@@ -350,6 +350,26 @@ object Io {
       .drop("__did", "__max_seq", "__seq")
   }
 
+  /** Compact a persisted postings index: materialize the effective
+    * postings (doc-version resolution + tombstones) and rebuild the
+    * bucketed base via [[writePostings]] with the SAME persisted
+    * modulus — the doc-seq sidecar resets to stamp 0, tombstoned
+    * docs' bytes are gone, and [[readPostings]] afterwards serves
+    * what [[readPostingsLatest]] served before.
+    */
+  def compactPostings(spark: SparkSession, path: String): Unit = {
+    val buckets = postingsBucketCount(spark, path)
+    // staging must be a SIBLING, not a child: writePostings overwrites
+    // the index root, which would delete a child staging dir before
+    // the rebuild reads it
+    val stage = s"${path}__compacting"
+    readPostingsLatest(spark, path)
+      .drop("term_bucket")
+      .write.mode("overwrite").parquet(stage)
+    writePostings(spark.read.parquet(stage), path, buckets)
+    deleteDir(spark, stage)
+  }
+
   /** The bucket modulus `path`'s index was written with (persisted by
     * [[writePostings]]) — fails fast on a pre-meta or foreign layout
     * instead of guessing.
@@ -590,6 +610,56 @@ object Io {
   def deletePqIds(ids: DataFrame, path: String, seq: Long): Unit = {
     require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
     writeTombstones(ids, path, seq)
+  }
+
+  // ---- compaction --------------------------------------------------
+  //
+  // The physical-purge half of the tombstone story, and the standard
+  // cure for append-only accumulation: resolve last-wins + tombstones
+  // ONCE, rewrite the result as a fresh base (stamp 0), drop the
+  // sidecars. After compaction the plain readers serve the artifact
+  // with no per-read resolution cost, deleted bytes are actually gone
+  // from disk (the takedown's retention requirement), and the file
+  // count resets — the small-files problem of a long upsert history
+  // clears in one pass. Each compact stages the resolved rows to a
+  // scratch child first (never overwrite a path while lazily reading
+  // it), then rewrites the live layout and deletes the staging +
+  // tombstone dirs through the Hadoop FS API.
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Compact a persisted IVF index: materialize the effective corpus
+    * (upserts last-wins, tombstones applied) as the new stamp-0 base,
+    * purge the tombstone sidecar. [[readIvfIndex]] afterwards serves
+    * exactly what [[readIvfIndexLatest]] served before.
+    */
+  def compactIvfIndex(spark: SparkSession, path: String, idCol: String): Unit = {
+    val (_, latest) = readIvfIndexLatest(spark, path, idCol)
+    latest
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells_compacting")
+    spark.read.parquet(s"$path/cells_compacting")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    deleteDir(spark, s"$path/cells_compacting")
+    deleteDir(spark, s"$path/_tombstones")
+  }
+
+  /** Compact a persisted PQ index — [[compactIvfIndex]]'s mirror for
+    * the byte-coded layout.
+    */
+  def compactPqIndex(spark: SparkSession, path: String, idCol: String): Unit = {
+    val (_, latest) = readPqIndexLatest(spark, path, idCol)
+    latest
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/codes_compacting")
+    spark.read.parquet(s"$path/codes_compacting")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    deleteDir(spark, s"$path/codes_compacting")
+    deleteDir(spark, s"$path/_tombstones")
   }
 
   def readIvfIndex(spark: SparkSession, path: String): (Seq[Array[Double]], DataFrame) = {

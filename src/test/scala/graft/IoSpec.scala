@@ -231,4 +231,50 @@ class IoSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("id"))).toSet
     assert(restored == Set(("beta", 3L), ("delta", 2L)), restored.toString)
   }
+
+  test("compactPostings: plain reader serves the effective corpus, history physically purged") {
+    def index(rows: Seq[(Long, String)]) =
+      graft.operators.TextAnalysis.invertedIndex(rows.toDF("id", "text"), "text", "id")
+    val dir = tmp("cmp") + "/idx"
+    Io.writePostings(index(Seq(1L -> "alpha beta", 2L -> "alpha", 3L -> "beta")), dir, buckets = 4)
+    Io.deletePostingsDocs(Seq(1L).toDF("id"), dir, seq = 1L)
+    Io.upsertPostings(index(Seq(2L -> "gamma")), dir, seq = 2L)
+    val before = Io.readPostingsLatest(spark, dir)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("id"))).toSet
+    Io.compactPostings(spark, dir)
+    // plain reader now equals the pre-compaction resolved view
+    val after = Io.readPostings(spark, dir)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("id"))).toSet
+    assert(after == before, s"compacted view drifted: $after vs $before")
+    assert(after == Set(("gamma", 2L), ("beta", 3L)))
+    // deleted doc's rows are PHYSICALLY gone, not just masked
+    val rawRows = spark.read.parquet(dir)
+      .filter(col("id") === 1L).count()
+    assert(rawRows == 0L, "tombstoned doc survived compaction on disk")
+    // modulus preserved, staging cleaned
+    assert(Io.postingsBucketCount(spark, dir) == 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compacting")))
+  }
+
+  test("compactIvfIndex: plain reader equals the latest view, tombstone sidecar removed") {
+    import spark.implicits._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)), (3L, Seq(0.8, 0.2)), (4L, Seq(0.2, 0.8))
+    ).toDF("vec_id", "embedding")
+    val dir = tmp("ivfcmp") + "/idx"
+    graft.sources.Io.writeIvfIndex(
+      graft.operators.Similarity.ivfAssign(vecs, "embedding", cents), cents, dir)
+    Io.deleteIvfIds(Seq(3L).toDF("vec_id"), dir, seq = 1L)
+    Io.compactIvfIndex(spark, dir, "vec_id")
+    val (loaded, cells) = Io.readIvfIndex(spark, dir)
+    assert(loaded.length == 2)
+    assert(cells.select(col("vec_id")).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/cells_compacting")))
+  }
 }
