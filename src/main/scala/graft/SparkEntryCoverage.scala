@@ -1626,6 +1626,20 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
     },
+    // Two-table exact Jaccard (Dedup.ngramJaccardAgainst) — the
+    // incremental pair-discovery operator: every pair touching a
+    // batch doc (here the second half of the corpus), scored against
+    // the full corpus. Must equal the single-table pair set
+    // restricted to pairs touching the batch — the oracle is the
+    // shared jaccard CTE with exactly that predicate.
+    "dd_jaccard_against" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup
+        .ngramJaccardAgainst(
+          docs.filter(col("doc_id") >= 250), docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // Incremental dup-graph maintenance (Io.upsertDupGraph): the base
     // artifact is built from the HISTORICAL half's pairs only; the
     // increment (every pair touching a batch doc) appends with a seq
@@ -3705,6 +3719,11 @@ object SparkEntryCoverage {
          |FROM pairs JOIN documents da ON da.doc_id = id_a
          |           JOIN documents db ON db.doc_id = id_b
          |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
+    "dd_jaccard_against" ->
+      s"""WITH $jaccardPairsSql
+         |SELECT id_a, id_b FROM pairs
+         |WHERE id_a >= 250 OR id_b >= 250
+         |ORDER BY id_a, id_b""".stripMargin,
     "dd_cluster_sizes" ->
       s"""WITH RECURSIVE $jaccardPairsSql,
          |$clusterCompSql,

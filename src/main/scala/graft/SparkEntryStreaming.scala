@@ -459,28 +459,26 @@ object SparkEntryStreaming {
     // oracle, shared three ways (in-line, batch upsert, stream).
     "st_dupgraph_upsert" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = graft.operators.Dedup
-        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
       val gPath = s"/tmp/graft_idx/dupg_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.sources.Io.writeDupGraph(
-        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
+        graft.operators.Dedup
+          .ngramJaccardPairs(docs.filter(col("doc_id") < 250), "text", "doc_id", 3, 0.2)
+          .select(col("id_a"), col("id_b")),
+        gPath)
       val stream = s.readStream
         .schema(docs.schema)
         .parquet(s"$dir/[d]ocuments.parquet")
         .filter(col("doc_id") >= 250)
-        .select(col("doc_id"))
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val ids = batch.select(col("doc_id")).distinct()
+          // honest incremental discovery: the micro-batch's pairs come
+          // from the two-table operator (batch-shingles x corpus-
+          // shingles — increment-proportional), not a full-corpus
+          // pair recompute
           graft.sources.Io.upsertDupGraph(
-            pairs
-              .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-              .unionByName(
-                pairs.join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
-                  .select(col("id_a"), col("id_b")))
-              .distinct(),
+            graft.operators.Dedup
+              .ngramJaccardAgainst(batch, docs, "text", "doc_id", 3, 0.2)
+              .select(col("id_a"), col("id_b")),
             gPath,
             seq = batchId + 1L)
           (): Unit

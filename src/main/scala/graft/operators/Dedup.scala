@@ -148,6 +148,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Two-table exact Jaccard — [[ngramJaccardPairs]] for the
+    * INCREMENTAL posture: every pair with at least one side in
+    * `batch`, scored against the effective corpus (batch ∪ corpus,
+    * batch version wins on id collision — the re-crawled-page rule).
+    * Returns (id_a < id_b, jaccard), exactly the full-corpus pair set
+    * restricted to pairs touching a batch doc — so a dup-graph
+    * increment built from this operator composes with
+    * [[graft.sources.Io.upsertDupGraph]] into the full-corpus
+    * closure, provable against the single-table oracle.
+    *
+    * Scale shape: the expensive shingle-match join is batch-shingles ×
+    * corpus-shingles — proportional to the INCREMENT, not corpus².
+    * The one corpus-wide cost is the df-cap window (document
+    * frequency is a global property; at 100 TB persist the df table
+    * as its own artifact and join it in rather than recomputing —
+    * the cap must see the whole corpus either way, or batch-vs-full
+    * scores diverge). Same caching contract as the single-table form.
+    */
+  def ngramJaccardAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    val tagged = batch
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .withColumn("__pri", lit(1))
+      .unionByName(
+        corpus
+          .select(col(idCol).as("id"), col(textCol).as("__txt"))
+          .withColumn("__pri", lit(0)))
+    val docs = Relational
+      .dedupeFirstWins(tagged, Seq(col("id")), Seq(col("__pri").desc))
+      .drop("__pri")
+    val sh = shingleSets(docs, "__txt", "id", n)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("id"),
+        explode(graft.expressions.SortedHashes64.hashes(col("sh"))).as("shingle"))
+    val filtered = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val a = filtered
+      .join(batchIds, Seq("id"), "left_semi")
+      .select(col("id").as("id_a"), col("shingle"))
+    val b = filtered.select(col("id").as("id_b"), col("shingle"))
+    val common = a
+      .join(b, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      // batch-batch pairs surface in both orientations with the same
+      // integers, hence bit-identical scores — canonicalize + distinct
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("jaccard"))
+      .distinct()
+  }
+
   /** Shingle-CONTAINMENT near-dup pairs: containment = |A∩B| /
     * min(|A|,|B|) — the asymmetric overlap measure that catches a
     * small doc embedded in a big one (a quoted article, a licence

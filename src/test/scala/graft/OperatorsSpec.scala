@@ -67,6 +67,35 @@ class OperatorsSpec extends SparkSpec {
     assert(reliable == local)
   }
 
+  test("ngramJaccardAgainst: restriction parity with the single-table pairs; batch wins id collisions") {
+    val base = (1 to 8).map { i =>
+      (i.toLong, (1 to 40).map(j => s"w${i}_$j").mkString(" "))
+    }
+    // docs 9, 10 are near-dups of 1 and 2 (same text + 3 extra tokens)
+    val dups = Seq(
+      (9L, base(0)._2 + " x y z"),
+      (10L, base(1)._2 + " x y z"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val full = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = docs.filter($"doc_id" >= 9)
+    val against = graft.operators.Dedup
+      .ngramJaccardAgainst(batch, docs, "text", "doc_id", 3, 0.2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(against == full.filter { case (a, b) => a >= 9 || b >= 9 },
+      s"against=$against full=$full")
+    // id collision: the batch's REVISED text replaces the corpus copy —
+    // doc 9 revised to plain unique text no longer pairs with 1
+    val revised = Seq((9L, (1 to 40).map(j => s"r$j").mkString(" "))).toDF("doc_id", "text")
+    val afterRevise = graft.operators.Dedup
+      .ngramJaccardAgainst(revised, docs, "text", "doc_id", 3, 0.2)
+      .collect()
+    assert(afterRevise.isEmpty, afterRevise.mkString(","))
+  }
+
   test("containmentPairs: embedded doc scores 1.0 where Jaccard is tiny") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")      // 58 3-shingles
     val quote = (1 to 10).map(i => s"w$i").mkString(" ")    // 8 shingles, all in big
