@@ -2266,6 +2266,17 @@ object SparkEntryCoverage {
         .withColumnRenamed("column", "col_name")
         .orderBy(col("col_name"))
     },
+    // Key-skew summary (Checks.skewReport): the pre-flight whale-key
+    // check for a shuffle key — exact integer order statistics over
+    // the count-of-counts histogram, no global sort, no approx
+    "dq_skew_report" -> { (s, dir) =>
+      Checks.skewReport(t(s, dir, "events"), col("user_id"))
+    },
+    // The named offenders: 10 heaviest user_ids with exact counts and
+    // micro-unit table share (Checks.skewTopKeys)
+    "dq_skew_topk" -> { (s, dir) =>
+      Checks.skewTopKeys(t(s, dir, "events"), col("user_id"), 10)
+    },
     // Data-quality gate report (the dbt-tests / expectations
     // primitive): domain/positivity/not-null row checks share ONE
     // aggregate pass over orders, uniqueness is a key-count agg,
@@ -4157,6 +4168,28 @@ object SparkEntryCoverage {
         .map(leg)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // exact integer order statistics over the count-of-counts
+    // histogram; percentile targets in ceil integer division (//),
+    // mirroring Checks.skewReport bit for bit
+    "dq_skew_report" ->
+      """WITH gs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+        |cc AS (SELECT n, CAST(count(*) AS BIGINT) AS groups FROM gs GROUP BY n),
+        |tot AS (SELECT CAST(sum(groups) AS BIGINT) AS n_keys,
+        |               CAST(sum(n * groups) AS BIGINT) AS total_rows,
+        |               CAST(max(n) AS BIGINT) AS max_n FROM cc),
+        |cum AS (SELECT n, sum(groups) OVER (ORDER BY n) AS cum FROM cc),
+        |p50 AS (SELECT min(n) AS v FROM cum, tot WHERE cum >= (1 * n_keys + 1) // 2),
+        |p99 AS (SELECT min(n) AS v FROM cum, tot WHERE cum >= (99 * n_keys + 99) // 100)
+        |SELECT tot.n_keys, tot.total_rows, tot.max_n,
+        |       CAST(p50.v AS BIGINT) AS p50_n, CAST(p99.v AS BIGINT) AS p99_n,
+        |       (tot.max_n * 1000000 * tot.n_keys) // tot.total_rows AS skew6
+        |FROM tot, p50, p99""".stripMargin,
+    "dq_skew_topk" ->
+      """WITH gs AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        |            FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM gs)
+        |SELECT key, n, (n * 1000000) // t AS share6 FROM gs, tot
+        |ORDER BY n DESC, key LIMIT 10""".stripMargin,
     "dq_checks" ->
       """WITH rc AS (
         | SELECT 'orders_status_domain' AS check_name,

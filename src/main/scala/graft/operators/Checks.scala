@@ -141,4 +141,73 @@ object Checks {
         col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
   }
+
+  /** Key-skew summary — the pre-flight check for every groupBy/join
+    * key at scale (a whale key is the thing that OOMs a 100 TB
+    * shuffle; this report is what decides salting/AQE-skew-join
+    * before the job runs). One row: group count, total rows, max
+    * group size, DISCRETE p50/p99 group sizes, and skew6 =
+    * max/mean in exact micro-units.
+    *
+    * Scale shape: group sizes collapse once (map-side-combined hash
+    * agg), then collapse AGAIN into a count-of-counts histogram —
+    * bounded by the number of DISTINCT group sizes, tiny even when
+    * keys number billions — which collects to the driver (documented
+    * bounded-bootstrap class) for the exact cumulative walk. No
+    * global sort, no single-partition window, no approx percentile:
+    * the percentiles are integer order statistics over the histogram,
+    * ceil division in pure integer math (the oracle mirrors it with
+    * `//`), so the report is engine-exact.
+    *
+    * Null keys count as a real group — null is a classic whale.
+    * Percentile convention: p_q = min size s with
+    * cum_groups(≤ s) ≥ ceil(q · n_keys).
+    */
+  def skewReport(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cc = df
+      .groupBy(key.as("__key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("groups"))
+      .orderBy(col("n"))
+      .collect()
+    if (cc.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("n_keys", "total_rows", "max_n", "p50_n", "p99_n", "skew6")
+    val nKeys = cc.map(_.getLong(1)).sum
+    val total = cc.map(r => r.getLong(0) * r.getLong(1)).sum
+    val maxN = cc.last.getLong(0)
+    def pct(num: Long, den: Long): Long = {
+      // target = ceil(num/den * nKeys) in pure integer math
+      val target = (num * nKeys + den - 1L) / den
+      var cum = 0L
+      cc.iterator
+        .map { r => cum += r.getLong(1); (r.getLong(0), cum) }
+        .find(_._2 >= target)
+        .map(_._1)
+        .getOrElse(maxN)
+    }
+    Seq((nKeys, total, maxN, pct(1L, 2L), pct(99L, 100L), maxN * 1000000L * nKeys / total))
+      .toDF("n_keys", "total_rows", "max_n", "p50_n", "p99_n", "skew6")
+  }
+
+  /** The named offenders behind [[skewReport]]'s max: the `k`
+    * heaviest keys with exact row counts and micro-unit share of the
+    * table — the list a salting config or a drop-list is written
+    * from. Keys render as strings (one report schema for any key
+    * type); ties break (n desc, key asc); the total is a one-scalar
+    * driver bootstrap off the group table.
+    */
+  def skewTopKeys(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val gs = df
+      .groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = gs.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    gs.withColumn("share6", expr(s"n * 1000000 div $total"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+  }
 }

@@ -595,6 +595,26 @@ class OperatorsSpec extends SparkSpec {
     assert(leaked.isEmpty, s"profile left persistent RDDs behind: $leaked")
   }
 
+  test("skewReport/skewTopKeys: exact order statistics, whale surfaced, null key counted") {
+    // 1 whale (90 rows), 9 keys of 1 row, 1 null-key row -> 11 groups
+    val rows = (1 to 90).map(_ => Option("whale")) ++
+      (1 to 9).map(i => Option(s"k$i")) ++ Seq(Option.empty[String])
+    val df = rows.toDF("k")
+    val rep = graft.operators.Checks.skewReport(df, $"k").collect().head
+    assert(rep.getLong(0) == 11L, "n_keys")
+    assert(rep.getLong(1) == 100L, "total_rows")
+    assert(rep.getLong(2) == 90L, "max_n")
+    assert(rep.getLong(3) == 1L, "p50 of sizes {1x10, 90}")
+    // p99 target = ceil(0.99*11) = 11 -> the whale's size
+    assert(rep.getLong(4) == 90L, "p99")
+    // skew6 = 90 * 1e6 * 11 / 100 = 9_900_000 (mean ~9.09, ratio 9.9)
+    assert(rep.getLong(5) == 9900000L, s"skew6 = ${rep.getLong(5)}")
+    val top = graft.operators.Checks.skewTopKeys(df, $"k", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.head == (("whale", 90L, 900000L)), top.mkString(","))
+    assert(top.length == 3)
+  }
+
   test("mergeAggDelta: overlap sums, one-sided keys survive, empty delta is identity") {
     val base = Seq((1L, 2L, 10.0), (2L, 1L, 5.0)).toDF("k", "n", "s")
     val delta = Seq((2L, 3L, 7.0), (3L, 1L, 1.0)).toDF("k", "n", "s")
