@@ -481,6 +481,28 @@ object Io {
   def dupGraphBucketCount(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/_meta").head().getInt(0)
 
+  /** Compact a dup-graph artifact's pair set: distinct pairs rewritten
+    * as a fresh stamp-0 base. Streaming maintenance can append the
+    * same pair under two stamps (a pair whose endpoints arrive in
+    * different micro-batches is discovered by both); the duplicates
+    * are harmless to the closure and to every label consumer, but
+    * they inflate the pair scan — this clears them, plus the file
+    * accumulation of a long append history. Labels are already a
+    * resolved table and are untouched.
+    */
+  def compactDupGraph(spark: SparkSession, path: String): Unit = {
+    val buckets = dupGraphBucketCount(spark, path)
+    val stage = s"$path/pairs_compacting"
+    readDupGraphPairs(spark, path)
+      .distinct()
+      .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("pair_bucket").parquet(stage)
+    spark.read.parquet(stage)
+      .write.mode("overwrite").partitionBy("pair_bucket").parquet(s"$path/pairs")
+    deleteDir(spark, stage)
+  }
+
   /** Incremental dup-graph maintenance — the IVF/PQ/postings upsert
     * discipline applied to the pair-graph artifact (the reference's
     * daily changed-page increment, where a batch's new near-dup pairs

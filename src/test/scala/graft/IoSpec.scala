@@ -213,6 +213,16 @@ class IoSpec extends SparkSpec {
     assert(got == full, s"incremental $got != full $full")
     // and the pair set round-trips with both stamps' rows
     assert(Io.readDupGraphPairs(spark, dir).count() == 6)
+    // a duplicate pair appended under a later stamp compacts away,
+    // pageRank off the compacted pairs is unchanged (hygiene would
+    // mask the dup anyway — compaction clears the bytes)
+    Io.upsertDupGraph(Seq((1L, 2L)).toDF("id_a", "id_b"), dir, seq = 3L)
+    assert(Io.readDupGraphPairs(spark, dir).count() == 7)
+    Io.compactDupGraph(spark, dir)
+    assert(Io.readDupGraphPairs(spark, dir).count() == 6)
+    val labelsAfter = Io.readDupGraphLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsAfter == full, "compaction must not touch labels")
   }
 
   test("tombstones: delete hides every version at or below its stamp; re-upsert restores") {

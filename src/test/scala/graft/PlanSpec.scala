@@ -138,4 +138,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dd_cluster_sizes_persisted: consumer plan reads the artifact, no shingle kernel") {
+    // the whole point of the dup-graph artifact: the consumer's plan
+    // must contain NO pair-pipeline stages — just parquet scans of
+    // documents + the persisted labels feeding hash aggregates
+    val p = plan("dd_cluster_sizes_persisted")
+    assert(!p.contains("word_shingles") && !p.contains("minhash"),
+      s"pair pipeline leaked into the consumer plan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("r_phrase_persisted: loaded-index scan prunes to the phrase terms' buckets") {
+    val p = plan("r_phrase_persisted")
+    // partition pruning on the persisted term_bucket layout — the
+    // scan must carry a PartitionFilters entry on term_bucket, the
+    // file-level nprobe of the retrieval index
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      s"no term_bucket partition pruning in:\n$p")
+  }
 }
