@@ -1102,6 +1102,22 @@ object SparkEntryCoverage {
       bm25Scores(t(s, dir, "documents"), Seq("data", "join"))
         .orderBy(col("doc_id"))
     },
+    // BM25 entirely off the persisted postings index — tf from
+    // position counts, doc lengths from the _doclen sidecar (the
+    // Lucene-norms pattern), scan pruned to the query terms' buckets:
+    // at query time NO raw-text scan exists in the plan. Scores must
+    // equal the corpus-scan t_bm25 over the indexed (non-empty-doc)
+    // universe.
+    "r_bm25_persisted" -> { (s, dir) =>
+      val idxPath =
+        s"/tmp/graft_idx/postings_bm_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id"),
+        idxPath)
+      TextAnalysis
+        .bm25FromPostings(s, idxPath, Seq("data", "join"))
+        .orderBy(col("doc_id"))
+    },
     // Hybrid retrieval: BM25 top-50 and featurizer-cosine top-50 fused
     // by reciprocal-rank fusion (Rag.rrfFuse). Each leg bounds its
     // candidates with TakeOrderedAndProject BEFORE ranking, so the
@@ -2894,14 +2910,15 @@ object SparkEntryCoverage {
     * 1 — unguarded it would shift avglen and every score on a corpus
     * with blank docs).
     */
-  private def bm25Sql(terms: Seq[String]): String = {
+  private def bm25Sql(terms: Seq[String], docPred: String = "TRUE"): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""dl AS (SELECT doc_id,
        |        CASE WHEN length(trim(text)) = 0 THEN 0
        |             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
-       |      FROM documents),
+       |      FROM documents WHERE $docPred),
        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
-       |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+       |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |          FROM documents WHERE $docPred),
        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
        |       WHERE term IN ($termList) GROUP BY doc_id, term),
        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
@@ -3534,6 +3551,11 @@ object SparkEntryCoverage {
     },
     "t_bm25" ->
       s"""WITH ${bm25Sql(Seq("data", "join"))}
+         |SELECT doc_id, bm25 FROM bm ORDER BY doc_id""".stripMargin,
+    // index-resident BM25: same scores over the INDEXED universe
+    // (non-empty docs — the only rows an inverted index contains)
+    "r_bm25_persisted" ->
+      s"""WITH ${bm25Sql(Seq("data", "join"), "length(trim(text)) > 0")}
          |SELECT doc_id, bm25 FROM bm ORDER BY doc_id""".stripMargin,
     "r_hybrid_rrf" -> {
       val bucket = "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"

@@ -407,24 +407,28 @@ object Similarity {
     // string compare per band); radius r relaxes each band to "within
     // r sign flips" — multiprobe, per-neighbor probe probability
     // 1 - (1 - P(Binom(bitsPerBand, p) >= bitsPerBand - r))^bands.
-    // Like the exact form it stays a pure column predicate: at scale,
-    // radius-1 probing over a first-band-partitioned layout reads
-    // 1 + bitsPerBand directories instead of 1.
+    // The r-neighborhood is ENUMERATED driver-side (hamming ≤ r ⟺
+    // membership in the sum C(bitsPerBand, 0..r) flipped variants) so
+    // the row predicate stays a small isin — a per-bit CASE tree here
+    // measurably blows the generated filter method past Janino's
+    // limit and drops the stage to interpreted. Enumeration is also
+    // the at-scale form: over a first-band-partitioned layout the
+    // variant list IS the directory probe set (1 + bitsPerBand dirs
+    // at radius 1).
+    def bandVariants(band: String): Seq[String] =
+      (0 to probeRadius).flatMap { r =>
+        band.indices.combinations(r).map { flips =>
+          val chars = band.toCharArray
+          flips.foreach(i => chars(i) = if (chars(i) == '1') '0' else '1')
+          new String(chars)
+        }
+      }
     val anyBand = (0 until bands)
       .map { b =>
-        if (probeRadius == 0)
-          substring(col("lsh_bucket"), b * bitsPerBand + 1, bitsPerBand) ===
-            lit(qSig.substring(b * bitsPerBand, (b + 1) * bitsPerBand))
-        else {
-          val bandHamming = (0 until bitsPerBand)
-            .map { i =>
-              val pos = b * bitsPerBand + i
-              when(substring(col("lsh_bucket"), pos + 1, 1) === lit(qSig(pos).toString), 0)
-                .otherwise(1)
-            }
-            .reduce((x: Column, y: Column) => x + y)
-          bandHamming <= probeRadius
-        }
+        val sub = substring(col("lsh_bucket"), b * bitsPerBand + 1, bitsPerBand)
+        val qBand = qSig.substring(b * bitsPerBand, (b + 1) * bitsPerBand)
+        if (probeRadius == 0) sub === lit(qBand)
+        else sub.isin(bandVariants(qBand): _*)
       }
       .reduce((a: Column, c: Column) => a || c)
     bruteForceTopK(signed.filter(anyBand), embCol, query, k)

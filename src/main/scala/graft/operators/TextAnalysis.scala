@@ -457,6 +457,60 @@ object TextAnalysis {
       .filter(col("n_hits") > 0)
   }
 
+  /** BM25 scoring ENTIRELY off a persisted postings index (k1 = 1.2,
+    * b = 0.75, the engine's standard constants): tf is the posting's
+    * position count, document lengths come from the index's `_doclen`
+    * sidecar (the Lucene-norms idea — written at index time precisely
+    * so scoring never re-reads the corpus), df/N are rollups of the
+    * pruned postings and the doc-length table. The scan prunes to the
+    * query terms' buckets, so at 100 TB a 2-term query reads 2/64 of
+    * the index files and one doc-count-bounded sidecar — no raw-text
+    * scan anywhere in the plan.
+    *
+    * Universe note: the index only contains non-empty docs, so N and
+    * avglen are over the indexed universe (empty docs carry no terms
+    * and no length mass) — the oracle mirrors that predicate.
+    * Returns (doc_id, bm25) for docs matching ≥1 query term, the
+    * corpus-side bm25Scores shape; scores round at 6 like the
+    * text-scan path.
+    */
+  def bm25FromPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      qTerms: Seq[String]): DataFrame = {
+    val Io = graft.sources.Io
+    val pruned = Io
+      .readPostingsLatest(spark, path)
+      .filter(col("term_bucket").isin(Io.postingsBuckets(spark, path, qTerms): _*))
+      .filter(col("term").isin(qTerms: _*))
+    val tf = pruned.select(
+      col("id").as("doc_id"),
+      col("term"),
+      size(col("positions")).cast("long").as("tf"))
+    val dl = Io.readPostingsDocLengths(spark, path)
+      .select(col("id").as("doc_id"), col("dl"))
+    val stats = broadcast(
+      dl.agg(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avglen"),
+        count(lit(1)).as("n")))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+    // literals 2.2/1.2/0.75, never k1+1 computed at runtime — the
+    // mmrRerank lambda rule: a derived constant is not the same
+    // double as the literal the oracle carries
+    val num = col("tf").cast("double") * lit(2.2)
+    val den = col("tf").cast("double") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / col("avglen")))
+    tf.join(dfx, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("contrib", idf * num / den)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+  }
+
   /** Collocation mining: the corpus's top-k word bigrams by pointwise
     * mutual information, PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) — the
     * classic phrase detector (Church & Hanks 1990; the word2vec-phrases

@@ -260,6 +260,13 @@ object Io {
       .withColumn("seq", lit(0L))
       .withColumn("deleted", lit(false))
       .write.mode("overwrite").parquet(s"$path/_docseq")
+    // doc-length sidecar (the Lucene-norms idea): token count per doc
+    // derived from the postings themselves, so length-normalized
+    // scoring (BM25) runs entirely off the index — no corpus scan
+    index.groupBy(col("id"))
+      .agg(sum(size(col("positions"))).cast("long").as("dl"))
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/_doclen")
     // the bucket count is part of the index's IDENTITY, so it rides
     // with the index instead of being re-supplied (and possibly
     // mis-supplied) at read time: an underscore-prefixed child
@@ -304,6 +311,10 @@ object Io {
       .withColumn("seq", lit(seq))
       .withColumn("deleted", lit(false))
       .write.mode("append").parquet(s"$path/_docseq")
+    index.groupBy(col("id"))
+      .agg(sum(size(col("positions"))).cast("long").as("dl"))
+      .withColumn("seq", lit(seq))
+      .write.mode("append").parquet(s"$path/_doclen")
   }
 
   /** Tombstone-delete whole documents from a persisted postings
@@ -330,7 +341,10 @@ object Io {
     * key is slim. Ties on the stamp keep both versions' rows —
     * callers must use distinct positive stamps per upsert.
     */
-  def readPostingsLatest(spark: SparkSession, path: String): DataFrame = {
+  /** The live doc versions of a postings index: (\_\_did, __max_seq)
+    * for every doc whose latest sidecar row is not a tombstone.
+    */
+  private def livePostingsDocs(spark: SparkSession, path: String): DataFrame = {
     // a doc's effective version is its max-stamp sidecar row; if that
     // row is a tombstone (deletePostingsDocs), the doc serves nothing
     val raw = spark.read.parquet(s"$path/_docseq")
@@ -338,17 +352,31 @@ object Io {
       if (raw.columns.contains("deleted"))
         raw.withColumn("deleted", coalesce(col("deleted"), lit(false)))
       else raw.withColumn("deleted", lit(false))
-    val docSeq = graft.operators.Relational
+    graft.operators.Relational
       .dedupeFirstWins(withFlag, Seq(col("id")), Seq(col("seq").desc))
       .filter(!col("deleted"))
       .select(col("id").as("__did"), col("seq").as("__max_seq"))
+  }
+
+  def readPostingsLatest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
       .join(
-        docSeq,
+        livePostingsDocs(spark, path),
         col("id") === col("__did") && col("__seq") === col("__max_seq"))
       .drop("__did", "__max_seq", "__seq")
-  }
+
+  /** Live doc lengths (id, dl) from the `_doclen` sidecar — each live
+    * doc's CURRENT version's token count. The input to index-resident
+    * length-normalized scoring ([[graft.operators.TextAnalysis
+    * .bm25FromPostings]]); doc-count-bounded, no corpus scan.
+    */
+  def readPostingsDocLengths(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_doclen")
+      .join(
+        livePostingsDocs(spark, path),
+        col("id") === col("__did") && col("seq") === col("__max_seq"))
+      .select(col("id"), col("dl"))
 
   /** Compact a persisted postings index: materialize the effective
     * postings (doc-version resolution + tombstones) and rebuild the
