@@ -1151,6 +1151,45 @@ object SparkEntryCoverage {
           col("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
     },
+    // Hybrid retrieval with the LEXICAL leg entirely off the
+    // persisted postings artifact (TextAnalysis.bm25FromPostings —
+    // no raw-text scan on that leg): two artifact families composing
+    // in one query, fused identically. Oracle is the hybrid mirror
+    // over the indexed universe.
+    "r_hybrid_persisted" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val idxPath =
+        s"/tmp/graft_idx/postings_hy_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
+        idxPath)
+      val lex = TextAnalysis
+        .bm25FromPostings(s, idxPath, Seq("data", "join"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+        .withColumn(
+          "rank",
+          row_number().over(w.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val qv = VectorFns.embedText(lit("data join window"), 16)
+      val vec = docs
+        .select(
+          col("doc_id"),
+          VectorFns.cosine(VectorFns.embedText(col("text"), 16), qv).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+        .withColumn(
+          "rank",
+          row_number().over(w.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      graft.pipelines.Rag
+        .rrfFuse(lex, vec, "doc_id", c = 60, k = 10)
+        .select(
+          col("doc_id"),
+          col("rank_a").as("lex_rank"),
+          col("rank_b").as("vec_rank"),
+          col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
     // weekly distinct users (I5 sibling: exact distinct per window)
     "i5_weekly_users" -> { (s, dir) =>
       t(s, dir, "events")
@@ -2932,6 +2971,37 @@ object SparkEntryCoverage {
        |bm AS (SELECT doc_id, round(SUM(c), 6) AS bm25 FROM contrib GROUP BY doc_id)""".stripMargin
   }
 
+  /** The hybrid retrieve-then-fuse oracle (BM25 top-50 + featurizer-
+    * cosine top-50, RRF c = 60, top-10), parameterized by the lexical
+    * leg's doc universe — TRUE for the corpus-scan path, the
+    * non-empty predicate for the index-resident lexical leg.
+    */
+  private def hybridRrfOracle(lexDocPred: String): String = {
+    val bucket = "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"
+    // blank docs mirror embedText's guarded tokens (zero vector) —
+    // an unguarded regexp_split would give them a unit vector at
+    // md5('')'s bucket
+    def vexpr(src: String) =
+      s"CASE WHEN length(trim($src)) = 0 THEN list_transform(generate_series(0, 15), j -> 0.0) " +
+        s"ELSE list_transform(generate_series(0, 15), j -> CAST(len(list_filter(" +
+        s"regexp_split_to_array(trim($src), '\\s+'), t -> $bucket = j)) AS DOUBLE)) END"
+    s"""WITH ${bm25Sql(Seq("data", "join"), lexDocPred)},
+       |lexr AS (SELECT doc_id, ra FROM (
+       |   SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra FROM bm)
+       |   WHERE ra <= 50),
+       |vvec AS (SELECT doc_id, ${vexpr("text")} AS v FROM documents),
+       |qvec AS (SELECT ${vexpr("'data join window'")} AS qv),
+       |vscore AS (SELECT doc_id, ${sqlCosine("v", "qv")} AS score FROM vvec, qvec),
+       |vecr AS (SELECT doc_id, rb FROM (
+       |   SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb FROM vscore)
+       |   WHERE rb <= 50),
+       |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.ra, v.rb,
+       |        COALESCE(1.0/(60.0 + l.ra), 0.0) + COALESCE(1.0/(60.0 + v.rb), 0.0) AS rrf
+       |      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, ra AS lex_rank, rb AS vec_rank, rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   private[graft] def sqlHash32(key: String): String =
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
@@ -3557,31 +3627,10 @@ object SparkEntryCoverage {
     "r_bm25_persisted" ->
       s"""WITH ${bm25Sql(Seq("data", "join"), "length(trim(text)) > 0")}
          |SELECT doc_id, bm25 FROM bm ORDER BY doc_id""".stripMargin,
-    "r_hybrid_rrf" -> {
-      val bucket = "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"
-      // blank docs mirror embedText's guarded tokens (zero vector) —
-      // an unguarded regexp_split would give them a unit vector at
-      // md5('')'s bucket
-      def vexpr(src: String) =
-        s"CASE WHEN length(trim($src)) = 0 THEN list_transform(generate_series(0, 15), j -> 0.0) " +
-          s"ELSE list_transform(generate_series(0, 15), j -> CAST(len(list_filter(" +
-          s"regexp_split_to_array(trim($src), '\\s+'), t -> $bucket = j)) AS DOUBLE)) END"
-      s"""WITH ${bm25Sql(Seq("data", "join"))},
-         |lexr AS (SELECT doc_id, ra FROM (
-         |   SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra FROM bm)
-         |   WHERE ra <= 50),
-         |vvec AS (SELECT doc_id, ${vexpr("text")} AS v FROM documents),
-         |qvec AS (SELECT ${vexpr("'data join window'")} AS qv),
-         |vscore AS (SELECT doc_id, ${sqlCosine("v", "qv")} AS score FROM vvec, qvec),
-         |vecr AS (SELECT doc_id, rb FROM (
-         |   SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb FROM vscore)
-         |   WHERE rb <= 50),
-         |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.ra, v.rb,
-         |        COALESCE(1.0/(60.0 + l.ra), 0.0) + COALESCE(1.0/(60.0 + v.rb), 0.0) AS rrf
-         |      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
-         |SELECT doc_id, ra AS lex_rank, rb AS vec_rank, rrf FROM f
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "r_hybrid_rrf" -> hybridRrfOracle("TRUE"),
+    // hybrid with the lexical leg off the persisted postings index —
+    // BM25 over the indexed (non-empty-doc) universe
+    "r_hybrid_persisted" -> hybridRrfOracle("length(trim(text)) > 0"),
     "i5_weekly_users" ->
       """SELECT strftime(make_timestamp((epoch_us(ts) // 604800000000) * 604800000000), '%Y-%m-%d') AS week_start,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
