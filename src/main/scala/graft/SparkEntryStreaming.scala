@@ -449,6 +449,44 @@ object SparkEntryStreaming {
         .select(col("id").as("doc_id"), col("n_hits"))
         .orderBy(col("doc_id"))
     },
+    // Streaming takedown — right-to-be-forgotten as a live feed:
+    // delete requests (doc ids) stream in and each micro-batch
+    // tombstones them in the persisted postings index
+    // (Io.deletePostingsDocs, seq = batchId+1); the phrase query
+    // afterwards must see none of them. Oracle: the phrase mirror
+    // over the surviving docs — a takedown that missed a batch (or a
+    // term) would leave hits the oracle doesn't have.
+    "st_takedown" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idxPath =
+        s"/tmp/graft_idx/post_td_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        graft.operators.TextAnalysis.invertedIndex(docs, "text", "doc_id"),
+        idxPath)
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.deletePostingsDocs(batch, idxPath, seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val phrase = Seq("table", "hash")
+      val pruned = graft.sources.Io
+        .readPostingsLatest(s, idxPath)
+        .filter(
+          col("term_bucket")
+            .isin(graft.sources.Io.postingsBuckets(s, idxPath, phrase): _*))
+      graft.operators.TextAnalysis
+        .phraseSearch(pruned, phrase)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
     // Streaming dup-graph maintenance — the last artifact family gets
     // its live increment: the base graph holds the historical half's
     // closure, batch docs stream in, and each micro-batch appends
@@ -585,6 +623,8 @@ object SparkEntryStreaming {
     // streamed incremental closure must converge to the full-corpus
     // closure — dd_cluster_sizes' oracle, shared three ways
     "st_dupgraph_upsert" -> SparkEntryCoverage.oracleSql("dd_cluster_sizes"),
+    // streamed takedowns: phrase results over exactly the survivors
+    "st_takedown" -> SparkEntryCoverage.phraseSearchOracleFor("doc_id % 4 <> 0"),
     // violation sums are merge-invariant; NULL predicate = violation
     // (the Checks contract)
     "st_dq_checks" ->
