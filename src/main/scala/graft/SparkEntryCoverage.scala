@@ -1550,6 +1550,15 @@ object SparkEntryCoverage {
         .pqTopK(codes, "embedding", books, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // Embedding-distribution drift per label group vs the corpus
+    // (Similarity.embeddingDriftByGroup): nano-quantized exact integer
+    // sums, cosine of SUM vectors (scale-invariant — no division),
+    // the encoder-bump / poisoned-feed early warning
+    "v_embed_drift" -> { (s, dir) =>
+      Similarity
+        .embeddingDriftByGroup(t(s, dir, "embeddings"), col("label"), "embedding")
+        .orderBy(col("group"))
+    },
     // Ingest-time embedding normalization (cosine -> dot at query time)
     "v_normalize" -> { (s, dir) =>
       Similarity
@@ -3775,6 +3784,24 @@ object SparkEntryCoverage {
       pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
     "v_pq_compacted" ->
       pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
+    "v_embed_drift" -> {
+      s"""WITH dims AS (
+         | SELECT label AS grp, gs.i - 1 AS dim,
+         |        CAST(round(CAST(embedding[CAST(gs.i AS INT)] AS DOUBLE) * 1e9, 0) AS BIGINT) AS q
+         | FROM embeddings,
+         |      LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs
+         | WHERE embedding IS NOT NULL),
+         |sums AS (SELECT grp, dim, CAST(sum(q) AS BIGINT) AS sq,
+         |                CAST(count(*) AS BIGINT) AS c
+         |         FROM dims GROUP BY grp, dim),
+         |gv AS (SELECT grp, list(CAST(sq AS DOUBLE) ORDER BY dim) AS v,
+         |              max(c) AS n_vecs FROM sums GROUP BY grp),
+         |cv AS (SELECT list(CAST(tq AS DOUBLE) ORDER BY dim) AS v
+         |       FROM (SELECT dim, sum(sq) AS tq FROM sums GROUP BY dim))
+         |SELECT gv.grp AS "group", gv.n_vecs,
+         |       round(${sqlCosine("gv.v", "cv.v")}, 6) AS drift_cos
+         |FROM gv, cv ORDER BY gv.grp""".stripMargin
+    },
     "v_normalize" -> {
       val normExpr =
         "sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), " +

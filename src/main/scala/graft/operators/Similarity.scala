@@ -502,6 +502,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-distribution drift monitor: for every group (source,
+    * ingest batch, snapshot), the cosine between the group's mean
+    * embedding DIRECTION and the corpus's — the cheap early-warning
+    * that a feed's embedding distribution moved (encoder version
+    * bump, upstream content shift, a poisoned source). Cosine is
+    * scale-invariant, so SUM vectors stand in for means and no
+    * division ever happens.
+    *
+    * Exactness discipline: each component quantizes ONCE to nano
+    * units (round(v·1e9) as BIGINT — the entropy-family rounding,
+    * mirrored by the oracle), per-(group, dim) sums are exact integer
+    * math on any partitioning, group vectors rebuild in dim order,
+    * and the final cosine is the fixed left-to-right kernel fold on
+    * integers-as-doubles — bit-identical on any engine. Null
+    * embeddings carry no evidence and are excluded; ragged dims are a
+    * caller contract (fixed-dim embedding columns).
+    *
+    * Scale shape: one posexplode pass → map-side-combined hash agg on
+    * (group, dim) — dims·groups bounded — then a groups-bounded
+    * rebuild; the global vector is a dims-bounded rollup broadcast
+    * into the comparison. Returns (group, n_vecs, drift_cos round 6).
+    */
+  def embeddingDriftByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      embCol: String): DataFrame = {
+    val dims = df
+      .filter(col(embCol).isNotNull)
+      .select(
+        groupCol.as("group"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
+      .select(
+        col("group"),
+        col("dim"),
+        round(col("v") * lit(1e9), 0).cast("long").as("q"))
+    val sums = dims
+      .groupBy(col("group"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("c"))
+    val gVec = sums
+      .groupBy(col("group"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("sq")))),
+          x => x.getField("sq").cast("double")).as("gv"),
+        // every dim counts each vector once — any dim's count is the
+        // group's vector count
+        max(col("c")).as("n_vecs"))
+    val global = broadcast(
+      sums
+        .groupBy(col("dim"))
+        .agg(sum(col("sq")).as("tq"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("dim"), col("tq")))),
+            x => x.getField("tq").cast("double")).as("cv")))
+    gVec
+      .crossJoin(global)
+      .select(
+        col("group"),
+        col("n_vecs"),
+        round(graft.functions.VectorFns.cosine(col("gv"), col("cv")), 6).as("drift_cos"))
+  }
+
   /** Maximal Marginal Relevance re-rank of a bounded candidate pool:
     * greedily pick `k` results maximizing
     * `lambda·rel − penalty·max(sim to already-picked)` — the standard

@@ -290,6 +290,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(flat == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
   }
 
+  test("embeddingDriftByGroup: aligned group scores 1, inverted group -1, nulls excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      (Option("a"), Option(Seq(1.0f, 0.0f))),
+      (Option("a"), Option(Seq(1.0f, 0.0f))),
+      (Option("b"), Option(Seq(-1.0f, 0.0f))),
+      (Option("b"), Option.empty[Seq[Float]]) // no evidence -> excluded
+    ).toDF("g", "embedding")
+    val got = Similarity
+      .embeddingDriftByGroup(rows, col("g"), "embedding")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // global sum = (1e9, 0); a = (2e9, 0) -> cos 1; b = (-1e9, 0) -> cos -1
+    assert(got("a") == ((2L, 1.0)), got.toString)
+    assert(got("b") == ((1L, -1.0)), got.toString)
+  }
+
   test("mmrRerank shortlist bound is enforced: an oversized pool fails fast, never OOMs") {
     import spark.implicits._
     val big = spark.range(0, 50)
