@@ -2341,6 +2341,24 @@ object SparkEntryCoverage {
     "dq_skew_topk" -> { (s, dir) =>
       Checks.skewTopKeys(t(s, dir, "events"), col("user_id"), 10)
     },
+    // Distribution drift per source (Checks.ksDrift): max CDF gap of
+    // each source's quality-score distribution vs the corpus over 20
+    // fixed buckets — exact integer CDFs, the numeric-score member of
+    // the drift family (tokens: t_source_kl; embeddings:
+    // v_embed_drift). Quality derives from the shared engine
+    // constants, so engine and oracle cannot desynchronize.
+    "dq_dist_drift" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(
+          col("source"),
+          TextAnalysis
+            .qualityScore(col("text"), SparkEntry.qualityStops)
+            .as("q"))
+      Checks
+        .ksDrift(scored, col("source"), col("q"), 0.0, 1.0, 20)
+        .select(col("group").as("source"), col("n"), col("ks6"), col("ks"))
+        .orderBy(col("source"))
+    },
     // Data-quality gate report (the dbt-tests / expectations
     // primitive): domain/positivity/not-null row checks share ONE
     // aggregate pass over orders, uniqueness is a key-count agg,
@@ -4288,6 +4306,35 @@ object SparkEntryCoverage {
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM gs)
         |SELECT key, n, (n * 1000000) // t AS share6 FROM gs, tot
         |ORDER BY n DESC, key LIMIT 10""".stripMargin,
+    // quality CTEs derived from the shared engine constants (the
+    // t_funnel_e2e rule); the KS walk replays ksDrift's integer
+    // arithmetic with // division
+    "dq_dist_drift" ->
+      s"""WITH qb AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(len(regexp_split_to_array(trim(text),'\\s+')) AS DOUBLE) AS nt,
+         |  ${TextAnalysis.stopHitsSql(SparkEntry.qualityStops, "regexp_split_to_array(trim(text),'\\s+')")} AS ns
+         |  FROM documents),
+         |qual AS (SELECT source, ${TextAnalysis.qualitySql("nc", "nt", "ns")} AS q FROM qb),
+         |bk AS (SELECT source,
+         |         least(greatest(CAST(floor((q - 0.0) / 1.0 * 20) AS BIGINT), 0), 19) AS bucket
+         |       FROM qual WHERE q IS NOT NULL AND source IS NOT NULL),
+         |counts AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bk),
+         |chist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+         |buckets AS (SELECT unnest(generate_series(0, 19)) AS bucket),
+         |ccdf AS (SELECT b.bucket, sum(COALESCE(ch.c, 0)) OVER (ORDER BY b.bucket) AS cum
+         |         FROM buckets b LEFT JOIN chist ch USING (bucket)),
+         |ccdf6 AS (SELECT bucket, cum * 1000000 // t AS cdf6 FROM ccdf, tot),
+         |gn AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY source),
+         |grid AS (SELECT g.source, g.n, b.bucket FROM gn g, buckets b),
+         |gcum AS (SELECT grid.source, grid.n, grid.bucket,
+         |           sum(COALESCE(c.c, 0)) OVER (PARTITION BY grid.source ORDER BY grid.bucket) AS cum
+         |         FROM grid LEFT JOIN counts c ON c.source = grid.source AND c.bucket = grid.bucket),
+         |gaps AS (SELECT g.source, g.n, abs(g.cum * 1000000 // g.n - c6.cdf6) AS gap
+         |         FROM gcum g JOIN ccdf6 c6 USING (bucket))
+         |SELECT source, CAST(max(n) AS BIGINT) AS n, CAST(max(gap) AS BIGINT) AS ks6,
+         |       CAST(max(gap) AS DOUBLE) / 1e6 AS ks
+         |FROM gaps GROUP BY source ORDER BY source""".stripMargin,
     "dq_checks" ->
       """WITH rc AS (
         | SELECT 'orders_status_domain' AS check_name,

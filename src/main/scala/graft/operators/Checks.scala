@@ -193,6 +193,85 @@ object Checks {
       .toDF("n_keys", "total_rows", "max_n", "p50_n", "p99_n", "skew6")
   }
 
+  /** Kolmogorov–Smirnov-style distribution drift per group: the max
+    * CDF gap between each group's value distribution and the
+    * corpus's, over `nBuckets` fixed quantization buckets of
+    * [lo, hi] — the numeric-score counterpart of the token-KL and
+    * embedding-drift monitors (is THIS source's quality/length/
+    * perplexity distribution shaped like everyone else's?).
+    *
+    * Exactness: values quantize once to a bucket index (floor
+    * arithmetic, clamped ends — out-of-range values land in the edge
+    * buckets rather than vanishing), bucket counts are exact longs,
+    * CDFs quantize to micro-units by integer division, and the KS
+    * statistic is an integer max of integer gaps — engine-exact, the
+    * oracle replays it with `//`. The true KS sup is approximated
+    * from below by the bucket grid (sup over nBuckets boundaries) —
+    * declared semantics, finer grid = tighter.
+    *
+    * Scale shape: one quantization pass → hash agg on (group,
+    * bucket); the per-group CDF walk is a window PARTITIONED BY GROUP
+    * over ≤ nBuckets rows (groups × buckets bounded, built by an
+    * explode of the bucket range so empty buckets still carry the
+    * running CDF); the corpus CDF is an nBuckets-bounded driver
+    * bootstrap broadcast as a literal array. Null values carry no
+    * distributional evidence and are excluded. Returns
+    * (group, n, ks6, ks).
+    */
+  def ksDrift(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val b = least(
+      greatest(
+        floor((value - lit(lo)) / lit(hi - lo) * lit(nBuckets)).cast("long"),
+        lit(0L)),
+      lit(nBuckets - 1L))
+    val counts = df
+      .filter(value.isNotNull && group.isNotNull)
+      .groupBy(group.as("group"), b.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // corpus CDF: nBuckets-bounded driver bootstrap -> literal array
+    val corpusHist = counts
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val total = corpusHist.values.sum
+    val corpusCdf6: Seq[Long] = (0L until nBuckets.toLong)
+      .scanLeft(0L)((cum, i) => cum + corpusHist.getOrElse(i, 0L))
+      .tail
+      .map(cum => if (total == 0L) 0L else cum * 1000000L / total)
+    val cdfArr = array(corpusCdf6.map(lit): _*)
+    // per group x EVERY bucket (empty buckets carry the running CDF)
+    val grid = counts
+      .groupBy(col("group"))
+      .agg(sum(col("c")).as("n"))
+      .select(
+        col("group"),
+        col("n"),
+        explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy(col("bucket"))
+    grid
+      .join(counts, Seq("group", "bucket"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
+      .withColumn("cdf6", expr("cum * 1000000 div n"))
+      .withColumn(
+        "gap",
+        abs(col("cdf6") - element_at(cdfArr, col("bucket").cast("int") + 1)))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"), max(col("gap")).as("ks6"))
+      .withColumn("ks", col("ks6").cast("double") / lit(1e6))
+  }
+
   /** The named offenders behind [[skewReport]]'s max: the `k`
     * heaviest keys with exact row counts and micro-unit share of the
     * table — the list a salting config or a drop-list is written

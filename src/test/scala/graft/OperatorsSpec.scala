@@ -615,6 +615,25 @@ class OperatorsSpec extends SparkSpec {
     assert(top.length == 3)
   }
 
+  test("ksDrift: mirror group scores 0, disjoint group scores the honest CDF gap") {
+    // corpus = a:{0.1 x2, 0.9 x2} + b:{0.1, 0.9} (same shape -> both
+    // groups mirror the corpus, ks 0) ; c concentrates at 0.1 only
+    val rows = Seq(
+      ("a", 0.1), ("a", 0.1), ("a", 0.9), ("a", 0.9),
+      ("b", 0.1), ("b", 0.9),
+      ("c", 0.1), ("c", 0.1)
+    ).toDF("g", "v")
+    val got = graft.operators.Checks
+      .ksDrift(rows, $"g", $"v", 0.0, 1.0, 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // corpus CDF at bucket 1..8 = 5/8 = 625000 micro; a/b CDF = 1/2 =
+    // 500000 -> gap 125000; c CDF = 1 -> gap 375000
+    assert(got("a") == ((4L, 125000L)), got.toString)
+    assert(got("b") == ((2L, 125000L)), got.toString)
+    assert(got("c") == ((2L, 375000L)), got.toString)
+  }
+
   test("mergeAggDelta: overlap sums, one-sided keys survive, empty delta is identity") {
     val base = Seq((1L, 2L, 10.0), (2L, 1L, 5.0)).toDF("k", "n", "s")
     val delta = Seq((2L, 3L, 7.0), (3L, 1L, 1.0)).toDF("k", "n", "s")
