@@ -45,10 +45,15 @@ object SparkEntry {
       miscQueries ++ extraQueries ++ SparkEntryCoverage.queries ++
       SparkEntryStreaming.queries ++ SparkEntryTpch.queries
 
-  def oracleSql: Map[String, String] =
-    relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++
-      miscOracle ++ extraOracle ++ SparkEntryCoverage.oracleSql ++
-      SparkEntryStreaming.oracleSql ++ SparkEntryTpch.oracleSql
+  def oracleSql: Map[String, String] = {
+    val base =
+      relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++
+        miscOracle ++ extraOracle ++ SparkEntryCoverage.oracleSql ++
+        SparkEntryStreaming.oracleSql ++ SparkEntryTpch.oracleSql
+    // persisted-artifact twin (the SparkEntryCoverage rule): the
+    // loaded phash index must reproduce the in-line pair set
+    base ++ Map("mm_phash_persisted" -> base("mm_phash_neardup"))
+  }
 
   // ---------------------------------------------------------------
   // Extra coverage: W3, A8, C5-C7, C13, F3, J3
@@ -1778,6 +1783,21 @@ object SparkEntry {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "image")
       Multimodal
         .phashNearDupPairs(media, 2, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // T17 persisted: the phash CODES are the build-time artifact (the
+    // hash of DECODED media — the expensive step at 100 TB of
+    // images); written once partitioned by prefix bucket
+    // (Io.writePhashIndex), the dedup consumer loads 2-byte codes and
+    // never touches media bytes. Must equal the in-line pair set —
+    // one oracle, two paths.
+    "mm_phash_persisted" -> { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "image")
+      val idxPath = s"/tmp/graft_idx/phash_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePhashIndex(Multimodal.phashCodes(media), idxPath)
+      Multimodal
+        .phashPairsFromCodes(
+          graft.sources.Io.readPhashIndex(s, idxPath), 2, maxBucket = 8)
         .orderBy(col("id_a"), col("id_b"))
     }
   )

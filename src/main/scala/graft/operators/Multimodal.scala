@@ -144,18 +144,42 @@ object Multimodal {
   def phashNearDupPairs(
       media: DataFrame,
       maxHamming: Int,
-      maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming >= 0, "maxHamming must be non-negative")
-    require(maxBucket > 1, "maxBucket must exceed 1 (a 1-member bucket has no pairs)")
+      maxBucket: Int = 10000): DataFrame =
+    phashPairsFromCodes(phashCodes(media), maxHamming, maxBucket)
+
+  /** The perceptual-hash code table of a media corpus: (id, phash,
+    * pfx) — the 16-bit aHash over the stubbed feature vector plus its
+    * 8-bit prefix bucket. This is the BUILD-TIME artifact of the
+    * multimodal dedup path ([[graft.sources.Io.writePhashIndex]]
+    * persists it partitioned by prefix, so a probe prunes to one
+    * bucket directory); pair generation consumes codes, never raw
+    * media bytes.
+    */
+  def phashCodes(media: DataFrame): DataFrame = {
     val feats = extractFeatures(media)
     val bits = (0 until 16).map(i =>
       when(
         element_at(col("features"), i + 1) * 16.0 > col("n_bytes").cast("double"),
         lit(1L << i)).otherwise(lit(0L)))
-    val hashed = feats
+    feats
       .select(col("media_id").as("id"), bits.reduce(_ + _).as("phash"))
       .withColumn("pfx", shiftright(col("phash"), 8))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Near-dup pairs from a phash code table ([[phashCodes]] output —
+    * in-line or loaded from a persisted index): prefix-bucket
+    * candidates, degenerate buckets df-capped, codegen
+    * `bit_count(xor)` Hamming verify. Codes are persisted for the
+    * double-sided bucket join (same caching contract as the
+    * jaccard/minhash pair generators).
+    */
+  def phashPairsFromCodes(
+      codes: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    require(maxBucket > 1, "maxBucket must exceed 1 (a 1-member bucket has no pairs)")
+    val hashed = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBuckets = hashed
       .groupBy(col("pfx"))
       .agg(count(lit(1)).as("__n"))

@@ -594,6 +594,21 @@ object Io {
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels")
   }
 
+  /** Persist a perceptual-hash code table
+    * ([[graft.operators.Multimodal.phashCodes]] output) partitioned
+    * by the 8-bit prefix bucket — the multimodal member of the
+    * persistent-index family: codes are the hash of the DECODED
+    * media (the expensive step at 100 TB of images), so the build
+    * runs once and every dedup/probe consumer loads 2-byte codes
+    * instead of re-decoding bytes; a single-image probe prunes to
+    * its prefix directory.
+    */
+  def writePhashIndex(codes: DataFrame, path: String): Unit =
+    codes.write.mode("overwrite").partitionBy("pfx").parquet(path)
+
+  def readPhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   // ---- tombstone deletes (takedown / right-to-be-forgotten) -------
   //
   // A training-data engine must be able to REMOVE documents from its
