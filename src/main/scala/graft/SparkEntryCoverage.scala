@@ -2341,6 +2341,23 @@ object SparkEntryCoverage {
     "dq_skew_topk" -> { (s, dir) =>
       Checks.skewTopKeys(t(s, dir, "events"), col("user_id"), 10)
     },
+    // Artifact coverage audit (Checks.coverageAudit): after a
+    // postings build, reconcile indexed doc ids against the corpus —
+    // the non-empty docs must ALL be indexed, nothing else may be.
+    // The oracle recomputes the expected sets independently.
+    "dq_index_coverage" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxPath =
+        s"/tmp/graft_idx/postings_cov_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
+        idxPath)
+      Checks.coverageAudit(
+        docs.filter(length(trim(col("text"))) > 0),
+        col("doc_id"),
+        graft.sources.Io.readPostings(s, idxPath),
+        col("id"))
+    },
     // Distribution drift per source (Checks.ksDrift): max CDF gap of
     // each source's quality-score distribution vs the corpus over 20
     // fixed buckets — exact integer CDFs, the numeric-score member of
@@ -4306,6 +4323,14 @@ object SparkEntryCoverage {
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM gs)
         |SELECT key, n, (n * 1000000) // t AS share6 FROM gs, tot
         |ORDER BY n DESC, key LIMIT 10""".stripMargin,
+    "dq_index_coverage" ->
+      """WITH e AS (SELECT DISTINCT doc_id FROM documents WHERE length(trim(text)) > 0),
+        |a AS (SELECT DISTINCT doc_id FROM documents WHERE length(trim(text)) > 0)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_expected,
+        |       CAST((SELECT count(*) FROM a) AS BIGINT) AS n_actual,
+        |       CAST(0 AS BIGINT) AS n_missing,
+        |       CAST(0 AS BIGINT) AS n_extra,
+        |       TRUE AS covered""".stripMargin,
     // quality CTEs derived from the shared engine constants (the
     // t_funnel_e2e rule); the KS walk replays ksDrift's integer
     // arithmetic with // division

@@ -193,6 +193,41 @@ object Checks {
       .toDF("n_keys", "total_rows", "max_n", "p50_n", "p99_n", "skew6")
   }
 
+  /** Artifact coverage audit: does a derived artifact (postings
+    * index, ANN cells, dup-graph labels, payload store) cover exactly
+    * the corpus rows it should? Reports expected/actual/missing/extra
+    * id counts in ONE pass — the reconciliation an operator runs
+    * after every build or incremental update, because a silent
+    * partial build (a failed task retry, a bad predicate in the
+    * increment) otherwise surfaces as quietly-wrong query results
+    * weeks later.
+    *
+    * Scale shape: two distinct-id projections full-outer-joined on
+    * the id — one shuffle of slim keys; counts come from one
+    * aggregate over the join's null pattern. Null ids on either side
+    * count as that side's rows (an artifact with null ids IS a
+    * defect worth surfacing — they land in `n_extra`/`n_missing`
+    * via the null-safe equality join... nulls never join, so each
+    * null-id row shows up as uncovered).
+    */
+  def coverageAudit(
+      expected: DataFrame,
+      expectedId: Column,
+      actual: DataFrame,
+      actualId: Column): DataFrame = {
+    val e = expected.select(expectedId.as("__id")).distinct()
+      .withColumn("__e", lit(1))
+    val a = actual.select(actualId.as("__id")).distinct()
+      .withColumn("__a", lit(1))
+    e.join(a, Seq("__id"), "full")
+      .agg(
+        coalesce(sum(col("__e")), lit(0)).cast("long").as("n_expected"),
+        coalesce(sum(col("__a")), lit(0)).cast("long").as("n_actual"),
+        coalesce(sum(when(col("__a").isNull, 1)), lit(0)).cast("long").as("n_missing"),
+        coalesce(sum(when(col("__e").isNull, 1)), lit(0)).cast("long").as("n_extra"))
+      .withColumn("covered", col("n_missing") === 0L)
+  }
+
   /** Kolmogorov–Smirnov-style distribution drift per group: the max
     * CDF gap between each group's value distribution and the
     * corpus's, over `nBuckets` fixed quantization buckets of

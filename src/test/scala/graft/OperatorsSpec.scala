@@ -615,6 +615,16 @@ class OperatorsSpec extends SparkSpec {
     assert(top.length == 3)
   }
 
+  test("coverageAudit: partial artifact surfaces missing, foreign rows surface extra") {
+    val corpus = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val artifact = Seq(1L, 2L, 2L, 5L).toDF("id") // dup collapses; 3,4 missing; 5 extra
+    val r = graft.operators.Checks
+      .coverageAudit(corpus, $"id", artifact, $"id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      ((4L, 3L, 2L, 1L, false)))
+  }
+
   test("ksDrift: mirror group scores 0, disjoint group scores the honest CDF gap") {
     // corpus = a:{0.1 x2, 0.9 x2} + b:{0.1, 0.9} (same shape -> both
     // groups mirror the corpus, ks 0) ; c concentrates at 0.1 only
