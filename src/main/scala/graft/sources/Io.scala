@@ -468,25 +468,44 @@ object Io {
     import spark.implicits._
     // base rows carry upsert-stamp 0, the writeIvfIndex rule: one
     // schema shared with later upsertDupGraph appends
-    pairs
+    val stampedPairs = pairs
       .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
+    stampedPairs
       .write
       .mode("overwrite")
       .partitionBy("pair_bucket")
       .parquet(s"$path/pairs")
-    graft.operators.Dedup
+    // EXPLICIT-schema read-backs throughout this family: an EMPTY
+    // pair set (a quiet day's increment base, a history window with
+    // no dups) writes a fileless parquet dir, and schema inference on
+    // it throws — with the schema persisted in _meta and supplied on
+    // every read, an empty artifact is just an empty frame.
+    val stampedLabels = graft.operators.Dedup
       .clusterPairs(
-        spark.read.parquet(s"$path/pairs").select(col("id_a"), col("id_b")),
+        spark.read.schema(stampedPairs.schema).parquet(s"$path/pairs")
+          .select(col("id_a"), col("id_b")),
         checkpointDir = checkpointDir)
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+    stampedLabels
       .write
       .mode("overwrite")
       .partitionBy("id_bucket")
       .parquet(s"$path/labels")
-    Seq(buckets).toDF("buckets")
+    Seq((buckets, stampedPairs.schema.json, stampedLabels.schema.json))
+      .toDF("buckets", "pairs_schema", "labels_schema")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private def dupGraphMeta(spark: SparkSession, path: String): (Int, StructType, StructType) = {
+    val r = spark.read.parquet(s"$path/_meta")
+      .select(col("buckets"), col("pairs_schema"), col("labels_schema"))
+      .head()
+    (
+      r.getInt(0),
+      org.apache.spark.sql.types.DataType.fromJson(r.getString(1)).asInstanceOf[StructType],
+      org.apache.spark.sql.types.DataType.fromJson(r.getString(2)).asInstanceOf[StructType])
   }
 
   /** Load a [[writeDupGraph]] edge list: (id_a, id_b) plus whatever
@@ -494,20 +513,25 @@ object Io {
     * A neighbor lookup for doc d prunes on
     * `pair_bucket = hash(d) mod bucketCount` — see [[dupGraphBuckets]].
     */
-  def readDupGraphPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pairs").drop("pair_bucket", "__seq")
+  def readDupGraphPairs(spark: SparkSession, path: String): DataFrame = {
+    val (_, pairsSchema, _) = dupGraphMeta(spark, path)
+    spark.read.schema(pairsSchema).parquet(s"$path/pairs")
+      .drop("pair_bucket", "__seq")
+  }
 
   /** Load [[writeDupGraph]] cluster labels: (id, cluster_id), pair-
     * member ids only — restore singletons with coalesce(label, id).
     */
-  def readDupGraphLabels(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/labels").drop("id_bucket")
+  def readDupGraphLabels(spark: SparkSession, path: String): DataFrame = {
+    val (_, _, labelsSchema) = dupGraphMeta(spark, path)
+    spark.read.schema(labelsSchema).parquet(s"$path/labels").drop("id_bucket")
+  }
 
   /** The persisted bucket modulus of a dup-graph artifact — for
     * building pruning predicates on `pair_bucket`/`id_bucket`.
     */
   def dupGraphBucketCount(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/_meta").head().getInt(0)
+    spark.read.parquet(s"$path/_meta").select(col("buckets")).head().getInt(0)
 
   /** Compact a dup-graph artifact's pair set: distinct pairs rewritten
     * as a fresh stamp-0 base. Streaming maintenance can append the
@@ -519,14 +543,14 @@ object Io {
     * resolved table and are untouched.
     */
   def compactDupGraph(spark: SparkSession, path: String): Unit = {
-    val buckets = dupGraphBucketCount(spark, path)
+    val (buckets, pairsSchema, _) = dupGraphMeta(spark, path)
     val stage = s"$path/pairs_compacting"
     readDupGraphPairs(spark, path)
       .distinct()
       .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
       .write.mode("overwrite").partitionBy("pair_bucket").parquet(stage)
-    spark.read.parquet(stage)
+    spark.read.schema(pairsSchema).parquet(stage)
       .write.mode("overwrite").partitionBy("pair_bucket").parquet(s"$path/pairs")
     deleteDir(spark, stage)
   }
@@ -559,7 +583,7 @@ object Io {
       checkpointDir: Option[String] = None): Unit = {
     require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
     val spark = newPairs.sparkSession
-    val buckets = dupGraphBucketCount(spark, path)
+    val (buckets, pairsSchema, labelsSchema) = dupGraphMeta(spark, path)
     newPairs
       .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
       .withColumn("__seq", lit(seq))
@@ -571,7 +595,7 @@ object Io {
     val merged = graft.operators.Dedup.clusterPairs(
       // read the increment back from the artifact (pair lineage runs
       // once, into the append) and fold in the star edges
-      spark.read.parquet(s"$path/pairs")
+      spark.read.schema(pairsSchema).parquet(s"$path/pairs")
         .filter(coalesce(col("__seq"), lit(0L)) === seq)
         .select(col("id_a"), col("id_b"))
         .unionByName(stars),
@@ -589,8 +613,7 @@ object Io {
     // swap via re-write (labels dir is doc-bounded): read the staged
     // table fully, then overwrite the live one — the staged dir
     // exists so a crashed swap is re-runnable
-    val next = spark.read.parquet(s"$path/labels_next")
-    next
+    spark.read.schema(labelsSchema).parquet(s"$path/labels_next")
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels")
   }
 

@@ -225,6 +225,20 @@ class IoSpec extends SparkSpec {
     assert(labelsAfter == full, "compaction must not touch labels")
   }
 
+  test("dup graph with an EMPTY base: fileless parquet reads as empty, upserts still converge") {
+    // the sf0.1 regression: a history window with no dup pairs writes
+    // a fileless parquet dir — schema inference would throw; the
+    // _meta-persisted schemas make it an empty frame instead
+    val dir = tmp("dupgempty") + "/g"
+    Io.writeDupGraph(Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, buckets = 8)
+    assert(Io.readDupGraphPairs(spark, dir).collect().isEmpty)
+    assert(Io.readDupGraphLabels(spark, dir).collect().isEmpty)
+    Io.upsertDupGraph(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), dir, seq = 1L)
+    val labels = Io.readDupGraphLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), labels.toString)
+  }
+
   test("tombstones: delete hides every version at or below its stamp; re-upsert restores") {
     def index(rows: Seq[(Long, String)]) =
       graft.operators.TextAnalysis.invertedIndex(rows.toDF("id", "text"), "text", "id")
