@@ -1736,6 +1736,35 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
     },
+    // Doc takedown from the dup graph (Io.deleteDupGraphDocs): every
+    // 10th doc tombstoned — its pairs hidden, the label table
+    // RE-CLOSED over live pairs (node removal can split clusters;
+    // no incremental patch can express that, so the closure honestly
+    // recomputes — labels only, never the pair pipeline). The
+    // surviving docs' cluster-size histogram must equal a from-
+    // scratch closure over the filtered pair set.
+    "dd_graph_delete" -> { (s, dir) =>
+      val gPath = s"/tmp/graft_idx/dupg_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      graft.sources.Io.writeDupGraph(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+          .select(col("id_a"), col("id_b")),
+        gPath)
+      graft.sources.Io.deleteDupGraphDocs(
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 1L)
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"))
+        .join(
+          graft.sources.Io.readDupGraphLabels(s, gPath),
+          col("doc_id") === col("id"),
+          "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
     // Leakage-safe split off the artifact's labels
     // (Sampling.leakageSafeSplitLabeled): split assignment becomes a
     // label join + per-row hash — the third heavy consumer of the
@@ -2903,14 +2932,19 @@ object SparkEntryCoverage {
     * cluster ids) — shared by the cluster-resolve and cluster-size
     * oracles.
     */
-  private val clusterCompSql: String =
-    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |          UNION SELECT id_b, id_a FROM pairs),
-      |reach(a, b) AS (
-      | SELECT src, dst FROM edges
-      | UNION
-      | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-      |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
+  private val clusterCompSql: String = clusterCompSqlFrom("pairs")
+
+  /** The connected-components fragment over an arbitrary pair CTE —
+    * the delete variants retarget it at a filtered live-pair set.
+    */
+  private def clusterCompSqlFrom(src: String): String =
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM $src
+       |          UNION SELECT id_b, id_a FROM $src),
+       |reach(a, b) AS (
+       | SELECT src, dst FROM edges
+       | UNION
+       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
 
   /** Shared fuzzy-entity pair generation ending in
     * `pairs(id_a, id_b, lev)` (suffix blocking + levenshtein ≤ 2 over
@@ -3868,6 +3902,19 @@ object SparkEntryCoverage {
          |SELECT id_a, id_b FROM pairs
          |WHERE id_a >= 250 OR id_b >= 250
          |ORDER BY id_a, id_b""".stripMargin,
+    // takedown: pairs touching a deleted doc drop, the closure re-runs
+    // over the live set, and the histogram covers survivors only
+    "dd_graph_delete" ->
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |live AS (SELECT id_a, id_b FROM pairs
+         |         WHERE id_a % 10 <> 0 AND id_b % 10 <> 0),
+         |${clusterCompSqlFrom("live")},
+         |lab AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |        WHERE d.doc_id % 10 <> 0),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
+         |GROUP BY sz ORDER BY sz""".stripMargin,
     "dd_cluster_sizes" ->
       s"""WITH RECURSIVE $jaccardPairsSql,
          |$clusterCompSql,

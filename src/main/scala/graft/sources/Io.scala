@@ -515,8 +515,65 @@ object Io {
     */
   def readDupGraphPairs(spark: SparkSession, path: String): DataFrame = {
     val (_, pairsSchema, _) = dupGraphMeta(spark, path)
-    spark.read.schema(pairsSchema).parquet(s"$path/pairs")
-      .drop("pair_bucket", "__seq")
+    val raw = spark.read.schema(pairsSchema).parquet(s"$path/pairs")
+    // doc tombstones ([[deleteDupGraphDocs]]) hide every pair that
+    // touches a deleted doc at or below the tombstone stamp — pairs
+    // re-appended at a higher stamp (the doc came back) stay live
+    val live = tombstonesOf(spark, path) match {
+      case None => raw
+      case Some(t) =>
+        val tmax = t.groupBy(col("id").as("__tid")).agg(max(col("seq")).as("__tseq"))
+        raw
+          .join(
+            tmax,
+            col("id_a") === col("__tid") &&
+              coalesce(col("__seq"), lit(0L)) <= col("__tseq"),
+            "left_anti")
+          .join(
+            tmax,
+            col("id_b") === col("__tid") &&
+              coalesce(col("__seq"), lit(0L)) <= col("__tseq"),
+            "left_anti")
+    }
+    live.drop("pair_bucket", "__seq")
+  }
+
+  /** Tombstone-delete DOCS from the dup graph (the takedown shape for
+    * the pair artifact): every pair touching the ids is hidden from
+    * this stamp on, and — because removing a node can SPLIT a cluster,
+    * which no incremental label patch can express — the label table
+    * is re-closed over the LIVE pairs. The recompute is the honest
+    * cost of graph deletion; it re-runs only the closure (labels are
+    * doc-bounded), never the pair-discovery pipeline.
+    */
+  def deleteDupGraphDocs(
+      ids: DataFrame,
+      path: String,
+      seq: Long,
+      checkpointDir: Option[String] = None): Unit = {
+    require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
+    writeTombstones(ids, path, seq)
+    recomputeDupGraphLabels(ids.sparkSession, path, checkpointDir)
+  }
+
+  /** Re-close the dup graph's label table from its live pair set —
+    * the maintenance step after [[deleteDupGraphDocs]] (invoked there
+    * automatically) or any out-of-band pair surgery. Staged swap like
+    * the upsert path.
+    */
+  def recomputeDupGraphLabels(
+      spark: SparkSession,
+      path: String,
+      checkpointDir: Option[String] = None): Unit = {
+    val (buckets, _, labelsSchema) = dupGraphMeta(spark, path)
+    graft.operators.Dedup
+      .clusterPairs(
+        readDupGraphPairs(spark, path).select(col("id_a"), col("id_b")),
+        checkpointDir = checkpointDir)
+      .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels_next")
+    spark.read.schema(labelsSchema).parquet(s"$path/labels_next")
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels")
   }
 
   /** Load [[writeDupGraph]] cluster labels: (id, cluster_id), pair-
@@ -553,6 +610,10 @@ object Io {
     spark.read.schema(pairsSchema).parquet(stage)
       .write.mode("overwrite").partitionBy("pair_bucket").parquet(s"$path/pairs")
     deleteDir(spark, stage)
+    // the compacted base holds only LIVE pairs at stamp 0 — keeping
+    // the tombstones would wrongly re-hide docs whose pairs were
+    // re-appended before compaction
+    deleteDir(spark, s"$path/_tombstones")
   }
 
   /** Incremental dup-graph maintenance — the IVF/PQ/postings upsert

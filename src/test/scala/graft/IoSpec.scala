@@ -239,6 +239,21 @@ class IoSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), labels.toString)
   }
 
+  test("deleteDupGraphDocs: removing a bridge doc SPLITS its cluster (re-closure, not a patch)") {
+    val dir = tmp("dupgdel") + "/g"
+    // one chain 1-2-3-4-5; doc 3 is the bridge
+    Io.writeDupGraph(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b"), dir, buckets = 8)
+    Io.deleteDupGraphDocs(Seq(3L).toDF("id"), dir, seq = 1L)
+    val pairs = Io.readDupGraphPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)), pairs.toString)
+    val labels = Io.readDupGraphLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the cluster SPLIT: 4 and 5 must no longer share a label with 1, 2
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L), labels.toString)
+  }
+
   test("tombstones: delete hides every version at or below its stamp; re-upsert restores") {
     def index(rows: Seq[(Long, String)]) =
       graft.operators.TextAnalysis.invertedIndex(rows.toDF("id", "text"), "text", "id")
