@@ -449,6 +449,51 @@ object SparkEntryStreaming {
         .select(col("id").as("doc_id"), col("n_hits"))
         .orderBy(col("doc_id"))
     },
+    // Streaming vector takedown — delete requests stream into the
+    // persisted IVF index (per-micro-batch tombstones, seq =
+    // batchId+1); the last-wins read then ranks over exactly the
+    // survivors. Completes live-stream symmetry for the vector
+    // family's delete path (st_takedown covers postings).
+    "st_ivf_delete" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toSeq
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idxPath = s"/tmp/graft_idx/ivf_stdel_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(
+        graft.operators.Similarity.ivfAssign(corpus, "embedding", cents),
+        cents,
+        idxPath)
+      val stream = s.readStream
+        .schema(emb.schema)
+        .parquet(s"$dir/[e]mbeddings.parquet")
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 7 === 0)
+        .select(col("vec_id"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.deleteIvfIds(batch, idxPath, seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (loadedCents, latest) =
+        graft.sources.Io.readIvfIndexLatest(s, idxPath, "vec_id")
+      graft.operators.Similarity
+        .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
     // Streaming takedown — right-to-be-forgotten as a live feed:
     // delete requests (doc ids) stream in and each micro-batch
     // tombstones them in the persisted postings index
@@ -625,6 +670,9 @@ object SparkEntryStreaming {
     "st_dupgraph_upsert" -> SparkEntryCoverage.oracleSql("dd_cluster_sizes"),
     // streamed takedowns: phrase results over exactly the survivors
     "st_takedown" -> SparkEntryCoverage.phraseSearchOracleFor("doc_id % 4 <> 0"),
+    // streamed vector takedowns: top-k over exactly the survivors
+    "st_ivf_delete" ->
+      SparkEntryCoverage.ivfTopkOracleFor("b.vec_id <> 0 AND b.vec_id % 7 <> 0"),
     // violation sums are merge-invariant; NULL predicate = violation
     // (the Checks contract)
     "st_dq_checks" ->

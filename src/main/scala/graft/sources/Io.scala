@@ -636,6 +636,12 @@ object Io {
     * old pairs; every old pair is label-connected through its star),
     * and min-label propagation keeps cluster ids stable under
     * increments — the canonical id only ever decreases.
+    *
+    * Takedown interaction (seq order, like every artifact family): an
+    * increment pair touching a previously-tombstoned id lands ABOVE
+    * the tombstone stamp and therefore RE-ADDS that doc to the graph.
+    * If the takedown must stick, filter the increment against the
+    * takedown list before upserting.
     */
   def upsertDupGraph(
       newPairs: DataFrame,
