@@ -890,6 +890,29 @@ object SparkEntryCoverage {
         .select(col("source"), col("n_exact"), col("n_seen"), col("kmv_est"))
         .orderBy(col("source"))
     },
+    // Mergeable persisted KMV sketches (Sketches.kmvSketches →
+    // kmvMergeEstimate): per-source sketch buffers written once as a
+    // parquet artifact, then the corpus-wide vocabulary estimate
+    // folds from the ARTIFACT (group-count-bounded rows) instead of
+    // rescanning the token stream — daily sketches → monthly
+    // distinct, the sketch-side member of the build-once family.
+    // Lossless merge: each buffer keeps its group's k smallest
+    // distinct hashes, so the union's k smallest survive
+    // concatenation and the merged estimate must equal a full-rescan
+    // global KMV — which is exactly how the oracle computes it.
+    "a_kmv_merged" -> { (s, dir) =>
+      val skPath = s"/tmp/graft_idx/kmv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tok = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+      Sketches
+        .kmvSketches(tok, Seq(col("source")), col("term"), 64)
+        .write.mode("overwrite").parquet(skPath)
+      Sketches
+        .kmvMergeEstimate(s.read.parquet(skPath), col("mins"), 64)
+        .crossJoin(broadcast(tok.agg(countDistinct(col("term")).as("n_exact"))))
+        .select(col("n_exact"), col("n_seen"), col("kmv_est"))
+    },
     // Count-Min Sketch heavy-hitter estimation: a 4×1024 counter
     // sketch of the corpus token stream (Sketches.cmsBuild — one
     // map-side-combined hash agg, output bounded at depth·width rows
@@ -1348,6 +1371,67 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Pairwise clustering evaluation over the same ER run: precision/
+    // recall/F1 against the fixture's ground truth (the typo twin is
+    // id + 1e6, so the truth pair set is exactly (id, id+1e6)). NO
+    // pair enumeration anywhere: |P| folds from cluster sizes
+    // (Σ sz·(sz−1)/2, exact integer), TP joins each record's label to
+    // its twin's, and pairwise F1 = 2·TP/(|P|+|T|) — every ratio a
+    // division of identical integers on both engines. The eval loop
+    // every production ER/dedup pipeline runs after threshold changes.
+    "er_metrics" -> { (s, dir) =>
+      val canon = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val typo = canon.select(
+        (col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100)).as("name"))
+      val all = canon.unionByName(typo)
+        .withColumn("blk", substring(col("name"), -4, 4))
+      val a = all.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+      val b = all.select(col("id").as("id_b"), col("name").as("name_b"), col("blk"))
+      val pairs = a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.clusterPairs(pairs)
+        .withColumnRenamed("cluster_id", "__cluster")
+      val members = all
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__cluster"), col("id")).as("cluster_id"))
+        .localCheckpoint() // one closure feeds sizes + the twin join
+      val pPairs = members
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(expr("CAST(sum(sz * (sz - 1)) div 2 AS BIGINT)").as("n_pred_pairs"))
+      val tp = members
+        .select(col("id").as("cid"), col("cluster_id").as("cl_a"))
+        .join(
+          members.select(
+            (col("id") - 1000000L).as("cid"),
+            col("cluster_id").as("cl_b")),
+          "cid")
+        .filter(col("cl_a") === col("cl_b"))
+        .agg(count(lit(1)).as("n_tp"))
+      val tPairs = canon.agg(count(lit(1)).as("n_true_pairs"))
+      pPairs
+        .crossJoin(broadcast(tp))
+        .crossJoin(broadcast(tPairs))
+        .select(
+          col("n_pred_pairs"),
+          col("n_true_pairs"),
+          col("n_tp"),
+          when(col("n_pred_pairs") === 0, lit(0.0))
+            .otherwise(col("n_tp").cast("double") / col("n_pred_pairs").cast("double"))
+            .as("prec"),
+          when(col("n_true_pairs") === 0, lit(0.0))
+            .otherwise(col("n_tp").cast("double") / col("n_true_pairs").cast("double"))
+            .as("rec"),
+          when(col("n_pred_pairs") + col("n_true_pairs") === 0, lit(0.0))
+            .otherwise(
+              (col("n_tp") * 2).cast("double") /
+                (col("n_pred_pairs") + col("n_true_pairs")).cast("double"))
+            .as("f1"))
+    },
     // ER golden records off the PERSISTED dup-graph artifact — the
     // fuzzy-pair pipeline (blocking + levenshtein) and its closure run
     // once into Io.writeDupGraph; the golden-record assembly consumes
@@ -1647,6 +1731,30 @@ object SparkEntryCoverage {
         .select(col("id").as("doc_id"), col("rank_units"), col("rank"))
         .orderBy(col("doc_id"))
     },
+    // Exact triangle counts + local clustering coefficient over the
+    // co-purchase graph (parts sharing >= 2 orders): the standard
+    // cohesion metric on a co-occurrence graph, via the degree-
+    // oriented wedge join (Graph.triangleCounts — out-degree bounded
+    // by sqrt(2m) under any raw-degree skew). The per-order pair
+    // explode is bounded by order size (a whale basket is the df-cap
+    // analog; TPC-H orders carry <= 7 parts). Triangle counts are a
+    // pure graph property, so the oracle's plain id-ordered join must
+    // agree exactly with the engine's degree-oriented one.
+    "g_triangles" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.triangleCounts(edges)
+        .select(col("id").as("part_id"), col("deg"), col("n_tri"), col("lcc"))
+        .orderBy(col("part_id"))
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -1758,6 +1866,44 @@ object SparkEntryCoverage {
           graft.sources.Io.readDupGraphLabels(s, gPath),
           col("doc_id") === col("id"),
           "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
+    // Dup-graph compaction (Io.compactDupGraph) closing the family's
+    // lifecycle loop: the increment lands TWICE in the pair base
+    // (micro-batch double-discovery), every 10th doc is then taken
+    // down, and compaction rewrites the pair base live-only +
+    // distinct at stamp 0, purging the tombstone sidecar. The result
+    // re-CLOSES from the PLAIN pair reader — proving the compacted
+    // base itself (not the precomputed label table) equals the live
+    // pair set; same oracle as dd_graph_delete.
+    "dd_graph_compacted" -> { (s, dir) =>
+      val gPath = s"/tmp/graft_idx/dupg_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // one pair-pipeline pass feeds base + both appends
+      graft.sources.Io.writeDupGraph(
+        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
+      val incr = pairs.filter(col("id_a") >= 250 || col("id_b") >= 250)
+      // the increment rides in DUPLICATED (unionAll, not union) — the
+      // double-discovery a pair whose endpoints surface in two
+      // micro-batches gets; both copies land in the pair base and
+      // only compaction may collapse them
+      graft.sources.Io.upsertDupGraph(incr.unionAll(incr), gPath, seq = 1L)
+      graft.sources.Io.deleteDupGraphDocs(
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L)
+      graft.sources.Io.compactDupGraph(s, gPath)
+      val labels = Dedup.clusterPairs(
+        graft.sources.Io.readDupGraphPairs(s, gPath).select(col("id_a"), col("id_b")))
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
         .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("sz"))
@@ -2934,6 +3080,22 @@ object SparkEntryCoverage {
     */
   private val clusterCompSql: String = clusterCompSqlFrom("pairs")
 
+  /** Cluster-size histogram over the %10-takedown survivors — shared
+    * by dd_graph_delete (tombstone resolution) and dd_graph_compacted
+    * (post-compaction plain-reader re-closure), which must agree.
+    */
+  private lazy val dupGraphSurvivorHistogramSql: String =
+    s"""WITH RECURSIVE $jaccardPairsSql,
+       |live AS (SELECT id_a, id_b FROM pairs
+       |         WHERE id_a % 10 <> 0 AND id_b % 10 <> 0),
+       |${clusterCompSqlFrom("live")},
+       |lab AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+       |        WHERE d.doc_id % 10 <> 0),
+       |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
+       |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
+       |GROUP BY sz ORDER BY sz""".stripMargin
+
   /** The connected-components fragment over an arbitrary pair CTE —
     * the delete variants retarget it at a filtered live-pair set.
     */
@@ -3842,6 +4004,29 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // pairwise P/R/F1 vs the twin ground truth — |P| from cluster
+    // sizes, TP from the twin join, F1 = 2TP/(|P|+|T|); // is floor
+    // division, exact on the even product sz·(sz−1)
+    "er_metrics" ->
+      s"""WITH RECURSIVE $fuzzyPairsSql,
+         |$clusterCompSql,
+         |lab AS (SELECT al.id, COALESCE(comp.cluster, al.id) AS cluster_id
+         |        FROM al LEFT JOIN comp ON comp.id = al.id),
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1),
+         |p AS (SELECT CAST(sum(sz * (sz - 1)) // 2 AS BIGINT) AS n_pred_pairs FROM cs),
+         |tpc AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
+         |        FROM lab a JOIN lab b
+         |          ON b.id = a.id + 1000000 AND b.cluster_id = a.cluster_id),
+         |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM canon)
+         |SELECT n_pred_pairs, n_true_pairs, n_tp,
+         |  CASE WHEN n_pred_pairs = 0 THEN 0.0
+         |       ELSE CAST(n_tp AS DOUBLE) / CAST(n_pred_pairs AS DOUBLE) END AS prec,
+         |  CASE WHEN n_true_pairs = 0 THEN 0.0
+         |       ELSE CAST(n_tp AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) END AS rec,
+         |  CASE WHEN n_pred_pairs + n_true_pairs = 0 THEN 0.0
+         |       ELSE CAST(2 * n_tp AS DOUBLE)
+         |            / CAST(n_pred_pairs + n_true_pairs AS DOUBLE) END AS f1
+         |FROM p, tpc, tc""".stripMargin,
     "v_pq_topk" -> pqTopkOracle,
     // the persisted index must reproduce the in-line encode+rank
     // exactly — one oracle, two paths
@@ -3904,17 +4089,11 @@ object SparkEntryCoverage {
          |ORDER BY id_a, id_b""".stripMargin,
     // takedown: pairs touching a deleted doc drop, the closure re-runs
     // over the live set, and the histogram covers survivors only
-    "dd_graph_delete" ->
-      s"""WITH RECURSIVE $jaccardPairsSql,
-         |live AS (SELECT id_a, id_b FROM pairs
-         |         WHERE id_a % 10 <> 0 AND id_b % 10 <> 0),
-         |${clusterCompSqlFrom("live")},
-         |lab AS (SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
-         |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
-         |        WHERE d.doc_id % 10 <> 0),
-         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
-         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
-         |GROUP BY sz ORDER BY sz""".stripMargin,
+    "dd_graph_delete" -> dupGraphSurvivorHistogramSql,
+    // same live set — the append-twice + takedown history compacts to
+    // exactly the pairs dd_graph_delete's tombstones hide, and the
+    // shared oracle is the proof
+    "dd_graph_compacted" -> dupGraphSurvivorHistogramSql,
     "dd_cluster_sizes" ->
       s"""WITH RECURSIVE $jaccardPairsSql,
          |$clusterCompSql,
@@ -3930,6 +4109,29 @@ object SparkEntryCoverage {
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE score >= 0.45 ORDER BY id_a, id_b""".stripMargin
     },
+    // plain id-ordered triangle join — deliberately a DIFFERENT
+    // algorithm from the engine's degree-oriented one; the counts are
+    // a graph property so they must agree exactly
+    "g_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS id_a, b.p AS id_b, count(*) AS w
+        |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |edges AS (SELECT id_a, id_b FROM e WHERE w >= 2),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |         SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)
+        |        GROUP BY id),
+        |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+        |        FROM edges e1 JOIN edges e2 ON e2.id_a = e1.id_b
+        |             JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |        SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) GROUP BY id)
+        |SELECT deg.id AS part_id, deg.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+        |       CASE WHEN deg.deg < 2 THEN 0.0
+        |            ELSE CAST(2 * COALESCE(tc.n_tri, 0) AS DOUBLE)
+        |                 / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END AS lcc
+        |FROM deg LEFT JOIN tc ON tc.id = deg.id
+        |ORDER BY part_id""".stripMargin,
     // mirror of Graph.pageRank: same integer fixed-point recurrence
     // (// is floor division; every value non-negative, so it equals
     // Spark's truncating `div`), 5 unrolled iterations over the same
@@ -4596,6 +4798,22 @@ object SparkEntryCoverage {
          |       CASE WHEN n_seen < $k THEN CAST(n_seen AS DOUBLE)
          |            ELSE ${(k - 1).toDouble * 4294967296.0} / CAST(hk AS DOUBLE) END AS kmv_est
          |FROM ex JOIN agg USING (source) ORDER BY source""".stripMargin
+    },
+    // global KMV by full rescan — the merged-sketch path must agree
+    "a_kmv_merged" -> {
+      val k = 64
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |hh AS (SELECT DISTINCT ${sqlHash32("term")} AS h FROM tok),
+         |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh),
+         |agg AS (SELECT CAST(count(*) FILTER (rn <= $k) AS BIGINT) AS n_seen,
+         |          max(h) FILTER (rn = $k) AS hk
+         |        FROM rk),
+         |ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM tok)
+         |SELECT n_exact, n_seen,
+         |       CASE WHEN n_seen < $k THEN CAST(n_seen AS DOUBLE)
+         |            ELSE ${(k - 1).toDouble * 4294967296.0} / CAST(hk AS DOUBLE) END AS kmv_est
+         |FROM ex, agg""".stripMargin
     },
     "a_cms_heavy" -> {
       val probeBuckets = (0 until 4)

@@ -148,6 +148,99 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[ngramJaccardPairs]] with PREFIX-FILTERED candidate generation —
+    * identical output (same capped shingle universe, same exact
+    * verify), structurally smaller candidate join. The public
+    * technique is SSJoin's prefix filter (Chaudhuri, Ganti & Kaushik,
+    * ICDE 2006) as scaled by All-Pairs (Bayardo, Ma & Srikant, WWW
+    * 2007) and PPJoin (Xiao et al., TODS 2011).
+    *
+    * Why it wins at 100 TB: the plain shingle equi-join pairs every
+    * co-occurrence of every shingle — Σ df² over the whole universe.
+    * Under a global rarest-first token order, a pair with
+    * J(x,y) ≥ t must share a token inside both docs' first
+    * |x| − ⌈t·|x|⌉ + 1 tokens (if every common token sat outside one
+    * side's prefix, that side — say x, the one whose prefix ends
+    * earlier in the order — could hold at most ⌈t·|x|⌉ − 1 commons in
+    * its suffix, below the β = ⌈t·|x|⌉ overlap J ≥ t forces). So the
+    * candidate join only explodes PREFIX tokens, which the
+    * rarest-first order makes the lowest-df tokens each doc has:
+    * at t = 0.8 a 100-shingle page ships 21 rare shingles instead of
+    * 100 of every frequency. The filter is LOSSLESS — every surviving
+    * pair is re-scored exactly, so the prefix stage changes WHO gets
+    * compared, never what a comparison sees.
+    *
+    * Same caching contract as [[ngramJaccardPairs]].
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sets = shingleSets(df, textCol, idCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("id"),
+        graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
+    val sh = sets.select(col("id"), explode(col("hs")).as("shingle"))
+    // identical df-capped universe to ngramJaccardPairs; __df is kept
+    // past the cap because it IS the global token order below
+    val filtered = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // rarest-first total order: (df, hash). row_number is a per-doc
+    // window — bounded by one document's shingle count, never a
+    // corpus-wide sort
+    val ranked = filtered
+      .join(sizes, "id")
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("__df"), col("shingle"))))
+    // β = ⌈t·|x|⌉; prefix keeps the first |x| − β + 1 tokens. The 1e-9
+    // guards the float product from rounding UP past the exact
+    // rational (0.2·35 → 7.000000000000001 → β 8 would LOSE pairs);
+    // rounding down only lengthens a prefix — more candidates, same
+    // verified output
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+    val cand = prefix
+      .select(col("id").as("id_a"), col("shingle"), col("sz").as("sz_a"))
+      .join(
+        prefix.select(col("id").as("id_b"), col("shingle"), col("sz").as("sz_b")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t — prunes
+      // before the distinct so mismatched-size pairs never shuffle
+      .filter(
+        col("sz_b").cast("double") >= col("sz_a").cast("double") * threshold - 1e-9 &&
+          col("sz_a").cast("double") >= col("sz_b").cast("double") * threshold - 1e-9)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact verify over candidates only: ship a's capped tokens to the
+    // pair, probe b's token table, count the intersection
+    val common = cand
+      .join(filtered.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Two-table exact Jaccard — [[ngramJaccardPairs]] for the
     * INCREMENTAL posture: every pair with at least one side in
     * `batch`, scored against the effective corpus (batch ∪ corpus,

@@ -112,4 +112,86 @@ object Graph {
       col("r").as("rank_units"),
       (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
   }
+
+  /** Exact per-node triangle counts + local clustering coefficient
+    * over the undirected graph induced by `pairs` (id_a, id_b).
+    * Returns (id, deg BIGINT, n_tri BIGINT, lcc DOUBLE =
+    * 2·tri / (deg·(deg−1)), 0.0 for deg 1) for every node incident to
+    * an edge, a pure graph property — the dup-graph's clique-ness
+    * audit (near-dup clusters should be near-cliques; low-lcc
+    * high-degree nodes are template hubs) and the standard cohesion
+    * metric on co-occurrence graphs.
+    *
+    * Scale shape: DEGREE-ORIENTED wedge join (the classic
+    * O(m^{3/2}) bound — Schank & Wagner 2005, Suri & Vassilvitskii
+    * "Counting Triangles and the Curse of the Last Reducer" WWW 2011):
+    * each edge is directed from its lower (deg, id) endpoint to the
+    * higher, so every node's OUT-degree is ≤ √(2m) no matter how
+    * skewed the raw degrees — the wedge self-join explodes out×out
+    * pairs, which orientation bounds at Σ d_out² ≤ m^{3/2}, where the
+    * naive id-ordered orientation lets one low-id hub contribute
+    * deg² wedges. Wedge pairs are normalized by the SAME (deg, id)
+    * key, so closing edges join directly in their stored orientation.
+    * All equi-joins and hash aggregates; triangle counts are
+    * orientation-independent, so any implementation (the DuckDB
+    * oracle uses plain id-ordered joins) must agree exactly.
+    *
+    * Edge hygiene matches [[pageRank]]: self-loops and duplicate /
+    * reversed-duplicate pairs are dropped, null ids filtered.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      // one materialization feeds degrees, orientation and the wedge
+      // joins — the upstream pair pipeline never re-runs
+      .localCheckpoint()
+    val deg = und
+      .select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = smaller key. κ rides the edge row so
+    // wedge normalization below needs no further deg lookups.
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(
+          col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("du").as("ks"), col("v").as("dst"), col("dv").as("kd")))
+          .otherwise(
+            struct(col("v").as("src"), col("dv").as("ks"), col("u").as("dst"), col("du").as("kd")))
+          .as("e"))
+      .select(col("e.src"), col("e.ks"), col("e.dst"), col("e.kd"))
+    // wedges at each source: out-neighbor pairs, normalized by (deg, id)
+    val w1 = oriented.select(col("src"), col("dst").as("b"), col("kd").as("kb"))
+    val w2 = oriented.select(col("src"), col("dst").as("c"), col("kd").as("kc"))
+    val wedges = w1
+      .join(w2, Seq("src"))
+      .filter(col("kb") < col("kc") || (col("kb") === col("kc") && col("b") < col("c")))
+    val tris = wedges
+      .join(
+        oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+      .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
+    val triCnt = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tri"))
+    deg
+      .join(triCnt, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+          .as("lcc"))
+  }
 }

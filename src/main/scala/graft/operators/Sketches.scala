@@ -93,7 +93,21 @@ object Sketches {
       .drop((0 until depth).flatMap(j => Seq(s"__b$j", s"__c$j")): _*)
   }
 
-  def kmvDistinct(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame = {
+  def kmvDistinct(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame =
+    kmvSketches(df, groupCols, key, k)
+      .select(groupCols ++ estimateCols(col("mins"), k): _*)
+
+  /** The raw per-group KMV sketch — (group…, mins: array<bigint>, the
+    * sorted ≤ k smallest distinct hashes). This IS the mergeable /
+    * persistable form: a sketch table written per day (or per source,
+    * per shard) folds into any coarser rollup via [[kmvMergeEstimate]]
+    * without rescanning the value stream, because each buffer keeps
+    * its group's k smallest distinct hashes and the union's k
+    * smallest therefore survive in the concatenation — the same
+    * lossless-merge property the IVF/postings artifacts lean on,
+    * here over sketches instead of rows.
+    */
+  def kmvSketches(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame = {
     val kmv = udaf(new graft.expressions.KmvAggregator(k))
     Width.spread(df)
       .withColumn("__h", Sampling.hash32(key))
@@ -102,14 +116,33 @@ object Sketches {
       // keys are never selected" contract as hashSample/splitAssign
       .filter(col("__h").isNotNull)
       .groupBy(groupCols: _*)
-      .agg(kmv(col("__h")).as("__mins"))
-      .select(
-        groupCols :+
-          size(col("__mins")).cast("long").as("n_seen") :+
-          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-            .otherwise(
-              lit((k - 1).toDouble * Space) /
-                element_at(col("__mins"), k).cast("double"))
-            .as("kmv_est"): _*)
+      .agg(kmv(col("__h")).as("mins"))
   }
+
+  /** Merge a table of [[kmvSketches]] buffers into ONE distinct-count
+    * estimate (n_seen, kmv_est) — the k smallest distinct hashes of
+    * the union of buffers are exactly the k smallest of the union of
+    * the original streams, so the merged estimate equals the estimate
+    * a full rescan would produce (the oracle recomputes it that way).
+    * Input is sketch rows — group-count-bounded, never the stream.
+    */
+  def kmvMergeEstimate(sketches: DataFrame, minsCol: Column, k: Int): DataFrame = {
+    val kmv = udaf(new graft.expressions.KmvAggregator(k))
+    sketches
+      .select(explode(minsCol).as("__h"))
+      .agg(kmv(col("__h")).as("mins"))
+      .select(estimateCols(col("mins"), k): _*)
+  }
+
+  /** (n_seen, kmv_est) off a sorted min-hash buffer: buffer fill, and
+    * the (k−1)·2^32 / h_k density estimate (exact-count degradation
+    * below k).
+    */
+  private def estimateCols(minsCol: Column, k: Int): Seq[Column] = Seq(
+    size(minsCol).cast("long").as("n_seen"),
+    when(size(minsCol) < k, size(minsCol).cast("double"))
+      .otherwise(
+        lit((k - 1).toDouble * Space) /
+          element_at(minsCol, k).cast("double"))
+      .as("kmv_est"))
 }

@@ -83,6 +83,37 @@ class GraphSpec extends SparkSpec {
     assert(got == refPageRank(pathAndTriangle))
   }
 
+  test("triangleCounts: known graph, exact counts and lcc") {
+    // K3 on {1,2,3} plus pendant 4 attached to 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = Graph.triangleCounts(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts edge hygiene: duplicates, reversed duplicates and self-loops don't count") {
+    val dirty = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (4L, 4L))
+    val clean = Graph.triangleCounts(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.toSeq).toSet
+    val got = Graph.triangleCounts(dirty.toDF("id_a", "id_b"))
+      .collect().map(r => r.toSeq).toSet
+    assert(got == clean)
+  }
+
+  test("triangleCounts: hub star has zero triangles at any degree skew") {
+    // star K1,20: the naive id-ordered wedge join would explode 190
+    // wedges at the hub; whatever the plan does, the answer is zero
+    val star = (2L to 21L).map(i => (1L, i))
+    val got = Graph.triangleCounts(star.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.forall(_ == 0L) && got(1L) == 0L && got.size == 21)
+  }
+
   test("pageRank reliable-checkpoint mode is value-identical to executor-local mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     val local = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -182,6 +182,45 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("prefixJaccardPairs == ngramJaccardPairs on a real corpus (lossless prefix filter)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+      .collect().map(key).toSet
+    val pref = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+      .collect().map(key).toSet
+    assert(full.nonEmpty, "fixture must produce pairs or the equality is vacuous")
+    assert(pref == full)
+  }
+
+  test("prefixJaccardPairs: high threshold still catches the exact dup, drops unrelated") {
+    val pairs = Dedup.prefixJaccardPairs(nearDupDocs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullPairs = Dedup.ngramJaccardPairs(nearDupDocs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == fullPairs)
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("kmv sketch merge == one global sketch (lossless merge property)") {
+    val df = (1 to 500).map(i => (s"g${i % 7}", s"v${i % 231}")).toDF("g", "v")
+    val global = Sketches.kmvDistinct(df, Seq(lit(1).as("one")), $"v", 32)
+      .select($"n_seen", $"kmv_est").head()
+    val merged = Sketches.kmvMergeEstimate(
+      Sketches.kmvSketches(df, Seq($"g"), $"v", 32), $"mins", 32).head()
+    assert(merged.getLong(0) == global.getLong(0))
+    assert(merged.getDouble(1) == global.getDouble(1))
+  }
+
+  test("kmv sketch merge under k distinct values degrades to exact, even split across groups") {
+    val df = (1 to 40).map(i => (s"g${i % 5}", s"v${i % 10}")).toDF("g", "v")
+    val merged = Sketches.kmvMergeEstimate(
+      Sketches.kmvSketches(df, Seq($"g"), $"v", 64), $"mins", 64).head()
+    assert(merged.getLong(0) == 10L && merged.getDouble(1) == 10.0)
   }
 
   test("minhashLshPairs surfaces the exact dup with jaccard 1.0") {
