@@ -50,9 +50,13 @@ object SparkEntry {
       relationalOracle ++ textOracle ++ dedupOracle ++ vectorOracle ++
         miscOracle ++ extraOracle ++ SparkEntryCoverage.oracleSql ++
         SparkEntryStreaming.oracleSql ++ SparkEntryTpch.oracleSql
-    // persisted-artifact twin (the SparkEntryCoverage rule): the
-    // loaded phash index must reproduce the in-line pair set
-    base ++ Map("mm_phash_persisted" -> base("mm_phash_neardup"))
+    // persisted-artifact twins (the SparkEntryCoverage rule): the
+    // loaded / upserted phash index must reproduce the in-line pair
+    // set; the compacted one serves the takedown survivors
+    base ++ Map(
+      "mm_phash_persisted" -> base("mm_phash_neardup"),
+      "mm_phash_upsert" -> base("mm_phash_neardup"),
+      "mm_phash_compacted" -> phashPairsOracleFor("doc_id % 9 <> 0"))
   }
 
   // ---------------------------------------------------------------
@@ -1819,6 +1823,53 @@ object SparkEntry {
         .phashPairsFromCodes(
           graft.sources.Io.readPhashIndex(s, idxPath), 2, maxBucket = 8)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    // T17 upsert: the phash index joins the incremental family
+    // (Io.upsertPhashIndex) — base codes from the <250 history, the
+    // increment hashed and appended at seq 1 (decode+hash runs only
+    // on new media), and every 5th doc RE-appended at seq 2: the
+    // last-wins reader must collapse the double append to one row
+    // per id (a naive union would emit duplicate pairs and fail the
+    // oracle) and converge the index to the full-corpus code table —
+    // mm_phash_neardup's oracle, one more path.
+    "mm_phash_upsert" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxPath = s"/tmp/graft_idx/phash_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      def codesOf(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.phashCodes(Multimodal.fromText(d, "doc_id", "text", "image"))
+      graft.sources.Io.writePhashIndex(
+        codesOf(docs.filter(col("doc_id") < 250)), idxPath)
+      graft.sources.Io.upsertPhashIndex(
+        codesOf(docs.filter(col("doc_id") >= 250)), idxPath, seq = 1L)
+      graft.sources.Io.upsertPhashIndex(
+        codesOf(docs.filter(col("doc_id") % 5 === 0)), idxPath, seq = 2L)
+      Multimodal
+        .phashPairsFromCodes(
+          graft.sources.Io.readPhashIndexLatest(s, idxPath), 2, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // T17 takedown + compaction: every 9th doc tombstoned
+    // (Io.deletePhashIds — codes unservable immediately, no file
+    // rewritten), then compactPhashIndex resolves the upsert+delete
+    // history to a fresh stamp-0 base and purges the sidecar — the
+    // PLAIN reader must serve the survivor pair set (the oracle runs
+    // over documents with the takedowns excluded).
+    "mm_phash_compacted" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxPath = s"/tmp/graft_idx/phash_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      def codesOf(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.phashCodes(Multimodal.fromText(d, "doc_id", "text", "image"))
+      graft.sources.Io.writePhashIndex(
+        codesOf(docs.filter(col("doc_id") < 250)), idxPath)
+      graft.sources.Io.upsertPhashIndex(
+        codesOf(docs.filter(col("doc_id") >= 250)), idxPath, seq = 1L)
+      graft.sources.Io.deletePhashIds(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")), idxPath, seq = 2L)
+      graft.sources.Io.compactPhashIndex(s, idxPath)
+      Multimodal
+        .phashPairsFromCodes(
+          graft.sources.Io.readPhashIndex(s, idxPath), 2, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -1954,25 +2005,32 @@ object SparkEntry {
          | ${bin(0)} AS f0, ${bin(1)} AS f1
          |FROM documents ORDER BY media_id""".stripMargin
     },
-    "mm_phash_neardup" -> {
-      // same byte-histogram mirror as mm_media_features; bit i set
-      // when bin count * 16 exceeds the byte length (integer-exact
-      // mean test, identical to the Spark side)
-      def bin(b: Int) =
-        s"len(list_filter(list_transform(generate_series(1, CAST(length(text) AS INT)), " +
-          s"i -> ascii(substring(text, i, 1)) % 16), x -> x = $b))"
-      val phash = (0 until 16)
-        .map(i => s"(CASE WHEN ${bin(i)} * 16 > length(text) THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH h AS (SELECT doc_id AS id, CAST($phash AS BIGINT) AS phash FROM documents),
-         |hp AS (SELECT id, phash, phash // 256 AS pfx FROM h),
-         |small AS (SELECT pfx FROM hp GROUP BY pfx HAVING count(*) <= 8),
-         |c AS (SELECT hp.* FROM hp JOIN small USING (pfx)),
-         |p AS (SELECT a.id AS id_a, b.id AS id_b,
-         |        bit_count(xor(a.phash, b.phash)) AS hamming
-         |      FROM c a JOIN c b ON a.pfx = b.pfx AND a.id < b.id)
-         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
-         |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
-    }
+    "mm_phash_neardup" -> phashPairsOracleFor("TRUE")
   )
+
+  /** DuckDB mirror of the phash pair set over `documents WHERE pred`
+    * — same byte-histogram as mm_media_features; bit i set when bin
+    * count * 16 exceeds the byte length (integer-exact mean test,
+    * identical to the Spark side). Shared by the in-line, persisted,
+    * upserted and compacted variants (the delete/compaction one
+    * restricts the corpus to the takedown survivors).
+    */
+  private def phashPairsOracleFor(pred: String): String = {
+    def bin(b: Int) =
+      s"len(list_filter(list_transform(generate_series(1, CAST(length(text) AS INT)), " +
+        s"i -> ascii(substring(text, i, 1)) % 16), x -> x = $b))"
+    val phash = (0 until 16)
+      .map(i => s"(CASE WHEN ${bin(i)} * 16 > length(text) THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH h AS (SELECT doc_id AS id, CAST($phash AS BIGINT) AS phash
+       |           FROM documents WHERE $pred),
+       |hp AS (SELECT id, phash, phash // 256 AS pfx FROM h),
+       |small AS (SELECT pfx FROM hp GROUP BY pfx HAVING count(*) <= 8),
+       |c AS (SELECT hp.* FROM hp JOIN small USING (pfx)),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |        bit_count(xor(a.phash, b.phash)) AS hamming
+       |      FROM c a JOIN c b ON a.pfx = b.pfx AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
+       |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+  }
 }

@@ -2334,6 +2334,28 @@ object SparkEntryCoverage {
           col("ewma").as("ewma_value"))
         .orderBy(col("user_id"))
     },
+    // Holt double-exponential smoothing per user (Series.holtOrdered —
+    // ewmaOrdered's two-state sibling): level + trend + one-step
+    // forecast over each user's purchase history, the next rung of
+    // the forecasting ladder (spend trajectories, ingest-volume
+    // projection). Same ordered streaming fold, bit-identical to the
+    // oracle's sequential list_reduce over (level, trend) pairs;
+    // alpha = 0.5 and beta = 0.3 chosen so 1−c equals the oracle's
+    // literal double exactly (0.7 ties round-to-even)
+    "w_holt" -> { (s, dir) =>
+      Series.holtOrdered(
+          t(s, dir, "events")
+            .filter(col("event_type") === "purchase")
+            .withColumn("us", expr("unix_micros(ts)")),
+          "user_id", Seq("us", "event_id"), "value", 0.5, 0.3)
+        .select(
+          col("user_id"),
+          col("n").as("n_purchases"),
+          col("level"),
+          col("trend"),
+          col("forecast"))
+        .orderBy(col("user_id"))
+    },
     // Winsorized mean per source (robust-stats family, next to the
     // z-score/MAD gates): values clipped at the exact rank-(k+1) and
     // rank-(n-k) order statistics with k = n div 10 — all-integer
@@ -4427,6 +4449,23 @@ object SparkEntryCoverage {
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_purchases,
         |       list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_value
         |FROM l ORDER BY user_id""".stripMargin,
+    // the same sequential-fold mirror with a 2-element [level, trend]
+    // accumulator; level' appears twice in the lambda but both
+    // evaluations are the identical double expression
+    "w_holt" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT user_id, list(value ORDER BY us, event_id) AS vs FROM p GROUP BY 1),
+        |f AS (SELECT user_id, CAST(len(vs) AS BIGINT) AS n_purchases,
+        |        list_reduce(
+        |          list_prepend([vs[1], 0.0], list_transform(vs[2:], x -> [x, 0.0])),
+        |          (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+        |                       0.3 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+        |                         + 0.7 * acc[2]]) AS st
+        |      FROM l)
+        |SELECT user_id, n_purchases, st[1] AS level, st[2] AS trend,
+        |       st[1] + st[2] AS forecast
+        |FROM f ORDER BY user_id""".stripMargin,
     "a_winsor_mean" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,

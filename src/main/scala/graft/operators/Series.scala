@@ -111,4 +111,96 @@ object Series {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Per-key Holt double-exponential smoothing (level + trend) in
+    * event order — [[ewmaOrdered]]'s two-state sibling, same ordered
+    * streaming fold (hash-repartition, spillable sort, one forward
+    * pass with O(1) state; bit-identical to the sequential chain and
+    * partition-count independent for the same reasons).
+    *
+    * Recurrence, seeded (level, trend) = (x₀, 0.0):
+    * {{{
+    *   level' = alpha·x + (1−alpha)·(level + trend)
+    *   trend' = beta·(level' − level) + (1−beta)·trend
+    * }}}
+    * Output: (keyCol, n, level, trend, forecast = level + trend — the
+    * one-step-ahead prediction). IEEE caveat carried from ewmaOrdered:
+    * pick alpha/beta whose `1.0 − c` is exactly representable against
+    * the oracle's literal (0.5 trivially; 0.3 because 1.0 − 0.3 ties
+    * to even onto the 0.7 double). A null value poisons level, trend
+    * AND forecast to null from that point on; null keys form one
+    * group; orderCols must be a total order.
+    */
+  def holtOrdered(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      beta: Double,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(beta > 0 && beta < 1, "beta must be in (0,1)")
+    val in = df.select((keyCol +: orderCols :+ valueCol).map(col): _*)
+    val keyField = in.schema.head
+    val valueIdx = in.schema.length - 1
+    val outSchema = StructType(Seq(
+      keyField.copy(name = keyCol),
+      StructField("n", LongType, nullable = false),
+      StructField("level", DoubleType, nullable = true),
+      StructField("trend", DoubleType, nullable = true),
+      StructField("forecast", DoubleType, nullable = true)))
+    val parted = numPartitions match {
+      case Some(p) => in.repartition(p, col(keyCol))
+      case None    => in.repartition(col(keyCol))
+    }
+    val sorted = parted.sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+    val a = alpha
+    val b = beta
+    sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Row = null
+        private var curKey: Any = null
+        private var open = false
+        private var n = 0L
+        private var level = 0.0
+        private var trend = 0.0
+        private var poisoned = false
+        private def close(): Row = {
+          val r =
+            if (poisoned) Row(curKey, n, null, null, null)
+            else Row(curKey, n, level, trend, level + trend)
+          open = false
+          r
+        }
+        private def advance(): Unit = {
+          while (pending == null && it.hasNext) {
+            val row = it.next()
+            val k = row.get(0)
+            if (!open || k != curKey) {
+              if (open) pending = close()
+              curKey = k; open = true; n = 0L; level = 0.0; trend = 0.0; poisoned = false
+            }
+            if (row.isNullAt(valueIdx)) poisoned = true
+            else if (!poisoned) {
+              val v = row.getDouble(valueIdx)
+              if (n == 0L) { level = v; trend = 0.0 }
+              else {
+                val l2 = a * v + (1.0 - a) * (level + trend)
+                trend = b * (l2 - level) + (1.0 - b) * trend
+                level = l2
+              }
+            }
+            n += 1
+          }
+          if (pending == null && open) pending = close()
+        }
+        override def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -694,10 +694,66 @@ object Io {
     * its prefix directory.
     */
   def writePhashIndex(codes: DataFrame, path: String): Unit =
-    codes.write.mode("overwrite").partitionBy("pfx").parquet(path)
+    codes
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("pfx").parquet(path)
 
   def readPhashIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(path).drop("__seq")
+
+  /** Append re-hashed media codes to a persisted phash index with a
+    * caller seq stamp (the re-crawled-image shape: decode + hash runs
+    * only on the increment, the base is never rewritten). A re-hashed
+    * image whose code changed may land in a DIFFERENT `pfx` directory
+    * than its old version — [[readPhashIndexLatest]] resolves
+    * last-wins per id across buckets, which is why the latest reader
+    * (not a bucket-pruned raw scan) is the correct consumer of an
+    * upserted index; after [[compactPhashIndex]] the stale row is
+    * physically gone and bucket pruning is safe again.
+    */
+  def upsertPhashIndex(codes: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
+    codes
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("pfx").parquet(path)
+  }
+
+  /** Tombstone-delete media ids from a persisted phash index — the
+    * [[deleteIvfIds]] shape for the code table (media takedown
+    * without touching code files).
+    */
+  def deletePhashIds(ids: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
+    writeTombstones(ids, path, seq)
+  }
+
+  /** Load a phash index with upserts + tombstones applied: the LATEST
+    * version of every media id (max `__seq`, distinct positive stamps
+    * per upsert), minus tombstoned ids. One id-window shuffle — the
+    * read-side cost of the append-only write path.
+    */
+  def readPhashIndexLatest(spark: SparkSession, path: String): DataFrame = {
+    val all = spark.read.parquet(path)
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(all, Seq(col("id")), Seq(col("__seq").desc))
+    applyTombstones(latest, "id", path)
+  }
+
+  /** Compact a persisted phash index: resolve last-wins + tombstones
+    * once, rewrite as a stamp-0 base (root overwrite also purges the
+    * tombstone sidecar). [[readPhashIndex]] afterwards serves exactly
+    * what [[readPhashIndexLatest]] served before.
+    */
+  def compactPhashIndex(spark: SparkSession, path: String): Unit = {
+    val stage = s"${path}__compacting"
+    readPhashIndexLatest(spark, path)
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("pfx").parquet(stage)
+    spark.read.parquet(stage)
+      .write.mode("overwrite").partitionBy("pfx").parquet(path)
+    deleteDir(spark, stage)
+  }
 
   // ---- tombstone deletes (takedown / right-to-be-forgotten) -------
   //

@@ -79,6 +79,50 @@ class SeriesSpec extends SparkSpec {
     assert(got(-1L) == ((2L, 0.3 * 15.0 + 0.7 * 5.0)))
   }
 
+  test("holtOrdered: bit-identical to a driver-side sequential reference fold") {
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want: Map[Long, (Long, Double, Double, Double)] = rows
+      .groupBy(_._1)
+      .map { case (k, g) =>
+        val vs = g.sortBy(r => (r._2, r._3)).map(_._4)
+        var level = vs.head
+        var trend = 0.0
+        vs.tail.foreach { v =>
+          val l2 = 0.5 * v + 0.5 * (level + trend)
+          trend = 0.3 * (l2 - level) + 0.7 * trend
+          level = l2
+        }
+        k -> ((vs.length.toLong, level, trend, level + trend))
+      }
+    val got = Series.holtOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.5, 0.3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("holtOrdered: partition-count independent; null poisons level, trend and forecast") {
+    val base = asMap(
+      Series.holtOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.5, 0.3,
+        numPartitions = Some(1)).select(col("user_id"), col("n"), col("forecast")))
+    for (p <- Seq(3, 17)) {
+      val got = asMap(
+        Series.holtOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.5, 0.3,
+          numPartitions = Some(p)).select(col("user_id"), col("n"), col("forecast")))
+      assert(got == base, s"partition count $p changed the result")
+    }
+    val df = Seq[(java.lang.Long, Long, Long, java.lang.Double)](
+      (10L, 1L, 1L, 2.0), (10L, 2L, 2L, null), (10L, 3L, 3L, 8.0),
+      (11L, 1L, 4L, 4.0), (11L, 2L, 5L, 14.0)
+    ).toDF("user_id", "us", "event_id", "value")
+    val got = Series.holtOrdered(df, "user_id", Seq("us", "event_id"), "value", 0.5, 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.get(2), r.get(3), r.get(4)))).toMap
+    assert(got(10L) == ((null, null, null)))
+    val l2 = 0.5 * 14.0 + 0.5 * 4.0
+    assert(got(11L) == ((l2, 0.3 * (l2 - 4.0), l2 + 0.3 * (l2 - 4.0))))
+  }
+
   test("ewmaOrdered plan: no ObjectHashAggregate/SortAggregate collect_list buffer") {
     val plan = Series.ewmaOrdered(events, "user_id", Seq("us", "event_id"), "value", 0.3)
       .queryExecution.executedPlan.toString
