@@ -56,6 +56,7 @@ object SparkEntry {
     base ++ Map(
       "mm_phash_persisted" -> base("mm_phash_neardup"),
       "mm_phash_upsert" -> base("mm_phash_neardup"),
+      "st_phash_upsert" -> base("mm_phash_neardup"),
       "mm_phash_compacted" -> phashPairsOracleFor("doc_id % 9 <> 0"))
   }
 

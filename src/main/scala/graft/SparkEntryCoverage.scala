@@ -1643,6 +1643,23 @@ object SparkEntryCoverage {
         .embeddingDriftByGroup(t(s, dir, "embeddings"), col("label"), "embedding")
         .orderBy(col("group"))
     },
+    // Margin-based cross-source alignment (Similarity.marginAlignPairs
+    // — the Artetxe & Schwenk bitext-mining ratio margin over the
+    // even/odd vec_id split): each left vector's best right match,
+    // kept when cosine beats the mean of both sides' 4-NN cosines by
+    // 21/20 — hub vectors that are everyone's neighbor fail the
+    // margin even with high raw cosine. Micro-unit integer cosines,
+    // exact integer sums and an integer cross-multiplied test; the
+    // published margin is one division of identical BIGINTs.
+    "v_margin_pairs" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .marginAlignPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, thrNum = 21L, thrDen = 20L)
+        .orderBy(col("id_a"))
+    },
     // Ingest-time embedding normalization (cosine -> dot at query time)
     "v_normalize" -> { (s, dir) =>
       Similarity
@@ -4060,6 +4077,29 @@ object SparkEntryCoverage {
       pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
     "v_pq_compacted" ->
       pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
+    // same integer margin pipeline in SQL: micro-unit cosines, ranked
+    // integer sums, cross-multiplied threshold, one BIGINT division
+    "v_margin_pairs" -> {
+      s"""WITH av AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id % 2 = 0),
+         |bv AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE vec_id % 2 = 1),
+         |s AS (SELECT id_a, id_b,
+         |        CAST(round(${sqlCosine("va", "vb")} * 1e6, 0) AS BIGINT) AS q
+         |      FROM av, bv),
+         |ra AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY q DESC, id_b) AS rn FROM s),
+         |sa AS (SELECT id_a, CAST(sum(q) AS BIGINT) AS sum_a, CAST(count(*) AS BIGINT) AS k_a
+         |       FROM ra WHERE rn <= 4 GROUP BY 1),
+         |rb AS (SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY q DESC, id_a) AS rn FROM s),
+         |sb AS (SELECT id_b, CAST(sum(q) AS BIGINT) AS sum_b, CAST(count(*) AS BIGINT) AS k_b
+         |       FROM rb WHERE rn <= 4 GROUP BY 1),
+         |best AS (SELECT id_a, id_b, q FROM ra WHERE rn = 1)
+         |SELECT best.id_a, best.id_b, q AS cos6,
+         |       CAST(2 * q * k_a * k_b AS DOUBLE)
+         |         / CAST(sum_a * k_b + sum_b * k_a AS DOUBLE) AS margin
+         |FROM best JOIN sa USING (id_a) JOIN sb USING (id_b)
+         |WHERE sum_a * k_b + sum_b * k_a > 0
+         |  AND 2 * q * k_a * k_b * 20 >= 21 * (sum_a * k_b + sum_b * k_a)
+         |ORDER BY id_a""".stripMargin
+    },
     "v_embed_drift" -> {
       s"""WITH dims AS (
          | SELECT label AS grp, gs.i - 1 AS dim,

@@ -402,6 +402,45 @@ object SparkEntryStreaming {
         .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // Streaming PHASH maintenance — re-crawled media re-hashed per
+    // micro-batch: the base index holds STALE codes for every 5th doc
+    // (a '?'-run appended — bin 15 and the byte length move, so the
+    // aHash actually changes; reversing or case-flipping text would
+    // be a VACUOUS no-op on a byte-histogram hash, since
+    // ascii%16 is case-insensitive for letters), the stream upserts
+    // the true codes (seq = batchId+1), and the last-wins read must
+    // converge the code table to the full corpus —
+    // mm_phash_neardup's oracle, the streaming path. Completes
+    // batch/stream symmetry for the last index family
+    // (IVF/PQ/postings/dup-graph already have it).
+    "st_phash_upsert" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idxPath = s"/tmp/graft_idx/phash_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      def codesOf(d: DataFrame) =
+        graft.operators.Multimodal.phashCodes(
+          graft.operators.Multimodal.fromText(d, "doc_id", "text", "image"))
+      val stale = docs.withColumn(
+        "text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" ??????????????????????")))
+          .otherwise(col("text")))
+      graft.sources.Io.writePhashIndex(codesOf(stale), idxPath)
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") % 5 === 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertPhashIndex(codesOf(batch), idxPath, seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Multimodal
+        .phashPairsFromCodes(
+          graft.sources.Io.readPhashIndexLatest(s, idxPath), 2, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // Streaming POSTINGS maintenance — the reference's daily
     // incremental re-index of changed pages applied to the retrieval
     // index: the base build indexes every 5th doc STALE (the phrase

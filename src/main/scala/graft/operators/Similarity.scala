@@ -785,4 +785,76 @@ object Similarity {
       query,
       k)
   }
+
+  /** Margin-based cross-source vector alignment — the bitext-mining
+    * criterion (Artetxe & Schwenk, "Margin-based Parallel Corpus
+    * Mining with Multilingual Sentence Embeddings", ACL 2019, ratio
+    * margin): for each left vector its best right match, kept only
+    * when the match's cosine beats the MEAN of both sides' k-NN
+    * cosines by the ratio `thrNum/thrDen` — raw best-cosine picks hub
+    * vectors that are everyone's neighbor; the margin normalizes by
+    * each side's local density. The same criterion mines cross-SOURCE
+    * near-translations / re-writes for training-pair construction.
+    *
+    * Deterministic by integer discipline: cosines quantize to
+    * micro-units (round·1e6 → BIGINT) BEFORE any aggregation; k-NN
+    * sums are exact integer sums over the total (q desc, id) rank
+    * order; the margin test is the cross-multiplication
+    * 2·q·k_a·k_b·thrDen ≥ thrNum·(sum_a·k_b + sum_b·k_a) (valid under
+    * the positive-denominator guard below, which is part of the
+    * operator's contract — an all-non-positive neighborhood has no
+    * meaningful margin); the published margin is one double division
+    * of identical integers. Short sides degrade gracefully: k_a/k_b
+    * are the ACTUAL neighbor counts (≤ k), so the means stay means.
+    *
+    * Scale: this exact cross form is the oracle-checkable baseline
+    * (the dd_embed_neardup rule). At corpus scale feed each side's
+    * top-k candidate lists from ivfTopK/bandedLshTopK — the margin
+    * math consumes only (id_a, id_b, q) lists, never the cross join.
+    *
+    * Returns (id_a, id_b, cos6, margin), best-match-per-left only.
+    * Same caching contract as the pair generators.
+    */
+  def marginAlignPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      thrNum: Long,
+      thrDen: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(thrNum > 0 && thrDen > 0, "margin threshold must be a positive rational")
+    import org.apache.spark.sql.expressions.Window
+    val a = left.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = right.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val scored = a.crossJoin(b)
+      .withColumn(
+        "q",
+        round(VectorFns.cosine(col("__va"), col("__vb")) * 1e6, 0).cast("long"))
+      .select(col("id_a"), col("id_b"), col("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wA = Window.partitionBy(col("id_a")).orderBy(col("q").desc, col("id_b"))
+    val wB = Window.partitionBy(col("id_b")).orderBy(col("q").desc, col("id_a"))
+    val rankedA = scored.withColumn("rn", row_number().over(wA))
+    val sumA = rankedA.filter(col("rn") <= k)
+      .groupBy(col("id_a"))
+      .agg(sum(col("q")).as("sum_a"), count(lit(1)).as("k_a"))
+    val sumB = scored.withColumn("rn", row_number().over(wB)).filter(col("rn") <= k)
+      .groupBy(col("id_b"))
+      .agg(sum(col("q")).as("sum_b"), count(lit(1)).as("k_b"))
+    val best = rankedA.filter(col("rn") === 1).drop("rn")
+    val den = col("sum_a") * col("k_b") + col("sum_b") * col("k_a")
+    best
+      .join(sumA, "id_a")
+      .join(sumB, "id_b")
+      .filter(den > 0)
+      .filter(col("q") * 2 * col("k_a") * col("k_b") * thrDen >= lit(thrNum) * den)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("q").as("cos6"),
+        ((col("q") * 2 * col("k_a") * col("k_b")).cast("double") / den.cast("double"))
+          .as("margin"))
+  }
 }

@@ -206,6 +206,56 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("marginAlignPairs: bit-identical to a driver-side integer reference") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val lefts = emb.filter(_._1 % 2 == 0)
+    val rights = emb.filter(_._1 % 2 == 1)
+    val k = 4
+    val q = (for ((ia, va) <- lefts; (ib, vb) <- rights)
+      yield (ia, ib) -> math.round(cos(va, vb) * 1e6)).toMap
+    def topSum(ids: Seq[(Long, Long)]) = { // (otherId, q) ranked (q desc, id)
+      val top = ids.sortBy { case (id, s) => (-s, id) }.take(k)
+      (top.map(_._2).sum, top.size.toLong)
+    }
+    val sumA = lefts.map { case (ia, _) =>
+      ia -> topSum(rights.map(r => r._1 -> q((ia, r._1))).toSeq) }.toMap
+    val sumB = rights.map { case (ib, _) =>
+      ib -> topSum(lefts.map(l => l._1 -> q((l._1, ib))).toSeq) }.toMap
+    val want = lefts.flatMap { case (ia, _) =>
+      val best = rights.map(r => r._1 -> q((ia, r._1)))
+        .minBy { case (id, s) => (-s, id) }
+      val (sa, ka) = sumA(ia); val (sb, kb) = sumB(best._1)
+      val den = sa * kb + sb * ka
+      val num = 2L * best._2 * ka * kb
+      if (den > 0 && num * 20 >= 21 * den)
+        Some((ia, best._1, best._2, num.toDouble / den.toDouble))
+      else None
+    }.toSet
+    val got = graft.operators.Similarity
+      .marginAlignPairs(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .filter($"vec_id" % 2 === 0),
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", 4, 21L, 20L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(want.nonEmpty, "fixture must produce aligned pairs or the equality is vacuous")
+    assert(got == want)
+  }
+
   test("kmv sketch merge == one global sketch (lossless merge property)") {
     val df = (1 to 500).map(i => (s"g${i % 7}", s"v${i % 231}")).toDF("g", "v")
     val global = Sketches.kmvDistinct(df, Seq(lit(1).as("one")), $"v", 32)
