@@ -913,6 +913,44 @@ object SparkEntryCoverage {
         .crossJoin(broadcast(tok.agg(countDistinct(col("term")).as("n_exact"))))
         .select(col("n_exact"), col("n_seen"), col("kmv_est"))
     },
+    // KMV set-operation overlap estimate (Sketches.kmvOverlapEstimate
+    // — Beyer et al. 2007): customer-key overlap between the urgent
+    // and the fulfilled order populations (genuinely partial overlap
+    // — true Jaccard ≈ 0.85 at sf0.01; the full orders×customer pair
+    // would be a degenerate 1.0) from two 64-hash sketches, published
+    // against the exact counts. The join-size planning primitive: at
+    // 100 TB the sketches are persisted artifacts and the estimate
+    // costs two sketch reads, not a scan of either table. Union-k-min
+    // membership in each side's buffer is exact (union's k-th order
+    // statistic ≤ each side's k-th), so the oracle reproduces the
+    // estimator bit-for-bit.
+    "a_kmv_join_est" -> { (s, dir) =>
+      val k = 64
+      val orders = t(s, dir, "orders")
+      val oKeys = orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key"))
+      val cKeys = orders
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("key"))
+      val exact = broadcast(
+        oKeys.distinct()
+          .join(cKeys.distinct(), Seq("key"))
+          .agg(count(lit(1)).as("n_exact_inter"))
+          .crossJoin(oKeys.agg(countDistinct(col("key")).as("n_exact_a")))
+          .crossJoin(cKeys.agg(countDistinct(col("key")).as("n_exact_b"))))
+      Sketches
+        .kmvOverlapEstimate(
+          Sketches.kmvSketches(oKeys, Seq.empty, col("key"), k),
+          Sketches.kmvSketches(cKeys, Seq.empty, col("key"), k),
+          col("mins"),
+          k)
+        .crossJoin(exact)
+        .select(
+          col("n_exact_a"), col("n_exact_b"), col("n_exact_inter"),
+          col("n_union_seen"), col("n_both"),
+          col("union_est"), col("jaccard_est"), col("inter_est"))
+    },
     // Count-Min Sketch heavy-hitter estimation: a 4×1024 counter
     // sketch of the corpus token stream (Sketches.cmsBuild — one
     // map-side-combined hash agg, output bounded at depth·width rows
@@ -2589,6 +2627,25 @@ object SparkEntryCoverage {
         .ksDrift(scored, col("source"), col("q"), 0.0, 1.0, 20)
         .select(col("group").as("source"), col("n"), col("ks6"), col("ks"))
         .orderBy(col("source"))
+    },
+    // Ingest-volume anomaly gate (Checks.volumeAnomaly): each
+    // (event_type, day)'s row count z-scored against the type's
+    // trailing 7 days — the "did a source silently halve / a bot 10×
+    // a feed" pre-training check. One hash-agg shrinks events to the
+    // count table BEFORE any window; z = (w·n−sum)/sqrt(w·sumsq−sum²)
+    // — two BIGINTs into one sqrt and one division; warm-up and
+    // flat-history rows carry NULL z and are unflagged.
+    "dq_volume_anomaly" -> { (s, dir) =>
+      Checks
+        .volumeAnomaly(
+          t(s, dir, "events")
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          col("event_type"),
+          col("day"),
+          window = 7,
+          minWindow = 3,
+          zThreshold = 3.0)
+        .orderBy(col("grp"), col("bucket"))
     },
     // Data-quality gate report (the dbt-tests / expectations
     // primitive): domain/positivity/not-null row checks share ONE
@@ -4661,6 +4718,28 @@ object SparkEntryCoverage {
         |       TRUE AS covered""".stripMargin,
     // quality CTEs derived from the shared engine constants (the
     // t_funnel_e2e rule); the KS walk replays ksDrift's integer
+    // same trailing-ROWS window over the pre-aggregated count table;
+    // the CASE guard and the z expression mirror the engine verbatim
+    "dq_volume_anomaly" ->
+      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT *, CAST(count(*) OVER wt AS BIGINT) AS w_cnt,
+        |        CAST(COALESCE(sum(n) OVER wt, 0) AS BIGINT) AS w_sum,
+        |        CAST(COALESCE(sum(n * n) OVER wt, 0) AS BIGINT) AS w_sumsq
+        |      FROM c
+        |      WINDOW wt AS (PARTITION BY grp ORDER BY bucket
+        |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT grp, bucket, n, w_cnt,
+        |        CASE WHEN w_cnt >= 3
+        |             THEN CAST(w_cnt * n - w_sum AS DOUBLE)
+        |                  / sqrt(CAST(greatest(w_cnt * w_sumsq - w_sum * w_sum,
+        |                                       w_cnt * w_cnt) AS DOUBLE))
+        |             ELSE NULL END AS z
+        |      FROM s)
+        |SELECT grp, bucket, n, w_cnt, z,
+        |       COALESCE(abs(z) >= 3.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY grp, bucket""".stripMargin,
     // arithmetic with // division
     "dq_dist_drift" ->
       s"""WITH qb AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS nc,
@@ -4893,6 +4972,45 @@ object SparkEntryCoverage {
          |       CASE WHEN n_seen < $k THEN CAST(n_seen AS DOUBLE)
          |            ELSE ${(k - 1).toDouble * 4294967296.0} / CAST(hk AS DOUBLE) END AS kmv_est
          |FROM ex, agg""".stripMargin
+    },
+    // the estimator replayed on the raw keys: per-side 64 smallest
+    // distinct hashes, union rank, buffer-membership flags
+    "a_kmv_join_est" -> {
+      val k = 64
+      s"""WITH ka AS (SELECT DISTINCT ${sqlHash32("o_custkey")} AS h FROM orders
+         |            WHERE o_orderpriority = '1-URGENT'),
+         |kb AS (SELECT DISTINCT ${sqlHash32("o_custkey")} AS h FROM orders
+         |       WHERE o_orderstatus = 'F'),
+         |sa AS (SELECT h FROM ka ORDER BY h LIMIT $k),
+         |sb AS (SELECT h FROM kb ORDER BY h LIMIT $k),
+         |uni AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |        FROM (SELECT h FROM sa UNION SELECT h FROM sb)),
+         |u AS (SELECT * FROM uni WHERE rn <= $k),
+         |fl AS (SELECT u.rn, u.h,
+         |         (sa.h IS NOT NULL) AS in_a, (sb.h IS NOT NULL) AS in_b
+         |       FROM u LEFT JOIN sa ON sa.h = u.h LEFT JOIN sb ON sb.h = u.h),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_union_seen,
+         |          max(CASE WHEN rn = $k THEN h END) AS hk,
+         |          CAST(COALESCE(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both
+         |        FROM fl),
+         |est AS (SELECT n_union_seen, n_both,
+         |          CASE WHEN n_union_seen < $k THEN CAST(n_union_seen AS DOUBLE)
+         |               ELSE ${(k - 1).toDouble * 4294967296.0} / CAST(hk AS DOUBLE) END AS union_est,
+         |          CASE WHEN n_union_seen = 0 THEN 0.0
+         |               ELSE CAST(n_both AS DOUBLE) / CAST(n_union_seen AS DOUBLE) END AS jaccard_est
+         |        FROM agg),
+         |ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact_a FROM orders
+         |       WHERE o_orderpriority = '1-URGENT'),
+         |ey AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact_b FROM orders
+         |       WHERE o_orderstatus = 'F'),
+         |ei AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_inter
+         |       FROM (SELECT DISTINCT o_custkey FROM orders
+         |             WHERE o_orderpriority = '1-URGENT') o
+         |       JOIN (SELECT DISTINCT o_custkey FROM orders
+         |             WHERE o_orderstatus = 'F') c USING (o_custkey))
+         |SELECT n_exact_a, n_exact_b, n_exact_inter, n_union_seen, n_both,
+         |       union_est, jaccard_est, jaccard_est * union_est AS inter_est
+         |FROM est, ex, ey, ei""".stripMargin
     },
     "a_cms_heavy" -> {
       val probeBuckets = (0 until 4)

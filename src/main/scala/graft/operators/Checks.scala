@@ -324,4 +324,65 @@ object Checks {
       .orderBy(col("n").desc, col("key"))
       .limit(k)
   }
+
+  /** Ingest-volume anomaly gate: per (group, bucket) row counts
+    * z-scored against each group's TRAILING `window` buckets — the
+    * daily "did a source silently halve / a bot 10× a feed" check a
+    * pipeline runs before training on the day's data. `bucketCol`
+    * must be a sortable bucket key (a yyyy-MM-dd day string).
+    *
+    * Exactness: counts and their trailing sum / sum-of-squares are
+    * BIGINTs over a ROWS-bounded frame (never RANGE — whale-proof by
+    * construction, the w_rolling_median rule), and
+    * z = (w·n − sum) / sqrt(max(w·sumsq − sum², w²)) — integers into
+    * one sqrt and one division, so both engines divide identical
+    * values. The `w²` floor is a 1-count noise level (σ ≥ 1): a
+    * PERFECTLY FLAT history has zero sample variance, and without the
+    * floor the most obvious anomaly of all — a 10× spike after a flat
+    * week — would be unscorable; with it, flat-history z degrades to
+    * exactly n − mean. z is NULL (and the row unflagged) only while
+    * the trailing window has fewer than `minWindow` buckets
+    * (warm-up); the count columns always publish for eyeballing.
+    *
+    * Scale: one hash-agg shrinks the event stream to
+    * (groups × buckets) rows before any window — the window sorts
+    * group-bounded count tables, never events.
+    */
+  def volumeAnomaly(
+      df: DataFrame,
+      group: Column,
+      bucketCol: Column,
+      window: Int,
+      minWindow: Int,
+      zThreshold: Double): DataFrame = {
+    require(window >= minWindow && minWindow >= 2, "need window >= minWindow >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(group.cast("string").as("grp"), bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window
+      .partitionBy(col("grp"))
+      .orderBy(col("bucket"))
+      .rowsBetween(-window, -1)
+    val stats = counts
+      .withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+    val varN2 = greatest(
+      col("w_cnt") * col("w_sumsq") - col("w_sum") * col("w_sum"),
+      col("w_cnt") * col("w_cnt"))
+    val z = (col("w_cnt") * col("n") - col("w_sum")).cast("double") /
+      sqrt(varN2.cast("double"))
+    stats
+      .withColumn(
+        "z",
+        when(col("w_cnt") >= minWindow, z)
+          .otherwise(lit(null).cast("double")))
+      // coalesce, not &&: null z must read as NOT-flagged, and
+      // three-valued AND would leave is_anomaly null instead of false
+      .withColumn(
+        "is_anomaly",
+        coalesce(abs(col("z")) >= zThreshold, lit(false)))
+      .select(col("grp"), col("bucket"), col("n"), col("w_cnt"), col("z"), col("is_anomaly"))
+  }
 }

@@ -134,6 +134,61 @@ object Sketches {
       .select(estimateCols(col("mins"), k): _*)
   }
 
+  /** Distinct-set overlap estimates from TWO [[kmvSketches]] buffers
+    * (the KMV set-operation estimator, Beyer et al. SIGMOD 2007 —
+    * the join-size / audience-overlap planning primitive): union
+    * size from the k smallest hashes of the buffer union, Jaccard
+    * from the fraction of those present in BOTH buffers,
+    * intersection = jaccard · union. Membership is EXACT, not a
+    * heuristic: union ⊇ each side, so the union's k-th order
+    * statistic is ≤ each side's k-th — every union-k-min hash that
+    * belongs to a side's set is guaranteed to sit in that side's
+    * buffer.
+    *
+    * Inputs are one-row global sketches (grouped sketches: filter to
+    * the group first). All work after the sketches is on ≤ 2k rows —
+    * the single-task rank window is bounded by CONSTRUCTION, and at
+    * 100 TB the sketches are the persisted artifact, so estimating a
+    * join's key overlap costs two sketch reads, not a scan of either
+    * table.
+    *
+    * Returns one row: (n_union_seen, n_both, union_est, jaccard_est,
+    * inter_est).
+    */
+  def kmvOverlapEstimate(
+      sketchA: DataFrame,
+      sketchB: DataFrame,
+      minsCol: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aH = sketchA.select(explode(minsCol).as("h")).distinct()
+    val bH = sketchB.select(explode(minsCol).as("h")).distinct()
+    val uni = aH.unionAll(bH).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val flagged = uni
+      .join(aH.select(col("h"), lit(1).as("in_a")), Seq("h"), "left")
+      .join(bH.select(col("h"), lit(1).as("in_b")), Seq("h"), "left")
+    flagged
+      .agg(
+        count(lit(1)).as("n_union_seen"),
+        max(when(col("rn") === k, col("h"))).as("__hk"),
+        coalesce(
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_both"))
+      .select(
+        col("n_union_seen"),
+        col("n_both"),
+        when(col("n_union_seen") < k, col("n_union_seen").cast("double"))
+          .otherwise(lit((k - 1).toDouble * Space) / col("__hk").cast("double"))
+          .as("union_est"))
+      .withColumn(
+        "jaccard_est",
+        when(col("n_union_seen") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double") / col("n_union_seen").cast("double")))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
+
   /** (n_seen, kmv_est) off a sorted min-hash buffer: buffer fill, and
     * the (k−1)·2^32 / h_k density estimate (exact-count degradation
     * below k).

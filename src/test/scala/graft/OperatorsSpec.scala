@@ -273,6 +273,42 @@ class OperatorsSpec extends SparkSpec {
     assert(merged.getLong(0) == 10L && merged.getDouble(1) == 10.0)
   }
 
+  test("kmvOverlapEstimate: identical sets -> jaccard 1.0; disjoint sets -> 0 matches") {
+    import graft.operators.Sketches
+    val xs = (1 to 300).map(i => s"k$i").toDF("key")
+    val ys = (301 to 600).map(i => s"k$i").toDF("key")
+    val same = Sketches.kmvOverlapEstimate(
+      Sketches.kmvSketches(xs, Seq.empty, $"key", 32),
+      Sketches.kmvSketches(xs, Seq.empty, $"key", 32), $"mins", 32).head()
+    assert(same.getDouble(3) == 1.0) // jaccard_est
+    assert(same.getDouble(4) == same.getDouble(2)) // inter_est == union_est
+    val disj = Sketches.kmvOverlapEstimate(
+      Sketches.kmvSketches(xs, Seq.empty, $"key", 32),
+      Sketches.kmvSketches(ys, Seq.empty, $"key", 32), $"mins", 32).head()
+    assert(disj.getLong(1) == 0L && disj.getDouble(3) == 0.0 && disj.getDouble(4) == 0.0)
+  }
+
+  test("volumeAnomaly: a 10x spike flags, warm-up and flat history stay null/unflagged") {
+    import graft.operators.Checks
+    // source s: 10 rows/day for 9 days, 100 on day 10; source f: flat 5/day
+    val rows =
+      (1 to 9).flatMap(d => (1 to 10).map(i => ("s", f"2024-01-$d%02d"))) ++
+        (1 to 100).map(_ => ("s", "2024-01-10")) ++
+        (1 to 9).flatMap(d => (1 to 5).map(_ => ("f", f"2024-01-$d%02d")))
+    val got = Checks
+      .volumeAnomaly(rows.toDF("src", "day"), $"src", $"day", 7, 3, 3.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.get(4), r.getBoolean(5))))
+      .toMap
+    assert(got(("s", "2024-01-10"))._2, "the 10x day must flag")
+    assert(got(("s", "2024-01-10"))._1 == 90.0, "flat-history z degrades to n - mean")
+    assert(got(("s", "2024-01-01")) == ((null, false)), "warm-up day: null z, unflagged")
+    assert(got(("s", "2024-01-02")) == ((null, false)), "below minWindow: null z, unflagged")
+    // flat history scored against the 1-count noise floor: z = 0, unflagged
+    assert((4 to 9).forall(d => got(("f", f"2024-01-$d%02d")) == ((0.0, false))))
+    assert((1 to 2).forall(d => got(("f", f"2024-01-$d%02d")) == ((null, false))))
+  }
+
   test("minhashLshPairs surfaces the exact dup with jaccard 1.0") {
     val pairs = Dedup.minhashLshPairs(nearDupDocs, "text", "doc_id", 3, 8, 1, 0.9)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
