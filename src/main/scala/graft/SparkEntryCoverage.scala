@@ -1073,6 +1073,19 @@ object SparkEntryCoverage {
     // (TextAnalysis.collocationPmi) — the phrase-detection complement
     // of t_top_terms' raw frequency ranking; ranked on integer
     // micro-nat PMI so the order is engine-exact
+    // RAKE keyword extraction (TextAnalysis.rakeKeywords — Rose et
+    // al. 2010) with the integer scoring variant Σdeg/Σfreq (one
+    // BIGINT division instead of a float-order-sensitive
+    // Σ deg(w)/freq(w)): per-doc top-3 stopword-delimited phrases —
+    // the document-level keyword op next to t_collocations'
+    // corpus-level PMI phrases
+    "t_rake" -> { (s, dir) =>
+      TextAnalysis
+        .rakeKeywords(
+          t(s, dir, "documents"), "text", "doc_id", SparkEntry.qualityStops, 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rank"))
+    },
     "t_collocations" -> { (s, dir) =>
       TextAnalysis
         .collocationPmi(t(s, dir, "documents"), "text", minCount = 5L, k = 30)
@@ -5038,6 +5051,37 @@ object SparkEntryCoverage {
       phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
     "r_phrase_compacted" ->
       phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
+    // same phrase segmentation (running stopword count as group id),
+    // same Σdeg/Σfreq integer scoring, same (score desc, phrase) rank
+    "t_rake" ->
+      s"""WITH tok AS (SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS pos, tk[CAST(p.i AS INT)] AS t
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |        FROM documents WHERE length(trim(text)) > 0),
+         |       LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) p),
+         |m AS (SELECT doc_id, pos, t,
+         |        CASE WHEN t IN (${SparkEntry.qualityStops.map(s => s"'$s'").mkString(", ")})
+         |             THEN 1 ELSE 0 END AS st
+         |      FROM tok),
+         |g AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+         |pw AS (SELECT doc_id, grp, pos, t FROM g WHERE st = 0),
+         |ph AS (SELECT doc_id, grp, string_agg(t, ' ' ORDER BY pos) AS phrase,
+         |        CAST(count(*) AS BIGINT) AS plen FROM pw GROUP BY 1, 2),
+         |ws AS (SELECT pw.doc_id, pw.t, CAST(count(*) AS BIGINT) AS freq,
+         |        CAST(sum(plen) AS BIGINT) AS deg
+         |       FROM pw JOIN ph USING (doc_id, grp) GROUP BY 1, 2),
+         |sc AS (SELECT pw.doc_id, ph.phrase,
+         |        CAST(sum(ws.deg) AS BIGINT) AS deg_sum,
+         |        CAST(sum(ws.freq) AS BIGINT) AS freq_sum
+         |       FROM pw JOIN ph USING (doc_id, grp)
+         |       JOIN ws ON ws.doc_id = pw.doc_id AND ws.t = pw.t
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, phrase,
+         |        CAST(deg_sum AS DOUBLE) / CAST(freq_sum AS DOUBLE) AS score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY CAST(deg_sum AS DOUBLE) / CAST(freq_sum AS DOUBLE) DESC, phrase) AS rnk
+         |       FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, phrase, score FROM rk
+         |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
     // same micro-nat discipline; bigrams = adjacent token pairs, the
     // bigramPairs definition (prev at i-1, term at i, i >= 2)
     "t_collocations" ->

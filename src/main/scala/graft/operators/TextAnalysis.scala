@@ -683,4 +683,75 @@ object TextAnalysis {
     val neg = negative.map(k => l.contains(k)).reduce(_ || _)
     (when(pos, 1L).otherwise(0L), when(neg, 1L).otherwise(0L))
   }
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic keyword extraction from individual documents") with
+    * an INTEGER scoring variant: candidate phrases are the maximal
+    * token runs between stopword delimiters; per document each
+    * phrase word gets freq(w) (occurrences in candidates) and
+    * deg(w) (Σ length of candidates containing it, multiplicity
+    * included); canonical RAKE scores Σ deg(w)/freq(w) — a
+    * float-summation-order liability — so this variant scores
+    * Σdeg / Σfreq: BIGINT sums into ONE division (and the ratio is
+    * invariant to how often the same phrase string repeats in a doc,
+    * since both sums scale together). Top `topK` phrases per doc by
+    * (score desc, phrase).
+    *
+    * Scale shape: everything is per-document — explode, two
+    * group-bounded windows/aggs, no corpus-wide state. The phrase
+    * reassembly is a sorted collect over ONE inter-stopword run
+    * (bounded by the run length, not the document), the sanctioned
+    * bounded-buffer case.
+    *
+    * Returns (id, rank, phrase, score), rank 1..topK.
+    */
+  def rakeKeywords(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      stopwords: Seq[String],
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    require(stopwords.nonEmpty, "RAKE needs stopword delimiters")
+    val tok = Width.spread(df)
+      .select(
+        col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "t")))
+    val marked = tok
+      .withColumn("st", col("t").isin(stopwords: _*).cast("int"))
+      .withColumn(
+        "grp",
+        sum(col("st")).over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+    val pw = marked.filter(col("st") === 0)
+      .select(col("id"), col("grp"), col("pos"), col("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ph = pw
+      .groupBy(col("id"), col("grp"))
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).as("phrase"),
+        count(lit(1)).as("plen"))
+    val wstat = pw
+      .join(ph, Seq("id", "grp"))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = pw
+      .join(ph, Seq("id", "grp"))
+      .join(wstat, Seq("id", "t"))
+      .groupBy(col("id"), col("phrase"))
+      .agg(sum(col("deg")).as("deg_sum"), sum(col("freq")).as("freq_sum"))
+      .withColumn(
+        "score",
+        col("deg_sum").cast("double") / col("freq_sum").cast("double"))
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("phrase"), col("score"))
+  }
 }

@@ -273,6 +273,22 @@ class OperatorsSpec extends SparkSpec {
     assert(merged.getLong(0) == 10L && merged.getDouble(1) == 10.0)
   }
 
+  test("rakeKeywords: hand-computed phrase scores, longer collocation outranks its prefix") {
+    val df = Seq((1L, "machine learning of machine learning models the big data"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(df, "text", "doc_id", Seq("the", "a", "of"), 3)
+      .orderBy($"rank")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    // freq: machine 2, learning 2, models 1, big 1, data 1
+    // deg:  machine 5, learning 5, models 3, big 2, data 2
+    assert(got == Seq(
+      (1L, "machine learning models", 13.0 / 5.0),
+      (2L, "machine learning", 10.0 / 4.0),
+      (3L, "big data", 4.0 / 2.0)))
+  }
+
   test("kmvOverlapEstimate: identical sets -> jaccard 1.0; disjoint sets -> 0 matches") {
     import graft.operators.Sketches
     val xs = (1 to 300).map(i => s"k$i").toDF("key")
