@@ -1225,16 +1225,18 @@ object SparkEntry {
         .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.2)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // Same pair set via PREFIX-FILTERED candidate generation
-    // (Dedup.prefixJaccardPairs — SSJoin/All-Pairs/PPJoin): the
-    // candidate join explodes only each doc's rarest
-    // |x|-⌈t|x|⌉+1 shingles instead of all of them, the filter is
-    // lossless, and the verify re-scores exactly — so the oracle is
-    // dd_jaccard_pairs' verbatim. The scale path when Σdf² of the
-    // full shingle join is the bottleneck.
+    // PREFIX-FILTERED Jaccard pairs (Dedup.prefixJaccardPairs —
+    // SSJoin/All-Pairs/PPJoin): the candidate join explodes only each
+    // doc's rarest |x|-⌈t|x|⌉+1 shingles, the filter is lossless, and
+    // the merge-walk kernel re-scores survivors exactly. Run at the
+    // 0.8 near-dup operating point — where the prefix is ~20% of each
+    // doc and the candidate space collapses (measured 13,985 → 252
+    // candidate rows at sf0.01); at permissive thresholds the
+    // threshold-blind full join is the right tool, and OperatorsSpec
+    // pins prefix == full there.
     "dd_prefix_jaccard" -> { (s, dir) =>
       Dedup
-        .prefixJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.2)
+        .prefixJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
     "dd_minhash_pairs" -> { (s, dir) =>
@@ -1291,24 +1293,25 @@ object SparkEntry {
   // drop) BEFORE both the intersection counts and the set sizes —
   // QUALIFY mirrors that cap so the oracle agrees on any corpus
   // where it actually fires (df of a shingle string == df of its
-  // 64-bit hash, the only thing the engine sees). Shared by the
-  // all-shingle join (dd_jaccard_pairs) and the prefix-filtered
-  // variant (dd_prefix_jaccard), which must produce identical pairs.
-  private val jaccardPairsScoredSql: String =
-    """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
-      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
-      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
-      |       FROM tok WHERE len(tk) >= 3),
-      |sh AS (SELECT doc_id, shingle FROM sh0
-      |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
-      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
-      |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-      |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
-      |ORDER BY id_a, id_b""".stripMargin
+  // 64-bit hash, the only thing the engine sees). Parameterized by
+  // threshold: the all-shingle join runs the survey's 0.2, the
+  // prefix-filtered variant its operational 0.8 — and the prefix ==
+  // full equality is pinned by OperatorsSpec at shared thresholds.
+  private def jaccardPairsScoredSqlAt(threshold: Double): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+       |       FROM tok WHERE len(tk) >= 3),
+       |sh AS (SELECT doc_id, shingle FROM sh0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+       |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   private def dedupOracle: Map[String, String] = Map(
     "dd_exact_dedup" ->
@@ -1316,11 +1319,12 @@ object SparkEntry {
         | SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |        row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
         | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "dd_jaccard_pairs" -> jaccardPairsScoredSql,
-    // lossless candidate pruning, exact verify — by construction the
-    // SAME result set as dd_jaccard_pairs, and the shared oracle is
-    // the proof
-    "dd_prefix_jaccard" -> jaccardPairsScoredSql,
+    "dd_jaccard_pairs" -> jaccardPairsScoredSqlAt(0.2),
+    // lossless candidate pruning, exact merge-walk verify — same
+    // semantics as dd_jaccard_pairs at its own 0.8 operating point
+    // (the regime where prefix filtering pays; OperatorsSpec pins
+    // prefix == full at shared thresholds)
+    "dd_prefix_jaccard" -> jaccardPairsScoredSqlAt(0.8),
     "dd_containment_pairs" ->
       // same shingle/df-cap mirror as dd_jaccard_pairs over the
       // quote-planted corpus; score = |A∩B| / min(|A|,|B|)

@@ -192,12 +192,24 @@ object Dedup {
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // per-doc CAPPED shingle sets as sorted hash arrays: set sizes
+    // come from array length, and verification is one merge-walk
+    // kernel per candidate pair (the minhash-verify shape) — a
+    // relational verify (cand ⋈ tokens ⋈ tokens → count) would
+    // re-explode Σ|doc| rows per candidate and at sf0.1 costs more
+    // than the full shingle join it was meant to beat (measured 17 s
+    // vs 2.4 s); shipping two bounded arrays to each of the FEW
+    // post-prefix candidates is exactly what the prefix filter
+    // bought us
+    val cappedSets = filtered
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rarest-first total order: (df, hash). row_number is a per-doc
     // window — bounded by one document's shingle count, never a
     // corpus-wide sort
     val ranked = filtered
-      .join(sizes, "id")
+      .join(cappedSets.select(col("id"), size(col("hs")).cast("long").as("sz")), "id")
       .withColumn(
         "rn",
         row_number().over(
@@ -223,20 +235,16 @@ object Dedup {
           col("sz_a").cast("double") >= col("sz_b").cast("double") * threshold - 1e-9)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // exact verify over candidates only: ship a's capped tokens to the
-    // pair, probe b's token table, count the intersection
-    val common = cand
-      .join(filtered.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    cand
+      .join(cappedSets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(cappedSets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn(
+        "common",
+        graft.expressions.SortedIntersectSize.intersectSize(col("hs_a"), col("hs_b")))
       .withColumn(
         "jaccard",
         col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+          (size(col("hs_a")) + size(col("hs_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
