@@ -974,6 +974,38 @@ object SparkEntryCoverage {
         .select(col("term"), col("n_exact"), col("cms_est"))
         .orderBy(col("term"))
     },
+    // Merged CMS shard sketches: two "daily" sketches built
+    // independently (doc parity split), persisted, and SUM-merged on
+    // read — CMS counters are LINEAR, so the merged table IS the
+    // full-corpus sketch exactly (no approximation stacking), and the
+    // probe must reproduce a_cms_heavy's estimates bit-for-bit. The
+    // daily-roll-up shape for frequency sketches, next to the KMV
+    // family's distinct-count merge.
+    "a_cms_merged" -> { (s, dir) =>
+      val skPath = s"/tmp/graft_idx/cms_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      def tokOf(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(TextFns.tokens(col("text"))).as("term"))
+      Sketches
+        .cmsBuild(tokOf(docs.filter(col("doc_id") % 2 === 0)), col("term"), 4, 1024)
+        .write.mode("overwrite").parquet(skPath)
+      Sketches
+        .cmsBuild(tokOf(docs.filter(col("doc_id") % 2 =!= 0)), col("term"), 4, 1024)
+        .write.mode("append").parquet(skPath)
+      val merged = s.read.parquet(skPath)
+        .groupBy(col("j"), col("bucket"))
+        .agg(sum(col("c")).as("c"))
+      val tok = tokOf(docs)
+      val top = tok
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term"))
+        .limit(10)
+      Sketches
+        .cmsEstimate(top, col("term"), merged, depth = 4, width = 1024)
+        .select(col("term"), col("n_exact"), col("cms_est"))
+        .orderBy(col("term"))
+    },
     // Positional inverted index + exact phrase search: the classic
     // retrieval index next to the vector one — postings at (term,
     // doc) granularity, phrase match = left-fold of position-
@@ -3279,6 +3311,55 @@ object SparkEntryCoverage {
        |sketch AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM jb GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The trailing-window volume z-score oracle — shared by the batch
+    * gate (dq_volume_anomaly) and the streamed-partial-counts path
+    * (st_volume_anomaly): counts are linear, so the merged appends
+    * must score identically to the one-pass aggregation.
+    */
+  private[graft] lazy val volumeAnomalyOracleSql: String =
+    """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT *, CAST(count(*) OVER wt AS BIGINT) AS w_cnt,
+      |        CAST(COALESCE(sum(n) OVER wt, 0) AS BIGINT) AS w_sum,
+      |        CAST(COALESCE(sum(n * n) OVER wt, 0) AS BIGINT) AS w_sumsq
+      |      FROM c
+      |      WINDOW wt AS (PARTITION BY grp ORDER BY bucket
+      |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT grp, bucket, n, w_cnt,
+      |        CASE WHEN w_cnt >= 3
+      |             THEN CAST(w_cnt * n - w_sum AS DOUBLE)
+      |                  / sqrt(CAST(greatest(w_cnt * w_sumsq - w_sum * w_sum,
+      |                                       w_cnt * w_cnt) AS DOUBLE))
+      |             ELSE NULL END AS z
+      |      FROM s)
+      |SELECT grp, bucket, n, w_cnt, z,
+      |       COALESCE(abs(z) >= 3.0, FALSE) AS is_anomaly
+      |FROM z ORDER BY grp, bucket""".stripMargin
+
+  /** The CMS heavy-hitter probe oracle — shared by the one-pass build
+    * (a_cms_heavy) and the merged-shard-artifact path (a_cms_merged),
+    * which must agree EXACTLY because CMS counters are linear.
+    */
+  private lazy val cmsHeavyOracleSql: String = {
+    val probeBuckets = (0 until 4)
+      .map(j => s"${cmsBucketSql(j)} AS b$j")
+      .mkString(",\n   ")
+    val sketchJoins = (0 until 4)
+      .map(j => s"JOIN sketch s$j ON s$j.j = $j AND s$j.bucket = pb.b$j")
+      .mkString("\n ")
+    s"""WITH $cmsSketchSql,
+       |top AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+       |        GROUP BY term ORDER BY n_exact DESC, term LIMIT 10),
+       |pb AS (SELECT term, n_exact,
+       |   $probeBuckets
+       | FROM top)
+       |SELECT pb.term, pb.n_exact,
+       |  least(s0.c, s1.c, s2.c, s3.c) AS cms_est
+       |FROM pb $sketchJoins
+       |ORDER BY pb.term""".stripMargin
+  }
+
   /** One PageRank iteration as a DuckDB CTE — `cur` from `prev`, the
     * exact integer recurrence of `Graph.pageRank` (damp=85,
     * unit=1e12). Kept as a generator so the 5 unrolled iterations in
@@ -4733,26 +4814,7 @@ object SparkEntryCoverage {
     // t_funnel_e2e rule); the KS walk replays ksDrift's integer
     // same trailing-ROWS window over the pre-aggregated count table;
     // the CASE guard and the z expression mirror the engine verbatim
-    "dq_volume_anomaly" ->
-      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
-        |             CAST(count(*) AS BIGINT) AS n
-        |           FROM events GROUP BY 1, 2),
-        |s AS (SELECT *, CAST(count(*) OVER wt AS BIGINT) AS w_cnt,
-        |        CAST(COALESCE(sum(n) OVER wt, 0) AS BIGINT) AS w_sum,
-        |        CAST(COALESCE(sum(n * n) OVER wt, 0) AS BIGINT) AS w_sumsq
-        |      FROM c
-        |      WINDOW wt AS (PARTITION BY grp ORDER BY bucket
-        |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |z AS (SELECT grp, bucket, n, w_cnt,
-        |        CASE WHEN w_cnt >= 3
-        |             THEN CAST(w_cnt * n - w_sum AS DOUBLE)
-        |                  / sqrt(CAST(greatest(w_cnt * w_sumsq - w_sum * w_sum,
-        |                                       w_cnt * w_cnt) AS DOUBLE))
-        |             ELSE NULL END AS z
-        |      FROM s)
-        |SELECT grp, bucket, n, w_cnt, z,
-        |       COALESCE(abs(z) >= 3.0, FALSE) AS is_anomaly
-        |FROM z ORDER BY grp, bucket""".stripMargin,
+    "dq_volume_anomaly" -> volumeAnomalyOracleSql,
     // arithmetic with // division
     "dq_dist_drift" ->
       s"""WITH qb AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS nc,
@@ -5025,24 +5087,11 @@ object SparkEntryCoverage {
          |       union_est, jaccard_est, jaccard_est * union_est AS inter_est
          |FROM est, ex, ey, ei""".stripMargin
     },
-    "a_cms_heavy" -> {
-      val probeBuckets = (0 until 4)
-        .map(j => s"${cmsBucketSql(j)} AS b$j")
-        .mkString(",\n   ")
-      val sketchJoins = (0 until 4)
-        .map(j => s"JOIN sketch s$j ON s$j.j = $j AND s$j.bucket = pb.b$j")
-        .mkString("\n ")
-      s"""WITH $cmsSketchSql,
-         |top AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok
-         |        GROUP BY term ORDER BY n_exact DESC, term LIMIT 10),
-         |pb AS (SELECT term, n_exact,
-         |   $probeBuckets
-         | FROM top)
-         |SELECT pb.term, pb.n_exact,
-         |  least(s0.c, s1.c, s2.c, s3.c) AS cms_est
-         |FROM pb $sketchJoins
-         |ORDER BY pb.term""".stripMargin
-    },
+    "a_cms_heavy" -> cmsHeavyOracleSql,
+    // CMS is LINEAR: the sum of per-shard counter tables IS the
+    // full-corpus sketch, exactly — so the merged-artifact path
+    // shares the full-build oracle verbatim
+    "a_cms_merged" -> cmsHeavyOracleSql,
     "r_phrase_search" -> phraseSearchOracle,
     // persisted-and-loaded index must land on the identical result
     "r_phrase_persisted" -> phraseSearchOracle,

@@ -402,6 +402,46 @@ object SparkEntryStreaming {
         .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // Streaming VOLUME gate — the dq_volume_anomaly check fed by the
+    // live intake: each micro-batch appends its PARTIAL (type, day)
+    // counts to a persisted count artifact (no state store needed —
+    // counts are linear), and the gate scores the SUM-merged table
+    // with Checks.volumeAnomalyFromCounts. Must equal the batch gate
+    // exactly — shared oracle.
+    "st_volume_anomaly" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/volcnt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      // fresh empty base with the partial-count schema (clears any
+      // prior run's appends)
+      ev.filter(lit(false))
+        .select(
+          col("event_type").cast("string").as("grp"),
+          date_format(col("ts"), "yyyy-MM-dd").as("bucket"),
+          lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .groupBy(
+              col("event_type").cast("string").as("grp"),
+              date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Checks
+        .volumeAnomalyFromCounts(
+          s.read.parquet(cPath)
+            .groupBy(col("grp"), col("bucket"))
+            .agg(sum(col("n")).as("n")),
+          window = 7,
+          minWindow = 3,
+          zThreshold = 3.0)
+        .orderBy(col("grp"), col("bucket"))
+    },
     // Streaming PHASH maintenance — re-crawled media re-hashed per
     // micro-batch: the base index holds STALE codes for every 5th doc
     // (a '?'-run appended — bin 15 and the byte length move, so the
@@ -680,6 +720,9 @@ object SparkEntryStreaming {
     // batch/stream parity: the live funnel keeps t_funnel_e2e's exact
     // semantics, so its oracle is shared verbatim
     "st_funnel" -> SparkEntryCoverage.funnelE2eOracle,
+    // count linearity: streamed partial counts SUM-merge to the
+    // one-pass aggregation, so the batch gate's oracle is shared
+    "st_volume_anomaly" -> SparkEntryCoverage.volumeAnomalyOracleSql,
     // sketch merge-invariance makes the streamed KMV bit-equal to the
     // batch recomputation (a_kmv_distinct's oracle minus the exact-
     // count column)

@@ -354,12 +354,28 @@ object Checks {
       bucketCol: Column,
       window: Int,
       minWindow: Int,
+      zThreshold: Double): DataFrame =
+    volumeAnomalyFromCounts(
+      df.groupBy(group.cast("string").as("grp"), bucketCol.as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      window,
+      minWindow,
+      zThreshold)
+
+  /** [[volumeAnomaly]] over a PRE-AGGREGATED (grp, bucket, n) count
+    * table — the incremental-maintenance entry point: counts are
+    * linear, so per-micro-batch partial counts append to an artifact
+    * and SUM-merge into exactly this input (the a_cms_merged rule
+    * applied to the volume gate). Callers merge duplicates (sum n by
+    * (grp, bucket)) before scoring.
+    */
+  def volumeAnomalyFromCounts(
+      counts: DataFrame,
+      window: Int,
+      minWindow: Int,
       zThreshold: Double): DataFrame = {
     require(window >= minWindow && minWindow >= 2, "need window >= minWindow >= 2")
     import org.apache.spark.sql.expressions.Window
-    val counts = df
-      .groupBy(group.cast("string").as("grp"), bucketCol.as("bucket"))
-      .agg(count(lit(1)).as("n"))
     val w = Window
       .partitionBy(col("grp"))
       .orderBy(col("bucket"))

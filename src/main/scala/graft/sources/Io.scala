@@ -755,6 +755,46 @@ object Io {
     deleteDir(spark, stage)
   }
 
+  /** Rewrite a parquet directory into ~`targetBytes`-sized files —
+    * the cure for long append histories and over-parallel writes (a
+    * 32-task write of a 10 MB table leaves 32 tiny files; a month of
+    * micro-batch appends leaves thousands — and at 100 TB the
+    * NameNode/listing cost and per-file open overhead of a
+    * small-files directory dominate reads long before the bytes do).
+    * File count = ceil(total data bytes / targetBytes), floor 1;
+    * staged rewrite (never overwrite a path while lazily reading it),
+    * rows byte-identical. Returns (filesBefore, filesAfter).
+    */
+  def compactSmallFiles(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles() = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles()
+    val total = before.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val stage = s"${path}__compacting"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(stage)
+    // repartition again on the live rewrite: the stage read-back may
+    // pack several small files per split (files.maxPartitionBytes),
+    // and the file count must come out n either way
+    spark.read.parquet(stage).repartition(n).write.mode("overwrite").parquet(path)
+    deleteDir(spark, stage)
+    (before.size, dataFiles().size)
+  }
+
   // ---- tombstone deletes (takedown / right-to-be-forgotten) -------
   //
   // A training-data engine must be able to REMOVE documents from its

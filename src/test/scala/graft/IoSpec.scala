@@ -225,6 +225,18 @@ class IoSpec extends SparkSpec {
     assert(labelsAfter == full, "compaction must not touch labels")
   }
 
+  test("compactSmallFiles: fragmented dir collapses to the byte-target count, rows identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smallfiles").toString + "/t"
+    (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(40).write.mode("overwrite").parquet(dir)
+    val beforeRows = spark.read.parquet(dir).orderBy($"id").collect().toSeq
+    val (nBefore, nAfter) = Io.compactSmallFiles(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore == 40)
+    assert(nAfter == 1, s"one gigabyte-target file expected, got $nAfter")
+    val afterRows = spark.read.parquet(dir).orderBy($"id").collect().toSeq
+    assert(afterRows == beforeRows)
+  }
+
   test("dup graph with an EMPTY base: fileless parquet reads as empty, upserts still converge") {
     // the sf0.1 regression: a history window with no dup pairs writes
     // a fileless parquet dir — schema inference would throw; the
