@@ -128,6 +128,18 @@ object SparkEntryCoverage {
           element_at(col("qs"), 3).as("q75"))
         .orderBy(col("l_linestatus"))
     },
+    // exact equi-depth histogram boundaries over documents.n_chars
+    // (Relational.equiDepthBoundaries): value at global rank
+    // max(1, i·n div 10) under the (value, doc_id) total order — the
+    // table-stats artifact computed exactly where approx_percentile
+    // would be engine-opaque; range-partitioned sort, k-row broadcast
+    // rank probe
+    "a_equidepth" -> { (s, dir) =>
+      Relational
+        .equiDepthBoundaries(
+          t(s, dir, "documents"), col("n_chars").cast("long"), col("doc_id"), 10)
+        .orderBy(col("bucket"))
+    },
     // full grouping-sets lattice: cube over (flag, status) with
     // grouping() markers disambiguating the null super-aggregate rows
     "a_cube" -> { (s, dir) =>
@@ -1853,6 +1865,27 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"))
       Graph.triangleCounts(edges)
         .select(col("id").as("part_id"), col("deg"), col("n_tri"), col("lcc"))
+        .orderBy(col("part_id"))
+    },
+    // k-core peeling over the same co-purchase graph (Graph.kCore, 6
+    // fixed rounds at k=3): the dense-cluster detector next to
+    // g_triangles' hub detector — nodes that survive repeated
+    // degree-<3 peels with their residual degrees. Fixed rounds are
+    // the oracle-checkable semantics (the mirror unrolls the same 6;
+    // convergence makes later rounds no-ops on both engines).
+    "g_kcore" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.kCore(edges, k = 3, rounds = 6)
+        .select(col("id").as("part_id"), col("deg"))
         .orderBy(col("part_id"))
     },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
@@ -4322,6 +4355,25 @@ object SparkEntryCoverage {
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE score >= 0.45 ORDER BY id_a, id_b""".stripMargin
     },
+    // the same 6 peeling rounds unrolled as CTEs
+    "g_kcore" -> {
+      val rounds = (1 to 6).map { r =>
+        val prev = if (r == 1) "e0" else s"e${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT u AS id FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY id),
+           |k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 3),
+           |e$r AS MATERIALIZED (SELECT u, v FROM $prev
+           |        WHERE u IN (SELECT id FROM k$r) AND v IN (SELECT id FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT u, v FROM ew WHERE w >= 2),
+         |$rounds
+         |SELECT id AS part_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT u AS id FROM e6 UNION ALL SELECT v FROM e6) GROUP BY id
+         |ORDER BY part_id""".stripMargin
+    },
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are
     // a graph property so they must agree exactly
@@ -4529,6 +4581,17 @@ object SparkEntryCoverage {
         |       quantile_cont(l_quantity, 0.5)  AS q50,
         |       quantile_cont(l_quantity, 0.75) AS q75
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // same rank probe: row_number under (v, doc_id), targets
+    // max(1, i·n // 10)
+    "a_equidepth" ->
+      """WITH r AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |        row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+        |      FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |t AS (SELECT CAST(i AS BIGINT) AS bucket, greatest(1, (i * n) // 10) AS r
+        |      FROM (SELECT unnest(generate_series(1, 10)) AS i), n)
+        |SELECT bucket, r2.v AS ub FROM t JOIN r r2 ON r2.rnk = t.r
+        |ORDER BY bucket""".stripMargin,
     "s_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${sqlHash32("doc_id")} < ${Sampling.threshold(0.1)}

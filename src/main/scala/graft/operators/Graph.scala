@@ -113,6 +113,60 @@ object Graph {
       (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
   }
 
+  /** k-core peeling, `rounds` fixed iterations: repeatedly drop
+    * nodes of degree < k (with every edge they carry) from the
+    * undirected graph induced by `pairs`; returns the survivors with
+    * their residual degrees after exactly `rounds` peels. The
+    * converged k-core (Seidman 1983; Batagelj & Zaveršnik's peeling)
+    * is the fixpoint of this sequence — fixed rounds are the
+    * oracle-checkable form (the DuckDB mirror unrolls the same
+    * rounds; a converged graph makes later rounds no-ops on both
+    * engines), and dedup/graph-quality consumers use the core as the
+    * "dense template cluster" detector the way triangle counts flag
+    * hubs.
+    *
+    * Scale shape per round: one degree hash-agg + two semi-joins on
+    * node ids — edges shuffle 16 bytes each, the node table is
+    * degree-bounded, and lineage truncates each round
+    * ([[Checkpointing]], the pageRank/clusterPairs discipline).
+    * Edge hygiene as [[pageRank]]: self-loops, duplicates and null
+    * ids dropped.
+    */
+  def kCore(
+      pairs: DataFrame,
+      k: Int,
+      rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    var edges = pairs
+      .select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    edges = Checkpointing.truncate(edges, checkpointDir, eager = false)
+    var i = 0
+    while (i < rounds) {
+      val deg = edges
+        .select(col("u").as("id"))
+        .unionAll(edges.select(col("v").as("id")))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      edges = edges
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+      edges = Checkpointing.truncate(edges, checkpointDir, eager = false)
+      i += 1
+    }
+    edges
+      .select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient
     * over the undirected graph induced by `pairs` (id_a, id_b).
     * Returns (id, deg BIGINT, n_tri BIGINT, lcc DOUBLE =

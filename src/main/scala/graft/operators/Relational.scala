@@ -459,6 +459,31 @@ object Relational {
     * logic); result is deterministic because the order is total, so
     * ranks are independent of partition boundaries.
     */
+  /** Exact equi-depth histogram boundaries: bucket i's upper bound is
+    * the value at global rank max(1, (i·n) div k) under the
+    * (value, tie) total order, i = 1..k — the table-stats artifact
+    * behind join planning, skew budgeting and bucketing choices,
+    * computed exactly instead of via approx_percentile (which no
+    * second engine reproduces). Ranks come from [[globalRank]]'s
+    * range-partitioned sort (never a driver sort); the rank probe is
+    * a k-row broadcast join; n is a one-scalar driver bootstrap
+    * (documented constant class). Returns (bucket, ub).
+    */
+  def equiDepthBoundaries(df: DataFrame, value: Column, tie: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val in = df.select(value.as("__v"), tie.as("__t"))
+    val ranked = globalRank(in, Seq(col("__v"), col("__t")), "__rank")
+    val n = in.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = (1 to k)
+      .map(i => (i.toLong, math.max(1L, i.toLong * n / k)))
+      .toDF("bucket", "__rank")
+    ranked
+      .join(broadcast(targets), "__rank")
+      .select(col("bucket"), col("__v").as("ub"))
+  }
+
   def globalRank(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
     val sorted = df.orderBy(order: _*)
     val schema = org.apache.spark.sql.types.StructType(

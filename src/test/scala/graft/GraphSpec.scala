@@ -114,6 +114,25 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L) && got(1L) == 0L && got.size == 21)
   }
 
+  test("kCore: pendant peels off in one round, the K4 core survives with its degrees") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Graph.kCore(edges.toDF("id_a", "id_b"), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: cascading peel — a chain dissolves under k=2, one endpoint pair per round") {
+    // path 1-2-3-4-5: round 1 drops endpoints 1 and 5 (edges 2-3,
+    // 3-4 remain); round 2 drops 2 and 4 and with them every edge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val after1 = Graph.kCore(chain.toDF("id_a", "id_b"), k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(2L, 3L, 4L))
+    val after2 = Graph.kCore(chain.toDF("id_a", "id_b"), k = 2, rounds = 2)
+      .collect()
+    assert(after2.isEmpty)
+  }
+
   test("pageRank reliable-checkpoint mode is value-identical to executor-local mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     val local = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b"))

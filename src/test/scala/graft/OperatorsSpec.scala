@@ -15,6 +15,13 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1, "a"), (3, "b")))
   }
 
+  test("equiDepthBoundaries: exact rank boundaries on 1..100") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("v", "id")
+    val got = Relational.equiDepthBoundaries(df, $"v", $"id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 25L, 2L -> 50L, 3L -> 75L, 4L -> 100L))
+  }
+
   test("topK: filter then order then limit") {
     val df = (1 to 100).map(i => (i, i % 7)).toDF("id", "grp")
     val got = Relational.topK(df, $"grp" === 3, Seq($"id".desc), 2)
