@@ -833,6 +833,30 @@ object Similarity {
         "q",
         round(VectorFns.cosine(col("__va"), col("__vb")) * 1e6, 0).cast("long"))
       .select(col("id_a"), col("id_b"), col("q"))
+    marginAlignFromCandidates(scored, k, thrNum, thrDen)
+  }
+
+  /** [[marginAlignPairs]]'s margin stage over PRE-GENERATED candidate
+    * scores — the corpus-scale entry point: feed (id_a, id_b, q)
+    * candidate lists from an ANN stage (banded LSH bucket join, IVF
+    * cell probes) instead of the exact cross join, and the margin
+    * criterion runs unchanged over each side's surviving top-k. The
+    * margin denominators then reflect the CANDIDATE neighborhoods —
+    * exact equality with the cross-join path holds whenever the
+    * candidate lists contain each side's true top-k (AnnRecallSpec
+    * measures this), which is the standard ANN-recall contract.
+    * `q` must be micro-unit integer cosines (round(cos·1e6)).
+    */
+  def marginAlignFromCandidates(
+      candidates: DataFrame,
+      k: Int,
+      thrNum: Long,
+      thrDen: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(thrNum > 0 && thrDen > 0, "margin threshold must be a positive rational")
+    import org.apache.spark.sql.expressions.Window
+    val scored = candidates
+      .select(col("id_a"), col("id_b"), col("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wA = Window.partitionBy(col("id_a")).orderBy(col("q").desc, col("id_b"))
     val wB = Window.partitionBy(col("id_b")).orderBy(col("q").desc, col("id_a"))

@@ -267,6 +267,47 @@ class AnnRecallSpec extends SparkSpec {
       "if this rises, the banded test's contrast claim needs rewording")
   }
 
+  test("margin alignment from banded-LSH candidates: pair recall >= 0.7 vs the exact cross join") {
+    // the corpus-scale path promised in marginAlignPairs' scaladoc:
+    // candidates from a 16-band x 2-bit signature bucket join between
+    // the two sides, margin math unchanged over the surviving lists.
+    // Exact equality holds per pair whenever the candidates contain
+    // both sides' true top-k; this measures how often that contract
+    // holds on the driver's near-uniform (ANN-worst-case) embeddings.
+    val left = emb.filter(col("vec_id") % 2 === 0)
+    val right = emb.filter(col("vec_id") % 2 === 1)
+    val exact = Similarity
+      .marginAlignPairs(left, right, "vec_id", "embedding", 4, 21L, 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = 16; val bitsPerBand = 2
+    def banded(df: org.apache.spark.sql.DataFrame, idAs: String) =
+      (0 until bands).map { b =>
+        Similarity
+          .hyperplaneSignature(df, "embedding", 8, bands * bitsPerBand)
+          .select(
+            col("vec_id").as(idAs),
+            col("embedding").as(s"__e_$idAs"),
+            lit(b).as("band"),
+            substring(col("lsh_bucket"), b * bitsPerBand + 1, bitsPerBand).as("sig"))
+      }.reduce(_ unionAll _)
+    val cand = banded(left, "id_a")
+      .join(banded(right, "id_b"), Seq("band", "sig"))
+      .select(col("id_a"), col("id_b"), col("__e_id_a"), col("__e_id_b"))
+      .distinct()
+      .withColumn(
+        "q",
+        round(
+          graft.functions.VectorFns.cosine(col("__e_id_a"), col("__e_id_b")) * 1e6,
+          0).cast("long"))
+      .select(col("id_a"), col("id_b"), col("q"))
+    val approx = Similarity
+      .marginAlignFromCandidates(cand, 4, 21L, 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"margin-from-candidates recall $recall below floor (exact ${exact.size}, approx ${approx.size})")
+  }
+
   test("mmrRerank diversifies: redundant twin demoted, diverse pick promoted") {
     import spark.implicits._
     // rel order: 1 (0.99) > 2 (0.98, near-clone of 1) > 3 (0.90,
