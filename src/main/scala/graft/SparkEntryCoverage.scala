@@ -1117,6 +1117,27 @@ object SparkEntryCoverage {
     // (TextAnalysis.collocationPmi) — the phrase-detection complement
     // of t_top_terms' raw frequency ranking; ranked on integer
     // micro-nat PMI so the order is engine-exact
+    // Code-switch detector (TextAnalysis.mixedLanguage): langId over
+    // each doc's head and tail token halves — concatenation
+    // artifacts a whole-doc classifier averages away; route to
+    // splitting or reject. Pure per-row work.
+    "t_mixed_lang" -> { (s, dir) =>
+      TextAnalysis
+        .mixedLanguage(t(s, dir, "documents"), "text", "doc_id", SparkEntry.langMarkers)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // BPE merge learning (TextAnalysis.bpeTopMerges — Sennrich et al.
+    // 2016): the first 3 merges learned from the corpus vocabulary —
+    // integer pair counts weighted by word frequency, totally-ordered
+    // argmax, plain-replace vocabulary rewrite; the tokenizer-
+    // training step of a data pipeline, run on the vocab table (never
+    // the corpus after the first word count)
+    "t_bpe_merges" -> { (s, dir) =>
+      TextAnalysis
+        .bpeTopMerges(t(s, dir, "documents"), "text", 3)
+        .orderBy(col("step"))
+    },
     // RAKE keyword extraction (TextAnalysis.rakeKeywords — Rose et
     // al. 2010) with the integer scoring variant Σdeg/Σfreq (one
     // BIGINT division instead of a float-order-sensitive
@@ -2724,6 +2745,21 @@ object SparkEntryCoverage {
           minWindow = 3,
           zThreshold = 3.0)
         .orderBy(col("grp"), col("bucket"))
+    },
+    // CUSUM drift monitor over the same daily count table
+    // (Checks.cusum — Page 1954): accumulates SUSTAINED level shifts
+    // the per-day z-score never flags; group-mean reference and the
+    // [S, maxS] fold all in exact micro-unit BIGINTs, order-pinned by
+    // the bucket sort
+    "w_cusum" -> { (s, dir) =>
+      Checks
+        .cusum(
+          t(s, dir, "events")
+            .groupBy(
+              col("event_type").cast("string").as("grp"),
+              date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(count(lit(1)).as("n")))
+        .orderBy(col("grp"))
     },
     // Data-quality gate report (the dbt-tests / expectations
     // primitive): domain/positivity/not-null row checks share ONE
@@ -4878,6 +4914,26 @@ object SparkEntryCoverage {
     // same trailing-ROWS window over the pre-aggregated count table;
     // the CASE guard and the z expression mirror the engine verbatim
     "dq_volume_anomaly" -> volumeAnomalyOracleSql,
+    // the identical [S, maxS] micro-unit fold replayed by list_reduce
+    // over the bucket-ordered counts
+    "w_cusum" ->
+      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, list(n ORDER BY bucket) AS seq, CAST(sum(n) AS BIGINT) AS tot,
+        |        CAST(count(*) AS BIGINT) AS days FROM c GROUP BY 1),
+        |p AS (SELECT grp, days, seq, tot * 1000000 // days AS mu6 FROM g),
+        |f AS (SELECT grp, days, mu6,
+        |        list_reduce(
+        |          list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+        |                       list_transform(seq, x -> [x, x])),
+        |          (acc, e) -> [greatest(0, acc[1] + e[1] * 1000000 - mu6 - mu6 // 10),
+        |                       greatest(acc[2],
+        |                         greatest(0, acc[1] + e[1] * 1000000 - mu6 - mu6 // 10))]) AS st
+        |      FROM p)
+        |SELECT grp, days, mu6, st[1] AS cusum_final6, st[2] AS cusum_max6,
+        |       st[2] > mu6 * 5 AS alarm
+        |FROM f ORDER BY grp""".stripMargin,
     // arithmetic with // division
     "dq_dist_drift" ->
       s"""WITH qb AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS nc,
@@ -5163,6 +5219,54 @@ object SparkEntryCoverage {
       phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
     "r_phrase_compacted" ->
       phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
+    // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
+    // g_kcore lesson): per step, pair counts from the previous
+    // vocabulary, totally-ordered argmax, plain-replace rewrite
+    "t_bpe_merges" -> {
+      val steps = (1 to 3).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           |  SELECT tk[i] AS a, tk[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM (SELECT regexp_split_to_array(trim(s), ' ') AS tk, c FROM $prev),
+           |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$r AS MATERIALIZED (
+           |  SELECT replace(v.s, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS s,
+           |         v.c
+           |  FROM $prev v CROSS JOIN b$r m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tokc AS MATERIALIZED (
+         |  SELECT term AS w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |        FROM documents WHERE length(trim(text)) > 0)
+         |  WHERE length(term) > 0 GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(
+         |           list_transform(generate_series(1, CAST(length(w) AS INT)),
+         |                          i -> substring(w, CAST(i AS INT), 1)), ' ') || ' ' AS s,
+         |         c
+         |  FROM tokc),
+         |$steps
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, a AS sym_a, b AS sym_b, cnt FROM b1
+         |  UNION ALL SELECT 2, a, b, cnt FROM b2
+         |  UNION ALL SELECT 3, a, b, cnt FROM b3)
+         |ORDER BY step""".stripMargin
+    },
+    // same half-split on the token array, same shared langId CASE —
+    // engine and oracle derive from one marker constant
+    "t_mixed_lang" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |h AS (SELECT doc_id, tk[1:len(tk)//2] AS h1, tk[len(tk)//2+1:len(tk)] AS h2
+         |      FROM tok WHERE len(tk) >= 2),
+         |x AS (SELECT doc_id,
+         |        ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "h1")} AS lang_head,
+         |        ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "h2")} AS lang_tail
+         |      FROM h)
+         |SELECT doc_id, lang_head, lang_tail, lang_head <> lang_tail AS is_mixed
+         |FROM x ORDER BY doc_id""".stripMargin,
     // same phrase segmentation (running stopword count as group id),
     // same Σdeg/Σfreq integer scoring, same (score desc, phrase) rank
     "t_rake" ->

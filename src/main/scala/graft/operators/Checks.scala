@@ -325,6 +325,56 @@ object Checks {
       .limit(k)
   }
 
+  /** CUSUM change-point monitor (Page 1954) over a pre-aggregated
+    * (grp, bucket, n) count table — the drift-detection complement of
+    * [[volumeAnomaly]]'s spike gate: the cumulative sum
+    * S_t = max(0, S_{t-1} + (n_t − μ − slack)) accumulates SUSTAINED
+    * upward level shifts a per-bucket z-score never flags (ten days
+    * each 2σ high are ten unflagged z-rows but one loud CUSUM ramp).
+    * μ is the group's own mean in exact micro-units
+    * (sum·1e6 div days), slack = μ6 div slackDivisor, and the fold
+    * runs left-to-right over the bucket-sorted counts with an
+    * all-BIGINT [S, maxS] accumulator — order-pinned and
+    * engine-exact; the oracle replays the identical fold via
+    * list_reduce. The per-group sequence buffer is bounded by the
+    * BUCKET count (days, not rows) — the sanctioned bounded-buffer
+    * case. Alarm: maxS > alarmMult·μ6.
+    *
+    * Returns (grp, days, mu6, cusum_final6, cusum_max6, alarm).
+    */
+  def cusum(
+      counts: DataFrame,
+      slackDivisor: Int = 10,
+      alarmMult: Int = 5): DataFrame = {
+    require(slackDivisor >= 1 && alarmMult >= 1, "divisor and multiplier must be >= 1")
+    val g = counts
+      .groupBy(col("grp"))
+      .agg(
+        sort_array(collect_list(struct(col("bucket"), col("n")))).as("seq"),
+        sum(col("n")).as("tot"),
+        count(lit(1)).as("days"))
+      .withColumn("mu6", expr("tot * 1000000 div days"))
+      .withColumn("slack6", expr(s"mu6 div $slackDivisor"))
+    g.withColumn(
+        "st",
+        aggregate(
+          transform(col("seq"), x => x.getField("n")),
+          array(lit(0L), lit(0L)),
+          (acc, x) => {
+            val s = greatest(
+              lit(0L),
+              element_at(acc, 1) + x * lit(1000000L) - col("mu6") - col("slack6"))
+            array(s, greatest(element_at(acc, 2), s))
+          }))
+      .select(
+        col("grp"),
+        col("days"),
+        col("mu6"),
+        element_at(col("st"), 1).as("cusum_final6"),
+        element_at(col("st"), 2).as("cusum_max6"),
+        (element_at(col("st"), 2) > col("mu6") * alarmMult).as("alarm"))
+  }
+
   /** Ingest-volume anomaly gate: per (group, bucket) row counts
     * z-scored against each group's TRAILING `window` buckets — the
     * daily "did a source silently halve / a bot 10× a feed" check a

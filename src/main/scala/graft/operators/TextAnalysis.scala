@@ -684,6 +684,105 @@ object TextAnalysis {
     (when(pos, 1L).otherwise(0L), when(neg, 1L).otherwise(0L))
   }
 
+  /** BPE merge learning (Sennrich, Haddow & Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"), the
+    * first `steps` merges: vocabulary = corpus words with counts,
+    * each word a space-separated symbol sequence (single characters
+    * initially); per step, count adjacent symbol pairs weighted by
+    * word count, merge the argmax pair ((cnt desc, a, b) total
+    * order), rewrite the vocabulary. Returns one row per learned
+    * merge: (step, sym_a, sym_b, cnt).
+    *
+    * Determinism/oracle posture: pair counts are integer sums; the
+    * argmax is totally ordered; the rewrite is plain (non-regex)
+    * first-to-last substring replacement of " a b " with " ab " over
+    * sentinel-padded sequences — the same left-to-right non-overlap
+    * semantics on Spark's `replace` and DuckDB's, so the oracle
+    * unrolls the identical steps as CTEs. The per-step argmax is a
+    * 1-row driver bootstrap (documented constant class); the
+    * vocabulary (distinct words, not the corpus) is the only state
+    * between steps and truncates its lineage per step. At 100 TB the
+    * vocabulary table is millions of rows against billions of
+    * documents — the iteration never touches the corpus again after
+    * the first word count.
+    */
+  def bpeTopMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q(sym: String) = sym.replace("'", "''")
+    var vocab = df
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      // sentinel-padded symbol sequence: " c h a r s "
+      .select(
+        concat(lit(" "), concat_ws(" ", split(col("w"), "(?!^)")), lit(" ")).as("s"),
+        col("c"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= steps && !exhausted) {
+      val sy = vocab.select(
+        col("s"),
+        col("c"),
+        posexplode(split(trim(col("s")), " ")).as(Seq("pos", "sym")))
+      val top = sy
+        .select(col("s"), col("c"), col("pos"), col("sym").as("a"))
+        .join(
+          sy.select(col("s"), (col("pos") - 1).as("pos"), col("sym").as("b")),
+          Seq("s", "pos"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        merges += ((i.toLong, a, b, top.head.getLong(2)))
+        vocab = vocab
+          .withColumn(
+            "s",
+            expr(s"replace(s, ' ${q(a)} ${q(b)} ', ' ${q(a)}${q(b)} ')"))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("step", "sym_a", "sym_b", "cnt")
+  }
+
+  /** Code-switch / mixed-language detector: [[langId]] over the head
+    * and tail halves of each document's token stream — a document
+    * whose halves classify differently is a concatenation artifact
+    * (boilerplate in another language, scraped page merges, template
+    * wrap) that a whole-doc classifier averages away; pretraining
+    * pipelines route such docs to splitting or the reject pile.
+    * Docs with fewer than 2 tokens are excluded (no two non-empty
+    * halves exist). Per-row work only — one tokenize, two bounded
+    * marker scans. Returns (id, lang_head, lang_tail, is_mixed).
+    */
+  def mixedLanguage(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val n = size(toks)
+    val half = floor(n.cast("double") / 2.0).cast("int")
+    val head = array_join(slice(toks, lit(1), half), " ")
+    val tail = array_join(slice(toks, half + 1, n - half), " ")
+    df.filter(n >= 2)
+      .select(
+        col(idCol).as("id"),
+        langId(head, markers).as("lang_head"),
+        langId(tail, markers).as("lang_tail"))
+      .withColumn("is_mixed", col("lang_head") =!= col("lang_tail"))
+  }
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
     * "Automatic keyword extraction from individual documents") with
     * an INTEGER scoring variant: candidate phrases are the maximal

@@ -280,6 +280,53 @@ class OperatorsSpec extends SparkSpec {
     assert(merged.getLong(0) == 10L && merged.getDouble(1) == 10.0)
   }
 
+  test("bpeTopMerges: hand-computed merges incl. the overlapping-pair rewrite") {
+    // vocab: aaab x2, ab x1. step1: (a,a) count 4 wins; the rewrite of
+    // ' a a a b ' consumes the FIRST ' a a ' only (left-to-right
+    // non-overlap) -> ' aa a b '. step2: (a,b) 3. step3: (aa,ab) 2.
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTopMerges(df, "text", 3)
+      .orderBy($"step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+  }
+
+  test("mixedLanguage: halves classified independently; short docs excluded") {
+    val df = Seq(
+      (1L, "data data table table"), // head dataish, tail sqlish -> mixed
+      (2L, "data stream"),           // both halves dataish
+      (3L, "table")                  // 1 token: excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .mixedLanguage(df, "text", "doc_id", Seq(
+        "dataish" -> Seq("data", "stream", "batch"),
+        "sqlish" -> Seq("table", "query", "join"),
+        "vecish" -> Seq("vector", "hash", "key")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    assert(got == Map(
+      1L -> (("dataish", "sqlish", true)),
+      2L -> (("dataish", "dataish", false))))
+  }
+
+  test("cusum: sustained level shift ramps and alarms; flat series stays at zero") {
+    import graft.operators.Checks
+    val rows =
+      (1 to 10).map(d => ("s", f"2024-01-$d%02d", 10L)) ++
+        (11 to 20).map(d => ("s", f"2024-01-$d%02d", 100L)) ++
+        (1 to 20).map(d => ("f", f"2024-01-$d%02d", 10L))
+    val got = Checks.cusum(rows.toDF("grp", "bucket", "n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // s: mu6 = 55e6, slack 5.5e6; phase-1 deltas negative (S pinned
+    // 0), phase-2 delta +39.5e6/day -> final = max = 395e6 > 5*mu6
+    assert(got("s") == ((55000000L, 395000000L, 395000000L, true)))
+    // f: mu6 = 10e6, every delta = -1e6 -> flat zero, no alarm
+    assert(got("f") == ((10000000L, 0L, 0L, false)))
+  }
+
   test("rakeKeywords: hand-computed phrase scores, longer collocation outranks its prefix") {
     val df = Seq((1L, "machine learning of machine learning models the big data"))
       .toDF("doc_id", "text")
