@@ -57,6 +57,7 @@ object SparkEntry {
       "mm_phash_persisted" -> base("mm_phash_neardup"),
       "mm_phash_upsert" -> base("mm_phash_neardup"),
       "st_phash_upsert" -> base("mm_phash_neardup"),
+      "mm_phash_multiprobe" -> phashPairsOracleFor("TRUE", probed = true),
       "mm_phash_compacted" -> phashPairsOracleFor("doc_id % 9 <> 0"))
   }
 
@@ -1853,6 +1854,17 @@ object SparkEntry {
           graft.sources.Io.readPhashIndexLatest(s, idxPath), 2, maxBucket = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // T17 multiprobe: radius-1 prefix probes recover the near-dup
+    // pairs whose Hamming distance falls in the PREFIX byte — plain
+    // prefix blocking structurally misses them (21 vs 15 pairs at
+    // sf0.01); fixed ×9 fan-out on 2-byte codes, exact verify
+    // unchanged
+    "mm_phash_multiprobe" -> { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal
+        .phashPairsMultiprobe(Multimodal.phashCodes(media), 2, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // T17 takedown + compaction: every 9th doc tombstoned
     // (Io.deletePhashIds — codes unservable immediately, no file
     // rewritten), then compactPhashIndex resolves the upsert+delete
@@ -2020,21 +2032,32 @@ object SparkEntry {
     * upserted and compacted variants (the delete/compaction one
     * restricts the corpus to the takedown survivors).
     */
-  private def phashPairsOracleFor(pred: String): String = {
+  private def phashPairsOracleFor(pred: String, probed: Boolean = false): String = {
     def bin(b: Int) =
       s"len(list_filter(list_transform(generate_series(1, CAST(length(text) AS INT)), " +
         s"i -> ascii(substring(text, i, 1)) % 16), x -> x = $b))"
     val phash = (0 until 16)
       .map(i => s"(CASE WHEN ${bin(i)} * 16 > length(text) THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
+    // plain: same-bucket candidates; probed: side a additionally
+    // reaches the 8 one-bit-flip buckets (radius-1 multiprobe)
+    val cand =
+      if (!probed)
+        """p AS (SELECT a.id AS id_a, b.id AS id_b,
+          |        bit_count(xor(a.phash, b.phash)) AS hamming
+          |      FROM c a JOIN c b ON a.pfx = b.pfx AND a.id < b.id)""".stripMargin
+      else
+        """pr AS (SELECT id, phash, xor(pfx, CAST(f AS BIGINT)) AS pfx
+          |       FROM c, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f)),
+          |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          |        bit_count(xor(a.phash, b.phash)) AS hamming
+          |      FROM pr a JOIN c b ON a.pfx = b.pfx AND a.id < b.id)""".stripMargin
     s"""WITH h AS (SELECT doc_id AS id, CAST($phash AS BIGINT) AS phash
        |           FROM documents WHERE $pred),
        |hp AS (SELECT id, phash, phash // 256 AS pfx FROM h),
        |small AS (SELECT pfx FROM hp GROUP BY pfx HAVING count(*) <= 8),
        |c AS (SELECT hp.* FROM hp JOIN small USING (pfx)),
-       |p AS (SELECT a.id AS id_a, b.id AS id_b,
-       |        bit_count(xor(a.phash, b.phash)) AS hamming
-       |      FROM c a JOIN c b ON a.pfx = b.pfx AND a.id < b.id)
+       |$cand
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
        |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
   }

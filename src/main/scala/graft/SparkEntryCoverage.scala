@@ -1127,6 +1127,35 @@ object SparkEntryCoverage {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // Retrieval evaluation (TextAnalysis.bm25PerQuery + rank math):
+    // every 20th doc becomes a query (tokens 3..10), relevant = its
+    // source doc, and the published row is the relevant doc's rank,
+    // reciprocal rank in exact micro-units (1e6 div rank — never a
+    // float mean over varying denominators) and hit@10 — the er_
+    // metrics pattern applied to the retrieval stack. Batch shape:
+    // N queries cost one corpus stats pass + a term join, not N scans.
+    "r_mrr_eval" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val queries = docs
+        .filter(col("doc_id") % 20 === 0)
+        .select(
+          col("doc_id").as("qid"),
+          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      TextAnalysis
+        .bm25PerQuery(docs, "text", "doc_id", queries)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("qid") === col("doc_id"))
+        .select(
+          col("qid"),
+          col("rnk").cast("long").as("rel_rank"),
+          expr("CAST(1000000 div rnk AS BIGINT)").as("rr6"),
+          (col("rnk") <= 10).as("hit_at_10"))
+        .orderBy(col("qid"))
+    },
     // BPE merge learning (TextAnalysis.bpeTopMerges — Sennrich et al.
     // 2016): the first 3 merges learned from the corpus vocabulary —
     // integer pair counts weighted by word frequency, totally-ordered
@@ -5219,6 +5248,36 @@ object SparkEntryCoverage {
       phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
     "r_phrase_compacted" ->
       phraseSearchOracleFor("NOT (doc_id % 4 = 0 AND doc_id % 8 <> 0)"),
+    // same multi-query BM25 (shared constants with bm25Sql), same
+    // (bm25 desc, doc_id) rank, reciprocal rank in integer micro-units
+    "r_mrr_eval" ->
+      """WITH q AS (SELECT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(tk[3:10]) AS term FROM (
+        |      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |      FROM documents WHERE doc_id % 20 = 0)) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+        |       FROM documents),
+        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+        |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |          FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+        |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT tf.doc_id, tf.term,
+        |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+        |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+        |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+        |      FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        |sc AS (SELECT q.qid, contrib.doc_id, round(SUM(c), 6) AS bm25
+        |       FROM contrib JOIN q ON q.term = contrib.term GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+        |       FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rel_rank,
+        |       CAST(1000000 // rnk AS BIGINT) AS rr6, rnk <= 10 AS hit_at_10
+        |FROM rk WHERE qid = doc_id ORDER BY qid""".stripMargin,
     // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
     // g_kcore lesson): per step, pair counts from the previous
     // vocabulary, totally-ordered argmax, plain-replace rewrite

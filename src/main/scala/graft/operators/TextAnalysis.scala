@@ -684,6 +684,49 @@ object TextAnalysis {
     (when(pos, 1L).otherwise(0L), when(neg, 1L).otherwise(0L))
   }
 
+  /** Multi-query BM25 (k1 = 1.2, b = 0.75, the repo's single-query
+    * constants): scores every (query, doc) pair where the doc matches
+    * ≥ 1 of the query's terms. `queries` is an exploded (qid, term)
+    * table; corpus term statistics (tf, df, dl, avglen, N) are
+    * computed ONCE restricted to the queries' term universe, and the
+    * per-query fan-out is a join on `term` — the batch-evaluation
+    * shape (N queries cost one stats pass + one join, not N corpus
+    * scans). Rounds at 6 like the single-query path. Returns
+    * (qid, doc_id, bm25).
+    */
+  def bm25PerQuery(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: DataFrame): DataFrame = {
+    val qt = queries.select(col("qid"), col("term")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = docs.select(col(idCol).as("doc_id"), TextFns.wordCount(col(textCol)).as("dl"))
+    val stats = broadcast(
+      dl.agg(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avglen"),
+        count(lit(1)).as("n")))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+    val num = col("tf").cast("double") * lit(2.2)
+    val den = col("tf").cast("double") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / col("avglen")))
+    tf.join(dfx, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("contrib", idf * num / den)
+      .join(qt, Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+  }
+
   /** BPE merge learning (Sennrich, Haddow & Birch 2016, "Neural
     * Machine Translation of Rare Words with Subword Units"), the
     * first `steps` merges: vocabulary = corpus words with counts,
