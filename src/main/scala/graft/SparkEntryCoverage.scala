@@ -1917,6 +1917,22 @@ object SparkEntryCoverage {
         .select(col("id").as("part_id"), col("deg"), col("n_tri"), col("lcc"))
         .orderBy(col("part_id"))
     },
+    // Contamination blast radius (Graph.bfsDistances): every doc
+    // within 3 near-dup hops of a flagged seed (every 50th doc) —
+    // the transitive taint a direct-overlap decontamination check
+    // misses (paraphrase-of-a-paraphrase). Frontier-proportional BFS
+    // rounds with visited anti-joins; seeds report dist 0.
+    "g_taint" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+      Graph
+        .bfsDistances(
+          pairs, docs.filter(col("doc_id") % 50 === 0).select(col("doc_id")), 3)
+        .select(col("id").as("doc_id"), col("dist"))
+        .orderBy(col("doc_id"))
+    },
     // k-core peeling over the same co-purchase graph (Graph.kCore, 6
     // fixed rounds at k=3): the dense-cluster detector next to
     // g_triangles' hub detector — nodes that survive repeated
@@ -4420,6 +4436,27 @@ object SparkEntryCoverage {
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE score >= 0.45 ORDER BY id_a, id_b""".stripMargin
     },
+    // 3 BFS rounds unrolled (MATERIALIZED — the k-core inlining
+    // lesson): frontier = neighbors of the previous frontier minus
+    // everything already reached
+    "g_taint" ->
+      s"""WITH $jaccardPairsSql,
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+         |                   UNION SELECT id_b, id_a FROM pairs),
+         |d0 AS MATERIALIZED (SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+         |f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id
+         |       WHERE e.dst NOT IN (SELECT id FROM d0)),
+         |f2 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN f1 ON e.src = f1.id
+         |       WHERE e.dst NOT IN (SELECT id FROM d0 UNION ALL SELECT id FROM f1)),
+         |f3 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN f2 ON e.src = f2.id
+         |       WHERE e.dst NOT IN (SELECT id FROM d0 UNION ALL SELECT id FROM f1
+         |                           UNION ALL SELECT id FROM f2))
+         |SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM (
+         |  SELECT id, 0 AS dist FROM d0
+         |  UNION ALL SELECT id, 1 FROM f1
+         |  UNION ALL SELECT id, 2 FROM f2
+         |  UNION ALL SELECT id, 3 FROM f3)
+         |ORDER BY doc_id""".stripMargin,
     // the same 6 peeling rounds unrolled as CTEs
     "g_kcore" -> {
       val rounds = (1 to 6).map { r =>

@@ -113,6 +113,66 @@ object Graph {
       (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
   }
 
+  /** Multi-source BFS distances, depth ≤ `maxDepth`: shortest hop
+    * count from any seed over the undirected graph induced by
+    * `pairs`. The contamination-taint use: seeds are flagged docs
+    * (takedowns, benchmark leaks, poisoned feeds) and the output is
+    * every document within r near-dup hops — the transitive blast
+    * radius a direct-overlap check misses (a paraphrase of a
+    * paraphrase of a leaked benchmark item). Unreached nodes are
+    * absent; seeds report dist 0 whether or not they touch an edge.
+    *
+    * Scale shape: textbook frontier BFS — each round joins only the
+    * CURRENT frontier against the edge list (frontier-proportional,
+    * the delta-iteration discipline of [[graft.operators.Dedup
+    * .clusterPairs]]), visited-set anti-join keeps rounds monotone,
+    * lineage truncates per round, and an empty frontier exits early.
+    * Edge hygiene as [[pageRank]].
+    */
+  def bfsDistances(
+      pairs: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val edges = Checkpointing.truncate(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      checkpointDir,
+      eager = false)
+    var dist = seeds
+      .select(col(seeds.columns.head).as("id"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+    var frontier = dist.select(col("id"))
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      val next = Checkpointing.truncate(
+        frontier
+          .join(edges, frontier("id") === edges("src"))
+          .select(col("dst").as("id"))
+          .distinct()
+          .join(dist, Seq("id"), "left_anti"),
+        checkpointDir,
+        eager = false)
+      if (next.isEmpty) done = true
+      else {
+        dist = Checkpointing.truncate(
+          dist.unionByName(next.withColumn("dist", lit(d.toLong))),
+          checkpointDir,
+          eager = false)
+        frontier = next
+        d += 1
+      }
+    }
+    dist
+  }
+
   /** k-core peeling, `rounds` fixed iterations: repeatedly drop
     * nodes of degree < k (with every edge they carry) from the
     * undirected graph induced by `pairs`; returns the survivors with

@@ -114,6 +114,22 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L) && got(1L) == 0L && got.size == 21)
   }
 
+  test("bfsDistances: chain depths, closest-seed-wins, depth cap, disconnected absent") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val got = Graph.bfsDistances(chain.toDF("id_a", "id_b"), Seq(1L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // depth cap 3: node 5 (4 hops) absent; 10/11 disconnected absent
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    val two = Graph.bfsDistances(chain.toDF("id_a", "id_b"), Seq(1L, 5L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two seeds: every node takes its CLOSEST seed's distance
+    assert(two == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    // isolated seed exits after its first empty frontier, dist-0 row kept
+    val iso = Graph.bfsDistances(chain.toDF("id_a", "id_b"), Seq(99L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso == Map(99L -> 0L))
+  }
+
   test("kCore: pendant peels off in one round, the K4 core survives with its degrees") {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
     val got = Graph.kCore(edges.toDF("id_a", "id_b"), k = 3, rounds = 3)
