@@ -2291,6 +2291,26 @@ object SparkEntryCoverage {
         .select(col("user_id"), col("event_id"), col("asof_value"))
         .orderBy(col("user_id"), col("event_id"))
     },
+    // Nearest-event join (Relational.nearestJoin): each purchase
+    // attributed to the CLOSEST click either side — the bidirectional
+    // sibling of j_asof_join (ties to the earlier match). Integer
+    // micro-second distances; one union + two window frames over one
+    // key sort, never a per-row range probe.
+    "j_nearest_event" -> { (s, dir) =>
+      val e = t(s, dir, "events").withColumn("us", expr("unix_micros(ts)"))
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      val clicks = e
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+      Relational
+        .nearestJoin(purchases, clicks, "user_id", "us", Seq("click_id"), col("click_id"))
+        .select(
+          col("user_id"), col("event_id"),
+          col("nearest_click_id"), col("nearest_dt"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
     // Range join (point-in-interval) via grid bucketing: quantity →
     // price band without a cross product
     "j_range_join" -> { (s, dir) =>
@@ -4630,6 +4650,31 @@ object SparkEntryCoverage {
         | FROM u)
         |SELECT user_id, event_id, asof_value FROM w WHERE is_left = 1
         |ORDER BY user_id, event_id""".stripMargin,
+    // same union + backward/forward IGNORE NULLS frames over one sort
+    "j_nearest_event" ->
+      """WITH purch AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |               WHERE event_type = 'purchase'),
+        |clicks AS (SELECT user_id, epoch_us(ts) AS us, event_id AS click_id FROM events
+        |           WHERE event_type = 'click'),
+        |u AS (SELECT user_id, us, event_id, 1 AS is_left, NULL::BIGINT AS tie,
+        |             NULL::BIGINT[] AS v
+        |      FROM purch
+        |      UNION ALL
+        |      SELECT user_id, us, NULL, 0, click_id, [us, click_id] FROM clicks),
+        |w AS (SELECT user_id, us, event_id, is_left,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY us, is_left, tie
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY us, is_left, tie
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |      FROM u),
+        |n AS (SELECT user_id, us, event_id,
+        |        CASE WHEN b IS NULL THEN f WHEN f IS NULL THEN b
+        |             WHEN us - b[1] <= f[1] - us THEN b ELSE f END AS m
+        |      FROM w WHERE is_left = 1)
+        |SELECT user_id, event_id, m[2] AS nearest_click_id, m[1] - us AS nearest_dt
+        |FROM n ORDER BY user_id, event_id""".stripMargin,
     "j_range_join" ->
       """WITH bands(lo, hi, band) AS (VALUES (0.0, 10.0, 'low'), (10.0, 30.0, 'mid'), (30.0, 50.0, 'high'))
         |SELECT l_orderkey, l_linenumber, l_quantity, band

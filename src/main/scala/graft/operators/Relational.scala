@@ -114,6 +114,72 @@ object Relational {
       .drop("__is_left", "__tie", "__vals", "__asof")
   }
 
+  /** Nearest-event join: for each left row, the right row (same key)
+    * minimizing |Δts| in EITHER direction — the bidirectional sibling
+    * of [[asofJoin]] (sensor alignment, purchase↔click attribution,
+    * log correlation). Ties on distance go to the BACKWARD (earlier)
+    * match; among equal-ts right rows the backward pick takes the
+    * greatest `tieBreak` and the forward pick the smallest (each
+    * direction's frame-edge row). `tsCol` must be NUMERIC — cast
+    * timestamps to unix micros first (the w_ewma caller rule) so the
+    * distance comparison is exact integer arithmetic.
+    *
+    * Same union + key-partitioned window shape as [[asofJoin]] (one
+    * backward and one forward frame over a single sort): one shuffle
+    * on the key, no per-row range probe, whale keys spill in the
+    * window sort instead of exploding a join.
+    *
+    * Output: left columns + `nearest_<v>` per valueCol + `nearest_dt`
+    * (right ts − left ts, signed; null when the key has no right
+    * rows).
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      tieBreak: Column): DataFrame = {
+    val valFields =
+      org.apache.spark.sql.types.StructField("__rts", right.schema(tsCol).dataType) +:
+        valueCols.map(v => right.schema(v).copy(name = v))
+    val lTagged = left
+      .withColumn("__is_left", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__vals", lit(null).cast(org.apache.spark.sql.types.StructType(valFields)))
+    val rTagged = right
+      .withColumn("__is_left", lit(0))
+      .withColumn("__tie", tieBreak.cast("long"))
+      .withColumn("__vals", struct((col(tsCol).as("__rts") +: valueCols.map(col)): _*))
+      .select(Seq(keyCol, tsCol, "__is_left", "__tie", "__vals").map(col): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val ord = Seq(col(tsCol), col("__is_left"), col("__tie"))
+    val wb = Window
+      .partitionBy(col(keyCol))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window
+      .partitionBy(col(keyCol))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withBF = unioned
+      .withColumn("__b", last(col("__vals"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__vals"), ignoreNulls = true).over(wf))
+    val db = col(tsCol) - col("__b").getField("__rts")
+    val df_ = col("__f").getField("__rts") - col(tsCol)
+    val nearest = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(db <= df_, col("__b"))
+      .otherwise(col("__f"))
+    valueCols
+      .foldLeft(withBF.withColumn("__n", nearest)) { (df0, v) =>
+        df0.withColumn(s"nearest_$v", col("__n").getField(v))
+      }
+      .withColumn("nearest_dt", col("__n").getField("__rts") - col(tsCol))
+      .filter(col("__is_left") === 1)
+      .drop("__is_left", "__tie", "__vals", "__b", "__f", "__n")
+  }
+
   /** Range join (point-in-interval) via grid bucketing: each right
     * interval [start, end] is exploded over the fixed-size grid cells
     * it covers, the join is an equi-join on the cell, and the exact

@@ -46,6 +46,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got.isNullAt(0)) // latest right row (ts=2) has v = null
   }
 
+  test("nearestJoin: tie goes backward, same-ts matches at dt 0, keys without rights null") {
+    val left = Seq(("a", 10L, 1L), ("a", 8L, 2L), ("b", 5L, 3L), ("c", 1L, 4L))
+      .toDF("k", "us", "id")
+    val right = Seq(("a", 7L, 70L), ("a", 13L, 71L), ("b", 5L, 72L))
+      .toDF("k", "us", "rid")
+    val got = Relational.nearestJoin(left, right, "k", "us", Seq("rid"), col("rid"))
+      .collect()
+      .map(r => r.getLong(2) -> ((r.get(3), r.get(4))))
+      .toMap
+    assert(got(1L) == ((70L, -3L)), "equidistant 7/13: tie to the backward match")
+    assert(got(2L) == ((70L, -1L)))
+    assert(got(3L) == ((72L, 0L)), "same-ts right row matches at distance 0")
+    assert(got(4L) == ((null, null)), "no right rows for the key -> nulls")
+  }
+
   test("changeDetection: null hashes classify by presence, not hash nullness") {
     val old = Seq(("a", Some("h1")), ("b", None), ("c", None)).toDF("k", "h")
     val fresh = Seq(("a", None), ("b", Some("h2")), ("c", None), ("d", None)).toDF("k", "h")
