@@ -182,7 +182,9 @@ object Multimodal {
     * probing suffices: an unordered pair differing by one prefix bit
     * is reached from whichever side probes the other's bucket, and
     * the id_a < id_b filter dedupes direction. Probe fan-out is a
-    * fixed ×9 on the 2-byte code stream — bytes never ride it.
+    * fixed ×9 on the 2-byte code stream — bytes never ride it. Codes
+    * persist internally for the double-sided join (Dedup-kernel
+    * caching contract).
     */
   def phashPairsMultiprobe(
       codes: DataFrame,

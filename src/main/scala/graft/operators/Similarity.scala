@@ -846,6 +846,8 @@ object Similarity {
     * candidate lists contain each side's true top-k (AnnRecallSpec
     * measures this), which is the standard ANN-recall contract.
     * `q` must be micro-unit integer cosines (round(cos·1e6)).
+    * The candidate stream persists internally (Dedup-kernel caching
+    * contract — session clearCache between queries).
     */
   def marginAlignFromCandidates(
       candidates: DataFrame,

@@ -843,7 +843,10 @@ object TextAnalysis {
     * group-bounded windows/aggs, no corpus-wide state. The phrase
     * reassembly is a sorted collect over ONE inter-stopword run
     * (bounded by the run length, not the document), the sanctioned
-    * bounded-buffer case.
+    * bounded-buffer case. The pair stream persists internally so the
+    * phrase/word-stat/score passes share one explode — the
+    * Dedup-kernel caching contract (session clearCache between
+    * queries, as Bench/Verify do).
     *
     * Returns (id, rank, phrase, score), rank 1..topK.
     */
