@@ -1156,6 +1156,45 @@ object SparkEntryCoverage {
           (col("rnk") <= 10).as("hit_at_10"))
         .orderBy(col("qid"))
     },
+    // NDCG@10 (TextAnalysis.ndcgAtK): graded-relevance sibling of
+    // r_mrr_eval over the same query set — judgments derived from
+    // query-term coverage (all terms present = grade 2, at least
+    // half = grade 1), ranks from the same batch BM25, and the DCG
+    // rank weights are integer micro-unit constants computed once in
+    // Scala and injected into BOTH plans (ndcgWeightSql), so the
+    // whole eval is exact-integer past the BM25 sort
+    "r_ndcg_eval" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qterms = docs
+        .filter(col("doc_id") % 20 === 0)
+        .select(
+          col("doc_id").as("qid"),
+          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
+        .distinct()
+      val scored = TextAnalysis
+        .bm25PerQuery(docs, "text", "doc_id", qterms)
+        .withColumnRenamed("bm25", "score")
+      val qn = qterms.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
+      // distinct (doc, term) cut to the query vocabulary BEFORE the
+      // distinct — the corpus-side frame never carries off-vocab terms
+      val docTerms = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+        .distinct()
+      val judged = docTerms
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("m"))
+        .join(broadcast(qn), Seq("qid"))
+        .withColumn(
+          "grade",
+          when(col("m") === col("n_q"), 2L)
+            .when(col("m") * 2 >= col("n_q"), 1L)
+            .otherwise(0L))
+        .filter(col("grade") > 0)
+        .select(col("qid"), col("doc_id"), col("grade"))
+      TextAnalysis.ndcgAtK(scored, judged, 10).orderBy(col("qid"))
+    },
     // BPE merge learning (TextAnalysis.bpeTopMerges — Sennrich et al.
     // 2016): the first 3 merges learned from the corpus vocabulary —
     // integer pair counts weighted by word frequency, totally-ordered
@@ -5360,6 +5399,60 @@ object SparkEntryCoverage {
         |SELECT qid, CAST(rnk AS BIGINT) AS rel_rank,
         |       CAST(1000000 // rnk AS BIGINT) AS rr6, rnk <= 10 AS hit_at_10
         |FROM rk WHERE qid = doc_id ORDER BY qid""".stripMargin,
+    // same query set + BM25 chain as r_mrr_eval; judgments from
+    // query-term coverage; rank weights injected from the SAME Scala
+    // constants the engine uses (TextAnalysis.ndcgWeightSql)
+    "r_ndcg_eval" -> {
+      val wRnk = TextAnalysis.ndcgWeightSql(10, "rk.rnk")
+      val wIdeal = TextAnalysis.ndcgWeightSql(10, "ir.i")
+      s"""WITH q AS (SELECT qid, term FROM (
+         |    SELECT doc_id AS qid, unnest(tk[3:10]) AS term FROM (
+         |      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |      FROM documents WHERE doc_id % 20 = 0)) GROUP BY 1, 2),
+         |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_q FROM q GROUP BY 1),
+         |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+         |       FROM documents),
+         |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+         |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |          FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+         |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |contrib AS (SELECT tf.doc_id, tf.term,
+         |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+         |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+         |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+         |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+         |      FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |sc AS (SELECT q.qid, contrib.doc_id, round(SUM(c), 6) AS bm25
+         |       FROM contrib JOIN q ON q.term = contrib.term GROUP BY 1, 2),
+         |rk AS (SELECT qid, doc_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+         |       FROM sc),
+         |jm AS (SELECT q.qid, tf.doc_id, CAST(count(*) AS BIGINT) AS m
+         |       FROM tf JOIN q ON q.term = tf.term GROUP BY 1, 2),
+         |jp AS (SELECT jm.qid, jm.doc_id,
+         |        CASE WHEN m = n_q THEN 2 WHEN 2 * m >= n_q THEN 1 ELSE 0 END AS grade
+         |       FROM jm JOIN qn ON jm.qid = qn.qid
+         |       WHERE CASE WHEN m = n_q THEN 2 WHEN 2 * m >= n_q THEN 1 ELSE 0 END > 0),
+         |dcg AS (SELECT rk.qid,
+         |         CAST(SUM((CASE WHEN jp.grade = 2 THEN 3 WHEN jp.grade = 1 THEN 1 ELSE 0 END)
+         |                  * ($wRnk)) AS BIGINT) AS dcg6,
+         |         CAST(SUM(CASE WHEN jp.grade > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_k
+         |        FROM rk LEFT JOIN jp ON rk.qid = jp.qid AND rk.doc_id = jp.doc_id
+         |        WHERE rk.rnk <= 10 GROUP BY 1),
+         |ir AS (SELECT qid, grade, doc_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY grade DESC, doc_id) AS i
+         |       FROM jp),
+         |idcg AS (SELECT ir.qid,
+         |         CAST(SUM((CASE WHEN ir.grade = 2 THEN 3 ELSE 1 END) * ($wIdeal)) AS BIGINT) AS idcg6
+         |        FROM ir WHERE ir.i <= 10 GROUP BY 1)
+         |SELECT d.qid, d.dcg6, i.idcg6,
+         |       CAST(CASE WHEN i.idcg6 > 0 THEN (1000000 * d.dcg6) // i.idcg6 ELSE 0 END AS BIGINT) AS ndcg6,
+         |       d.n_rel_k
+         |FROM dcg d JOIN idcg i ON d.qid = i.qid ORDER BY d.qid""".stripMargin
+    },
     // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
     // g_kcore lesson): per step, pair counts from the previous
     // vocabulary, totally-ordered argmax, plain-replace rewrite

@@ -899,4 +899,77 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
       .select(col("id"), col("rank").cast("long").as("rank"), col("phrase"), col("score"))
   }
+
+  /** Integer DCG rank weights in micro-units: w(r) = round(1e6 /
+    * log2(r + 1)) for ranks 1..k. Computed ONCE here and injected
+    * verbatim into the DuckDB oracle via [[ndcgWeightSql]], so both
+    * engines rank with the same integer constants — no float log in
+    * either plan, and the NDCG arithmetic stays exact end to end
+    * (the langIdSql shared-constant discipline applied to rank math).
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Oracle-side mirror of [[ndcgWeights]]: a CASE fragment mapping a
+    * rank expression to its micro-unit weight (0 beyond k).
+    */
+  def ndcgWeightSql(k: Int, rankExpr: String): String =
+    ndcgWeights(k).zipWithIndex
+      .map { case (w, i) => s"WHEN $rankExpr = ${i + 1} THEN $w" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** NDCG@k retrieval evaluation (Järvelin & Kekäläinen 2002) over a
+    * scored run and graded judgments — the graded-relevance upgrade
+    * of the reciprocal-rank eval: `scored` is (qid, doc_id, score),
+    * `judged` is (qid, doc_id, grade) with integer grades >= 0.
+    * gain = 2^grade - 1; rank = (score desc, doc_id) per query;
+    * dcg6 = sum over the top-k ranked of gain * w(rank) with
+    * [[ndcgWeights]] micro-unit weights; idcg6 = the same sum over
+    * the ideal ordering (grade desc, doc_id) of the judged set;
+    * ndcg6 = 1e6 * dcg6 div idcg6 (integer division — never a float
+    * ratio). Returns (qid, dcg6, idcg6, ndcg6, n_rel_k) where
+    * n_rel_k counts grade>0 docs inside the top-k; queries with no
+    * positive judgment drop (no ideal ranking exists for them).
+    *
+    * Scale posture: both row_number windows partition by qid — the
+    * sort is per-query, never global, and whale queries spill in the
+    * window sort. Judged rows ride the joins, not the corpus; the
+    * dcg join is (qid, doc_id)-keyed against a frame already cut to
+    * k rows per query.
+    */
+  def ndcgAtK(scored: DataFrame, judged: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in 1..100")
+    val ws = ndcgWeights(k)
+    def wOf(r: Column): Column =
+      ws.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+        when(r === (i + 1), lit(w)).otherwise(acc)
+      }
+    // 2^grade - 1 as exact BIGINT (grades are small integers)
+    val gain = expr("shiftleft(CAST(1 AS BIGINT), CAST(grade AS INT)) - CAST(1 AS BIGINT)")
+    val pos = judged.filter(col("grade") > 0)
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val topRanked = scored
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+    val dcg = topRanked
+      .join(pos, Seq("qid", "doc_id"), "left")
+      .na.fill(0L, Seq("grade"))
+      .groupBy(col("qid"))
+      .agg(
+        sum(gain * wOf(col("rnk"))).as("dcg6"),
+        sum(when(col("grade") > 0, 1L).otherwise(0L)).as("n_rel_k"))
+    val idealW = Window.partitionBy(col("qid")).orderBy(col("grade").desc, col("doc_id"))
+    val idcg = pos
+      .withColumn("i", row_number().over(idealW))
+      .filter(col("i") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(gain * wOf(col("i"))).as("idcg6"))
+    dcg
+      .join(idcg, Seq("qid"))
+      .withColumn(
+        "ndcg6",
+        when(col("idcg6") > 0, expr("CAST(1000000 * dcg6 DIV idcg6 AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .select(col("qid"), col("dcg6"), col("idcg6"), col("ndcg6"), col("n_rel_k"))
+  }
 }

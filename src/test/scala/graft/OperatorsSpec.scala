@@ -358,6 +358,43 @@ class OperatorsSpec extends SparkSpec {
       (3L, "big data", 4.0 / 2.0)))
   }
 
+  test("ndcgAtK: hand-computed DCG/IDCG, integer weights, unjudged query drops") {
+    // weights w(r) = round(1e6/log2(r+1)): 1.0, 630930, 500000 for k=3
+    assert(TextAnalysis.ndcgWeights(3) == Seq(1000000L, 630930L, 500000L))
+    val scored = Seq(
+      (1L, 20L, 9.0), (1L, 99L, 8.0), (1L, 10L, 7.0), (1L, 30L, 1.0),
+      (2L, 50L, 5.0) // qid 2 has no judgments -> drops
+    ).toDF("qid", "doc_id", "score")
+    val judged = Seq(
+      (1L, 10L, 2L), (1L, 20L, 1L), (1L, 30L, 1L)
+    ).toDF("qid", "doc_id", "grade")
+    val rows = TextAnalysis.ndcgAtK(scored, judged, 3).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 1L)
+    // ranked: 20(r1, gain 1), 99(r2, gain 0), 10(r3, gain 3); 30 cut at k
+    // dcg6 = 1*1000000 + 3*500000 = 2500000; 2 relevant docs in top-3
+    assert(r.getLong(1) == 2500000L)
+    // ideal: 10(g2), 20(g1), 30(g1) -> 3*1e6 + 1*630930 + 1*500000
+    assert(r.getLong(2) == 4130930L)
+    assert(r.getLong(3) == 1000000L * 2500000L / 4130930L) // 605190
+    assert(r.getLong(3) == 605190L)
+    assert(r.getLong(4) == 2L)
+  }
+
+  test("ndcgAtK: perfect ranking scores 1e6; judged-but-unranked doc lowers ndcg only via idcg") {
+    val scored = Seq((1L, 10L, 9.0), (1L, 20L, 8.0)).toDF("qid", "doc_id", "score")
+    val perfect = Seq((1L, 10L, 2L), (1L, 20L, 1L)).toDF("qid", "doc_id", "grade")
+    val p = TextAnalysis.ndcgAtK(scored, perfect, 3).head()
+    assert(p.getLong(3) == 1000000L)
+    // doc 5 judged grade 2 but never scored: enters IDCG, not DCG
+    val missing = Seq((1L, 5L, 2L), (1L, 10L, 2L)).toDF("qid", "doc_id", "grade")
+    val m = TextAnalysis.ndcgAtK(scored, missing, 3).head()
+    assert(m.getLong(1) == 3L * 1000000L) // doc 10 at rank 1
+    assert(m.getLong(2) == 3L * 1000000L + 3L * 630930L)
+    assert(m.getLong(3) < 1000000L)
+  }
+
   test("kmvOverlapEstimate: identical sets -> jaccard 1.0; disjoint sets -> 0 matches") {
     import graft.operators.Sketches
     val xs = (1 to 300).map(i => s"k$i").toDF("key")
