@@ -1993,6 +1993,26 @@ object SparkEntryCoverage {
         .select(col("id").as("part_id"), col("deg"))
         .orderBy(col("part_id"))
     },
+    // Community detection (Graph.labelPropagation): 4 synchronous LPA
+    // rounds over the same co-purchase graph as g_kcore — min-label
+    // deterministic argmax, so the oracle unrolls the identical
+    // rounds; communities split the loose bridges the connected-
+    // components view merges (template families inside one giant CC)
+    "g_labelprop" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.labelPropagation(edges, rounds = 4)
+        .select(col("id").as("part_id"), col("community"))
+        .orderBy(col("part_id"))
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -4534,6 +4554,27 @@ object SparkEntryCoverage {
          |SELECT id AS part_id, CAST(count(*) AS BIGINT) AS deg FROM (
          |  SELECT u AS id FROM e6 UNION ALL SELECT v FROM e6) GROUP BY id
          |ORDER BY part_id""".stripMargin
+    },
+    // the same 4 LPA rounds unrolled as MATERIALIZED CTEs; argmax via
+    // row_number (count desc, label asc) — a different mechanism from
+    // the engine's min-struct hash-agg, same total order
+    "g_labelprop" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM ew WHERE w >= 2
+         |     UNION ALL SELECT v, u FROM ew WHERE w >= 2),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds
+         |SELECT id AS part_id, lbl AS community FROM l4 ORDER BY part_id""".stripMargin
     },
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are

@@ -227,6 +227,63 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007),
+    * `rounds` fixed iterations: every node starts labeled with its own
+    * id; each round every node adopts the most frequent label among
+    * its neighbors, ties broken toward the SMALLEST label — a totally
+    * ordered argmax, so the whole run is deterministic on any
+    * partitioning and exactly mirrorable by an unrolled-CTE oracle
+    * (the kCore fixed-rounds discipline: convergence state is
+    * irrelevant to parity because both engines run identical rounds).
+    * Communities on a near-dup/co-occurrence graph split the loose
+    * bridges connected components merge — template families inside
+    * one giant CC surface as separate labels.
+    *
+    * Scale shape per round: one (dst, label) hash-aggregate shuffle
+    * over the edge stream (16-byte keys) + a node-bounded argmax
+    * hash-agg (min over (-count, label) structs — no window, no
+    * per-node sort); lineage truncates per round ([[Checkpointing]]).
+    * Every node is edge-incident (labels0 derives from the edge
+    * list), so no isolated-node coalesce path exists. Edge hygiene
+    * as [[pageRank]]: self-loops, duplicates, null ids dropped.
+    *
+    * Returns (id, community) — community = the label held after
+    * exactly `rounds` rounds.
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val edges = Checkpointing.truncate(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      checkpointDir,
+      eager = true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var i = 0
+    while (i < rounds) {
+      val votes = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = Checkpointing.truncate(
+        votes
+          .groupBy(col("dst").as("id"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("id"), col("m.l").as("lbl")),
+        checkpointDir,
+        eager = false)
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient
     * over the undirected graph induced by `pairs` (id_a, id_b).
     * Returns (id, deg BIGINT, n_tri BIGINT, lcc DOUBLE =

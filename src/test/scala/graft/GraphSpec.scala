@@ -149,6 +149,28 @@ class GraphSpec extends SparkSpec {
     assert(after2.isEmpty)
   }
 
+  test("labelPropagation: bridged triangles split into two min-label communities") {
+    // triangles {1,2,3} and {4,5,6} with bridge 3-4; hand-unrolled 4
+    // rounds end with {1,2,3}->1 and {4,5,6}->3. Hygiene rows (self
+    // loop, duplicate, reversed duplicate) must not change the vote.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L),
+      (1L, 1L), (2L, 1L), (1L, 2L))
+    val got = Graph.labelPropagation(edges.toDF("id_a", "id_b"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: two-node oscillation is deterministic per round count") {
+    val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r1 = Graph.labelPropagation(pair, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L)) // swapped after one round
+    val r2 = Graph.labelPropagation(pair, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L)) // and back
+  }
+
   test("pageRank reliable-checkpoint mode is value-identical to executor-local mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     val local = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b"))
