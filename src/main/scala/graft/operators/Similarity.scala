@@ -883,4 +883,76 @@ object Similarity {
         ((col("q") * 2 * col("k_a") * col("k_b")).cast("double") / den.cast("double"))
           .as("margin"))
   }
+
+  /** Deterministic ±1 sign matrix for the signed random projection:
+    * the splitmix64 finalizer (Steele, Lea & Flood 2014 — the
+    * avalanche stage of SplittableRandom) over the packed (i, j)
+    * index, sign from the low bit. A LINEAR index mix (the first cut
+    * here used (i·c1 + j·c2) mod p < p/2) is a trap: every row is a
+    * shifted threshold of the same sequence, rows come out nearly
+    * identical, and the projection collapses to ~1 effective
+    * dimension — the avalanche is what makes the rows independent.
+    * The matrix is computed once HERE and injected as LITERAL arrays
+    * into both the engine plan and the DuckDB oracle (the
+    * ndcgWeights shared-constant discipline), so no RNG *state*
+    * exists anywhere and both engines project with the same matrix.
+    * Returns outDims rows of inDims signs.
+    */
+  def rpSigns(inDims: Int, outDims: Int): Array[Array[Long]] =
+    Array.tabulate(outDims) { j0 =>
+      Array.tabulate(inDims) { i0 =>
+        var z = (j0.toLong * 65537L + i0.toLong + 1L) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if ((z & 1L) == 0L) 1L else -1L
+      }
+    }
+
+  /** Signed random projection (Achlioptas 2003's database-friendly
+    * Johnson–Lindenstrauss variant) to `outDims` exact-integer
+    * components: qv_i = round(v_i · 1e4) (the int8Quantize
+    * round-parity idiom), p_j = Σ_i s(i, j) · qv_i with [[rpSigns]].
+    * Projected inner products are exact BIGINTs, so the stage-1
+    * candidate ranking is bit-stable on any partitioning; precision
+    * comes from an exact stage-2 re-rank over the shortlist (the PQ
+    * ADC pattern at a quarter of the dimensions).
+    *
+    * Scale shape: map-only — per row one fixed-point quantize plus
+    * outDims literal-sign folds; no shuffle, no UDF, no broadcast.
+    * At 100 TB this is the cheap first cut that turns a 64-float
+    * cosine scan into a 16-long integer scan (4× less arithmetic,
+    * and the shortlist then bounds the exact work). Vectors shorter
+    * than `inDims` project to null components (visible, never a
+    * silently-wrong truncation).
+    *
+    * Returns the input plus `rp` ARRAY<BIGINT> of length outDims.
+    */
+  def randomProject(
+      df: DataFrame,
+      embCol: String,
+      inDims: Int,
+      outDims: Int): DataFrame = {
+    require(inDims >= 1 && outDims >= 1, "dims must be positive")
+    val signs = rpSigns(inDims, outDims)
+    val qv = transform(
+      col(embCol).cast("array<double>"),
+      v => round(v * lit(10000.0), 0).cast("long"))
+    val comps = (0 until outDims).map { j =>
+      val s = array(signs(j).map(lit): _*)
+      aggregate(
+        sequence(lit(1), lit(inDims)),
+        lit(0L),
+        (acc, i) =>
+          acc + element_at(s, i.cast("int")) * element_at(col("__rp_qv"), i.cast("int")))
+    }
+    df.withColumn("__rp_qv", qv)
+      .withColumn("rp", array(comps: _*))
+      .drop("__rp_qv")
+  }
+
+  /** Exact integer dot product of two BIGINT arrays (the projected-
+    * space similarity for [[randomProject]] shortlists). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 }

@@ -110,6 +110,47 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"bandedLshTopK multiprobe recall@10 = $recall")
   }
 
+  test("randomProject: fixed-point components match the sign matrix by hand") {
+    val signs = Similarity.rpSigns(2, 2)
+    // sanity on the generator itself: only ±1, deterministic
+    assert(signs.flatten.forall(s => s == 1L || s == -1L))
+    assert(Similarity.rpSigns(2, 2).map(_.toSeq).toSeq == signs.map(_.toSeq).toSeq)
+    val df = spark.createDataFrame(Seq((1L, Array(0.5f, -0.25f))))
+      .toDF("vec_id", "embedding")
+    val rp = Similarity.randomProject(df, "embedding", 2, 2)
+      .select(col("rp")).head().getSeq[Long](0)
+    val expected = (0 until 2).map(j => signs(j)(0) * 5000L + signs(j)(1) * -2500L)
+    assert(rp == expected)
+  }
+
+  test("rpSigns matrix is roughly balanced (no degenerate all-ones dimension)") {
+    val signs = Similarity.rpSigns(64, 16)
+    val total = signs.flatten.sum
+    assert(math.abs(total) < 1024 * 2 / 10, s"global sign skew $total")
+    signs.foreach { row => assert(math.abs(row.sum) < 40, s"row skew ${row.sum}") }
+  }
+
+  test("two-stage random-projection retrieval: shortlist-150 recall@10 >= 0.7 vs brute force") {
+    // near-uniform driver embeddings are the JL worst case (weakly
+    // separated cosines + 4x dimension crush); measured tradeoff at
+    // k=16: shortlist 40 -> 0.5, 80 -> 0.6, 150 -> 0.8, 200 -> 1.0 —
+    // the same shortlist/recall curve the PQ ADC stage showed. The
+    // committed query runs the 150 operating point; floor 0.7 pins
+    // against sign-matrix regressions (a correlated matrix — e.g.
+    // the rejected linear index mix — craters this to ~0.1).
+    val proj = Similarity.randomProject(corpus, "embedding", 64, 16)
+    val qrp = Similarity.randomProject(
+      emb.filter(col("vec_id") === 0), "embedding", 64, 16)
+      .select(col("rp")).head().getSeq[Long](0)
+    val cand = proj
+      .withColumn("pscore", Similarity.intDot(col("rp"), typedLit(qrp)))
+      .orderBy(col("pscore").desc, col("vec_id"))
+      .limit(150)
+    val top10 = ids(Similarity.bruteForceTopK(cand, "embedding", query, 10))
+    val recall = (top10 & exactTop10).size / 10.0
+    assert(recall >= 0.7, s"two-stage RP recall@10 = $recall")
+  }
+
   test("persisted IVF index round-trips: loaded centroids + cells reproduce the in-line top-k") {
     val cents = Similarity.fitCentroids(corpus, "vec_id", "embedding", k = 16, iters = 5)
     val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
