@@ -1232,6 +1232,18 @@ object SparkEntryCoverage {
         .bpeTopMerges(t(s, dir, "documents"), "text", 3)
         .orderBy(col("step"))
     },
+    // BPE encoding (TextAnalysis.bpeEncodeUnits): the tokenizer the
+    // corpus just learned, applied — per-doc subword-unit counts
+    // after the 3 learned merges, computed by joining doc words to
+    // the REWRITTEN VOCABULARY (the corpus is never char-split per
+    // document; the vocab carries the encoding). n_units/n_words is
+    // the learned tokenizer's fertility curve at k=3 merges.
+    "t_bpe_encode" -> { (s, dir) =>
+      TextAnalysis
+        .bpeEncodeUnits(t(s, dir, "documents"), "text", "doc_id", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // RAKE keyword extraction (TextAnalysis.rakeKeywords — Rose et
     // al. 2010) with the integer scoring variant Σdeg/Σfreq (one
     // BIGINT division instead of a float-order-sensitive
@@ -3584,6 +3596,40 @@ object SparkEntryCoverage {
     * unit=1e12). Kept as a generator so the 5 unrolled iterations in
     * the g_pagerank oracle cannot drift from each other.
     */
+  /** Shared BPE oracle chain: corpus word counts → char-split padded
+    * vocabulary v0 → `steps` unrolled merge rounds (pair counts p_r,
+    * argmax b_r, rewrite v_r) as MATERIALIZED CTEs (the g_kcore
+    * inlining lesson). Used by both t_bpe_merges and t_bpe_encode so
+    * learner and encoder mirrors cannot desynchronize.
+    */
+  private def bpeVocabCtes(steps: Int): String = {
+    val rounds = (1 to steps).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT tk[i] AS a, tk[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT regexp_split_to_array(trim(s), ' ') AS tk, c FROM $prev),
+         |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(v.s, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS s,
+         |         v.c
+         |  FROM $prev v CROSS JOIN b$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""tokc AS MATERIALIZED (
+       |  SELECT term AS w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |        FROM documents WHERE length(trim(text)) > 0)
+       |  WHERE length(term) > 0 GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(
+       |           list_transform(generate_series(1, CAST(length(w) AS INT)),
+       |                          i -> substring(w, CAST(i AS INT), 1)), ' ') || ' ' AS s,
+       |         c
+       |  FROM tokc),
+       |$rounds""".stripMargin
+  }
+
   private def pageRankIterSql(prev: String, cur: String): String =
     s"""$cur AS (SELECT e.dst AS id, b.base + SUM(((r.r * 85) // 100) // d.deg) AS r
        |      FROM edges e JOIN $prev r ON r.id = e.src
@@ -5549,38 +5595,27 @@ object SparkEntryCoverage {
     // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
     // g_kcore lesson): per step, pair counts from the previous
     // vocabulary, totally-ordered argmax, plain-replace rewrite
-    "t_bpe_merges" -> {
-      val steps = (1 to 3).map { r =>
-        val prev = if (r == 1) "v0" else s"v${r - 1}"
-        s"""p$r AS MATERIALIZED (
-           |  SELECT tk[i] AS a, tk[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
-           |  FROM (SELECT regexp_split_to_array(trim(s), ' ') AS tk, c FROM $prev),
-           |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
-           |  GROUP BY 1, 2),
-           |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |v$r AS MATERIALIZED (
-           |  SELECT replace(v.s, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS s,
-           |         v.c
-           |  FROM $prev v CROSS JOIN b$r m)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH tokc AS MATERIALIZED (
-         |  SELECT term AS w, CAST(count(*) AS BIGINT) AS c
-         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-         |        FROM documents WHERE length(trim(text)) > 0)
-         |  WHERE length(term) > 0 GROUP BY 1),
-         |v0 AS MATERIALIZED (
-         |  SELECT ' ' || array_to_string(
-         |           list_transform(generate_series(1, CAST(length(w) AS INT)),
-         |                          i -> substring(w, CAST(i AS INT), 1)), ' ') || ' ' AS s,
-         |         c
-         |  FROM tokc),
-         |$steps
+    "t_bpe_merges" ->
+      s"""WITH ${bpeVocabCtes(3)}
          |SELECT * FROM (
          |  SELECT CAST(1 AS BIGINT) AS step, a AS sym_a, b AS sym_b, cnt FROM b1
          |  UNION ALL SELECT 2, a, b, cnt FROM b2
          |  UNION ALL SELECT 3, a, b, cnt FROM b3)
-         |ORDER BY step""".stripMargin
-    },
+         |ORDER BY step""".stripMargin,
+    // the same learned vocabulary (shared CTE chain), applied: word
+    // maps back from its merged sequence by stripping spaces, units
+    // = symbols left after the merges
+    "t_bpe_encode" ->
+      s"""WITH ${bpeVocabCtes(3)},
+         |u AS (SELECT replace(trim(s), ' ', '') AS w,
+         |        CAST(len(regexp_split_to_array(trim(s), ' ')) AS BIGINT) AS units FROM v3),
+         |dw AS (SELECT doc_id, term AS w
+         |       FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |             FROM documents WHERE length(trim(text)) > 0)
+         |       WHERE length(term) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(units) AS BIGINT) AS n_units
+         |FROM dw JOIN u USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // same half-split on the token array, same shared langId CASE —
     // engine and oracle derive from one marker constant
     "t_mixed_lang" ->

@@ -750,9 +750,23 @@ object TextAnalysis {
     * the first word count.
     */
   def bpeTopMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
-    require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeLearn(df, textCol, steps)._1.toDF("step", "sym_a", "sym_b", "cnt")
+  }
+
+  /** Shared BPE learner: returns the merge list AND the final
+    * rewritten vocabulary (s = sentinel-padded symbol sequence,
+    * c = word count) after `steps` merges. The rewrite only changes
+    * SPACING, so the original word is always `replace(trim(s),' ','')`
+    * — [[bpeEncodeUnits]] exploits exactly that to map words back
+    * without carrying a second column through the iteration.
+    */
+  private def bpeLearn(
+      df: DataFrame,
+      textCol: String,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(steps >= 1, "steps must be >= 1")
     def q(sym: String) = sym.replace("'", "''")
     var vocab = df
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
@@ -795,7 +809,37 @@ object TextAnalysis {
         i += 1
       }
     }
-    merges.toSeq.toDF("step", "sym_a", "sym_b", "cnt")
+    (merges.toSeq, vocab)
+  }
+
+  /** BPE encoding at the VOCABULARY level: learn `steps` merges
+    * ([[bpeTopMerges]]), then count each document's subword units by
+    * joining its words to the rewritten vocabulary — per word,
+    * units = symbols left in its merged sequence. The corpus is never
+    * char-split per document: the vocabulary carries the encoding
+    * (millions of words at 100 TB vs billions of documents), and the
+    * doc side pays one token explode + an equi-join on the word.
+    * Tokenizer-evaluation use: n_units/n_words is the fertility of
+    * the learned tokenizer at this merge count — the measurable
+    * "how much did k merges compress the corpus" curve.
+    *
+    * Docs with no non-empty tokens are absent (no words to encode).
+    * Returns (id, n_words, n_units).
+    */
+  def bpeEncodeUnits(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      steps: Int): DataFrame = {
+    val (_, vocab) = bpeLearn(df, textCol, steps)
+    val units = vocab.select(
+      regexp_replace(col("s"), " ", "").as("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("units"))
+    df.select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(units, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("units")).as("n_units"))
   }
 
   /** Code-switch / mixed-language detector: [[langId]] over the head

@@ -358,7 +358,18 @@ class OperatorsSpec extends SparkSpec {
       (3L, "big data", 4.0 / 2.0)))
   }
 
-  test("ndcgAtK: hand-computed DCG/IDCG, integer weights, unjudged query drops") {
+  test("bpeEncodeUnits: one learned merge, hand-counted units, empty doc absent") {
+    // word counts: aa:3, ab:1, b:1 -> merge 1 = (a,a); vocab after:
+    // ' aa '(1 unit), ' a b '(2 units), ' b '(1 unit)
+    val df = Seq((1L, "aa ab aa"), (2L, "b aa"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeUnits(df, "text", "doc_id", 1)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 4L), (2L, 2L, 2L)))
+  }
+
+  test("ndcgAtK: hand-computed DCG/IDCG, unjudged query drops") {
     // weights w(r) = round(1e6/log2(r+1)): 1.0, 630930, 500000 for k=3
     assert(TextAnalysis.ndcgWeights(3) == Seq(1000000L, 630930L, 500000L))
     val scored = Seq(
