@@ -713,6 +713,61 @@ object SparkEntryStreaming {
       drain(scored, "st_perplexity_sink", "complete")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+    // Watermark late-data accounting (Streams.lateDataAudit): three
+    // staged micro-batches — on-time files (Jan 20-29, then Jan
+    // 29-30; the second also lets the late-events watermark catch up
+    // to eviction, which it trails by one batch) and then a
+    // straggler file whose sub-Jan-10 rows sit whole closed windows
+    // below the watermark (never at the boundary, so the expected
+    // drop count is deterministic) while its Jan-30+ rows pass. The
+    // result is Spark's OWN late-row filter metric
+    // (numRowsDroppedByWatermark), not a re-derivation — the
+    // ingest-health alarm a stuck upstream partition trips at 100 TB.
+    "st_late_events" -> { (s, dir) =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/tmp/graft_stream/late_$safe"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(stage))
+      val inDir = s"$stage/in"
+      Files.createDirectories(Paths.get(inDir))
+      // one flat file per micro-batch; modification times force the
+      // FileStreamSource order (maxFilesPerTrigger=1 splits them)
+      def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$stage/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged under $tmp"))
+        val dest = Paths.get(s"$inDir/$name.parquet")
+        Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+        dest.toFile.setLastModified(mtime): Unit
+      }
+      stageOne(
+        ev.filter(col("ts") >= lit("2024-01-20") && col("ts") < lit("2024-01-29")),
+        "0", 1000000L)
+      stageOne(
+        ev.filter(col("ts") >= lit("2024-01-29") && col("ts") < lit("2024-01-30")),
+        "1", 2000000L)
+      stageOne(
+        ev.filter(col("ts") < lit("2024-01-10") || col("ts") >= lit("2024-01-30")),
+        "2", 3000000L)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/*.parquet")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val (nBatches, nDropped, nInput) =
+        try Streams.lateDataAudit(stream, "ts", "1 day", Seq("event_id"), "st_late_events_sink")
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      import s.implicits._
+      Seq((nBatches, nInput, nDropped)).toDF("n_batches", "n_input", "n_late_dropped")
     }
   )
 
@@ -870,6 +925,18 @@ object SparkEntryStreaming {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts <= p.ts
-        |ORDER BY user_id, purchase_id, click_id""".stripMargin
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+    // the staged split is deterministic by construction: batches 0-1
+    // = [Jan 20, Jan 30) on time, batch 2 = (< Jan 10) ∪ (>= Jan 30);
+    // by batch 2 the late-events watermark (which trails eviction by
+    // one batch) sits at ~Jan 27, so every sub-Jan-10 window is long
+    // closed (dropped) and the Jan-30 window is open (kept) — no row
+    // sits near the boundary
+    "st_late_events" ->
+      """SELECT CAST(3 AS BIGINT) AS n_batches,
+        |  CAST((SELECT count(*) FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-20' OR ts < TIMESTAMP '2024-01-10') AS BIGINT) AS n_input,
+        |  CAST((SELECT count(*) FROM events
+        |        WHERE ts < TIMESTAMP '2024-01-10') AS BIGINT) AS n_late_dropped""".stripMargin
   )
 }

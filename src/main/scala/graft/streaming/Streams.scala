@@ -170,6 +170,60 @@ object Streams {
         })
   }
 
+  /** Watermark late-data audit: run the stream through
+    * `withWatermark(tsCol, delay)` + `dropDuplicatesWithinWatermark`
+    * on a UNIQUE key against a throwaway memory sink, and report how
+    * many input rows the late-row filter rejected — the operational
+    * metric a 100 TB ingest pipeline alarms on (a stuck upstream
+    * partition surfaces as a dropped-row spike long before anyone
+    * reads the counts). Three behaviors are load-bearing, each
+    * verified in StreamingSpec against Spark's ACTUAL machinery
+    * rather than the folklore version:
+    *   - the dedup operator is the right probe: a windowed
+    *     AGGREGATION's numRowsDroppedByWatermark counts post-partial-
+    *     agg state rows (one per window per upstream partition — a
+    *     partition-count-dependent number no oracle can predict),
+    *     while the dedup filter runs per INPUT row;
+    *   - update-mode aggregation would not drop late rows at all (it
+    *     re-opens closed windows and emits corrections; only state is
+    *     evicted);
+    *   - rows are judged against the LATE-EVENTS watermark, which
+    *     TRAILS the eviction watermark by one micro-batch (the
+    *     multi-stateful-operator regime) — a straggler is dropped
+    *     only when it arrives >= 2 batches after the on-time data
+    *     that advanced the watermark past it.
+    * `keyCols` must be unique per row (an event id) so the dedup
+    * itself never drops anything and the metric isolates lateness;
+    * state is per-row but watermark-bounded (entries older than the
+    * delay evict every batch). Callers stage late rows well below
+    * the watermark (never edge timestamps) for the expected count to
+    * be deterministic. Returns (nBatches, nDroppedLate, nInputRows).
+    */
+  def lateDataAudit(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      keyCols: Seq[String],
+      sinkName: String): (Long, Long, Long) = {
+    val deduped = stream
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progresses = q.recentProgress.toSeq
+    val dropped = progresses
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark)
+      .sum
+    val input = progresses.map(_.numInputRows).sum
+    (progresses.count(_.numInputRows > 0).toLong, dropped, input)
+  }
+
   /** I2 — foreachBatch incremental merge: per micro-batch, compute the
     * changed work-list (against the previous materialized state) and
     * hand only changed keys to `process`. The batch-mode analogue is

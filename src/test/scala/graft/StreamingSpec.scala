@@ -185,6 +185,44 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.toSeq == Seq("date=2024-01-01", "date=2024-01-02"))
   }
 
+  test("lateDataAudit counts exactly the straggler rows the state store evicts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft_late_audit").toString
+    val inDir = s"$stage/in"
+    Files.createDirectories(Paths.get(inDir))
+    def stageOne(rows: Seq[(Long, Timestamp)], name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/tmp_$name"
+      rows.toDF("id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = Paths.get(s"$inDir/$name.parquet")
+      Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    // batch 0: two on-time rows advance the eviction watermark to
+    // Jan 19; batch 1 lets the LATE-EVENTS watermark catch up (it
+    // trails eviction by one batch — a straggler in batch 1 would
+    // still be accepted); batch 2's 19-days-late row is dropped
+    // while its fresh row lands in an open window
+    stageOne(
+      Seq((1L, ts("2024-01-20 08:00:00")), (2L, ts("2024-01-20 09:00:00"))),
+      "0", 1000000L)
+    stageOne(Seq((3L, ts("2024-01-21 00:30:00"))), "1", 2000000L)
+    stageOne(
+      Seq((4L, ts("2024-01-01 12:00:00")), (5L, ts("2024-01-22 01:00:00"))),
+      "2", 3000000L)
+    val schema = spark.read.parquet(s"$inDir/0.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*.parquet")
+    val (nBatches, nDropped, nInput) =
+      Streams.lateDataAudit(stream, "ts", "1 day", Seq("id"), "late_audit_t")
+    assert(nBatches == 3L)
+    assert(nInput == 5L)
+    assert(nDropped == 1L)
+  }
+
   test("checkpoint recovery — restarted aggregation resumes state, not recompute") {
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
     val in = s"$root/in"; val ckpt = s"$root/ckpt"
