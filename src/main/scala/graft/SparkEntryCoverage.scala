@@ -1970,6 +1970,25 @@ object SparkEntryCoverage {
         .select(col("id").as("doc_id"), col("rank_units"), col("rank"))
         .orderBy(col("doc_id"))
     },
+    // Personalized PageRank (Haveliwala 2002) over the same near-dup
+    // graph: teleport restarts only at the flagged seeds (doc_id %
+    // 25), so rank measures CONNECTIVITY-WEIGHTED proximity to the
+    // contamination set — the graded upgrade of g_taint's hop counts
+    // (a doc two strong paths from a seed outranks one dangling off
+    // a chain). Same exact-integer fixed-point arithmetic, same
+    // one-shuffle-per-iteration shape.
+    "g_ppr" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+      Graph
+        .pageRank(
+          pairs,
+          seeds = Some(docs.filter(col("doc_id") % 25 === 0).select(col("doc_id"))))
+        .select(col("id").as("doc_id"), col("rank_units"), col("rank"))
+        .orderBy(col("doc_id"))
+    },
     // Exact triangle counts + local clustering coefficient over the
     // co-purchase graph (parts sharing >= 2 orders): the standard
     // cohesion metric on a co-occurrence graph, via the degree-
@@ -4717,6 +4736,37 @@ object SparkEntryCoverage {
          |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_units,
          |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
          |FROM r5 ORDER BY doc_id""".stripMargin,
+    // seed-teleport variant: base mass and r0 restricted to in-graph
+    // doc_id % 25 seeds; the per-iteration recurrence mirrors the
+    // engine's restart() with a LEFT JOIN seed flag
+    "g_ppr" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (SELECT e.dst AS id,
+           |      (CASE WHEN s.id IS NOT NULL THEN b.base ELSE 0 END)
+           |        + SUM(((r.r * 85) // 100) // d.deg) AS r
+           |      FROM edges e JOIN $prev r ON r.id = e.src
+           |           JOIN deg d ON d.id = e.src
+           |           LEFT JOIN seeds s ON s.id = e.dst CROSS JOIN b
+           |      GROUP BY e.dst, s.id, b.base)""".stripMargin
+      s"""WITH $jaccardPairsSql,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |seeds AS (SELECT id FROM deg WHERE id % 25 = 0),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+         |b AS (SELECT (((100 - 85) * 1000000000000) // 100) // n AS base FROM ns),
+         |r0 AS (SELECT d.id,
+         |         CASE WHEN s.id IS NOT NULL THEN 1000000000000 // n ELSE 0 END AS r
+         |       FROM deg d LEFT JOIN seeds s ON d.id = s.id CROSS JOIN ns),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")},
+         |${iter("r3", "r4")},
+         |${iter("r4", "r5")}
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_units,
+         |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r5 ORDER BY doc_id""".stripMargin
+    },
     "d6_ordered_parts" ->
       """WITH parts AS (
         | SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS pos, pr[p.i] AS part

@@ -50,6 +50,12 @@ object Graph {
     * constant class). Dangling nodes cannot exist (every node comes
     * from an edge, degree >= 1).
     *
+    * `seeds = Some(df)` switches to PERSONALIZED PageRank: teleport
+    * mass restarts only at the seed nodes (first column of `df`,
+    * restricted to in-graph nodes) — proximity-to-seeds ranking, the
+    * contamination-blast-radius score that weights by connectivity
+    * where [[bfsDistances]] counts hops.
+    *
     * Returns (id, rank_units BIGINT, rank DOUBLE = units/unit).
     */
   def pageRank(
@@ -57,7 +63,8 @@ object Graph {
       iters: Int = 5,
       damp: Long = 85L,
       unit: Long = 1000000000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(damp >= 0 && damp <= 100, "damp is a percentage")
     val edges = pairs
@@ -85,8 +92,38 @@ object Graph {
           col("id"),
           col("id").as("rank_units"),
           col("id").cast("double").as("rank"))
-    val base = ((100L - damp) * unit / 100L) / n
-    var ranks = deg.select(col("id"), lit(unit / n).as("r"))
+    // Personalized mode (Haveliwala 2002, topic-sensitive PageRank):
+    // teleport mass lands ONLY on the seed set — both the restart
+    // term and r0. Seeds are restricted to graph nodes (a seed with
+    // no edges can neither receive nor pass mass; documented
+    // contract, enforced by the semi-join). Plain mode keeps the
+    // uniform-teleport arithmetic byte-identical to before.
+    val seedTbl = seeds.map { sd =>
+      sd.select(col(sd.columns.head).as("id"))
+        .distinct()
+        .join(deg.select(col("id")), Seq("id"), "left_semi")
+        .withColumn("is_seed", lit(true))
+        .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
+    }
+    val nBase = seedTbl.map(_.count()).getOrElse(n)
+    require(nBase > 0L, "personalized pageRank needs at least one in-graph seed")
+    val base = ((100L - damp) * unit / 100L) / nBase
+    var ranks = seedTbl match {
+      case None => deg.select(col("id"), lit(unit / n).as("r"))
+      case Some(st) =>
+        deg.join(st, Seq("id"), "left")
+          .select(
+            col("id"),
+            when(col("is_seed"), lit(unit / nBase)).otherwise(lit(0L)).as("r"))
+    }
+    def restart(frame: DataFrame): DataFrame = seedTbl match {
+      case None => frame.select(col("id"), (lit(base) + col("in_mass")).as("r"))
+      case Some(st) =>
+        frame.join(st, Seq("id"), "left")
+          .select(
+            col("id"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L)) + col("in_mass")).as("r"))
+    }
     var i = 0
     while (i < iters) {
       val contrib = edges
@@ -101,10 +138,7 @@ object Graph {
       // lazy checkpoint: truncates lineage so the final single action
       // runs each iteration's join once, not a re-derivation per
       // downstream reference
-      ranks = Checkpointing.truncate(
-        contrib.select(col("id"), (lit(base) + col("in_mass")).as("r")),
-        checkpointDir,
-        eager = false)
+      ranks = Checkpointing.truncate(restart(contrib), checkpointDir, eager = false)
       i += 1
     }
     ranks.select(

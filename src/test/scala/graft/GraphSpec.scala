@@ -149,6 +149,32 @@ class GraphSpec extends SparkSpec {
     assert(after2.isEmpty)
   }
 
+  test("personalized pageRank: hand-computed seed restart on a 2-node path") {
+    // edges 1-2, seed {1}, damp 50, unit 100: base = 50 to the seed
+    // r0: 1 -> 100, 2 -> 0
+    // iter1: contrib 1->2 = 50; ranks: 1 = 50+0, 2 = 0+50
+    // iter2: contrib both 25;    ranks: 1 = 50+25, 2 = 0+25
+    val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r2 = Graph.pageRank(pair, iters = 2, damp = 50L, unit = 100L, seeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 75L, 2L -> 25L))
+  }
+
+  test("personalized pageRank: off-graph seeds are excluded, all-off-graph seeds fail fast") {
+    val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // seed 99 has no edges: excluded; seed 1 carries all the teleport
+    val r = Graph.pageRank(
+      pair, iters = 1, damp = 50L, unit = 100L,
+      seeds = Some(Seq(Tuple1(1L), Tuple1(99L)).toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r == Map(1L -> 50L, 2L -> 50L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(pair, seeds = Some(Seq(Tuple1(99L)).toDF("id")))
+    }
+    assert(ex.getMessage.contains("in-graph seed"))
+  }
+
   test("labelPropagation: bridged triangles split into two min-label communities") {
     // triangles {1,2,3} and {4,5,6} with bridge 3-4; hand-unrolled 4
     // rounds end with {1,2,3}->1 and {4,5,6}->3. Hygiene rows (self
