@@ -1044,6 +1044,30 @@ object SparkEntryCoverage {
         .select(col("term"), col("n_exact"), col("cms_est"))
         .orderBy(col("term"))
     },
+    // Histogram quantile sketch (Sketches.histSketch/histQuantiles):
+    // the third sketch of the family (CMS = frequency, KMV =
+    // distinct, HIST = distribution) — exact-integer fixed-grid
+    // buckets over price cents, built as two parity shards PERSISTED
+    // to parquet and SUM-merged (counter linearity: the merged table
+    // IS the full-corpus sketch), then p50/p90/p99 read off the
+    // running grid totals. At 100 TB each shard is a 64-row table;
+    // quantiles over a month of shards never rescan the fact table.
+    "a_hist_quantile" -> { (s, dir) =>
+      val skPath = s"/tmp/graft_idx/hist_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val li = t(s, dir, "lineitem")
+      Sketches
+        .histSketch(li.filter(col("l_orderkey") % 2 === 0), col("l_extendedprice"), 110000.0, 64)
+        .write.mode("overwrite").parquet(skPath)
+      Sketches
+        .histSketch(li.filter(col("l_orderkey") % 2 =!= 0), col("l_extendedprice"), 110000.0, 64)
+        .write.mode("append").parquet(skPath)
+      val merged = s.read.parquet(skPath)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n"))
+      Sketches
+        .histQuantiles(merged, 110000.0, 64, Seq(50, 90, 99))
+        .orderBy(col("q_pct"))
+    },
     // Positional inverted index + exact phrase search: the classic
     // retrieval index next to the vector one — postings at (term,
     // doc) granularity, phrase match = left-fold of position-
@@ -5550,6 +5574,21 @@ object SparkEntryCoverage {
     // full-corpus sketch, exactly — so the merged-artifact path
     // shares the full-build oracle verbatim
     "a_cms_merged" -> cmsHeavyOracleSql,
+    // shard-merge is exact (counter linearity), so the oracle just
+    // rebuilds the full-corpus grid: same cent quantization, same
+    // integer bucket rule, same ceil-rank targets off running totals
+    "a_hist_quantile" ->
+      """WITH pc AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |hb AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n FROM pc GROUP BY 1),
+        |cum AS (SELECT bucket, n, CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n FROM hb),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM hb),
+        |qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct),
+        |tgt AS (SELECT q_pct, (n_total * q_pct + 99) // 100 AS target, n_total FROM qs, tot),
+        |pick AS (SELECT t.q_pct, min(c.bucket) AS bucket, t.n_total
+        |         FROM tgt t JOIN cum c ON c.cum_n >= t.target GROUP BY 1, 3)
+        |SELECT p.q_pct, p.bucket, p.bucket * 1718.75 AS est, c.cum_n, p.n_total
+        |FROM pick p JOIN cum c ON p.bucket = c.bucket ORDER BY p.q_pct""".stripMargin,
     "r_phrase_search" -> phraseSearchOracle,
     // persisted-and-loaded index must land on the identical result
     "r_phrase_persisted" -> phraseSearchOracle,

@@ -200,4 +200,70 @@ object Sketches {
         lit((k - 1).toDouble * Space) /
           element_at(minsCol, k).cast("double"))
       .as("kmv_est"))
+
+  /** Fixed-grid histogram sketch of a money-class numeric column:
+    * integer-cent quantization (the int8Quantize round-parity idiom)
+    * then `bucket = min(buckets-1, max(0, cents)·buckets div
+    * ceilCents)` — pure BIGINT math, so shards built anywhere
+    * SUM-merge into exactly the full-corpus sketch (counter
+    * linearity, the CMS property) and any engine rebuilds it
+    * bit-for-bit. Returns (bucket, n), occupied buckets only; values
+    * above `ceilValue` clamp into the top bucket (visible as a fat
+    * tail bucket, never silently dropped). Completes the sketch
+    * family: CMS = frequency, KMV = distinct, HIST = distribution/
+    * quantiles — each bounded-size, linear, portable.
+    */
+  def histSketch(
+      df: DataFrame,
+      value: Column,
+      ceilValue: Double,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    require(ceilValue > 0.0, "ceilValue must be positive")
+    val ceilCents = math.round(ceilValue * 100)
+    val cents = round(value.cast("double") * 100.0, 0).cast("long")
+    df.select(cents.as("__cents"))
+      .select(
+        // div, not /: Column./ on longs is DOUBLE division
+        expr(s"CAST(least(${buckets - 1}, greatest(0, __cents) * $buckets div $ceilCents) AS BIGINT)")
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates off a [[histSketch]] (bucket, n) table: for
+    * each integer percent q the smallest bucket whose running count
+    * reaches ceil(q% · N), reported with the bucket's LOWER edge as
+    * the estimate (error ≤ one bucket width by construction). The
+    * running-sum window is global but bounded by the GRID (≤ buckets
+    * rows, never the data) — the documented bounded-window class.
+    * Returns (q_pct, bucket, est, cum_n, n_total).
+    */
+  def histQuantiles(
+      hist: DataFrame,
+      ceilValue: Double,
+      buckets: Int,
+      qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), "q in 1..100")
+    val width = ceilValue / buckets
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum_n", sum(col("n")).over(w))
+    val tot = broadcast(hist.agg(sum(col("n")).cast("long").as("n_total")))
+    val targets = tot.select(
+      explode(array(qs.map(q => lit(q.toLong)): _*)).as("q_pct"),
+      col("n_total"))
+      .withColumn("target", expr("CAST((n_total * q_pct + 99) div 100 AS BIGINT)"))
+    targets
+      .join(cum, cum("cum_n") >= targets("target"))
+      .groupBy(col("q_pct"), col("n_total"))
+      .agg(min(struct(col("bucket"), col("cum_n"))).as("m"))
+      .select(
+        col("q_pct"),
+        col("m.bucket").as("bucket"),
+        (col("m.bucket") * lit(width)).as("est"),
+        col("m.cum_n").as("cum_n"),
+        col("n_total"))
+  }
 }

@@ -406,6 +406,27 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("histSketch/histQuantiles: hand grid on 1..100, shard merge is exact") {
+    import graft.operators.Sketches
+    // dollars 1..100, ceil 100, 10 buckets: bucket(v) = v div 10
+    // (100 clamps into 9) -> counts b0:9, b1..b8:10, b9:11
+    val df = (1 to 100).map(v => Tuple1(v.toDouble)).toDF("v")
+    val hist = Sketches.histSketch(df, $"v", 100.0, 10)
+    val counts = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(0L) == 9L && counts(5L) == 10L && counts(9L) == 11L)
+    val q = Sketches.histQuantiles(hist, 100.0, 10, Seq(50, 90, 99))
+      .orderBy($"q_pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // q50 target 50 -> first cum>=50 is b5 (cum 59); q90/q99 -> b9
+    assert(q == Seq((50L, 5L, 50.0), (90L, 9L, 90.0), (99L, 9L, 90.0)))
+    // linearity: odd/even shards SUM-merge to the direct build
+    val merged = Sketches.histSketch(df.filter($"v" % 2 === 0), $"v", 100.0, 10)
+      .unionAll(Sketches.histSketch(df.filter($"v" % 2 =!= 0), $"v", 100.0, 10))
+      .groupBy($"bucket").agg(sum($"n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == counts)
+  }
+
   test("kmvOverlapEstimate: identical sets -> jaccard 1.0; disjoint sets -> 0 matches") {
     import graft.operators.Sketches
     val xs = (1 to 300).map(i => s"k$i").toDF("key")
