@@ -811,6 +811,23 @@ object SparkEntryCoverage {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     },
+    // Same clusters, MEDOID survivor (Dedup.medoidCanonicals): each
+    // cluster keeps its best-connected member — argmax of exact
+    // micro-unit cosine sums to the other members, ties to the
+    // smallest id — instead of whichever doc got the low id. The
+    // member x member scoring is quadratic per cluster, fail-fast
+    // bounded (near-dup clusters are small by construction; an
+    // oversized one is a template blob for upstream excision).
+    "dd_medoid" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity
+        .bandedLshNearDupPairs(emb, "vec_id", "embedding", LshDim, LshBands, LshBandBits, 0.45, 42L)
+        .select(col("id_a"), col("id_b"))
+      Dedup
+        .medoidCanonicals(emb, "vec_id", "embedding", pairs)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
     // Product-quantization codes: 8 subspaces × 4 centroids (from
     // vectors 1..4), the FAISS-style compact ANN encoding
     "v_pq_codes" -> { (s, dir) =>
@@ -3740,6 +3757,39 @@ object SparkEntryCoverage {
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Shared semdedup oracle chain (banded-LSH candidates → 0.45
+    * cosine verify → recursive closure), ending in `comp(id,
+    * cluster)` — used by dd_semdedup and dd_medoid so the cluster
+    * derivation cannot desynchronize between the two survivors.
+    * Callers prepend `WITH RECURSIVE `.
+    */
+  private lazy val semdedupCompCtes: String = {
+    val sigExpr = lshBandPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
+    s"""sig AS (
+       | SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
+       |banded AS (
+       | SELECT vec_id, gs.band, substring(sig, gs.band * $LshBandBits + 1, $LshBandBits) AS bucket
+       | FROM sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band) gs),
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |  AND a.vec_id < b.vec_id),
+       |pairs AS (
+       | SELECT id_a, id_b FROM (
+       |  SELECT c.id_a, c.id_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+       | WHERE score >= 0.45),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       | SELECT src, dst FROM edges
+       | UNION
+       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
+  }
+
   private[graft] def sqlHash32(key: String): String =
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
@@ -4331,36 +4381,29 @@ object SparkEntryCoverage {
          | JOIN embeddings eb ON eb.vec_id = c.id_b)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin
     },
-    "dd_semdedup" -> {
-      val sigExpr = lshBandPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
-      s"""WITH RECURSIVE sig AS (
-         | SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings),
-         |banded AS (
-         | SELECT vec_id, gs.band, substring(sig, gs.band * $LshBandBits + 1, $LshBandBits) AS bucket
-         | FROM sig, (SELECT unnest(generate_series(0, ${LshBands - 1})) AS band) gs),
-         |cand AS (
-         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-         |  AND a.vec_id < b.vec_id),
-         |pairs AS (
-         | SELECT id_a, id_b FROM (
-         |  SELECT c.id_a, c.id_b, ${sqlCosine("ea.embedding", "eb.embedding")} AS score
-         |  FROM cand c
-         |  JOIN embeddings ea ON ea.vec_id = c.id_a
-         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
-         | WHERE score >= 0.45),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(a, b) AS (
-         | SELECT src, dst FROM edges
-         | UNION
-         | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-         |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+    "dd_semdedup" ->
+      s"""WITH RECURSIVE $semdedupCompCtes
          |SELECT e.vec_id, e.label
          |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
          |WHERE comp.id IS NULL OR comp.cluster = e.vec_id
-         |ORDER BY e.vec_id""".stripMargin
-    },
+         |ORDER BY e.vec_id""".stripMargin,
+    // same clusters; survivor = medoid (max intra-cluster micro-unit
+    // cosine sum, ties to smallest id) instead of smallest id
+    "dd_medoid" ->
+      s"""WITH RECURSIVE $semdedupCompCtes,
+         |mm AS (SELECT c.id, c.cluster, e.embedding FROM comp c
+         |       JOIN embeddings e ON e.vec_id = c.id),
+         |ip AS (SELECT a.cluster, a.id AS ia,
+         |         CAST(round(${sqlCosine("a.embedding", "b.embedding")} * 1000000) AS BIGINT) AS s6
+         |       FROM mm a JOIN mm b ON a.cluster = b.cluster AND a.id <> b.id),
+         |tt AS (SELECT cluster, ia AS id, CAST(SUM(s6) AS BIGINT) AS t6 FROM ip GROUP BY 1, 2),
+         |med AS (SELECT id FROM (
+         |  SELECT cluster, id, row_number() OVER (PARTITION BY cluster ORDER BY t6 DESC, id) AS rn
+         |  FROM tt) WHERE rn = 1)
+         |SELECT e.vec_id, e.label
+         |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+         |WHERE comp.id IS NULL OR e.vec_id IN (SELECT id FROM med)
+         |ORDER BY e.vec_id""".stripMargin,
     "v_pq_codes" -> {
       // sub = slice s of a vector; fold cosine over the 8-dim slices
       def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"

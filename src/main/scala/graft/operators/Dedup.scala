@@ -854,6 +854,62 @@ object Dedup {
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
 
+  /** [[resolveClusters]] with MEDOID canonical selection: instead of
+    * the smallest id, each dup cluster keeps its best-connected
+    * member — argmax over members of Σ cosine(member, other members)
+    * in exact micro-units (round(cos·1e6) BIGINT sums, order-free;
+    * ties to the smallest id) — so the survivor is the semantically
+    * central representative, not whichever doc happened to get the
+    * low id (SemDeDup keeps centroids' nearest for the same reason).
+    * Docs in no pair keep themselves.
+    *
+    * Scale posture: the member×member score join is quadratic PER
+    * CLUSTER, so cluster size is a fail-fast contract
+    * (`maxClusterSize`, the mmrRerank bound discipline): near-dup
+    * clusters are small by construction, and an oversized one is a
+    * template blob to excise upstream, not medoid-rank quadratically.
+    * The size check is one scalar action off the label table.
+    */
+  def medoidCanonicals(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      pairs: DataFrame,
+      maxClusterSize: Long = 10000L): DataFrame = {
+    import graft.functions.VectorFns
+    require(maxClusterSize >= 2, "maxClusterSize must be >= 2")
+    val labels = clusterPairs(pairs)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val maxSz = sizes.agg(max(col("sz"))).head()
+    if (!maxSz.isNullAt(0))
+      require(
+        maxSz.getLong(0) <= maxClusterSize,
+        s"medoidCanonicals: cluster of ${maxSz.getLong(0)} exceeds maxClusterSize=" +
+          s"$maxClusterSize — excise the template blob upstream")
+    val members = labels.join(
+      df.select(col(idCol).as("id"), col(embCol).as("__emb")),
+      Seq("id"))
+    val a = members.select(col("cluster_id"), col("id").as("ia"), col("__emb").as("ea"))
+    val b = members.select(col("cluster_id"), col("id").as("ib"), col("__emb").as("eb"))
+    val totals = a
+      .join(b, Seq("cluster_id"))
+      .filter(col("ia") =!= col("ib"))
+      .select(
+        col("cluster_id"),
+        col("ia").as("id"),
+        round(VectorFns.cosine(col("ea"), col("eb")) * 1e6, 0).cast("long").as("s6"))
+      .groupBy(col("cluster_id"), col("id"))
+      .agg(sum(col("s6")).as("t6"))
+    val medoids = totals
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("t6")).as("nt"), col("id").as("i"))).as("m"))
+      .select(col("m.i").as("id"))
+    val keepIds = df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left_anti") // singletons
+      .unionByName(medoids)
+    df.join(keepIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+  }
+
   /** Benchmark decontamination (cross-corpus n-gram overlap): per
     * corpus doc, how many of its distinct word-n-gram shingles appear
     * anywhere in the `benchmark` corpus — the standard pretraining

@@ -406,6 +406,24 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("medoidCanonicals: central member survives over min-id; singleton kept; bound fails fast") {
+    // chain 1-2-3: v2 is the hub (cos sums: v1 .707, v2 1.414, v3
+    // .707) -> medoid 2 beats min-id 1; vec 9 untouched by any pair
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.7f, 0.7f)),
+      (3L, Array(0.0f, 1.0f)),
+      (9L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.medoidCanonicals(emb, "vec_id", "embedding", pairs)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.medoidCanonicals(emb, "vec_id", "embedding", pairs, maxClusterSize = 2L)
+    }
+    assert(ex.getMessage.contains("maxClusterSize"))
+  }
+
   test("histSketch/histQuantiles: hand grid on 1..100, shard merge is exact") {
     import graft.operators.Sketches
     // dollars 1..100, ceil 100, 10 buckets: bucket(v) = v div 10
