@@ -900,10 +900,17 @@ object Dedup {
         round(VectorFns.cosine(col("ea"), col("eb")) * 1e6, 0).cast("long").as("s6"))
       .groupBy(col("cluster_id"), col("id"))
       .agg(sum(col("s6")).as("t6"))
+    // argmax via two primitive hash-aggs + an equi-join back (a
+    // struct-valued min would plan as SortAggregate — the audit
+    // trap): level 1 takes the max total per cluster, level 2 the
+    // smallest id among members that hit it (the tie rule)
+    val best = totals.groupBy(col("cluster_id")).agg(max(col("t6")).as("mt"))
     val medoids = totals
+      .join(best, Seq("cluster_id"))
+      .filter(col("t6") === col("mt"))
       .groupBy(col("cluster_id"))
-      .agg(min(struct((-col("t6")).as("nt"), col("id").as("i"))).as("m"))
-      .select(col("m.i").as("id"))
+      .agg(min(col("id")).as("id"))
+      .select(col("id"))
     val keepIds = df.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left_anti") // singletons
       .unionByName(medoids)

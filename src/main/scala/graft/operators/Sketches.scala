@@ -255,15 +255,19 @@ object Sketches {
       explode(array(qs.map(q => lit(q.toLong)): _*)).as("q_pct"),
       col("n_total"))
       .withColumn("target", expr("CAST((n_total * q_pct + 99) div 100 AS BIGINT)"))
+    // min(bucket) is a primitive hash-agg (a struct-valued min would
+    // plan as SortAggregate — the audit trap); cum_n rejoins by
+    // bucket, which is unique in the grid
     targets
       .join(cum, cum("cum_n") >= targets("target"))
       .groupBy(col("q_pct"), col("n_total"))
-      .agg(min(struct(col("bucket"), col("cum_n"))).as("m"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(cum.select(col("bucket"), col("cum_n")), Seq("bucket"))
       .select(
         col("q_pct"),
-        col("m.bucket").as("bucket"),
-        (col("m.bucket") * lit(width)).as("est"),
-        col("m.cum_n").as("cum_n"),
+        col("bucket"),
+        (col("bucket") * lit(width)).as("est"),
+        col("cum_n"),
         col("n_total"))
   }
 }
