@@ -1634,6 +1634,49 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Field-level survivorship over the same ER clusters
+    // (Relational.goldenRecord): each field survives by its own rule
+    // — name by longest ("most complete"), phone by highest seq
+    // among non-nulls ("most recent wins"; the typo twin carries seq
+    // 2 with phone present only for even ids), balance by max. Ties
+    // to the smallest id, every argmax two primitive hash-aggs + an
+    // id join-back (string values never enter an aggregate — the
+    // SortAggregate trap).
+    "er_survivorship" -> { (s, dir) =>
+      val canon = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        // the synthetic customer table has no phone column; derive a
+        // deterministic one so the recency rule has a field to fight
+        concat(lit("P-"), col("c_custkey")).as("phone"),
+        col("c_acctbal").as("bal"),
+        lit(1L).as("seq"))
+      val twin = canon.select(
+        (col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100)).as("name"),
+        when(col("id") % 2 === 0, concat(col("phone"), lit("9")))
+          .otherwise(lit(null).cast("string")).as("phone"),
+        (col("bal") + 10.0).as("bal"),
+        lit(2L).as("seq"))
+      val all = canon.unionByName(twin)
+        .withColumn("blk", substring(col("name"), -4, 4))
+      val a = all.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+      val b = all.select(col("id").as("id_b"), col("name").as("name_b"), col("blk"))
+      val pairs = a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.clusterPairs(pairs).withColumnRenamed("cluster_id", "__cluster")
+      val members = all.drop("blk")
+        .join(labels, Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("__cluster"), col("id")))
+        .drop("__cluster")
+      Relational
+        .goldenRecord(
+          members, "id", "cluster_id", "seq",
+          longestCols = Seq("name"), recentCols = Seq("phone"), maxCols = Seq("bal"))
+        .orderBy(col("cluster_id"))
+    },
     // Pairwise clustering evaluation over the same ER run: precision/
     // recall/F1 against the fixture's ground truth (the typo twin is
     // id + 1e6, so the truth pair set is exactly (id, id+1e6)). NO
@@ -4571,6 +4614,48 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // same pair/closure chain over the widened fixture; per-field
+    // rules mirrored with max-len / max-seq picks, min-id ties, and
+    // value fetch by the picked id
+    "er_survivorship" ->
+      s"""WITH RECURSIVE
+         |canon AS (SELECT c_custkey AS id, c_name AS name,
+         |                 'P-' || CAST(c_custkey AS VARCHAR) AS phone,
+         |                 c_acctbal AS bal, CAST(1 AS BIGINT) AS seq FROM customer),
+         |typo AS (SELECT id + 1000000 AS id,
+         |                substring(name, 1, 5) || substring(name, 7, 100) AS name,
+         |                CASE WHEN id % 2 = 0 THEN phone || '9' ELSE NULL END AS phone,
+         |                bal + 10.0 AS bal, CAST(2 AS BIGINT) AS seq
+         |         FROM canon),
+         |al AS (SELECT *, substring(name, length(name) - 3, 4) AS blk
+         |       FROM (SELECT * FROM canon UNION ALL SELECT * FROM typo)),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         |          FROM al a JOIN al b ON a.blk = b.blk AND a.id < b.id
+         |          WHERE levenshtein(a.name, b.name) <= 2),
+         |${clusterCompSqlFrom("pairs")},
+         |lab AS (SELECT al.id, al.name, al.phone, al.bal, al.seq,
+         |               COALESCE(comp.cluster, al.id) AS cluster_id
+         |        FROM al LEFT JOIN comp ON comp.id = al.id),
+         |nl AS (SELECT cluster_id, max(length(name)) AS ml FROM lab
+         |       WHERE name IS NOT NULL GROUP BY 1),
+         |nid AS (SELECT l.cluster_id, min(l.id) AS pid FROM lab l
+         |        JOIN nl ON l.cluster_id = nl.cluster_id AND length(l.name) = nl.ml
+         |        GROUP BY 1),
+         |nv AS (SELECT nid.cluster_id, l.name FROM nid JOIN lab l ON l.id = nid.pid),
+         |ps AS (SELECT cluster_id, max(seq) AS ms FROM lab
+         |       WHERE phone IS NOT NULL GROUP BY 1),
+         |pidc AS (SELECT l.cluster_id, min(l.id) AS pid FROM lab l
+         |         JOIN ps ON l.cluster_id = ps.cluster_id AND l.seq = ps.ms
+         |         WHERE l.phone IS NOT NULL GROUP BY 1),
+         |pv AS (SELECT pidc.cluster_id, l.phone FROM pidc JOIN lab l ON l.id = pidc.pid),
+         |bv AS (SELECT cluster_id, max(bal) AS bal FROM lab GROUP BY 1),
+         |nm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY 1)
+         |SELECT nm.cluster_id, nm.n_members, nv.name, pv.phone, bv.bal
+         |FROM nm
+         |JOIN nv ON nv.cluster_id = nm.cluster_id
+         |LEFT JOIN pv ON pv.cluster_id = nm.cluster_id
+         |JOIN bv ON bv.cluster_id = nm.cluster_id
+         |ORDER BY nm.cluster_id""".stripMargin,
     // pairwise P/R/F1 vs the twin ground truth — |P| from cluster
     // sizes, TP from the twin join, F1 = 2TP/(|P|+|T|); // is floor
     // division, exact on the even product sz·(sz−1)

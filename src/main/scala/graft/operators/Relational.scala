@@ -561,4 +561,80 @@ object Relational {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** Field-level survivorship for ER golden records (the upgrade of
+    * the min-id whole-record rule): per matched cluster, each field
+    * survives by its own rule —
+    *   - `longestCols`: the longest non-null value ("most complete",
+    *     the standard rule for names/addresses),
+    *   - `recentCols`: the non-null value from the highest `seqCol`
+    *     ("most recent wins", for volatile contact fields),
+    *   - `maxCols`: the numeric max.
+    * All ties resolve to the smallest `idCol` — and every argmax is
+    * two PRIMITIVE hash-aggregates plus an equi-join back by id
+    * (max(len)/max(seq) → min(id) among hitters → value by id): a
+    * min/max whose buffer is a STRING plans as SortAggregate (the
+    * er_golden lesson), so field values never enter an aggregate.
+    * A field null across the whole cluster survives as null.
+    *
+    * Input must carry `idCol`, `clusterCol`, `seqCol` and the rule
+    * columns; returns one row per cluster: (cluster, n_members,
+    * fields…). Scale shape: per field a cluster-keyed hash-agg over
+    * the member table + id-keyed joins — nothing quadratic, nothing
+    * sorted, cluster sizes never materialize a window.
+    */
+  def goldenRecord(
+      members: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      seqCol: String,
+      longestCols: Seq[String],
+      recentCols: Seq[String],
+      maxCols: Seq[String]): DataFrame = {
+    require(
+      (longestCols ++ recentCols ++ maxCols).nonEmpty,
+      "goldenRecord needs at least one field rule")
+    val cl = col(clusterCol)
+    var out = members.groupBy(cl).agg(count(lit(1)).as("n_members"))
+    longestCols.foreach { f =>
+      val ml = members
+        .filter(col(f).isNotNull)
+        .groupBy(cl)
+        .agg(max(length(col(f))).as("__ml"))
+      val pid = members
+        .join(ml, Seq(clusterCol))
+        .filter(length(col(f)) === col("__ml"))
+        .groupBy(cl)
+        .agg(min(col(idCol)).as("__pid"))
+      val v = pid.join(
+        members.select(col(idCol).as("__pid"), col(f)),
+        Seq("__pid"))
+        .select(cl, col(f))
+      out = out.join(v, Seq(clusterCol), "left")
+    }
+    recentCols.foreach { f =>
+      val ms = members
+        .filter(col(f).isNotNull)
+        .groupBy(cl)
+        .agg(max(col(seqCol)).as("__ms"))
+      val pid = members
+        .filter(col(f).isNotNull)
+        .join(ms, Seq(clusterCol))
+        .filter(col(seqCol) === col("__ms"))
+        .groupBy(cl)
+        .agg(min(col(idCol)).as("__pid"))
+      val v = pid.join(
+        members.select(col(idCol).as("__pid"), col(f)),
+        Seq("__pid"))
+        .select(cl, col(f))
+      out = out.join(v, Seq(clusterCol), "left")
+    }
+    maxCols.foreach { f =>
+      out = out.join(
+        members.groupBy(cl).agg(max(col(f)).as(f)),
+        Seq(clusterCol),
+        "left")
+    }
+    out
+  }
 }

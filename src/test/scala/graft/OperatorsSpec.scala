@@ -406,6 +406,27 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("goldenRecord: per-field survivorship rules with min-id ties; all-null field stays null") {
+    val members = Seq(
+      // cluster 1: name longest wins (tie between 2 and 3 -> id 2),
+      // phone from max seq among non-nulls (id 3), bal max (id 2)
+      (1L, 1L, 1L, "alpha", "p1", 5.0),
+      (2L, 1L, 2L, "alphaX", null, 7.0),
+      (3L, 1L, 2L, "alphaY", "p3", 6.0),
+      // cluster 9: singleton with a null phone -> phone survives null
+      (9L, 9L, 1L, "solo", null, 1.0)
+    ).toDF("id", "cluster_id", "seq", "name", "phone", "bal")
+    val got = Relational.goldenRecord(
+      members, "id", "cluster_id", "seq",
+      longestCols = Seq("name"), recentCols = Seq("phone"), maxCols = Seq("bal"))
+      .orderBy($"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.getString(3)), r.getDouble(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 3L, "alphaX", Some("p3"), 7.0),
+      (9L, 1L, "solo", None, 1.0)))
+  }
+
   test("medoidCanonicals: central member survives over min-id; singleton kept; bound fails fast") {
     // chain 1-2-3: v2 is the hub (cos sums: v1 .707, v2 1.414, v3
     // .707) -> medoid 2 beats min-id 1; vec 9 untouched by any pair
