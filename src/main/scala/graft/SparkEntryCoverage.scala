@@ -1634,6 +1634,27 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // k-anonymity audit (Checks.kAnonymity, Sweeney 2002): groups of
+    // the quasi-identifier combo (segment, nation, $1000 balance
+    // bin) holding fewer than k=5 records — the re-identification
+    // worklist a privacy-preserving training-data export suppresses
+    // or generalizes before release. Balance bins via the integer-
+    // cent round-parity idiom.
+    "dq_k_anon" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bin", expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"))
+      Checks
+        .kAnonymity(c, Seq(col("c_mktsegment"), col("c_nationkey"), col("bal_bin")), 5L)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bin"))
+    },
+    // the release-risk rollup of the same audit: group counts, rows
+    // at risk, suppression fraction in exact ppm
+    "dq_k_anon_stats" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bin", expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"))
+      Checks
+        .kAnonymityStats(c, Seq(col("c_mktsegment"), col("c_nationkey"), col("bal_bin")), 5L)
+    },
     // Field-level survivorship over the same ER clusters
     // (Relational.goldenRecord): each field survives by its own rule
     // — name by longest ("most complete"), phone by highest seq
@@ -4614,6 +4635,24 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    "dq_k_anon" ->
+      """WITH b AS (SELECT c_mktsegment, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bin FROM customer),
+        |g AS (SELECT c_mktsegment, c_nationkey, bal_bin,
+        |  CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, c_nationkey, bal_bin, n FROM g WHERE n < 5
+        |ORDER BY c_mktsegment, c_nationkey, bal_bin""".stripMargin,
+    "dq_k_anon_stats" ->
+      """WITH b AS (SELECT c_mktsegment, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bin FROM customer),
+        |g AS (SELECT c_mktsegment, c_nationkey, bal_bin,
+        |  CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(1000000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) // sum(n) AS BIGINT) AS suppression_ppm
+        |FROM g""".stripMargin,
     // same pair/closure chain over the widened fixture; per-field
     // rules mirrored with max-len / max-seq picks, min-id ties, and
     // value fetch by the picked id

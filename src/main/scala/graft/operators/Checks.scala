@@ -451,4 +451,39 @@ object Checks {
         coalesce(abs(col("z")) >= zThreshold, lit(false)))
       .select(col("grp"), col("bucket"), col("n"), col("w_cnt"), col("z"), col("is_anomaly"))
   }
+
+  /** k-anonymity audit (Sweeney 2002) over a quasi-identifier
+    * combination: a released row is re-identifiable when its
+    * quasi-id group holds fewer than k records. Returns the
+    * VIOLATING groups (quasi cols…, n) — the suppression/
+    * generalization worklist a privacy-preserving export runs before
+    * releasing training data with joinable attributes. One hash
+    * aggregate over the quasi keys; nothing sensitive rides the
+    * shuffle beyond the keys themselves.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Long): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** Release-risk summary for [[kAnonymity]]: group counts, rows at
+    * risk, and the suppression fraction in exact ppm (integer
+    * division — the fraction of rows a suppress-violators release
+    * would drop). One extra aggregate over the group table.
+    */
+  def kAnonymityStats(df: DataFrame, quasiCols: Seq[Column], k: Long): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        sum(col("n")).as("n_rows"))
+      .withColumn(
+        "suppression_ppm",
+        expr("CAST(1000000 * n_rows_at_risk div n_rows AS BIGINT)"))
+  }
 }

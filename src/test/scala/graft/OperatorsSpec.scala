@@ -406,6 +406,21 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("kAnonymity: groups under k surface, stats count rows at risk in exact ppm") {
+    import graft.operators.Checks
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1), // group of 3: safe at k=3
+      ("b", 1), ("b", 1),           // group of 2: violates
+      ("c", 2)                      // singleton: violates
+    ).toDF("seg", "nat")
+    val viol = Checks.kAnonymity(df, Seq($"seg", $"nat"), 3L)
+      .orderBy($"seg").collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(viol == Seq(("b", 2L), ("c", 1L)))
+    val st = Checks.kAnonymityStats(df, Seq($"seg", $"nat"), 3L).head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)) == ((3L, 2L, 3L, 6L)))
+    assert(st.getLong(4) == 500000L) // 3 of 6 rows at risk
+  }
+
   test("goldenRecord: per-field survivorship rules with min-id ties; all-null field stays null") {
     val members = Seq(
       // cluster 1: name longest wins (tie between 2 and 3 -> id 2),
