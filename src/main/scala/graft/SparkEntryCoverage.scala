@@ -1634,6 +1634,17 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Day-of-week seasonal decomposition (Series.seasonalIndexDow):
+    // per-dow index in exact micro-units off the daily count table —
+    // the weekly-shape complement of the CUSUM level monitor and the
+    // volume gate's z-test (divide a day by its index to
+    // deseasonalize before anomaly logic)
+    "w_seasonal" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series.seasonalIndexDow(daily, "day", "n").orderBy(col("dow"))
+    },
     // k-anonymity audit (Checks.kAnonymity, Sweeney 2002): groups of
     // the quasi-identifier combo (segment, nation, $1000 balance
     // bin) holding fewer than k=5 records — the re-identification
@@ -4635,6 +4646,17 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // same cross-multiplied integer index; DuckDB's dayofweek is
+    // already 0=Sunday (Spark's minus 1)
+    "w_seasonal" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nd FROM d),
+        |g AS (SELECT dayofweek(day) AS dow, CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(n) AS BIGINT) AS sum_n FROM d GROUP BY 1)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_days, sum_n,
+        |  CAST((1000000 * sum_n * nd) // (n_days * total) AS BIGINT) AS idx6
+        |FROM g, t ORDER BY dow""".stripMargin,
     "dq_k_anon" ->
       """WITH b AS (SELECT c_mktsegment, c_nationkey,
         |  CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bin FROM customer),

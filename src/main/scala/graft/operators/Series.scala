@@ -203,4 +203,35 @@ object Series {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Day-of-week seasonal index over a daily series (day, value):
+    * idx(dow) = avg(value | dow) / avg(value), reported in exact
+    * micro-units via one cross-multiplied integer division —
+    * idx6 = (1e6 · sum_dow · n_days) div (n_dow · total) — so the
+    * decomposition is bit-stable on any partitioning (no float mean
+    * chain). The weekly-shape complement of [[Checks.cusum]]'s level
+    * shifts and the volume gate's per-bucket z-test: a Monday-heavy
+    * ingest reads as idx6 > 1e6 on Monday, and dividing a day's
+    * count by its index deseasonalizes before anomaly logic. dow is
+    * 0 = Sunday … 6 = Saturday (Spark's dayofweek − 1, matching
+    * DuckDB's numbering). Two hash aggregates over the DAILY table —
+    * the raw stream never reaches this operator.
+    */
+  def seasonalIndexDow(daily: DataFrame, dayCol: String, valueCol: String): DataFrame = {
+    val tot = broadcast(
+      daily.agg(
+        sum(col(valueCol)).cast("long").as("__total"),
+        count(lit(1)).as("__n_days")))
+    daily
+      .select(
+        (dayofweek(col(dayCol)) - 1).cast("long").as("dow"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__v")).as("sum_n"))
+      .crossJoin(tot)
+      .withColumn(
+        "idx6",
+        expr("CAST((1000000 * sum_n * __n_days) div (n_days * __total) AS BIGINT)"))
+      .select(col("dow"), col("n_days"), col("sum_n"), col("idx6"))
+  }
 }

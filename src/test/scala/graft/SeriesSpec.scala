@@ -129,4 +129,20 @@ class SeriesSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), plan)
     assert(!plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("seasonalIndexDow: Monday-doubled fortnight yields exact micro-unit indexes") {
+    import graft.operators.Series
+    // 2024-01-01 is a Monday; 14 days, Mondays 20 else 10:
+    // total 160, Monday idx = 20*14/160 = 1.75, others 0.875
+    val days = (0 until 14).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      (d, if (i % 7 == 0) 20L else 10L)
+    }
+    val got = Series.seasonalIndexDow(days.toDF("day", "n"), "day", "n")
+      .orderBy($"dow").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.length == 7)
+    assert(got(1) == ((1L, 2L, 40L, 1750000L))) // Monday
+    assert(got.filter(_._1 != 1L).forall(x => x._2 == 2L && x._3 == 20L && x._4 == 875000L))
+  }
 }
