@@ -1634,6 +1634,38 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Pseudo-relevance feedback retrieval (Rocchio 1971 / RM-style
+    // expansion): BM25 pass 1 -> top-5 feedback docs -> their top-3
+    // co-occurring terms (count desc, term asc; query terms and the
+    // shared stopword constants excluded) join the query -> BM25
+    // pass 2 over the expanded term set. Everything stays
+    // distributed: the feedback terms are a 3-row frame flowing into
+    // bm25PerQuery's query-table side, never a driver loop.
+    "r_prf_expand" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qTerms = Seq("data", "join")
+      val q0 = qTerms.map(t0 => (0L, t0)).toDF("qid", "term")
+      val top5 = TextAnalysis
+        .bm25PerQuery(docs, "text", "doc_id", q0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(5)
+      val excluded = qTerms ++ SparkEntry.qualityStops
+      val fb = docs
+        .join(top5.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0 && !col("term").isin(excluded: _*))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term"))
+        .limit(3)
+      val expanded = fb.select(lit(0L).as("qid"), col("term")).unionByName(q0)
+      TextAnalysis
+        .bm25PerQuery(docs, "text", "doc_id", expanded)
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
     // Day-of-week seasonal decomposition (Series.seasonalIndexDow):
     // per-dow index in exact micro-units off the daily count table —
     // the weekly-shape complement of the CUSUM level monitor and the
@@ -4646,6 +4678,31 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // pass 1 reuses the shared bm25Sql chain; pass 2 re-scores
+    // against the expanded term TABLE (the r_mrr_eval shape), with
+    // dl/stats/terms CTEs shared between passes
+    "r_prf_expand" -> {
+      val stopsAndQuery = (Seq("data", "join") ++ SparkEntry.qualityStops)
+        .map(t0 => s"'$t0'").mkString(", ")
+      s"""WITH ${bm25Sql(Seq("data", "join"))},
+         |top5 AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 5),
+         |fbt AS (SELECT term, count(*) AS c FROM (
+         |    SELECT doc_id, term FROM terms WHERE doc_id IN (SELECT doc_id FROM top5))
+         |  WHERE length(term) > 0 AND term NOT IN ($stopsAndQuery)
+         |  GROUP BY 1 ORDER BY c DESC, term LIMIT 3),
+         |q AS (SELECT term FROM fbt UNION ALL SELECT unnest(['data', 'join'])),
+         |tf2 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+         |        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         |dfx2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+         |c2 AS (SELECT tf2.doc_id,
+         |        ln((CAST(n AS DOUBLE) - CAST(dfx2.df AS DOUBLE) + 0.5) /
+         |           (CAST(dfx2.df AS DOUBLE) + 0.5) + 1.0) *
+         |        (CAST(tf2.tf AS DOUBLE) * 2.2) /
+         |        (CAST(tf2.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+         |      FROM tf2 JOIN dfx2 ON tf2.term = dfx2.term JOIN dl ON tf2.doc_id = dl.doc_id, stats)
+         |SELECT doc_id, round(SUM(c), 6) AS bm25 FROM c2 GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
     // same cross-multiplied integer index; DuckDB's dayofweek is
     // already 0=Sunday (Spark's minus 1)
     "w_seasonal" ->
