@@ -1634,6 +1634,19 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Theil-Sen robust trend per event type (Series.theilSenDaily):
+    // the median of pairwise daily-count slopes in exact micro-units
+    // — one scraper-burst day flips an OLS trend, the median slope
+    // shrugs. Pairwise is quadratic over the DAILY table only (30
+    // days -> <=435 pairs per key), never the raw stream.
+    "w_theilsen" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .theilSenDaily(daily, "event_type", "day", "n")
+        .orderBy(col("event_type"))
+    },
     // Pseudo-relevance feedback retrieval (Rocchio 1971 / RM-style
     // expansion): BM25 pass 1 -> top-5 feedback docs -> their top-3
     // co-occurring terms (count desc, term asc; query terms and the
@@ -4678,6 +4691,23 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // same integer micro-slopes, same lower-median rank rule
+    "w_theilsen" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS dd, n FROM d),
+        |sl AS (SELECT a.event_type,
+        |         CAST(1000000 * (b.n - a.n) // (b.dd - a.dd) AS BIGINT) AS slope6
+        |       FROM base a JOIN base b ON a.event_type = b.event_type AND a.dd < b.dd),
+        |rk AS (SELECT event_type, slope6,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY slope6) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS np
+        |       FROM sl),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1)
+        |SELECT rk.event_type, nd.n_days, CAST(rk.np AS BIGINT) AS n_pairs, rk.slope6
+        |FROM rk JOIN nd ON nd.event_type = rk.event_type
+        |WHERE rk.rn = (rk.np + 1) // 2
+        |ORDER BY rk.event_type""".stripMargin,
     // pass 1 reuses the shared bm25Sql chain; pass 2 re-scores
     // against the expanded term TABLE (the r_mrr_eval shape), with
     // dl/stats/terms CTEs shared between passes

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
@@ -217,6 +218,49 @@ object Series {
     * DuckDB's numbering). Two hash aggregates over the DAILY table —
     * the raw stream never reaches this operator.
     */
+  /** Theil–Sen robust trend slope per key (Theil 1950, Sen 1968):
+    * the median of all pairwise slopes over a DAILY series — immune
+    * to the outlier days that wreck a least-squares fit (one scraper
+    * burst flips an OLS trend; the median slope shrugs). Slopes in
+    * exact micro-units per day: slope6 = 1e6·(v_j − v_i) div
+    * (day_j − day_i), BIGINT throughout; the median is the LOWER
+    * median (rank (n+1) div 2 in slope6 order) so both engines pick
+    * the identical element with no averaging.
+    *
+    * Scale posture: the pairwise join is quadratic PER KEY over the
+    * daily table — bounded by the series length (a year of days =
+    * ~66k pairs), never the raw stream; the median window partitions
+    * by key over that bounded pair set. Returns (key, n_days,
+    * n_pairs, slope6).
+    */
+  def theilSenDaily(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val base = daily.select(
+      col(keyCol).as("k"),
+      datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long").as("d"),
+      col(valueCol).cast("long").as("v"))
+    val a = base.select(col("k"), col("d").as("da"), col("v").as("va"))
+    val b = base.select(col("k"), col("d").as("db"), col("v").as("vb"))
+    val slopes = a
+      .join(b, Seq("k"))
+      .filter(col("da") < col("db"))
+      .select(
+        col("k"),
+        expr("CAST(1000000 * (vb - va) div (db - da) AS BIGINT)").as("slope6"))
+    val counts = base.groupBy(col("k")).agg(count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("k")).orderBy(col("slope6"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === expr("CAST((np + 1) div 2 AS BIGINT)"))
+      .select(col("k").as(keyCol), col("np").as("n_pairs"), col("slope6"))
+      .join(counts.withColumnRenamed("k", keyCol), Seq(keyCol))
+      .select(col(keyCol), col("n_days"), col("n_pairs"), col("slope6"))
+  }
+
   def seasonalIndexDow(daily: DataFrame, dayCol: String, valueCol: String): DataFrame = {
     val tot = broadcast(
       daily.agg(

@@ -130,6 +130,27 @@ class SeriesSpec extends SparkSpec {
     assert(!plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("theilSenDaily: lower-median slope, outlier-immune, negative slopes truncate toward zero") {
+    import graft.operators.Series
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val daily = Seq(
+      // a: slopes(x1e6) sorted [-10, 0, 10, 10, 10, 30] -> lower median 10e6
+      ("a", day(0), 10L), ("a", day(1), 20L), ("a", day(2), 10L), ("a", day(3), 40L),
+      // b: monotone decline -> -10e6
+      ("b", day(0), 30L), ("b", day(1), 20L), ("b", day(2), 10L),
+      // c: single pair -7 over 3 days: 1e6*(-7) div 3 truncates toward
+      // zero -> -2333333 (DuckDB // agrees; floor would give ...334)
+      ("c", day(0), 10L), ("c", day(3), 3L)
+    ).toDF("k", "day", "n")
+    val got = Series.theilSenDaily(daily, "k", "day", "n")
+      .orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 4L, 6L, 10000000L),
+      ("b", 3L, 3L, -10000000L),
+      ("c", 2L, 1L, -2333333L)))
+  }
+
   test("seasonalIndexDow: Monday-doubled fortnight yields exact micro-unit indexes") {
     import graft.operators.Series
     // 2024-01-01 is a Monday; 14 days, Mondays 20 else 10:
