@@ -1634,6 +1634,18 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Benford first-digit audit (Checks.benfordAudit): the
+    // fraud/fabrication smoke test on order totals — observed vs
+    // expected leading-digit frequency in exact integer ppm, with
+    // the log10 expectations computed once in Scala and injected
+    // into both plans (TPC-H prices are uniform-ish, so the audit
+    // SHOULD show deviation — the point is the exact arithmetic,
+    // not a pass)
+    "dq_benford" -> { (s, dir) =>
+      Checks
+        .benfordAudit(t(s, dir, "orders"), col("o_totalprice"))
+        .orderBy(col("digit"))
+    },
     // Theil-Sen robust trend per event type (Series.theilSenDaily):
     // the median of pairwise daily-count slopes in exact micro-units
     // — one scraper-burst day flips an OLS trend, the median slope
@@ -4691,6 +4703,20 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // same cent quantization and digit string-read; expectations
+    // injected from Checks.benfordPpm
+    "dq_benford" -> {
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM c WHERE c > 0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM d)
+         |SELECT digit, n, CAST(1000000 * n // nt AS BIGINT) AS obs_ppm,
+         |       CAST(${Checks.benfordPpmSql("digit")} AS BIGINT) AS exp_ppm,
+         |       CAST(1000000 * n // nt AS BIGINT)
+         |         - CAST(${Checks.benfordPpmSql("digit")} AS BIGINT) AS dev_ppm
+         |FROM d, t ORDER BY digit""".stripMargin
+    },
     // same integer micro-slopes, same lower-median rank rule
     "w_theilsen" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n

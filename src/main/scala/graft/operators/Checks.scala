@@ -452,6 +452,56 @@ object Checks {
       .select(col("grp"), col("bucket"), col("n"), col("w_cnt"), col("z"), col("is_anomaly"))
   }
 
+  /** Benford expected first-digit probabilities in integer ppm:
+    * round(1e6 · log10(1 + 1/d)) for d = 1..9 — computed once here
+    * and injected into the oracle via [[benfordPpmSql]] (the
+    * ndcgWeights shared-constant discipline), so no float log runs
+    * in either plan.
+    */
+  val benfordPpm: Seq[Long] =
+    (1 to 9).map(d => math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+
+  /** Oracle-side mirror of [[benfordPpm]]. */
+  def benfordPpmSql(digitExpr: String): String =
+    benfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN $digitExpr = ${i + 1} THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** Benford's-law first-digit audit (Newcomb 1881, Benford 1938):
+    * the fraud/corruption smoke test for money-class columns —
+    * organically-generated amounts follow p(d) = log10(1 + 1/d),
+    * fabricated or truncated ones don't. The value is quantized to
+    * integer cents (the round-parity idiom) and the digit read as
+    * the leading character of the cent count, so the digit
+    * derivation is engine-exact; non-positive cents are excluded
+    * (no leading significant digit exists). Returns per digit
+    * (digit, n, obs_ppm, exp_ppm, dev_ppm = obs − exp, all exact
+    * integer ppm). One hash aggregate + a 9-row broadcast of totals.
+    */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val cents = round(value.cast("double") * 100.0, 0).cast("long")
+    val digits = df
+      .select(cents.as("__c"))
+      .filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(digits.agg(sum(col("n")).cast("long").as("__nt")))
+    val expPpm = benfordPpm.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      when(col("digit") === (i + 1), lit(p)).otherwise(acc)
+    }
+    digits
+      .crossJoin(tot)
+      .withColumn("obs_ppm", expr("CAST(1000000 * n div __nt AS BIGINT)"))
+      .withColumn("exp_ppm", expPpm)
+      .select(
+        col("digit"),
+        col("n"),
+        col("obs_ppm"),
+        col("exp_ppm"),
+        (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
+
   /** k-anonymity audit (Sweeney 2002) over a quasi-identifier
     * combination: a released row is re-identifiable when its
     * quasi-id group holds fewer than k records. Returns the

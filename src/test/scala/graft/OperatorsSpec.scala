@@ -406,6 +406,22 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("benfordAudit: hand distribution, sub-dollar digits, non-positive excluded") {
+    import graft.operators.Checks
+    assert(Checks.benfordPpm.head == 301030L) // log10(2) in ppm
+    assert(Checks.benfordPpm.sum >= 999998L && Checks.benfordPpm.sum <= 1000002L)
+    val df = Seq(1.0, 12.5, 199.0, 0.05, 2.0, -3.0, 0.0)
+      .map(Tuple1(_)).toDF("v")
+    // cents: 100, 1250, 19900, 5, 200 -> digits 1,1,1,5,2; -3/0 excluded
+    val got = Checks.benfordAudit(df, $"v")
+      .orderBy($"digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 600000L, 600000L - 301030L),
+      (2L, 1L, 200000L, 200000L - 176091L),
+      (5L, 1L, 200000L, 200000L - 79181L)))
+  }
+
   test("kAnonymity: groups under k surface, stats count rows at risk in exact ppm") {
     import graft.operators.Checks
     val df = Seq(
