@@ -1634,6 +1634,19 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // PSI drift between two temporal snapshots (Checks.psiFromCounts
+    // over Sketches.histSketch grids): price distribution before vs
+    // after mid-1995 — the drift check reads two 64-row grids, never
+    // the fact table twice at full width; add-one smoothing over the
+    // union bucket set, micro-nat integer terms
+    "dq_psi" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val a = Sketches.histSketch(
+        li.filter(col("l_shipdate") < lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      val b = Sketches.histSketch(
+        li.filter(col("l_shipdate") >= lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      Checks.psiFromCounts(a, b)
+    },
     // Benford first-digit audit (Checks.benfordAudit): the
     // fraud/fabrication smoke test on order totals — observed vs
     // expected leading-digit frequency in exact integer ppm, with
@@ -4703,6 +4716,31 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // same grids, same add-one smoothing, same micro-nat rounding
+    "dq_psi" ->
+      """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate < DATE '1995-07-01'),
+        |pb AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-07-01'),
+        |ha AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_a FROM pa GROUP BY 1),
+        |hb AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_b FROM pb GROUP BY 1),
+        |j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_a) AS BIGINT) AS na,
+        |        CAST(sum(n_b) AS BIGINT) AS nb FROM j),
+        |terms AS (SELECT
+        |    CAST(round((CAST(n_a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)
+        |          - CAST(n_b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |        * ln((CAST(n_a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |           / (CAST(n_b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))) * 1e6) AS BIGINT) AS t6,
+        |    k, na, nb
+        |  FROM j, t)
+        |SELECT k AS n_buckets, na AS n_rows_a, nb AS n_rows_b,
+        |       CAST(sum(t6) AS BIGINT) AS psi6
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
     // same cent quantization and digit string-read; expectations
     // injected from Checks.benfordPpm
     "dq_benford" -> {

@@ -452,6 +452,49 @@ object Checks {
       .select(col("grp"), col("bucket"), col("n"), col("w_cnt"), col("z"), col("is_anomaly"))
   }
 
+  /** Population Stability Index (the industry-standard drift score;
+    * PSI = Σ (p_a − p_b)·ln(p_a/p_b) over shared bins) between two
+    * bucket-count tables — e.g. two [[Sketches.histSketch]] snapshots
+    * of the same column, so the drift check reads two 64-row grids,
+    * never the fact tables. Add-one smoothing over the UNION bucket
+    * set keeps empty-on-one-side buckets defined and deterministic
+    * (no epsilon knob): p = (n + 1)/(N + K) with K = union bucket
+    * count. Per-bucket terms round to micro-nat BIGINTs before the
+    * sum (the t_source_kl discipline — the one float op per term is
+    * the ln, shared bit-for-bit by both engines' IEEE doubles), so
+    * the total is order- and partition-free. Rule of thumb the
+    * caller applies: psi6 < 1e5 stable, > 2e5 shifted.
+    * Returns one row: (n_buckets, n_rows_a, n_rows_b, psi6).
+    */
+  def psiFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("bucket"), col("n").as("n_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b")), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = broadcast(
+      joined.agg(
+        count(lit(1)).as("__k"),
+        sum(col("n_a")).cast("long").as("__na"),
+        sum(col("n_b")).cast("long").as("__nb")))
+    joined
+      .crossJoin(tot)
+      .withColumn(
+        "pa",
+        (col("n_a") + 1L).cast("double") / (col("__na") + col("__k")).cast("double"))
+      .withColumn(
+        "pb",
+        (col("n_b") + 1L).cast("double") / (col("__nb") + col("__k")).cast("double"))
+      .withColumn(
+        "t6",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")) * lit(1e6), 0).cast("long"))
+      .groupBy(col("__k"), col("__na"), col("__nb"))
+      .agg(sum(col("t6")).as("psi6"))
+      .select(
+        col("__k").as("n_buckets"),
+        col("__na").as("n_rows_a"),
+        col("__nb").as("n_rows_b"),
+        col("psi6"))
+  }
+
   /** Benford expected first-digit probabilities in integer ppm:
     * round(1e6 · log10(1 + 1/d)) for d = 1..9 — computed once here
     * and injected into the oracle via [[benfordPpmSql]] (the

@@ -406,6 +406,23 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("psiFromCounts: identical grids score 0; hand-smoothed shift scores exact micro-nats") {
+    import graft.operators.Checks
+    val a = Seq((0L, 50L), (1L, 50L)).toDF("bucket", "n")
+    val same = Checks.psiFromCounts(a, a).head()
+    assert((same.getLong(0), same.getLong(3)) == ((2L, 0L)))
+    // B shifts mass to bucket 1: smoothed p_a = 51/102 both, p_b =
+    // 26/102, 76/102 -> terms 165130 + 97771 (hand-computed)
+    val b = Seq((0L, 25L), (1L, 75L)).toDF("bucket", "n")
+    val got = Checks.psiFromCounts(a, b).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((2L, 100L, 100L)))
+    assert(got.getLong(3) == 262901L)
+    // one-sided bucket: smoothing keeps it defined (no NaN/Inf)
+    val c = Seq((0L, 100L)).toDF("bucket", "n")
+    val oneSided = Checks.psiFromCounts(a, c).head()
+    assert(oneSided.getLong(0) == 2L && oneSided.getLong(3) > 0L)
+  }
+
   test("benfordAudit: hand distribution, sub-dollar digits, non-positive excluded") {
     import graft.operators.Checks
     assert(Checks.benfordPpm.head == 301030L) // log10(2) in ppm
