@@ -714,6 +714,36 @@ object SparkEntryStreaming {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // Streaming histogram-sketch maintenance: each micro-batch
+    // appends its own 64-row fixed-grid partial (Sketches.histSketch)
+    // to the parquet artifact — counter linearity makes the
+    // SUM-merged grid bit-equal to the batch build over the same
+    // rows, so a_hist_quantile's oracle carries over verbatim (the
+    // st_volume_anomaly/a_cms_merged pattern for the quantile
+    // sketch). No state store: the artifact IS the state.
+    "st_hist_quantile" -> { (s, dir) =>
+      val hPath = s"/tmp/graft_idx/histst_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.operators.Sketches
+        .histSketch(li.filter(lit(false)), col("l_extendedprice"), 110000.0, 64)
+        .write.mode("overwrite").parquet(hPath)
+      val stream = s.readStream.schema(li.schema).parquet(s"$dir/[l]ineitem.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Sketches
+            .histSketch(batch, col("l_extendedprice"), 110000.0, 64)
+            .write.mode("append").parquet(hPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Sketches
+        .histQuantiles(
+          s.read.parquet(hPath).groupBy(col("bucket")).agg(sum(col("n")).as("n")),
+          110000.0, 64, Seq(50, 90, 99))
+        .orderBy(col("q_pct"))
+    },
     // Watermark late-data accounting (Streams.lateDataAudit): three
     // staged micro-batches — on-time files (Jan 20-29, then Jan
     // 29-30; the second also lets the late-events watermark catch up
@@ -926,6 +956,9 @@ object SparkEntryStreaming {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts <= p.ts
         |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+    // grid linearity: streamed partials SUM-merge to the batch build,
+    // so the batch sketch's oracle is shared verbatim
+    "st_hist_quantile" -> SparkEntryCoverage.oracleSql("a_hist_quantile"),
     // the staged split is deterministic by construction: batches 0-1
     // = [Jan 20, Jan 30) on time, batch 2 = (< Jan 10) ∪ (>= Jan 30);
     // by batch 2 the late-events watermark (which trails eviction by
