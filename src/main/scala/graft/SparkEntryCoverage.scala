@@ -1634,6 +1634,18 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Match-evidence audit (Dedup.explainJaccardPairs): every pair
+    // the jaccard detector emits, with its evidence — set sizes,
+    // shared-shingle count, jaccard AND containment in exact ppm.
+    // Containment is the tell jaccard hides: a snippet quoted inside
+    // a long doc scores low jaccard but cont6 ~ 1e6. The takedown-
+    // dispute / reviewer record, same capped pipeline as the
+    // detector.
+    "dd_pair_explain" -> { (s, dir) =>
+      Dedup
+        .explainJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // PSI drift between two temporal snapshots (Checks.psiFromCounts
     // over Sketches.histSketch grids): price distribution before vs
     // after mid-1995 — the drift check reads two 64-row grids, never
@@ -4716,6 +4728,25 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // the jaccardPairsSql chain with the evidence columns kept
+    "dd_pair_explain" ->
+      """WITH tok AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        |       FROM tok WHERE len(tk) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+        |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b, common,
+        |       CAST(1000000 * common // (sa.sz + sb.sz - common) AS BIGINT) AS jac6,
+        |       CAST(1000000 * common // least(sa.sz, sb.sz) AS BIGINT) AS cont6
+        |FROM cand
+        |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     // same grids, same add-one smoothing, same micro-nat rounding
     "dq_psi" ->
       """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem

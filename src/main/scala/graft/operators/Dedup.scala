@@ -148,6 +148,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The "why did these two match" audit view of
+    * [[ngramJaccardPairs]]: the SAME capped-shingle pipeline and the
+    * same threshold, but each surviving pair reports its evidence —
+    * set sizes, shared-shingle count, and jaccard + containment in
+    * exact integer ppm — the per-decision record a dedup reviewer
+    * (or a takedown dispute) needs, without re-deriving anything the
+    * detector didn't already compute. Asymmetric containment is the
+    * tell the jaccard score hides: a snippet quoted inside a long
+    * doc scores low jaccard but cont6 ≈ 1e6.
+    */
+  def explainJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("id"),
+        graft.expressions.SortedHashes64.hashes(col("sh")).as("hs"))
+    val sh = sets.select(col("id"), explode(col("hs")).as("shingle"))
+    val filtered = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col("id").as("id_a"), col("shingle"))
+    val b = filtered.select(col("id").as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .filter(
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double") >= threshold)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("sz_a"),
+        col("sz_b"),
+        col("common"),
+        expr("CAST(1000000 * common div (sz_a + sz_b - common) AS BIGINT)").as("jac6"),
+        expr("CAST(1000000 * common div least(sz_a, sz_b) AS BIGINT)").as("cont6"))
+  }
+
   /** [[ngramJaccardPairs]] with PREFIX-FILTERED candidate generation —
     * identical output (same capped shingle universe, same exact
     * verify), structurally smaller candidate join. The public

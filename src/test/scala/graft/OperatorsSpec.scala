@@ -406,6 +406,21 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("explainJaccardPairs: containment exposes the quoted-snippet match jaccard downplays") {
+    // doc 2 = doc 1's text embedded in a longer page: shingles of 1
+    // are a subset of 2's -> cont6 = 1e6 while jaccard is partial
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val rows = Dedup.explainJaccardPairs(df, "text", "doc_id", 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // doc1: 2 shingles, doc2: 6 shingles, shared 2:
+    // jac6 = 2e6/6 = 333333, cont6 = 2e6/2 = 1e6
+    assert(rows == Seq((1L, 2L, 2L, 6L, 2L, 333333L, 1000000L)))
+  }
+
   test("psiFromCounts: identical grids score 0; hand-smoothed shift scores exact micro-nats") {
     import graft.operators.Checks
     val a = Seq((0L, 50L), (1L, 50L)).toDF("bucket", "n")
