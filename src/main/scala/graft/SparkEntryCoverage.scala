@@ -1634,6 +1634,43 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Corpus datasheet (Gebru et al., "Datasheets for Datasets"):
+    // the one-row release card a corpus ships with — doc/token/
+    // source/language counts, empty and low-quality fractions, exact-
+    // duplicate rate — every rate in exact integer ppm, every input
+    // from the SAME shared constants the individual gates use
+    // (langMarkers, qualityStops, fingerprint), so the card cannot
+    // disagree with the pipeline it summarizes. One corpus pass +
+    // a fingerprint self-join for the dup rate.
+    "t_datasheet" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = docs.select(
+        col("doc_id"),
+        col("source"),
+        TextFns.wordCount(col("text")).as("nt"),
+        TextAnalysis.langId(col("text"), SparkEntry.langMarkers).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text"), SparkEntry.qualityStops).as("q"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        (length(trim(col("text"))) === 0).as("is_empty"))
+      val dupFps = base
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .select(col("fp"), lit(true).as("is_dup"))
+      base
+        .join(dupFps, Seq("fp"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_empty"), 1L).otherwise(0L)).as("n_empty"),
+          sum(col("nt")).cast("long").as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang_pred")).as("n_langs_pred"),
+          sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("n_low_quality"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup_docs"))
+        .withColumn("low_quality_ppm", expr("CAST(1000000 * n_low_quality div n_docs AS BIGINT)"))
+        .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
+        .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
+    },
     // Match-evidence audit (Dedup.explainJaccardPairs): every pair
     // the jaccard detector emits, with its evidence — set sizes,
     // shared-shingle count, jaccard AND containment in exact ppm.
@@ -4728,6 +4765,36 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // every input from the same shared fragments the per-gate oracles
+    // use: langIdSql, qualitySql/stopHitsSql, the md5 fingerprint
+    "t_datasheet" -> {
+      val tk = "regexp_split_to_array(trim(text),'\\s+')"
+      s"""WITH b AS (SELECT doc_id, source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tk) END AS nt,
+         |  ${TextAnalysis.langIdSql(SparkEntry.langMarkers, tk)} AS lang_pred,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(len($tk) AS DOUBLE) AS ntq,
+         |  ${TextAnalysis.stopHitsSql(SparkEntry.qualityStops, tk)} AS ns,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |  length(trim(text)) = 0 AS is_empty
+         |FROM documents),
+         |q AS (SELECT b.*, ${TextAnalysis.qualitySql("nc", "ntq", "ns")} AS quality FROM b),
+         |d AS (SELECT fp FROM q GROUP BY fp HAVING count(*) > 1),
+         |f AS (SELECT q.*, d.fp IS NOT NULL AS is_dup FROM q LEFT JOIN d ON q.fp = d.fp),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs_pred,
+         |  CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs
+         |FROM f)
+         |SELECT *,
+         |  CAST(1000000 * n_low_quality // n_docs AS BIGINT) AS low_quality_ppm,
+         |  CAST(1000000 * n_exact_dup_docs // n_docs AS BIGINT) AS exact_dup_ppm,
+         |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
+         |FROM agg""".stripMargin
+    },
     // the jaccardPairsSql chain with the evidence columns kept
     "dd_pair_explain" ->
       """WITH tok AS (
