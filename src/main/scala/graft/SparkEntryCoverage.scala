@@ -1634,6 +1634,30 @@ object SparkEntryCoverage {
         .select(col("cluster_id"), col("canonical_name"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
+    // Schema evolution across snapshot generations: an early
+    // snapshot without the column and a later one with it read back
+    // through mergeSchema into one frame — old rows surface the new
+    // column as null (coalesced to '-' so neither engine's null
+    // ordering matters). The lake-layout reality of any pipeline
+    // that ships for years; the oracle recomputes the expectation
+    // from the base table (the persisted-artifact oracle rule:
+    // recompute, never read the artifact).
+    "i_schema_merge" -> { (s, dir) =>
+      val p = s"/tmp/graft_idx/schevo_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderdate") < lit("1996-01-01"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$p/s1")
+      o.filter(col("o_orderdate") >= lit("1996-01-01"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority").as("priority"))
+        .write.mode("overwrite").parquet(s"$p/s2")
+      s.read.option("mergeSchema", "true").parquet(s"$p/s1", s"$p/s2")
+        .groupBy(coalesce(col("priority"), lit("-")).as("priority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .orderBy(col("priority"))
+    },
     // Corpus datasheet (Gebru et al., "Datasheets for Datasets"):
     // the one-row release card a corpus ships with — doc/token/
     // source/language counts, empty and low-quality fractions, exact-
@@ -2283,6 +2307,26 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"))
       Graph.kCore(edges, k = 3, rounds = 6)
         .select(col("id").as("part_id"), col("deg"))
+        .orderBy(col("part_id"))
+    },
+    // Weighted PageRank (Graph.pageRankWeighted) over the co-purchase
+    // graph with co-order counts as weights: a neighbor sharing 9
+    // orders pulls 9x the mass of one sharing 1 — the authority
+    // signal the uniform split flattens. Exact integer per-edge
+    // truncation, one 24-byte-edge shuffle per iteration.
+    "g_pagerank_weighted" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph
+        .pageRankWeighted(edges)
+        .select(col("id").as("part_id"), col("rank_units"), col("rank"))
         .orderBy(col("part_id"))
     },
     // Community detection (Graph.labelPropagation): 4 synchronous LPA
@@ -4765,6 +4809,13 @@ object SparkEntryCoverage {
          |SELECT cluster_id, min_by(name, id) AS canonical_name,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // recomputed expectation: pre-1996 rows have no priority column
+    "i_schema_merge" ->
+      """SELECT CASE WHEN o_orderdate >= DATE '1996-01-01' THEN o_orderpriority
+        |            ELSE '-' END AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // every input from the same shared fragments the per-gate oracles
     // use: langIdSql, qualitySql/stopHitsSql, the md5 fingerprint
     "t_datasheet" -> {
@@ -5133,6 +5184,33 @@ object SparkEntryCoverage {
          |SELECT id AS part_id, CAST(count(*) AS BIGINT) AS deg FROM (
          |  SELECT u AS id FROM e6 UNION ALL SELECT v FROM e6) GROUP BY id
          |ORDER BY part_id""".stripMargin
+    },
+    // weight-proportional mass split, same truncating integer chain
+    "g_pagerank_weighted" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (SELECT e.dst AS id,
+           |      b.base + SUM((((r.r * 85) // 100) * e.w) // d.wdeg) AS r
+           |      FROM edges e JOIN $prev r ON r.id = e.src
+           |           JOIN wdeg d ON d.id = e.src CROSS JOIN b
+           |      GROUP BY e.dst, b.base)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |e0 AS (SELECT u, v, w FROM ew WHERE w >= 2),
+         |edges AS (SELECT u AS src, v AS dst, w FROM e0
+         |          UNION ALL SELECT v, u, w FROM e0),
+         |wdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wdeg),
+         |b AS (SELECT (((100 - 85) * 1000000000000) // 100) // n AS base FROM nn),
+         |r0 AS (SELECT id, 1000000000000 // n AS r FROM wdeg CROSS JOIN nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")},
+         |${iter("r3", "r4")},
+         |${iter("r4", "r5")}
+         |SELECT id AS part_id, CAST(r AS BIGINT) AS rank_units,
+         |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r5 ORDER BY part_id""".stripMargin
     },
     // the same 4 LPA rounds unrolled as MATERIALIZED CTEs; argmax via
     // row_number (count desc, label asc) — a different mechanism from

@@ -147,6 +147,70 @@ object Graph {
       (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
   }
 
+  /** [[pageRank]] over a WEIGHTED undirected graph (id_a, id_b, w):
+    * contributions split proportionally to edge weight instead of
+    * uniformly — on a co-occurrence graph the natural weights are
+    * co-occurrence counts, and a neighbor sharing 9 orders should
+    * pull 9× the mass of one sharing 1. Same exact-integer
+    * discipline: contrib(u→v) = ((r(u)·damp div 100)·w_uv) div
+    * W(u) with W(u) = Σ_v w_uv — truncation per EDGE (bounded by
+    * deg ulps per node per round, deterministic on both engines).
+    * Edge hygiene: self-loops and null ids dropped; duplicate
+    * (src, dst) rows SUM their weights (the multigraph collapse);
+    * non-positive weights dropped (they carry no mass and would
+    * corrupt W). One shuffle per iteration, 24-byte weighted edges.
+    */
+  def pageRankWeighted(
+      pairsW: DataFrame,
+      iters: Int = 5,
+      damp: Long = 85L,
+      unit: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(damp >= 0 && damp <= 100, "damp is a percentage")
+    val edges = Checkpointing.truncate(
+      pairsW
+        .select(col("id_a").as("src"), col("id_b").as("dst"), col("w").cast("long").as("w"))
+        .union(pairsW.select(col("id_b").as("src"), col("id_a").as("dst"), col("w").cast("long").as("w")))
+        .filter(col("src") =!= col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0L)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("w")).as("w")),
+      checkpointDir,
+      eager = true)
+    val wdeg = edges.groupBy(col("src").as("id")).agg(sum(col("w")).as("wdeg"))
+    val n = wdeg.count()
+    if (n == 0L)
+      return pairsW.sparkSession
+        .range(0)
+        .select(
+          col("id"),
+          col("id").as("rank_units"),
+          col("id").cast("double").as("rank"))
+    val base = ((100L - damp) * unit / 100L) / n
+    var ranks = wdeg.select(col("id"), lit(unit / n).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(
+          ranks.join(wdeg, Seq("id"))
+            .select(col("id").as("src"), expr(s"(r * $damp) div 100").as("m"), col("wdeg")),
+          Seq("src"))
+        .select(col("dst"), expr("(m * w) div wdeg").as("c"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = Checkpointing.truncate(
+        contrib.select(col("id"), (lit(base) + col("in_mass")).as("r")),
+        checkpointDir,
+        eager = false)
+      i += 1
+    }
+    ranks.select(
+      col("id"),
+      col("r").as("rank_units"),
+      (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
+  }
+
   /** Multi-source BFS distances, depth ≤ `maxDepth`: shortest hop
     * count from any seed over the undirected graph induced by
     * `pairs`. The contamination-taint use: seeds are flagged docs

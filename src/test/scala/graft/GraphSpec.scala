@@ -149,6 +149,27 @@ class GraphSpec extends SparkSpec {
     assert(after2.isEmpty)
   }
 
+  test("pageRankWeighted: hand-computed proportional split; multigraph rows collapse") {
+    // A(1)-B(2) w9, A-C(3) w1; damp 50, unit 100, 1 iter:
+    // base 16, r0 33, m 16; A sends 14/1, B and C send 16 back
+    // -> A 48, B 30, C 17. The w9 edge arrives as 4+5 duplicate
+    // rows (multigraph collapse) plus a self-loop to ignore.
+    val edges = Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L), (1L, 1L, 7L))
+      .toDF("id_a", "id_b", "w")
+    val got = Graph.pageRankWeighted(edges, iters = 1, damp = 50L, unit = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 48L, 2L -> 30L, 3L -> 17L))
+  }
+
+  test("pageRankWeighted: equal weights reproduce plain pageRank exactly") {
+    val pairs = pathAndTriangle.toDF("id_a", "id_b")
+    val plain = Graph.pageRank(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = Graph.pageRankWeighted(pairs.withColumn("w", lit(1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted == plain)
+  }
+
   test("personalized pageRank: hand-computed seed restart on a 2-node path") {
     // edges 1-2, seed {1}, damp 50, unit 100: base = 50 to the seed
     // r0: 1 -> 100, 2 -> 0
