@@ -1732,6 +1732,32 @@ object SparkEntryCoverage {
         .benfordAudit(t(s, dir, "orders"), col("o_totalprice"))
         .orderBy(col("digit"))
     },
+    // Gaps-and-islands coverage map (Relational.dayIslands): each
+    // type's above-average activity days collapse into contiguous
+    // runs (day - row_number constant within a run, exact epoch-day
+    // integers) with the gap before each — the backfill worklist
+    // (w_gap_fill fills values inside a range; this FINDS the
+    // missing ranges)
+    "w_islands" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mean = daily
+        .groupBy(col("event_type"))
+        .agg((sum(col("n")).cast("double") / count(lit(1))).as("mu"))
+      val active = daily
+        .join(mean, Seq("event_type"))
+        .filter(col("n").cast("double") > col("mu"))
+      Relational
+        .dayIslands(active, "event_type", "day")
+        .select(
+          col("event_type"),
+          date_format(col("island_start"), "yyyy-MM-dd").as("island_start"),
+          date_format(col("island_end"), "yyyy-MM-dd").as("island_end"),
+          col("n_days"),
+          col("gap_before_days"))
+        .orderBy(col("event_type"), col("island_start"))
+    },
     // Theil-Sen robust trend per event type (Series.theilSenDaily):
     // the median of pairwise daily-count slopes in exact micro-units
     // — one scraper-burst day flips an OLS trend, the median slope
@@ -4904,6 +4930,25 @@ object SparkEntryCoverage {
          |         - CAST(${Checks.benfordPpmSql("digit")} AS BIGINT) AS dev_ppm
          |FROM d, t ORDER BY digit""".stripMargin
     },
+    // identical islands key (epoch-day minus row_number)
+    "w_islands" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM d GROUP BY 1),
+        |a AS (SELECT d.event_type, d.day FROM d JOIN m ON d.event_type = m.event_type
+        |      WHERE CAST(n AS DOUBLE) > mu),
+        |r AS (SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS dd,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM a),
+        |g AS (SELECT event_type, dd - rn AS grp, min(dd) AS s, max(dd) AS e,
+        |        CAST(count(*) AS BIGINT) AS n_days FROM r GROUP BY 1, 2),
+        |o AS (SELECT event_type, s, e, n_days,
+        |        COALESCE(s - lag(e) OVER (PARTITION BY event_type ORDER BY s) - 1, 0) AS gap
+        |      FROM g)
+        |SELECT event_type,
+        |  strftime(DATE '1970-01-01' + CAST(s AS INT), '%Y-%m-%d') AS island_start,
+        |  strftime(DATE '1970-01-01' + CAST(e AS INT), '%Y-%m-%d') AS island_end,
+        |  n_days, CAST(gap AS BIGINT) AS gap_before_days
+        |FROM o ORDER BY event_type, island_start""".stripMargin,
     // same integer micro-slopes, same lower-median rank rule
     "w_theilsen" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n

@@ -562,6 +562,41 @@ object Relational {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Gaps-and-islands over a per-key day series: collapse each key's
+    * active days into contiguous runs (day − row_number is constant
+    * within a run — the classic islands key, exact integer
+    * arithmetic on epoch days) and report (key, island start/end,
+    * n_days, gap_before_days). The ingest-backfill planner: a
+    * source's islands ARE its coverage, the gaps between them are
+    * the backfill worklist ([[gapFill]] fills values inside a range;
+    * this finds the missing ranges). Window partitions by key over
+    * the DAILY table — bounded by the calendar, never the raw
+    * stream.
+    */
+  def dayIslands(daily: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val runs = daily
+      .select(col(keyCol), col(dayCol))
+      .distinct()
+      .withColumn("__d", datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("__grp", col("__d") - row_number().over(w))
+    val islands = runs
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(
+        min(col("__d")).as("__start"),
+        max(col("__d")).as("__end"),
+        count(lit(1)).as("n_days"))
+    val wi = Window.partitionBy(col(keyCol)).orderBy(col("__start"))
+    islands
+      .withColumn("__prev_end", lag(col("__end"), 1).over(wi))
+      .select(
+        col(keyCol),
+        date_add(lit("1970-01-01").cast("date"), col("__start").cast("int")).as("island_start"),
+        date_add(lit("1970-01-01").cast("date"), col("__end").cast("int")).as("island_end"),
+        col("n_days"),
+        coalesce(col("__start") - col("__prev_end") - 1L, lit(0L)).as("gap_before_days"))
+  }
+
   /** Field-level survivorship for ER golden records (the upgrade of
     * the min-id whole-record rule): per matched cluster, each field
     * survives by its own rule —

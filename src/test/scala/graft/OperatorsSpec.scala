@@ -469,6 +469,23 @@ class OperatorsSpec extends SparkSpec {
     assert(st.getLong(4) == 500000L) // 3 of 6 rows at risk
   }
 
+  test("dayIslands: contiguous runs collapse, gaps measured, duplicate days ignored") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    val daily = Seq(
+      ("a", d(1)), ("a", d(2)), ("a", d(3)), ("a", d(3)), // dup day
+      ("a", d(7)), ("a", d(8)), ("a", d(10)),
+      ("b", d(5))).toDF("k", "day")
+    val got = Relational.dayIslands(daily, "k", "day")
+      .orderBy($"k", $"island_start").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString,
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01", "2024-01-03", 3L, 0L),
+      ("a", "2024-01-07", "2024-01-08", 2L, 3L),
+      ("a", "2024-01-10", "2024-01-10", 1L, 1L),
+      ("b", "2024-01-05", "2024-01-05", 1L, 0L)))
+  }
+
   test("goldenRecord: per-field survivorship rules with min-id ties; all-null field stays null") {
     val members = Seq(
       // cluster 1: name longest wins (tie between 2 and 3 -> id 2),
