@@ -1695,6 +1695,15 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Detector canary (Dedup.canaryRecall): plant deterministic
+    // dropout twins, run the REAL jaccard detector over corpus +
+    // twins, report recovered-pair recall in exact ppm — the
+    // measurement-in-production run that catches recall regressions
+    // (threshold drift, broken shingle kernel, over-aggressive
+    // df-cap) inside the pipeline itself
+    "dd_canary_recall" -> { (s, dir) =>
+      Dedup.canaryRecall(t(s, dir, "documents"), "text", "doc_id", 3, 0.2)
+    },
     // Match-evidence audit (Dedup.explainJaccardPairs): every pair
     // the jaccard detector emits, with its evidence — set sizes,
     // shared-shingle count, jaccard AND containment in exact ppm.
@@ -4871,6 +4880,42 @@ object SparkEntryCoverage {
          |  CAST(1000000 * n_exact_dup_docs // n_docs AS BIGINT) AS exact_dup_ppm,
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
+    },
+    // twins rebuilt with the same portable (doc_id, position) hash
+    // dropout; the jaccard chain runs over documents UNION twins
+    "dd_canary_recall" -> {
+      val dropHash = sqlHash32("CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+      s"""WITH tokd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |pl AS (SELECT doc_id, tk FROM tokd WHERE doc_id % 10 = 0 AND len(tk) >= 10),
+         |kept AS (SELECT doc_id, tk[i] AS t, i
+         |         FROM pl, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g
+         |         WHERE $dropHash % 10 <> 0),
+         |tw AS (SELECT doc_id + 1000000 AS doc_id, text FROM (
+         |         SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+         |         FROM kept GROUP BY doc_id)),
+         |uni AS (SELECT doc_id, text FROM documents
+         |        UNION ALL SELECT doc_id, text FROM tw),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM uni),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |       FROM tok WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+         |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT id_a, id_b FROM cand
+         | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         | WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2),
+         |expd AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM pl),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+         |      FROM pairs JOIN expd ON pairs.id_a = expd.id_a AND pairs.id_b = expd.id_b),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM expd)
+         |SELECT n_planted, n_found,
+         |       CAST(1000000 * n_found // n_planted AS BIGINT) AS recall_ppm
+         |FROM p, f""".stripMargin
     },
     // the jaccardPairsSql chain with the evidence columns kept
     "dd_pair_explain" ->

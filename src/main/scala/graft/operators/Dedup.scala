@@ -148,6 +148,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Measurement-in-production for the near-dup detector: plant
+    * deterministic paraphrase twins (every `plantEvery`-th doc with
+    * ≥ 10 tokens, ~10% token dropout keyed by the portable hash32 of
+    * (doc_id, position) — no RNG state), run the REAL jaccard
+    * detector over corpus ∪ twins, and report how many planted
+    * pairs it recovered — the canary that catches a recall
+    * regression (threshold drift, a broken shingle kernel, an
+    * over-aggressive df-cap) in the same pipeline run that does the
+    * work. Returns one row (n_planted, n_found, recall_ppm exact
+    * integer). The dropout is map-only; the detector pays its normal
+    * cost over a corpus ~1/plantEvery larger.
+    */
+  def canaryRecall(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      plantEvery: Int = 10): DataFrame = {
+    require(plantEvery >= 2, "plantEvery must be >= 2")
+    val toks = TextFns.tokens(col(textCol))
+    val planted = df
+      .filter(col(idCol) % plantEvery === 0 && size(toks) >= 10)
+    val dropped = filter(
+      transform(
+        toks,
+        (t, i) =>
+          when(
+            graft.operators.Sampling
+              .hash32(concat(col(idCol), lit(":"), i)) % 10 =!= 0,
+            t).otherwise(lit(null))),
+      x => x.isNotNull)
+    val twins = planted.select(
+      (col(idCol) + 1000000L).as(idCol),
+      array_join(dropped, " ").as(textCol))
+    val corpus = df.select(col(idCol), col(textCol)).unionByName(twins)
+    val expected = planted.select(
+      col(idCol).as("id_a"),
+      (col(idCol) + 1000000L).as("id_b"))
+    val found = ngramJaccardPairs(corpus, textCol, idCol, n, threshold)
+      .join(expected, Seq("id_a", "id_b"), "left_semi")
+    expected
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .withColumn(
+        "recall_ppm",
+        expr("CAST(1000000 * n_found div n_planted AS BIGINT)"))
+  }
+
   /** The "why did these two match" audit view of
     * [[ngramJaccardPairs]]: the SAME capped-shingle pipeline and the
     * same threshold, but each surviving pair reports its evidence —

@@ -406,6 +406,21 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("canaryRecall: dropout twins recovered on a plantable corpus; short docs not planted") {
+    // doc 10 has 12 tokens (planted; 10% dropout keeps most shingles
+    // -> found); doc 20 has 3 tokens (under the >=10 floor -> not
+    // planted); doc 1 not a multiple of 10
+    val df = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (20L, "x y z"),
+      (1L, "one two three four five six seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    val r = Dedup.canaryRecall(df, "text", "doc_id", 3, 0.2).head()
+    assert(r.getLong(0) == 1L) // only doc 10 planted
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1000000L)
+  }
+
   test("explainJaccardPairs: containment exposes the quoted-snippet match jaccard downplays") {
     // doc 2 = doc 1's text embedded in a longer page: shingles of 1
     // are a subset of 2's -> cont6 = 1e6 while jaccard is partial
