@@ -1002,17 +1002,31 @@ object Dedup {
     // argmax via two primitive hash-aggs + an equi-join back (a
     // struct-valued min would plan as SortAggregate — the audit
     // trap): level 1 takes the max total per cluster, level 2 the
-    // smallest id among members that hit it (the tie rule)
-    val best = totals.groupBy(col("cluster_id")).agg(max(col("t6")).as("mt"))
+    // smallest id among members that hit it (the tie rule).
+    // Null-embedding members produce null scores, which sum/max
+    // ignore — they ride in the cluster but can never be the medoid;
+    // a cluster with NO scoreable pair at all (every embedding null)
+    // falls back to the min-id survivor instead of silently losing
+    // every member (the anti-join below — a null mt would otherwise
+    // fail the t6 = mt filter for the whole cluster).
+    val best = totals
+      .filter(col("t6").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(max(col("t6")).as("mt"))
     val medoids = totals
       .join(best, Seq("cluster_id"))
       .filter(col("t6") === col("mt"))
       .groupBy(col("cluster_id"))
       .agg(min(col("id")).as("id"))
-      .select(col("id"))
+    val unscored = labels
+      .select(col("cluster_id"), col("id"))
+      .join(medoids.select(col("cluster_id")), Seq("cluster_id"), "left_anti")
+      .groupBy(col("cluster_id"))
+      .agg(min(col("id")).as("id"))
     val keepIds = df.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left_anti") // singletons
-      .unionByName(medoids)
+      .unionByName(medoids.select(col("id")))
+      .unionByName(unscored.select(col("id")))
     df.join(keepIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }
 

@@ -577,6 +577,8 @@ object Relational {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
     val runs = daily
       .select(col(keyCol), col(dayCol))
+      .filter(col(dayCol).isNotNull) // null day has no island; and a
+      // null in the run ORDER BY would sort engine-dependently
       .distinct()
       .withColumn("__d", datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long"))
       .withColumn("__grp", col("__d") - row_number().over(w))

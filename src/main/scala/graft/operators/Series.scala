@@ -238,10 +238,15 @@ object Series {
       keyCol: String,
       dayCol: String,
       valueCol: String): DataFrame = {
-    val base = daily.select(
-      col(keyCol).as("k"),
-      datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long").as("d"),
-      col(valueCol).cast("long").as("v"))
+    // null days/values are excluded up front: a null reaching the
+    // slope ORDER BY would sort to opposite ends on Spark vs DuckDB
+    // (silent parity break), and a null value has no slope anyway
+    val base = daily
+      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        col(keyCol).as("k"),
+        datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col(valueCol).cast("long").as("v"))
     val a = base.select(col("k"), col("d").as("da"), col("v").as("va"))
     val b = base.select(col("k"), col("d").as("db"), col("v").as("vb"))
     val slopes = a
@@ -267,6 +272,7 @@ object Series {
         sum(col(valueCol)).cast("long").as("__total"),
         count(lit(1)).as("__n_days")))
     daily
+      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
       .select(
         (dayofweek(col(dayCol)) - 1).cast("long").as("dow"),
         col(valueCol).cast("long").as("__v"))

@@ -222,7 +222,11 @@ object Sketches {
     require(ceilValue > 0.0, "ceilValue must be positive")
     val ceilCents = math.round(ceilValue * 100)
     val cents = round(value.cast("double") * 100.0, 0).cast("long")
+    // null values are excluded (a null bucket would ride into the
+    // quantile ORDER BY, where Spark and DuckDB sort nulls to
+    // opposite ends — the silent-parity-break class)
     df.select(cents.as("__cents"))
+      .filter(col("__cents").isNotNull)
       .select(
         // div, not /: Column./ on longs is DOUBLE division
         expr(s"CAST(least(${buckets - 1}, greatest(0, __cents) * $buckets div $ceilCents) AS BIGINT)")

@@ -992,7 +992,11 @@ object TextAnalysis {
     val gain = expr("shiftleft(CAST(1 AS BIGINT), CAST(grade AS INT)) - CAST(1 AS BIGINT)")
     val pos = judged.filter(col("grade") > 0)
     val rankW = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    // null scores are unrankable and sort to OPPOSITE ends on Spark
+    // (desc: nulls last) vs DuckDB (desc: nulls first) — excluded by
+    // contract rather than silently order-divergent
     val topRanked = scored
+      .filter(col("score").isNotNull)
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= k)
     val dcg = topRanked

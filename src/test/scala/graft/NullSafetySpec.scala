@@ -130,4 +130,50 @@ class NullSafetySpec extends SparkSpec {
       .collect()
     assert(got(0).isNullAt(0) && got(1).isNullAt(0) && !got(2).isNullAt(0))
   }
+
+  test("medoidCanonicals: all-null-embedding cluster falls back to min-id, never vanishes") {
+    import graft.operators.Dedup
+    val emb = Seq(
+      (1L, Option.empty[Array[Float]]),
+      (2L, Option.empty[Array[Float]]),
+      (5L, Some(Array(1.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.medoidCanonicals(emb, "vec_id", "embedding", pairs)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2} has no scoreable pair (both embeddings null):
+    // min-id fallback keeps 1; singleton 5 untouched
+    assert(kept == Set(1L, 5L))
+  }
+
+  test("medoidCanonicals: a null-embedding member rides along but cannot be the medoid") {
+    import graft.operators.Dedup
+    val emb = Seq(
+      (1L, Option.empty[Array[Float]]),
+      (2L, Some(Array(0.7f, 0.7f))),
+      (3L, Some(Array(1.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.medoidCanonicals(emb, "vec_id", "embedding", pairs)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    // only 2 and 3 score (cos=0.707 each; tie -> min id 2); 1 never
+    assert(kept == Set(2L))
+  }
+
+  test("rank-order operators exclude null inputs (the engine-dependent null-sort trap)") {
+    import graft.operators.{Series, Sketches, Relational}
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    // theil-sen: the null-value day contributes no slope
+    val daily = Seq(("a", Some(d(1)), Some(10L)), ("a", Some(d(2)), None),
+      ("a", Some(d(3)), Some(30L)), ("a", None, Some(99L))).toDF("k", "day", "n")
+    val ts = Series.theilSenDaily(daily, "k", "day", "n").head()
+    assert(ts.getLong(2) == 1L && ts.getLong(3) == 10000000L) // one pair, slope 10/day
+    // hist sketch: the null value contributes no bucket
+    val h = Sketches.histSketch(Seq(Some(5.0), None).toDF("v"), $"v", 10.0, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(2L -> 1L))
+    // islands: the null day is no island
+    val isl = Relational.dayIslands(
+      Seq(("a", Some(d(1))), ("a", None)).toDF("k", "day"), "k", "day")
+      .collect()
+    assert(isl.length == 1 && isl.head.getLong(3) == 1L)
+  }
 }
