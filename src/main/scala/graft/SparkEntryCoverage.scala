@@ -1695,6 +1695,37 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Zipf exponent of the corpus vocabulary: the robust log-log fit
+    // (Series.medianPairwiseSlope6 over ln rank / ln freq of the
+    // top-100 terms; alpha6 = -slope6) — natural text sits near
+    // alpha 1, template/boilerplate corpora drift off it, so the
+    // exponent is a one-number corpus-health signal next to the
+    // entropy family (the synthetic corpus's 31-term near-flat head
+    // measures alpha ~0.05 — exactly the off-Zipf reading a
+    // template corpus should produce). Pairwise work bounded at
+    // <=100 points.
+    "t_zipf" -> { (s, dir) =>
+      val top = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("term"))
+        .limit(100)
+      val pts = top
+        .withColumn(
+          "r",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("f").desc, col("term"))))
+        .select(lit(0L).as("corpus"), log(col("r").cast("double")).as("x"), log(col("f").cast("double")).as("y"))
+      Series
+        .medianPairwiseSlope6(pts, "corpus", "x", "y")
+        .select(
+          col("n_points"),
+          col("n_pairs"),
+          (-col("slope6")).as("alpha6"))
+    },
     // Detector canary (Dedup.canaryRecall): plant deterministic
     // dropout twins, run the REAL jaccard detector over corpus +
     // twins, report recovered-pair recall in exact ppm — the
@@ -4881,6 +4912,24 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // same top-100 rank order, same micro-rounded pairwise slopes,
+    // same lower-median pick
+    "t_zipf" ->
+      """WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(term) > 0 GROUP BY 1 ORDER BY f DESC, term LIMIT 100),
+        |pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE)) AS x,
+        |          ln(CAST(f AS DOUBLE)) AS y FROM tc),
+        |sl AS (SELECT CAST(round(1e6 * (b.y - a.y) / (b.x - a.x)) AS BIGINT) AS slope6
+        |       FROM pts a JOIN pts b ON a.x < b.x),
+        |rk AS (SELECT slope6, row_number() OVER (ORDER BY slope6) AS rn,
+        |         count(*) OVER () AS np FROM sl),
+        |m AS (SELECT slope6, np FROM rk WHERE rn = (np + 1) // 2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+        |       CAST(np AS BIGINT) AS n_pairs,
+        |       CAST(-slope6 AS BIGINT) AS alpha6
+        |FROM m""".stripMargin,
     // twins rebuilt with the same portable (doc_id, position) hash
     // dropout; the jaccard chain runs over documents UNION twins
     "dd_canary_recall" -> {

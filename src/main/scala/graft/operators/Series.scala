@@ -205,6 +205,49 @@ object Series {
     }(Encoders.row(outSchema))
   }
 
+  /** [[theilSenDaily]] generalized to DOUBLE axes: the lower-median
+    * of pairwise slopes round(1e6·(y_j−y_i)/(x_j−x_i)) per key,
+    * pairs taken over x_i < x_j. The one float op per pair is the
+    * division (plus whatever the caller computed into x/y — e.g. ln
+    * for a log-log Zipf fit), rounded to micro-units BEFORE the
+    * median rank so the pick is integer-deterministic (the
+    * theilSenDaily discipline). Null or non-finite axes are excluded
+    * up front (the null-sort parity rule). Quadratic per key over
+    * the POINT table — callers bound the points (top-K terms, daily
+    * series), never feed a raw stream. Returns (key, n_points,
+    * n_pairs, slope6).
+    */
+  def medianPairwiseSlope6(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val base = df
+      .filter(
+        col(xCol).isNotNull && col(yCol).isNotNull &&
+          !isnan(col(xCol)) && !isnan(col(yCol)))
+      .select(col(keyCol).as("k"), col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val a = base.select(col("k"), col("x").as("xa"), col("y").as("ya"))
+    val b = base.select(col("k"), col("x").as("xb"), col("y").as("yb"))
+    val slopes = a
+      .join(b, Seq("k"))
+      .filter(col("xa") < col("xb"))
+      .select(
+        col("k"),
+        round(lit(1e6) * (col("yb") - col("ya")) / (col("xb") - col("xa")), 0)
+          .cast("long")
+          .as("slope6"))
+    val counts = base.groupBy(col("k")).agg(count(lit(1)).as("n_points"))
+    val w = Window.partitionBy(col("k")).orderBy(col("slope6"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === expr("CAST((np + 1) div 2 AS BIGINT)"))
+      .select(col("k").as(keyCol), col("np").as("n_pairs"), col("slope6"))
+      .join(counts.withColumnRenamed("k", keyCol), Seq(keyCol))
+      .select(col(keyCol), col("n_points"), col("n_pairs"), col("slope6"))
+  }
+
   /** Day-of-week seasonal index over a daily series (day, value):
     * idx(dow) = avg(value | dow) / avg(value), reported in exact
     * micro-units via one cross-multiplied integer division —

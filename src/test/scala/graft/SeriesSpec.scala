@@ -151,6 +151,21 @@ class SeriesSpec extends SparkSpec {
       ("c", 2L, 1L, -2333333L)))
   }
 
+  test("medianPairwiseSlope6: perfect Zipf scores slope -1e6; NaN axes excluded") {
+    import graft.operators.Series
+    // f = 8/r at r = 1, 2, 4: every ln-ln pairwise slope is exactly -1
+    val pts = Seq(
+      (0L, math.log(1.0), math.log(8.0)),
+      (0L, math.log(2.0), math.log(4.0)),
+      (0L, math.log(4.0), math.log(2.0)),
+      (0L, Double.NaN, 1.0) // excluded, not poisoning
+    ).toDF("k", "x", "y")
+    val r = Series.medianPairwiseSlope6(pts, "k", "x", "y").head()
+    assert(r.getLong(1) == 3L) // n_points after NaN exclusion
+    assert(r.getLong(2) == 3L)
+    assert(r.getLong(3) == -1000000L)
+  }
+
   test("seasonalIndexDow: Monday-doubled fortnight yields exact micro-unit indexes") {
     import graft.operators.Series
     // 2024-01-01 is a Monday; 14 days, Mondays 20 else 10:
