@@ -1695,6 +1695,16 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Cross-group embedding affinity matrix
+    // (Similarity.groupAffinityMatrix): cosine of exact integer sum
+    // vectors between every label pair — the redundancy/diversity
+    // map a mixture designer reads before re-weighting sources
+    // (v_embed_drift's each-vs-corpus score, upgraded to pairwise)
+    "v_affinity" -> { (s, dir) =>
+      Similarity
+        .groupAffinityMatrix(t(s, dir, "embeddings"), col("label"), "embedding")
+        .orderBy(col("group_a"), col("group_b"))
+    },
     // Zipf exponent of the corpus vocabulary: the robust log-log fit
     // (Series.medianPairwiseSlope6 over ln rank / ln freq of the
     // top-100 terms; alpha6 = -slope6) — natural text sits near
@@ -4911,6 +4921,21 @@ object SparkEntryCoverage {
          |  CAST(1000000 * n_exact_dup_docs // n_docs AS BIGINT) AS exact_dup_ppm,
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
+    },
+    // same nano-quantized integer sums, same scale-invariant cosine
+    "v_affinity" -> {
+      s"""WITH d AS (SELECT e.label AS g, s.i AS dim,
+         |       CAST(round(CAST(e.embedding[s.i] AS DOUBLE) * 1e9) AS BIGINT) AS q
+         |     FROM embeddings e,
+         |       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s
+         |     WHERE e.embedding IS NOT NULL),
+         |sv AS (SELECT g, dim, CAST(sum(q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS c
+         |       FROM d GROUP BY 1, 2),
+         |gv AS (SELECT g, list(sq ORDER BY dim) AS v, max(c) AS n FROM sv GROUP BY g)
+         |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+         |       round(${sqlCosine("a.v", "b.v")}, 6) AS affinity_cos
+         |FROM gv a JOIN gv b ON a.g < b.g
+         |ORDER BY group_a, group_b""".stripMargin
     },
     // same top-100 rank order, same micro-rounded pairwise slopes,
     // same lower-median pick

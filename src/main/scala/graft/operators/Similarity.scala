@@ -565,6 +565,50 @@ object Similarity {
         round(graft.functions.VectorFns.cosine(col("gv"), col("cv")), 6).as("drift_cos"))
   }
 
+  /** Pairwise mean-direction affinity between groups — the matrix
+    * view of [[embeddingDriftByGroup]] (that op scores each group
+    * against the corpus; this scores every group pair against each
+    * other): cosine of the groups' EXACT integer sum vectors
+    * (nano-quantized component sums; cosine is scale-invariant, so
+    * the sum vector IS the mean direction with no division and no
+    * float accumulation anywhere). The cross-source affinity map a
+    * mixture designer reads before re-weighting — two sources whose
+    * directions cosine at 0.99 are redundant, a 0.2 source adds
+    * diversity. One posexplode pass + (groups·dims)-bounded aggs;
+    * the pair join is groups², bounded by the group universe.
+    * Returns (group_a, group_b, n_a, n_b, affinity_cos) for
+    * group_a < group_b.
+    */
+  def groupAffinityMatrix(
+      df: DataFrame,
+      groupCol: Column,
+      embCol: String): DataFrame = {
+    val sums = df
+      .filter(col(embCol).isNotNull)
+      .select(
+        groupCol.as("group"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("group"), col("dim"), round(col("v") * lit(1e9), 0).cast("long").as("q"))
+      .groupBy(col("group"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("c"))
+    val gVec = sums
+      .groupBy(col("group"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("sq")))),
+          x => x.getField("sq").cast("double")).as("gv"),
+        max(col("c")).as("n_vecs"))
+    val a = gVec.select(col("group").as("group_a"), col("gv").as("va"), col("n_vecs").as("n_a"))
+    val b = gVec.select(col("group").as("group_b"), col("gv").as("vb"), col("n_vecs").as("n_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(
+        col("group_a"),
+        col("group_b"),
+        col("n_a"),
+        col("n_b"),
+        round(graft.functions.VectorFns.cosine(col("va"), col("vb")), 6).as("affinity_cos"))
+  }
+
   /** Maximal Marginal Relevance re-rank of a bounded candidate pool:
     * greedily pick `k` results maximizing
     * `lambda·rel − penalty·max(sim to already-picked)` — the standard

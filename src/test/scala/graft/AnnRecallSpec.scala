@@ -110,6 +110,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"bandedLshTopK multiprobe recall@10 = $recall")
   }
 
+  test("groupAffinityMatrix: aligned groups cosine 1, orthogonal 0, null vectors excluded") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1, Some(Array(1.0f, 0.0f))), (1, Some(Array(2.0f, 0.0f))),
+      (2, Some(Array(0.0f, 3.0f))),
+      (3, Some(Array(4.0f, 0.0f))), (3, Option.empty[Array[Float]])
+    ).toDF("g", "embedding")
+    val got = Similarity.groupAffinityMatrix(df, col("g"), "embedding")
+      .orderBy(col("group_a"), col("group_b")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got((1, 2)) == ((2L, 1L, 0.0)))  // orthogonal
+    assert(got((1, 3)) == ((2L, 1L, 1.0)))  // same direction; null row dropped from n_b
+    assert(got((2, 3)) == ((1L, 1L, 0.0)))
+  }
+
   test("randomProject: fixed-point components match the sign matrix by hand") {
     val signs = Similarity.rpSigns(2, 2)
     // sanity on the generator itself: only ±1, deterministic
