@@ -1695,6 +1695,39 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Heaps'-law vocabulary growth (V(n) ~ K n^beta): beta from the
+    // same robust slope chassis over ln(cumulative tokens) vs
+    // ln(cumulative vocab) at every 25th doc of a bounded prefix —
+    // natural text sits near 0.5-0.8; a template corpus's vocab
+    // saturates (beta -> 0). The prefix bound (doc_id < 2000) is
+    // what keeps the cumulative windows and the pairwise fit
+    // bounded by construction at any corpus size.
+    "t_heaps" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val toks = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      val firstSeen = toks
+        .groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("new_v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val pts = toks
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+        .join(firstSeen, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("new_v"))
+        .withColumn("cum_n", sum(col("nt")).over(w))
+        .withColumn("cum_v", sum(col("new_v")).over(w))
+        .filter(col("doc_id") % 25 === 0)
+        .select(
+          lit(0L).as("corpus"),
+          log(col("cum_n").cast("double")).as("x"),
+          log(col("cum_v").cast("double")).as("y"))
+      Series
+        .medianPairwiseSlope6(pts, "corpus", "x", "y")
+        .select(col("n_points"), col("n_pairs"), col("slope6").as("beta6"))
+    },
     // Cross-group embedding affinity matrix
     // (Similarity.groupAffinityMatrix): cosine of exact integer sum
     // vectors between every label pair — the redundancy/diversity
@@ -4922,6 +4955,28 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // same prefix bound, same cumulative windows, same median pick
+    "t_heaps" ->
+      """WITH toks AS (SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE doc_id < 2000 AND length(trim(text)) > 0)
+        |  WHERE length(term) > 0),
+        |fs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_v FROM (
+        |    SELECT term, min(doc_id) AS doc_id FROM toks GROUP BY 1) GROUP BY 1),
+        |pd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks t GROUP BY 1),
+        |cum AS (SELECT pd.doc_id,
+        |          CAST(sum(pd.nt) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_n,
+        |          CAST(sum(COALESCE(fs.new_v, 0)) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_v
+        |        FROM pd LEFT JOIN fs ON fs.doc_id = pd.doc_id),
+        |pts AS (SELECT ln(CAST(cum_n AS DOUBLE)) AS x, ln(CAST(cum_v AS DOUBLE)) AS y
+        |        FROM cum WHERE doc_id % 25 = 0),
+        |sl AS (SELECT CAST(round(1e6 * (b.y - a.y) / (b.x - a.x)) AS BIGINT) AS slope6
+        |       FROM pts a JOIN pts b ON a.x < b.x),
+        |rk AS (SELECT slope6, row_number() OVER (ORDER BY slope6) AS rn,
+        |         count(*) OVER () AS np FROM sl)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+        |       CAST(np AS BIGINT) AS n_pairs, CAST(slope6 AS BIGINT) AS beta6
+        |FROM rk WHERE rn = (np + 1) // 2""".stripMargin,
     // same nano-quantized integer sums, same scale-invariant cosine
     "v_affinity" -> {
       s"""WITH d AS (SELECT e.label AS g, s.i AS dim,
