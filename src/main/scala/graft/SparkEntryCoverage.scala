@@ -1695,6 +1695,18 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Event-time disorder audit (Checks.outOfOrderAudit): per type,
+    // the fraction of arrivals whose event time regressed vs the
+    // previous arrival for the same user — separates "pipeline is
+    // late" (st_late_events' watermark drops) from "clocks are
+    // wrong / partitions replayed" (this)
+    "dq_out_of_order" -> { (s, dir) =>
+      Checks
+        .outOfOrderAudit(
+          t(s, dir, "events"),
+          col("event_type"), col("user_id"), col("event_id"), col("ts"))
+        .orderBy(col("grp"))
+    },
     // Heaps'-law vocabulary growth (V(n) ~ K n^beta): beta from the
     // same robust slope chassis over ln(cumulative tokens) vs
     // ln(cumulative vocab) at every 25th doc of a bounded prefix —
@@ -4955,6 +4967,16 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // same per-user lag over arrival order
+    "dq_out_of_order" ->
+      """WITH l AS (SELECT event_type AS grp, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN ts < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_regressions,
+        |  CAST(1000000 * sum(CASE WHEN ts < prev THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+        |    AS regression_ppm
+        |FROM l GROUP BY 1 ORDER BY grp""".stripMargin,
     // same prefix bound, same cumulative windows, same median pick
     "t_heaps" ->
       """WITH toks AS (SELECT doc_id, term FROM (

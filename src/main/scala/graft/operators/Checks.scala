@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -450,6 +451,41 @@ object Checks {
         "is_anomaly",
         coalesce(abs(col("z")) >= zThreshold, lit(false)))
       .select(col("grp"), col("bucket"), col("n"), col("w_cnt"), col("z"), col("is_anomaly"))
+  }
+
+  /** Event-time disorder audit: per group, how many events arrived
+    * with an event time EARLIER than the previous arrival's (lag
+    * over the per-key arrival order) — the ingest-health metric that
+    * separates "pipeline is late" (watermark drops, [[graft
+    * .streaming.Streams.lateDataAudit]]) from "clocks are wrong /
+    * replays are happening" (this): a replayed partition or a
+    * skewed producer clock shows up as a regression-ppm spike per
+    * source long before downstream windows misbehave. Arrival order
+    * must be a total order per key (an arrival sequence id); the
+    * first arrival per key has no predecessor and never counts.
+    * One key-partitioned lag window + a group hash-agg; ppm exact
+    * integer. Returns (group, n_events, n_regressions,
+    * regression_ppm).
+    */
+  def outOfOrderAudit(
+      df: DataFrame,
+      groupCol: Column,
+      keyCol: Column,
+      seqCol: Column,
+      tsCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(seqCol)
+    df.filter(tsCol.isNotNull && seqCol.isNotNull)
+      .select(
+        groupCol.as("grp"),
+        tsCol.as("__ts"),
+        lag(tsCol, 1).over(w).as("__prev"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("__ts") < col("__prev"), 1L).otherwise(0L)).as("n_regressions"))
+      .withColumn(
+        "regression_ppm",
+        expr("CAST(1000000 * n_regressions div n_events AS BIGINT)"))
   }
 
   /** Population Stability Index (the industry-standard drift score;

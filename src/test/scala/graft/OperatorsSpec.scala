@@ -436,6 +436,24 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L, 2L, 6L, 2L, 333333L, 1000000L)))
   }
 
+  test("outOfOrderAudit: regressions counted per arrival order, first arrival exempt") {
+    import graft.operators.Checks
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: 10:00 -> 09:00 (regression) -> 11:00
+      ("a", 1L, 1L, ts("2024-01-01 10:00:00")),
+      ("a", 1L, 2L, ts("2024-01-01 09:00:00")),
+      ("a", 1L, 3L, ts("2024-01-01 11:00:00")),
+      // user 2 in-order; different type
+      ("b", 2L, 4L, ts("2024-01-01 08:00:00")),
+      ("b", 2L, 5L, ts("2024-01-01 09:00:00"))
+    ).toDF("t", "u", "seq", "ts")
+    val got = Checks.outOfOrderAudit(ev, $"t", $"u", $"seq", $"ts")
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 3L, 1L, 333333L), ("b", 2L, 0L, 0L)))
+  }
+
   test("psiFromCounts: identical grids score 0; hand-smoothed shift scores exact micro-nats") {
     import graft.operators.Checks
     val a = Seq((0L, 50L), (1L, 50L)).toDF("bucket", "n")
