@@ -389,4 +389,63 @@ class PropertySpec extends SparkSpec {
       .count()
     assert(gone == 0L, s"expected empty sample for a missing target group, got $gone rows")
   }
+
+
+  test("histSketch property: bucket counts partition the non-null rows at any input") {
+    import graft.operators.Sketches
+    val vals = Seq.fill(300)(rnd.nextDouble() * 2000.0 - 500.0) // incl. negatives > ceil
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val hist = Sketches.histSketch(df, $"v", 1000.0, 16).collect()
+    assert(hist.map(_.getLong(1)).sum == 300L)
+    assert(hist.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 15L))
+  }
+
+  test("psiFromCounts property: self-PSI is 0 and PSI is symmetric for random grids") {
+    import graft.operators.Checks
+    (1 to 5).foreach { _ =>
+      val g1 = (0 until 8).map(b => (b.toLong, (rnd.nextInt(100) + 1).toLong)).toDF("bucket", "n")
+      val g2 = (0 until 8).map(b => (b.toLong, (rnd.nextInt(100) + 1).toLong)).toDF("bucket", "n")
+      assert(Checks.psiFromCounts(g1, g1).head().getLong(3) == 0L)
+      val ab = Checks.psiFromCounts(g1, g2).head().getLong(3)
+      val ba = Checks.psiFromCounts(g2, g1).head().getLong(3)
+      // PSI is symmetric up to the per-term rounding (each term is
+      // (p-q)ln(p/q) = term(q,p)); micro-rounding can differ by 1/term
+      assert(math.abs(ab - ba) <= 8L, s"asymmetry $ab vs $ba")
+      assert(ab >= 0L)
+    }
+  }
+
+  test("ndcgAtK property: ndcg6 bounded by 1e6 and monotone under a perfect reorder") {
+    import graft.operators.TextAnalysis
+    (1 to 3).foreach { _ =>
+      val docs = (1 to 20).map(_.toLong)
+      val scored = docs.map(d => (1L, d, rnd.nextDouble())).toDF("qid", "doc_id", "score")
+      val judged = docs.filter(_ => rnd.nextBoolean())
+        .map(d => (1L, d, (rnd.nextInt(2) + 1).toLong)).toDF("qid", "doc_id", "grade")
+      val rows = TextAnalysis.ndcgAtK(scored, judged, 10).collect()
+      rows.foreach { r =>
+        assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+        // scoring BY the grades is the perfect ranking: ndcg exactly 1e6
+        val perfect = judged.select($"qid", $"doc_id", $"grade".cast("double").as("score"))
+        val p = TextAnalysis.ndcgAtK(perfect, judged, 10).collect()
+        p.foreach(row => assert(row.getLong(3) == 1000000L))
+      }
+    }
+  }
+
+  test("dayIslands property: islands partition the distinct days, gaps consistent") {
+    import graft.operators.Relational
+    (1 to 3).foreach { _ =>
+      val days = (1 to 28).filter(_ => rnd.nextBoolean())
+        .map(i => ("k", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))))
+      if (days.nonEmpty) {
+        val isl = Relational.dayIslands(days.toDF("k", "day"), "k", "day")
+          .orderBy($"island_start").collect()
+        assert(isl.map(_.getLong(3)).sum == days.size.toLong)
+        // islands are disjoint and ordered; first island has gap 0
+        assert(isl.head.getLong(4) == 0L)
+        assert(isl.tail.forall(_.getLong(4) >= 1L))
+      }
+    }
+  }
 }
