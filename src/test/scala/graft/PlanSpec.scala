@@ -157,4 +157,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
       s"no term_bucket partition pruning in:\n$p")
   }
+
+  test("randomProject is map-only: no Exchange anywhere in the projection plan") {
+    // the JL stage-1 claim: projecting the corpus adds NO shuffle —
+    // the sign folds are per-row expressions over the scan
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+    val proj = graft.operators.Similarity.randomProject(emb, "embedding", 64, 16)
+    proj.collect()
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection should not shuffle:\n$p")
+  }
+
+  test("histSketch: one hash-aggregate pair over the scan, no sort aggregate") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val h = graft.operators.Sketches.histSketch(li, col("l_extendedprice"), 110000.0, 64)
+    h.collect()
+    val p = h.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
