@@ -1695,6 +1695,36 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Trending terms: per-term robust trend across corpus-position
+    // epochs (50-doc buckets; counts zero-filled over the full
+    // epoch x term grid so an absent epoch reads as decline, not a
+    // hole) — the top movers by median pairwise slope, the
+    // "what is this corpus increasingly about" feed a crawl
+    // scheduler reads. Bounded: top-20 frequent terms x epochs.
+    "t_trending" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select((col("doc_id") / 50).cast("long").as("epoch"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("term")).limit(20).select(col("term"))
+      val epochs = toks.select(col("epoch")).distinct()
+      val counts = toks
+        .join(broadcast(top), Seq("term"), "left_semi")
+        .groupBy(col("term"), col("epoch"))
+        .agg(count(lit(1)).as("n"))
+      val grid = broadcast(top).crossJoin(epochs)
+        .join(counts, Seq("term", "epoch"), "left")
+        .na.fill(0L, Seq("n"))
+        .select(
+          col("term"),
+          col("epoch").cast("double").as("x"),
+          col("n").cast("double").as("y"))
+      Series
+        .medianPairwiseSlope6(grid, "term", "x", "y")
+        .orderBy(col("slope6").desc, col("term"))
+        .limit(10)
+    },
     // Event-time disorder audit (Checks.outOfOrderAudit): per type,
     // the fraction of arrivals whose event time regressed vs the
     // previous arrival for the same user — separates "pipeline is
@@ -4967,6 +4997,33 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // same zero-filled epoch grid, same micro-rounded slopes and
+    // lower-median pick, same (slope desc, term) top-10
+    "t_trending" ->
+      """WITH toks AS (SELECT doc_id // 50 AS epoch, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(term) > 0),
+        |top AS (SELECT term FROM (SELECT term, count(*) AS f FROM toks GROUP BY 1)
+        |        ORDER BY f DESC, term LIMIT 20),
+        |ep AS (SELECT DISTINCT epoch FROM toks),
+        |cnt AS (SELECT term, epoch, CAST(count(*) AS BIGINT) AS n FROM toks
+        |        WHERE term IN (SELECT term FROM top) GROUP BY 1, 2),
+        |grid AS (SELECT t.term, CAST(e.epoch AS DOUBLE) AS x,
+        |           CAST(COALESCE(c.n, 0) AS DOUBLE) AS y
+        |         FROM top t CROSS JOIN ep e
+        |         LEFT JOIN cnt c ON c.term = t.term AND c.epoch = e.epoch),
+        |sl AS (SELECT a.term, CAST(round(1e6 * (b.y - a.y) / (b.x - a.x)) AS BIGINT) AS slope6
+        |       FROM grid a JOIN grid b ON a.term = b.term AND a.x < b.x),
+        |rk AS (SELECT term, slope6,
+        |         row_number() OVER (PARTITION BY term ORDER BY slope6) AS rn,
+        |         count(*) OVER (PARTITION BY term) AS np FROM sl),
+        |np2 AS (SELECT term, CAST(count(*) AS BIGINT) AS n_points FROM grid GROUP BY 1),
+        |med AS (SELECT rk.term, np2.n_points, CAST(rk.np AS BIGINT) AS n_pairs, rk.slope6
+        |        FROM rk JOIN np2 ON np2.term = rk.term
+        |        WHERE rk.rn = (rk.np + 1) // 2)
+        |SELECT term, n_points, n_pairs, slope6 FROM med
+        |ORDER BY slope6 DESC, term LIMIT 10""".stripMargin,
     // same per-user lag over arrival order
     "dq_out_of_order" ->
       """WITH l AS (SELECT event_type AS grp, ts,
