@@ -1695,6 +1695,20 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Phrase-match snippets (TextAnalysis.phraseSnippets): for every
+    // "table hash" match, the first hit position and a 3-token
+    // context cut from the doc's own token stream — the retrieval-UX
+    // companion of r_phrase_search; the text join is match-bounded,
+    // never a corpus scan
+    "r_snippet" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .phraseSnippets(
+          TextAnalysis.invertedIndex(docs, "text", "doc_id"),
+          docs, "text", "doc_id", Seq("table", "hash"), window = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // Trending terms: per-term robust trend across corpus-position
     // epochs (50-doc buckets; counts zero-filled over the full
     // epoch x term grid so an absent epoch reads as decline, not a
@@ -4997,6 +5011,24 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // adjacent-position join finds the same matches; 1-based slice
+    // bounds mirror Spark's clip-at-end slice semantics
+    "r_snippet" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, g.i - 1 AS p, tk[g.i] AS term
+        |        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g),
+        |m AS (SELECT a.doc_id, a.p AS start0
+        |      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |      WHERE a.term = 'table' AND b.term = 'hash'),
+        |f AS (SELECT doc_id, CAST(min(start0) AS BIGINT) AS first_pos FROM m GROUP BY 1)
+        |SELECT f.doc_id, f.first_pos,
+        |  array_to_string(
+        |    tk[greatest(1, CAST(f.first_pos AS INT) + 1 - 3) :
+        |       least(len(tk), greatest(1, CAST(f.first_pos AS INT) + 1 - 3) + 7)], ' ')
+        |    AS snippet
+        |FROM f JOIN tok ON tok.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     // same zero-filled epoch grid, same micro-rounded slopes and
     // lower-median pick, same (slope desc, term) top-10
     "t_trending" ->

@@ -434,12 +434,19 @@ object TextAnalysis {
     * arrays; a df-cap upstream (rareLineSurvivors-style) is the
     * guard if a phrase term is stopword-frequent.
     */
-  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseEnds(index, phrase)
+      .select(col("id"), size(col("__ends")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+
+  /** Shared phrase fold ending in (id, __ends) — the END positions of
+    * every full-phrase match (0-based, the index convention). */
+  private def phraseEnds(index: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val first = index
       .filter(col("term") === phrase.head)
       .select(col("id"), col("positions").as("__ends"))
-    val matched = phrase.tail.foldLeft(first) { (acc, term) =>
+    phrase.tail.foldLeft(first) { (acc, term) =>
       acc
         .join(
           index
@@ -452,9 +459,42 @@ object TextAnalysis {
             transform(col("__ends"), p => p + 1),
             col("__next")).as("__ends"))
     }
-    matched
-      .select(col("id"), size(col("__ends")).as("n_hits"))
-      .filter(col("n_hits") > 0)
+  }
+
+  /** Match snippets for a phrase query — the retrieval-UX companion
+    * of [[phraseSearch]]: per matching doc, the FIRST match position
+    * and a `window`-token context around it, cut from the document's
+    * own token stream. The phrase fold runs on the index (term-
+    * pruned postings only); the text join touches only the matched
+    * docs, so the snippet pass is match-bounded, never a corpus
+    * scan. Returns (id, first_pos 0-based, snippet).
+    */
+  def phraseSnippets(
+      index: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      phrase: Seq[String],
+      window: Int = 3): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val firstPos = phraseEnds(index, phrase)
+      .filter(size(col("__ends")) > 0)
+      .select(
+        col("id"),
+        (array_min(col("__ends")) - (phrase.length - 1)).cast("long").as("first_pos"))
+    firstPos
+      .join(
+        docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("__tk")),
+        Seq("id"))
+      .select(
+        col("id"),
+        col("first_pos"),
+        array_join(
+          slice(
+            col("__tk"),
+            greatest(lit(1), col("first_pos") + 1 - window).cast("int"),
+            lit(phrase.length + 2 * window)),
+          " ").as("snippet"))
   }
 
   /** BM25 scoring ENTIRELY off a persisted postings index (k1 = 1.2,

@@ -1088,6 +1088,22 @@ class OperatorsSpec extends SparkSpec {
     assert(id == Map(1L -> (2L, 10.0), 2L -> (1L, 5.0)))
   }
 
+  test("phraseSnippets: first hit wins, window clips at both document edges") {
+    val df = Seq(
+      (1L, "x a b y z w q"),     // hit at pos 1: window clips left
+      (2L, "p q r s t a b"),     // hit at pos 5: window clips right
+      (3L, "a b c a b")          // two hits -> first_pos 0
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(df, "text", "doc_id")
+    val got = TextAnalysis.phraseSnippets(idx, df, "text", "doc_id", Seq("a", "b"), window = 2)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "x a b y z w"),   // start clipped to token 1, 6 tokens
+      (2L, 5L, "s t a b"),       // right edge clips the window
+      (3L, 0L, "a b c a b")))    // first match; 6-token window covers all 5
+  }
+
   test("invertedIndex/phraseSearch: 3-term fold, overlaps count, absent term empty") {
     val docs = Seq(
       (1L, "a b c a b c"),   // "a b c" twice
