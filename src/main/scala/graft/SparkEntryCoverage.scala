@@ -1695,6 +1695,20 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Partition integrity manifest (Checks.partitionManifest): per
+    // event day, row count + order-free XOR content checksum over
+    // the portable row hash — the hand-off receipt both sides of a
+    // 100 TB export recompute and diff (lost file, duplicated retry
+    // batch, truncated copy all surface per partition without
+    // comparing rows)
+    "dq_manifest" -> { (s, dir) =>
+      Checks
+        .partitionManifest(
+          t(s, dir, "events"),
+          date_format(col("ts"), "yyyy-MM-dd"),
+          concat_ws(":", col("event_id"), col("user_id"), col("event_type")))
+        .orderBy(col("partition"))
+    },
     // Phrase-match snippets (TextAnalysis.phraseSnippets): for every
     // "table hash" match, the first hit position and a 3-token
     // context cut from the doc's own token stream — the retrieval-UX
@@ -5010,6 +5024,15 @@ object SparkEntryCoverage {
          |  CAST(1000000 * n_exact_dup_docs // n_docs AS BIGINT) AS exact_dup_ppm,
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
+    },
+    // same portable row hash, same order-free XOR fold
+    "dq_manifest" -> {
+      val h = sqlHash32(
+        "CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':' || event_type")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS partition,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(bit_xor($h) AS BIGINT) AS content_xor
+         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin
     },
     // adjacent-position join finds the same matches; 1-based slice
     // bounds mirror Spark's clip-at-end slice semantics

@@ -453,6 +453,27 @@ object Checks {
       .select(col("grp"), col("bucket"), col("n"), col("w_cnt"), col("z"), col("is_anomaly"))
   }
 
+  /** Partition integrity manifest — the hand-off receipt for a data
+    * export: per partition, the row count and an ORDER-FREE content
+    * checksum (bit_xor of the portable row hash — XOR commutes,
+    * associates and cannot overflow, so the checksum is identical on
+    * any partitioning, any engine, any row order; a SUM checksum
+    * would wrap engine-dependently under ANSI). The receiving side
+    * recomputes the manifest and diffs: a lost file, a duplicated
+    * retry batch, or a truncated copy all surface as a count or
+    * checksum mismatch per partition, without comparing a single
+    * row. One hash-aggregate over the export.
+    */
+  def partitionManifest(
+      df: DataFrame,
+      partitionCol: Column,
+      rowKey: Column): DataFrame =
+    df.select(partitionCol.as("partition"), Sampling.hash32(rowKey).as("__h"))
+      .groupBy(col("partition"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("content_xor"))
+
   /** Event-time disorder audit: per group, how many events arrived
     * with an event time EARLIER than the previous arrival's (lag
     * over the per-key arrival order) — the ingest-health metric that

@@ -436,6 +436,22 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L, 2L, 6L, 2L, 333333L, 1000000L)))
   }
 
+  test("partitionManifest: checksum is order/partitioning-invariant and change-sensitive") {
+    import graft.operators.Checks
+    val rows = Seq(("d1", "a"), ("d1", "b"), ("d1", "c"), ("d2", "x"))
+    def manifest(s: Seq[(String, String)], parts: Int) =
+      Checks.partitionManifest(
+        s.toDF("d", "k").repartition(parts), $"d", $"k")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m1 = manifest(rows, 1)
+    val m2 = manifest(scala.util.Random.shuffle(rows), 7)
+    assert(m1 == m2) // any order, any partitioning
+    val tampered = manifest(Seq(("d1", "a"), ("d1", "b"), ("d1", "Z"), ("d2", "x")), 2)
+    assert(tampered("d1")._1 == m1("d1")._1)  // same count...
+    assert(tampered("d1")._2 != m1("d1")._2)  // ...different checksum
+    assert(tampered("d2") == m1("d2"))
+  }
+
   test("outOfOrderAudit: regressions counted per arrival order, first arrival exempt") {
     import graft.operators.Checks
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
