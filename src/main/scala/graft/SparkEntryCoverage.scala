@@ -1839,6 +1839,16 @@ object SparkEntryCoverage {
           col("n_pairs"),
           (-col("slope6")).as("alpha6"))
     },
+    // Threshold sweep over the same canary (Dedup.canarySweep): one
+    // scored detector pass, each operating point reads recall AND
+    // pair volume off it — the tuning table whose knee picks the
+    // production threshold
+    "dd_threshold_sweep" -> { (s, dir) =>
+      Dedup
+        .canarySweep(
+          t(s, dir, "documents"), "text", "doc_id", 3, Seq(20, 35, 50, 65, 80))
+        .orderBy(col("threshold_pct"))
+    },
     // Detector canary (Dedup.canaryRecall): plant deterministic
     // dropout twins, run the REAL jaccard detector over corpus +
     // twins, report recovered-pair recall in exact ppm — the
@@ -5144,6 +5154,51 @@ object SparkEntryCoverage {
         |       CAST(np AS BIGINT) AS n_pairs,
         |       CAST(-slope6 AS BIGINT) AS alpha6
         |FROM m""".stripMargin,
+    // same twin chain scored once at the floor; per-threshold counts
+    // via jac6 >= pct*1e4 (exact integer comparisons)
+    "dd_threshold_sweep" -> {
+      val dropHash = sqlHash32("CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+      s"""WITH tokd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |pl AS (SELECT doc_id, tk FROM tokd WHERE doc_id % 10 = 0 AND len(tk) >= 10),
+         |kept AS (SELECT doc_id, tk[i] AS t, i
+         |         FROM pl, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g
+         |         WHERE $dropHash % 10 <> 0),
+         |tw AS (SELECT doc_id + 1000000 AS doc_id, text FROM (
+         |         SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+         |         FROM kept GROUP BY doc_id)),
+         |uni AS (SELECT doc_id, text FROM documents
+         |        UNION ALL SELECT doc_id, text FROM tw),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk FROM uni),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk)-2),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         |       FROM tok WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+         |         FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |scored AS (SELECT id_a, id_b,
+         |        CAST(1000000 * common // (sa.sz + sb.sz - common) AS BIGINT) AS jac6
+         |      FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2),
+         |th AS (SELECT CAST(unnest([20, 35, 50, 65, 80]) AS BIGINT) AS threshold_pct),
+         |expd AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM pl),
+         |hits AS (SELECT s.jac6 FROM scored s
+         |         JOIN expd ON s.id_a = expd.id_a AND s.id_b = expd.id_b),
+         |f AS (SELECT th.threshold_pct, CAST(count(h.jac6) AS BIGINT) AS n_found
+         |      FROM th LEFT JOIN hits h ON h.jac6 >= th.threshold_pct * 10000 GROUP BY 1),
+         |v AS (SELECT th.threshold_pct, CAST(count(s2.id_a) AS BIGINT) AS n_pairs_total
+         |      FROM th LEFT JOIN scored s2 ON s2.jac6 >= th.threshold_pct * 10000 GROUP BY 1),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM expd)
+         |SELECT th.threshold_pct, p.n_planted, f.n_found,
+         |       CAST(1000000 * f.n_found // p.n_planted AS BIGINT) AS recall_ppm,
+         |       v.n_pairs_total
+         |FROM th
+         |JOIN f ON f.threshold_pct = th.threshold_pct
+         |JOIN v ON v.threshold_pct = th.threshold_pct, p
+         |ORDER BY th.threshold_pct""".stripMargin
+    },
     // twins rebuilt with the same portable (doc_id, position) hash
     // dropout; the jaccard chain runs over documents UNION twins
     "dd_canary_recall" -> {

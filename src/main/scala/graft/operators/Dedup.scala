@@ -180,9 +180,16 @@ object Dedup {
               .hash32(concat(col(idCol), lit(":"), i)) % 10 =!= 0,
             t).otherwise(lit(null))),
       x => x.isNotNull)
-    val twins = planted.select(
-      (col(idCol) + 1000000L).as(idCol),
-      array_join(dropped, " ").as(textCol))
+    // LATERAL-ALIAS TRAP: computing `dropped` inside the select that
+    // re-aliases idCol would resolve the lambda's col(idCol) to the
+    // NEW +1e6 alias (Spark's lateral column alias wins over the
+    // input column here), silently keying the dropout on the twin id
+    // — withColumn pins evaluation against the ORIGINAL id first.
+    val twins = planted
+      .withColumn("__dropped", dropped)
+      .select(
+        (col(idCol) + 1000000L).as(idCol),
+        array_join(col("__dropped"), " ").as(textCol))
     val corpus = df.select(col(idCol), col(textCol)).unionByName(twins)
     val expected = planted.select(
       col(idCol).as("id_a"),
@@ -195,6 +202,80 @@ object Dedup {
       .withColumn(
         "recall_ppm",
         expr("CAST(1000000 * n_found div n_planted AS BIGINT)"))
+  }
+
+  /** [[canaryRecall]] swept across thresholds in ONE detector pass:
+    * pairs are scored once at the LOWEST swept threshold
+    * (explainJaccardPairs' exact integer jac6), then each operating
+    * point reads its recall and pair volume off the same scored
+    * table — the threshold-tuning evidence (recall falls, pair
+    * volume falls; pick the knee) without re-running the shingle
+    * pipeline per point. Thresholds are integer percents; floor-
+    * comparison on jac6 ≥ pct·1e4 is exact. Returns one row per
+    * threshold: (threshold_pct, n_planted, n_found, recall_ppm,
+    * n_pairs_total).
+    */
+  def canarySweep(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      thresholds: Seq[Int],
+      plantEvery: Int = 10): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100))
+    val toks = TextFns.tokens(col(textCol))
+    val planted = df.filter(col(idCol) % plantEvery === 0 && size(toks) >= 10)
+    val dropped = filter(
+      transform(
+        toks,
+        (t, i) =>
+          when(
+            graft.operators.Sampling
+              .hash32(concat(col(idCol), lit(":"), i)) % 10 =!= 0,
+            t).otherwise(lit(null))),
+      x => x.isNotNull)
+    // lateral-alias trap as in canaryRecall: dropout evaluates
+    // against the ORIGINAL id via withColumn, never the +1e6 alias
+    val twins = planted
+      .withColumn("__dropped", dropped)
+      .select(
+        (col(idCol) + 1000000L).as(idCol),
+        array_join(col("__dropped"), " ").as(textCol))
+    val corpus = df.select(col(idCol), col(textCol)).unionByName(twins)
+    val scored = explainJaccardPairs(
+      corpus, textCol, idCol, n, thresholds.min / 100.0)
+      .select(col("id_a"), col("id_b"), col("jac6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = planted.select(
+      col(idCol).as("id_a"),
+      (col(idCol) + 1000000L).as("id_b"))
+    val nPlanted = broadcast(expected.agg(count(lit(1)).as("n_planted")))
+    val ts = thresholds.sorted.map(t => lit(t.toLong))
+    val sweep = scored.sparkSession
+      .range(1)
+      .select(explode(array(ts: _*)).as("threshold_pct"))
+    val found = scored
+      .join(expected, Seq("id_a", "id_b"), "left_semi")
+      .crossJoin(sweep)
+      .filter(col("jac6") >= col("threshold_pct") * 10000L)
+      .groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_found"))
+    val volume = scored
+      .crossJoin(sweep.withColumnRenamed("threshold_pct", "__t"))
+      .filter(col("jac6") >= col("__t") * 10000L)
+      .groupBy(col("__t").as("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs_total"))
+    sweep
+      .join(found, Seq("threshold_pct"), "left")
+      .join(volume, Seq("threshold_pct"), "left")
+      .na.fill(0L, Seq("n_found", "n_pairs_total"))
+      .crossJoin(nPlanted)
+      .select(
+        col("threshold_pct"),
+        col("n_planted"),
+        col("n_found"),
+        expr("CAST(1000000 * n_found div n_planted AS BIGINT)").as("recall_ppm"),
+        col("n_pairs_total"))
   }
 
   /** The "why did these two match" audit view of
