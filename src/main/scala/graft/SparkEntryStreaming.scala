@@ -714,6 +714,42 @@ object SparkEntryStreaming {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // Streaming manifest maintenance: each micro-batch appends its
+    // per-partition (n, partial-XOR) rows to the receipt artifact;
+    // XOR and counts are both linear, so the merged table IS the
+    // batch manifest over the same rows — dq_manifest's oracle
+    // carries over verbatim (the st_hist_quantile pattern for the
+    // hand-off receipt: a stream can maintain the export checksum
+    // continuously, no state store)
+    "st_manifest" -> { (s, dir) =>
+      val mPath = s"/tmp/graft_idx/manst_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      graft.operators.Checks
+        .partitionManifest(
+          ev.filter(lit(false)),
+          date_format(col("ts"), "yyyy-MM-dd"),
+          concat_ws(":", col("event_id"), col("user_id"), col("event_type")))
+        .write.mode("overwrite").parquet(mPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Checks
+            .partitionManifest(
+              batch,
+              date_format(col("ts"), "yyyy-MM-dd"),
+              concat_ws(":", col("event_id"), col("user_id"), col("event_type")))
+            .write.mode("append").parquet(mPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(mPath)
+        .groupBy(col("partition"))
+        .agg(
+          sum(col("n_rows")).as("n_rows"),
+          expr("bit_xor(content_xor)").as("content_xor"))
+        .orderBy(col("partition"))
+    },
     // Streaming histogram-sketch maintenance: each micro-batch
     // appends its own 64-row fixed-grid partial (Sketches.histSketch)
     // to the parquet artifact — counter linearity makes the
@@ -959,6 +995,9 @@ object SparkEntryStreaming {
     // grid linearity: streamed partials SUM-merge to the batch build,
     // so the batch sketch's oracle is shared verbatim
     "st_hist_quantile" -> SparkEntryCoverage.oracleSql("a_hist_quantile"),
+    // XOR/count linearity: streamed partial receipts fold to the
+    // batch manifest — one oracle, two paths
+    "st_manifest" -> SparkEntryCoverage.oracleSql("dq_manifest"),
     // the staged split is deterministic by construction: batches 0-1
     // = [Jan 20, Jan 30) on time, batch 2 = (< Jan 10) ∪ (>= Jan 30);
     // by batch 2 the late-events watermark (which trails eviction by
