@@ -1895,6 +1895,24 @@ object SparkEntryCoverage {
         .benfordAudit(t(s, dir, "orders"), col("o_totalprice"))
         .orderBy(col("digit"))
     },
+    // Changepoint LOCATION per type (Series.changepointDaily): the
+    // binary-segmentation argmax that says WHERE the level shifted
+    // (w_cusum alarms THAT it shifted) — split gain maximized on
+    // rounded micro-units, earliest-day ties, reported as the first
+    // day of the new regime
+    "w_changepoint" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .changepointDaily(daily, "event_type", "day", "n")
+        .select(
+          col("event_type"),
+          col("n_days"),
+          date_format(col("change_day"), "yyyy-MM-dd").as("change_day"),
+          col("gain6"))
+        .orderBy(col("event_type"))
+    },
     // Gaps-and-islands coverage map (Relational.dayIslands): each
     // type's above-average activity days collapse into contiguous
     // runs (day - row_number constant within a run, exact epoch-day
@@ -5293,6 +5311,27 @@ object SparkEntryCoverage {
          |         - CAST(${Checks.benfordPpmSql("digit")} AS BIGINT) AS dev_ppm
          |FROM d, t ORDER BY digit""".stripMargin
     },
+    // same split-gain formula, same rounded argmax and earliest tie
+    "w_changepoint" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS st,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+        |    lead(day) OVER (PARTITION BY event_type ORDER BY day) AS next_d
+        |  FROM d),
+        |g AS (SELECT event_type, next_d, nn,
+        |    CAST(round(1e6 * CAST((nn*st - s*t) * (nn*st - s*t) AS DOUBLE)
+        |               / CAST(t * (nn - t) AS DOUBLE)) AS BIGINT) AS gain6
+        |  FROM cum WHERE t < nn),
+        |b AS (SELECT event_type, max(gain6) AS mg FROM g GROUP BY 1)
+        |SELECT g.event_type, CAST(g.nn AS BIGINT) AS n_days,
+        |       strftime(min(g.next_d), '%Y-%m-%d') AS change_day,
+        |       CAST(b.mg AS BIGINT) AS gain6
+        |FROM g JOIN b ON b.event_type = g.event_type AND g.gain6 = b.mg
+        |GROUP BY 1, 2, 4 ORDER BY 1""".stripMargin,
     // identical islands key (epoch-day minus row_number)
     "w_islands" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n

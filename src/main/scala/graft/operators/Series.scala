@@ -248,6 +248,58 @@ object Series {
       .select(col(keyCol), col("n_points"), col("n_pairs"), col("slope6"))
   }
 
+  /** Single-changepoint LOCATION per key over a daily series — the
+    * binary-segmentation step (Scott & Knott 1974 lineage) that
+    * complements [[Checks.cusum]]: CUSUM alarms that a level shift
+    * happened, this says WHERE. For each split t the separation gain
+    * is A(t) = (n·S_t − S·t)² / (t·(n−t)) (the scaled between-
+    * segment sum of squares; S_t = prefix sum), maximized over
+    * 1 ≤ t < n with ties to the EARLIEST day. gain6 = round(1e6·A):
+    * the numerator is exact integer arithmetic (safe while
+    * n·S < 2^26.5-ish, i.e. daily totals into the millions — the
+    * daily-series class this operates on), one double division +
+    * round per t, argmax on the rounded integer so the pick is
+    * deterministic. Windows partition by key over the DAILY table.
+    * Keys with < 2 days have no split and are absent. Returns
+    * (key, n_days, change_day = first day of the new regime, gain6).
+    */
+  def changepointDaily(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val base = daily
+      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(dayCol).as("d"), col(valueCol).cast("long").as("v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    val cum = base
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("st", sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .withColumn("s", sum(col("v")).over(Window.partitionBy(col("k"))))
+      .withColumn("next_d", lead(col("d"), 1).over(w))
+    val gains = cum
+      .filter(col("t") < col("n"))
+      .withColumn("__num", col("n") * col("st") - col("s") * col("t"))
+      .withColumn(
+        "gain6",
+        round(
+          lit(1e6) * (col("__num") * col("__num")).cast("double") /
+            (col("t") * (col("n") - col("t"))).cast("double"),
+          0).cast("long"))
+    val best = gains.groupBy(col("k")).agg(max(col("gain6")).as("mg"))
+    gains
+      .join(best, Seq("k"))
+      .filter(col("gain6") === col("mg"))
+      .groupBy(col("k"), col("n"), col("mg"))
+      .agg(min(col("next_d")).as("change_day"))
+      .select(
+        col("k").as(keyCol),
+        col("n").as("n_days"),
+        col("change_day"),
+        col("mg").as("gain6"))
+  }
+
   /** Day-of-week seasonal index over a daily series (day, value):
     * idx(dow) = avg(value | dow) / avg(value), reported in exact
     * micro-units via one cross-multiplied integer division —

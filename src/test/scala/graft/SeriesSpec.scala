@@ -151,6 +151,22 @@ class SeriesSpec extends SparkSpec {
       ("c", 2L, 1L, -2333333L)))
   }
 
+  test("changepointDaily: hand-computed split gain locates the regime shift") {
+    import graft.operators.Series
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    // 10,10,10,40,40: A(t) = (5*S_t - 110t)^2 / (t(5-t)):
+    // A(1)=900, A(2)=2400, A(3)=5400, A(4)=2025 -> split after day 3,
+    // change day = Jan 4, gain6 = 5400e6
+    val daily = Seq(
+      ("a", d(1), 10L), ("a", d(2), 10L), ("a", d(3), 10L),
+      ("a", d(4), 40L), ("a", d(5), 40L),
+      ("b", d(1), 7L) // single day: no split, absent
+    ).toDF("k", "day", "n")
+    val got = Series.changepointDaily(daily, "k", "day", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString, r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 5L, "2024-01-04", 5400000000L)))
+  }
+
   test("medianPairwiseSlope6: perfect Zipf scores slope -1e6; NaN axes excluded") {
     import graft.operators.Series
     // f = 8/r at r = 1, 2, 4: every ln-ln pairwise slope is exactly -1
