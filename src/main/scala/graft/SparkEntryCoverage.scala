@@ -1695,6 +1695,49 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Freshness lag per type: minutes between each type's newest
+    // event and the corpus's newest — the staleness board an ingest
+    // on-call reads ("purchases stopped 3 hours ago, clicks are
+    // current"). The reference clock is the CORPUS max, not
+    // wall-clock now(), so the report is deterministic and
+    // replayable; exact integer minutes from microsecond timestamps.
+    "dq_freshness" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val perType = ev
+        .groupBy(col("event_type"))
+        .agg(max(col("ts")).as("last_ts"))
+      val corpusMax = broadcast(ev.agg(max(col("ts")).as("__cm")))
+      perType
+        .crossJoin(corpusMax)
+        .select(
+          col("event_type"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          expr("CAST((unix_micros(__cm) - unix_micros(last_ts)) div 60000000 AS BIGINT)")
+            .as("lag_minutes"))
+        .orderBy(col("event_type"))
+    },
+    // Soft dedup: cluster-size inverse sampling weights — instead of
+    // DROPPING duplicates, down-weight them so a 10-copy template
+    // contributes ~one document's worth of mass to training
+    // (weight6 = 1e6 div cluster_size per member; singletons weigh
+    // 1e6). The sampling-side alternative to resolveClusters'
+    // hard excision, fed by the same closure labels.
+    "s_dup_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.clusterPairs(pairs)
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .join(sizes, Seq("cluster_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"),
+          expr("CAST(1000000 div coalesce(sz, CAST(1 AS BIGINT)) AS BIGINT)").as("weight6"))
+        .orderBy(col("doc_id"))
+    },
     // Partition integrity manifest (Checks.partitionManifest): per
     // event day, row count + order-free XOR content checksum over
     // the portable row hash — the hand-off receipt both sides of a
@@ -5053,6 +5096,23 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // corpus-max reference clock, integer minutes
+    "dq_freshness" ->
+      """WITH m AS (SELECT max(ts) AS cm FROM events),
+        |p AS (SELECT event_type, max(ts) AS last_ts FROM events GROUP BY 1)
+        |SELECT event_type, strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       CAST(epoch_us(cm - last_ts) // 60000000 AS BIGINT) AS lag_minutes
+        |FROM p, m ORDER BY event_type""".stripMargin,
+    // same closure labels; singletons weigh the full 1e6
+    "s_dup_weights" ->
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |$clusterCompSql,
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1),
+         |lab AS (SELECT comp.id, cs.sz FROM comp JOIN cs ON cs.cluster = comp.cluster)
+         |SELECT d.doc_id, COALESCE(lab.sz, 1) AS cluster_size,
+         |       CAST(1000000 // COALESCE(lab.sz, 1) AS BIGINT) AS weight6
+         |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // same portable row hash, same order-free XOR fold
     "dq_manifest" -> {
       val h = sqlHash32(
