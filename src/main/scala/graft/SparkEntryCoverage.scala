@@ -784,6 +784,44 @@ object SparkEntryCoverage {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     },
+    // Shortlist tuning curve for the two-stage RP retrieval — the
+    // vector-side sibling of dd_threshold_sweep: ONE projection pass
+    // ranks the corpus by integer projected dot; each shortlist size
+    // reads its recall@10 against the exact cosine top-10 off the
+    // same ranked table. The measured knee picks the production
+    // shortlist (same curve AnnRecallSpec pins: 0.5/0.6/0.8/1.0).
+    "v_recall_curve" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val proj = Similarity.randomProject(emb, "embedding", 64, 16)
+      val q = broadcast(
+        proj.filter(col("vec_id") === 0)
+          .select(col("rp").as("qrp"), col("embedding").as("qemb")))
+      val ranked = proj.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .withColumn("pscore", Similarity.intDot(col("rp"), col("qrp")))
+        .withColumn(
+          "prank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("pscore").desc, col("vec_id"))))
+        .withColumn("score", graft.functions.VectorFns.cosine(col("embedding"), col("qemb")))
+      val exactTop = ranked
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+      val sizes = s.range(1)
+        .select(explode(array(Seq(40, 80, 150, 200).map(x => lit(x.toLong)): _*)).as("shortlist"))
+      ranked
+        .join(exactTop, Seq("vec_id"), "left_semi")
+        .crossJoin(sizes)
+        .filter(col("prank") <= col("shortlist"))
+        .groupBy(col("shortlist"))
+        .agg(count(lit(1)).as("n_hits"))
+        .join(sizes, Seq("shortlist"), "right")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("recall_ppm", expr("CAST(1000000 * n_hits div 10 AS BIGINT)"))
+        .orderBy(col("shortlist"))
+    },
     // V2 scale path, recall variant — banded hyperplane LSH: 4 bands
     // × 4 bits, candidate on ANY full-band agreement (OR-of-ANDs),
     // exact-cosine verify. Strictly higher recall than the one-table
@@ -4824,6 +4862,39 @@ object SparkEntryCoverage {
          |SELECT vec_id, label, score FROM (
          | SELECT c.vec_id, c.label, ${sqlCosine("c.embedding", "q.qe")} AS score FROM cand c, q)
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    // same projection ranks, same exact-cosine top-10 reference
+    "v_recall_curve" -> {
+      val signs = Similarity.rpSigns(64, 16)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT $signs AS m),
+         |qv AS (SELECT vec_id, embedding,
+         |         list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |rp AS (SELECT vec_id, embedding,
+         |         list_transform(generate_series(1, 16), j ->
+         |           list_reduce(list_transform(generate_series(1, 64), i -> m[j][i] * q[i]),
+         |                       (a, b) -> a + b)) AS rp
+         |       FROM qv, s),
+         |qq AS (SELECT rp AS qrp, embedding AS qe FROM rp WHERE vec_id = 0),
+         |pd AS (SELECT r.vec_id, r.embedding,
+         |         list_reduce(list_transform(generate_series(1, 16), j -> r.rp[j] * qq.qrp[j]),
+         |                     (a, b) -> a + b) AS pscore,
+         |         ${sqlCosine("r.embedding", "qq.qe")} AS score
+         |       FROM rp r, qq WHERE r.vec_id <> 0),
+         |rkd AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY pscore DESC, vec_id) AS prank
+         |        FROM pd),
+         |ext AS (SELECT vec_id FROM rkd ORDER BY score DESC, vec_id LIMIT 10),
+         |sz AS (SELECT CAST(unnest([40, 80, 150, 200]) AS BIGINT) AS shortlist),
+         |h AS (SELECT sz.shortlist, CAST(count(r2.vec_id) AS BIGINT) AS n_hits
+         |      FROM sz LEFT JOIN (SELECT rkd.prank, rkd.vec_id FROM rkd
+         |                         JOIN ext ON ext.vec_id = rkd.vec_id) r2
+         |        ON r2.prank <= sz.shortlist
+         |      GROUP BY 1)
+         |SELECT shortlist, n_hits,
+         |       CAST(1000000 * n_hits // 10 AS BIGINT) AS recall_ppm
+         |FROM h ORDER BY shortlist""".stripMargin
     },
     // the identical ±1 sign matrix (Similarity.rpSigns) as a 2D SQL
     // literal; quantize/round parity follows the v_int8_quant idiom
