@@ -1733,6 +1733,16 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Topic-seam detection (TextAnalysis.topicBoundaries, the
+    // TextTiling cohesion idea): each doc's weakest adjacent-block
+    // seam by exact integer Jaccard — t_mixed_lang flags the
+    // concatenation artifact, this says WHERE to cut it
+    "t_segment" -> { (s, dir) =>
+      TextAnalysis
+        .topicBoundaries(t(s, dir, "documents"), "text", "doc_id", 6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // Freshness lag per type: minutes between each type's newest
     // event and the corpus's newest — the staleness board an ingest
     // on-call reads ("purchases stopped 3 hours ago, clicks are
@@ -5167,6 +5177,35 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // same block split (0-based pos * blocks div n), same integer
+    // seam jaccard, same earliest-tie argmin
+    "t_segment" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |base AS (SELECT doc_id, len(t) AS n, (g.i - 1) * 6 // len(t) AS blk, t[g.i] AS term
+        |         FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+        |         WHERE len(t) >= 12),
+        |sets AS (SELECT DISTINCT doc_id, n, blk, term FROM base),
+        |sizes AS (SELECT doc_id, n, blk, CAST(count(*) AS BIGINT) AS sz
+        |          FROM sets GROUP BY 1, 2, 3),
+        |common AS (SELECT a.doc_id, a.blk, CAST(count(*) AS BIGINT) AS c
+        |           FROM sets a JOIN sets b ON a.doc_id = b.doc_id
+        |             AND b.blk = a.blk + 1 AND a.term = b.term
+        |           GROUP BY 1, 2),
+        |seams AS (SELECT l.doc_id, l.n, l.blk, l.sz AS sz_l, r.sz AS sz_r,
+        |            COALESCE(c.c, 0) AS c
+        |          FROM sizes l JOIN sizes r ON r.doc_id = l.doc_id AND r.blk = l.blk + 1
+        |          LEFT JOIN common c ON c.doc_id = l.doc_id AND c.blk = l.blk
+        |          WHERE l.blk < 5),
+        |j AS (SELECT doc_id, n, blk,
+        |        CAST(1000000 * c // (sz_l + sz_r - c) AS BIGINT) AS jac6 FROM seams),
+        |w AS (SELECT doc_id, min(jac6) AS mj FROM j GROUP BY 1),
+        |p AS (SELECT j.doc_id, j.n, min(j.blk) AS blk, w.mj
+        |      FROM j JOIN w ON w.doc_id = j.doc_id AND j.jac6 = w.mj GROUP BY 1, 2, 4)
+        |SELECT doc_id, CAST(blk + 1 AS BIGINT) AS seam_block,
+        |       CAST((n * (blk + 1) + 5) // 6 AS BIGINT) AS seam_pos,
+        |       CAST(mj AS BIGINT) AS min_jac6
+        |FROM p ORDER BY doc_id""".stripMargin,
     // corpus-max reference clock, integer minutes
     "dq_freshness" ->
       """WITH m AS (SELECT max(ts) AS cm FROM events),

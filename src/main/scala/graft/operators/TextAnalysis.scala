@@ -984,6 +984,70 @@ object TextAnalysis {
       .select(col("id"), col("rank").cast("long").as("rank"), col("phrase"), col("score"))
   }
 
+  /** Topic-boundary detection per document (TextTiling's lexical-
+    * cohesion idea — Hearst 1997 — reduced to its oracle-checkable
+    * core): split each doc's token stream into `blocks` equal
+    * blocks, score every adjacent pair by exact integer Jaccard of
+    * their distinct-term sets, and report the WEAKEST seam — argmin
+    * (jac6 asc, earlier seam first) — plus its approximate token
+    * position. The actionable companion of [[mixedLanguage]]: that
+    * op flags a concatenation artifact, this one says where to cut
+    * it. Docs shorter than 2·blocks tokens are excluded (blocks
+    * would be degenerate). Work is per-doc bounded: one token
+    * explode, (doc, block, term)-distinct aggregates, and a
+    * blocks-bounded seam table per doc. Returns (id, seam_block
+    * 1-based, seam_pos = first token index of the right block,
+    * min_jac6).
+    */
+  def topicBoundaries(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blocks: Int = 6): DataFrame = {
+    require(blocks >= 2, "need at least 2 blocks")
+    val toks = TextFns.tokens(col(textCol))
+    val base = df
+      .filter(size(toks) >= 2 * blocks)
+      .select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "term")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .select(
+        col("id"),
+        col("n"),
+        expr(s"CAST(pos * $blocks div n AS BIGINT)").as("blk"),
+        col("term"))
+    val sets = base.select(col("id"), col("n"), col("blk"), col("term")).distinct()
+    val sizes = sets.groupBy(col("id"), col("n"), col("blk")).agg(count(lit(1)).as("sz"))
+    val common = sets.select(col("id"), col("blk"), col("term"))
+      .join(
+        sets.select(col("id"), (col("blk") - 1).as("blk"), col("term")),
+        Seq("id", "blk", "term"))
+      .groupBy(col("id"), col("blk"))
+      .agg(count(lit(1)).as("c"))
+    val seams = sizes
+      .filter(col("blk") < blocks - 1)
+      .select(col("id"), col("n"), col("blk"), col("sz").as("sz_l"))
+      .join(
+        sizes.select(col("id"), (col("blk") - 1).as("blk"), col("sz").as("sz_r")),
+        Seq("id", "blk"))
+      .join(common, Seq("id", "blk"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("jac6", expr("CAST(1000000 * c div (sz_l + sz_r - c) AS BIGINT)"))
+    // argmin via primitive hash-aggs + join-back (the SortAggregate
+    // discipline): min jac6 per doc, then the earliest tied seam
+    val worst = seams.groupBy(col("id")).agg(min(col("jac6")).as("mj"))
+    seams
+      .join(worst, Seq("id"))
+      .filter(col("jac6") === col("mj"))
+      .groupBy(col("id"), col("mj"))
+      .agg(min(col("blk")).as("blk"), max(col("n")).as("n"))
+      .select(
+        col("id"),
+        (col("blk") + 1).as("seam_block"),
+        // first token position of the right block: ceil(n*(blk+1)/blocks)
+        expr(s"CAST((n * (blk + 1) + ${blocks - 1}) div $blocks AS BIGINT)").as("seam_pos"),
+        col("mj").as("min_jac6"))
+  }
+
   /** Integer DCG rank weights in micro-units: w(r) = round(1e6 /
     * log2(r + 1)) for ranks 1..k. Computed ONCE here and injected
     * verbatim into the DuckDB oracle via [[ndcgWeightSql]], so both

@@ -1104,6 +1104,18 @@ class OperatorsSpec extends SparkSpec {
     assert(id == Map(1L -> (2L, 10.0), 2L -> (1L, 5.0)))
   }
 
+  test("topicBoundaries: the concatenation seam scores weakest; short docs excluded") {
+    // 12 tokens, 6 blocks of 2: first half repeats {a b}, second half
+    // {x y} -> seams inside halves jaccard 1e6, the seam between
+    // halves (block 2|3) jaccard 0 -> seam_block 3, seam_pos 6
+    val df = Seq(
+      (1L, "a b a b a b x y x y x y"),
+      (2L, "too short here")).toDF("doc_id", "text")
+    val got = TextAnalysis.topicBoundaries(df, "text", "doc_id", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 6L, 0L)))
+  }
+
   test("phraseSnippets: first hit wins, window clips at both document edges") {
     val df = Seq(
       (1L, "x a b y z w q"),     // hit at pos 1: window clips left
