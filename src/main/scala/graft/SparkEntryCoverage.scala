@@ -1733,6 +1733,16 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Kneser-Ney bigram perplexity (TextAnalysis.perplexityKn): the
+    // context-DIVERSITY upgrade of t_perplexity_bigram — continuation
+    // counts punish frequent-but-predictable words; D = 3/4 keeps
+    // every seen-bigram probability one exact integer ratio
+    "t_perplexity_kn" -> { (s, dir) =>
+      TextAnalysis
+        .perplexityKn(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // Topic-seam detection (TextAnalysis.topicBoundaries, the
     // TextTiling cohesion idea): each doc's weakest adjacent-block
     // seam by exact integer Jaccard — t_mixed_lang flags the
@@ -5177,6 +5187,47 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // same integer KN ratios; backoff decomposes as the same two
+    // separately-rounded micro-nat logs
+    "t_perplexity_kn" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS pos, tk[CAST(gs.i+1 AS INT)] AS term,
+        |          CASE WHEN gs.i = 0 THEN NULL ELSE tk[CAST(gs.i AS INT)] END AS prev
+        |        FROM tk, LATERAL (SELECT unnest(generate_series(0, len(tk)-1)) AS i) gs),
+        |vocab AS (SELECT term FROM tok GROUP BY 1),
+        |big AS (SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS cab FROM tok
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(SUM(cab) AS BIGINT) AS ca,
+        |          CAST(COUNT(*) AS BIGINT) AS nv FROM big GROUP BY 1),
+        |cont AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cw FROM big GROUP BY 1),
+        |sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big)
+        |             + (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS bv),
+        |contlp AS (SELECT v.term,
+        |    CAST(round(ln(CAST(COALESCE(c.cw, 0) + 1 AS DOUBLE) / CAST(bv AS DOUBLE)) * 1000000) AS BIGINT) AS pc6
+        |  FROM vocab v LEFT JOIN cont c ON c.term = v.term, sc),
+        |ctxlp AS (SELECT prev,
+        |    CAST(round(ln(3.0 * CAST(nv AS DOUBLE) / (4.0 * CAST(ca AS DOUBLE))) * 1000000) AS BIGINT) AS lam6
+        |  FROM ctx),
+        |bilp AS (SELECT b.prev, b.term,
+        |    CAST(round(ln(CAST((4*b.cab - 3) * bv + 3 * x.nv * (c.cw + 1) AS DOUBLE)
+        |                  / CAST(4 * x.ca * bv AS DOUBLE)) * 1000000) AS BIGINT) AS bi6
+        |  FROM big b JOIN ctx x ON x.prev = b.prev JOIN cont c ON c.term = b.term, sc),
+        |oc AS (SELECT CAST(round(ln(1.0 / CAST(bv AS DOUBLE)) * 1000000) AS BIGINT) AS oov6 FROM sc),
+        |scored AS (SELECT tok.doc_id,
+        |    CASE WHEN tok.pos = 0 THEN COALESCE(cl.pc6, oc.oov6)
+        |         WHEN b.bi6 IS NOT NULL THEN b.bi6
+        |         WHEN xl.lam6 IS NOT NULL THEN xl.lam6 + COALESCE(cl.pc6, oc.oov6)
+        |         ELSE COALESCE(cl.pc6, oc.oov6) END AS lp6
+        |  FROM tok
+        |  LEFT JOIN contlp cl ON cl.term = tok.term
+        |  LEFT JOIN bilp b ON b.prev = tok.prev AND b.term = tok.term
+        |  LEFT JOIN ctxlp xl ON xl.prev = tok.prev, oc)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(-SUM(lp6) AS BIGINT) AS nll_sum6,
+        |       round(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0), 6) AS mean_nll,
+        |       round(exp(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0)), 4) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same block split (0-based pos * blocks div n), same integer
     // seam jaccard, same earliest-tie argmin
     "t_segment" ->

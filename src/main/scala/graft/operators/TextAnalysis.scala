@@ -984,6 +984,95 @@ object TextAnalysis {
       .select(col("id"), col("rank").cast("long").as("rank"), col("phrase"), col("score"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) — the standard
+    * quality-filter LM, distinguished from the count-interpolated
+    * [[perplexityBigram]] by scoring a word's CONTEXT DIVERSITY
+    * ("Francisco" is frequent but follows only "San"; KN's
+    * continuation counts punish it as a unigram where raw frequency
+    * would not). Absolute discount D = 3/4, chosen so every seen-
+    * bigram probability is ONE exact integer ratio:
+    * {{{
+    *   pc(w)  = (N1+(·w) + 1) / (B + V)        add-one continuation
+    *   λ(v)   = D · N1+(v·) / c(v)
+    *   p(w|v) = [ (4·c(vw) − 3)·(B + V) + 3·N1+(v·)·(N1+(·w) + 1) ]
+    *            / ( 4·c(v)·(B + V) )
+    * }}}
+    * Backoff rows decompose as lam6(v) + pc6(w) — two SEPARATELY
+    * rounded micro-nat logs, a defined shared semantics (never an
+    * approximation of the unrounded product). Routing per pair:
+    * pos-0 → pc6 | seen bigram → the exact ratio | seen context →
+    * lam6 + pc6 | unseen context → pc6; an unseen term's pc6 is the
+    * 1/(B+V) constant. Dictionaries are type-bounded; (B, V) is the
+    * documented 1-row bootstrap. Returns the scoreBigramLm shape
+    * (id, n_tokens, nll_sum6, mean_nll, ppl).
+    */
+  def perplexityKn(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lmPairs = bigramPairs(
+        df.select(lit(0L).as("__lm_id"), col(textCol)), textCol, "__lm_id")
+      .select(col("prev"), col("term"))
+    val big = lmPairs
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term"))
+      .agg(count(lit(1)).as("cab"))
+      .persist(mem)
+    val ctx = big.groupBy(col("prev"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("nv"))
+    val cont = big.groupBy(col("term")).agg(count(lit(1)).as("cw"))
+    val vocab = lmPairs.groupBy(col("term")).agg(count(lit(1)).as("cnt")).persist(mem)
+    val scal = big.agg(count(lit(1)).as("b"))
+      .crossJoin(vocab.agg(count(lit(1)).as("v")))
+      .head()
+    val bv = (if (scal.isNullAt(0)) 0L else scal.getLong(0)) +
+      (if (scal.isNullAt(1)) 0L else scal.getLong(1))
+    require(bv > 0L, "perplexityKn: empty corpus")
+    val contLp = vocab
+      .join(cont, Seq("term"), "left")
+      .na.fill(0L, Seq("cw"))
+      .select(
+        col("term"),
+        round(log((col("cw") + 1L).cast("double") / lit(bv.toDouble)) * lit(1e6), 0)
+          .cast("long").as("pc6"))
+    val ctxLp = ctx.select(
+      col("prev"),
+      round(log(lit(3.0) * col("nv").cast("double") / (lit(4.0) * col("ca").cast("double"))) * lit(1e6), 0)
+        .cast("long").as("lam6"))
+    val biLp = big
+      .join(ctx, Seq("prev"))
+      .join(cont, Seq("term")) // every seen bigram's term IS a continuation
+      .select(
+        col("prev"),
+        col("term"),
+        round(
+          log(
+            ((lit(4L) * col("cab") - 3L) * bv +
+              lit(3L) * col("nv") * (col("cw") + 1L)).cast("double") /
+              (lit(4L) * col("ca") * bv).cast("double")) * lit(1e6),
+          0).cast("long").as("bi6"))
+    def half6(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val oovCont6 = half6(math.log(1.0 / bv))
+    val mean = col("nll_sum6").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
+    val lp = when(col("prev").isNull, coalesce(col("pc6"), lit(oovCont6)))
+      .when(col("bi6").isNotNull, col("bi6"))
+      .when(col("lam6").isNotNull, col("lam6") + coalesce(col("pc6"), lit(oovCont6)))
+      .otherwise(coalesce(col("pc6"), lit(oovCont6)))
+    bigramPairs(df, textCol, idCol)
+      .join(contLp, Seq("term"), "left")
+      .join(biLp, Seq("prev", "term"), "left")
+      .join(ctxLp, Seq("prev"), "left")
+      .select(col("id"), lp.as("__lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("__lp"))).as("nll_sum6"))
+      .select(
+        col("id"),
+        col("n_tokens"),
+        col("nll_sum6"),
+        round(mean, 6).as("mean_nll"),
+        round(exp(mean), 4).as("ppl"))
+  }
+
   /** Topic-boundary detection per document (TextTiling's lexical-
     * cohesion idea — Hearst 1997 — reduced to its oracle-checkable
     * core): split each doc's token stream into `blocks` equal

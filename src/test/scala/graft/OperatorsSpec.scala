@@ -1104,6 +1104,28 @@ class OperatorsSpec extends SparkSpec {
     assert(id == Map(1L -> (2L, 10.0), 2L -> (1L, 5.0)))
   }
 
+  test("perplexityKn: hand-computed ratio and the Francisco effect (context diversity)") {
+    // fit corpus: "a b", "c b", "d g", "d g" -> B=3 distinct bigrams,
+    // V=5 terms, bv=8. b and g are EQUALLY frequent (2 each) but b
+    // follows two contexts, g one: pc(b)=3/8 > pc(g)=2/8 — KN's whole
+    // point. Seen bigram (d,g): c=2, c(d)=2, N1+(d.)=1, N1+(.g)=1:
+    // p = ((4*2-3)*8 + 3*1*2)/(4*2*8) = 46/64.
+    val fit = Seq((1L, "a b"), (2L, "c b"), (3L, "d g"), (4L, "d g"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.perplexityKn(fit, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 3/4 "d g": nll = -(pc6(d) + bi6(d,g))
+    //   pc(d) = 1/8 -> -2079442; p(g|d) = 46/64 -> -330242
+    assert(scored(3L) == 2079442L + 330242L)
+    // Francisco effect via the backoff path: docs "x" scoring b vs g
+    val probe = fit.unionByName(Seq((10L, "b"), (11L, "g")).toDF("doc_id", "text"))
+    val lm = TextAnalysis.perplexityKn(probe, "text", "doc_id")
+    // refit on probe corpus shifts constants; compare b vs g scored
+    // under the SAME fit — fewer contexts must cost more nats
+    val p = lm.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p(11L) > p(10L), s"g (1 context) should out-cost b (2 contexts): $p")
+  }
+
   test("topicBoundaries: the concatenation seam scores weakest; short docs excluded") {
     // 12 tokens, 6 blocks of 2: first half repeats {a b}, second half
     // {x y} -> seams inside halves jaccard 1e6, the seam between
