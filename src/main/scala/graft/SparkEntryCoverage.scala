@@ -1996,6 +1996,17 @@ object SparkEntryCoverage {
         .benfordAudit(t(s, dir, "orders"), col("o_totalprice"))
         .orderBy(col("digit"))
     },
+    // Autocorrelation per type at lags 1-7 (Series.acfDaily): exact
+    // integer ACF — a weekly ingest rhythm reads as the lag-7 peak,
+    // the time-domain cross-check of w_seasonal's per-dow indexes
+    "w_acf" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .acfDaily(daily, "event_type", "day", "n", 7)
+        .orderBy(col("event_type"), col("lag"))
+    },
     // Changepoint LOCATION per type (Series.changepointDaily): the
     // binary-segmentation argmax that says WHERE the level shifted
     // (w_cusum alarms THAT it shifted) — split gain maximized on
@@ -5532,6 +5543,26 @@ object SparkEntryCoverage {
          |         - CAST(${Checks.benfordPpmSql("digit")} AS BIGINT) AS dev_ppm
          |FROM d, t ORDER BY digit""".stripMargin
     },
+    // same scaled-integer centering (n*x - S), same truncating division
+    "w_acf" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd, CAST(sum(cnt) AS BIGINT) AS s
+        |       FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, CAST(d.day - DATE '1970-01-01' AS BIGINT) AS dd,
+        |        st.nd * d.cnt - st.s AS c
+        |      FROM d JOIN st ON st.event_type = d.event_type),
+        |den AS (SELECT event_type, CAST(sum(c*c) AS BIGINT) AS den FROM c GROUP BY 1
+        |        HAVING sum(c*c) > 0),
+        |lg AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+        |p AS (SELECT a.event_type, lg.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(a.c * b.c) AS BIGINT) AS num
+        |      FROM c a JOIN c b ON a.event_type = b.event_type, lg
+        |      WHERE b.dd = a.dd + lg.lag GROUP BY 1, 2)
+        |SELECT p.event_type, p.lag, p.n_pairs,
+        |       CAST(1000000 * p.num // den.den AS BIGINT) AS acf6
+        |FROM p JOIN den ON den.event_type = p.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // same split-gain formula, same rounded argmax and earliest tie
     "w_changepoint" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n

@@ -248,6 +248,61 @@ object Series {
       .select(col(keyCol), col("n_points"), col("n_pairs"), col("slope6"))
   }
 
+  /** Autocorrelation of a daily series at lags 1..maxLag, in EXACT
+    * integer arithmetic: with n days, sum S and values x_t, the
+    * mean-centered products scale to integers as
+    * (n·x_t − S)(n·x_{t+ℓ} − S), so
+    * acf6(ℓ) = 1e6 · Σ_t (n·x_t − S)(n·x_{t+ℓ} − S)
+    *               div Σ_t (n·x_t − S)² — one integer division per
+    * lag, truncation toward zero on both engines, no float mean
+    * anywhere. A weekly ingest rhythm reads as the lag-7 peak (the
+    * ACF view of what [[seasonalIndexDow]] reports as per-dow
+    * indexes); a lag-1 spike is day-to-day stickiness. The lag join
+    * matches day = day + ℓ exactly — calendar gaps simply contribute
+    * no pair (documented; run [[Relational.dayIslands]] first if
+    * gaps matter). Keys with zero variance are excluded (acf
+    * undefined). Per key: one (n, S) agg + maxLag self-equi-joins on
+    * the daily table. Returns (key, lag, n_pairs, acf6).
+    */
+  def acfDaily(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val base = daily
+      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        col(keyCol).as("k"),
+        datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col(valueCol).cast("long").as("v"))
+    val stats = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val centered = base
+      .join(stats, Seq("k"))
+      .select(col("k"), col("d"), (col("n") * col("v") - col("s")).as("c"))
+    val den = centered
+      .groupBy(col("k"))
+      .agg(sum(col("c") * col("c")).as("den"))
+      .filter(col("den") > 0L)
+    val lags = base.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    val pairs = centered
+      .join(
+        centered.select(col("k"), col("d").as("d2"), col("c").as("c2")),
+        Seq("k"))
+      .join(broadcast(lags), col("d2") === col("d") + col("lag"))
+      .groupBy(col("k"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c") * col("c2")).as("num"))
+    pairs
+      .join(den, Seq("k"))
+      .select(
+        col("k").as(keyCol),
+        col("lag"),
+        col("n_pairs"),
+        expr("CAST(1000000 * num div den AS BIGINT)").as("acf6"))
+  }
+
   /** Single-changepoint LOCATION per key over a daily series — the
     * binary-segmentation step (Scott & Knott 1974 lineage) that
     * complements [[Checks.cusum]]: CUSUM alarms that a level shift

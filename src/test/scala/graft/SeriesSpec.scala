@@ -151,6 +151,22 @@ class SeriesSpec extends SparkSpec {
       ("c", 2L, 1L, -2333333L)))
   }
 
+  test("acfDaily: perfect alternation scores lag-1 -1e6 and lag-2 +1e6-ish; flat excluded") {
+    import graft.operators.Series
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    // alternating 0,10,0,10,0,10: every centered lag-1 product is
+    // negative and |num| = den-class; exact values: n=6, S=30,
+    // c_t = 6v-30 = ±30 alternating; den = 6*900 = 5400;
+    // lag1: 5 pairs each -900 -> num=-4500 -> acf6 = -833333
+    // lag2: 4 pairs each +900 -> num=+3600 -> acf6 = 666666
+    val daily = (1 to 6).map(i => ("a", d(i), if (i % 2 == 1) 0L else 10L)) ++
+      Seq(("flat", d(1), 5L), ("flat", d(2), 5L)) // zero variance: excluded
+    val got = Series.acfDaily(daily.toDF("k", "day", "n"), "k", "day", "n", 2)
+      .orderBy($"k", $"lag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 1L, 5L, -833333L), ("a", 2L, 4L, 666666L)))
+  }
+
   test("changepointDaily: hand-computed split gain locates the regime shift") {
     import graft.operators.Series
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
