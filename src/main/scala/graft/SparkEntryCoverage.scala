@@ -1996,6 +1996,26 @@ object SparkEntryCoverage {
         .benfordAudit(t(s, dir, "orders"), col("o_totalprice"))
         .orderBy(col("digit"))
     },
+    // Half-life-decayed engagement per user: each event weighs
+    // round(1e6 * 0.5^(age/7)) with the weights computed once in
+    // Scala and injected into BOTH plans (Series.decayWeights6) —
+    // recency scoring as exact integer sums, no pow() anywhere; the
+    // reference clock is the corpus max day (the dq_freshness rule)
+    "a_decay_engagement" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val ref = broadcast(ev.agg(max(to_date(col("ts"))).as("__ref")))
+      val ws = Series.decayWeights6(7, 60)
+      val wCol = ws.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wt, a)) =>
+        when(col("__age") === a.toLong, lit(wt)).otherwise(acc)
+      }
+      ev.select(col("user_id"), to_date(col("ts")).as("d"))
+        .crossJoin(ref)
+        .withColumn("__age", datediff(col("__ref"), col("d")).cast("long"))
+        .withColumn("__w", wCol)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("engagement6"))
+        .orderBy(col("user_id"))
+    },
     // Autocorrelation per type at lags 1-7 (Series.acfDaily): exact
     // integer ACF — a weekly ingest rhythm reads as the lag-7 peak,
     // the time-domain cross-check of w_seasonal's per-dow indexes
@@ -5542,6 +5562,16 @@ object SparkEntryCoverage {
          |       CAST(1000000 * n // nt AS BIGINT)
          |         - CAST(${Checks.benfordPpmSql("digit")} AS BIGINT) AS dev_ppm
          |FROM d, t ORDER BY digit""".stripMargin
+    },
+    // the identical injected decay table over the corpus-max clock
+    "a_decay_engagement" -> {
+      val wSql = Series.decayWeightSql(7, 60, "age")
+      s"""WITH m AS (SELECT CAST(max(ts) AS DATE) AS ref FROM events),
+         |e AS (SELECT user_id, CAST(ref - CAST(ts AS DATE) AS BIGINT) AS age
+         |      FROM events, m)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum($wSql) AS BIGINT) AS engagement6
+         |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin
     },
     // same scaled-integer centering (n*x - S), same truncating division
     "w_acf" ->

@@ -248,6 +248,26 @@ object Series {
       .select(col(keyCol), col("n_points"), col("n_pairs"), col("slope6"))
   }
 
+  /** Half-life decay weights in integer micro-units: w(a) =
+    * round(1e6 · 0.5^(a / halfLife)) for ages 0..maxAge days —
+    * computed ONCE here and injected as literals into both the
+    * engine plan and the oracle (the ndcgWeights shared-constant
+    * discipline), so recency scoring is exact integer accumulation
+    * with no pow() in either plan. Ages beyond maxAge weigh 0
+    * (fully decayed — the bounded-constant contract).
+    */
+  def decayWeights6(halfLifeDays: Int, maxAgeDays: Int): Seq[Long] = {
+    require(halfLifeDays >= 1 && maxAgeDays >= 0)
+    (0 to maxAgeDays).map(a =>
+      math.round(1e6 * math.pow(0.5, a.toDouble / halfLifeDays)))
+  }
+
+  /** Oracle-side mirror of [[decayWeights6]]. */
+  def decayWeightSql(halfLifeDays: Int, maxAgeDays: Int, ageExpr: String): String =
+    decayWeights6(halfLifeDays, maxAgeDays).zipWithIndex
+      .map { case (w, a) => s"WHEN $ageExpr = $a THEN $w" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
   /** Autocorrelation of a daily series at lags 1..maxLag, in EXACT
     * integer arithmetic: with n days, sum S and values x_t, the
     * mean-centered products scale to integers as

@@ -151,6 +151,15 @@ class SeriesSpec extends SparkSpec {
       ("c", 2L, 1L, -2333333L)))
   }
 
+  test("decayWeights6: unit at age 0, exactly half at one half-life, monotone to 0") {
+    import graft.operators.Series
+    val w = Series.decayWeights6(7, 60)
+    assert(w.head == 1000000L)
+    assert(w(7) == 500000L)
+    assert(w(14) == 250000L)
+    assert(w.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("acfDaily: perfect alternation scores lag-1 -1e6 and lag-2 +1e6-ish; flat excluded") {
     import graft.operators.Series
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
