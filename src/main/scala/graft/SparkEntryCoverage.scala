@@ -628,6 +628,45 @@ object SparkEntryCoverage {
         .ivfTopK(latest, "embedding", loadedCents, query, 10, 2)
         .select(col("vec_id"), col("label"), col("cell"), col("score"))
     },
+    // TIME TRAVEL over the same versioned index (Io.readIvfIndexAsOf):
+    // after the seq-1 upserts fix the stale vectors, an as-of-seq-0
+    // read serves the index EXACTLY as it stood before they landed —
+    // reproduce yesterday's retrieval for an audit, or bisect a
+    // quality regression to the batch that introduced it. The
+    // stamped-append layout makes this a filter, not a restore; the
+    // oracle ranks over the deliberately-stale corpus.
+    "v_ivf_asof" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toSeq
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus
+        .withColumn(
+          "embedding",
+          when(col("vec_id") % 5 === 0, reverse(col("embedding"))).otherwise(col("embedding")))
+      val idxPath = s"/tmp/graft_idx/ivf_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(
+        Similarity.ivfAssign(stale, "embedding", cents), cents, idxPath)
+      graft.sources.Io.upsertIvfIndex(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 5 === 0), "embedding", cents),
+        idxPath,
+        seq = 1L)
+      val (loadedCents, asOf) = graft.sources.Io.readIvfIndexAsOf(s, idxPath, "vec_id", 0L)
+      Similarity
+        .ivfTopK(asOf, "embedding", loadedCents, query, 10, 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("score"))
+    },
     // Tombstone deletes on the persisted IVF index (takedown /
     // right-to-be-forgotten): every 7th vector deleted at seq 1, the
     // 14th-multiples RE-UPSERTED at seq 2 (delete-then-restore — the
@@ -4854,6 +4893,34 @@ object SparkEntryCoverage {
     // are fully replaced by the seq-1 upsert, so the effective corpus
     // IS the plain embeddings table
     "v_ivf_upsert" -> ivfTopkOracle,
+    // the as-of-0 read serves the pre-upsert state: the oracle runs
+    // the same probe over the corpus with the stale (reversed)
+    // vectors the base index was deliberately built from
+    "v_ivf_asof" -> {
+      val be = "CASE WHEN b.vec_id % 5 = 0 THEN list_reverse(b.embedding) ELSE b.embedding END"
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |stale AS (SELECT b.vec_id, b.label, $be AS embedding
+         |          FROM embeddings b WHERE b.vec_id <> 0),
+         |scored AS (
+         | SELECT b.vec_id, b.label, b.embedding, c.cell,
+         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+         | FROM stale b CROSS JOIN cents c),
+         |assign AS (
+         | SELECT vec_id, label, embedding, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |probe AS (
+         | SELECT cell FROM (
+         |  SELECT c.cell, ${sqlCosine("c.ce", "q.qe")} AS sim FROM cents c, q
+         |  ORDER BY sim DESC, cell ASC LIMIT 2))
+         |SELECT a.vec_id, a.label, a.cell, ${sqlCosine("a.embedding", "q.qe")} AS score
+         |FROM assign a, q
+         |WHERE a.cell IN (SELECT cell FROM probe)
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin
+    },
     "v_lsh_pairs" -> {
       val bucketExpr = lshPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
       s"""WITH sig AS (

@@ -965,6 +965,36 @@ object Io {
     (cents, applyTombstones(latest, idCol, path))
   }
 
+  /** TIME TRAVEL over the seq-versioned IVF layout:
+    * [[readIvfIndexLatest]] restricted to upserts with
+    * `__seq <= asOfSeq` — the index exactly as it stood before later
+    * batches landed. The versioned upsert layout (stamped appends,
+    * never in-place rewrites) is what makes this a FILTER rather
+    * than a restore: reproduce yesterday's retrieval for an audit,
+    * bisect a quality regression to the batch that introduced it, or
+    * roll a bad upsert back by re-publishing its predecessor.
+    * Tombstones are NOT applied — deletes carry their own seq
+    * lifecycle and an as-of read predates them by definition of the
+    * audit use; compose with [[applyTombstones]] if needed.
+    */
+  def readIvfIndexAsOf(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      asOfSeq: Long): (Seq[Array[Double]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      .toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      .filter(col("__seq") <= asOfSeq)
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(cells, Seq(col(idCol)), Seq(col("__seq").desc))
+    (cents, latest)
+  }
+
   /** Persist a PQ index: `path/codebooks` (sub, cell, centroid) and
     * `path/codes` — the byte-coded corpus (the pq_* columns replace
     * the full vectors in the scan; keep the embedding column in

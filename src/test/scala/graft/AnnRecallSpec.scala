@@ -205,6 +205,19 @@ class AnnRecallSpec extends SparkSpec {
     got.foreach { case (id, emb) =>
       assert(emb == truthMap(id), s"vec $id kept a stale version")
     }
+    // time travel: as-of seq 0 serves EXACTLY the stale base state,
+    // and as-of the max seq equals the latest view (no tombstones)
+    val staleMap = stale.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    val (_, asOf0) = graft.sources.Io.readIvfIndexAsOf(spark, path, "vec_id", 0L)
+    asOf0.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]](1) == staleMap(r.getLong(0)),
+        s"as-of-0 should serve the pre-upsert state for vec ${r.getLong(0)}")
+    }
+    val (_, asOf1) = graft.sources.Io.readIvfIndexAsOf(spark, path, "vec_id", 1L)
+    asOf1.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]](1) == truthMap(r.getLong(0)))
+    }
   }
 
   test("persisted PQ index round-trips codebooks and codes exactly") {
