@@ -1772,6 +1772,17 @@ object SparkEntryCoverage {
         .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
         .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
     },
+    // Flesch reading-ease in exact milli-units
+    // (TextAnalysis.readability): the classic pre-LLM quality gate —
+    // integer divisions of exact sentence/word/vowel-group counts,
+    // with the vowel-run syllable proxy every dictionary-free
+    // implementation uses
+    "t_readability" -> { (s, dir) =>
+      TextAnalysis
+        .readability(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // Kneser-Ney bigram perplexity (TextAnalysis.perplexityKn): the
     // context-DIVERSITY upgrade of t_perplexity_bigram — continuation
     // counts punish frequent-but-predictable words; D = 3/4 keeps
@@ -5285,6 +5296,22 @@ object SparkEntryCoverage {
          |  CAST(1000 * n_tokens // n_docs AS BIGINT) AS tokens_per_doc_milli
          |FROM agg""".stripMargin
     },
+    // same counts, same integer divisions ('g' flag: DuckDB's
+    // regexp_replace is first-match unless global)
+    "t_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> length(trim(s)) > 0)) AS rs,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    length(regexp_replace(lower(text), '[aeiou]+', 'A', 'g'))
+        |      - length(regexp_replace(regexp_replace(lower(text), '[aeiou]+', 'A', 'g'),
+        |                              '[A]', '', 'g')) AS n_vg
+        |  FROM documents)
+        |SELECT doc_id, CAST(greatest(rs, 1) AS BIGINT) AS n_sents,
+        |  CAST(n_words AS BIGINT) AS n_words, CAST(n_vg AS BIGINT) AS n_vowel_groups,
+        |  CAST(206835 - (1015000 * n_words) // (1000 * greatest(rs, 1))
+        |       - (84600000 * n_vg) // (1000 * n_words) AS BIGINT) AS flesch3
+        |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // same integer KN ratios; backoff decomposes as the same two
     // separately-rounded micro-nat logs
     "t_perplexity_kn" ->

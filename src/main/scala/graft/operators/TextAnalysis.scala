@@ -984,6 +984,47 @@ object TextAnalysis {
       .select(col("id"), col("rank").cast("long").as("rank"), col("phrase"), col("score"))
   }
 
+  /** Flesch reading-ease in exact integer MILLI-units (Flesch 1948:
+    * 206.835 − 1.015·words/sentence − 84.6·syllables/word), with the
+    * syllable proxy every implementation without a dictionary uses —
+    * vowel-group runs. Both ratios are integer divisions of exact
+    * counts, so the score is engine-identical:
+    * {{{
+    *   flesch3 = 206835 − (1015·n_words·1000) div (n_sents·1000)
+    *                    − (84600·n_vg) div (1000·n_words) · 1000 …
+    * }}}
+    * concretely: 206835 − (1015000·n_words) div (1000·n_sents)
+    * − (84600000·n_vg) div (1000·n_words), all BIGINT. Sentences =
+    * non-empty [.!?]+ splits (min 1 for any non-empty doc); vowel
+    * groups counted by collapsing each [aeiou]+ run of the lowered
+    * text to one marker and counting markers (regex-replace parity,
+    * no per-word explode). A readability floor is the classic
+    * pre-LLM quality gate; the score also flags machine-generated
+    * run-on text (words/sentence explodes → score collapses). Docs
+    * with zero words are excluded. Returns (id, n_sents, n_words,
+    * n_vowel_groups, flesch3).
+    */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val sents = size(filter(split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0))
+    val words = TextFns.wordCount(col(textCol))
+    // collapse each vowel run of the LOWERED text to one uppercase
+    // marker (which cannot pre-exist post-lower), count the markers
+    val marked = regexp_replace(lowered, "[aeiou]+", "A")
+    val vg = (length(marked) - length(regexp_replace(marked, "[A]", ""))).cast("long")
+    df.filter(words > 0)
+      .select(
+        col(idCol).as("id"),
+        greatest(sents.cast("long"), lit(1L)).as("n_sents"),
+        words.cast("long").as("n_words"),
+        vg.as("n_vowel_groups"))
+      .withColumn(
+        "flesch3",
+        expr(
+          "CAST(206835 - (1015000 * n_words) div (1000 * n_sents)" +
+            " - (84600000 * n_vowel_groups) div (1000 * n_words) AS BIGINT)"))
+  }
+
   /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
     * Chen & Goodman 1999's interpolated form) — the standard
     * quality-filter LM, distinguished from the count-interpolated

@@ -1104,6 +1104,15 @@ class OperatorsSpec extends SparkSpec {
     assert(id == Map(1L -> (2L, 10.0), 2L -> (1L, 5.0)))
   }
 
+  test("readability: hand-counted sentences/words/vowel groups, exact milli Flesch") {
+    // 3 sentences, 6 words, 7 vowel runs:
+    // 206835 - 1015000*6 div 3000 - 84600000*7 div 6000 = 106105
+    val df = Seq((1L, "the cat sat. it ran! done"), (2L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 3L, 6L, 7L, 106105L))) // blank doc excluded
+  }
+
   test("perplexityKn: hand-computed ratio and the Francisco effect (context diversity)") {
     // fit corpus: "a b", "c b", "d g", "d g" -> B=3 distinct bigrams,
     // V=5 terms, bv=8. b and g are EQUALLY frequent (2 each) but b
