@@ -2046,6 +2046,36 @@ object SparkEntryCoverage {
         .benfordAudit(t(s, dir, "orders"), col("o_totalprice"))
         .orderBy(col("digit"))
     },
+    // Gini coefficient of revenue concentration across customers —
+    // the one-number inequality measure (how much of the corpus/
+    // revenue a few whales carry; the same math audits source
+    // concentration in a training mixture). Ranks from the range-
+    // partitioned globalRank (no global window); every SUM is an
+    // exact integer (dollar-quantized via the round-parity idiom),
+    // and only the final ratio is one double expression rounded to
+    // micro-units — identical op sequence both engines, double-exact
+    // while rank-weighted sums stay under 2^53 (dollars-scale
+    // corpora; a cents-scale formulation overflowed BIGINT products,
+    // which ANSI mode correctly refused to wrap).
+    "a_gini" -> { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT)")).as("dollars"))
+      val ranked = Relational.globalRank(
+        perCust.select(col("dollars"), col("o_custkey")),
+        Seq(col("dollars"), col("o_custkey")),
+        "rank")
+      ranked
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("dollars")).as("total"),
+          sum(col("rank") * col("dollars")).as("rc"))
+        .withColumn(
+          "gini6",
+          expr("CAST(round(1e6 * (2.0 * CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))" +
+            " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))) AS BIGINT)"))
+        .select(col("n"), col("total"), col("gini6"))
+    },
     // Half-life-decayed engagement per user: each event weighs
     // round(1e6 * 0.5^(age/7)) with the weights computed once in
     // Scala and injected into BOTH plans (Series.decayWeights6) —
@@ -5657,6 +5687,17 @@ object SparkEntryCoverage {
          |         - CAST(${Checks.benfordPpmSql("digit")} AS BIGINT) AS dev_ppm
          |FROM d, t ORDER BY digit""".stripMargin
     },
+    // same (dollars, custkey) total order, same rounded double ratio
+    "a_gini" ->
+      """WITH pc AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT dollars, row_number() OVER (ORDER BY dollars, o_custkey) AS rank FROM pc),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dollars) AS BIGINT) AS total,
+        |         CAST(sum(rank * dollars) AS BIGINT) AS rc FROM rk)
+        |SELECT n, total,
+        |  CAST(round(1e6 * (2.0 * CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+        |       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))) AS BIGINT) AS gini6
+        |FROM ag""".stripMargin,
     // the identical injected decay table over the corpus-max clock
     "a_decay_engagement" -> {
       val wSql = Series.decayWeightSql(7, 60, "age")
