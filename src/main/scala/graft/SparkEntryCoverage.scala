@@ -539,6 +539,26 @@ object SparkEntryCoverage {
     },
     // V2 scale path — IVF top-k: coarse-quantize into 4 cells
     // (centroids = vectors 1..4), probe the query's 2 nearest cells
+    // Matryoshka two-stage ANN (Similarity.matryoshkaTopK, Kusupati
+    // et al. 2022): prefix-8-dim cosine shortlists 50 of the 499
+    // candidates reading 1/8 of the vector bytes, then the exact
+    // 64-dim cosine re-ranks only the shortlist — the
+    // adaptive-retrieval scale path where full-width vectors never
+    // see corpus-wide work. Oracle replays both stages.
+    "v_matryoshka" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      Similarity
+        .matryoshkaTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          query, 8, 50, 10)
+    },
     "v_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val cents = emb
@@ -1045,6 +1065,51 @@ object SparkEntryCoverage {
         .crossJoin(broadcast(tok.agg(countDistinct(col("term")).as("n_exact"))))
         .select(col("n_exact"), col("n_seen"), col("kmv_est"))
     },
+    // HyperLogLog distinct estimate (Sketches.hllRegisters/
+    // hllEstimate, Flajolet et al. 2007) — the portable-register
+    // variant next to KMV: per-returnflag distinct order counts from
+    // 2^10-register sketches published against the exact counts, on a
+    // key populous enough (~4k-7.5k distinct per flag at sf0.01) to
+    // exercise the RAW harmonic-mean estimator, not just the
+    // linear-counting floor (a_hll_merged's 31-term vocabulary covers
+    // that branch). Registers are integer-exact on both engines
+    // (bucket/rho off the shared md5-slice hash, bit_length via
+    // bin()); the estimate's only float ops are one shared-literal
+    // division and the linear-counting ln, rounded to a whole BIGINT.
+    "a_hll_distinct" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      Sketches
+        .hllEstimate(
+          Sketches.hllRegisters(li, Seq(col("l_returnflag")), col("l_orderkey"), 10),
+          10,
+          Seq(col("l_returnflag")))
+        .join(
+          li.groupBy(col("l_returnflag"))
+            .agg(countDistinct(col("l_orderkey")).as("n_exact")),
+          "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"), col("n_occupied"), col("hll_est"))
+        .orderBy(col("l_returnflag"))
+    },
+    // Mergeable persisted HLL registers (Sketches.hllMerge): per-source
+    // register tables written once as a parquet artifact, then the
+    // corpus-wide estimate max-merges from the ARTIFACT (2^p-bounded
+    // rows) instead of rescanning the token stream. Register max is
+    // the lossless union, so the merged estimate must equal a
+    // full-rescan global build — which is exactly how the oracle
+    // computes it (the kmv_merged discipline on the fixed-size sketch).
+    "a_hll_merged" -> { (s, dir) =>
+      val regPath = s"/tmp/graft_idx/hll_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tok = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+      Sketches
+        .hllRegisters(tok, Seq(col("source")), col("term"), 10)
+        .write.mode("overwrite").parquet(regPath)
+      Sketches
+        .hllEstimate(Sketches.hllMerge(s.read.parquet(regPath)), 10)
+        .crossJoin(broadcast(tok.agg(countDistinct(col("term")).as("n_exact"))))
+        .select(col("n_exact"), col("n_occupied"), col("hll_est"))
+    },
     // KMV set-operation overlap estimate (Sketches.kmvOverlapEstimate
     // — Beyer et al. 2007): customer-key overlap between the urgent
     // and the fulfilled order populations (genuinely partial overlap
@@ -1513,6 +1578,37 @@ object SparkEntryCoverage {
           col("rank_b").as("vec_rank"),
           col("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    // Rank-biased overlap between the two retrieval legs
+    // (TextAnalysis.rboTable, Webber et al. 2010): how differently
+    // the lexical BM25 ranker and the vector ranker order their
+    // top-10 — top-weighted (rank-1 disagreement costs most) and
+    // native to non-conjoint lists, the ship/no-ship ranker
+    // comparison a Kendall tau over the union gets wrong. Depth
+    // weights injected once in micro-units; per-depth terms exact
+    // integers; cumulative rbo6 over the 10-row grid.
+    "r_rbo" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val lex = bm25Scores(docs, Seq("data", "join"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+        .withColumn(
+          "rank",
+          row_number().over(w.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val qv = VectorFns.embedText(lit("data join window"), 16)
+      val vec = docs
+        .select(
+          col("doc_id"),
+          VectorFns.cosine(VectorFns.embedText(col("text"), 16), qv).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .withColumn(
+          "rank",
+          row_number().over(w.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      TextAnalysis
+        .rboTable(lex, vec, "doc_id", "rank", 10, 0.9)
+        .orderBy(col("d"))
     },
     // Hybrid retrieval with the LEXICAL leg entirely off the
     // persisted postings artifact (TextAnalysis.bm25FromPostings —
@@ -2676,6 +2772,31 @@ object SparkEntryCoverage {
     // analog; TPC-H orders carry <= 7 parts). Triangle counts are a
     // pure graph property, so the oracle's plain id-ordered join must
     // agree exactly with the engine's degree-oriented one.
+    // HITS hubs/authorities (Graph.hits, Kleinberg 1999) over the
+    // DIRECTED bipartite buyer→supplier graph (customer places line
+    // items with supplier): authoritative suppliers are those bought
+    // from by high-hub customers, mutually recursive with customer
+    // hub scores — the two-sided ranking one PageRank can't express.
+    // Supplier ids mapped to -(suppkey+1) in the shared node universe
+    // (the operator's documented bipartite contract — suppkey 0 exists
+    // in this data, so a bare sign flip would collide with customer 0); exact integer
+    // L1-normalized fixed point, 5 rounds; top-15 authorities
+    // published.
+    "g_hits" -> { (s, dir) =>
+      val edges = t(s, dir, "lineitem")
+        .join(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").as("src"),
+          (-col("l_suppkey") - 1).as("dst"))
+      Graph
+        .hits(edges, 5)
+        .filter(col("id") < 0)
+        .select((-col("id") - 1).as("suppkey"), col("auth6"))
+        .orderBy(col("auth6").desc, col("suppkey"))
+        .limit(15)
+    },
     "g_triangles" -> { (s, dir) =>
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -4388,15 +4509,20 @@ object SparkEntryCoverage {
     * leg's doc universe — TRUE for the corpus-scan path, the
     * non-empty predicate for the index-resident lexical leg.
     */
-  private def hybridRrfOracle(lexDocPred: String): String = {
+  /** The 16-bucket embedText mirror in DuckDB — blank docs guarded to
+    * the zero vector exactly as VectorFns.embedText does (an
+    * unguarded regexp_split would give them a unit vector at
+    * md5('')'s bucket). Shared by the hybrid and RBO oracles.
+    */
+  private def sqlEmbed16(src: String): String = {
     val bucket = "((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) % 16)"
-    // blank docs mirror embedText's guarded tokens (zero vector) —
-    // an unguarded regexp_split would give them a unit vector at
-    // md5('')'s bucket
-    def vexpr(src: String) =
-      s"CASE WHEN length(trim($src)) = 0 THEN list_transform(generate_series(0, 15), j -> 0.0) " +
-        s"ELSE list_transform(generate_series(0, 15), j -> CAST(len(list_filter(" +
-        s"regexp_split_to_array(trim($src), '\\s+'), t -> $bucket = j)) AS DOUBLE)) END"
+    s"CASE WHEN length(trim($src)) = 0 THEN list_transform(generate_series(0, 15), j -> 0.0) " +
+      s"ELSE list_transform(generate_series(0, 15), j -> CAST(len(list_filter(" +
+      s"regexp_split_to_array(trim($src), '\\s+'), t -> $bucket = j)) AS DOUBLE)) END"
+  }
+
+  private def hybridRrfOracle(lexDocPred: String): String = {
+    def vexpr(src: String) = sqlEmbed16(src)
     s"""WITH ${bm25Sql(Seq("data", "join"), lexDocPred)},
        |lexr AS (SELECT doc_id, ra FROM (
        |   SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra FROM bm)
@@ -4412,6 +4538,34 @@ object SparkEntryCoverage {
        |      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
        |SELECT doc_id, ra AS lex_rank, rb AS vec_rank, rrf FROM f
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** RBO replayed: the same two top-10 rank lists, the same injected
+    * micro-unit depth weights (TextAnalysis.rboWeights — ONE power
+    * chain, shared verbatim), per-depth exact-integer terms, running
+    * sum over the 10-row grid.
+    */
+  private def rboOracle: String = {
+    val w6 = graft.operators.TextAnalysis.rboWeights(10, 0.9)
+    val vals = (1 to 10).map(d => s"(${d}, ${w6(d - 1)})").mkString(", ")
+    s"""WITH ${bm25Sql(Seq("data", "join"), "TRUE")},
+       |lexr AS (SELECT doc_id, ra FROM (
+       |   SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra FROM bm)
+       |   WHERE ra <= 10),
+       |vvec AS (SELECT doc_id, ${sqlEmbed16("text")} AS v FROM documents),
+       |qvec AS (SELECT ${sqlEmbed16("'data join window'")} AS qv),
+       |vscore AS (SELECT doc_id, ${sqlCosine("v", "qv")} AS score FROM vvec, qvec),
+       |vecr AS (SELECT doc_id, rb FROM (
+       |   SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb FROM vscore)
+       |   WHERE rb <= 10),
+       |bothr AS (SELECT l.doc_id, l.ra, v.rb FROM lexr l JOIN vecr v USING (doc_id)),
+       |wt(d, w6) AS (VALUES $vals),
+       |ov AS (SELECT wt.d, wt.w6, CAST(count(b.doc_id) AS BIGINT) AS n_overlap
+       |       FROM wt LEFT JOIN bothr b ON b.ra <= wt.d AND b.rb <= wt.d GROUP BY 1, 2),
+       |tm AS (SELECT d, n_overlap, w6, CAST(w6 * n_overlap // d AS BIGINT) AS term6 FROM ov)
+       |SELECT CAST(d AS BIGINT) AS d, n_overlap, CAST(w6 AS BIGINT) AS w6, term6,
+       |  CAST(sum(term6) OVER (ORDER BY d) AS BIGINT) AS rbo6
+       |FROM tm ORDER BY d""".stripMargin
   }
 
   /** Shared semdedup oracle chain (banded-LSH candidates → 0.45
@@ -4919,6 +5073,20 @@ object SparkEntryCoverage {
         | CAST(0 AS BIGINT) AS total_tables,
         | CAST(12 AS BIGINT) AS word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // both matryoshka stages replayed: prefix-slice cosine shortlist
+    // of 50 (ties on vec_id), exact full-width rerank of the
+    // shortlist only
+    "v_matryoshka" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pre AS (SELECT vec_id, embedding,
+         |          ${sqlCosine("embedding[1:8]", "qe[1:8]")} AS prefix_score
+         |        FROM embeddings, q WHERE vec_id <> 0),
+         |short AS (SELECT vec_id, embedding, prefix_score FROM (
+         |   SELECT *, row_number() OVER (ORDER BY prefix_score DESC, vec_id) AS rn FROM pre)
+         |   WHERE rn <= 50)
+         |SELECT vec_id, prefix_score, ${sqlCosine("embedding", "qe")} AS score
+         |FROM short, q
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "v_ivf_topk" -> ivfTopkOracle,
     // identical semantics to v_ivf_topk by construction: the persisted
     // index must round-trip to the same assignment and ranking
@@ -5153,6 +5321,7 @@ object SparkEntryCoverage {
       s"""WITH ${bm25Sql(Seq("data", "join"), "length(trim(text)) > 0")}
          |SELECT doc_id, bm25 FROM bm ORDER BY doc_id""".stripMargin,
     "r_hybrid_rrf" -> hybridRrfOracle("TRUE"),
+    "r_rbo" -> rboOracle,
     // hybrid with the lexical leg off the persisted postings index —
     // BM25 over the indexed (non-empty-doc) universe
     "r_hybrid_persisted" -> hybridRrfOracle("length(trim(text)) > 0"),
@@ -5813,8 +5982,9 @@ object SparkEntryCoverage {
     // same cross-multiplied integer index; DuckDB's dayofweek is
     // already 0=Sunday (Spark's minus 1)
     "w_seasonal" ->
-      """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),
+        |d AS (SELECT day, n FROM d0 WHERE day IS NOT NULL AND n IS NOT NULL),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nd FROM d),
         |g AS (SELECT dayofweek(day) AS dow, CAST(count(*) AS BIGINT) AS n_days,
         |        CAST(sum(n) AS BIGINT) AS sum_n FROM d GROUP BY 1)
@@ -6031,6 +6201,28 @@ object SparkEntryCoverage {
          |  UNION ALL SELECT id, 3 FROM f3)
          |ORDER BY doc_id""".stripMargin,
     // the same 6 peeling rounds unrolled as CTEs
+    // HITS unrolled: per round the a-side sum/normalize then the
+    // h-side, all BIGINT with // (truncating division on
+    // non-negatives == the engine's div), the same 1e6 unit
+    "g_hits" -> {
+      val rounds = (1 to 5).map { r =>
+        val ph = if (r == 1) "h0" else s"h${r - 1}"
+        s"""a${r}r AS MATERIALIZED (SELECT dst AS id, CAST(sum(h) AS BIGINT) AS ar
+           |  FROM e JOIN $ph ON e.src = $ph.id GROUP BY 1),
+           |sa$r AS (SELECT CAST(sum(ar) AS BIGINT) AS s FROM a${r}r),
+           |a$r AS MATERIALIZED (SELECT id, CAST(ar * 1000000 // s AS BIGINT) AS a FROM a${r}r, sa$r),
+           |h${r}r AS MATERIALIZED (SELECT src AS id, CAST(sum(a) AS BIGINT) AS hr
+           |  FROM e JOIN a$r ON e.dst = a$r.id GROUP BY 1),
+           |sh$r AS (SELECT CAST(sum(hr) AS BIGINT) AS s FROM h${r}r),
+           |h$r AS MATERIALIZED (SELECT id, CAST(hr * 1000000 // s AS BIGINT) AS h FROM h${r}r, sh$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS h FROM e),
+         |$rounds
+         |SELECT CAST(-id - 1 AS BIGINT) AS suppkey, a AS auth6 FROM a5
+         |ORDER BY auth6 DESC, suppkey LIMIT 15""".stripMargin
+    },
     "g_kcore" -> {
       val rounds = (1 to 6).map { r =>
         val prev = if (r == 1) "e0" else s"e${r - 1}"
@@ -6909,6 +7101,53 @@ object SparkEntryCoverage {
          |       CASE WHEN n_seen < $k THEN CAST(n_seen AS DOUBLE)
          |            ELSE ${(k - 1).toDouble * 4294967296.0} / CAST(hk AS DOUBLE) END AS kmv_est
          |FROM ex, agg""".stripMargin
+    },
+    // HLL registers replayed integer-exactly (bucket = h // 2^22,
+    // rho via bin-length), the same alpha literal, one double
+    // division + the linear-counting ln, round-then-cast
+    "a_hll_distinct" -> {
+      val alphaNum = Sketches.hllAlpha(10) * 1024.0 * 1024.0 * 8589934592.0
+      s"""WITH hh AS (SELECT DISTINCT l_returnflag, ${sqlHash32("l_orderkey")} AS h FROM lineitem),
+         |rg AS (SELECT l_returnflag, h // 4194304 AS bucket,
+         |         CASE WHEN h % 4194304 = 0 THEN CAST(23 AS BIGINT)
+         |              ELSE CAST(23 - length(bin(h % 4194304)) AS BIGINT) END AS rho
+         |       FROM hh),
+         |reg AS (SELECT l_returnflag, bucket, max(rho) AS r FROM rg GROUP BY 1, 2),
+         |ag AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_occupied,
+         |         CAST(sum(8589934592 // (CAST(1 AS BIGINT) << CAST(r AS INT))) AS BIGINT) AS s_occ
+         |       FROM reg GROUP BY 1),
+         |es AS (SELECT l_returnflag, n_occupied,
+         |         $alphaNum / CAST(s_occ + (1024 - n_occupied) * 8589934592 AS DOUBLE) AS raw,
+         |         1024 - n_occupied AS zeros FROM ag),
+         |ex AS (SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+         |       FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n_exact, n_occupied,
+         |  CAST(round(CASE WHEN raw <= ${2.5 * 1024.0} AND zeros > 0
+         |       THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 0) AS BIGINT) AS hll_est
+         |FROM es JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+    },
+    // global HLL by full rescan — the merged-register path must agree
+    "a_hll_merged" -> {
+      val alphaNum = Sketches.hllAlpha(10) * 1024.0 * 1024.0 * 8589934592.0
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |hh AS (SELECT DISTINCT ${sqlHash32("term")} AS h FROM tok),
+         |rg AS (SELECT h // 4194304 AS bucket,
+         |         CASE WHEN h % 4194304 = 0 THEN CAST(23 AS BIGINT)
+         |              ELSE CAST(23 - length(bin(h % 4194304)) AS BIGINT) END AS rho
+         |       FROM hh),
+         |reg AS (SELECT bucket, max(rho) AS r FROM rg GROUP BY 1),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+         |         CAST(sum(8589934592 // (CAST(1 AS BIGINT) << CAST(r AS INT))) AS BIGINT) AS s_occ
+         |       FROM reg),
+         |es AS (SELECT n_occupied,
+         |         $alphaNum / CAST(s_occ + (1024 - n_occupied) * 8589934592 AS DOUBLE) AS raw,
+         |         1024 - n_occupied AS zeros FROM ag),
+         |ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM tok)
+         |SELECT n_exact, n_occupied,
+         |  CAST(round(CASE WHEN raw <= ${2.5 * 1024.0} AND zeros > 0
+         |       THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 0) AS BIGINT) AS hll_est
+         |FROM es, ex""".stripMargin
     },
     // the estimator replayed on the raw keys: per-side 64 smallest
     // distinct hashes, union rank, buffer-membership flags

@@ -484,6 +484,17 @@ object Checks {
     * source long before downstream windows misbehave. Arrival order
     * must be a total order per key (an arrival sequence id); the
     * first arrival per key has no predecessor and never counts.
+    * SEMANTICS PINNED: the arrival order is per KEY across ALL
+    * groups — the lag window partitions by keyCol only, so when one
+    * key spans several groups (e.g. a user across event types) the
+    * previous-arrival comparison deliberately crosses group
+    * boundaries and the regression is charged to the LATER event's
+    * group. That is the producer-clock reading this audit exists
+    * for: a replayed or skew-clocked producer (the key) is disordered
+    * regardless of which stream its events land in, and the group
+    * column only attributes WHERE the damage surfaced. Callers who
+    * want strictly per-group order should pass a composite key
+    * (e.g. struct(groupCol, keyCol)) as keyCol instead.
     * One key-partitioned lag window + a group hash-agg; ppm exact
     * integer. Returns (group, n_events, n_regressions,
     * regression_ppm).

@@ -148,6 +148,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** One-row broadcast guard for the canary twin-id range: the plan
+    * FAILS FAST (assert_true) if any real id reaches `twinOffset`,
+    * because a twin id colliding with a real doc id would silently
+    * corrupt the unioned corpus's shingle sets and the reported
+    * recall — the class of bug that never throws and always skews.
+    * Empty input passes (no ids, no collision). One column-pruned
+    * max() over the id column, broadcast back onto the corpus and
+    * asserted via the filter(assert_true(...).isNull) idiom
+    * ([[Similarity]]'s dimension check) — a bare projected guard
+    * column would be column-pruned away and never evaluate.
+    */
+  private def withTwinGuard(
+      corpus: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      twinOffset: Long): DataFrame =
+    corpus
+      .crossJoin(broadcast(df.agg(max(col(idCol)).cast("long").as("__max_id"))))
+      .filter(
+        assert_true(
+          coalesce(col("__max_id") < lit(twinOffset), lit(true)),
+          concat(
+            lit(s"canary twinOffset $twinOffset must exceed max($idCol) = "),
+            col("__max_id").cast("string"))).isNull)
+      .drop("__max_id")
+
   /** Measurement-in-production for the near-dup detector: plant
     * deterministic paraphrase twins (every `plantEvery`-th doc with
     * ≥ 10 tokens, ~10% token dropout keyed by the portable hash32 of
@@ -159,6 +185,14 @@ object Dedup {
     * work. Returns one row (n_planted, n_found, recall_ppm exact
     * integer). The dropout is map-only; the detector pays its normal
     * cost over a corpus ~1/plantEvery larger.
+    *
+    * Twin ids are real id + `twinOffset`; a collision with a real
+    * doc id would corrupt the unioned corpus's shingle sets and
+    * silently skew recall_ppm, so the plan carries a guard that
+    * FAILS FAST (assert_true over a broadcast one-row max(id) — the
+    * documented bounded-BNLJ class) whenever max(id) ≥ twinOffset.
+    * On a corpus with ids ≥ the default 1e6, pass a larger
+    * twinOffset instead of disabling the guard.
     */
   def canaryRecall(
       df: DataFrame,
@@ -166,8 +200,10 @@ object Dedup {
       idCol: String,
       n: Int,
       threshold: Double,
-      plantEvery: Int = 10): DataFrame = {
+      plantEvery: Int = 10,
+      twinOffset: Long = 1000000L): DataFrame = {
     require(plantEvery >= 2, "plantEvery must be >= 2")
+    require(twinOffset > 0L, "twinOffset must be positive")
     val toks = TextFns.tokens(col(textCol))
     val planted = df
       .filter(col(idCol) % plantEvery === 0 && size(toks) >= 10)
@@ -188,12 +224,14 @@ object Dedup {
     val twins = planted
       .withColumn("__dropped", dropped)
       .select(
-        (col(idCol) + 1000000L).as(idCol),
+        (col(idCol) + twinOffset).as(idCol),
         array_join(col("__dropped"), " ").as(textCol))
-    val corpus = df.select(col(idCol), col(textCol)).unionByName(twins)
+    val corpus = withTwinGuard(
+      df.select(col(idCol), col(textCol)).unionByName(twins),
+      df, idCol, twinOffset)
     val expected = planted.select(
       col(idCol).as("id_a"),
-      (col(idCol) + 1000000L).as("id_b"))
+      (col(idCol) + twinOffset).as("id_b"))
     val found = ngramJaccardPairs(corpus, textCol, idCol, n, threshold)
       .join(expected, Seq("id_a", "id_b"), "left_semi")
     expected
@@ -221,8 +259,10 @@ object Dedup {
       idCol: String,
       n: Int,
       thresholds: Seq[Int],
-      plantEvery: Int = 10): DataFrame = {
+      plantEvery: Int = 10,
+      twinOffset: Long = 1000000L): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100))
+    require(twinOffset > 0L, "twinOffset must be positive")
     val toks = TextFns.tokens(col(textCol))
     val planted = df.filter(col(idCol) % plantEvery === 0 && size(toks) >= 10)
     val dropped = filter(
@@ -239,16 +279,18 @@ object Dedup {
     val twins = planted
       .withColumn("__dropped", dropped)
       .select(
-        (col(idCol) + 1000000L).as(idCol),
+        (col(idCol) + twinOffset).as(idCol),
         array_join(col("__dropped"), " ").as(textCol))
-    val corpus = df.select(col(idCol), col(textCol)).unionByName(twins)
+    val corpus = withTwinGuard(
+      df.select(col(idCol), col(textCol)).unionByName(twins),
+      df, idCol, twinOffset)
     val scored = explainJaccardPairs(
       corpus, textCol, idCol, n, thresholds.min / 100.0)
       .select(col("id_a"), col("id_b"), col("jac6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = planted.select(
       col(idCol).as("id_a"),
-      (col(idCol) + 1000000L).as("id_b"))
+      (col(idCol) + twinOffset).as("id_b"))
     val nPlanted = broadcast(expected.agg(count(lit(1)).as("n_planted")))
     val ts = thresholds.sorted.map(t => lit(t.toLong))
     val sweep = scored.sparkSession

@@ -463,4 +463,87 @@ object Graph {
               (col("deg") * (col("deg") - 1)).cast("double"))
           .as("lcc"))
   }
+
+  /** HITS hubs and authorities (Kleinberg, "Authoritative sources in
+    * a hyperlinked environment", JACM 1999) over a DIRECTED edge
+    * table (src, dst) — the mutually-recursive complement of
+    * [[pageRank]]'s single centrality: a good hub points at good
+    * authorities, a good authority is pointed at by good hubs. On the
+    * corpus side this ranks a bipartite relation from both ends at
+    * once (buyers↔suppliers, queries↔documents, sources↔entities).
+    *
+    * Same exact-integer discipline as pageRank — per round, all
+    * BIGINT with truncating div (values non-negative, so truncation
+    * == floor on both engines):
+    * {{{
+    *   a'(v) = Σ_{u→v} h(u);   a(v) = (a'(v) · unit) div Σ_w a'(w)
+    *   h'(u) = Σ_{u→v} a(v);   h(u) = (h'(u) · unit) div Σ_w h'(w)
+    * }}}
+    * (L1 normalization — the integer-exact stand-in for the paper's
+    * L2, same fixed-point direction). Overflow bound: deg_max · unit²
+    * < 2^63, so the default unit 1e6 covers out/in-degrees to ~9e6;
+    * shrink unit before raising a bigger graph. Node ids share ONE
+    * universe — disambiguate a bipartite graph's sides upstream
+    * (sign-flip one side) or the output conflates same-id rows.
+    * Edge hygiene as pageRank: nulls dropped, duplicates collapsed;
+    * self-loops are legal in a directed graph and kept.
+    *
+    * Scale shape: two (node, long) shuffles per iteration, each
+    * normalizer a broadcast one-row agg (the documented 1-row
+    * bounded-BNLJ class); edges materialized once
+    * ([[Checkpointing]] contract). Returns (id, hub6, auth6) for
+    * every node — zeros where a node has no out/in edges.
+    */
+  def hits(
+      pairs: DataFrame,
+      iters: Int = 5,
+      unit: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(unit > 0L, "unit must be positive")
+    val edges = pairs
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
+    val srcs = edges.select(col("src").as("id")).distinct()
+    val dsts = edges.select(col("dst").as("id")).distinct()
+    if (edges.isEmpty)
+      return pairs.sparkSession
+        .range(0)
+        .select(col("id"), col("id").as("hub6"), col("id").as("auth6"))
+    var h = srcs.select(col("id"), lit(unit).as("h"))
+    var a: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val aRaw = Checkpointing.truncate(
+        edges
+          .join(h.select(col("id").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("h")).as("ar")),
+        checkpointDir,
+        eager = false)
+      a = aRaw
+        .crossJoin(broadcast(aRaw.agg(sum(col("ar")).as("__sa"))))
+        .select(col("id"), expr(s"CAST(ar * $unit div __sa AS BIGINT)").as("a"))
+      val hRaw = Checkpointing.truncate(
+        edges
+          .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("a")).as("hr")),
+        checkpointDir,
+        eager = false)
+      h = hRaw
+        .crossJoin(broadcast(hRaw.agg(sum(col("hr")).as("__sh"))))
+        .select(col("id"), expr(s"CAST(hr * $unit div __sh AS BIGINT)").as("h"))
+      i += 1
+    }
+    srcs
+      .union(dsts)
+      .distinct()
+      .join(h.select(col("id"), col("h").as("hub6")), Seq("id"), "left")
+      .join(a.select(col("id"), col("a").as("auth6")), Seq("id"), "left")
+      .na
+      .fill(0L, Seq("hub6", "auth6"))
+  }
 }

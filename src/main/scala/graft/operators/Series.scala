@@ -375,19 +375,6 @@ object Series {
         col("mg").as("gain6"))
   }
 
-  /** Day-of-week seasonal index over a daily series (day, value):
-    * idx(dow) = avg(value | dow) / avg(value), reported in exact
-    * micro-units via one cross-multiplied integer division —
-    * idx6 = (1e6 · sum_dow · n_days) div (n_dow · total) — so the
-    * decomposition is bit-stable on any partitioning (no float mean
-    * chain). The weekly-shape complement of [[Checks.cusum]]'s level
-    * shifts and the volume gate's per-bucket z-test: a Monday-heavy
-    * ingest reads as idx6 > 1e6 on Monday, and dividing a day's
-    * count by its index deseasonalizes before anomaly logic. dow is
-    * 0 = Sunday … 6 = Saturday (Spark's dayofweek − 1, matching
-    * DuckDB's numbering). Two hash aggregates over the DAILY table —
-    * the raw stream never reaches this operator.
-    */
   /** Theil–Sen robust trend slope per key (Theil 1950, Sen 1968):
     * the median of all pairwise slopes over a DAILY series — immune
     * to the outlier days that wreck a least-squares fit (one scraper
@@ -436,13 +423,29 @@ object Series {
       .select(col(keyCol), col("n_days"), col("n_pairs"), col("slope6"))
   }
 
+  /** Day-of-week seasonal index over a daily series (day, value):
+    * idx(dow) = avg(value | dow) / avg(value), reported in exact
+    * micro-units via one cross-multiplied integer division —
+    * idx6 = (1e6 · sum_dow · n_days) div (n_dow · total) — so the
+    * decomposition is bit-stable on any partitioning (no float mean
+    * chain). The weekly-shape complement of [[Checks.cusum]]'s level
+    * shifts and the volume gate's per-bucket z-test: a Monday-heavy
+    * ingest reads as idx6 > 1e6 on Monday, and dividing a day's
+    * count by its index deseasonalizes before anomaly logic. dow is
+    * 0 = Sunday … 6 = Saturday (Spark's dayofweek − 1, matching
+    * DuckDB's numbering). Rows with a null day or value are excluded
+    * from BOTH sides of the index (numerator groups and the
+    * total/n_days denominator) so a null row can never skew idx6.
+    * Two hash aggregates over the DAILY table — the raw stream never
+    * reaches this operator.
+    */
   def seasonalIndexDow(daily: DataFrame, dayCol: String, valueCol: String): DataFrame = {
+    val clean = daily.filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
     val tot = broadcast(
-      daily.agg(
+      clean.agg(
         sum(col(valueCol)).cast("long").as("__total"),
         count(lit(1)).as("__n_days")))
-    daily
-      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+    clean
       .select(
         (dayofweek(col(dayCol)) - 1).cast("long").as("dow"),
         col(valueCol).cast("long").as("__v"))

@@ -32,6 +32,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka / prefix-dimension two-stage ANN (after Kusupati et
+    * al., "Matryoshka Representation Learning", NeurIPS 2022, whose
+    * models train nested embedding prefixes to be usable vectors on
+    * their own): stage 1 scores the cheap PREFIX cosine (the first
+    * `prefixDims` components) and keeps a `shortlist` of candidates
+    * via distributed TakeOrdered; stage 2 re-scores ONLY the
+    * shortlist with the full-dimension exact cosine and returns the
+    * top k. The adaptive-retrieval shape for 100 TB: the prefix pass
+    * reads prefixDims/dim of the vector bytes and its TakeOrdered
+    * carries `shortlist` rows per partition, while the full-width
+    * vectors only ever score `shortlist` rows — no corpus-wide
+    * full-dimension work anywhere. Ties break on `idCol` in both
+    * stages (the v2/ndcg contract). Returns (idCol, prefix_score,
+    * score), top-k by exact score.
+    */
+  def matryoshkaTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Array[Double],
+      prefixDims: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(prefixDims >= 1 && prefixDims <= query.length,
+      "prefixDims must be in [1, query dims]")
+    require(shortlist >= k, "shortlist must be >= k")
+    val qPre = array(query.take(prefixDims).toIndexedSeq.map(lit): _*)
+    val qFull = array(query.toIndexedSeq.map(lit): _*)
+    df
+      .withColumn(
+        "prefix_score",
+        VectorFns.cosine(slice(col(embCol), 1, prefixDims), qPre))
+      .orderBy(col("prefix_score").desc, col(idCol))
+      .limit(shortlist)
+      .withColumn("score", VectorFns.cosine(col(embCol), qFull))
+      .select(col(idCol), col("prefix_score"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Semantic decontamination — the embedding analog of T7's shingle
     * decontamination (and the cross-corpus complement of
     * `dd_semdedup`): drop corpus rows whose max cosine vs ANY held-out

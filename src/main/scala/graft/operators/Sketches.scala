@@ -14,12 +14,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Under k distinct values the buffer IS the distinct set, so the
   * estimate degrades to exact. Relative error ~1/√(k−2).
   *
-  * Chosen over HLL deliberately: Spark's `approx_count_distinct` is a
-  * black-box HLL no second engine reproduces, while KMV is a pure
+  * Spark's `approx_count_distinct` is deliberately NOT used anywhere:
+  * it is a black-box HLL++ no second engine reproduces. KMV is a pure
   * order statistic over a shared portable hash ([[Sampling.hash32]]) —
   * deterministic on any engine/partitioning, so the DuckDB oracle
-  * recomputes it bit-for-bit. Same accuracy class at the same sketch
-  * size.
+  * recomputes it bit-for-bit — and [[hllRegisters]] provides the
+  * fixed-size HLL alternative with the SAME portability (registers
+  * derived from the same hash with engine-shared integer kernels).
   */
 object Sketches {
 
@@ -208,8 +209,13 @@ object Sketches {
     * SUM-merge into exactly the full-corpus sketch (counter
     * linearity, the CMS property) and any engine rebuilds it
     * bit-for-bit. Returns (bucket, n), occupied buckets only; values
-    * above `ceilValue` clamp into the top bucket (visible as a fat
-    * tail bucket, never silently dropped). Completes the sketch
+    * above `ceilValue` clamp into the top bucket and NEGATIVE values
+    * clamp into bucket 0 (both tails visible as fat edge buckets,
+    * never silently dropped — but a negative is indistinguishable
+    * from a near-zero value in the grid, so callers monitoring a
+    * column where negatives are anomalies should gate them with a
+    * [[graft.operators.Checks]] predicate upstream rather than read
+    * them off the sketch). Completes the sketch
     * family: CMS = frequency, KMV = distinct, HIST = distribution/
     * quantiles — each bounded-size, linear, portable.
     */
@@ -273,5 +279,106 @@ object Sketches {
         (col("bucket") * lit(width)).as("est"),
         col("cum_n"),
         col("n_total"))
+  }
+
+  /** HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier
+    * 2007) — the PORTABLE-register variant: bucket = top `p` bits of
+    * the shared md5-slice [[Sampling.hash32]], rho = 1 + leading-zero
+    * count of the remaining w = 32−p bits, computed as
+    * w + 1 − bit_length(rem) with bit_length via length(bin(x)) —
+    * `bin` is the same function on Spark and DuckDB, so a second
+    * engine rebuilds the register table bit-for-bit. Spark's built-in
+    * `approx_count_distinct` is deliberately NOT used for the same
+    * reason [[kmvSketches]] documents: its HLL++ registers are a
+    * black box no oracle reproduces. Returns (group…, bucket, r) —
+    * occupied buckets only, ≤ 2^p rows per group regardless of input
+    * size, and max-merge linear: shard register tables built anywhere
+    * [[hllMerge]] into exactly the full-corpus table, the same
+    * lossless-merge property as the KMV buffers. One hash aggregate;
+    * the value stream never shuffles (partials carry ≤ 2^p registers).
+    * Null keys are ignored (the hashSample "null keys never selected"
+    * contract). vs KMV: same portability, but the sketch is
+    * FIXED-SIZE (2^p registers vs k hashes) with ~1.04/√m relative
+    * error — the shape you persist per day per source at 100 TB.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      key: Column,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, "p must be in [4, 14]")
+    val w = 32 - p
+    val pow2w = 1L << w
+    val h = Sampling.hash32(key)
+    val rem = col("__h") % pow2w
+    Width.spread(df)
+      .withColumn("__h", h)
+      .filter(col("__h").isNotNull)
+      .withColumn("bucket", expr(s"CAST(__h div $pow2w AS BIGINT)"))
+      .withColumn(
+        "__rho",
+        when(rem === 0L, lit((w + 1).toLong))
+          .otherwise(lit((w + 1).toLong) - length(bin(rem)).cast("long")))
+      .groupBy((groupCols :+ col("bucket")): _*)
+      .agg(max(col("__rho")).as("r"))
+  }
+
+  /** Max-merge of HLL register tables (register max is the lossless
+    * union, so merged == full-rescan exactly — the oracle recomputes
+    * it that way). Input is register rows — 2^p-bounded per group,
+    * never the stream.
+    */
+  def hllMerge(regs: DataFrame, groupCols: Seq[Column] = Nil): DataFrame =
+    regs
+      .groupBy((groupCols :+ col("bucket")): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Distinct-count estimate off a [[hllRegisters]] table: raw
+    * estimate alpha_m · m² · 2^33 / S with S = Σ_occupied 2^(33−r) +
+    * zeros · 2^33 an EXACT BIGINT (2^(33−r) via integer div/shift, no
+    * float powers), alpha_m injected as one double literal shared
+    * with the oracle; below 2.5·m with empty buckets present the
+    * standard linear-counting correction m · ln(m / zeros) applies
+    * (the one float class — ln on identical doubles, the
+    * psiFromCounts discipline). The estimate is rounded to a whole
+    * BIGINT (round-then-cast, both engines half-away-from-zero on
+    * positives). All work is on ≤ 2^p rows per group by
+    * CONSTRUCTION. Returns (group…, n_occupied, hll_est).
+    */
+  def hllEstimate(
+      regs: DataFrame,
+      p: Int,
+      groupCols: Seq[Column] = Nil): DataFrame = {
+    val m = 1L << p
+    val alpha = hllAlpha(p)
+    val agg0 = regs
+      .groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).as("n_occupied"),
+        sum(expr("CAST(8589934592 div shiftleft(CAST(1 AS BIGINT), CAST(r AS INT)) AS BIGINT)"))
+          .as("__s_occ"))
+    val zeros = lit(m) - col("n_occupied")
+    val s = (col("__s_occ") + zeros * lit(8589934592L)).cast("double")
+    val raw = lit(alpha * m.toDouble * m.toDouble * 8589934592.0) / s
+    val est = when(
+      raw <= lit(2.5 * m.toDouble) && zeros > lit(0L),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    agg0.select(
+      (groupCols :+ col("n_occupied") :+
+        round(est, 0).cast("long").as("hll_est")): _*)
+  }
+
+  /** The standard HLL bias constant for 2^p registers — computed ONCE
+    * here and interpolated as the SAME double literal into the engine
+    * plan and the oracle SQL (two engines evaluating 0.7213/(1+1.079/m)
+    * independently would agree anyway, but one shared literal removes
+    * the question).
+    */
+  private[graft] def hllAlpha(p: Int): Double = p match {
+    case 4 => 0.673
+    case 5 => 0.697
+    case 6 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / (1L << p).toDouble)
   }
 }

@@ -1254,4 +1254,68 @@ object TextAnalysis {
           .otherwise(lit(0L)))
       .select(col("qid"), col("dcg6"), col("idcg6"), col("ndcg6"), col("n_rel_k"))
   }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS
+    * 2010) between two top-k rankings — the ranker-comparison metric
+    * that, unlike Kendall/Spearman over the union, is TOP-WEIGHTED
+    * (disagreement at rank 1 costs more than at rank 10) and handles
+    * non-conjoint lists natively: RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) ·
+    * |A_{1..d} ∩ B_{1..d}| / d. The A/B harness primitive: "how
+    * differently does the new ranker order the top of the list"
+    * before shipping it.
+    *
+    * Determinism: the depth weights (1−p)·p^(d−1) are computed ONCE
+    * here in micro-units and injected as literals (the
+    * decay-table/ndcgWeights idiom — the oracle interpolates the SAME
+    * longs), each depth's term is one exact integer
+    * (w6·overlap) div d, and the cumulative rbo6 is a running sum
+    * over the k-row grid — the documented bounded-window class. The
+    * grid×pairs comparison join is ≤ k² rows by CONSTRUCTION (both
+    * inputs are top-k lists), the documented bounded-BNLJ class.
+    *
+    * Inputs: two rank tables carrying `idCol` and a 1-based dense
+    * `rankCol` (ties pre-broken upstream, the ndcg contract). Rows
+    * ranked beyond k are ignored. Returns one row per depth d:
+    * (d, n_overlap, w6, term6, rbo6 cumulative).
+    */
+  def rboTable(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      p: Double): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in 1..100")
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    val w6 = rboWeights(k, p)
+    val both = a
+      .filter(col(rankCol) <= k)
+      .select(col(idCol).as("__id"), col(rankCol).cast("long").as("__ra"))
+      .join(
+        b.filter(col(rankCol) <= k)
+          .select(col(idCol).as("__id"), col(rankCol).cast("long").as("__rb")),
+        Seq("__id"))
+    val grid = a.sparkSession
+      .range(1, k + 1)
+      .select(col("id").cast("long").as("d"))
+    val ov = grid
+      .join(both, col("__ra") <= col("d") && col("__rb") <= col("d"), "left")
+      .groupBy(col("d"))
+      .agg(sum(when(col("__id").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+    val win = Window
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ov
+      .withColumn("w6", element_at(array(w6.map(lit): _*), col("d").cast("int")))
+      .withColumn("term6", expr("CAST(w6 * n_overlap div d AS BIGINT)"))
+      .withColumn("rbo6", sum(col("term6")).over(win))
+      .select(col("d"), col("n_overlap"), col("w6"), col("term6"), col("rbo6"))
+  }
+
+  /** The RBO depth weights (1−p)·p^(d−1) in micro-units — computed
+    * once, shared verbatim with the oracle so no second engine
+    * re-derives a float power chain.
+    */
+  private[graft] def rboWeights(k: Int, p: Double): Seq[Long] =
+    (1 to k).map(d => math.round(1e6 * (1.0 - p) * math.pow(p, d - 1)))
 }

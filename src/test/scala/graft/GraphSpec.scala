@@ -218,6 +218,37 @@ class GraphSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1L, 2L -> 2L)) // and back
   }
 
+  test("hits: pinned against the sequential integer recurrence; hygiene; empty-role zeros") {
+    // bipartite 3 buyers x 2 suppliers: u1->{-1,-2}, u2->{-1}, u3->{-1}
+    // -1 is pointed at by everyone, -2 only by the hubbiest buyer
+    val edges = Seq(
+      (1L, -1L), (1L, -2L), (2L, -1L), (3L, -1L),
+      (1L, -1L) // duplicate collapses
+    ).toDF("src", "dst")
+    // sequential reference of the identical recurrence
+    val out = Map(1L -> Seq(-1L, -2L), 2L -> Seq(-1L), 3L -> Seq(-1L))
+    val inn = Map(-1L -> Seq(1L, 2L, 3L), -2L -> Seq(1L))
+    val unit = 1000000L
+    var h: Map[Long, Long] = out.keys.map(_ -> unit).toMap
+    var a: Map[Long, Long] = Map.empty
+    (1 to 5).foreach { _ =>
+      val ar = inn.map { case (v, us) => v -> us.map(h).sum }
+      val sa = ar.values.sum
+      a = ar.map { case (v, x) => v -> x * unit / sa }
+      val hr = out.map { case (u, vs) => u -> vs.map(a).sum }
+      val sh = hr.values.sum
+      h = hr.map { case (u, x) => u -> x * unit / sh }
+    }
+    val got = Graph.hits(edges, 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, -1L, -2L))
+    out.keys.foreach(u => assert(got(u) == ((h(u), 0L)), s"hub $u"))
+    inn.keys.foreach(v => assert(got(v) == ((0L, a(v))), s"auth $v"))
+    // the shape HITS promises: -1 out-authorities -2, 1 out-hubs 2 and 3
+    assert(got(-1L)._2 > got(-2L)._2)
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 == got(3L)._1)
+  }
+
   test("pageRank reliable-checkpoint mode is value-identical to executor-local mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     val local = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b"))

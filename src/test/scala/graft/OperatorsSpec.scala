@@ -421,6 +421,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(2) == 1000000L)
   }
 
+  test("canaryRecall/canarySweep: twin offset collisions fail fast, larger offset passes") {
+    // doc id 1e6 would collide with doc 10's twin (10 + 1e6 would be
+    // a DIFFERENT id, but ids >= offset break the disjointness
+    // invariant) -> guard must throw, not silently skew recall
+    val df = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (1000000L, "one two three four five six seven eight nine ten eleven x")
+    ).toDF("doc_id", "text")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val eR = intercept[Exception](Dedup.canaryRecall(df, "text", "doc_id", 3, 0.2).head())
+    assert(chain(eR).contains("twinOffset"))
+    val eS = intercept[Exception](
+      Dedup.canarySweep(df, "text", "doc_id", 3, Seq(20)).collect())
+    assert(chain(eS).contains("twinOffset"))
+    // raising the offset restores the invariant and both twins recover
+    val ok = Dedup.canaryRecall(df, "text", "doc_id", 3, 0.2, twinOffset = 10000000L).head()
+    assert(ok.getLong(0) == 2L && ok.getLong(1) == 2L && ok.getLong(2) == 1000000L)
+  }
+
   test("explainJaccardPairs: containment exposes the quoted-snippet match jaccard downplays") {
     // doc 2 = doc 1's text embedded in a longer page: shingles of 1
     // are a subset of 2's -> cont6 = 1e6 while jaccard is partial
@@ -572,6 +592,77 @@ class OperatorsSpec extends SparkSpec {
       Dedup.medoidCanonicals(emb, "vec_id", "embedding", pairs, maxClusterSize = 2L)
     }
     assert(ex.getMessage.contains("maxClusterSize"))
+  }
+
+  test("hllRegisters/hllEstimate: shard max-merge is lossless, estimate within 4x std error") {
+    import graft.operators.Sketches
+    val n = 5000
+    val df = (1 to n).map(i => (i % 3, s"key$i")).toDF("g", "k")
+    val p = 10
+    val full = Sketches.hllRegisters(df, Nil, $"k", p)
+    // shard linearity: per-group registers max-merge into EXACTLY the
+    // full-corpus register table (the KMV/CMS merge property)
+    val merged = Sketches.hllMerge(Sketches.hllRegisters(df, Seq($"g"), $"k", p))
+    val a = full.orderBy($"bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = merged.orderBy($"bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    // raw-branch accuracy: 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    val est = Sketches.hllEstimate(full, p).head().getLong(1)
+    assert(math.abs(est - n) < n * 0.13, s"est $est too far from $n")
+    // small-range branch: 10 distinct keys -> linear counting is
+    // near-exact (every bucket distinct whp)
+    val small = (1 to 10).map(i => Tuple1(s"s$i")).toDF("k")
+    val se = Sketches
+      .hllEstimate(Sketches.hllRegisters(small, Nil, $"k", p), p)
+      .head()
+    assert(se.getLong(0) == 10L && se.getLong(1) == 10L)
+    // null keys never register
+    val withNull = Seq(Some("x"), None, Some("y")).toDF("k")
+    val nn = Sketches
+      .hllEstimate(Sketches.hllRegisters(withNull, Nil, $"k", p), p)
+      .head()
+    assert(nn.getLong(0) == 2L)
+  }
+
+  test("rboTable: hand-computed overlaps, weights, and cumulative rbo") {
+    import graft.operators.TextAnalysis
+    // A ranks ids 1,2,3; B ranks 2,1,4. Intersection {1,2} with
+    // (ra,rb) = (1,2),(2,1): overlap@1=0, @2=2, @3=2.
+    // p=0.5 weights: 500000, 250000, 125000 -> terms 0, 250000,
+    // 125000*2 div 3 = 83333 -> cum 0, 250000, 333333.
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (1L, 2L), (4L, 3L)).toDF("id", "rank")
+    val got = TextAnalysis.rboTable(a, b, "id", "rank", 3, 0.5)
+      .orderBy($"d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 500000L, 0L, 0L),
+      (2L, 2L, 250000L, 250000L, 250000L),
+      (3L, 2L, 125000L, 83333L, 333333L)))
+    // identical lists at p=0.9, k=10: every depth full overlap ->
+    // rbo6 = sum of weights (truncated RBO < 1e6 by the residual)
+    val full = TextAnalysis.rboTable(a, a, "id", "rank", 3, 0.5)
+      .orderBy($"d").collect().map(_.getLong(4)).last
+    assert(full == 500000L + 250000L + 125000L)
+  }
+
+  test("matryoshkaTopK: prefix shortlist admits a decoy, exact rerank rejects it") {
+    import graft.operators.Similarity
+    // v2's 2-dim prefix ties v1 at cosine 1.0 but its full vector is
+    // dominated by tail mass; v3 never reaches the shortlist
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 10.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val r = Similarity.matryoshkaTopK(emb, "vec_id", "embedding", q, 2, 2, 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2))).toSeq
+    assert(r.map(_._1) == Seq(1L, 2L)) // exact rerank puts v1 first
+    assert(r.head._2 == 1.0 && r.head._3 == 1.0)
+    assert(r(1)._2 == 1.0 && r(1)._3 < 0.2) // decoy exposed by full dims
+    val bad = intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopK(emb, "vec_id", "embedding", q, 2, 1, 2))
+    assert(bad.getMessage.contains("shortlist"))
   }
 
   test("histSketch/histQuantiles: hand grid on 1..100, shard merge is exact") {
