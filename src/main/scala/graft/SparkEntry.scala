@@ -812,6 +812,32 @@ object SparkEntry {
             .as("nfc_md5"))
         .orderBy(col("doc_id"))
     },
+    // Homoglyph confusable folding (TextFns.foldHomoglyphs, the
+    // Unicode TS #39 skeleton idea on the high-traffic Cyrillic/Greek
+    // lookalikes): a dup evading exact-hash dedup via а-for-a swaps
+    // re-collides after folding. The corpus is ASCII, so evasion is
+    // made OBSERVABLE canary-style: every 10th doc gets a
+    // Cyrillic-swapped twin (injection alphabet aeopcxy→аеорсху,
+    // shared literal with the oracle); raw equality then fails on
+    // every twin that contains a swappable letter while folded
+    // equality recovers ALL of them, and folding is pinned as a
+    // no-op on the clean text.
+    "t_homoglyph" -> { (s, dir) =>
+      val fold = TextFns.foldHomoglyphs _
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0 && col("doc_id") % 10 === 0)
+        .select(
+          col("text"),
+          translate(col("text"), "aeopcxy", "аеорсху").as("evaded"))
+        .agg(
+          count(lit(1)).as("n_twins"),
+          sum(when(col("evaded") === col("text"), 1L).otherwise(0L))
+            .as("n_exact_raw"),
+          sum(when(fold(col("evaded")) === fold(col("text")), 1L).otherwise(0L))
+            .as("n_exact_folded"),
+          sum(when(fold(col("text")) =!= col("text"), 1L).otherwise(0L))
+            .as("n_clean_changed"))
+    },
     // BPE-ish token counting (training-data token budgeting)
     "t_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -1088,6 +1114,21 @@ object SparkEntry {
         | length(nfc_normalize(raw)) AS len_nfc,
         | md5(nfc_normalize(raw)) AS nfc_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the same injection and the same fold mapping, both interpolated
+    // from the TextFns constants (single source of truth)
+    "t_homoglyph" -> {
+      val f = graft.functions.TextFns.HomoglyphFrom
+      val o = graft.functions.TextFns.HomoglyphTo
+      s"""WITH tw AS (SELECT text, translate(text, 'aeopcxy', 'аеорсху') AS evaded
+         |  FROM documents WHERE length(trim(text)) > 0 AND doc_id % 10 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_twins,
+         |  CAST(sum(CASE WHEN evaded = text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_raw,
+         |  CAST(sum(CASE WHEN translate(evaded, '$f', '$o') = translate(text, '$f', '$o')
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_folded,
+         |  CAST(sum(CASE WHEN translate(text, '$f', '$o') <> text THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clean_changed
+         |FROM tw""".stripMargin
+    },
     "t_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

@@ -3314,6 +3314,24 @@ object SparkEntryCoverage {
     // Weighted sample: 5 docs per source, probability proportional to
     // token count (Efraimidis-Spirakis exponential keys over the
     // portable hash — deterministic weighted reservoir)
+    // Gonzalez greedy k-center exemplars (Similarity.kCenterSelect,
+    // 1985): 6 maximally-diverse vectors from a 100-vector hash-class
+    // pool (vec_id % 5) — each pick is the point farthest (min cosine
+    // distance to prior picks, the 2-approximation guarantee) from
+    // the picked set, min-id seed, no RNG. The coverage-exemplar
+    // complement of MMR: seed docs for labeling / eval-suite
+    // selection. Pool bound ENFORCED (the mmr maxPool precedent);
+    // dist column is the coverage-radius curve.
+    "s_kcenter" -> { (s, dir) =>
+      Similarity
+        .kCenterSelect(
+          t(s, dir, "embeddings")
+            .filter(col("vec_id") =!= 0 && col("vec_id") % 5 === 0),
+          "vec_id",
+          "embedding",
+          6)
+        .orderBy(col("rank"))
+    },
     "s_weighted_sample" -> { (s, dir) =>
       Sampling
         .weightedSample(
@@ -3794,6 +3812,38 @@ object SparkEntryCoverage {
     // never re-scanned (Relational.mergeAggDelta). The oracle
     // recomputes from ALL events, so the green check IS the
     // incremental == full-recompute theorem for these aggregates
+    // Incremental JOIN maintenance — the join-delta algebra next to
+    // i_incr_agg's aggregate deltas: for an append-only fact table
+    // and a frozen dimension, Δ(F ⋈ D) = ΔF ⋈ D, so the maintained
+    // enriched artifact appends ONLY the delta's join output — the
+    // fact history is never re-scanned and never re-joined. (A
+    // CHANGING dimension voids the identity; that case routes through
+    // the upsert family's seq-versioned last-wins reads instead.)
+    // Done-bar: the consumer aggregate off the artifact equals a
+    // full-recompute join, which is exactly the oracle.
+    "i_incr_join" -> { (s, dir) =>
+      val jPath = s"/tmp/graft_idx/incrjoin_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      def enrich(o: DataFrame) = o
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice"),
+          col("c_nationkey"),
+          col("c_mktsegment"))
+      val ord = t(s, dir, "orders")
+      enrich(ord.filter(col("o_orderkey") % 3 =!= 0))
+        .write.mode("overwrite").parquet(jPath)
+      enrich(ord.filter(col("o_orderkey") % 3 === 0))
+        .write.mode("append").parquet(jPath)
+      s.read.parquet(jPath)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
     "i_incr_agg" -> { (s, dir) =>
       val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
       def agg(df: DataFrame) = df
@@ -4509,6 +4559,34 @@ object SparkEntryCoverage {
     * leg's doc universe — TRUE for the corpus-scan path, the
     * non-empty predicate for the index-resident lexical leg.
     */
+  /** Global HLL distinct-vocabulary estimate by FULL RESCAN — the
+    * done-bar both the batch merged-register path (a_hll_merged) and
+    * the streamed per-batch register appends (st_hll_distinct) must
+    * reproduce exactly, because register max-merge is lossless.
+    */
+  private[graft] lazy val hllMergedOracle: String = {
+    val alphaNum = Sketches.hllAlpha(10) * 1024.0 * 1024.0 * 8589934592.0
+    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |hh AS (SELECT DISTINCT ${sqlHash32("term")} AS h FROM tok),
+       |rg AS (SELECT h // 4194304 AS bucket,
+       |         CASE WHEN h % 4194304 = 0 THEN CAST(23 AS BIGINT)
+       |              ELSE CAST(23 - length(bin(h % 4194304)) AS BIGINT) END AS rho
+       |       FROM hh),
+       |reg AS (SELECT bucket, max(rho) AS r FROM rg GROUP BY 1),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+       |         CAST(sum(8589934592 // (CAST(1 AS BIGINT) << CAST(r AS INT))) AS BIGINT) AS s_occ
+       |       FROM reg),
+       |es AS (SELECT n_occupied,
+       |         $alphaNum / CAST(s_occ + (1024 - n_occupied) * 8589934592 AS DOUBLE) AS raw,
+       |         1024 - n_occupied AS zeros FROM ag),
+       |ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM tok)
+       |SELECT n_exact, n_occupied,
+       |  CAST(round(CASE WHEN raw <= ${2.5 * 1024.0} AND zeros > 0
+       |       THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 0) AS BIGINT) AS hll_est
+       |FROM es, ex""".stripMargin
+  }
+
   /** The 16-bucket embedText mirror in DuckDB — blank docs guarded to
     * the zero vector exactly as VectorFns.embedText does (an
     * unguarded regexp_split would give them a unit vector at
@@ -6579,6 +6657,29 @@ object SparkEntryCoverage {
          |FROM probes, n JOIN pool ON pool.rk = probes.h % n.c
          |WHERE neg_id <> anchor
          |ORDER BY anchor, j""".stripMargin,
+    // unrolled Gonzalez greedy: min-id seed, then each round the
+    // farthest candidate by min (1.0 - cosine) to the picked set
+    // (the same elementwise expression the engine folds), ties on id
+    "s_kcenter" -> {
+      def sel(i: Int): String =
+        if (i == 1)
+          """s1 AS (SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS dist
+            |       FROM pool ORDER BY vec_id LIMIT 1)""".stripMargin
+        else {
+          val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+          s"""s$i AS (SELECT $i AS rank, p.vec_id,
+             |  (SELECT min(1.0 - s) FROM sims WHERE ia = p.vec_id AND ib IN ($prev)) AS dist
+             |  FROM pool p WHERE p.vec_id NOT IN ($prev)
+             |  ORDER BY dist DESC, p.vec_id LIMIT 1)""".stripMargin
+        }
+      val selects = (1 to 6).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH pool AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id <> 0 AND vec_id % 5 = 0 AND embedding IS NOT NULL),
+         |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${sqlCosine("a.embedding", "b.embedding")} AS s
+         |         FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |${(1 to 6).map(sel).mkString(",\n")}
+         |SELECT rank, vec_id, dist FROM ($selects) ORDER BY rank""".stripMargin
+    },
     "s_weighted_sample" ->
       s"""WITH b AS (SELECT doc_id, source,
          |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -6916,6 +7017,12 @@ object SparkEntryCoverage {
         |FROM rc ORDER BY check_name""".stripMargin,
     // full recompute over ALL events — the incremental merge must
     // land on exactly this
+    // full-recompute join — the maintained artifact must agree
+    "i_incr_join" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "i_incr_agg" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS spend
@@ -7127,28 +7234,7 @@ object SparkEntryCoverage {
          |FROM es JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
     },
     // global HLL by full rescan — the merged-register path must agree
-    "a_hll_merged" -> {
-      val alphaNum = Sketches.hllAlpha(10) * 1024.0 * 1024.0 * 8589934592.0
-      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |hh AS (SELECT DISTINCT ${sqlHash32("term")} AS h FROM tok),
-         |rg AS (SELECT h // 4194304 AS bucket,
-         |         CASE WHEN h % 4194304 = 0 THEN CAST(23 AS BIGINT)
-         |              ELSE CAST(23 - length(bin(h % 4194304)) AS BIGINT) END AS rho
-         |       FROM hh),
-         |reg AS (SELECT bucket, max(rho) AS r FROM rg GROUP BY 1),
-         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_occupied,
-         |         CAST(sum(8589934592 // (CAST(1 AS BIGINT) << CAST(r AS INT))) AS BIGINT) AS s_occ
-         |       FROM reg),
-         |es AS (SELECT n_occupied,
-         |         $alphaNum / CAST(s_occ + (1024 - n_occupied) * 8589934592 AS DOUBLE) AS raw,
-         |         1024 - n_occupied AS zeros FROM ag),
-         |ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM tok)
-         |SELECT n_exact, n_occupied,
-         |  CAST(round(CASE WHEN raw <= ${2.5 * 1024.0} AND zeros > 0
-         |       THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 0) AS BIGINT) AS hll_est
-         |FROM es, ex""".stripMargin
-    },
+    "a_hll_merged" -> hllMergedOracle,
     // the estimator replayed on the raw keys: per-side 64 smallest
     // distinct hashes, union rank, buffer-membership flags
     "a_kmv_join_est" -> {

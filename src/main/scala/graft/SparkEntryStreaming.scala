@@ -297,6 +297,40 @@ object SparkEntryStreaming {
       drain(sketch, "st_kmv_distinct_sink", "complete")
         .orderBy(col("source"))
     },
+    // Streaming HLL maintenance: each micro-batch appends its OWN
+    // register partials (Sketches.hllRegisters over the batch's
+    // tokens) to the parquet artifact; register max is the lossless
+    // union, so the read-side max-merge + estimate equals a
+    // full-rescan batch build EXACTLY — the fixed-size-sketch member
+    // of the streamed-partial family (st_hist_quantile's SUM
+    // linearity, here MAX linearity). Shares a_hll_merged's
+    // full-rescan oracle.
+    "st_hll_distinct" -> { (s, dir) =>
+      val hPath = s"/tmp/graft_idx/hllst_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def toks(df: DataFrame): DataFrame = df
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      graft.operators.Sketches
+        .hllRegisters(toks(docs.filter(lit(false))), Nil, col("term"), 10)
+        .write.mode("overwrite").parquet(hPath)
+      val stream = s.readStream.schema(docs.schema).parquet(s"$dir/[d]ocuments.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Sketches
+            .hllRegisters(toks(batch), Nil, col("term"), 10)
+            .write.mode("append").parquet(hPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Sketches
+        .hllEstimate(graft.operators.Sketches.hllMerge(s.read.parquet(hPath)), 10)
+        .crossJoin(broadcast(
+          toks(docs).agg(countDistinct(col("term")).as("n_exact"))))
+        .select(col("n_exact"), col("n_occupied"), col("hll_est"))
+    },
     // Streaming index maintenance: a live stream of corrected vectors
     // upserts into the persisted IVF index per micro-batch (seq =
     // batchId+1 — later batches win; the base build holds stale
@@ -858,6 +892,10 @@ object SparkEntryStreaming {
          |            ELSE ${63.0 * 4294967296.0} / CAST(max(h) FILTER (rn = 64) AS DOUBLE) END AS kmv_est
          |FROM rk GROUP BY source
          |ORDER BY source""".stripMargin,
+    // register max-merge is lossless, so the streamed per-batch HLL
+    // partials must reproduce the full-rescan estimate bit-for-bit —
+    // a_hll_merged's oracle shared verbatim
+    "st_hll_distinct" -> SparkEntryCoverage.hllMergedOracle,
     // the streamed upserts must converge to the same last-wins view
     // the batch upsert proves — one oracle, three paths (in-line,
     // batch-upserted, stream-upserted)

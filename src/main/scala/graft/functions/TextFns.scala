@@ -74,6 +74,22 @@ object TextFns {
       "\\s+",
       " ")
 
+  /** Homoglyph confusable folding (Unicode TS #39's confusable-
+    * skeleton idea, restricted to the high-traffic Cyrillic/Greek
+    * lookalikes of Latin letters): a dup evading exact-hash dedup by
+    * swapping а for a (Cyrillic U+0430 vs Latin) re-collides after
+    * folding. The FROM/TO alphabets are single public constants so
+    * the engine `translate` and the oracle's interpolate the SAME
+    * mapping — both engines' translate is per-codepoint, and every
+    * mapped char is BMP. ASCII text is a fixed point (fold(clean) ==
+    * clean), which t_homoglyph pins as evidence.
+    */
+  val HomoglyphFrom = "аеорсхуіѕАВЕКМНОРСТХοανρυκΑΒΕΖΗΙΚΜΝΟΡΤΧ"
+  val HomoglyphTo = "aeopcxyisABEKMHOPCTXoavpukABEZHIKMNOPTX"
+
+  def foldHomoglyphs(c: Column): Column =
+    translate(c, HomoglyphFrom, HomoglyphTo)
+
   /** BPE-ish token count: word / number / punctuation-run tokens with
     * leading-space folding, the shape of a GPT-style pre-tokenizer
     * (lookahead-free so the same pattern runs on Java regex and RE2).

@@ -745,6 +745,86 @@ object Similarity {
     picked.toSeq.toDF("rank", idCol, relCol, "mmr")
   }
 
+  /** Gonzalez greedy k-center selection (Gonzalez, "Clustering to
+    * minimize the maximum intercluster distance", TCS 1985): pick k
+    * DIVERSE exemplars by repeatedly taking the candidate FARTHEST
+    * from the already-picked set (max over candidates of min cosine
+    * distance to any pick; ties on id) — a 2-approximation of the
+    * optimal k-center radius, and the relevance-free complement of
+    * [[mmrRerank]]: MMR diversifies a ranked shortlist, this picks
+    * coverage exemplars outright (seed docs for labeling, eval-suite
+    * selection, centroid seeding). The seed is the minimum id —
+    * deterministic, no RNG.
+    *
+    * Scale posture: the pool is a SAMPLE or shortlist by contract,
+    * and the contract is ENFORCED exactly as mmrRerank's — a counted
+    * limit(maxPool + 1) before the collect, so a corpus-proportional
+    * frame fails fast instead of OOMing the driver; at 100 TB you
+    * feed it a hashSample. The greedy chain is inherently sequential
+    * (each pick changes every distance), so it runs driver-side on
+    * the bounded pool — k·|pool| cosine kernels.
+    *
+    * Returns (rank, id, dist): dist = min cosine distance to the
+    * prior picks at selection time (NULL for the seed; successive
+    * dists are non-increasing — the coverage-radius curve that shows
+    * when k is enough). Null vectors carry no geometry and are
+    * scoped out (the mmr/semanticDecontaminate null rule).
+    */
+  def kCenterSelect(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxPool: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxPool > 0, "maxPool must be positive")
+    val pool = candidates
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxPool + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(
+      pool.length <= maxPool,
+      s"kCenterSelect pool exceeds maxPool=$maxPool rows — candidates must be a " +
+        "bounded sample/shortlist, not a corpus-proportional frame")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    if (pool.isEmpty)
+      return Seq.empty[(Int, Long, Option[Double])].toDF("rank", idCol, "dist")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Option[Double])]
+    val seed = pool.minBy(_._1)
+    selected += seed
+    out += ((1, seed._1, None))
+    var rank = 2
+    while (rank <= math.min(k, pool.length)) {
+      val best = pool.iterator
+        .filter(p => !selected.exists(_._1 == p._1))
+        .map { case (id, v) =>
+          // min over picks of (1.0 - cos) elementwise — the exact
+          // expression the SQL mirror evaluates, not 1 - max(cos)
+          (id, v, selected.iterator.map(s => 1.0 - cos(v, s._2)).min)
+        }
+        .reduceLeft { (x, y) =>
+          if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+        }
+      out += ((rank, best._1, Some(best._3)))
+      selected += ((best._1, best._2))
+      rank += 1
+    }
+    out.toSeq.toDF("rank", idCol, "dist")
+  }
+
   /** Lloyd's k-means fit for the IVF coarse quantizer: deterministic
     * init (the k rows with the smallest id), then `iters` rounds of
     * assign (broadcast centroids, codegen cosine argmax) + update

@@ -196,4 +196,25 @@ class FunctionsSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(both) ==
       java.lang.Double.doubleToLongBits(viaColumn))
   }
+
+  test("foldHomoglyphs: confusables fold to Latin, ASCII is a fixed point, idempotent") {
+    import graft.functions.TextFns
+    assert(TextFns.HomoglyphFrom.length == TextFns.HomoglyphTo.length)
+    assert(TextFns.HomoglyphTo.forall(_ < 0x80), "fold targets must be ASCII")
+    // Cyrillic-evaded and Greek-evaded spellings of the same word
+    val df = Seq(
+      ("dаtа jоin", "data join"),      // Cyrillic а/о
+      ("ΡΑΝΕL", "PANEL"),              // Greek caps Ρ Α Ν Ε
+      ("plain ascii 42!", "plain ascii 42!")
+    ).toDF("raw", "want")
+    val got = df.select(
+      TextFns.foldHomoglyphs($"raw").as("f"),
+      TextFns.foldHomoglyphs(TextFns.foldHomoglyphs($"raw")).as("ff"),
+      $"want")
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(2), s"fold(${r.getString(2)})")
+      assert(r.getString(1) == r.getString(0), "idempotence")
+    }
+  }
 }
