@@ -539,6 +539,16 @@ object SparkEntryCoverage {
     },
     // V2 scale path — IVF top-k: coarse-quantize into 4 cells
     // (centroids = vectors 1..4), probe the query's 2 nearest cells
+    // Exact-integer power iteration (Similarity.powerIterationTop):
+    // the dominant principal direction of the embedding store in
+    // BIGINT fixed point — the anisotropy/collapse diagnostic. The
+    // oracle unrolls the identical integer rounds, emulating
+    // truncation-toward-zero where DuckDB's // would floor negatives.
+    "v_power_iter" -> { (s, dir) =>
+      Similarity
+        .powerIterationTop(t(s, dir, "embeddings"), "vec_id", "embedding", 4)
+        .orderBy(col("dim"))
+    },
     // Matryoshka two-stage ANN (Similarity.matryoshkaTopK, Kusupati
     // et al. 2022): prefix-8-dim cosine shortlists 50 of the 499
     // candidates reading 1/8 of the vector bytes, then the exact
@@ -2130,6 +2140,19 @@ object SparkEntryCoverage {
         li.filter(col("l_shipdate") >= lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
       Checks.psiFromCounts(a, b)
     },
+    // Two-sample Kolmogorov-Smirnov drift score (Checks.ksFromCounts)
+    // on the same histSketch grids as dq_psi: the CDF-gap statistic
+    // that also NAMES the diverging bucket (argmax, min-bucket ties),
+    // where PSI only totals the drift — exact integer micro-unit
+    // CDFs, bounded 64-row grid windows.
+    "dq_ks" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val a = Sketches.histSketch(
+        li.filter(col("l_shipdate") < lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      val b = Sketches.histSketch(
+        li.filter(col("l_shipdate") >= lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      Checks.ksFromCounts(a, b)
+    },
     // Benford first-digit audit (Checks.benfordAudit): the
     // fraud/fabrication smoke test on order totals — observed vs
     // expected leading-digit frequency in exact integer ppm, with
@@ -3563,6 +3586,23 @@ object SparkEntryCoverage {
           (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
             .as("median_chars"))
         .orderBy(col("source"))
+    },
+    // Kaplan-Meier survival over customer order lifetimes
+    // (Series.kaplanMeier, 1958): 30-day ages, 365-day censoring
+    // horizon — customers still ordering near the corpus clock are
+    // CENSORED (alive, at-risk evidence only), which is exactly what
+    // the naive mean-lifetime gets wrong. Exact sequential integer
+    // product over the ~80-row bounded age grid; the oracle replays
+    // the identical fold as a recursive CTE.
+    "a_survival_km" -> { (s, dir) =>
+      Series
+        .kaplanMeier(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate")),
+          "o_custkey",
+          "o_orderdate",
+          30,
+          365)
+        .orderBy(col("age"))
     },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
@@ -5151,6 +5191,31 @@ object SparkEntryCoverage {
         | CAST(0 AS BIGINT) AS total_tables,
         | CAST(12 AS BIGINT) AS word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the identical integer power-iteration rounds; tdiv emulates
+    // truncation toward zero (DuckDB // floors negatives)
+    "v_power_iter" -> {
+      def tdiv(x: String, y: String) =
+        s"CASE WHEN $x >= 0 THEN $x // $y ELSE -((-($x)) // $y) END"
+      val rounds = (1 to 4).map { r =>
+        val pv = if (r == 1) "v0" else s"v${r - 1}"
+        s"""s${r}r AS MATERIALIZED (SELECT id, CAST(sum(q * val) AS BIGINT) AS sraw
+           |  FROM a JOIN $pv USING (dim) GROUP BY id),
+           |s$r AS (SELECT id, CAST(${tdiv("sraw", "1000")} AS BIGINT) AS sp FROM s${r}r),
+           |w$r AS MATERIALIZED (SELECT dim, CAST(sum(q * sp) AS BIGINT) AS w
+           |  FROM a JOIN s$r USING (id) GROUP BY dim),
+           |m$r AS (SELECT greatest(1, CAST(max(abs(w)) AS BIGINT) // 1000000) AS md FROM w$r),
+           |v$r AS (SELECT dim, CAST(${tdiv("w", "md")} AS BIGINT) AS val FROM w$r, m$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT vec_id AS id, u.d AS dim,
+         |         CAST(round(CAST(u.e AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
+         |          i -> {'d': CAST(i AS BIGINT), 'e': embedding[i]})) AS u
+         |        FROM embeddings WHERE embedding IS NOT NULL)),
+         |v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS val FROM a),
+         |$rounds
+         |SELECT dim, val AS v6 FROM v4 ORDER BY dim""".stripMargin
+    },
     // both matryoshka stages replayed: prefix-slice cosine shortlist
     // of 50 (ties on vec_id), exact full-width rerank of the
     // shortlist only
@@ -5896,6 +5961,31 @@ object SparkEntryCoverage {
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
     // same grids, same add-one smoothing, same micro-nat rounding
+    // the same grids, integer micro-unit CDF gap, argmax bucket
+    "dq_ks" ->
+      """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate < DATE '1995-07-01'),
+        |pb AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-07-01'),
+        |ha AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_a FROM pa GROUP BY 1),
+        |hb AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_b FROM pb GROUP BY 1),
+        |j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_a) AS BIGINT) AS na,
+        |        CAST(sum(n_b) AS BIGINT) AS nb FROM j),
+        |cum AS (SELECT bucket,
+        |         CAST(sum(n_a) OVER (ORDER BY bucket) AS BIGINT) AS ca,
+        |         CAST(sum(n_b) OVER (ORDER BY bucket) AS BIGINT) AS cb
+        |       FROM j),
+        |gaps AS (SELECT bucket,
+        |          abs(1000000 * ca // na - 1000000 * cb // nb) AS gap6
+        |        FROM cum, t)
+        |SELECT t.k AS n_buckets, t.na AS n_rows_a, t.nb AS n_rows_b,
+        |       g.bucket AS ks_bucket, CAST(g.gap6 AS BIGINT) AS ks6
+        |FROM t, (SELECT bucket, gap6 FROM gaps ORDER BY gap6 DESC, bucket LIMIT 1) g""".stripMargin,
     "dq_psi" ->
       """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
         |  WHERE l_shipdate < DATE '1995-07-01'),
@@ -6815,6 +6905,26 @@ object SparkEntryCoverage {
         |SELECT source, CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS median_chars
         |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the identical integer product-limit fold as a recursive CTE
+    // over the age-ordinal chain
+    "a_survival_km" ->
+      """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens FROM u, cm),
+        |ag AS (SELECT age, CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c FROM lv GROUP BY 1),
+        |g AS (SELECT age, d, c, CAST(sum(d + c) OVER (ORDER BY age DESC) AS BIGINT) AS n,
+        |        row_number() OVER (ORDER BY age) AS i FROM ag),
+        |km AS (
+        |  SELECT i, CAST((1000000 * (n - d)) // n AS BIGINT) AS s6 FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.i, CAST((km.s6 * (g.n - g.d)) // g.n AS BIGINT)
+        |  FROM km JOIN g ON g.i = km.i + 1)
+        |SELECT CAST(g.age AS BIGINT) AS age, g.n AS n_risk, g.d AS n_churn,
+        |       g.c AS n_censored, km.s6
+        |FROM g JOIN km USING (i) ORDER BY age""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

@@ -563,6 +563,53 @@ object Checks {
         col("psi6"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between two bucket-count
+    * tables (two [[Sketches.histSketch]] grids of the same column):
+    * D = max over buckets of |F_a − F_b|, the CDF-gap drift score
+    * that localizes WHERE the distributions diverge, complementing
+    * [[psiFromCounts]]'s mass-weighted total. All integer: per-bucket
+    * CDFs in micro-units (1e6·cum div N, truncating — counts are
+    * non-negative so truncation == floor on both engines), the
+    * running sums over the GRID (≤ buckets rows — the documented
+    * bounded-window class). Returns one row: (n_buckets, n_rows_a,
+    * n_rows_b, ks_bucket = the argmax bucket with min-bucket
+    * tie-break — read it against the grid's edges to name the
+    * diverging price/size band — and ks6 = D in micro-units).
+    * Interpretation is sample-size-dependent (the classic
+    * c(α)·√((na+nb)/(na·nb)) threshold) — the caller applies it.
+    */
+  def ksFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("bucket"), col("n").as("n_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b")), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = broadcast(
+      joined.agg(
+        count(lit(1)).as("__k"),
+        sum(col("n_a")).cast("long").as("__na"),
+        sum(col("n_b")).cast("long").as("__nb")))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .crossJoin(tot)
+      .withColumn("ca", sum(col("n_a")).over(w))
+      .withColumn("cb", sum(col("n_b")).over(w))
+      .withColumn(
+        "gap6",
+        abs(
+          expr("CAST(1000000 * ca div __na AS BIGINT)") -
+            expr("CAST(1000000 * cb div __nb AS BIGINT)")))
+      .withColumn(
+        "rk",
+        row_number().over(Window.orderBy(col("gap6").desc, col("bucket"))))
+      .filter(col("rk") === 1)
+      .select(
+        col("__k").as("n_buckets"),
+        col("__na").as("n_rows_a"),
+        col("__nb").as("n_rows_b"),
+        col("bucket").as("ks_bucket"),
+        col("gap6").as("ks6"))
+  }
+
   /** Benford expected first-digit probabilities in integer ppm:
     * round(1e6 · log10(1 + 1/d)) for d = 1..9 — computed once here
     * and injected into the oracle via [[benfordPpmSql]] (the

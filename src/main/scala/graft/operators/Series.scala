@@ -457,4 +457,77 @@ object Series {
         expr("CAST((1000000 * sum_n * __n_days) div (n_days * __total) AS BIGINT)"))
       .select(col("dow"), col("n_days"), col("sum_n"), col("idx6"))
   }
+
+  /** Kaplan–Meier product-limit survival curve (Kaplan & Meier, JASA
+    * 1958) over entity LIFETIMES in an activity log: lifetime = days
+    * between an entity's first and last activity, bucketed into
+    * `ageUnitDays`-day ages; an entity whose last activity is within
+    * `censorDays` of the corpus clock (max activity day) is CENSORED
+    * — still alive, its lifetime only a lower bound — and KM is
+    * exactly the estimator that uses censored rows' at-risk evidence
+    * without counting them as churn (the naive "mean lifetime" is
+    * biased low; this is the retention curve a_retention's cohort
+    * grid doesn't give you).
+    *
+    * Exactness: S6(a) = fold over ages j ≤ a of
+    * S ← (S · (n_j − d_j)) div n_j starting at 1e6 — a sequential
+    * integer product (all values non-negative, truncation == floor on
+    * both engines) evaluated IN-PLAN: the age grid is collected into
+    * a one-row broadcast array (bounded by the date SPAN, never by
+    * entity count — ~80 rows for seven years of 30-day ages, the
+    * documented bounded-grid class) and each row folds its own
+    * prefix with a higher-order aggregate; the oracle replays the
+    * identical fold as a recursive CTE. At-risk counts via one
+    * age-desc running sum over the same grid. At 100 TB the only
+    * entity-proportional work is the per-entity min/max aggregate.
+    *
+    * Returns (age, n_risk, n_churn, n_censored, s6), one row per
+    * observed age, s6 non-increasing.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    require(ageUnitDays >= 1, "ageUnitDays must be >= 1")
+    require(censorDays >= 0, "censorDays must be >= 0")
+    val perUser = df
+      .filter(col(idCol).isNotNull && col(dayCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(min(col(dayCol)).as("__f"), max(col(dayCol)).as("__l"))
+    val clock = broadcast(perUser.agg(max(col("__l")).as("__cmax")))
+    val lives = perUser
+      .crossJoin(clock)
+      .select(
+        expr(s"CAST(datediff(__l, __f) div $ageUnitDays AS BIGINT)").as("age"),
+        (datediff(col("__cmax"), col("__l")) < censorDays).as("__cens"))
+    val ages = lives
+      .groupBy(col("age"))
+      .agg(
+        sum(when(!col("__cens"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("c"))
+    val wDesc = Window
+      .orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = ages.withColumn("n", sum(col("d") + col("c")).over(wDesc))
+    val arr = broadcast(
+      grid.agg(
+        array_sort(collect_list(struct(col("age"), col("d"), col("n"))))
+          .as("__arr")))
+    grid
+      .crossJoin(arr)
+      .withColumn(
+        "s6",
+        expr(
+          "aggregate(filter(__arr, x -> x.age <= age), " +
+            "CAST(1000000 AS BIGINT), " +
+            "(acc, x) -> (acc * (x.n - x.d)) div x.n)"))
+      .select(
+        col("age"),
+        col("n").as("n_risk"),
+        col("d").as("n_churn"),
+        col("c").as("n_censored"),
+        col("s6"))
+  }
 }

@@ -745,6 +745,71 @@ object Similarity {
     picked.toSeq.toDF("rank", idCol, relCol, "mmr")
   }
 
+  /** Top principal direction by POWER ITERATION in exact integer
+    * arithmetic (von Mises & Pollaczek-Geiringer 1929; the PCA-lite
+    * spectral diagnostic for an embedding store — a healthy store has
+    * no runaway dominant direction, while anisotropy/collapse shows
+    * up as one direction hoarding the spectrum). Embeddings are
+    * globally quantized to milli-units (the round-parity idiom — one
+    * FIXED scale, not the per-vector int8 scale, so the Gram matrix
+    * is a faithful rescaling), v0 = all-ones, and each round computes
+    * w = Aᵀ(A·v) with BIGINT sums: the row products rescale by
+    * div 1000 and v L∞-renormalizes to ~1e6 via integer division —
+    * no floating point anywhere, so the direction is bit-identical on
+    * any engine/partitioning (div truncates toward zero on both
+    * sides; the SQL mirror emulates truncation where // would floor
+    * negatives). Overflow headroom: |q| ≤ 1000·max|e|, |s'| ≤
+    * d·|q|·1e3, |w| ≤ n·|q|·|s'| — n to ~1e7 at 64 dims before
+    * rescaling is needed.
+    *
+    * Scale shape: two keyed shuffles per round over the exploded
+    * (id, dim, q) table, exploded ONCE; at 100 TB run on a
+    * hashSample (the fitCentroids sample contract). v0 must not be
+    * orthogonal to the top eigenvector — all-ones is safe for real
+    * featurizers (exact orthogonality is measure-zero). Sign follows
+    * the iteration deterministically. Returns (dim, v6): the
+    * dominant direction in ~1e6 L∞ units.
+    */
+  def powerIterationTop(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in 1..16")
+    val a = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), posexplode(col(vecCol).cast("array<double>")))
+      .select(
+        col("__id"),
+        (col("pos") + 1).cast("long").as("dim"),
+        expr("CAST(round(col * 1000, 0) AS BIGINT)").as("q"))
+      .localCheckpoint() // exploded once, feeds both joins of every round
+    var v = a
+      .select(col("dim"))
+      .distinct()
+      .select(col("dim"), lit(1000000L).as("val"))
+    var i = 0
+    while (i < iters) {
+      val s = a
+        .join(v, Seq("dim"))
+        .groupBy(col("__id"))
+        .agg(sum(col("q") * col("val")).as("sraw"))
+        .select(col("__id"), expr("CAST(sraw div 1000 AS BIGINT)").as("sp"))
+      val w = a
+        .join(s, Seq("__id"))
+        .groupBy(col("dim"))
+        .agg(sum(col("q") * col("sp")).as("w"))
+      v = w
+        .crossJoin(broadcast(w.agg(max(abs(col("w"))).as("__m"))))
+        .select(
+          col("dim"),
+          expr("CAST(w div greatest(1, __m div 1000000) AS BIGINT)").as("val"))
+        .localCheckpoint(false) // lazy: bounds lineage across rounds
+      i += 1
+    }
+    v.select(col("dim"), col("val").as("v6"))
+  }
+
   /** Gonzalez greedy k-center selection (Gonzalez, "Clustering to
     * minimize the maximum intercluster distance", TCS 1985): pick k
     * DIVERSE exemplars by repeatedly taking the candidate FARTHEST

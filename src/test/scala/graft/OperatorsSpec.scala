@@ -646,6 +646,25 @@ class OperatorsSpec extends SparkSpec {
     assert(full == 500000L + 250000L + 125000L)
   }
 
+  test("powerIterationTop: symmetric input gives exactly equal components; dominant axis wins") {
+    import graft.operators.Similarity
+    // perfectly symmetric in dims 1/2 -> integer chain is symmetric
+    // -> components EXACTLY equal (not approximately)
+    val sym = (1L to 10L).map(i => (i, Array(0.3, 0.3))) :+ (11L, Array(0.1, 0.1))
+    val s1 = Similarity.powerIterationTop(sym.toDF("id", "v"), "id", "v", 4)
+      .orderBy($"dim").collect().map(_.getLong(1)).toSeq
+    assert(s1.length == 2 && s1(0) == s1(1) && s1(0) > 0)
+    // dim-1-dominant data: the direction concentrates on dim 1
+    val dom = (1L to 10L).map(i => (i, Array(0.4, 0.05)))
+    val s2 = Similarity.powerIterationTop(dom.toDF("id", "v"), "id", "v", 4)
+      .orderBy($"dim").collect().map(_.getLong(1)).toSeq
+    assert(math.abs(s2(0)) >= 8 * math.abs(s2(1))) // exact 8:1 data ratio
+    // bit-stable across runs (exact integer chain)
+    val s1b = Similarity.powerIterationTop(sym.toDF("id", "v").repartition(7), "id", "v", 4)
+      .orderBy($"dim").collect().map(_.getLong(1)).toSeq
+    assert(s1b == s1)
+  }
+
   test("matryoshkaTopK: prefix shortlist admits a decoy, exact rerank rejects it") {
     import graft.operators.Similarity
     // v2's 2-dim prefix ties v1 at cosine 1.0 but its full vector is

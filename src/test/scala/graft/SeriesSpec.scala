@@ -207,6 +207,36 @@ class SeriesSpec extends SparkSpec {
     assert(r.getLong(3) == -1000000L)
   }
 
+  test("kaplanMeier: hand-computed product-limit curve with censoring") {
+    import graft.operators.Series
+    def d(day: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, day))
+    // corpus clock = day 10, censor horizon 2 days:
+    // e1 age 0 churn, e2 age 1 censored, e3 age 2 churn, e4 age 2 censored
+    // n: age0=4, age1=3, age2=2
+    // S(0)=750000, S(1)=750000 (censoring is not churn), S(2)=375000
+    val ev = Seq(
+      (1L, d(5)), (2L, d(8)), (2L, d(9)), (3L, d(3)), (3L, d(5)),
+      (4L, d(8)), (4L, d(10))).toDF("id", "day")
+    val got = Series.kaplanMeier(ev, "id", "day", 1, 2)
+      .orderBy($"age").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 0L, 750000L),
+      (1L, 3L, 0L, 1L, 750000L),
+      (2L, 2L, 1L, 1L, 375000L)))
+  }
+
+  test("ksFromCounts: disjoint grids score 1e6 at the first bucket; identical grids 0") {
+    import graft.operators.Checks
+    val a = Seq((0L, 10L)).toDF("bucket", "n")
+    val b = Seq((1L, 10L)).toDF("bucket", "n")
+    val r = Checks.ksFromCounts(a, b).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 10L, 10L, 0L, 1000000L)))
+    val same = Checks.ksFromCounts(a, a).head()
+    assert(same.getLong(4) == 0L)
+  }
+
   test("seasonalIndexDow: Monday-doubled fortnight yields exact micro-unit indexes") {
     import graft.operators.Series
     // 2024-01-01 is a Monday; 14 days, Mondays 20 else 10:
