@@ -954,6 +954,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))
     },
+    // Classifier calibration table (reliability diagram): the CHEAP
+    // prefix classifier — langId on the first 80 chars, the shape a
+    // 100 TB ingest gate actually runs to avoid reading whole docs —
+    // bucketed by its confidence proxy (the winner's marker-hit
+    // count, TextAnalysis.langIdMaxHits), scored against the
+    // full-text classification per bucket in exact ppm. Low-hit
+    // buckets are coin flips, high-hit buckets near-certain: the
+    // curve tells you the confidence floor at which the cheap gate
+    // can stand in for the expensive read. (The declared-lang labels
+    // live in a different label space — the confusion matrix covers
+    // that audit; calibration needs same-space truth.)
+    "t_calibration" -> { (s, dir) =>
+      val prefix = substring(col("text"), 1, 80)
+      t(s, dir, "documents")
+        .select(
+          TextAnalysis.langId(col("text"), langMarkers).as("full_pred"),
+          TextAnalysis.langId(prefix, langMarkers).as("pred"),
+          least(TextAnalysis.langIdMaxHits(prefix, langMarkers), lit(5L))
+            .as("conf_bucket"))
+        .groupBy(col("conf_bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("full_pred"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn(
+          "agree_ppm",
+          expr("CAST(1000000 * n_agree div n_docs AS BIGINT)"))
+        .orderBy(col("conf_bucket"))
+    },
     // Corpus composition report per (source, lang): counts, token
     // share, quality distribution — all-exact aggregates only
     "t_corpus_stats" -> { (s, dir) =>
@@ -1196,6 +1225,21 @@ object SparkEntry {
         |SELECT doc_id, max(n) AS n_chars,
         |       CAST(SUM(t6) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same marker table drives both classifiers, the confidence
+    // proxy AND the oracle; the prefix tokenization mirrors Spark's
+    // substring-then-tokens exactly
+    "t_calibration" ->
+      s"""WITH tok AS (SELECT regexp_split_to_array(trim(text),'\\s+') AS tk,
+         |    regexp_split_to_array(trim(substr(text, 1, 80)),'\\s+') AS pk FROM documents),
+         |p AS (SELECT ${TextAnalysis.langIdSql(langMarkers, "tk")} AS full_pred,
+         |        ${TextAnalysis.langIdSql(langMarkers, "pk")} AS pred,
+         |        least(CAST(${TextAnalysis.langIdMaxHitsSql(langMarkers, "pk")} AS BIGINT), 5) AS conf_bucket
+         |      FROM tok)
+         |SELECT conf_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pred = full_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(1000000 * sum(CASE WHEN pred = full_pred THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+         |    AS agree_ppm
+         |FROM p GROUP BY 1 ORDER BY conf_bucket""".stripMargin,
     "t_langid_confusion" ->
       s"""WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\\s+') AS tk FROM documents)
          |SELECT lang, ${TextAnalysis.langIdSql(langMarkers, "tk")} AS lang_pred,

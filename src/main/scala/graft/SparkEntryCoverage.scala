@@ -3001,6 +3001,39 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
     },
+    // Dup-graph TIME TRAVEL (Io.readDupGraphPairsAsOf, the v_ivf_asof
+    // discipline on the pair artifact): base build (seq 0), incremental
+    // upsert (seq 1), takedown of every 10th doc (seq 2) — then an
+    // as-of-1 read reconstructs the PRE-TAKEDOWN graph (a state the
+    // live view can no longer produce: the audit question "which
+    // cluster did this doc sit in before the takedown"), whose
+    // closure must equal the from-scratch full-corpus clustering —
+    // dd_cluster_sizes' oracle, shared.
+    "dd_graph_asof" -> { (s, dir) =>
+      val gPath = s"/tmp/graft_idx/dupg_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // one pair-pipeline pass feeds base + upsert
+      graft.sources.Io.writeDupGraph(
+        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
+      graft.sources.Io.upsertDupGraph(
+        pairs.filter(col("id_a") >= 250 || col("id_b") >= 250), gPath, seq = 1L)
+      graft.sources.Io.deleteDupGraphDocs(
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L)
+      val labels = Dedup.clusterPairs(
+        graft.sources.Io.readDupGraphPairsAsOf(s, gPath, asOfSeq = 1L)
+          .select(col("id_a"), col("id_b")))
+      docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
     // Doc takedown from the dup graph (Io.deleteDupGraphDocs): every
     // 10th doc tombstoned — its pairs hidden, the label table
     // RE-CLOSED over live pairs (node removal can split clusters;
@@ -4940,7 +4973,10 @@ object SparkEntryCoverage {
       "er_golden_persisted" -> base("er_golden"),
       "s_leakage_persisted" -> base("s_leakage_split"),
       // incremental closure must converge to the full-corpus closure
-      "dd_graph_upsert" -> base("dd_cluster_sizes"))
+      "dd_graph_upsert" -> base("dd_cluster_sizes"),
+      // the as-of-1 (pre-takedown) state IS the full-corpus graph:
+      // later tombstones must be invisible to the time-travel read
+      "dd_graph_asof" -> base("dd_cluster_sizes"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -33,6 +33,29 @@ object TextAnalysis {
     (if (scored.size == 1) scored.head else greatest(scored: _*)).getField("lang")
   }
 
+  /** The winning language's marker-hit count — [[langId]]'s
+    * confidence proxy (the argmax's score IS the max over languages,
+    * so this is one greatest() over the same per-lang hit exprs).
+    * Feeds the calibration table: bucket by hits, read accuracy per
+    * bucket, and you know which confidence floor to gate on.
+    */
+  def langIdMaxHits(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = TextFns.tokens(text)
+    val scored = markers.map { case (_, words) =>
+      val stops = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(stops, t))).cast("long")
+    }
+    if (scored.size == 1) scored.head else greatest(scored: _*)
+  }
+
+  /** DuckDB mirror of [[langIdMaxHits]] over token-array expr `tk`. */
+  def langIdMaxHitsSql(markers: Seq[(String, Seq[String])], tk: String): String = {
+    val hs = markers.sortBy(_._1).map { case (_, words) =>
+      s"len(list_filter($tk, t -> list_contains(${sqlList(words)}, t)))"
+    }
+    if (hs.size == 1) hs.head else s"greatest(${hs.mkString(", ")})"
+  }
+
   /** qualityScore's tunables, shared with the DuckDB SQL mirror below
     * so the engine and every oracle that inlines the formula cannot
     * desynchronize.

@@ -538,6 +538,51 @@ object Io {
     live.drop("pair_bucket", "__seq")
   }
 
+  /** Time-travel read of the dup-graph pair set AS OF `asOfSeq` — the
+    * [[readIvfIndexAsOf]] discipline applied to the second artifact
+    * family: every appended pair carries its stamp (base build = 0)
+    * and tombstones carry theirs, so the graph exactly as it stood at
+    * stamp `asOfSeq` is a FILTER (appends with __seq ≤ asOfSeq,
+    * tombstones restricted to seq ≤ asOfSeq), not a restore from
+    * backup. As-of the max stamp == the live [[readDupGraphPairs]]
+    * view; as-of 0 == the base build; an as-of read BELOW a delete's
+    * stamp sees the pre-takedown graph — the audit/debug view
+    * ("which cluster did this doc sit in before Tuesday's takedown")
+    * that no current-view read can produce. NOTE: compaction
+    * ([[compactDupGraph]]) rewrites history into one generation and
+    * deliberately forfeits pre-compaction as-of states — time travel
+    * and compaction trade off, same as the IVF family.
+    */
+  def readDupGraphPairsAsOf(
+      spark: SparkSession,
+      path: String,
+      asOfSeq: Long): DataFrame = {
+    require(asOfSeq >= 0L, "asOfSeq must be >= 0")
+    val (_, pairsSchema, _) = dupGraphMeta(spark, path)
+    val raw = spark.read.schema(pairsSchema).parquet(s"$path/pairs")
+      .filter(coalesce(col("__seq"), lit(0L)) <= asOfSeq)
+    val live = tombstonesOf(spark, path) match {
+      case None => raw
+      case Some(t) =>
+        val tmax = t
+          .filter(col("seq") <= asOfSeq)
+          .groupBy(col("id").as("__tid"))
+          .agg(max(col("seq")).as("__tseq"))
+        raw
+          .join(
+            tmax,
+            col("id_a") === col("__tid") &&
+              coalesce(col("__seq"), lit(0L)) <= col("__tseq"),
+            "left_anti")
+          .join(
+            tmax,
+            col("id_b") === col("__tid") &&
+              coalesce(col("__seq"), lit(0L)) <= col("__tseq"),
+            "left_anti")
+    }
+    live.drop("pair_bucket", "__seq")
+  }
+
   /** Tombstone-delete DOCS from the dup graph (the takedown shape for
     * the pair artifact): every pair touching the ids is hidden from
     * this stamp on, and — because removing a node can SPLIT a cluster,

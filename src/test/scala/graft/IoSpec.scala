@@ -225,6 +225,29 @@ class IoSpec extends SparkSpec {
     assert(labelsAfter == full, "compaction must not touch labels")
   }
 
+  test("readDupGraphPairsAsOf: each stamp reconstructs its state; later deletes invisible") {
+    val dir = tmp("dupgasof") + "/g"
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Io.writeDupGraph(Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"), dir, buckets = 8)
+    Io.upsertDupGraph(Seq((2L, 3L)).toDF("id_a", "id_b"), dir, seq = 1L)
+    Io.deleteDupGraphDocs(Seq(Tuple1(2L)).toDF("id"), dir, seq = 2L)
+    // as-of 0: base only
+    assert(pairSet(Io.readDupGraphPairsAsOf(spark, dir, 0L)) == Set((1L, 2L), (5L, 6L)))
+    // as-of 1: base + upsert, the seq-2 tombstone NOT visible
+    assert(pairSet(Io.readDupGraphPairsAsOf(spark, dir, 1L)) ==
+      Set((1L, 2L), (5L, 6L), (2L, 3L)))
+    // as-of max == the live view (doc 2's pairs hidden)
+    assert(pairSet(Io.readDupGraphPairsAsOf(spark, dir, 2L)) ==
+      pairSet(Io.readDupGraphPairs(spark, dir)))
+    assert(pairSet(Io.readDupGraphPairsAsOf(spark, dir, 2L)) == Set((5L, 6L)))
+    // re-append after the tombstone: the doc came back at seq 3 —
+    // visible as-of 3, still hidden as-of 2
+    Io.upsertDupGraph(Seq((2L, 3L)).toDF("id_a", "id_b"), dir, seq = 3L)
+    assert(pairSet(Io.readDupGraphPairsAsOf(spark, dir, 2L)) == Set((5L, 6L)))
+    assert(pairSet(Io.readDupGraphPairsAsOf(spark, dir, 3L)) == Set((5L, 6L), (2L, 3L)))
+  }
+
   test("compactSmallFiles: fragmented dir collapses to the byte-target count, rows identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_smallfiles").toString + "/t"
     (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
