@@ -1465,6 +1465,23 @@ object SparkEntryCoverage {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // Persisted bigram LM (Io.writeLmModel/readLmModel) — the
+    // LM-stats member of the build-once family: fit writes the
+    // micro-nat dictionaries ONCE, scoring runs entirely off the
+    // loaded artifact (two dictionary joins, no re-fit), and because
+    // every log-prob was rounded to BIGINT at fit time the parquet
+    // round-trip is lossless — persisted scoring must bit-equal the
+    // in-line path, which is t_perplexity_bigram's oracle, shared.
+    "t_ppl_persisted" -> { (s, dir) =>
+      val lmPath = s"/tmp/graft_idx/lm_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      graft.sources.Io.writeLmModel(
+        TextAnalysis.fitBigramLm(docs, "text"), lmPath)
+      TextAnalysis
+        .scoreBigramLm(docs, "text", "doc_id", graft.sources.Io.readLmModel(s, lmPath))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // TF-IDF term weighting: explode tokens -> per-(doc, term) tf ->
     // per-term df -> tf * ln(N/df), all hash aggregates + one
     // broadcast of the scalar doc count
@@ -4974,6 +4991,9 @@ object SparkEntryCoverage {
       "s_leakage_persisted" -> base("s_leakage_split"),
       // incremental closure must converge to the full-corpus closure
       "dd_graph_upsert" -> base("dd_cluster_sizes"),
+      // persisted-LM scoring must bit-equal the in-line fit (micro-nat
+      // rounding happened at fit time; parquet round-trip is lossless)
+      "t_ppl_persisted" -> base("t_perplexity_bigram"),
       // the as-of-1 (pre-takedown) state IS the full-corpus graph:
       // later tombstones must be invisible to the time-travel read
       "dd_graph_asof" -> base("dd_cluster_sizes"))

@@ -800,6 +800,59 @@ object Io {
     deleteDir(spark, stage)
   }
 
+  /** Persist a fitted bigram LM ([[graft.operators.TextAnalysis
+    * .fitBigramLm]]'s (biLp, uniLp, oov6, oovbo6)) as a build-once
+    * artifact — the LM-stats member of the IVF/postings/dup-graph
+    * family: at 100 TB the LM fit is a full token-stream scan, while
+    * scoring any new batch off the ARTIFACT is two dictionary
+    * equi-joins, so fit once per corpus release and score forever.
+    * Layout: `bigrams/` term-dictionary rows bucketed by hash(prev)
+    * (a scorer's bigram join prunes to the probe terms' buckets),
+    * `unigrams/` flat, `_meta` carrying bucket modulus + the two OOV
+    * constants + both schemas (explicit-schema read-backs: an empty
+    * LM — one-doc corpus — must read as an empty frame, the
+    * writeDupGraph rule).
+    */
+  def writeLmModel(
+      lm: (DataFrame, DataFrame, Long, Long),
+      path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val (biLp, uniLp, oov6, oovbo6) = lm
+    val spark = biLp.sparkSession
+    import spark.implicits._
+    val bi = biLp.withColumn(
+      "prev_bucket",
+      pmod(xxhash64(col("prev")), lit(buckets.toLong)))
+    bi.write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bigrams")
+    uniLp.write.mode("overwrite").parquet(s"$path/unigrams")
+    Seq((buckets, oov6, oovbo6, bi.schema.json, uniLp.schema.json))
+      .toDF("buckets", "oov6", "oovbo6", "bi_schema", "uni_schema")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Load a [[writeLmModel]] artifact back into the exact
+    * (biLp, uniLp, oov6, oovbo6) shape [[graft.operators
+    * .TextAnalysis.scoreBigramLm]] consumes — scoring off the loaded
+    * model must be bit-identical to scoring off the in-line fit
+    * (every log-prob was rounded to BIGINT micro-nats at FIT time, so
+    * the parquet round-trip is lossless by construction).
+    */
+  def readLmModel(
+      spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Long, Long) = {
+    val m = spark.read.parquet(s"$path/_meta")
+      .select(col("buckets"), col("oov6"), col("oovbo6"), col("bi_schema"), col("uni_schema"))
+      .head()
+    def schemaOf(j: String) =
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
+    val bi = spark.read.schema(schemaOf(m.getString(3))).parquet(s"$path/bigrams")
+      .drop("prev_bucket")
+    val uni = spark.read.schema(schemaOf(m.getString(4))).parquet(s"$path/unigrams")
+    (bi, uni, m.getLong(1), m.getLong(2))
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files —
     * the cure for long append histories and over-parallel writes (a
     * 32-task write of a 10 MB table leaves 32 tiny files; a month of

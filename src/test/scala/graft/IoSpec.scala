@@ -248,6 +248,29 @@ class IoSpec extends SparkSpec {
     assert(pairSet(Io.readDupGraphPairsAsOf(spark, dir, 3L)) == Set((5L, 6L), (2L, 3L)))
   }
 
+  test("writeLmModel/readLmModel: scoring off the artifact bit-equals the in-line fit; empty LM reads empty") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    val dir = tmp("lm") + "/m"
+    val fit = TextAnalysis.fitBigramLm(docs, "text")
+    Io.writeLmModel(fit, dir)
+    val loaded = Io.readLmModel(spark, dir)
+    assert((loaded._3, loaded._4) == ((fit._3, fit._4)))
+    def scoreMap(lm: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long, Long)) =
+      TextAnalysis.scoreBigramLm(docs, "text", "doc_id", lm)
+        .select($"id", $"nll_sum6").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scoreMap(loaded) == scoreMap(fit))
+    // empty corpus -> fileless parquet dirs must read as empty frames
+    val edir = tmp("lmE") + "/m"
+    Io.writeLmModel(TextAnalysis.fitBigramLm(docs.filter(lit(false)), "text"), edir)
+    val e = Io.readLmModel(spark, edir)
+    assert(e._1.count() == 0L && e._2.count() == 0L)
+  }
+
   test("compactSmallFiles: fragmented dir collapses to the byte-target count, rows identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_smallfiles").toString + "/t"
     (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
