@@ -2300,6 +2300,50 @@ object SparkEntryCoverage {
         .theilSenDaily(daily, "event_type", "day", "n")
         .orderBy(col("event_type"))
     },
+    // Mann-Kendall trend significance (Series.mannKendallDaily): is
+    // the per-type daily volume actually trending, or is the
+    // Theil-Sen slope one outlier's doing — exact integer S and
+    // micro-unit Kendall tau over the same bounded day grid
+    "w_mann_kendall" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .mannKendallDaily(daily, "event_type", "day", "n")
+        .orderBy(col("event_type"))
+    },
+    // Sliding-window distinct via mergeable HLL registers — the
+    // weekly-active-users shape at 100 TB: persist ONE 2^p-row
+    // register table per day, and any trailing window's distinct
+    // count is a register MAX-merge over that window's sketches — no
+    // event rescan, no per-window count-distinct shuffle over the
+    // stream. The exact trailing count is published beside the
+    // estimate at test scale (it is precisely the computation the
+    // sketch exists to avoid at 100 TB). Day-grid joins are
+    // bounded-broadcast (the documented class).
+    "a_hll_window" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val daily = Sketches.hllRegisters(ev, Seq(col("d")), col("user_id"), 10)
+      val days = daily.select(col("d").as("day")).distinct()
+      val merged = days
+        .join(daily, expr("datediff(day, d) BETWEEN 0 AND 6"))
+        .groupBy(col("day"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val exact = days
+        .join(ev, expr("datediff(day, d) BETWEEN 0 AND 6"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      Sketches
+        .hllEstimate(merged, 10, Seq(col("day")))
+        .join(exact, "day")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_exact"),
+          col("n_occupied"),
+          col("hll_est"))
+        .orderBy(col("day"))
+    },
     // Pseudo-relevance feedback retrieval (Rocchio 1971 / RM-style
     // expansion): BM25 pass 1 -> top-5 feedback docs -> their top-3
     // co-occurring terms (count desc, term asc; query terms and the
@@ -6162,6 +6206,51 @@ object SparkEntryCoverage {
         |  n_days, CAST(gap AS BIGINT) AS gap_before_days
         |FROM o ORDER BY event_type, island_start""".stripMargin,
     // same integer micro-slopes, same lower-median rank rule
+    // sign sums are exact; tau6 emulates truncation toward zero for
+    // a possibly-negative S
+    "w_mann_kendall" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS dd, n FROM d),
+        |sg AS (SELECT a.event_type,
+        |         CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s_stat
+        |       FROM base a JOIN base b ON a.event_type = b.event_type AND a.dd < b.dd
+        |       GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1)
+        |SELECT nd.event_type, nd.n_days, sg.s_stat,
+        |  CAST(CASE WHEN sg.s_stat >= 0
+        |       THEN (1000000 * sg.s_stat) // (nd.n_days * (nd.n_days - 1) // 2)
+        |       ELSE -((1000000 * -sg.s_stat) // (nd.n_days * (nd.n_days - 1) // 2)) END AS BIGINT)
+        |    AS tau6
+        |FROM nd JOIN sg USING (event_type) WHERE nd.n_days >= 2
+        |ORDER BY event_type""".stripMargin,
+    // daily registers max-merged per trailing window; exact trailing
+    // distinct beside the estimate
+    "a_hll_window" -> {
+      val alphaNum = Sketches.hllAlpha(10) * 1024.0 * 1024.0 * 8589934592.0
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+         |hh AS (SELECT DISTINCT d, ${sqlHash32("user_id")} AS h FROM ev),
+         |rg AS (SELECT d, h // 4194304 AS bucket,
+         |         CASE WHEN h % 4194304 = 0 THEN CAST(23 AS BIGINT)
+         |              ELSE CAST(23 - length(bin(h % 4194304)) AS BIGINT) END AS rho
+         |       FROM hh),
+         |reg AS (SELECT d, bucket, max(rho) AS r FROM rg GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d AS day FROM reg),
+         |m AS (SELECT day, bucket, max(r) AS r FROM days JOIN reg
+         |        ON datediff('day', reg.d, days.day) BETWEEN 0 AND 6 GROUP BY 1, 2),
+         |ag AS (SELECT day, CAST(count(*) AS BIGINT) AS n_occupied,
+         |         CAST(sum(8589934592 // (CAST(1 AS BIGINT) << CAST(r AS INT))) AS BIGINT) AS s_occ
+         |       FROM m GROUP BY 1),
+         |es AS (SELECT day, n_occupied,
+         |         $alphaNum / CAST(s_occ + (1024 - n_occupied) * 8589934592 AS DOUBLE) AS raw,
+         |         1024 - n_occupied AS zeros FROM ag),
+         |ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |       FROM days JOIN ev ON datediff('day', ev.d, days.day) BETWEEN 0 AND 6 GROUP BY 1)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n_exact, n_occupied,
+         |  CAST(round(CASE WHEN raw <= ${2.5 * 1024.0} AND zeros > 0
+         |       THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 0) AS BIGINT) AS hll_est
+         |FROM es JOIN ex USING (day) ORDER BY day""".stripMargin
+    },
     "w_theilsen" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1, 2),

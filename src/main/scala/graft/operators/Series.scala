@@ -458,6 +458,50 @@ object Series {
       .select(col("dow"), col("n_days"), col("sum_n"), col("idx6"))
   }
 
+  /** Mann–Kendall trend statistic per key (Mann 1945, Kendall 1975)
+    * over a DAILY series — the nonparametric IS-there-a-trend
+    * companion to [[theilSenDaily]]'s HOW-steep: S = Σ over ordered
+    * day pairs of sign(v_j − v_i), and Kendall's tau = S/(n(n−1)/2)
+    * reported in exact micro-units. S is an exact integer sum of
+    * {−1,0,1}; tau6 divides with truncation toward zero (S can be
+    * negative — the SQL mirror emulates truncation where floor
+    * division would diverge). |tau6| → 1e6 monotone, → 0 trendless;
+    * a big Theil–Sen slope with a small |tau6| is one outlier, not a
+    * trend. Same bounded shape as Theil–Sen: the pairwise join is
+    * quadratic in the per-key DAY GRID, never the raw stream. Keys
+    * with fewer than 2 days carry no pair evidence and are dropped;
+    * null day/value rows excluded (the engine-dependent null ORDER
+    * BY rule). Returns (key, n_days, s_stat, tau6).
+    */
+  def mannKendallDaily(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val base = daily
+      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        col(keyCol).as("k"),
+        datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col(valueCol).cast("long").as("v"))
+    val a = base.select(col("k"), col("d").as("da"), col("v").as("va"))
+    val b = base.select(col("k"), col("d").as("db"), col("v").as("vb"))
+    val s = a
+      .join(b, Seq("k"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("k"))
+      .agg(sum(signum(col("vb") - col("va")).cast("long")).as("s_stat"))
+    base
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .join(s, Seq("k"))
+      .withColumn(
+        "tau6",
+        expr("CAST((1000000 * s_stat) div (n_days * (n_days - 1) div 2) AS BIGINT)"))
+      .select(col("k").as(keyCol), col("n_days"), col("s_stat"), col("tau6"))
+  }
+
   /** Kaplan–Meier product-limit survival curve (Kaplan & Meier, JASA
     * 1958) over entity LIFETIMES in an activity log: lifetime = days
     * between an entity's first and last activity, bucketed into

@@ -207,6 +207,31 @@ class SeriesSpec extends SparkSpec {
     assert(r.getLong(3) == -1000000L)
   }
 
+  test("mannKendallDaily: monotone series scores tau 1e6, outlier-spiked flat series near 0") {
+    import graft.operators.Series
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    // key "up": strictly increasing 5 days -> S = 10 pairs, tau = 1e6
+    // key "flat": constant except one spike -> S = (n-1) - 0 ... spike
+    // at the END adds only +4 of 10 pairs -> tau small (0.4e6):
+    // the Theil-Sen-vs-MK divergence the scaladoc promises
+    val rows =
+      (1 to 5).map(i => ("up", d(i), i.toLong)) ++
+        Seq(("flat", d(1), 10L), ("flat", d(2), 10L), ("flat", d(3), 10L),
+          ("flat", d(4), 10L), ("flat", d(5), 99L))
+    val got = Series
+      .mannKendallDaily(rows.toDF("k", "day", "v"), "k", "day", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("up") == ((5L, 10L, 1000000L)))
+    assert(got("flat") == ((5L, 4L, 400000L)))
+    // negative S truncates toward zero exactly like the oracle: 4 of
+    // 6 pairs falling -> tau6 = -(1e6*2)//6 ... hand case: 1,3,2,1
+    val neg = Seq(("n", d(1), 3L), ("n", d(2), 2L), ("n", d(3), 1L), ("n", d(4), 2L))
+    val gneg = Series.mannKendallDaily(neg.toDF("k", "day", "v"), "k", "day", "v")
+      .head()
+    // pairs: (3,2)-1 (3,1)-1 (3,2)-1 (2,1)-1 (2,2)0 (1,2)+1 -> S=-3
+    assert(gneg.getLong(2) == -3L && gneg.getLong(3) == -500000L)
+  }
+
   test("kaplanMeier: hand-computed product-limit curve with censoring") {
     import graft.operators.Series
     def d(day: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, day))
