@@ -56,6 +56,8 @@ object SparkEntry {
     base ++ Map(
       "mm_phash_persisted" -> base("mm_phash_neardup"),
       "mm_phash_upsert" -> base("mm_phash_neardup"),
+      // the as-of-1 read sees through the seq-2 takedown: full corpus
+      "mm_phash_asof" -> base("mm_phash_neardup"),
       "st_phash_upsert" -> base("mm_phash_neardup"),
       "mm_phash_multiprobe" -> phashPairsOracleFor("TRUE", probed = true),
       "mm_phash_compacted" -> phashPairsOracleFor("doc_id % 9 <> 0"))
@@ -1937,6 +1939,27 @@ object SparkEntry {
       Multimodal
         .phashPairsFromCodes(
           graft.sources.Io.readPhashIndexLatest(s, idxPath), 2, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // T17 time travel: same base+upsert history as mm_phash_upsert
+    // plus a seq-2 takedown — the as-of-1 read serves the FULL
+    // pre-takedown code table (the later tombstone invisible to the
+    // time-travel clock), so its pair set equals the in-line
+    // full-corpus run: mm_phash_neardup's oracle, one more path.
+    "mm_phash_asof" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxPath = s"/tmp/graft_idx/phash_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      def codesOf(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.phashCodes(Multimodal.fromText(d, "doc_id", "text", "image"))
+      graft.sources.Io.writePhashIndex(
+        codesOf(docs.filter(col("doc_id") < 250)), idxPath)
+      graft.sources.Io.upsertPhashIndex(
+        codesOf(docs.filter(col("doc_id") >= 250)), idxPath, seq = 1L)
+      graft.sources.Io.deletePhashIds(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")), idxPath, seq = 2L)
+      Multimodal
+        .phashPairsFromCodes(
+          graft.sources.Io.readPhashIndexAsOf(s, idxPath, asOfSeq = 1L), 2, maxBucket = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
     // T17 multiprobe: radius-1 prefix probes recover the near-dup

@@ -1302,6 +1302,39 @@ object SparkEntryCoverage {
         .select(col("id").as("doc_id"), col("n_hits"))
         .orderBy(col("doc_id"))
     },
+    // Postings TIME TRAVEL (Io.readPostingsAsOf): the same
+    // takedown+restore history as r_phrase_delete, read AS OF 0 —
+    // the seq-1 tombstones are invisible to the clock AND the seq-2
+    // re-indexed doc versions must serve their ORIGINAL seq-0 rows,
+    // so the phrase results equal the plain full-corpus search
+    // (r_phrase_search's oracle). Reproduce yesterday's retrieval
+    // against the index that produced it; third artifact family with
+    // as-of reads.
+    "r_phrase_asof" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idxPath =
+        s"/tmp/graft_idx/postings_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePostings(
+        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
+        idxPath)
+      graft.sources.Io.deletePostingsDocs(
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")), idxPath, seq = 1L)
+      graft.sources.Io.upsertPostings(
+        TextAnalysis.invertedIndex(
+          docs.filter(col("doc_id") % 8 === 0), "text", "doc_id"),
+        idxPath,
+        seq = 2L)
+      val phrase = Seq("table", "hash")
+      val pruned = graft.sources.Io
+        .readPostingsAsOf(s, idxPath, asOfSeq = 0L)
+        .filter(
+          col("term_bucket")
+            .isin(graft.sources.Io.postingsBuckets(s, idxPath, phrase): _*))
+      TextAnalysis
+        .phraseSearch(pruned, phrase)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
     // Postings compaction: same takedown+restore history as
     // r_phrase_delete, then compactPostings rebuilds the bucketed
     // base (same persisted modulus) — the PLAIN pruned reader must
@@ -2641,6 +2674,45 @@ object SparkEntryCoverage {
       val (books, latest) = graft.sources.Io.readPqIndexLatest(s, idxPath, "vec_id")
       Similarity
         .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
+    // PQ index TIME TRAVEL (Io.readPqIndexAsOf) — the fifth and last
+    // artifact family gains as-of reads: same stale-base + corrected-
+    // upsert history as v_pq_upsert, read AS OF 0 — the pre-upsert
+    // index, whose codes AND re-rank vectors are the stale (reversed)
+    // ones. Oracle probes the same stale corpus view (the v_ivf_asof
+    // discipline on the byte-coded layout).
+    "v_pq_asof" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val centroids = (0 until 8).map(sub => full.toSeq.map(_.slice(sub * subDim, (sub + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus.withColumn(
+        "embedding",
+        when(col("vec_id") % 5 === 0, reverse(col("embedding"))).otherwise(col("embedding")))
+      val idxPath = s"/tmp/graft_idx/pq_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writePqIndex(
+        Similarity.pqEncode(stale, "embedding", subDim, centroids), centroids, idxPath)
+      graft.sources.Io.upsertPqIndex(
+        Similarity.pqEncode(
+          corpus.filter(col("vec_id") % 5 === 0), "embedding", subDim, centroids),
+        idxPath,
+        seq = 1L)
+      val (books, asOf0) = graft.sources.Io.readPqIndexAsOf(s, idxPath, "vec_id", asOfSeq = 0L)
+      Similarity
+        .pqTopK(asOf0, "embedding", books, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
     // Tombstone deletes on the persisted PQ index — v_ivf_delete's
@@ -4977,8 +5049,14 @@ object SparkEntryCoverage {
     */
   private[graft] lazy val pqTopkOracle: String = pqTopkOracleFor("e.vec_id <> 0")
 
-  /** pqTopkOracle over a restricted effective corpus (delete variants). */
-  private[graft] def pqTopkOracleFor(corpusPred: String): String = {
+  /** pqTopkOracle over a restricted effective corpus (delete
+    * variants); `embExpr` substitutes the corpus embedding (the
+    * as-of/stale variants — the index's stored vector at that clock,
+    * used by BOTH the code assignment and the exact re-rank).
+    */
+  private[graft] def pqTopkOracleFor(
+      corpusPred: String,
+      embExpr: String = "e.embedding"): String = {
     def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
     val codeCos = sqlCosine("sub_v", "sub_c")
     s"""WITH cents AS (
@@ -4986,8 +5064,8 @@ object SparkEntryCoverage {
        | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |scored AS (
-       | SELECT e.vec_id, e.label, e.embedding, gs.s, c.cell,
-       |        ${subSlice("e.embedding", "gs.s")} AS sub_v,
+       | SELECT e.vec_id, e.label, ($embExpr) AS embedding, gs.s, c.cell,
+       |        ${subSlice(s"($embExpr)", "gs.s")} AS sub_v,
        |        ${subSlice("c.ce", "gs.s")} AS sub_c
        | FROM embeddings e
        | CROSS JOIN cents c
@@ -6394,6 +6472,11 @@ object SparkEntryCoverage {
     // last-wins upserts must converge the index to the plain table —
     // same oracle again (the v_ivf_upsert rule for the PQ layout)
     "v_pq_upsert" -> pqTopkOracle,
+    // the as-of-0 read serves the pre-upsert index: stale (reversed)
+    // vectors for the %5 ids in both the codes and the re-rank
+    "v_pq_asof" -> pqTopkOracleFor(
+      "e.vec_id <> 0",
+      "CASE WHEN e.vec_id % 5 = 0 THEN list_reverse(e.embedding) ELSE e.embedding END"),
     "v_pq_delete" ->
       pqTopkOracleFor("e.vec_id <> 0 AND NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
     "v_pq_compacted" ->
@@ -7550,6 +7633,9 @@ object SparkEntryCoverage {
         |SELECT p.q_pct, p.bucket, p.bucket * 1718.75 AS est, c.cum_n, p.n_total
         |FROM pick p JOIN cum c ON p.bucket = c.bucket ORDER BY p.q_pct""".stripMargin,
     "r_phrase_search" -> phraseSearchOracle,
+    // as-of-0 sees through the seq-1 deletes AND the seq-2 re-index:
+    // the full-corpus phrase results
+    "r_phrase_asof" -> phraseSearchOracle,
     // persisted-and-loaded index must land on the identical result
     "r_phrase_persisted" -> phraseSearchOracle,
     // tombstoned docs excluded (del %4 at seq 1, re-indexed %8 at 2)

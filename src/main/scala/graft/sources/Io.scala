@@ -344,10 +344,15 @@ object Io {
   /** The live doc versions of a postings index: (\_\_did, __max_seq)
     * for every doc whose latest sidecar row is not a tombstone.
     */
-  private def livePostingsDocs(spark: SparkSession, path: String): DataFrame = {
+  private def livePostingsDocs(
+      spark: SparkSession,
+      path: String,
+      asOf: Option[Long] = None): DataFrame = {
     // a doc's effective version is its max-stamp sidecar row; if that
-    // row is a tombstone (deletePostingsDocs), the doc serves nothing
-    val raw = spark.read.parquet(s"$path/_docseq")
+    // row is a tombstone (deletePostingsDocs), the doc serves nothing.
+    // asOf restricts the sidecar to stamps <= the as-of clock.
+    val raw = asOf.fold(spark.read.parquet(s"$path/_docseq"))(m =>
+      spark.read.parquet(s"$path/_docseq").filter(col("seq") <= m))
     val withFlag =
       if (raw.columns.contains("deleted"))
         raw.withColumn("deleted", coalesce(col("deleted"), lit(false)))
@@ -356,6 +361,31 @@ object Io {
       .dedupeFirstWins(withFlag, Seq(col("id")), Seq(col("seq").desc))
       .filter(!col("deleted"))
       .select(col("id").as("__did"), col("seq").as("__max_seq"))
+  }
+
+  /** Time-travel read of a postings index AS OF `asOfSeq` — the
+    * [[readIvfIndexAsOf]]/[[readDupGraphPairsAsOf]] discipline on the
+    * third artifact family: the doc-version sidecar and the postings
+    * rows are both restricted to stamps ≤ the as-of clock, then the
+    * usual per-doc max-stamp resolution runs — so a read below a
+    * takedown's or re-index's stamp serves yesterday's index exactly
+    * (reproduce a retrieval regression against the index that
+    * produced it). As-of max(seq) == [[readPostingsLatest]]; as-of 0
+    * == the base build. Compaction forfeits pre-compaction states
+    * (one-generation rewrite), same trade as the other families.
+    */
+  def readPostingsAsOf(
+      spark: SparkSession,
+      path: String,
+      asOfSeq: Long): DataFrame = {
+    require(asOfSeq >= 0L, "asOfSeq must be >= 0")
+    spark.read.parquet(path)
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      .filter(col("__seq") <= asOfSeq)
+      .join(
+        livePostingsDocs(spark, path, Some(asOfSeq)),
+        col("id") === col("__did") && col("__seq") === col("__max_seq"))
+      .drop("__did", "__max_seq", "__seq")
   }
 
   def readPostingsLatest(spark: SparkSession, path: String): DataFrame =
@@ -785,6 +815,24 @@ object Io {
     applyTombstones(latest, "id", path)
   }
 
+  /** Time-travel read of a phash index AS OF `asOfSeq`: code rows
+    * and tombstones restricted to stamps ≤ the clock, then the same
+    * last-wins resolution as [[readPhashIndexLatest]] — an as-of
+    * below a takedown's stamp serves the pre-takedown code table.
+    */
+  def readPhashIndexAsOf(
+      spark: SparkSession,
+      path: String,
+      asOfSeq: Long): DataFrame = {
+    require(asOfSeq >= 0L, "asOfSeq must be >= 0")
+    val all = spark.read.parquet(path)
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      .filter(col("__seq") <= asOfSeq)
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(all, Seq(col("id")), Seq(col("__seq").desc))
+    applyTombstones(latest, "id", path, Some(asOfSeq))
+  }
+
   /** Compact a persisted phash index: resolve last-wins + tombstones
     * once, rewrite as a stamp-0 base (root overwrite also purges the
     * tombstone sidecar). [[readPhashIndex]] afterwards serves exactly
@@ -924,15 +972,19 @@ object Io {
 
   /** Drop the rows of `latest` (which still carries `__seq`) whose id
     * has a tombstone at or above the row's stamp, then drop `__seq`.
+    * `maxSeq` restricts which tombstones are VISIBLE (the as-of
+    * read's clock) — None means all of them, the live view.
     */
   private def applyTombstones(
       latest: DataFrame,
       idCol: String,
-      path: String): DataFrame = {
+      path: String,
+      maxSeq: Option[Long] = None): DataFrame = {
     val spark = latest.sparkSession
     tombstonesOf(spark, path) match {
       case None => latest.drop("__seq")
-      case Some(t) =>
+      case Some(t0) =>
+        val t = maxSeq.fold(t0)(m => t0.filter(col("seq") <= m))
         val tmax = t.groupBy(col("id").as("__tid")).agg(max(col("seq")).as("__tseq"))
         latest
           .join(
@@ -1161,6 +1213,27 @@ object Io {
     val latest = graft.operators.Relational
       .dedupeFirstWins(codes, Seq(col(idCol)), Seq(col("__seq").desc))
     (readPqCodebooks(spark, path), applyTombstones(latest, idCol, path))
+  }
+
+  /** Time-travel read of a PQ index AS OF `asOfSeq` — completes as-of
+    * symmetry across all five artifact families (IVF, dup-graph,
+    * postings, phash, PQ): code rows and tombstones restricted to
+    * stamps ≤ the clock, then [[readPqIndexLatest]]'s last-wins
+    * resolution. Codebooks are frozen at build time, so they need no
+    * clock.
+    */
+  def readPqIndexAsOf(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      asOfSeq: Long): (Seq[Seq[Array[Double]]], DataFrame) = {
+    require(asOfSeq >= 0L, "asOfSeq must be >= 0")
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      .filter(col("__seq") <= asOfSeq)
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(codes, Seq(col(idCol)), Seq(col("__seq").desc))
+    (readPqCodebooks(spark, path), applyTombstones(latest, idCol, path, Some(asOfSeq)))
   }
 
   private def readPqCodebooks(spark: SparkSession, path: String): Seq[Seq[Array[Double]]] =
