@@ -539,6 +539,34 @@ object SparkEntryCoverage {
     },
     // V2 scale path — IVF top-k: coarse-quantize into 4 cells
     // (centroids = vectors 1..4), probe the query's 2 nearest cells
+    // OOD review queue: the 20 vectors FARTHEST from every reference
+    // centroid (max-cosine argmax with the ivf tie-break, then bottom
+    // by similarity) — rank-based, threshold-free (a fixed cutoff
+    // either floods or starves the queue as the store drifts; the
+    // bottom-k is always exactly one review batch). Map-only over
+    // a 4-centroid broadcast + one distributed TakeOrdered.
+    "v_ood_queue" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          VectorFns.cosine(col("embedding"), array(c.toIndexedSeq.map(lit): _*)).as("sim"),
+          lit(i).as("cell"))
+      }
+      emb
+        .filter(col("vec_id") =!= 0)
+        .withColumn("best", greatest(scored: _*))
+        .select(
+          col("vec_id"),
+          col("best.cell").cast("long").as("cell"),
+          col("best.sim").as("best_sim"))
+        .orderBy(col("best_sim").asc, col("vec_id"))
+        .limit(20)
+    },
     // Exact-integer power iteration (Similarity.powerIterationTop):
     // the dominant principal direction of the embedding store in
     // BIGINT fixed point — the anisotropy/collapse diagnostic. The
@@ -2483,6 +2511,59 @@ object SparkEntryCoverage {
           members, "id", "cluster_id", "seq",
           longestCols = Seq("name"), recentCols = Seq("phone"), maxCols = Seq("bal"))
         .orderBy(col("cluster_id"))
+    },
+    // Blocking-quality audit (Christen's blocking metrics): reduction
+    // ratio (how many of the N² pairs the block key spares us) and
+    // pair completeness (how many TRUE matches share a block — a
+    // truth pair split across blocks is unfindable no matter how good
+    // the matcher). The fixture plants two typo classes: char-6
+    // deletions keep the last-4 block key (caught), while every 3rd
+    // twin mutates INSIDE the key (structurally missed) — so
+    // completeness lands at ~2/3 and the metric demonstrably catches
+    // blocking misses, not just blesses the scheme. No pair
+    // enumeration: candidate counts fold from block sizes.
+    "er_blocking_quality" -> { (s, dir) =>
+      val canon = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val typoName = when(
+        col("id") % 3 === 0,
+        // drop the second-to-last char: the block key shifts
+        concat(
+          col("name").substr(lit(1), length(col("name")) - 2),
+          col("name").substr(length(col("name")), lit(1))))
+        .otherwise(
+          concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100)))
+      val typo = canon.select((col("id") + 1000000L).as("id"), typoName.as("name"))
+      val all = canon.unionByName(typo).withColumn("blk", substring(col("name"), -4, 4))
+      val cand = all
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(expr("CAST(sum(sz * (sz - 1)) div 2 AS BIGINT)").as("n_cand_pairs"))
+      val truth = canon
+        .select(col("id"), substring(col("name"), -4, 4).as("blk_a"))
+        .join(
+          typo.select(
+            (col("id") - 1000000L).as("id"),
+            substring(col("name"), -4, 4).as("blk_b")),
+          "id")
+        .agg(
+          count(lit(1)).as("n_truth"),
+          sum(when(col("blk_a") === col("blk_b"), 1L).otherwise(0L))
+            .as("n_truth_blocked"))
+      all
+        .agg(count(lit(1)).as("n_records"))
+        .crossJoin(broadcast(cand))
+        .crossJoin(broadcast(truth))
+        .select(
+          col("n_records"),
+          expr("CAST(n_records * (n_records - 1) div 2 AS BIGINT)").as("n_total_pairs"),
+          col("n_cand_pairs"),
+          expr("CAST(1000000 * (n_records * (n_records - 1) div 2 - n_cand_pairs) " +
+            "div (n_records * (n_records - 1) div 2) AS BIGINT)").as("rr_ppm"),
+          col("n_truth"),
+          col("n_truth_blocked"),
+          expr("CAST(1000000 * n_truth_blocked div n_truth AS BIGINT)")
+            .as("completeness_ppm"))
     },
     // Pairwise clustering evaluation over the same ER run: precision/
     // recall/F1 against the fixture's ground truth (the typo twin is
@@ -5369,6 +5450,21 @@ object SparkEntryCoverage {
         | CAST(0 AS BIGINT) AS total_tables,
         | CAST(12 AS BIGINT) AS word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // nearest-centroid assignment with the ivf tie-break (sim desc,
+    // cell desc), then the bottom-20 by similarity
+    "v_ood_queue" ->
+      s"""WITH cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT e.vec_id, c.cell, ${sqlCosine("e.embedding", "c.ce")} AS sim
+         | FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+         |best AS (
+         | SELECT vec_id, cell, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, sim AS best_sim
+         |FROM best ORDER BY best_sim ASC, vec_id LIMIT 20""".stripMargin,
     // the identical integer power-iteration rounds; tdiv emulates
     // truncation toward zero (DuckDB // floors negatives)
     "v_power_iter" -> {
@@ -6442,6 +6538,32 @@ object SparkEntryCoverage {
          |LEFT JOIN pv ON pv.cluster_id = nm.cluster_id
          |JOIN bv ON bv.cluster_id = nm.cluster_id
          |ORDER BY nm.cluster_id""".stripMargin,
+    // blocking metrics: candidate counts fold from block sizes, the
+    // in-key typo class (%3) structurally escapes its block
+    "er_blocking_quality" ->
+      """WITH canon AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |typo AS (SELECT id + 1000000 AS id,
+        |    CASE WHEN id % 3 = 0
+        |         THEN substr(name, 1, length(name) - 2) || substr(name, length(name), 1)
+        |         ELSE substr(name, 1, 5) || substr(name, 7) END AS name
+        |  FROM canon),
+        |al AS (SELECT id, name FROM canon UNION ALL SELECT id, name FROM typo),
+        |blk AS (SELECT id, substr(name, length(name) - 3, 4) AS blk FROM al),
+        |cand AS (SELECT CAST(sum(sz * (sz - 1)) // 2 AS BIGINT) AS n_cand_pairs
+        |         FROM (SELECT blk, count(*) AS sz FROM blk GROUP BY 1)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM al),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |         CAST(sum(CASE WHEN a.blk = b.blk THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_blocked
+        |       FROM (SELECT id, blk FROM blk WHERE id < 1000000) a
+        |       JOIN (SELECT id - 1000000 AS id, blk FROM blk WHERE id >= 1000000) b USING (id))
+        |SELECT n_records,
+        |  CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS n_total_pairs,
+        |  n_cand_pairs,
+        |  CAST(1000000 * (n_records * (n_records - 1) // 2 - n_cand_pairs)
+        |       // (n_records * (n_records - 1) // 2) AS BIGINT) AS rr_ppm,
+        |  n_truth, n_truth_blocked,
+        |  CAST(1000000 * n_truth_blocked // n_truth AS BIGINT) AS completeness_ppm
+        |FROM n, cand, tr""".stripMargin,
     // pairwise P/R/F1 vs the twin ground truth — |P| from cluster
     // sizes, TP from the twin join, F1 = 2TP/(|P|+|T|); // is floor
     // division, exact on the even product sz·(sz−1)

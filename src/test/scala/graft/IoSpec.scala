@@ -271,6 +271,31 @@ class IoSpec extends SparkSpec {
     assert(e._1.count() == 0L && e._2.count() == 0L)
   }
 
+  test("readPostingsAsOf: re-indexed docs serve their original version below the clock") {
+    import graft.operators.TextAnalysis
+    val dir = tmp("postasof") + "/p"
+    val v0 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")
+    Io.writePostings(TextAnalysis.invertedIndex(v0, "text", "id"), dir, buckets = 8)
+    // doc 1 re-indexed with NEW text at seq 1; doc 2 deleted at seq 2
+    Io.upsertPostings(
+      TextAnalysis.invertedIndex(Seq((1L, "omega beta")).toDF("id", "text"), "text", "id"),
+      dir, seq = 1L)
+    Io.deletePostingsDocs(Seq(Tuple1(2L)).toDF("id"), dir, seq = 2L)
+    def terms(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select($"id", $"term").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // as-of 0: the original index exactly
+    assert(terms(Io.readPostingsAsOf(spark, dir, 0L)) ==
+      Set((1L, "alpha"), (1L, "beta"), (2L, "gamma"), (2L, "delta")))
+    // as-of 1: doc 1's NEW version, doc 2 still alive
+    assert(terms(Io.readPostingsAsOf(spark, dir, 1L)) ==
+      Set((1L, "omega"), (1L, "beta"), (2L, "gamma"), (2L, "delta")))
+    // as-of 2 == the live view (doc 2 gone)
+    assert(terms(Io.readPostingsAsOf(spark, dir, 2L)) ==
+      terms(Io.readPostingsLatest(spark, dir)))
+    assert(terms(Io.readPostingsAsOf(spark, dir, 2L)) ==
+      Set((1L, "omega"), (1L, "beta")))
+  }
+
   test("compactSmallFiles: fragmented dir collapses to the byte-target count, rows identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_smallfiles").toString + "/t"
     (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
