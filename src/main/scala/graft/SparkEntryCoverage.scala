@@ -539,6 +539,41 @@ object SparkEntryCoverage {
     },
     // V2 scale path — IVF top-k: coarse-quantize into 4 cells
     // (centroids = vectors 1..4), probe the query's 2 nearest cells
+    // PQ reconstruction-error report: per SUBSPACE, the mean cosine
+    // gap between each vector's slice and its assigned codeword — the
+    // codebook-quality diagnostic that names WHICH subspace's
+    // codebook is starving recall (retrain that one, not all eight).
+    // Per-term micro-rounding before the BIGINT sum (no float sums
+    // ride a shuffle); map-only over the broadcast codebooks.
+    "v_pq_error" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val rows = (0 until 8).map { sub =>
+        val sl = slice(col("embedding").cast("array<double>"), sub * subDim + 1, subDim)
+        val best = greatest(cents.zipWithIndex.map { case (c, i) =>
+          val cs = array(c.slice(sub * subDim, (sub + 1) * subDim).toIndexedSeq.map(lit): _*)
+          struct(VectorFns.cosine(sl, cs).as("sim"), lit(i).as("cell"))
+        }: _*)
+        struct(
+          lit(sub).as("sub"),
+          round((lit(1.0) - best.getField("sim")) * lit(1e6), 0).cast("long").as("e6"))
+      }
+      emb
+        .filter(col("vec_id") =!= 0)
+        .select(explode(array(rows: _*)).as("r"))
+        .groupBy(col("r.sub").cast("long").as("sub"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("r.e6")).as("__se"))
+        .select(
+          col("sub"),
+          col("n_vecs"),
+          expr("CAST(__se div n_vecs AS BIGINT)").as("err6_avg"))
+        .orderBy(col("sub"))
+    },
     // OOD review queue: the 20 vectors FARTHEST from every reference
     // centroid (max-cosine argmax with the ivf tie-break, then bottom
     // by similarity) — rank-based, threshold-free (a fixed cutoff
@@ -2359,6 +2394,19 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n"))
       Series
         .theilSenDaily(daily, "event_type", "day", "n")
+        .orderBy(col("event_type"))
+    },
+    // Fano burstiness index (Series.fanoDaily): variance/mean of the
+    // per-type daily volume in exact micro-units — organic Poisson
+    // arrivals score ~1e6, a bursty scraper spikes above, a
+    // rate-limited bot pins below (too regular); the dispersion gate
+    // beside the volume z-test
+    "w_fano" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .fanoDaily(daily, "event_type", "day", "n")
         .orderBy(col("event_type"))
     },
     // Mann-Kendall trend significance (Series.mannKendallDaily): is
@@ -5450,6 +5498,26 @@ object SparkEntryCoverage {
         | CAST(0 AS BIGINT) AS total_tables,
         | CAST(12 AS BIGINT) AS word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-sub best codeword (the pq tie-break), per-term micro
+    // rounding, integer mean
+    "v_pq_error" ->
+      s"""WITH cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT e.vec_id, gs.s, c.cell,
+         |        ${sqlCosine("e.embedding[(gs.s*8+1):(gs.s*8+8)]", "c.ce[(gs.s*8+1):(gs.s*8+8)]")} AS sim
+         | FROM embeddings e CROSS JOIN cents c
+         | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs
+         | WHERE e.vec_id <> 0),
+         |best AS (
+         | SELECT vec_id, s, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |e AS (SELECT s, CAST(round((1.0 - sim) * 1e6, 0) AS BIGINT) AS e6 FROM best)
+         |SELECT CAST(s AS BIGINT) AS sub, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(CAST(sum(e6) AS BIGINT) // count(*) AS BIGINT) AS err6_avg
+         |FROM e GROUP BY 1 ORDER BY sub""".stripMargin,
     // nearest-centroid assignment with the ivf tie-break (sim desc,
     // cell desc), then the bottom-20 by similarity
     "v_ood_queue" ->
@@ -6380,6 +6448,16 @@ object SparkEntryCoverage {
         |  n_days, CAST(gap AS BIGINT) AS gap_before_days
         |FROM o ORDER BY event_type, island_start""".stripMargin,
     // same integer micro-slopes, same lower-median rank rule
+    // n·Σx² − S² is non-negative (Cauchy-Schwarz), so // == div
+    "w_fano" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(n) AS BIGINT) AS sum_n, CAST(sum(n * n) AS BIGINT) AS ss
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n_days, sum_n,
+        |  CAST((1000000 * (n_days * ss - sum_n * sum_n)) // (n_days * sum_n) AS BIGINT) AS fano6
+        |FROM g WHERE sum_n > 0 ORDER BY event_type""".stripMargin,
     // sign sums are exact; tau6 emulates truncation toward zero for
     // a possibly-negative S
     "w_mann_kendall" ->

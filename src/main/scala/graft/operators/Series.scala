@@ -458,6 +458,41 @@ object Series {
       .select(col("dow"), col("n_days"), col("sum_n"), col("idx6"))
   }
 
+  /** Fano factor (index of dispersion, variance/mean) per key over a
+    * DAILY series — the burstiness gate: a Poisson-ish organic
+    * arrival process scores ~1e6, a bursty scraper or replay spikes
+    * far above it, and a rate-limited bot pins BELOW it (too regular
+    * — sub-Poisson is as diagnostic as super-Poisson). Exact
+    * integers: fano6 = 1e6·(n·Σx² − S²) div (n·S) — the
+    * (n·x − S)-scaled centering of [[acfDaily]], one truncating
+    * division per key (all terms non-negative: n·Σx² ≥ S² by
+    * Cauchy–Schwarz). Overflow bound: 1e6·n·Σx² < 2^63 — daily
+    * counts to ~3e5 over a year of days; rescale the value upstream
+    * past that. Null day/value rows excluded; zero-sum keys dropped
+    * (no arrivals — dispersion undefined). Returns (key, n_days,
+    * sum_n, fano6).
+    */
+  def fanoDaily(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame =
+    daily
+      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("v")).as("sum_n"),
+        sum(col("v") * col("v")).as("__ss"))
+      .filter(col("sum_n") > 0L)
+      .select(
+        col("k").as(keyCol),
+        col("n_days"),
+        col("sum_n"),
+        expr("CAST((1000000 * (n_days * __ss - sum_n * sum_n)) div (n_days * sum_n) AS BIGINT)")
+          .as("fano6"))
+
   /** Mann–Kendall trend statistic per key (Mann 1945, Kendall 1975)
     * over a DAILY series — the nonparametric IS-there-a-trend
     * companion to [[theilSenDaily]]'s HOW-steep: S = Σ over ordered

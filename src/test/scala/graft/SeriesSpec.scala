@@ -207,6 +207,18 @@ class SeriesSpec extends SparkSpec {
     assert(r.getLong(3) == -1000000L)
   }
 
+  test("fanoDaily: constant series disperses 0, hand case exact, zero-sum dropped") {
+    import graft.operators.Series
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    val rows = Seq(
+      ("c", d(1), 5L), ("c", d(2), 5L),        // constant -> 0
+      ("h", d(1), 1L), ("h", d(2), 3L),        // (2*10-16)/(2*4) = 0.5
+      ("z", d(1), 0L), ("z", d(2), 0L))        // zero-sum -> dropped
+    val got = Series.fanoDaily(rows.toDF("k", "day", "v"), "k", "day", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("c" -> ((2L, 10L, 0L)), "h" -> ((2L, 4L, 500000L))))
+  }
+
   test("mannKendallDaily: monotone series scores tau 1e6, outlier-spiked flat series near 0") {
     import graft.operators.Series
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
