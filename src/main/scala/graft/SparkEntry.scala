@@ -1962,6 +1962,19 @@ object SparkEntry {
           graft.sources.Io.readPhashIndexAsOf(s, idxPath, asOfSeq = 1L), 2, maxBucket = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // T17 radius tuning: candidate-pair count per Hamming distance
+    // over the SAME capped-bucket candidate set (no radius filter) —
+    // the dd_threshold_sweep analog for the perceptual hash: read the
+    // knee off the histogram, pick the verify radius with evidence
+    // instead of folklore.
+    "mm_phash_hist" -> { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal
+        .phashNearDupPairs(media, 16, maxBucket = 8)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    },
     // T17 multiprobe: radius-1 prefix probes recover the near-dup
     // pairs whose Hamming distance falls in the PREFIX byte — plain
     // prefix blocking structurally misses them (21 vs 15 pairs at
@@ -2130,7 +2143,8 @@ object SparkEntry {
          | ${bin(0)} AS f0, ${bin(1)} AS f1
          |FROM documents ORDER BY media_id""".stripMargin
     },
-    "mm_phash_neardup" -> phashPairsOracleFor("TRUE")
+    "mm_phash_neardup" -> phashPairsOracleFor("TRUE"),
+    "mm_phash_hist" -> phashHistOracle
   )
 
   /** DuckDB mirror of the phash pair set over `documents WHERE pred`
@@ -2168,5 +2182,17 @@ object SparkEntry {
        |$cand
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
        |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The same candidate machinery, aggregated into the radius-tuning
+    * histogram: candidate-pair count per Hamming distance (no radius
+    * filter) — read the knee, pick the verify radius.
+    */
+  private def phashHistOracle: String = {
+    val full = phashPairsOracleFor("TRUE")
+    val base = full.substring(0, full.indexOf("SELECT id_a, id_b,"))
+    base +
+      """SELECT CAST(hamming AS BIGINT) AS hamming, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY hamming""".stripMargin
   }
 }

@@ -3882,6 +3882,46 @@ object SparkEntryCoverage {
             .as("median_chars"))
         .orderBy(col("source"))
     },
+    // Cohort LTV curve: purchase spend per (first-activity-week
+    // cohort, age week), cumulative across age, normalized per cohort
+    // user — the revenue companion of a_retention's activity grid and
+    // a_survival_km's churn curve. Money via the exact DECIMAL(18,2)
+    // idiom; cumulative window bounded by the cohort×age GRID.
+    "a_cohort_ltv" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          col("value"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort
+        .groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).as("__sp"))
+        .withColumn(
+          "__cum",
+          sum(col("__sp")).over(
+            w.partitionBy(col("cohort_wk"))
+              .orderBy(col("age_wk"))
+              .rowsBetween(w.unboundedPreceding, w.currentRow)))
+        .join(sizes, "cohort_wk")
+        .select(
+          col("cohort_wk"),
+          col("age_wk"),
+          col("n_users"),
+          col("n_purchases"),
+          col("__sp").cast("decimal(18,2)").cast("double").as("spend"),
+          col("__cum").cast("decimal(18,2)").cast("double").as("cum_spend"),
+          (col("__cum").cast("decimal(18,2)").cast("double") /
+            col("n_users").cast("double")).as("ltv_per_user"))
+        .orderBy(col("cohort_wk"), col("age_wk"))
+    },
     // Kaplan-Meier survival over customer order lifetimes
     // (Series.kaplanMeier, 1958): 30-day ages, 365-day censoring
     // horizon — customers still ordering near the corpus clock are
@@ -7333,6 +7373,28 @@ object SparkEntryCoverage {
         |SELECT source, CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS median_chars
         |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         |GROUP BY source ORDER BY source""".stripMargin,
+    // same decimal money chain; the cumulative is a window over the
+    // bounded cohort-age grid
+    "a_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |       FROM c GROUP BY 1),
+        |g AS (SELECT c.cohort_wk, e.wk - c.cohort_wk AS age_wk,
+        |        CAST(count(*) AS BIGINT) AS n_purchases,
+        |        CAST(sum(e.v) AS DECIMAL(18,2)) AS sp
+        |      FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_wk, age_wk, n_purchases, sp,
+        |          CAST(sum(sp) OVER (PARTITION BY cohort_wk ORDER BY age_wk) AS DECIMAL(18,2)) AS cm
+        |        FROM g)
+        |SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk, CAST(age_wk AS BIGINT) AS age_wk,
+        |  sz.n_users, n_purchases,
+        |  CAST(sp AS DOUBLE) AS spend, CAST(cm AS DOUBLE) AS cum_spend,
+        |  CAST(cm AS DOUBLE) / CAST(sz.n_users AS DOUBLE) AS ltv_per_user
+        |FROM cum JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, age_wk""".stripMargin,
     // the identical integer product-limit fold as a recursive CTE
     // over the age-ordinal chain
     "a_survival_km" ->
