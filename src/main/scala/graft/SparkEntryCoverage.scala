@@ -2396,6 +2396,21 @@ object SparkEntryCoverage {
         .theilSenDaily(daily, "event_type", "day", "n")
         .orderBy(col("event_type"))
     },
+    // Lead-lag cross-correlation (Series.crossCorrDaily): does the
+    // click series LEAD the purchase series, and by how many days —
+    // the causal-latency instrument the per-series ACF can't see.
+    // Exact integer numerators/denominators; one IEEE sqrt+division
+    // per lag, micro-rounded.
+    "w_lead_lag" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def daily(et: String) = ev
+        .filter(col("event_type") === et)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .crossCorrDaily(daily("click"), daily("purchase"), "day", "n", 7)
+        .orderBy(col("lag"))
+    },
     // Fano burstiness index (Series.fanoDaily): variance/mean of the
     // per-type daily volume in exact micro-units — organic Poisson
     // arrivals score ~1e6, a bursty scraper spikes above, a
@@ -6488,6 +6503,31 @@ object SparkEntryCoverage {
         |  n_days, CAST(gap AS BIGINT) AS gap_before_days
         |FROM o ORDER BY event_type, island_start""".stripMargin,
     // same integer micro-slopes, same lower-median rank rule
+    // identical centering, one IEEE sqrt+division per lag; positive
+    // lag = clicks lead purchases
+    "w_lead_lag" ->
+      """WITH ca0 AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS da,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |cb0 AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS db,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM ca0),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM cb0),
+        |ca AS (SELECT da, CAST(sa.n * v - sa.s AS BIGINT) AS c FROM ca0, sa),
+        |cb AS (SELECT db, CAST(sb.n * v - sb.s AS BIGINT) AS c FROM cb0, sb),
+        |dena AS (SELECT CAST(sum(c * c) AS BIGINT) AS dena FROM ca),
+        |denb AS (SELECT CAST(sum(c * c) AS BIGINT) AS denb FROM cb),
+        |lg AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        |nm AS (SELECT lg.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(ca.c * cb.c) AS BIGINT) AS num
+        |       FROM lg JOIN ca ON TRUE JOIN cb ON cb.db = ca.da + lg.lag
+        |       GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST(round(1e6 * CAST(num AS DOUBLE) /
+        |       sqrt(CAST(dena AS DOUBLE) * CAST(denb AS DOUBLE)), 0) AS BIGINT) AS xcf6
+        |FROM nm, dena, denb WHERE dena > 0 AND denb > 0
+        |ORDER BY lag""".stripMargin,
     // n·Σx² − S² is non-negative (Cauchy-Schwarz), so // == div
     "w_fano" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n

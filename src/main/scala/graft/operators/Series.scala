@@ -458,6 +458,61 @@ object Series {
       .select(col("dow"), col("n_days"), col("sum_n"), col("idx6"))
   }
 
+  /** Lead–lag cross-correlation between TWO daily series at signed
+    * lags −maxLag..maxLag: xcf(ℓ) = Σ_t ca(t)·cb(t+ℓ) /
+    * √(Σca²·Σcb²) with each series centered by its own
+    * (n·v − S) integer scaling (the [[acfDaily]] discipline — scale
+    * factors cancel in the normalized ratio). The "clicks lead
+    * purchases by how many days" instrument: the argmax lag is the
+    * measured latency between cause-series and effect-series, which
+    * the per-series ACF can't see. Numerators and both denominators
+    * are EXACT BIGINTs; the one float step is
+    * 1e6·num/√(dena·denb) — IEEE sqrt and division are correctly
+    * rounded, so both engines produce the identical double, rounded
+    * to a micro-unit BIGINT. Positive lag = `a` LEADS `b` (a's day t
+    * pairs with b's day t+ℓ). Returns (lag, n_pairs, xcf6) for every
+    * lag with at least one aligned pair, ordered by the caller.
+    */
+  def crossCorrDaily(
+      a: DataFrame,
+      b: DataFrame,
+      dayCol: String,
+      valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    def prep(df: DataFrame, cName: String, dName: String) = {
+      val base = df
+        .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+        .select(
+          datediff(col(dayCol), lit("1970-01-01").cast("date")).cast("long").as(dName),
+          col(valueCol).cast("long").as("v"))
+      val st = broadcast(base.agg(count(lit(1)).as("n"), sum(col("v")).as("s")))
+      base.crossJoin(st).select(col(dName), (col("n") * col("v") - col("s")).as(cName))
+    }
+    val ca = prep(a, "ca", "da")
+    val cb = prep(b, "cb", "db")
+    val dena = broadcast(ca.agg(sum(col("ca") * col("ca")).as("dena")))
+    val denb = broadcast(cb.agg(sum(col("cb") * col("cb")).as("denb")))
+    val lags = a.sparkSession
+      .range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    ca
+      .crossJoin(broadcast(lags))
+      .join(cb, col("db") === col("da") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ca") * col("cb")).as("num"))
+      .crossJoin(dena)
+      .crossJoin(denb)
+      .filter(col("dena") > 0L && col("denb") > 0L)
+      .select(
+        col("lag"),
+        col("n_pairs"),
+        round(
+          lit(1e6) * col("num").cast("double") /
+            sqrt(col("dena").cast("double") * col("denb").cast("double")),
+          0).cast("long").as("xcf6"))
+  }
+
   /** Fano factor (index of dispersion, variance/mean) per key over a
     * DAILY series — the burstiness gate: a Poisson-ish organic
     * arrival process scores ~1e6, a bursty scraper or replay spikes

@@ -207,6 +207,23 @@ class SeriesSpec extends SparkSpec {
     assert(r.getLong(3) == -1000000L)
   }
 
+  test("crossCorrDaily: a shifted copy peaks at exactly its lag with xcf 1e6") {
+    import graft.operators.Series
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    // b is a 2-day-delayed copy of a (same values): the lag-2 pairs
+    // align identical centered values -> correlation exactly 1e6
+    val av = Seq(10L, 30L, 20L, 50L, 40L, 60L, 25L, 45L)
+    val a = av.zipWithIndex.map { case (v, i) => (d(i + 1), v) }.toDF("day", "n")
+    val b = av.zipWithIndex.map { case (v, i) => (d(i + 3), v) }.toDF("day", "n")
+    val got = Series.crossCorrDaily(a, b, "day", "n", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(2L) == ((8L, 1000000L)), s"got $got")
+    // every other lag has fewer aligned pairs and lower |xcf|
+    got.filter(_._1 != 2L).foreach { case (l, (_, x)) =>
+      assert(math.abs(x) < 1000000L, s"lag $l")
+    }
+  }
+
   test("fanoDaily: constant series disperses 0, hand case exact, zero-sum dropped") {
     import graft.operators.Series
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
