@@ -1561,6 +1561,43 @@ object SparkEntryCoverage {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    // LANGUAGE, docs split into head/middle/tail terciles by
+    // per-token LM negative log-likelihood (exact integer micro-nats
+    // per token, rank cutoffs n div 3 / 2n div 3 — the quality-gate
+    // integer-rank discipline) — the data-mix table a pretraining
+    // curriculum samples from (head = fluent, tail = noisy). Window
+    // over the doc-bounded score table, never the token stream.
+    "t_ppl_buckets" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .perplexity(docs, "text", "doc_id")
+        .select(
+          col("id").as("doc_id"),
+          col("n_tokens"),
+          expr("CAST(nll_sum6 div n_tokens AS BIGINT)").as("mnll6"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      scored
+        .withColumn(
+          "r",
+          row_number()
+            .over(w.partitionBy(col("lang")).orderBy(col("mnll6"), col("doc_id")))
+            .cast("long"))
+        .withColumn("nl", count(lit(1)).over(w.partitionBy(col("lang"))))
+        .withColumn(
+          "bucket",
+          when(col("r") <= expr("nl div 3"), lit("head"))
+            .when(col("r") <= expr("(2 * nl) div 3"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("mnll6")).as("min_mnll6"),
+          max(col("mnll6")).as("max_mnll6"))
+        .orderBy(col("lang"), col("bucket"))
+    },
     // Persisted bigram LM (Io.writeLmModel/readLmModel) — the
     // LM-stats member of the build-once family: fit writes the
     // micro-nat dictionaries ONCE, scoring runs entirely off the
@@ -3096,6 +3133,24 @@ object SparkEntryCoverage {
         .select((-col("id") - 1).as("suppkey"), col("auth6"))
         .orderBy(col("auth6").desc, col("suppkey"))
         .limit(15)
+    },
+    // Degree assortativity (Graph.assortativity, Newman 2002) over
+    // the part co-order graph: one number — hubs-link-hubs (+) vs
+    // hubs-link-leaves (−), the structure fingerprint that flags a
+    // spam/SEO-farm-shaped link graph before any ranking runs. Exact
+    // integer sums, one IEEE sqrt+division micro-rounded.
+    "g_assortativity" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.assortativity(edges)
     },
     "g_triangles" -> { (s, dir) =>
       val op = t(s, dir, "lineitem")
@@ -6968,6 +7023,31 @@ object SparkEntryCoverage {
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are
     // a graph property so they must agree exactly
+    // symmetrized endpoint-degree Pearson, same cross-multiplied
+    // integer sums, one sqrt+division
+    "g_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS id_a, b.p AS id_b, count(*) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |ud AS (SELECT id_a, id_b FROM e0 WHERE w >= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM ud
+        |          UNION SELECT id_b, id_a FROM ud),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |xy AS (SELECT da.deg AS x, db.deg AS y FROM edges e
+        |       JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+        |       FROM xy),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT nn.n_nodes, ag.n AS n_edges_directed,
+        |  CASE WHEN (ag.n * ag.sxx - ag.sx * ag.sx) <= 0
+        |         OR (ag.n * ag.syy - ag.sy * ag.sy) <= 0 THEN 0
+        |       ELSE CAST(round(1e6 * CAST(ag.n * ag.sxy - ag.sx * ag.sy AS DOUBLE) /
+        |            sqrt(CAST(ag.n * ag.sxx - ag.sx * ag.sx AS DOUBLE) *
+        |                 CAST(ag.n * ag.syy - ag.sy * ag.sy AS DOUBLE)), 0) AS BIGINT) END
+        |    AS assort6
+        |FROM ag, nn""".stripMargin,
     "g_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS id_a, b.p AS id_b, count(*) AS w
@@ -7801,6 +7881,32 @@ object SparkEntryCoverage {
          |FROM tok JOIN lr USING (f)
          |GROUP BY tok.doc_id
          |ORDER BY avg_loglik DESC, doc_id LIMIT 100""".stripMargin,
+    // the same unigram-LM chain, bucketed by integer rank cutoffs
+    "t_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |lp AS (SELECT term,
+        |         CAST(round(ln((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS lp6
+        |       FROM vocab, tot),
+        |sc AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(-SUM(lp.lp6) AS BIGINT) AS nll6
+        |       FROM tok JOIN lp ON tok.term = lp.term GROUP BY 1),
+        |m AS (SELECT d.lang, sc.doc_id, sc.n_tokens,
+        |        CAST(sc.nll6 // sc.n_tokens AS BIGINT) AS mnll6
+        |      FROM sc JOIN documents d USING (doc_id)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY mnll6, doc_id) AS r,
+        |         count(*) OVER (PARTITION BY lang) AS nl FROM m),
+        |b AS (SELECT lang,
+        |        CASE WHEN r <= nl // 3 THEN 'head'
+        |             WHEN r <= (2 * nl) // 3 THEN 'middle'
+        |             ELSE 'tail' END AS bucket, n_tokens, mnll6 FROM rk)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(mnll6) AS min_mnll6, max(mnll6) AS max_mnll6
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "t_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

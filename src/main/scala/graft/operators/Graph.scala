@@ -464,6 +464,59 @@ object Graph {
           .as("lcc"))
   }
 
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * PRL 2002): the Pearson correlation of endpoint degrees over the
+    * symmetrized edge list — ONE number fingerprinting the graph's
+    * structure: positive = hubs link hubs (collaboration-shaped),
+    * negative = hubs link leaves (star/spam-shaped, the SEO-farm
+    * signature on a link graph). Exact integer sums (n·Σxy − Σx·Σy
+    * cross-multiplication, the crossCorrDaily discipline); the one
+    * float step is the final IEEE sqrt+division, micro-rounded. A
+    * degree-regular graph has zero variance — reported as assort6 = 0
+    * by convention rather than a null. Edge hygiene as [[pageRank]]
+    * (self-loops/dupes/nulls dropped). Overflow bound:
+    * n_edges·deg_max² < 2^63. Returns one row:
+    * (n_nodes, n_edges_directed, assort6).
+    */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("id").as("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("y")), Seq("dst"))
+    val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    xy
+      .agg(
+        count(lit(1)).as("n_edges_directed"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .crossJoin(nNodes)
+      .select(
+        col("n_nodes"),
+        col("n_edges_directed"),
+        when(
+          (col("n_edges_directed") * col("sxx") - col("sx") * col("sx")) <= 0L ||
+            (col("n_edges_directed") * col("syy") - col("sy") * col("sy")) <= 0L,
+          lit(0L))
+          .otherwise(
+            round(
+              lit(1e6) *
+                (col("n_edges_directed") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt(
+                  (col("n_edges_directed") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                    (col("n_edges_directed") * col("syy") - col("sy") * col("sy")).cast("double")),
+              0).cast("long"))
+          .as("assort6"))
+  }
+
   /** HITS hubs and authorities (Kleinberg, "Authoritative sources in
     * a hyperlinked environment", JACM 1999) over a DIRECTED edge
     * table (src, dst) — the mutually-recursive complement of

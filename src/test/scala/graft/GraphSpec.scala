@@ -218,6 +218,16 @@ class GraphSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1L, 2L -> 2L)) // and back
   }
 
+  test("assortativity: star is exactly -1e6, regular cycle is 0 by convention") {
+    // star K1,3: every edge joins deg-3 to deg-1 -> Pearson exactly -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val s = Graph.assortativity(star).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((4L, 6L, -1000000L)))
+    // 4-cycle: all degrees 2 -> zero variance -> 0 by convention
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    assert(Graph.assortativity(cyc).head().getLong(2) == 0L)
+  }
+
   test("hits: pinned against the sequential integer recurrence; hygiene; empty-role zeros") {
     // bipartite 3 buyers x 2 suppliers: u1->{-1,-2}, u2->{-1}, u3->{-1}
     // -1 is pointed at by everyone, -2 only by the hubbiest buyer
