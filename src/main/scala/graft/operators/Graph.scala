@@ -503,7 +503,11 @@ object Graph {
         col("n_nodes"),
         col("n_edges_directed"),
         when(
-          (col("n_edges_directed") * col("sxx") - col("sx") * col("sx")) <= 0L ||
+          // n = 0 first: the empty-graph agg row carries null sums,
+          // and a null variance comparison would skip to a null
+          // otherwise-branch instead of the 0 convention
+          col("n_edges_directed") === 0L ||
+            (col("n_edges_directed") * col("sxx") - col("sx") * col("sx")) <= 0L ||
             (col("n_edges_directed") * col("syy") - col("sy") * col("sy")) <= 0L,
           lit(0L))
           .otherwise(

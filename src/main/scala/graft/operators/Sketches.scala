@@ -358,7 +358,10 @@ object Sketches {
         sum(expr("CAST(8589934592 div shiftleft(CAST(1 AS BIGINT), CAST(r AS INT)) AS BIGINT)"))
           .as("__s_occ"))
     val zeros = lit(m) - col("n_occupied")
-    val s = (col("__s_occ") + zeros * lit(8589934592L)).cast("double")
+    // global agg over an EMPTY register table yields one row with a
+    // null sum — coalesce so the empty sketch estimates 0 (all
+    // registers empty -> linear counting of m/m) instead of null
+    val s = (coalesce(col("__s_occ"), lit(0L)) + zeros * lit(8589934592L)).cast("double")
     val raw = lit(alpha * m.toDouble * m.toDouble * 8589934592.0) / s
     val est = when(
       raw <= lit(2.5 * m.toDouble) && zeros > lit(0L),

@@ -226,6 +226,9 @@ class GraphSpec extends SparkSpec {
     // 4-cycle: all degrees 2 -> zero variance -> 0 by convention
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
     assert(Graph.assortativity(cyc).head().getLong(2) == 0L)
+    // empty graph: (0, 0, 0), never a null coefficient
+    val e = Graph.assortativity(star.filter($"id_a" > 100)).head()
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((0L, 0L, 0L)))
   }
 
   test("hits: pinned against the sequential integer recurrence; hygiene; empty-role zeros") {

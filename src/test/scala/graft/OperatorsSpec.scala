@@ -622,6 +622,11 @@ class OperatorsSpec extends SparkSpec {
       .hllEstimate(Sketches.hllRegisters(withNull, Nil, $"k", p), p)
       .head()
     assert(nn.getLong(0) == 2L)
+    // empty corpus: estimate 0, never a null row
+    val empty = Sketches
+      .hllEstimate(Sketches.hllRegisters(df.filter(lit(false)), Nil, $"k", p), p)
+      .head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
   }
 
   test("rboTable: hand-computed overlaps, weights, and cumulative rbo") {
