@@ -577,6 +577,10 @@ object Checks {
     * diverging price/size band — and ks6 = D in micro-units).
     * Interpretation is sample-size-dependent (the classic
     * c(α)·√((na+nb)/(na·nb)) threshold) — the caller applies it.
+    * An EMPTY side (zero total count) has no CDF, so the plan FAILS
+    * FAST (in-plan assert_true, the canary-guard idiom) instead of
+    * returning a null-ks6 row with an arbitrary argmax bucket; two
+    * empty sides return zero rows (nothing to compare).
     */
   def ksFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
     val joined = a.select(col("bucket"), col("n").as("n_a"))
@@ -591,6 +595,15 @@ object Checks {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined
       .crossJoin(tot)
+      .filter(
+        assert_true(
+          col("__na") > 0L && col("__nb") > 0L,
+          concat(
+            lit("ksFromCounts: both histograms must be non-empty (no CDF exists " +
+              "for an empty side); totals were "),
+            col("__na").cast("string"),
+            lit(" / "),
+            col("__nb").cast("string"))).isNull)
       .withColumn("ca", sum(col("n_a")).over(w))
       .withColumn("cb", sum(col("n_b")).over(w))
       .withColumn(

@@ -539,7 +539,15 @@ object Graph {
     * (L1 normalization — the integer-exact stand-in for the paper's
     * L2, same fixed-point direction). Overflow bound: deg_max · unit²
     * < 2^63, so the default unit 1e6 covers out/in-degrees to ~9e6;
-    * shrink unit before raising a bigger graph. Node ids share ONE
+    * shrink unit before raising a bigger graph. UNDERFLOW bound: the
+    * truncating normalizer `score · unit div Σ` hands out ~unit total
+    * mass per role, so a role with ≥ unit nodes would zero EVERY
+    * score, the next normalizer sum would hit 0 and non-ANSI
+    * div-by-zero would null (then na.fill-zero) the whole output —
+    * the plan FAILS FAST (in-plan assert_true on the normalizer's
+    * node count, the canary-guard idiom) when nodes-per-role ≥ unit;
+    * raise unit for bigger graphs (jointly with the overflow bound
+    * above). Node ids share ONE
     * universe — disambiguate a bipartite graph's sides upstream
     * (sign-flip one side) or the output conflates same-id rows.
     * Edge hygiene as pageRank: nulls dropped, duplicates collapsed;
@@ -581,7 +589,14 @@ object Graph {
         checkpointDir,
         eager = false)
       a = aRaw
-        .crossJoin(broadcast(aRaw.agg(sum(col("ar")).as("__sa"))))
+        .crossJoin(broadcast(aRaw.agg(sum(col("ar")).as("__sa"), count(lit(1)).as("__ca"))))
+        .filter(
+          assert_true(
+            col("__ca") < lit(unit),
+            concat(
+              lit(s"hits: auth nodes must number < unit=$unit or the truncating " +
+                "normalizer zeroes every score — raise unit; got "),
+              col("__ca").cast("string"))).isNull)
         .select(col("id"), expr(s"CAST(ar * $unit div __sa AS BIGINT)").as("a"))
       val hRaw = Checkpointing.truncate(
         edges
@@ -591,7 +606,14 @@ object Graph {
         checkpointDir,
         eager = false)
       h = hRaw
-        .crossJoin(broadcast(hRaw.agg(sum(col("hr")).as("__sh"))))
+        .crossJoin(broadcast(hRaw.agg(sum(col("hr")).as("__sh"), count(lit(1)).as("__ch"))))
+        .filter(
+          assert_true(
+            col("__ch") < lit(unit),
+            concat(
+              lit(s"hits: hub nodes must number < unit=$unit or the truncating " +
+                "normalizer zeroes every score — raise unit; got "),
+              col("__ch").cast("string"))).isNull)
         .select(col("id"), expr(s"CAST(hr * $unit div __sh AS BIGINT)").as("h"))
       i += 1
     }

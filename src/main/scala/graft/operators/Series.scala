@@ -472,6 +472,17 @@ object Series {
     * to a micro-unit BIGINT. Positive lag = `a` LEADS `b` (a's day t
     * pairs with b's day t+ℓ). Returns (lag, n_pairs, xcf6) for every
     * lag with at least one aligned pair, ordered by the caller.
+    *
+    * CENTERING PINNED: each series is centered on its own GLOBAL
+    * mean (over all its days), not the per-lag overlap window's
+    * mean — the signal-processing convention (and the oracle's). A
+    * `numpy.correlate`-on-pre-centered-arrays port matches; a
+    * per-window Pearson (each lag re-centered on the overlapping
+    * days only) does NOT — the two definitions diverge on short
+    * overlaps where the window mean drifts from the global mean.
+    * Likewise the denominator is the GLOBAL √(Σca²·Σcb²), constant
+    * across lags, so |xcf6| at extreme lags can exceed a per-window
+    * Pearson's; argmax-lag reading is unaffected.
     */
   def crossCorrDaily(
       a: DataFrame,

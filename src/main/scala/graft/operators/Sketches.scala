@@ -327,6 +327,15 @@ object Sketches {
     * union, so merged == full-rescan exactly — the oracle recomputes
     * it that way). Input is register rows — 2^p-bounded per group,
     * never the stream.
+    *
+    * GROUPING CONTRACT: the merge groups by `groupCols :+ bucket`
+    * only. With the default `groupCols = Nil`, ANY extra columns in
+    * the input (source, day, …) are max-merged ACROSS — a global
+    * cross-group union, which is the intended "union N per-day
+    * sketches into one" call shape but reads like a per-group bug if
+    * you meant per-source merging. Pass every partitioning column
+    * you want preserved (e.g. `Seq(col("source"))`); the output
+    * carries exactly `groupCols + (bucket, r)` and nothing else.
     */
   def hllMerge(regs: DataFrame, groupCols: Seq[Column] = Nil): DataFrame =
     regs
@@ -344,6 +353,18 @@ object Sketches {
     * BIGINT (round-then-cast, both engines half-away-from-zero on
     * positives). All work is on ≤ 2^p rows per group by
     * CONSTRUCTION. Returns (group…, n_occupied, hll_est).
+    *
+    * VALID RANGE: the registers come off a 32-bit hash
+    * ([[Sampling.hash32]]), and this estimator implements the small-
+    * range (linear-counting) correction but NOT the classic
+    * large-range correction −2^32·ln(1 − E/2^32) — at cardinalities
+    * approaching 2^32 the 32-bit hash itself saturates and the raw
+    * estimate reads LOW. The persisted register artifact is therefore
+    * specified for cardinalities ≲ 1e8 per group (where 32-bit
+    * collisions are negligible and the large-range branch is inert);
+    * shard the keyspace (e.g. per-source registers max-merged for a
+    * global view stays per-source for estimation) before trusting
+    * counts beyond that.
     */
   def hllEstimate(
       regs: DataFrame,

@@ -620,15 +620,30 @@ object Io {
     * is re-closed over the LIVE pairs. The recompute is the honest
     * cost of graph deletion; it re-runs only the closure (labels are
     * doc-bounded), never the pair-discovery pipeline.
+    *
+    * BULK TAKEDOWNS: the closure is O(live pairs) per call, so N
+    * small takedown batches paying N closures is the artifact
+    * family's write-amplification hot spot at production scale. Pass
+    * `recompute = false` for every batch but the last (or for all of
+    * them, then call [[recomputeDupGraphLabels]] once) — tombstones
+    * are the durable truth and each batch's stamp stays individually
+    * time-travelable ([[readDupGraphPairsAsOf]] semantics are
+    * IDENTICAL either way; only label-refresh timing differs). The
+    * trade: between a deferred delete and the final closure the PAIR
+    * reads already hide the docs but the LABEL table is stale — a
+    * label consumer in that window can still see a tombstoned id or
+    * a cluster that the takedown split. Defer only within a
+    * maintenance window that ends with the one closure.
     */
   def deleteDupGraphDocs(
       ids: DataFrame,
       path: String,
       seq: Long,
-      checkpointDir: Option[String] = None): Unit = {
+      checkpointDir: Option[String] = None,
+      recompute: Boolean = true): Unit = {
     require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
     writeTombstones(ids, path, seq)
-    recomputeDupGraphLabels(ids.sparkSession, path, checkpointDir)
+    if (recompute) recomputeDupGraphLabels(ids.sparkSession, path, checkpointDir)
   }
 
   /** Re-close the dup graph's label table from its live pair set —

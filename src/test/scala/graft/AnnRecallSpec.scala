@@ -83,31 +83,40 @@ class AnnRecallSpec extends SparkSpec {
   // Banded treatment of the SAME retrieval problem: with per-bit
   // agreement p ~= 0.61 for this data's cosine-0.3-0.4 neighbors,
   // 16 bands x 4 bits predicts per-neighbor probe probability
-  // 1 - (1 - 0.61^4)^16 ~= 0.91 where the single-table path above
-  // measures 0.3 — the floor pins 0.5 to survive regeneration.
-  test("banded LSH top-k (16 bands x 4 bits) recall@10 >= 0.5 vs brute force") {
-    val approx = ids(
-      Similarity.bandedLshTopK(
-        corpus, "embedding", dim = 64, bands = 16, bitsPerBand = 4, query, k = 10))
-    val recall = (approx & exactTop10).size / 10.0
-    info(s"bandedLshTopK recall@10 = $recall")
-    assert(recall >= 0.5, s"bandedLshTopK recall@10 = $recall")
+  // 1 - (1 - 0.61^4)^16 ~= 0.91. Measured 0.9 (stable — the
+  // projections are hash-derived, no RNG); floor raised to 0.8 so
+  // the spec catches a regression the old 0.5 slack would hide, and
+  // run 3x to pin run-to-run determinism alongside the floor.
+  test("banded LSH top-k (16 bands x 4 bits) recall@10 >= 0.8 vs brute force, 3 stable runs") {
+    val recalls = (1 to 3).map { _ =>
+      val approx = ids(
+        Similarity.bandedLshTopK(
+          corpus, "embedding", dim = 64, bands = 16, bitsPerBand = 4, query, k = 10))
+      (approx & exactTop10).size / 10.0
+    }
+    info(s"bandedLshTopK recall@10 runs = $recalls")
+    assert(recalls.distinct.size == 1, s"bandedLshTopK recall must be run-stable: $recalls")
+    assert(recalls.head >= 0.8, s"bandedLshTopK recall@10 = ${recalls.head}")
   }
 
   // Multiprobe closes the residual gap: with per-band match
   // probability q = P(Binom(4, 0.61) >= 3) ~= 0.49 at radius 1, the
   // 16-band OR predicts per-neighbor probe probability
   // 1 - (1 - 0.49)^16 ~= 0.99996 — recall should be essentially the
-  // probed-candidate ceiling. Floor pinned at 0.7 (the IVF/PQ level)
-  // to survive test-data regeneration; measured 1.0 this data.
-  test("banded LSH top-k with radius-1 multiprobe recall@10 >= 0.7 vs brute force") {
-    val approx = ids(
-      Similarity.bandedLshTopK(
-        corpus, "embedding", dim = 64, bands = 16, bitsPerBand = 4, query, k = 10,
-        probeRadius = 1))
-    val recall = (approx & exactTop10).size / 10.0
-    info(s"bandedLshTopK multiprobe recall@10 = $recall")
-    assert(recall >= 0.7, s"bandedLshTopK multiprobe recall@10 = $recall")
+  // probed-candidate ceiling. Measured 1.0 (stable — hash-derived
+  // projections); floor raised to 0.9 so near-total recall is the
+  // PINNED contract, not incidental headroom; 3 runs pin determinism.
+  test("banded LSH top-k with radius-1 multiprobe recall@10 >= 0.9 vs brute force, 3 stable runs") {
+    val recalls = (1 to 3).map { _ =>
+      val approx = ids(
+        Similarity.bandedLshTopK(
+          corpus, "embedding", dim = 64, bands = 16, bitsPerBand = 4, query, k = 10,
+          probeRadius = 1))
+      (approx & exactTop10).size / 10.0
+    }
+    info(s"bandedLshTopK multiprobe recall@10 runs = $recalls")
+    assert(recalls.distinct.size == 1, s"multiprobe recall must be run-stable: $recalls")
+    assert(recalls.head >= 0.9, s"bandedLshTopK multiprobe recall@10 = ${recalls.head}")
   }
 
   test("groupAffinityMatrix: aligned groups cosine 1, orthogonal 0, null vectors excluded") {

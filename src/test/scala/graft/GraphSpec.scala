@@ -262,6 +262,20 @@ class GraphSpec extends SparkSpec {
     assert(got(1L)._1 > got(2L)._1 && got(2L)._1 == got(3L)._1)
   }
 
+  test("hits fails fast when a role's node count reaches unit (normalizer underflow guard)") {
+    // 3 auth nodes with unit=3: the truncating normalizer would hand
+    // out < 1 mass per node, zeroing every score -> guard must throw
+    val edges = Seq((1L, -1L), (1L, -2L), (1L, -3L)).toDF("src", "dst")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e = intercept[Exception](Graph.hits(edges, 2, unit = 3L).collect())
+    assert(chain(e).contains("unit"))
+    // a big-enough unit runs clean on the same graph
+    val ok = Graph.hits(edges, 2, unit = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ok(1L)._1 > 0L && ok(-1L)._2 > 0L)
+  }
+
   test("pageRank reliable-checkpoint mode is value-identical to executor-local mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     val local = Graph.pageRank(pathAndTriangle.toDF("id_a", "id_b"))

@@ -337,6 +337,44 @@ class IoSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L), labels.toString)
   }
 
+  test("deleteDupGraphDocs bulk mode: N deferred deletes + 1 closure == N eager deletes") {
+    // two chains 1-2-3-4-5 and 10-11; takedowns arrive as three
+    // batches (3, then 10, then 5) — the bulk path writes three
+    // tombstone stamps with recompute=false and closes ONCE
+    val basePairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val eager = tmp("dupgbulk") + "/eager"
+    Io.writeDupGraph(basePairs.toDF("id_a", "id_b"), eager, buckets = 8)
+    Io.deleteDupGraphDocs(Seq(3L).toDF("id"), eager, seq = 1L)
+    Io.deleteDupGraphDocs(Seq(10L).toDF("id"), eager, seq = 2L)
+    Io.deleteDupGraphDocs(Seq(5L).toDF("id"), eager, seq = 3L)
+    val bulk = tmp("dupgbulk") + "/bulk"
+    Io.writeDupGraph(basePairs.toDF("id_a", "id_b"), bulk, buckets = 8)
+    Io.deleteDupGraphDocs(Seq(3L).toDF("id"), bulk, seq = 1L, recompute = false)
+    Io.deleteDupGraphDocs(Seq(10L).toDF("id"), bulk, seq = 2L, recompute = false)
+    Io.deleteDupGraphDocs(Seq(5L).toDF("id"), bulk, seq = 3L, recompute = false)
+    // before the closure: pairs already hide the docs, labels are stale
+    val stale = Io.readDupGraphLabels(spark, bulk)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stale.contains(3L), "deferred delete must leave labels untouched until the closure")
+    Io.recomputeDupGraphLabels(spark, bulk)
+    def state(dir: String) = (
+      Io.readDupGraphPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      Io.readDupGraphLabels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(state(bulk) == state(eager), s"${state(bulk)} vs ${state(eager)}")
+    // only the split survivors remain labeled: 1-2 and nothing else
+    assert(state(bulk)._2 == Map(1L -> 1L, 2L -> 1L), state(bulk)._2.toString)
+    // each batch's stamp stays individually time-travelable either way
+    (0L to 3L).foreach { s =>
+      val pe = Io.readDupGraphPairsAsOf(spark, eager, s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pb = Io.readDupGraphPairsAsOf(spark, bulk, s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pe == pb, s"as-of $s: $pe vs $pb")
+    }
+  }
+
   test("tombstones: delete hides every version at or below its stamp; re-upsert restores") {
     def index(rows: Seq[(Long, String)]) =
       graft.operators.TextAnalysis.invertedIndex(rows.toDF("id", "text"), "text", "id")

@@ -291,6 +291,20 @@ class SeriesSpec extends SparkSpec {
     assert(same.getLong(4) == 0L)
   }
 
+  test("ksFromCounts fails fast on an empty side; two empty sides return zero rows") {
+    import graft.operators.Checks
+    val a = Seq((0L, 10L)).toDF("bucket", "n")
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "n")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e = intercept[Exception](Checks.ksFromCounts(a, empty).collect())
+    assert(chain(e).contains("non-empty"))
+    val e2 = intercept[Exception](Checks.ksFromCounts(empty, a).collect())
+    assert(chain(e2).contains("non-empty"))
+    // nothing to compare at all -> zero rows, no throw
+    assert(Checks.ksFromCounts(empty, empty).collect().isEmpty)
+  }
+
   test("seasonalIndexDow: Monday-doubled fortnight yields exact micro-unit indexes") {
     import graft.operators.Series
     // 2024-01-01 is a Monday; 14 days, Mondays 20 else 10:
