@@ -1309,8 +1309,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
     "dd_jaccard_pairs" -> { (s, dir) =>
-      Dedup
-        .ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.2)
+      // the suite-wide memoized pair set (SparkEntryCoverage
+      // .docNgramPairs) — this query IS the pair set, sorted
+      SparkEntryCoverage.docNgramPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))
     },
     // PREFIX-FILTERED Jaccard pairs (Dedup.prefixJaccardPairs —
