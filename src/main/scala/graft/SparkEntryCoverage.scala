@@ -446,6 +446,92 @@ object SparkEntryCoverage {
         .select(col("company_id"), col("source"), col("title"), col("url"), col("location"))
         .orderBy(col("company_id"), col("title"))
     },
+    // S6 — multi-source document loader END-TO-END
+    // (structured_extraction_v2.py:835-1219 `load_all_sources`): a
+    // deterministic per-company file TREE (one dir per company:
+    // `_clean.txt` text, `_page.html` page, `_structured.json`
+    // payload — the reference's source-map kinds) is seeded from the
+    // nation table (company-bounded collect, fail-fast capped, the
+    // reference's per-company loop shape), then the ENGINE does the
+    // reference's work: Io.readTextTree lists the tree with
+    // provenance (input_file_name), company_id and kind come from the
+    // PATH (suffix routing), and each kind gets its parser — C12
+    // JSON-LD org extraction (with the F7 placeholder-name filter
+    // masking junk names), C15 table extraction with a numeric
+    // roll-up, C14 recursive job mining, token stats for the text.
+    // The oracle recomputes every parsed value in closed form from
+    // nation — so a routing slip, a parser drift, or a provenance
+    // regex bug all hash-mismatch.
+    "s6_source_map" -> { (s, dir) =>
+      val treeDir = s"/tmp/graft_idx/s6tree_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val seeds = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      require(seeds.length <= 1000, "s6 seed set must stay company-bounded")
+      val root = java.nio.file.Paths.get(treeDir)
+      seeds.foreach { r =>
+        val k = r.getLong(0)
+        val name = r.getString(1)
+        val d = root.resolve(s"company_$k")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.writeString(
+          d.resolve(s"company_${k}_clean.txt"),
+          s"company $k" + " unit" * ((k % 4) + 1).toInt)
+        val ldName = if (k % 5 == 0) "Unknown" else name
+        java.nio.file.Files.writeString(
+          d.resolve(s"company_${k}_page.html"),
+          s"""<html><body><script type="application/ld+json">""" +
+            s"""{"@type":"Organization","name":"$ldName","numberOfEmployees":${k * 7 + 10}}""" +
+            s"""</script><table><tr><th>q</th><th>rev</th></tr>""" +
+            s"""<tr><td>q1</td><td>${k * 100}</td></tr>""" +
+            s"""<tr><td>q2</td><td>${k * 100 + 50}</td></tr></table></body></html>""")
+        val secondJob =
+          if (k % 2 == 0) s""",{"title":"Sales $k","url":"https://x/$k"}""" else ""
+        java.nio.file.Files.writeString(
+          d.resolve(s"company_${k}_structured.json"),
+          s"""{"company":"c$k","embedded":{"jobs":[""" +
+            s"""{"title":"Engineer $k","location":"Remote"}$secondJob],""" +
+            s""""note":{"title":"not a job"}}}""")
+      }
+      val routed = graft.sources.Io.readTextTree(s, treeDir, recursive = true)
+        .select(
+          regexp_extract(col("source_path"), "company_(\\d+)_", 1)
+            .cast("long").as("company_id"),
+          when(col("source_path").endsWith("_clean.txt"), "text")
+            .when(col("source_path").endsWith("_page.html"), "html")
+            .when(col("source_path").endsWith("_structured.json"), "json")
+            .otherwise("other").as("kind"),
+          col("value"))
+      val txt = routed.filter(col("kind") === "text")
+        .select(
+          col("company_id"),
+          size(split(trim(col("value")), " ")).cast("long").as("n_tokens"))
+      val orgLd = from_json(
+        element_at(HtmlFns.jsonLdScripts(col("value")), 1),
+        StructType.fromDDL("name STRING, numberOfEmployees BIGINT"))
+      val tbl = element_at(HtmlFns.extractTables(col("value")), 1)
+      val html = routed.filter(col("kind") === "html")
+        .withColumn("__org", orgLd)
+        .withColumn("__tbl", tbl)
+        .select(
+          col("company_id"),
+          when(Filters.isPlaceholderName(col("__org.name")), lit(null))
+            .otherwise(col("__org.name")).as("org_name"),
+          col("__org.numberOfEmployees").as("employees"),
+          size(col("__tbl.rows")).cast("long").as("n_table_rows"),
+          aggregate(
+            transform(col("__tbl.rows"), r => element_at(r, 2).cast("long")),
+            lit(0L),
+            (a, x) => a + x).as("rev_total"))
+      val jobs = routed.filter(col("kind") === "json")
+        .select(
+          col("company_id"),
+          size(HtmlFns.mineJobs(col("value"))).cast("long").as("n_jobs"))
+      txt
+        .join(html, Seq("company_id"))
+        .join(jobs, Seq("company_id"))
+        .orderBy(col("company_id"))
+    },
     // C6 — investor + valuation extraction: known-VC list hit wins
     // (arm 0), else led-by / participation-from capture patterns
     // (arms 1-2); valuation from the $X billion|million patterns
@@ -5576,6 +5662,15 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "s6_source_map" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS company_id,
+        | CAST(3 + (n_nationkey % 4) AS BIGINT) AS n_tokens,
+        | CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS org_name,
+        | CAST(n_nationkey * 7 + 10 AS BIGINT) AS employees,
+        | CAST(2 AS BIGINT) AS n_table_rows,
+        | CAST(n_nationkey * 200 + 50 AS BIGINT) AS rev_total,
+        | CAST(2 - (n_nationkey % 2) AS BIGINT) AS n_jobs
+        |FROM nation ORDER BY company_id""".stripMargin,
     "c14_mined_jobs" ->
       """SELECT p_partkey, 'Dept ' || CAST(p_partkey AS VARCHAR) AS title,
         |       'Platform' AS department, CAST(NULL AS VARCHAR) AS url
