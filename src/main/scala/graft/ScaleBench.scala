@@ -1,0 +1,203 @@
+package graft
+
+import graft.operators.{Checks, Dedup, Graph, TextAnalysis}
+import graft.sources.Io
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve benchmark for the families with superlinear risk —
+  * the "one more decade up" evidence run: pair pipelines
+  * (prefix-filtered Jaccard at t=0.8, MinHash-LSH), the dup-graph
+  * lifecycle (build → upsert → takedown → compact → re-read),
+  * postings build + latest read, and triangle counting — each timed
+  * at data multipliers 1×/3×/10× of SPARK_GRAFT_SF_DIR (default
+  * sf0.1, so 10× == sf1-scale: 50k docs / 6M lineitem rows).
+  *
+  * Amplification preserves WORKLOAD SHAPE instead of manufacturing
+  * artificial dup explosions: copy i of a document suffixes every
+  * token with `q<i>`, so each copy reproduces the base corpus's
+  * full shingle/pair/cluster structure while copies share no
+  * shingle (a verbatim ×10 replication would instead give every doc
+  * 9 identical twins — 45× pair blowup that no real corpus decade
+  * exhibits). Lineitem copies offset both keys, so the co-order
+  * graph becomes N disjoint isomorphic components. The honest
+  * expectation under this construction is ~linear wall growth with
+  * the data ratio; anything superlinear beyond log factors is a
+  * real scale defect in the operator under test.
+  *
+  * Per multiplier the run also reports the shingle-key skew
+  * ([[Checks.skewReport]] over the exploded shingle table — the
+  * shuffle-heaviest join key of the pair pipelines) so the scale
+  * curve is read alongside the skew that drives it.
+  *
+  * Output: one JSON line (metric=scale) with per-family
+  * {sec, rows} per multiplier, plus the same map written to
+  * SCALE_r08.json for the round record.
+  */
+object ScaleBench {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The Bench between-query hygiene: one family must not inherit
+    * another's cached blocks or GC debt.
+    */
+  private def reset(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  private def amplifiedTable(
+      spark: SparkSession,
+      path: String,
+      copies: Seq[DataFrame]): DataFrame = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      copies.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** documents ×m: copy i offsets doc_id by i·1e6 and suffixes every
+    * token with q<i> (copy 0 is the base verbatim).
+    */
+  private def slug(base: String): String = base.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def docsX(spark: SparkSession, base: String, m: Int): DataFrame = {
+    val src = spark.read.parquet(s"$base/documents.parquet")
+    amplifiedTable(
+      spark,
+      s"/tmp/graft_scale/${slug(base)}_docs_x$m",
+      (0 until m).map { i =>
+        val text =
+          if (i == 0) col("text")
+          else
+            array_join(
+              transform(split(col("text"), "\\s+"), t => concat(t, lit(s"q$i"))),
+              " ")
+        src.select(
+          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          text.as("text"),
+          col("lang"),
+          col("source"),
+          col("n_chars"))
+      })
+  }
+
+  /** lineitem (orderkey, partkey) ×m: both keys offset per copy →
+    * N disjoint isomorphic co-order components.
+    */
+  private def coOrderX(spark: SparkSession, base: String, m: Int): DataFrame = {
+    val src = spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    amplifiedTable(
+      spark,
+      s"/tmp/graft_scale/${slug(base)}_coorder_x$m",
+      (0 until m).map { i =>
+        src.select(
+          (col("o") + lit(i.toLong * 100000000L)).as("o"),
+          (col("p") + lit(i.toLong * 100000000L)).as("p"))
+      })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = Engine.session("graft-scale", s"local[$cpus]", cpus)
+
+    // warmup (the Bench rule): JIT/codegen/shuffle machinery off the clock
+    spark.read.parquet(s"$base/region.parquet").write.format("noop").mode("overwrite").save()
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    mults.foreach { m =>
+      val docs = docsX(spark, base, m)
+      val nDocs = docs.count()
+
+      reset(spark)
+      val (pj, pjSec) = timed(
+        Dedup.prefixJaccardPairs(docs, "text", "doc_id", 3, 0.8).count())
+
+      reset(spark)
+      val (mh, mhSec) = timed(
+        Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 8, 1, 0.05).count())
+
+      reset(spark)
+      val gPath = s"/tmp/graft_scale/dupg_x$m"
+      deleteDir(spark, gPath) // stale tombstones would poison a rebuilt base
+      val (dg, dgSec) = timed {
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint() // one pipeline pass feeds base + increment
+        val inBase =
+          pmod(col("id_a"), lit(1000000L)) < 2500 &&
+            pmod(col("id_b"), lit(1000000L)) < 2500
+        Io.writeDupGraph(pairs.filter(inBase), gPath)
+        Io.upsertDupGraph(pairs.filter(!inBase), gPath, seq = 1L)
+        Io.deleteDupGraphDocs(
+          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L)
+        Io.compactDupGraph(spark, gPath)
+        Io.readDupGraphLabels(spark, gPath).count()
+      }
+
+      reset(spark)
+      val pPath = s"/tmp/graft_scale/postings_x$m"
+      deleteDir(spark, pPath)
+      val (po, poSec) = timed {
+        Io.writePostings(TextAnalysis.invertedIndex(docs, "text", "doc_id"), pPath, 64)
+        Io.readPostingsLatest(spark, pPath).count()
+      }
+
+      reset(spark)
+      val co = coOrderX(spark, base, m)
+      val (tr, trSec) = timed {
+        val op = co.distinct()
+        val edges = op.select(col("o"), col("p").as("id_a"))
+          .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("id_a"), col("id_b"))
+        Graph.triangleCounts(edges).count()
+      }
+
+      reset(spark)
+      val skew = Checks
+        .skewReport(Dedup.shingleTable(docs, "text", "doc_id", 3), col("shingle"))
+        .head()
+      val skewJson =
+        s"""{"n_keys":${skew.getLong(0)},"total_rows":${skew.getLong(1)},""" +
+          s""""max_n":${skew.getLong(2)},"p50_n":${skew.getLong(3)},""" +
+          s""""p99_n":${skew.getLong(4)},"skew6":${skew.getLong(5)}}"""
+
+      out(s"x$m") =
+        s"""{"n_docs":$nDocs,""" +
+          f""""prefix_jaccard":{"sec":$pjSec%.2f,"rows":$pj},""" +
+          f""""minhash_lsh":{"sec":$mhSec%.2f,"rows":$mh},""" +
+          f""""dupgraph_lifecycle":{"sec":$dgSec%.2f,"rows":$dg},""" +
+          f""""postings_build":{"sec":$poSec%.2f,"rows":$po},""" +
+          f""""triangles":{"sec":$trSec%.2f,"rows":$tr},""" +
+          s""""shingle_skew":$skewJson}"""
+      System.err.println(s"[scale] x$m done: ${out(s"x$m")}")
+    }
+
+    val line =
+      s"""{"metric":"scale","unit":"sec","base":"$base","cpus":$cpus,""" +
+        out.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_r08.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[scale] dump failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}

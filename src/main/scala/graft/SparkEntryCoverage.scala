@@ -532,6 +532,93 @@ object SparkEntryCoverage {
         .join(jobs, Seq("company_id"))
         .orderBy(col("company_id"))
     },
+    // Chi-square independence of lang × source
+    // (Checks.chiSquareIndependence): the corpus-composition gate —
+    // a large statistic localizes a source over-feeding one language.
+    // DECIMAL(38,0) cell terms, exact-integer chi26, one IEEE sqrt
+    // for Cramér's V; the oracle mirrors every step in HUGEINT.
+    "a_chi2_lang_source" -> { (s, dir) =>
+      Checks
+        .chiSquareIndependence(t(s, dir, "documents"), col("lang"), col("source"))
+        .orderBy(col("n_rows"))
+    },
+    // Simpson concentration per source over langs
+    // (Checks.simpsonDiversity): P(two docs share a lang), exact
+    // integer — the monoculture drift gate.
+    "a_simpson_diversity" -> { (s, dir) =>
+      Checks
+        .simpsonDiversity(t(s, dir, "documents"), col("source"), col("lang"))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source"))
+    },
+    // Herfindahl concentration per region over customer nations
+    // (Checks.hhiConcentration): Σ share² in exact ppm, one division
+    // per group — the with-replacement sibling of Simpson.
+    "a_hhi_concentration" -> { (s, dir) =>
+      val df = t(s, dir, "customer")
+        .join(
+          t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(
+          t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+      Checks
+        .hhiConcentration(df, col("r_name"), col("n_name"))
+        .withColumnRenamed("g", "r_name")
+        .orderBy(col("r_name"))
+    },
+    // Type-token + hapax stats per lang (TextAnalysis.ttrStats):
+    // lexical-diversity gate — template spam pins low TTR, OCR noise
+    // pins high hapax. Exact ppm integer divisions.
+    "t_ttr_hapax" -> { (s, dir) =>
+      TextAnalysis
+        .ttrStats(t(s, dir, "documents"), "text", col("lang"))
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("lang"))
+    },
+    // First-order Markov transition matrix over per-user event
+    // sequences (Series.transitionMatrix): the behavioral fingerprint
+    // (bot loops pin p(x|x) near 1e6). Total order (ts, event_id) —
+    // the outOfOrderAudit tiebreaker rule.
+    "w_transitions" -> { (s, dir) =>
+      Series
+        .transitionMatrix(
+          t(s, dir, "events"),
+          col("user_id"),
+          Seq(col("ts"), col("event_id")),
+          col("event_type"))
+        .orderBy(col("from_state"), col("to_state"))
+    },
+    // Largest-remainder quota apportionment of a 100-doc sample
+    // budget across langs (Sampling.quotaLargestRemainder): Σ quota
+    // == 100 exactly; ties by stratum asc.
+    "s_quota_lr" -> { (s, dir) =>
+      Sampling
+        .quotaLargestRemainder(t(s, dir, "documents"), col("lang"), 100L)
+        .orderBy(col("stratum"))
+    },
+    // Common-neighbor link prediction (Graph.commonNeighbors) over
+    // the part co-order graph (the g_triangles edge set — near-dup
+    // clusters are CLIQUES by construction here, so they have no
+    // distance-2 non-edges to predict): parts never co-ordered
+    // (w >= 2) but sharing >= 2 co-order partners are the
+    // recommendation candidates. Wedge join bounded by Σ deg².
+    "g_common_neighbors" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph
+        .commonNeighbors(edges)
+        .filter(col("common") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // C6 — investor + valuation extraction: known-VC list hit wins
     // (arm 0), else led-by / participation-from capture patterns
     // (arms 1-2); valuation from the $X billion|million patterns
@@ -5662,6 +5749,114 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "a_chi2_lang_source" ->
+      """WITH cells AS (
+        | SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |rows_ AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cols_ AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |               CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+        |               CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+        |grid AS (
+        | SELECT r.a, c.b, r.r, c.c, CAST(COALESCE(cl.n, 0) AS BIGINT) AS n
+        | FROM rows_ r CROSS JOIN cols_ c
+        | LEFT JOIN cells cl ON cl.a = r.a AND cl.b = c.b),
+        |terms AS (
+        | SELECT t.nn, t.na, t.nb,
+        |   (CAST(1000000 AS HUGEINT)
+        |     * CAST(t.nn * g.n - g.r * g.c AS HUGEINT)
+        |     * CAST(t.nn * g.n - g.r * g.c AS HUGEINT))
+        |   // (CAST(t.nn AS HUGEINT) * g.r * g.c) AS term6
+        | FROM grid g CROSS JOIN tot t)
+        |SELECT nn AS n_rows, na AS n_a, nb AS n_b,
+        | (na - 1) * (nb - 1) AS dof,
+        | CASE WHEN na > 1 AND nb > 1 THEN CAST(SUM(term6) AS BIGINT) ELSE 0 END AS chi26,
+        | CASE WHEN na > 1 AND nb > 1 THEN
+        |   CAST(round(1000 * sqrt(CAST(SUM(term6) AS DOUBLE)
+        |     / CAST(nn * least(na - 1, nb - 1) AS DOUBLE))) AS BIGINT)
+        |   ELSE 0 END AS cramer_v6
+        |FROM terms GROUP BY nn, na, nb ORDER BY n_rows""".stripMargin,
+    "a_simpson_diversity" ->
+      """WITH cl AS (
+        | SELECT source AS g, lang AS c2, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |             CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs FROM cl GROUP BY 1)
+        |SELECT g AS source, n, n_classes,
+        | CAST((1000000 * pairs) // (n * (n - 1)) AS BIGINT) AS simpson6
+        |FROM g WHERE n >= 2 ORDER BY source""".stripMargin,
+    "a_hhi_concentration" ->
+      """WITH base AS (
+        | SELECT r_name, n_name FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name IS NOT NULL AND n_name IS NOT NULL),
+        |cl AS (SELECT r_name AS g, n_name AS c2, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM base GROUP BY 1, 2),
+        |g AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |             CAST(SUM(n * n) AS BIGINT) AS sq FROM cl GROUP BY 1)
+        |SELECT g AS r_name, n, n_classes,
+        | CAST((1000000 * sq) // (n * n) AS BIGINT) AS hhi6
+        |FROM g ORDER BY r_name""".stripMargin,
+    "t_ttr_hapax" ->
+      """WITH toks AS (
+        | SELECT lang AS g, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        | FROM documents WHERE length(trim(text)) > 0 AND lang IS NOT NULL),
+        |f AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |             CAST(COUNT(*) AS BIGINT) AS n_types,
+        |             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |      FROM f GROUP BY 1)
+        |SELECT g AS lang, n_tokens, n_types, n_hapax,
+        | CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+        | CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_ppm
+        |FROM a ORDER BY lang""".stripMargin,
+    "w_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type AS from_state,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        | FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS rt FROM p GROUP BY 1)
+        |SELECT p.from_state, p.to_state, p.n,
+        | CAST((1000000 * p.n) // rt.rt AS BIGINT) AS p6
+        |FROM p JOIN rt USING (from_state) ORDER BY from_state, to_state""".stripMargin,
+    "s_quota_lr" ->
+      """WITH s AS (
+        | SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM s),
+        |b AS (SELECT stratum, n, CAST((100 * n) // nn AS BIGINT) AS base,
+        |             CAST((100 * n) % nn AS BIGINT) AS rem
+        |      FROM s CROSS JOIN t),
+        |l AS (SELECT CAST(100 - SUM(base) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM b)
+        |SELECT stratum, n,
+        | CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r CROSS JOIN l ORDER BY stratum""".stripMargin,
+    "g_common_neighbors" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT a.p AS id_a, b.p AS id_b FROM op a JOIN op b USING (o)
+         |       WHERE a.p < b.p),
+         |ew AS (SELECT id_a, id_b, COUNT(*) AS w FROM e0 GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM ew WHERE w >= 2),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |w AS (SELECT e1.a AS u, e2.b AS v, CAST(COUNT(*) AS BIGINT) AS common
+         |      FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+         |      WHERE e1.a < e2.b GROUP BY 1, 2),
+         |nonedge AS (SELECT w.* FROM w
+         |            LEFT JOIN edges e ON e.a = w.u AND e.b = w.v
+         |            WHERE e.a IS NULL)
+         |SELECT u AS id_a, v AS id_b, common,
+         | CAST((1000000 * common) // (da.deg + db.deg - common) AS BIGINT) AS jac6
+         |FROM nonedge
+         |JOIN deg da ON da.id = u JOIN deg db ON db.id = v
+         |WHERE common >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "s6_source_map" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS company_id,
         | CAST(3 + (n_nationkey % 4) AS BIGINT) AS n_tokens,

@@ -707,4 +707,123 @@ object Checks {
         "suppression_ppm",
         expr("CAST(1000000 * n_rows_at_risk div n_rows AS BIGINT)"))
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the corpus-composition gate ("is lang independent of
+    * source?"): a near-zero statistic says the crawl mixes languages
+    * uniformly across sources; a large one localizes a source that
+    * over-feeds one language (the silent mixture-shift a per-column
+    * histogram can't see). Layout: one hash aggregate to the
+    * contingency cells, marginals re-aggregated from the CELL table
+    * (never the corpus), and the full r×c grid restored by a
+    * level-bounded cross join (the documented bounded-BNLJ class —
+    * empty cells MUST contribute, their expected mass is real).
+    *
+    * Exactness: with d = N·n_ij − r_i·c_j (exact BIGINT), the cell
+    * term is 1e6·d² div (N·r_i·c_j), computed in DECIMAL(38,0) —
+    * 1e6·d² overflows BIGINT past N ≈ 55k rows, decimal carries it
+    * exactly to 1e38 (N to ~3e6; quantize counts upstream beyond
+    * that) — then truncating-divided and summed: chi26 is
+    * bit-identical on any engine/partitioning. Cramér's V is the one
+    * float step: sqrt of a ratio of exact integers (IEEE sqrt +
+    * division, correctly rounded on both engines), rounded to v6.
+    * Returns one row (n_rows, n_a, n_b, dof, chi26, cramer_v6); null
+    * levels excluded; a degenerate table (one level on either side)
+    * returns dof 0 with chi26 0 and v6 0 by convention.
+    */
+  def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df
+      .filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("n"))
+    val rowsM = cells.groupBy(col("__a")).agg(sum(col("n")).as("r"))
+    val colsM = cells.groupBy(col("__b")).agg(sum(col("n")).as("c"))
+    val tot = broadcast(
+      cells.agg(
+        sum(col("n")).as("__N"),
+        count_distinct(col("__a")).as("__na"),
+        count_distinct(col("__b")).as("__nb")))
+    val grid = rowsM
+      .crossJoin(colsM)
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(tot)
+    grid
+      .select(
+        col("__N"), col("__na"), col("__nb"),
+        (col("__N") * col("n") - col("r") * col("c"))
+          .cast("decimal(38,0)").as("__d"),
+        (col("__N") * col("r") * col("c")).cast("decimal(38,0)").as("__e"))
+      .withColumn(
+        "__term6",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __d * __d) div __e AS BIGINT)"))
+      .groupBy(col("__N"), col("__na"), col("__nb"))
+      .agg(sum(col("__term6")).as("chi26"))
+      .select(
+        col("__N").as("n_rows"),
+        col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        ((col("__na") - 1L) * (col("__nb") - 1L)).as("dof"),
+        when(col("__na") > 1L && col("__nb") > 1L, col("chi26"))
+          .otherwise(lit(0L)).as("chi26"),
+        when(
+          col("__na") > 1L && col("__nb") > 1L,
+          round(
+            lit(1e3) * sqrt(
+              col("chi26").cast("double") /
+                (col("__N") * least(col("__na") - 1L, col("__nb") - 1L)).cast("double")),
+            0).cast("long"))
+          .otherwise(lit(0L)).as("cramer_v6"))
+  }
+
+  /** Simpson concentration index per group, over a class column:
+    * D = Σ_i n_i(n_i−1) / (N(N−1)) — the probability two documents
+    * drawn WITHOUT replacement from the group share a class. The
+    * diversity gate for a training mixture (1−D is the Gini–Simpson
+    * diversity): a source whose language concentration drifts toward
+    * 1e6 has collapsed to a monoculture. FULLY exact: one class
+    * aggregate, one group aggregate, a single truncating division
+    * per group — no floats anywhere. Groups with fewer than 2 rows
+    * are dropped (no unordered pair exists; D is undefined).
+    * Returns (group, n, n_classes, simpson6).
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: Column, classCol: Column): DataFrame =
+    df.filter(groupCol.isNotNull && classCol.isNotNull)
+      .groupBy(groupCol.as("g"), classCol.as("cl"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("n")).as("n"),
+        count(lit(1)).as("n_classes"),
+        sum(col("n") * (col("n") - 1L)).as("__pairs"))
+      .filter(col("n") >= 2L)
+      .select(
+        col("g"),
+        col("n"),
+        col("n_classes"),
+        expr("CAST(1000000 * __pairs div (n * (n - 1)) AS BIGINT)").as("simpson6"))
+
+  /** Herfindahl–Hirschman concentration per group: HHI = Σ_i s_i²
+    * with s_i = n_i/N the class share — [[simpsonDiversity]]'s
+    * with-replacement sibling and the standard market-concentration
+    * scale (US DOJ: >0.25 "highly concentrated" → hhi6 > 250000).
+    * Exact: hhi6 = (1e6·Σn_i²) div N², ONE truncating division per
+    * group. Overflow bound: 1e6·Σn_i² < 2^63 — group sizes to ~3e6
+    * rows; pre-aggregate counts upstream past that. Returns
+    * (group, n, n_classes, hhi6).
+    */
+  def hhiConcentration(df: DataFrame, groupCol: Column, classCol: Column): DataFrame =
+    df.filter(groupCol.isNotNull && classCol.isNotNull)
+      .groupBy(groupCol.as("g"), classCol.as("cl"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("n")).as("n"),
+        count(lit(1)).as("n_classes"),
+        sum(col("n") * col("n")).as("__sq"))
+      .select(
+        col("g"),
+        col("n"),
+        col("n_classes"),
+        expr("CAST(1000000 * __sq div (n * n) AS BIGINT)").as("hhi6"))
 }

@@ -625,4 +625,46 @@ object Graph {
       .na
       .fill(0L, Seq("hub6", "auth6"))
   }
+
+  /** Common-neighbor link prediction over an undirected pair graph:
+    * for every NON-edge (a, b) at distance 2, the shared-neighbor
+    * count and the neighborhood Jaccard in exact ppm — the "these
+    * two docs aren't flagged as dups but share `common` dup-partners"
+    * candidate feed (a near-dup detector's threshold miss surfaces
+    * here before a human ever reviews it). Shape: symmetrize edges,
+    * self-join on the shared middle node (the [[triangleCounts]]
+    * wedge join — bounded by Σ deg², the graph's wedge count, never
+    * docs²), anti-join existing edges away, degrees re-aggregated
+    * from the EDGE table. jac6 = 1e6·common div (deg_a + deg_b −
+    * common), one truncating division per candidate. Returns
+    * (id_a, id_b, common, jac6) with id_a < id_b; edge hygiene as
+    * [[pageRank]] (nulls dropped, duplicates collapsed, self-loops
+    * ignored for neighborhoods).
+    */
+  def commonNeighbors(pairs: DataFrame): DataFrame = {
+    val undirected = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val edges = undirected
+      .union(undirected.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = edges.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val wedges = edges.select(col("a").as("u"), col("b").as("mid"))
+      .join(edges.select(col("a").as("mid"), col("b").as("v")), Seq("mid"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"))
+    wedges
+      .join(
+        edges.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"),
+        "left_anti")
+      .join(deg.select(col("id").as("u"), col("deg").as("__da")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("__db")), Seq("v"))
+      .select(
+        col("u").as("id_a"),
+        col("v").as("id_b"),
+        col("common"),
+        expr("CAST(1000000 * common div (__da + __db - common) AS BIGINT)").as("jac6"))
+  }
 }

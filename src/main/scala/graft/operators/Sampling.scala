@@ -526,4 +526,44 @@ object Sampling {
       .filter(hash32(key).cast("double") < col("__f") * lit(Space))
       .drop("__w", "__g", "__f")
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer sample
+    * budget `k` across strata — the exact-quota answer to "give me
+    * 100k docs that preserve the language mixture": proportional
+    * float quotas drift (rounding them can over- or under-shoot k by
+    * the stratum count), this never does. base_i = k·n_i div N, and
+    * the k − Σbase leftover seats go to the largest remainders
+    * k·n_i mod N (ties broken by stratum value ascending — total
+    * order, both engines agree). Σ quota == k EXACTLY by
+    * construction. All integer: counts, one truncating division and
+    * one mod per stratum, a rank over the STRATA table (bounded —
+    * never the corpus). k may exceed N (quotas then exceed counts —
+    * the caller's with-replacement decision, documented not policed).
+    * Returns (stratum, n, quota) for every non-null stratum.
+    */
+  def quotaLargestRemainder(df: DataFrame, stratumCol: Column, k: Long): DataFrame = {
+    require(k >= 0L, "k must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val strata = df
+      .filter(stratumCol.isNotNull)
+      .groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(strata.agg(sum(col("n")).as("__N")))
+    val based = strata
+      .crossJoin(tot)
+      .withColumn("__base", expr(s"CAST($k * n div __N AS BIGINT)"))
+      .withColumn("__rem", expr(s"CAST($k * n % __N AS BIGINT)"))
+    val leftover = broadcast(
+      based.agg((lit(k) - sum(col("__base"))).as("__left")))
+    based
+      .withColumn(
+        "__rk",
+        row_number().over(Window.orderBy(col("__rem").desc, col("stratum"))))
+      .crossJoin(leftover)
+      .select(
+        col("stratum"),
+        col("n"),
+        (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("quota"))
+  }
 }

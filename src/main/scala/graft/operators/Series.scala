@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 
 /** Order-dependent per-key sequence operators (time-series family).
   *
@@ -674,5 +674,42 @@ object Series {
         col("d").as("n_churn"),
         col("c").as("n_censored"),
         col("s6"))
+  }
+
+  /** First-order Markov transition matrix over per-key ordered event
+    * sequences: for every (from, to) state pair, the transition count
+    * and row-normalized probability in exact ppm — the behavioral
+    * fingerprint that catches scripted traffic (a bot's
+    * view→view→view loop pins p(view|view) near 1e6 where organic
+    * sessions spread mass) and feeds next-event priors. ORDER
+    * CONTRACT: `orderCols` must be a TOTAL order per key (pass a
+    * unique tiebreaker like the event id last) or lead() is
+    * nondeterministic under ties — the outOfOrderAudit rule. One
+    * window pass keyed on `keyCol` (each key's sequence never crosses
+    * partitions), one hash aggregate over (from, to), row totals
+    * re-aggregated from the PAIR table. A key's last event has no
+    * successor and contributes nothing. Returns
+    * (from_state, to_state, n, p6 = 1e6·n div Σ_to n).
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: Column,
+      orderCols: Seq[Column],
+      stateCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val pairs = df
+      .filter(keyCol.isNotNull && stateCol.isNotNull)
+      .select(stateCol.as("from_state"), lead(stateCol, 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("from_state")).agg(sum(col("n")).as("__rt"))
+    pairs
+      .join(rowTot, Seq("from_state"))
+      .select(
+        col("from_state"),
+        col("to_state"),
+        col("n"),
+        expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
   }
 }

@@ -1341,4 +1341,35 @@ object TextAnalysis {
     */
   private[graft] def rboWeights(k: Int, p: Double): Seq[Long] =
     (1 to k).map(d => math.round(1e6 * (1.0 - p) * math.pow(p, d - 1)))
+
+  /** Type-token statistics per group — the lexical-diversity gate
+    * (Templin 1957 TTR; hapax legomena fraction): machine-generated
+    * or template-stamped text pins LOW TTR (few types, many tokens),
+    * while OCR noise or mojibake pins HIGH hapax (every error is a
+    * new "word"). Tokens are whitespace units (the t_token_count
+    * convention — no case folding, so the oracle's split mirrors
+    * exactly). One explode → (group, token) hash aggregate → one
+    * group aggregate; ratios are exact ppm integer divisions.
+    * Empty/whitespace-only texts contribute nothing. Returns
+    * (group, n_tokens, n_types, n_hapax, ttr_ppm = 1e6·types div
+    * tokens, hapax_ppm = 1e6·hapax div types).
+    */
+  def ttrStats(df: DataFrame, textCol: String, groupCol: Column): DataFrame =
+    Width.spread(df)
+      .filter(length(trim(col(textCol))) > 0 && groupCol.isNotNull)
+      .select(groupCol.as("g"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(
+        col("g"),
+        col("n_tokens"),
+        col("n_types"),
+        col("n_hapax"),
+        expr("CAST(1000000 * n_types div n_tokens AS BIGINT)").as("ttr_ppm"),
+        expr("CAST(1000000 * n_hapax div n_types AS BIGINT)").as("hapax_ppm"))
 }
