@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Checks, Graph, Sampling, Series, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-8 exact-integer statistics
+  * wave: chi-square independence, Simpson/HHI concentration,
+  * type-token stats, Markov transitions, largest-remainder quotas,
+  * common-neighbor link prediction.
+  */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chiSquareIndependence: uniform 2x2 scores 0; perfect association scores N") {
+    val uniform = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val u = Checks
+      .chiSquareIndependence(uniform.toDF("l", "s"), col("l"), col("s")).head()
+    assert((u.getLong(0), u.getLong(3), u.getLong(4), u.getLong(5)) == ((40L, 1L, 0L, 0L)))
+    // perfect association: chi2 == N, Cramer's V == 1
+    val assoc = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val p = Checks
+      .chiSquareIndependence(assoc.toDF("l", "s"), col("l"), col("s")).head()
+    // chi26 = 1e6 * N = 2e7; v6 = 1e6
+    assert((p.getLong(0), p.getLong(3), p.getLong(4), p.getLong(5)) ==
+      ((20L, 1L, 20000000L, 1000000L)))
+    // degenerate: one level on a side -> dof 0, chi26 0, v6 0
+    val d = Checks
+      .chiSquareIndependence(
+        Seq(("a", "x"), ("a", "y")).toDF("l", "s"), col("l"), col("s")).head()
+    assert((d.getLong(3), d.getLong(4), d.getLong(5)) == ((0L, 0L, 0L)))
+  }
+
+  test("simpsonDiversity: {2,2} split scores 333333; singleton groups dropped") {
+    val df = Seq(
+      ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
+      ("g2", "z")).toDF("g", "c")
+    val got = Checks.simpsonDiversity(df, col("g"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // pairs = 2*1 + 2*1 = 4; denom = 4*3 = 12 -> 1e6*4 div 12 = 333333
+    assert(got.toSeq == Seq(("g1", 4L, 2L, 333333L)))
+  }
+
+  test("hhiConcentration: {2,2} split scores 500000; monoculture scores 1e6") {
+    val df = Seq(
+      ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
+      ("g2", "z"), ("g2", "z")).toDF("g", "c")
+    val got = Checks.hhiConcentration(df, col("g"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got == Map("g1" -> 500000L, "g2" -> 1000000L))
+  }
+
+  test("ttrStats: 'a a b' -> 3 tokens, 2 types, 1 hapax; empty text contributes nothing") {
+    val df = Seq(("en", "a a b"), ("en", ""), ("fr", "x y")).toDF("lang", "text")
+    val got = TextAnalysis.ttrStats(df, "text", col("lang"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("en") == ((3L, 2L, 1L, 666666L, 500000L)))
+    assert(got("fr") == ((2L, 2L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("transitionMatrix: hand-traced sequences give exact counts and row-normalized p6") {
+    val df = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "A")).toDF("u", "t", "st")
+    val got = Series
+      .transitionMatrix(df, col("u"), Seq(col("t")), col("st"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // from A: A->B x2, A->A x1 (row total 3); from B: B->A x1
+    assert(got == Map(
+      ("A", "B") -> ((2L, 666666L)),
+      ("A", "A") -> ((1L, 333333L)),
+      ("B", "A") -> ((1L, 1000000L))))
+  }
+
+  test("quotaLargestRemainder: quotas sum to k exactly; largest remainder wins the leftover") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("l")
+    // k=10: exact proportions, no leftovers
+    val exact = Sampling.quotaLargestRemainder(df, col("l"), 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(exact == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // k=7: bases (3,2,1) leave 1 seat; remainders (5,1,4) -> a wins
+    val seven = Sampling.quotaLargestRemainder(df, col("l"), 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(seven == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(seven.values.sum == 7L)
+  }
+
+  test("commonNeighbors: path predicts its endpoints; square predicts both diagonals") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = Graph.commonNeighbors(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p.toSeq == Seq((1L, 3L, 1L, 1000000L)))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val sq = Graph.commonNeighbors(square)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // diagonals share BOTH midpoints: jac6 = 1e6*2 div (2+2-2) = 1e6
+    assert(sq == Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // triangle edges are real edges -> nothing predicted
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.commonNeighbors(tri).collect().isEmpty)
+  }
+}
