@@ -619,6 +619,63 @@ object SparkEntryCoverage {
         .filter(col("common") >= 2)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Spearman rank correlation of the click vs purchase daily series
+    // (Series.spearmanDaily): rank-robust "do they move together",
+    // exact doubled-average-ranks, one IEEE sqrt — the whale-immune
+    // companion of w_lead_lag's Pearson machinery.
+    "a_spearman_daily" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def daily(et: String) = ev
+        .filter(col("event_type") === et)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .spearmanDaily(daily("click"), daily("purchase"), "day", "n")
+        .orderBy(col("n_days"))
+    },
+    // Manifest reconciliation (Checks.manifestDiff): the old export
+    // lost a few rows (event_id % 4000 == 7 — a dropped retry batch),
+    // the new export is retention-trimmed (ts < Jan 25) — the diff
+    // reads unchanged/changed/removed per day partition without ever
+    // re-comparing rows.
+    "i_manifest_diff" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val day = date_format(col("ts"), "yyyy-MM-dd")
+      val rowKey = concat_ws(":", col("event_id"), col("user_id"), col("event_type"))
+      val oldM = Checks.partitionManifest(
+        ev.filter(col("event_id") % 4000 =!= 7), day, rowKey)
+      val newM = Checks.partitionManifest(
+        ev.filter(col("ts") < to_timestamp(lit("2024-01-25"))), day, rowKey)
+      Checks.manifestDiff(oldM, newM).orderBy(col("partition"))
+    },
+    // Jensen-Shannon divergence between the en and fr token
+    // distributions (TextAnalysis.jsdTokens): the symmetric bounded
+    // corpus-distance for mixture design; per-term micro-nat
+    // rounding, exact integer sum (entropy-family discipline).
+    "t_jsd_lang" -> { (s, dir) =>
+      TextAnalysis
+        .jsdTokens(t(s, dir, "documents"), "text", col("lang"), "en", "fr")
+        .orderBy(col("n_terms"))
+    },
+    // Near-dup exposure per source: share of docs touching >= 1
+    // verified pair (off the memoized pair artifact) — the per-source
+    // dup-rate gate beside the global cluster-size histogram.
+    "dd_dupe_rate_by_source" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairIds = docNgramPairs(s, dir).select(col("id_a").as("doc_id"))
+        .unionByName(docNgramPairs(s, dir).select(col("id_b").as("doc_id")))
+        .distinct()
+      docs
+        .join(pairIds.withColumn("__duped", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__duped"), lit(0L))).as("n_duped"))
+        .withColumn(
+          "dup_ppm",
+          expr("CAST(1000000 * n_duped div n_docs AS BIGINT)"))
+        .orderBy(col("source"))
+    },
     // C6 — investor + valuation extraction: known-VC list hit wins
     // (arm 0), else led-by / participation-from capture patterns
     // (arms 1-2); valuation from the $X billion|million patterns
@@ -5749,6 +5806,82 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "a_spearman_daily" ->
+      """WITH c AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT c.n AS va, p.n AS vb FROM c JOIN p USING (day)),
+        |r AS (
+        | SELECT
+        |  CAST(2 * rank() OVER (ORDER BY va) + COUNT(*) OVER (PARTITION BY va) - 1 AS BIGINT) AS ra,
+        |  CAST(2 * rank() OVER (ORDER BY vb) + COUNT(*) OVER (PARTITION BY vb) - 1 AS BIGINT) AS rb
+        | FROM j),
+        |a AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |        CAST(SUM(ra) AS BIGINT) AS sa, CAST(SUM(rb) AS BIGINT) AS sb,
+        |        CAST(SUM(ra*ra) AS BIGINT) AS saa, CAST(SUM(rb*rb) AS BIGINT) AS sbb,
+        |        CAST(SUM(ra*rb) AS BIGINT) AS sab
+        | FROM r)
+        |SELECT n_days,
+        | CASE WHEN n_days >= 2 AND n_days*saa - sa*sa > 0 AND n_days*sbb - sb*sb > 0
+        |  THEN CAST(round(1000000.0 * CAST(n_days*sab - sa*sb AS DOUBLE)
+        |    / (sqrt(CAST(n_days*saa - sa*sa AS DOUBLE)) * sqrt(CAST(n_days*sbb - sb*sb AS DOUBLE)))) AS BIGINT)
+        |  ELSE NULL END AS rho6
+        |FROM a ORDER BY n_days""".stripMargin,
+    "i_manifest_diff" -> {
+      val h = sqlHash32(
+        "CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':' || event_type")
+      s"""WITH oldm AS (
+         | SELECT strftime(ts, '%Y-%m-%d') AS partition,
+         |        CAST(count(*) AS BIGINT) AS n_old, CAST(bit_xor($h) AS BIGINT) AS xo
+         | FROM events WHERE event_id % 4000 <> 7 GROUP BY 1),
+         |newm AS (
+         | SELECT strftime(ts, '%Y-%m-%d') AS partition,
+         |        CAST(count(*) AS BIGINT) AS n_new, CAST(bit_xor($h) AS BIGINT) AS xn
+         | FROM events WHERE ts < TIMESTAMP '2024-01-25' GROUP BY 1)
+         |SELECT partition,
+         | CASE WHEN n_old IS NULL THEN 'added'
+         |      WHEN n_new IS NULL THEN 'removed'
+         |      WHEN n_old = n_new AND xo = xn THEN 'unchanged'
+         |      ELSE 'changed' END AS status,
+         | n_old, n_new
+         |FROM oldm FULL OUTER JOIN newm USING (partition)
+         |ORDER BY partition""".stripMargin
+    },
+    "t_jsd_lang" ->
+      """WITH toks AS (
+        | SELECT lang AS g, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        | FROM documents WHERE length(trim(text)) > 0 AND lang IN ('en', 'fr')),
+        |counts AS (
+        | SELECT tok,
+        |  CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        | FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb FROM counts),
+        |terms AS (
+        | SELECT ta, tb,
+        |  CAST(round(500000.0 * (
+        |    CASE WHEN a > 0 THEN (CAST(a AS DOUBLE)/ta) * ln((CAST(a AS DOUBLE)/ta)
+        |      / ((CAST(a AS DOUBLE)/ta + CAST(b AS DOUBLE)/tb) / 2.0)) ELSE 0.0 END +
+        |    CASE WHEN b > 0 THEN (CAST(b AS DOUBLE)/tb) * ln((CAST(b AS DOUBLE)/tb)
+        |      / ((CAST(a AS DOUBLE)/ta + CAST(b AS DOUBLE)/tb) / 2.0)) ELSE 0.0 END)) AS BIGINT) AS t6
+        | FROM counts CROSS JOIN tot WHERE ta > 0 AND tb > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, ta AS n_tokens_a, tb AS n_tokens_b,
+        |       CAST(SUM(t6) AS BIGINT) AS jsd6
+        |FROM terms GROUP BY ta, tb ORDER BY n_terms""".stripMargin,
+    "dd_dupe_rate_by_source" ->
+      s"""WITH $jaccardPairsSql,
+         |pid AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs)
+         |SELECT d.source,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN pid.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_duped,
+         | CAST((1000000 * SUM(CASE WHEN pid.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+         |   // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM documents d LEFT JOIN pid ON pid.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "a_chi2_lang_source" ->
       """WITH cells AS (
         | SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n

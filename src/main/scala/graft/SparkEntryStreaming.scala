@@ -95,6 +95,36 @@ object SparkEntryStreaming {
           col("new_hash"))
         .orderBy(col("key"), col("prev_hash"), col("new_hash"))
     },
+    // T112 as a live stream — stateful per-user transition pairing
+    // via flatMapGroupsWithState (last state carries across
+    // micro-batches; event_id is the replay clock, so emitted pairs
+    // equal the batch lead() pairs exactly); the (from, to, n, p6)
+    // matrix is a stateless batch fold over the drained pair sink
+    "st_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val updates = eventStream(s, dir)
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("event_type").as("content_hash"),
+          timestamp_seconds(col("event_id")).as("ts"))
+        .as[Streams.PageUpdate]
+      val pairs =
+        drain(Streams.transitionPairs(updates).toDF(), "st_transitions_sink", "append")
+          .groupBy(col("from_state"), col("to_state"))
+          .agg(count(lit(1)).as("n"))
+      // rename before the self-join: both sides read the same memory
+      // sink view, and a shared from_state attribute id trips the
+      // analyzer's conflicting-references check
+      val rowTot = pairs
+        .groupBy(col("from_state").as("__fs"))
+        .agg(sum(col("n")).as("__rt"))
+      pairs
+        .join(rowTot, col("from_state") === col("__fs"))
+        .select(
+          col("from_state"), col("to_state"), col("n"),
+          expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
+        .orderBy(col("from_state"), col("to_state"))
+    },
     // session windows as a live stream — gap-merged dynamic windows
     // per user through session_window(); complete mode so every
     // session is in the sink when the source drains. Session starts
@@ -992,6 +1022,20 @@ object SparkEntryStreaming {
         |SELECT key, COALESCE(prev, '-') AS prev_hash, h AS new_hash
         |FROM o WHERE prev IS NULL OR prev <> h
         |ORDER BY key, prev_hash, new_hash""".stripMargin,
+    // every consecutive pair incl. self-transitions (unlike
+    // st_change_events); identical to w_transitions' batch oracle
+    // modulo the event_id replay clock (monotone in ts, same order)
+    "st_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type AS from_state,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS to_state
+        | FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS rt FROM p GROUP BY 1)
+        |SELECT p.from_state, p.to_state, p.n,
+        | CAST((1000000 * p.n) // rt.rt AS BIGINT) AS p6
+        |FROM p JOIN rt USING (from_state) ORDER BY from_state, to_state""".stripMargin,
     // session_window semantics: windows are [start, start+gap) merged
     // on overlap, so an event exactly `gap` after its predecessor
     // starts a NEW session — the gaps-and-islands mirror must use >=

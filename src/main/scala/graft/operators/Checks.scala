@@ -708,6 +708,36 @@ object Checks {
         expr("CAST(1000000 * n_rows_at_risk div n_rows AS BIGINT)"))
   }
 
+  /** Diff two [[partitionManifest]] receipts — the reconciliation
+    * step of the 100 TB hand-off: each partition is `added` (new side
+    * only), `removed` (old side only), `changed` (both sides, row
+    * count or XOR checksum differs), or `unchanged`. One full-outer
+    * join on the partition key over two partition-count-bounded
+    * manifests — row data never moves again; the manifests ARE the
+    * comparison. Returns (partition, status, n_old, n_new) with
+    * null counts where a side is absent.
+    */
+  def manifestDiff(oldManifest: DataFrame, newManifest: DataFrame): DataFrame = {
+    val o = oldManifest.select(
+      col("partition"),
+      col("n_rows").as("n_old"),
+      col("content_xor").as("__xo"))
+    val n = newManifest.select(
+      col("partition"),
+      col("n_rows").as("n_new"),
+      col("content_xor").as("__xn"))
+    o.join(n, Seq("partition"), "full_outer")
+      .select(
+        col("partition"),
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .when(col("n_old") === col("n_new") && col("__xo") === col("__xn"), "unchanged")
+          .otherwise("changed")
+          .as("status"),
+        col("n_old"),
+        col("n_new"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the corpus-composition gate ("is lang independent of
     * source?"): a near-zero statistic says the crawl mixes languages

@@ -676,6 +676,61 @@ object Series {
         col("s6"))
   }
 
+  /** Spearman rank correlation between TWO daily series on their
+    * shared day grid — [[crossCorrDaily]]'s rank-robust sibling: a
+    * single whale day that drags Pearson toward itself moves each
+    * rank by at most one step here, so "do clicks and purchases move
+    * together" survives outliers. Ties take AVERAGE ranks, kept
+    * exact by working in DOUBLED ranks (2·avg = min_rank + max_rank
+    * = 2·rank + (ties−1), an integer whenever the average is .5) —
+    * every sum is an exact BIGINT and the one float step is the
+    * classic Pearson denominator sqrt over exact integers (IEEE,
+    * correctly rounded both engines). Rank windows run over the
+    * JOINED DAY GRID (bounded — never the event stream). Overflow
+    * bound: n·Σ(2r)² ≈ 4n⁴ < 2^63 — day grids to ~40k days (a
+    * century is 36.5k); chunk the grid past that. Returns one row
+    * (n_days, rho6); fewer than 2 shared days or a constant side
+    * (zero rank variance) returns rho6 null — undefined, not 0.
+    */
+  def spearmanDaily(
+      a: DataFrame,
+      b: DataFrame,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    def prep(df: DataFrame, v: String) = df
+      .filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(dayCol).as("__day"), col(valueCol).cast("long").as(v))
+    val joined = prep(a, "va").join(prep(b, "vb"), Seq("__day"))
+    // doubled average rank: 2*min_rank + (ties - 1), exact integer
+    joined
+      .select(
+        col("__day"),
+        (rank().over(Window.orderBy(col("va"))) * 2L +
+          count(lit(1)).over(Window.partitionBy(col("va"))) - 1L).as("ra"),
+        (rank().over(Window.orderBy(col("vb"))) * 2L +
+          count(lit(1)).over(Window.partitionBy(col("vb"))) - 1L).as("rb"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("ra")).as("__sa"),
+        sum(col("rb")).as("__sb"),
+        sum(col("ra") * col("ra")).as("__saa"),
+        sum(col("rb") * col("rb")).as("__sbb"),
+        sum(col("ra") * col("rb")).as("__sab"))
+      .select(
+        col("n_days"),
+        when(
+          col("n_days") >= 2L &&
+            (col("n_days") * col("__saa") - col("__sa") * col("__sa")) > 0L &&
+            (col("n_days") * col("__sbb") - col("__sb") * col("__sb")) > 0L,
+          round(
+            lit(1e6) *
+              (col("n_days") * col("__sab") - col("__sa") * col("__sb")).cast("double") /
+              (sqrt((col("n_days") * col("__saa") - col("__sa") * col("__sa")).cast("double")) *
+                sqrt((col("n_days") * col("__sbb") - col("__sb") * col("__sb")).cast("double"))),
+            0).cast("long"))
+          .as("rho6"))
+  }
+
   /** First-order Markov transition matrix over per-key ordered event
     * sequences: for every (from, to) state pair, the transition count
     * and row-normalized probability in exact ppm — the behavioral

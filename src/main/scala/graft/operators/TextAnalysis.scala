@@ -1372,4 +1372,57 @@ object TextAnalysis {
         col("n_hapax"),
         expr("CAST(1000000 * n_types div n_tokens AS BIGINT)").as("ttr_ppm"),
         expr("CAST(1000000 * n_hapax div n_types AS BIGINT)").as("hapax_ppm"))
+
+  /** Jensen–Shannon divergence between TWO groups' token
+    * distributions — the symmetric, bounded (≤ ln 2) corpus-distance
+    * a mixture designer reads before blending sources ("how far is
+    * this crawl's English from that one's"): KL's asymmetry and
+    * infinities make it useless on disjoint vocab tails, JSD is
+    * defined everywhere. Shape: one token hash-agg per group off a
+    * single pass (the union vocabulary is the join frame), two
+    * 1-row broadcast totals. Determinism: each vocab term's
+    * contribution p·ln(p/m) + q·ln(q/m) is computed ONCE as a
+    * double, scaled to micro-nats and rounded to BIGINT, then SUMMED
+    * EXACTLY — the entropy-family discipline (per-term rounding
+    * absorbs the last-ulp ln differences between JVM and libm;
+    * integer summation removes float order sensitivity). Absent
+    * terms contribute their defined limit 0 for the missing side.
+    * Returns one row (n_terms, n_tokens_a, n_tokens_b, jsd6);
+    * either group empty → zero rows (no distribution exists).
+    */
+  def jsdTokens(
+      df: DataFrame,
+      textCol: String,
+      groupCol: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val toks = Width.spread(df)
+      .filter(length(trim(col(textCol))) > 0 && groupCol.isin(groupA, groupB))
+      .select(groupCol.as("g"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val counts = toks
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("b"))
+    val tot = broadcast(counts.agg(sum(col("a")).as("__A"), sum(col("b")).as("__B")))
+    val pa = col("a").cast("double") / col("__A").cast("double")
+    val qb = col("b").cast("double") / col("__B").cast("double")
+    val m = (pa + qb) / lit(2.0)
+    val contrib =
+      when(col("a") > 0L, pa * log(pa / m)).otherwise(lit(0.0)) +
+        when(col("b") > 0L, qb * log(qb / m)).otherwise(lit(0.0))
+    counts
+      .crossJoin(tot)
+      .filter(col("__A") > 0L && col("__B") > 0L)
+      .select(
+        col("__A"), col("__B"),
+        round(contrib * lit(500000.0), 0).cast("long").as("__t6"))
+      .groupBy(col("__A"), col("__B"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__t6")).as("jsd6"))
+    .select(
+        col("n_terms"),
+        col("__A").as("n_tokens_a"),
+        col("__B").as("n_tokens_b"),
+        col("jsd6"))
+  }
 }

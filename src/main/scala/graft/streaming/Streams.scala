@@ -170,6 +170,40 @@ object Streams {
         })
   }
 
+  /** One emitted row per consecutive state pair. */
+  case class TransitionPair(key: String, from_state: String, to_state: String)
+
+  /** Streaming first-order transition pairs — the live twin of
+    * [[graft.operators.Series.transitionMatrix]]'s stateful half:
+    * per key, every consecutive (previous state, new state) pair
+    * INCLUDING self-transitions (unlike [[changeEvents]], which
+    * exists to suppress them), carried across micro-batch boundaries
+    * by one string of state per key. Same replay-order contract as
+    * changeEvents: batch arrival order is not event order, so rows
+    * re-sort by full-precision ts inside each (batch, key) group —
+    * give the stream a unique monotone clock (the event id) and the
+    * emitted pairs equal the batch lead()-over-total-order pairs
+    * exactly. Downstream aggregation to the (from, to, n, p6) matrix
+    * is a stateless batch fold over the emitted pair sink.
+    */
+  def transitionPairs(updates: Dataset[PageUpdate]): Dataset[TransitionPair] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[PageUpdate], state: GroupState[String]) => {
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.content_hash))
+          var prev = state.getOption
+          val out = Seq.newBuilder[TransitionPair]
+          sorted.foreach { r =>
+            prev.foreach(p => out += TransitionPair(key, p, r.content_hash))
+            prev = Some(r.content_hash)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Watermark late-data audit: run the stream through
     * `withWatermark(tsCol, delay)` + `dropDuplicatesWithinWatermark`
     * on a UNIQUE key against a throwaway memory sink, and report how

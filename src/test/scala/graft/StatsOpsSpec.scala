@@ -90,6 +90,50 @@ class StatsOpsSpec extends SparkSpec {
     assert(seven.values.sum == 7L)
   }
 
+  test("spearmanDaily: monotone series score 1e6, reversed -1e6, whale day barely moves it") {
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val xs = (0 until 10).map(i => (d(i), (i + 1).toLong))
+    val up = xs.toDF("day", "n")
+    val down = xs.map { case (dt, v) => (dt, 11L - v) }.toDF("day", "n")
+    assert(Series.spearmanDaily(up, up, "day", "n").head().getLong(1) == 1000000L)
+    assert(Series.spearmanDaily(up, down, "day", "n").head().getLong(1) == -1000000L)
+    // a 1000x whale on the last day changes no rank: still exactly 1
+    val whale = xs.init :+ ((d(9), 10000L))
+    assert(Series.spearmanDaily(up, whale.toDF("day", "n"), "day", "n")
+      .head().getLong(1) == 1000000L)
+    // constant side -> zero rank variance -> null (undefined, not 0)
+    val const = (0 until 10).map(i => (d(i), 5L)).toDF("day", "n")
+    assert(Series.spearmanDaily(up, const, "day", "n").head().isNullAt(1))
+  }
+
+  test("manifestDiff: added/removed/changed/unchanged all classify correctly") {
+    val mk = (rows: Seq[(String, Long)]) => Checks.partitionManifest(
+      rows.toDF("p", "k"), col("p"), col("k"))
+    val oldM = mk(Seq(("p1", 1L), ("p1", 2L), ("p2", 1L), ("p3", 9L)))
+    val newM = mk(Seq(("p1", 1L), ("p1", 2L), ("p2", 7L), ("p4", 1L)))
+    val got = Checks.manifestDiff(oldM, newM)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "p1" -> "unchanged", // same rows, same xor
+      "p2" -> "changed",   // same count, different content
+      "p3" -> "removed",
+      "p4" -> "added"))
+  }
+
+  test("jsdTokens: identical corpora score 0; disjoint corpora score ln2 in micro-nats") {
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("g", "text")
+    val s = TextAnalysis.jsdTokens(same, "text", col("g"), "a", "b").head()
+    assert(s.getLong(3) == 0L, s.toString)
+    val disjoint = Seq(("a", "x y"), ("b", "u v")).toDF("g", "text")
+    val dd = TextAnalysis.jsdTokens(disjoint, "text", col("g"), "a", "b").head()
+    // ln 2 = 0.693147... -> per-term p*ln2 contributions sum to ~693147
+    assert(math.abs(dd.getLong(3) - 693147L) <= 2L, dd.toString)
+    // one empty side -> zero rows
+    assert(TextAnalysis.jsdTokens(
+      Seq(("a", "x")).toDF("g", "text"), "text", col("g"), "a", "b").collect().isEmpty)
+  }
+
   test("commonNeighbors: path predicts its endpoints; square predicts both diagonals") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val p = Graph.commonNeighbors(path)

@@ -79,6 +79,30 @@ class StreamingSpec extends SparkSpec {
       ("acme/home", "h2", "h1")))
   }
 
+  test("T112 stream twin — transitionPairs keeps self-transitions and carries state across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Streams.PageUpdate]
+    val q = Streams.transitionPairs(input.toDS())
+      .writeStream.format("memory").queryName("trans_t").outputMode("append").start()
+    input.addData(
+      Streams.PageUpdate("u1", "A", ts("2024-01-01 00:00:00")),
+      Streams.PageUpdate("u1", "A", ts("2024-01-02 00:00:00")), // self-transition EMITS
+      Streams.PageUpdate("u1", "B", ts("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    // the B state crosses the batch boundary: next batch's first row
+    // pairs against it
+    input.addData(Streams.PageUpdate("u1", "A", ts("2024-01-04 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map(
+      ("u1", "A", "A") -> 1,
+      ("u1", "A", "B") -> 1,
+      ("u1", "B", "A") -> 1))
+  }
+
   case class Ev(ts: Timestamp, company_id: String)
 
   test("I5 — slidingCounts windows with watermark") {
