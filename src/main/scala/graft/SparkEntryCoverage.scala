@@ -657,6 +657,39 @@ object SparkEntryCoverage {
         .jsdTokens(t(s, dir, "documents"), "text", col("lang"), "en", "fr")
         .orderBy(col("n_terms"))
     },
+    // Deterministic mode (Relational.modePerGroup): most frequent
+    // source per lang, ties to the smallest — Spark's mode() is
+    // nondeterministic on ties, this is the pinned version.
+    "a_mode_source" -> { (s, dir) =>
+      Relational
+        .modePerGroup(t(s, dir, "documents"), col("lang"), col("source"))
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("lang"))
+    },
+    // Calendar gap-fill with LOCF (Series.fillForwardDaily): every
+    // (source, day) cell on the global grid carries the last observed
+    // daily doc count — nulls only before a source's first sighting.
+    // Sparse source chosen by doc_id-bucketing days so gaps exist.
+    "w_fill_forward" -> { (s, dir) =>
+      // a sparse daily series: per source, count docs on synthetic
+      // days derived from doc_id (every source observes only its own
+      // %7 days -> real gaps for LOCF to fill)
+      val daily = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 < 3)
+        .groupBy(
+          col("source"),
+          date_add(lit("2024-01-01").cast("date"), (col("doc_id") % 7).cast("int"))
+            .as("day"))
+        .agg(count(lit(1)).as("n"))
+      Series
+        .fillForwardDaily(daily, "source", "day", "n")
+        .select(
+          col("key").as("source"),
+          date_format(col("day"), "yyyy-MM-dd").as("d"),
+          col("n"),
+          col("filled"))
+        .orderBy(col("source"), col("d"))
+    },
     // Near-dup exposure per source: share of docs touching >= 1
     // verified pair (off the memoized pair artifact) — the per-source
     // dup-rate gate beside the global cluster-size histogram.
@@ -5806,6 +5839,33 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "a_mode_source" ->
+      """WITH c AS (
+        | SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT lang, source, n,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+        |      FROM c)
+        |SELECT lang, source AS mode, n AS n_mode FROM r WHERE rk = 1
+        |ORDER BY lang""".stripMargin,
+    "w_fill_forward" ->
+      """WITH daily AS (
+        | SELECT source, DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        | FROM documents WHERE doc_id % 7 < 3 GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        | SELECT k.source, g.day
+        | FROM (SELECT DISTINCT source FROM daily) k
+        | CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+        |                                           (SELECT hi FROM span),
+        |                                           INTERVAL 1 DAY))::DATE AS day) g)
+        |SELECT grid.source, strftime(grid.day, '%Y-%m-%d') AS d, daily.n,
+        |       last_value(daily.n IGNORE NULLS) OVER (
+        |         PARTITION BY grid.source ORDER BY grid.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid LEFT JOIN daily ON daily.source = grid.source AND daily.day = grid.day
+        |ORDER BY grid.source, d""".stripMargin,
     "a_spearman_daily" ->
       """WITH c AS (
         | SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n

@@ -391,6 +391,84 @@ object SparkEntryTpch {
     // Q12 — late-shipment priority classes (adapted: l_returnflag
     // plays shipmode, l_shipdate >= o_orderdate plays the date sanity
     // chain as a non-equi join residual)
+    // Q4 — order priority checking: EXISTS-late-lineitem semi join,
+    // count per priority inside one quarter. Late marker substituted
+    // per this file's q21 convention (no commit/receipt dates in the
+    // trimmed schema): l_returnflag = 'R' with the shipdate >=
+    // orderdate sanity residual.
+    "q4_order_priority" -> { (s, dir) =>
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(
+          late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // Q16 — parts/supplier relationship: supplier-part pairs emulated
+    // from DISTINCT lineitem (no partsupp in the trimmed schema),
+    // complaint suppliers emulated as the deterministic s_suppkey %
+    // 10 = 0 list (the original's LIKE '%Customer%Complaints%' scan),
+    // excluded by ANTI JOIN exactly like the original's NOT IN.
+    "q16_parts_supplier" -> { (s, dir) =>
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .distinct()
+      val complaints = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey"))
+      ps
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(
+          broadcast(
+            t(s, dir, "part")
+              .filter(
+                col("p_brand") =!= "Brand#1" &&
+                  !col("p_type").startsWith("PROMO") &&
+                  col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 32))
+              .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(
+          col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    // Q17 — small-quantity-order revenue: the correlated per-part
+    // avg-quantity subquery as a grouped join; the 0.2·avg threshold
+    // kept EXACT by cross-multiplying integers (5·qty·cnt < Σqty —
+    // quantities are integer-valued doubles, cast to long), so no
+    // float average crosses the engine/oracle boundary. Brand/
+    // container filter adapted to the trimmed part schema.
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(
+          col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+      val perPart = li
+        .groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("qty")).as("__sq"), count(lit(1)).as("__cnt"))
+      li
+        .join(
+          broadcast(
+            t(s, dir, "part")
+              .filter(col("p_brand") === "Brand#3" && col("p_type") === "ECONOMY")
+              .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("__pk"))
+        .filter(col("qty") * 5L * col("__cnt") < col("__sq"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .as("avg_yearly"))
+    },
     "q12_priority_class" -> { (s, dir) =>
       val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
       t(s, dir, "lineitem")
@@ -410,6 +488,40 @@ object SparkEntryTpch {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R'
+        |                AND l.l_shipdate >= o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_parts_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |keep AS (SELECT ps.* FROM ps
+        |         WHERE l_suppkey NOT IN
+        |           (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0))
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM keep JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 28, 32)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+        |            FROM lineitem),
+        |pp AS (SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS sq,
+        |              CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM li GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pp ON l_partkey = pp.pk
+        |WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+        |  AND qty * 5 * cnt < sq""".stripMargin,
     "q6_revenue_delta" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem

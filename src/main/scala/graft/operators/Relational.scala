@@ -674,4 +674,21 @@ object Relational {
     }
     out
   }
+
+  /** Deterministic mode per group: the most frequent value, ties
+    * broken to the SMALLEST value (a total tie-break — Spark's
+    * `mode()` aggregate is explicitly nondeterministic on ties, which
+    * makes it oracle-unmatchable and run-unstable; this is the
+    * pinned version). Two hash aggregates: (group, value) counts,
+    * then first-wins on (count desc, value asc) over the
+    * group-bounded count table. Returns (group, mode, n_mode).
+    */
+  def modePerGroup(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    dedupeFirstWins(
+      df.filter(groupCol.isNotNull && valueCol.isNotNull)
+        .groupBy(groupCol.as("g"), valueCol.as("mode"))
+        .agg(count(lit(1)).as("n_mode")),
+      Seq(col("g")),
+      Seq(col("n_mode").desc, col("mode")))
+
 }

@@ -676,6 +676,41 @@ object Series {
         col("s6"))
   }
 
+  /** Gap-fill a per-key daily series onto the full calendar grid
+    * with last-observation-carried-forward — the reporting-table
+    * normalizer ("what was every source's running state on every
+    * day") that turns sparse event days into a dense grid a
+    * dashboard or a drift detector can difference. Grid: the GLOBAL
+    * [min day, max day] span (sequence + explode — one row per day
+    * per key, keys × days bounded); days before a key's first
+    * observation stay NULL (nothing to carry — LOCF, not
+    * back-fill). One `last(ignoreNulls)` running window per key over
+    * the bounded grid. Returns (key, day, n = the raw observation or
+    * null, filled = LOCF value or null before first sighting).
+    */
+  def fillForwardDaily(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val obs = daily
+      .filter(col(keyCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(keyCol).as("key"), col(dayCol).as("day"), col(valueCol).as("n"))
+    val span = broadcast(obs.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi")))
+    val grid = obs.select(col("key")).distinct()
+      .crossJoin(span)
+      .select(col("key"), explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(obs, Seq("key", "day"), "left")
+      .select(
+        col("key"),
+        col("day"),
+        col("n"),
+        last(col("n"), ignoreNulls = true).over(w).as("filled"))
+  }
+
   /** Spearman rank correlation between TWO daily series on their
     * shared day grid — [[crossCorrDaily]]'s rank-robust sibling: a
     * single whale day that drags Pearson toward itself moves each

@@ -134,6 +134,38 @@ class StatsOpsSpec extends SparkSpec {
       Seq(("a", "x")).toDF("g", "text"), "text", col("g"), "a", "b").collect().isEmpty)
   }
 
+  test("modePerGroup: ties break to the smallest value (pinned, unlike Spark's mode())") {
+    import graft.operators.Relational
+    val df = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+      ("g2", "z")).toDF("g", "v")
+    val got = Relational.modePerGroup(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // g1: a and b both count 2 -> tie breaks to "a"
+    assert(got == Map("g1" -> (("a", 2L)), "g2" -> (("z", 1L))))
+  }
+
+  test("fillForwardDaily: LOCF fills gaps, nulls before first sighting, raw obs preserved") {
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // k1 observed on days 0 and 3; k2 on day 2 only; grid spans 0..3
+    val daily = Seq(("k1", d(0), 5L), ("k1", d(3), 7L), ("k2", d(2), 9L))
+      .toDF("key", "day", "n")
+    val got = Series.fillForwardDaily(daily, "key", "day", "n")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(got(("k1", "2024-01-01")) == ((5L, 5L)))
+    assert(got(("k1", "2024-01-02")) == ((-1L, 5L))) // gap -> carried
+    assert(got(("k1", "2024-01-03")) == ((-1L, 5L)))
+    assert(got(("k1", "2024-01-04")) == ((7L, 7L)))
+    assert(got(("k2", "2024-01-01")) == ((-1L, -1L))) // before first sighting
+    assert(got(("k2", "2024-01-03")) == ((9L, 9L)))
+    assert(got(("k2", "2024-01-04")) == ((-1L, 9L)))
+    assert(got.size == 8) // 2 keys x 4 grid days
+  }
+
   test("commonNeighbors: path predicts its endpoints; square predicts both diagonals") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val p = Graph.commonNeighbors(path)
