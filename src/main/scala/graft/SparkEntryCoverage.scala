@@ -690,6 +690,81 @@ object SparkEntryCoverage {
           col("filled"))
         .orderBy(col("source"), col("d"))
     },
+    // Persisted MinHash signature artifact (Io.writeMinhashSigs +
+    // Dedup.minhashLshAgainstSigs): the history is signed ONCE and
+    // landed; the batch scores against the ARTIFACT — history text
+    // never reloads. Result must equal the from-texts recompute.
+    "dd_sigs_persisted" -> { (s, dir) =>
+      val aPath = s"/tmp/graft_idx/sigs_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.sources.Io.writeMinhashSigs(
+        Dedup.minhashSign(d.filter(col("doc_id") < 250), "text", "doc_id", 3, 8),
+        aPath, buckets = 8)
+      Dedup
+        .minhashLshAgainstSigs(
+          d.filter(col("doc_id") >= 250),
+          graft.sources.Io.readMinhashSigsLatest(s, aPath),
+          "text", "doc_id", 3, 8, 1, 0.05)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // Signature-artifact upsert: the base was signed off STALE texts
+    // (%9 docs drifted), the re-crawl re-signs exactly those ids at
+    // seq 1 — the last-wins read must make the batch's dedup
+    // decisions equal a from-scratch run over TRUE texts (same
+    // oracle as dd_sigs_persisted: only the engine path differs).
+    "dd_sigs_upsert" -> { (s, dir) =>
+      val aPath = s"/tmp/graft_idx/sigs_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") < 250)
+      val stale = hist.select(
+        col("doc_id"),
+        when(
+          col("doc_id") % 9 === 0,
+          lit("stale placeholder page content pending recrawl nothing indexed here"))
+          .otherwise(col("text")).as("text"))
+      graft.sources.Io.writeMinhashSigs(
+        Dedup.minhashSign(stale, "text", "doc_id", 3, 8), aPath, buckets = 8)
+      graft.sources.Io.upsertMinhashSigs(
+        Dedup.minhashSign(
+          hist.filter(col("doc_id") % 9 === 0), "text", "doc_id", 3, 8),
+        aPath, seq = 1L)
+      Dedup
+        .minhashLshAgainstSigs(
+          d.filter(col("doc_id") >= 250),
+          graft.sources.Io.readMinhashSigsLatest(s, aPath),
+          "text", "doc_id", 3, 8, 1, 0.05)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // Signature-artifact TIME TRAVEL: as-of 0 on the upserted
+    // artifact reproduces yesterday's dedup decisions against the
+    // STALE history exactly — the oracle recomputes from the stale
+    // texts in SQL.
+    "dd_sigs_asof" -> { (s, dir) =>
+      val aPath = s"/tmp/graft_idx/sigs_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") < 250)
+      val stale = hist.select(
+        col("doc_id"),
+        when(
+          col("doc_id") % 9 === 0,
+          lit("stale placeholder page content pending recrawl nothing indexed here"))
+          .otherwise(col("text")).as("text"))
+      graft.sources.Io.writeMinhashSigs(
+        Dedup.minhashSign(stale, "text", "doc_id", 3, 8), aPath, buckets = 8)
+      graft.sources.Io.upsertMinhashSigs(
+        Dedup.minhashSign(
+          hist.filter(col("doc_id") % 9 === 0), "text", "doc_id", 3, 8),
+        aPath, seq = 1L)
+      Dedup
+        .minhashLshAgainstSigs(
+          d.filter(col("doc_id") >= 250),
+          graft.sources.Io.readMinhashSigsAsOf(s, aPath, asOfSeq = 0L),
+          "text", "doc_id", 3, 8, 1, 0.05)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // Near-dup exposure per source: share of docs touching >= 1
     // verified pair (off the memoized pair artifact) — the per-source
     // dup-rate gate beside the global cluster-size histogram.
@@ -5036,6 +5111,40 @@ object SparkEntryCoverage {
     * oracles would silently diverge on any corpus where a boilerplate
     * trigram tops 1000 docs).
     */
+  /** DuckDB mirror of `Dedup.minhashLshAgainstSigs(batch >= 250,
+    * hist < 250, 3, 8, 1, 0.05)` — the dd_minhash_pairs signature
+    * chain split into batch/history sides, with the HISTORY text
+    * expression parametrized so the as-of query can replay the stale
+    * generation the artifact's stamp-0 rows were signed from.
+    */
+  private def minhashAgainstSigsOracle(histTextSql: String): String =
+    s"""WITH src AS (
+       | SELECT doc_id, $histTextSql AS text, 0 AS is_batch FROM documents WHERE doc_id < 250
+       | UNION ALL
+       | SELECT doc_id, text, 1 FROM documents WHERE doc_id >= 250),
+       |tok AS (SELECT doc_id, is_batch, regexp_split_to_array(trim(text),'\\s+') AS tk FROM src),
+       |shl AS (SELECT doc_id, is_batch, list_distinct(list_transform(generate_series(1, len(tk)-2),
+       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |        FROM tok WHERE len(tk) >= 3),
+       |sig AS (SELECT doc_id, is_batch, sh, list_transform(generate_series(0, 7),
+       |         i -> list_aggregate(list_transform(sh, s -> list_reduce(
+       |                list_transform(generate_series(1, 8), d -> strpos('0123456789abcdef',
+       |                  substring(CASE WHEN i // 4 = 0 THEN md5(s) ELSE md5(CAST(i // 4 AS VARCHAR) || ':' || s) END,
+       |                            CAST((i % 4) * 8 + d AS INT), 1)) - 1),
+       |                (a, b) -> a * 16 + b)), 'min')) AS sg
+       |        FROM shl WHERE len(sh) > 0),
+       |banded AS (SELECT doc_id, is_batch, gs.b AS band, md5(CAST(sg[gs.b + 1] AS VARCHAR)) AS bucket
+       |           FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gs),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.is_batch = 1 AND b.is_batch = 0)
+       |SELECT id_a, id_b
+       |FROM cand JOIN shl sa ON sa.doc_id = id_a AND sa.is_batch = 1
+       |          JOIN shl sb ON sb.doc_id = id_b AND sb.is_batch = 0
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.05
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val jaccardPairsSql: String =
     """tok AS (
       | SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tk FROM documents),
@@ -5839,6 +5948,11 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "dd_sigs_persisted" -> minhashAgainstSigsOracle("text"),
+    "dd_sigs_upsert" -> minhashAgainstSigsOracle("text"),
+    "dd_sigs_asof" -> minhashAgainstSigsOracle(
+      "CASE WHEN doc_id % 9 = 0 THEN 'stale placeholder page content pending recrawl " +
+        "nothing indexed here' ELSE text END"),
     "a_mode_source" ->
       """WITH c AS (
         | SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n

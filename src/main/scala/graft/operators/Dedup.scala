@@ -758,6 +758,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Sign a corpus for the persisted signature artifact
+    * ([[graft.sources.Io.writeMinhashSigs]]): (id, sig, hs) — the
+    * MinHash signature array for banding plus the sorted 64-bit
+    * shingle hashes that exact verification merge-walks over. ONE
+    * shingle pass; after this lands as an artifact, no consumer ever
+    * re-reads the corpus text for near-dup work. Same kernel as the
+    * in-line pair pipelines, so artifact-scored results equal
+    * in-line results exactly.
+    */
+  def minhashSign(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int): DataFrame =
+    minhashSigSets(df, textCol, idCol, n, numHashes)
+
+  /** [[minhashLshAgainst]] with the HISTORY side already signed — the
+    * daily-ingest shape the signature artifact exists for: `histSigs`
+    * is [[graft.sources.Io.readMinhashSigsLatest]] (or an as-of
+    * read), the batch signs itself per run, and both the band
+    * candidate join and the hash-set verification read ONLY
+    * signatures — history text never loads, never shuffles, never
+    * re-shingles. Result is IDENTICAL to [[minhashLshAgainst]] over
+    * the texts the artifact was signed from (same kernels, same
+    * hashes). Returns (id_a = batch id, id_b = history id, jaccard).
+    */
+  def minhashLshAgainstSigs(
+      batch: DataFrame,
+      histSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int,
+      bandSize: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val bSig = minhashSigSets(batch, textCol, idCol, n, numHashes)
+    val hSig = histSigs.select(col("id"), col("sig"), col("hs"))
+    val cand = bandTable(bSig, numBands, bandSize)
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(
+        bandTable(hSig, numBands, bandSize)
+          .select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(bSig.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hSig.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn(
+        "common",
+        graft.expressions.SortedIntersectSize.intersectSize(col("hs_a"), col("hs_b")))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Incremental exact dedup with a Bloom prefilter — T1's daily-ingest
     * shape at warehouse scale (reference `structured_extraction_v2.py`'s
     * seen-set skip, re-expressed for a history too big to shuffle):

@@ -863,6 +863,124 @@ object Io {
     deleteDir(spark, stage)
   }
 
+  // ---- minhash signature artifact (the 6th seq-versioned family) --
+  //
+  // The incremental near-dup pipeline's history side: signatures are
+  // ONE full-corpus shingle pass, and every daily batch afterwards
+  // needs only them (band candidates + hash-set verification both
+  // read the signature table, never the history TEXT). At 100 TB the
+  // re-signing cost this artifact removes is the dominant term of
+  // the daily near-dup run — the same fit-once/score-forever shape
+  // as the LM-stats artifact. Same lifecycle discipline as
+  // IVF/PQ/postings/phash/dup-graph: stamp-0 base, seq-stamped
+  // upserts resolved last-wins per id, tombstone deletes, as-of time
+  // travel, one-generation compaction (ArtifactContractSpec runs its
+  // four clauses over this family too).
+
+  /** Persist a MinHash signature table ([[graft.operators.Dedup
+    * .minhashSign]] output: id, sig array, hs sorted hash set) as a
+    * stamp-0 base, partitioned by hash(id) mod `buckets` (bounded
+    * directory count; per-doc signature lookups prune to one
+    * bucket). Modulus + schema persist in `_meta` (the dup-graph
+    * rule: explicit-schema read-backs, empty artifacts read as empty
+    * frames).
+    */
+  def writeMinhashSigs(sigs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val stamped = sigs
+      .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+    stamped.write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/sigs")
+    Seq((buckets, stamped.schema.json))
+      .toDF("buckets", "sigs_schema")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private def minhashSigsMeta(spark: SparkSession, path: String): (Int, StructType) = {
+    val r = spark.read.parquet(s"$path/_meta")
+      .select(col("buckets"), col("sigs_schema")).head()
+    (r.getInt(0),
+      org.apache.spark.sql.types.DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
+  }
+
+  /** Append re-signed docs with a caller seq stamp — the re-crawled
+    * page shape: shingle + sign runs only on the increment, the base
+    * is never rewritten. [[readMinhashSigsLatest]] resolves replaced
+    * ids last-wins on the stamp.
+    */
+  def upsertMinhashSigs(sigs: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
+    val (buckets, _) = minhashSigsMeta(sigs.sparkSession, path)
+    sigs
+      .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("id_bucket").parquet(s"$path/sigs")
+  }
+
+  /** Tombstone-delete doc ids from a signature artifact (takedown
+    * without rewriting signature files; re-signing at a higher stamp
+    * restores).
+    */
+  def deleteMinhashIds(ids: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "delete seq must be positive (0 is the base build's stamp)")
+    writeTombstones(ids, path, seq)
+  }
+
+  /** Plain read (stamps dropped) — for freshly-built or compacted
+    * artifacts; use [[readMinhashSigsLatest]] under live upserts.
+    */
+  def readMinhashSigs(spark: SparkSession, path: String): DataFrame = {
+    val (_, schema) = minhashSigsMeta(spark, path)
+    spark.read.schema(schema).parquet(s"$path/sigs").drop("__seq", "id_bucket")
+  }
+
+  /** Latest signature per id (max stamp, tombstones applied) — the
+    * live history side of the daily near-dup run.
+    */
+  def readMinhashSigsLatest(spark: SparkSession, path: String): DataFrame = {
+    val (_, schema) = minhashSigsMeta(spark, path)
+    val all = spark.read.schema(schema).parquet(s"$path/sigs")
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(all, Seq(col("id")), Seq(col("__seq").desc))
+    applyTombstones(latest, "id", path).drop("id_bucket")
+  }
+
+  /** Time-travel read AS OF `asOfSeq` — signature rows and tombstones
+    * restricted to stamps ≤ the clock, then last-wins: reproduce
+    * yesterday's dedup decisions against yesterday's history.
+    */
+  def readMinhashSigsAsOf(spark: SparkSession, path: String, asOfSeq: Long): DataFrame = {
+    require(asOfSeq >= 0L, "asOfSeq must be >= 0")
+    val (_, schema) = minhashSigsMeta(spark, path)
+    val all = spark.read.schema(schema).parquet(s"$path/sigs")
+      .withColumn("__seq", coalesce(col("__seq"), lit(0L)))
+      .filter(col("__seq") <= asOfSeq)
+    val latest = graft.operators.Relational
+      .dedupeFirstWins(all, Seq(col("id")), Seq(col("__seq").desc))
+    applyTombstones(latest, "id", path, Some(asOfSeq)).drop("id_bucket")
+  }
+
+  /** Compact: resolve last-wins + tombstones once, rewrite as a
+    * stamp-0 base, purge the tombstone sidecar — [[readMinhashSigs]]
+    * afterwards serves what [[readMinhashSigsLatest]] served before.
+    */
+  def compactMinhashSigs(spark: SparkSession, path: String): Unit = {
+    val (buckets, schema) = minhashSigsMeta(spark, path)
+    val stage = s"$path/sigs_compacting"
+    readMinhashSigsLatest(spark, path)
+      .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(stage)
+    spark.read.schema(schema).parquet(stage)
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/sigs")
+    deleteDir(spark, stage)
+    deleteDir(spark, s"$path/_tombstones")
+  }
+
   /** Persist a fitted bigram LM ([[graft.operators.TextAnalysis
     * .fitBigramLm]]'s (biLp, uniLp, oov6, oovbo6)) as a build-once
     * artifact — the LM-stats member of the IVF/postings/dup-graph

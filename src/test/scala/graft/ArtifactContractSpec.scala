@@ -5,8 +5,9 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** ONE parametrized contract over ALL FIVE persisted artifact
-  * families (IVF, PQ, postings, phash, dup graph), so a family
+/** ONE parametrized contract over ALL SIX persisted artifact
+  * families (IVF, PQ, postings, phash, dup graph, minhash
+  * signatures), so a family
   * drifting from the shared as-of/compaction semantics fails HERE
   * even if its own suite forgot the clause. The lifecycle under test
   * is upsert-only (deletes have per-family tombstone-visibility
@@ -138,8 +139,28 @@ class ArtifactContractSpec extends SparkSpec {
     def plain(dir: String) = live(dir) // the pair reader IS the plain reader
   }
 
+  private def signed(rows: Seq[(Long, String)]) =
+    graft.operators.Dedup.minhashSign(rows.toDF("id", "text"), "text", "id", 3, 8)
+
+  private object MinhashSigsFamily extends Family {
+    val name = "minhashsigs"
+    def build(dir: String): Unit = Io.writeMinhashSigs(
+      signed(Seq(1L -> "alpha beta gamma delta", 2L -> "one two three four")),
+      dir, buckets = 4)
+    def upsert(dir: String, seq: Long): Unit = Io.upsertMinhashSigs(
+      signed(Seq(
+        1L -> s"alpha beta gamma rev$seq tokens",
+        (100L + seq) -> s"new$seq doc text body here")),
+      dir, seq)
+    def live(dir: String) = canon(Io.readMinhashSigsLatest(spark, dir).select("id", "sig"))
+    def asOf(dir: String, seq: Long) =
+      canon(Io.readMinhashSigsAsOf(spark, dir, seq).select("id", "sig"))
+    def compact(dir: String): Unit = Io.compactMinhashSigs(spark, dir)
+    def plain(dir: String) = canon(Io.readMinhashSigs(spark, dir).select("id", "sig"))
+  }
+
   private val families: Seq[Family] =
-    Seq(IvfFamily, PqFamily, PostingsFamily, PhashFamily, DupGraphFamily)
+    Seq(IvfFamily, PqFamily, PostingsFamily, PhashFamily, DupGraphFamily, MinhashSigsFamily)
 
   for (f <- families) {
     test(s"[${f.name}] as-of clauses: 0 == base, mid == post-upsert snapshot, max == live") {
