@@ -1908,6 +1908,42 @@ object SparkEntryCoverage {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // Code-vs-prose mixture router (TextAnalysis.codeGate): every
+    // 4th doc's text is replaced by a deterministic code snippet —
+    // the gate must route exactly those to 'code' at the 2% symbol
+    // density operating point, prose stays prose.
+    "t_code_detect" -> { (s, dir) =>
+      val code = concat(
+        lit("def load_"), col("doc_id").cast("string"),
+        lit("(x) { if (x[0] >= 2) { return x[1] + "),
+        col("doc_id").cast("string"),
+        lit("; } return #cfg(x); }"))
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0, code).otherwise(col("text")).as("text"))
+      TextAnalysis
+        .codeGate(d, "text", "doc_id", 20000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // Persisted tokenizer artifact (TextAnalysis.bpeVocabUnits →
+    // Io.writeBpeVocab → bpeEncodeWithVocab): vocab fit ONCE on the
+    // history half, every batch doc priced by a dictionary join —
+    // OOV words price at character count (the documented
+    // no-merges-applied upper bound), mirrored in the oracle.
+    "t_bpe_persisted" -> { (s, dir) =>
+      val vPath = s"/tmp/graft_idx/bpe_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val d = t(s, dir, "documents")
+      graft.sources.Io.writeBpeVocab(
+        TextAnalysis.bpeVocabUnits(d.filter(col("doc_id") < 250), "text", 3),
+        vPath)
+      TextAnalysis
+        .bpeEncodeWithVocab(
+          d.filter(col("doc_id") >= 250), "text", "doc_id",
+          graft.sources.Io.readBpeVocab(s, vPath))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // RAKE keyword extraction (TextAnalysis.rakeKeywords — Rose et
     // al. 2010) with the integer scoring variant Σdeg/Σfreq (one
     // BIGINT division instead of a float-order-sensitive
@@ -5117,7 +5153,7 @@ object SparkEntryCoverage {
     * expression parametrized so the as-of query can replay the stale
     * generation the artifact's stamp-0 rows were signed from.
     */
-  private def minhashAgainstSigsOracle(histTextSql: String): String =
+  private[graft] def minhashAgainstSigsOracle(histTextSql: String): String =
     s"""WITH src AS (
        | SELECT doc_id, $histTextSql AS text, 0 AS is_batch FROM documents WHERE doc_id < 250
        | UNION ALL
@@ -5318,7 +5354,7 @@ object SparkEntryCoverage {
     * inlining lesson). Used by both t_bpe_merges and t_bpe_encode so
     * learner and encoder mirrors cannot desynchronize.
     */
-  private def bpeVocabCtes(steps: Int): String = {
+  private def bpeVocabCtes(steps: Int, corpusFilter: String = "TRUE"): String = {
     val rounds = (1 to steps).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -5335,7 +5371,7 @@ object SparkEntryCoverage {
     s"""tokc AS MATERIALIZED (
        |  SELECT term AS w, CAST(count(*) AS BIGINT) AS c
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-       |        FROM documents WHERE length(trim(text)) > 0)
+       |        FROM documents WHERE length(trim(text)) > 0 AND ($corpusFilter))
        |  WHERE length(term) > 0 GROUP BY 1),
        |v0 AS MATERIALIZED (
        |  SELECT ' ' || array_to_string(
@@ -8767,6 +8803,35 @@ object SparkEntryCoverage {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(units) AS BIGINT) AS n_units
          |FROM dw JOIN u USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "t_code_detect" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |   CASE WHEN doc_id % 4 = 0 THEN
+        |     'def load_' || CAST(doc_id AS VARCHAR) || '(x) { if (x[0] >= 2) { return x[1] + '
+        |       || CAST(doc_id AS VARCHAR) || '; } return #cfg(x); }'
+        |   ELSE text END AS text
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |        CAST(length(text) - length(regexp_replace(text, '[{}\[\]();=<>#]', '', 'g')) AS BIGINT) AS sym
+        | FROM d WHERE length(text) > 0)
+        |SELECT doc_id, n_chars,
+        | CAST((1000000 * sym) // n_chars AS BIGINT) AS sym_ppm,
+        | CASE WHEN (1000000 * sym) // n_chars >= 20000 THEN 'code' ELSE 'prose' END AS kind
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // frozen vocab fit on the history half; batch words join, OOV
+    // prices at char count (the documented upper-bound contract)
+    "t_bpe_persisted" ->
+      s"""WITH ${bpeVocabCtes(3, "doc_id < 250")},
+         |u AS (SELECT replace(trim(s), ' ', '') AS w,
+         |        CAST(len(regexp_split_to_array(trim(s), ' ')) AS BIGINT) AS units FROM v3),
+         |dw AS (SELECT doc_id, term AS w
+         |       FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |             FROM documents WHERE length(trim(text)) > 0 AND doc_id >= 250)
+         |       WHERE length(term) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(COALESCE(u.units, length(dw.w))) AS BIGINT) AS n_units
+         |FROM dw LEFT JOIN u USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // same half-split on the token array, same shared langId CASE —
     // engine and oracle derive from one marker constant
     "t_mixed_lang" ->

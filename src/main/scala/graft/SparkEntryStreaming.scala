@@ -367,6 +367,49 @@ object SparkEntryStreaming {
     // reversed embeddings for exactly those ids), then the read-side
     // last-wins view serves the same top-k the batch upsert query
     // proves — the reference's daily incremental, unbounded
+    // Streaming signature-artifact maintenance — st_ivf_upsert's
+    // mirror for the 6th family: the re-crawled docs stream in, each
+    // micro-batch re-signs them (one shingle pass over the increment
+    // only) and appends with seq = batchId+1; the last-wins read then
+    // hands the daily near-dup run the SAME history the batch path
+    // (dd_sigs_upsert) proves, completing batch/stream symmetry.
+    "st_sigs_upsert" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val stale = d.filter(col("doc_id") < 250).select(
+        col("doc_id"),
+        when(
+          col("doc_id") % 9 === 0,
+          lit("stale placeholder page content pending recrawl nothing indexed here"))
+          .otherwise(col("text")).as("text"))
+      val aPath = s"/tmp/graft_idx/sigs_st_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeMinhashSigs(
+        graft.operators.Dedup.minhashSign(stale, "text", "doc_id", 3, 8),
+        aPath, buckets = 8)
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") < 250 && col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("text"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertMinhashSigs(
+            graft.operators.Dedup.minhashSign(batch, "text", "doc_id", 3, 8),
+            aPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Dedup
+        .minhashLshAgainstSigs(
+          d.filter(col("doc_id") >= 250),
+          graft.sources.Io.readMinhashSigsLatest(s, aPath),
+          "text", "doc_id", 3, 8, 1, 0.05)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "st_ivf_upsert" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val cents = emb
@@ -929,6 +972,9 @@ object SparkEntryStreaming {
     // the streamed upserts must converge to the same last-wins view
     // the batch upsert proves — one oracle, three paths (in-line,
     // batch-upserted, stream-upserted)
+    // the streamed re-signs resolve to the TRUE history, so the batch
+    // path's from-texts recompute is the oracle (dd_sigs_upsert's)
+    "st_sigs_upsert" -> SparkEntryCoverage.minhashAgainstSigsOracle("text"),
     "st_ivf_upsert" -> SparkEntryCoverage.ivfTopkOracle,
     // PQ mirror of the same three-path convergence (in-line v_pq_topk,
     // batch v_pq_upsert, this stream) — one shared oracle

@@ -889,6 +889,43 @@ object TextAnalysis {
     * Docs with no non-empty tokens are absent (no words to encode).
     * Returns (id, n_words, n_units).
     */
+  /** The learned BPE vocabulary as a persistable unit table:
+    * (w = word, units = symbols left after `steps` merges) — the
+    * tokenizer-cost artifact. Fit ONCE on the reference corpus and
+    * land via [[graft.sources.Io.writeBpeVocab]]; every later batch
+    * prices its token budget by a dictionary join
+    * ([[bpeEncodeWithVocab]]) instead of re-running the learner.
+    * Re-fitting is a REBUILD (the frozen-codebook rule of the
+    * IVF/PQ family).
+    */
+  def bpeVocabUnits(df: DataFrame, textCol: String, steps: Int): DataFrame =
+    bpeLearn(df, textCol, steps)._2.select(
+      regexp_replace(col("s"), " ", "").as("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("units"))
+
+  /** Encode a batch against a FROZEN vocab-units table (the
+    * [[bpeVocabUnits]] artifact): per doc, word count and total
+    * units via one dictionary equi-join. OOV CONTRACT: a word absent
+    * from the fit corpus prices at its CHARACTER COUNT — the
+    * no-merges-applied conservative upper bound (true BPE would
+    * still apply learned merge rules to unseen words; this artifact
+    * deliberately trades that for a join-only scoring path, and the
+    * bound is what a budget planner wants anyway). Documented,
+    * oracle-mirrored. Returns (id, n_words, n_units).
+    */
+  def bpeEncodeWithVocab(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocabUnits: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocabUnits.select(col("w"), col("units")), Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("units"), length(col("w")).cast("long"))).as("n_units"))
+
   def bpeEncodeUnits(
       df: DataFrame,
       textCol: String,
@@ -1372,6 +1409,39 @@ object TextAnalysis {
         col("n_hapax"),
         expr("CAST(1000000 * n_types div n_tokens AS BIGINT)").as("ttr_ppm"),
         expr("CAST(1000000 * n_hapax div n_types AS BIGINT)").as("hapax_ppm"))
+
+  /** Code-vs-prose gate: per doc, the structural-symbol density in
+    * exact ppm and a kind verdict — the pretraining mixture router
+    * that keeps source files out of a prose corpus (and vice versa)
+    * without an ML classifier: code carries braces/brackets/
+    * semicolons/assignment at densities running prose never reaches
+    * (the classic >~2% heuristic; the threshold is the caller's
+    * operating point). Symbol count = chars minus the text with
+    * `[{}\[\]();=<>#]` stripped — ONE regexp_replace per doc, a
+    * length subtraction, one truncating division; no tokenizer, no
+    * floats. Returns (id, n_chars, sym_ppm, kind); empty texts drop.
+    */
+  def codeGate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm > 0L, "thresholdPpm must be positive")
+    df.filter(length(col(textCol)) > 0)
+      .select(
+        col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[{}\\[\\]();=<>#]", "")))
+          .cast("long").as("__sym"))
+      .select(
+        col("id"),
+        col("n_chars"),
+        expr("CAST(1000000 * __sym div n_chars AS BIGINT)").as("sym_ppm"))
+      .withColumn(
+        "kind",
+        when(col("sym_ppm") >= thresholdPpm, "code").otherwise("prose"))
+  }
 
   /** Jensen–Shannon divergence between TWO groups' token
     * distributions — the symmetric, bounded (≤ ln 2) corpus-distance

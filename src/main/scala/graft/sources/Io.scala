@@ -981,6 +981,32 @@ object Io {
     deleteDir(spark, s"$path/_tombstones")
   }
 
+  /** Persist a learned BPE vocab-units table
+    * ([[graft.operators.TextAnalysis.bpeVocabUnits]]) — the tokenizer
+    * artifact: fit once per corpus release, price every later batch's
+    * token budget by a dictionary join. Flat layout (the table is
+    * vocab-bounded) + `_meta` schema for the explicit-schema
+    * read-back (empty vocab reads as an empty frame). Versioned by
+    * PATH, not by stamps: a tokenizer re-fit is a REBUILD (frozen-
+    * codebook rule), never an in-place upsert.
+    */
+  def writeBpeVocab(units: DataFrame, path: String): Unit = {
+    val spark = units.sparkSession
+    import spark.implicits._
+    units.write.mode("overwrite").parquet(s"$path/units")
+    Seq(units.schema.json).toDF("units_schema")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Load a [[writeBpeVocab]] artifact: (w, units). */
+  def readBpeVocab(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(
+        spark.read.parquet(s"$path/_meta").select(col("units_schema")).head().getString(0))
+      .asInstanceOf[StructType]
+    spark.read.schema(schema).parquet(s"$path/units")
+  }
+
   /** Persist a fitted bigram LM ([[graft.operators.TextAnalysis
     * .fitBigramLm]]'s (biLp, uniLp, oov6, oovbo6)) as a build-once
     * artifact — the LM-stats member of the IVF/postings/dup-graph
