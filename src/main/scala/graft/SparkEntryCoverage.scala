@@ -765,6 +765,64 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Dup-cluster purity: per near-dup cluster, the majority-source
+    // fraction in exact ppm — a LOW-purity cluster is cross-source
+    // syndication (the same article re-hosted), a high-purity one is
+    // within-source re-posting; the triage column for takedown vs
+    // canonicalization. Off the memoized pair artifact + closure.
+    "dd_cluster_purity" -> { (s, dir) =>
+      val labels = Dedup.clusterPairs(
+        docNgramPairs(s, dir).select(col("id_a"), col("id_b")))
+      val member = labels
+        .join(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("id") === col("doc_id"))
+      val perSrc = member
+        .groupBy(col("cluster_id"), col("source"))
+        .agg(count(lit(1)).as("ns"))
+      perSrc
+        .groupBy(col("cluster_id"))
+        .agg(
+          sum(col("ns")).as("sz"),
+          count(lit(1)).as("n_sources"),
+          max(col("ns")).as("__maj"))
+        .select(
+          col("cluster_id"),
+          col("sz"),
+          col("n_sources"),
+          expr("CAST(1000000 * __maj div sz AS BIGINT)").as("purity_ppm"))
+        .orderBy(col("cluster_id"))
+    },
+    // Conversion latency: per converting user, seconds from FIRST
+    // click to the first purchase at-or-after it; the exact lower/
+    // upper-median average over users (the a_group_median order-stat
+    // discipline — no approx percentile opacity).
+    "a_conversion_latency" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("c_us"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(firstClick, Seq("user_id"))
+        .filter(col("p_us") >= col("c_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("p_us") - col("c_us")).as("lat_us"))
+        .select(col("user_id"), expr("CAST(lat_us div 1000000 AS BIGINT)").as("lat_s"))
+      lat
+        .withColumn(
+          "rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("lat_s"), col("user_id"))))
+        .crossJoin(broadcast(lat.agg(count(lit(1)).as("n"))))
+        .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+        .groupBy(col("n"))
+        .agg(
+          (sum(col("lat_s")).cast("double") / count(lit(1)).cast("double"))
+            .as("median_latency_s"))
+        .select(col("n").as("n_converted"), col("median_latency_s"))
+    },
     // Near-dup exposure per source: share of docs touching >= 1
     // verified pair (off the memoized pair artifact) — the per-source
     // dup-rate gate beside the global cluster-size histogram.
@@ -5984,6 +6042,35 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "dd_cluster_purity" ->
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |$clusterCompSql,
+         |mem AS (SELECT comp.cluster AS cluster_id, d.source
+         |        FROM comp JOIN documents d ON d.doc_id = comp.id),
+         |ps AS (SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS ns
+         |       FROM mem GROUP BY 1, 2)
+         |SELECT cluster_id, CAST(SUM(ns) AS BIGINT) AS sz,
+         |       CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |       CAST((1000000 * MAX(ns)) // SUM(ns) AS BIGINT) AS purity_ppm
+         |FROM ps GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "a_conversion_latency" ->
+      """WITH fc AS (
+        | SELECT user_id, MIN(epoch_us(ts)) AS c_us
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |lat AS (
+        | SELECT e.user_id,
+        |        CAST(MIN(epoch_us(e.ts) - fc.c_us) // 1000000 AS BIGINT) AS lat_s
+        | FROM events e JOIN fc ON fc.user_id = e.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.c_us
+        | GROUP BY 1),
+        |r AS (SELECT lat_s,
+        |             row_number() OVER (ORDER BY lat_s, user_id) AS rn,
+        |             CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |      FROM lat)
+        |SELECT n AS n_converted,
+        |       CAST(SUM(lat_s) AS DOUBLE) / COUNT(*) AS median_latency_s
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY n""".stripMargin,
     "dd_sigs_persisted" -> minhashAgainstSigsOracle("text"),
     "dd_sigs_upsert" -> minhashAgainstSigsOracle("text"),
     "dd_sigs_asof" -> minhashAgainstSigsOracle(
