@@ -108,6 +108,32 @@ object ScaleBench {
       })
   }
 
+  /** embeddings ×m: copy i offsets vec_id by i·1e6 and circularly
+    * shifts the vector by i % dim positions — copies decorrelate
+    * (distinct directions) while norms and the component
+    * distribution are preserved, so the IVF cell balance scales the
+    * way a real corpus decade would.
+    */
+  private def embsX(spark: SparkSession, base: String, m: Int): DataFrame = {
+    val src = spark.read.parquet(s"$base/embeddings.parquet")
+    amplifiedTable(
+      spark,
+      s"/tmp/graft_scale/${slug(base)}_embs_x$m",
+      (0 until m).map { i =>
+        val sh = i % 64
+        val emb =
+          if (sh == 0) col("embedding")
+          else
+            concat(
+              slice(col("embedding"), sh + 1, 64 - sh),
+              slice(col("embedding"), 1, sh))
+        src.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          emb.as("embedding"),
+          col("label"))
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,3,10")
@@ -173,6 +199,30 @@ object ScaleBench {
       }
 
       reset(spark)
+      val embs = embsX(spark, base, m)
+      val cents = embs
+        .filter(col("vec_id").between(1, 16))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toSeq
+      val qvec = cents.head
+      val iPath = s"/tmp/graft_scale/ivf_x$m"
+      deleteDir(spark, iPath)
+      val (ib, ibSec) = timed {
+        graft.sources.Io.writeIvfIndex(
+          graft.operators.Similarity.ivfAssign(embs, "embedding", cents), cents, iPath)
+        graft.sources.Io.readIvfIndex(spark, iPath)._2.count()
+      }
+      reset(spark)
+      val (iq, iqSec) = timed {
+        val (loadedCents, corpus) = graft.sources.Io.readIvfIndex(spark, iPath)
+        graft.operators.Similarity
+          .ivfTopK(corpus, "embedding", loadedCents, qvec, 10, 4)
+          .count()
+      }
+
+      reset(spark)
       val skew = Checks
         .skewReport(Dedup.shingleTable(docs, "text", "doc_id", 3), col("shingle"))
         .head()
@@ -188,6 +238,8 @@ object ScaleBench {
           f""""dupgraph_lifecycle":{"sec":$dgSec%.2f,"rows":$dg},""" +
           f""""postings_build":{"sec":$poSec%.2f,"rows":$po},""" +
           f""""triangles":{"sec":$trSec%.2f,"rows":$tr},""" +
+          f""""ivf_build":{"sec":$ibSec%.2f,"rows":$ib},""" +
+          f""""ivf_topk":{"sec":$iqSec%.2f,"rows":$iq},""" +
           s""""shingle_skew":$skewJson}"""
       System.err.println(s"[scale] x$m done: ${out(s"x$m")}")
     }
