@@ -1966,6 +1966,16 @@ object SparkEntryCoverage {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
+    // Gopher quality-rule battery (TextAnalysis.gopherGate — Rae et
+    // al. 2021 §A1.1): the published pretraining filter rules with
+    // named per-rule verdicts, every comparison cross-multiplied
+    // exact integers; complements t_quality_gate's weighted score.
+    "t_gopher_rules" -> { (s, dir) =>
+      TextAnalysis
+        .gopherGate(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // Code-vs-prose mixture router (TextAnalysis.codeGate): every
     // 4th doc's text is replaced by a deterministic code snippet —
     // the gate must route exactly those to 'code' at the 2% symbol
@@ -8890,6 +8900,36 @@ object SparkEntryCoverage {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(units) AS BIGINT) AS n_units
          |FROM dw JOIN u USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "t_gopher_rules" -> {
+      val stops = TextAnalysis.GopherStops.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH b AS (
+         | SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+         | FROM documents WHERE length(trim(text)) > 0),
+         |m AS (
+         | SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(list_reduce(list_transform(tk, t -> length(t)), (a, b) -> a + b) AS BIGINT) AS wchars,
+         |  CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |  CAST(len(list_distinct(list_filter(list_transform(tk, t -> lower(t)),
+         |       t -> list_contains($stops, t)))) AS BIGINT) AS stops,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+         |  CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS BIGINT) AS ell
+         | FROM b)
+         |SELECT doc_id, n_words,
+         | CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+         | CAST(3 * n_words <= wchars AND wchars <= 10 * n_words AS BIGINT) AS r_mean_word_len,
+         | CAST(10 * sym <= n_words AS BIGINT) AS r_symbol_ratio,
+         | CAST(5 * alpha >= 4 * n_words AS BIGINT) AS r_alpha_words,
+         | CAST(stops >= 2 AS BIGINT) AS r_stopwords,
+         | CAST(10 * ell <= 3 * nl AS BIGINT) AS r_ellipsis,
+         | CAST((n_words >= 50 AND n_words <= 100000)
+         |   AND (3 * n_words <= wchars AND wchars <= 10 * n_words)
+         |   AND (10 * sym <= n_words) AND (5 * alpha >= 4 * n_words)
+         |   AND (stops >= 2) AND (10 * ell <= 3 * nl) AS BIGINT) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "t_code_detect" ->
       """WITH d AS (
         | SELECT doc_id,

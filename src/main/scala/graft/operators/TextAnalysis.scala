@@ -1410,6 +1410,69 @@ object TextAnalysis {
         expr("CAST(1000000 * n_types div n_tokens AS BIGINT)").as("ttr_ppm"),
         expr("CAST(1000000 * n_hapax div n_types AS BIGINT)").as("hapax_ppm"))
 
+  /** The Gopher stop-word list (Rae et al. 2021 §A1.1): a document
+    * must contain at least 2 of these to pass the stop-word rule —
+    * computed ONCE here and inlined into the oracle (shared-constant
+    * discipline).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule gate (Rae et al. 2021, §A1.1) — the
+    * published rule battery a pretraining pipeline runs verbatim,
+    * complementing [[qualityScore]]'s weighted score with named
+    * pass/fail verdicts per rule: word count in [50, 100k]; mean
+    * word length in [3, 10] chars (cross-multiplied — no float
+    * mean); symbol-to-word ratio (# and … occurrences) ≤ 0.1;
+    * ≥ 80% of words contain an alphabetic char; ≥ 2 distinct
+    * [[GopherStops]]; ≤ 30% of lines ending in an ellipsis. Every
+    * comparison is exact integer arithmetic (ratios
+    * cross-multiplied), so the verdict is bit-identical on any
+    * engine. The bullet-line rule is omitted: the corpus's documents
+    * are single-line, making it a constant (this is a fixture
+    * limitation, not a semantics choice — add it when multi-line
+    * docs land). Returns (id, n_words, r_* as 0/1 BIGINTs, pass).
+    */
+  def gopherGate(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val base = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(
+        col(idCol).as("id"),
+        col(textCol).as("__t"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+          .as("__wchars"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("__alpha"),
+        size(array_distinct(
+          filter(transform(toks, t => lower(t)), t => t.isin(GopherStops: _*))))
+          .cast("long").as("__stops"))
+      .withColumn(
+        "__sym",
+        (length(col("__t")) - length(translate(col("__t"), "#", ""))).cast("long") +
+          ((length(col("__t")) -
+            length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / 3).cast("long"))
+      .withColumn("__lines", split(col("__t"), "\\n"))
+      .withColumn("__nl", size(col("__lines")).cast("long"))
+      .withColumn(
+        "__ell",
+        size(filter(col("__lines"), l => l.endsWith("..."))).cast("long"))
+    base.select(
+      col("id"),
+      col("n_words"),
+      (col("n_words") >= 50L && col("n_words") <= 100000L).cast("long").as("r_word_count"),
+      (lit(3L) * col("n_words") <= col("__wchars") &&
+        col("__wchars") <= lit(10L) * col("n_words")).cast("long").as("r_mean_word_len"),
+      (lit(10L) * col("__sym") <= col("n_words")).cast("long").as("r_symbol_ratio"),
+      (lit(5L) * col("__alpha") >= lit(4L) * col("n_words")).cast("long").as("r_alpha_words"),
+      (col("__stops") >= 2L).cast("long").as("r_stopwords"),
+      (lit(10L) * col("__ell") <= lit(3L) * col("__nl")).cast("long").as("r_ellipsis"))
+      .withColumn(
+        "pass",
+        (col("r_word_count") * col("r_mean_word_len") * col("r_symbol_ratio") *
+          col("r_alpha_words") * col("r_stopwords") * col("r_ellipsis")).cast("long"))
+  }
+
   /** Code-vs-prose gate: per doc, the structural-symbol density in
     * exact ppm and a kind verdict — the pretraining mixture router
     * that keeps source files out of a prose corpus (and vice versa)

@@ -180,4 +180,45 @@ class StatsOpsSpec extends SparkSpec {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
     assert(Graph.commonNeighbors(tri).collect().isEmpty)
   }
+
+  test("property: quotaLargestRemainder sums to k and never under-allocates the floor") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val strata = (1 to (2 + rnd.nextInt(6))).map(i => s"s$i" -> (1 + rnd.nextInt(40)))
+      val rows = strata.flatMap { case (name, n) => Seq.fill(n)(name) }
+      val nTotal = rows.size.toLong
+      val k = 1 + rnd.nextInt(2 * rows.size)
+      val got = Sampling.quotaLargestRemainder(rows.toDF("l"), col("l"), k.toLong)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.values.map(_._2).sum == k.toLong, s"sum != k for $strata, k=$k")
+      got.foreach { case (_, (n, q)) =>
+        assert(q >= k * n / nTotal && q <= k * n / nTotal + 1L)
+      }
+    }
+  }
+
+  test("property: chiSquareIndependence is symmetric in its two columns") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(_ => (s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(3)}"))
+    val df = rows.toDF("x", "y")
+    val xy = Checks.chiSquareIndependence(df, col("x"), col("y")).head()
+    val yx = Checks.chiSquareIndependence(df, col("y"), col("x")).head()
+    assert(xy.getLong(4) == yx.getLong(4), "chi26 must be column-order invariant")
+    assert(xy.getLong(5) == yx.getLong(5), "cramer_v6 must be column-order invariant")
+    assert(xy.getLong(4) >= 0L)
+  }
+
+  test("property: transitionMatrix row p6 sums land in [1e6 - n_states, 1e6]") {
+    val rnd = new scala.util.Random(13)
+    val states = Vector("A", "B", "C", "D")
+    val rows = (1 to 300).map(i => (i % 9L, i.toLong, states(rnd.nextInt(4))))
+    val got = Series
+      .transitionMatrix(rows.toDF("u", "t", "st"), col("u"), Seq(col("t")), col("st"))
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (from, ps) =>
+      val total = ps.map(_._2).sum
+      assert(total <= 1000000L && total >= 1000000L - states.size,
+        s"row $from p6 sum $total outside truncation band")
+    }
+  }
 }
