@@ -765,6 +765,19 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // RFM segmentation (Relational.rfmSegments): per user recency/
+    // frequency/monetary tercile scores by exact rank cutoffs over
+    // purchase events — 3/2/1 best-first, segment = 100R + 10F + M.
+    "a_rfm_segments" -> { (s, dir) =>
+      Relational
+        .rfmSegments(
+          t(s, dir, "events").filter(col("event_type") === "purchase"),
+          col("user_id"),
+          col("ts"),
+          col("value"))
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    },
     // Dup-cluster purity: per near-dup cluster, the majority-source
     // fraction in exact ppm — a LOW-purity cluster is cross-source
     // syndication (the same article re-hosted), a high-purity one is
@@ -6052,6 +6065,34 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "a_rfm_segments" ->
+      """WITH per AS (
+        | SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+        |        CAST(COUNT(*) AS BIGINT) AS frequency,
+        |        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        | FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1),
+        |clk AS (SELECT MAX(last_d) AS now_d FROM per),
+        |base AS (SELECT per.*, CAST(date_diff('day', last_d, now_d) AS BIGINT) AS recency_days
+        |         FROM per CROSS JOIN clk),
+        |sc AS (
+        | SELECT *,
+        |  row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+        |  row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+        |  row_number() OVER (ORDER BY monetary_cents DESC, user_id) AS rm,
+        |  CAST(COUNT(*) OVER () AS BIGINT) AS n
+        | FROM base),
+        |s2 AS (
+        | SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CASE WHEN rr <= n // 3 THEN 3 WHEN rr <= (2 * n) // 3 THEN 2 ELSE 1 END AS r_score,
+        |  CASE WHEN rf <= n // 3 THEN 3 WHEN rf <= (2 * n) // 3 THEN 2 ELSE 1 END AS f_score,
+        |  CASE WHEN rm <= n // 3 THEN 3 WHEN rm <= (2 * n) // 3 THEN 2 ELSE 1 END AS m_score
+        | FROM sc)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        | CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        | CAST(m_score AS BIGINT) AS m_score,
+        | CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+        |FROM s2 ORDER BY user_id""".stripMargin,
     "dd_cluster_purity" ->
       s"""WITH RECURSIVE $jaccardPairsSql,
          |$clusterCompSql,

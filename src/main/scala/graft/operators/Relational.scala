@@ -675,6 +675,64 @@ object Relational {
     out
   }
 
+  /** RFM segmentation (Hughes 1994 — the classic direct-marketing
+    * triage, and a pretraining-era user-value gate): per key,
+    * recency (days since last event vs the corpus clock), frequency
+    * (event count), monetary (exact integer cents), each scored into
+    * terciles 3/2/1 by EXACT rank cutoffs (r <= n div 3 — the CCNet
+    * bucketing discipline, no ntile opacity, ties broken by key so
+    * the verdict is total-order deterministic), best-first per
+    * dimension (low recency / high frequency / high monetary = 3).
+    * segment = 100·R + 10·F + M. The rank windows run over the KEY
+    * table (one row per user — aggregate-bounded, the t_ppl_buckets
+    * posture); at corpus scales where even that table strains one
+    * sort, derive cutoffs via [[equiDepthBoundaries]] instead and
+    * join them back. Returns (key, recency_days, frequency,
+    * monetary_cents, r_score, f_score, m_score, segment).
+    */
+  def rfmSegments(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column): DataFrame = {
+    val per = df
+      .filter(keyCol.isNotNull && tsCol.isNotNull)
+      .groupBy(keyCol.as("key"))
+      .agg(
+        max(to_date(tsCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(round(valueCol.cast("double") * 100.0, 0).cast("long")).as("monetary_cents"))
+    val clock = broadcast(per.agg(max(col("__last")).as("__now")))
+    val base = per
+      .crossJoin(clock)
+      .withColumn("recency_days", datediff(col("__now"), col("__last")).cast("long"))
+    def score(order: Seq[Column], out: String) = {
+      import org.apache.spark.sql.expressions.Window
+      (d: DataFrame) =>
+        d.withColumn("__r", row_number().over(Window.orderBy(order: _*)).cast("long"))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn(
+            out,
+            when(col("__r") <= expr("__n div 3"), 3L)
+              .when(col("__r") <= expr("(2 * __n) div 3"), 2L)
+              .otherwise(1L))
+          .drop("__r", "__n")
+    }
+    base
+      .transform(score(Seq(col("recency_days"), col("key")), "r_score"))
+      .transform(score(Seq(col("frequency").desc, col("key")), "f_score"))
+      .transform(score(Seq(col("monetary_cents").desc, col("key")), "m_score"))
+      .select(
+        col("key"),
+        col("recency_days"),
+        col("frequency"),
+        col("monetary_cents"),
+        col("r_score"),
+        col("f_score"),
+        col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("segment"))
+  }
+
   /** Deterministic mode per group: the most frequent value, ties
     * broken to the SMALLEST value (a total tie-break — Spark's
     * `mode()` aggregate is explicitly nondeterministic on ties, which
