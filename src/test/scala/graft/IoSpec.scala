@@ -375,6 +375,23 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("empty minhash-sig and BPE-vocab artifacts read back as empty frames (explicit-schema rule)") {
+    val sigDir = tmp("sigs_empty") + "/a"
+    Io.writeMinhashSigs(
+      graft.operators.Dedup.minhashSign(
+        Seq.empty[(Long, String)].toDF("id", "text"), "text", "id", 3, 8),
+      sigDir, buckets = 4)
+    assert(Io.readMinhashSigs(spark, sigDir).collect().isEmpty)
+    assert(Io.readMinhashSigsLatest(spark, sigDir).collect().isEmpty)
+    assert(Io.readMinhashSigsAsOf(spark, sigDir, 5L).collect().isEmpty)
+    val bpeDir = tmp("bpe_empty") + "/v"
+    Io.writeBpeVocab(
+      graft.operators.TextAnalysis.bpeVocabUnits(
+        Seq(Tuple1("ab")).toDF("text").limit(0), "text", 1),
+      bpeDir)
+    assert(Io.readBpeVocab(spark, bpeDir).collect().isEmpty)
+  }
+
   test("tombstones: delete hides every version at or below its stamp; re-upsert restores") {
     def index(rows: Seq[(Long, String)]) =
       graft.operators.TextAnalysis.invertedIndex(rows.toDF("id", "text"), "text", "id")
