@@ -765,6 +765,42 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // Adamic-Adar link prediction (Graph.adamicAdar): common
+    // neighbors discounted by 1/ln(deg) — a hub vouching for a pair
+    // counts less than a selective mutual partner; per-middle
+    // micro-weight rounded once, exact integer sums.
+    "g_adamic_adar" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph
+        .adamicAdar(edges)
+        .filter(col("common") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // 2-D skyline (Relational.skyline2d): parts no other part beats
+    // on BOTH cheapness and size — the Pareto shortlist; exact
+    // integer cents, group-level running-best window over the
+    // distinct-price table only.
+    "a_skyline" -> { (s, dir) =>
+      Relational
+        .skyline2d(
+          t(s, dir, "part").select(
+            col("p_partkey"),
+            round(col("p_retailprice").cast("double") * 100.0, 0)
+              .cast("long").as("price_cents"),
+            col("p_size").cast("long").as("size")),
+          col("price_cents"),
+          col("size"))
+        .orderBy(col("price_cents"), col("p_partkey"))
+    },
     // RFM segmentation (Relational.rfmSegments): per user recency/
     // frequency/monetary tercile scores by exact rank cutoffs over
     // purchase events — 3/2/1 best-first, segment = 100R + 10F + M.
@@ -6065,6 +6101,40 @@ object SparkEntryCoverage {
         |        'https://acme.example.com/job/PR-' || k, NULL FROM sup WHERE v = 2)
         |SELECT company_id, source, title, url, location FROM jobs
         |ORDER BY company_id, title""".stripMargin,
+    "g_adamic_adar" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS id_a, b.p AS id_b FROM op a JOIN op b USING (o)
+        |       WHERE a.p < b.p),
+        |ew AS (SELECT id_a, id_b, COUNT(*) AS w FROM e0 GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM ew WHERE w >= 2),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |wt AS (SELECT id, CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w6
+        |       FROM deg),
+        |wdg AS (SELECT e1.a AS u, e2.b AS v, CAST(COUNT(*) AS BIGINT) AS common,
+        |               CAST(SUM(wt.w6) AS BIGINT) AS aa6
+        |        FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        |        JOIN wt ON wt.id = e1.b
+        |        WHERE e1.a < e2.b GROUP BY 1, 2),
+        |nonedge AS (SELECT wdg.* FROM wdg
+        |            LEFT JOIN edges e ON e.a = wdg.u AND e.b = wdg.v
+        |            WHERE e.a IS NULL)
+        |SELECT u AS id_a, v AS id_b, common, aa6
+        |FROM nonedge WHERE common >= 2 ORDER BY id_a, id_b""".stripMargin,
+    "a_skyline" ->
+      """WITH base AS (
+        | SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |        CAST(p_size AS BIGINT) AS size
+        | FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |g AS (SELECT price_cents AS m, MAX(size) AS gb FROM base GROUP BY 1),
+        |k AS (SELECT m, gb,
+        |        MAX(gb) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+        |      FROM g)
+        |SELECT b.p_partkey, b.price_cents, b.size
+        |FROM base b JOIN k ON b.price_cents = k.m AND b.size = k.gb
+        |WHERE k.pb IS NULL OR k.gb > k.pb
+        |ORDER BY price_cents, p_partkey""".stripMargin,
     "a_rfm_segments" ->
       """WITH per AS (
         | SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,

@@ -733,6 +733,36 @@ object Relational {
         (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("segment"))
   }
 
+  /** 2-D skyline / Pareto front (Borzsonyi et al. 2001): the rows
+    * no other row dominates — better-or-equal on BOTH axes and
+    * strictly better on at least one (minimize `minCol`, maximize
+    * `maxCol`). The classic "cheapest AND biggest" shortlist a
+    * quadratic dominance self-join dies computing; in 2-D a
+    * group-level pass suffices: per distinct minCol value only the
+    * group max of maxCol can survive (lesser same-price rows are
+    * dominated within the group), and a group survives iff its best
+    * STRICTLY exceeds the running best over all strictly-cheaper
+    * groups (equal would mean a cheaper row ties on max — strict on
+    * min — dominated). Duplicates of a surviving (min, max) point
+    * all survive: identical points do not dominate each other. The
+    * running window runs over the DISTINCT-minCol group table
+    * (value-bounded, never the corpus); the corpus is touched by one
+    * hash aggregate and one join. All comparisons exact on the input
+    * types. Returns the input rows of the front.
+    */
+  def skyline2d(df: DataFrame, minCol: Column, maxCol: Column): DataFrame = {
+    val base = df.filter(minCol.isNotNull && maxCol.isNotNull)
+    val groups = base.groupBy(minCol.as("__m")).agg(max(maxCol).as("__gb"))
+    val wg = Window.orderBy(col("__m")).rowsBetween(Window.unboundedPreceding, -1)
+    val keep = groups
+      .withColumn("__pb", max(col("__gb")).over(wg))
+      .filter(col("__pb").isNull || col("__gb") > col("__pb"))
+      .select(col("__m"), col("__gb"))
+    base
+      .join(keep, minCol === col("__m") && maxCol === col("__gb"))
+      .drop("__m", "__gb")
+  }
+
   /** Deterministic mode per group: the most frequent value, ties
     * broken to the SMALLEST value (a total tie-break — Spark's
     * `mode()` aggregate is explicitly nondeterministic on ties, which

@@ -221,4 +221,31 @@ class StatsOpsSpec extends SparkSpec {
         s"row $from p6 sum $total outside truncation band")
     }
   }
+
+  test("adamicAdar: path endpoint pair weighs round(1e6/ln 2); square diagonals double it") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.adamicAdar(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 1442695L))) // round(1e6 / ln 2)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val sq = Graph.adamicAdar(square)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(sq == Set((1L, 3L, 2885390L), (2L, 4L, 2885390L)))
+  }
+
+  test("skyline2d: dominated rows drop, duplicates of a front point all survive") {
+    import graft.operators.Relational
+    val rows = Seq(
+      (1L, 100L, 5L),  // front
+      (2L, 100L, 5L),  // duplicate of the front point -> survives
+      (3L, 100L, 3L),  // same price, smaller -> dominated in-group
+      (4L, 200L, 7L),  // front (pricier but bigger)
+      (5L, 200L, 5L),  // dominated by row 1 (pricier, same size)
+      (6L, 300L, 7L),  // dominated by row 4 (pricier, same size)
+      (7L, 400L, 9L)   // front
+    ).toDF("id", "price", "size")
+    val got = Relational.skyline2d(rows, col("price"), col("size"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L, 7L))
+  }
 }
