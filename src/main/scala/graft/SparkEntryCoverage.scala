@@ -801,6 +801,149 @@ object SparkEntryCoverage {
           col("size"))
         .orderBy(col("price_cents"), col("p_partkey"))
     },
+    // Two-proportion z-test (Experiments.twoProportionZ): per
+    // event-type A/B gate — do even-id users (variant A) hit
+    // high-value events at a different rate than odd-id users (B)?
+    // Pooled-variance z² in exact micro-units, one DECIMAL division;
+    // significance is an integer compare vs the chi²₁ 95th literal.
+    "a_ab_test" -> { (s, dir) =>
+      Experiments
+        .twoProportionZ(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          (col("value") > 50.0).cast("long"))
+        .orderBy(col("group"))
+    },
+    // Mann–Whitney U rank-sum (Experiments.mannWhitneyU): did click
+    // values stochastically dominate purchase values? Doubled
+    // mid-ranks keep ties integer; tie-corrected z² in micro-units.
+    "a_mann_whitney" -> { (s, dir) =>
+      Experiments.mannWhitneyU(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull),
+        col("event_type"),
+        round(col("value") * 100.0, 0).cast("long"))
+    },
+    // CUPED variance reduction (Experiments.cupedAdjust): per-user
+    // second-fortnight spend adjusted by first-fortnight spend —
+    // theta from exact integer cross-products, per-user adjustment
+    // with one truncating division per row.
+    "a_cuped" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(
+            when(
+              col("ts") < lit("2024-01-16").cast("timestamp"),
+              round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("pre_cents"),
+          sum(
+            when(
+              col("ts") >= lit("2024-01-16").cast("timestamp"),
+              round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("post_cents"))
+      Experiments
+        .cupedAdjust(per, col("user_id"), col("post_cents"), col("pre_cents"))
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    },
+    // Sample-ratio-mismatch gate (Experiments.srmCheck): per event
+    // type, does the observed control/treatment split match the
+    // designed 1:3 allocation? chi² GOF vs literal design weights.
+    "a_srm_check" -> { (s, dir) =>
+      Experiments
+        .srmCheck(
+          t(s, dir, "events").filter(col("user_id").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 4 === 0, lit("control")).otherwise(lit("treatment")),
+          Map("control" -> 1L, "treatment" -> 3L))
+        .orderBy(col("group"))
+    },
+    // Welch unequal-variance t² (Experiments.welchT): did the cent
+    // value of each event type differ between even-id (A) and odd-id
+    // (B) users? Two-stage micro pipeline, no pooled variance.
+    "a_welch_t" -> { (s, dir) =>
+      Experiments
+        .welchT(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          round(col("value") * 100.0, 0).cast("long"))
+        .orderBy(col("group"))
+    },
+    // Wilcoxon signed-rank (Experiments.wilcoxonSignedRank): paired
+    // per-user pre/post fortnight spend — did the within-user
+    // difference shift, nonparametrically? Doubled mid-ranks over the
+    // distinct-|d| table.
+    "a_wilcoxon" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(
+            when(
+              col("ts") < lit("2024-01-16").cast("timestamp"),
+              round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("pre_cents"),
+          sum(
+            when(
+              col("ts") >= lit("2024-01-16").cast("timestamp"),
+              round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("post_cents"))
+      Experiments.wilcoxonSignedRank(per, col("pre_cents"), col("post_cents"))
+    },
+    // Required sample size per arm (Experiments.mdeSampleSize): how
+    // much traffic would each event type's observed A/B effect have
+    // needed for 80% power at alpha 0.05? One ceiling division of
+    // DECIMAL cross-products against the literal power constant.
+    "a_power_mde" -> { (s, dir) =>
+      Experiments
+        .mdeSampleSize(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          (col("value") > 50.0).cast("long"))
+        .orderBy(col("group"))
+    },
+    // Difference-in-differences (Experiments.diffInDiff): per event
+    // type, did even-id users' cent value move differently across
+    // the fortnight boundary than odd-id users'? Four moment cells,
+    // micro-exact means, four-cell Welch t².
+    "a_did" -> { (s, dir) =>
+      Experiments
+        .diffInDiff(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          col("ts") >= lit("2024-01-16").cast("timestamp"),
+          round(col("value") * 100.0, 0).cast("long"))
+        .orderBy(col("group"))
+    },
+    // Cohen's kappa (Experiments.cohensKappa): chance-corrected
+    // agreement between the cheap 80-char-prefix language gate and
+    // the full-text classifier — the t_calibration pair reduced to
+    // the one-number labeling-QA statistic.
+    "a_kappa" -> { (s, dir) =>
+      Experiments.cohensKappa(
+        t(s, dir, "documents"),
+        TextAnalysis.langId(col("text"), SparkEntry.langMarkers),
+        TextAnalysis.langId(substring(col("text"), 1, 80), SparkEntry.langMarkers))
+    },
+    // Post-stratification (Experiments.postStratify): per-arm
+    // high-value rate re-weighted by the pooled event-type mix —
+    // the imbalance-robust readout next to the raw rate.
+    "a_post_strat" -> { (s, dir) =>
+      Experiments
+        .postStratify(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          col("event_type"),
+          (col("value") > 50.0).cast("long"))
+        .orderBy(col("variant"))
+    },
     // RFM segmentation (Relational.rfmSegments): per user recency/
     // frequency/monetary tercile scores by exact rank cutoffs over
     // purchase events — 3/2/1 best-first, segment = 100R + 10F + M.
@@ -6135,6 +6278,309 @@ object SparkEntryCoverage {
         |FROM base b JOIN k ON b.price_cents = k.m AND b.size = k.gb
         |WHERE k.pb IS NULL OR k.gb > k.pb
         |ORDER BY price_cents, p_partkey""".stripMargin,
+    "a_ab_test" ->
+      """WITH cells AS (
+        | SELECT event_type AS g,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        | FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1, 2),
+        |mm AS (SELECT g, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+        |       FROM cells GROUP BY 1),
+        |j AS (SELECT mm.g, mm.variant_a, mm.variant_b,
+        |             a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |      FROM mm JOIN cells a ON a.g = mm.g AND a.v = mm.variant_a
+        |              JOIN cells b ON b.g = mm.g AND b.v = mm.variant_b
+        |      WHERE mm.nv = 2),
+        |z AS (SELECT j.*,
+        |        CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(1000000 AS HUGEINT)
+        |                   * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+        |                   * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+        |                   * CAST(n_a + n_b AS HUGEINT))
+        |              // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+        |                  * CAST(x_a + x_b AS HUGEINT)
+        |                  * CAST(n_a + n_b - x_a - x_b AS HUGEINT)) AS BIGINT) END AS z2_6
+        |      FROM j)
+        |SELECT g AS "group", variant_a, variant_b, n_a, x_a, n_b, x_b, z2_6,
+        |       z2_6 >= 3841459 AS significant
+        |FROM z ORDER BY "group"""".stripMargin,
+    "a_mann_whitney" ->
+      """WITH base AS (
+        | SELECT event_type AS s, CAST(round(value * 100) AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |sides AS (SELECT MIN(s) AS side_a, MAX(s) AS side_b FROM base),
+        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        |          CAST(SUM(CASE WHEN s = (SELECT side_a FROM sides) THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS na_v
+        |        FROM base GROUP BY 1),
+        |rk AS (SELECT v, t, na_v,
+        |         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rmin
+        |       FROM cnt),
+        |agg AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |               CAST(SUM(t - na_v) AS BIGINT) AS n_b,
+        |               CAST(SUM(na_v * (2 * rmin + t - 1)) AS BIGINT) AS r2a,
+        |               CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
+        |        FROM rk),
+        |u AS (SELECT side_a, side_b, n_a, n_b, r2a - n_a * (n_a + 1) AS u2x, ties3
+        |      FROM agg CROSS JOIN sides),
+        |den AS (SELECT u.*,
+        |         CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+        |         * (CAST(n_a + n_b + 1 AS HUGEINT) * CAST(n_a + n_b AS HUGEINT)
+        |            * CAST(n_a + n_b - 1 AS HUGEINT) - CAST(ties3 AS HUGEINT)) AS d
+        |        FROM u),
+        |zz AS (SELECT side_a, side_b, n_a, n_b, u2x,
+        |        CASE WHEN d <= 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(3000000 AS HUGEINT)
+        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
+        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
+        |                   * CAST(n_a + n_b AS HUGEINT)
+        |                   * CAST(n_a + n_b - 1 AS HUGEINT)) // d AS BIGINT) END AS z2_6
+        |       FROM den)
+        |SELECT side_a, side_b, n_a, n_b, u2x, z2_6,
+        |       z2_6 >= 3841459 AS significant
+        |FROM zz""".stripMargin,
+    "a_cuped" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |   CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre_cents,
+        |   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS post_cents
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(pre_cents) AS BIGINT) AS sx,
+        |              CAST(SUM(post_cents) AS BIGINT) AS sy,
+        |              SUM(CAST(pre_cents AS HUGEINT) * pre_cents) AS sxx,
+        |              SUM(CAST(pre_cents AS HUGEINT) * post_cents) AS sxy
+        |       FROM per),
+        |th AS (SELECT n, sx,
+        |        CAST((CAST(1000000 AS HUGEINT)
+        |              * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+        |             // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |             AS BIGINT) AS theta6
+        |       FROM st)
+        |SELECT p.user_id, p.post_cents AS metric, p.pre_cents AS covariate, th.theta6,
+        |  CAST(1000000 AS BIGINT) * p.post_cents
+        |   - CAST((CAST(th.theta6 AS HUGEINT)
+        |           * (CAST(th.n AS HUGEINT) * p.pre_cents - th.sx))
+        |          // CAST(th.n AS HUGEINT) AS BIGINT) AS adj6
+        |FROM per p, th ORDER BY user_id""".stripMargin,
+    "a_srm_check" ->
+      """WITH w(v, wt) AS (VALUES ('control', CAST(1 AS BIGINT)), ('treatment', CAST(3 AS BIGINT))),
+        |cells AS (
+        | SELECT event_type AS g,
+        |        CASE WHEN user_id % 4 = 0 THEN 'control' ELSE 'treatment' END AS v,
+        |        CAST(COUNT(*) AS BIGINT) AS n_v
+        | FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(n_v) AS BIGINT) AS N FROM cells GROUP BY 1),
+        |grid AS (SELECT t.g, t.N, w.v, w.wt, CAST(COALESCE(c.n_v, 0) AS BIGINT) AS n_v
+        |         FROM tot t CROSS JOIN w
+        |         LEFT JOIN cells c ON c.g = t.g AND c.v = w.v),
+        |terms AS (SELECT g, N,
+        |   CAST((CAST(1000000 AS HUGEINT)
+        |         * CAST(n_v * 4 - N * wt AS HUGEINT)
+        |         * CAST(n_v * 4 - N * wt AS HUGEINT))
+        |        // (CAST(N AS HUGEINT) * wt * 4) AS BIGINT) AS term6
+        |  FROM grid)
+        |SELECT g AS "group", MAX(N) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |       CAST(SUM(term6) AS BIGINT) AS chi2_6,
+        |       CAST(SUM(term6) AS BIGINT) >= 3841459 AS significant
+        |FROM terms GROUP BY 1 ORDER BY "group"""".stripMargin,
+    "a_welch_t" ->
+      """WITH cells AS (
+        | SELECT event_type AS g,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |        SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |            * CAST(round(value * 100) AS BIGINT)) AS ss
+        | FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |mm AS (SELECT g, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+        |       FROM cells GROUP BY 1),
+        |j AS (SELECT mm.g, mm.variant_a, mm.variant_b,
+        |             a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+        |             b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+        |      FROM mm JOIN cells a ON a.g = mm.g AND a.v = mm.variant_a
+        |              JOIN cells b ON b.g = mm.g AND b.v = mm.variant_b
+        |      WHERE mm.nv = 2),
+        |st AS (SELECT g, variant_a, variant_b, n_a, n_b,
+        |  CAST((CAST(1000000 AS HUGEINT)
+        |        * (CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a))
+        |       // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS md6,
+        |  CAST((CAST(1000000 AS HUGEINT)
+        |        * (CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a))
+        |       // (CAST(n_a AS HUGEINT) * n_a * (n_a - 1)) AS BIGINT) AS von_a,
+        |  CAST((CAST(1000000 AS HUGEINT)
+        |        * (CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b))
+        |       // (CAST(n_b AS HUGEINT) * n_b * (n_b - 1)) AS BIGINT) AS von_b
+        | FROM j),
+        |fin AS (SELECT g, variant_a, variant_b, n_a, n_b, md6,
+        |  CASE WHEN von_a + von_b = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(md6 AS HUGEINT) * md6) // (von_a + von_b) AS BIGINT) END AS t2_6
+        | FROM st)
+        |SELECT g AS "group", variant_a, variant_b, n_a, n_b, md6, t2_6,
+        |       t2_6 >= 3841459 AS significant
+        |FROM fin ORDER BY "group"""".stripMargin,
+    "a_wilcoxon" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |   CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre_cents,
+        |   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS post_cents
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1),
+        |d AS (SELECT post_cents - pre_cents AS d FROM per),
+        |z AS (SELECT CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero FROM d),
+        |cnt AS (SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS t,
+        |          CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np_v
+        |        FROM d WHERE d <> 0 GROUP BY 1),
+        |rk AS (SELECT ad, t, np_v,
+        |         CAST(COALESCE(SUM(t) OVER (ORDER BY ad
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rmin
+        |       FROM cnt),
+        |agg AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n,
+        |               CAST(COALESCE(SUM(np_v * (2 * rmin + t - 1)), 0) AS BIGINT) AS t2x,
+        |               CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS ties3
+        |        FROM rk),
+        |fin AS (SELECT n, z.n_zero, t2x,
+        |   CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1) - ties3 AS den,
+        |   CAST(2 AS HUGEINT) * t2x - CAST(n AS HUGEINT) * (n + 1) AS num0
+        |  FROM agg CROSS JOIN z),
+        |zz AS (SELECT n, n_zero, t2x,
+        |  CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(3000000 AS HUGEINT) * num0 * num0) // den AS BIGINT) END AS z2_6
+        | FROM fin)
+        |SELECT n, n_zero, t2x, z2_6, z2_6 >= 3841459 AS significant FROM zz""".stripMargin,
+    "a_power_mde" ->
+      s"""WITH cells AS (
+         | SELECT event_type AS g,
+         |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         |        CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+         | FROM events
+         | WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+         | GROUP BY 1, 2),
+         |mm AS (SELECT g, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+         |       FROM cells GROUP BY 1),
+         |j AS (SELECT mm.g, mm.variant_a, mm.variant_b,
+         |             a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+         |      FROM mm JOIN cells a ON a.g = mm.g AND a.v = mm.variant_a
+         |              JOIN cells b ON b.g = mm.g AND b.v = mm.variant_b
+         |      WHERE mm.nv = 2),
+         |d AS (SELECT j.*,
+         |        CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a AS dd
+         |      FROM j)
+         |SELECT g AS "group", variant_a, variant_b, n_a, x_a, n_b, x_b,
+         |  dd = 0 AS delta_zero,
+         |  CASE WHEN dd = 0 THEN CAST(NULL AS BIGINT)
+         |  ELSE CAST(
+         |    (CAST(${Experiments.PowerConst05_80Micro} AS HUGEINT)
+         |     * (CAST(x_a AS HUGEINT) * (n_a - x_a) * n_b * n_b
+         |        + CAST(x_b AS HUGEINT) * (n_b - x_b) * n_a * n_a)
+         |     + CAST(1000000 AS HUGEINT) * dd * dd - 1)
+         |    // (CAST(1000000 AS HUGEINT) * dd * dd) AS BIGINT) END AS n_req
+         |FROM d ORDER BY "group"""".stripMargin,
+    "a_did" ->
+      """WITH cells AS (
+        | SELECT event_type AS g,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |        ts >= TIMESTAMP '2024-01-16' AS post,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |        SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |            * CAST(round(value * 100) AS BIGINT)) AS ss
+        | FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL
+        | GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |mc AS (SELECT g, arm, post, n,
+        |  CAST((CAST(1000000 AS HUGEINT) * s) // n AS BIGINT) AS m6,
+        |  CAST((CAST(1000000 AS HUGEINT)
+        |        * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s))
+        |       // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS von6
+        | FROM cells),
+        |arms AS (SELECT g, COUNT(*) AS nc, MIN(arm) AS arm_a, MAX(arm) AS arm_b
+        |         FROM mc GROUP BY 1),
+        |j AS (SELECT a.g, a.arm_a, a.arm_b,
+        |   ap.n AS n_a_pre, aq.n AS n_a_post, bp.n AS n_b_pre, bq.n AS n_b_post,
+        |   ap.m6 AS m_ap, aq.m6 AS m_aq, bp.m6 AS m_bp, bq.m6 AS m_bq,
+        |   ap.von6 + aq.von6 + bp.von6 + bq.von6 AS von
+        | FROM arms a
+        | JOIN mc ap ON ap.g = a.g AND ap.arm = a.arm_a AND NOT ap.post
+        | JOIN mc aq ON aq.g = a.g AND aq.arm = a.arm_a AND aq.post
+        | JOIN mc bp ON bp.g = a.g AND bp.arm = a.arm_b AND NOT bp.post
+        | JOIN mc bq ON bq.g = a.g AND bq.arm = a.arm_b AND bq.post
+        | WHERE a.nc = 4),
+        |fin AS (SELECT g, arm_a, arm_b, n_a_pre, n_a_post, n_b_pre, n_b_post,
+        |   m_bq - m_bp - m_aq + m_ap AS did6, von
+        | FROM j)
+        |SELECT g AS "group", arm_a, arm_b, n_a_pre, n_a_post, n_b_pre, n_b_post, did6,
+        |  CASE WHEN von = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(did6 AS HUGEINT) * did6) // von AS BIGINT) END AS t2_6,
+        |  CASE WHEN von = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(did6 AS HUGEINT) * did6) // von AS BIGINT) END >= 3841459
+        |    AS significant
+        |FROM fin ORDER BY "group"""".stripMargin,
+    "a_kappa" ->
+      s"""WITH tok AS (SELECT regexp_split_to_array(trim(text),'\\s+') AS tk,
+         |    regexp_split_to_array(trim(substr(text, 1, 80)),'\\s+') AS pk FROM documents),
+         |p AS (SELECT ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS r1,
+         |        ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "pk")} AS r2
+         |      FROM tok),
+         |g AS (SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+         |rw AS (SELECT r1 AS c, CAST(SUM(n) AS BIGINT) AS rn FROM g GROUP BY 1),
+         |cl AS (SELECT r2 AS c, CAST(SUM(n) AS BIGINT) AS cn FROM g GROUP BY 1),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |        SUM(CAST(COALESCE(rn, 0) AS HUGEINT) * COALESCE(cn, 0)) AS mm
+         |      FROM rw FULL OUTER JOIN cl USING (c)),
+         |dg AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         |        CAST(SUM(CASE WHEN r1 = r2 THEN n ELSE 0 END) AS BIGINT) AS dd FROM g),
+         |fin AS (SELECT nt, dd, n_classes, mm,
+         |   CAST(nt AS HUGEINT) * dd - mm AS knum,
+         |   CAST(nt AS HUGEINT) * nt - mm AS kden
+         | FROM dg CROSS JOIN m)
+         |SELECT nt AS n, n_classes,
+         |  CAST((CAST(1000000 AS HUGEINT) * dd) // nt AS BIGINT) AS po6,
+         |  CAST((CAST(1000000 AS HUGEINT) * mm) // (CAST(nt AS HUGEINT) * nt) AS BIGINT)
+         |    AS pe6,
+         |  CASE WHEN kden = 0 THEN CAST(0 AS BIGINT)
+         |       WHEN knum >= 0 THEN CAST((CAST(1000000 AS HUGEINT) * knum) // kden AS BIGINT)
+         |       ELSE CAST(-((CAST(1000000 AS HUGEINT) * -knum) // kden) AS BIGINT) END
+         |    AS kappa6
+         |FROM fin""".stripMargin,
+    "a_post_strat" ->
+      """WITH cells AS (
+        | SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |        event_type AS st,
+        |        CAST(COUNT(*) AS BIGINT) AS n_vs,
+        |        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x_vs
+        | FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1, 2),
+        |strata AS (SELECT st, CAST(SUM(n_vs) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nt FROM strata),
+        |terms AS (SELECT c.v, c.n_vs, c.x_vs,
+        |   CAST((CAST(1000000 AS HUGEINT) * s.n_s * c.x_vs)
+        |        // (CAST(t.nt AS HUGEINT) * c.n_vs) AS BIGINT) AS term,
+        |   CAST((CAST(1000000 AS HUGEINT) * s.n_s) // t.nt AS BIGINT) AS wterm
+        |  FROM cells c JOIN strata s USING (st) CROSS JOIN tot t),
+        |agg AS (SELECT v, CAST(SUM(n_vs) AS BIGINT) AS n, CAST(SUM(x_vs) AS BIGINT) AS x,
+        |          CAST(SUM(term) AS BIGINT) AS adj_ppm,
+        |          CAST(SUM(wterm) AS BIGINT) AS w_base_ppm
+        |        FROM terms GROUP BY 1)
+        |SELECT v AS variant, n,
+        |  CAST((CAST(1000000 AS HUGEINT) * x) // n AS BIGINT) AS raw_ppm,
+        |  adj_ppm, w_base_ppm
+        |FROM agg ORDER BY variant""".stripMargin,
     "a_rfm_segments" ->
       """WITH per AS (
         | SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,

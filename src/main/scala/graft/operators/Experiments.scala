@@ -1,0 +1,884 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** A/B-experimentation statistics — the measurement layer a data
+  * pipeline runs AFTER shipping a change (a new dedup threshold, a
+  * re-ranked feed, a quality-gate tweak): did the treated population
+  * actually move, and by how much once the pre-period is controlled
+  * for? Reference analogue: the reference's dashboards report raw
+  * per-segment rates (`/root/reference/src/api.py:323-368`); these
+  * operators add the significance discipline those comparisons lack.
+  *
+  * Exactness contract (the chi²/entropy-family discipline of
+  * [[Checks.chiSquareIndependence]]): every statistic is a ratio of
+  * exact integer cross-products, carried in DECIMAL(38,0) where a
+  * BIGINT would overflow, with ONE truncating division at the end —
+  * bit-identical on any partitioning, mirrored verbatim by the
+  * DuckDB oracle. No variance is ever computed by summing floats.
+  */
+object Experiments {
+
+  /** z²·1e6 significance threshold for alpha = 0.05 two-sided:
+    * 1.96² = 3.8415 (the chi²₁ 95th percentile, micro-scaled).
+    * A LITERAL, not computed at runtime — the mmrRerank lambda rule.
+    */
+  val Z2Alpha05Micro: Long = 3841459L
+
+  /** chi²₉₅ percentile literals (micro-scaled) for dof 1..10 —
+    * R `qchisq(0.95, k)`, literal per the no-runtime-special-functions
+    * rule. [[srmCheck]] indexes this by k−1 variants.
+    */
+  val Chi2Alpha05Micro: Seq[Long] = Seq(
+    3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
+    12591587L, 14067140L, 15507313L, 16918978L, 18307038L)
+
+  /** Sample-ratio-mismatch gate (the FIRST check any experiment
+    * readout must pass — Fabijan et al., "Diagnosing Sample Ratio
+    * Mismatch", KDD 2019): does each group's observed variant split
+    * match the DESIGNED allocation? A mismatch means broken
+    * randomization or differential logging loss, and every downstream
+    * statistic on that group is garbage. chi² goodness-of-fit against
+    * integer design weights:
+    *
+    *   term6(v) = 1e6 · (n_v·W − N·w_v)² div (N·w_v·W),  chi²6 = Σ_v
+    *
+    * with W = Σw — per-cell truncating division then exact sum, the
+    * [[Checks.chiSquareIndependence]] convention. Significance
+    * compares chi²6 against the dof = k−1 entry of
+    * [[Chi2Alpha05Micro]] (k ≤ 11 enforced by a driver-side require —
+    * the weights map IS the bound, no data-dependent dof).
+    *
+    * Contract: `weights` is the complete design — a variant observed
+    * in the data but absent from the map FAILS FAST in-plan (that is
+    * itself an SRM-class bug: traffic landing in an arm the design
+    * doesn't know); a designed variant with zero observed traffic
+    * contributes its full expected-count term (the weights table is
+    * the join spine, observed counts fill 0).
+    *
+    * Scale shape: one hash aggregate to (group, variant) cells, then
+    * a broadcast join against the literal weights table; chi² is a
+    * per-group sum over ≤ k cells. Returns (group, n, k, chi2_6,
+    * significant), one row per group with any observed traffic.
+    */
+  def srmCheck(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.size <= 11,
+      s"srmCheck: 1..11 designed variants supported (dof table), got ${weights.size}")
+    require(weights.values.forall(_ > 0L),
+      "srmCheck: design weights must be positive integers")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wSum = weights.values.sum
+    val dof = weights.size - 1
+    val thr = if (dof == 0) Long.MaxValue else Chi2Alpha05Micro(dof - 1)
+    val wDf = weights.toSeq.toDF("v", "w")
+    val cells = df
+      .filter(groupCol.isNotNull && variantCol.isNotNull)
+      .groupBy(groupCol.as("g"), variantCol.as("v"))
+      .agg(count(lit(1)).as("n_v"))
+    // fail fast on off-design variants BEFORE pivoting to the spine
+    val checked = cells
+      .join(broadcast(wDf), Seq("v"), "left")
+      .filter(
+        assert_true(
+          col("w").isNotNull,
+          concat(
+            lit("srmCheck: observed variant outside the designed allocation: "),
+            col("v").cast("string"))).isNull)
+    val totals = checked.groupBy(col("g"))
+      .agg(sum(col("n_v")).as("N"))
+    totals
+      .crossJoin(broadcast(wDf))
+      .join(checked.select(col("g"), col("v"), col("n_v")), Seq("g", "v"), "left")
+      .na.fill(0L, Seq("n_v"))
+      .withColumn(
+        "__term6",
+        expr(
+          s"""CAST(
+             |  (CAST(1000000 AS DECIMAL(38,0))
+             |   * CAST(n_v * $wSum - N * w AS DECIMAL(38,0))
+             |   * CAST(n_v * $wSum - N * w AS DECIMAL(38,0)))
+             |  div (CAST(N AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))
+             |       * CAST($wSum AS DECIMAL(38,0)))
+             |AS BIGINT)""".stripMargin))
+      .groupBy(col("g"))
+      .agg(max(col("N")).as("n"), count(lit(1)).as("k"), sum(col("__term6")).as("chi2_6"))
+      .select(
+        col("g").as("group"), col("n"), col("k"), col("chi2_6"),
+        (col("chi2_6") >= thr).as("significant"))
+  }
+
+  /** Two-proportion z-test per group (the textbook A/B conversion
+    * gate): for each group, compare the success rate of the
+    * lexicographically FIRST variant (a) against the second (b).
+    * z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with pooled p̂;
+    * the operator reports z² in micro-units, exactly:
+    *
+    *   z²·1e6 = 1e6 · (x_a·n_b − x_b·n_a)² · N div (n_a·n_b·X·(N−X))
+    *
+    * with N = n_a+n_b, X = x_a+x_b — all integer cross-products in
+    * DECIMAL(38,0) (the numerator reaches n⁵; BIGINT dies past
+    * N ≈ 7k), one truncating division. `significant` compares z²6
+    * against the micro-scaled chi²₁ 95th-percentile literal — an
+    * integer compare, no sqrt anywhere.
+    *
+    * Conventions: groups are keyed by `groupCol`; a group must carry
+    * EXACTLY two distinct variants or it is dropped (a one-armed or
+    * many-armed "experiment" is a design error, not a z-test); a
+    * degenerate pooled rate (X = 0 or X = N — nobody or everybody
+    * converted) yields z²6 = 0, not-significant, by convention
+    * (the statistic's denominator is 0; there is no evidence of a
+    * difference when both arms are constant).
+    *
+    * Scale shape: one hash aggregate to (group, variant) cells —
+    * map-side combined, never a shuffle of raw rows — then a pivot
+    * over the 2-variant axis via min/max-keyed conditional sums on
+    * the CELL table. Returns (group, variant_a, variant_b, n_a, x_a,
+    * n_b, x_b, z2_6, significant).
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = df
+      .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
+      .groupBy(groupCol.as("g"), variantCol.as("v"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(successCol.cast("long")).as("x"))
+    // two-pass pivot over the tiny cell table: name the (min, max)
+    // variant per group first, then join each arm's cell back on
+    val mins = cells.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__nv"),
+        min(col("v")).as("variant_a"),
+        max(col("v")).as("variant_b"))
+      .filter(col("__nv") === 2L)
+    mins
+      .join(
+        cells.select(col("g"), col("v").as("variant_a"), col("n").as("n_a"), col("x").as("x_a")),
+        Seq("g", "variant_a"))
+      .join(
+        cells.select(col("g"), col("v").as("variant_b"), col("n").as("n_b"), col("x").as("x_b")),
+        Seq("g", "variant_b"))
+      .withColumn(
+        "__d",
+        expr(
+          """CAST(x_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |- CAST(x_b AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))""".stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * __d * __d
+            |   * CAST(n_a + n_b AS DECIMAL(38,0)))
+            |  div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |       * CAST(x_a + x_b AS DECIMAL(38,0))
+            |       * CAST(n_a + n_b - x_a - x_b AS DECIMAL(38,0)))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("g").as("group"),
+        col("variant_a"),
+        col("variant_b"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) — the
+    * nonparametric two-sample location test: did the TREATED side's
+    * value DISTRIBUTION shift, without assuming normality (the right
+    * test for heavy-tailed metrics like revenue or latency, where a
+    * t-test's mean is whale-dominated). The distribution-free
+    * companion of [[Checks.ksDrift]]: KS asks "are the shapes
+    * different anywhere", U asks "did one side stochastically
+    * dominate".
+    *
+    * Exactness — ranks without floats: ties take MID-ranks, which are
+    * half-integers, so all rank arithmetic is DOUBLED. For a distinct
+    * value with min-rank r and tie-count t, each member's doubled
+    * mid-rank is 2r + t − 1 (an integer). The doubled rank-sum of
+    * side a gives the doubled U statistic 2U = R2_a − n_a(n_a+1),
+    * and the tie-corrected z² in micro-units is exactly
+    *
+    *   z²·1e6 = 1e6 · 3 · (2U − n_a·n_b)² · n·(n−1)
+    *            div (n_a·n_b·((n+1)·n·(n−1) − Σ(t³−t)))
+    *
+    * (the classic normal approximation with the tie term; all
+    * cross-products in DECIMAL(38,0) — the numerator reaches n⁶ —
+    * one truncating division). All-values-equal degenerates the
+    * denominator to 0 → z²6 = 0 by convention. Valid range: the two
+    * BIGINT-stage quantities are Σ(t³−t) (per-value tie count t³ —
+    * quantize or dither a value with more than ~2e6 exact ties) and
+    * n_a·n_b (sides up to ~3e9 rows each); everything past those
+    * first multiplies is DECIMAL(38,0).
+    *
+    * Scale shape: values collapse to a per-side DISTINCT-VALUE count
+    * table in one hash aggregate; min-ranks come from ONE running-sum
+    * window over the distinct-value table (bounded by the value
+    * domain, never the corpus — the equiDepthBoundaries discipline);
+    * the final statistic is a 1-row aggregate. Sides are the
+    * lexicographic (min, max) of `sideCol`; exactly two required,
+    * enforced fail-fast.
+    *
+    * Returns one row (side_a, side_b, n_a, n_b, u2x — the DOUBLED U
+    * of side a, z2_6, significant).
+    */
+  def mannWhitneyU(df: DataFrame, sideCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(sideCol.isNotNull && valueCol.isNotNull)
+      .select(sideCol.as("s"), valueCol.cast("long").as("v"))
+    // name the two sides first (1-row bootstrap), then count per
+    // distinct value with the side-a membership as a conditional sum
+    val sides = broadcast(
+      base.agg(
+        count_distinct(col("s")).as("__ns"),
+        min(col("s")).as("side_a"),
+        max(col("s")).as("side_b")))
+    val counts = base
+      .crossJoin(sides)
+      .filter(
+        assert_true(
+          col("__ns") === 2L,
+          concat(
+            lit("mannWhitneyU: exactly 2 sides required, got "),
+            col("__ns").cast("string"))).isNull)
+      .groupBy(col("v"))
+      .agg(
+        count(lit(1)).as("t"),
+        sum(when(col("s") === col("side_a"), 1L).otherwise(0L)).as("na_v"))
+    val ranked = counts.withColumn(
+      "rmin",
+      coalesce(
+        sum(col("t")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + 1L)
+    ranked
+      .crossJoin(sides.select(col("side_a"), col("side_b")))
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(
+        sum(col("na_v")).as("n_a"),
+        sum(col("t") - col("na_v")).as("n_b"),
+        sum(col("na_v") * (lit(2L) * col("rmin") + col("t") - 1L)).as("__r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("__ties3"))
+      .withColumn("u2x", col("__r2a") - col("n_a") * (col("n_a") + 1L))
+      // tie-corrected variance denominator in DECIMAL from the first
+      // multiply — (n+1)·n·(n−1) passes 2^63 already at n ≈ 2e6
+      .withColumn(
+        "__den",
+        expr(
+          """CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |* (CAST(n_a + n_b + 1 AS DECIMAL(38,0))
+            |   * CAST(n_a + n_b AS DECIMAL(38,0))
+            |   * CAST(n_a + n_b - 1 AS DECIMAL(38,0))
+            |   - CAST(__ties3 AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN __den <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(3000000 AS DECIMAL(38,0))
+            |   * CAST(u2x - n_a * n_b AS DECIMAL(38,0))
+            |   * CAST(u2x - n_a * n_b AS DECIMAL(38,0))
+            |   * CAST(n_a + n_b AS DECIMAL(38,0))
+            |   * CAST(n_a + n_b - 1 AS DECIMAL(38,0)))
+            |  div __den
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("side_a"), col("side_b"), col("n_a"), col("n_b"), col("u2x"),
+        col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    * — adjust each unit's experiment metric by its PRE-period
+    * covariate before testing: y' = y − θ(x − x̄) with
+    * θ = cov(x,y)/var(x). Removes the between-user variance the
+    * experiment didn't cause; the industry-standard sensitivity
+    * boost (same mean, smaller variance → smaller detectable
+    * effects at the same traffic).
+    *
+    * Exactness: θ in micro-units is one truncating division of exact
+    * integer cross-products,
+    *   θ6 = 1e6·(n·Σxy − Σx·Σy) div (n·Σx² − (Σx)²)
+    * (DECIMAL(38,0); with cent-scaled inputs the cross-products
+    * reach n·max² ≈ 1e23 at n = 1e6 users of 1e6-cent spend). The
+    * per-unit adjustment keeps integers end-to-end:
+    *   adj6 = 1e6·y − θ6·(n·x − Σx) div n
+    * — ONE truncating division per row, off exact integers, so the
+    * adjusted metric is bit-stable on any partitioning. var(x) = 0
+    * (constant covariate) fails fast: CUPED on a constant is a
+    * caller bug (θ undefined), not a 0-convention.
+    *
+    * Scale shape: one aggregate pass for the five sums (map-side
+    * combined), broadcast as a 1-row bootstrap onto the per-unit
+    * frame — no window, no second shuffle. Returns (key, metric,
+    * covariate, theta6, adj6) per unit; `metric`/`covariate` echo
+    * the integer inputs.
+    */
+  def cupedAdjust(
+      df: DataFrame,
+      keyCol: Column,
+      metricCol: Column,
+      covariateCol: Column): DataFrame = {
+    val base = df
+      .filter(keyCol.isNotNull && metricCol.isNotNull && covariateCol.isNotNull)
+      .select(
+        keyCol.as("key"),
+        metricCol.cast("long").as("metric"),
+        covariateCol.cast("long").as("covariate"))
+    val stats = broadcast(
+      base.agg(
+        count(lit(1)).as("__n"),
+        sum(col("covariate")).as("__sx"),
+        sum(col("metric")).as("__sy"),
+        sum(col("covariate") * col("covariate")).as("__sxx"),
+        sum(col("covariate") * col("metric")).as("__sxy")))
+    base
+      .crossJoin(stats)
+      .filter(
+        assert_true(
+          col("__n") * col("__sxx") - col("__sx") * col("__sx") =!= 0L,
+          lit("cupedAdjust: covariate is constant — var(x) = 0, theta undefined; " +
+            "pick a covariate that varies")).isNull)
+      .withColumn(
+        "theta6",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * CAST(__n * __sxy - __sx * __sy AS DECIMAL(38,0)))
+            |  div CAST(__n * __sxx - __sx * __sx AS DECIMAL(38,0))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "adj6",
+        expr(
+          """CAST(1000000 AS BIGINT) * metric
+            |- CAST(
+            |    (CAST(theta6 AS DECIMAL(38,0))
+            |     * CAST(__n * covariate - __sx AS DECIMAL(38,0)))
+            |    div CAST(__n AS DECIMAL(38,0))
+            |  AS BIGINT)""".stripMargin))
+      .select(col("key"), col("metric"), col("covariate"), col("theta6"), col("adj6"))
+  }
+
+  /** Welch's unequal-variance t-test per group (Welch 1947) — the
+    * continuous-metric sibling of [[twoProportionZ]]: did the mean of
+    * an integer metric differ between the two variants, WITHOUT the
+    * pooled-variance assumption (arms in real experiments rarely share
+    * a variance; Student's pooled t is anti-conservative under
+    * imbalance). t² = (ȳ_a − ȳ_b)² / (s²_a/n_a + s²_b/n_b).
+    *
+    * Exactness — two-stage micro pipeline (the [[cupedAdjust]]
+    * theta6/adj6 discipline: each stage ONE truncating division off
+    * exact integers, the stage boundary pinned at micro resolution so
+    * the oracle can mirror it bit-for-bit):
+    *
+    *   stage 1 (per arm):  md6   = 1e6·(S_a·n_b − S_b·n_a) div (n_a·n_b)
+    *                       von6_x = 1e6·Q_x div (n_x²·(n_x−1)),
+    *                       Q_x = n_x·SS_x − S_x²   (var/n, micro)
+    *   stage 2:            t2_6  = md6² div (von6_a + von6_b)
+    *
+    * All cross-products in DECIMAL(38,0); SS sums are DECIMAL from the
+    * first multiply (Σy² passes BIGINT at ~3e18 — cent-scaled metrics
+    * overflow a long sum past ~9e6 rows of 1e6-cent values).
+    * Degenerate von6_a + von6_b = 0 (both arms constant at micro
+    * resolution) → t2_6 = 0, not-significant, by the [[twoProportionZ]]
+    * convention: with zero sampling variance there is nothing to test —
+    * compare the two constants directly. Arms with n < 2 are dropped
+    * with their group (a variance needs 2 observations).
+    * `significant` compares against [[Z2Alpha05Micro]] — the normal
+    * approximation of the t reference, valid for n ≳ 30 per arm
+    * (below that the threshold is anti-conservative; Welch–
+    * Satterthwaite fractional dof is deliberately out of scope —
+    * no non-literal quantiles).
+    *
+    * Scale shape: one hash aggregate to (group, variant) moment cells
+    * (n, S, SS — map-side combined), min/max variant pivot on the cell
+    * table, pure projection after. Returns (group, variant_a,
+    * variant_b, n_a, n_b, md6, t2_6, significant).
+    */
+  def welchT(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      metricCol: Column): DataFrame = {
+    val cells = df
+      .filter(groupCol.isNotNull && variantCol.isNotNull && metricCol.isNotNull)
+      .groupBy(groupCol.as("g"), variantCol.as("v"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(metricCol.cast("long")).as("s"),
+        sum(
+          metricCol.cast("long").cast("decimal(38,0)")
+            * metricCol.cast("long").cast("decimal(38,0)")).as("ss"))
+      .filter(col("n") >= 2L)
+    val mins = cells.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__nv"),
+        min(col("v")).as("variant_a"),
+        max(col("v")).as("variant_b"))
+      .filter(col("__nv") === 2L)
+    mins
+      .join(
+        cells.select(
+          col("g"), col("v").as("variant_a"),
+          col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a")),
+        Seq("g", "variant_a"))
+      .join(
+        cells.select(
+          col("g"), col("v").as("variant_b"),
+          col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b")),
+        Seq("g", "variant_b"))
+      .withColumn(
+        "md6",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(s_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |      - CAST(s_b AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))))
+            |  div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "__von_a",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(n_a AS DECIMAL(38,0)) * ss_a
+            |      - CAST(s_a AS DECIMAL(38,0)) * CAST(s_a AS DECIMAL(38,0))))
+            |  div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+            |       * CAST(n_a - 1 AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "__von_b",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(n_b AS DECIMAL(38,0)) * ss_b
+            |      - CAST(s_b AS DECIMAL(38,0)) * CAST(s_b AS DECIMAL(38,0))))
+            |  div (CAST(n_b AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |       * CAST(n_b - 1 AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "t2_6",
+        expr(
+          """CASE WHEN __von_a + __von_b = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(md6 AS DECIMAL(38,0)) * CAST(md6 AS DECIMAL(38,0)))
+            |  div CAST(__von_a + __von_b AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("g").as("group"),
+        col("variant_a"), col("variant_b"),
+        col("n_a"), col("n_b"), col("md6"), col("t2_6"),
+        (col("t2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
+  /** (z_{α/2} + z_β)² for alpha = 0.05 two-sided, power = 0.80
+    * (1.959964 + 0.841621)², micro-scaled — the sample-size constant
+    * of every two-proportion power calculation. A LITERAL per the
+    * no-runtime-quantiles rule; [[mdeSampleSize]] injects it into
+    * both plans.
+    */
+  val PowerConst05_80Micro: Long = 7848880L
+
+  /** Required sample size per arm (the experiment PLANNING operator —
+    * run it on LAST experiment's observed rates before launching the
+    * next): for each group, the classic two-proportion formula
+    *
+    *   n/arm = (z_{α/2}+z_β)² · (p_a(1−p_a) + p_b(1−p_b)) / (p_a−p_b)²
+    *
+    * at alpha 0.05 / power 0.80, evaluated EXACTLY on the observed
+    * integer cells: with p_x = x_x/n_x the ratio reduces to
+    *
+    *   n_req = ceil( L6 · (x_a(n_a−x_a)·n_b² + x_b(n_b−x_b)·n_a²)
+    *                 div (1e6 · (x_a·n_b − x_b·n_a)²) )
+    *
+    * — one ceiling division of DECIMAL(38,0) cross-products
+    * (numerator reaches n⁴·L6 ≈ 1e31 at n = 1e6), L6 =
+    * [[PowerConst05_80Micro]]. Semantics: the n that would make the
+    * OBSERVED effect size detectable with 80% power — the "how much
+    * traffic would this readout have needed" column next to
+    * [[twoProportionZ]]'s "was it significant at the traffic it got".
+    *
+    * Conventions: exactly-two-variant groups only (the
+    * twoProportionZ rule); a ZERO observed difference (x_a·n_b =
+    * x_b·n_a) yields n_req NULL with delta_zero = true — no finite
+    * sample detects a zero effect, and publishing a sentinel number
+    * would read as a plan. Both-arms-degenerate variance (x = 0 and
+    * x = n on both sides simultaneously with a nonzero delta) cannot
+    * occur: a nonzero delta forces at least one nondegenerate arm,
+    * so the numerator is 0 only when delta is too.
+    *
+    * Scale shape: identical to [[twoProportionZ]] — one (group,
+    * variant) cell aggregate, min/max pivot, pure projection.
+    * Returns (group, variant_a, variant_b, n_a, x_a, n_b, x_b,
+    * delta_zero, n_req).
+    */
+  def mdeSampleSize(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = df
+      .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
+      .groupBy(groupCol.as("g"), variantCol.as("v"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(successCol.cast("long")).as("x"))
+    val mins = cells.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__nv"),
+        min(col("v")).as("variant_a"),
+        max(col("v")).as("variant_b"))
+      .filter(col("__nv") === 2L)
+    mins
+      .join(
+        cells.select(col("g"), col("v").as("variant_a"), col("n").as("n_a"), col("x").as("x_a")),
+        Seq("g", "variant_a"))
+      .join(
+        cells.select(col("g"), col("v").as("variant_b"), col("n").as("n_b"), col("x").as("x_b")),
+        Seq("g", "variant_b"))
+      .withColumn(
+        "__d",
+        expr(
+          """CAST(x_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |- CAST(x_b AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("delta_zero", col("__d") === lit(0))
+      .withColumn(
+        "n_req",
+        expr(
+          s"""CASE WHEN __d = 0 THEN CAST(NULL AS BIGINT)
+             |ELSE CAST(
+             |  (CAST($PowerConst05_80Micro AS DECIMAL(38,0))
+             |   * (CAST(x_a AS DECIMAL(38,0)) * CAST(n_a - x_a AS DECIMAL(38,0))
+             |      * CAST(n_b AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+             |      + CAST(x_b AS DECIMAL(38,0)) * CAST(n_b - x_b AS DECIMAL(38,0))
+             |        * CAST(n_a AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0)))
+             |   + CAST(1000000 AS DECIMAL(38,0)) * __d * __d - 1)
+             |  div (CAST(1000000 AS DECIMAL(38,0)) * __d * __d)
+             |AS BIGINT) END""".stripMargin))
+      .select(
+        col("g").as("group"),
+        col("variant_a"), col("variant_b"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("delta_zero"), col("n_req"))
+  }
+
+  /** Difference-in-differences (the quasi-experimental workhorse —
+    * Card & Krueger 1994 shape): when treatment wasn't randomized,
+    * compare the treated arm's pre→post CHANGE against the control
+    * arm's, cancelling any time-invariant arm difference and any
+    * arm-invariant time shock. Repeated cross-sections — four cells
+    * (arm × period), each observation belongs to one:
+    *
+    *   did = (ȳ_{b,post} − ȳ_{b,pre}) − (ȳ_{a,post} − ȳ_{a,pre})
+    *
+    * with arm a = lexicographic min (the control by convention),
+    * b = max. Micro-exact per the [[welchT]] two-stage discipline:
+    * each cell mean m6 and variance-of-mean von6 is ONE truncating
+    * division off exact integer moment sums (SS in DECIMAL from the
+    * first multiply); did6 = m6_b_post − m6_b_pre − m6_a_post +
+    * m6_a_pre (exact integer arithmetic on the stage boundary), and
+    * the four-cell Welch statistic t²6 = did6² div Σ von6 — cells
+    * are independent samples, so variances add. All four cells must
+    * have n ≥ 2 or the group is dropped (a variance needs 2
+    * observations); all-four-cells-constant degenerates Σvon6 = 0 →
+    * t2_6 = 0, not-significant (the twoProportionZ convention).
+    * `periodCol` must be boolean is-post.
+    *
+    * Scale shape: ONE hash aggregate to (group, arm, period) moment
+    * cells, a 4-way pivot via conditional min/max on the cell table,
+    * pure projection after. Returns (group, arm_a, arm_b, n_a_pre,
+    * n_a_post, n_b_pre, n_b_post, did6, t2_6, significant).
+    */
+  def diffInDiff(
+      df: DataFrame,
+      groupCol: Column,
+      armCol: Column,
+      isPostCol: Column,
+      metricCol: Column): DataFrame = {
+    val cells = df
+      .filter(
+        groupCol.isNotNull && armCol.isNotNull && isPostCol.isNotNull &&
+          metricCol.isNotNull)
+      .groupBy(groupCol.as("g"), armCol.as("arm"), isPostCol.cast("boolean").as("post"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(metricCol.cast("long")).as("s"),
+        sum(
+          metricCol.cast("long").cast("decimal(38,0)")
+            * metricCol.cast("long").cast("decimal(38,0)")).as("ss"))
+      .filter(col("n") >= 2L)
+      .withColumn(
+        "m6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+            |  div CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .withColumn(
+        "von6",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(n AS DECIMAL(38,0)) * ss
+            |      - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))))
+            |  div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+            |       * CAST(n - 1 AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+    val arms = cells.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__nc"),
+        min(col("arm")).as("arm_a"),
+        max(col("arm")).as("arm_b"))
+      .filter(col("__nc") === 4L)
+    def cell(arm: String, post: Boolean, suffix: String) =
+      cells
+        .filter(col("post") === lit(post))
+        .select(
+          col("g"), col("arm").as(arm),
+          col("n").as(s"n_$suffix"), col("m6").as(s"m6_$suffix"),
+          col("von6").as(s"von6_$suffix"))
+    arms
+      .join(cell("arm_a", post = false, "a_pre"), Seq("g", "arm_a"))
+      .join(cell("arm_a", post = true, "a_post"), Seq("g", "arm_a"))
+      .join(cell("arm_b", post = false, "b_pre"), Seq("g", "arm_b"))
+      .join(cell("arm_b", post = true, "b_post"), Seq("g", "arm_b"))
+      .withColumn(
+        "did6",
+        col("m6_b_post") - col("m6_b_pre") - col("m6_a_post") + col("m6_a_pre"))
+      .withColumn(
+        "__von",
+        col("von6_a_pre") + col("von6_a_post") + col("von6_b_pre") + col("von6_b_post"))
+      .withColumn(
+        "t2_6",
+        expr(
+          """CASE WHEN __von = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(did6 AS DECIMAL(38,0)) * CAST(did6 AS DECIMAL(38,0)))
+            |  div CAST(__von AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("g").as("group"), col("arm_a"), col("arm_b"),
+        col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+        col("did6"), col("t2_6"),
+        (col("t2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
+  /** Cohen's kappa inter-rater agreement (Cohen 1960) — the labeling-
+    * pipeline QA statistic: how much do two raters (a cheap gate vs
+    * the full classifier, two annotators, model vs human) agree
+    * BEYOND chance? Raw agreement po rewards a rater that always says
+    * the majority class; kappa subtracts the agreement their marginal
+    * distributions would produce by luck:
+    *
+    *   kappa = (po − pe) / (1 − pe),
+    *   po = Σ_c diag_c / N,   pe = Σ_c row_c·col_c / N²
+    *
+    * Exactness: kappa6 = 1e6·(N·D − M) div (N² − M) with D = Σ diag,
+    * M = Σ row_c·col_c — integer cross-products in DECIMAL(38,0)
+    * (M reaches N²), ONE truncating division; po6/pe6 published
+    * alongside as their own single divisions. Degenerate pe = 1
+    * (BOTH raters constant — N² = M) → kappa6 = 0 by convention,
+    * matching the limit argument (no information beyond chance
+    * exists to measure).
+    *
+    * Scale shape: one hash aggregate to the (r1, r2) confusion
+    * matrix (class-count² bounded), marginals as two grid
+    * re-aggregations, 1-row final. Returns one row (n, n_classes —
+    * distinct labels across both raters, po6, pe6, kappa6).
+    */
+  def cohensKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val grid = df
+      .filter(rater1.isNotNull && rater2.isNotNull)
+      .groupBy(rater1.as("r1"), rater2.as("r2"))
+      .agg(count(lit(1)).as("n"))
+    val rows = grid.groupBy(col("r1").as("c")).agg(sum(col("n")).as("rn"))
+    val cols = grid.groupBy(col("r2").as("c")).agg(sum(col("n")).as("cn"))
+    val marg = rows
+      .join(cols, Seq("c"), "full_outer")
+      .na.fill(0L, Seq("rn", "cn"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(expr("CAST(rn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))")).as("__m"))
+    val diag = grid.agg(
+      sum(col("n")).as("__nt"),
+      sum(when(col("r1") === col("r2"), col("n")).otherwise(0L)).as("__d"))
+    diag
+      .crossJoin(marg)
+      .withColumn(
+        "po6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(__d AS DECIMAL(38,0)))
+            |  div CAST(__nt AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .withColumn(
+        "pe6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * __m)
+            |  div (CAST(__nt AS DECIMAL(38,0)) * CAST(__nt AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "kappa6",
+        expr(
+          """CASE WHEN CAST(__nt AS DECIMAL(38,0)) * CAST(__nt AS DECIMAL(38,0)) = __m
+            |THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(__nt AS DECIMAL(38,0)) * CAST(__d AS DECIMAL(38,0)) - __m))
+            |  div (CAST(__nt AS DECIMAL(38,0)) * CAST(__nt AS DECIMAL(38,0)) - __m)
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("__nt").as("n"), col("n_classes"), col("po6"), col("pe6"), col("kappa6"))
+  }
+
+  /** Post-stratification adjustment (the survey-sampling estimator
+    * applied to experiment readouts): when arms are IMBALANCED across
+    * a stratum (mobile users randomized 60/40 by a logging bug, one
+    * source over-crawled), the raw per-arm rate confounds the arm
+    * effect with the stratum mix. Re-weight each arm's per-stratum
+    * rate by the POOLED stratum share:
+    *
+    *   adj_ppm(v) = Σ_s round( 1e6 · N_s · x_{v,s} div (N · n_{v,s}) )
+    *
+    * — per-stratum terms each ONE truncating division (the
+    * [[graft.operators.Checks]] psiFromCounts per-term discipline:
+    * denominators vary per stratum, so rounding happens per term and
+    * the sum is exact), N_s = pooled stratum size, N = pooled total.
+    * A stratum where an arm has ZERO traffic contributes nothing for
+    * that arm AND its pooled share is excluded from that arm's
+    * weight base (w_base — published so the caller sees how much of
+    * the population the adjusted rate actually covers; silent
+    * renormalization would hide structurally-missing strata).
+    *
+    * Scale shape: one hash aggregate to (variant, stratum) cells, a
+    * broadcast stratum-size grid join, per-variant sum — all bounded
+    * by variants × strata. Returns (variant, n, raw_ppm, adj_ppm,
+    * w_base_ppm).
+    */
+  def postStratify(
+      df: DataFrame,
+      variantCol: Column,
+      stratumCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = df
+      .filter(variantCol.isNotNull && stratumCol.isNotNull && successCol.isNotNull)
+      .groupBy(variantCol.as("v"), stratumCol.as("st"))
+      .agg(
+        count(lit(1)).as("n_vs"),
+        sum(successCol.cast("long")).as("x_vs"))
+    val strata = cells.groupBy(col("st")).agg(sum(col("n_vs")).as("n_s"))
+    val total = broadcast(strata.agg(sum(col("n_s")).as("__nt")))
+    cells
+      .join(broadcast(strata), Seq("st"))
+      .crossJoin(total)
+      .withColumn(
+        "__term",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * CAST(n_s AS DECIMAL(38,0))
+            |   * CAST(x_vs AS DECIMAL(38,0)))
+            |  div (CAST(__nt AS DECIMAL(38,0)) * CAST(n_vs AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "__wterm",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(n_s AS DECIMAL(38,0)))
+            |  div CAST(__nt AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .groupBy(col("v"))
+      .agg(
+        sum(col("n_vs")).as("n"),
+        sum(col("x_vs")).as("__x"),
+        sum(col("__term")).as("adj_ppm"),
+        sum(col("__wterm")).as("w_base_ppm"))
+      .withColumn(
+        "raw_ppm",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(__x AS DECIMAL(38,0)))
+            |  div CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .select(
+        col("v").as("variant"), col("n"), col("raw_ppm"), col("adj_ppm"),
+        col("w_base_ppm"))
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
+    * nonparametric test: each unit is its own control (pre vs post),
+    * and the question is whether the within-unit differences are
+    * symmetrically scattered around zero. The paired companion of
+    * [[mannWhitneyU]], sharing its doubled-mid-rank machinery: rank
+    * |d| over the DISTINCT-|d| count table (2r + t − 1 per member,
+    * always integer), T2 = doubled rank-sum of the d > 0 side.
+    * Zero differences are DROPPED (the classic Wilcoxon reduction;
+    * their count is reported as n_zero so the caller sees how much
+    * signal the drop discarded).
+    *
+    *   z²·1e6 = 3e6 · (2·T2 − n(n+1))² div (2n(n+1)(2n+1) − Σ(t³−t))
+    *
+    * — the tie-corrected normal approximation as ONE truncating
+    * division of exact integers. Valid range: (2T2 − n(n+1))² reaches
+    * n⁴, so DECIMAL(38,0) holds to n ≈ 3e7 nonzero pairs (micro
+    * numerator 3e6·n⁴ ≤ 1e38) — document-enforced, plenty for paired
+    * designs. All-zero differences (n = 0) degenerate the
+    * denominator → z²6 = 0, not-significant.
+    *
+    * Scale shape: one aggregate to the per-unit difference, one hash
+    * aggregate to the distinct-|d| count table, one running-sum window
+    * over the VALUE DOMAIN (never the corpus), 1-row final aggregate.
+    * Returns one row (n, n_zero, t2x — the DOUBLED positive-rank sum,
+    * z2_6, significant).
+    */
+  def wilcoxonSignedRank(df: DataFrame, preCol: Column, postCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val diffs = df
+      .filter(preCol.isNotNull && postCol.isNotNull)
+      .select((postCol.cast("long") - preCol.cast("long")).as("d"))
+    val zeroCnt = broadcast(
+      diffs.agg(sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero")))
+    val counts = diffs
+      .filter(col("d") =!= 0L)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(
+        count(lit(1)).as("t"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("np_v"))
+    val ranked = counts.withColumn(
+      "rmin",
+      coalesce(
+        sum(col("t")).over(
+          Window.orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + 1L)
+    val agg = ranked.agg(
+      sum(col("t")).as("n"),
+      sum(col("np_v") * (lit(2L) * col("rmin") + col("t") - 1L)).as("t2x"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("__ties3"))
+    agg
+      .na.fill(0L, Seq("n", "t2x", "__ties3"))
+      .crossJoin(zeroCnt)
+      .na.fill(0L, Seq("n_zero"))
+      .withColumn(
+        "__den",
+        expr(
+          """CAST(2 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+            |* CAST(n + 1 AS DECIMAL(38,0)) * CAST(2 * n + 1 AS DECIMAL(38,0))
+            |- CAST(__ties3 AS DECIMAL(38,0))""".stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN __den <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(3000000 AS DECIMAL(38,0))
+            |   * (CAST(2 AS DECIMAL(38,0)) * CAST(t2x AS DECIMAL(38,0))
+            |      - CAST(n AS DECIMAL(38,0)) * CAST(n + 1 AS DECIMAL(38,0)))
+            |   * (CAST(2 AS DECIMAL(38,0)) * CAST(t2x AS DECIMAL(38,0))
+            |      - CAST(n AS DECIMAL(38,0)) * CAST(n + 1 AS DECIMAL(38,0))))
+            |  div __den
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("n"), col("n_zero"), col("t2x"), col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+}

@@ -1,0 +1,231 @@
+package graft
+
+import graft.operators.Experiments
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the A/B-experimentation family:
+  * two-proportion z-test, Mann–Whitney U, CUPED adjustment. Every
+  * expected value is derived by hand from the textbook formula and
+  * asserted as the exact micro-integer the operator must emit.
+  */
+class ExperimentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("twoProportionZ: 8/10 vs 2/10 scores z2=7.2 exactly; degenerate pooled rate scores 0") {
+    // group g: A converts 8/10, B converts 2/10.
+    // d = x_a*n_b - x_b*n_a = 80-20 = 60; N = 20, X = 10.
+    // z2_6 = 1e6 * 60^2 * 20 div (10*10*10*10) = 7_200_000 — significant.
+    val rows =
+      (1 to 10).map(i => ("g", "A", if (i <= 8) 1L else 0L)) ++
+        (1 to 10).map(i => ("g", "B", if (i <= 2) 1L else 0L)) ++
+        // group z: nobody converts on either side -> X = 0 -> z2 0
+        (1 to 5).map(_ => ("z", "A", 0L)) ++ (1 to 5).map(_ => ("z", "B", 0L))
+    val got = Experiments
+      .twoProportionZ(rows.toDF("g", "v", "s"), col("g"), col("v"), col("s"))
+      .orderBy(col("group"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(7), r.getBoolean(8)))
+    assert(got.toSeq == Seq(("g", 7200000L, true), ("z", 0L, false)))
+  }
+
+  test("twoProportionZ: one-armed and three-armed groups are dropped") {
+    val rows = Seq(
+      ("one", "A", 1L), ("one", "A", 0L),
+      ("three", "A", 1L), ("three", "B", 0L), ("three", "C", 1L))
+    val got = Experiments
+      .twoProportionZ(rows.toDF("g", "v", "s"), col("g"), col("v"), col("s"))
+    assert(got.count() == 0L)
+  }
+
+  test("mannWhitneyU: no-tie complete separation scores z2=2.4; mid-rank ties score z2=1") {
+    // a={1,2}, b={3,4}: U_a = 0, mean 2, var 5/3 -> z2 = 2.4 exactly.
+    val sep = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("s", "v")
+    val r1 = Experiments.mannWhitneyU(sep, col("s"), col("v")).head()
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4), r1.getLong(5), r1.getBoolean(6)) ==
+      ((2L, 2L, 0L, 2400000L, false)))
+    // a={1,1}, b={1,2}: v=1 has t=3 (doubled mid-rank 4), ties3 = 24.
+    // 2U_a = 8 - 6 = 2; var with ties = 1 -> z2 = (1-2)^2/1 = 1.
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L)).toDF("s", "v")
+    val r2 = Experiments.mannWhitneyU(tied, col("s"), col("v")).head()
+    assert((r2.getLong(4), r2.getLong(5)) == ((2L, 1000000L)))
+  }
+
+  test("mannWhitneyU: all-equal values degenerate to z2=0; three sides fail fast") {
+    val const = Seq(("a", 5L), ("b", 5L)).toDF("s", "v")
+    val r = Experiments.mannWhitneyU(const, col("s"), col("v")).head()
+    assert((r.getLong(5), r.getBoolean(6)) == ((0L, false)))
+    val three = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("s", "v")
+    val e = intercept[Exception](
+      Experiments.mannWhitneyU(three, col("s"), col("v")).head())
+    assert(e.getMessage.contains("exactly 2 sides"))
+  }
+
+  test("cupedAdjust: perfectly linear metric collapses to a constant adjusted value") {
+    // y = 10x: theta6 = 1e7, and every unit's adj6 lands on 1e6*ybar = 2e7.
+    val df = Seq(("k1", 10L, 1L), ("k2", 20L, 2L), ("k3", 30L, 3L)).toDF("k", "y", "x")
+    val got = Experiments
+      .cupedAdjust(df, col("k"), col("y"), col("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("k1", 10000000L, 20000000L),
+      ("k2", 10000000L, 20000000L),
+      ("k3", 10000000L, 20000000L)))
+  }
+
+  test("cupedAdjust: constant covariate fails fast") {
+    val df = Seq(("k1", 10L, 5L), ("k2", 20L, 5L)).toDF("k", "y", "x")
+    val e = intercept[Exception](
+      Experiments.cupedAdjust(df, col("k"), col("y"), col("x")).head())
+    assert(e.getMessage.contains("covariate is constant"))
+  }
+
+  test("srmCheck: on-design split scores 0; 50/50 under a 1:3 design scores chi2=13.333") {
+    val w = Map("control" -> 1L, "treatment" -> 3L)
+    val onDesign =
+      (1 to 10).map(_ => ("g", "control")) ++ (1 to 30).map(_ => ("g", "treatment"))
+    val r0 = Experiments
+      .srmCheck(onDesign.toDF("g", "v"), col("g"), col("v"), w).head()
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getBoolean(4)) ==
+      ((40L, 2L, 0L, false)))
+    // 20/20 observed against 1:3 designed: 10 + 10/3 = 13.333... (micro-truncated per term)
+    val skew =
+      (1 to 20).map(_ => ("g", "control")) ++ (1 to 20).map(_ => ("g", "treatment"))
+    val r1 = Experiments
+      .srmCheck(skew.toDF("g", "v"), col("g"), col("v"), w).head()
+    assert((r1.getLong(3), r1.getBoolean(4)) == ((13333333L, true)))
+  }
+
+  test("srmCheck: zero-traffic designed arm still contributes; off-design variant fails fast") {
+    val w = Map("control" -> 1L, "treatment" -> 3L)
+    // all 8 rows landed in treatment: chi2 = 2 + 2/3 = 2.666666
+    val oneArm = (1 to 8).map(_ => ("g", "treatment"))
+    val r = Experiments
+      .srmCheck(oneArm.toDF("g", "v"), col("g"), col("v"), w).head()
+    assert((r.getLong(2), r.getLong(3), r.getBoolean(4)) == ((2L, 2666666L, false)))
+    val rogue = Seq(("g", "control"), ("g", "rogue"))
+    val e = intercept[Exception](
+      Experiments.srmCheck(rogue.toDF("g", "v"), col("g"), col("v"), w).head())
+    assert(e.getMessage.contains("outside the designed allocation"))
+    val tooMany = (1 to 12).map(i => s"v$i" -> 1L).toMap
+    val e2 = intercept[IllegalArgumentException](
+      Experiments.srmCheck(rogue.toDF("g", "v"), col("g"), col("v"), tooMany))
+    assert(e2.getMessage.contains("1..11"))
+  }
+
+  test("welchT: hand-computed unequal variances score t2=16.2; constant arms score 0") {
+    // A={2,4} (var 2), B={10,14} (var 8): t2 = 81/(1+4) = 16.2 exactly.
+    val rows = Seq(("g", "A", 2L), ("g", "A", 4L), ("g", "B", 10L), ("g", "B", 14L))
+    val r = Experiments
+      .welchT(rows.toDF("g", "v", "y"), col("g"), col("v"), col("y")).head()
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)) ==
+      ((2L, 2L, -9000000L, 16200000L, true)))
+    // both arms constant -> zero sampling variance -> 0 by convention
+    val const = Seq(("g", "A", 5L), ("g", "A", 5L), ("g", "B", 7L), ("g", "B", 7L))
+    val rc = Experiments
+      .welchT(const.toDF("g", "v", "y"), col("g"), col("v"), col("y")).head()
+    assert((rc.getLong(5), rc.getLong(6), rc.getBoolean(7)) == ((-2000000L, 0L, false)))
+  }
+
+  test("welchT: an arm with n < 2 drops its group") {
+    val rows = Seq(("g", "A", 2L), ("g", "B", 10L), ("g", "B", 14L))
+    assert(Experiments
+      .welchT(rows.toDF("g", "v", "y"), col("g"), col("v"), col("y")).count() == 0L)
+  }
+
+  test("mdeSampleSize: 8/10 vs 2/10 needs 7 per arm; zero delta yields null with the flag") {
+    // NUM = 8*2*100 + 2*8*100 = 3200; d = 60, d^2 = 3600.
+    // n_req = ceil(7848880*3200 / (1e6*3600)) = ceil(6.9768) = 7.
+    val rows =
+      (1 to 10).map(i => ("g", "A", if (i <= 8) 1L else 0L)) ++
+        (1 to 10).map(i => ("g", "B", if (i <= 2) 1L else 0L)) ++
+        // equal rates: delta 0 -> no finite n detects it
+        (1 to 2).map(i => ("z", "A", if (i <= 1) 1L else 0L)) ++
+        (1 to 2).map(i => ("z", "B", if (i <= 1) 1L else 0L))
+    val got = Experiments
+      .mdeSampleSize(rows.toDF("g", "v", "s"), col("g"), col("v"), col("s"))
+      .orderBy(col("group"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(7), if (r.isNullAt(8)) -1L else r.getLong(8)))
+    assert(got.toSeq == Seq(("g", false, 7L), ("z", true, -1L)))
+  }
+
+  test("diffInDiff: hand-computed 4-cell fixture scores did6=1e7, t2=6.25; missing cell drops") {
+    // every cell has spread {m-2, m+2}: von6 = 4e6 per cell, sum 16e6.
+    // means 12/22 (A pre/post), 12/32 (B): did6 = 20e6 - 10e6 = 1e7.
+    // t2_6 = 1e14 div 16e6 = 6_250_000 -> significant.
+    val rows = Seq(
+      ("g", "A", false, 10L), ("g", "A", false, 14L),
+      ("g", "A", true, 20L), ("g", "A", true, 24L),
+      ("g", "B", false, 10L), ("g", "B", false, 14L),
+      ("g", "B", true, 30L), ("g", "B", true, 34L),
+      // group m: B has no post cell -> dropped
+      ("m", "A", false, 1L), ("m", "A", false, 2L),
+      ("m", "A", true, 3L), ("m", "A", true, 4L),
+      ("m", "B", false, 5L), ("m", "B", false, 6L))
+    val got = Experiments
+      .diffInDiff(
+        rows.toDF("g", "arm", "post", "y"),
+        col("g"), col("arm"), col("post"), col("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(7), r.getLong(8), r.getBoolean(9)))
+    assert(got.toSeq == Seq(("g", 10000000L, 6250000L, true)))
+  }
+
+  test("cohensKappa: textbook confusion matrix scores kappa=0.4; anti-agreement scores -1") {
+    // diag 35 of 50; rows 25/25, cols 30/20 -> pe = 0.5, kappa = 0.4.
+    val rows =
+      (1 to 20).map(_ => ("yes", "yes")) ++ (1 to 5).map(_ => ("yes", "no")) ++
+        (1 to 10).map(_ => ("no", "yes")) ++ (1 to 15).map(_ => ("no", "no"))
+    val r = Experiments
+      .cohensKappa(rows.toDF("r1", "r2"), col("r1"), col("r2")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((50L, 2L, 700000L, 500000L, 400000L)))
+    // perfect anti-agreement on a balanced 2-class grid: kappa = -1
+    // (exercises the negative-numerator truncation path)
+    val anti = (1 to 5).map(_ => ("a", "b")) ++ (1 to 5).map(_ => ("b", "a"))
+    val ra = Experiments
+      .cohensKappa(anti.toDF("r1", "r2"), col("r1"), col("r2")).head()
+    assert(ra.getLong(4) == -1000000L)
+    // both raters constant: pe = 1, kappa 0 by convention
+    val const = (1 to 4).map(_ => ("x", "x"))
+    val rc = Experiments
+      .cohensKappa(const.toDF("r1", "r2"), col("r1"), col("r2")).head()
+    assert((rc.getLong(2), rc.getLong(4)) == ((1000000L, 0L)))
+  }
+
+  test("postStratify: pooled-mix reweighting moves the rate; missing stratum shrinks w_base") {
+    // strata: s1 pooled 8, s2 pooled 2, N = 10.
+    // A (s1 only, 2/4): adj = 1e6*8*2/(10*4) = 400000, w_base 800000, raw 500000.
+    // B (1/4 in s1, 1/2 in s2): adj = 200000 + 100000 = 300000, w_base 1e6, raw 333333.
+    val rows = Seq(
+      ("A", "s1", 1L), ("A", "s1", 1L), ("A", "s1", 0L), ("A", "s1", 0L),
+      ("B", "s1", 1L), ("B", "s1", 0L), ("B", "s1", 0L), ("B", "s1", 0L),
+      ("B", "s2", 1L), ("B", "s2", 0L))
+    val got = Experiments
+      .postStratify(rows.toDF("v", "st", "s"), col("v"), col("st"), col("s"))
+      .orderBy(col("variant"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 4L, 500000L, 400000L, 800000L),
+      ("B", 6L, 333333L, 300000L, 1000000L)))
+  }
+
+  test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
+    // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")
+    val r = Experiments.wilcoxonSignedRank(df, col("pre"), col("post")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      ((4L, 1L, 12L, 133333L, false)))
+    // d = +1,+1,-1 (full tie): mid-rank 2 each, Var = 3.5 - 0.5 = 3 -> z2 = 1/3.
+    val tied = Seq((0L, 1L), (0L, 1L), (1L, 0L)).toDF("pre", "post")
+    val rt = Experiments.wilcoxonSignedRank(tied, col("pre"), col("post")).head()
+    assert((rt.getLong(0), rt.getLong(2), rt.getLong(3)) == ((3L, 8L, 333333L)))
+    // all differences zero: n = 0, degenerate 0
+    val allz = Seq((5L, 5L), (7L, 7L)).toDF("pre", "post")
+    val rz = Experiments.wilcoxonSignedRank(allz, col("pre"), col("post")).head()
+    assert((rz.getLong(0), rz.getLong(1), rz.getLong(3)) == ((0L, 2L, 0L)))
+  }
+}
