@@ -944,6 +944,39 @@ object SparkEntryCoverage {
           (col("value") > 50.0).cast("long"))
         .orderBy(col("variant"))
     },
+    // Mutual information lang × source (Checks.mutualInformation):
+    // how many nats does source tell you about language? Per-cell
+    // micro-nat terms rounded once then exactly summed; NMI puts the
+    // association on a 0..1 scale.
+    "a_mutual_info" -> { (s, dir) =>
+      Checks.mutualInformation(t(s, dir, "documents"), col("lang"), col("source"))
+    },
+    // Neyman optimal allocation (Sampling.neymanAllocation): split a
+    // 100-row audit budget across event types by n_h·σ_h of the cent
+    // value — exact moment sums, one sqrt per stratum, largest-
+    // remainder integer apportionment (Σ alloc == 100 exactly).
+    "s_neyman_alloc" -> { (s, dir) =>
+      Sampling
+        .neymanAllocation(
+          t(s, dir, "events")
+            .filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type"),
+          round(col("value") * 100.0, 0).cast("long"),
+          100L)
+        .orderBy(col("stratum"))
+    },
+    // Dirichlet query likelihood (TextAnalysis.queryLikelihoodDirichlet):
+    // the language-modeling retrieval scorer next to BM25 — top 10
+    // docs for a 3-term query at mu=100, micro-nat exact scores.
+    "r_ql_dirichlet" -> { (s, dir) =>
+      TextAnalysis
+        .queryLikelihoodDirichlet(
+          t(s, dir, "documents"), "text", "doc_id",
+          Seq("table", "query", "join"), 100L)
+        .orderBy(col("score6").desc, col("id"))
+        .limit(10)
+        .select(col("id").as("doc_id"), col("len"), col("score6"))
+    },
     // RFM segmentation (Relational.rfmSegments): per user recency/
     // frequency/monetary tercile scores by exact rank cutoffs over
     // purchase events — 3/2/1 best-first, segment = 100R + 10F + M.
@@ -5580,6 +5613,41 @@ object SparkEntryCoverage {
       |       COALESCE(abs(z) >= 3.0, FALSE) AS is_anomaly
       |FROM z ORDER BY grp, bucket""".stripMargin
 
+  /** The two-proportion z-test oracle — shared by the one-shot batch
+    * test (a_ab_test) and the streaming cell-artifact monitor
+    * (st_ab_test), which must agree EXACTLY because the (n, x) cells
+    * are the sufficient statistic and counts are linear.
+    */
+  private[graft] lazy val abTestOracleSql: String =
+    """WITH cells AS (
+      | SELECT event_type AS g,
+      |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+      |        CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      | FROM events
+      | WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+      | GROUP BY 1, 2),
+      |mm AS (SELECT g, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+      |       FROM cells GROUP BY 1),
+      |j AS (SELECT mm.g, mm.variant_a, mm.variant_b,
+      |             a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+      |      FROM mm JOIN cells a ON a.g = mm.g AND a.v = mm.variant_a
+      |              JOIN cells b ON b.g = mm.g AND b.v = mm.variant_b
+      |      WHERE mm.nv = 2),
+      |z AS (SELECT j.*,
+      |        CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
+      |        ELSE CAST((CAST(1000000 AS HUGEINT)
+      |                   * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+      |                   * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+      |                   * CAST(n_a + n_b AS HUGEINT))
+      |              // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+      |                  * CAST(x_a + x_b AS HUGEINT)
+      |                  * CAST(n_a + n_b - x_a - x_b AS HUGEINT)) AS BIGINT) END AS z2_6
+      |      FROM j)
+      |SELECT g AS "group", variant_a, variant_b, n_a, x_a, n_b, x_b, z2_6,
+      |       z2_6 >= 3841459 AS significant
+      |FROM z ORDER BY "group"""".stripMargin
+
   /** The CMS heavy-hitter probe oracle — shared by the one-pass build
     * (a_cms_heavy) and the merged-shard-artifact path (a_cms_merged),
     * which must agree EXACTLY because CMS counters are linear.
@@ -6278,35 +6346,7 @@ object SparkEntryCoverage {
         |FROM base b JOIN k ON b.price_cents = k.m AND b.size = k.gb
         |WHERE k.pb IS NULL OR k.gb > k.pb
         |ORDER BY price_cents, p_partkey""".stripMargin,
-    "a_ab_test" ->
-      """WITH cells AS (
-        | SELECT event_type AS g,
-        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
-        |        CAST(COUNT(*) AS BIGINT) AS n,
-        |        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
-        | FROM events
-        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
-        | GROUP BY 1, 2),
-        |mm AS (SELECT g, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
-        |       FROM cells GROUP BY 1),
-        |j AS (SELECT mm.g, mm.variant_a, mm.variant_b,
-        |             a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
-        |      FROM mm JOIN cells a ON a.g = mm.g AND a.v = mm.variant_a
-        |              JOIN cells b ON b.g = mm.g AND b.v = mm.variant_b
-        |      WHERE mm.nv = 2),
-        |z AS (SELECT j.*,
-        |        CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
-        |        ELSE CAST((CAST(1000000 AS HUGEINT)
-        |                   * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
-        |                   * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
-        |                   * CAST(n_a + n_b AS HUGEINT))
-        |              // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
-        |                  * CAST(x_a + x_b AS HUGEINT)
-        |                  * CAST(n_a + n_b - x_a - x_b AS HUGEINT)) AS BIGINT) END AS z2_6
-        |      FROM j)
-        |SELECT g AS "group", variant_a, variant_b, n_a, x_a, n_b, x_b, z2_6,
-        |       z2_6 >= 3841459 AS significant
-        |FROM z ORDER BY "group"""".stripMargin,
+    "a_ab_test" -> abTestOracleSql,
     "a_mann_whitney" ->
       """WITH base AS (
         | SELECT event_type AS s, CAST(round(value * 100) AS BIGINT) AS v
@@ -6581,6 +6621,75 @@ object SparkEntryCoverage {
         |  CAST((CAST(1000000 AS HUGEINT) * x) // n AS BIGINT) AS raw_ppm,
         |  adj_ppm, w_base_ppm
         |FROM agg ORDER BY variant""".stripMargin,
+    "a_mutual_info" ->
+      """WITH g AS (SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS n_a FROM g GROUP BY 1),
+        |mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS n_b FROM g GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |         CAST(COUNT(DISTINCT a) AS BIGINT) AS ca,
+        |         CAST(COUNT(DISTINCT b) AS BIGINT) AS cb FROM g),
+        |mi AS (SELECT CAST(SUM(CAST(round(
+        |          (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |          * ln((CAST(n AS DOUBLE) * CAST(nt AS DOUBLE))
+        |               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT)) AS BIGINT) AS mi6
+        |       FROM g JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt),
+        |hA AS (SELECT CAST(SUM(CAST(round(
+        |          (CAST(n_a AS DOUBLE) / CAST(nt AS DOUBLE))
+        |          * ln(CAST(nt AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          * 1000000.0) AS BIGINT)) AS BIGINT) AS h_a6 FROM ma CROSS JOIN tt),
+        |hB AS (SELECT CAST(SUM(CAST(round(
+        |          (CAST(n_b AS DOUBLE) / CAST(nt AS DOUBLE))
+        |          * ln(CAST(nt AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          * 1000000.0) AS BIGINT)) AS BIGINT) AS h_b6 FROM mb CROSS JOIN tt)
+        |SELECT nt AS n, ca AS classes_a, cb AS classes_b, mi6, h_a6, h_b6,
+        |  CASE WHEN h_a6 + h_b6 = 0 THEN CAST(0 AS BIGINT)
+        |       WHEN mi6 >= 0 THEN CAST((1000000 * 2 * mi6) // (h_a6 + h_b6) AS BIGINT)
+        |       ELSE CAST(-((1000000 * 2 * -mi6) // (h_a6 + h_b6)) AS BIGINT) END AS nmi6
+        |FROM tt CROSS JOIN mi CROSS JOIN hA CROSS JOIN hB""".stripMargin,
+    "s_neyman_alloc" ->
+      """WITH st AS (SELECT event_type AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |    SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(round(value * 100) AS BIGINT)) AS ss
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1 HAVING COUNT(*) >= 2),
+        |w AS (SELECT stratum, n,
+        |   CAST(round(sqrt(
+        |     (CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |      * CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6
+        |  FROM st),
+        |tt AS (SELECT CAST(SUM(w6) AS BIGINT) AS wt FROM w),
+        |b AS (SELECT stratum, n, w6,
+        |   CAST((CAST(100 AS HUGEINT) * w6) // wt AS BIGINT) AS base,
+        |   CAST((CAST(100 AS HUGEINT) * w6) % wt AS BIGINT) AS rem
+        |  FROM w CROSS JOIN tt),
+        |lv AS (SELECT 100 - CAST(SUM(base) AS BIGINT) AS lft FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM b)
+        |SELECT stratum, n, w6,
+        |  CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r CROSS JOIN lv ORDER BY stratum""".stripMargin,
+    "r_ql_dirichlet" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text),'\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |lens AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+        |ct AS (SELECT CAST(SUM(tf) AS BIGINT) AS c FROM tf),
+        |qt(term) AS (VALUES ('table'), ('query'), ('join')),
+        |cf AS (SELECT tf.term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf JOIN qt USING (term)
+        |       GROUP BY 1),
+        |grid AS (SELECT l.id, l.len, f.term, f.cf, ct.c, COALESCE(t.tf, 0) AS tf
+        |  FROM lens l CROSS JOIN cf f CROSS JOIN ct
+        |  LEFT JOIN tf t ON t.id = l.id AND t.term = f.term),
+        |tm AS (SELECT id, len,
+        |   CAST(round(ln(CAST(tf * c + 100 * cf AS DOUBLE)
+        |                 / (CAST(len + 100 AS DOUBLE) * CAST(c AS DOUBLE)))
+        |              * 1000000.0) AS BIGINT) AS t6
+        |  FROM grid)
+        |SELECT id AS doc_id, CAST(MAX(len) AS BIGINT) AS len,
+        |       CAST(SUM(t6) AS BIGINT) AS score6
+        |FROM tm GROUP BY 1 ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin,
     "a_rfm_segments" ->
       """WITH per AS (
         | SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,

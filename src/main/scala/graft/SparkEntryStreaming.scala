@@ -549,6 +549,49 @@ object SparkEntryStreaming {
           zThreshold = 3.0)
         .orderBy(col("grp"), col("bucket"))
     },
+    // Streaming EXPERIMENT monitor — the a_ab_test readout fed by
+    // the live intake: each micro-batch appends its PARTIAL (group,
+    // variant, n, x) cells to a persisted cell artifact (counts are
+    // linear — no state store), and the monitor scores the SUM-merged
+    // cells with Experiments.twoProportionZFromCells. The cells are
+    // the test's sufficient statistic, so this must equal the
+    // one-shot batch z-test exactly — shared oracle.
+    "st_ab_test" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/abcells_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      // fresh empty base with the partial-cell schema (clears any
+      // prior run's appends)
+      ev.filter(lit(false))
+        .select(
+          col("event_type").cast("string").as("g"),
+          lit("A").as("v"),
+          lit(0L).as("n"),
+          lit(0L).as("x"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("user_id").isNotNull && col("value").isNotNull &&
+              col("event_type").isNotNull)
+            .groupBy(
+              col("event_type").cast("string").as("g"),
+              when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")).as("v"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum((col("value") > 50.0).cast("long")).as("x"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .twoProportionZFromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("g"), col("v"))
+            .agg(sum(col("n")).as("n"), sum(col("x")).as("x")))
+        .orderBy(col("group"))
+    },
     // Streaming PHASH maintenance — re-crawled media re-hashed per
     // micro-batch: the base index holds STALE codes for every 5th doc
     // (a '?'-run appended — bin 15 and the byte length move, so the
@@ -951,6 +994,10 @@ object SparkEntryStreaming {
     // count linearity: streamed partial counts SUM-merge to the
     // one-pass aggregation, so the batch gate's oracle is shared
     "st_volume_anomaly" -> SparkEntryCoverage.volumeAnomalyOracleSql,
+    // cells are the z-test's sufficient statistic and counts are
+    // linear, so the streamed cell artifact scores bit-equal to the
+    // one-shot batch test
+    "st_ab_test" -> SparkEntryCoverage.abTestOracleSql,
     // sketch merge-invariance makes the streamed KMV bit-equal to the
     // batch recomputation (a_kmv_distinct's oracle minus the exact-
     // count column)

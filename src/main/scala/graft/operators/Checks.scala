@@ -806,6 +806,87 @@ object Checks {
           .otherwise(lit(0L)).as("cramer_v6"))
   }
 
+  /** Mutual information between two categorical columns (lang ×
+    * source, variant × segment) in exact micro-nats — the
+    * information-theoretic companion of [[chiSquareIndependence]]:
+    * chi² asks "is there ANY association", MI measures HOW MANY bits
+    * (nats) one column tells you about the other, and the normalized
+    * form NMI = 2·MI/(H_a+H_b) puts it on a 0..1 scale comparable
+    * across tables. The mixture-design gate: a corpus where source
+    * determines language (NMI → 1) cannot be rebalanced on one axis
+    * without skewing the other.
+    *
+    * Exactness — the entropy-family discipline ([[psiFromCounts]],
+    * t_source_kl): each occupied cell's term
+    *   round(1e6 · (n_ab/N) · ln(n_ab·N / (n_a·n_b)))
+    * is rounded ONCE to a micro-nat BIGINT, then exactly summed
+    * (empty cells contribute exactly 0 and are skipped — lim x·ln x
+    * = 0). The marginal entropies take the same per-class treatment.
+    * The only floats are ln/division on identical doubles built from
+    * exact integers. nmi6 = 1e6·2·mi6 div (h_a6 + h_b6) — one
+    * truncating division of already-rounded integers (rounding can
+    * leave mi6 a hair negative on independent columns; the division
+    * truncates toward zero, parity pinned in the oracle). Both
+    * columns constant → H sums 0 → nmi6 = 0 by convention.
+    *
+    * Scale shape: one hash aggregate to the (a, b) grid, two grid
+    * re-aggregations for marginals, 1-row final — all bounded by the
+    * class-count product, never the corpus. Returns one row (n,
+    * classes_a, classes_b, mi6, h_a6, h_b6, nmi6).
+    */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val grid = df
+      .filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("n"))
+    val ma = grid.groupBy(col("__a")).agg(sum(col("n")).as("n_a"))
+    val mb = grid.groupBy(col("__b")).agg(sum(col("n")).as("n_b"))
+    val tot = broadcast(
+      grid.agg(
+        sum(col("n")).cast("long").as("__nt"),
+        count_distinct(col("__a")).as("__ca"),
+        count_distinct(col("__b")).as("__cb")))
+    val mi = grid
+      .join(ma, Seq("__a"))
+      .join(mb, Seq("__b"))
+      .crossJoin(tot)
+      .withColumn(
+        "__t6",
+        round(
+          (col("n").cast("double") / col("__nt").cast("double")) *
+            log(
+              (col("n").cast("double") * col("__nt").cast("double")) /
+                (col("n_a").cast("double") * col("n_b").cast("double"))) *
+            lit(1e6),
+          0).cast("long"))
+      .agg(sum(col("__t6")).as("mi6"))
+    def entropy6(m: DataFrame, cnt: String) =
+      m.crossJoin(tot)
+        .withColumn(
+          "__h6",
+          round(
+            (col(cnt).cast("double") / col("__nt").cast("double")) *
+              log(col("__nt").cast("double") / col(cnt).cast("double")) *
+              lit(1e6),
+            0).cast("long"))
+        .agg(sum(col("__h6")))
+    val ha = broadcast(entropy6(ma, "n_a").toDF("h_a6"))
+    val hb = broadcast(entropy6(mb, "n_b").toDF("h_b6"))
+    mi
+      .crossJoin(broadcast(tot))
+      .crossJoin(ha)
+      .crossJoin(hb)
+      .select(
+        col("__nt").as("n"),
+        col("__ca").as("classes_a"),
+        col("__cb").as("classes_b"),
+        col("mi6"), col("h_a6"), col("h_b6"),
+        expr(
+          """CASE WHEN h_a6 + h_b6 = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000 * 2 * mi6 div (h_a6 + h_b6) AS BIGINT) END""".stripMargin)
+          .as("nmi6"))
+  }
+
   /** Simpson concentration index per group, over a class column:
     * D = Σ_i n_i(n_i−1) / (N(N−1)) — the probability two documents
     * drawn WITHOUT replacement from the group share a class. The

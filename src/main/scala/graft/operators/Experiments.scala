@@ -145,13 +145,27 @@ object Experiments {
       df: DataFrame,
       groupCol: Column,
       variantCol: Column,
-      successCol: Column): DataFrame = {
-    val cells = df
-      .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
-      .groupBy(groupCol.as("g"), variantCol.as("v"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(successCol.cast("long")).as("x"))
+      successCol: Column): DataFrame =
+    twoProportionZFromCells(
+      df
+        .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
+        .groupBy(groupCol.as("g"), variantCol.as("v"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(successCol.cast("long")).as("x")))
+
+  /** [[twoProportionZ]] off a PRE-AGGREGATED cell table (g, v, n, x)
+    * — the always-on experiment-monitor entry point: cells are linear
+    * (SUM-mergeable, no state store), so a live intake appends
+    * per-micro-batch partial cells to a persisted artifact and the
+    * monitor scores the sum-merge, exactly the
+    * [[graft.operators.Checks]] volume-gate / CMS artifact-is-the-
+    * state discipline. Callers merging partials must sum n and x per
+    * (g, v) before calling; the statistic then equals the one-shot
+    * batch test bit-for-bit (the counts ARE the sufficient
+    * statistic).
+    */
+  def twoProportionZFromCells(cells: DataFrame): DataFrame = {
     // two-pass pivot over the tiny cell table: name the (min, max)
     // variant per group first, then join each arm's cell back on
     val mins = cells.groupBy(col("g"))

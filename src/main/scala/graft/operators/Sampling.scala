@@ -541,6 +541,97 @@ object Sampling {
     * the caller's with-replacement decision, documented not policed).
     * Returns (stratum, n, quota) for every non-null stratum.
     */
+  /** Neyman optimal allocation (Neyman 1934) — the variance-aware
+    * upgrade of [[quotaLargestRemainder]]: allocate an integer sample
+    * budget k across strata proportionally to N_h·σ_h instead of
+    * N_h, so high-variance strata (where each extra sample buys the
+    * most estimator precision) get more of the budget. The stratified
+    * -sampling planner for audit/eval draws over heterogeneous
+    * sources.
+    *
+    * Determinism: the per-stratum weight is
+    *   w6_h = round(1e6 · sqrt((Q_h · n_h) / (n_h − 1))),
+    *   Q_h = n_h·SS_h − S_h²   (≥ 0 by Cauchy–Schwarz)
+    * — exact integer moment sums into ONE double division and one
+    * correctly-rounded IEEE sqrt (the a_gini/chi² float class),
+    * rounded ONCE to a micro BIGINT; the apportionment over w6 is
+    * then the exact largest-remainder arithmetic of
+    * [[quotaLargestRemainder]] (base = k·w6 div W in DECIMAL, ties
+    * by (remainder desc, stratum)). N_h·σ_h = sqrt(n·Q/(n−1))
+    * because σ_h = sqrt(Q/(n(n−1))). Valid range: Q·n must stay
+    * exact in a double (≲ 2^53) — cent-scale metrics to ~1e6 rows ×
+    * 1e4-cent spread; quantize coarser above that.
+    *
+    * Conventions: strata with n < 2 are EXCLUDED (no variance
+    * evidence — Neyman is undefined; pre-assign them separately);
+    * a constant stratum (Q = 0) gets weight 0 and thus allocation 0
+    * (zero variance needs zero samples under the optimality
+    * criterion — pad with a minimum if policy requires eyes-on);
+    * ALL strata constant fails fast in-plan (no variance signal
+    * anywhere — use quotaLargestRemainder).
+    *
+    * Scale shape: one hash aggregate to stratum moments, a broadcast
+    * 1-row total, one stratum-bounded window. Returns (stratum, n,
+    * w6, alloc) with Σ alloc == k exactly.
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: Column,
+      valueCol: Column,
+      k: Long): DataFrame = {
+    require(k >= 0L, "k must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val strata = df
+      .filter(stratumCol.isNotNull && valueCol.isNotNull)
+      .groupBy(stratumCol.as("stratum"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(valueCol.cast("long")).as("__s"),
+        sum(
+          valueCol.cast("long").cast("decimal(38,0)")
+            * valueCol.cast("long").cast("decimal(38,0)")).as("__ss"))
+      .filter(col("n") >= 2L)
+      .withColumn(
+        "__q",
+        expr(
+          """CAST(n AS DECIMAL(38,0)) * __ss
+            |- CAST(__s AS DECIMAL(38,0)) * CAST(__s AS DECIMAL(38,0))""".stripMargin))
+      .withColumn(
+        "w6",
+        round(
+          sqrt(
+            (col("__q").cast("double") * col("n").cast("double")) /
+              (col("n") - 1L).cast("double")) * lit(1e6),
+          0).cast("long"))
+    val tot = broadcast(strata.agg(sum(col("w6")).as("__w")))
+    val based = strata
+      .crossJoin(tot)
+      .filter(
+        assert_true(
+          col("__w") > 0L,
+          lit("neymanAllocation: every stratum is constant (zero variance " +
+            "everywhere) — no Neyman signal; use quotaLargestRemainder")).isNull)
+      .withColumn(
+        "__base",
+        expr(s"CAST((CAST($k AS DECIMAL(38,0)) * w6) div __w AS BIGINT)"))
+      .withColumn(
+        "__rem",
+        expr(s"CAST((CAST($k AS DECIMAL(38,0)) * w6) % __w AS BIGINT)"))
+    val leftover = broadcast(
+      based.agg((lit(k) - sum(col("__base"))).as("__left")))
+    based
+      .withColumn(
+        "__rk",
+        row_number().over(Window.orderBy(col("__rem").desc, col("stratum"))))
+      .crossJoin(leftover)
+      .select(
+        col("stratum"),
+        col("n"),
+        col("w6"),
+        (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   def quotaLargestRemainder(df: DataFrame, stratumCol: Column, k: Long): DataFrame = {
     require(k >= 0L, "k must be >= 0")
     import org.apache.spark.sql.expressions.Window

@@ -520,6 +520,76 @@ object TextAnalysis {
           " ").as("snippet"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    * 1998; Zhai & Lafferty 2001) — the language-modeling scorer next
+    * to BM25: rank documents by the probability their unigram LM
+    * generates the query, with Dirichlet prior mu shrinking short
+    * documents toward the corpus model,
+    *
+    *   score(q, d) = Σ_{t∈q} ln( (tf_td·|C| + mu·cf_t)
+    *                             / ((len_d + mu)·|C|) )
+    *
+    * The two models disagree exactly where their assumptions differ
+    * (BM25's tf saturation vs QL's length-prior), which is why
+    * hybrid stacks run both.
+    *
+    * Exactness (the perplexity micro-nat discipline): numerator and
+    * denominator of each term are EXACT integers (mu is an integer
+    * knob), one double division + ln per (doc, query term), rounded
+    * ONCE to micro-nats, exact BIGINT sum per doc. Valid range: the
+    * denominator product (len_d + mu)·|C| must stay exact in a
+    * double (≲ 2^53 — corpora to ~4e12 tokens at len+mu ≤ 2k; shard
+    * the corpus stats beyond that). Query terms ABSENT from the
+    * corpus are skipped (cf = 0 has no Dirichlet mass — the standard
+    * reduction); every indexed doc scores, including those matching
+    * no query term (smoothing gives them the background score — QL
+    * is a total ranking, unlike BM25's match-only output).
+    *
+    * Scale shape: one token aggregate to (doc, term, tf), doc
+    * lengths and |C| as rollups, the scoring grid = doc-lengths ×
+    * (≤ |q| broadcast query terms) with a left tf join — never a
+    * corpus × vocab product. Returns (id, len, score6) for every
+    * non-empty doc.
+    */
+  def queryLikelihoodDirichlet(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      qTerms: Seq[String],
+      mu: Long): DataFrame = {
+    require(qTerms.nonEmpty, "qTerms must be non-empty")
+    require(mu > 0L, "mu must be positive (0 disables smoothing and " +
+      "zero-tf terms would take ln(0))")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col("id")).agg(sum(col("tf")).as("len"))
+    val ctot = broadcast(tf.agg(sum(col("tf")).cast("long").as("__c")))
+    val cf = broadcast(
+      tf.join(broadcast(qTerms.distinct.toDF("term")), Seq("term"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).cast("long").as("cf")))
+    lens
+      .crossJoin(cf)
+      .crossJoin(ctot)
+      .join(tf, Seq("id", "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .withColumn(
+        "__t6",
+        round(
+          log(
+            (col("tf") * col("__c") + lit(mu) * col("cf")).cast("double") /
+              ((col("len") + lit(mu)).cast("double") * col("__c").cast("double"))) *
+            lit(1e6),
+          0).cast("long"))
+      .groupBy(col("id"))
+      .agg(max(col("len")).as("len"), sum(col("__t6")).as("score6"))
+  }
+
   /** BM25 scoring ENTIRELY off a persisted postings index (k1 = 1.2,
     * b = 0.75, the engine's standard constants): tf is the posting's
     * position count, document lengths come from the index's `_doclen`

@@ -134,6 +134,19 @@ class ExperimentsSpec extends SparkSpec {
       .welchT(rows.toDF("g", "v", "y"), col("g"), col("v"), col("y")).count() == 0L)
   }
 
+  test("twoProportionZFromCells: sum-merged partial cells equal the one-shot test exactly") {
+    // the cells are the sufficient statistic — two partial batches
+    // merged by summing (n, x) must reproduce the 8/10-vs-2/10 score
+    val partials = Seq(
+      ("g", "A", 6L, 5L), ("g", "B", 4L, 1L),  // batch 1
+      ("g", "A", 4L, 3L), ("g", "B", 6L, 1L))  // batch 2
+      .toDF("g", "v", "n", "x")
+    val merged = partials.groupBy(col("g"), col("v"))
+      .agg(sum(col("n")).as("n"), sum(col("x")).as("x"))
+    val r = Experiments.twoProportionZFromCells(merged).head()
+    assert((r.getLong(7), r.getBoolean(8)) == ((7200000L, true)))
+  }
+
   test("mdeSampleSize: 8/10 vs 2/10 needs 7 per arm; zero delta yields null with the flag") {
     // NUM = 8*2*100 + 2*8*100 = 3200; d = 60, d^2 = 3600.
     // n_req = ceil(7848880*3200 / (1e6*3600)) = ceil(6.9768) = 7.

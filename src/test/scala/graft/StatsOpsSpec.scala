@@ -233,6 +233,63 @@ class StatsOpsSpec extends SparkSpec {
     assert(sq == Set((1L, 3L, 2885390L), (2L, 4L, 2885390L)))
   }
 
+  test("mutualInformation: perfect dependence scores NMI=1; independence and constants score 0") {
+    // diagonal 2x2: each cell term = 0.5*ln(2) -> 346574 micro-nats.
+    val dep = Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2"))
+    val d = Checks
+      .mutualInformation(dep.toDF("a", "b"), col("a"), col("b")).head()
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3), d.getLong(6)) ==
+      ((10L, 2L, 2L, 693148L, 1000000L)))
+    // uniform 2x2: every cell ln(1) = 0 -> MI 0, NMI 0
+    val ind = Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a1", "b2")) ++
+      Seq.fill(5)(("a2", "b1")) ++ Seq.fill(5)(("a2", "b2"))
+    val i = Checks
+      .mutualInformation(ind.toDF("a", "b"), col("a"), col("b")).head()
+    assert((i.getLong(3), i.getLong(6)) == ((0L, 0L)))
+    // both columns constant: H sums 0 -> NMI 0 by convention
+    val c = Checks
+      .mutualInformation(
+        Seq.fill(4)(("x", "y")).toDF("a", "b"), col("a"), col("b")).head()
+    assert((c.getLong(3), c.getLong(4), c.getLong(5), c.getLong(6)) ==
+      ((0L, 0L, 0L, 0L)))
+  }
+
+  test("neymanAllocation: budget splits by n*sigma; constant stratum gets 0; n<2 excluded") {
+    // s1 {0,2}: w6 = round(1e6*sqrt(8)) = 2828427; s2 {0,4}: sqrt(32) -> 5656854;
+    // s3 constant -> 0; s4 singleton -> excluded. k=3 lands (1, 2, 0).
+    val rows = Seq(
+      ("s1", 0L), ("s1", 2L), ("s2", 0L), ("s2", 4L),
+      ("s3", 3L), ("s3", 3L), ("s4", 9L))
+    val got = Sampling
+      .neymanAllocation(rows.toDF("st", "v"), col("st"), col("v"), 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("s1", 2828427L, 1L), ("s2", 5656854L, 2L), ("s3", 0L, 0L)))
+    // all strata constant: no Neyman signal -> fail fast
+    val flat = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+    val e = intercept[Exception](
+      Sampling.neymanAllocation(flat.toDF("st", "v"), col("st"), col("v"), 2L).head())
+    assert(e.getMessage.contains("every stratum is constant"))
+  }
+
+  test("queryLikelihoodDirichlet: hand-computed micro-nat scores; absent terms skipped") {
+    // d1 "a a b" (len 3), d2 "b c" (len 2), C = 5, cf(a) = 2, mu = 2.
+    // score(d1) = ln(14/25) -> -579818; score(d2) = ln(4/20) -> -1609438.
+    // query term z is absent from the corpus and contributes nothing.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .queryLikelihoodDirichlet(docs, "text", "doc_id", Seq("a", "z"), 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, -579818L), (2L, 2L, -1609438L)))
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.queryLikelihoodDirichlet(docs, "text", "doc_id", Seq("a"), 0L))
+    assert(e.getMessage.contains("mu must be positive"))
+  }
+
   test("skyline2d: dominated rows drop, duplicates of a front point all survive") {
     import graft.operators.Relational
     val rows = Seq(
