@@ -977,6 +977,52 @@ object SparkEntryCoverage {
         .limit(10)
         .select(col("id").as("doc_id"), col("len"), col("score6"))
     },
+    // Group-sequential OBF looks (Experiments.obfLooks5): the a_ab_test
+    // readout peeked CORRECTLY at 5 equally-spaced looks — cumulative
+    // cells per look, pooled z² vs the O'Brien-Fleming boundary
+    // literals (look-1 z² ~ 20.8 spends almost no alpha early).
+    "a_obf_looks" -> { (s, dir) =>
+      Experiments
+        .obfLooks5(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          (col("value") > 50.0).cast("long"),
+          least(
+            lit(5L),
+            lit(1L) +
+              expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 6 AS BIGINT)")))
+        .orderBy(col("group"), col("look"))
+    },
+    // Empirical-Bayes rate shrinkage (Experiments.ebShrinkRates): per
+    // user high-value rate pulled toward the global mean with
+    // evidence-proportional strength — the rank-small-samples
+    // estimator, method-of-moments prior in exact integers.
+    "a_eb_rates" -> { (s, dir) =>
+      Experiments
+        .ebShrinkRates(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          col("user_id"),
+          (col("value") > 50.0).cast("long"))
+        .orderBy(col("group"))
+    },
+    // Directed reciprocity (Graph.reciprocity): consecutive-line part
+    // transitions within each order as directed edges — the mutual-
+    // follow fingerprint in exact ppm.
+    "g_reciprocity" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      Graph.reciprocity(
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("src"))
+          .join(
+            li.select(
+              col("l_orderkey"),
+              (col("l_linenumber") - 1).as("l_linenumber"),
+              col("l_partkey").as("dst")),
+            Seq("l_orderkey", "l_linenumber")))
+    },
     // RFM segmentation (Relational.rfmSegments): per user recency/
     // frequency/monetary tercile scores by exact rank cutoffs over
     // purchase events — 3/2/1 best-first, segment = 100R + 10F + M.
@@ -6690,6 +6736,86 @@ object SparkEntryCoverage {
         |SELECT id AS doc_id, CAST(MAX(len) AS BIGINT) AS len,
         |       CAST(SUM(t6) AS BIGINT) AS score6
         |FROM tm GROUP BY 1 ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin,
+    "a_obf_looks" ->
+      """WITH base AS (
+        | SELECT event_type AS g,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |        least(5, 1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 6) AS look,
+        |        CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+        | FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |cells AS (SELECT g, v, CAST(look AS BIGINT) AS look,
+        |            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS x
+        |          FROM base GROUP BY 1, 2, 3),
+        |cum AS (SELECT g, v, look,
+        |          CAST(SUM(n) OVER (PARTITION BY g, v ORDER BY look
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |          CAST(SUM(x) OVER (PARTITION BY g, v ORDER BY look
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
+        |        FROM cells),
+        |mm AS (SELECT g, look, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+        |       FROM cum GROUP BY 1, 2),
+        |bd(look, bound6) AS (VALUES (CAST(1 AS BIGINT), CAST(20814120 AS BIGINT)),
+        |  (2, 10407060), (3, 6938040), (4, 5203530), (5, 4162824)),
+        |j AS (SELECT mm.g, mm.look,
+        |             a.cn AS n_a, a.cx AS x_a, b.cn AS n_b, b.cx AS x_b, bd.bound6
+        |      FROM mm JOIN cum a ON a.g = mm.g AND a.look = mm.look AND a.v = mm.variant_a
+        |              JOIN cum b ON b.g = mm.g AND b.look = mm.look AND b.v = mm.variant_b
+        |              JOIN bd ON bd.look = mm.look
+        |      WHERE mm.nv = 2),
+        |z AS (SELECT j.*,
+        |        CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(1000000 AS HUGEINT)
+        |                   * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+        |                   * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+        |                   * CAST(n_a + n_b AS HUGEINT))
+        |              // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+        |                  * CAST(x_a + x_b AS HUGEINT)
+        |                  * CAST(n_a + n_b - x_a - x_b AS HUGEINT)) AS BIGINT) END AS z2_6
+        |      FROM j)
+        |SELECT g AS "group", look, n_a, x_a, n_b, x_b, z2_6, bound6,
+        |       z2_6 >= bound6 AS crossed
+        |FROM z ORDER BY "group", look""".stripMargin,
+    "a_eb_rates" ->
+      """WITH cells AS (
+        | SELECT user_id AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+        |r AS (SELECT g, n, x, CAST((1000000 * x) // n AS BIGINT) AS raw6 FROM cells),
+        |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS gc,
+        |         CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(x) AS BIGINT) AS xt,
+        |         CAST(SUM(raw6) AS BIGINT) AS sp,
+        |         SUM(CAST(raw6 AS HUGEINT) * raw6) AS spp
+        |       FROM r),
+        |pri AS (SELECT gc, CAST((1000000 * xt) // nt AS BIGINT) AS m6,
+        |          CAST((CAST(gc AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp)
+        |               // (CAST(gc AS HUGEINT) * (gc - 1)) AS BIGINT) AS v12
+        |        FROM mo),
+        |nu AS (SELECT m6,
+        |         CASE WHEN v12 <= 0 THEN CAST(0 AS BIGINT)
+        |         ELSE greatest(CAST(0 AS BIGINT),
+        |           CAST((CAST(m6 AS HUGEINT) * (1000000 - m6)) // v12 AS BIGINT) - 1) END
+        |           AS nu
+        |       FROM pri)
+        |SELECT r.g AS "group", r.n, r.x, r.raw6,
+        |  CAST((CAST(1000000 AS HUGEINT) * r.x + CAST(nu.m6 AS HUGEINT) * nu.nu)
+        |       // (r.n + nu.nu) AS BIGINT) AS eb6
+        |FROM r CROSS JOIN nu ORDER BY "group"""".stripMargin,
+    "g_reciprocity" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        |ed0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |        FROM li a JOIN li b
+        |          ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1),
+        |ed AS (SELECT DISTINCT src, dst FROM ed0 WHERE src <> dst
+        |       AND src IS NOT NULL AND dst IS NOT NULL),
+        |rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rec FROM ed e
+        |        WHERE EXISTS (SELECT 1 FROM ed r WHERE r.src = e.dst AND r.dst = e.src)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed)
+        |SELECT tot.n_edges, rec.n_rec AS n_reciprocated,
+        |  CASE WHEN tot.n_edges = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((1000000 * rec.n_rec) // tot.n_edges AS BIGINT) END AS reciprocity_ppm
+        |FROM tot CROSS JOIN rec""".stripMargin,
     "a_rfm_segments" ->
       """WITH per AS (
         | SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,

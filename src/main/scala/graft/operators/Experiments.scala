@@ -820,6 +820,189 @@ object Experiments {
         col("w_base_ppm"))
   }
 
+  /** O'Brien–Fleming z² boundaries (micro-scaled) for K = 5 equally
+    * spaced looks at overall alpha 0.05 two-sided: z_k = C·sqrt(K/k)
+    * with C = 2.0403 (Jennison & Turnbull, Table 2.3), so z²_k·1e6 =
+    * C²·1e6·K/k. LITERALS per the no-runtime-quantiles rule.
+    */
+  val ObfZ2Micro5: Seq[Long] =
+    Seq(20814120L, 10407060L, 6938040L, 5203530L, 4162824L)
+
+  /** Group-sequential A/B readout with O'Brien–Fleming spending over
+    * K = 5 equally spaced looks — the CORRECT way to peek at a
+    * running experiment: the naive [[twoProportionZ]] applied daily
+    * inflates false positives to ~14% at 5 peeks; OBF spends almost
+    * no alpha early (look-1 boundary z² ≈ 20.8) and preserves the
+    * overall 5% level. Each row carries its look index (1..5 — the
+    * period it ARRIVED in); the statistic at look k is the pooled z²
+    * of the CUMULATIVE cells through k, compared against
+    * [[ObfZ2Micro5]](k−1).
+    *
+    * Exactness: cumulative (n, x) cells come from one running-sum
+    * window over the (group, variant, look) cell table (looks-bounded,
+    * never the corpus); each look's z²6 is the [[twoProportionZ]]
+    * DECIMAL cross-product division; crossing is an integer compare.
+    * Degenerate looks (pooled X = 0 or X = N so far) score 0 — the
+    * early-looks norm. A look with only one arm so far is omitted
+    * (no comparison exists yet); it reappears once both arms have
+    * traffic, with cumulative counts.
+    *
+    * Scale shape: one hash aggregate to (group, variant, look) cells,
+    * a ≤5-row window per (group, variant), min/max variant pivot on
+    * the look grid. Returns (group, look, n_a, x_a, n_b, x_b, z2_6,
+    * bound6, crossed) — one row per (group, observed look).
+    */
+  def obfLooks5(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      successCol: Column,
+      lookCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .filter(
+        groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull &&
+          lookCol.isNotNull)
+      .select(
+        groupCol.as("g"), variantCol.as("v"),
+        lookCol.cast("long").as("look"), successCol.cast("long").as("s"))
+      .filter(
+        assert_true(
+          col("look").between(1L, 5L),
+          concat(lit("obfLooks5: look index must be 1..5, got "),
+            col("look").cast("string"))).isNull)
+      .groupBy(col("g"), col("v"), col("look"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+    val w = Window.partitionBy(col("g"), col("v")).orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cx", sum(col("x")).over(w))
+    val mins = cum.groupBy(col("g"), col("look"))
+      .agg(
+        count(lit(1)).as("__nv"),
+        min(col("v")).as("variant_a"),
+        max(col("v")).as("variant_b"))
+      .filter(col("__nv") === 2L)
+    val bounds = broadcast(
+      ObfZ2Micro5.zipWithIndex.map { case (b, i) => (i + 1L, b) }
+        .toDF("look", "bound6"))
+    mins
+      .join(
+        cum.select(col("g"), col("look"), col("v").as("variant_a"),
+          col("cn").as("n_a"), col("cx").as("x_a")),
+        Seq("g", "look", "variant_a"))
+      .join(
+        cum.select(col("g"), col("look"), col("v").as("variant_b"),
+          col("cn").as("n_b"), col("cx").as("x_b")),
+        Seq("g", "look", "variant_b"))
+      .join(bounds, Seq("look"))
+      .withColumn(
+        "__d",
+        expr(
+          """CAST(x_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |- CAST(x_b AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))""".stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * __d * __d
+            |   * CAST(n_a + n_b AS DECIMAL(38,0)))
+            |  div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+            |       * CAST(x_a + x_b AS DECIMAL(38,0))
+            |       * CAST(n_a + n_b - x_a - x_b AS DECIMAL(38,0)))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("g").as("group"), col("look"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("z2_6"), col("bound6"),
+        (col("z2_6") >= col("bound6")).as("crossed"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-group success rates (the
+    * beta-binomial "how to rank small samples" estimator — Robbins
+    * 1956 shape, method-of-moments prior): a group with 2/2 successes
+    * must not outrank one with 95/100, so every group's rate is
+    * pulled toward the global mean with strength inversely
+    * proportional to its evidence:
+    *
+    *   eb = (x_i + α) / (n_i + ν),  ν = α + β,  prior mean m = α/ν
+    *
+    * Method of moments ENTIRELY in integers: group rates are first
+    * micro-quantized (p6_i = 1e6·x_i div n_i — the stage-boundary
+    * rounding of [[cupedAdjust]]), the global mean m6 = 1e6·X div N,
+    * the between-group variance of the p6 values v12 = (G·Σp6² −
+    * (Σp6)²) div (G·(G−1)) is exact micro² (DECIMAL cross-products),
+    * and the prior strength ν = m6·(1e6−m6) div v12 − 1 is
+    * DIMENSIONLESS (micro²/micro² — no unit juggling). The shrunk
+    * rate is one final truncating division per group:
+    *   eb6 = (1e6·x_i + m6·ν) div (n_i + ν).
+    *
+    * Conventions: ν clamps to ≥ 0 (observed between-group variance
+    * at or above the binomial ceiling means the prior carries no
+    * information — eb6 degrades to the raw rate); v12 = 0 (all
+    * groups identical) likewise takes ν = 0 (shrinkage toward a
+    * point the groups already sit on is the identity); fewer than 2
+    * groups fails fast (no between-group variance exists).
+    *
+    * Scale shape: one hash aggregate to group cells, a broadcast
+    * 1-row moment bootstrap, one projection — no window, no second
+    * shuffle. Returns (group, n, x, raw6, eb6).
+    */
+  def ebShrinkRates(
+      df: DataFrame,
+      groupCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = df
+      .filter(groupCol.isNotNull && successCol.isNotNull)
+      .groupBy(groupCol.as("g"))
+      .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("x"))
+      .withColumn("raw6", expr("CAST(1000000 * x div n AS BIGINT)"))
+    val moments = broadcast(
+      cells.agg(
+        count(lit(1)).as("__gc"),
+        sum(col("n")).as("__nt"),
+        sum(col("x")).as("__xt"),
+        sum(col("raw6")).as("__sp"),
+        sum(expr("CAST(raw6 AS DECIMAL(38,0)) * CAST(raw6 AS DECIMAL(38,0))"))
+          .as("__spp")))
+    cells
+      .crossJoin(moments)
+      .filter(
+        assert_true(
+          col("__gc") >= 2L,
+          lit("ebShrinkRates: at least 2 groups required (no between-group " +
+            "variance exists)")).isNull)
+      .withColumn("m6", expr("CAST(1000000 * __xt div __nt AS BIGINT)"))
+      .withColumn(
+        "__v12",
+        expr(
+          """CAST(
+            |  (CAST(__gc AS DECIMAL(38,0)) * __spp
+            |   - CAST(__sp AS DECIMAL(38,0)) * CAST(__sp AS DECIMAL(38,0)))
+            |  div (CAST(__gc AS DECIMAL(38,0)) * CAST(__gc - 1 AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "__nu",
+        expr(
+          """CASE WHEN __v12 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE greatest(CAST(0 AS BIGINT), CAST(
+            |  (CAST(m6 AS DECIMAL(38,0)) * CAST(1000000 - m6 AS DECIMAL(38,0)))
+            |  div CAST(__v12 AS DECIMAL(38,0)) AS BIGINT) - 1) END""".stripMargin))
+      .withColumn(
+        "eb6",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+            |   + CAST(m6 AS DECIMAL(38,0)) * CAST(__nu AS DECIMAL(38,0)))
+            |  div CAST(n + __nu AS DECIMAL(38,0))
+            |AS BIGINT)""".stripMargin))
+      .select(col("g").as("group"), col("n"), col("x"), col("raw6"), col("eb6"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

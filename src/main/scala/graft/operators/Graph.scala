@@ -639,6 +639,47 @@ object Graph {
     * commonNeighbors. Returns (id_a, id_b, common, aa6) for
     * non-edges at distance 2, id_a < id_b.
     */
+  /** Directed-graph reciprocity (Newman et al. 2002): the fraction of
+    * directed edges whose reverse edge also exists — the mutual-
+    * follow / mutual-citation fingerprint. Organic directed graphs
+    * sit at characteristic levels (the web ~0.57, citation graphs
+    * near 0, follower farms near 1.0), so a per-snapshot reciprocity
+    * shift is a cheap structure-drift alarm next to [[assortativity]].
+    *
+    * Exactness: edges are deduplicated and self-loops dropped (a
+    * self-loop is trivially its own reverse — counting it inflates
+    * the score), reciprocated edges found by ONE self-join on the
+    * flipped key, ratio published in exact ppm (one truncating
+    * division). Returns one row (n_edges, n_reciprocated,
+    * reciprocity_ppm); an empty edge set returns n_edges = 0 with a
+    * 0 score (no division).
+    *
+    * Scale shape: one distinct, one equi-self-join on (dst, src) —
+    * both plain shuffles on the edge key; no iteration.
+    */
+  def reciprocity(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val rec = edges
+      .join(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"),
+        "left_semi")
+    edges
+      .agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocated"))))
+      .select(
+        col("n_edges"),
+        col("n_reciprocated"),
+        expr(
+          """CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000 * n_reciprocated div n_edges AS BIGINT) END""".stripMargin)
+          .as("reciprocity_ppm"))
+  }
+
   def adamicAdar(pairs: DataFrame): DataFrame = {
     val undirected = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))

@@ -226,6 +226,58 @@ class ExperimentsSpec extends SparkSpec {
       ("B", 6L, 333333L, 300000L, 1000000L)))
   }
 
+  test("obfLooks5: cumulative looks cross the OBF boundary at look 2; one-armed looks omitted") {
+    // look 1: A 8/10 vs B 2/10 -> z2 = 7.2e6, below the 20.8e6 look-1 bound.
+    // look 2 doubles both cells -> z2 = 14.4e6 >= 10.4e6 -> crossed.
+    // look 3 has A-only traffic -> no comparison -> row omitted.
+    val rows =
+      (1 to 10).map(i => ("g", "A", 1L, if (i <= 8) 1L else 0L)) ++
+        (1 to 10).map(i => ("g", "B", 1L, if (i <= 2) 1L else 0L)) ++
+        (1 to 10).map(i => ("g", "A", 2L, if (i <= 8) 1L else 0L)) ++
+        (1 to 10).map(i => ("g", "B", 2L, if (i <= 2) 1L else 0L)) ++
+        Seq(("g", "A", 3L, 1L))
+    val got = Experiments
+      .obfLooks5(
+        rows.toDF("g", "v", "look", "s"),
+        col("g"), col("v"), col("s"), col("look"))
+      .orderBy(col("look"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    assert(got.toSeq == Seq(
+      (1L, 7200000L, 20814120L, false),
+      (2L, 14400000L, 10407060L, true)))
+    val bad = Seq(("g", "A", 7L, 1L), ("g", "B", 7L, 0L)).toDF("g", "v", "look", "s")
+    val e = intercept[Exception](
+      Experiments.obfLooks5(bad, col("g"), col("v"), col("s"), col("look")).head())
+    assert(e.getMessage.contains("look index must be 1..5"))
+  }
+
+  test("ebShrinkRates: rates shrink toward the mean with nu=24; identical groups pass through") {
+    // 6/10, 5/10, 4/10: m6 = 500000, v12 = 1e10, nu = 25-1 = 24.
+    // eb = (1e6*x + 500000*24) div (10+24) -> 529411 / 500000 / 470588.
+    def mk(g: String, x: Int) =
+      (1 to 10).map(i => (g, if (i <= x) 1L else 0L))
+    val rows = mk("g1", 6) ++ mk("g2", 5) ++ mk("g3", 4)
+    val got = Experiments
+      .ebShrinkRates(rows.toDF("g", "s"), col("g"), col("s"))
+      .orderBy(col("group"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("g1", 600000L, 529411L), ("g2", 500000L, 500000L), ("g3", 400000L, 470588L)))
+    // zero between-group variance: shrinkage is the identity
+    val flat = mk("a", 5) ++ mk("b", 5)
+    val gf = Experiments
+      .ebShrinkRates(flat.toDF("g", "s"), col("g"), col("s"))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(gf.forall { case (raw, eb) => raw == eb })
+    // a single group has no between-group variance: fail fast
+    val one = mk("solo", 5)
+    val e = intercept[Exception](
+      Experiments.ebShrinkRates(one.toDF("g", "s"), col("g"), col("s")).head())
+    assert(e.getMessage.contains("at least 2 groups"))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")

@@ -285,4 +285,18 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable == local)
   }
+
+  test("reciprocity: mutual pair counted both ways, self-loops and duplicates dropped") {
+    import graft.operators.Graph
+    // distinct directed edges after hygiene: 1->2, 2->1, 1->3.
+    // reciprocated: both members of the mutual pair -> 2 of 3.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(edges).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 666666L)))
+    // empty edge set: zero score without a division
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = Graph.reciprocity(empty).head()
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((0L, 0L, 0L)))
+  }
 }
