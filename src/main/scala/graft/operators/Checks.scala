@@ -835,10 +835,13 @@ object Checks {
     * classes_a, classes_b, mi6, h_a6, h_b6, nmi6).
     */
   def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    // class-product-bounded grid, persisted: four consumers (both
+    // marginals, totals, the MI terms) read one corpus scan
     val grid = df
       .filter(a.isNotNull && b.isNotNull)
       .groupBy(a.as("__a"), b.as("__b"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ma = grid.groupBy(col("__a")).agg(sum(col("n")).as("n_a"))
     val mb = grid.groupBy(col("__b")).agg(sum(col("n")).as("n_b"))
     val tot = broadcast(

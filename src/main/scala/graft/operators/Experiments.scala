@@ -20,6 +20,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Experiments {
 
+  /** Persist a BOUNDED first-aggregate table (cells / grids — sized
+    * by category products, never the corpus) so its one corpus-scan
+    * aggregate feeds every downstream consumer from cache instead of
+    * re-running per consumer: Catalyst's exchange reuse only dedupes
+    * byte-identical subtrees, and the min/max-pivot consumers differ
+    * enough that an unpersisted cell table re-scans the fact table
+    * once per arm. Verify/Bench clear caches between queries — the
+    * pair-pipeline persist discipline (`Dedup` precedent).
+    */
+  private def cached(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** z²·1e6 significance threshold for alpha = 0.05 two-sided:
     * 1.96² = 3.8415 (the chi²₁ 95th percentile, micro-scaled).
     * A LITERAL, not computed at runtime — the mmrRerank lambda rule.
@@ -82,14 +94,15 @@ object Experiments {
       .groupBy(groupCol.as("g"), variantCol.as("v"))
       .agg(count(lit(1)).as("n_v"))
     // fail fast on off-design variants BEFORE pivoting to the spine
-    val checked = cells
-      .join(broadcast(wDf), Seq("v"), "left")
-      .filter(
-        assert_true(
-          col("w").isNotNull,
-          concat(
-            lit("srmCheck: observed variant outside the designed allocation: "),
-            col("v").cast("string"))).isNull)
+    val checked = cached(
+      cells
+        .join(broadcast(wDf), Seq("v"), "left")
+        .filter(
+          assert_true(
+            col("w").isNotNull,
+            concat(
+              lit("srmCheck: observed variant outside the designed allocation: "),
+              col("v").cast("string"))).isNull))
     val totals = checked.groupBy(col("g"))
       .agg(sum(col("n_v")).as("N"))
     totals
@@ -165,7 +178,8 @@ object Experiments {
     * batch test bit-for-bit (the counts ARE the sufficient
     * statistic).
     */
-  def twoProportionZFromCells(cells: DataFrame): DataFrame = {
+  def twoProportionZFromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cached(cellsIn)
     // two-pass pivot over the tiny cell table: name the (min, max)
     // variant per group first, then join each arm's cell back on
     val mins = cells.groupBy(col("g"))
@@ -247,17 +261,20 @@ object Experiments {
     */
   def mannWhitneyU(df: DataFrame, sideCol: Column, valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df
-      .filter(sideCol.isNotNull && valueCol.isNotNull)
-      .select(sideCol.as("s"), valueCol.cast("long").as("v"))
-    // name the two sides first (1-row bootstrap), then count per
-    // distinct value with the side-a membership as a conditional sum
+    // ONE corpus scan to the (side, value) count table — domain ×
+    // 2 bounded; sides, tie counts and side-a membership all derive
+    // from it (persisted: three consumers, zero re-scans)
+    val vs = cached(
+      df
+        .filter(sideCol.isNotNull && valueCol.isNotNull)
+        .groupBy(sideCol.as("s"), valueCol.cast("long").as("v"))
+        .agg(count(lit(1)).as("c")))
     val sides = broadcast(
-      base.agg(
+      vs.agg(
         count_distinct(col("s")).as("__ns"),
         min(col("s")).as("side_a"),
         max(col("s")).as("side_b")))
-    val counts = base
+    val counts = vs
       .crossJoin(sides)
       .filter(
         assert_true(
@@ -267,8 +284,8 @@ object Experiments {
             col("__ns").cast("string"))).isNull)
       .groupBy(col("v"))
       .agg(
-        count(lit(1)).as("t"),
-        sum(when(col("s") === col("side_a"), 1L).otherwise(0L)).as("na_v"))
+        sum(col("c")).as("t"),
+        sum(when(col("s") === col("side_a"), col("c")).otherwise(0L)).as("na_v"))
     val ranked = counts.withColumn(
       "rmin",
       coalesce(
@@ -424,16 +441,17 @@ object Experiments {
       groupCol: Column,
       variantCol: Column,
       metricCol: Column): DataFrame = {
-    val cells = df
-      .filter(groupCol.isNotNull && variantCol.isNotNull && metricCol.isNotNull)
-      .groupBy(groupCol.as("g"), variantCol.as("v"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(metricCol.cast("long")).as("s"),
-        sum(
-          metricCol.cast("long").cast("decimal(38,0)")
-            * metricCol.cast("long").cast("decimal(38,0)")).as("ss"))
-      .filter(col("n") >= 2L)
+    val cells = cached(
+      df
+        .filter(groupCol.isNotNull && variantCol.isNotNull && metricCol.isNotNull)
+        .groupBy(groupCol.as("g"), variantCol.as("v"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(metricCol.cast("long")).as("s"),
+          sum(
+            metricCol.cast("long").cast("decimal(38,0)")
+              * metricCol.cast("long").cast("decimal(38,0)")).as("ss"))
+        .filter(col("n") >= 2L))
     val mins = cells.groupBy(col("g"))
       .agg(
         count(lit(1)).as("__nv"),
@@ -541,12 +559,13 @@ object Experiments {
       groupCol: Column,
       variantCol: Column,
       successCol: Column): DataFrame = {
-    val cells = df
-      .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
-      .groupBy(groupCol.as("g"), variantCol.as("v"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(successCol.cast("long")).as("x"))
+    val cells = cached(
+      df
+        .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
+        .groupBy(groupCol.as("g"), variantCol.as("v"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(successCol.cast("long")).as("x")))
     val mins = cells.groupBy(col("g"))
       .agg(
         count(lit(1)).as("__nv"),
@@ -619,18 +638,19 @@ object Experiments {
       armCol: Column,
       isPostCol: Column,
       metricCol: Column): DataFrame = {
-    val cells = df
-      .filter(
-        groupCol.isNotNull && armCol.isNotNull && isPostCol.isNotNull &&
-          metricCol.isNotNull)
-      .groupBy(groupCol.as("g"), armCol.as("arm"), isPostCol.cast("boolean").as("post"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(metricCol.cast("long")).as("s"),
-        sum(
-          metricCol.cast("long").cast("decimal(38,0)")
-            * metricCol.cast("long").cast("decimal(38,0)")).as("ss"))
-      .filter(col("n") >= 2L)
+    val cells = cached(
+      df
+        .filter(
+          groupCol.isNotNull && armCol.isNotNull && isPostCol.isNotNull &&
+            metricCol.isNotNull)
+        .groupBy(groupCol.as("g"), armCol.as("arm"), isPostCol.cast("boolean").as("post"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(metricCol.cast("long")).as("s"),
+          sum(
+            metricCol.cast("long").cast("decimal(38,0)")
+              * metricCol.cast("long").cast("decimal(38,0)")).as("ss"))
+        .filter(col("n") >= 2L))
       .withColumn(
         "m6",
         expr(
@@ -709,10 +729,11 @@ object Experiments {
     * distinct labels across both raters, po6, pe6, kappa6).
     */
   def cohensKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
-    val grid = df
-      .filter(rater1.isNotNull && rater2.isNotNull)
-      .groupBy(rater1.as("r1"), rater2.as("r2"))
-      .agg(count(lit(1)).as("n"))
+    val grid = cached(
+      df
+        .filter(rater1.isNotNull && rater2.isNotNull)
+        .groupBy(rater1.as("r1"), rater2.as("r2"))
+        .agg(count(lit(1)).as("n")))
     val rows = grid.groupBy(col("r1").as("c")).agg(sum(col("n")).as("rn"))
     val cols = grid.groupBy(col("r2").as("c")).agg(sum(col("n")).as("cn"))
     val marg = rows
@@ -780,12 +801,13 @@ object Experiments {
       variantCol: Column,
       stratumCol: Column,
       successCol: Column): DataFrame = {
-    val cells = df
-      .filter(variantCol.isNotNull && stratumCol.isNotNull && successCol.isNotNull)
-      .groupBy(variantCol.as("v"), stratumCol.as("st"))
-      .agg(
-        count(lit(1)).as("n_vs"),
-        sum(successCol.cast("long")).as("x_vs"))
+    val cells = cached(
+      df
+        .filter(variantCol.isNotNull && stratumCol.isNotNull && successCol.isNotNull)
+        .groupBy(variantCol.as("v"), stratumCol.as("st"))
+        .agg(
+          count(lit(1)).as("n_vs"),
+          sum(successCol.cast("long")).as("x_vs")))
     val strata = cells.groupBy(col("st")).agg(sum(col("n_vs")).as("n_s"))
     val total = broadcast(strata.agg(sum(col("n_s")).as("__nt")))
     cells
@@ -877,9 +899,10 @@ object Experiments {
       .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
     val w = Window.partitionBy(col("g"), col("v")).orderBy(col("look"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cells
-      .withColumn("cn", sum(col("n")).over(w))
-      .withColumn("cx", sum(col("x")).over(w))
+    val cum = cached(
+      cells
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cx", sum(col("x")).over(w)))
     val mins = cum.groupBy(col("g"), col("look"))
       .agg(
         count(lit(1)).as("__nv"),
@@ -956,11 +979,12 @@ object Experiments {
       df: DataFrame,
       groupCol: Column,
       successCol: Column): DataFrame = {
-    val cells = df
-      .filter(groupCol.isNotNull && successCol.isNotNull)
-      .groupBy(groupCol.as("g"))
-      .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("x"))
-      .withColumn("raw6", expr("CAST(1000000 * x div n AS BIGINT)"))
+    val cells = cached(
+      df
+        .filter(groupCol.isNotNull && successCol.isNotNull)
+        .groupBy(groupCol.as("g"))
+        .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("x"))
+        .withColumn("raw6", expr("CAST(1000000 * x div n AS BIGINT)")))
     val moments = broadcast(
       cells.agg(
         count(lit(1)).as("__gc"),
@@ -1031,17 +1055,22 @@ object Experiments {
     */
   def wilcoxonSignedRank(df: DataFrame, preCol: Column, postCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val diffs = df
-      .filter(preCol.isNotNull && postCol.isNotNull)
-      .select((postCol.cast("long") - preCol.cast("long")).as("d"))
+    // ONE corpus scan to the signed-difference count table (value-
+    // domain bounded, persisted); zero count, tie counts and the
+    // positive-side membership all derive from it
+    val dc = cached(
+      df
+        .filter(preCol.isNotNull && postCol.isNotNull)
+        .groupBy((postCol.cast("long") - preCol.cast("long")).as("d"))
+        .agg(count(lit(1)).as("c")))
     val zeroCnt = broadcast(
-      diffs.agg(sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero")))
-    val counts = diffs
+      dc.agg(sum(when(col("d") === 0L, col("c")).otherwise(0L)).as("n_zero")))
+    val counts = dc
       .filter(col("d") =!= 0L)
       .groupBy(abs(col("d")).as("ad"))
       .agg(
-        count(lit(1)).as("t"),
-        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("np_v"))
+        sum(col("c")).as("t"),
+        sum(when(col("d") > 0L, col("c")).otherwise(0L)).as("np_v"))
     val ranked = counts.withColumn(
       "rmin",
       coalesce(

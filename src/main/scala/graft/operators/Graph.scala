@@ -658,11 +658,14 @@ object Graph {
     * both plain shuffles on the edge key; no iteration.
     */
   def reciprocity(pairs: DataFrame): DataFrame = {
+    // edge-table persisted: the semi-join probes it twice and the
+    // total counts it once — one distinct pass, zero re-derives
     val edges = pairs
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rec = edges
       .join(
         edges.select(col("dst").as("src"), col("src").as("dst")),

@@ -603,6 +603,9 @@ object Sampling {
             (col("__q").cast("double") * col("n").cast("double")) /
               (col("n") - 1L).cast("double")) * lit(1e6),
           0).cast("long"))
+      // stratum-bounded, persisted: the weight total and the
+      // apportionment read one corpus scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = broadcast(strata.agg(sum(col("w6")).as("__w")))
     val based = strata
       .crossJoin(tot)

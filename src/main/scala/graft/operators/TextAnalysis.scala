@@ -562,11 +562,14 @@ object TextAnalysis {
       "zero-tf terms would take ln(0))")
     val spark = df.sparkSession
     import spark.implicits._
+    // (doc, term) table persisted: doc lengths, |C|, query-term cf
+    // and the scoring left-join all read ONE tokenize pass
     val tf = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = tf.groupBy(col("id")).agg(sum(col("tf")).as("len"))
     val ctot = broadcast(tf.agg(sum(col("tf")).cast("long").as("__c")))
     val cf = broadcast(
