@@ -1023,6 +1023,30 @@ object SparkEntryCoverage {
               col("l_partkey").as("dst")),
             Seq("l_orderkey", "l_linenumber")))
     },
+    // Fellegi-Sunter match weights (Relational.fsMatchWeights): per
+    // comparison field, m/u probabilities and log-likelihood-ratio
+    // weights learned from labeled candidate pairs (canon + typo-twin
+    // customers blocked on the name's last 3 chars).
+    "er_fs_weights" -> { (s, dir) =>
+      val (pairs, fields, isMatch) = fsPairFixture(s, dir)
+      Relational.fsMatchWeights(pairs, isMatch, fields).orderBy(col("field"))
+    },
+    // Fellegi-Sunter scoring (Relational.fsScorePairs): the learned
+    // weights applied back over the candidate pairs at the zero
+    // threshold, evaluated as a confusion one-row vs planted truth.
+    "er_fs_scores" -> { (s, dir) =>
+      val (pairs, fields, isMatch) = fsPairFixture(s, dir)
+      val weights = Relational.fsMatchWeights(pairs, isMatch, fields)
+      Relational
+        .fsScorePairs(pairs, fields, weights, Seq("id_a", "id_b"))
+        .withColumn("truth", col("id_b") === col("id_a") + 1000000L)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("is_match_pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("is_match_pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("is_match_pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("is_match_pred") && !col("truth"), 1L).otherwise(0L)).as("tn"))
+    },
     // RFM segmentation (Relational.rfmSegments): per user recency/
     // frequency/monetary tercile scores by exact rank cutoffs over
     // purchase events — 3/2/1 best-first, segment = 100R + 10F + M.
@@ -5577,6 +5601,83 @@ object SparkEntryCoverage {
     * and er_golden oracles, and `al(id, name, blk)` stays in scope
     * for the golden-record rollup.
     */
+  /** Labeled FS candidate pairs: canon + typo-twin customers (the
+    * er_metrics fixture widened with nation/balance/segment carried
+    * onto the twin), blocked on the name's last 3 chars so blocks
+    * hold non-twin members too — the estimator needs both classes.
+    * Returns (pairs, fields, isMatch) for the two er_fs_* queries.
+    */
+  private def fsPairFixture(
+      s: SparkSession,
+      dir: String): (DataFrame, Seq[(String, org.apache.spark.sql.Column)],
+        org.apache.spark.sql.Column) = {
+    val canon = t(s, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("bal"),
+      col("c_mktsegment").as("seg"))
+    val twin = canon.select(
+      (col("id") + 1000000L).as("id"),
+      concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100)).as("name"),
+      col("nation"),
+      // a third of the twins drift their balance: m_balance < 1, so
+      // the learned weights face real per-field noise instead of a
+      // perfectly separable fixture
+      when(col("id") % 3 === 0, col("bal") + 1.0).otherwise(col("bal")).as("bal"),
+      col("seg"))
+    val all = canon.unionByName(twin).withColumn("blk", substring(col("name"), -3, 3))
+    def side(sfx: String) = all.select(
+      col("id").as(s"id_$sfx"), col("nation").as(s"nation_$sfx"),
+      col("bal").as(s"bal_$sfx"), col("seg").as(s"seg_$sfx"), col("blk"))
+    val pairs = side("a").join(side("b"), Seq("blk")).filter(col("id_a") < col("id_b"))
+    val fields = Seq(
+      "nation" -> (col("nation_a") === col("nation_b")),
+      "segment" -> (col("seg_a") === col("seg_b")),
+      "balance" -> (col("bal_a") === col("bal_b")))
+    (pairs, fields, col("id_b") === col("id_a") + 1000000L)
+  }
+
+  /** Shared oracle prefix for the er_fs_* queries: the labeled pair
+    * set and the per-field m/u weight CTE, mirroring
+    * [[fsPairFixture]] + `Relational.fsMatchWeights`.
+    */
+  private val fsWeightsSqlPrefix: String =
+    """fs_canon AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+      |                    c_acctbal AS bal, c_mktsegment AS seg FROM customer),
+      |fs_twin AS (SELECT id + 1000000 AS id,
+      |              substring(name, 1, 5) || substring(name, 7, 100) AS name,
+      |              nation,
+      |              CASE WHEN id % 3 = 0 THEN bal + 1 ELSE bal END AS bal,
+      |              seg FROM fs_canon),
+      |fs_al AS (SELECT id, nation, bal, seg,
+      |            substring(name, length(name) - 2, 3) AS blk
+      |          FROM (SELECT * FROM fs_canon UNION ALL SELECT * FROM fs_twin)),
+      |fs_p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |           a.nation = b.nation AS ag_nation,
+      |           a.seg = b.seg AS ag_segment,
+      |           a.bal = b.bal AS ag_balance,
+      |           b.id = a.id + 1000000 AS m
+      |         FROM fs_al a JOIN fs_al b ON a.blk = b.blk AND a.id < b.id),
+      |fs_st AS (SELECT id_a, id_b, 'nation' AS field, ag_nation AS agree, m FROM fs_p
+      |          UNION ALL SELECT id_a, id_b, 'segment', ag_segment, m FROM fs_p
+      |          UNION ALL SELECT id_a, id_b, 'balance', ag_balance, m FROM fs_p),
+      |fs_c AS (SELECT field,
+      |           CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |           CAST(SUM(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatch,
+      |           CAST(SUM(CASE WHEN m AND agree THEN 1 ELSE 0 END) AS BIGINT) AS a_match,
+      |           CAST(SUM(CASE WHEN NOT m AND agree THEN 1 ELSE 0 END) AS BIGINT) AS a_unmatch
+      |         FROM fs_st GROUP BY 1),
+      |fs_w AS (SELECT field, n_match, n_unmatch, a_match, a_unmatch,
+      |           CAST(1000000 * (a_match + 1) // (n_match + 2) AS BIGINT) AS m_ppm,
+      |           CAST(1000000 * (a_unmatch + 1) // (n_unmatch + 2) AS BIGINT) AS u_ppm
+      |         FROM fs_c),
+      |fs_ww AS (SELECT *,
+      |            CAST(round(ln(CAST(m_ppm AS DOUBLE) / CAST(u_ppm AS DOUBLE))
+      |                       * 1000000.0) AS BIGINT) AS w_agree6,
+      |            CAST(round(ln(CAST(1000000 - m_ppm AS DOUBLE)
+      |                          / CAST(1000000 - u_ppm AS DOUBLE))
+      |                       * 1000000.0) AS BIGINT) AS w_dis6
+      |          FROM fs_w)""".stripMargin
+
   private val fuzzyPairsSql: String =
     """canon AS (SELECT c_custkey AS id, c_name AS name FROM customer),
       |typo AS (SELECT id + 1000000 AS id,
@@ -6816,6 +6917,25 @@ object SparkEntryCoverage {
         |  CASE WHEN tot.n_edges = 0 THEN CAST(0 AS BIGINT)
         |  ELSE CAST((1000000 * rec.n_rec) // tot.n_edges AS BIGINT) END AS reciprocity_ppm
         |FROM tot CROSS JOIN rec""".stripMargin,
+    "er_fs_weights" ->
+      s"""WITH $fsWeightsSqlPrefix
+         |SELECT field, n_match, n_unmatch, a_match, a_unmatch, m_ppm, u_ppm,
+         |       w_agree6, w_dis6
+         |FROM fs_ww ORDER BY field""".stripMargin,
+    "er_fs_scores" ->
+      s"""WITH $fsWeightsSqlPrefix,
+         |fs_sc AS (SELECT st.id_a, st.id_b,
+         |            CAST(SUM(CASE WHEN st.agree THEN w.w_agree6 ELSE w.w_dis6 END)
+         |                 AS BIGINT) AS score6,
+         |            bool_or(st.m) AS truth
+         |          FROM fs_st st JOIN fs_ww w USING (field)
+         |          GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN score6 > 0 AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN score6 > 0 AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN score6 <= 0 AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN score6 <= 0 AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM fs_sc""".stripMargin,
     "a_rfm_segments" ->
       """WITH per AS (
         | SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,

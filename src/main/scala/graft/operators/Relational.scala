@@ -779,4 +779,99 @@ object Relational {
       Seq(col("g")),
       Seq(col("n_mode").desc, col("mode")))
 
+  /** Fellegi–Sunter match/non-match weights (Fellegi & Sunter 1969)
+    * — the probabilistic-record-linkage theory under every modern ER
+    * stack: for each comparison field, estimate m = P(agree | match)
+    * and u = P(agree | non-match) from LABELED candidate pairs, and
+    * publish the log-likelihood-ratio weights a scorer adds up:
+    * agreement is worth ln(m/u), disagreement ln((1−m)/(1−u)). A
+    * field that agrees often by chance (u high) earns a small
+    * agreement weight no matter how reliable it is on matches — the
+    * principled version of hand-tuned field scores.
+    *
+    * Exactness: m/u are Laplace-smoothed exact ppm — m_ppm =
+    * 1e6·(a+1) div (n+2) — so both live in [1, 999999] and no ln(0)
+    * exists; each weight is ONE double division of two ppm BIGINTs
+    * through ln, micro-rounded once (the entropy-family discipline).
+    * NULL agreement flags count as disagreement (pinned convention —
+    * FS treats missingness as its own outcome; fold it in upstream
+    * if you need a third state). A training set with zero matches or
+    * zero non-matches FAILS FAST in-plan: the weights would be pure
+    * smoothing noise dressed as evidence.
+    *
+    * Scale shape: fields stack per pair inside codegen (explode of a
+    * literal-size array — |fields| rows per pair), one hash
+    * aggregate to the fields-bounded weight table. Returns (field,
+    * n_match, n_unmatch, a_match, a_unmatch, m_ppm, u_ppm, w_agree6,
+    * w_dis6).
+    */
+  def fsMatchWeights(
+      pairs: DataFrame,
+      isMatch: Column,
+      fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "fsMatchWeights: at least one comparison field")
+    val stacked = pairs
+      .filter(isMatch.isNotNull)
+      .select(
+        isMatch.cast("boolean").as("__m"),
+        explode(array(fields.map { case (n, c) =>
+          struct(lit(n).as("field"), coalesce(c.cast("boolean"), lit(false)).as("agree"))
+        }: _*)).as("f"))
+      .select(col("__m"), col("f.field").as("field"), col("f.agree").as("agree"))
+    stacked
+      .groupBy(col("field"))
+      .agg(
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(!col("__m"), 1L).otherwise(0L)).as("n_unmatch"),
+        sum(when(col("__m") && col("agree"), 1L).otherwise(0L)).as("a_match"),
+        sum(when(!col("__m") && col("agree"), 1L).otherwise(0L)).as("a_unmatch"))
+      .filter(
+        assert_true(
+          col("n_match") > 0L && col("n_unmatch") > 0L,
+          lit("fsMatchWeights: the labeled pairs must contain both matches and " +
+            "non-matches — weights off one class are smoothing noise")).isNull)
+      .withColumn("m_ppm", expr("CAST(1000000 * (a_match + 1) div (n_match + 2) AS BIGINT)"))
+      .withColumn("u_ppm", expr("CAST(1000000 * (a_unmatch + 1) div (n_unmatch + 2) AS BIGINT)"))
+      .withColumn(
+        "w_agree6",
+        round(log(col("m_ppm").cast("double") / col("u_ppm").cast("double")) * lit(1e6), 0)
+          .cast("long"))
+      .withColumn(
+        "w_dis6",
+        round(
+          log(
+            (lit(1000000L) - col("m_ppm")).cast("double") /
+              (lit(1000000L) - col("u_ppm")).cast("double")) * lit(1e6),
+          0).cast("long"))
+  }
+
+  /** Score candidate pairs with [[fsMatchWeights]] output: per pair,
+    * score6 = Σ_field (agree ? w_agree6 : w_dis6) — exact integer
+    * sum of the micro-nat weights, positive evidence for match. The
+    * same stack-explode shape as the estimator (NULL agreement =
+    * disagreement, same pinned convention); the weight table rides a
+    * broadcast join keyed on the field name. Returns keyCols +
+    * (score6, is_match_pred = score6 > 0 — the classic zero-
+    * threshold decision; calibrate against your own FP/FN costs).
+    */
+  def fsScorePairs(
+      pairs: DataFrame,
+      fields: Seq[(String, Column)],
+      weights: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(fields.nonEmpty && keyCols.nonEmpty,
+      "fsScorePairs: fields and keyCols must be non-empty")
+    pairs
+      .select(
+        keyCols.map(col) :+
+          explode(array(fields.map { case (n, c) =>
+            struct(lit(n).as("field"), coalesce(c.cast("boolean"), lit(false)).as("agree"))
+          }: _*)).as("f"): _*)
+      .select(keyCols.map(col) :+ col("f.field").as("field") :+ col("f.agree").as("agree"): _*)
+      .join(broadcast(weights.select(col("field"), col("w_agree6"), col("w_dis6"))), Seq("field"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(col("agree"), col("w_agree6")).otherwise(col("w_dis6"))).as("score6"))
+      .withColumn("is_match_pred", col("score6") > 0L)
+  }
 }

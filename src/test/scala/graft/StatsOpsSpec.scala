@@ -290,6 +290,40 @@ class StatsOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("mu must be positive"))
   }
 
+  test("fsMatchWeights/fsScorePairs: Laplace m/u ppm and log-ratio weights, zero-threshold score") {
+    import graft.operators.Relational
+    // field f agrees on 3/4 matches and 1/4 non-matches:
+    // m = (3+1)/(4+2) -> 666666 ppm, u = (1+1)/(4+2) -> 333333 ppm,
+    // w_agree6 = round(1e6 ln(m/u)) = 693147, w_dis6 = -693146.
+    val pairs = Seq(
+      (1L, 11L, true, true), (2L, 12L, true, true), (3L, 13L, true, true),
+      (4L, 14L, true, false),
+      (5L, 6L, false, true), (7L, 8L, false, false), (9L, 10L, false, false),
+      (15L, 16L, false, false))
+      .toDF("id_a", "id_b", "m", "ag")
+    val fields = Seq("f" -> col("ag"))
+    val w = Relational.fsMatchWeights(pairs, col("m"), fields).head()
+    assert((w.getString(0), w.getLong(5), w.getLong(6), w.getLong(7), w.getLong(8)) ==
+      (("f", 666666L, 333333L, 693147L, -693146L)))
+    // scoring at the zero threshold: agree -> positive -> predicted match
+    val weights = Relational.fsMatchWeights(pairs, col("m"), fields)
+    val scored = Relational
+      .fsScorePairs(pairs, fields, weights, Seq("id_a", "id_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(scored.toSeq == Seq(
+      (1L, 693147L, true), (2L, 693147L, true), (3L, 693147L, true),
+      (4L, -693146L, false), (5L, 693147L, true), (7L, -693146L, false),
+      (9L, -693146L, false), (15L, -693146L, false)))
+    // a one-class training set is smoothing noise: fail fast
+    val oneClass = Seq((1L, 2L, true, true), (3L, 4L, true, false))
+      .toDF("id_a", "id_b", "m", "ag")
+    val e = intercept[Exception](
+      Relational.fsMatchWeights(oneClass, col("m"), Seq("f" -> col("ag"))).head())
+    assert(e.getMessage.contains("both matches and"))
+  }
+
   test("skyline2d: dominated rows drop, duplicates of a front point all survive") {
     import graft.operators.Relational
     val rows = Seq(
