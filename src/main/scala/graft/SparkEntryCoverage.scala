@@ -1047,6 +1047,55 @@ object SparkEntryCoverage {
           sum(when(!col("is_match_pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
           sum(when(!col("is_match_pred") && !col("truth"), 1L).otherwise(0L)).as("tn"))
     },
+    // TextRank keywords (Mihalcea & Tarau 2004) — WEIGHTED PageRank
+    // over the adjacent-token co-occurrence graph, COMPOSED from the
+    // existing exact-integer pageRankWeighted: term ids by vocabulary
+    // rank, canonical (least, greatest) edges weighted by adjacency
+    // count (the unweighted variant ties every template term — the
+    // co-occurrence COUNTS carry the signal on this corpus), top 15
+    // terms by (rank desc, term). The corpus-level keyword extractor
+    // next to per-doc RAKE (t_rake).
+    "t_textrank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bp = TextAnalysis
+        .bigramPairs(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("prev").isNotNull && col("prev") =!= col("term"))
+        .select(
+          least(col("prev"), col("term")).as("ta"),
+          greatest(col("prev"), col("term")).as("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = bp.select(col("ta").as("term"))
+        .union(bp.select(col("tb").as("term")))
+        .distinct()
+        .withColumn("tid", row_number().over(Window.orderBy(col("term"))).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = bp
+        .join(vocab.select(col("term").as("ta"), col("tid").as("id_a")), Seq("ta"))
+        .join(vocab.select(col("term").as("tb"), col("tid").as("id_b")), Seq("tb"))
+        .select(col("id_a"), col("id_b"), col("w"))
+      Graph.pageRankWeighted(pairs)
+        .join(vocab.select(col("tid").as("id"), col("term")), Seq("id"))
+        .orderBy(col("rank_units").desc, col("term"))
+        .limit(15)
+        .select(col("term"), col("rank_units"))
+    },
+    // Multi-touch attribution (Series.attributionCredits): purchase
+    // conversions split one unit of credit over the click/view
+    // touches of the prior 7 days — linear and 40/20/40 U-shape
+    // models side by side, unattributed conversions surfaced.
+    "a_attribution" -> { (s, dir) =>
+      Series
+        .attributionCredits(
+          t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "purchase",
+          col("event_type").isin("click", "view"),
+          col("event_type"),
+          lookbackDays = 7)
+        .orderBy(col("channel"))
+    },
     // RFM segmentation (Relational.rfmSegments): per user recency/
     // frequency/monetary tercile scores by exact rank cutoffs over
     // purchase events — 3/2/1 best-first, segment = 100R + 10F + M.
@@ -6917,6 +6966,70 @@ object SparkEntryCoverage {
         |  CASE WHEN tot.n_edges = 0 THEN CAST(0 AS BIGINT)
         |  ELSE CAST((1000000 * rec.n_rec) // tot.n_edges AS BIGINT) END AS reciprocity_ppm
         |FROM tot CROSS JOIN rec""".stripMargin,
+    "t_textrank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (SELECT e.dst AS id,
+           |      b.base + SUM((((r.r * 85) // 100) * e.w) // d.wdeg) AS r
+           |      FROM edges e JOIN $prev r ON r.id = e.src
+           |           JOIN wdeg d ON d.id = e.src CROSS JOIN b
+           |      GROUP BY e.dst, b.base)""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS pos, tk[CAST(gs.i AS INT)] AS term
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk
+         |        FROM documents WHERE length(trim(text)) > 0) d,
+         |       LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs),
+         |adj AS (SELECT least(a.term, b.term) AS ta, greatest(a.term, b.term) AS tb,
+         |               CAST(count(*) AS BIGINT) AS w
+         |        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |        WHERE a.term <> b.term GROUP BY 1, 2),
+         |vterm AS (SELECT DISTINCT term
+         |          FROM (SELECT ta AS term FROM adj UNION ALL SELECT tb FROM adj)),
+         |vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+         |          FROM vterm),
+         |pairs AS (SELECT va.tid AS id_a, vb.tid AS id_b, adj.w
+         |          FROM adj JOIN vocab va ON va.term = adj.ta
+         |                   JOIN vocab vb ON vb.term = adj.tb),
+         |edges AS (SELECT id_a AS src, id_b AS dst, w FROM pairs
+         |          UNION ALL SELECT id_b, id_a, w FROM pairs),
+         |wdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wdeg),
+         |b AS (SELECT (((100 - 85) * 1000000000000) // 100) // n AS base FROM nn),
+         |r0 AS (SELECT id, 1000000000000 // n AS r FROM wdeg CROSS JOIN nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")},
+         |${iter("r3", "r4")},
+         |${iter("r4", "r5")}
+         |SELECT v.term, CAST(r.r AS BIGINT) AS rank_units
+         |FROM r5 r JOIN vocab v ON v.tid = r.id
+         |ORDER BY rank_units DESC, term LIMIT 15""".stripMargin
+    },
+    "a_attribution" ->
+      """WITH ev AS (SELECT user_id AS u, ts, event_id AS eid, event_type FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |c AS (SELECT u, ts AS cts, eid AS ceid FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT u, ts AS tts, eid AS teid, event_type AS ch FROM ev
+        |      WHERE event_type IN ('click', 'view')),
+        |m AS (SELECT c.u, c.ceid, t.ch, t.tts, t.teid FROM c JOIN t ON c.u = t.u
+        |      AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY u, ceid ORDER BY tts, teid) AS rk,
+        |        count(*) OVER (PARTITION BY u, ceid) AS n FROM m),
+        |cr AS (SELECT ch, u, ceid,
+        |        CAST(1000000 // n AS BIGINT) AS linear6,
+        |        CAST(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+        |             WHEN rk = 1 OR rk = n THEN 400000
+        |             ELSE 200000 // (n - 2) END AS BIGINT) AS ushape6
+        |       FROM r),
+        |pc AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |         CAST(count(DISTINCT (u, ceid)) AS BIGINT) AS n_conversions,
+        |         CAST(SUM(linear6) AS BIGINT) AS linear6,
+        |         CAST(SUM(ushape6) AS BIGINT) AS ushape6
+        |       FROM cr GROUP BY 1),
+        |orp AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c
+        |        WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.u = c.u AND m.ceid = c.ceid)),
+        |un AS (SELECT '(unattributed)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+        |         nn AS n_conversions, nn * 1000000 AS linear6, nn * 1000000 AS ushape6
+        |       FROM orp WHERE nn > 0)
+        |SELECT * FROM pc UNION ALL SELECT * FROM un ORDER BY channel""".stripMargin,
     "er_fs_weights" ->
       s"""WITH $fsWeightsSqlPrefix
          |SELECT field, n_match, n_unmatch, a_match, a_unmatch, m_ppm, u_ppm,

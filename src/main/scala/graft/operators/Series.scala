@@ -802,4 +802,89 @@ object Series {
         col("n"),
         expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
   }
+
+  /** Multi-touch conversion attribution — the marketing-analytics
+    * credit split: each conversion distributes one unit of credit
+    * over the TOUCH events that preceded it within the lookback
+    * window, per channel. Two standard models side by side:
+    *
+    *   linear:   every touch gets 1e6 div n
+    *   U-shape:  n=1 → 1e6; n=2 → 500000 each;
+    *             n≥3 → first 400000, last 400000,
+    *                   middles 200000 div (n−2) each
+    *
+    * (the 40/20/40 position model; first/last under the (ts,
+    * event_id) total order — the outOfOrderAudit tie rule). Credits
+    * are exact integer micro-units with TRUNCATING division — a
+    * conversion's credits sum to ≤ 1e6, never more, and the deficit
+    * is the documented price of integer determinism (no float
+    * shares, no remainder lottery). Conversions with NO touch in the
+    * window surface as one "(unattributed)" row carrying their count
+    * and full 1e6-per-conversion credit — silent disappearance would
+    * overstate every channel's share.
+    *
+    * Scale shape: conversions × touches join per user key (bounded
+    * by per-user activity; repartitions on the user hash), one
+    * per-conversion window over the matched touches, one channel
+    * hash-agg; the matched-touch table is persisted (credits + the
+    * orphan anti-join read one join pass). Returns (channel,
+    * n_touches, n_conversions, linear6, ushape6).
+    */
+  def attributionCredits(
+      df: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      eventIdCol: Column,
+      isConversionCol: Column,
+      isTouchCol: Column,
+      channelCol: Column,
+      lookbackDays: Int): DataFrame = {
+    require(lookbackDays > 0, "lookbackDays must be positive")
+    val ev = df
+      .filter(userCol.isNotNull && tsCol.isNotNull && eventIdCol.isNotNull)
+      .select(
+        userCol.as("u"), tsCol.as("ts"), eventIdCol.cast("long").as("eid"),
+        isConversionCol.cast("boolean").as("conv"),
+        isTouchCol.cast("boolean").as("touch"),
+        channelCol.as("ch"))
+    val convs = ev.filter(col("conv"))
+      .select(col("u"), col("ts").as("cts"), col("eid").as("ceid"))
+    val touches = ev.filter(col("touch"))
+      .select(col("u"), col("ts").as("tts"), col("eid").as("teid"), col("ch"))
+    val matched = convs
+      .join(touches, Seq("u"))
+      .filter(
+        col("tts") < col("cts") &&
+          col("tts") >= col("cts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("u"), col("ceid"))
+    val credits = matched
+      .withColumn("rk", row_number().over(w.orderBy(col("tts"), col("teid"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("linear6", expr("CAST(1000000 div n AS BIGINT)"))
+      .withColumn(
+        "ushape6",
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("rk") === 1 || col("rk") === col("n"), 400000L)
+          .otherwise(expr("CAST(200000 div (n - 2) AS BIGINT)")))
+    val perChannel = credits
+      .groupBy(col("ch").as("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        count_distinct(col("u"), col("ceid")).as("n_conversions"),
+        sum(col("linear6")).as("linear6"),
+        sum(col("ushape6")).as("ushape6"))
+    val orphans = convs
+      .join(matched.select(col("u"), col("ceid")).distinct(), Seq("u", "ceid"), "left_anti")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 0L)
+      .select(
+        lit("(unattributed)").as("channel"),
+        lit(0L).as("n_touches"),
+        col("__n").as("n_conversions"),
+        (col("__n") * 1000000L).as("linear6"),
+        (col("__n") * 1000000L).as("ushape6"))
+    perChannel.unionByName(orphans)
+  }
 }

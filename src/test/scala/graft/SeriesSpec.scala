@@ -320,4 +320,37 @@ class SeriesSpec extends SparkSpec {
     assert(got(1) == ((1L, 2L, 40L, 1750000L))) // Monday
     assert(got.filter(_._1 != 1L).forall(x => x._2 == 2L && x._3 == 20L && x._4 == 875000L))
   }
+
+  test("attributionCredits: linear and U-shape splits, window cut, unattributed surfaced") {
+    // user 1: conv day 10, touches click d3 / view d5 / click d7 (n=3,
+    // U = 400k/200k/400k) plus a click at d2 OUTSIDE the 7-day window;
+    // user 3: conv day 10, click d8 + view d9 (n=2, 500k each);
+    // user 2: conversion with no touches -> "(unattributed)".
+    def ts(d: Int) = s"2024-01-${"%02d".format(d)} 00:00:00"
+    val rows = Seq(
+      (1L, ts(10), 100L, "purchase"),
+      (1L, ts(2), 101L, "click"),   // 8 days before: excluded
+      (1L, ts(3), 102L, "click"),
+      (1L, ts(5), 103L, "view"),
+      (1L, ts(7), 104L, "click"),
+      (2L, ts(10), 200L, "purchase"),
+      (3L, ts(10), 300L, "purchase"),
+      (3L, ts(8), 301L, "click"),
+      (3L, ts(9), 302L, "view"))
+      .toDF("user_id", "tss", "event_id", "event_type")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Series
+      .attributionCredits(
+        rows, col("user_id"), col("ts"), col("event_id"),
+        col("event_type") === "purchase",
+        col("event_type").isin("click", "view"),
+        col("event_type"), lookbackDays = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("(unattributed)", 0L, 1L, 1000000L, 1000000L),
+      ("click", 3L, 2L, 1166666L, 1300000L),
+      ("view", 2L, 2L, 833333L, 700000L)))
+  }
 }
