@@ -4806,6 +4806,28 @@ object SparkEntryCoverage {
           365)
         .orderBy(col("age"))
     },
+    // Nelson-Aalen cumulative hazard (Series.nelsonAalen): the
+    // additive sibling of a_survival_km on the same survival grid —
+    // per-age d/n terms micro-rounded once then exactly summed.
+    "a_survival_hazard" -> { (s, dir) =>
+      Series
+        .nelsonAalen(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate")),
+          "o_custkey",
+          "o_orderdate",
+          30,
+          365)
+        .orderBy(col("age"))
+    },
+    // One-way ANOVA (Experiments.oneWayAnova): does mean cent value
+    // differ across the 5 event types? SSB/SSW from one moment pass,
+    // large-sample chi-square significance vs the dof-4 literal.
+    "a_anova" -> { (s, dir) =>
+      Experiments.oneWayAnova(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("event_type"),
+        round(col("value") * 100.0, 0).cast("long"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9301,6 +9323,53 @@ object SparkEntryCoverage {
         |SELECT CAST(g.age AS BIGINT) AS age, g.n AS n_risk, g.d AS n_churn,
         |       g.c AS n_censored, km.s6
         |FROM g JOIN km USING (i) ORDER BY age""".stripMargin,
+    "a_survival_hazard" ->
+      """WITH u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens FROM u, cm),
+        |ag AS (SELECT age, CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c FROM lv GROUP BY 1),
+        |g AS (SELECT age, d, c, CAST(sum(d + c) OVER (ORDER BY age DESC) AS BIGINT) AS n
+        |      FROM ag)
+        |SELECT CAST(age AS BIGINT) AS age, n AS n_risk, d AS n_churn, c AS n_censored,
+        |  CAST(SUM((1000000 * d) // n) OVER (ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h6
+        |FROM g ORDER BY age""".stripMargin,
+    "a_anova" ->
+      """WITH arms AS (SELECT event_type AS arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_g,
+        |    SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(round(value * 100) AS BIGINT)) AS ss_g
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1 HAVING COUNT(*) >= 2),
+        |tg AS (SELECT *,
+        |    CAST((CAST(1000000 AS HUGEINT) * s_g * s_g) // n_g AS BIGINT) AS t_g
+        |  FROM arms),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s, SUM(ss_g) AS ss,
+        |    CAST(SUM(t_g) AS BIGINT) AS tsum
+        |  FROM tg),
+        |st AS (SELECT k, n,
+        |    greatest(CAST(0 AS BIGINT),
+        |      tsum - CAST((CAST(1000000 AS HUGEINT) * s * s) // n AS BIGINT)) AS ssb6,
+        |    CAST(1000000 AS HUGEINT) * ss - tsum AS ssw6
+        |  FROM agg WHERE k >= 2),
+        |fin AS (SELECT k, n, ssb6, ssw6,
+        |    CASE WHEN ssw6 = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(ssb6 AS HUGEINT) * (n - k) * 1000000)
+        |              // (ssw6 * (k - 1)) AS BIGINT) END AS f6,
+        |    CASE WHEN ssw6 = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(ssb6 AS HUGEINT) * (n - k) * 1000000) // ssw6 AS BIGINT)
+        |    END AS chi2_6
+        |  FROM st)
+        |SELECT k, n, ssb6, CAST(ssw6 AS BIGINT) AS ssw6, f6, chi2_6,
+        |  chi2_6 >= CASE k WHEN 2 THEN 3841459 WHEN 3 THEN 5991465 WHEN 4 THEN 7814728
+        |                   WHEN 5 THEN 9487729 WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
+        |                   WHEN 8 THEN 14067140 WHEN 9 THEN 15507313 WHEN 10 THEN 16918978
+        |                   ELSE 18307038 END AS significant
+        |FROM fin""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

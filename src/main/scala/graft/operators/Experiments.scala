@@ -1027,6 +1027,114 @@ object Experiments {
       .select(col("g").as("group"), col("n"), col("x"), col("raw6"), col("eb6"))
   }
 
+  /** One-way ANOVA across k arms (Fisher) — the many-armed sibling of
+    * [[welchT]]: did the metric's mean differ across ANY of the k
+    * variants? F = (SSB/(k−1)) / (SSW/(N−k)) from one pass of
+    * per-arm moments.
+    *
+    * Exactness (the psiFromCounts per-term discipline): the between-
+    * group sum of squares decomposes as SSB = Σ_g s_g²/n_g − S²/N;
+    * each term rounds ONCE to micro units by truncating DECIMAL
+    * division (t_g = 1e6·s_g² div n_g), so ssb6 = Σ t_g − (1e6·S²
+    * div N) — truncation can leave ssb6 up to ~k µ-units NEGATIVE on
+    * identical arms; it clamps at 0 (documented). ssw6 = 1e6·SS −
+    * Σ t_g is ≥ 1e6·SSW ≥ 0 by construction (each t_g is ≤ its exact
+    * value), no clamp needed. f6 = (ssb6·(N−k)·1e6) div
+    * (ssw6·(k−1)).
+    *
+    * Significance uses the large-sample identity (k−1)·F → chi²_{k−1}
+    * (valid for N ≫ k — per-arm n ≳ 30; below that the threshold is
+    * anti-conservative, the [[welchT]] caveat): chi2_6 = (ssb6·(N−k)
+    * ·1e6) div ssw6 compared against the dof = k−1 entry of
+    * [[Chi2Alpha05Micro]] — k is capped at 11 by that table,
+    * enforced fail-fast in-plan. ssw6 = 0 (every arm constant) → f6
+    * = chi2_6 = 0, not-significant (the twoProportionZ degenerate
+    * convention); arms with n < 2 are dropped (no variance
+    * evidence); fewer than 2 surviving arms yields zero rows.
+    *
+    * Scale shape: ONE hash aggregate to per-arm moments (map-side
+    * combined), a broadcast 1-row total, a k-row final aggregate.
+    * Returns one row (k, n, ssb6, ssw6, f6, chi2_6, significant).
+    */
+  def oneWayAnova(df: DataFrame, armCol: Column, metricCol: Column): DataFrame = {
+    val arms = cached(
+      df
+        .filter(armCol.isNotNull && metricCol.isNotNull)
+        .groupBy(armCol.as("arm"))
+        .agg(
+          count(lit(1)).as("n_g"),
+          sum(metricCol.cast("long")).as("s_g"),
+          sum(
+            metricCol.cast("long").cast("decimal(38,0)")
+              * metricCol.cast("long").cast("decimal(38,0)")).as("ss_g"))
+        .filter(col("n_g") >= 2L)
+        .withColumn(
+          "t_g",
+          expr(
+            """CAST(
+              |  (CAST(1000000 AS DECIMAL(38,0))
+              |   * CAST(s_g AS DECIMAL(38,0)) * CAST(s_g AS DECIMAL(38,0)))
+              |  div CAST(n_g AS DECIMAL(38,0))
+              |AS BIGINT)""".stripMargin)))
+    arms
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("__s"),
+        sum(col("ss_g")).as("__ss"),
+        sum(col("t_g")).as("__tsum"))
+      .filter(col("k") >= 2L)
+      .filter(
+        assert_true(
+          col("k") <= 11L,
+          concat(
+            lit("oneWayAnova: 2..11 arms supported (chi-square literal table), got "),
+            col("k").cast("string"))).isNull)
+      .withColumn(
+        "ssb6",
+        greatest(
+          lit(0L),
+          expr(
+            """__tsum - CAST(
+              |  (CAST(1000000 AS DECIMAL(38,0))
+              |   * CAST(__s AS DECIMAL(38,0)) * CAST(__s AS DECIMAL(38,0)))
+              |  div CAST(n AS DECIMAL(38,0))
+              |AS BIGINT)""".stripMargin)))
+      .withColumn(
+        "ssw6",
+        expr(
+          """CAST(1000000 AS DECIMAL(38,0)) * __ss
+            |- CAST(__tsum AS DECIMAL(38,0))""".stripMargin))
+      .withColumn(
+        "f6",
+        expr(
+          """CASE WHEN ssw6 = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(ssb6 AS DECIMAL(38,0)) * CAST(n - k AS DECIMAL(38,0))
+            |   * CAST(1000000 AS DECIMAL(38,0)))
+            |  div (ssw6 * CAST(k - 1 AS DECIMAL(38,0)))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "chi2_6",
+        expr(
+          """CASE WHEN ssw6 = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(ssb6 AS DECIMAL(38,0)) * CAST(n - k AS DECIMAL(38,0))
+            |   * CAST(1000000 AS DECIMAL(38,0)))
+            |  div ssw6
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__thr",
+        element_at(
+          array(Chi2Alpha05Micro.map(lit): _*),
+          (col("k") - 1L).cast("int")))
+      .select(
+        col("k"), col("n"), col("ssb6"),
+        col("ssw6").cast("long").as("ssw6"),
+        col("f6"), col("chi2_6"),
+        (col("chi2_6") >= col("__thr")).as("significant"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

@@ -629,7 +629,12 @@ object Series {
     * Returns (age, n_risk, n_churn, n_censored, s6), one row per
     * observed age, s6 non-increasing.
     */
-  def kaplanMeier(
+  /** Shared (age, d, c, n) survival grid of [[kaplanMeier]] and
+    * [[nelsonAalen]]: per-entity lifetimes quantized to age units,
+    * censor flag against the corpus-max clock, at-risk counts from
+    * one descending running sum over the age-bounded grid.
+    */
+  private def survivalGrid(
       df: DataFrame,
       idCol: String,
       dayCol: String,
@@ -655,7 +660,51 @@ object Series {
     val wDesc = Window
       .orderBy(col("age").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grid = ages.withColumn("n", sum(col("d") + col("c")).over(wDesc))
+    ages.withColumn("n", sum(col("d") + col("c")).over(wDesc))
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
+    * ADDITIVE sibling of [[kaplanMeier]] on the same survival grid:
+    * H(t) = Σ_{age ≤ t} d/n. Where KM answers "what fraction
+    * survives to t", the cumulative hazard reads as expected events
+    * per at-risk entity and is the quantity hazard models regress
+    * on; near-linear H = constant churn rate, convex = aging out.
+    * Exactness: each grid term rounds ONCE to micro units
+    * (1e6·d div n, truncating — the psiFromCounts per-term
+    * discipline), then an exact ascending running BIGINT sum over
+    * the age-bounded grid. Same censoring convention as KM (entities
+    * last seen within censorDays of the corpus-max clock are at-risk
+    * evidence, not churn). Returns (age, n_risk, n_churn,
+    * n_censored, h6).
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    val grid = survivalGrid(df, idCol, dayCol, ageUnitDays, censorDays)
+    val wAsc = Window
+      .orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__h", expr("CAST(1000000 * d div n AS BIGINT)"))
+      .withColumn("h6", sum(col("__h")).over(wAsc))
+      .select(
+        col("age"),
+        col("n").as("n_risk"),
+        col("d").as("n_churn"),
+        col("c").as("n_censored"),
+        col("h6"))
+  }
+
+  def kaplanMeier(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    val grid = survivalGrid(df, idCol, dayCol, ageUnitDays, censorDays)
     val arr = broadcast(
       grid.agg(
         array_sort(collect_list(struct(col("age"), col("d"), col("n"))))

@@ -278,6 +278,32 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("at least 2 groups"))
   }
 
+  test("oneWayAnova: hand-computed 3-arm fixture scores F=16; constant arms score 0") {
+    // A{1,3} B{5,7} C{9,11}: SSB = 64, SSW = 6, F = (64/2)/(6/3) = 16;
+    // chi2 = 2F = 32e6 >= chi2_2 literal -> significant.
+    val rows = Seq(
+      ("A", 1L), ("A", 3L), ("B", 5L), ("B", 7L), ("C", 9L), ("C", 11L))
+    val r = Experiments
+      .oneWayAnova(rows.toDF("arm", "y"), col("arm"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getBoolean(6)) ==
+      ((3L, 6L, 64000000L, 6000000L, 16000000L, 32000000L, true)))
+    // every arm constant: zero within-variance -> 0 by convention
+    val const = Seq(("A", 5L), ("A", 5L), ("B", 9L), ("B", 9L))
+    val rc = Experiments
+      .oneWayAnova(const.toDF("arm", "y"), col("arm"), col("y")).head()
+    assert((rc.getLong(4), rc.getLong(5), rc.getBoolean(6)) == ((0L, 0L, false)))
+    // single-row arms are dropped; a lone surviving arm yields no row
+    val thin = Seq(("A", 1L), ("B", 5L), ("B", 7L))
+    assert(Experiments
+      .oneWayAnova(thin.toDF("arm", "y"), col("arm"), col("y")).count() == 0L)
+    // 12 arms overflow the literal chi-square table: fail fast
+    val wide = (1 to 12).flatMap(i => Seq((s"a$i", 1L), (s"a$i", 2L)))
+    val e = intercept[Exception](
+      Experiments.oneWayAnova(wide.toDF("arm", "y"), col("arm"), col("y")).head())
+    assert(e.getMessage.contains("2..11 arms"))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")

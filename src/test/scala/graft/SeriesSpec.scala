@@ -321,6 +321,26 @@ class SeriesSpec extends SparkSpec {
     assert(got.filter(_._1 != 1L).forall(x => x._2 == 2L && x._3 == 20L && x._4 == 875000L))
   }
 
+  test("nelsonAalen: per-age d/n terms sum exactly; censoring matches the KM convention") {
+    // ages 0/1/2 with d = 1,1,0 and at-risk 4,3,2:
+    // h6 = 250000, then +333333, then +0.
+    val rows = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"),
+      (2L, "2024-01-01"), (2L, "2024-01-02"),
+      (3L, "2024-01-01"), (3L, "2024-01-03"),
+      (4L, "2024-01-01"), (4L, "2024-01-03"))
+      .toDF("id", "d").withColumn("day", col("d").cast("date"))
+    val got = Series
+      .nelsonAalen(rows, "id", "day", 1, 1)
+      .orderBy(col("age"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 0L, 250000L),
+      (1L, 3L, 1L, 0L, 583333L),
+      (2L, 2L, 0L, 2L, 583333L)))
+  }
+
   test("attributionCredits: linear and U-shape splits, window cut, unattributed surfaced") {
     // user 1: conv day 10, touches click d3 / view d5 / click d7 (n=3,
     // U = 400k/200k/400k) plus a click at d2 OUTSIDE the 7-day window;
