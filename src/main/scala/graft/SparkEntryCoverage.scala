@@ -4828,6 +4828,43 @@ object SparkEntryCoverage {
         col("event_type"),
         round(col("value") * 100.0, 0).cast("long"))
     },
+    // Kruskal-Wallis (Experiments.kruskalWallis): the k-armed
+    // nonparametric test on the doubled-mid-rank chassis — did ANY
+    // event type's value distribution shift?
+    "a_kruskal" -> { (s, dir) =>
+      Experiments.kruskalWallis(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("value").isNotNull),
+        col("event_type"),
+        round(col("value") * 100.0, 0).cast("long"))
+    },
+    // McNemar's paired binary test (Experiments.mcnemar): per user,
+    // did the any-high-value flag flip between the two fortnights?
+    // Only discordant pairs carry information.
+    "a_mcnemar" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          max(
+            when(
+              col("ts") < lit("2024-01-16").cast("timestamp") && col("value") > 140.0,
+              1L).otherwise(0L)).as("pre"),
+          max(
+            when(
+              col("ts") >= lit("2024-01-16").cast("timestamp") && col("value") > 140.0,
+              1L).otherwise(0L)).as("post"))
+      Experiments.mcnemar(per, col("pre") === 1L, col("post") === 1L)
+    },
+    // Brown-Forsythe variance-equality gate (Experiments.brownForsythe):
+    // ANOVA on |y - median_arm| — are the event types' SPREADS equal?
+    "a_levene_bf" -> { (s, dir) =>
+      Experiments.brownForsythe(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("value").isNotNull),
+        col("event_type"),
+        round(col("value") * 100.0, 0).cast("long"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9344,6 +9381,96 @@ object SparkEntryCoverage {
         |        * CAST(round(value * 100) AS BIGINT)) AS ss_g
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |  GROUP BY 1 HAVING COUNT(*) >= 2),
+        |tg AS (SELECT *,
+        |    CAST((CAST(1000000 AS HUGEINT) * s_g * s_g) // n_g AS BIGINT) AS t_g
+        |  FROM arms),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s, SUM(ss_g) AS ss,
+        |    CAST(SUM(t_g) AS BIGINT) AS tsum
+        |  FROM tg),
+        |st AS (SELECT k, n,
+        |    greatest(CAST(0 AS BIGINT),
+        |      tsum - CAST((CAST(1000000 AS HUGEINT) * s * s) // n AS BIGINT)) AS ssb6,
+        |    CAST(1000000 AS HUGEINT) * ss - tsum AS ssw6
+        |  FROM agg WHERE k >= 2),
+        |fin AS (SELECT k, n, ssb6, ssw6,
+        |    CASE WHEN ssw6 = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(ssb6 AS HUGEINT) * (n - k) * 1000000)
+        |              // (ssw6 * (k - 1)) AS BIGINT) END AS f6,
+        |    CASE WHEN ssw6 = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(ssb6 AS HUGEINT) * (n - k) * 1000000) // ssw6 AS BIGINT)
+        |    END AS chi2_6
+        |  FROM st)
+        |SELECT k, n, ssb6, CAST(ssw6 AS BIGINT) AS ssw6, f6, chi2_6,
+        |  chi2_6 >= CASE k WHEN 2 THEN 3841459 WHEN 3 THEN 5991465 WHEN 4 THEN 7814728
+        |                   WHEN 5 THEN 9487729 WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
+        |                   WHEN 8 THEN 14067140 WHEN 9 THEN 15507313 WHEN 10 THEN 16918978
+        |                   ELSE 18307038 END AS significant
+        |FROM fin""".stripMargin,
+    "a_kruskal" ->
+      """WITH base AS (SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |va AS (SELECT v, arm, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM va GROUP BY 1),
+        |rk AS (SELECT v, t, CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+        |         AS rmin FROM vt),
+        |arms AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n_g,
+        |           CAST(SUM(c * (2 * rk.rmin + rk.t - 1)) AS BIGINT) AS r2_g
+        |         FROM va JOIN rk USING (v) GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n
+        |        FROM arms),
+        |ts3 AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS ties3 FROM vt),
+        |u AS (SELECT k, n,
+        |        CAST((CAST(3000000 AS HUGEINT) * r2_g * r2_g)
+        |             // (CAST(n_g AS HUGEINT) * n * (n + 1)) AS BIGINT) AS u_g6
+        |      FROM arms CROSS JOIN tot),
+        |agg AS (SELECT k, n, CAST(SUM(u_g6) AS BIGINT) AS a FROM u GROUP BY 1, 2),
+        |h AS (SELECT k, n, ties3,
+        |        greatest(CAST(0 AS BIGINT), a - 3000000 * (n + 1)) AS h6
+        |      FROM agg CROSS JOIN ts3 WHERE k >= 2),
+        |fin AS (SELECT k, n,
+        |    CASE WHEN CAST(n AS HUGEINT) * n * n - n - ties3 <= 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(h6 AS HUGEINT) * (CAST(n AS HUGEINT) * n * n - n))
+        |              // (CAST(n AS HUGEINT) * n * n - n - ties3) AS BIGINT) END AS hc6
+        |  FROM h)
+        |SELECT k, n, hc6,
+        |  hc6 >= CASE k WHEN 2 THEN 3841459 WHEN 3 THEN 5991465 WHEN 4 THEN 7814728
+        |                WHEN 5 THEN 9487729 WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
+        |                WHEN 8 THEN 14067140 WHEN 9 THEN 15507313 WHEN 10 THEN 16918978
+        |                ELSE 18307038 END AS significant
+        |FROM fin""".stripMargin,
+    "a_mcnemar" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN ts < TIMESTAMP '2024-01-16' AND value > 140.0 THEN 1 ELSE 0 END)
+        |      AS pre,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND value > 140.0 THEN 1 ELSE 0 END)
+        |      AS post
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM per)
+        |SELECT n, b, c,
+        |  CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((1000000 * (b - c) * (b - c)) // (b + c) AS BIGINT) END AS chi2_6,
+        |  CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((1000000 * (b - c) * (b - c)) // (b + c) AS BIGINT) END >= 3841459
+        |    AS significant
+        |FROM agg""".stripMargin,
+    "a_levene_bf" ->
+      """WITH base AS (SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |meds AS (SELECT arm, y AS med FROM (
+        |    SELECT arm, y, row_number() OVER (PARTITION BY arm ORDER BY y) AS rn,
+        |           count(*) OVER (PARTITION BY arm) AS nn
+        |    FROM base) WHERE rn = (nn + 1) // 2),
+        |z AS (SELECT b.arm, abs(b.y - m.med) AS y FROM base b JOIN meds m USING (arm)),
+        |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(y) AS BIGINT) AS s_g,
+        |    SUM(CAST(y AS HUGEINT) * y) AS ss_g
+        |  FROM z GROUP BY 1 HAVING COUNT(*) >= 2),
         |tg AS (SELECT *,
         |    CAST((CAST(1000000 AS HUGEINT) * s_g * s_g) // n_g AS BIGINT) AS t_g
         |  FROM arms),

@@ -1135,6 +1135,169 @@ object Experiments {
         (col("chi2_6") >= col("__thr")).as("significant"))
   }
 
+  /** Kruskal–Wallis rank test (Kruskal & Wallis 1952) — the k-armed
+    * nonparametric sibling of [[mannWhitneyU]], completing the test
+    * grid (parametric/nonparametric × 2-arm/k-arm with [[welchT]] and
+    * [[oneWayAnova]]): did ANY arm's value distribution shift, with
+    * no normality assumption.
+    *
+    * Exactness on the doubled-mid-rank chassis (2r + t − 1 per
+    * member of a tie group — always integer): per-arm doubled rank
+    * sums R2_g fold from the DISTINCT-(arm, value) count table, each
+    * arm's term rounds ONCE (t_g = 1e6·R2_g² div (4·n_g), DECIMAL —
+    * R2² reaches 4N⁴, valid to N ≈ 5e7 rows before 1e38), then
+    *
+    *   H6  = (12·Σt_g) div (N(N+1)) − 3e6·(N+1)   [clamped ≥ 0 —
+    *         truncation can leave a few µ-units negative on
+    *         identical arms]
+    *   Hc6 = H6·(N³−N) div (N³−N−ΣT),  T = t³−t   [tie correction]
+    *
+    * — staged truncating divisions at pinned boundaries (the
+    * oneWayAnova convention), oracle-mirrored stage for stage.
+    * All-values-equal degenerates the correction denominator → 0
+    * convention. Significance: Hc6 vs the dof = k−1 entry of
+    * [[Chi2Alpha05Micro]] (2..11 arms, fail-fast). Arms keep ALL
+    * sizes (ranks need no per-arm variance); fewer than 2 arms
+    * yields zero rows.
+    *
+    * Scale shape: one hash aggregate to the (value, arm) count grid,
+    * one running-sum window over the VALUE DOMAIN (never the
+    * corpus), a k-row final. Returns one row (k, n, hc6,
+    * significant).
+    */
+  def kruskalWallis(df: DataFrame, armCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val va = cached(
+      df
+        .filter(armCol.isNotNull && valueCol.isNotNull)
+        .groupBy(valueCol.cast("long").as("v"), armCol.as("arm"))
+        .agg(count(lit(1)).as("c")))
+    val vt = va.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .withColumn(
+        "rmin",
+        coalesce(
+          sum(col("t")).over(
+            Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L)
+    val arms = cached(
+      va
+        .join(vt.select(col("v"), col("t"), col("rmin")), Seq("v"))
+        .groupBy(col("arm"))
+        .agg(
+          sum(col("c")).as("n_g"),
+          sum(col("c") * (lit(2L) * col("rmin") + col("t") - 1L)).as("r2_g")))
+    val tot = broadcast(arms.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n")))
+    val ties = broadcast(
+      vt.agg(sum(col("t") * col("t") * col("t") - col("t")).as("__ties3")))
+    arms
+      .crossJoin(tot)
+      // per-arm micro term 12·(R2_g/2)²/(n_g·N(N+1)) rounded ONCE —
+      // dividing by the FULL denominator per arm keeps every
+      // intermediate ≤ ~12e6·n_g (a huge t_g = 1e6·R2² div 4n_g
+      // would overflow the BIGINT that Spark's div always returns)
+      .withColumn(
+        "u_g6",
+        expr(
+          """CAST(
+            |  (CAST(3000000 AS DECIMAL(38,0))
+            |   * CAST(r2_g AS DECIMAL(38,0)) * CAST(r2_g AS DECIMAL(38,0)))
+            |  div (CAST(n_g AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+            |       * CAST(n + 1 AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .groupBy(col("k"), col("n"))
+      .agg(sum(col("u_g6")).as("__a"))
+      .filter(col("k") >= 2L)
+      .filter(
+        assert_true(
+          col("k") <= 11L,
+          concat(
+            lit("kruskalWallis: 2..11 arms supported (chi-square literal table), got "),
+            col("k").cast("string"))).isNull)
+      .crossJoin(ties)
+      .withColumn(
+        "__h6",
+        greatest(lit(0L), col("__a") - lit(3000000L) * (col("n") + 1L)))
+      .withColumn(
+        "hc6",
+        expr(
+          """CASE WHEN n * n * n - n - __ties3 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(__h6 AS DECIMAL(38,0))
+            |   * (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+            |      * CAST(n AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0))))
+            |  div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+            |       * CAST(n AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0))
+            |       - CAST(__ties3 AS DECIMAL(38,0)))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__thr",
+        element_at(
+          array(Chi2Alpha05Micro.map(lit): _*),
+          (col("k") - 1L).cast("int")))
+      .select(
+        col("k"), col("n"), col("hc6"),
+        (col("hc6") >= col("__thr")).as("significant"))
+  }
+
+  /** McNemar's test (McNemar 1947) — the PAIRED binary test: each
+    * unit carries a pre and a post flag, and only the DISCORDANT
+    * pairs carry information (b = 0→1 upgrades, c = 1→0 downgrades;
+    * concordant pairs cancel out of the null). chi²6 =
+    * 1e6·(b−c)² div (b+c) — entirely exact integers, one truncating
+    * division; b + c = 0 (nobody switched) → 0, not-significant, by
+    * the degenerate convention. Significance vs the chi²₁ literal
+    * [[Z2Alpha05Micro]]. Returns one row (n, b, c, chi2_6,
+    * significant).
+    *
+    * Scale shape: one filter + 1-row aggregate — map-side combined,
+    * nothing else.
+    */
+  def mcnemar(df: DataFrame, preCol: Column, postCol: Column): DataFrame =
+    df
+      .filter(preCol.isNotNull && postCol.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(!preCol.cast("boolean") && postCol.cast("boolean"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(preCol.cast("boolean") && !postCol.cast("boolean"), 1L).otherwise(0L))
+          .as("c"))
+      .withColumn(
+        "chi2_6",
+        expr(
+          """CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((1000000 * (b - c) * (b - c)) div (b + c) AS BIGINT) END""".stripMargin))
+      .select(
+        col("n"), col("b"), col("c"), col("chi2_6"),
+        (col("chi2_6") >= Z2Alpha05Micro).as("significant"))
+
+  /** Brown–Forsythe variance-equality test (Brown & Forsythe 1974 —
+    * Levene's test with the MEDIAN center): are the arms' SPREADS
+    * equal? The gate a mean-comparison should pass before trusting
+    * pooled-variance machinery, and a drift alarm in its own right
+    * (a variant that widens latency variance without moving the mean
+    * is invisible to [[welchT]]). Composition: per-arm LOWER median
+    * by exact rank (element at position (n+1) div 2 under the value
+    * order — the order-statistic discipline, no approx percentile),
+    * absolute deviations |y − med_g|, then [[oneWayAnova]] on the
+    * deviations verbatim — output shape and conventions inherited.
+    */
+  def brownForsythe(df: DataFrame, armCol: Column, metricCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(armCol.isNotNull && metricCol.isNotNull)
+      .select(armCol.as("__arm"), metricCol.cast("long").as("__y"))
+    val w = Window.partitionBy(col("__arm"))
+    val meds = base
+      .withColumn("__rn", row_number().over(w.orderBy(col("__y"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") === expr("CAST((__n + 1) div 2 AS INT)"))
+      .select(col("__arm"), col("__y").as("__med"))
+    oneWayAnova(
+      base.join(meds, Seq("__arm")),
+      col("__arm"),
+      abs(col("__y") - col("__med")))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

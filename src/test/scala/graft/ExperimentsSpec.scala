@@ -304,6 +304,50 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("2..11 arms"))
   }
 
+  test("kruskalWallis: separation scores H=2.4; tie-corrected fixture scores 1.0; all-equal 0") {
+    // A{1,2} B{3,4}: H = 2.4 exactly, no ties.
+    val sep = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("arm", "v")
+    val r = Experiments.kruskalWallis(sep, col("arm"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ((2L, 4L, 2400000L, false)))
+    // A{1,1} B{1,2}: mid-rank ties, H = 0.6, correction 0.6 -> 1.0.
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L)).toDF("arm", "v")
+    val rt = Experiments.kruskalWallis(tied, col("arm"), col("v")).head()
+    assert(rt.getLong(2) == 1000000L)
+    // all values equal: correction denominator 0 -> 0 by convention
+    val const = Seq(("A", 5L), ("B", 5L)).toDF("arm", "v")
+    assert(Experiments.kruskalWallis(const, col("arm"), col("v")).head().getLong(2) == 0L)
+    val wide = (1 to 12).flatMap(i => Seq((s"a$i", i.toLong))).toDF("arm", "v")
+    val e = intercept[Exception](
+      Experiments.kruskalWallis(wide, col("arm"), col("v")).head())
+    assert(e.getMessage.contains("2..11 arms"))
+  }
+
+  test("mcnemar: discordant 3-vs-1 scores chi2=1; no switchers score 0") {
+    val rows = Seq(
+      (false, true), (false, true), (false, true), (true, false),
+      (true, true), (false, false), (true, true), (false, false))
+      .toDF("pre", "post")
+    val r = Experiments.mcnemar(rows, col("pre"), col("post")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      ((8L, 3L, 1L, 1000000L, false)))
+    val quiet = Seq((true, true), (false, false)).toDF("pre", "post")
+    val rq = Experiments.mcnemar(quiet, col("pre"), col("post")).head()
+    assert((rq.getLong(3), rq.getBoolean(4)) == ((0L, false)))
+  }
+
+  test("brownForsythe: lower-median deviations feed ANOVA; hand-computed F") {
+    // A{0,2,10}: med 2, |z| = {2,0,8}; B{0,4,4}: med 4 (lower-median
+    // rank (3+1) div 2 = 2), |z| = {4,0,0}.
+    // ANOVA on z: ssb6 = 6e6, ssw6 = 45333334, f6 = 529411.
+    val rows = Seq(
+      ("A", 0L), ("A", 2L), ("A", 10L), ("B", 0L), ("B", 4L), ("B", 4L))
+      .toDF("arm", "y")
+    val r = Experiments.brownForsythe(rows, col("arm"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 6L, 6000000L, 45333334L, 529411L)))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")
