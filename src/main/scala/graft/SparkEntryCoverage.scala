@@ -4865,6 +4865,39 @@ object SparkEntryCoverage {
         col("event_type"),
         round(col("value") * 100.0, 0).cast("long"))
     },
+    // FK-containment discovery (Checks.fkContainment): candidate
+    // join-key pairs measured as child-distinct containment in the
+    // parent — clean FKs read 1e6 ppm, the reversed direction names
+    // its orphan mass.
+    "dq_fk_candidates" -> { (s, dir) =>
+      def cand(label: String, c: DataFrame, ck: String, p: DataFrame, pk: String) =
+        Checks.fkContainment(c, col(ck), p, col(pk))
+          .select(lit(label).as("candidate"), col("n_child_distinct"),
+            col("n_contained"), col("containment_ppm"))
+      cand("events_user__customer", t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey")
+        .unionByName(cand("lineitem_part__part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(cand("customer_nation__nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"))
+        .unionByName(cand("orders_cust__events_user", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "events"), "user_id"))
+        .orderBy(col("candidate"))
+    },
+    // Functional-dependency audit (Checks.fdViolations): does the
+    // order key determine the return flag (it should not — orders
+    // carry mixed-flag lines), and does nation determine region
+    // (it must)? Violating keys + rows at risk, exactly.
+    "dq_fd_check" -> { (s, dir) =>
+      def fd(label: String, d: DataFrame, x: String, y: String) =
+        Checks.fdViolations(d, col(x), col(y))
+          .select(lit(label).as("fd"), col("n_keys"), col("n_violating_keys"),
+            col("n_rows_at_risk"), col("fd_holds"))
+      fd("order_to_flag", t(s, dir, "lineitem"), "l_orderkey", "l_returnflag")
+        .unionByName(fd("nation_to_region", t(s, dir, "nation"),
+          "n_nationkey", "n_regionkey"))
+        .orderBy(col("fd"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -5867,6 +5900,45 @@ object SparkEntryCoverage {
       |SELECT grp, bucket, n, w_cnt, z,
       |       COALESCE(abs(z) >= 3.0, FALSE) AS is_anomaly
       |FROM z ORDER BY grp, bucket""".stripMargin
+
+  /** The Kruskal-Wallis oracle — shared by the one-shot batch test
+    * (a_kruskal) and the streaming count-grid monitor (st_kruskal):
+    * ranks are not mergeable but the (v, arm, c) count grid is
+    * linear, so the two paths must agree exactly.
+    */
+  private[graft] lazy val kruskalOracleSql: String =
+    """WITH base AS (SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |va AS (SELECT v, arm, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM va GROUP BY 1),
+        |rk AS (SELECT v, t, CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+        |         AS rmin FROM vt),
+        |arms AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n_g,
+        |           CAST(SUM(c * (2 * rk.rmin + rk.t - 1)) AS BIGINT) AS r2_g
+        |         FROM va JOIN rk USING (v) GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n
+        |        FROM arms),
+        |ts3 AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS ties3 FROM vt),
+        |u AS (SELECT k, n,
+        |        CAST((CAST(3000000 AS HUGEINT) * r2_g * r2_g)
+        |             // (CAST(n_g AS HUGEINT) * n * (n + 1)) AS BIGINT) AS u_g6
+        |      FROM arms CROSS JOIN tot),
+        |agg AS (SELECT k, n, CAST(SUM(u_g6) AS BIGINT) AS a FROM u GROUP BY 1, 2),
+        |h AS (SELECT k, n, ties3,
+        |        greatest(CAST(0 AS BIGINT), a - 3000000 * (n + 1)) AS h6
+        |      FROM agg CROSS JOIN ts3 WHERE k >= 2),
+        |fin AS (SELECT k, n,
+        |    CASE WHEN CAST(n AS HUGEINT) * n * n - n - ties3 <= 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(h6 AS HUGEINT) * (CAST(n AS HUGEINT) * n * n - n))
+        |              // (CAST(n AS HUGEINT) * n * n - n - ties3) AS BIGINT) END AS hc6
+        |  FROM h)
+        |SELECT k, n, hc6,
+        |  hc6 >= CASE k WHEN 2 THEN 3841459 WHEN 3 THEN 5991465 WHEN 4 THEN 7814728
+        |                WHEN 5 THEN 9487729 WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
+        |                WHEN 8 THEN 14067140 WHEN 9 THEN 15507313 WHEN 10 THEN 16918978
+        |                ELSE 18307038 END AS significant
+        |FROM fin""".stripMargin
 
   /** The two-proportion z-test oracle — shared by the one-shot batch
     * test (a_ab_test) and the streaming cell-artifact monitor
@@ -9407,39 +9479,7 @@ object SparkEntryCoverage {
         |                   WHEN 8 THEN 14067140 WHEN 9 THEN 15507313 WHEN 10 THEN 16918978
         |                   ELSE 18307038 END AS significant
         |FROM fin""".stripMargin,
-    "a_kruskal" ->
-      """WITH base AS (SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) AS v
-        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
-        |va AS (SELECT v, arm, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
-        |vt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM va GROUP BY 1),
-        |rk AS (SELECT v, t, CAST(COALESCE(SUM(t) OVER (ORDER BY v
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
-        |         AS rmin FROM vt),
-        |arms AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n_g,
-        |           CAST(SUM(c * (2 * rk.rmin + rk.t - 1)) AS BIGINT) AS r2_g
-        |         FROM va JOIN rk USING (v) GROUP BY 1),
-        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n
-        |        FROM arms),
-        |ts3 AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS ties3 FROM vt),
-        |u AS (SELECT k, n,
-        |        CAST((CAST(3000000 AS HUGEINT) * r2_g * r2_g)
-        |             // (CAST(n_g AS HUGEINT) * n * (n + 1)) AS BIGINT) AS u_g6
-        |      FROM arms CROSS JOIN tot),
-        |agg AS (SELECT k, n, CAST(SUM(u_g6) AS BIGINT) AS a FROM u GROUP BY 1, 2),
-        |h AS (SELECT k, n, ties3,
-        |        greatest(CAST(0 AS BIGINT), a - 3000000 * (n + 1)) AS h6
-        |      FROM agg CROSS JOIN ts3 WHERE k >= 2),
-        |fin AS (SELECT k, n,
-        |    CASE WHEN CAST(n AS HUGEINT) * n * n - n - ties3 <= 0 THEN CAST(0 AS BIGINT)
-        |    ELSE CAST((CAST(h6 AS HUGEINT) * (CAST(n AS HUGEINT) * n * n - n))
-        |              // (CAST(n AS HUGEINT) * n * n - n - ties3) AS BIGINT) END AS hc6
-        |  FROM h)
-        |SELECT k, n, hc6,
-        |  hc6 >= CASE k WHEN 2 THEN 3841459 WHEN 3 THEN 5991465 WHEN 4 THEN 7814728
-        |                WHEN 5 THEN 9487729 WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
-        |                WHEN 8 THEN 14067140 WHEN 9 THEN 15507313 WHEN 10 THEN 16918978
-        |                ELSE 18307038 END AS significant
-        |FROM fin""".stripMargin,
+    "a_kruskal" -> kruskalOracleSql,
     "a_mcnemar" ->
       """WITH per AS (SELECT user_id,
         |    max(CASE WHEN ts < TIMESTAMP '2024-01-16' AND value > 140.0 THEN 1 ELSE 0 END)
@@ -9497,6 +9537,57 @@ object SparkEntryCoverage {
         |                   WHEN 8 THEN 14067140 WHEN 9 THEN 15507313 WHEN 10 THEN 16918978
         |                   ELSE 18307038 END AS significant
         |FROM fin""".stripMargin,
+    "dq_fk_candidates" ->
+      """WITH c1 AS (SELECT 'events_user__customer' AS candidate,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        |   WHERE user_id IS NOT NULL) AS n_child_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL) c
+        |   WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k)) AS n_contained),
+        |c2 AS (SELECT 'lineitem_part__part' AS candidate,
+        |  (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+        |   WHERE l_partkey IS NOT NULL) AS n_child_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL) c
+        |   WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.k)) AS n_contained),
+        |c3 AS (SELECT 'customer_nation__nation' AS candidate,
+        |  (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer
+        |   WHERE c_nationkey IS NOT NULL) AS n_child_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_nationkey IS NOT NULL) c
+        |   WHERE EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.k)) AS n_contained),
+        |c4 AS (SELECT 'orders_cust__events_user' AS candidate,
+        |  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |   WHERE o_custkey IS NOT NULL) AS n_child_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL) c
+        |   WHERE EXISTS (SELECT 1 FROM events p WHERE p.user_id = c.k)) AS n_contained),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+        |SELECT candidate, n_child_distinct, n_contained,
+        |  CASE WHEN n_child_distinct = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(1000000 * n_contained // n_child_distinct AS BIGINT)
+        |  END AS containment_ppm
+        |FROM u ORDER BY candidate""".stripMargin,
+    "dq_fd_check" ->
+      """WITH f1g AS (SELECT l_orderkey AS x, CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+        |    AS ny, CAST(COUNT(*) AS BIGINT) AS nr
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |f1 AS (SELECT 'order_to_flag' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |    CAST(SUM(CASE WHEN ny > 1 THEN nr ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |  FROM f1g),
+        |f2g AS (SELECT n_nationkey AS x, CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS ny,
+        |    CAST(COUNT(*) AS BIGINT) AS nr
+        |  FROM nation WHERE n_nationkey IS NOT NULL GROUP BY 1),
+        |f2 AS (SELECT 'nation_to_region' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |    CAST(SUM(CASE WHEN ny > 1 THEN nr ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |  FROM f2g),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |SELECT fd, n_keys, n_violating_keys, n_rows_at_risk,
+        |       n_violating_keys = 0 AS fd_holds
+        |FROM u ORDER BY fd""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

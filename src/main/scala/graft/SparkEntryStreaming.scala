@@ -592,6 +592,37 @@ object SparkEntryStreaming {
             .agg(sum(col("n")).as("n"), sum(col("x")).as("x")))
         .orderBy(col("group"))
     },
+    // Streaming KRUSKAL-WALLIS monitor — ranks are NOT mergeable, but
+    // the rank test's sufficient statistic IS: the (value, arm) count
+    // grid is linear, so micro-batches append partial grids to a
+    // persisted artifact and the monitor recomputes the ranks over
+    // the value-domain-bounded sum-merge. Must equal the one-shot
+    // batch test exactly — shared oracle.
+    "st_kruskal" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/kwgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(lit(0L).as("v"), col("event_type").cast("string").as("arm"), lit(0L).as("c"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("event_type").isNotNull && col("value").isNotNull)
+            .groupBy(
+              round(col("value") * 100.0, 0).cast("long").as("v"),
+              col("event_type").cast("string").as("arm"))
+            .agg(count(lit(1)).as("c"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments.kruskalWallisFromCounts(
+        s.read.parquet(cPath)
+          .groupBy(col("v"), col("arm"))
+          .agg(sum(col("c")).as("c")))
+    },
     // Streaming PHASH maintenance — re-crawled media re-hashed per
     // micro-batch: the base index holds STALE codes for every 5th doc
     // (a '?'-run appended — bin 15 and the byte length move, so the
@@ -998,6 +1029,9 @@ object SparkEntryStreaming {
     // linear, so the streamed cell artifact scores bit-equal to the
     // one-shot batch test
     "st_ab_test" -> SparkEntryCoverage.abTestOracleSql,
+    // the (v, arm, c) count grid is the rank test's sufficient
+    // statistic and counts are linear — streamed grid == batch test
+    "st_kruskal" -> SparkEntryCoverage.kruskalOracleSql,
     // sketch merge-invariance makes the streamed KMV bit-equal to the
     // batch recomputation (a_kmv_distinct's oracle minus the exact-
     // count column)

@@ -890,6 +890,77 @@ object Checks {
           .as("nmi6"))
   }
 
+  /** Foreign-key containment audit — the join-key discovery / FK-
+    * integrity primitive of a data catalog: what fraction of the
+    * child column's DISTINCT values exist in the parent column?
+    * containment_ppm = 1e6 at a clean FK; below it, the gap names
+    * the orphan key mass a join would silently drop (the dq_checks
+    * FK row generalized to a measurement instead of a pass/fail).
+    * Run over candidate pairs to DISCOVER undeclared relationships
+    * (high containment + high parent distinct = likely FK).
+    *
+    * Exactness: distinct child keys, one left-semi join against the
+    * parent's distinct keys, exact counts, one truncating ppm
+    * division; NULL keys are excluded on both sides (SQL FK
+    * semantics — NULL references nothing). Empty child → 0-distinct
+    * row with containment 0 (no division). Returns one row
+    * (n_child_distinct, n_contained, containment_ppm).
+    *
+    * Scale shape: two distinct passes + one key-only semi join —
+    * every shuffle carries slim keys, never rows.
+    */
+  def fkContainment(
+      child: DataFrame,
+      childKey: Column,
+      parent: DataFrame,
+      parentKey: Column): DataFrame = {
+    val ck = child.filter(childKey.isNotNull).select(childKey.as("__k")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pk = parent.filter(parentKey.isNotNull).select(parentKey.as("__k")).distinct()
+    ck.agg(count(lit(1)).as("n_child_distinct"))
+      .crossJoin(
+        broadcast(
+          ck.join(pk, Seq("__k"), "left_semi")
+            .agg(count(lit(1)).as("n_contained"))))
+      .select(
+        col("n_child_distinct"),
+        col("n_contained"),
+        expr(
+          """CASE WHEN n_child_distinct = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000 * n_contained div n_child_distinct AS BIGINT)
+            |END""".stripMargin).as("containment_ppm"))
+  }
+
+  /** Functional-dependency audit — does X determine Y? The schema-
+    * inference / denormalization-safety check: a violation is an X
+    * value carrying MORE than one distinct Y (the rows a "SELECT x,
+    * any_value(y)" would silently corrupt). Returns one row
+    * (n_keys, n_violating_keys, n_rows_at_risk, fd_holds): violating
+    * keys counted exactly, rows-at-risk = total rows under violating
+    * keys (the blast radius of treating X→Y as clean). NULL X
+    * excluded (determines nothing); NULL Y counts as a value (two
+    * rows NULL/non-NULL under one key ARE a violation — any_value
+    * would flip between them).
+    *
+    * Scale shape: one (X, Y) hash aggregate then one X re-aggregate
+    * — two map-side-combinable passes, no joins.
+    */
+  def fdViolations(df: DataFrame, x: Column, y: Column): DataFrame =
+    df
+      .filter(x.isNotNull)
+      .groupBy(x.as("__x"), y.as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).as("__ny"), sum(col("__c")).as("__rows"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__ny") > 1L, 1L).otherwise(0L)).as("n_violating_keys"),
+        sum(when(col("__ny") > 1L, col("__rows")).otherwise(0L)).as("n_rows_at_risk"))
+      .na.fill(0L, Seq("n_violating_keys", "n_rows_at_risk"))
+      .select(
+        col("n_keys"), col("n_violating_keys"), col("n_rows_at_risk"),
+        (col("n_violating_keys") === 0L).as("fd_holds"))
+
   /** Simpson concentration index per group, over a class column:
     * D = Σ_i n_i(n_i−1) / (N(N−1)) — the probability two documents
     * drawn WITHOUT replacement from the group share a class. The

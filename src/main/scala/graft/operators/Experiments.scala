@@ -1165,13 +1165,26 @@ object Experiments {
     * corpus), a k-row final. Returns one row (k, n, hc6,
     * significant).
     */
-  def kruskalWallis(df: DataFrame, armCol: Column, valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val va = cached(
+  def kruskalWallis(df: DataFrame, armCol: Column, valueCol: Column): DataFrame =
+    kruskalWallisFromCounts(
       df
         .filter(armCol.isNotNull && valueCol.isNotNull)
         .groupBy(valueCol.cast("long").as("v"), armCol.as("arm"))
         .agg(count(lit(1)).as("c")))
+
+  /** [[kruskalWallis]] off a PRE-AGGREGATED (v, arm, c) count grid —
+    * the streaming-monitor entry point: RANKS are not mergeable, but
+    * the rank test's sufficient statistic IS (the count grid is
+    * linear — per-micro-batch partial counts SUM-merge exactly, the
+    * volume-gate/CMS artifact-is-the-state discipline), so a live
+    * intake appends partial grids and the monitor recomputes ranks
+    * over the value-DOMAIN-bounded merge. Callers merging partials
+    * must sum c per (v, arm) first; the statistic then equals the
+    * one-shot batch test bit-for-bit.
+    */
+  def kruskalWallisFromCounts(vaIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val va = cached(vaIn)
     val vt = va.groupBy(col("v")).agg(sum(col("c")).as("t"))
       .withColumn(
         "rmin",

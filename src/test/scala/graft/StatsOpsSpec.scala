@@ -324,6 +324,33 @@ class StatsOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("both matches and"))
   }
 
+  test("fkContainment: distinct-key containment in exact ppm; null keys excluded") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None, Some(2L)).toDF("k")
+    val parent = Seq(2L, 3L, 4L).toDF("p")
+    val r = Checks.fkContainment(child, col("k"), parent, col("p")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 666666L)))
+    val empty = Seq.empty[Option[Long]].toDF("k")
+    val re = Checks.fkContainment(empty, col("k"), parent, col("p")).head()
+    assert((re.getLong(0), re.getLong(1), re.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
+  test("fdViolations: null Y is a value, null X determines nothing, rows-at-risk exact") {
+    // key 2 carries {a,b}, key 3 carries {null,c} -> 2 violating keys,
+    // 4 rows at risk; the null-X row is excluded entirely.
+    val rows = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")),
+      (Some(2L), Some("a")), (Some(2L), Some("b")),
+      (Some(3L), None), (Some(3L), Some("c")),
+      (None, Some("z")))
+      .toDF("x", "y")
+    val r = Checks.fdViolations(rows, col("x"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ((3L, 2L, 4L, false)))
+    val clean = Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("x", "y")
+    val rc = Checks.fdViolations(clean, col("x"), col("y")).head()
+    assert((rc.getLong(1), rc.getBoolean(3)) == ((0L, true)))
+  }
+
   test("skyline2d: dominated rows drop, duplicates of a front point all survive") {
     import graft.operators.Relational
     val rows = Seq(
