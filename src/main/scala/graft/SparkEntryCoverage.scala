@@ -4898,6 +4898,30 @@ object SparkEntryCoverage {
           "n_nationkey", "n_regionkey"))
         .orderBy(col("fd"))
     },
+    // Exact-size stratified draw (Sampling.stratifiedDraw): the
+    // largest-remainder quotas FILLED by per-stratum md5-hash rank —
+    // a deterministic 100-row audit sample whose strata match the
+    // corpus mix exactly.
+    "s_quota_draw" -> { (s, dir) =>
+      Sampling
+        .stratifiedDraw(
+          t(s, dir, "events").filter(col("event_type").isNotNull && col("event_id").isNotNull),
+          col("event_type"),
+          col("event_id"),
+          100L)
+        .orderBy(col("stratum"), col("draw_rank"))
+    },
+    // Median with order-statistic CI (Relational.medianWithCi): per
+    // event type, the cent-value median and its distribution-free
+    // 95% interval — the exact error bar next to every group median.
+    "a_median_ci" -> { (s, dir) =>
+      Relational
+        .medianWithCi(
+          t(s, dir, "events").filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type"),
+          round(col("value") * 100.0, 0).cast("long"))
+        .orderBy(col("group"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9588,6 +9612,45 @@ object SparkEntryCoverage {
         |SELECT fd, n_keys, n_violating_keys, n_rows_at_risk,
         |       n_violating_keys = 0 AS fd_holds
         |FROM u ORDER BY fd""".stripMargin,
+    "s_quota_draw" ->
+      s"""WITH base AS (SELECT event_type AS stratum, event_id AS key FROM events
+         |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+         |s AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM s),
+         |b AS (SELECT stratum, n, CAST((100 * n) // nn AS BIGINT) AS base,
+         |             CAST((100 * n) % nn AS BIGINT) AS rem
+         |      FROM s CROSS JOIN t),
+         |l AS (SELECT CAST(100 - SUM(base) AS BIGINT) AS leftover FROM b),
+         |q AS (SELECT stratum,
+         |        CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+         |                         <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS BIGINT)
+         |          AS quota
+         |      FROM b),
+         |rk AS (SELECT stratum, key,
+         |         CAST(row_number() OVER (PARTITION BY stratum
+         |           ORDER BY ${sqlHash32("key")}, key) AS BIGINT) AS draw_rank
+         |       FROM base)
+         |SELECT rk.stratum, rk.key, rk.draw_rank
+         |FROM rk JOIN q USING (stratum)
+         |WHERE rk.draw_rank <= q.quota
+         |ORDER BY stratum, draw_rank""".stripMargin,
+    "a_median_ci" ->
+      """WITH base AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT g, v,
+        |        CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM base),
+        |x AS (SELECT *, (n + 1) // 2 AS m,
+        |        CAST(floor(0.979982 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS o
+        |      FROM r),
+        |y AS (SELECT *, greatest(1, m - o) AS lo, least(n, m + o) AS hi FROM x)
+        |SELECT g AS "group", CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rn = lo THEN v END) AS BIGINT) AS ci_lo,
+        |  CAST(MAX(CASE WHEN rn = m THEN v END) AS BIGINT) AS median,
+        |  CAST(MAX(CASE WHEN rn = hi THEN v END) AS BIGINT) AS ci_hi
+        |FROM y WHERE rn = m OR rn = lo OR rn = hi
+        |GROUP BY g ORDER BY "group"""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

@@ -779,6 +779,48 @@ object Relational {
       Seq(col("g")),
       Seq(col("n_mode").desc, col("mode")))
 
+  /** Distribution-free median confidence interval — the
+    * order-statistic CI (no normality, no bootstrap, no approx
+    * percentile): the 95% CI for a group's median is the pair of
+    * values at ranks m ± ⌊z/2·√n⌋ around the LOWER-median rank
+    * m = (n+1) div 2 (binomial normal approximation; z/2 = 0.979982
+    * as a LITERAL — the no-runtime-quantiles rule), ranks clamped to
+    * [1, n]. The error bar a dashboard should print next to every
+    * group median — medians of small groups are noisier than they
+    * look, and this makes the noise exact and engine-portable.
+    *
+    * Determinism: ranks come from one per-group window over the
+    * value order; equal values tie arbitrarily in RANK but the VALUE
+    * at any rank inside a tie run is unique, so the selected
+    * (median, lo, hi) values are deterministic. The one float op is
+    * floor(0.979982·sqrt(n)) on the exact integer n — identical
+    * IEEE doubles on both engines. Returns (group, n, ci_lo, median,
+    * ci_hi).
+    */
+  def medianWithCi(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val base = df
+      .filter(groupCol.isNotNull && valueCol.isNotNull)
+      .select(groupCol.as("g"), valueCol.cast("long").as("v"))
+    val w = Window.partitionBy(col("g"))
+    base
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("m", expr("CAST((n + 1) div 2 AS BIGINT)"))
+      .withColumn(
+        "o",
+        expr("CAST(floor(0.979982 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      .withColumn("lo", greatest(lit(1L), col("m") - col("o")))
+      .withColumn("hi", least(col("n"), col("m") + col("o")))
+      .filter(col("rn") === col("m") || col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("g"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === col("lo"), col("v"))).as("ci_lo"),
+        max(when(col("rn") === col("m"), col("v"))).as("median"),
+        max(when(col("rn") === col("hi"), col("v"))).as("ci_hi"))
+      .select(col("g").as("group"), col("n"), col("ci_lo"), col("median"), col("ci_hi"))
+  }
+
   /** Fellegi–Sunter match/non-match weights (Fellegi & Sunter 1969)
     * — the probabilistic-record-linkage theory under every modern ER
     * stack: for each comparison field, estimate m = P(agree | match)

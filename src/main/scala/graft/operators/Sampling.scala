@@ -635,6 +635,46 @@ object Sampling {
           .as("alloc"))
   }
 
+  /** Exact-size stratified draw — [[quotaLargestRemainder]] quotas
+    * FILLED deterministically: within each stratum, rows rank by
+    * (md5-hash32(key), key) — the [[hashSample]] portability
+    * discipline plus a key tie-break for a total order — and the
+    * quota smallest ranks are selected. Σ selected == k EXACTLY
+    * (largest-remainder guarantees the quota sum; every stratum's
+    * quota ≤ its row count because quotas are proportional with
+    * floor+remainder ≤ n). Stable across runs, engines and
+    * partitionings; adding rows to one stratum re-draws ONLY that
+    * stratum's marginal members (hash ranks of old rows don't move).
+    * Duplicate keys within a stratum are legal (ties broken by the
+    * hash then the key — equal keys tie fully and the window picks
+    * both or neither deterministically by rank position). Returns
+    * the selected rows: (stratum, key, draw_rank).
+    *
+    * Scale shape: one quota pass (stratum-bounded) + one per-stratum
+    * rank window over the candidate rows, broadcast quota join.
+    */
+  def stratifiedDraw(
+      df: DataFrame,
+      stratumCol: Column,
+      keyCol: Column,
+      k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(stratumCol.isNotNull && keyCol.isNotNull)
+      .select(stratumCol.as("stratum"), keyCol.as("key"))
+    val quotas = quotaLargestRemainder(base, col("stratum"), k)
+      .select(col("stratum"), col("quota"))
+    base
+      .withColumn(
+        "draw_rank",
+        row_number().over(
+          Window.partitionBy(col("stratum"))
+            .orderBy(hash32(col("key")), col("key"))))
+      .join(broadcast(quotas), Seq("stratum"))
+      .filter(col("draw_rank") <= col("quota"))
+      .select(col("stratum"), col("key"), col("draw_rank"))
+  }
+
   def quotaLargestRemainder(df: DataFrame, stratumCol: Column, k: Long): DataFrame = {
     require(k >= 0L, "k must be >= 0")
     import org.apache.spark.sql.expressions.Window

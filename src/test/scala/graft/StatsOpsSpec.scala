@@ -351,6 +351,31 @@ class StatsOpsSpec extends SparkSpec {
     assert((rc.getLong(1), rc.getBoolean(3)) == ((0L, true)))
   }
 
+  test("stratifiedDraw: quota-exact per-stratum hash draw, stable across reruns") {
+    val rows = ((1 to 6).map(i => ("A", i.toLong)) ++ (7 to 10).map(i => ("B", i.toLong)))
+      .toDF("st", "k")
+    val d1 = Sampling.stratifiedDraw(rows, col("st"), col("k"), 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(d1.count(_._1 == "A") == 3 && d1.count(_._1 == "B") == 2)
+    val d2 = Sampling.stratifiedDraw(rows, col("st"), col("k"), 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(d1.toSeq == d2.toSeq)
+  }
+
+  test("medianWithCi: rank-based 95% interval around the lower median, clamped at the edges") {
+    import graft.operators.Relational
+    // n=9: m=5, o=floor(0.979982*3)=2 -> (v3, v5, v7).
+    val rows = (1 to 9).map(i => ("g", i.toLong)) :+ (("solo", 42L))
+    val got = Relational
+      .medianWithCi(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("g", 9L, 3L, 5L, 7L),
+      ("solo", 1L, 42L, 42L, 42L)))
+  }
+
   test("skyline2d: dominated rows drop, duplicates of a front point all survive") {
     import graft.operators.Relational
     val rows = Seq(
