@@ -4922,6 +4922,26 @@ object SparkEntryCoverage {
           round(col("value") * 100.0, 0).cast("long"))
         .orderBy(col("group"))
     },
+    // Hill tail-index (Series.hillTailIndex): how heavy is the order
+    // price tail — alpha from the top-100 order statistics; alpha <=
+    // 2 would mean infinite variance and ban mean-based stats on the
+    // column.
+    "a_hill_tail" -> { (s, dir) =>
+      Series.hillTailIndex(
+        t(s, dir, "orders"),
+        round(col("o_totalprice") * 100.0, 0).cast("long"),
+        100)
+    },
+    // Inter-arrival-time entropy (Series.iatEntropy): per-user gap
+    // entropy over log2 buckets — the metronome/bot fingerprint next
+    // to Fano burstiness and Markov transition loops.
+    "w_iat_entropy" -> { (s, dir) =>
+      Series
+        .iatEntropy(
+          t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"))
+        .orderBy(col("key"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9651,6 +9671,41 @@ object SparkEntryCoverage {
         |  CAST(MAX(CASE WHEN rn = hi THEN v END) AS BIGINT) AS ci_hi
         |FROM y WHERE rn = m OR rn = lo OR rn = hi
         |GROUP BY g ORDER BY "group"""".stripMargin,
+    "a_hill_tail" ->
+      """WITH pos AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |top AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rn FROM pos
+        |        QUALIFY rn <= 101),
+        |ref AS (SELECT CAST(MIN(v) AS BIGINT) AS x_ref FROM top),
+        |t AS (SELECT CAST(round(ln(CAST(v AS DOUBLE) / CAST(x_ref AS DOUBLE))
+        |             * 1000000.0) AS BIGINT) AS t6
+        |      FROM top CROSS JOIN ref WHERE rn <= 100),
+        |h AS (SELECT CAST(SUM(t6) // 100 AS BIGINT) AS h6 FROM t)
+        |SELECT CAST(100 AS BIGINT) AS k, ref.x_ref, h.h6,
+        |  CASE WHEN h.h6 = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(1000000000000 // h.h6 AS BIGINT) END AS alpha6
+        |FROM h CROSS JOIN ref""".stripMargin,
+    "w_iat_entropy" ->
+      """WITH e AS (SELECT user_id AS k, ts, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |g AS (SELECT k,
+        |        CAST(floor(log2(CAST(epoch_us(ts) - epoch_us(prev) AS DOUBLE)
+        |             / 1000000.0 + 1.0)) AS BIGINT) AS bucket
+        |      FROM (SELECT k, ts,
+        |              lag(ts) OVER (PARTITION BY k ORDER BY ts, event_id) AS prev
+        |            FROM e)
+        |      WHERE prev IS NOT NULL),
+        |cells AS (SELECT k, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n_gaps FROM cells GROUP BY 1),
+        |t AS (SELECT cells.k, n_gaps,
+        |        CAST(round((CAST(c AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |             * ln(CAST(n_gaps AS DOUBLE) / CAST(c AS DOUBLE))
+        |             * 1000000.0) AS BIGINT) AS t6
+        |      FROM cells JOIN tot USING (k))
+        |SELECT k AS key, CAST(MAX(n_gaps) AS BIGINT) AS n_gaps,
+        |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |       CAST(SUM(t6) AS BIGINT) AS entropy6
+        |FROM t GROUP BY 1 ORDER BY key""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

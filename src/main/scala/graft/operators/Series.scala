@@ -852,6 +852,121 @@ object Series {
         expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
   }
 
+  /** Hill tail-index estimator (Hill 1975) — HOW heavy is the heavy
+    * tail: over the k largest positive values, H = (1/k)·Σ ln(x_i /
+    * x_ref) with x_ref the (k+1)-th order statistic, and the Pareto
+    * exponent alpha = 1/H. Gini (T82) says the mass is concentrated;
+    * Hill says whether moments even EXIST (alpha ≤ 2 → infinite
+    * variance — every mean-based statistic on that column is
+    * sample-size noise). The column-triage gate before trusting
+    * means/t-tests on revenue-class metrics.
+    *
+    * Exactness: the top-(k+1) shortlist is a TakeOrderedAndProject
+    * under the (value desc, tie) total order — never a full sort;
+    * each term rounds ONCE to micro-nats (ln of one double division
+    * of exact integers — the entropy-family discipline), h6 = exact
+    * sum div k, alpha6 = 1e12 div h6 (0 convention when h6 = 0: all
+    * top-k equal — no tail slope exists). Non-positive values are
+    * excluded (no log exists). Fails fast if fewer than k+1 positive
+    * values remain. Returns one row (k, x_ref, h6, alpha6).
+    */
+  def hillTailIndex(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = df
+      .filter(valueCol.isNotNull && valueCol.cast("long") > 0L)
+      .select(valueCol.cast("long").as("v"))
+      .orderBy(col("v").desc)
+      .limit(k + 1)
+    val ranked = top
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("v").desc)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = broadcast(
+      ranked
+        .agg(count(lit(1)).as("__n"), min(col("v")).as("x_ref"))
+        .filter(
+          assert_true(
+            col("__n") === (k + 1).toLong,
+            concat(
+              lit(s"hillTailIndex: need at least ${k + 1} positive values, got "),
+              col("__n").cast("string"))).isNull))
+    ranked
+      .filter(col("rn") <= k)
+      .crossJoin(ref)
+      .withColumn(
+        "__t6",
+        round(
+          log(col("v").cast("double") / col("x_ref").cast("double")) * lit(1e6),
+          0).cast("long"))
+      .groupBy(col("x_ref"))
+      .agg(sum(col("__t6")).as("__s6"))
+      .select(
+        lit(k.toLong).as("k"),
+        col("x_ref"),
+        expr(s"CAST(__s6 div $k AS BIGINT)").as("h6"))
+      .withColumn(
+        "alpha6",
+        expr(
+          """CASE WHEN h6 = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000000000 div h6 AS BIGINT) END""".stripMargin))
+  }
+
+  /** Inter-arrival-time entropy per key — the metronome detector: a
+    * human's gaps between events spread over many log₂ buckets (high
+    * entropy); a rate-limited bot or replayed log pins one bucket
+    * (entropy → 0). The timing-domain member of the bot battery next
+    * to [[fanoDaily]] (volume burstiness) and [[transitionMatrix]]
+    * (action loops).
+    *
+    * Gaps under the (ts, event_id) total order (the outOfOrderAudit
+    * tie rule); bucket = floor(log₂(seconds + 1)) — log₂ on one
+    * exact integer through identical IEEE doubles, sub-second gaps
+    * land in bucket 0. Entropy in exact micro-nats: per-bucket terms
+    * round ONCE (the t_source_kl discipline) then sum. Keys need ≥ 2
+    * events to have a gap; single-event keys are absent. Returns
+    * (key, n_gaps, n_buckets, entropy6).
+    *
+    * Scale shape: one lag window per key, one (key, bucket) hash
+    * aggregate, one key re-aggregate with a key-total join — all on
+    * the key's partitioning.
+    */
+  def iatEntropy(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      eventIdCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__eid"))
+    val gaps = df
+      .filter(keyCol.isNotNull && tsCol.isNotNull && eventIdCol.isNotNull)
+      .select(keyCol.as("__k"), tsCol.as("__ts"), eventIdCol.cast("long").as("__eid"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(
+        col("__k"),
+        expr("CAST(floor(log2(CAST(unix_micros(__ts) - unix_micros(__prev) AS DOUBLE) " +
+          "/ 1000000.0 + 1.0)) AS BIGINT)").as("bucket"))
+    val cells = gaps.groupBy(col("__k"), col("bucket")).agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("__k")).agg(sum(col("c")).as("n_gaps"))
+    cells
+      .join(totals, Seq("__k"))
+      .withColumn(
+        "__t6",
+        round(
+          (col("c").cast("double") / col("n_gaps").cast("double")) *
+            log(col("n_gaps").cast("double") / col("c").cast("double")) * lit(1e6),
+          0).cast("long"))
+      .groupBy(col("__k"))
+      .agg(
+        max(col("n_gaps")).as("n_gaps"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("__t6")).as("entropy6"))
+      .select(col("__k").as("key"), col("n_gaps"), col("n_buckets"), col("entropy6"))
+  }
+
   /** Multi-touch conversion attribution — the marketing-analytics
     * credit split: each conversion distributes one unit of credit
     * over the TOUCH events that preceded it within the lookback

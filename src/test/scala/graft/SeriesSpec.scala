@@ -341,6 +341,42 @@ class SeriesSpec extends SparkSpec {
       (2L, 2L, 0L, 2L, 583333L)))
   }
 
+  test("hillTailIndex: exact dyadic fixture; flat top scores 0; short input fails fast") {
+    // top-3 of {8,4,2}: x_ref = 2, terms ln(4), ln(2) -> h6 = 1039720.
+    val dyadic = Seq(8L, 4L, 2L, 1L).toDF("v")
+    val r = Series.hillTailIndex(dyadic, col("v"), 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1039720L, 961797L)))
+    // all top values equal: no tail slope -> h6 = 0, alpha 0
+    val flat = Seq(5L, 5L, 5L).toDF("v")
+    val rf = Series.hillTailIndex(flat, col("v"), 2).head()
+    assert((rf.getLong(2), rf.getLong(3)) == ((0L, 0L)))
+    val short = Seq(3L, 2L).toDF("v")
+    val e = intercept[Exception](Series.hillTailIndex(short, col("v"), 2).head())
+    assert(e.getMessage.contains("need at least 3 positive values"))
+  }
+
+  test("iatEntropy: metronomic gaps score 0; spread gaps score exact micro-nats") {
+    def ts(sec: Int) = s"2024-01-01 00:00:${"%02d".format(sec)}"
+    val rows = Seq(
+      // user 1: gaps 1s,1s,1s -> one bucket -> entropy 0
+      (1L, ts(0), 10L), (1L, ts(1), 11L), (1L, ts(2), 12L), (1L, ts(3), 13L),
+      // user 2: gaps 1s,3s,7s -> buckets 1,2,3 -> entropy ln(3) micro
+      (2L, ts(0), 20L), (2L, ts(1), 21L), (2L, ts(4), 22L), (2L, ts(11), 23L),
+      // user 3: single event -> no gap -> absent
+      (3L, ts(5), 30L))
+      .toDF("u", "tss", "eid")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Series
+      .iatEntropy(rows, col("u"), col("ts"), col("eid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 0L),
+      (2L, 3L, 3L, 1098612L)))
+  }
+
   test("attributionCredits: linear and U-shape splits, window cut, unattributed surfaced") {
     // user 1: conv day 10, touches click d3 / view d5 / click d7 (n=3,
     // U = 400k/200k/400k) plus a click at d2 OUTSIDE the 7-day window;
