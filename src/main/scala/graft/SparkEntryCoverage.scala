@@ -4942,6 +4942,32 @@ object SparkEntryCoverage {
           col("user_id"), col("ts"), col("event_id"))
         .orderBy(col("key"))
     },
+    // l-diversity audit (Checks.lDiversity): QI groups whose
+    // sensitive balance-bin diversity is under l=3 — the attribute-
+    // disclosure worklist k-anonymity misses.
+    "dq_l_diversity" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      Checks
+        .lDiversity(
+          c,
+          Seq("seg" -> col("c_mktsegment"), "nat" -> col("c_nationkey")),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+          6L)
+        .orderBy(col("seg"), col("nat"))
+    },
+    // t-closeness audit (Checks.tCloseness): per QI group, exact-
+    // integer EMD between the group's balance-bin distribution and
+    // the corpus's — the distribution-disclosure gate l-diversity
+    // misses.
+    "dq_t_closeness" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      Checks
+        .tCloseness(
+          c,
+          Seq("seg" -> col("c_mktsegment"), "nat" -> col("c_nationkey")),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"))
+        .orderBy(col("seg"), col("nat"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9706,6 +9732,38 @@ object SparkEntryCoverage {
         |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
         |       CAST(SUM(t6) AS BIGINT) AS entropy6
         |FROM t GROUP BY 1 ORDER BY key""".stripMargin,
+    "dq_l_diversity" ->
+      """WITH g AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT seg, nat, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive
+        |FROM g GROUP BY 1, 2 HAVING COUNT(*) < 6 ORDER BY seg, nat""".stripMargin,
+    "dq_t_closeness" ->
+      """WITH cells AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |corpus AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(cc) AS BIGINT) AS nt
+        |        FROM corpus),
+        |grp AS (SELECT seg, nat, CAST(SUM(c) AS BIGINT) AS n_g FROM cells GROUP BY 1, 2),
+        |dom AS (SELECT g.seg, g.nat, g.n_g, co.b, co.cc, COALESCE(cl.c, 0) AS c
+        |        FROM grp g CROSS JOIN corpus co
+        |        LEFT JOIN cells cl ON cl.seg = g.seg AND cl.nat = g.nat AND cl.b = co.b),
+        |w AS (SELECT seg, nat, n_g, b, nb, nt,
+        |        CAST(SUM(c) OVER (PARTITION BY seg, nat ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g,
+        |        CAST(SUM(cc) OVER (PARTITION BY seg, nat ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM dom CROSS JOIN tot),
+        |gp AS (SELECT seg, nat, n_g, nb,
+        |         abs((1000000 * cum_g) // n_g - (1000000 * cum) // nt) AS gap
+        |       FROM w)
+        |SELECT seg, nat, CAST(MAX(n_g) AS BIGINT) AS n_rows,
+        |       CAST(SUM(gap) // MAX(nb) AS BIGINT) AS emd6
+        |FROM gp GROUP BY seg, nat ORDER BY seg, nat""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

@@ -708,6 +708,104 @@ object Checks {
         expr("CAST(1000000 * n_rows_at_risk div n_rows AS BIGINT)"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attribute-
+    * disclosure gate k-anonymity misses: a QI group can hold 50 rows
+    * (k-safe) that all share ONE sensitive value, so membership alone
+    * reveals it. Per QI group, the count of DISTINCT sensitive
+    * values; groups under l are the worklist. NULL sensitive values
+    * count as a value (knowing "it's missing" is itself a
+    * disclosure; mirror of the [[fdViolations]] null-Y rule). One
+    * two-level hash aggregate — (QI, s) then QI. Returns the
+    * violating groups (quasiCols…, n_rows, n_distinct_sensitive).
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[(String, Column)],
+      sensitive: Column,
+      l: Long): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    val base = df.select(
+      quasiCols.map { case (n, c) => c.as(n) } :+ sensitive.as("__s"): _*)
+    val qs = quasiCols.map { case (n, _) => col(n) }
+    base
+      .groupBy(qs :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(qs: _*)
+      .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * distribution-disclosure gate l-diversity misses: a group can
+    * carry l distinct sensitive values whose MIX still leaks (90%
+    * "default" where the corpus runs 50%). Per QI group, the earth-
+    * mover's distance between the group's sensitive-value
+    * distribution and the corpus's over an ORDERED bucket domain —
+    * for one-dimensional ordered buckets EMD is exactly the L1 gap
+    * between cumulative distributions, which makes it computable in
+    * exact integers:
+    *
+    *   emd6(g) = Σ_buckets |cum_g·1e6 div n_g − cum·1e6 div N|
+    *             div n_buckets
+    *
+    * (per-bucket micro CDFs by truncating division — the ksFromCounts
+    * discipline, whose statistic is the MAX of the same gaps where
+    * EMD is the MEAN; both engines fold the identical grid). Groups
+    * with emd6 above the caller's threshold are the re-binning
+    * worklist. Returns per group (quasiCols…, n_rows, emd6), all
+    * groups — thresholding is the caller's policy.
+    *
+    * Scale shape: one (QI, bucket) aggregate, a broadcast corpus
+    * grid, per-group running sums over the bucket-bounded domain.
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[(String, Column)],
+      bucket: Column): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    val names = quasiCols.map(_._1)
+    val qs = names.map(col)
+    val base = df
+      .filter(bucket.isNotNull)
+      .select(quasiCols.map { case (n, c) => c.as(n) } :+ bucket.as("__b"): _*)
+    val cells = base
+      .groupBy(qs :+ col("__b"): _*)
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = cells.groupBy(col("__b")).agg(sum(col("c")).as("cc"))
+    val tot = broadcast(
+      corpus.agg(count(lit(1)).as("__nb"), sum(col("cc")).cast("long").as("__nt")))
+    val groups = cells.groupBy(qs: _*).agg(sum(col("c")).as("n_g"))
+    // group × FULL bucket domain: absent buckets carry 0 group mass
+    // but real corpus mass — the CDF gap must see them
+    groups
+      .crossJoin(broadcast(corpus))
+      .join(cells, names :+ "__b", "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(tot)
+      .withColumn(
+        "cum_g",
+        sum(col("c")).over(
+          Window.partitionBy(qs: _*).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "cum",
+        sum(col("cc")).over(
+          Window.partitionBy(qs: _*).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "__gap",
+        abs(
+          expr("CAST(1000000 * cum_g div n_g AS BIGINT)") -
+            expr("CAST(1000000 * cum div __nt AS BIGINT)")))
+      .groupBy(qs :+ col("n_g") :+ col("__nb"): _*)
+      .agg(sum(col("__gap")).as("__gapsum"))
+      .select(
+        qs :+ col("n_g").as("n_rows") :+
+          expr("CAST(__gapsum div __nb AS BIGINT)").as("emd6"): _*)
+  }
+
   /** Diff two [[partitionManifest]] receipts — the reconciliation
     * step of the 100 TB hand-off: each partition is `added` (new side
     * only), `removed` (old side only), `changed` (both sides, row

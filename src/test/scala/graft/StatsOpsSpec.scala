@@ -376,6 +376,38 @@ class StatsOpsSpec extends SparkSpec {
       ("solo", 1L, 42L, 42L, 42L)))
   }
 
+  test("lDiversity: groups under l distinct sensitive values; null is a value") {
+    val rows = Seq(
+      ("g1", Some("a")), ("g1", Some("a")), ("g1", Some("b")),
+      ("g2", Some("a")), ("g2", Some("b")), ("g2", Some("c")),
+      ("g3", Some("a")), ("g3", None))
+      .toDF("q", "s")
+    val got = Checks
+      .lDiversity(rows, Seq("q" -> col("q")), col("s"), 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("g1", 3L, 2L), ("g3", 2L, 2L)))
+  }
+
+  test("tCloseness: concentrated groups score the exact CDF-gap mean; absent buckets count") {
+    // corpus buckets {1: 2, 2: 2}; g1 all in bucket 1, g2 all in 2:
+    // per group, gaps (500000, 0) -> emd6 = 250000 each.
+    val rows = Seq(("g1", 1L), ("g1", 1L), ("g2", 2L), ("g2", 2L)).toDF("q", "b")
+    val got = Checks
+      .tCloseness(rows, Seq("q" -> col("q")), col("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("g1", 2L, 250000L), ("g2", 2L, 250000L)))
+    // a group matching the corpus mix exactly scores 0
+    val mixed = Seq(("g1", 1L), ("g1", 2L), ("g2", 1L), ("g2", 2L)).toDF("q", "b")
+    val gm = Checks
+      .tCloseness(mixed, Seq("q" -> col("q")), col("b"))
+      .collect().map(r => r.getLong(2))
+    assert(gm.forall(_ == 0L))
+  }
+
   test("skyline2d: dominated rows drop, duplicates of a front point all survive") {
     import graft.operators.Relational
     val rows = Seq(
