@@ -4968,6 +4968,19 @@ object SparkEntryCoverage {
           expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"))
         .orderBy(col("seg"), col("nat"))
     },
+    // Association rules (Relational.associationRules): co-purchased
+    // part pairs with support/confidence/lift — top 20 by (lift desc,
+    // pair), pair floor 3 baskets.
+    "a_basket_rules" -> { (s, dir) =>
+      Relational
+        .associationRules(
+          t(s, dir, "lineitem"),
+          col("l_orderkey"),
+          col("l_partkey"),
+          minPairCount = 3L)
+        .orderBy(col("lift6").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9764,6 +9777,24 @@ object SparkEntryCoverage {
         |SELECT seg, nat, CAST(MAX(n_g) AS BIGINT) AS n_rows,
         |       CAST(SUM(gap) // MAX(nb) AS BIGINT) AS emd6
         |FROM gp GROUP BY seg, nat ORDER BY seg, nat""".stripMargin,
+    "a_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |it AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+        |pr AS (SELECT x.i AS item_a, y.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |j AS (SELECT pr.item_a, pr.item_b, a.n_i AS n_a, bb.n_i AS n_b, pr.n_ab, nb.n
+        |      FROM pr JOIN it a ON a.i = pr.item_a JOIN it bb ON bb.i = pr.item_b
+        |      CROSS JOIN nb)
+        |SELECT item_a, item_b, n_a, n_b, n_ab,
+        |  CAST(1000000 * n_ab // n AS BIGINT) AS support_ppm,
+        |  CAST(1000000 * n_ab // n_a AS BIGINT) AS conf_a_b_ppm,
+        |  CAST(1000000 * n_ab // n_b AS BIGINT) AS conf_b_a_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * n_ab * n) // (CAST(n_a AS HUGEINT) * n_b)
+        |       AS BIGINT) AS lift6
+        |FROM j ORDER BY lift6 DESC, item_a, item_b LIMIT 20""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

@@ -779,6 +779,65 @@ object Relational {
       Seq(col("g")),
       Seq(col("n_mode").desc, col("mode")))
 
+  /** Association rules over baskets (Agrawal, Imieliński & Swami
+    * 1993) — support / confidence / lift for co-occurring item
+    * pairs: the market-basket / co-retrieval / "docs cited together"
+    * miner. For each unordered pair {a, b} with a < b that clears
+    * the basket-count floor:
+    *
+    *   support_ppm  = 1e6·n_ab div N
+    *   conf_a_b_ppm = 1e6·n_ab div n_a    (P(b | a))
+    *   conf_b_a_ppm = 1e6·n_ab div n_b
+    *   lift6        = 1e6·n_ab·N div (n_a·n_b)   (> 1e6 = genuine
+    *                  affinity; ≤ 1e6 = popularity coincidence)
+    *
+    * — all exact integer counts into truncating divisions
+    * (DECIMAL(38,0) for the lift cross-product). Items are
+    * DISTINCT-per-basket (quantity inside one basket is not
+    * co-occurrence evidence).
+    *
+    * Scale shape: one distinct pass to (basket, item), a per-basket
+    * self-join bounded by basket size (the T36 co-purchase shape —
+    * pre-cap pathological baskets upstream), `minPairCount` prunes
+    * the pair tail BEFORE the item-count join. Returns (item_a,
+    * item_b, n_a, n_b, n_ab, support_ppm, conf_a_b_ppm,
+    * conf_b_a_ppm, lift6).
+    */
+  def associationRules(
+      df: DataFrame,
+      basketCol: Column,
+      itemCol: Column,
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1L, "minPairCount must be >= 1")
+    val bi = df
+      .filter(basketCol.isNotNull && itemCol.isNotNull)
+      .select(basketCol.as("b"), itemCol.as("i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = broadcast(bi.select(col("b")).distinct().agg(count(lit(1)).as("__nb")))
+    val items = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = bi.as("x")
+      .join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(items.select(col("i").as("item_a"), col("n_i").as("n_a")), Seq("item_a"))
+      .join(items.select(col("i").as("item_b"), col("n_i").as("n_b")), Seq("item_b"))
+      .crossJoin(nBaskets)
+      .select(
+        col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),
+        expr("CAST(1000000 * n_ab div __nb AS BIGINT)").as("support_ppm"),
+        expr("CAST(1000000 * n_ab div n_a AS BIGINT)").as("conf_a_b_ppm"),
+        expr("CAST(1000000 * n_ab div n_b AS BIGINT)").as("conf_b_a_ppm"),
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * CAST(n_ab AS DECIMAL(38,0))
+            |   * CAST(__nb AS DECIMAL(38,0)))
+            |  div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin).as("lift6"))
+  }
+
   /** Distribution-free median confidence interval — the
     * order-statistic CI (no normality, no bootstrap, no approx
     * percentile): the 95% CI for a group's median is the pair of

@@ -408,6 +408,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(gm.forall(_ == 0L))
   }
 
+  test("associationRules: hand-computed support/confidence/lift; per-basket dedup") {
+    import graft.operators.Relational
+    // baskets: {x,y} {x,y} {x} {y,z} — duplicate x in basket 3 dedups.
+    // pair (x,y): n_ab=2, n_x=3, n_y=3, N=4:
+    //   support 500000, conf both 666666, lift6 = 1e6*2*4/(3*3) = 888888.
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "x"), (4L, "y"), (4L, "z"))
+      .toDF("b", "i")
+    val got = Relational
+      .associationRules(rows, col("b"), col("i"), minPairCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got.toSeq == Seq(("x", "y", 2L, 500000L, 666666L, 666666L, 888888L)))
+  }
+
   test("skyline2d: dominated rows drop, duplicates of a front point all survive") {
     import graft.operators.Relational
     val rows = Seq(
