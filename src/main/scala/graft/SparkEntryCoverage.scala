@@ -4981,6 +4981,33 @@ object SparkEntryCoverage {
         .orderBy(col("lift6").desc, col("item_a"), col("item_b"))
         .limit(20)
     },
+    // Markov NLL anomaly scoring (Series.markovNll): each user's
+    // event sequence scored by mean micro-nat NLL under the corpus's
+    // own transition model — the model-based bot detector.
+    "w_markov_nll" -> { (s, dir) =>
+      Series
+        .markovNll(
+          t(s, dir, "events"),
+          col("user_id"),
+          Seq(col("ts"), col("event_id")),
+          col("event_type"))
+        .orderBy(col("key"))
+    },
+    // Pairwise Cramér's V matrix (Checks.chiSquareIndependence x3):
+    // the categorical-association profile across lang, source and a
+    // length bucket — which columns entangle.
+    "a_cramers_matrix" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("len_bucket", expr("CAST(n_chars div 200 AS BIGINT)"))
+      def pair(label: String, a: String, b: String) =
+        Checks.chiSquareIndependence(d, col(a), col(b))
+          .select(lit(label).as("pair"), col("n_rows"), col("dof"),
+            col("chi26"), col("cramer_v6"))
+      pair("lang_source", "lang", "source")
+        .unionByName(pair("lang_len", "lang", "len_bucket"))
+        .unionByName(pair("source_len", "source", "len_bucket"))
+        .orderBy(col("pair"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9795,6 +9822,63 @@ object SparkEntryCoverage {
         |  CAST((CAST(1000000 AS HUGEINT) * n_ab * n) // (CAST(n_a AS HUGEINT) * n_b)
         |       AS BIGINT) AS lift6
         |FROM j ORDER BY lift6 DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "w_markov_nll" ->
+      """WITH e AS (SELECT user_id AS k, event_type AS st, ts, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |tr AS (SELECT k, st AS from_state,
+        |         lead(st) OVER (PARTITION BY k ORDER BY ts, event_id) AS to_state
+        |       FROM e),
+        |t2 AS (SELECT * FROM tr WHERE to_state IS NOT NULL),
+        |cells AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM t2 GROUP BY 1, 2),
+        |rt AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |model AS (SELECT c.from_state, c.to_state,
+        |    greatest(1, CAST((1000000 * c.n) // r.rt AS BIGINT)) AS p6
+        |  FROM cells c JOIN rt r USING (from_state)),
+        |m2 AS (SELECT from_state, to_state,
+        |    CAST(round(ln(1000000.0 / CAST(p6 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll6
+        |  FROM model)
+        |SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |       CAST(SUM(nll6) AS BIGINT) AS nll_sum6,
+        |       CAST(SUM(nll6) // COUNT(*) AS BIGINT) AS mean_nll6
+        |FROM t2 JOIN m2 USING (from_state, to_state)
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+    "a_cramers_matrix" -> {
+      def block(label: String, ae: String, be: String): String =
+        s"""SELECT '$label' AS pair, nn AS n_rows, (na - 1) * (nb - 1) AS dof,
+           | CASE WHEN na > 1 AND nb > 1 THEN CAST(SUM(term6) AS BIGINT) ELSE 0 END AS chi26,
+           | CASE WHEN na > 1 AND nb > 1 THEN
+           |   CAST(round(1000 * sqrt(CAST(SUM(term6) AS DOUBLE)
+           |     / CAST(nn * least(na - 1, nb - 1) AS DOUBLE))) AS BIGINT)
+           | ELSE 0 END AS cramer_v6
+           |FROM (
+           | WITH cells AS (SELECT $ae AS a, $be AS b, CAST(COUNT(*) AS BIGINT) AS n
+           |   FROM d WHERE $ae IS NOT NULL AND $be IS NOT NULL GROUP BY 1, 2),
+           | rows_ AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+           | cols_ AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+           | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           |         CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+           |         CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+           | grid AS (SELECT r.a, c.b, r.r, c.c, CAST(COALESCE(cl.n, 0) AS BIGINT) AS n
+           |   FROM rows_ r CROSS JOIN cols_ c
+           |   LEFT JOIN cells cl ON cl.a = r.a AND cl.b = c.b)
+           | SELECT t.nn, t.na, t.nb,
+           |   (CAST(1000000 AS HUGEINT)
+           |     * CAST(t.nn * g.n - g.r * g.c AS HUGEINT)
+           |     * CAST(t.nn * g.n - g.r * g.c AS HUGEINT))
+           |   // (CAST(t.nn AS HUGEINT) * g.r * g.c) AS term6
+           | FROM grid g CROSS JOIN tot t)
+           |GROUP BY nn, na, nb""".stripMargin
+      s"""WITH d AS (SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket
+         |  FROM documents)
+         |SELECT * FROM (
+         |${block("lang_source", "lang", "source")}
+         |UNION ALL
+         |${block("lang_len", "lang", "len_bucket")}
+         |UNION ALL
+         |${block("source_len", "source", "len_bucket")})
+         |ORDER BY pair""".stripMargin
+    },
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

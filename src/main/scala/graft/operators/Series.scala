@@ -852,6 +852,62 @@ object Series {
         expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
   }
 
+  /** Per-key Markov negative log-likelihood — behavioral anomaly
+    * scoring against the corpus's own transition model: fit the
+    * GLOBAL first-order transition matrix ([[transitionMatrix]]
+    * semantics, same (orderCols) total order), then score each key's
+    * transition sequence by mean NLL under it. Keys replaying loops
+    * the corpus finds likely score low; scripted or out-of-pattern
+    * sequences score high — the model-based member of the bot
+    * battery ([[fanoDaily]], [[iatEntropy]], raw transition shares).
+    *
+    * Exactness: the model is the exact micro matrix p6 = 1e6·n div
+    * rowtotal; each transition's term rounds ONCE to micro-nats,
+    * nll6 = round(1e6·ln(1e6 / max(1, p6))) — the 1-micro floor caps
+    * a sub-ppm transition's surprise at ln(1e6) ≈ 13.8 nats and
+    * keeps ln finite (documented; p6 = 0 only when a transition is
+    * rarer than 1-in-1e6 of its row). mean_nll6 = exact sum div
+    * count. The transitions frame is persisted — the model fit and
+    * the scoring read ONE lead-window pass. Keys with no transition
+    * (single event) are absent. Returns (key, n_transitions,
+    * nll_sum6, mean_nll6).
+    */
+  def markovNll(
+      df: DataFrame,
+      keyCol: Column,
+      orderCols: Seq[Column],
+      stateCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val trans = df
+      .filter(keyCol.isNotNull && stateCol.isNotNull)
+      .select(
+        keyCol.as("__k"),
+        stateCol.as("from_state"),
+        lead(stateCol, 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = trans.groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("from_state")).agg(sum(col("n")).as("__rt"))
+    val model = cells
+      .join(rowTot, Seq("from_state"))
+      .select(
+        col("from_state"), col("to_state"),
+        expr("greatest(CAST(1 AS BIGINT), CAST(1000000 * n div __rt AS BIGINT))").as("p6"))
+      .withColumn(
+        "nll6",
+        round(log(lit(1e6) / col("p6").cast("double")) * lit(1e6), 0).cast("long"))
+    trans
+      .join(broadcast(model.select(col("from_state"), col("to_state"), col("nll6"))),
+        Seq("from_state", "to_state"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("nll6")).as("nll_sum6"))
+      .select(
+        col("__k").as("key"),
+        col("n_transitions"),
+        col("nll_sum6"),
+        expr("CAST(nll_sum6 div n_transitions AS BIGINT)").as("mean_nll6"))
+  }
+
   /** Hill tail-index estimator (Hill 1975) — HOW heavy is the heavy
     * tail: over the k largest positive values, H = (1/k)·Σ ln(x_i /
     * x_ref) with x_ref the (k+1)-th order statistic, and the Pareto

@@ -377,6 +377,23 @@ class SeriesSpec extends SparkSpec {
       (2L, 3L, 3L, 1098612L)))
   }
 
+  test("markovNll: per-key surprise under the corpus's own transition model") {
+    // global model: p(b|a)=p(a|a)=0.5 (nll ln2), p(a|b)=1 (nll 0).
+    // user 1 a->b->a->b: 693147+0+693147; user 2 a->a->a: 2*693147.
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "a"))
+      .toDF("u", "seq", "st")
+    val got = Series
+      .markovNll(rows, col("u"), Seq(col("seq")), col("st"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1386294L, 462098L),
+      (2L, 2L, 1386294L, 693147L)))
+  }
+
   test("attributionCredits: linear and U-shape splits, window cut, unattributed surfaced") {
     // user 1: conv day 10, touches click d3 / view d5 / click d7 (n=3,
     // U = 400k/200k/400k) plus a click at d2 OUTSIDE the 7-day window;
