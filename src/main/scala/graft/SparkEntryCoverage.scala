@@ -5008,6 +5008,18 @@ object SparkEntryCoverage {
         .unionByName(pair("source_len", "source", "len_bucket"))
         .orderBy(col("pair"))
     },
+    // Time-weighted average (Series.twap): per-user cent value
+    // weighted by how long each observation was current — the honest
+    // mean of an irregularly-sampled signal (plain AVG over-weights
+    // bursts).
+    "w_twap" -> { (s, dir) =>
+      Series
+        .twap(
+          t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100.0, 0).cast("long"))
+        .orderBy(col("key"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9879,6 +9891,23 @@ object SparkEntryCoverage {
          |${block("source_len", "source", "len_bucket")})
          |ORDER BY pair""".stripMargin
     },
+    "w_twap" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS eid,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT k, v,
+        |        lead(t) OVER (PARTITION BY k ORDER BY t, eid) - t AS gap
+        |      FROM e),
+        |agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(COALESCE(gap, 0)) AS BIGINT) AS span_micros,
+        |    SUM(CASE WHEN gap IS NOT NULL THEN CAST(v AS HUGEINT) * gap
+        |        ELSE CAST(0 AS HUGEINT) END) AS wv
+        |  FROM g GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT k AS key, n_obs, span_micros,
+        |  CASE WHEN span_micros = 0 THEN CAST(NULL AS BIGINT)
+        |  ELSE CAST(wv // CAST(span_micros AS HUGEINT) AS BIGINT) END AS twap
+        |FROM agg ORDER BY key""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

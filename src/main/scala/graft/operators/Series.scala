@@ -852,6 +852,61 @@ object Series {
         expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
   }
 
+  /** Time-weighted average (TWAP) per key — the honest mean of an
+    * irregularly-sampled signal: each observation holds until the
+    * next one, so its weight is the microseconds it was current, not
+    * its row count (a plain AVG over-weights bursts — ten readings
+    * in one noisy second would dominate an hour of calm). The
+    * metrics/pricing convention everywhere observations arrive
+    * event-driven.
+    *
+    * Exactness: Σ v_i·Δt_i div Σ Δt_i over the (ts, event_id) total
+    * order — exact integer microsecond gaps times exact integer
+    * values in DECIMAL(38,0), ONE truncating division per key; the
+    * last observation carries no interval (nothing holds after it —
+    * the standard left-closed convention) so keys need ≥ 2 events
+    * and a zero total span (all events at one timestamp) returns
+    * NULL twap (no time passed to average over; a 0 would read as a
+    * price). Returns (key, n_obs, span_micros, twap).
+    */
+  def twap(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      eventIdCol: Column,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__eid"))
+    df
+      .filter(
+        keyCol.isNotNull && tsCol.isNotNull && eventIdCol.isNotNull &&
+          valueCol.isNotNull)
+      .select(
+        keyCol.as("__k"),
+        tsCol.as("__tsc"),
+        eventIdCol.cast("long").as("__eid"),
+        valueCol.cast("long").as("__v"))
+      .withColumn("__ts", expr("unix_micros(__tsc)"))
+      .withColumn("__gap", lead(col("__ts"), 1).over(w) - col("__ts"))
+      .groupBy(col("__k"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(coalesce(col("__gap"), lit(0L))).as("span_micros"),
+        sum(
+          when(
+            col("__gap").isNotNull,
+            expr("CAST(__v AS DECIMAL(38,0)) * CAST(__gap AS DECIMAL(38,0))"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__wv"))
+      .filter(col("n_obs") >= 2L)
+      .select(
+        col("__k").as("key"),
+        col("n_obs"),
+        col("span_micros"),
+        expr(
+          """CASE WHEN span_micros = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(__wv div CAST(span_micros AS DECIMAL(38,0)) AS BIGINT)
+            |END""".stripMargin).as("twap"))
+  }
+
   /** Per-key Markov negative log-likelihood — behavioral anomaly
     * scoring against the corpus's own transition model: fit the
     * GLOBAL first-order transition matrix ([[transitionMatrix]]

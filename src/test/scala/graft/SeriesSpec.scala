@@ -377,6 +377,30 @@ class SeriesSpec extends SparkSpec {
       (2L, 3L, 3L, 1098612L)))
   }
 
+  test("twap: interval-weighted mean, zero-span null, singletons absent") {
+    // user 1: v=10 holds 10s, v=20 holds 20s -> (100+400)/30 = 16 (trunc).
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 10L),
+      (1L, "2024-01-01 00:00:10", 2L, 20L),
+      (1L, "2024-01-01 00:00:30", 3L, 0L),
+      // user 2: both events at one instant -> span 0 -> null twap
+      (2L, "2024-01-01 00:00:00", 4L, 5L),
+      (2L, "2024-01-01 00:00:00", 5L, 9L),
+      // user 3: single event -> absent
+      (3L, "2024-01-01 00:00:00", 6L, 7L))
+      .toDF("u", "tss", "eid", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Series
+      .twap(rows, col("u"), col("ts"), col("eid"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 30000000L, 16L),
+      (2L, 2L, 0L, -1L)))
+  }
+
   test("markovNll: per-key surprise under the corpus's own transition model") {
     // global model: p(b|a)=p(a|a)=0.5 (nll ln2), p(a|b)=1 (nll 0).
     // user 1 a->b->a->b: 693147+0+693147; user 2 a->a->a: 2*693147.
