@@ -5020,6 +5020,20 @@ object SparkEntryCoverage {
           round(col("value") * 100.0, 0).cast("long"))
         .orderBy(col("key"))
     },
+    // Wald SPRT (Experiments.sprtBernoulli): per event type, the
+    // always-on sequential monitor of the high-value rate — H0 p=0.3
+    // vs H1 p=0.4, first boundary crossing in arrival order.
+    "a_sprt" -> { (s, dir) =>
+      Experiments
+        .sprtBernoulli(
+          t(s, dir, "events")
+            .filter(col("value").isNotNull && col("ts").isNotNull && col("event_id").isNotNull),
+          col("event_type"),
+          Seq(col("ts"), col("event_id")),
+          (col("value") > 50.0).cast("long"),
+          p0 = 0.3, p1 = 0.4)
+        .orderBy(col("group"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9908,6 +9922,39 @@ object SparkEntryCoverage {
         |  CASE WHEN span_micros = 0 THEN CAST(NULL AS BIGINT)
         |  ELSE CAST(wv // CAST(span_micros AS HUGEINT) AS BIGINT) END AS twap
         |FROM agg ORDER BY key""".stripMargin,
+    "a_sprt" -> {
+      // the SAME driver-side literal math as Experiments.sprtBernoulli
+      // (p0 = 0.3, p1 = 0.4, alpha = beta = 0.05)
+      val l1 = math.round(1e6 * math.log(0.4 / 0.3))
+      val l0 = math.round(1e6 * math.log(0.6 / 0.7))
+      val hi = math.round(1e6 * math.log(0.95 / 0.05))
+      val lo = math.round(1e6 * math.log(0.05 / 0.95))
+      s"""WITH e AS (SELECT event_type AS g,
+         |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s, ts, event_id
+         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+         |sc AS (SELECT g,
+         |    CAST(row_number() OVER (PARTITION BY g ORDER BY ts, event_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY g ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+         |    CAST(SUM(s) OVER (PARTITION BY g ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS x
+         |  FROM e),
+         |ll AS (SELECT g, rn, n, x,
+         |    CAST(x * $l1 + (n - x) * $l0 AS BIGINT) AS llr6,
+         |    CASE WHEN x * $l1 + (n - x) * $l0 >= $hi THEN 'accept_h1'
+         |         WHEN x * $l1 + (n - x) * $l0 <= $lo THEN 'accept_h0'
+         |         ELSE 'continue' END AS decision
+         |  FROM sc),
+         |fc AS (SELECT g, MIN(rn) AS rn FROM ll WHERE decision <> 'continue' GROUP BY 1),
+         |dec AS (SELECT ll.* FROM ll JOIN fc USING (g, rn)),
+         |und AS (SELECT ll.* FROM ll JOIN
+         |  (SELECT g, MAX(rn) AS rn FROM ll
+         |   WHERE g NOT IN (SELECT g FROM fc) GROUP BY 1) u USING (g, rn))
+         |SELECT g AS "group", n AS n_at_decision, x AS x_at_decision, llr6, decision
+         |FROM (SELECT * FROM dec UNION ALL SELECT * FROM und)
+         |ORDER BY "group"""".stripMargin
+    },
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

@@ -1311,6 +1311,85 @@ object Experiments {
       abs(col("__y") - col("__med")))
   }
 
+  /** Wald's sequential probability ratio test (Wald 1945) — the
+    * origin of all sequential testing and the cheapest always-on
+    * monitor: H0: p = p0 vs H1: p = p1 over a Bernoulli stream,
+    * stopping the moment the evidence clears either boundary instead
+    * of waiting for a fixed n (on average ~half the samples of the
+    * fixed-n test at the same error rates). The simple-hypothesis
+    * companion of [[obfLooks5]]'s calendar looks.
+    *
+    *   LLR_n = x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0))
+    *   accept_h1 at LLR ≥ ln((1−β)/α),  accept_h0 at ≤ ln(β/(1−α))
+    *
+    * Exactness — the ndcgWeights shared-constant discipline: the two
+    * per-observation increments and both boundaries are micro-nat
+    * LITERALS computed ONCE driver-side from (p0, p1, α, β) and
+    * injected into both plans; the running LLR is then an exact
+    * BIGINT x·L1 + (n−x)·L0 over cumulative counts from one
+    * per-group window under the caller's arrival total order.
+    * Reported per group: the FIRST crossing row (min arrival rank
+    * among crossings — the decision the live monitor would have
+    * announced), or the final row with decision "continue" if no
+    * boundary was reached. Returns (group, n_at_decision,
+    * x_at_decision, llr6, decision).
+    */
+  def sprtBernoulli(
+      df: DataFrame,
+      groupCol: Column,
+      orderCols: Seq[Column],
+      successCol: Column,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 must be distinct probabilities in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha, beta must be in (0,1)")
+    val l1 = math.round(1e6 * math.log(p1 / p0))
+    val l0 = math.round(1e6 * math.log((1.0 - p1) / (1.0 - p0)))
+    val hi = math.round(1e6 * math.log((1.0 - beta) / alpha))
+    val lo = math.round(1e6 * math.log(beta / (1.0 - alpha)))
+    val w = Window.partitionBy(col("__g")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(col("__g")).orderBy(orderCols: _*)
+    val scored = df
+      .filter(groupCol.isNotNull && successCol.isNotNull)
+      .withColumn("__g", groupCol)
+      .withColumn("__s", successCol.cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__x", sum(col("__s")).over(w))
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("llr6", col("__x") * lit(l1) + (col("__n") - col("__x")) * lit(l0))
+      .withColumn(
+        "decision",
+        when(col("llr6") >= lit(hi), lit("accept_h1"))
+          .when(col("llr6") <= lit(lo), lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .select(col("__g"), col("__rn"), col("__n"), col("__x"), col("llr6"), col("decision"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstCross = scored
+      .filter(col("decision") =!= "continue")
+      .groupBy(col("__g"))
+      .agg(min(col("__rn")).as("__rn"))
+      .join(scored, Seq("__g", "__rn"))
+    val undecided = scored
+      .join(firstCross.select(col("__g")), Seq("__g"), "left_anti")
+      .groupBy(col("__g"))
+      .agg(max(col("__rn")).as("__rn"))
+      .join(scored, Seq("__g", "__rn"))
+    firstCross
+      .unionByName(undecided)
+      .select(
+        col("__g").as("group"),
+        col("__n").as("n_at_decision"),
+        col("__x").as("x_at_decision"),
+        col("llr6"),
+        col("decision"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

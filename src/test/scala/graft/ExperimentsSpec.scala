@@ -348,6 +348,28 @@ class ExperimentsSpec extends SparkSpec {
       ((2L, 6L, 6000000L, 45333334L, 529411L)))
   }
 
+  test("sprtBernoulli: success streaks cross at n=2, failure streaks at n=6, short streams continue") {
+    // p0=0.1 vs p1=0.5: L1 = 1609438, L0 = -587787, bounds +/-2944439.
+    // all-success group crosses hi at n=2; all-failure crosses lo at
+    // n=6; a single-observation group must report continue.
+    val rows =
+      (1 to 5).map(i => ("up", i.toLong, 1L)) ++
+        (1 to 8).map(i => ("down", i.toLong, 0L)) ++
+        Seq(("short", 1L, 1L))
+    val got = Experiments
+      .sprtBernoulli(
+        rows.toDF("g", "seq", "s"),
+        col("g"), Seq(col("seq")), col("s"),
+        p0 = 0.1, p1 = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("down", 6L, 0L, -3526722L, "accept_h0"),
+      ("short", 1L, 1L, 1609438L, "continue"),
+      ("up", 2L, 2L, 3218876L, "accept_h1")))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")
