@@ -5034,6 +5034,31 @@ object SparkEntryCoverage {
           p0 = 0.3, p1 = 0.4)
         .orderBy(col("group"))
     },
+    // Capture-recapture dedup coverage (Dedup.captureRecapture):
+    // estimate the TRUE near-dup pair count from how much the lexical
+    // (n-gram Jaccard) and bit-sketch (SimHash) detectors overlap —
+    // recall measurement with NO planted truth.
+    "dd_capture_recapture" -> { (s, dir) =>
+      Dedup.captureRecapture(
+        docNgramPairs(s, dir),
+        Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 2, 8))
+    },
+    // BH step-up FDR (Experiments.bhStepUp): the five per-event-type
+    // z-tests corrected for multiple testing at q=0.05 with literal
+    // per-rank chi-square thresholds (m=5 fixed at authoring time).
+    "a_bh_fdr" -> { (s, dir) =>
+      val tests = Experiments.twoProportionZ(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull),
+        col("event_type"),
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+        (col("value") > 50.0).cast("long"))
+      Experiments
+        .bhStepUp(
+          tests, col("group"), col("z2_6"), col("group"),
+          Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L))
+        .orderBy(col("rank"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -9955,6 +9980,49 @@ object SparkEntryCoverage {
          |FROM (SELECT * FROM dec UNION ALL SELECT * FROM und)
          |ORDER BY "group"""".stripMargin
     },
+    "dd_capture_recapture" ->
+      s"""WITH $jaccardPairsSql,
+         |sim AS (SELECT doc_id, ${sqlSimhash("tk")} AS simhash FROM tok),
+         |sp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |          a.simhash AS sh_a, b.simhash AS sh_b
+         |        FROM sim a JOIN sim b
+         |          ON substring(a.simhash, 1, 2) = substring(b.simhash, 1, 2)
+         |         AND a.doc_id < b.doc_id),
+         |sp AS (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b,
+         |   CAST(list_reduce(list_transform(generate_series(1, 16), i ->
+         |     bit_count(xor(strpos('0123456789abcdef', substring(sh_a, i, 1)) - 1,
+         |                   strpos('0123456789abcdef', substring(sh_b, i, 1)) - 1))),
+         |     (x, y) -> x + y) AS BIGINT) AS hamming
+         |  FROM sp0) WHERE hamming <= 8),
+         |pa AS (SELECT DISTINCT id_a, id_b FROM pairs),
+         |pb AS (SELECT DISTINCT id_a, id_b FROM sp),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM pa),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM pb),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |      FROM pa JOIN pb USING (id_a, id_b)),
+         |f AS (SELECT n_a, n_b, n_overlap,
+         |        CAST((n_a + 1) * (n_b + 1) // (n_overlap + 1) AS BIGINT) - 1 AS n_hat
+         |      FROM na CROSS JOIN nb CROSS JOIN m)
+         |SELECT n_a, n_b, n_overlap, n_hat,
+         |  CASE WHEN n_hat = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(1000000 * n_a // n_hat AS BIGINT) END AS recall_a_ppm,
+         |  CASE WHEN n_hat = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(1000000 * n_b // n_hat AS BIGINT) END AS recall_b_ppm
+         |FROM f""".stripMargin,
+    "a_bh_fdr" ->
+      s"""WITH zt AS ($abTestOracleSql),
+         |r AS (SELECT "group", z2_6,
+         |        CAST(row_number() OVER (ORDER BY z2_6 DESC, "group") AS BIGINT) AS rank
+         |      FROM zt),
+         |thr(rank, thr6) AS (VALUES (CAST(1 AS BIGINT), CAST(6634897 AS BIGINT)),
+         |  (2, 5411894), (3, 4709292), (4, 4217885), (5, 3841459)),
+         |j AS (SELECT r."group", r.rank, r.z2_6, thr.thr6,
+         |        CASE WHEN r.z2_6 >= thr.thr6 THEN r.rank ELSE 0 END AS pass
+         |      FROM r JOIN thr ON thr.rank = r.rank),
+         |c AS (SELECT MAX(pass) AS cut FROM j)
+         |SELECT "group", rank, z2_6, thr6, rank <= cut AS significant
+         |FROM j CROSS JOIN c ORDER BY rank""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

@@ -97,6 +97,52 @@ object Dedup {
     * after consuming the result, as the engine's Bench/Profile mains
     * do between queries.
     */
+  /** Chapman capture–recapture over two detectors' pair sets
+    * (Lincoln–Petersen with the +1 bias correction, Chapman 1951) —
+    * estimate the TRUE near-dup pair population from how much two
+    * INDEPENDENT detectors overlap, with no ground truth: the canary
+    * (T64) plants truth to measure one detector; this estimates the
+    * unplanted total from detector disagreement, the wildlife-census
+    * trick applied to dedup coverage.
+    *
+    *   N̂ = (n_a+1)(n_b+1) div (m+1) − 1,  recall_i = 1e6·n_i div N̂
+    *
+    * — exact integer counts, one truncating division each; m = 0
+    * (disjoint detectors) stays finite by the Chapman correction,
+    * and an all-empty input takes the documented 0 convention.
+    * CAVEAT (the modeling assumption, stated where it bites):
+    * independence — two detectors sharing a pipeline stage (same
+    * shingles, same normalization) correlate positively and bias N̂
+    * LOW, which reads as recall optimism; pair structurally
+    * different detectors (lexical vs bit-sketch) as the canonical
+    * query does. Returns one row (n_a, n_b, n_overlap, n_hat,
+    * recall_a_ppm, recall_b_ppm).
+    */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    val a = pairsA.select(col("id_a"), col("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = pairsB.select(col("id_a"), col("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(
+        a.join(b, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))))
+      .withColumn(
+        "n_hat",
+        expr("CAST((n_a + 1) * (n_b + 1) div (n_overlap + 1) AS BIGINT) - 1"))
+      .select(
+        col("n_a"), col("n_b"), col("n_overlap"), col("n_hat"),
+        expr(
+          """CASE WHEN n_hat = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000 * n_a div n_hat AS BIGINT) END""".stripMargin)
+          .as("recall_a_ppm"),
+        expr(
+          """CASE WHEN n_hat = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000 * n_b div n_hat AS BIGINT) END""".stripMargin)
+          .as("recall_b_ppm"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,

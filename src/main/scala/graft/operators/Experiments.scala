@@ -1390,6 +1390,65 @@ object Experiments {
         col("decision"))
   }
 
+  /** Benjamini–Hochberg step-up over a FIXED family of chi²₁-scale
+    * tests (Benjamini & Hochberg 1995) — the multiple-testing closure
+    * of the family: running [[twoProportionZ]] across m segments at
+    * α = 0.05 each inflates the family false-positive rate to
+    * 1−0.95^m; BH controls the FALSE DISCOVERY RATE at q instead.
+    * Because m is fixed at authoring time, the per-rank thresholds
+    * are LITERALS (chi²₁ quantiles at p = i·q/m — the
+    * no-runtime-quantiles rule holds even for multiple-testing
+    * corrections): rank the statistics descending, find the largest
+    * rank i with z²_(i) ≥ thr_i, and everything at or above that
+    * rank is discovered.
+    *
+    * `thresholds6(i-1)` is the micro-scaled chi²₁ quantile for rank
+    * i (most significant first — DESCENDING thresholds); the input
+    * must carry exactly `thresholds6.length` rows (enforced
+    * fail-fast in-plan — BH's thresholds are a function of the
+    * family size, so a row-count mismatch means the family changed
+    * under the literals). Ties in the statistic rank by the caller's
+    * `tieCol` total order. Returns the input's group column + (rank,
+    * z2_6, thr6, significant).
+    */
+  def bhStepUp(
+      tests: DataFrame,
+      groupCol: Column,
+      statCol: Column,
+      tieCol: Column,
+      thresholds6: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholds6.nonEmpty, "thresholds6 must be non-empty")
+    require(
+      thresholds6 == thresholds6.sorted.reverse,
+      "thresholds6 must be descending (most significant rank first)")
+    val m = thresholds6.length
+    val spark = tests.sparkSession
+    import spark.implicits._
+    val thr = broadcast(
+      thresholds6.zipWithIndex.map { case (t, i) => (i + 1L, t) }.toDF("rank", "thr6"))
+    val ranked = tests
+      .select(groupCol.as("group"), statCol.cast("long").as("z2_6"), tieCol.as("__tie"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("z2_6").desc, col("__tie"))).cast("long"))
+      .crossJoin(broadcast(tests.agg(count(lit(1)).as("__m"))))
+      .filter(
+        assert_true(
+          col("__m") === m.toLong,
+          concat(
+            lit(s"bhStepUp: the literal threshold table is for a family of $m tests, got "),
+            col("__m").cast("string"))).isNull)
+      .join(thr, Seq("rank"))
+      .withColumn("__pass", when(col("z2_6") >= col("thr6"), col("rank")).otherwise(0L))
+    val cutoff = broadcast(ranked.agg(max(col("__pass")).as("__cut")))
+    ranked
+      .crossJoin(cutoff)
+      .select(
+        col("group"), col("rank"), col("z2_6"), col("thr6"),
+        (col("rank") <= col("__cut")).as("significant"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

@@ -370,6 +370,33 @@ class ExperimentsSpec extends SparkSpec {
       ("up", 2L, 2L, 3218876L, "accept_h1")))
   }
 
+  test("bhStepUp: a passing low rank rescues the ranks above it; family-size mismatch fails fast") {
+    // thresholds 10/5/3 (millions): stats 12, 4, 3.5 -> ranks 1,2,3.
+    // rank 2 fails its own threshold but rank 3 passes -> cut = 3 ->
+    // ALL discovered (the signature step-up rescue).
+    val tests = Seq(("g1", 12000000L), ("g2", 4000000L), ("g3", 3500000L))
+      .toDF("g", "z2")
+    val got = Experiments
+      .bhStepUp(tests, col("g"), col("z2"), col("g"),
+        Seq(10000000L, 5000000L, 3000000L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(4)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq(("g1", 1L, true), ("g2", 2L, true), ("g3", 3L, true)))
+    // nothing passes anywhere -> nothing discovered
+    val none = Seq(("a", 1000000L), ("b", 900000L), ("c", 100000L)).toDF("g", "z2")
+    val gn = Experiments
+      .bhStepUp(none, col("g"), col("z2"), col("g"),
+        Seq(10000000L, 5000000L, 3000000L))
+      .collect().map(_.getBoolean(4))
+    assert(gn.forall(!_))
+    val two = Seq(("a", 1L), ("b", 2L)).toDF("g", "z2")
+    val e = intercept[Exception](
+      Experiments.bhStepUp(two, col("g"), col("z2"), col("g"),
+        Seq(10000000L, 5000000L, 3000000L)).head())
+    assert(e.getMessage.contains("family of 3 tests"))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")

@@ -1688,4 +1688,20 @@ class OperatorsSpec extends SparkSpec {
       .toSet
     assert(got == Set((1L, "low"), (2L, "low"), (2L, "mid"), (3L, "mid")))
   }
+
+  test("captureRecapture: Chapman estimate from two detectors' overlap; inputs dedup") {
+    import graft.operators.Dedup
+    // A finds 4 pairs (one duplicated row), B finds 2, overlap 1:
+    // n_hat = 5*3 div 2 - 1 = 6; recalls 4/6 and 2/6.
+    val a = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (1L, 2L)).toDF("id_a", "id_b")
+    val b = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Dedup.captureRecapture(a, b).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((4L, 2L, 1L, 6L, 666666L, 333333L)))
+    // disjoint detectors stay finite via the +1 correction
+    val c = Seq((7L, 8L)).toDF("id_a", "id_b")
+    val rd = Dedup.captureRecapture(a, c).head()
+    assert((rd.getLong(2), rd.getLong(3)) == ((0L, 9L)))
+  }
 }
