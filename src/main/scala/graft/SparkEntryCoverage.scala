@@ -5059,6 +5059,43 @@ object SparkEntryCoverage {
           Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L))
         .orderBy(col("rank"))
     },
+    // Cochran's Q (Experiments.cochranQ): per user, did the
+    // any-high-value flag differ across January's three decades —
+    // McNemar generalized to k=3 repeated measurements.
+    "a_cochran_q" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("ts") < lit("2024-01-11").cast("timestamp")
+            && col("value") > 140.0, 1L).otherwise(0L)).as("p1"),
+          max(when(col("ts") >= lit("2024-01-11").cast("timestamp")
+            && col("ts") < lit("2024-01-21").cast("timestamp")
+            && col("value") > 140.0, 1L).otherwise(0L)).as("p2"),
+          max(when(col("ts") >= lit("2024-01-21").cast("timestamp")
+            && col("value") > 140.0, 1L).otherwise(0L)).as("p3"))
+      val long = per.select(
+        col("user_id"),
+        explode(array(
+          struct(lit("p1").as("t"), col("p1").as("x")),
+          struct(lit("p2").as("t"), col("p2").as("x")),
+          struct(lit("p3").as("t"), col("p3").as("x")))).as("e"))
+        .select(col("user_id"), col("e.t").as("t"), col("e.x").as("x"))
+      Experiments.cochranQ(long, col("user_id"), col("t"), col("x"))
+    },
+    // Runs test (Experiments.runsTest): is the even/odd-user A/B
+    // assignment SEQUENCE random per event type, not just balanced?
+    // The randomization audit marginal rates can't see.
+    "a_runs_test" -> { (s, dir) =>
+      Experiments
+        .runsTest(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_id").isNotNull),
+          col("event_type"),
+          Seq(col("ts"), col("event_id")),
+          col("user_id") % 2 === 0)
+        .orderBy(col("group"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -10023,6 +10060,58 @@ object SparkEntryCoverage {
          |c AS (SELECT MAX(pass) AS cut FROM j)
          |SELECT "group", rank, z2_6, thr6, rank <= cut AS significant
          |FROM j CROSS JOIN c ORDER BY rank""".stripMargin,
+    "a_cochran_q" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN ts < TIMESTAMP '2024-01-11' AND value > 140.0
+        |        THEN 1 ELSE 0 END) AS p1,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+        |        AND value > 140.0 THEN 1 ELSE 0 END) AS p2,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-21' AND value > 140.0
+        |        THEN 1 ELSE 0 END) AS p3
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT user_id, p1 + p2 + p3 AS r FROM per),
+        |ra AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(r) AS BIGINT) AS n,
+        |         CAST(SUM(r * r) AS BIGINT) AS rr FROM r),
+        |ca AS (SELECT CAST(SUM(p1) AS BIGINT) AS c1, CAST(SUM(p2) AS BIGINT) AS c2,
+        |         CAST(SUM(p3) AS BIGINT) AS c3 FROM per),
+        |f AS (SELECT n_units, n, rr, c1*c1 + c2*c2 + c3*c3 AS cc FROM ra CROSS JOIN ca)
+        |SELECT CAST(3 AS BIGINT) AS k, n_units,
+        |  CASE WHEN 3 * n - rr = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * 2
+        |             * (CAST(3 AS HUGEINT) * cc - CAST(n AS HUGEINT) * n))
+        |            // (3 * n - rr) AS BIGINT) END AS q6,
+        |  CASE WHEN 3 * n - rr = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * 2
+        |             * (CAST(3 AS HUGEINT) * cc - CAST(n AS HUGEINT) * n))
+        |            // (3 * n - rr) AS BIGINT) END >= 5991465 AS significant
+        |FROM f""".stripMargin,
+    "a_runs_test" ->
+      """WITH e AS (SELECT event_type AS g, (user_id % 2 = 0) AS f, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |l AS (SELECT g, f,
+        |        lag(f) OVER (PARTITION BY g ORDER BY ts, event_id) AS prev
+        |      FROM e),
+        |agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> f THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS runs
+        |  FROM l GROUP BY 1),
+        |z AS (SELECT *,
+        |  CASE WHEN 2 * n_a * n_b <= n THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(
+        |    (CAST(1000000 AS HUGEINT)
+        |     * (CAST(n AS HUGEINT) * runs - CAST(2 AS HUGEINT) * n_a * n_b - n)
+        |     * (CAST(n AS HUGEINT) * runs - CAST(2 AS HUGEINT) * n_a * n_b - n)
+        |     * CAST(n - 1 AS HUGEINT))
+        |    // (CAST(2 AS HUGEINT) * n_a * n_b
+        |        * (CAST(2 AS HUGEINT) * n_a * n_b - n)) AS BIGINT) END AS z2_6
+        |  FROM agg)
+        |SELECT g AS "group", n, n_a, n_b, runs, z2_6,
+        |       z2_6 >= 3841459 AS significant
+        |FROM z ORDER BY "group"""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

@@ -1449,6 +1449,148 @@ object Experiments {
         (col("rank") <= col("__cut")).as("significant"))
   }
 
+  /** Cochran's Q (Cochran 1950) — [[mcnemar]] generalized to k
+    * repeated binary measurements per unit: did the success rate
+    * differ across ANY of the k treatments/periods, with each unit
+    * as its own control?
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) div (k·N − ΣR_i²)
+    *
+    * with C_j = per-treatment success totals, R_i = per-unit success
+    * totals, N = ΣC — ENTIRELY exact integers, one truncating
+    * division (micro-scaled); Q → chi²_{k−1} under H0, compared
+    * against [[Chi2Alpha05Micro]] (2..11 treatments, fail-fast).
+    * Degenerate denominator 0 (every unit all-0 or all-k — no
+    * within-unit variation anywhere) → 0, not-significant. Units
+    * must carry EXACTLY k treatment rows (enforced in-plan — a
+    * missing cell is a design error, not a zero). Returns one row
+    * (k, n_units, q6, significant).
+    *
+    * Scale shape: one (unit) aggregate for R_i (+ the completeness
+    * assert), one (treatment) aggregate for C_j, two 1-row folds.
+    */
+  def cochranQ(
+      df: DataFrame,
+      unitCol: Column,
+      treatmentCol: Column,
+      flagCol: Column): DataFrame = {
+    val base = cached(
+      df
+        .filter(unitCol.isNotNull && treatmentCol.isNotNull && flagCol.isNotNull)
+        .select(unitCol.as("u"), treatmentCol.as("t"), flagCol.cast("long").as("x")))
+    val k = broadcast(base.agg(count_distinct(col("t")).as("__k")))
+    val rows = base
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("__nt"), sum(col("x")).as("r"))
+      .crossJoin(k)
+      .filter(
+        assert_true(
+          col("__nt") === col("__k"),
+          concat(
+            lit("cochranQ: every unit must carry exactly k treatment rows; unit with "),
+            col("__nt").cast("string"), lit(" of "), col("__k").cast("string"))).isNull)
+    val rAgg = rows.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("r")).as("__n"),
+      sum(col("r") * col("r")).as("__rr"))
+    val cAgg = base.groupBy(col("t")).agg(sum(col("x")).as("c"))
+      .agg(sum(col("c") * col("c")).as("__cc"))
+    rAgg
+      .crossJoin(broadcast(cAgg))
+      .crossJoin(k)
+      .filter(
+        assert_true(
+          col("__k").between(2L, 11L),
+          concat(lit("cochranQ: 2..11 treatments supported (chi-square literal table), got "),
+            col("__k").cast("string"))).isNull)
+      .withColumn(
+        "q6",
+        expr(
+          """CASE WHEN __k * __n - __rr = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * CAST(__k - 1 AS DECIMAL(38,0))
+            |   * (CAST(__k AS DECIMAL(38,0)) * CAST(__cc AS DECIMAL(38,0))
+            |      - CAST(__n AS DECIMAL(38,0)) * CAST(__n AS DECIMAL(38,0))))
+            |  div (CAST(__k AS DECIMAL(38,0)) * CAST(__n AS DECIMAL(38,0))
+            |       - CAST(__rr AS DECIMAL(38,0)))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__thr",
+        element_at(
+          array(Chi2Alpha05Micro.map(lit): _*),
+          (col("__k") - 1L).cast("int")))
+      .select(
+        col("__k").as("k"), col("n_units"), col("q6"),
+        (col("q6") >= col("__thr")).as("significant"))
+  }
+
+  /** Wald–Wolfowitz runs test (1940) — is a binary SEQUENCE random,
+    * or streaky/alternating? The randomization audit that catches
+    * what marginal rates can't: a bucket assignment that alternates
+    * A,B,A,B has a perfect 50/50 split and zero randomness (session
+    * stickiness, round-robin routers, sorted inputs all leave this
+    * fingerprint). Counts runs R (maximal same-value streaks) under
+    * the caller's arrival total order; under H0,
+    *
+    *   z²·1e6 = 1e6·(n·R − 2ab − n)²·(n−1) div (2ab·(2ab − n))
+    *
+    * with a/b the class counts — the classic mean 2ab/n + 1 and
+    * variance folded into ONE truncating division of exact
+    * DECIMAL(38,0) cross-products (numerator reaches n⁵). Degenerate
+    * 2ab ≤ n (one class absent or nearly so — the normal
+    * approximation has no variance to stand on) → 0,
+    * not-significant. Returns per group (group, n, n_a, n_b, runs,
+    * z2_6, significant).
+    *
+    * Scale shape: one lag window per group under (orderCols), one
+    * group aggregate.
+    */
+  def runsTest(
+      df: DataFrame,
+      groupCol: Column,
+      orderCols: Seq[Column],
+      flagCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g")).orderBy(orderCols: _*)
+    df
+      .filter(groupCol.isNotNull && flagCol.isNotNull)
+      .withColumn("__g", groupCol)
+      .withColumn("__f", flagCol.cast("boolean"))
+      .withColumn("__prev", lag(col("__f"), 1).over(w))
+      .groupBy(col("__g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__f"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__f"), 1L).otherwise(0L)).as("n_b"),
+        sum(
+          when(col("__prev").isNull || col("__prev") =!= col("__f"), 1L)
+            .otherwise(0L)).as("runs"))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN 2 * n_a * n_b <= n THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(n AS DECIMAL(38,0)) * CAST(runs AS DECIMAL(38,0))
+            |      - CAST(2 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+            |        * CAST(n_b AS DECIMAL(38,0))
+            |      - CAST(n AS DECIMAL(38,0)))
+            |   * (CAST(n AS DECIMAL(38,0)) * CAST(runs AS DECIMAL(38,0))
+            |      - CAST(2 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+            |        * CAST(n_b AS DECIMAL(38,0))
+            |      - CAST(n AS DECIMAL(38,0)))
+            |   * CAST(n - 1 AS DECIMAL(38,0)))
+            |  div (CAST(2 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+            |       * CAST(n_b AS DECIMAL(38,0))
+            |       * (CAST(2 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+            |          * CAST(n_b AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0))))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("__g").as("group"), col("n"), col("n_a"), col("n_b"), col("runs"),
+        col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

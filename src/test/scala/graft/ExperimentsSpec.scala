@@ -397,6 +397,47 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("family of 3 tests"))
   }
 
+  test("cochranQ: textbook 4x3 fixture scores Q=3; all-constant units score 0; missing cell fails") {
+    // C = (3,2,1), R = (2,1,3,0): Q = 2*(3*14-36)/(3*6-14) = 3.
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "b", 1L), (1L, "c", 0L),
+      (2L, "a", 1L), (2L, "b", 0L), (2L, "c", 0L),
+      (3L, "a", 1L), (3L, "b", 1L), (3L, "c", 1L),
+      (4L, "a", 0L), (4L, "b", 0L), (4L, "c", 0L))
+      .toDF("u", "t", "x")
+    val r = Experiments.cochranQ(rows, col("u"), col("t"), col("x")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ((3L, 4L, 3000000L, false)))
+    // every unit saturated: zero within-unit variation -> 0
+    val flat = Seq(
+      (1L, "a", 1L), (1L, "b", 1L), (2L, "a", 1L), (2L, "b", 1L))
+      .toDF("u", "t", "x")
+    assert(Experiments.cochranQ(flat, col("u"), col("t"), col("x")).head().getLong(2) == 0L)
+    val ragged = Seq((1L, "a", 1L), (1L, "b", 0L), (2L, "a", 1L)).toDF("u", "t", "x")
+    val e = intercept[Exception](
+      Experiments.cochranQ(ragged, col("u"), col("t"), col("x")).head())
+    assert(e.getMessage.contains("exactly k treatment rows"))
+  }
+
+  test("runsTest: alternating and streaky 8-sequences both flag; one-class scores 0") {
+    // n=8, a=b=4: both R=8 (alternation) and R=2 (streaks) give
+    // z2 = 1e6*24^2*7 div (32*24) = 5250000 >= 3841459.
+    val alt = (1 to 8).map(i => ("alt", i.toLong, i % 2 == 0))
+    val streak = (1 to 8).map(i => ("streak", i.toLong, i <= 4))
+    val solo = (1 to 5).map(i => ("solo", i.toLong, true))
+    val got = Experiments
+      .runsTest(
+        (alt ++ streak ++ solo).toDF("g", "seq", "f"),
+        col("g"), Seq(col("seq")), col("f"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("alt", 8L, 5250000L, true),
+      ("solo", 1L, 0L, false),
+      ("streak", 2L, 5250000L, true)))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")
