@@ -5096,6 +5096,39 @@ object SparkEntryCoverage {
           col("user_id") % 2 === 0)
         .orderBy(col("group"))
     },
+    // Fleiss' kappa (Experiments.fleissKappa): three cheap language
+    // raters (full text, 80-char and 40-char prefixes) judged as a
+    // PANEL — the multi-rater labeling-QA statistic next to a_kappa.
+    "a_fleiss_kappa" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val long = d.select(
+        col("doc_id"),
+        explode(array(
+          TextAnalysis.langId(col("text"), SparkEntry.langMarkers),
+          TextAnalysis.langId(substring(col("text"), 1, 80), SparkEntry.langMarkers),
+          TextAnalysis.langId(substring(col("text"), 1, 40), SparkEntry.langMarkers)))
+          .as("cat"))
+      Experiments.fleissKappa(long, col("doc_id"), col("cat"))
+    },
+    // Mood's median test (composition): above/below the grand cent
+    // median per event type, then the chi-square independence gate —
+    // the quick-and-robust k-sample location check.
+    "a_mood_median" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100.0, 0).cast("long").as("v"))
+      val med = broadcast(
+        base
+          .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") === expr("CAST((n + 1) div 2 AS INT)"))
+          .select(col("v").as("med")))
+      Checks.chiSquareIndependence(
+        base.crossJoin(med),
+        col("event_type"),
+        col("v") > col("med"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -10112,6 +10145,64 @@ object SparkEntryCoverage {
         |SELECT g AS "group", n, n_a, n_b, runs, z2_6,
         |       z2_6 >= 3841459 AS significant
         |FROM z ORDER BY "group"""".stripMargin,
+    "a_fleiss_kappa" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS tk,
+         |    regexp_split_to_array(trim(substr(text, 1, 80)),'\\s+') AS p80,
+         |    regexp_split_to_array(trim(substr(text, 1, 40)),'\\s+') AS p40
+         |  FROM documents),
+         |rt AS (SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "tk")} AS cat FROM tok
+         |  UNION ALL SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "p80")} FROM tok
+         |  UNION ALL SELECT doc_id, ${TextAnalysis.langIdSql(SparkEntry.langMarkers, "p40")} FROM tok),
+         |cells AS (SELECT doc_id AS u, cat, CAST(COUNT(*) AS BIGINT) AS c FROM rt GROUP BY 1, 2),
+         |un AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_units FROM cells),
+         |pn AS (SELECT CAST(SUM(ss - nn) AS BIGINT) AS pnum FROM
+         |  (SELECT u, SUM(c * c) AS ss, SUM(c) AS nn FROM cells GROUP BY 1)),
+         |pj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         |         SUM(CAST(cj AS HUGEINT) * cj) AS cc FROM
+         |  (SELECT cat, SUM(c) AS cj FROM cells GROUP BY 1)),
+         |f AS (SELECT n_units, n_categories,
+         |    CAST((CAST(1000000 AS HUGEINT) * pnum)
+         |         // (CAST(n_units AS HUGEINT) * 3 * 2) AS BIGINT) AS pbar6,
+         |    CAST((CAST(1000000 AS HUGEINT) * cc)
+         |         // (CAST(n_units AS HUGEINT) * 3 * n_units * 3) AS BIGINT) AS pe6
+         |  FROM un CROSS JOIN pn CROSS JOIN pj)
+         |SELECT n_units, CAST(3 AS BIGINT) AS n_raters, n_categories, pbar6, pe6,
+         |  CASE WHEN pe6 >= 1000000 THEN CAST(0 AS BIGINT)
+         |       WHEN pbar6 >= pe6
+         |         THEN CAST((1000000 * (pbar6 - pe6)) // (1000000 - pe6) AS BIGINT)
+         |       ELSE CAST(-((1000000 * (pe6 - pbar6)) // (1000000 - pe6)) AS BIGINT)
+         |  END AS kappa6
+         |FROM f""".stripMargin,
+    "a_mood_median" ->
+      """WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+        |      FROM base),
+        |med AS (SELECT v AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT event_type AS a, (v > med) AS b FROM base CROSS JOIN med),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |rows_ AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cols_ AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |               CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+        |               CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+        |grid AS (SELECT r.a, c.b, r.r, c.c, CAST(COALESCE(cl.n, 0) AS BIGINT) AS n
+        |  FROM rows_ r CROSS JOIN cols_ c
+        |  LEFT JOIN cells cl ON cl.a = r.a AND cl.b = c.b),
+        |terms AS (SELECT t.nn, t.na, t.nb,
+        |   (CAST(1000000 AS HUGEINT)
+        |     * CAST(t.nn * g.n - g.r * g.c AS HUGEINT)
+        |     * CAST(t.nn * g.n - g.r * g.c AS HUGEINT))
+        |   // (CAST(t.nn AS HUGEINT) * g.r * g.c) AS term6
+        |  FROM grid g CROSS JOIN tot t)
+        |SELECT nn AS n_rows, na AS n_a, nb AS n_b,
+        | (na - 1) * (nb - 1) AS dof,
+        | CASE WHEN na > 1 AND nb > 1 THEN CAST(SUM(term6) AS BIGINT) ELSE 0 END AS chi26,
+        | CASE WHEN na > 1 AND nb > 1 THEN
+        |   CAST(round(1000 * sqrt(CAST(SUM(term6) AS DOUBLE)
+        |     / CAST(nn * least(na - 1, nb - 1) AS DOUBLE))) AS BIGINT)
+        | ELSE 0 END AS cramer_v6
+        |FROM terms GROUP BY nn, na, nb""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

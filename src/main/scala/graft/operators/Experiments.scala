@@ -1591,6 +1591,87 @@ object Experiments {
         (col("z2_6") >= Z2Alpha05Micro).as("significant"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — [[cohensKappa]] generalized to n
+    * raters per unit: the labeling-pipeline QA statistic when every
+    * document is judged by a PANEL (n heuristic gates, n annotators,
+    * n model versions) rather than a fixed pair. Input is long
+    * format (unit, category) with one row per rating; every unit
+    * must carry the same rating count n (enforced in-plan — Fleiss
+    * assumes a fixed panel size).
+    *
+    * Exactness — both components are single exact divisions:
+    *   P̄6  = 1e6·Σ_i(Σ_j n_ij² − n)  div  (N·n·(n−1))
+    *   P̄e6 = 1e6·Σ_j C_j²           div  (N·n)²
+    *   κ6  = 1e6·(P̄6 − P̄e6) div (1e6 − P̄e6)
+    * (N units, n ratings/unit, n_ij = unit i's count of category j,
+    * C_j = column totals; the final stage divides already-rounded
+    * micro integers — the cohensKappa two-stage convention, negative
+    * numerator truncates toward zero identically on both engines).
+    * All raters unanimous on one category everywhere → P̄e = 1e6 →
+    * κ6 = 0 by the limit convention. Returns one row (n_units,
+    * n_raters, n_categories, pbar6, pe6, kappa6).
+    *
+    * Scale shape: one (unit, category) hash aggregate, one unit
+    * re-aggregate, one category re-aggregate — all map-side
+    * combinable; no pair enumeration (the er_metrics rule).
+    */
+  def fleissKappa(df: DataFrame, unitCol: Column, categoryCol: Column): DataFrame = {
+    val cells = cached(
+      df
+        .filter(unitCol.isNotNull && categoryCol.isNotNull)
+        .groupBy(unitCol.as("u"), categoryCol.as("cat"))
+        .agg(count(lit(1)).as("c")))
+    val n = broadcast(
+      cells.groupBy(col("u")).agg(sum(col("c")).as("__n"))
+        .agg(
+          count(lit(1)).as("n_units"),
+          min(col("__n")).as("__nmin"),
+          max(col("__n")).as("__nmax"))
+        .filter(
+          assert_true(
+            col("__nmin") === col("__nmax"),
+            concat(
+              lit("fleissKappa: every unit must carry the same rating count; saw "),
+              col("__nmin").cast("string"), lit(".."), col("__nmax").cast("string"))).isNull))
+    val pbar = cells
+      .groupBy(col("u"))
+      .agg((sum(col("c") * col("c"))).as("__ss"), sum(col("c")).as("__n"))
+      .agg(sum(col("__ss") - col("__n")).as("__pnum"))
+    val pe = cells
+      .groupBy(col("cat"))
+      .agg(sum(col("c")).as("cj"))
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(expr("CAST(cj AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))")).as("__cc"))
+    pbar
+      .crossJoin(n)
+      .crossJoin(broadcast(pe))
+      .withColumn(
+        "pbar6",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * CAST(__pnum AS DECIMAL(38,0)))
+            |  div (CAST(n_units AS DECIMAL(38,0)) * CAST(__nmin AS DECIMAL(38,0))
+            |       * CAST(__nmin - 1 AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "pe6",
+        expr(
+          """CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * __cc)
+            |  div (CAST(n_units AS DECIMAL(38,0)) * CAST(__nmin AS DECIMAL(38,0))
+            |       * CAST(n_units AS DECIMAL(38,0)) * CAST(__nmin AS DECIMAL(38,0)))
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "kappa6",
+        expr(
+          """CASE WHEN pe6 >= 1000000 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000 * (pbar6 - pe6) div (1000000 - pe6) AS BIGINT) END""".stripMargin))
+      .select(
+        col("n_units"), col("__nmin").as("n_raters"), col("n_categories"),
+        col("pbar6"), col("pe6"), col("kappa6"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

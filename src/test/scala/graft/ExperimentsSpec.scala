@@ -438,6 +438,24 @@ class ExperimentsSpec extends SparkSpec {
       ("streak", 2L, 5250000L, true)))
   }
 
+  test("fleissKappa: hand-computed panel fixture; unanimity convention; ragged panel fails") {
+    // 4 units x 2 raters: pbar6 = 750000, pe6 = 531250, kappa6 = 466666.
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"),
+      (3L, "b"), (3L, "b"), (4L, "a"), (4L, "b"))
+      .toDF("u", "cat")
+    val r = Experiments.fleissKappa(rows, col("u"), col("cat")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((4L, 2L, 2L, 750000L, 531250L, 466666L)))
+    // one category everywhere: pe = 1e6 -> kappa 0 by the limit convention
+    val flat = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "cat")
+    assert(Experiments.fleissKappa(flat, col("u"), col("cat")).head().getLong(5) == 0L)
+    val ragged = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("u", "cat")
+    val e = intercept[Exception](
+      Experiments.fleissKappa(ragged, col("u"), col("cat")).head())
+    assert(e.getMessage.contains("same rating count"))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")
