@@ -5129,6 +5129,30 @@ object SparkEntryCoverage {
         col("event_type"),
         col("v") > col("med"))
     },
+    // Friedman test + Kendall's W (Experiments.friedman): did each
+    // user's spend MIX shift across January's three decades? Within-
+    // unit ranks cancel the 100x between-user volume differences.
+    "a_friedman" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < lit("2024-01-11").cast("timestamp"),
+            round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("p1"),
+          sum(when(col("ts") >= lit("2024-01-11").cast("timestamp")
+            && col("ts") < lit("2024-01-21").cast("timestamp"),
+            round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("p2"),
+          sum(when(col("ts") >= lit("2024-01-21").cast("timestamp"),
+            round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("p3"))
+      val long = per.select(
+        col("user_id"),
+        explode(array(
+          struct(lit("p1").as("t"), col("p1").as("x")),
+          struct(lit("p2").as("t"), col("p2").as("x")),
+          struct(lit("p3").as("t"), col("p3").as("x")))).as("e"))
+        .select(col("user_id"), col("e.t").as("t"), col("e.x").as("x"))
+      Experiments.friedman(long, col("user_id"), col("t"), col("x"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -10203,6 +10227,41 @@ object SparkEntryCoverage {
         |     / CAST(nn * least(na - 1, nb - 1) AS DOUBLE))) AS BIGINT)
         | ELSE 0 END AS cramer_v6
         |FROM terms GROUP BY nn, na, nb""".stripMargin,
+    "a_friedman" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-11'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p1,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p2,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p3
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |base AS (SELECT user_id AS u, 'p1' AS trt, p1 AS v FROM per
+        |  UNION ALL SELECT user_id, 'p2', p2 FROM per
+        |  UNION ALL SELECT user_id, 'p3', p3 FROM per),
+        |dv AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1, 2),
+        |rk AS (SELECT u, v, t,
+        |         CAST(COALESCE(SUM(t) OVER (PARTITION BY u ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+        |           AS rmin
+        |       FROM dv),
+        |rnk AS (SELECT b.u, b.trt, 2 * rk.rmin + rk.t - 1 AS d
+        |        FROM base b JOIN rk ON rk.u = b.u AND rk.v = b.v),
+        |nn AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM rnk),
+        |dd AS (SELECT CAST(SUM(d * d) AS BIGINT) AS d2 FROM rnk),
+        |r2 AS (SELECT trt, CAST(SUM(d) AS BIGINT) AS r2 FROM rnk GROUP BY 1),
+        |num AS (SELECT SUM(CAST(r2 - n * 4 AS HUGEINT) * (r2 - n * 4)) AS ns
+        |        FROM r2 CROSS JOIN nn),
+        |f AS (SELECT n, d2, ns,
+        |        CASE WHEN d2 - n * 48 = 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(1000000 AS HUGEINT) * 2 * ns) // (d2 - n * 48) AS BIGINT)
+        |        END AS chi2_6
+        |      FROM nn CROSS JOIN dd CROSS JOIN num)
+        |SELECT CAST(3 AS BIGINT) AS k, n AS n_units, chi2_6,
+        |  CAST(chi2_6 // (n * 2) AS BIGINT) AS w6,
+        |  chi2_6 >= 5991465 AS significant
+        |FROM f""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

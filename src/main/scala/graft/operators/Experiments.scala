@@ -1672,6 +1672,109 @@ object Experiments {
         col("pbar6"), col("pe6"), col("kappa6"))
   }
 
+  /** Friedman test (Friedman 1937) + Kendall's W — the k-treatment
+    * PAIRED continuous test completing the grid ([[cochranQ]] is its
+    * binary special case, [[kruskalWallis]] its unpaired sibling):
+    * each unit ranks the k treatments among themselves, so
+    * between-unit scale differences cancel entirely — the right test
+    * for "did the mix shift within users" when users differ 100× in
+    * volume.
+    *
+    * Exactness on the per-unit doubled-mid-rank chassis (2r + t − 1
+    * within each unit's own k values — always integer):
+    *
+    *   chi2_6 = 1e6·(k−1)·Σ_j (R2_j − n(k+1))²
+    *            div (Σ_rows d² − n·k·(k+1)²)
+    *
+    * — the tie-corrected statistic as ONE truncating DECIMAL
+    * division (R2_j = treatment j's doubled rank sum; the
+    * denominator is the doubled-rank sum of squares about the tie-
+    * free total, 0 only when every unit is fully tied → 0
+    * convention). Kendall's W = chi²/(n(k−1)) rides along as one
+    * more division of the rounded statistic — the 0..1 concordance
+    * effect size. Units must carry exactly k treatment rows
+    * (fail-fast); significance vs chi²_{k−1} ([[Chi2Alpha05Micro]],
+    * 2..11 treatments). Returns one row (k, n_units, chi2_6, w6,
+    * significant).
+    *
+    * Scale shape: ranks cost one per-(unit, value) aggregate and one
+    * per-unit window over ≤ k distinct values — never a corpus-wide
+    * sort; everything after is treatment-bounded.
+    */
+  def friedman(
+      df: DataFrame,
+      unitCol: Column,
+      treatmentCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = cached(
+      df
+        .filter(unitCol.isNotNull && treatmentCol.isNotNull && valueCol.isNotNull)
+        .select(unitCol.as("u"), treatmentCol.as("trt"), valueCol.cast("long").as("v")))
+    val k = broadcast(base.agg(count_distinct(col("trt")).as("__k")))
+    val dv = base.groupBy(col("u"), col("v")).agg(count(lit(1)).as("t"))
+      .withColumn(
+        "rmin",
+        coalesce(
+          sum(col("t")).over(
+            Window.partitionBy(col("u")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L)
+    val ranked = base
+      .join(dv, Seq("u", "v"))
+      .withColumn("d", lit(2L) * col("rmin") + col("t") - 1L)
+    val units = ranked.groupBy(col("u")).agg(count(lit(1)).as("__nt"))
+      .crossJoin(k)
+      .filter(
+        assert_true(
+          col("__nt") === col("__k"),
+          concat(
+            lit("friedman: every unit must carry exactly k treatment rows; unit with "),
+            col("__nt").cast("string"), lit(" of "), col("__k").cast("string"))).isNull)
+    val nAndD2 = broadcast(
+      units.agg(count(lit(1)).as("n_units"))
+        .crossJoin(broadcast(ranked.agg(sum(col("d") * col("d")).as("__d2")))))
+    ranked
+      .groupBy(col("trt"))
+      .agg(sum(col("d")).as("r2"))
+      .crossJoin(nAndD2)
+      .crossJoin(k)
+      .filter(
+        assert_true(
+          col("__k").between(2L, 11L),
+          concat(lit("friedman: 2..11 treatments supported (chi-square literal table), got "),
+            col("__k").cast("string"))).isNull)
+      .withColumn(
+        "__num",
+        expr(
+          """CAST(r2 - n_units * (__k + 1) AS DECIMAL(38,0))
+            |* CAST(r2 - n_units * (__k + 1) AS DECIMAL(38,0))""".stripMargin))
+      .groupBy(col("__k"), col("n_units"), col("__d2"))
+      .agg(sum(col("__num")).as("__numsum"))
+      .withColumn(
+        "chi2_6",
+        expr(
+          """CASE WHEN __d2 - n_units * __k * (__k + 1) * (__k + 1) = 0
+            |THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * CAST(__k - 1 AS DECIMAL(38,0)) * __numsum)
+            |  div (CAST(__d2 AS DECIMAL(38,0))
+            |       - CAST(n_units AS DECIMAL(38,0)) * CAST(__k AS DECIMAL(38,0))
+            |         * CAST(__k + 1 AS DECIMAL(38,0)) * CAST(__k + 1 AS DECIMAL(38,0)))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "w6",
+        expr("CAST(chi2_6 div (n_units * (__k - 1)) AS BIGINT)"))
+      .withColumn(
+        "__thr",
+        element_at(
+          array(Chi2Alpha05Micro.map(lit): _*),
+          (col("__k") - 1L).cast("int")))
+      .select(
+        col("__k").as("k"), col("n_units"), col("chi2_6"), col("w6"),
+        (col("chi2_6") >= col("__thr")).as("significant"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

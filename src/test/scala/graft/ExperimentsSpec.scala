@@ -456,6 +456,26 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("same rating count"))
   }
 
+  test("friedman: perfect concordance scores chi2=4, W=1; fully-tied units score 0; ragged fails") {
+    // two units both ranking a < b < c: chi2 = 4, W = chi2/(n(k-1)) = 1.
+    val rows = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "a", 1L), (2L, "b", 2L), (2L, "c", 3L))
+      .toDF("u", "t", "v")
+    val r = Experiments.friedman(rows, col("u"), col("t"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      ((3L, 2L, 4000000L, 1000000L, false)))
+    // every unit fully tied: denominator 0 -> 0 by convention
+    val tied = Seq(
+      (1L, "a", 5L), (1L, "b", 5L), (2L, "a", 7L), (2L, "b", 7L))
+      .toDF("u", "t", "v")
+    assert(Experiments.friedman(tied, col("u"), col("t"), col("v")).head().getLong(2) == 0L)
+    val ragged = Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "a", 3L)).toDF("u", "t", "v")
+    val e = intercept[Exception](
+      Experiments.friedman(ragged, col("u"), col("t"), col("v")).head())
+    assert(e.getMessage.contains("exactly k treatment rows"))
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")
