@@ -5153,6 +5153,33 @@ object SparkEntryCoverage {
         .select(col("user_id"), col("e.t").as("t"), col("e.x").as("x"))
       Experiments.friedman(long, col("user_id"), col("t"), col("x"))
     },
+    // Odds ratio with Wald CI (Experiments.oddsRatio): the 2x2
+    // effect-size readout next to a_ab_test's significance —
+    // Haldane-Anscombe half-unit cells keep zeros finite.
+    "a_odds_ratio" -> { (s, dir) =>
+      Experiments
+        .oddsRatio(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          (col("value") > 50.0).cast("long"))
+        .orderBy(col("group"))
+    },
+    // Cliff's delta (composition off mannWhitneyU's doubled U):
+    // the ordinal effect size — P(click > purchase) - P(purchase >
+    // click) in exact micro-units.
+    "a_cliffs_delta" -> { (s, dir) =>
+      Experiments
+        .mannWhitneyU(
+          t(s, dir, "events")
+            .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull),
+          col("event_type"),
+          round(col("value") * 100.0, 0).cast("long"))
+        .select(
+          col("side_a"), col("side_b"), col("n_a"), col("n_b"),
+          expr("CAST((1000000 * u2x) div (n_a * n_b) - 1000000 AS BIGINT)").as("delta6"))
+    },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
     // epoch-aligned integer week indexes (one min-agg + one join +
@@ -6195,6 +6222,46 @@ object SparkEntryCoverage {
         |                ELSE 18307038 END AS significant
         |FROM fin""".stripMargin
 
+  /** The Mann-Whitney oracle — shared by the test itself and the
+    * Cliff's-delta effect-size readout derived from its doubled U.
+    */
+  private[graft] lazy val mannWhitneyOracleSql: String =
+    """WITH base AS (
+        | SELECT event_type AS s, CAST(round(value * 100) AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |sides AS (SELECT MIN(s) AS side_a, MAX(s) AS side_b FROM base),
+        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        |          CAST(SUM(CASE WHEN s = (SELECT side_a FROM sides) THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS na_v
+        |        FROM base GROUP BY 1),
+        |rk AS (SELECT v, t, na_v,
+        |         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rmin
+        |       FROM cnt),
+        |agg AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |               CAST(SUM(t - na_v) AS BIGINT) AS n_b,
+        |               CAST(SUM(na_v * (2 * rmin + t - 1)) AS BIGINT) AS r2a,
+        |               CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
+        |        FROM rk),
+        |u AS (SELECT side_a, side_b, n_a, n_b, r2a - n_a * (n_a + 1) AS u2x, ties3
+        |      FROM agg CROSS JOIN sides),
+        |den AS (SELECT u.*,
+        |         CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+        |         * (CAST(n_a + n_b + 1 AS HUGEINT) * CAST(n_a + n_b AS HUGEINT)
+        |            * CAST(n_a + n_b - 1 AS HUGEINT) - CAST(ties3 AS HUGEINT)) AS d
+        |        FROM u),
+        |zz AS (SELECT side_a, side_b, n_a, n_b, u2x,
+        |        CASE WHEN d <= 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(3000000 AS HUGEINT)
+        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
+        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
+        |                   * CAST(n_a + n_b AS HUGEINT)
+        |                   * CAST(n_a + n_b - 1 AS HUGEINT)) // d AS BIGINT) END AS z2_6
+        |       FROM den)
+        |SELECT side_a, side_b, n_a, n_b, u2x, z2_6,
+        |       z2_6 >= 3841459 AS significant
+        |FROM zz""".stripMargin
+
   /** The two-proportion z-test oracle — shared by the one-shot batch
     * test (a_ab_test) and the streaming cell-artifact monitor
     * (st_ab_test), which must agree EXACTLY because the (n, x) cells
@@ -6929,42 +6996,7 @@ object SparkEntryCoverage {
         |WHERE k.pb IS NULL OR k.gb > k.pb
         |ORDER BY price_cents, p_partkey""".stripMargin,
     "a_ab_test" -> abTestOracleSql,
-    "a_mann_whitney" ->
-      """WITH base AS (
-        | SELECT event_type AS s, CAST(round(value * 100) AS BIGINT) AS v
-        | FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
-        |sides AS (SELECT MIN(s) AS side_a, MAX(s) AS side_b FROM base),
-        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
-        |          CAST(SUM(CASE WHEN s = (SELECT side_a FROM sides) THEN 1 ELSE 0 END)
-        |               AS BIGINT) AS na_v
-        |        FROM base GROUP BY 1),
-        |rk AS (SELECT v, t, na_v,
-        |         CAST(COALESCE(SUM(t) OVER (ORDER BY v
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rmin
-        |       FROM cnt),
-        |agg AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
-        |               CAST(SUM(t - na_v) AS BIGINT) AS n_b,
-        |               CAST(SUM(na_v * (2 * rmin + t - 1)) AS BIGINT) AS r2a,
-        |               CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
-        |        FROM rk),
-        |u AS (SELECT side_a, side_b, n_a, n_b, r2a - n_a * (n_a + 1) AS u2x, ties3
-        |      FROM agg CROSS JOIN sides),
-        |den AS (SELECT u.*,
-        |         CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
-        |         * (CAST(n_a + n_b + 1 AS HUGEINT) * CAST(n_a + n_b AS HUGEINT)
-        |            * CAST(n_a + n_b - 1 AS HUGEINT) - CAST(ties3 AS HUGEINT)) AS d
-        |        FROM u),
-        |zz AS (SELECT side_a, side_b, n_a, n_b, u2x,
-        |        CASE WHEN d <= 0 THEN CAST(0 AS BIGINT)
-        |        ELSE CAST((CAST(3000000 AS HUGEINT)
-        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
-        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
-        |                   * CAST(n_a + n_b AS HUGEINT)
-        |                   * CAST(n_a + n_b - 1 AS HUGEINT)) // d AS BIGINT) END AS z2_6
-        |       FROM den)
-        |SELECT side_a, side_b, n_a, n_b, u2x, z2_6,
-        |       z2_6 >= 3841459 AS significant
-        |FROM zz""".stripMargin,
+    "a_mann_whitney" -> mannWhitneyOracleSql,
     "a_cuped" ->
       """WITH per AS (
         | SELECT user_id,
@@ -10262,6 +10294,43 @@ object SparkEntryCoverage {
         |  CAST(chi2_6 // (n * 2) AS BIGINT) AS w6,
         |  chi2_6 >= 5991465 AS significant
         |FROM f""".stripMargin,
+    "a_odds_ratio" ->
+      """WITH cells AS (
+        | SELECT event_type AS g,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        | FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1, 2),
+        |mm AS (SELECT g, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+        |       FROM cells GROUP BY 1),
+        |j AS (SELECT mm.g, mm.variant_a, mm.variant_b,
+        |             a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |      FROM mm JOIN cells a ON a.g = mm.g AND a.v = mm.variant_a
+        |              JOIN cells b ON b.g = mm.g AND b.v = mm.variant_b
+        |      WHERE mm.nv = 2),
+        |h AS (SELECT j.*,
+        |        2 * x_a + 1 AS a1, 2 * (n_a - x_a) + 1 AS a0,
+        |        2 * x_b + 1 AS b1, 2 * (n_b - x_b) + 1 AS b0
+        |      FROM j),
+        |z AS (SELECT g, variant_a, variant_b, n_a, x_a, n_b, x_b,
+        |        CAST(round(ln((CAST(b1 AS DOUBLE) * CAST(a0 AS DOUBLE))
+        |                      / (CAST(a1 AS DOUBLE) * CAST(b0 AS DOUBLE)))
+        |                   * 1000000.0) AS BIGINT) AS ln_or6,
+        |        CAST(round(1.959964 * sqrt(2.0 / CAST(a1 AS DOUBLE)
+        |              + 2.0 / CAST(a0 AS DOUBLE) + 2.0 / CAST(b1 AS DOUBLE)
+        |              + 2.0 / CAST(b0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS hw6
+        |      FROM h)
+        |SELECT g AS "group", variant_a, variant_b, n_a, x_a, n_b, x_b, ln_or6,
+        |  ln_or6 - hw6 AS ci_lo6, ln_or6 + hw6 AS ci_hi6,
+        |  (ln_or6 - hw6 > 0 OR ln_or6 + hw6 < 0) AS significant
+        |FROM z ORDER BY "group"""".stripMargin,
+    "a_cliffs_delta" ->
+      s"""WITH mw AS ($mannWhitneyOracleSql)
+         |SELECT side_a, side_b, n_a, n_b,
+         |  CAST((1000000 * u2x) // (n_a * n_b) - 1000000 AS BIGINT) AS delta6
+         |FROM mw""".stripMargin,
     "a_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1)

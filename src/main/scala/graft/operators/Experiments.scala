@@ -1775,6 +1775,78 @@ object Experiments {
         (col("chi2_6") >= col("__thr")).as("significant"))
   }
 
+  /** Odds ratio with Wald log-interval — the epidemiology-standard
+    * 2×2 effect readout next to [[twoProportionZ]]'s significance:
+    * HOW MUCH more likely is success under arm b than arm a, with an
+    * interval a reader can act on (significance alone says nothing
+    * about size). Per group with the (min, max)-variant pivot:
+    *
+    *   ln OR = ln( x_b·(n_a−x_a) / (x_a·(n_b−x_b)) )
+    *   CI    = ln OR ± 1.959964·√(1/x_a + 1/(n_a−x_a)
+    *                              + 1/x_b + 1/(n_b−x_b))
+    *
+    * Haldane–Anscombe +0.5 continuity correction applied to all four
+    * cells (in HALF-UNITS so the arithmetic stays exact integers:
+    * cell' = 2·cell + 1), which keeps zero cells finite — the
+    * documented convention. ln and the √ run on identical doubles
+    * built from exact integers, each bound micro-rounded ONCE;
+    * `significant` = the interval excludes 0 (integer compares).
+    * Returns (group, variant_a, variant_b, n_a, x_a, n_b, x_b,
+    * ln_or6, ci_lo6, ci_hi6, significant).
+    */
+  def oddsRatio(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = cached(
+      df
+        .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
+        .groupBy(groupCol.as("g"), variantCol.as("v"))
+        .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("x")))
+    val mins = cells.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__nv"),
+        min(col("v")).as("variant_a"),
+        max(col("v")).as("variant_b"))
+      .filter(col("__nv") === 2L)
+    mins
+      .join(
+        cells.select(col("g"), col("v").as("variant_a"), col("n").as("n_a"), col("x").as("x_a")),
+        Seq("g", "variant_a"))
+      .join(
+        cells.select(col("g"), col("v").as("variant_b"), col("n").as("n_b"), col("x").as("x_b")),
+        Seq("g", "variant_b"))
+      // Haldane-Anscombe half-unit cells: 2*cell + 1, exact integers
+      .withColumn("__a1", lit(2L) * col("x_a") + 1L)
+      .withColumn("__a0", lit(2L) * (col("n_a") - col("x_a")) + 1L)
+      .withColumn("__b1", lit(2L) * col("x_b") + 1L)
+      .withColumn("__b0", lit(2L) * (col("n_b") - col("x_b")) + 1L)
+      .withColumn(
+        "ln_or6",
+        round(
+          log(
+            (col("__b1").cast("double") * col("__a0").cast("double")) /
+              (col("__a1").cast("double") * col("__b0").cast("double"))) * lit(1e6),
+          0).cast("long"))
+      .withColumn(
+        "__hw6",
+        round(
+          lit(1.959964) * sqrt(
+            lit(2.0) / col("__a1").cast("double") + lit(2.0) / col("__a0").cast("double") +
+              lit(2.0) / col("__b1").cast("double") + lit(2.0) / col("__b0").cast("double")) *
+            lit(1e6),
+          0).cast("long"))
+      .select(
+        col("g").as("group"), col("variant_a"), col("variant_b"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("ln_or6"),
+        (col("ln_or6") - col("__hw6")).as("ci_lo6"),
+        (col("ln_or6") + col("__hw6")).as("ci_hi6"),
+        (col("ln_or6") - col("__hw6") > 0L || col("ln_or6") + col("__hw6") < 0L)
+          .as("significant"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
     * nonparametric test: each unit is its own control (pre vs post),
     * and the question is whether the within-unit differences are

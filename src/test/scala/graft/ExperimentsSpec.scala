@@ -476,6 +476,25 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly k treatment rows"))
   }
 
+  test("oddsRatio: Haldane-corrected 8/10-vs-2/10 interval excludes 0; zero cells stay finite") {
+    // half-unit cells (17,5,5,17): ln OR = ln(25/289) -> -2447551,
+    // halfwidth 1994252 -> CI entirely below 0 -> significant.
+    val rows =
+      (1 to 10).map(i => ("g", "A", if (i <= 8) 1L else 0L)) ++
+        (1 to 10).map(i => ("g", "B", if (i <= 2) 1L else 0L))
+    val r = Experiments
+      .oddsRatio(rows.toDF("g", "v", "s"), col("g"), col("v"), col("s")).head()
+    assert((r.getLong(7), r.getLong(8), r.getLong(9), r.getBoolean(10)) ==
+      ((-2447551L, -4441803L, -453299L, true)))
+    // a zero cell: x_b = 0 stays finite under the +0.5 correction
+    val zero =
+      (1 to 4).map(i => ("z", "A", if (i <= 2) 1L else 0L)) ++
+        (1 to 4).map(_ => ("z", "B", 0L))
+    val rz = Experiments
+      .oddsRatio(zero.toDF("g", "v", "s"), col("g"), col("v"), col("s")).head()
+    assert(!rz.isNullAt(7) && rz.getLong(7) < 0L)
+  }
+
   test("wilcoxonSignedRank: no-tie fixture scores z2=0.1333; tied fixture z2=1/3; zeros dropped") {
     // d = +1,+2,+3,-4, one zero pair: W+ = 6, E = 5, Var = 7.5 -> z2 = 2/15.
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L)).toDF("pre", "post")
