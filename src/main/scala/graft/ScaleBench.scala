@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
   * curve is read alongside the skew that drives it.
   *
   * Output: one JSON line (metric=scale) with per-family
-  * {sec, rows} per multiplier, plus the same map written to
-  * SCALE_r08.json for the round record.
+  * {sec, rows} per multiplier, plus the same map written to the
+  * round record (SPARK_GRAFT_SCALE_OUT, default SCALE_r09.json).
+  * SPARK_GRAFT_SCALE_FAMILIES selects a subset of families for
+  * targeted extra decades (the x100 run); the dup-graph family
+  * reports per-step sub-timings so a steep decade is attributable
+  * to pair discovery / closure / merge / takedown / compaction.
   */
 object ScaleBench {
 
@@ -138,6 +142,14 @@ object ScaleBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
+    // family selection for targeted decades (e.g. the x100 run cares
+    // about the three families whose 30× step was steepest): comma
+    // list of prefix_jaccard,minhash_lsh,dupgraph,postings,triangles,
+    // ivf — default all
+    val fams = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def on(f: String): Boolean = fams.forall(_.contains(f))
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r09.json")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = Engine.session("graft-scale", s"local[$cpus]", cpus)
@@ -149,98 +161,116 @@ object ScaleBench {
     mults.foreach { m =>
       val docs = docsX(spark, base, m)
       val nDocs = docs.count()
+      val parts = scala.collection.mutable.ArrayBuffer[String](s""""n_docs":$nDocs""")
 
-      reset(spark)
-      val (pj, pjSec) = timed(
-        Dedup.prefixJaccardPairs(docs, "text", "doc_id", 3, 0.8).count())
+      if (on("prefix_jaccard")) {
+        reset(spark)
+        val (pj, pjSec) = timed(
+          Dedup.prefixJaccardPairs(docs, "text", "doc_id", 3, 0.8).count())
+        parts += f""""prefix_jaccard":{"sec":$pjSec%.2f,"rows":$pj}"""
+      }
 
-      reset(spark)
-      val (mh, mhSec) = timed(
-        Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 8, 1, 0.05).count())
+      if (on("minhash_lsh")) {
+        reset(spark)
+        val (mh, mhSec) = timed(
+          Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 8, 1, 0.05).count())
+        parts += f""""minhash_lsh":{"sec":$mhSec%.2f,"rows":$mh}"""
+      }
 
-      reset(spark)
-      val gPath = s"/tmp/graft_scale/dupg_x$m"
-      deleteDir(spark, gPath) // stale tombstones would poison a rebuilt base
-      val (dg, dgSec) = timed {
+      if (on("dupgraph")) {
+        reset(spark)
+        val gPath = s"/tmp/graft_scale/dupg_x$m"
+        deleteDir(spark, gPath) // stale tombstones would poison a rebuilt base
+        // per-step sub-timings so a steep decade is ATTRIBUTABLE: is
+        // the growth in pair discovery, the base closure, the star
+        // merge, the takedown re-closure, or compaction?
+        val t0 = System.nanoTime()
         val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
           .select(col("id_a"), col("id_b"))
           .localCheckpoint() // one pipeline pass feeds base + increment
+        val tPairs = (System.nanoTime() - t0) / 1e9
         val inBase =
           pmod(col("id_a"), lit(1000000L)) < 2500 &&
             pmod(col("id_b"), lit(1000000L)) < 2500
-        Io.writeDupGraph(pairs.filter(inBase), gPath)
-        Io.upsertDupGraph(pairs.filter(!inBase), gPath, seq = 1L)
-        Io.deleteDupGraphDocs(
-          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L)
-        Io.compactDupGraph(spark, gPath)
-        Io.readDupGraphLabels(spark, gPath).count()
+        val (_, tWrite) = timed(Io.writeDupGraph(pairs.filter(inBase), gPath))
+        val (_, tUpsert) = timed(Io.upsertDupGraph(pairs.filter(!inBase), gPath, seq = 1L))
+        val (_, tDelete) = timed(Io.deleteDupGraphDocs(
+          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L))
+        val (_, tCompact) = timed(Io.compactDupGraph(spark, gPath))
+        val (dg, tRead) = timed(Io.readDupGraphLabels(spark, gPath).count())
+        val dgSec = tPairs + tWrite + tUpsert + tDelete + tCompact + tRead
+        parts += f""""dupgraph_lifecycle":{"sec":$dgSec%.2f,"rows":$dg,""" +
+          f""""pairs_sec":$tPairs%.2f,"write_sec":$tWrite%.2f,""" +
+          f""""upsert_sec":$tUpsert%.2f,"delete_sec":$tDelete%.2f,""" +
+          f""""compact_sec":$tCompact%.2f,"read_sec":$tRead%.2f}"""
       }
 
-      reset(spark)
-      val pPath = s"/tmp/graft_scale/postings_x$m"
-      deleteDir(spark, pPath)
-      val (po, poSec) = timed {
-        Io.writePostings(TextAnalysis.invertedIndex(docs, "text", "doc_id"), pPath, 64)
-        Io.readPostingsLatest(spark, pPath).count()
+      if (on("postings")) {
+        reset(spark)
+        val pPath = s"/tmp/graft_scale/postings_x$m"
+        deleteDir(spark, pPath)
+        val (po, poSec) = timed {
+          Io.writePostings(TextAnalysis.invertedIndex(docs, "text", "doc_id"), pPath, 64)
+          Io.readPostingsLatest(spark, pPath).count()
+        }
+        parts += f""""postings_build":{"sec":$poSec%.2f,"rows":$po}"""
       }
 
-      reset(spark)
-      val co = coOrderX(spark, base, m)
-      val (tr, trSec) = timed {
-        val op = co.distinct()
-        val edges = op.select(col("o"), col("p").as("id_a"))
-          .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("id_a"), col("id_b"))
-        Graph.triangleCounts(edges).count()
+      if (on("triangles")) {
+        reset(spark)
+        val co = coOrderX(spark, base, m)
+        val (tr, trSec) = timed {
+          val op = co.distinct()
+          val edges = op.select(col("o"), col("p").as("id_a"))
+            .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+            .filter(col("id_a") < col("id_b"))
+            .groupBy(col("id_a"), col("id_b"))
+            .agg(count(lit(1)).as("w"))
+            .filter(col("w") >= 2)
+            .select(col("id_a"), col("id_b"))
+          Graph.triangleCounts(edges).count()
+        }
+        parts += f""""triangles":{"sec":$trSec%.2f,"rows":$tr}"""
       }
 
-      reset(spark)
-      val embs = embsX(spark, base, m)
-      val cents = embs
-        .filter(col("vec_id").between(1, 16))
-        .orderBy(col("vec_id"))
-        .collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
-        .toSeq
-      val qvec = cents.head
-      val iPath = s"/tmp/graft_scale/ivf_x$m"
-      deleteDir(spark, iPath)
-      val (ib, ibSec) = timed {
-        graft.sources.Io.writeIvfIndex(
-          graft.operators.Similarity.ivfAssign(embs, "embedding", cents), cents, iPath)
-        graft.sources.Io.readIvfIndex(spark, iPath)._2.count()
-      }
-      reset(spark)
-      val (iq, iqSec) = timed {
-        val (loadedCents, corpus) = graft.sources.Io.readIvfIndex(spark, iPath)
-        graft.operators.Similarity
-          .ivfTopK(corpus, "embedding", loadedCents, qvec, 10, 4)
-          .count()
+      if (on("ivf")) {
+        reset(spark)
+        val embs = embsX(spark, base, m)
+        val cents = embs
+          .filter(col("vec_id").between(1, 16))
+          .orderBy(col("vec_id"))
+          .collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+          .toSeq
+        val qvec = cents.head
+        val iPath = s"/tmp/graft_scale/ivf_x$m"
+        deleteDir(spark, iPath)
+        val (ib, ibSec) = timed {
+          graft.sources.Io.writeIvfIndex(
+            graft.operators.Similarity.ivfAssign(embs, "embedding", cents), cents, iPath)
+          graft.sources.Io.readIvfIndex(spark, iPath)._2.count()
+        }
+        reset(spark)
+        val (iq, iqSec) = timed {
+          val (loadedCents, corpus) = graft.sources.Io.readIvfIndex(spark, iPath)
+          graft.operators.Similarity
+            .ivfTopK(corpus, "embedding", loadedCents, qvec, 10, 4)
+            .count()
+        }
+        parts += f""""ivf_build":{"sec":$ibSec%.2f,"rows":$ib}"""
+        parts += f""""ivf_topk":{"sec":$iqSec%.2f,"rows":$iq}"""
       }
 
       reset(spark)
       val skew = Checks
         .skewReport(Dedup.shingleTable(docs, "text", "doc_id", 3), col("shingle"))
         .head()
-      val skewJson =
-        s"""{"n_keys":${skew.getLong(0)},"total_rows":${skew.getLong(1)},""" +
+      parts +=
+        s""""shingle_skew":{"n_keys":${skew.getLong(0)},"total_rows":${skew.getLong(1)},""" +
           s""""max_n":${skew.getLong(2)},"p50_n":${skew.getLong(3)},""" +
           s""""p99_n":${skew.getLong(4)},"skew6":${skew.getLong(5)}}"""
 
-      out(s"x$m") =
-        s"""{"n_docs":$nDocs,""" +
-          f""""prefix_jaccard":{"sec":$pjSec%.2f,"rows":$pj},""" +
-          f""""minhash_lsh":{"sec":$mhSec%.2f,"rows":$mh},""" +
-          f""""dupgraph_lifecycle":{"sec":$dgSec%.2f,"rows":$dg},""" +
-          f""""postings_build":{"sec":$poSec%.2f,"rows":$po},""" +
-          f""""triangles":{"sec":$trSec%.2f,"rows":$tr},""" +
-          f""""ivf_build":{"sec":$ibSec%.2f,"rows":$ib},""" +
-          f""""ivf_topk":{"sec":$iqSec%.2f,"rows":$iq},""" +
-          s""""shingle_skew":$skewJson}"""
+      out(s"x$m") = parts.mkString("{", ",", "}")
       System.err.println(s"[scale] x$m done: ${out(s"x$m")}")
     }
 
@@ -248,7 +278,7 @@ object ScaleBench {
       s"""{"metric":"scale","unit":"sec","base":"$base","cpus":$cpus,""" +
         out.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_r08.json"), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[scale] dump failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -63,6 +63,64 @@ object SparkEntryCoverage {
     s.read.schema(schema).parquet(path)
   }
 
+  /** Shared immutable stamp-0 dup-graph BASE artifact per
+    * (application, dataset, kind) — kind "full" = every verified
+    * pair, "half" = both endpoints < 250 (the historical-half base
+    * of the lifecycle queries). Nine queries used to run their own
+    * [[graft.sources.Io.writeDupGraph]] (pair write + transitive
+    * closure + label write) on identical inputs; the build now runs
+    * ONCE per kind and: read-only consumers read the shared path in
+    * place, mutating queries COPY it into a query-private directory
+    * first ([[copyTree]] — a local file copy, no Spark job), so
+    * upserts/takedowns/compactions stay query-isolated and every
+    * oracle is unchanged. Same memo contract as [[docNgramPairs]]
+    * (keyed by applicationId; filesystem artifact, immune to the
+    * harness's per-query cache clearing).
+    */
+  private val dupBaseCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def dupGraphBase(s: SparkSession, dir: String, kind: String): String =
+    dupBaseCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir:$kind", {
+        val p = s"/tmp/graft_idx/dupbase_${kind}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val pairs = docNgramPairs(s, dir).select(col("id_a"), col("id_b"))
+        graft.sources.Io.writeDupGraph(
+          if (kind == "half") pairs.filter(col("id_a") < 250 && col("id_b") < 250)
+          else pairs,
+          p)
+        p
+      })
+
+  /** Recursive local-filesystem copy for the copy-on-write mutation
+    * directories (wipes `dst` first). Driver-side java.nio only —
+    * the artifacts live on the local FS in this harness; a cluster
+    * deployment would use the object store's server-side copy.
+    */
+  private[graft] def deleteTree(dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val d0 = Paths.get(dst)
+    if (Files.exists(d0)) {
+      val del = Files.walk(d0)
+      try del.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally del.close()
+    }
+  }
+
+  private[graft] def copyTree(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val s0 = Paths.get(src)
+    val d0 = Paths.get(dst)
+    deleteTree(dst)
+    val st = Files.walk(s0)
+    try st.forEach { p =>
+      val t = d0.resolve(s0.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally st.close()
+  }
+
   /** Hyperplanes for v_lsh_pairs — same seeded generator as
     * Similarity.hyperplaneSignature(seed=42); the literal values are
     * interpolated into the oracle SQL so both sides use identical
@@ -462,6 +520,73 @@ object SparkEntryCoverage {
     // The oracle recomputes every parsed value in closed form from
     // nation — so a routing slip, a parser drift, or a provenance
     // regex bug all hash-mismatch.
+    // S10 round-trip promoted to pass-q: high-value events become risk
+    // signals, land in the date-partitioned JSONL sink
+    // (Io.writeDatePartitionedJson — the reference's
+    // risk_signals_{date}.jsonl shape), and the PUBLISHED rows are the
+    // read-back of those JSON files with an explicit schema. The
+    // oracle recomputes the signal set straight from the parquet fact
+    // table, so a partition-column bug, a JSON type drift, or a lost
+    // row in the sink all hash-mismatch. The sink dir is wiped first:
+    // the sink is append-mode by design (daily files accrete), and the
+    // round-trip must reflect THIS run only.
+    "s10_risk_roundtrip" -> { (s, dir) =>
+      val path = s"/tmp/graft_idx/risklog_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      deleteTree(path)
+      graft.sources.Io.writeDatePartitionedJson(
+        t(s, dir, "events")
+          .filter(col("value") > 140.0 && col("ts").isNotNull)
+          .select(
+            col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 100.0, 0).cast("long").as("value_cents"),
+            col("ts")),
+        "ts",
+        path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "value_cents", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "date", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(path)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("value_cents"), col("date"))
+        .orderBy(col("event_id"))
+    },
+    // S11 round-trip promoted to pass-q: per-segment payload documents
+    // land in the key-partitioned JSON sink (Io.writePayloads — one
+    // doc per entity, point lookups prune to one directory) and the
+    // published rows are the read-back. Oracle recomputes the payload
+    // aggregates from parquet; exact-cents money discipline.
+    "s11_payload_roundtrip" -> { (s, dir) =>
+      val path = s"/tmp/graft_idx/payloads_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Io.writePayloads(
+        t(s, dir, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("acctbal_cents")),
+        "c_mktsegment",
+        path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "n_customers", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "acctbal_cents", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "c_mktsegment", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(path)
+        .select(col("c_mktsegment"), col("n_customers"), col("acctbal_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
     "s6_source_map" -> { (s, dir) =>
       val treeDir = s"/tmp/graft_idx/s6tree_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
         s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
@@ -3839,11 +3964,9 @@ object SparkEntryCoverage {
     // (Dedup.resolveClustersLabeled) — the fourth heavy consumer of
     // the build-once dup graph. Same oracle as dd_cluster_resolve.
     "dd_cluster_resolve_persisted" -> { (s, dir) =>
-      val gPath = s"/tmp/graft_idx/dupg_cr_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // read-only consumer of the SHARED stamp-0 base
+      val gPath = dupGraphBase(s, dir, "full")
       val docs = t(s, dir, "documents")
-      graft.sources.Io.writeDupGraph(
-        docNgramPairs(s, dir).select(col("id_a"), col("id_b")),
-        gPath)
       Dedup
         .resolveClustersLabeled(
           docs, "doc_id", graft.sources.Io.readDupGraphLabels(s, gPath))
@@ -4064,10 +4187,9 @@ object SparkEntryCoverage {
     // graph/split/health consumer; the artifact pays it once. Results
     // must be identical to g_pagerank — one oracle, two paths.
     "g_pagerank_persisted" -> { (s, dir) =>
-      val gPath = s"/tmp/graft_idx/dupg_pg_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writeDupGraph(
-        docNgramPairs(s, dir).select(col("id_a"), col("id_b")),
-        gPath)
+      // read-only consumer of the SHARED stamp-0 base (build-once
+      // amortized across the whole artifact family, not per query)
+      val gPath = dupGraphBase(s, dir, "full")
       Graph
         .pageRank(graft.sources.Io.readDupGraphPairs(s, gPath))
         .select(col("id").as("doc_id"), col("rank_units"), col("rank"))
@@ -4080,11 +4202,9 @@ object SparkEntryCoverage {
     // dd_cluster_sizes: the persisted labels must reproduce the
     // in-line closure exactly.
     "dd_cluster_sizes_persisted" -> { (s, dir) =>
-      val gPath = s"/tmp/graft_idx/dupg_cs_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // read-only consumer of the SHARED stamp-0 base
+      val gPath = dupGraphBase(s, dir, "full")
       val docs = t(s, dir, "documents")
-      graft.sources.Io.writeDupGraph(
-        docNgramPairs(s, dir).select(col("id_a"), col("id_b")),
-        gPath)
       docs.select(col("doc_id"))
         .join(
           graft.sources.Io.readDupGraphLabels(s, gPath),
@@ -4121,11 +4241,12 @@ object SparkEntryCoverage {
     // shared: an incremental closure that missed a merge (or dropped
     // a star) would produce a different histogram.
     "dd_graph_upsert" -> { (s, dir) =>
+      // copy-on-write off the SHARED half base: the stamp-0 build is
+      // amortized, the mutation directory stays query-private
       val gPath = s"/tmp/graft_idx/dupg_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      copyTree(dupGraphBase(s, dir, "half"), gPath)
       val docs = t(s, dir, "documents")
       val pairs = docNgramPairs(s, dir).select(col("id_a"), col("id_b"))
-      graft.sources.Io.writeDupGraph(
-        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
       graft.sources.Io.upsertDupGraph(
         pairs.filter(col("id_a") >= 250 || col("id_b") >= 250), gPath, seq = 1L)
       docs.select(col("doc_id"))
@@ -4149,11 +4270,11 @@ object SparkEntryCoverage {
     // closure must equal the from-scratch full-corpus clustering —
     // dd_cluster_sizes' oracle, shared.
     "dd_graph_asof" -> { (s, dir) =>
+      // copy-on-write off the SHARED half base (see dd_graph_upsert)
       val gPath = s"/tmp/graft_idx/dupg_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      copyTree(dupGraphBase(s, dir, "half"), gPath)
       val docs = t(s, dir, "documents")
       val pairs = docNgramPairs(s, dir).select(col("id_a"), col("id_b"))
-      graft.sources.Io.writeDupGraph(
-        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
       graft.sources.Io.upsertDupGraph(
         pairs.filter(col("id_a") >= 250 || col("id_b") >= 250), gPath, seq = 1L)
       graft.sources.Io.deleteDupGraphDocs(
@@ -4178,11 +4299,10 @@ object SparkEntryCoverage {
     // surviving docs' cluster-size histogram must equal a from-
     // scratch closure over the filtered pair set.
     "dd_graph_delete" -> { (s, dir) =>
+      // copy-on-write off the SHARED full base (see dd_graph_upsert)
       val gPath = s"/tmp/graft_idx/dupg_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      copyTree(dupGraphBase(s, dir, "full"), gPath)
       val docs = t(s, dir, "documents")
-      graft.sources.Io.writeDupGraph(
-        docNgramPairs(s, dir).select(col("id_a"), col("id_b")),
-        gPath)
       graft.sources.Io.deleteDupGraphDocs(
         docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 1L)
       docs.filter(col("doc_id") % 10 =!= 0)
@@ -4207,11 +4327,11 @@ object SparkEntryCoverage {
     // base itself (not the precomputed label table) equals the live
     // pair set; same oracle as dd_graph_delete.
     "dd_graph_compacted" -> { (s, dir) =>
+      // copy-on-write off the SHARED half base (see dd_graph_upsert)
       val gPath = s"/tmp/graft_idx/dupg_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      copyTree(dupGraphBase(s, dir, "half"), gPath)
       val docs = t(s, dir, "documents")
       val pairs = docNgramPairs(s, dir).select(col("id_a"), col("id_b"))
-      graft.sources.Io.writeDupGraph(
-        pairs.filter(col("id_a") < 250 && col("id_b") < 250), gPath)
       val incr = pairs.filter(col("id_a") >= 250 || col("id_b") >= 250)
       // the increment rides in DUPLICATED (unionAll, not union) — the
       // double-discovery a pair whose endpoints surface in two
@@ -4238,11 +4358,9 @@ object SparkEntryCoverage {
     // label join + per-row hash — the third heavy consumer of the
     // same build-once artifact. Same oracle as s_leakage_split.
     "s_leakage_persisted" -> { (s, dir) =>
-      val gPath = s"/tmp/graft_idx/dupg_ls_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // read-only consumer of the SHARED stamp-0 base
+      val gPath = dupGraphBase(s, dir, "full")
       val docs = t(s, dir, "documents")
-      graft.sources.Io.writeDupGraph(
-        docNgramPairs(s, dir).select(col("id_a"), col("id_b")),
-        gPath)
       Sampling
         .leakageSafeSplitLabeled(
           docs,
@@ -7316,12 +7434,20 @@ object SparkEntryCoverage {
         |cells AS (SELECT g, v, CAST(look AS BIGINT) AS look,
         |            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS x
         |          FROM base GROUP BY 1, 2, 3),
-        |cum AS (SELECT g, v, look,
-        |          CAST(SUM(n) OVER (PARTITION BY g, v ORDER BY look
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
-        |          CAST(SUM(x) OVER (PARTITION BY g, v ORDER BY look
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
-        |        FROM cells),
+        |spine AS (SELECT DISTINCT g, look FROM cells),
+        |vars AS (SELECT DISTINCT g, v FROM cells),
+        |filled AS (SELECT s.g, vr.v, s.look,
+        |             CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+        |           FROM spine s JOIN vars vr ON vr.g = s.g
+        |           LEFT JOIN cells c ON c.g = s.g AND c.v = vr.v AND c.look = s.look),
+        |cum AS (SELECT * FROM (
+        |          SELECT g, v, look,
+        |            CAST(SUM(n) OVER (PARTITION BY g, v ORDER BY look
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |            CAST(SUM(x) OVER (PARTITION BY g, v ORDER BY look
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
+        |          FROM filled) WHERE cn > 0),
         |mm AS (SELECT g, look, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
         |       FROM cum GROUP BY 1, 2),
         |bd(look, bound6) AS (VALUES (CAST(1 AS BIGINT), CAST(20814120 AS BIGINT)),
@@ -7740,6 +7866,17 @@ object SparkEntryCoverage {
          |JOIN deg da ON da.id = u JOIN deg db ON db.id = v
          |WHERE common >= 2
          |ORDER BY id_a, id_b""".stripMargin,
+    "s10_risk_roundtrip" ->
+      """SELECT event_id, user_id, event_type,
+        | CAST(round(value * 100) AS BIGINT) AS value_cents,
+        | strftime(ts, '%Y-%m-%d') AS date
+        |FROM events
+        |WHERE value > 140.0 AND ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "s11_payload_roundtrip" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        | CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "s6_source_map" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS company_id,
         | CAST(3 + (n_nationkey % 4) AS BIGINT) AS n_tokens,
@@ -9781,9 +9918,11 @@ object SparkEntryCoverage {
         |  FROM per)
         |SELECT n, b, c,
         |  CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST((1000000 * (b - c) * (b - c)) // (b + c) AS BIGINT) END AS chi2_6,
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * (CAST(b AS HUGEINT) - c)
+        |             * (CAST(b AS HUGEINT) - c)) // (b + c) AS BIGINT) END AS chi2_6,
         |  CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST((1000000 * (b - c) * (b - c)) // (b + c) AS BIGINT) END >= 3841459
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * (CAST(b AS HUGEINT) - c)
+        |             * (CAST(b AS HUGEINT) - c)) // (b + c) AS BIGINT) END >= 3841459
         |    AS significant
         |FROM agg""".stripMargin,
     "a_levene_bf" ->

@@ -803,11 +803,14 @@ object SparkEntryStreaming {
     "st_dupgraph_upsert" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val gPath = s"/tmp/graft_idx/dupg_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writeDupGraph(
-        graft.operators.Dedup
-          .ngramJaccardPairs(docs.filter(col("doc_id") < 250), "text", "doc_id", 3, 0.2)
-          .select(col("id_a"), col("id_b")),
-        gPath)
+      // copy-on-write off the SHARED half base (full-corpus pairs
+      // restricted to historical endpoints — a superset-or-equal of
+      // the half-corpus discovery this query used to build, so the
+      // post-stream closure is unchanged: the oracle is the full-
+      // corpus histogram either way, and dd_graph_upsert already
+      // proves restricted-base + cross increments closes to it)
+      SparkEntryCoverage.copyTree(
+        SparkEntryCoverage.dupGraphBase(s, dir, "half"), gPath)
       val stream = s.readStream
         .schema(docs.schema)
         .parquet(s"$dir/[d]ocuments.parquet")

@@ -26,8 +26,17 @@ object Experiments {
     * re-running per consumer: Catalyst's exchange reuse only dedupes
     * byte-identical subtrees, and the min/max-pivot consumers differ
     * enough that an unpersisted cell table re-scans the fact table
-    * once per arm. Verify/Bench clear caches between queries — the
-    * pair-pipeline persist discipline (`Dedup` precedent).
+    * once per arm.
+    *
+    * LIFETIME CONTRACT: the returned plan is lazy, so the operator
+    * cannot unpersist before its caller materializes the result —
+    * the cache lives until the CALLER releases it. The Verify/Bench
+    * harnesses clear caches between queries (`spark.catalog
+    * .clearCache()` + unpersist of lingering RDDs — the pair-pipeline
+    * discipline, pinned by ExperimentsSpec); a long-lived production
+    * session running many tests must do the same, or each test
+    * session accumulates one category-bounded cell table (small, but
+    * N of them add up).
     */
   private def cached(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -249,10 +258,12 @@ object Experiments {
     * first multiplies is DECIMAL(38,0).
     *
     * Scale shape: values collapse to a per-side DISTINCT-VALUE count
-    * table in one hash aggregate; min-ranks come from ONE running-sum
-    * window over the distinct-value table (bounded by the value
-    * domain, never the corpus — the equiDepthBoundaries discipline);
-    * the final statistic is a 1-row aggregate. Sides are the
+    * table in one hash aggregate; min-ranks come from
+    * [[Relational.globalCumSum]]'s range-partitioned distributed
+    * prefix sum over the distinct-value table (bounded by the value
+    * domain, never the corpus — and distributed even when that
+    * domain is 1e7+ values, never a single-task window); the final
+    * statistic is a 1-row aggregate. Sides are the
     * lexicographic (min, max) of `sideCol`; exactly two required,
     * enforced fail-fast.
     *
@@ -260,7 +271,6 @@ object Experiments {
     * of side a, z2_6, significant).
     */
   def mannWhitneyU(df: DataFrame, sideCol: Column, valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ONE corpus scan to the (side, value) count table — domain ×
     // 2 bounded; sides, tie counts and side-a membership all derive
     // from it (persisted: three consumers, zero re-scans)
@@ -286,12 +296,14 @@ object Experiments {
       .agg(
         sum(col("c")).as("t"),
         sum(when(col("s") === col("side_a"), col("c")).otherwise(0L)).as("na_v"))
-    val ranked = counts.withColumn(
-      "rmin",
-      coalesce(
-        sum(col("t")).over(
-          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)) + 1L)
+    // min-rank = 1 + count of strictly-smaller values, via the
+    // DISTRIBUTED prefix sum (range-partitioned sort + per-partition
+    // fold) — never a single-task Window.orderBy: a cents-quantized
+    // value domain at corpus scale is 1e7+ distinct values
+    val ranked = Relational
+      .globalCumSum(counts, Seq(col("v")), "t", "__below")
+      .withColumn("rmin", col("__below") + 1L)
+      .drop("__below")
     ranked
       .crossJoin(sides.select(col("side_a"), col("side_b")))
       .groupBy(col("side_a"), col("side_b"))
@@ -865,9 +877,13 @@ object Experiments {
     * never the corpus); each look's z²6 is the [[twoProportionZ]]
     * DECIMAL cross-product division; crossing is an integer compare.
     * Degenerate looks (pooled X = 0 or X = N so far) score 0 — the
-    * early-looks norm. A look with only one arm so far is omitted
-    * (no comparison exists yet); it reappears once both arms have
-    * traffic, with cumulative counts.
+    * early-looks norm. Each variant's look axis is GAP-FILLED against
+    * the group's observed look spine before the pivot (zero-cell
+    * looks carry the last cumulative cn/cx forward), so an arm with
+    * no NEW traffic in a period still enters that look's boundary
+    * check; a look where an arm has no CUMULATIVE traffic yet is
+    * omitted (no comparison exists), reappearing once both arms have
+    * history.
     *
     * Scale shape: one hash aggregate to (group, variant, look) cells,
     * a ≤5-row window per (group, variant), min/max variant pivot on
@@ -897,12 +913,26 @@ object Experiments {
             col("look").cast("string"))).isNull)
       .groupBy(col("g"), col("v"), col("look"))
       .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+    // gap-fill each variant's look axis against the group's observed
+    // look spine (a look exists once ANY arm has traffic in it): an
+    // arm with zero NEW traffic in a period has no raw cell, but its
+    // CUMULATIVE evidence still exists — without the fill that look's
+    // boundary check is silently skipped for sparse-traffic periods
+    val spine = cells.select(col("g"), col("look")).distinct()
+    val variants = cells.select(col("g"), col("v")).distinct()
+    val filled = spine
+      .join(variants, Seq("g"))
+      .join(cells, Seq("g", "v", "look"), "left")
+      .na.fill(0L, Seq("n", "x"))
     val w = Window.partitionBy(col("g"), col("v")).orderBy(col("look"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cached(
-      cells
+      filled
         .withColumn("cn", sum(col("n")).over(w))
-        .withColumn("cx", sum(col("x")).over(w)))
+        .withColumn("cx", sum(col("x")).over(w))
+        // an arm enters a look's pivot only once it HAS cumulative
+        // traffic — a look with one arm so far stays omitted
+        .filter(col("cn") > 0L))
     val mins = cum.groupBy(col("g"), col("look"))
       .agg(
         count(lit(1)).as("__nv"),
@@ -1161,9 +1191,9 @@ object Experiments {
     * yields zero rows.
     *
     * Scale shape: one hash aggregate to the (value, arm) count grid,
-    * one running-sum window over the VALUE DOMAIN (never the
-    * corpus), a k-row final. Returns one row (k, n, hc6,
-    * significant).
+    * one DISTRIBUTED prefix sum over the VALUE DOMAIN (never the
+    * corpus, never a single task — [[Relational.globalCumSum]]), a
+    * k-row final. Returns one row (k, n, hc6, significant).
     */
   def kruskalWallis(df: DataFrame, armCol: Column, valueCol: Column): DataFrame =
     kruskalWallisFromCounts(
@@ -1183,15 +1213,18 @@ object Experiments {
     * one-shot batch test bit-for-bit.
     */
   def kruskalWallisFromCounts(vaIn: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val va = cached(vaIn)
-    val vt = va.groupBy(col("v")).agg(sum(col("c")).as("t"))
-      .withColumn(
-        "rmin",
-        coalesce(
-          sum(col("t")).over(
-            Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)) + 1L)
+    // min-rank via the DISTRIBUTED prefix sum over the distinct-value
+    // table (range-partitioned sort + per-partition fold, the
+    // globalRank chassis) — never a single-task Window.orderBy
+    val vt = Relational
+      .globalCumSum(
+        va.groupBy(col("v")).agg(sum(col("c")).as("t")),
+        Seq(col("v")),
+        "t",
+        "__below")
+      .withColumn("rmin", col("__below") + 1L)
+      .drop("__below")
     val arms = cached(
       va
         .join(vt.select(col("v"), col("t"), col("rmin")), Seq("v"))
@@ -1256,7 +1289,9 @@ object Experiments {
     * unit carries a pre and a post flag, and only the DISCORDANT
     * pairs carry information (b = 0→1 upgrades, c = 1→0 downgrades;
     * concordant pairs cancel out of the null). chi²6 =
-    * 1e6·(b−c)² div (b+c) — entirely exact integers, one truncating
+    * 1e6·(b−c)² div (b+c) — exact integers with the cross-product in
+    * DECIMAL(38,0) (1e6·(b−c)² passes 2^63 at |b−c| ≈ 3e6 discordant
+    * pairs — the sibling-operator discipline), one truncating
     * division; b + c = 0 (nobody switched) → 0, not-significant, by
     * the degenerate convention. Significance vs the chi²₁ literal
     * [[Z2Alpha05Micro]]. Returns one row (n, b, c, chi2_6,
@@ -1276,9 +1311,16 @@ object Experiments {
           .as("c"))
       .withColumn(
         "chi2_6",
+        // DECIMAL(38,0) from the first multiply — 1e6·(b−c)² passes
+        // 2^63 already at |b−c| ≈ 3e6 discordant pairs; the sibling
+        // operators' discipline, no BIGINT stage
         expr(
           """CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST((1000000 * (b - c) * (b - c)) div (b + c) AS BIGINT) END""".stripMargin))
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * CAST(b - c AS DECIMAL(38,0)) * CAST(b - c AS DECIMAL(38,0)))
+            |  div CAST(b + c AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin))
       .select(
         col("n"), col("b"), col("c"), col("chi2_6"),
         (col("chi2_6") >= Z2Alpha05Micro).as("significant"))
@@ -1868,13 +1910,14 @@ object Experiments {
     * denominator → z²6 = 0, not-significant.
     *
     * Scale shape: one aggregate to the per-unit difference, one hash
-    * aggregate to the distinct-|d| count table, one running-sum window
-    * over the VALUE DOMAIN (never the corpus), 1-row final aggregate.
+    * aggregate to the distinct-|d| count table, one DISTRIBUTED
+    * prefix sum over the VALUE DOMAIN (never the corpus, never a
+    * single task — [[Relational.globalCumSum]]), 1-row final
+    * aggregate.
     * Returns one row (n, n_zero, t2x — the DOUBLED positive-rank sum,
     * z2_6, significant).
     */
   def wilcoxonSignedRank(df: DataFrame, preCol: Column, postCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ONE corpus scan to the signed-difference count table (value-
     // domain bounded, persisted); zero count, tie counts and the
     // positive-side membership all derive from it
@@ -1891,12 +1934,13 @@ object Experiments {
       .agg(
         sum(col("c")).as("t"),
         sum(when(col("d") > 0L, col("c")).otherwise(0L)).as("np_v"))
-    val ranked = counts.withColumn(
-      "rmin",
-      coalesce(
-        sum(col("t")).over(
-          Window.orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)) + 1L)
+    // min-rank via the DISTRIBUTED prefix sum over the distinct-|d|
+    // table (range-partitioned sort + per-partition fold) — never a
+    // single-task Window.orderBy
+    val ranked = Relational
+      .globalCumSum(counts, Seq(col("ad")), "t", "__below")
+      .withColumn("rmin", col("__below") + 1L)
+      .drop("__below")
     val agg = ranked.agg(
       sum(col("t")).as("n"),
       sum(col("np_v") * (lit(2L) * col("rmin") + col("t") - 1L)).as("t2x"),

@@ -562,6 +562,109 @@ object Relational {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Exclusive distributed prefix SUM of a BIGINT column under a
+    * TOTAL order — the scale-safe replacement for
+    * `sum(c).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * -1))`, which Spark executes as ONE task holding the entire
+    * table. The [[globalRank]] chassis generalized from counting to
+    * summing: the frame is range-sort-partitioned (a distributed
+    * sort), pass 1 folds each partition to its total (numPartitions
+    * scalars to the driver — the same bounded constant class as
+    * zipWithIndex's count job), a scanLeft turns totals into
+    * partition offsets, and pass 2 emits each row's offset plus the
+    * running in-partition sum. Deterministic because the order is
+    * total (prefix sums are independent of where partition
+    * boundaries fall); exact because everything is Long addition.
+    * `outCol` EXCLUDES the current row (sum over strictly preceding
+    * rows; the first row gets 0); null summands count as 0.
+    */
+  def globalCumSum(
+      df: DataFrame,
+      order: Seq[Column],
+      sumCol: String,
+      outCol: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(sumCol)
+    val rdd = sorted.rdd
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => if (!r.isNullAt(idx)) s += r.getLong(idx))
+        Iterator((pid, s))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { r =>
+        val o = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        if (!r.isNullAt(idx)) run += r.getLong(idx)
+        o
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Exclusive distributed prefix MAX of an orderable column under a
+    * TOTAL order — the running-best sibling of [[globalCumSum]] (same
+    * two-pass range-partitioned chassis, max instead of +). `outCol`
+    * is the maximum over STRICTLY preceding rows (null until the
+    * first non-null predecessor — callers treat null as "no prior
+    * best", the skyline convention). Values compare via their
+    * external Java ordering (all Spark orderable external types are
+    * `Comparable`); nulls never become the running best.
+    */
+  def globalRunningMax(
+      df: DataFrame,
+      order: Seq[Column],
+      maxCol: String,
+      outCol: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(maxCol)
+    def gt(a: AnyRef, b: AnyRef): Boolean =
+      a.asInstanceOf[Comparable[AnyRef]].compareTo(b) > 0
+    val rdd = sorted.rdd
+    val partMax = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var best: AnyRef = null
+        it.foreach { r =>
+          val v = r.getAs[AnyRef](idx)
+          if (v != null && (best == null || gt(v, best))) best = v
+        }
+        Iterator((pid, best))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    // offsets(p) = max over all partitions strictly before p
+    val offsets = partMax.scanLeft(null: AnyRef) { (acc, v) =>
+      if (v == null) acc else if (acc == null || gt(v, acc)) v else acc
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val field = sorted.schema(maxCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          outCol, field.dataType, nullable = true))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var best: AnyRef = bc.value(pid)
+      it.map { r =>
+        val o = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
+        val v = r.getAs[AnyRef](idx)
+        if (v != null && (best == null || gt(v, best))) best = v
+        o
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** Gaps-and-islands over a per-key day series: collapse each key's
     * active days into contiguous runs (day − row_number is constant
     * within a run — the classic islands key, exact integer
@@ -683,11 +786,11 @@ object Relational {
     * bucketing discipline, no ntile opacity, ties broken by key so
     * the verdict is total-order deterministic), best-first per
     * dimension (low recency / high frequency / high monetary = 3).
-    * segment = 100·R + 10·F + M. The rank windows run over the KEY
-    * table (one row per user — aggregate-bounded, the t_ppl_buckets
-    * posture); at corpus scales where even that table strains one
-    * sort, derive cutoffs via [[equiDepthBoundaries]] instead and
-    * join them back. Returns (key, recency_days, frequency,
+    * segment = 100·R + 10·F + M. Ranks come from [[globalRank]]'s
+    * range-partitioned distributed sort (three passes over the
+    * aggregate-bounded KEY table — one row per user), never a
+    * single-task `Window.orderBy`: a customer key table at corpus
+    * scale is 1e7-1e9 rows. Returns (key, recency_days, frequency,
     * monetary_cents, r_score, f_score, m_score, segment).
     */
   def rfmSegments(
@@ -702,21 +805,24 @@ object Relational {
         max(to_date(tsCol)).as("__last"),
         count(lit(1)).as("frequency"),
         sum(round(valueCol.cast("double") * 100.0, 0).cast("long")).as("monetary_cents"))
-    val clock = broadcast(per.agg(max(col("__last")).as("__now")))
+    val clock = broadcast(
+      per.agg(max(col("__last")).as("__now"), count(lit(1)).as("__n")))
     val base = per
       .crossJoin(clock)
       .withColumn("recency_days", datediff(col("__now"), col("__last")).cast("long"))
-    def score(order: Seq[Column], out: String) = {
-      import org.apache.spark.sql.expressions.Window
-      (d: DataFrame) =>
-        d.withColumn("__r", row_number().over(Window.orderBy(order: _*)).cast("long"))
-          .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-          .withColumn(
-            out,
-            when(col("__r") <= expr("__n div 3"), 3L)
-              .when(col("__r") <= expr("(2 * __n) div 3"), 2L)
-              .otherwise(1L))
-          .drop("__r", "__n")
+    // tercile cutoffs by EXACT global rank from the range-partitioned
+    // [[globalRank]] (three distributed sorts of the per-key table),
+    // not row_number().over(Window.orderBy(...)) — a customer key
+    // table at corpus scale is 1e7-1e9 rows, too big for one task;
+    // __n rides the 1-row clock broadcast
+    def score(order: Seq[Column], out: String) = { (d: DataFrame) =>
+      globalRank(d, order, "__r")
+        .withColumn(
+          out,
+          when(col("__r") <= expr("__n div 3"), 3L)
+            .when(col("__r") <= expr("(2 * __n) div 3"), 2L)
+            .otherwise(1L))
+        .drop("__r")
     }
     base
       .transform(score(Seq(col("recency_days"), col("key")), "r_score"))
@@ -745,17 +851,22 @@ object Relational {
     * groups (equal would mean a cheaper row ties on max — strict on
     * min — dominated). Duplicates of a surviving (min, max) point
     * all survive: identical points do not dominate each other. The
-    * running window runs over the DISTINCT-minCol group table
-    * (value-bounded, never the corpus); the corpus is touched by one
-    * hash aggregate and one join. All comparisons exact on the input
+    * running best folds over the DISTINCT-minCol group table via
+    * [[globalRunningMax]]'s range-partitioned prefix scan (value-
+    * bounded AND distributed — no single-task window even when the
+    * value domain is huge); the corpus is touched by one hash
+    * aggregate and one join. All comparisons exact on the input
     * types. Returns the input rows of the front.
     */
   def skyline2d(df: DataFrame, minCol: Column, maxCol: Column): DataFrame = {
     val base = df.filter(minCol.isNotNull && maxCol.isNotNull)
     val groups = base.groupBy(minCol.as("__m")).agg(max(maxCol).as("__gb"))
-    val wg = Window.orderBy(col("__m")).rowsBetween(Window.unboundedPreceding, -1)
-    val keep = groups
-      .withColumn("__pb", max(col("__gb")).over(wg))
+    // running best over strictly-cheaper groups via the distributed
+    // prefix-max (range-partitioned sort + per-partition fold), never
+    // a single-task Window.orderBy — the group table is value-domain
+    // bounded but a price domain at corpus scale is still too big for
+    // one task
+    val keep = globalRunningMax(groups, Seq(col("__m")), "__gb", "__pb")
       .filter(col("__pb").isNull || col("__gb") > col("__pb"))
       .select(col("__m"), col("__gb"))
     base

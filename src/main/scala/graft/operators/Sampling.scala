@@ -639,10 +639,12 @@ object Sampling {
     * FILLED deterministically: within each stratum, rows rank by
     * (md5-hash32(key), key) — the [[hashSample]] portability
     * discipline plus a key tie-break for a total order — and the
-    * quota smallest ranks are selected. Σ selected == k EXACTLY
-    * (largest-remainder guarantees the quota sum; every stratum's
-    * quota ≤ its row count because quotas are proportional with
-    * floor+remainder ≤ n). Stable across runs, engines and
+    * quota smallest ranks are selected. Σ selected == k EXACTLY for
+    * k ≤ N (largest-remainder guarantees the quota sum; every
+    * stratum's quota ≤ its row count because quotas are proportional
+    * with floor+remainder ≤ n); k > N fails fast in-plan (a quota
+    * exceeding its stratum's row count is exactly that signal) rather
+    * than silently under-filling. Stable across runs, engines and
     * partitionings; adding rows to one stratum re-draws ONLY that
     * stratum's marginal members (hash ranks of old rows don't move).
     * Duplicate keys within a stratum are legal (ties broken by the
@@ -662,7 +664,20 @@ object Sampling {
     val base = df
       .filter(stratumCol.isNotNull && keyCol.isNotNull)
       .select(stratumCol.as("stratum"), keyCol.as("key"))
+    // fail fast on k > N: quotas would then exceed stratum row counts
+    // and the draw would silently return fewer than k rows, breaking
+    // the "Σ selected == k EXACTLY" contract. quota ≤ n per stratum
+    // holds iff k ≤ N (proportional floor+remainder), so the in-plan
+    // per-stratum assert IS the population guard — no eager count.
     val quotas = quotaLargestRemainder(base, col("stratum"), k)
+      .filter(
+        assert_true(
+          col("quota") <= col("n"),
+          concat(
+            lit(s"stratifiedDraw: k = $k exceeds the population (stratum "),
+            col("stratum").cast("string"), lit(" has "),
+            col("n").cast("string"), lit(" rows, quota "),
+            col("quota").cast("string"), lit(")"))).isNull)
       .select(col("stratum"), col("quota"))
     base
       .withColumn(

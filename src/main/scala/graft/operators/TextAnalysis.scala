@@ -16,8 +16,15 @@ object TextAnalysis {
     * exact-token hits; predicted = argmax with lexicographic-lang
     * tie-break. Pure column expr — no UDF, exactly mirrorable in SQL.
     */
-  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val toks = TextFns.tokens(text)
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    langIdFromTokens(TextFns.tokens(text), markers)
+
+  /** [[langId]] over an ALREADY-TOKENIZED array — the entry point for
+    * callers that materialized the token array once and classify
+    * slices of it ([[mixedLanguage]]), skipping the join-then-
+    * re-split round trip.
+    */
+  def langIdFromTokens(toks: Column, markers: Seq[(String, Seq[String])]): Column = {
     // argmax by (hits, -langRank): greatest() on structs compares
     // field-by-field, so ties on hits resolve to the lexicographically
     // FIRST language (negated rank).
@@ -884,6 +891,14 @@ object TextAnalysis {
     * vocabulary table is millions of rows against billions of
     * documents — the iteration never touches the corpus again after
     * the first word count.
+    *
+    * MERGE-COUNT REGIME: each step is one Spark job (a driver loop —
+    * the per-step argmax is TakeOrdered(1) over the vocab-bounded
+    * pair table), so k merges = k sequential jobs. Intended for
+    * k ≲ a few hundred (analysis/audit merges); a production 32k-
+    * merge tokenizer trains on a driver-side sampled word table, not
+    * through this loop — enforced by a fail-fast ceiling so a 32k ask
+    * errors instead of launching 32k jobs.
     */
   def bpeTopMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
     val spark = df.sparkSession
@@ -903,6 +918,11 @@ object TextAnalysis {
       textCol: String,
       steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(steps >= 1, "steps must be >= 1")
+    require(
+      steps <= 512,
+      s"bpeTopMerges: $steps merges = $steps sequential Spark jobs (one " +
+        "argmax job per step) — the driver-loop regime caps at 512; train " +
+        "production-size vocabularies on a sampled word table instead")
     def q(sym: String) = sym.replace("'", "''")
     var vocab = df
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
@@ -1022,24 +1042,31 @@ object TextAnalysis {
     * wrap) that a whole-doc classifier averages away; pretraining
     * pipelines route such docs to splitting or the reject pile.
     * Docs with fewer than 2 tokens are excluded (no two non-empty
-    * halves exist). Per-row work only — one tokenize, two bounded
-    * marker scans. Returns (id, lang_head, lang_tail, is_mixed).
+    * halves exist). Per-row work only — ONE tokenize (materialized at
+    * a projection boundary; CollapseProject keeps non-cheap aliases
+    * referenced twice), then two marker scans over SLICES of that
+    * array via [[langIdFromTokens]] — the old shape re-joined each
+    * half to a string and re-split it inside langId, tripling the
+    * regex work on what was the suite's hottest text query. Returns
+    * (id, lang_head, lang_tail, is_mixed).
     */
   def mixedLanguage(
       df: DataFrame,
       textCol: String,
       idCol: String,
       markers: Seq[(String, Seq[String])]): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
-    val n = size(toks)
+    val toked = df
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val n = size(col("__toks"))
     val half = floor(n.cast("double") / 2.0).cast("int")
-    val head = array_join(slice(toks, lit(1), half), " ")
-    val tail = array_join(slice(toks, half + 1, n - half), " ")
-    df.filter(n >= 2)
+    toked
       .select(
-        col(idCol).as("id"),
-        langId(head, markers).as("lang_head"),
-        langId(tail, markers).as("lang_tail"))
+        col("id"),
+        langIdFromTokens(slice(col("__toks"), lit(1), half), markers)
+          .as("lang_head"),
+        langIdFromTokens(slice(col("__toks"), half + 1, n - half), markers)
+          .as("lang_tail"))
       .withColumn("is_mixed", col("lang_head") =!= col("lang_tail"))
   }
 

@@ -226,26 +226,39 @@ class ExperimentsSpec extends SparkSpec {
       ("B", 6L, 333333L, 300000L, 1000000L)))
   }
 
-  test("obfLooks5: cumulative looks cross the OBF boundary at look 2; one-armed looks omitted") {
+  test("obfLooks5: cumulative looks cross the OBF boundary at look 2; sparse looks gap-filled") {
     // look 1: A 8/10 vs B 2/10 -> z2 = 7.2e6, below the 20.8e6 look-1 bound.
     // look 2 doubles both cells -> z2 = 14.4e6 >= 10.4e6 -> crossed.
-    // look 3 has A-only traffic -> no comparison -> row omitted.
+    // look 3 has A-only NEW traffic, but B's CUMULATIVE cells carry
+    // forward (gap-fill): A 17/21 vs B 4/20 -> z2 = 15.23e6 >= 6.9e6.
+    // A pre-fix engine dropped look 3 entirely — the silent skipped-
+    // boundary-check bug.
     val rows =
       (1 to 10).map(i => ("g", "A", 1L, if (i <= 8) 1L else 0L)) ++
         (1 to 10).map(i => ("g", "B", 1L, if (i <= 2) 1L else 0L)) ++
         (1 to 10).map(i => ("g", "A", 2L, if (i <= 8) 1L else 0L)) ++
         (1 to 10).map(i => ("g", "B", 2L, if (i <= 2) 1L else 0L)) ++
         Seq(("g", "A", 3L, 1L))
-    val got = Experiments
+    val full = Experiments
       .obfLooks5(
         rows.toDF("g", "v", "look", "s"),
         col("g"), col("v"), col("s"), col("look"))
       .orderBy(col("look"))
       .collect()
-      .map(r => (r.getLong(1), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    val got = full.map(r => (r.getLong(1), r.getLong(6), r.getLong(7), r.getBoolean(8)))
     assert(got.toSeq == Seq(
       (1L, 7200000L, 20814120L, false),
-      (2L, 14400000L, 10407060L, true)))
+      (2L, 14400000L, 10407060L, true),
+      (3L, 15232290L, 6938040L, true)))
+    // the gap-filled look carries B's cumulative cells unchanged
+    val l3 = full.last
+    assert((l3.getLong(2), l3.getLong(3), l3.getLong(4), l3.getLong(5)) ==
+      ((21L, 17L, 20L, 4L)))
+    // one-armed-FOREVER looks stay omitted: a variant with no history
+    // at all cannot be compared — drop B entirely, nothing pivots
+    val aOnly = (1 to 4).map(i => ("g", "A", i.toLong % 2 + 1, 1L))
+      .toDF("g", "v", "look", "s")
+    assert(Experiments.obfLooks5(aOnly, col("g"), col("v"), col("s"), col("look")).count() == 0L)
     val bad = Seq(("g", "A", 7L, 1L), ("g", "B", 7L, 0L)).toDF("g", "v", "look", "s")
     val e = intercept[Exception](
       Experiments.obfLooks5(bad, col("g"), col("v"), col("s"), col("look")).head())
@@ -321,6 +334,22 @@ class ExperimentsSpec extends SparkSpec {
     val e = intercept[Exception](
       Experiments.kruskalWallis(wide, col("arm"), col("v")).head())
     assert(e.getMessage.contains("2..11 arms"))
+  }
+
+  test("cached cell tables release under the harness hygiene (lifetime contract)") {
+    // the `cached` helper's documented contract: plans are lazy, so
+    // the CALLER releases the cell-table cache — Verify/Bench do
+    // clearCache() + RDD unpersist between queries; this pins that
+    // one sweep actually leaves nothing behind
+    spark.catalog.clearCache()
+    val rows = (1 to 20).map(i => (if (i % 2 == 0) "A" else "B", i.toLong)).toDF("s", "v")
+    Experiments.mannWhitneyU(rows, col("s"), col("v")).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the cell table should be cached while the test result is live")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("mcnemar: discordant 3-vs-1 scores chi2=1; no switchers score 0") {

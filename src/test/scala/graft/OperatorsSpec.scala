@@ -15,6 +15,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1, "a"), (3, "b")))
   }
 
+  test("globalCumSum: exclusive prefix sums match the single-task window, any partitioning") {
+    // weights chosen so partial sums are distinct and order-sensitive;
+    // repartition(7) forces uneven multi-partition layout — prefix
+    // sums must be independent of where partition boundaries fall
+    val rows = (1 to 100).map(i => (i.toLong, (i % 13 + 1).toLong))
+    val df = rows.toDF("v", "t").repartition(7)
+    val got = Relational
+      .globalCumSum(df, Seq($"v"), "t", "below")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expect = rows
+      .sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (v, t)) => (v, acc + t) }
+      .sliding(2).map { case Seq((_, prev), (v, _)) => v -> prev }.toMap
+    assert(got == expect)
+    // null weights count as 0, not NPE
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("v", "t").repartition(3)
+    val gotN = Relational.globalCumSum(withNull, Seq($"v"), "t", "below")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotN == Map(1L -> 0L, 2L -> 5L, 3L -> 5L))
+  }
+
+  test("globalRunningMax: exclusive prefix max matches driver fold; first row null") {
+    val rows = Seq(5L -> 10L, 1L -> 40L, 3L -> 5L, 7L -> 2L, 6L -> 50L, 9L -> 50L)
+    val df = rows.toDF("k", "m").repartition(4)
+    val got = Relational
+      .globalRunningMax(df, Seq($"k"), "m", "best")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    val expect = rows
+      .sortBy(_._1)
+      .scanLeft((0L, Option.empty[Long])) { case ((_, acc), (k, m)) =>
+        (k, Some(acc.fold(m)(math.max(_, m))))
+      }
+      .sliding(2).map { case Seq((_, prev), (k, _)) => k -> prev }.toMap
+    assert(got == expect)
+    assert(got(1L).isEmpty) // smallest key has no prior best
+  }
+
   test("equiDepthBoundaries: exact rank boundaries on 1..100") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("v", "id")
     val got = Relational.equiDepthBoundaries(df, $"v", $"id", 4)
@@ -293,6 +333,13 @@ class OperatorsSpec extends SparkSpec {
     val merged = Sketches.kmvMergeEstimate(
       Sketches.kmvSketches(df, Seq($"g"), $"v", 64), $"mins", 64).head()
     assert(merged.getLong(0) == 10L && merged.getDouble(1) == 10.0)
+  }
+
+  test("bpeTopMerges: merge-count ceiling fails fast (k jobs = k merges regime)") {
+    val df = Seq("a b").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bpeTopMerges(df, "text", 513))
+    assert(e.getMessage.contains("sampled word table"), e.getMessage)
   }
 
   test("bpeTopMerges: hand-computed merges incl. the overlapping-pair rewrite") {

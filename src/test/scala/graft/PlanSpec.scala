@@ -115,6 +115,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("rank-statistic chassis: no single-task Window survives in any executed plan") {
+    // the r8 verdict's one weak finding: these six queries used to run
+    // row_number()/sum().over(Window.orderBy(...)) with NO partitioning
+    // — one task holding the whole derived table. They now route
+    // through Relational.globalRank / globalCumSum / globalRunningMax
+    // (range-partitioned sort + per-partition fold), so NO Window node
+    // of any kind may appear in the executed plan.
+    for (name <- Seq(
+        "a_mann_whitney", "a_wilcoxon", "a_kruskal", "st_kruskal",
+        "a_rfm_segments", "a_skyline")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name still plans a Window:\n$p")
+    }
+  }
+
   test("t_top_terms: rank window runs over the counts table, after the hash agg") {
     val p = plan("t_top_terms")
     // the token stream must collapse via HashAggregate BEFORE any

@@ -362,6 +362,16 @@ class StatsOpsSpec extends SparkSpec {
     assert(d1.toSeq == d2.toSeq)
   }
 
+  test("stratifiedDraw: k beyond the population fails fast instead of under-filling") {
+    val rows = ((1 to 6).map(i => ("A", i.toLong)) ++ (7 to 10).map(i => ("B", i.toLong)))
+      .toDF("st", "k")
+    // k = N draws everything, still exact
+    assert(Sampling.stratifiedDraw(rows, col("st"), col("k"), 10L).count() == 10L)
+    val e = intercept[Exception](
+      Sampling.stratifiedDraw(rows, col("st"), col("k"), 11L).collect())
+    assert(e.getMessage.contains("exceeds the population"), e.getMessage)
+  }
+
   test("medianWithCi: rank-based 95% interval around the lower median, clamped at the edges") {
     import graft.operators.Relational
     // n=9: m=5, o=floor(0.979982*3)=2 -> (v3, v5, v7).
