@@ -3379,6 +3379,17 @@ object SparkEntryCoverage {
         .theilSenDaily(daily, "event_type", "day", "n")
         .orderBy(col("event_type"))
     },
+    // Cochran-Armitage dose-response trend (Experiments
+    // .cochranArmitage): does the high-value event rate trend across
+    // the five calendar weeks (dose = week index)? One degree of
+    // freedom spent on the LINEAR trend the unordered chi2 wastes.
+    "a_ca_trend" -> { (s, dir) =>
+      Experiments.cochranArmitage(
+        t(s, dir, "events").filter(col("ts").isNotNull && col("value").isNotNull),
+        lit(1L) +
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS BIGINT)"),
+        (col("value") > 50.0).cast("long"))
+    },
     // Lead-lag cross-correlation (Series.crossCorrDaily): does the
     // click series LEAD the purchase series, and by how many days —
     // the causal-latency instrument the per-series ACF can't see.
@@ -8924,14 +8935,28 @@ object SparkEntryCoverage {
         |         CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s_stat
         |       FROM base a JOIN base b ON a.event_type = b.event_type AND a.dd < b.dd
         |       GROUP BY 1),
-        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1)
-        |SELECT nd.event_type, nd.n_days, sg.s_stat,
-        |  CAST(CASE WHEN sg.s_stat >= 0
-        |       THEN (1000000 * sg.s_stat) // (nd.n_days * (nd.n_days - 1) // 2)
-        |       ELSE -((1000000 * -sg.s_stat) // (nd.n_days * (nd.n_days - 1) // 2)) END AS BIGINT)
-        |    AS tau6
-        |FROM nd JOIN sg USING (event_type) WHERE nd.n_days >= 2
-        |ORDER BY event_type""".stripMargin,
+        |ti AS (SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        |       FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+        |             FROM d GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+        |j AS (SELECT nd.event_type, nd.n_days, sg.s_stat,
+        |        CAST(nd.n_days AS HUGEINT) * (nd.n_days - 1)
+        |          * (2 * nd.n_days + 5) - ti.tt AS den
+        |      FROM nd JOIN sg USING (event_type) JOIN ti USING (event_type)
+        |      WHERE nd.n_days >= 2),
+        |f AS (SELECT event_type, n_days, s_stat,
+        |        CAST(CASE WHEN s_stat >= 0
+        |             THEN (1000000 * s_stat) // (n_days * (n_days - 1) // 2)
+        |             ELSE -((1000000 * -s_stat) // (n_days * (n_days - 1) // 2)) END AS BIGINT)
+        |          AS tau6,
+        |        CASE WHEN s_stat = 0 OR den <= 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(18000000 AS HUGEINT)
+        |                   * (abs(s_stat) - 1) * (abs(s_stat) - 1)) // den AS BIGINT) END
+        |          AS z2_6
+        |      FROM j)
+        |SELECT event_type, n_days, s_stat, tau6, z2_6, z2_6 >= 3841459 AS significant
+        |FROM f ORDER BY event_type""".stripMargin,
     // daily registers max-merged per trailing window; exact trailing
     // distinct beside the estimate
     "a_hll_window" -> {
@@ -8975,6 +9000,31 @@ object SparkEntryCoverage {
         |FROM rk JOIN nd ON nd.event_type = rk.event_type
         |WHERE rk.rn = (rk.np + 1) // 2
         |ORDER BY rk.event_type""".stripMargin,
+    "a_ca_trend" ->
+      """WITH base AS (SELECT
+        |    1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS w,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n_v,
+        |            CAST(SUM(s) AS BIGINT) AS x_v
+        |          FROM base GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n_v) AS BIGINT) AS n,
+        |          CAST(SUM(x_v) AS BIGINT) AS x,
+        |          CAST(SUM(w * x_v) AS BIGINT) AS wx,
+        |          CAST(SUM(w * n_v) AS BIGINT) AS wn,
+        |          CAST(SUM(w * w * n_v) AS BIGINT) AS wwn
+        |        FROM cells),
+        |z AS (SELECT k, n, x,
+        |        CAST(n AS HUGEINT) * wx - CAST(x AS HUGEINT) * wn AS num,
+        |        CAST(x AS HUGEINT) * (n - x)
+        |          * (CAST(n AS HUGEINT) * wwn - CAST(wn AS HUGEINT) * wn) AS den
+        |      FROM agg),
+        |f AS (SELECT k, n, x,
+        |        CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(1000000 AS HUGEINT) * num * num * n) // den
+        |             AS BIGINT) END AS z2_6
+        |      FROM z)
+        |SELECT k, n, x, z2_6, z2_6 >= 3841459 AS significant FROM f""".stripMargin,
     // pass 1 reuses the shared bm25Sql chain; pass 2 re-scores
     // against the expanded term TABLE (the r_mrr_eval shape), with
     // dl/stats/terms CTEs shared between passes

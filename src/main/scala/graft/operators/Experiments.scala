@@ -1971,4 +1971,70 @@ object Experiments {
         col("n"), col("n_zero"), col("t2x"), col("z2_6"),
         (col("z2_6") >= Z2Alpha05Micro).as("significant"))
   }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) — the
+    * binary × ORDERED-dose cell of the test grid: does a success
+    * rate move monotonically with an integer dose score? The
+    * unordered chi² ([[Checks.chiSquareIndependence]]) spends k−1
+    * degrees of freedom and wastes the ordering; this spends ONE on
+    * the linear trend, the standard dose-response readout. With
+    * per-level cells (w_v, n_v, x_v), N = Σn, X = Σx:
+    *
+    *   num    = N·Σ(w·x) − X·Σ(w·n)
+    *   den    = X·(N−X)·(N·Σ(w²·n) − (Σ(w·n))²)
+    *   z²·1e6 = 1e6·num²·N div den
+    *
+    * — exact integer cross-products in DECIMAL(38,0) (num² reaches
+    * N⁴·w⁴), ONE truncating division, significance vs the chi²₁
+    * literal [[Z2Alpha05Micro]]. Valid range: 1e6·num²·N ≤ 1e38 with
+    * num ≤ w_max·N², i.e. N ≲ 1e6 at w_max = 5 — rescale dose scores
+    * (they only need relative spacing) before testing larger
+    * populations. Degenerate X = 0, X = N, or a
+    * single dose level (den = 0) scores 0, not-significant. Dose
+    * scores are the caller's INTEGER column — equally spaced (1..k)
+    * or real spacings, the statistic is exact either way.
+    *
+    * Scale shape: one hash aggregate to ≤k dose cells, a 1-row
+    * pivot — map-side combined, nothing else. Returns one row
+    * (k, n, x, z2_6, significant).
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      doseCol: Column,
+      successCol: Column): DataFrame =
+    df
+      .filter(doseCol.isNotNull && successCol.isNotNull)
+      .groupBy(doseCol.cast("long").as("w"))
+      .agg(count(lit(1)).as("n_v"), sum(successCol.cast("long")).as("x_v"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("n_v")).as("n"),
+        sum(col("x_v")).as("x"),
+        sum(col("w") * col("x_v")).as("__wx"),
+        sum(col("w") * col("n_v")).as("__wn"),
+        sum(col("w") * col("w") * col("n_v")).as("__wwn"))
+      .withColumn(
+        "__num",
+        expr(
+          """CAST(n AS DECIMAL(38,0)) * CAST(__wx AS DECIMAL(38,0))
+            |- CAST(x AS DECIMAL(38,0)) * CAST(__wn AS DECIMAL(38,0))""".stripMargin))
+      .withColumn(
+        "__den",
+        expr(
+          """CAST(x AS DECIMAL(38,0)) * CAST(n - x AS DECIMAL(38,0))
+            |* (CAST(n AS DECIMAL(38,0)) * CAST(__wwn AS DECIMAL(38,0))
+            |   - CAST(__wn AS DECIMAL(38,0)) * CAST(__wn AS DECIMAL(38,0)))"""
+            .stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN __den <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * __num * __num
+            |   * CAST(n AS DECIMAL(38,0)))
+            |  div __den
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("k"), col("n"), col("x"), col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
 }

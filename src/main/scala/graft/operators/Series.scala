@@ -568,11 +568,21 @@ object Series {
     * negative — the SQL mirror emulates truncation where floor
     * division would diverge). |tau6| → 1e6 monotone, → 0 trendless;
     * a big Theil–Sen slope with a small |tau6| is one outlier, not a
-    * trend. Same bounded shape as Theil–Sen: the pairwise join is
-    * quadratic in the per-key DAY GRID, never the raw stream. Keys
-    * with fewer than 2 days carry no pair evidence and are dropped;
-    * null day/value rows excluded (the engine-dependent null ORDER
-    * BY rule). Returns (key, n_days, s_stat, tau6).
+    * trend. SIGNIFICANCE rides along (Kendall 1975's normal
+    * approximation, tie-corrected and continuity-corrected):
+    *
+    *   z²·1e6 = 1e6·18·(|S|−1)² div (n(n−1)(2n+5) − Σ t(t−1)(2t+5))
+    *
+    * — exact integer cross-products in DECIMAL(38,0), ONE truncating
+    * division (the [[Experiments]] discipline); S = 0 or a
+    * degenerate denominator (everything tied) scores 0,
+    * not-significant; tie counts cost one (key, value) hash
+    * aggregate. Same bounded shape as Theil–Sen: the pairwise join
+    * is quadratic in the per-key DAY GRID, never the raw stream.
+    * Keys with fewer than 2 days carry no pair evidence and are
+    * dropped; null day/value rows excluded (the engine-dependent
+    * null ORDER BY rule). Returns (key, n_days, s_stat, tau6, z2_6,
+    * significant).
     */
   def mannKendallDaily(
       daily: DataFrame,
@@ -592,15 +602,40 @@ object Series {
       .filter(col("da") < col("db"))
       .groupBy(col("k"))
       .agg(sum(signum(col("vb") - col("va")).cast("long")).as("s_stat"))
+    val ties = base
+      .groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("__tt"))
     base
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_days"))
       .filter(col("n_days") >= 2)
       .join(s, Seq("k"))
+      .join(ties, Seq("k"))
       .withColumn(
         "tau6",
         expr("CAST((1000000 * s_stat) div (n_days * (n_days - 1) div 2) AS BIGINT)"))
-      .select(col("k").as(keyCol), col("n_days"), col("s_stat"), col("tau6"))
+      .withColumn(
+        "__den",
+        expr(
+          """CAST(n_days AS DECIMAL(38,0)) * CAST(n_days - 1 AS DECIMAL(38,0))
+            |* CAST(2 * n_days + 5 AS DECIMAL(38,0)) - CAST(__tt AS DECIMAL(38,0))"""
+            .stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN s_stat = 0 OR __den <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(18000000 AS DECIMAL(38,0))
+            |   * CAST(abs(s_stat) - 1 AS DECIMAL(38,0))
+            |   * CAST(abs(s_stat) - 1 AS DECIMAL(38,0)))
+            |  div __den
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("k").as(keyCol), col("n_days"), col("s_stat"), col("tau6"),
+        col("z2_6"),
+        (col("z2_6") >= Experiments.Z2Alpha05Micro).as("significant"))
   }
 
   /** Kaplan–Meier product-limit survival curve (Kaplan & Meier, JASA

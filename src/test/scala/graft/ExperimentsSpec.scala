@@ -336,6 +336,25 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("2..11 arms"))
   }
 
+  test("cochranArmitage: hand-computed dose-response; saturated outcome degenerates to 0") {
+    // doses 1/2/3 with 2/10, 5/10, 8/10 successes: N=30, X=15,
+    // num = 30*36 - 15*60 = 180, den = 15*15*(30*140 - 3600) = 135000,
+    // z2_6 = 1e6*180^2*30 div 135000 = 7,200,000 -> significant
+    val rows =
+      (1 to 10).map(i => (1L, if (i <= 2) 1L else 0L)) ++
+        (1 to 10).map(i => (2L, if (i <= 5) 1L else 0L)) ++
+        (1 to 10).map(i => (3L, if (i <= 8) 1L else 0L))
+    val r = Experiments
+      .cochranArmitage(rows.toDF("w", "s"), col("w"), col("s"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      ((3L, 30L, 15L, 7200000L, true)))
+    // X = N (every unit succeeds): variance is 0 -> z2 = 0 by convention
+    val sat = (1 to 6).map(i => (i.toLong % 3 + 1, 1L)).toDF("w", "s")
+    val rs = Experiments.cochranArmitage(sat, col("w"), col("s")).head()
+    assert((rs.getLong(3), rs.getBoolean(4)) == ((0L, false)))
+  }
+
   test("cached cell tables release under the harness hygiene (lifetime contract)") {
     // the `cached` helper's documented contract: plans are lazy, so
     // the CALLER releases the cell-table cache — Verify/Bench do

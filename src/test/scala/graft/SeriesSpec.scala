@@ -151,6 +151,32 @@ class SeriesSpec extends SparkSpec {
       ("c", 2L, 1L, -2333333L)))
   }
 
+  test("mannKendallDaily: strict rise significant, flat zero, ties correct the variance") {
+    import graft.operators.Series
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val daily = Seq(
+      // a: strictly increasing 5 days -> S = 10, no ties, den = 5*4*15 = 300,
+      //    z2_6 = 18e6 * 81 div 300 = 4,860,000 >= 3,841,459 -> significant
+      ("a", day(0), 1L), ("a", day(1), 2L), ("a", day(2), 3L),
+      ("a", day(3), 4L), ("a", day(4), 5L),
+      // b: flat -> S = 0 -> z2 = 0 (and den itself degenerates: tt = 3*2*11 = 66 = n(n-1)(2n+5))
+      ("b", day(0), 7L), ("b", day(1), 7L), ("b", day(2), 7L),
+      // c: rise with one tie pair: values 1,2,2,3 -> S = 5,
+      //    tt = 2*1*9 = 18, den = 4*3*13 - 18 = 138,
+      //    z2_6 = 18e6 * 16 div 138 = 2,086,956 -> not significant
+      ("c", day(0), 1L), ("c", day(1), 2L), ("c", day(2), 2L), ("c", day(3), 3L)
+    ).toDF("k", "day", "n")
+    val got = Series.mannKendallDaily(daily, "k", "day", "n")
+      .orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(got == Seq(
+      ("a", 5L, 10L, 1000000L, 4860000L, true),
+      ("b", 3L, 0L, 0L, 0L, false),
+      ("c", 4L, 5L, 833333L, 2086956L, false)))
+  }
+
   test("decayWeights6: unit at age 0, exactly half at one half-life, monotone to 0") {
     import graft.operators.Series
     val w = Series.decayWeights6(7, 60)
