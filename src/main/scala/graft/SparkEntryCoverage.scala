@@ -121,6 +121,97 @@ object SparkEntryCoverage {
     } finally st.close()
   }
 
+  /** w_mann_kendall / st_mann_kendall shared oracle: the streaming
+    * monitor merges partial daily count grids and re-runs the same
+    * trend test, so one SQL is the truth for both paths.
+    */
+  private[graft] lazy val mannKendallOracleSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS dd, n FROM d),
+        |sg AS (SELECT a.event_type,
+        |         CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s_stat
+        |       FROM base a JOIN base b ON a.event_type = b.event_type AND a.dd < b.dd
+        |       GROUP BY 1),
+        |ti AS (SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        |       FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+        |             FROM d GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+        |j AS (SELECT nd.event_type, nd.n_days, sg.s_stat,
+        |        CAST(nd.n_days AS HUGEINT) * (nd.n_days - 1)
+        |          * (2 * nd.n_days + 5) - ti.tt AS den
+        |      FROM nd JOIN sg USING (event_type) JOIN ti USING (event_type)
+        |      WHERE nd.n_days >= 2),
+        |f AS (SELECT event_type, n_days, s_stat,
+        |        CAST(CASE WHEN s_stat >= 0
+        |             THEN (1000000 * s_stat) // (n_days * (n_days - 1) // 2)
+        |             ELSE -((1000000 * -s_stat) // (n_days * (n_days - 1) // 2)) END AS BIGINT)
+        |          AS tau6,
+        |        CASE WHEN s_stat = 0 OR den <= 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(18000000 AS HUGEINT)
+        |                   * (abs(s_stat) - 1) * (abs(s_stat) - 1)) // den AS BIGINT) END
+        |          AS z2_6
+        |      FROM j)
+        |SELECT event_type, n_days, s_stat, tau6, z2_6, z2_6 >= 3841459 AS significant
+        |FROM f ORDER BY event_type""".stripMargin
+
+  /** Shared group-sequential-looks oracle: a_obf_looks and
+    * a_pocock_looks differ ONLY in the 5 boundary literals, so one
+    * builder keeps engine and oracle boundaries in lockstep with
+    * [[graft.operators.Experiments.ObfZ2Micro5]] /
+    * [[graft.operators.Experiments.PocockZ2Micro5]].
+    */
+  private def groupSeqLooksOracleSql(bounds: Seq[Long]): String =
+    s"""WITH base AS (
+        | SELECT event_type AS g,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |        least(5, 1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 6) AS look,
+        |        CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+        | FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |cells AS (SELECT g, v, CAST(look AS BIGINT) AS look,
+        |            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS x
+        |          FROM base GROUP BY 1, 2, 3),
+        |spine AS (SELECT DISTINCT g, look FROM cells),
+        |vars AS (SELECT DISTINCT g, v FROM cells),
+        |filled AS (SELECT s.g, vr.v, s.look,
+        |             CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+        |           FROM spine s JOIN vars vr ON vr.g = s.g
+        |           LEFT JOIN cells c ON c.g = s.g AND c.v = vr.v AND c.look = s.look),
+        |cum AS (SELECT * FROM (
+        |          SELECT g, v, look,
+        |            CAST(SUM(n) OVER (PARTITION BY g, v ORDER BY look
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |            CAST(SUM(x) OVER (PARTITION BY g, v ORDER BY look
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
+        |          FROM filled) WHERE cn > 0),
+        |mm AS (SELECT g, look, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+        |       FROM cum GROUP BY 1, 2),
+        |bd(look, bound6) AS (VALUES (CAST(1 AS BIGINT), CAST(${bounds(0)} AS BIGINT)),
+        |  (2, ${bounds(1)}), (3, ${bounds(2)}), (4, ${bounds(3)}), (5, ${bounds(4)})),
+        |j AS (SELECT mm.g, mm.look,
+        |             a.cn AS n_a, a.cx AS x_a, b.cn AS n_b, b.cx AS x_b, bd.bound6
+        |      FROM mm JOIN cum a ON a.g = mm.g AND a.look = mm.look AND a.v = mm.variant_a
+        |              JOIN cum b ON b.g = mm.g AND b.look = mm.look AND b.v = mm.variant_b
+        |              JOIN bd ON bd.look = mm.look
+        |      WHERE mm.nv = 2),
+        |z AS (SELECT j.*,
+        |        CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(1000000 AS HUGEINT)
+        |                   * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+        |                   * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+        |                   * CAST(n_a + n_b AS HUGEINT))
+        |              // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+        |                  * CAST(x_a + x_b AS HUGEINT)
+        |                  * CAST(n_a + n_b - x_a - x_b AS HUGEINT)) AS BIGINT) END AS z2_6
+        |      FROM j)
+        |SELECT g AS "group", look, n_a, x_a, n_b, x_b, z2_6, bound6,
+        |       z2_6 >= bound6 AS crossed
+        |FROM z ORDER BY "group", look""".stripMargin
+
   /** Hyperplanes for v_lsh_pairs — same seeded generator as
     * Similarity.hyperplaneSignature(seed=42); the literal values are
     * interpolated into the oracle SQL so both sides use identical
@@ -1109,6 +1200,25 @@ object SparkEntryCoverage {
     "a_obf_looks" -> { (s, dir) =>
       Experiments
         .obfLooks5(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          (col("value") > 50.0).cast("long"),
+          least(
+            lit(5L),
+            lit(1L) +
+              expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 6 AS BIGINT)")))
+        .orderBy(col("group"), col("look"))
+    },
+    // Pocock constant-boundary looks (Experiments.pocockLooks5): the
+    // same 5-look readout under the OTHER canonical alpha-spending
+    // schedule — even spending, easier early stops, harsher final
+    // bar; OBF's early boundaries pass almost nothing. Same
+    // cumulative-cell machinery, different literals.
+    "a_pocock_looks" -> { (s, dir) =>
+      Experiments
+        .pocockLooks5(
           t(s, dir, "events")
             .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull),
           col("event_type"),
@@ -7433,55 +7543,8 @@ object SparkEntryCoverage {
         |SELECT id AS doc_id, CAST(MAX(len) AS BIGINT) AS len,
         |       CAST(SUM(t6) AS BIGINT) AS score6
         |FROM tm GROUP BY 1 ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin,
-    "a_obf_looks" ->
-      """WITH base AS (
-        | SELECT event_type AS g,
-        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
-        |        least(5, 1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 6) AS look,
-        |        CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
-        | FROM events
-        | WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
-        |   AND event_type IS NOT NULL),
-        |cells AS (SELECT g, v, CAST(look AS BIGINT) AS look,
-        |            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS x
-        |          FROM base GROUP BY 1, 2, 3),
-        |spine AS (SELECT DISTINCT g, look FROM cells),
-        |vars AS (SELECT DISTINCT g, v FROM cells),
-        |filled AS (SELECT s.g, vr.v, s.look,
-        |             CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
-        |             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
-        |           FROM spine s JOIN vars vr ON vr.g = s.g
-        |           LEFT JOIN cells c ON c.g = s.g AND c.v = vr.v AND c.look = s.look),
-        |cum AS (SELECT * FROM (
-        |          SELECT g, v, look,
-        |            CAST(SUM(n) OVER (PARTITION BY g, v ORDER BY look
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
-        |            CAST(SUM(x) OVER (PARTITION BY g, v ORDER BY look
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
-        |          FROM filled) WHERE cn > 0),
-        |mm AS (SELECT g, look, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
-        |       FROM cum GROUP BY 1, 2),
-        |bd(look, bound6) AS (VALUES (CAST(1 AS BIGINT), CAST(20814120 AS BIGINT)),
-        |  (2, 10407060), (3, 6938040), (4, 5203530), (5, 4162824)),
-        |j AS (SELECT mm.g, mm.look,
-        |             a.cn AS n_a, a.cx AS x_a, b.cn AS n_b, b.cx AS x_b, bd.bound6
-        |      FROM mm JOIN cum a ON a.g = mm.g AND a.look = mm.look AND a.v = mm.variant_a
-        |              JOIN cum b ON b.g = mm.g AND b.look = mm.look AND b.v = mm.variant_b
-        |              JOIN bd ON bd.look = mm.look
-        |      WHERE mm.nv = 2),
-        |z AS (SELECT j.*,
-        |        CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(0 AS BIGINT)
-        |        ELSE CAST((CAST(1000000 AS HUGEINT)
-        |                   * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
-        |                   * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
-        |                   * CAST(n_a + n_b AS HUGEINT))
-        |              // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
-        |                  * CAST(x_a + x_b AS HUGEINT)
-        |                  * CAST(n_a + n_b - x_a - x_b AS HUGEINT)) AS BIGINT) END AS z2_6
-        |      FROM j)
-        |SELECT g AS "group", look, n_a, x_a, n_b, x_b, z2_6, bound6,
-        |       z2_6 >= bound6 AS crossed
-        |FROM z ORDER BY "group", look""".stripMargin,
+    "a_obf_looks" -> groupSeqLooksOracleSql(Experiments.ObfZ2Micro5),
+    "a_pocock_looks" -> groupSeqLooksOracleSql(Experiments.PocockZ2Micro5),
     "a_eb_rates" ->
       """WITH cells AS (
         | SELECT user_id AS g, CAST(COUNT(*) AS BIGINT) AS n,
@@ -8927,36 +8990,7 @@ object SparkEntryCoverage {
         |FROM g WHERE sum_n > 0 ORDER BY event_type""".stripMargin,
     // sign sums are exact; tau6 emulates truncation toward zero for
     // a possibly-negative S
-    "w_mann_kendall" ->
-      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        |base AS (SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS dd, n FROM d),
-        |sg AS (SELECT a.event_type,
-        |         CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s_stat
-        |       FROM base a JOIN base b ON a.event_type = b.event_type AND a.dd < b.dd
-        |       GROUP BY 1),
-        |ti AS (SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
-        |       FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
-        |             FROM d GROUP BY 1, 2)
-        |       GROUP BY 1),
-        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
-        |j AS (SELECT nd.event_type, nd.n_days, sg.s_stat,
-        |        CAST(nd.n_days AS HUGEINT) * (nd.n_days - 1)
-        |          * (2 * nd.n_days + 5) - ti.tt AS den
-        |      FROM nd JOIN sg USING (event_type) JOIN ti USING (event_type)
-        |      WHERE nd.n_days >= 2),
-        |f AS (SELECT event_type, n_days, s_stat,
-        |        CAST(CASE WHEN s_stat >= 0
-        |             THEN (1000000 * s_stat) // (n_days * (n_days - 1) // 2)
-        |             ELSE -((1000000 * -s_stat) // (n_days * (n_days - 1) // 2)) END AS BIGINT)
-        |          AS tau6,
-        |        CASE WHEN s_stat = 0 OR den <= 0 THEN CAST(0 AS BIGINT)
-        |        ELSE CAST((CAST(18000000 AS HUGEINT)
-        |                   * (abs(s_stat) - 1) * (abs(s_stat) - 1)) // den AS BIGINT) END
-        |          AS z2_6
-        |      FROM j)
-        |SELECT event_type, n_days, s_stat, tau6, z2_6, z2_6 >= 3841459 AS significant
-        |FROM f ORDER BY event_type""".stripMargin,
+    "w_mann_kendall" -> mannKendallOracleSql,
     // daily registers max-merged per trailing window; exact trailing
     // distinct beside the estimate
     "a_hll_window" -> {

@@ -623,6 +623,44 @@ object SparkEntryStreaming {
           .groupBy(col("v"), col("arm"))
           .agg(sum(col("c")).as("c")))
     },
+    // Streaming Mann-Kendall trend monitor — sign sums over day pairs
+    // are not mergeable, but the DAILY COUNT GRID is (per-batch
+    // partial counts SUM-merge exactly, the st_kruskal sufficient-
+    // statistic posture): micro-batches append partial (key, day, n)
+    // grids, the monitor re-runs the trend test over the merged
+    // day-bounded grid. Bit-equal to the batch w_mann_kendall under
+    // the shared oracle.
+    "st_mann_kendall" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/mkgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(
+          col("event_type").cast("string").as("k"),
+          to_date(col("ts")).as("day"),
+          lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .groupBy(
+              col("event_type").cast("string").as("k"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Series
+        .mannKendallDaily(
+          s.read.parquet(cPath)
+            .groupBy(col("k"), col("day"))
+            .agg(sum(col("n")).as("n")),
+          "k", "day", "n")
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type"))
+    },
     // Streaming PHASH maintenance — re-crawled media re-hashed per
     // micro-batch: the base index holds STALE codes for every 5th doc
     // (a '?'-run appended — bin 15 and the byte length move, so the
@@ -1035,6 +1073,9 @@ object SparkEntryStreaming {
     // the (v, arm, c) count grid is the rank test's sufficient
     // statistic and counts are linear — streamed grid == batch test
     "st_kruskal" -> SparkEntryCoverage.kruskalOracleSql,
+    // daily-count-grid merge-invariance makes the streamed trend test
+    // bit-equal to the batch w_mann_kendall — one shared oracle
+    "st_mann_kendall" -> SparkEntryCoverage.mannKendallOracleSql,
     // sketch merge-invariance makes the streamed KMV bit-equal to the
     // batch recomputation (a_kmv_distinct's oracle minus the exact-
     // count column)

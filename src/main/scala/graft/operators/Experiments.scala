@@ -895,8 +895,42 @@ object Experiments {
       groupCol: Column,
       variantCol: Column,
       successCol: Column,
-      lookCol: Column): DataFrame = {
+      lookCol: Column): DataFrame =
+    groupSeqLooks5(df, groupCol, variantCol, successCol, lookCol, ObfZ2Micro5)
+
+  /** Pocock z² boundaries (micro-scaled) for K = 5 equally spaced
+    * looks at overall alpha 0.05 two-sided: the CONSTANT boundary
+    * c_P(5) = 2.413 (Jennison & Turnbull, Table 2.1), z²·1e6 =
+    * 2.413²·1e6 at every look. LITERALS per the
+    * no-runtime-quantiles rule.
+    */
+  val PocockZ2Micro5: Seq[Long] = Seq.fill(5)(5822569L)
+
+  /** [[obfLooks5]] with Pocock's constant boundary instead of
+    * O'Brien–Fleming's decaying one — same cumulative-cell
+    * machinery, same gap-fill, different alpha-spending posture:
+    * Pocock spends evenly (easier early stops, harsher final bar
+    * z² ≈ 5.82 vs the fixed-test 3.84); OBF hoards alpha for the
+    * end. The pair gives the experimenter both canonical spending
+    * schedules over one artifact shape.
+    */
+  def pocockLooks5(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      successCol: Column,
+      lookCol: Column): DataFrame =
+    groupSeqLooks5(df, groupCol, variantCol, successCol, lookCol, PocockZ2Micro5)
+
+  private def groupSeqLooks5(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      successCol: Column,
+      lookCol: Column,
+      boundsZ2Micro: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(boundsZ2Micro.length == 5, "K = 5 looks: need 5 boundary literals")
     val spark = df.sparkSession
     import spark.implicits._
     val cells = df
@@ -940,7 +974,7 @@ object Experiments {
         max(col("v")).as("variant_b"))
       .filter(col("__nv") === 2L)
     val bounds = broadcast(
-      ObfZ2Micro5.zipWithIndex.map { case (b, i) => (i + 1L, b) }
+      boundsZ2Micro.zipWithIndex.map { case (b, i) => (i + 1L, b) }
         .toDF("look", "bound6"))
     mins
       .join(

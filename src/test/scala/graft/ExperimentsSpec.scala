@@ -265,6 +265,22 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("look index must be 1..5"))
   }
 
+  test("pocockLooks5: constant boundary crosses at look 1 where OBF holds") {
+    // same fixture as the OBF test: look-1 z2 = 7.2e6. OBF's look-1
+    // bar is 20.8e6 (no cross); Pocock's constant bar is 5.82e6 ->
+    // crossed immediately — the even-spending vs hoarding contrast.
+    val rows =
+      (1 to 10).map(i => ("g", "A", 1L, if (i <= 8) 1L else 0L)) ++
+        (1 to 10).map(i => ("g", "B", 1L, if (i <= 2) 1L else 0L))
+    val got = Experiments
+      .pocockLooks5(
+        rows.toDF("g", "v", "look", "s"),
+        col("g"), col("v"), col("s"), col("look"))
+      .head()
+    assert((got.getLong(6), got.getLong(7), got.getBoolean(8)) ==
+      ((7200000L, 5822569L, true)))
+  }
+
   test("ebShrinkRates: rates shrink toward the mean with nu=24; identical groups pass through") {
     // 6/10, 5/10, 4/10: m6 = 500000, v12 = 1e10, nu = 25-1 = 24.
     // eb = (1e6*x + 500000*24) div (10+24) -> 529411 / 500000 / 470588.
