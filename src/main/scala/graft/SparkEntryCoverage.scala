@@ -121,6 +121,54 @@ object SparkEntryCoverage {
     } finally st.close()
   }
 
+  /** Bigram-perplexity oracle builder: the LM is FIT over the docs
+    * passing `fitWhere` but SCORES the whole corpus — "TRUE" mirrors
+    * t_perplexity_bigram / the persisted and count-merged artifact
+    * paths; "doc_id %% 10 <> 0" mirrors the post-takedown model.
+    * Weights interpolated from the engine's own constants; both CTE
+    * chains derive (t+v) from exact counts, so every log-prob is the
+    * identical IEEE expression on both engines; OOV/backoff routing
+    * is the same COALESCE chain as TextAnalysis.scoreBigramLm.
+    */
+  private[graft] def bigramPplOracleSql(fitWhere: String): String = {
+    val bw = TextAnalysis.BigramWeight
+    val uw = TextAnalysis.UnigramWeight
+    s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tok AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS pos, tk[CAST(gs.i+1 AS INT)] AS term,
+       |          CASE WHEN gs.i = 0 THEN NULL ELSE tk[CAST(gs.i AS INT)] END AS prev
+       |        FROM tk, LATERAL (SELECT unnest(generate_series(0, len(tk)-1)) AS i) gs),
+       |tokf AS (SELECT * FROM tok WHERE $fitWhere),
+       |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokf GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |big AS (SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS cab FROM tokf
+       |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (SELECT prev, CAST(SUM(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
+       |unilp AS (SELECT term,
+       |    CAST(round(ln((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS lp6,
+       |    CAST(round(ln($uw*((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE))))*1000000) AS BIGINT) AS lpbo6
+       |  FROM vocab, tot),
+       |bilp AS (SELECT b.prev, b.term,
+       |    CAST(round(ln($bw*(CAST(b.cab AS DOUBLE)/CAST(c.ca AS DOUBLE)) +
+       |      $uw*((CAST(vv.cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE))))*1000000) AS BIGINT) AS lp6
+       |  FROM big b JOIN ctx c USING (prev) JOIN vocab vv ON vv.term = b.term, tot),
+       |scored AS (
+       |  SELECT tok.doc_id,
+       |    CASE WHEN tok.pos = 0 THEN COALESCE(u.lp6,
+       |      CAST(round(ln(1.0/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT))
+       |    ELSE COALESCE(b.lp6, u.lpbo6,
+       |      CAST(round(ln($uw/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT)) END AS lp6
+       |  FROM tok
+       |  LEFT JOIN unilp u ON u.term = tok.term
+       |  LEFT JOIN bilp b ON b.prev = tok.prev AND b.term = tok.term
+       |  CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(-SUM(lp6) AS BIGINT) AS nll_sum6,
+       |       round(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0), 6) AS mean_nll,
+       |       round(exp(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0)), 4) AS ppl
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** w_mann_kendall / st_mann_kendall shared oracle: the streaming
     * monitor merges partial daily count grids and re-runs the same
     * trend test, so one SQL is the truth for both paths.
@@ -2670,6 +2718,109 @@ object SparkEntryCoverage {
         TextAnalysis.fitBigramLm(docs, "text"), lmPath)
       TextAnalysis
         .scoreBigramLm(docs, "text", "doc_id", graft.sources.Io.readLmModel(s, lmPath))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // LM COUNT-GRID artifact, incremental fit (Io.writeLmCounts /
+    // upsertLmCounts, the 7th seq-versioned family): the historical
+    // half's count grids land at stamp 0, the batch half's partial
+    // grids APPEND (counts are linear — no refit), and the model
+    // derived from the merged grids must score bit-identically to the
+    // in-line full-corpus fit — t_perplexity_bigram's oracle, shared.
+    "t_lm_upsert" -> { (s, dir) =>
+      val p = s"/tmp/graft_idx/lmc_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      val (u0, b0) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      graft.sources.Io.writeLmCounts(u0, b0, p)
+      val (u1, b1) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") >= 250), "text")
+      graft.sources.Io.upsertLmCounts(u1, b1, p, seq = 1L)
+      val (mu, mb) = graft.sources.Io.readLmCounts(s, p)
+      TextAnalysis
+        .scoreBigramLm(docs, "text", "doc_id",
+          TextAnalysis.fitBigramLmFromCounts(mu, mb))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // LM takedown as NEGATIVE deltas: every 10th doc's grids append
+    // negated (subtraction IS removal for linear statistics — no
+    // tombstone sidecar), and the merged model must equal a
+    // from-scratch fit on the filtered corpus, still scoring ALL docs
+    // (removed docs now read as OOV/backoff under the shrunk vocab).
+    "t_lm_takedown" -> { (s, dir) =>
+      val p = s"/tmp/graft_idx/lmc_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      val (u0, b0) = TextAnalysis.bigramCountGrids(docs, "text")
+      graft.sources.Io.writeLmCounts(u0, b0, p)
+      val (ud, bd) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") % 10 === 0), "text")
+      graft.sources.Io.upsertLmCounts(
+        ud.withColumn("cnt", -col("cnt")),
+        bd.withColumn("cab", -col("cab")),
+        p,
+        seq = 1L)
+      val (mu, mb) = graft.sources.Io.readLmCounts(s, p)
+      TextAnalysis
+        .scoreBigramLm(docs, "text", "doc_id",
+          TextAnalysis.fitBigramLmFromCounts(mu, mb))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // LM time travel: base half (0), increment (1), takedown (2) —
+    // the as-of-1 read reconstructs the PRE-TAKEDOWN model (the
+    // audit question "what did this doc score before the purge"),
+    // which must equal the full-corpus fit. The dd_graph_asof
+    // discipline on the count-grid family.
+    "t_lm_asof" -> { (s, dir) =>
+      val p = s"/tmp/graft_idx/lmc_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      val (u0, b0) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      graft.sources.Io.writeLmCounts(u0, b0, p)
+      val (u1, b1) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") >= 250), "text")
+      graft.sources.Io.upsertLmCounts(u1, b1, p, seq = 1L)
+      val (ud, bd) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") % 10 === 0), "text")
+      graft.sources.Io.upsertLmCounts(
+        ud.withColumn("cnt", -col("cnt")),
+        bd.withColumn("cab", -col("cab")),
+        p,
+        seq = 2L)
+      val (mu, mb) = graft.sources.Io.readLmCountsAsOf(s, p, asOfSeq = 1L)
+      TextAnalysis
+        .scoreBigramLm(docs, "text", "doc_id",
+          TextAnalysis.fitBigramLmFromCounts(mu, mb))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    // LM compaction: the full delta history (base + increment +
+    // takedown negations) rewrites as ONE merged grid at stamp 0 with
+    // zero-count keys purged; the model off the compacted PLAIN
+    // reader must equal the post-takedown fit — proving the
+    // compacted grid itself, not a cached merge, is the truth.
+    "t_lm_compacted" -> { (s, dir) =>
+      val p = s"/tmp/graft_idx/lmc_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = t(s, dir, "documents")
+      val (u0, b0) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      graft.sources.Io.writeLmCounts(u0, b0, p)
+      val (u1, b1) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") >= 250), "text")
+      graft.sources.Io.upsertLmCounts(u1, b1, p, seq = 1L)
+      val (ud, bd) =
+        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") % 10 === 0), "text")
+      graft.sources.Io.upsertLmCounts(
+        ud.withColumn("cnt", -col("cnt")),
+        bd.withColumn("cab", -col("cab")),
+        p,
+        seq = 2L)
+      graft.sources.Io.compactLmCounts(s, p)
+      val (mu, mb) = graft.sources.Io.readLmCounts(s, p)
+      TextAnalysis
+        .scoreBigramLm(docs, "text", "doc_id",
+          TextAnalysis.fitBigramLmFromCounts(mu, mb))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
@@ -6990,6 +7141,14 @@ object SparkEntryCoverage {
       // persisted-LM scoring must bit-equal the in-line fit (micro-nat
       // rounding happened at fit time; parquet round-trip is lossless)
       "t_ppl_persisted" -> base("t_perplexity_bigram"),
+      // count-grid merges are exact: incremental and as-of-1 models
+      // must bit-equal the full-corpus fit...
+      "t_lm_upsert" -> base("t_perplexity_bigram"),
+      "t_lm_asof" -> base("t_perplexity_bigram"),
+      // ...and the takedown/compacted models the filtered-corpus fit
+      // (still scoring ALL docs — removed docs read as OOV/backoff)
+      "t_lm_takedown" -> bigramPplOracleSql("doc_id % 10 <> 0"),
+      "t_lm_compacted" -> bigramPplOracleSql("doc_id % 10 <> 0"),
       // the as-of-1 (pre-takedown) state IS the full-corpus graph:
       // later tombstones must be invisible to the time-travel read
       "dd_graph_asof" -> base("dd_cluster_sizes"))
@@ -11303,40 +11462,7 @@ object SparkEntryCoverage {
         |            CROSS JOIN nu CROSS JOIN nb)
         |SELECT term_a, term_b, n_pair, pmi6, CAST(pmi6 AS DOUBLE)/1000000.0 AS pmi
         |FROM sc ORDER BY pmi6 DESC, term_a, term_b LIMIT 30""".stripMargin,
-    "t_perplexity_bigram" -> {
-      // weights interpolated from the engine's own constants; both
-      // CTE chains derive (t+v) from exact counts, so every log-prob
-      // is the identical IEEE expression on both engines
-      val bw = TextAnalysis.BigramWeight
-      val uw = TextAnalysis.UnigramWeight
-      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |tok AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS pos, tk[CAST(gs.i+1 AS INT)] AS term,
-         |          CASE WHEN gs.i = 0 THEN NULL ELSE tk[CAST(gs.i AS INT)] END AS prev
-         |        FROM tk, LATERAL (SELECT unnest(generate_series(0, len(tk)-1)) AS i) gs),
-         |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
-         |big AS (SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS cab FROM tok
-         |        WHERE prev IS NOT NULL GROUP BY 1, 2),
-         |ctx AS (SELECT prev, CAST(SUM(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
-         |unilp AS (SELECT term,
-         |    CAST(round(ln((CAST(cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE)))*1000000) AS BIGINT) AS lp6
-         |  FROM vocab, tot),
-         |bilp AS (SELECT b.prev, b.term,
-         |    CAST(round(ln($bw*(CAST(b.cab AS DOUBLE)/CAST(c.ca AS DOUBLE)) +
-         |      $uw*((CAST(vv.cnt AS DOUBLE)+1.0)/(CAST(t AS DOUBLE)+CAST(v AS DOUBLE))))*1000000) AS BIGINT) AS lp6
-         |  FROM big b JOIN ctx c USING (prev) JOIN vocab vv ON vv.term = b.term, tot),
-         |scored AS (
-         |  SELECT tok.doc_id, u.lp6 FROM tok JOIN unilp u USING (term) WHERE tok.pos = 0
-         |  UNION ALL
-         |  SELECT tok.doc_id, b.lp6 FROM tok JOIN bilp b
-         |    ON tok.prev = b.prev AND tok.term = b.term WHERE tok.pos > 0)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |       CAST(-SUM(lp6) AS BIGINT) AS nll_sum6,
-         |       round(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0), 6) AS mean_nll,
-         |       round(exp(CAST(-SUM(lp6) AS DOUBLE) / (COUNT(*)*1000000.0)), 4) AS ppl
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "t_perplexity_bigram" -> bigramPplOracleSql("TRUE"),
     "v_sql_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${sqlCosine("embedding", "qe")} AS score

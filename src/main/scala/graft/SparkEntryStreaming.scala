@@ -623,6 +623,41 @@ object SparkEntryStreaming {
           .groupBy(col("v"), col("arm"))
           .agg(sum(col("c")).as("c")))
     },
+    // Streaming LM maintenance — the 7th artifact family's live
+    // increment: the base model's count grids hold the historical
+    // half, document micro-batches append their PARTIAL grids
+    // (counts are linear — per-batch grids SUM-merge exactly, no
+    // refit, no token-stream rescan), and the model derived from the
+    // merged artifact must score bit-identically to the in-line
+    // full-corpus fit — t_perplexity_bigram's oracle, shared three
+    // ways (in-line, batch upsert, stream).
+    "st_lm_upsert" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val p = s"/tmp/graft_idx/lmc_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val (u0, b0) = graft.operators.TextAnalysis
+        .bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      graft.sources.Io.writeLmCounts(u0, b0, p)
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 250)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (ub, bb) =
+            graft.operators.TextAnalysis.bigramCountGrids(batch, "text")
+          graft.sources.Io.upsertLmCounts(ub, bb, p, seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (mu, mb) = graft.sources.Io.readLmCounts(s, p)
+      graft.operators.TextAnalysis
+        .scoreBigramLm(docs, "text", "doc_id",
+          graft.operators.TextAnalysis.fitBigramLmFromCounts(mu, mb))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // Streaming Mann-Kendall trend monitor — sign sums over day pairs
     // are not mergeable, but the DAILY COUNT GRID is (per-batch
     // partial counts SUM-merge exactly, the st_kruskal sufficient-
@@ -1076,6 +1111,9 @@ object SparkEntryStreaming {
     // daily-count-grid merge-invariance makes the streamed trend test
     // bit-equal to the batch w_mann_kendall — one shared oracle
     "st_mann_kendall" -> SparkEntryCoverage.mannKendallOracleSql,
+    // LM count-grid merge-invariance: the streamed model must score
+    // bit-identically to the in-line full-corpus fit
+    "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),
     // sketch merge-invariance makes the streamed KMV bit-equal to the
     // batch recomputation (a_kmv_distinct's oracle minus the exact-
     // count column)

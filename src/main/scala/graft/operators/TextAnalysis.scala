@@ -735,13 +735,44 @@ object TextAnalysis {
     */
   def fitBigramLm(df: DataFrame, textCol: String)
       : (DataFrame, DataFrame, Long, Long) = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (uni, bi) = bigramCountGrids(df, textCol)
+    fitBigramLmFromCounts(uni, bi)
+  }
+
+  /** The bigram LM's SUFFICIENT STATISTICS: unigram counts (term,
+    * cnt) and bigram counts (prev, term, cab) — LINEAR in documents
+    * (each doc's pair stream is independent), so per-batch partial
+    * grids SUM-merge exactly and a doc takedown is the NEGATED grid
+    * of the removed docs. The mergeable state behind the persisted
+    * LM-count artifact family ([[graft.sources.Io.writeLmCounts]]).
+    */
+  def bigramCountGrids(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
     // the LM fit never reads a doc id either — same synthesized-id
     // treatment as collocationPmi
     val pairs = bigramPairs(
         df.select(lit(0L).as("__lm_id"), col(textCol)), textCol, "__lm_id")
       .select(col("prev"), col("term"))
-    val vocab = pairs.groupBy(col("term")).agg(count(lit(1)).as("cnt")).persist(mem)
+    (
+      pairs.groupBy(col("term")).agg(count(lit(1)).as("cnt")),
+      pairs
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("term"))
+        .agg(count(lit(1)).as("cab")))
+  }
+
+  /** Derive the scorer-ready (biLp, uniLp, oov6, oovbo6) LM from the
+    * (term, cnt) / (prev, term, cab) COUNT GRIDS — the second half of
+    * [[fitBigramLm]], split out so a merged count ARTIFACT (live
+    * upserts, takedowns as negative deltas, as-of reads) re-derives
+    * the model without touching the token stream. Log-probs are
+    * computed once per type and micro-rounded exactly as the in-line
+    * fit, so a model from merged grids is BIT-IDENTICAL to a model
+    * from a from-scratch fit over the same live corpus.
+    */
+  def fitBigramLmFromCounts(vocabIn: DataFrame, bigIn: DataFrame)
+      : (DataFrame, DataFrame, Long, Long) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vocab = vocabIn.persist(mem)
     val tot = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v")).head()
     val denom = if (tot.isNullAt(0)) 1.0 else tot.getLong(0).toDouble + tot.getLong(1).toDouble
     val pAdd1 = (col("cnt").cast("double") + lit(1.0)) / lit(denom)
@@ -749,11 +780,7 @@ object TextAnalysis {
       col("term"),
       round(log(pAdd1) * lit(1e6), 0).cast("long").as("lp6"),
       round(log(lit(UnigramWeight) * pAdd1) * lit(1e6), 0).cast("long").as("lpbo6"))
-    val big = pairs
-      .filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("term"))
-      .agg(count(lit(1)).as("cab"))
-      .persist(mem)
+    val big = bigIn.persist(mem)
     val ctx = big.groupBy(col("prev")).agg(sum(col("cab")).as("ca"))
     val biLp = big
       .join(ctx, "prev")

@@ -1060,6 +1060,132 @@ object Io {
     (bi, uni, m.getLong(1), m.getLong(2))
   }
 
+  // --- LM COUNT-GRID artifact family (the 7th seq-versioned family) ---
+  //
+  // [[writeLmModel]] persists derived LOG-PROBS — correct for a frozen
+  // release, but log-probs are not mergeable, so a live corpus would
+  // re-fit per increment. The count grids ARE mergeable (linear in
+  // documents): this family persists (term, cnt) / (prev, term, cab)
+  // with upsert-seq stamps, increments append partial grids, a doc
+  // TAKEDOWN appends the removed docs' grids NEGATED (no tombstone
+  // sidecar — counts subtract exactly), as-of reads reconstruct any
+  // historical model, and [[graft.operators.TextAnalysis
+  // .fitBigramLmFromCounts]] derives a scorer bit-identical to a
+  // from-scratch fit over the same live corpus.
+
+  /** Persist bigram-LM count grids at upsert-stamp 0. Layout:
+    * `uni/` (term, cnt, __seq) bucketed by hash(term); `bi/`
+    * (prev, term, cab, __seq) bucketed by hash(prev); `_meta` with
+    * the modulus + both schemas (explicit-schema read-backs — an
+    * empty grid reads as an empty frame, the writeDupGraph rule).
+    */
+  def writeLmCounts(
+      uni: DataFrame,
+      bi: DataFrame,
+      path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = uni.sparkSession
+    import spark.implicits._
+    val u = uni
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+    u.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/uni")
+    val b = bi
+      .withColumn("prev_bucket", pmod(xxhash64(col("prev")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+    b.write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bi")
+    Seq((buckets, u.schema.json, b.schema.json))
+      .toDF("buckets", "uni_schema", "bi_schema")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private def lmCountsMeta(spark: SparkSession, path: String): (Int, StructType, StructType) = {
+    val m = spark.read.parquet(s"$path/_meta")
+      .select(col("buckets"), col("uni_schema"), col("bi_schema"))
+      .head()
+    def schemaOf(j: String) =
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
+    (m.getInt(0), schemaOf(m.getString(1)), schemaOf(m.getString(2)))
+  }
+
+  /** Append an increment's partial count grids with a seq stamp.
+    * A TAKEDOWN is the same call with the removed docs' grids
+    * NEGATED by the caller (counts are linear — no tombstone
+    * machinery, subtraction IS removal).
+    */
+  def upsertLmCounts(
+      uniDelta: DataFrame,
+      biDelta: DataFrame,
+      path: String,
+      seq: Long): Unit = {
+    val spark = uniDelta.sparkSession
+    val (buckets, _, _) = lmCountsMeta(spark, path)
+    uniDelta
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("term_bucket").parquet(s"$path/uni")
+    biDelta
+      .withColumn("prev_bucket", pmod(xxhash64(col("prev")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("prev_bucket").parquet(s"$path/bi")
+  }
+
+  /** Merged count grids AS OF a stamp: SUM over all deltas with
+    * `__seq <= asOfSeq`, keys whose merged count reaches 0 DROP
+    * (a taken-down doc's types vanish from the vocab exactly as a
+    * re-fit would drop them). Returns (uni, bi) scorer-fit inputs.
+    */
+  def readLmCountsAsOf(
+      spark: SparkSession,
+      path: String,
+      asOfSeq: Long): (DataFrame, DataFrame) = {
+    val (_, uniSchema, biSchema) = lmCountsMeta(spark, path)
+    val uni = spark.read.schema(uniSchema).parquet(s"$path/uni")
+      .filter(coalesce(col("__seq"), lit(0L)) <= asOfSeq)
+      .groupBy(col("term"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0L)
+    val bi = spark.read.schema(biSchema).parquet(s"$path/bi")
+      .filter(coalesce(col("__seq"), lit(0L)) <= asOfSeq)
+      .groupBy(col("prev"), col("term"))
+      .agg(sum(col("cab")).as("cab"))
+      .filter(col("cab") > 0L)
+    (uni, bi)
+  }
+
+  /** Latest merged grids (as-of the maximum stamp). */
+  def readLmCounts(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    readLmCountsAsOf(spark, path, Long.MaxValue)
+
+  /** Rewrite the delta history as ONE merged grid at stamp 0 — the
+    * family's compaction: a month of micro-batch appends (and
+    * takedown negations) collapses so readers stop re-merging
+    * history. Staged rewrite (never overwrite a path while lazily
+    * reading it), zero-count keys purged.
+    */
+  def compactLmCounts(spark: SparkSession, path: String): Unit = {
+    val (buckets, uniSchema, biSchema) = lmCountsMeta(spark, path)
+    val (uni, bi) = readLmCounts(spark, path)
+    val uStage = s"$path/uni_compacting"
+    uni
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(uStage)
+    spark.read.schema(uniSchema).parquet(uStage)
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/uni")
+    deleteDir(spark, uStage)
+    val bStage = s"$path/bi_compacting"
+    bi
+      .withColumn("prev_bucket", pmod(xxhash64(col("prev")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("prev_bucket").parquet(bStage)
+    spark.read.schema(biSchema).parquet(bStage)
+      .write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bi")
+    deleteDir(spark, bStage)
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files —
     * the cure for long append histories and over-parallel writes (a
     * 32-task write of a 10 MB table leaves 32 tiny files; a month of

@@ -159,8 +159,60 @@ class ArtifactContractSpec extends SparkSpec {
     def plain(dir: String) = canon(Io.readMinhashSigs(spark, dir).select("id", "sig"))
   }
 
+  private def lmGrids(rows: Seq[(Long, String)]) =
+    graft.operators.TextAnalysis.bigramCountGrids(rows.toDF("id", "text"), "text")
+
+  private object LmCountsFamily extends Family {
+    val name = "lmcounts"
+    private def view(uni: DataFrame, bi: DataFrame): Set[String] =
+      canon(uni.select(col("term"), col("cnt"))) ++
+        canon(bi.select(concat_ws("|", col("prev"), col("term")).as("k"), col("cab")))
+    def build(dir: String): Unit = {
+      val (u, b) = lmGrids(Seq(1L -> "alpha beta", 2L -> "gamma alpha"))
+      Io.writeLmCounts(u, b, dir, buckets = 4)
+    }
+    def upsert(dir: String, seq: Long): Unit = {
+      // bumps existing counts (alpha, beta) AND adds a new term
+      val (u, b) = lmGrids(Seq((100L + seq) -> s"alpha new$seq beta"))
+      Io.upsertLmCounts(u, b, dir, seq)
+    }
+    def live(dir: String) = {
+      val (u, b) = Io.readLmCounts(spark, dir); view(u, b)
+    }
+    def asOf(dir: String, seq: Long) = {
+      val (u, b) = Io.readLmCountsAsOf(spark, dir, seq); view(u, b)
+    }
+    def compact(dir: String): Unit = Io.compactLmCounts(spark, dir)
+    def plain(dir: String) = live(dir) // the merged reader IS the plain reader
+  }
+
   private val families: Seq[Family] =
-    Seq(IvfFamily, PqFamily, PostingsFamily, PhashFamily, DupGraphFamily, MinhashSigsFamily)
+    Seq(IvfFamily, PqFamily, PostingsFamily, PhashFamily, DupGraphFamily,
+      MinhashSigsFamily, LmCountsFamily)
+
+  test("[lmcounts] negative-delta takedown: zeroed keys vanish live, as-of resurrects them") {
+    val dir = tmp("contract_lmtd") + "/art"
+    LmCountsFamily.build(dir)
+    val full = LmCountsFamily.live(dir)
+    // takedown doc 2 ("gamma alpha"): negate its grids at stamp 1
+    val (ud, bd) = lmGrids(Seq(2L -> "gamma alpha"))
+    Io.upsertLmCounts(
+      ud.withColumn("cnt", -col("cnt")),
+      bd.withColumn("cab", -col("cab")),
+      dir,
+      seq = 1L)
+    val after = LmCountsFamily.live(dir)
+    // gamma's count hits zero -> the key DROPS (exactly what a refit
+    // on the filtered corpus would produce); alpha survives at 1
+    assert(!after.exists(_.contains("gamma")), after.toString)
+    assert(after.exists(s => s.contains("alpha") && s.contains("1")), after.toString)
+    // time travel reconstructs the pre-takedown vocabulary
+    assert(LmCountsFamily.asOf(dir, 0L) == full)
+    // compaction purges the zeroed keys from the base too
+    Io.compactLmCounts(spark, dir)
+    assert(LmCountsFamily.plain(dir) == after)
+    assert(LmCountsFamily.asOf(dir, 0L) == after)
+  }
 
   for (f <- families) {
     test(s"[${f.name}] as-of clauses: 0 == base, mid == post-upsert snapshot, max == live") {
