@@ -5543,6 +5543,31 @@ object SparkEntryCoverage {
         .select(col("user_id"), col("e.t").as("t"), col("e.x").as("x"))
       Experiments.friedman(long, col("user_id"), col("t"), col("x"))
     },
+    // Page's L ordered trend (Experiments.pageTrend): the a_friedman
+    // panel re-asked with the ORDER HYPOTHESIS "spend rises across
+    // the three decades" — Page spends its one df on that order and
+    // beats the omnibus Friedman when the order is right.
+    "a_page_trend" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < lit("2024-01-11").cast("timestamp"),
+            round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("p1"),
+          sum(when(col("ts") >= lit("2024-01-11").cast("timestamp")
+            && col("ts") < lit("2024-01-21").cast("timestamp"),
+            round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("p2"),
+          sum(when(col("ts") >= lit("2024-01-21").cast("timestamp"),
+            round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("p3"))
+      val long = per.select(
+        col("user_id"),
+        explode(array(
+          struct(lit(1L).as("t"), col("p1").as("x")),
+          struct(lit(2L).as("t"), col("p2").as("x")),
+          struct(lit(3L).as("t"), col("p3").as("x")))).as("e"))
+        .select(col("user_id"), col("e.t").as("t"), col("e.x").as("x"))
+      Experiments.pageTrend(long, col("user_id"), col("t"), col("x"))
+    },
     // Odds ratio with Wald CI (Experiments.oddsRatio): the 2x2
     // effect-size readout next to a_ab_test's significance —
     // Haldane-Anscombe half-unit cells keep zeros finite.
@@ -10675,6 +10700,38 @@ object SparkEntryCoverage {
         |SELECT CAST(3 AS BIGINT) AS k, n AS n_units, chi2_6,
         |  CAST(chi2_6 // (n * 2) AS BIGINT) AS w6,
         |  chi2_6 >= 5991465 AS significant
+        |FROM f""".stripMargin,
+    "a_page_trend" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-11'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p1,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p2,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p3
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |base AS (SELECT user_id AS u, CAST(1 AS BIGINT) AS w, p1 AS v FROM per
+        |  UNION ALL SELECT user_id, 2, p2 FROM per
+        |  UNION ALL SELECT user_id, 3, p3 FROM per),
+        |dv AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1, 2),
+        |rk AS (SELECT u, v, t,
+        |         CAST(COALESCE(SUM(t) OVER (PARTITION BY u ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+        |           AS rmin
+        |       FROM dv),
+        |rnk AS (SELECT b.u, b.w, 2 * rk.rmin + rk.t - 1 AS d
+        |        FROM base b JOIN rk ON rk.u = b.u AND rk.v = b.v),
+        |nn AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM rnk),
+        |l AS (SELECT CAST(SUM(w * d) AS BIGINT) AS l2 FROM rnk),
+        |f AS (SELECT n, l2, CAST(n * 24 AS BIGINT) AS e2,
+        |        CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+        |        ELSE CAST((CAST(36000000 AS HUGEINT)
+        |               * (l2 - n * 24) * (l2 - n * 24))
+        |             // (CAST(n AS HUGEINT) * 288) AS BIGINT) END AS z2_6
+        |      FROM nn CROSS JOIN l)
+        |SELECT CAST(3 AS BIGINT) AS k, n AS n_units, l2, e2, z2_6,
+        |       z2_6 >= 3841459 AS significant
         |FROM f""".stripMargin,
     "a_odds_ratio" ->
       """WITH cells AS (

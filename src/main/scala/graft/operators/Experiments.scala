@@ -2006,6 +2006,100 @@ object Experiments {
         (col("z2_6") >= Z2Alpha05Micro).as("significant"))
   }
 
+  /** Page's L trend test (Page, JASA 1963) — the ORDERED-alternative
+    * companion of [[friedman]] on the same per-unit rank chassis:
+    * Friedman asks "did ANY treatment shift"; Page asks "do the
+    * treatments increase in the HYPOTHESIZED order" and buys the
+    * power an omnibus test wastes when the order is known (dose
+    * steps, time periods, model-size ladders). `treatmentCol` must
+    * cast to integers whose NUMERIC ORDER is the hypothesis; weights
+    * are the dense 1..k positions of the distinct values (a ≤11-row
+    * sorted driver bootstrap — the documented bounded-constant
+    * class).
+    *
+    * Doubled-mid-rank exactness: with per-unit doubled ranks d
+    * (2r + t − 1, always integer), L2 = Σ_rows w·d = 2L and
+    *
+    *   z²·1e6 = 36e6 · (L2 − n·k(k+1)²/2)² div (n·k²(k+1)²(k−1))
+    *
+    * — exact integer cross-products in DECIMAL(38,0), ONE truncating
+    * division (E[L2] = n·k(k+1)²/2 is always an integer). Ties take
+    * mid-ranks; the variance is the classic no-tie closed form (the
+    * standard Page approximation — the test assumes continuous
+    * responses; heavy ties warrant [[friedman]] instead).
+    * Significance vs the chi²₁ literal [[Z2Alpha05Micro]] (two-sided
+    * on z; callers wanting the one-sided ordered alternative check
+    * sign(L2 − E2) alongside). Every unit must carry exactly k
+    * treatment rows (fail-fast, the friedman panel contract);
+    * 3 ≤ k ≤ 11.
+    *
+    * Returns one row (k, n_units, l2, e2, z2_6, significant).
+    */
+  def pageTrend(
+      df: DataFrame,
+      unitCol: Column,
+      treatmentCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = cached(
+      df
+        .filter(unitCol.isNotNull && treatmentCol.isNotNull && valueCol.isNotNull)
+        .select(
+          unitCol.as("u"),
+          treatmentCol.cast("long").as("trt"),
+          valueCol.cast("long").as("v")))
+    val trts = base.select(col("trt")).distinct().orderBy(col("trt"))
+      .collect().map(_.getLong(0))
+    require(
+      trts.length >= 3 && trts.length <= 11,
+      s"pageTrend: 3..11 ordered treatments required, got ${trts.length}")
+    val k = trts.length.toLong
+    val weights = broadcast(
+      trts.zipWithIndex.map { case (t0, i) => (t0, i + 1L) }.toSeq.toDF("trt", "w"))
+    val dv = base.groupBy(col("u"), col("v")).agg(count(lit(1)).as("t"))
+      .withColumn(
+        "rmin",
+        coalesce(
+          sum(col("t")).over(
+            Window.partitionBy(col("u")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L)
+    val ranked = base
+      .join(dv, Seq("u", "v"))
+      .withColumn("d", lit(2L) * col("rmin") + col("t") - 1L)
+    val units = ranked.groupBy(col("u")).agg(count(lit(1)).as("__nt"))
+      .filter(
+        assert_true(
+          col("__nt") === lit(k),
+          concat(
+            lit(s"pageTrend: every unit must carry exactly $k treatment rows; unit with "),
+            col("__nt").cast("string"))).isNull)
+    val n = broadcast(units.agg(count(lit(1)).as("n_units")))
+    ranked
+      .join(weights, Seq("trt"))
+      .agg(sum(col("w") * col("d")).as("l2"))
+      .crossJoin(n)
+      .withColumn("k", lit(k))
+      .withColumn("e2", expr(s"n_units * $k * ($k + 1) * ($k + 1) div 2"))
+      .withColumn(
+        "z2_6",
+        expr(
+          s"""CASE WHEN n_units = 0 THEN CAST(0 AS BIGINT)
+             |ELSE CAST(
+             |  (CAST(36000000 AS DECIMAL(38,0))
+             |   * CAST(l2 - e2 AS DECIMAL(38,0)) * CAST(l2 - e2 AS DECIMAL(38,0)))
+             |  div (CAST(n_units AS DECIMAL(38,0))
+             |       * CAST($k AS DECIMAL(38,0)) * CAST($k AS DECIMAL(38,0))
+             |       * CAST($k + 1 AS DECIMAL(38,0)) * CAST($k + 1 AS DECIMAL(38,0))
+             |       * CAST($k - 1 AS DECIMAL(38,0)))
+             |AS BIGINT) END""".stripMargin))
+      .select(
+        col("k"), col("n_units"), col("l2"), col("e2"), col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
   /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) — the
     * binary × ORDERED-dose cell of the test grid: does a success
     * rate move monotonically with an integer dose score? The

@@ -352,6 +352,33 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("2..11 arms"))
   }
 
+  test("pageTrend: perfect order scores z2 = 4e6 and crosses; opposing units cancel to 0") {
+    // two units, both strictly increasing: per-unit doubled ranks
+    // 2/4/6 weighted 1/2/3 -> L2 = 56, E2 = 2*3*16/2 = 48,
+    // z2_6 = 36e6*64 div (2*9*16*2) = 4,000,000 >= 3,841,459
+    val inc = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 5L), (2L, 2L, 6L), (2L, 3L, 7L))
+    val r = Experiments
+      .pageTrend(inc.toDF("u", "t", "x"), col("u"), col("t"), col("x"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)) == ((3L, 2L, 56L, 48L, 4000000L, true)))
+    // one rising + one falling unit: L2 = 28 + 20 = 48 = E2 -> z2 = 0
+    val mix = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 30L), (2L, 2L, 20L), (2L, 3L, 10L))
+    val rm = Experiments
+      .pageTrend(mix.toDF("u", "t", "x"), col("u"), col("t"), col("x"))
+      .head()
+    assert((rm.getLong(2), rm.getLong(4), rm.getBoolean(5)) == ((48L, 0L, false)))
+    // incomplete panel fails fast (the friedman contract)
+    val bad = inc.drop(1)
+    val e = intercept[Exception](
+      Experiments.pageTrend(bad.toDF("u", "t", "x"), col("u"), col("t"), col("x")).collect())
+    assert(e.getMessage.contains("exactly 3 treatment rows"), e.getMessage)
+  }
+
   test("cochranArmitage: hand-computed dose-response; saturated outcome degenerates to 0") {
     // doses 1/2/3 with 2/10, 5/10, 8/10 successes: N=30, X=15,
     // num = 30*36 - 15*60 = 180, den = 15*15*(30*140 - 3600) = 135000,
