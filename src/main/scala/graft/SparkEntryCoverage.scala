@@ -5543,6 +5543,18 @@ object SparkEntryCoverage {
         .select(col("user_id"), col("e.t").as("t"), col("e.x").as("x"))
       Experiments.friedman(long, col("user_id"), col("t"), col("x"))
     },
+    // Jonckheere-Terpstra ordered k-arm trend (Experiments
+    // .jonckheereTerpstra): do cent values shift upward across the
+    // five calendar weeks? The continuous sibling of a_ca_trend and
+    // the ordered upgrade of a_kruskal, with the full Lehmann
+    // tie-corrected variance in exact integers.
+    "a_jonckheere" -> { (s, dir) =>
+      Experiments.jonckheereTerpstra(
+        t(s, dir, "events").filter(col("ts").isNotNull && col("value").isNotNull),
+        lit(1L) +
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS BIGINT)"),
+        round(col("value") * 100.0, 0).cast("long"))
+    },
     // Page's L ordered trend (Experiments.pageTrend): the a_friedman
     // panel re-asked with the ORDER HYPOTHESIS "spend rises across
     // the three decades" — Page spends its one df on that order and
@@ -10700,6 +10712,50 @@ object SparkEntryCoverage {
         |SELECT CAST(3 AS BIGINT) AS k, n AS n_units, chi2_6,
         |  CAST(chi2_6 // (n * 2) AS BIGINT) AS w6,
         |  chi2_6 >= 5991465 AS significant
+        |FROM f""".stripMargin,
+    "a_jonckheere" ->
+      """WITH base AS (SELECT
+        |    1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |va AS (SELECT CAST(arm AS BIGINT) AS arm, v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM base GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT v FROM va),
+        |arms AS (SELECT DISTINCT arm FROM va),
+        |filled AS (SELECT a.arm, s.v, CAST(COALESCE(va.c, 0) AS BIGINT) AS c
+        |           FROM arms a CROSS JOIN spine s
+        |           LEFT JOIN va ON va.arm = a.arm AND va.v = s.v),
+        |bg AS (SELECT arm, v, c,
+        |         CAST(COALESCE(SUM(c) OVER (PARTITION BY arm ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+        |       FROM filled),
+        |jt AS (SELECT CAST(COALESCE(SUM(h.c * (2 * g.b + g.c)), 0) AS BIGINT) AS jt2
+        |       FROM bg g JOIN va h ON h.v = g.v AND g.arm < h.arm),
+        |gs AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |         CAST(SUM(n_g * n_g) AS BIGINT) AS sq,
+        |         CAST(SUM(n_g * (n_g - 1) * (2 * n_g + 5)) AS BIGINT) AS ga,
+        |         CAST(SUM(n_g * (n_g - 1) * (n_g - 2)) AS BIGINT) AS gb,
+        |         CAST(SUM(n_g * (n_g - 1)) AS BIGINT) AS gc
+        |       FROM (SELECT arm, CAST(SUM(c) AS BIGINT) AS n_g FROM va GROUP BY 1)),
+        |tt AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ta,
+        |         CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS tb,
+        |         CAST(SUM(t * (t - 1)) AS BIGINT) AS tc
+        |       FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM va GROUP BY 1)),
+        |f AS (SELECT k, n, jt2, CAST((n * n - sq) // 2 AS BIGINT) AS e2,
+        |        CASE WHEN n < 3 THEN CAST(0 AS HUGEINT)
+        |        ELSE ((CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - ga - ta)
+        |                * n * (n - 1) * (n - 2)
+        |              + 2 * CAST(gb AS HUGEINT) * tb
+        |              + 9 * CAST(n - 2 AS HUGEINT) * gc * tc)
+        |             // (CAST(n AS HUGEINT) * (n - 1) * (n - 2)) END AS var72
+        |      FROM jt CROSS JOIN gs CROSS JOIN tt)
+        |SELECT k, n, jt2, e2,
+        |  CASE WHEN var72 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(18000000 AS HUGEINT) * (jt2 - e2) * (jt2 - e2))
+        |       // var72 AS BIGINT) END AS z2_6,
+        |  CASE WHEN var72 <= 0 THEN FALSE
+        |  ELSE (CAST(18000000 AS HUGEINT) * (jt2 - e2) * (jt2 - e2)) // var72
+        |       >= 3841459 END AS significant
         |FROM f""".stripMargin,
     "a_page_trend" ->
       """WITH per AS (SELECT user_id,

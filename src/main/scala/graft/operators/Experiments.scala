@@ -2006,6 +2006,133 @@ object Experiments {
         (col("z2_6") >= Z2Alpha05Micro).as("significant"))
   }
 
+  /** Jonckheere–Terpstra ordered k-arm trend test (Jonckheere 1954;
+    * Terpstra 1952) — the CONTINUOUS-response sibling of
+    * [[cochranArmitage]] and the ordered-alternative upgrade of
+    * [[kruskalWallis]]: do values shift in the HYPOTHESIZED arm
+    * order? JT = Σ over ordered arm pairs g < h of
+    * #(x_g < x_h) + ½·#(x_g = x_h); the DOUBLED statistic JT2 stays
+    * integer and folds from the (arm, value) COUNT GRID:
+    *
+    *   JT2 = Σ_v Σ_{g<h} c_h(v) · (2·B_g(v) + c_g(v))
+    *
+    * where B_g(v) (arm g's count strictly below v) comes from ONE
+    * [[Relational.globalCumSum]] over the gap-filled (arm × value-
+    * spine) grid ordered by (arm, v), minus a ≤11-row arm-offset
+    * broadcast — per-arm prefixes with NO per-arm single-task window.
+    * The arm pairing is a k²-bounded self-join per spine value.
+    *
+    * Significance with the FULL Lehmann (1975) tie-corrected
+    * variance — all three correction terms as exact integer
+    * aggregates over arm sizes n_g and value-tie sizes t_v:
+    *
+    *   A  = N(N−1)(2N+5) − Σ_g n_g(n_g−1)(2n_g+5) − Σ_v t_v(t_v−1)(2t_v+5)
+    *   B  = [Σ_g n_g(n_g−1)(n_g−2)] · [Σ_v t_v(t_v−1)(t_v−2)]
+    *   C  = [Σ_g n_g(n_g−1)] · [Σ_v t_v(t_v−1)]
+    *   72·Var ≈ var72 = (A·N(N−1)(N−2) + 2B + 9(N−2)C) div (N(N−1)(N−2))
+    *   z²·1e6 = 18e6 · (JT2 − E2)² div var72,  E2 = (N² − Σn_g²)/2
+    *
+    * — staged truncating divisions at pinned boundaries (the
+    * oneWayAnova convention), oracle-mirrored stage for stage; E2 is
+    * always integer (parity argument: x² ≡ x mod 2). Valid range:
+    * A·N³ ≈ 2N⁶ ≤ 1e38 → N ≲ 1e6 rows; collapse to the count grid
+    * upstream (it already is one) or subsample beyond. Degenerate
+    * var72 ≤ 0 (everything tied / one arm) scores 0; 2 ≤ k ≤ 11
+    * fail-fast. Two-sided vs the chi²₁ literal [[Z2Alpha05Micro]];
+    * the ordered one-sided reading checks sign(JT2 − E2) alongside.
+    *
+    * Returns one row (k, n, jt2, e2, z2_6, significant).
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      armCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val va = cached(
+      df
+        .filter(armCol.isNotNull && valueCol.isNotNull)
+        .groupBy(armCol.cast("long").as("arm"), valueCol.cast("long").as("v"))
+        .agg(count(lit(1)).as("c")))
+    // arm totals: k ≤ 11 fail-fast, so the offsets are a documented
+    // bounded-constant driver bootstrap
+    val armTotals = va.groupBy(col("arm")).agg(sum(col("c")).as("n_g"))
+      .orderBy(col("arm")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(
+      armTotals.length >= 2 && armTotals.length <= 11,
+      s"jonckheereTerpstra: 2..11 ordered arms required, got ${armTotals.length}")
+    val offsets = broadcast(
+      armTotals.toSeq
+        .scanLeft((0L, 0L)) { case ((_, acc), (a, n0)) => (a, acc + n0) }
+        .sliding(2).map { case Seq((_, prev), (a, _)) => (a, prev) }.toSeq
+        .toDF("arm", "__off"))
+    val spine = va.select(col("v")).distinct()
+    val arms = va.select(col("arm")).distinct()
+    val filled = spine.crossJoin(arms)
+      .join(va, Seq("arm", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    // B_g(v) = global exclusive cumsum under (arm, v) minus the sum of
+    // all earlier arms' totals
+    val bg = Relational
+      .globalCumSum(filled, Seq(col("arm"), col("v")), "c", "__cum")
+      .join(offsets, Seq("arm"))
+      .select(
+        col("v"), col("arm").as("ag"), col("c").as("cg"),
+        (col("__cum") - col("__off")).as("b"))
+    val jt = bg
+      .join(va.select(col("v"), col("arm").as("ah"), col("c").as("ch")), Seq("v"))
+      .filter(col("ag") < col("ah"))
+      .agg(coalesce(
+        sum(col("ch") * (lit(2L) * col("b") + col("cg"))), lit(0L)).as("jt2"))
+    val gStats = broadcast(
+      va.groupBy(col("arm")).agg(sum(col("c")).as("n_g"))
+        .agg(
+          sum(col("n_g")).as("n"),
+          sum(col("n_g") * col("n_g")).as("__sq"),
+          sum(col("n_g") * (col("n_g") - 1L) * (lit(2L) * col("n_g") + 5L)).as("__ga"),
+          sum(col("n_g") * (col("n_g") - 1L) * (col("n_g") - 2L)).as("__gb"),
+          sum(col("n_g") * (col("n_g") - 1L)).as("__gc")))
+    val tStats = broadcast(
+      va.groupBy(col("v")).agg(sum(col("c")).as("t"))
+        .agg(
+          sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("__ta"),
+          sum(col("t") * (col("t") - 1L) * (col("t") - 2L)).as("__tb"),
+          sum(col("t") * (col("t") - 1L)).as("__tc")))
+    jt
+      .crossJoin(gStats)
+      .crossJoin(tStats)
+      .withColumn("k", lit(armTotals.length.toLong))
+      .withColumn("e2", expr("(n * n - __sq) div 2"))
+      .withColumn(
+        "__var72",
+        expr(
+          """CASE WHEN n < 3 THEN CAST(0 AS DECIMAL(38,0))
+            |ELSE
+            |  ((CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))
+            |      * CAST(2 * n + 5 AS DECIMAL(38,0))
+            |    - CAST(__ga AS DECIMAL(38,0)) - CAST(__ta AS DECIMAL(38,0)))
+            |   * CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))
+            |   * CAST(n - 2 AS DECIMAL(38,0))
+            |   + CAST(2 AS DECIMAL(38,0)) * CAST(__gb AS DECIMAL(38,0))
+            |     * CAST(__tb AS DECIMAL(38,0))
+            |   + CAST(9 AS DECIMAL(38,0)) * CAST(n - 2 AS DECIMAL(38,0))
+            |     * CAST(__gc AS DECIMAL(38,0)) * CAST(__tc AS DECIMAL(38,0)))
+            |  div (CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))
+            |       * CAST(n - 2 AS DECIMAL(38,0))) END""".stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN __var72 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(18000000 AS DECIMAL(38,0))
+            |   * CAST(jt2 - e2 AS DECIMAL(38,0)) * CAST(jt2 - e2 AS DECIMAL(38,0)))
+            |  div __var72
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("k"), col("n"), col("jt2"), col("e2"), col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
   /** Page's L trend test (Page, JASA 1963) — the ORDERED-alternative
     * companion of [[friedman]] on the same per-unit rank chassis:
     * Friedman asks "did ANY treatment shift"; Page asks "do the

@@ -352,6 +352,32 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("2..11 arms"))
   }
 
+  test("jonckheereTerpstra: hand-computed JT2 with and without ties; Lehmann variance exact") {
+    // arms 1:[1,2], 2:[2,3]: JT = 3 wins + half a tie -> JT2 = 7,
+    // E2 = (16-8)/2 = 4; A = 156-36-18 = 102,
+    // var72 = (102*24 + 0 + 9*2*4*2)/24 = 108,
+    // z2_6 = 18e6*9 div 108 = 1,500,000 -> not significant
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+    val r = Experiments
+      .jonckheereTerpstra(tied.toDF("a", "x"), col("a"), col("x"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)) == ((2L, 4L, 7L, 4L, 1500000L, false)))
+    // no ties, fully separated arms 1:[1,2], 2:[3,4]: JT2 = 8,
+    // var72 = classic no-tie 72*Var = N^2(2N+3) - sum n_g^2(2n_g+3)
+    //       = 176 - 56 = 120; z2_6 = 18e6*16 div 120 = 2,400,000
+    val clean = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L))
+    val rc = Experiments
+      .jonckheereTerpstra(clean.toDF("a", "x"), col("a"), col("x"))
+      .head()
+    assert((rc.getLong(2), rc.getLong(4)) == ((8L, 2400000L)))
+    // one arm fails fast
+    val e = intercept[IllegalArgumentException](
+      Experiments.jonckheereTerpstra(
+        Seq((1L, 1L), (1L, 2L)).toDF("a", "x"), col("a"), col("x")))
+    assert(e.getMessage.contains("2..11 ordered arms"), e.getMessage)
+  }
+
   test("pageTrend: perfect order scores z2 = 4e6 and crosses; opposing units cancel to 0") {
     // two units, both strictly increasing: per-unit doubled ranks
     // 2/4/6 weighted 1/2/3 -> L2 = 56, E2 = 2*3*16/2 = 48,
