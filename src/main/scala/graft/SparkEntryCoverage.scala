@@ -210,7 +210,7 @@ object SparkEntryCoverage {
     * [[graft.operators.Experiments.ObfZ2Micro5]] /
     * [[graft.operators.Experiments.PocockZ2Micro5]].
     */
-  private def groupSeqLooksOracleSql(bounds: Seq[Long]): String =
+  private[graft] def groupSeqLooksOracleSql(bounds: Seq[Long]): String =
     s"""WITH base AS (
         | SELECT event_type AS g,
         |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,

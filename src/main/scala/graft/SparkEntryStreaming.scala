@@ -623,6 +623,50 @@ object SparkEntryStreaming {
           .groupBy(col("v"), col("arm"))
           .agg(sum(col("c")).as("c")))
     },
+    // Streaming group-sequential monitor — the OBF boundary check IS
+    // naturally a streaming job (peek as traffic arrives): per-batch
+    // partial (g, v, look, n, x) cells SUM-merge exactly (the
+    // st_kruskal sufficient-statistic posture), the monitor re-runs
+    // the gap-filled cumulative pivot over the merged looks-bounded
+    // grid — bit-equal to the batch a_obf_looks under one oracle.
+    "st_obf_looks" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/obfgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(
+          col("event_type").cast("string").as("g"), lit("A").as("v"),
+          lit(0L).as("look"), lit(0L).as("n"), lit(0L).as("x"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(
+              col("user_id").isNotNull && col("value").isNotNull &&
+                col("ts").isNotNull && col("event_type").isNotNull)
+            .groupBy(
+              col("event_type").cast("string").as("g"),
+              when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")).as("v"),
+              least(
+                lit(5L),
+                lit(1L) + expr(
+                  "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 6 AS BIGINT)"))
+                .as("look"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum((col("value") > 50.0).cast("long")).as("x"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .obfLooks5FromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("g"), col("v"), col("look"))
+            .agg(sum(col("n")).as("n"), sum(col("x")).as("x")))
+        .orderBy(col("group"), col("look"))
+    },
     // Streaming LM maintenance — the 7th artifact family's live
     // increment: the base model's count grids hold the historical
     // half, document micro-batches append their PARTIAL grids
@@ -1114,6 +1158,10 @@ object SparkEntryStreaming {
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),
+    // per-look cell merge-invariance: the streamed group-sequential
+    // monitor must reproduce the batch OBF readout bit-for-bit
+    "st_obf_looks" -> SparkEntryCoverage.groupSeqLooksOracleSql(
+      graft.operators.Experiments.ObfZ2Micro5),
     // sketch merge-invariance makes the streamed KMV bit-equal to the
     // batch recomputation (a_kmv_distinct's oracle minus the exact-
     // count column)

@@ -928,25 +928,44 @@ object Experiments {
       variantCol: Column,
       successCol: Column,
       lookCol: Column,
+      boundsZ2Micro: Seq[Long]): DataFrame =
+    groupSeqLooksFromCells(
+      df
+        .filter(
+          groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull &&
+            lookCol.isNotNull)
+        .select(
+          groupCol.as("g"), variantCol.as("v"),
+          lookCol.cast("long").as("look"), successCol.cast("long").as("s"))
+        .groupBy(col("g"), col("v"), col("look"))
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("x")),
+      boundsZ2Micro)
+
+  /** [[obfLooks5]] off a PRE-AGGREGATED (g, v, look, n, x) cell grid
+    * — the streaming-monitor entry point (the
+    * [[kruskalWallisFromCounts]] posture): the group-sequential
+    * readout's sufficient statistic is the per-look cell grid, which
+    * is LINEAR — per-micro-batch partial cells SUM-merge exactly, so
+    * a live intake appends partials and the monitor recomputes the
+    * boundary checks over the merged looks-bounded grid, bit-equal
+    * to the one-shot batch readout. Callers merging partials must
+    * sum (n, x) per (g, v, look) first.
+    */
+  def obfLooks5FromCells(cells: DataFrame): DataFrame =
+    groupSeqLooksFromCells(cells, ObfZ2Micro5)
+
+  private def groupSeqLooksFromCells(
+      cellsIn: DataFrame,
       boundsZ2Micro: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(boundsZ2Micro.length == 5, "K = 5 looks: need 5 boundary literals")
-    val spark = df.sparkSession
+    val spark = cellsIn.sparkSession
     import spark.implicits._
-    val cells = df
-      .filter(
-        groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull &&
-          lookCol.isNotNull)
-      .select(
-        groupCol.as("g"), variantCol.as("v"),
-        lookCol.cast("long").as("look"), successCol.cast("long").as("s"))
-      .filter(
-        assert_true(
-          col("look").between(1L, 5L),
-          concat(lit("obfLooks5: look index must be 1..5, got "),
-            col("look").cast("string"))).isNull)
-      .groupBy(col("g"), col("v"), col("look"))
-      .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+    val cells = cellsIn.filter(
+      assert_true(
+        col("look").between(1L, 5L),
+        concat(lit("obfLooks5: look index must be 1..5, got "),
+          col("look").cast("string"))).isNull)
     // gap-fill each variant's look axis against the group's observed
     // look spine (a look exists once ANY arm has traffic in it): an
     // arm with zero NEW traffic in a period has no raw cell, but its
