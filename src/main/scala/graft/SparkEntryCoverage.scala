@@ -92,6 +92,28 @@ object SparkEntryCoverage {
         p
       })
 
+  /** Shared immutable stamp-0 POSTINGS base per (application,
+    * dataset) — the [[dupGraphBase]] discipline applied to the
+    * inverted-index family: seven queries used to run their own
+    * `writePostings(invertedIndex(docs))` on identical input; the
+    * build now runs once, read-only consumers read it in place,
+    * mutating lifecycle queries COPY it first. (st_postings_upsert
+    * keeps its own build — its base is deliberately built from STALE
+    * text.)
+    */
+  private val postingsBaseCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def postingsBase(s: SparkSession, dir: String): String =
+    postingsBaseCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir", {
+        val p = s"/tmp/graft_idx/postbase_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        graft.sources.Io.writePostings(
+          TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id"),
+          p)
+        p
+      })
+
   /** Recursive local-filesystem copy for the copy-on-write mutation
     * directories (wipes `dst` first). Driver-side java.nio only —
     * the artifacts live on the local FS in this harness; a cluster
@@ -2379,11 +2401,8 @@ object SparkEntryCoverage {
     // built-once vector index; result must equal the in-line build
     // (same oracle as r_phrase_search)
     "r_phrase_persisted" -> { (s, dir) =>
-      val idxPath =
-        s"/tmp/graft_idx/postings_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writePostings(
-        TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id"),
-        idxPath)
+      // read-only consumer of the SHARED postings base
+      val idxPath = postingsBase(s, dir)
       val phrase = Seq("table", "hash")
       val pruned = graft.sources.Io
         .readPostings(s, idxPath)
@@ -2402,11 +2421,10 @@ object SparkEntryCoverage {
     // phrase match over the effective corpus.
     "r_phrase_delete" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // copy-on-write off the SHARED postings base
       val idxPath =
         s"/tmp/graft_idx/postings_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writePostings(
-        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
-        idxPath)
+      copyTree(postingsBase(s, dir), idxPath)
       graft.sources.Io.deletePostingsDocs(
         docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")), idxPath, seq = 1L)
       graft.sources.Io.upsertPostings(
@@ -2435,11 +2453,10 @@ object SparkEntryCoverage {
     // as-of reads.
     "r_phrase_asof" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // copy-on-write off the SHARED postings base
       val idxPath =
         s"/tmp/graft_idx/postings_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writePostings(
-        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
-        idxPath)
+      copyTree(postingsBase(s, dir), idxPath)
       graft.sources.Io.deletePostingsDocs(
         docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")), idxPath, seq = 1L)
       graft.sources.Io.upsertPostings(
@@ -2464,11 +2481,10 @@ object SparkEntryCoverage {
     // serve the identical phrase results (r_phrase_delete's oracle)
     "r_phrase_compacted" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // copy-on-write off the SHARED postings base
       val idxPath =
         s"/tmp/graft_idx/postings_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writePostings(
-        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
-        idxPath)
+      copyTree(postingsBase(s, dir), idxPath)
       graft.sources.Io.deletePostingsDocs(
         docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")), idxPath, seq = 1L)
       graft.sources.Io.upsertPostings(
@@ -2906,11 +2922,8 @@ object SparkEntryCoverage {
     // equal the corpus-scan t_bm25 over the indexed (non-empty-doc)
     // universe.
     "r_bm25_persisted" -> { (s, dir) =>
-      val idxPath =
-        s"/tmp/graft_idx/postings_bm_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writePostings(
-        TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id"),
-        idxPath)
+      // read-only consumer of the SHARED postings base
+      val idxPath = postingsBase(s, dir)
       TextAnalysis
         .bm25FromPostings(s, idxPath, Seq("data", "join"))
         .orderBy(col("doc_id"))
@@ -2987,11 +3000,8 @@ object SparkEntryCoverage {
     "r_hybrid_persisted" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val idxPath =
-        s"/tmp/graft_idx/postings_hy_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writePostings(
-        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
-        idxPath)
+      // read-only consumer of the SHARED postings base
+      val idxPath = postingsBase(s, dir)
       val lex = TextAnalysis
         .bm25FromPostings(s, idxPath, Seq("data", "join"))
         .orderBy(col("bm25").desc, col("doc_id"))
@@ -5759,11 +5769,8 @@ object SparkEntryCoverage {
     // The oracle recomputes the expected sets independently.
     "dq_index_coverage" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val idxPath =
-        s"/tmp/graft_idx/postings_cov_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.Io.writePostings(
-        TextAnalysis.invertedIndex(docs, "text", "doc_id"),
-        idxPath)
+      // read-only consumer of the SHARED postings base
+      val idxPath = postingsBase(s, dir)
       Checks.coverageAudit(
         docs.filter(length(trim(col("text"))) > 0),
         col("doc_id"),
