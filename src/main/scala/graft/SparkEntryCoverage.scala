@@ -114,6 +114,43 @@ object SparkEntryCoverage {
         p
       })
 
+  /** Memoized bigram-LM COUNT GRIDS per (application, dataset, doc
+    * subset) — the docNgramPairs discipline for the LM family's
+    * inputs: five lifecycle queries derive grids from the same four
+    * corpus subsets; each grid's token-stream scan now runs once into
+    * a parquet memo and every consumer reads it back (the per-query
+    * artifact writes, merges and scoring stay un-shared — they ARE
+    * the thing each query proves).
+    */
+  private val lmGridCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, StructType, StructType)]
+  private[graft] def lmCountGrids(
+      s: SparkSession,
+      dir: String,
+      subset: String): (DataFrame, DataFrame) = {
+    val (p, uniSchema, biSchema) = lmGridCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir:$subset", {
+        val docs0 = t(s, dir, "documents")
+        val docs = subset match {
+          case "full" => docs0
+          case "lt250" => docs0.filter(col("doc_id") < 250)
+          case "ge250" => docs0.filter(col("doc_id") >= 250)
+          case "mod10" => docs0.filter(col("doc_id") % 10 === 0)
+          case other => throw new IllegalArgumentException(s"unknown subset $other")
+        }
+        val (u, b) = TextAnalysis.bigramCountGrids(docs, "text")
+        val path = s"/tmp/graft_idx/lmgrid_${subset}_" +
+          s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        u.write.mode("overwrite").parquet(s"$path/uni")
+        b.write.mode("overwrite").parquet(s"$path/bi")
+        (path, u.schema, b.schema)
+      })
+    (
+      s.read.schema(uniSchema).parquet(s"$p/uni"),
+      s.read.schema(biSchema).parquet(s"$p/bi"))
+  }
+
   /** Recursive local-filesystem copy for the copy-on-write mutation
     * directories (wipes `dst` first). Driver-side java.nio only —
     * the artifacts live on the local FS in this harness; a cluster
@@ -2746,11 +2783,9 @@ object SparkEntryCoverage {
     "t_lm_upsert" -> { (s, dir) =>
       val p = s"/tmp/graft_idx/lmc_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val docs = t(s, dir, "documents")
-      val (u0, b0) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      val (u0, b0) = lmCountGrids(s, dir, "lt250")
       graft.sources.Io.writeLmCounts(u0, b0, p)
-      val (u1, b1) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") >= 250), "text")
+      val (u1, b1) = lmCountGrids(s, dir, "ge250")
       graft.sources.Io.upsertLmCounts(u1, b1, p, seq = 1L)
       val (mu, mb) = graft.sources.Io.readLmCounts(s, p)
       TextAnalysis
@@ -2767,10 +2802,9 @@ object SparkEntryCoverage {
     "t_lm_takedown" -> { (s, dir) =>
       val p = s"/tmp/graft_idx/lmc_del_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val docs = t(s, dir, "documents")
-      val (u0, b0) = TextAnalysis.bigramCountGrids(docs, "text")
+      val (u0, b0) = lmCountGrids(s, dir, "full")
       graft.sources.Io.writeLmCounts(u0, b0, p)
-      val (ud, bd) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") % 10 === 0), "text")
+      val (ud, bd) = lmCountGrids(s, dir, "mod10")
       graft.sources.Io.upsertLmCounts(
         ud.withColumn("cnt", -col("cnt")),
         bd.withColumn("cab", -col("cab")),
@@ -2791,14 +2825,11 @@ object SparkEntryCoverage {
     "t_lm_asof" -> { (s, dir) =>
       val p = s"/tmp/graft_idx/lmc_asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val docs = t(s, dir, "documents")
-      val (u0, b0) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      val (u0, b0) = lmCountGrids(s, dir, "lt250")
       graft.sources.Io.writeLmCounts(u0, b0, p)
-      val (u1, b1) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") >= 250), "text")
+      val (u1, b1) = lmCountGrids(s, dir, "ge250")
       graft.sources.Io.upsertLmCounts(u1, b1, p, seq = 1L)
-      val (ud, bd) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") % 10 === 0), "text")
+      val (ud, bd) = lmCountGrids(s, dir, "mod10")
       graft.sources.Io.upsertLmCounts(
         ud.withColumn("cnt", -col("cnt")),
         bd.withColumn("cab", -col("cab")),
@@ -2819,14 +2850,11 @@ object SparkEntryCoverage {
     "t_lm_compacted" -> { (s, dir) =>
       val p = s"/tmp/graft_idx/lmc_cmp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val docs = t(s, dir, "documents")
-      val (u0, b0) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      val (u0, b0) = lmCountGrids(s, dir, "lt250")
       graft.sources.Io.writeLmCounts(u0, b0, p)
-      val (u1, b1) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") >= 250), "text")
+      val (u1, b1) = lmCountGrids(s, dir, "ge250")
       graft.sources.Io.upsertLmCounts(u1, b1, p, seq = 1L)
-      val (ud, bd) =
-        TextAnalysis.bigramCountGrids(docs.filter(col("doc_id") % 10 === 0), "text")
+      val (ud, bd) = lmCountGrids(s, dir, "mod10")
       graft.sources.Io.upsertLmCounts(
         ud.withColumn("cnt", -col("cnt")),
         bd.withColumn("cab", -col("cab")),

@@ -678,8 +678,7 @@ object SparkEntryStreaming {
     "st_lm_upsert" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val p = s"/tmp/graft_idx/lmc_stup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val (u0, b0) = graft.operators.TextAnalysis
-        .bigramCountGrids(docs.filter(col("doc_id") < 250), "text")
+      val (u0, b0) = SparkEntryCoverage.lmCountGrids(s, dir, "lt250")
       graft.sources.Io.writeLmCounts(u0, b0, p)
       val stream = s.readStream
         .schema(docs.schema)
