@@ -176,4 +176,52 @@ class NullSafetySpec extends SparkSpec {
       .collect()
     assert(isl.length == 1 && isl.head.getLong(3) == 1L)
   }
+
+  test("round-9 trend/test operators exclude null inputs") {
+    import graft.operators.{Experiments, Series}
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    // mann-kendall: null day/value rows carry no pair and no tie
+    val daily = Seq(
+      ("a", Some(d(1)), Some(1L)), ("a", Some(d(2)), None),
+      ("a", None, Some(9L)), ("a", Some(d(3)), Some(2L))).toDF("k", "day", "n")
+    val mk = Series.mannKendallDaily(daily, "k", "day", "n").head()
+    assert((mk.getLong(1), mk.getLong(2)) == ((2L, 1L))) // 2 days, S = 1
+    // cochran-armitage: null dose/success rows drop before the cells
+    val ca = Experiments.cochranArmitage(
+      Seq((Some(1L), Some(0L)), (Some(1L), Some(1L)), (None, Some(1L)),
+        (Some(2L), None), (Some(2L), Some(1L)), (Some(2L), Some(1L)))
+        .toDF("w", "s"),
+      col("w"), col("s")).head()
+    assert((ca.getLong(0), ca.getLong(1), ca.getLong(2)) == ((2L, 4L, 3L)))
+    // jonckheere: null arm/value rows never reach the grid
+    val jt = Experiments.jonckheereTerpstra(
+      Seq((Some(1L), Some(1L)), (Some(1L), Some(2L)), (None, Some(5L)),
+        (Some(2L), None), (Some(2L), Some(3L)), (Some(2L), Some(4L)))
+        .toDF("a", "x"),
+      col("a"), col("x")).head()
+    assert((jt.getLong(1), jt.getLong(2)) == ((4L, 8L))) // N = 4, full separation
+    // page: null unit/treatment/value rows drop before the panel
+    // check — a unit made incomplete ONLY by a null value fails fast
+    val e = intercept[Exception](Experiments.pageTrend(
+      Seq((Some(1L), Some(1L), Some(10L)), (Some(1L), Some(2L), Some(20L)),
+        (Some(1L), Some(3L), Some(30L)), (Some(2L), Some(1L), Some(1L)),
+        (Some(2L), Some(2L), None), (Some(2L), Some(3L), Some(3L)))
+        .toDF("u", "t", "x"),
+      col("u"), col("t"), col("x")).collect())
+    assert(e.getMessage.contains("exactly 3 treatment rows"), e.getMessage)
+  }
+
+  test("globalCumSum / globalRunningMax: null order keys sort to one end, never throw") {
+    import graft.operators.Relational
+    val df = Seq((Some(2L), 10L), (None, 5L), (Some(1L), 7L)).toDF("k", "t")
+    // Spark sorts nulls FIRST ascending; the scan stays total either
+    // way — pin the end-to-end sums rather than the null position
+    val cum = Relational.globalCumSum(df, Seq($"k"), "t", "below")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(2)).toMap
+    assert(cum == Map(-1L -> 0L, 1L -> 5L, 2L -> 12L))
+    val mx = Relational.globalRunningMax(df, Seq($"k"), "t", "best")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(mx == Map(-1L -> None, 1L -> Some(5L), 2L -> Some(7L)))
+  }
 }

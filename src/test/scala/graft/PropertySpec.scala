@@ -127,6 +127,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-scan property: globalCumSum/globalRunningMax match driver folds on any partitioning") {
+    (1 to 5).foreach { i =>
+      val rs = Seq.fill(200)((rnd.nextLong() % 10000, rnd.nextInt(100).toLong))
+        .distinctBy(_._1) // total order needs distinct keys
+      val df = rs.toDF("k", "t").repartition(1 + rnd.nextInt(9))
+      val sorted = rs.sortBy(_._1)
+      val expCum = sorted.scanLeft((0L, 0L)) { case ((_, acc), (k, t)) => (k, acc + t) }
+        .sliding(2).map { case Seq((_, prev), (k, _)) => k -> prev }.toMap
+      val gotCum = Relational.globalCumSum(df, Seq($"k"), "t", "c")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(gotCum == expCum, s"round $i cumsum")
+      val expMax = sorted.scanLeft((0L, Option.empty[Long])) { case ((_, acc), (k, t)) =>
+        (k, Some(acc.fold(t)(math.max(_, t))))
+      }.sliding(2).map { case Seq((_, prev), (k, _)) => k -> prev }.toMap
+      val gotMax = Relational.globalRunningMax(df, Seq($"k"), "t", "m")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(gotMax == expMax, s"round $i runningmax")
+    }
+  }
+
   test("V2 property: dot/(norm*norm) decomposition is bit-identical to cosine") {
     // the pair-scan rewrite (Similarity/Dedup) relies on this holding
     // exactly, not approximately — oracles hash-compare raw doubles
