@@ -5247,6 +5247,24 @@ object SparkEntryCoverage {
           365)
         .orderBy(col("age"))
     },
+    // Log-rank test (Series.logRank): do even- and odd-keyed
+    // customers' order-lifetime survival curves differ? Same
+    // lifetime/censoring construction as a_survival_km, split by
+    // customer parity; per-age hypergeometric terms micro-rounded
+    // once then exactly summed, one DECIMAL division at the end.
+    "a_logrank" -> { (s, dir) =>
+      Series.logRank(
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderdate"),
+            when(col("o_custkey") % 2 === 0, lit("A")).otherwise(lit("B")).as("par")),
+        "o_custkey",
+        "o_orderdate",
+        "par",
+        30,
+        365)
+    },
     // One-way ANOVA (Experiments.oneWayAnova): does mean cent value
     // differ across the 5 event types? SSB/SSW from one moment pass,
     // large-sample chi-square significance vs the dof-4 literal.
@@ -5618,6 +5636,42 @@ object SparkEntryCoverage {
         .select(col("user_id"), col("e.t").as("t"), col("e.x").as("x"))
       Experiments.pageTrend(long, col("user_id"), col("t"), col("x"))
     },
+    // ROC-AUC via the rank identity (Evaluation.rocAuc): how well
+    // does the cent value separate purchases from everything else?
+    // AUC = U+/(n+ n-) on the doubled-mid-rank chassis — the
+    // trapezoidal ROC area without materializing the curve.
+    "a_roc_auc" -> { (s, dir) =>
+      Evaluation.rocAuc(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("value").isNotNull),
+        col("event_type") === "purchase",
+        round(col("value") * 100.0, 0).cast("long"))
+    },
+    // Reliability bins (Evaluation.calibrationBins): read the capped
+    // cent value as a pseudo-probability of purchase and audit each
+    // decile's claimed confidence against its observed rate.
+    "a_calibration" -> { (s, dir) =>
+      Evaluation
+        .calibrationBins(
+          t(s, dir, "events")
+            .filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type") === "purchase",
+          least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
+          10)
+        .select(col("bin"), col("n"), col("x"), col("conf6"), col("acc6"), col("gap6"))
+    },
+    // ECE + Brier (Evaluation.calibrationSummary): the one-row
+    // calibration verdict derived from the bin grid's sufficient
+    // statistics — zero extra corpus scans.
+    "a_brier_ece" -> { (s, dir) =>
+      Evaluation.calibrationSummary(
+        Evaluation.calibrationBins(
+          t(s, dir, "events")
+            .filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type") === "purchase",
+          least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
+          10))
+    },
     // Odds ratio with Wald CI (Experiments.oddsRatio): the 2x2
     // effect-size readout next to a_ab_test's significance —
     // Haldane-Anscombe half-unit cells keep zeros finite.
@@ -5856,6 +5910,46 @@ object SparkEntryCoverage {
               date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
             .agg(count(lit(1)).as("n")))
         .orderBy(col("grp"))
+    },
+    // Page-Hinkley drift monitor (Checks.pageHinkley) over the same
+    // daily count table: running-mean reference (no baseline
+    // parameter), [i, S, m, min_m, max_ph] fold in exact micro-unit
+    // BIGINTs, one truncating division per step off the exact prefix
+    // sum — order-pinned by the bucket sort, list_reduce oracle.
+    "w_page_hinkley" -> { (s, dir) =>
+      Checks
+        .pageHinkley(
+          t(s, dir, "events")
+            .groupBy(
+              col("event_type").cast("string").as("grp"),
+              date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(count(lit(1)).as("n")),
+          0L,
+          20000000L)
+        .orderBy(col("grp"))
+    },
+    // Kendall's tau-b (Checks.kendallTauB): does spend trend across
+    // January, scored purely by concordant vs discordant pairs on
+    // the gap-filled ($10-bucket x day) count grid — concordance
+    // from partitioned prefix scans, never a pair join; exact tau-a
+    // and the signed square of tau-b (no runtime sqrt).
+    "a_kendall_tau" -> { (s, dir) =>
+      Checks.kendallTauB(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull),
+        expr("CAST(round(value * 100) AS BIGINT) div 1000"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"))
+    },
+    // Krippendorff's alpha, nominal (Experiments.krippendorffAlpha):
+    // do a user's events agree on one type? The missing-data
+    // inter-rater statistic — units carry RAGGED rating counts,
+    // single-event users drop out of both disagreement and margins.
+    "a_krippendorff" -> { (s, dir) =>
+      Experiments.krippendorffAlpha(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull),
+        col("user_id"),
+        col("event_type"))
     },
     // Data-quality gate report (the dbt-tests / expectations
     // primitive): domain/positivity/not-null row checks share ONE
@@ -10185,6 +10279,55 @@ object SparkEntryCoverage {
         |  CAST(SUM((1000000 * d) // n) OVER (ORDER BY age
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h6
         |FROM g ORDER BY age""".stripMargin,
+    "a_logrank" ->
+      """WITH u AS (SELECT o_custkey,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |    min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1, 2),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |sides AS (SELECT min(g) AS side_a, max(g) AS side_b FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens,
+        |         (g = (SELECT side_a FROM sides)) AS isa
+        |       FROM u, cm),
+        |ag AS (SELECT age,
+        |    CAST(SUM(CASE WHEN NOT cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN NOT cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS db,
+        |    CAST(SUM(CASE WHEN cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lv GROUP BY 1),
+        |g2 AS (SELECT age, da, db, ca, cb,
+        |    CAST(SUM(da + ca) OVER (ORDER BY age DESC) AS BIGINT) AS na,
+        |    CAST(SUM(db + cb) OVER (ORDER BY age DESC) AS BIGINT) AS nb
+        |  FROM ag),
+        |tt AS (SELECT da, db, ca, cb, na, nb,
+        |    CAST((CAST(1000000 AS HUGEINT) * (da + db) * na) // (na + nb) AS BIGINT)
+        |      AS e6,
+        |    CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * (da + db) * na * nb
+        |               * (na + nb - da - db))
+        |              // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+        |              AS BIGINT) END AS v6
+        |  FROM g2),
+        |f AS (SELECT
+        |    (SELECT side_a FROM sides) AS side_a,
+        |    (SELECT side_b FROM sides) AS side_b,
+        |    CAST(SUM(da + ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(db + cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(da) AS BIGINT) AS o_a,
+        |    CAST(SUM(e6) AS BIGINT) AS e6,
+        |    CAST(SUM(v6) AS BIGINT) AS v6
+        |  FROM tt)
+        |SELECT side_a, side_b, n_a, n_b, o_a, e6, v6,
+        |  CASE WHEN v6 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |             * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 AS BIGINT)
+        |  END AS z2_6,
+        |  CASE WHEN v6 <= 0 THEN FALSE
+        |  ELSE ((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |        * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 >= 3841459
+        |  END AS significant
+        |FROM f""".stripMargin,
     "a_anova" ->
       """WITH arms AS (SELECT event_type AS arm, CAST(COUNT(*) AS BIGINT) AS n_g,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_g,
@@ -10824,6 +10967,66 @@ object SparkEntryCoverage {
         |SELECT CAST(3 AS BIGINT) AS k, n AS n_units, l2, e2, z2_6,
         |       z2_6 >= 3841459 AS significant
         |FROM f""".stripMargin,
+    "a_roc_auc" ->
+      """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        |          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |        FROM base GROUP BY 1),
+        |rk AS (SELECT v, t, np,
+        |         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+        |           AS rmin
+        |       FROM cnt),
+        |agg AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |               CAST(SUM(t - np) AS BIGINT) AS n_neg,
+        |               CAST(SUM(np * (2 * rmin + t - 1)) AS BIGINT) AS r2p
+        |        FROM rk),
+        |u AS (SELECT n_pos, n_neg, r2p - n_pos * (n_pos + 1) AS u2x FROM agg),
+        |a AS (SELECT n_pos, n_neg, u2x,
+        |        CAST((CAST(1000000 AS HUGEINT) * u2x)
+        |             // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc6
+        |      FROM u)
+        |SELECT n_pos, n_neg, u2x, auc6,
+        |       CAST(2 * auc6 - 1000000 AS BIGINT) AS gini6
+        |FROM a""".stripMargin,
+    "a_calibration" ->
+      """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT LEAST(9, (s6 * 10) // 1000000) AS bin, s6,
+        |        CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |      FROM base),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yy) AS BIGINT) AS x,
+        |        CAST(SUM(s6) AS BIGINT) AS ss
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, x,
+        |  CAST(ss // n AS BIGINT) AS conf6,
+        |  CAST((1000000 * x) // n AS BIGINT) AS acc6,
+        |  CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
+        |FROM g ORDER BY bin""".stripMargin,
+    "a_brier_ece" ->
+      """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT LEAST(9, (s6 * 10) // 1000000) AS bin, s6,
+        |        CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |      FROM base),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yy) AS BIGINT) AS x,
+        |        CAST(SUM(s6) AS BIGINT) AS ss,
+        |        CAST(SUM(CAST(s6 AS HUGEINT) * s6) AS HUGEINT) AS s2,
+        |        CAST(SUM(s6 * yy) AS BIGINT) AS sy
+        |      FROM b GROUP BY 1),
+        |gg AS (SELECT n, x, s2, sy,
+        |         CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
+        |       FROM g)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(n * gap6) // SUM(n) AS BIGINT) AS ece6,
+        |  CAST((SUM(s2) - CAST(2000000 AS HUGEINT) * SUM(sy)
+        |        + CAST(1000000 AS HUGEINT) * 1000000 * SUM(x)) // SUM(n) AS BIGINT)
+        |    AS brier12
+        |FROM gg""".stripMargin,
     "a_odds_ratio" ->
       """WITH cells AS (
         | SELECT event_type AS g,
@@ -11016,6 +11219,101 @@ object SparkEntryCoverage {
         |SELECT grp, days, mu6, st[1] AS cusum_final6, st[2] AS cusum_max6,
         |       st[2] > mu6 * 5 AS alarm
         |FROM f ORDER BY grp""".stripMargin,
+    // the identical [i, S, m, min_m, max_ph] running-mean fold
+    // replayed by list_reduce; mean6 = (1e6*S_i) // i off the exact
+    // prefix sum (S >= 0, so floor == truncation on both engines)
+    "w_page_hinkley" ->
+      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, list(n ORDER BY bucket) AS seq,
+        |        CAST(count(*) AS BIGINT) AS days FROM c GROUP BY 1),
+        |f AS (SELECT grp, days,
+        |        list_reduce(
+        |          list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |                        CAST(9223372036854775807 AS BIGINT), CAST(0 AS BIGINT)],
+        |                       list_transform(seq, x -> [x, x, x, x, x])),
+        |          (acc, e) -> [
+        |            acc[1] + 1,
+        |            acc[2] + e[1],
+        |            acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1),
+        |            least(acc[4],
+        |              acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1)),
+        |            greatest(acc[5],
+        |              (acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1))
+        |              - least(acc[4],
+        |                  acc[3] + e[1] * 1000000
+        |                  - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1)))]) AS st
+        |      FROM g)
+        |SELECT grp, days, st[3] AS m_final6, st[5] AS ph_max6,
+        |       st[5] > 20000000 AS alarm
+        |FROM f ORDER BY grp""".stripMargin,
+    "a_kendall_tau" ->
+      """WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS x,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |xs AS (SELECT x, CAST(SUM(c) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |ys AS (SELECT y, CAST(SUM(c) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |dims AS (SELECT
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM xs) AS kx,
+        |    (SELECT CAST(SUM(nx * (nx - 1)) AS BIGINT) FROM xs) AS tx2,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ys) AS ky,
+        |    (SELECT CAST(SUM(ny * (ny - 1)) AS BIGINT) FROM ys) AS ty2),
+        |dense AS (SELECT xs.x, xs.nx, ys.y, CAST(COALESCE(cells.c, 0) AS BIGINT) AS c
+        |          FROM xs CROSS JOIN ys
+        |          LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y),
+        |aa AS (SELECT x, y, nx, c,
+        |         CAST(COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ab
+        |       FROM dense),
+        |fg AS (SELECT x, y, c,
+        |         CAST(COALESCE(SUM(ab) OVER (PARTITION BY y ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS f,
+        |         CAST(COALESCE(SUM(nx - ab - c) OVER (PARTITION BY y ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g
+        |       FROM aa),
+        |agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |          SUM(CAST(c AS HUGEINT) * f) AS cp,
+        |          SUM(CAST(c AS HUGEINT) * g) AS dp
+        |        FROM fg),
+        |f2 AS (SELECT n, cp, dp, kx, ky, tx2, ty2 FROM agg CROSS JOIN dims)
+        |SELECT n, kx, ky, CAST(cp AS BIGINT) AS c_pairs, CAST(dp AS BIGINT) AS d_pairs,
+        |  CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(2000000 AS HUGEINT) * (cp - dp))
+        |            // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END AS tau_a6,
+        |  CASE WHEN n < 2 OR CAST(n AS HUGEINT) * (n - 1) - tx2 <= 0
+        |         OR CAST(n AS HUGEINT) * (n - 1) - ty2 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CASE WHEN cp >= dp THEN 1 ELSE -1 END)
+        |    * ((CAST(4000000 AS HUGEINT) * (cp - dp) * (cp - dp))
+        |       // ((CAST(n AS HUGEINT) * (n - 1) - tx2)
+        |          * (CAST(n AS HUGEINT) * (n - 1) - ty2))) AS BIGINT) END AS taub2s6
+        |FROM f2""".stripMargin,
+    "a_krippendorff" ->
+      """WITH cells AS (SELECT user_id AS u, event_type AS cat,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |units AS (SELECT u, CAST(SUM(c) AS BIGINT) AS m, CAST(SUM(c * c) AS BIGINT) AS ss
+        |          FROM cells GROUP BY 1 HAVING SUM(c) >= 2),
+        |du AS (SELECT u, m,
+        |         CAST((CAST(1000000 AS HUGEINT) * (CAST(m AS HUGEINT) * m - ss))
+        |              // (m - 1) AS BIGINT) AS do6u
+        |       FROM units),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(m) AS BIGINT) AS n,
+        |          CAST(SUM(do6u) AS BIGINT) AS do6 FROM du),
+        |cm AS (SELECT cat, CAST(SUM(c) AS BIGINT) AS nc
+        |       FROM cells JOIN units USING (u) GROUP BY 1),
+        |ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |         SUM(CAST(nc AS HUGEINT) * nc) AS cc FROM cm),
+        |f AS (SELECT n_units, n, n_categories, do6,
+        |        CAST(n AS HUGEINT) * n - cc AS de
+        |      FROM tot CROSS JOIN ca)
+        |SELECT n_units, n, n_categories, do6,
+        |  CASE WHEN de IS NULL OR de <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(1000000 - (CAST(do6 AS HUGEINT) * (n - 1)) // de AS BIGINT)
+        |  END AS alpha6
+        |FROM f""".stripMargin,
     // arithmetic with // division
     "dq_dist_drift" ->
       s"""WITH qb AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS nc,

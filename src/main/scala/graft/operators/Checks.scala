@@ -376,6 +376,65 @@ object Checks {
         (element_at(col("st"), 2) > col("mu6") * alarmMult).as("alarm"))
   }
 
+  /** Page–Hinkley drift monitor (Page 1954; the streaming-ML variant
+    * of Gama et al., "A survey on concept drift adaptation", 2014)
+    * over the same pre-aggregated (grp, bucket, n) table as [[cusum]]
+    * — but where CUSUM references the group's GLOBAL mean (known
+    * baseline), Page–Hinkley tracks the RUNNING mean, so it detects a
+    * drift away from "whatever the series was so far" without any
+    * baseline parameter:
+    *
+    *   m_t  = Σ_{i≤t} (1e6·x_i − mean6_i − delta6),
+    *   mean6_i = 1e6·S_i div i   (running mean, one truncating
+    *                              division per step off the exact
+    *                              prefix sum S_i ≥ 0),
+    *   PH_t = m_t − min_{i≤t} m_i,   alarm ⇔ max_t PH_t > lambda6.
+    *
+    * Exactness: the whole fold is BIGINT arithmetic over the
+    * bucket-sorted sequence with a [i, S, m, min_m, max_ph]
+    * accumulator — order-pinned, engine-exact; the oracle replays the
+    * identical fold via list_reduce. Per-group buffers are bounded by
+    * the BUCKET count (days, never rows) — the sanctioned
+    * bounded-buffer case shared with [[cusum]].
+    *
+    * `delta6` is the drift allowance (micro-units of x per step — 0
+    * flags any sustained upward shift), `lambda6` the alarm threshold
+    * in the same micro-x units. Returns (grp, days, m_final6,
+    * ph_max6, alarm).
+    */
+  def pageHinkley(
+      counts: DataFrame,
+      delta6: Long,
+      lambda6: Long): DataFrame = {
+    require(lambda6 > 0L, "lambda6 must be positive")
+    require(delta6 >= 0L, "delta6 must be >= 0")
+    val g = counts
+      .groupBy(col("grp"))
+      .agg(
+        sort_array(collect_list(struct(col("bucket"), col("n")))).as("seq"),
+        count(lit(1)).as("days"))
+    g.withColumn(
+        "st",
+        aggregate(
+          transform(col("seq"), x => x.getField("n")),
+          array(lit(0L), lit(0L), lit(0L), lit(Long.MaxValue), lit(0L)),
+          (acc, x) => {
+            val i = element_at(acc, 1) + lit(1L)
+            val s = element_at(acc, 2) + x
+            val mean6 = call_function("div", s * lit(1000000L), i)
+            val m = element_at(acc, 3) + x * lit(1000000L) - mean6 - lit(delta6)
+            val minm = least(element_at(acc, 4), m)
+            val ph = m - minm
+            array(i, s, m, minm, greatest(element_at(acc, 5), ph))
+          }))
+      .select(
+        col("grp"),
+        col("days"),
+        element_at(col("st"), 3).as("m_final6"),
+        element_at(col("st"), 5).as("ph_max6"),
+        (element_at(col("st"), 5) > lambda6).as("alarm"))
+  }
+
   /** Ingest-volume anomaly gate: per (group, bucket) row counts
     * z-scored against each group's TRAILING `window` buckets — the
     * daily "did a source silently halve / a bot 10× a feed" check a
@@ -1109,4 +1168,106 @@ object Checks {
         col("n"),
         col("n_classes"),
         expr("CAST(1000000 * __sq div (n * n) AS BIGINT)").as("hhi6"))
+
+  /** Kendall's tau-b rank correlation (Kendall 1938; tie correction
+    * per Kendall 1945) between two integer-quantized columns — the
+    * ORDINAL association audit next to [[chiSquareIndependence]]
+    * (which sees categories, not order) and [[mutualInformation]]
+    * (which sees dependence, not direction): do the two columns move
+    * TOGETHER, scored purely by concordant vs discordant pairs, with
+    * ties in either margin removed from the denominator?
+    *
+    * Exactness — no sqrt at runtime (the mmrRerank no-special-
+    * functions rule): alongside exact tau-a we emit the SIGNED SQUARE
+    * of tau-b, which is a pure integer ratio:
+    *
+    *   tau_a6    = 2e6·(C−D) div (n(n−1))
+    *   taub2s6   = sign(C−D) · 4e6·(C−D)² div ((n(n−1)−Tx2)(n(n−1)−Ty2))
+    *
+    * with Tx2 = Σ_x n_x(n_x−1), Ty2 likewise (doubled tie pairs), all
+    * cross-products DECIMAL(38,0) ((C−D)² reaches n⁴ — exact to
+    * ~1e8 rows), one truncating division each; a fully-tied margin
+    * degenerates the denominator to 0 → 0 by the established
+    * convention.
+    *
+    * Scale shape — concordance WITHOUT a pair join: on the gap-filled
+    * X × Y count grid, each cell's strictly-dominated count F and
+    * strictly-discordant count G come from two PARTITIONED prefix
+    * scans (per-column cum-below, then per-row cum-across — every
+    * window is partitioned by the opposite axis, no single-task
+    * funnel), and C = Σ c·F, D = Σ c·G. The dense grid is
+    * |X|·|Y| cells and is the operator's memory contract: quantize
+    * first; grids past `maxGridCells` fail fast in-plan (cell counts
+    * are data-dependent, so the cap cannot be a driver `require`).
+    * Returns one row (n, kx, ky, c_pairs, d_pairs, tau_a6, taub2s6).
+    */
+  def kendallTauB(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      maxGridCells: Long = 4000000L): DataFrame = {
+    require(maxGridCells >= 1L, "maxGridCells must be >= 1")
+    val cells = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val xs = cells.groupBy(col("x")).agg(sum(col("c")).as("nx"))
+    val ys = cells.groupBy(col("y")).agg(sum(col("c")).as("ny"))
+    val dims = broadcast(
+      xs.agg(count(lit(1)).as("kx"), sum(col("nx") * (col("nx") - 1L)).as("tx2"))
+        .crossJoin(
+          ys.agg(count(lit(1)).as("ky"), sum(col("ny") * (col("ny") - 1L)).as("ty2"))))
+    // gap-filled dense grid, capped in-plan BEFORE it is materialized
+    val dense = xs
+      .crossJoin(dims)
+      .filter(
+        assert_true(
+          col("kx") * col("ky") <= maxGridCells,
+          concat(
+            lit("kendallTauB: dense grid "),
+            (col("kx") * col("ky")).cast("string"),
+            lit(s" cells exceeds maxGridCells=$maxGridCells — quantize the inputs"))).isNull)
+      .select(col("x"), col("nx"))
+      .crossJoin(ys.select(col("y")))
+      .join(cells, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("c"))
+    val wBelowY = Window
+      .partitionBy(col("x")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAcrossX = Window
+      .partitionBy(col("y")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fg = dense
+      .withColumn("__a", coalesce(sum(col("c")).over(wBelowY), lit(0L)))
+      .withColumn("__b", col("nx") - col("__a") - col("c"))
+      .withColumn("__f", coalesce(sum(col("__a")).over(wAcrossX), lit(0L)))
+      .withColumn("__g", coalesce(sum(col("__b")).over(wAcrossX), lit(0L)))
+    fg
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("__f")).cast("decimal(38,0)").as("__cp"),
+        sum(col("c").cast("decimal(38,0)") * col("__g")).cast("decimal(38,0)").as("__dp"))
+      .crossJoin(dims)
+      .select(
+        col("n"), col("kx"), col("ky"),
+        col("__cp").cast("long").as("c_pairs"),
+        col("__dp").cast("long").as("d_pairs"),
+        expr(
+          """CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(2000000 AS DECIMAL(38,0)) * (__cp - __dp))
+            |div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT) END""".stripMargin)
+          .as("tau_a6"),
+        expr(
+          """CASE WHEN n < 2
+            |  OR CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2 <= 0
+            |  OR CAST(n AS DECIMAL(38,0)) * (n - 1) - ty2 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CASE WHEN __cp >= __dp THEN 1 ELSE -1 END)
+            |  * ((CAST(4000000 AS DECIMAL(38,0)) * (__cp - __dp) * (__cp - __dp))
+            |     div ((CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2)
+            |          * (CAST(n AS DECIMAL(38,0)) * (n - 1) - ty2)))
+            |AS BIGINT) END""".stripMargin)
+          .as("taub2s6"))
+  }
 }

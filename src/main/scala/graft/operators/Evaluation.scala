@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Classifier/detector EVALUATION — the readout layer for every score
+  * this engine produces (quality gates, near-dup detectors, language
+  * ID margins, spam heuristics): how good is a score column at
+  * separating a binary label, and can its raw value be read as a
+  * probability? The reference ships detectors but never scores them
+  * (`/root/reference/src/structured_extraction_v2.py` emits
+  * confidence fields that nothing downstream audits); a 100 TB
+  * pipeline promotes or demotes a gate on exactly these numbers.
+  *
+  * Exactness contract (the [[Experiments]] discipline): every
+  * statistic is a ratio of exact integer cross-products in
+  * DECIMAL(38,0) where BIGINT would overflow, one truncating division
+  * per emitted term, bit-identical on any partitioning and mirrored
+  * verbatim by the DuckDB oracle.
+  */
+object Evaluation {
+
+  /** ROC area under the curve via the rank identity (Hanley & McNeil
+    * 1982): AUC = U⁺/(n⁺·n⁻) where U⁺ is the Mann–Whitney U of the
+    * positive class — the probability a random positive outscores a
+    * random negative, with ties counting half. This IS the
+    * trapezoidal area under the empirical ROC curve, computed without
+    * materializing the curve: mid-ranks make the tie trapezoids
+    * exact.
+    *
+    * Exactness — the [[Experiments.mannWhitneyU]] doubled-mid-rank
+    * chassis: a distinct value with min-rank r and tie-count t gives
+    * each member the doubled mid-rank 2r + t − 1 (integer); the
+    * doubled positive rank-sum yields 2U⁺ = R2⁺ − n⁺(n⁺+1), and
+    *
+    *   auc6 = 1e6 · 2U⁺ div (2 · n⁺ · n⁻)
+    *
+    * — one truncating division off DECIMAL(38,0) cross-products
+    * (n⁺·n⁻ alone passes 2^63 at ~3e9 rows per class). gini6 =
+    * 2·auc6 − 1e6 (the accuracy-ratio rescaling, 0 = chance).
+    * A single-class input fails fast in-plan: AUC is undefined, and a
+    * detector audit that silently returns a constant hides exactly
+    * the labeling bug it exists to catch.
+    *
+    * Scale shape: one hash aggregate to the distinct-score count
+    * table (bounded by the score DOMAIN, never the corpus), min-ranks
+    * from [[Relational.globalCumSum]]'s range-partitioned prefix sum
+    * (never a single-task window), a 1-row bounded final aggregate.
+    * Returns one row (n_pos, n_neg, u2x, auc6, gini6).
+    */
+  def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    // ONE corpus scan to the per-score count table; class totals and
+    // the fail-fast both derive from it
+    val vs = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .groupBy(scoreCol.cast("long").as("v"))
+      .agg(
+        count(lit(1)).as("t"),
+        sum(when(labelCol.cast("boolean"), 1L).otherwise(0L)).as("np_v"))
+    val totals = broadcast(
+      vs.agg(
+        sum(col("np_v")).as("__np"),
+        sum(col("t") - col("np_v")).as("__nn")))
+    val checked = vs
+      .crossJoin(totals)
+      .filter(
+        assert_true(
+          col("__np") > 0L && col("__nn") > 0L,
+          concat(
+            lit("rocAuc: both classes required (n_pos="),
+            col("__np").cast("string"),
+            lit(", n_neg="),
+            col("__nn").cast("string"),
+            lit(") — AUC is undefined on a single-class input"))).isNull)
+      .select(col("v"), col("t"), col("np_v"))
+    val ranked = Relational
+      .globalCumSum(checked, Seq(col("v")), "t", "__below")
+      .withColumn("rmin", col("__below") + 1L)
+    ranked
+      .agg(
+        sum(col("np_v")).as("n_pos"),
+        sum(col("t") - col("np_v")).as("n_neg"),
+        sum(col("np_v") * (lit(2L) * col("rmin") + col("t") - 1L)).as("__r2p"))
+      .withColumn("u2x", col("__r2p") - col("n_pos") * (col("n_pos") + 1L))
+      .withColumn(
+        "auc6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(u2x AS DECIMAL(38,0)))
+            |div (CAST(2 AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0))
+            |     * CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .select(
+        col("n_pos"), col("n_neg"), col("u2x"), col("auc6"),
+        (lit(2L) * col("auc6") - 1000000L).as("gini6"))
+  }
+
+  /** Reliability table for a micro-scaled probability score (the
+    * binned calibration diagram of Guo et al., "On Calibration of
+    * Modern Neural Networks", ICML 2017): equal-width bins over
+    * score6 ∈ [0, 1e6], each bin reporting mean CONFIDENCE (what the
+    * score claimed) against observed ACCURACY (what the labels did).
+    * The per-bin sums are chosen so [[calibrationSummary]] derives
+    * ECE and the Brier score from this table alone — the bin grid is
+    * the sufficient statistic, one corpus scan total.
+    *
+    * Exactness: bin = min(bins−1, score6·bins div 1e6) — the top
+    * edge closes the last bin. conf6 = Σscore6 div n and
+    * acc6 = 1e6·x div n are one truncating division each off exact
+    * integer sums; gap6 = |acc6 − conf6|. Out-of-range scores fail
+    * fast in-plan (a "probability" outside [0,1] is a caller bug,
+    * not a bin). s2sum (Σ score6², DECIMAL — 1e12 per row) and
+    * sysum (Σ score6·y) ride along for the Brier identity.
+    *
+    * Scale shape: one hash aggregate to ≤ `bins` cells; everything
+    * downstream is bin-bounded. Returns (bin, n, x, conf6, acc6,
+    * gap6, s2sum, sysum) ordered by bin, observed bins only.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      labelCol: Column,
+      score6Col: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000,
+      s"calibrationBins: 1..1000 bins supported, got $bins")
+    val s6 = score6Col.cast("long")
+    df
+      .filter(labelCol.isNotNull && s6.isNotNull)
+      .filter(
+        assert_true(
+          s6 >= 0L && s6 <= 1000000L,
+          concat(
+            lit("calibrationBins: score6 outside [0, 1e6]: "),
+            s6.cast("string"))).isNull)
+      .select(
+        s6.as("__s6"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .select(
+        least(lit(bins - 1L), expr(s"(__s6 * $bins) div 1000000")).as("bin"),
+        col("__s6"),
+        col("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("x"),
+        sum(col("__s6")).as("__ssum"),
+        sum(col("__s6").cast("decimal(38,0)") * col("__s6").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("s2sum"),
+        sum(col("__s6") * col("__y")).as("sysum"))
+      .select(
+        col("bin"),
+        col("n"),
+        col("x"),
+        expr("__ssum div n").as("conf6"),
+        expr("(1000000 * x) div n").as("acc6"),
+        expr("abs((1000000 * x) div n - __ssum div n)").as("gap6"),
+        col("s2sum"),
+        col("sysum"))
+      .orderBy(col("bin"))
+  }
+
+  /** One-row calibration summary off the [[calibrationBins]] grid —
+    * no second corpus scan:
+    *
+    *   ece6    = Σ_bins n_b · gap6_b div N
+    *             (expected calibration error, micro-scaled — the
+    *             traffic-weighted mean confidence/accuracy gap)
+    *   brier12 = Σ (score6 − 1e6·y)² div N
+    *           = (Σs² − 2e6·Σsy + 1e12·Σy) div N
+    *             (pico-scaled mean squared error of the probability —
+    *             the identity expands the square so the bin sums are
+    *             the sufficient statistic; 0 = oracle, 2.5e11 = the
+    *             constant-half no-skill score against a balanced
+    *             label)
+    *
+    * Exactness: both are one truncating division off exact integer
+    * sums (gap6 already carries its per-bin rounding — documented
+    * per-term discipline, mirrored by the oracle). Returns
+    * (n, ece6, brier12).
+    */
+  def calibrationSummary(binGrid: DataFrame): DataFrame =
+    binGrid
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("n") * col("gap6")).as("__wgap"),
+        sum(col("s2sum")).as("__s2"),
+        sum(col("sysum").cast("decimal(38,0)")).as("__sy"),
+        sum(col("x")).as("__x"))
+      .select(
+        col("n"),
+        expr("__wgap div n").as("ece6"),
+        expr(
+          """CAST((__s2 - CAST(2000000 AS DECIMAL(38,0)) * __sy
+            |       + CAST(1000000 AS DECIMAL(38,0))
+            |         * CAST(1000000 AS DECIMAL(38,0)) * CAST(__x AS DECIMAL(38,0)))
+            |div CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin).as("brier12"))
+}

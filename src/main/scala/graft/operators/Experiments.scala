@@ -1767,6 +1767,87 @@ object Experiments {
         col("pbar6"), col("pe6"), col("kappa6"))
   }
 
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970, 2004) —
+    * the MISSING-DATA inter-rater statistic completing the kappa
+    * family: [[cohensKappa]] needs exactly 2 fixed raters,
+    * [[fleissKappa]] a constant panel size; alpha accepts any number
+    * of ratings per unit (annotator dropout, sampled double-rating,
+    * heuristic gates that abstain) by weighting each unit's
+    * disagreement by its own pairable count. Units with a single
+    * rating carry no pairable values and drop out entirely —
+    * including from the category margins, per the coincidence-matrix
+    * construction.
+    *
+    *   Do = (1/n)·Σ_u [Σ_c n_uc(m_u − n_uc)] / (m_u − 1)
+    *   De = (n² − Σ_c n_c²) / (n(n−1))          (n = Σ m_u pairable)
+    *   alpha = 1 − Do/De
+    *
+    * Exactness: the per-unit division rounds ONCE to micro units off
+    * exact integers — do6_u = 1e6·(m_u² − Σ_c n_uc²) div (m_u − 1),
+    * the [[Checks.psiFromCounts]]-class per-term discipline — then
+    * exact BIGINT sums; the final fold is one DECIMAL division:
+    * alpha6 = 1e6 − (Σdo6·(n−1)) div (n² − Σn_c²). A single observed
+    * category degenerates De to 0 → alpha6 = 0 (the fleissKappa
+    * limit convention). Per-unit rating counts past ~3e6 would
+    * overflow the m² stage — quantize upstream (documented bound).
+    *
+    * Scale shape: one (unit, category) hash aggregate, one per-unit
+    * re-aggregate, one per-category re-aggregate over the
+    * pairable-unit cells — all map-side combinable, no pair
+    * enumeration. Returns one row (n_units, n, n_categories, do6,
+    * alpha6).
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: Column,
+      categoryCol: Column): DataFrame = {
+    val cells = cached(
+      df
+        .filter(unitCol.isNotNull && categoryCol.isNotNull)
+        .groupBy(unitCol.as("u"), categoryCol.as("cat"))
+        .agg(count(lit(1)).as("c")))
+    val units = cells
+      .groupBy(col("u"))
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("__ss"))
+      .filter(col("m") >= 2L)
+    val doAgg = units
+      .select(
+        col("u"),
+        col("m"),
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0))
+            |       * (CAST(m AS DECIMAL(38,0)) * m - __ss))
+            |div CAST(m - 1 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin).as("__do6u"))
+    val totals = doAgg
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(col("m")).as("n"),
+        sum(col("__do6u")).as("do6"))
+    // category margins over PAIRABLE units only
+    val catAgg = cells
+      .join(units.select(col("u")), Seq("u"))
+      .groupBy(col("cat"))
+      .agg(sum(col("c")).as("__nc"))
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(expr("CAST(__nc AS DECIMAL(38,0)) * __nc")).cast("decimal(38,0)")
+          .as("__cc"))
+    totals
+      .crossJoin(broadcast(catAgg))
+      .withColumn(
+        "__de",
+        expr("CAST(n AS DECIMAL(38,0)) * n - __cc"))
+      .withColumn(
+        "alpha6",
+        expr(
+          """CASE WHEN __de IS NULL OR __de <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(1000000
+            |  - (CAST(do6 AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))) div __de
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("n_units"), col("n"), col("n_categories"), col("do6"), col("alpha6"))
+  }
+
   /** Friedman test (Friedman 1937) + Kendall's W — the k-treatment
     * PAIRED continuous test completing the grid ([[cochranQ]] is its
     * binary special case, [[kruskalWallis]] its unpaired sibling):

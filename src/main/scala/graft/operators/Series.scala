@@ -760,6 +760,135 @@ object Series {
         col("s6"))
   }
 
+  /** Log-rank test (Mantel 1966, Peto & Peto 1972) — DO two cohorts'
+    * survival curves differ, with censoring handled the only honest
+    * way: at each event age, compare group A's OBSERVED churn against
+    * the churn expected if both groups shared one hazard, given who
+    * was still at risk. The inferential companion of [[kaplanMeier]]
+    * (which only draws the curves) on the same lifetime/censoring
+    * construction, split by a per-entity group.
+    *
+    * Per event age j (d = total churn, n = total at risk, nA at risk
+    * in A):  E_j = d·nA/n  and the hypergeometric variance
+    * V_j = d·(nA/n)·(nB/n)·(n−d)/(n−1); then
+    * z² = (O_A − ΣE)² / ΣV ~ chi²₁.
+    *
+    * Exactness: per-age terms round ONCE to micro units off exact
+    * integer cross-products in DECIMAL(38,0) —
+    * e6 = 1e6·d·nA div n, v6 = 1e6·d·nA·nB·(n−d) div (n²·(n−1)) —
+    * then exact BIGINT sums (the [[nelsonAalen]] per-term
+    * discipline, mirrored verbatim by the oracle); the final
+    * z2_6 = (1e6·O_A − Σe6)² div Σv6 is one DECIMAL division.
+    * Valid range: the v6 cross-product reaches 1e6·n⁴ — exact to
+    * DECIMAL(38,0) headroom at n ≲ 1e8 entities (past that, stage
+    * the division). ΣV = 0 (no age with churn from both risk sets)
+    * degenerates to z2_6 = 0 by the established convention.
+    *
+    * Contracts, both fail-fast in-plan: exactly TWO groups (sides are
+    * the lexicographic (min, max), the [[Experiments.mannWhitneyU]]
+    * convention), and one group per entity — an id seen under two
+    * groups is a caller bug, not a vote.
+    *
+    * Scale shape: one per-entity aggregate (the only
+    * entity-proportional work), then everything lives on the
+    * age-bounded grid (date span / ageUnitDays — the documented
+    * bounded-grid class, so its ordered window is safe); one-row
+    * output (side_a, side_b, n_a, n_b, o_a, e6, v6, z2_6,
+    * significant).
+    */
+  def logRank(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      groupCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    require(ageUnitDays >= 1, "ageUnitDays must be >= 1")
+    require(censorDays >= 0, "censorDays must be >= 0")
+    val perUser = df
+      .filter(col(idCol).isNotNull && col(dayCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        min(col(dayCol)).as("__f"),
+        max(col(dayCol)).as("__l"),
+        min(col(groupCol)).as("__g"),
+        max(col(groupCol)).as("__g2"))
+      .filter(
+        assert_true(
+          col("__g") === col("__g2"),
+          concat(
+            lit("logRank: entity in two groups: "),
+            col(idCol).cast("string"))).isNull)
+    val clock = broadcast(
+      perUser.agg(
+        max(col("__l")).as("__cmax"),
+        count_distinct(col("__g")).as("__ng"),
+        min(col("__g")).as("side_a"),
+        max(col("__g")).as("side_b")))
+    val lives = perUser
+      .crossJoin(clock)
+      .filter(
+        assert_true(
+          col("__ng") === 2L,
+          concat(
+            lit("logRank: exactly 2 groups required, got "),
+            col("__ng").cast("string"))).isNull)
+      .select(
+        expr(s"CAST(datediff(__l, __f) div $ageUnitDays AS BIGINT)").as("age"),
+        (datediff(col("__cmax"), col("__l")) < censorDays).as("__cens"),
+        (col("__g") === col("side_a")).as("__isa"),
+        col("side_a"),
+        col("side_b"))
+    val ages = lives
+      .groupBy(col("age"), col("side_a"), col("side_b"))
+      .agg(
+        sum(when(!col("__cens") && col("__isa"), 1L).otherwise(0L)).as("da"),
+        sum(when(!col("__cens") && !col("__isa"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("__cens") && col("__isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__cens") && !col("__isa"), 1L).otherwise(0L)).as("cb"))
+    val wDesc = Window
+      .orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ages
+      .withColumn("na", sum(col("da") + col("ca")).over(wDesc))
+      .withColumn("nb", sum(col("db") + col("cb")).over(wDesc))
+      .withColumn(
+        "__e6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (da + db) * na)
+            |div (na + nb) AS BIGINT)""".stripMargin))
+      .withColumn(
+        "__v6",
+        expr(
+          """CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * (da + db) * na * nb
+            |   * (na + nb - da - db))
+            |  div (CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb - 1))
+            |AS BIGINT) END""".stripMargin))
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(
+        sum(col("da") + col("ca")).as("n_a"),
+        sum(col("db") + col("cb")).as("n_b"),
+        sum(col("da")).as("o_a"),
+        sum(col("__e6")).as("e6"),
+        sum(col("__v6")).as("v6"))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN v6 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  ((CAST(1000000 AS DECIMAL(38,0)) * o_a - e6)
+            |   * (CAST(1000000 AS DECIMAL(38,0)) * o_a - e6))
+            |  div CAST(v6 AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("side_a"), col("side_b"), col("n_a"), col("n_b"),
+        col("o_a"), col("e6"), col("v6"), col("z2_6"),
+        // 1.96^2 micro-scaled — the Experiments.Z2Alpha05Micro literal
+        (col("z2_6") >= 3841459L).as("significant"))
+  }
+
   /** Gap-fill a per-key daily series onto the full calendar grid
     * with last-observation-carried-forward — the reporting-table
     * normalizer ("what was every source's running state on every

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Evaluation
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the detector-evaluation family:
+  * rank-identity ROC-AUC, reliability bins, ECE and the Brier score.
+  * Every expected value is derived by hand from the textbook formula
+  * and asserted as the exact micro/pico integer the operator must
+  * emit.
+  */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc: perfect separation = 1e6, reversal = 0, a single tie = 500000") {
+    // pos {3,4} above neg {1,2}: R2+ = 6+8, u2x = 14-6 = 8 = 2*n+*n-.
+    val sep = Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L)).toDF("y", "v")
+    val r1 = Evaluation.rocAuc(sep, col("y"), col("v")).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((2L, 2L, 8L, 1000000L, 1000000L)))
+    // reversed: pos {1,2} under neg {3,4} -> u2x = 0, AUC 0, gini -1e6.
+    val rev = Seq((true, 1L), (true, 2L), (false, 3L), (false, 4L)).toDF("y", "v")
+    val r2 = Evaluation.rocAuc(rev, col("y"), col("v")).head()
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) == ((0L, 0L, -1000000L)))
+    // one pos, one neg, same score: doubled mid-rank 3, u2x = 1 -> 0.5.
+    val tie = Seq((true, 7L), (false, 7L)).toDF("y", "v")
+    val r3 = Evaluation.rocAuc(tie, col("y"), col("v")).head()
+    assert((r3.getLong(2), r3.getLong(3), r3.getLong(4)) == ((1L, 500000L, 0L)))
+  }
+
+  test("rocAuc: single-class input fails fast") {
+    val onlyPos = Seq((true, 1L), (true, 2L)).toDF("y", "v")
+    val e = intercept[Exception](
+      Evaluation.rocAuc(onlyPos, col("y"), col("v")).head())
+    assert(e.getMessage.contains("both classes required"))
+  }
+
+  test("calibrationBins: hand grid at bins=2; top edge closes the last bin") {
+    // (s6, y): (200000,0) (400000,1) -> bin 0; (900000,1) (1000000,1) -> bin 1
+    // (1e6*2 div 1e6 = 2, clamped to bins-1 = 1).
+    val rows = Seq((0L, 200000L), (1L, 400000L), (1L, 900000L), (1L, 1000000L))
+    val grid = Evaluation
+      .calibrationBins(rows.toDF("y", "s6"), col("y") === 1L, col("s6"), 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(grid.toSeq == Seq(
+      (0L, 2L, 1L, 300000L, 500000L, 200000L),
+      (1L, 2L, 2L, 950000L, 1000000L, 50000L)))
+  }
+
+  test("calibrationSummary: ECE is the traffic-weighted gap; Brier matches the residuals") {
+    // residuals: .04 + .36 + .01 + 0 = .41 -> mean .1025 -> 102_500_000_000 pico.
+    // ece6 = (2*200000 + 2*50000) div 4 = 125000.
+    val rows = Seq((0L, 200000L), (1L, 400000L), (1L, 900000L), (1L, 1000000L))
+    val grid = Evaluation
+      .calibrationBins(rows.toDF("y", "s6"), col("y") === 1L, col("s6"), 2)
+    val s = Evaluation.calibrationSummary(grid).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) ==
+      ((4L, 125000L, 102500000000L)))
+  }
+
+  test("calibrationBins: out-of-range score fails fast; bins bounds enforced") {
+    val bad = Seq((1L, 1000001L)).toDF("y", "s6")
+    val e = intercept[Exception](
+      Evaluation.calibrationBins(bad, col("y") === 1L, col("s6"), 10).collect())
+    assert(e.getMessage.contains("outside [0, 1e6]"))
+    intercept[IllegalArgumentException](
+      Evaluation.calibrationBins(bad, col("y") === 1L, col("s6"), 0))
+    intercept[IllegalArgumentException](
+      Evaluation.calibrationBins(bad, col("y") === 1L, col("s6"), 1001))
+  }
+}

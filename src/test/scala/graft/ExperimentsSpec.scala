@@ -573,6 +573,26 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("same rating count"))
   }
 
+  test("krippendorffAlpha: agreement 1e6; systematic disagreement -500000; singletons drop") {
+    // perfect agreement: u1 {a,a}, u2 {b,b} -> do6 = 0, de = 8 -> 1e6
+    val agree = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("u", "cat")
+    val r1 = Experiments.krippendorffAlpha(agree, col("u"), col("cat")).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((2L, 4L, 2L, 0L, 1000000L)))
+    // both units split {a,b}: Do = 1, De = 2/3 -> alpha = -0.5
+    val split = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("u", "cat")
+    val r2 = Experiments.krippendorffAlpha(split, col("u"), col("cat")).head()
+    assert((r2.getLong(3), r2.getLong(4)) == ((4000000L, -500000L)))
+    // chance-level: u1 {a,a}, u2 {a,b} -> Do = De = 0.5 -> alpha 0;
+    // a singleton unit u3 {b} contributes nothing (not even margins)
+    val mixed = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")).toDF("u", "cat")
+    val r3 = Experiments.krippendorffAlpha(mixed, col("u"), col("cat")).head()
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(4)) == ((2L, 4L, 0L)))
+    // one category everywhere: De = 0 -> 0 by the fleissKappa convention
+    val flat = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "cat")
+    assert(Experiments.krippendorffAlpha(flat, col("u"), col("cat")).head().getLong(4) == 0L)
+  }
+
   test("friedman: perfect concordance scores chi2=4, W=1; fully-tied units score 0; ragged fails") {
     // two units both ranking a < b < c: chi2 = 4, W = chi2/(n(k-1)) = 1.
     val rows = Seq(

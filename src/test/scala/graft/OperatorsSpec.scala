@@ -389,6 +389,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got("f") == ((10000000L, 0L, 0L, false)))
   }
 
+  test("pageHinkley: running-mean drift ramps and alarms; flat and falling series stay 0") {
+    import graft.operators.Checks
+    // s: [10,10,10,10,20,20] -> m stays 0 through day 4;
+    // day5 mean6=12e6, term 8e6; day6 mean6=80e6 div 6, term 6666667
+    // -> m_final = ph_max = 14666667
+    val rows =
+      (1 to 4).map(d => ("s", f"2024-01-$d%02d", 10L)) ++
+        (5 to 6).map(d => ("s", f"2024-01-$d%02d", 20L)) ++
+        (1 to 4).map(d => ("f", f"2024-01-$d%02d", 10L)) ++
+        Seq(("d", "2024-01-01", 20L), ("d", "2024-01-02", 10L))
+    val got = Checks.pageHinkley(rows.toDF("grp", "bucket", "n"), 0L, 10000000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got("s") == ((14666667L, 14666667L, true)))
+    assert(got("f") == ((0L, 0L, false)))
+    // falling series: m goes negative, running min tracks it -> ph 0
+    assert(got("d") == ((-5000000L, 0L, false)))
+    intercept[IllegalArgumentException](
+      Checks.pageHinkley(rows.toDF("grp", "bucket", "n"), 0L, 0L))
+  }
+
   test("rakeKeywords: hand-computed phrase scores, longer collocation outranks its prefix") {
     val df = Seq((1L, "machine learning of machine learning models the big data"))
       .toDF("doc_id", "text")

@@ -367,6 +367,49 @@ class SeriesSpec extends SparkSpec {
       (2L, 2L, 0L, 2L, 583333L)))
   }
 
+  test("logRank: hand-computed two-group curve; censored entity is at-risk evidence only") {
+    // A lifetimes {0,1}, B {2,3}, censorDays=0 -> nobody censored.
+    // ages: 0 (dA=1, n=4), 1 (dA=1, n=3), 2 (dB=1), 3 (dB=1)
+    // E6 = 500000+333333, V6 = 250000+222222, O_A = 2
+    // z2_6 = (2e6-833333)^2 div 472222 = 2882355
+    val rows = Seq(
+      (1L, "A", "2024-01-01"), (2L, "A", "2024-01-01"), (2L, "A", "2024-01-02"),
+      (3L, "B", "2024-01-01"), (3L, "B", "2024-01-03"),
+      (4L, "B", "2024-01-01"), (4L, "B", "2024-01-04"))
+      .toDF("id", "g", "d").withColumn("day", col("d").cast("date"))
+    val r = Series.logRank(rows, "id", "day", "g", 1, 0).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)) ==
+      (("A", "B", 2L, 2L, 2L, 833333L, 472222L, 2882355L, false)))
+    // censor a2 at the corpus clock (censorDays=1): it stays in the
+    // risk sets but its age-3 row is not churn -> O_A drops to 1.
+    // ages: 0 dA=1 (nA=2,nB=2), 1 dB=1 (nA=1,nB=2), 2 dB=1 (nA=1,nB=1),
+    // 3 cA=1. E6 = 500000+333333+500000, V6 = 250000+222222+250000.
+    val cens = Seq(
+      (1L, "A", "2024-01-01"),
+      (2L, "A", "2024-01-01"), (2L, "A", "2024-01-04"),
+      (3L, "B", "2024-01-01"), (3L, "B", "2024-01-02"),
+      (4L, "B", "2024-01-01"), (4L, "B", "2024-01-03"))
+      .toDF("id", "g", "d").withColumn("day", col("d").cast("date"))
+    val r2 = Series.logRank(cens, "id", "day", "g", 1, 1).head()
+    assert((r2.getLong(4), r2.getLong(5), r2.getLong(6), r2.getLong(7)) ==
+      ((1L, 1333333L, 722222L, 153845L)))
+  }
+
+  test("logRank: three groups and a two-group entity both fail fast") {
+    import graft.operators.Series
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val three = Seq((1L, "A", "2024-01-01"), (2L, "B", "2024-01-01"), (3L, "C", "2024-01-01"))
+      .toDF("id", "g", "d").withColumn("day", col("d").cast("date"))
+    val e = intercept[Exception](Series.logRank(three, "id", "day", "g", 1, 0).collect())
+    assert(chain(e).contains("exactly 2 groups"))
+    val dup = Seq((1L, "A", "2024-01-01"), (1L, "B", "2024-01-02"), (2L, "B", "2024-01-01"))
+      .toDF("id", "g", "d").withColumn("day", col("d").cast("date"))
+    val e2 = intercept[Exception](Series.logRank(dup, "id", "day", "g", 1, 0).collect())
+    assert(chain(e2).contains("entity in two groups"))
+  }
+
   test("hillTailIndex: exact dyadic fixture; flat top scores 0; short input fails fast") {
     // top-3 of {8,4,2}: x_ref = 2, terms ln(4), ln(2) -> h6 = 1039720.
     val dyadic = Seq(8L, 4L, 2L, 1L).toDF("v")

@@ -450,4 +450,42 @@ class StatsOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 4L, 7L))
   }
+
+  test("kendallTauB: perfect concordance 1e6, reversal -1e6, square-tied grid 0") {
+    val inc = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r1 = Checks.kendallTauB(inc, col("x"), col("y")).head()
+    assert((r1.getLong(0), r1.getLong(3), r1.getLong(4), r1.getLong(5), r1.getLong(6)) ==
+      ((3L, 3L, 0L, 1000000L, 1000000L)))
+    val dec = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val r2 = Checks.kendallTauB(dec, col("x"), col("y")).head()
+    assert((r2.getLong(3), r2.getLong(4), r2.getLong(5), r2.getLong(6)) ==
+      ((0L, 3L, -1000000L, -1000000L)))
+    // 2x2 full grid: 1 concordant + 1 discordant pair cancel to 0
+    val sq = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val r3 = Checks.kendallTauB(sq, col("x"), col("y")).head()
+    assert((r3.getLong(3), r3.getLong(4), r3.getLong(5), r3.getLong(6)) ==
+      ((1L, 1L, 0L, 0L)))
+  }
+
+  test("kendallTauB: tie correction shrinks the denominator; fully-tied margin scores 0") {
+    // x = (1,2,3,3), y = (1,2,3,4): C = 5, D = 0, Tx2 = 2
+    // tau_a6 = 2e6*5 div 12 = 833333; taub2s6 = 4e6*25 div (10*12) = 833333
+    val tied = Seq((1L, 1L), (2L, 2L), (3L, 3L), (3L, 4L)).toDF("x", "y")
+    val r = Checks.kendallTauB(tied, col("x"), col("y")).head()
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((5L, 0L, 833333L, 833333L)))
+    // constant x: every pair tied in x -> denominator 0 -> 0
+    val const = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("x", "y")
+    val r2 = Checks.kendallTauB(const, col("x"), col("y")).head()
+    assert((r2.getLong(5), r2.getLong(6)) == ((0L, 0L)))
+  }
+
+  test("kendallTauB: dense grid past maxGridCells fails fast in-plan") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val wide = (1L to 4L).flatMap(x => (1L to 4L).map(y => (x, y))).toDF("x", "y")
+    val e = intercept[Exception](
+      Checks.kendallTauB(wide, col("x"), col("y"), maxGridCells = 15L).collect())
+    assert(chain(e).contains("exceeds maxGridCells"))
+  }
 }
