@@ -263,6 +263,37 @@ object SparkEntryCoverage {
         |SELECT event_type, n_days, s_stat, tau6, z2_6, z2_6 >= 3841459 AS significant
         |FROM f ORDER BY event_type""".stripMargin
 
+  /** w_page_hinkley / st_page_hinkley shared oracle: the streaming
+    * monitor merges partial daily count grids and re-runs the same
+    * running-mean fold, so one SQL is the truth for both paths.
+    */
+  private[graft] lazy val pageHinkleyOracleSql: String =
+    """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, list(n ORDER BY bucket) AS seq,
+        |        CAST(count(*) AS BIGINT) AS days FROM c GROUP BY 1),
+        |f AS (SELECT grp, days,
+        |        list_reduce(
+        |          list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |                        CAST(9223372036854775807 AS BIGINT), CAST(0 AS BIGINT)],
+        |                       list_transform(seq, x -> [x, x, x, x, x])),
+        |          (acc, e) -> [
+        |            acc[1] + 1,
+        |            acc[2] + e[1],
+        |            acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1),
+        |            least(acc[4],
+        |              acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1)),
+        |            greatest(acc[5],
+        |              (acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1))
+        |              - least(acc[4],
+        |                  acc[3] + e[1] * 1000000
+        |                  - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1)))]) AS st
+        |      FROM g)
+        |SELECT grp, days, st[3] AS m_final6, st[5] AS ph_max6,
+        |       st[5] > 20000000 AS alarm
+        |FROM f ORDER BY grp""".stripMargin
+
   /** Shared group-sequential-looks oracle: a_obf_looks and
     * a_pocock_looks differ ONLY in the 5 boundary literals, so one
     * builder keeps engine and oracle boundaries in lockstep with
@@ -2622,6 +2653,41 @@ object SparkEntryCoverage {
         .filter(col("grade") > 0)
         .select(col("qid"), col("doc_id"), col("grade"))
       TextAnalysis.ndcgAtK(scored, judged, 10).orderBy(col("qid"))
+    },
+    // Precision/recall/F1@10 (TextAnalysis.precisionRecallAtK): the
+    // binary-relevance readout over the SAME query set, BM25 ranks
+    // and coverage judgments as r_ndcg_eval — fixed-k precision,
+    // recall against each query's full positive set, F1 folded from
+    // the rounded micro integers.
+    "r_pr_eval" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qterms = docs
+        .filter(col("doc_id") % 20 === 0)
+        .select(
+          col("doc_id").as("qid"),
+          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
+        .distinct()
+      val scored = TextAnalysis
+        .bm25PerQuery(docs, "text", "doc_id", qterms)
+        .withColumnRenamed("bm25", "score")
+      val qn = qterms.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
+      val docTerms = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+        .distinct()
+      val judged = docTerms
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("m"))
+        .join(broadcast(qn), Seq("qid"))
+        .withColumn(
+          "grade",
+          when(col("m") === col("n_q"), 2L)
+            .when(col("m") * 2 >= col("n_q"), 1L)
+            .otherwise(0L))
+        .filter(col("grade") > 0)
+        .select(col("qid"), col("doc_id"), col("grade"))
+      TextAnalysis.precisionRecallAtK(scored, judged, 10).orderBy(col("qid"))
     },
     // BPE merge learning (TextAnalysis.bpeTopMerges — Sennrich et al.
     // 2016): the first 3 merges learned from the corpus vocabulary —
@@ -11221,33 +11287,9 @@ object SparkEntryCoverage {
         |FROM f ORDER BY grp""".stripMargin,
     // the identical [i, S, m, min_m, max_ph] running-mean fold
     // replayed by list_reduce; mean6 = (1e6*S_i) // i off the exact
-    // prefix sum (S >= 0, so floor == truncation on both engines)
-    "w_page_hinkley" ->
-      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
-        |             CAST(count(*) AS BIGINT) AS n
-        |           FROM events GROUP BY 1, 2),
-        |g AS (SELECT grp, list(n ORDER BY bucket) AS seq,
-        |        CAST(count(*) AS BIGINT) AS days FROM c GROUP BY 1),
-        |f AS (SELECT grp, days,
-        |        list_reduce(
-        |          list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |                        CAST(9223372036854775807 AS BIGINT), CAST(0 AS BIGINT)],
-        |                       list_transform(seq, x -> [x, x, x, x, x])),
-        |          (acc, e) -> [
-        |            acc[1] + 1,
-        |            acc[2] + e[1],
-        |            acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1),
-        |            least(acc[4],
-        |              acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1)),
-        |            greatest(acc[5],
-        |              (acc[3] + e[1] * 1000000 - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1))
-        |              - least(acc[4],
-        |                  acc[3] + e[1] * 1000000
-        |                  - ((acc[2] + e[1]) * 1000000) // (acc[1] + 1)))]) AS st
-        |      FROM g)
-        |SELECT grp, days, st[3] AS m_final6, st[5] AS ph_max6,
-        |       st[5] > 20000000 AS alarm
-        |FROM f ORDER BY grp""".stripMargin,
+    // prefix sum (S >= 0, so floor == truncation on both engines);
+    // shared with the streaming twin st_page_hinkley
+    "w_page_hinkley" -> pageHinkleyOracleSql,
     "a_kendall_tau" ->
       """WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS x,
         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS y
@@ -11759,6 +11801,55 @@ object SparkEntryCoverage {
          |       d.n_rel_k
          |FROM dcg d JOIN idcg i ON d.qid = i.qid ORDER BY d.qid""".stripMargin
     },
+    // same query set, BM25 chain and coverage judgments as
+    // r_ndcg_eval; fixed-k precision, full-positive-set recall, F1
+    // folded from the rounded micro integers
+    "r_pr_eval" ->
+      """WITH q AS (SELECT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(tk[3:10]) AS term FROM (
+        |      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |      FROM documents WHERE doc_id % 20 = 0)) GROUP BY 1, 2),
+        |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_q FROM q GROUP BY 1),
+        |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+        |       FROM documents),
+        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+        |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |          FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+        |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT tf.doc_id, tf.term,
+        |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+        |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+        |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+        |      FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        |sc AS (SELECT q.qid, contrib.doc_id, round(SUM(c), 6) AS bm25
+        |       FROM contrib JOIN q ON q.term = contrib.term GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+        |       FROM sc),
+        |jm AS (SELECT q.qid, tf.doc_id, CAST(count(*) AS BIGINT) AS m
+        |       FROM tf JOIN q ON q.term = tf.term GROUP BY 1, 2),
+        |jp AS (SELECT jm.qid, jm.doc_id
+        |       FROM jm JOIN qn ON jm.qid = qn.qid
+        |       WHERE CASE WHEN m = n_q THEN 2 WHEN 2 * m >= n_q THEN 1 ELSE 0 END > 0),
+        |np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pos FROM jp GROUP BY 1),
+        |tpx AS (SELECT rk.qid,
+        |          CAST(SUM(CASE WHEN jp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |        FROM rk LEFT JOIN jp ON rk.qid = jp.qid AND rk.doc_id = jp.doc_id
+        |        WHERE rk.rnk <= 10 GROUP BY 1),
+        |f AS (SELECT np.qid, np.n_pos, CAST(COALESCE(tpx.tp, 0) AS BIGINT) AS tp
+        |      FROM np LEFT JOIN tpx ON np.qid = tpx.qid),
+        |g AS (SELECT qid, n_pos, tp,
+        |        CAST((1000000 * tp) // 10 AS BIGINT) AS p6,
+        |        CAST((1000000 * tp) // n_pos AS BIGINT) AS r6
+        |      FROM f)
+        |SELECT qid, n_pos, tp, p6, r6,
+        |  CASE WHEN p6 + r6 = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((2 * p6 * r6) // (p6 + r6) AS BIGINT) END AS f16
+        |FROM g ORDER BY qid""".stripMargin,
     // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
     // g_kcore lesson): per step, pair counts from the previous
     // vocabulary, totally-ordered argmax, plain-replace rewrite

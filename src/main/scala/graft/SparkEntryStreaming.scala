@@ -739,6 +739,44 @@ object SparkEntryStreaming {
         .withColumnRenamed("k", "event_type")
         .orderBy(col("event_type"))
     },
+    // Streaming Page-Hinkley drift monitor — the running-mean fold is
+    // order-pinned and not mergeable, but the DAILY COUNT GRID is
+    // (per-batch partial counts SUM-merge exactly, the
+    // st_mann_kendall posture): micro-batches append partial
+    // (grp, bucket, n) grids, the monitor re-runs the fold over the
+    // merged bucket-bounded grid. Bit-equal to the batch
+    // w_page_hinkley under the shared oracle.
+    "st_page_hinkley" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/phgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(
+          col("event_type").cast("string").as("grp"),
+          date_format(col("ts"), "yyyy-MM-dd").as("bucket"),
+          lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .groupBy(
+              col("event_type").cast("string").as("grp"),
+              date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Checks
+        .pageHinkley(
+          s.read.parquet(cPath)
+            .groupBy(col("grp"), col("bucket"))
+            .agg(sum(col("n")).as("n")),
+          0L,
+          20000000L)
+        .orderBy(col("grp"))
+    },
     // Streaming PHASH maintenance — re-crawled media re-hashed per
     // micro-batch: the base index holds STALE codes for every 5th doc
     // (a '?'-run appended — bin 15 and the byte length move, so the
@@ -1154,6 +1192,7 @@ object SparkEntryStreaming {
     // daily-count-grid merge-invariance makes the streamed trend test
     // bit-equal to the batch w_mann_kendall — one shared oracle
     "st_mann_kendall" -> SparkEntryCoverage.mannKendallOracleSql,
+    "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),

@@ -1442,6 +1442,58 @@ object TextAnalysis {
       .select(col("qid"), col("dcg6"), col("idcg6"), col("ndcg6"), col("n_rel_k"))
   }
 
+  /** Precision / recall / F1 at k — the binary-relevance readout
+    * beside [[ndcgAtK]] (graded) and the MRR query (first-hit): what
+    * FRACTION of the top-k is relevant, and what fraction of the
+    * relevant set the top-k captured. The set-retrieval numbers a
+    * RAG pipeline actually reports.
+    *
+    * Conventions, each pinned: precision divides by the FIXED k
+    * (retrieving fewer than k rows is a retrieval deficiency, not a
+    * smaller denominator); queries with NO judged-positive docs are
+    * dropped (recall undefined); a judged query with zero scored
+    * rows still publishes (tp = 0). Exactness: p6 = 1e6·tp div k and
+    * r6 = 1e6·tp div n_pos are single truncating divisions off exact
+    * counts; f16 = 2·p6·r6 div (p6 + r6) folds the already-rounded
+    * micro integers (the cohensKappa two-stage convention), 0 when
+    * both are 0. Null scores are excluded by the ndcg contract
+    * (Spark and DuckDB sort them to opposite ends).
+    *
+    * Inputs: `scored` (qid, doc_id, score), `judged` (qid, doc_id,
+    * grade — grade > 0 is relevant). Scale shape: one per-qid top-k
+    * window over the scored table, one broadcast-sized join against
+    * the positive set, per-qid aggregates. Returns (qid, n_pos, tp,
+    * p6, r6, f16).
+    */
+  def precisionRecallAtK(scored: DataFrame, judged: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in 1..1000")
+    val pos = judged
+      .filter(col("grade") > 0)
+      .select(col("qid"), col("doc_id"))
+      .distinct()
+    val nPos = pos.groupBy(col("qid")).agg(count(lit(1)).as("n_pos"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val tp = scored
+      .filter(col("score").isNotNull)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .join(pos.withColumn("__rel", lit(1L)), Seq("qid", "doc_id"), "left")
+      .na.fill(0L, Seq("__rel"))
+      .groupBy(col("qid"))
+      .agg(sum(col("__rel")).as("tp"))
+    nPos
+      .join(tp, Seq("qid"), "left")
+      .na.fill(0L, Seq("tp"))
+      .withColumn("p6", expr(s"CAST((1000000 * tp) div $k AS BIGINT)"))
+      .withColumn("r6", expr("CAST((1000000 * tp) div n_pos AS BIGINT)"))
+      .withColumn(
+        "f16",
+        expr(
+          """CASE WHEN p6 + r6 = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((2 * p6 * r6) div (p6 + r6) AS BIGINT) END""".stripMargin))
+      .select(col("qid"), col("n_pos"), col("tp"), col("p6"), col("r6"), col("f16"))
+  }
+
   /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS
     * 2010) between two top-k rankings — the ranker-comparison metric
     * that, unlike Kendall/Spearman over the union, is TOP-WEIGHTED

@@ -475,6 +475,27 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getLong(3) < 1000000L)
   }
 
+  test("precisionRecallAtK: fixed-k precision, full-set recall; judged-unscored qid publishes zeros") {
+    val scored = Seq(
+      (1L, 10L, 9.0), (1L, 20L, 8.0), (1L, 30L, 7.0), (1L, 40L, 6.0),
+      (3L, 50L, 5.0) // qid 3 has no judgments -> drops
+    ).toDF("qid", "doc_id", "score")
+    val judged = Seq(
+      (1L, 10L, 1L), (1L, 40L, 2L), (1L, 99L, 1L), // 99 never scored
+      (2L, 70L, 1L) // qid 2 judged but nothing scored
+    ).toDF("qid", "doc_id", "grade")
+    val got = TextAnalysis.precisionRecallAtK(scored, judged, 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    // qid 1: top-2 = {10, 20}, tp = 1 of n_pos 3 -> p6 = 500000,
+    // r6 = 333333, f16 = 2*5e5*333333 div 833333 = 399999
+    assert(got(1L) == ((3L, 1L, 500000L, 333333L, 399999L)))
+    assert(got(2L) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(!got.contains(3L))
+  }
+
   test("canaryRecall: dropout twins recovered on a plantable corpus; short docs not planted") {
     // doc 10 has 12 tokens (planted; 10% dropout keeps most shingles
     // -> found); doc 20 has 3 tokens (under the >=10 floor -> not
