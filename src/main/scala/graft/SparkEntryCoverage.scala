@@ -294,6 +294,32 @@ object SparkEntryCoverage {
         |       st[5] > 20000000 AS alarm
         |FROM f ORDER BY grp""".stripMargin
 
+  /** a_brier_ece / st_brier_ece shared oracle: the streaming monitor
+    * merges partial calibration-cell grids (all sums linear) and
+    * re-derives the summary, so one SQL is the truth for both paths.
+    */
+  private[graft] lazy val brierEceOracleSql: String =
+    """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT LEAST(9, (s6 * 10) // 1000000) AS bin, s6,
+        |        CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |      FROM base),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yy) AS BIGINT) AS x,
+        |        CAST(SUM(s6) AS BIGINT) AS ss,
+        |        CAST(SUM(CAST(s6 AS HUGEINT) * s6) AS HUGEINT) AS s2,
+        |        CAST(SUM(s6 * yy) AS BIGINT) AS sy
+        |      FROM b GROUP BY 1),
+        |gg AS (SELECT n, x, s2, sy,
+        |         CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
+        |       FROM g)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(n * gap6) // SUM(n) AS BIGINT) AS ece6,
+        |  CAST((SUM(s2) - CAST(2000000 AS HUGEINT) * SUM(sy)
+        |        + CAST(1000000 AS HUGEINT) * 1000000 * SUM(x)) // SUM(n) AS BIGINT)
+        |    AS brier12
+        |FROM gg""".stripMargin
+
   /** Shared group-sequential-looks oracle: a_obf_looks and
     * a_pocock_looks differ ONLY in the 5 boundary literals, so one
     * builder keeps engine and oracle boundaries in lockstep with
@@ -2688,6 +2714,40 @@ object SparkEntryCoverage {
         .filter(col("grade") > 0)
         .select(col("qid"), col("doc_id"), col("grade"))
       TextAnalysis.precisionRecallAtK(scored, judged, 10).orderBy(col("qid"))
+    },
+    // Average precision@10 (TextAnalysis.averagePrecisionAtK): the
+    // order-sensitive per-query MAP term over the same chassis —
+    // precision read exactly at each relevant hit, normalized by the
+    // full positive set.
+    "r_map_eval" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qterms = docs
+        .filter(col("doc_id") % 20 === 0)
+        .select(
+          col("doc_id").as("qid"),
+          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
+        .distinct()
+      val scored = TextAnalysis
+        .bm25PerQuery(docs, "text", "doc_id", qterms)
+        .withColumnRenamed("bm25", "score")
+      val qn = qterms.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
+      val docTerms = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+        .distinct()
+      val judged = docTerms
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("m"))
+        .join(broadcast(qn), Seq("qid"))
+        .withColumn(
+          "grade",
+          when(col("m") === col("n_q"), 2L)
+            .when(col("m") * 2 >= col("n_q"), 1L)
+            .otherwise(0L))
+        .filter(col("grade") > 0)
+        .select(col("qid"), col("doc_id"), col("grade"))
+      TextAnalysis.averagePrecisionAtK(scored, judged, 10).orderBy(col("qid"))
     },
     // BPE merge learning (TextAnalysis.bpeTopMerges — Sennrich et al.
     // 2016): the first 3 merges learned from the corpus vocabulary —
@@ -11072,27 +11132,7 @@ object SparkEntryCoverage {
         |  CAST((1000000 * x) // n AS BIGINT) AS acc6,
         |  CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
         |FROM g ORDER BY bin""".stripMargin,
-    "a_brier_ece" ->
-      """WITH base AS (SELECT (event_type = 'purchase') AS y,
-        |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6
-        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
-        |b AS (SELECT LEAST(9, (s6 * 10) // 1000000) AS bin, s6,
-        |        CASE WHEN y THEN 1 ELSE 0 END AS yy
-        |      FROM base),
-        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yy) AS BIGINT) AS x,
-        |        CAST(SUM(s6) AS BIGINT) AS ss,
-        |        CAST(SUM(CAST(s6 AS HUGEINT) * s6) AS HUGEINT) AS s2,
-        |        CAST(SUM(s6 * yy) AS BIGINT) AS sy
-        |      FROM b GROUP BY 1),
-        |gg AS (SELECT n, x, s2, sy,
-        |         CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
-        |       FROM g)
-        |SELECT CAST(SUM(n) AS BIGINT) AS n,
-        |  CAST(SUM(n * gap6) // SUM(n) AS BIGINT) AS ece6,
-        |  CAST((SUM(s2) - CAST(2000000 AS HUGEINT) * SUM(sy)
-        |        + CAST(1000000 AS HUGEINT) * 1000000 * SUM(x)) // SUM(n) AS BIGINT)
-        |    AS brier12
-        |FROM gg""".stripMargin,
+    "a_brier_ece" -> brierEceOracleSql,
     "a_odds_ratio" ->
       """WITH cells AS (
         | SELECT event_type AS g,
@@ -11850,6 +11890,57 @@ object SparkEntryCoverage {
         |  CASE WHEN p6 + r6 = 0 THEN CAST(0 AS BIGINT)
         |  ELSE CAST((2 * p6 * r6) // (p6 + r6) AS BIGINT) END AS f16
         |FROM g ORDER BY qid""".stripMargin,
+    // same chassis; per-relevant-rank precision then the two-stage
+    // division, both truncating off exact counts
+    "r_map_eval" ->
+      """WITH q AS (SELECT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(tk[3:10]) AS term FROM (
+        |      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |      FROM documents WHERE doc_id % 20 = 0)) GROUP BY 1, 2),
+        |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_q FROM q GROUP BY 1),
+        |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+        |       FROM documents),
+        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+        |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |          FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+        |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT tf.doc_id, tf.term,
+        |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+        |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+        |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+        |      FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        |sc AS (SELECT q.qid, contrib.doc_id, round(SUM(c), 6) AS bm25
+        |       FROM contrib JOIN q ON q.term = contrib.term GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+        |       FROM sc),
+        |jm AS (SELECT q.qid, tf.doc_id, CAST(count(*) AS BIGINT) AS m
+        |       FROM tf JOIN q ON q.term = tf.term GROUP BY 1, 2),
+        |jp AS (SELECT jm.qid, jm.doc_id
+        |       FROM jm JOIN qn ON jm.qid = qn.qid
+        |       WHERE CASE WHEN m = n_q THEN 2 WHEN 2 * m >= n_q THEN 1 ELSE 0 END > 0),
+        |np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pos FROM jp GROUP BY 1),
+        |rk2 AS (SELECT rk.qid, rk.rnk,
+        |          CASE WHEN jp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |        FROM rk LEFT JOIN jp ON rk.qid = jp.qid AND rk.doc_id = jp.doc_id
+        |        WHERE rk.rnk <= 10),
+        |cr AS (SELECT qid, rnk, rel,
+        |         CAST(SUM(rel) OVER (PARTITION BY qid ORDER BY rnk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumrel
+        |       FROM rk2),
+        |tm AS (SELECT qid, CAST(SUM((1000000 * cumrel) // rnk) AS BIGINT) AS psum,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rel_k
+        |       FROM cr WHERE rel = 1 GROUP BY 1),
+        |f AS (SELECT np.qid, np.n_pos,
+        |        CAST(COALESCE(tm.psum, 0) AS BIGINT) AS psum,
+        |        CAST(COALESCE(tm.n_rel_k, 0) AS BIGINT) AS n_rel_k
+        |      FROM np LEFT JOIN tm ON np.qid = tm.qid)
+        |SELECT qid, n_pos, n_rel_k, CAST(psum // n_pos AS BIGINT) AS ap6
+        |FROM f ORDER BY qid""".stripMargin,
     // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
     // g_kcore lesson): per step, pair counts from the previous
     // vocabulary, totally-ordered argmax, plain-replace rewrite

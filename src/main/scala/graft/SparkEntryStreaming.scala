@@ -777,6 +777,33 @@ object SparkEntryStreaming {
           20000000L)
         .orderBy(col("grp"))
     },
+    // Streaming calibration monitor — the reliability-bin grid is a
+    // SUFFICIENT STATISTIC (n, x, Σs, Σs², Σsy per bin, all linear):
+    // micro-batches append partial cell grids, the monitor SUM-merges
+    // and re-derives ECE + Brier — bit-equal to the one-shot batch
+    // a_brier_ece under the shared oracle. Live quality-score
+    // watching without ever re-scanning history.
+    "st_brier_ece" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/calgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      def cells(d: DataFrame) =
+        graft.operators.Evaluation.calibrationCells(
+          d.filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type") === "purchase",
+          least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
+          10)
+      cells(ev.filter(lit(false))).write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          cells(batch).write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Evaluation.calibrationSummary(
+        graft.operators.Evaluation.calibrationBinsFromCells(s.read.parquet(cPath)))
+    },
     // Streaming PHASH maintenance — re-crawled media re-hashed per
     // micro-batch: the base index holds STALE codes for every 5th doc
     // (a '?'-run appended — bin 15 and the byte length move, so the
@@ -1193,6 +1220,9 @@ object SparkEntryStreaming {
     // bit-equal to the batch w_mann_kendall — one shared oracle
     "st_mann_kendall" -> SparkEntryCoverage.mannKendallOracleSql,
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
+    // calibration-cell merge-invariance: the streamed summary must
+    // equal the one-shot batch readout
+    "st_brier_ece" -> SparkEntryCoverage.brierEceOracleSql,
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),

@@ -118,6 +118,21 @@ object Evaluation {
       df: DataFrame,
       labelCol: Column,
       score6Col: Column,
+      bins: Int): DataFrame =
+    calibrationBinsFromCells(calibrationCells(df, labelCol, score6Col, bins))
+
+  /** The MERGEABLE half of [[calibrationBins]]: per-bin sufficient
+    * statistics (bin, n, x, ssum, s2sum, sysum) — all linear, so
+    * partial grids from independent slices (micro-batches, shards,
+    * days) SUM-merge exactly and [[calibrationBinsFromCells]] over
+    * the merged grid is bit-equal to a single-pass computation: the
+    * st_kruskal sufficient-statistic posture applied to calibration
+    * monitoring. One corpus scan, ≤ `bins` output rows.
+    */
+  def calibrationCells(
+      df: DataFrame,
+      labelCol: Column,
+      score6Col: Column,
       bins: Int): DataFrame = {
     require(bins >= 1 && bins <= 1000,
       s"calibrationBins: 1..1000 bins supported, got $bins")
@@ -141,10 +156,25 @@ object Evaluation {
       .agg(
         count(lit(1)).as("n"),
         sum(col("__y")).as("x"),
-        sum(col("__s6")).as("__ssum"),
+        sum(col("__s6")).as("ssum"),
         sum(col("__s6").cast("decimal(38,0)") * col("__s6").cast("decimal(38,0)"))
           .cast("decimal(38,0)").as("s2sum"),
         sum(col("__s6") * col("__y")).as("sysum"))
+  }
+
+  /** Derive the reliability table from a (possibly merged) cell grid
+    * — the rounding (one truncating division per bin for conf6/acc6)
+    * happens HERE, after the merge, so partial grids stay exact.
+    */
+  def calibrationBinsFromCells(cells: DataFrame): DataFrame =
+    cells
+      .groupBy(col("bin"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("x")).as("x"),
+        sum(col("ssum")).as("__ssum"),
+        sum(col("s2sum")).cast("decimal(38,0)").as("s2sum"),
+        sum(col("sysum")).as("sysum"))
       .select(
         col("bin"),
         col("n"),
@@ -155,7 +185,6 @@ object Evaluation {
         col("s2sum"),
         col("sysum"))
       .orderBy(col("bin"))
-  }
 
   /** One-row calibration summary off the [[calibrationBins]] grid —
     * no second corpus scan:

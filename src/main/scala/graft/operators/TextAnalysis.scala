@@ -1494,6 +1494,56 @@ object TextAnalysis {
       .select(col("qid"), col("n_pos"), col("tp"), col("p6"), col("r6"), col("f16"))
   }
 
+  /** Average precision at k (the per-query term of MAP — the TREC
+    * ranking summary): AP = (1/|pos|)·Σ_{relevant ranks r ≤ k}
+    * P(r), i.e. precision read exactly at each relevant hit, so
+    * ranking a relevant doc higher ALWAYS helps (unlike
+    * [[precisionRecallAtK]], which is order-blind inside the top-k).
+    * Divides by the FULL positive-set size, so misses below k cost
+    * recall — the standard "AP@k with full-R normalization".
+    *
+    * Exactness: per relevant rank, p6(r) = 1e6·cumrel(r) div r — one
+    * truncating division off exact counts; ap6 = Σp6 div n_pos folds
+    * the rounded terms (the two-stage convention, mirrored by the
+    * oracle). Same input contracts as precisionRecallAtK: grade > 0
+    * is relevant, null scores excluded, no-positive queries drop,
+    * judged-but-unscored queries publish zeros.
+    *
+    * Scale shape: one per-qid top-k window, a cumulative count over
+    * the k-bounded ranked rows (partitioned by qid — never a global
+    * window), per-qid aggregates. Returns (qid, n_pos, n_rel_k,
+    * ap6).
+    */
+  def averagePrecisionAtK(scored: DataFrame, judged: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in 1..1000")
+    val pos = judged
+      .filter(col("grade") > 0)
+      .select(col("qid"), col("doc_id"))
+      .distinct()
+    val nPos = pos.groupBy(col("qid")).agg(count(lit(1)).as("n_pos"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val cumW = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = scored
+      .filter(col("score").isNotNull)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .join(pos.withColumn("__rel", lit(1L)), Seq("qid", "doc_id"), "left")
+      .na.fill(0L, Seq("__rel"))
+      .withColumn("__cumrel", sum(col("__rel")).over(cumW))
+      .filter(col("__rel") === 1L)
+      .select(
+        col("qid"),
+        expr("CAST((1000000 * __cumrel) div rnk AS BIGINT)").as("__p6"))
+      .groupBy(col("qid"))
+      .agg(sum(col("__p6")).as("__psum"), count(lit(1)).as("n_rel_k"))
+    nPos
+      .join(terms, Seq("qid"), "left")
+      .na.fill(0L, Seq("__psum", "n_rel_k"))
+      .withColumn("ap6", expr("CAST(__psum div n_pos AS BIGINT)"))
+      .select(col("qid"), col("n_pos"), col("n_rel_k"), col("ap6"))
+  }
+
   /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS
     * 2010) between two top-k rankings — the ranker-comparison metric
     * that, unlike Kendall/Spearman over the union, is TOP-WEIGHTED

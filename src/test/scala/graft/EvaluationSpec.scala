@@ -60,6 +60,25 @@ class EvaluationSpec extends SparkSpec {
       ((4L, 125000L, 102500000000L)))
   }
 
+  test("calibrationCells: partial grids SUM-merge to the single-pass bins and summary") {
+    val rows = Seq((0L, 200000L), (1L, 400000L), (1L, 900000L), (1L, 1000000L))
+    val whole = rows.toDF("y", "s6")
+    val parts = Seq(
+      Seq(rows(0), rows(2)).toDF("y", "s6"),
+      Seq(rows(1), rows(3)).toDF("y", "s6"))
+    val merged = parts
+      .map(p => Evaluation.calibrationCells(p, col("y") === 1L, col("s6"), 2))
+      .reduce(_ unionByName _)
+    val fromCells = Evaluation.calibrationBinsFromCells(merged).collect().map(_.toSeq)
+    val onePass = Evaluation
+      .calibrationBins(whole, col("y") === 1L, col("s6"), 2).collect().map(_.toSeq)
+    assert(fromCells.toSeq == onePass.toSeq)
+    val s = Evaluation
+      .calibrationSummary(Evaluation.calibrationBinsFromCells(merged)).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) ==
+      ((4L, 125000L, 102500000000L)))
+  }
+
   test("calibrationBins: out-of-range score fails fast; bins bounds enforced") {
     val bad = Seq((1L, 1000001L)).toDF("y", "s6")
     val e = intercept[Exception](

@@ -496,6 +496,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("averagePrecisionAtK: precision read at each relevant hit; order sensitivity pins") {
+    // ranks: 10(rel,cum1,p6=1e6), 20, 30(rel,cum2,p6=666666), 40
+    // ap6 = (1e6 + 666666) div 3 = 555555 against n_pos = 3
+    val scored = Seq(
+      (1L, 10L, 9.0), (1L, 20L, 8.0), (1L, 30L, 7.0), (1L, 40L, 6.0))
+      .toDF("qid", "doc_id", "score")
+    val judged = Seq((1L, 10L, 1L), (1L, 30L, 2L), (1L, 99L, 1L))
+      .toDF("qid", "doc_id", "grade")
+    val r = TextAnalysis.averagePrecisionAtK(scored, judged, 4).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 3L, 2L, 555555L)))
+    // same hits ranked worse -> strictly lower AP (P/R@k would not move):
+    // rel at ranks 2 and 4: (500000 + 500000) div 3 = 333333
+    val worse = Seq(
+      (1L, 10L, 8.0), (1L, 20L, 9.0), (1L, 30L, 6.0), (1L, 40L, 7.0))
+      .toDF("qid", "doc_id", "score")
+    val r2 = TextAnalysis.averagePrecisionAtK(worse, judged, 4).head()
+    assert(r2.getLong(3) == 333333L)
+  }
+
   test("canaryRecall: dropout twins recovered on a plantable corpus; short docs not planted") {
     // doc 10 has 12 tokens (planted; 10% dropout keeps most shingles
     // -> found); doc 20 has 3 tokens (under the >=10 floor -> not
