@@ -114,6 +114,60 @@ object SparkEntryCoverage {
         p
       })
 
+  /** Shared batch-BM25 EVAL CHASSIS per (application, dataset) — the
+    * [[docNgramPairs]] discipline for the retrieval-eval family:
+    * r_mrr_eval / r_ndcg_eval / r_pr_eval / r_map_eval all rank the
+    * SAME doc_id%20 query set with the same batch BM25 and (three of
+    * them) derive the same coverage judgments; the corpus-stats +
+    * term-join pass now runs once per (app, dataset) and each metric
+    * reads the scored/judged parquet artifacts in place. Only the
+    * INPUT tables are shared — each query's metric fold and oracle
+    * are untouched, so oracle isolation holds.
+    */
+  private val bm25EvalCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, (String, String, StructType, StructType)]
+  private[graft] def bm25EvalTables(
+      s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (ps, pj, ss, sj) = bm25EvalCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir", {
+        val base = s"/tmp/graft_idx/bm25eval_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val docs = t(s, dir, "documents")
+        val qterms = docs
+          .filter(col("doc_id") % 20 === 0)
+          .select(
+            col("doc_id").as("qid"),
+            explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
+          .distinct()
+        val scored = TextAnalysis
+          .bm25PerQuery(docs, "text", "doc_id", qterms)
+          .withColumnRenamed("bm25", "score")
+        val qn = qterms.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
+        val docTerms = docs
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+          .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+          .distinct()
+        val judged = docTerms
+          .join(broadcast(qterms), Seq("term"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("m"))
+          .join(broadcast(qn), Seq("qid"))
+          .withColumn(
+            "grade",
+            when(col("m") === col("n_q"), 2L)
+              .when(col("m") * 2 >= col("n_q"), 1L)
+              .otherwise(0L))
+          .filter(col("grade") > 0)
+          .select(col("qid"), col("doc_id"), col("grade"))
+        scored.write.mode("overwrite").parquet(s"$base/scored")
+        judged.write.mode("overwrite").parquet(s"$base/judged")
+        (s"$base/scored", s"$base/judged", scored.schema, judged.schema)
+      })
+    (s.read.schema(ss).parquet(ps), s.read.schema(sj).parquet(pj))
+  }
+
   /** Memoized bigram-LM COUNT GRIDS per (application, dataset, doc
     * subset) — the docNgramPairs discipline for the LM family's
     * inputs: five lifecycle queries derive grids from the same four
@@ -2620,18 +2674,11 @@ object SparkEntryCoverage {
     // metrics pattern applied to the retrieval stack. Batch shape:
     // N queries cost one corpus stats pass + a term join, not N scans.
     "r_mrr_eval" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val queries = docs
-        .filter(col("doc_id") % 20 === 0)
-        .select(
-          col("doc_id").as("qid"),
-          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
-        .distinct()
+      val (scored, _) = bm25EvalTables(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-      TextAnalysis
-        .bm25PerQuery(docs, "text", "doc_id", queries)
+        .orderBy(col("score").desc, col("doc_id"))
+      scored
         .withColumn("rnk", row_number().over(w))
         .filter(col("qid") === col("doc_id"))
         .select(
@@ -2649,35 +2696,7 @@ object SparkEntryCoverage {
     // Scala and injected into BOTH plans (ndcgWeightSql), so the
     // whole eval is exact-integer past the BM25 sort
     "r_ndcg_eval" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val qterms = docs
-        .filter(col("doc_id") % 20 === 0)
-        .select(
-          col("doc_id").as("qid"),
-          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
-        .distinct()
-      val scored = TextAnalysis
-        .bm25PerQuery(docs, "text", "doc_id", qterms)
-        .withColumnRenamed("bm25", "score")
-      val qn = qterms.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
-      // distinct (doc, term) cut to the query vocabulary BEFORE the
-      // distinct — the corpus-side frame never carries off-vocab terms
-      val docTerms = docs
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
-        .distinct()
-      val judged = docTerms
-        .join(broadcast(qterms), Seq("term"))
-        .groupBy(col("qid"), col("doc_id"))
-        .agg(count(lit(1)).as("m"))
-        .join(broadcast(qn), Seq("qid"))
-        .withColumn(
-          "grade",
-          when(col("m") === col("n_q"), 2L)
-            .when(col("m") * 2 >= col("n_q"), 1L)
-            .otherwise(0L))
-        .filter(col("grade") > 0)
-        .select(col("qid"), col("doc_id"), col("grade"))
+      val (scored, judged) = bm25EvalTables(s, dir)
       TextAnalysis.ndcgAtK(scored, judged, 10).orderBy(col("qid"))
     },
     // Precision/recall/F1@10 (TextAnalysis.precisionRecallAtK): the
@@ -2686,33 +2705,7 @@ object SparkEntryCoverage {
     // recall against each query's full positive set, F1 folded from
     // the rounded micro integers.
     "r_pr_eval" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val qterms = docs
-        .filter(col("doc_id") % 20 === 0)
-        .select(
-          col("doc_id").as("qid"),
-          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
-        .distinct()
-      val scored = TextAnalysis
-        .bm25PerQuery(docs, "text", "doc_id", qterms)
-        .withColumnRenamed("bm25", "score")
-      val qn = qterms.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
-      val docTerms = docs
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
-        .distinct()
-      val judged = docTerms
-        .join(broadcast(qterms), Seq("term"))
-        .groupBy(col("qid"), col("doc_id"))
-        .agg(count(lit(1)).as("m"))
-        .join(broadcast(qn), Seq("qid"))
-        .withColumn(
-          "grade",
-          when(col("m") === col("n_q"), 2L)
-            .when(col("m") * 2 >= col("n_q"), 1L)
-            .otherwise(0L))
-        .filter(col("grade") > 0)
-        .select(col("qid"), col("doc_id"), col("grade"))
+      val (scored, judged) = bm25EvalTables(s, dir)
       TextAnalysis.precisionRecallAtK(scored, judged, 10).orderBy(col("qid"))
     },
     // Average precision@10 (TextAnalysis.averagePrecisionAtK): the
@@ -2720,33 +2713,7 @@ object SparkEntryCoverage {
     // precision read exactly at each relevant hit, normalized by the
     // full positive set.
     "r_map_eval" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val qterms = docs
-        .filter(col("doc_id") % 20 === 0)
-        .select(
-          col("doc_id").as("qid"),
-          explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
-        .distinct()
-      val scored = TextAnalysis
-        .bm25PerQuery(docs, "text", "doc_id", qterms)
-        .withColumnRenamed("bm25", "score")
-      val qn = qterms.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
-      val docTerms = docs
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
-        .distinct()
-      val judged = docTerms
-        .join(broadcast(qterms), Seq("term"))
-        .groupBy(col("qid"), col("doc_id"))
-        .agg(count(lit(1)).as("m"))
-        .join(broadcast(qn), Seq("qid"))
-        .withColumn(
-          "grade",
-          when(col("m") === col("n_q"), 2L)
-            .when(col("m") * 2 >= col("n_q"), 1L)
-            .otherwise(0L))
-        .filter(col("grade") > 0)
-        .select(col("qid"), col("doc_id"), col("grade"))
+      val (scored, judged) = bm25EvalTables(s, dir)
       TextAnalysis.averagePrecisionAtK(scored, judged, 10).orderBy(col("qid"))
     },
     // BPE merge learning (TextAnalysis.bpeTopMerges — Sennrich et al.
