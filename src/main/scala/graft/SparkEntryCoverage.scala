@@ -1326,6 +1326,44 @@ object SparkEntryCoverage {
               round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("post_cents"))
       Experiments.wilcoxonSignedRank(per, col("pre_cents"), col("post_cents"))
     },
+    // Sign test (Experiments.signTest): the same paired fortnight
+    // panel with magnitudes thrown away — up-movers vs down-movers
+    // against a fair coin; what remains when spend sizes can't be
+    // trusted.
+    "a_sign_test" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(
+            when(
+              col("ts") < lit("2024-01-16").cast("timestamp"),
+              round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("pre_cents"),
+          sum(
+            when(
+              col("ts") >= lit("2024-01-16").cast("timestamp"),
+              round(col("value") * 100.0, 0).cast("long")).otherwise(0L)).as("post_cents"))
+      Experiments.signTest(per, col("pre_cents"), col("post_cents"))
+    },
+    // Cochran-Mantel-Haenszel (Experiments.mantelHaenszel): the
+    // a_ab_test question re-asked with event_type held FIXED as a
+    // stratum — per-stratum hypergeometric evidence summed, plus the
+    // MH common odds ratio; the Simpson's-paradox-proof readout.
+    "a_cmh" -> { (s, dir) =>
+      Experiments.mantelHaenszel(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull),
+        col("event_type"),
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+        col("value") > 50.0)
+    },
+    // Good-Turing unseen mass + bias-corrected Chao1 richness
+    // (TextAnalysis.vocabCoverage): how much vocabulary has the
+    // corpus NOT seen — the sampling-theory complement of the
+    // HLL/KMV sketches, off one frequency-of-frequency pass.
+    "t_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")
+    },
     // Required sample size per arm (Experiments.mdeSampleSize): how
     // much traffic would each event type's observed A/B effect have
     // needed for 80% power at alpha 0.05? One ceiling division of
@@ -2715,6 +2753,26 @@ object SparkEntryCoverage {
     "r_map_eval" -> { (s, dir) =>
       val (scored, judged) = bm25EvalTables(s, dir)
       TextAnalysis.averagePrecisionAtK(scored, judged, 10).orderBy(col("qid"))
+    },
+    // Reciprocal rank fusion (TextAnalysis.rrfFuse): hybrid retrieval
+    // — the shared BM25 run fused with an embedding-cosine run over
+    // the same query ids; 1/(60+rank) terms in exact micro integers,
+    // so the fused ORDER is integer-deterministic even off double
+    // scores. Top-5 fused per query.
+    "r_rrf_fusion" -> { (s, dir) =>
+      val (bm25, _) = bm25EvalTables(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cos = emb
+        .crossJoin(broadcast(qs))
+        .withColumn("score", VectorFns.cosine(col("embedding"), col("qe")))
+        .select(col("qid"), col("vec_id").as("doc_id"), col("score"))
+      TextAnalysis
+        .rrfFuse(bm25, cos, 60, 20)
+        .filter(col("fused_rank") <= 5)
+        .orderBy(col("qid"), col("fused_rank"))
     },
     // BPE merge learning (TextAnalysis.bpeTopMerges — Sennrich et al.
     // 2016): the first 3 merges learned from the corpus vocabulary —
@@ -11297,6 +11355,90 @@ object SparkEntryCoverage {
     // prefix sum (S >= 0, so floor == truncation on both engines);
     // shared with the streaming twin st_page_hinkley
     "w_page_hinkley" -> pageHinkleyOracleSql,
+    "a_sign_test" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |agg AS (SELECT
+        |    CAST(SUM(CASE WHEN post > pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN post < pre THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN post = pre THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+        |  FROM per)
+        |SELECT n_pos, n_neg, n_tie,
+        |  CASE WHEN n_pos + n_neg = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * (n_pos - n_neg) * (n_pos - n_neg))
+        |            // (n_pos + n_neg) AS BIGINT) END AS z2_6,
+        |  CASE WHEN n_pos + n_neg = 0 THEN FALSE
+        |  ELSE (CAST(1000000 AS HUGEINT) * (n_pos - n_neg) * (n_pos - n_neg))
+        |       // (n_pos + n_neg) >= 3841459 END AS significant
+        |FROM agg""".stripMargin,
+    "a_cmh" ->
+      """WITH cells AS (SELECT event_type AS st,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |strata AS (SELECT st,
+        |    CAST(SUM(CASE WHEN v = 'A' THEN n ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN v = 'A' THEN x ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(SUM(CASE WHEN v = 'B' THEN n ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN v = 'B' THEN x ELSE 0 END) AS BIGINT) AS xb
+        |  FROM cells GROUP BY 1),
+        |t2 AS (SELECT st, na, xa, nb, xb,
+        |    CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * na * (xa + xb)) // (na + nb)
+        |              AS BIGINT) END AS e6,
+        |    CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * na * nb * (xa + xb)
+        |               * (na + nb - xa - xb))
+        |              // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+        |              AS BIGINT) END AS v6,
+        |    CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * xa * (nb - xb)) // (na + nb)
+        |              AS BIGINT) END AS rn6,
+        |    CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * xb * (na - xa)) // (na + nb)
+        |              AS BIGINT) END AS rd6
+        |  FROM strata),
+        |f AS (SELECT 'A' AS variant_a, 'B' AS variant_b,
+        |    CAST(COUNT(*) AS BIGINT) AS k_strata,
+        |    CAST(SUM(na + nb) AS BIGINT) AS n, CAST(SUM(xa) AS BIGINT) AS o_a,
+        |    CAST(SUM(e6) AS BIGINT) AS e6, CAST(SUM(v6) AS BIGINT) AS v6,
+        |    CAST(SUM(rn6) AS BIGINT) AS rn, CAST(SUM(rd6) AS BIGINT) AS rd
+        |  FROM t2)
+        |SELECT variant_a, variant_b, k_strata, n, o_a, e6, v6,
+        |  CASE WHEN v6 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |             * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 AS BIGINT)
+        |  END AS z2_6,
+        |  CASE WHEN rd <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * rn) // rd AS BIGINT) END AS or_mh6,
+        |  CASE WHEN v6 <= 0 THEN FALSE
+        |  ELSE ((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |        * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 >= 3841459
+        |  END AS significant
+        |FROM f""".stripMargin,
+    "t_vocab_coverage" ->
+      """WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1),
+        |agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM cnt)
+        |SELECT n_tokens, n_types, n1, n2,
+        |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((1000000 * n1) // n_tokens AS BIGINT) END AS gt_unseen6,
+        |  CAST(n_types + (CAST(n1 AS HUGEINT) * (n1 - 1)) // (2 * (n2 + 1)) AS BIGINT)
+        |    AS chao1
+        |FROM agg""".stripMargin,
     "a_kendall_tau" ->
       """WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS x,
         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS y
@@ -11908,6 +12050,74 @@ object SparkEntryCoverage {
         |      FROM np LEFT JOIN tm ON np.qid = tm.qid)
         |SELECT qid, n_pos, n_rel_k, CAST(psum // n_pos AS BIGINT) AS ap6
         |FROM f ORDER BY qid""".stripMargin,
+    // BM25 rank chain shared with r_mrr_eval; cosine run mirrors the
+    // v2_cosine_topk sequential double fold; integer RRF terms
+    "r_rrf_fusion" ->
+      """WITH q AS (SELECT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(tk[3:10]) AS term FROM (
+        |      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |      FROM documents WHERE doc_id % 20 = 0)) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+        |       FROM documents),
+        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+        |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |          FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+        |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT tf.doc_id, tf.term,
+        |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+        |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+        |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+        |      FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        |sc AS (SELECT q.qid, contrib.doc_id, round(SUM(c), 6) AS bm25
+        |       FROM contrib JOIN q ON q.term = contrib.term GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+        |       FROM sc),
+        |ra AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_a FROM rk WHERE rnk <= 20),
+        |qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
+        |cosx AS (SELECT qe.qid, e.vec_id AS doc_id,
+        |    CASE WHEN sqrt(list_reduce(list_transform(
+        |             generate_series(1, least(len(e.embedding), len(qe.qv))),
+        |             i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)),
+        |             (x,y) -> x+y))
+        |         * sqrt(list_reduce(list_transform(
+        |             generate_series(1, least(len(e.embedding), len(qe.qv))),
+        |             i -> CAST(qe.qv[i] AS DOUBLE)*CAST(qe.qv[i] AS DOUBLE)),
+        |             (x,y) -> x+y)) = 0 THEN 0.0
+        |    ELSE list_reduce(list_transform(
+        |             generate_series(1, least(len(e.embedding), len(qe.qv))),
+        |             i -> CAST(e.embedding[i] AS DOUBLE)*CAST(qe.qv[i] AS DOUBLE)),
+        |             (x,y) -> x+y)
+        |         / (sqrt(list_reduce(list_transform(
+        |             generate_series(1, least(len(e.embedding), len(qe.qv))),
+        |             i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)),
+        |             (x,y) -> x+y))
+        |          * sqrt(list_reduce(list_transform(
+        |             generate_series(1, least(len(e.embedding), len(qe.qv))),
+        |             i -> CAST(qe.qv[i] AS DOUBLE)*CAST(qe.qv[i] AS DOUBLE)),
+        |             (x,y) -> x+y)))
+        |    END AS score
+        |  FROM embeddings e, qe),
+        |rb0 AS (SELECT qid, doc_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+        |        FROM cosx),
+        |rb AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_b FROM rb0 WHERE rnk <= 20),
+        |fu AS (SELECT COALESCE(ra.qid, rb.qid) AS qid,
+        |         COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+        |         ra.rank_a, rb.rank_b,
+        |         CAST(COALESCE(1000000 // (60 + ra.rank_a), 0)
+        |              + COALESCE(1000000 // (60 + rb.rank_b), 0) AS BIGINT) AS rrf6
+        |       FROM ra FULL JOIN rb ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id),
+        |fr AS (SELECT qid, doc_id, rank_a, rank_b, rrf6,
+        |         row_number() OVER (PARTITION BY qid ORDER BY rrf6 DESC, doc_id)
+        |           AS fused_rank
+        |       FROM fu)
+        |SELECT qid, doc_id, rank_a, rank_b, rrf6, CAST(fused_rank AS BIGINT) AS fused_rank
+        |FROM fr WHERE fused_rank <= 5 ORDER BY qid, fused_rank""".stripMargin,
     // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
     // g_kcore lesson): per step, pair counts from the previous
     // vocabulary, totally-ordered argmax, plain-replace rewrite

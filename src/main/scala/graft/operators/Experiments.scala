@@ -1848,6 +1848,160 @@ object Experiments {
         col("n_units"), col("n"), col("n_categories"), col("do6"), col("alpha6"))
   }
 
+  /** Cochran–Mantel–Haenszel test (Cochran 1954; Mantel & Haenszel
+    * 1959) — the STRATIFIED 2×2 association test: does the treatment
+    * move the binary outcome once a confounder is held fixed, by
+    * summing each stratum's hypergeometric evidence instead of
+    * pooling rows (pooling invites Simpson's paradox — strata can
+    * all agree while the merged table flips sign). Per stratum, with
+    * margins (n_a, x_a, n_b, x_b), X = x_a + x_b, n = n_a + n_b:
+    *
+    *   E = n_a·X/n,   V = n_a·n_b·X·(n−X)/(n²(n−1)),
+    *   z² = (O − ΣE)²/ΣV with O = Σx_a  (uncorrected — no 0.5
+    *   continuity term, documented),
+    *
+    * plus the Mantel–Haenszel COMMON ODDS RATIO,
+    * OR = Σ(x_a·(n_b−x_b)/n) / Σ(x_b·(n_a−x_a)/n) — the effect size
+    * the test is about.
+    *
+    * Exactness — the [[Series.logRank]] per-term discipline on
+    * strata instead of ages: e6/v6/or-numerator/or-denominator each
+    * round ONCE per stratum to micro units off exact DECIMAL(38,0)
+    * cross-products, then exact BIGINT sums; the final z² and or6
+    * are one DECIMAL division each. A stratum with only one variant
+    * present contributes O = E and V = 0 — harmless by construction.
+    * Exactly TWO variants globally, lexicographic (min, max), fail
+    * fast otherwise. ΣV = 0 → z2_6 = 0; OR denominator 0 → or6 = 0
+    * (both the established degenerate conventions).
+    *
+    * Scale shape: one (stratum, variant) hash aggregate, a stratum-
+    * bounded pivot, 1-row output (variant_a, variant_b, k_strata, n,
+    * o_a, e6, v6, z2_6, or_mh6, significant).
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      stratumCol: Column,
+      variantCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = cached(
+      df
+        .filter(stratumCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
+        .groupBy(stratumCol.as("st"), variantCol.as("v"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x")))
+    val sides = broadcast(
+      cells.agg(
+        count_distinct(col("v")).as("__nv"),
+        min(col("v")).as("variant_a"),
+        max(col("v")).as("variant_b")))
+    val strata = cells
+      .crossJoin(sides)
+      .filter(
+        assert_true(
+          col("__nv") === 2L,
+          concat(
+            lit("mantelHaenszel: exactly 2 variants required, got "),
+            col("__nv").cast("string"))).isNull)
+      .groupBy(col("st"), col("variant_a"), col("variant_b"))
+      .agg(
+        sum(when(col("v") === col("variant_a"), col("n")).otherwise(0L)).as("na"),
+        sum(when(col("v") === col("variant_a"), col("x")).otherwise(0L)).as("xa"),
+        sum(when(col("v") === col("variant_b"), col("n")).otherwise(0L)).as("nb"),
+        sum(when(col("v") === col("variant_b"), col("x")).otherwise(0L)).as("xb"))
+      .withColumn(
+        "__e6",
+        expr(
+          """CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * na * (xa + xb))
+            |div (na + nb) AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__v6",
+        expr(
+          """CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * na * nb * (xa + xb)
+            |   * (na + nb - xa - xb))
+            |  div (CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb - 1))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__rn6",
+        expr(
+          """CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * xa * (nb - xb))
+            |div (na + nb) AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__rd6",
+        expr(
+          """CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * xb * (na - xa))
+            |div (na + nb) AS BIGINT) END""".stripMargin))
+    strata
+      .groupBy(col("variant_a"), col("variant_b"))
+      .agg(
+        count(lit(1)).as("k_strata"),
+        sum(col("na") + col("nb")).as("n"),
+        sum(col("xa")).as("o_a"),
+        sum(col("__e6")).as("e6"),
+        sum(col("__v6")).as("v6"),
+        sum(col("__rn6")).as("__rn"),
+        sum(col("__rd6")).as("__rd"))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN v6 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  ((CAST(1000000 AS DECIMAL(38,0)) * o_a - e6)
+            |   * (CAST(1000000 AS DECIMAL(38,0)) * o_a - e6))
+            |  div CAST(v6 AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "or_mh6",
+        expr(
+          """CASE WHEN __rd <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * __rn) div __rd AS BIGINT)
+            |END""".stripMargin))
+      .select(
+        col("variant_a"), col("variant_b"), col("k_strata"), col("n"),
+        col("o_a"), col("e6"), col("v6"), col("z2_6"), col("or_mh6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
+  /** Sign test (Arbuthnott 1710 — the oldest test in the book) over
+    * PAIRED pre/post values: count units that moved up vs down,
+    * ignore ties, and ask whether the split could be a fair coin.
+    * The assumption-free companion of [[wilcoxonSignedRank]] (which
+    * also weighs HOW FAR units moved): when magnitudes are
+    * untrustworthy (censored, clipped, ordinal), the sign test is
+    * what remains.
+    *
+    * Exactness: z²·1e6 = 1e6·(pos − neg)² div (pos + neg) — the
+    * square of the normal approximation to Binomial(pos+neg, ½),
+    * one truncating division off exact counts; pos + neg = 0 (all
+    * ties) → 0 by convention. Returns one row (n_pos, n_neg, n_tie,
+    * z2_6, significant).
+    *
+    * Scale shape: one aggregate pass, map-side combined.
+    */
+  def signTest(df: DataFrame, preCol: Column, postCol: Column): DataFrame =
+    df
+      .filter(preCol.isNotNull && postCol.isNotNull)
+      .agg(
+        sum(when(postCol > preCol, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(postCol < preCol, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(postCol === preCol, 1L).otherwise(0L)).as("n_tie"))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN n_pos + n_neg = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * (n_pos - n_neg) * (n_pos - n_neg))
+            |  div CAST(n_pos + n_neg AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("n_pos"), col("n_neg"), col("n_tie"), col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+
   /** Friedman test (Friedman 1937) + Kendall's W — the k-treatment
     * PAIRED continuous test completing the grid ([[cochranQ]] is its
     * binary special case, [[kruskalWallis]] its unpaired sibling):

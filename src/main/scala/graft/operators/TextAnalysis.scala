@@ -1544,6 +1544,98 @@ object TextAnalysis {
       .select(col("qid"), col("n_pos"), col("n_rel_k"), col("ap6"))
   }
 
+  /** Vocabulary-coverage estimators off the frequency-of-frequency
+    * profile — how much vocabulary has the corpus NOT seen yet, the
+    * question behind "is more crawling worth it" and "how big should
+    * the tokenizer vocab be":
+    *
+    *   Good–Turing unseen mass (Good 1953): P(next token is a new
+    *   type) ≈ N₁/N — the hapax share of the token stream.
+    *   Chao1 richness (Chao 1984, bias-corrected): total-type
+    *   estimate D + N₁(N₁−1)/(2(N₂+1)) — always defined, equals D
+    *   when nothing is rare.
+    *
+    * The sampling-theory complement of the SKETCH family: HLL/KMV
+    * estimate the distinct count you HAVE; these estimate the
+    * distinct count you HAVEN'T. Exactness: both are one truncating
+    * division off exact integer counts (N₁² at ~3e9 hapaxes passes
+    * BIGINT — cast up; documented). Returns one row (n_tokens,
+    * n_types, n1, n2, gt_unseen6, chao1).
+    *
+    * Scale shape: one token explode + (term) hash aggregate — the
+    * invertedIndex scan shape — then a types-bounded re-aggregate.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String): DataFrame =
+    df
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(
+        col("n_tokens"),
+        col("n_types"),
+        col("n1"),
+        col("n2"),
+        expr(
+          """CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((1000000 * n1) div n_tokens AS BIGINT) END""".stripMargin)
+          .as("gt_unseen6"),
+        expr(
+          """CAST(n_types
+            |  + (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1))
+            |    div (CAST(2 AS DECIMAL(38,0)) * (n2 + 1)) AS BIGINT)""".stripMargin)
+          .as("chao1"))
+
+  /** Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * — THE hybrid-retrieval combiner: fuse a lexical ranking (BM25)
+    * and a semantic ranking (embedding cosine) without comparing
+    * their incommensurable scores, by summing 1/(k₀ + rank) over the
+    * lists each doc appears in. A doc ranked well by BOTH rankers
+    * beats a doc one ranker loved — the two-line trick that wins
+    * most hybrid-search benchmarks and needs no score calibration.
+    *
+    * Exactness: ranks are integers (per-list row_number with the
+    * ndcg tie contract: score desc, doc_id); each list's term is
+    * rrf = 1e6 div (k₀ + rank) — one truncating division per list
+    * membership — and the fused score is their exact BIGINT sum, so
+    * the fused ORDER is integer-deterministic even though the input
+    * scores are doubles. Docs outside a list's top-`topK` contribute
+    * 0 from that list (the standard truncated-run convention).
+    *
+    * Scale shape: two per-qid top-K windows (partitioned, K-bounded)
+    * and one (qid, doc_id) full outer join of two ≤topK-per-qid
+    * tables. Returns (qid, doc_id, rank_a, rank_b — null when absent
+    * from that run — rrf6, fused_rank).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int, topK: Int): DataFrame = {
+    require(kConst >= 1 && kConst <= 1000, "kConst must be in 1..1000")
+    require(topK >= 1 && topK <= 1000, "topK must be in 1..1000")
+    def ranks(df: DataFrame, out: String) = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      df.filter(col("score").isNotNull)
+        .withColumn(out, row_number().over(w).cast("long"))
+        .filter(col(out) <= topK)
+        .select(col("qid"), col("doc_id"), col(out))
+    }
+    val fusedW = Window.partitionBy(col("qid")).orderBy(col("rrf6").desc, col("doc_id"))
+    ranks(a, "rank_a")
+      .join(ranks(b, "rank_b"), Seq("qid", "doc_id"), "full")
+      .withColumn(
+        "rrf6",
+        expr(
+          s"""CAST(coalesce(1000000 div ($kConst + rank_a), 0)
+             |   + coalesce(1000000 div ($kConst + rank_b), 0) AS BIGINT)""".stripMargin))
+      .withColumn("fused_rank", row_number().over(fusedW).cast("long"))
+      .select(
+        col("qid"), col("doc_id"), col("rank_a"), col("rank_b"),
+        col("rrf6"), col("fused_rank"))
+  }
+
   /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS
     * 2010) between two top-k rankings — the ranker-comparison metric
     * that, unlike Kendall/Spearman over the union, is TOP-WEIGHTED

@@ -593,6 +593,38 @@ class ExperimentsSpec extends SparkSpec {
     assert(Experiments.krippendorffAlpha(flat, col("u"), col("cat")).head().getLong(4) == 0L)
   }
 
+  test("mantelHaenszel: hand-computed two-stratum table; OR_MH exact; three variants fail") {
+    // s1: A 3/4 vs B 1/4; s2: A 1/2 vs B 0/2.
+    // e6 = 2e6 + 500000, v6 = 571428 + 250000, O = 4
+    // z2_6 = (4e6-2.5e6)^2 div 821428 = 2739132
+    // rn = 1125000 + 500000, rd = 125000 + 0 -> or_mh6 = 13e6
+    val rows =
+      (1 to 4).map(i => ("s1", "A", i <= 3)) ++
+        (1 to 4).map(i => ("s1", "B", i <= 1)) ++
+        (1 to 2).map(i => ("s2", "A", i <= 1)) ++
+        (1 to 2).map(_ => ("s2", "B", false))
+    val r = Experiments
+      .mantelHaenszel(rows.toDF("st", "v", "s"), col("st"), col("v"), col("s"))
+      .head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9)) ==
+      (("A", "B", 2L, 12L, 4L, 2500000L, 821428L, 2739132L, 13000000L, false)))
+    val three = Seq(("s1", "A", true), ("s1", "B", false), ("s1", "C", true))
+      .toDF("st", "v", "s")
+    val e = intercept[Exception](
+      Experiments.mantelHaenszel(three, col("st"), col("v"), col("s")).head())
+    assert(e.getMessage.contains("exactly 2 variants"))
+  }
+
+  test("signTest: 3 up vs 1 down with a tie scores z2 = 1e6; all ties score 0") {
+    val rows = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 4L), (7L, 7L)).toDF("pre", "post")
+    val r = Experiments.signTest(rows, col("pre"), col("post")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      ((3L, 1L, 1L, 1000000L, false)))
+    val ties = Seq((1L, 1L), (2L, 2L)).toDF("pre", "post")
+    assert(Experiments.signTest(ties, col("pre"), col("post")).head().getLong(3) == 0L)
+  }
+
   test("friedman: perfect concordance scores chi2=4, W=1; fully-tied units score 0; ragged fails") {
     // two units both ranking a < b < c: chi2 = 4, W = chi2/(n(k-1)) = 1.
     val rows = Seq(

@@ -516,6 +516,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.getLong(3) == 333333L)
   }
 
+  test("rrfFuse: both-list docs beat single-list docs; absent ranks stay null") {
+    // A ranks 1,2,3; B ranks 3,2,4 (k0=60):
+    // doc3 = 1e6 div 63 + 1e6 div 61 = 15873+16393 = 32266 -> fused 1
+    // doc2 = 2 * (1e6 div 62) = 32258 -> fused 2; doc1 16393; doc4 15873
+    val a = Seq((1L, 1L, 3.0), (1L, 2L, 2.0), (1L, 3L, 1.0)).toDF("qid", "doc_id", "score")
+    val b = Seq((1L, 3L, 9.0), (1L, 2L, 8.0), (1L, 4L, 7.0)).toDF("qid", "doc_id", "score")
+    val got = TextAnalysis.rrfFuse(a, b, 60, 3)
+      .orderBy(col("fused_rank")).collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (3L, 32266L, 1L), (2L, 32258L, 2L), (1L, 16393L, 3L), (4L, 15873L, 4L)))
+    val r4 = TextAnalysis.rrfFuse(a, b, 60, 3)
+      .filter(col("doc_id") === 4L).head()
+    assert(r4.isNullAt(2) && r4.getLong(3) == 3L)
+  }
+
+  test("vocabCoverage: hand freq-of-freq profile; hapax-only corpus doubles via Chao1") {
+    // tokens a,b,a,c,d,b: N=6 D=4 N1=2 N2=2
+    // gt = 2e6 div 6 = 333333; chao1 = 4 + 2*1 div (2*3) = 4
+    val docs = Seq((1L, "a b a c"), (2L, "d b")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(docs, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((6L, 4L, 2L, 2L, 333333L, 4L)))
+    // all hapax, no doubletons: chao1 = 3 + 3*2 div 2 = 6
+    val hapax = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.vocabCoverage(hapax, "text").head()
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4), r2.getLong(5)) ==
+      ((3L, 0L, 1000000L, 6L)))
+  }
+
   test("canaryRecall: dropout twins recovered on a plantable corpus; short docs not planted") {
     // doc 10 has 12 tokens (planted; 10% dropout keeps most shingles
     // -> found); doc 20 has 3 tokens (under the >=10 floor -> not
