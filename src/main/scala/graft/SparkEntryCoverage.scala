@@ -3699,6 +3699,30 @@ object SparkEntryCoverage {
         li.filter(col("l_shipdate") >= lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
       Checks.ksFromCounts(a, b)
     },
+    // Jensen-Shannon divergence (Checks.jsFromCounts) on the same
+    // grids: the BOUNDED, symmetric drift score (<= ln2 micro-nats)
+    // — PSI's unbounded blowups and KS's single-gap blindness both
+    // fixed; same add-one smoothing and per-term micro-nat rounding.
+    "dq_js" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val a = Sketches.histSketch(
+        li.filter(col("l_shipdate") < lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      val b = Sketches.histSketch(
+        li.filter(col("l_shipdate") >= lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      Checks.jsFromCounts(a, b)
+    },
+    // Cramer-von Mises criterion (Checks.cvmFromCounts) on the same
+    // grids: the INTEGRATED squared CDF gap — broad low-grade drift
+    // KS under-weights; exact integer micro CDFs, one DECIMAL
+    // division.
+    "dq_cvm" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val a = Sketches.histSketch(
+        li.filter(col("l_shipdate") < lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      val b = Sketches.histSketch(
+        li.filter(col("l_shipdate") >= lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
+      Checks.cvmFromCounts(a, b)
+    },
     // Benford first-digit audit (Checks.benfordAudit): the
     // fraud/fabrication smoke test on order totals — observed vs
     // expected leading-digit frequency in exact integer ppm, with
@@ -9309,6 +9333,63 @@ object SparkEntryCoverage {
         |SELECT t.k AS n_buckets, t.na AS n_rows_a, t.nb AS n_rows_b,
         |       g.bucket AS ks_bucket, CAST(g.gap6 AS BIGINT) AS ks6
         |FROM t, (SELECT bucket, gap6 FROM gaps ORDER BY gap6 DESC, bucket LIMIT 1) g""".stripMargin,
+    // same grids and smoothing as dq_psi; midpoint-KL terms rounded
+    // per bucket before the sum
+    "dq_js" ->
+      """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate < DATE '1995-07-01'),
+        |pb AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-07-01'),
+        |ha AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_a FROM pa GROUP BY 1),
+        |hb AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_b FROM pb GROUP BY 1),
+        |j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_a) AS BIGINT) AS na,
+        |        CAST(sum(n_b) AS BIGINT) AS nb FROM j),
+        |ps AS (SELECT CAST(n_a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS p,
+        |         CAST(n_b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS q,
+        |         k, na, nb
+        |       FROM j, t),
+        |terms AS (SELECT k, na, nb,
+        |    CAST(round((p * ln(p / ((p + q) / 2.0))
+        |              + q * ln(q / ((p + q) / 2.0))) / 2.0 * 1e6) AS BIGINT) AS t6
+        |  FROM ps)
+        |SELECT k AS n_buckets, na AS n_rows_a, nb AS n_rows_b,
+        |       CAST(sum(t6) AS BIGINT) AS js6
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+    // same grids as dq_ks; squared micro CDF gaps weighted by the
+    // combined bucket mass, one truncating division at the end
+    "dq_cvm" ->
+      """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate < DATE '1995-07-01'),
+        |pb AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-07-01'),
+        |ha AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_a FROM pa GROUP BY 1),
+        |hb AS (SELECT CAST(least(63, greatest(0, c) * 64 // 11000000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_b FROM pb GROUP BY 1),
+        |j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_a) AS BIGINT) AS na,
+        |        CAST(sum(n_b) AS BIGINT) AS nb FROM j),
+        |cum AS (SELECT bucket, n_a, n_b,
+        |         CAST(sum(n_a) OVER (ORDER BY bucket) AS BIGINT) AS ca,
+        |         CAST(sum(n_b) OVER (ORDER BY bucket) AS BIGINT) AS cb
+        |       FROM j),
+        |g AS (SELECT n_a, n_b,
+        |        1000000 * ca // na - 1000000 * cb // nb AS gap6
+        |      FROM cum, t),
+        |s AS (SELECT CAST(SUM(CAST(n_a + n_b AS HUGEINT) * gap6 * gap6) AS HUGEINT)
+        |        AS sq FROM g)
+        |SELECT t.k AS n_buckets, t.na AS n_rows_a, t.nb AS n_rows_b,
+        |  CAST((CAST(t.na AS HUGEINT) * t.nb * s.sq)
+        |       // (CAST(t.na + t.nb AS HUGEINT) * (t.na + t.nb)
+        |          * CAST(1000000 AS HUGEINT)) AS BIGINT) AS t6
+        |FROM t, s""".stripMargin,
     "dq_psi" ->
       """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
         |  WHERE l_shipdate < DATE '1995-07-01'),

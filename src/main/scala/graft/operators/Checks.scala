@@ -682,6 +682,117 @@ object Checks {
         col("gap6").as("ks6"))
   }
 
+  /** Jensen–Shannon divergence between two bucket-count tables (Lin
+    * 1991) — the BOUNDED, SYMMETRIC drift score completing the panel:
+    * [[psiFromCounts]] is unbounded and blows up on vanishing bins,
+    * [[ksFromCounts]] only sees the worst CDF gap; JSD =
+    * ½KL(P‖M) + ½KL(Q‖M) with M the midpoint is finite by
+    * construction (≤ ln 2 ≈ 693147 micro-nats), symmetric, and its
+    * square root is a metric — the number you can put on a dashboard
+    * axis. Same add-one smoothing over the union bucket set and the
+    * same per-term micro-nat rounding discipline as psiFromCounts
+    * (the one float op per term is the ln, shared bit-for-bit by
+    * both engines' IEEE doubles — terms round to BIGINT before the
+    * sum, so the total is order- and partition-free).
+    * Returns one row (n_buckets, n_rows_a, n_rows_b, js6).
+    */
+  def jsFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("bucket"), col("n").as("n_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b")), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = broadcast(
+      joined.agg(
+        count(lit(1)).as("__k"),
+        sum(col("n_a")).cast("long").as("__na"),
+        sum(col("n_b")).cast("long").as("__nb")))
+    joined
+      .crossJoin(tot)
+      .withColumn(
+        "pa",
+        (col("n_a") + 1L).cast("double") / (col("__na") + col("__k")).cast("double"))
+      .withColumn(
+        "pb",
+        (col("n_b") + 1L).cast("double") / (col("__nb") + col("__k")).cast("double"))
+      .withColumn(
+        "t6",
+        round(
+          (col("pa") * log(col("pa") / ((col("pa") + col("pb")) / 2.0))
+            + col("pb") * log(col("pb") / ((col("pa") + col("pb")) / 2.0)))
+            / 2.0 * lit(1e6),
+          0).cast("long"))
+      .groupBy(col("__k"), col("__na"), col("__nb"))
+      .agg(sum(col("t6")).as("js6"))
+      .select(
+        col("__k").as("n_buckets"),
+        col("__na").as("n_rows_a"),
+        col("__nb").as("n_rows_b"),
+        col("js6"))
+  }
+
+  /** Two-sample Cramér–von Mises criterion between two bucket-count
+    * tables — the INTEGRATED squared CDF gap, completing the drift
+    * panel's geometry: KS reads the single worst gap (sensitive to
+    * one sharp divergence, blind to many small ones), CvM integrates
+    * (F_a − F_b)² over the combined empirical measure (sensitive to
+    * broad low-grade drift KS under-weights):
+    *
+    *   T = (n_a·n_b / N²) · Σ_buckets cnt_i · (F_a(i) − F_b(i))²
+    *
+    * (Anderson 1962's two-sample form on the grouped grid). All
+    * integer: CDFs in micro-units off the grid running sums (the
+    * ksFromCounts quantities), per-bucket squared gaps summed
+    * exactly in DECIMAL(38,0) (S reaches 1e12·N), one truncating
+    * division for t6 = (n_a·n_b·S) div (N²·1e6) — exact to
+    * DECIMAL(38,0) headroom at N ≲ 2e8 grid mass (histogram grids
+    * are pre-aggregated, so N is the ROW total; document upstream
+    * sampling past that). Empty sides fail fast (the ksFromCounts
+    * contract); the grid window is the documented bounded class.
+    * Returns one row (n_buckets, n_rows_a, n_rows_b, t6).
+    */
+  def cvmFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("bucket"), col("n").as("n_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b")), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = broadcast(
+      joined.agg(
+        count(lit(1)).as("__k"),
+        sum(col("n_a")).cast("long").as("__na"),
+        sum(col("n_b")).cast("long").as("__nb")))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .crossJoin(tot)
+      .filter(
+        assert_true(
+          col("__na") > 0L && col("__nb") > 0L,
+          concat(
+            lit("cvmFromCounts: both histograms must be non-empty (no CDF exists " +
+              "for an empty side); totals were "),
+            col("__na").cast("string"),
+            lit(" / "),
+            col("__nb").cast("string"))).isNull)
+      .withColumn("ca", sum(col("n_a")).over(w))
+      .withColumn("cb", sum(col("n_b")).over(w))
+      .withColumn(
+        "__gap6",
+        expr("CAST(1000000 * ca div __na AS BIGINT)") -
+          expr("CAST(1000000 * cb div __nb AS BIGINT)"))
+      .groupBy(col("__k"), col("__na"), col("__nb"))
+      .agg(
+        sum(
+          expr("CAST(n_a + n_b AS DECIMAL(38,0)) * __gap6 * __gap6"))
+          .cast("decimal(38,0)").as("__s"))
+      .select(
+        col("__k").as("n_buckets"),
+        col("__na").as("n_rows_a"),
+        col("__nb").as("n_rows_b"),
+        expr(
+          """CAST((CAST(__na AS DECIMAL(38,0)) * __nb * __s)
+            |div (CAST(__na + __nb AS DECIMAL(38,0)) * (__na + __nb)
+            |     * CAST(1000000 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          .as("t6"))
+  }
+
   /** Benford expected first-digit probabilities in integer ppm:
     * round(1e6 · log10(1 + 1/d)) for d = 1..9 — computed once here
     * and injected into the oracle via [[benfordPpmSql]] (the

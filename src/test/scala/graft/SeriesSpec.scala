@@ -317,6 +317,37 @@ class SeriesSpec extends SparkSpec {
     assert(same.getLong(4) == 0L)
   }
 
+  test("jsFromCounts: identical grids score 0; disjoint grids score symmetric smoothed mass") {
+    import graft.operators.Checks
+    val a = Seq((0L, 10L)).toDF("bucket", "n")
+    val b = Seq((1L, 10L)).toDF("bucket", "n")
+    // smoothed pa0 = 11/12 vs pb0 = 1/12, symmetric on bucket 1:
+    // per-bucket micro-nat term 203156, total 406312 (< ln2 = 693147)
+    val r = Checks.jsFromCounts(a, b).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 10L, 10L, 406312L)))
+    assert(Checks.jsFromCounts(a, a).head().getLong(3) == 0L)
+    // symmetry: js(a,b) == js(b,a)
+    assert(Checks.jsFromCounts(b, a).head().getLong(3) == 406312L)
+  }
+
+  test("cvmFromCounts: disjoint grids integrate the unit gap; identical grids score 0") {
+    import graft.operators.Checks
+    val a = Seq((0L, 10L)).toDF("bucket", "n")
+    val b = Seq((1L, 10L)).toDF("bucket", "n")
+    // gap6 = 1e6 on bucket 0 (mass 10), 0 on bucket 1:
+    // T = (10*10/400) * 10 * 1^2 = 2.5 -> t6 = 2500000
+    val r = Checks.cvmFromCounts(a, b).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 10L, 10L, 2500000L)))
+    assert(Checks.cvmFromCounts(a, a).head().getLong(3) == 0L)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "n")
+    val e = intercept[Exception](Checks.cvmFromCounts(a, empty).collect())
+    assert(chain(e).contains("non-empty"))
+  }
+
   test("ksFromCounts fails fast on an empty side; two empty sides return zero rows") {
     import graft.operators.Checks
     val a = Seq((0L, 10L)).toDF("bucket", "n")
