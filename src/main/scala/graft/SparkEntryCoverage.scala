@@ -3765,6 +3765,41 @@ object SparkEntryCoverage {
             " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))) AS BIGINT)"))
         .select(col("n"), col("total"), col("gini6"))
     },
+    // Theil inequality index (Checks.theilIndex): the DECOMPOSABLE
+    // concentration score beside a_gini — per-user spend against the
+    // mean in micro-nat terms, zero-spend users excluded by the ln
+    // domain contract.
+    "a_theil" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Checks.theilIndex(per, col("cents"))
+    },
+    // Lorenz curve at deciles (Checks.lorenzCurve): the distribution
+    // BEHIND a_gini's scalar on the same per-customer dollars —
+    // range-partitioned rank + distributed prefix sum, equiDepth
+    // probe ranks, wealth share <= population share row-by-row.
+    "a_lorenz" -> { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT)")).as("dollars"))
+      Checks.lorenzCurve(perCust, col("dollars"), col("o_custkey"), 10)
+    },
+    // Fano factor (Checks.fanoFactor) over the daily count grid:
+    // variance-to-mean burstiness per event type — 1e6 = Poisson,
+    // far above = bursty, far below = suspiciously regular; the
+    // cheapest bot-battery member, one moment pass.
+    "w_fano" -> { (s, dir) =>
+      Checks
+        .fanoFactor(
+          t(s, dir, "events")
+            .groupBy(
+              col("event_type").cast("string").as("grp"),
+              date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(count(lit(1)).as("n")))
+        .orderBy(col("grp"))
+    },
     // Half-life-decayed engagement per user: each event weighs
     // round(1e6 * 0.5^(age/7)) with the weights computed once in
     // Scala and injected into BOTH plans (Series.decayWeights6) —
@@ -9429,6 +9464,52 @@ object SparkEntryCoverage {
          |FROM d, t ORDER BY digit""".stripMargin
     },
     // same (dollars, custkey) total order, same rounded double ratio
+    "a_theil" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+        |pos AS (SELECT cents FROM per WHERE cents > 0),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        |      FROM pos),
+        |terms AS (SELECT n, s,
+        |    CAST(round((CAST(cents AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+        |        * ln(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+        |        * 1e6) AS BIGINT) AS t6
+        |  FROM pos, t)
+        |SELECT n, s AS total, CAST(SUM(t6) // n AS BIGINT) AS theil6
+        |FROM terms GROUP BY n, s""".stripMargin,
+    "a_lorenz" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT dollars, o_custkey,
+        |    CAST(row_number() OVER (ORDER BY dollars, o_custkey) AS BIGINT) AS r,
+        |    CAST(SUM(dollars) OVER (ORDER BY dollars, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM per),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dollars) AS BIGINT) AS total
+        |      FROM per),
+        |tg AS (SELECT CAST(g.d AS BIGINT) AS bucket,
+        |         greatest(1, (g.d * t.n) // 10) AS r
+        |       FROM generate_series(1, 10) AS g(d), t)
+        |SELECT tg.bucket, rk.r AS rank,
+        |  CAST((1000000 * rk.r) // t.n AS BIGINT) AS pop_share6,
+        |  CAST((1000000 * rk.cum) // t.total AS BIGINT) AS wealth_share6
+        |FROM tg JOIN rk ON rk.r = tg.r, t ORDER BY tg.bucket""".stripMargin,
+    "w_fano" ->
+      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS days,
+        |        CAST(SUM(n) AS BIGINT) AS total,
+        |        SUM(CAST(n AS HUGEINT) * n) AS ss
+        |      FROM c GROUP BY 1)
+        |SELECT grp, days, total,
+        |  CASE WHEN days < 2 OR total <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT)
+        |             * (CAST(days AS HUGEINT) * ss - CAST(total AS HUGEINT) * total))
+        |            // (CAST(days - 1 AS HUGEINT) * total) AS BIGINT) END AS fano6
+        |FROM g ORDER BY grp""".stripMargin,
     "a_gini" ->
       """WITH pc AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
         |  FROM orders GROUP BY 1),

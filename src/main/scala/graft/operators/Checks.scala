@@ -1280,6 +1280,128 @@ object Checks {
         col("n_classes"),
         expr("CAST(1000000 * __sq div (n * n) AS BIGINT)").as("hhi6"))
 
+  /** Theil inequality index (Theil 1967) over a positive value
+    * column — the DECOMPOSABLE concentration score beside the Gini
+    * (a_gini) and [[hhiConcentration]]: T = (1/n)·Σ (x/μ)·ln(x/μ),
+    * 0 = perfect equality, ln n = one unit holds everything; unlike
+    * Gini it splits exactly into between-group + within-group terms,
+    * which is why mixture audits prefer it. Rows with x ≤ 0 are
+    * excluded (ln undefined — a zero-spend unit is a membership
+    * question the caller answers upstream, documented).
+    *
+    * Determinism: one aggregate for (n, Σx), then each row's term is
+    * the identical IEEE double chain on both engines —
+    * r = (x·n)/Σx, t6 = round(1e6·r·ln r) — rounded to BIGINT per
+    * row before the exact sum (the [[psiFromCounts]] per-term
+    * discipline), and theil6 = Σt6 div n is one truncating division.
+    * Scale shape: one agg + one broadcast + one map-side-combined
+    * sum. Returns (n, total, theil6).
+    */
+  def theilIndex(df: DataFrame, valueCol: Column): DataFrame = {
+    val in = df
+      .select(valueCol.cast("long").as("__x"))
+      .filter(col("__x").isNotNull && col("__x") > 0L)
+    val tot = broadcast(
+      in.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s")))
+    in.crossJoin(tot)
+      .withColumn(
+        "__r",
+        col("__x").cast("double") * col("__n").cast("double")
+          / col("__s").cast("double"))
+      .withColumn("__t6", round(col("__r") * log(col("__r")) * lit(1e6), 0).cast("long"))
+      .groupBy(col("__n"), col("__s"))
+      .agg(sum(col("__t6")).as("__tsum"))
+      .select(
+        col("__n").as("n"),
+        col("__s").as("total"),
+        expr("CAST(__tsum div __n AS BIGINT)").as("theil6"))
+  }
+
+  /** Lorenz curve table at k points — the distribution BEHIND the
+    * Gini scalar (a_gini integrates this curve): at each population
+    * quantile d/k, what share of total value do the bottom d/k of
+    * units hold? The dashboard artifact for "how whale-dominated is
+    * this corpus/revenue/source mixture", read directly against the
+    * equality diagonal.
+    *
+    * Exactness: units sort by (value, tie) under [[Relational
+    * .globalRank]]'s range-partitioned total order; cumulative value
+    * comes from [[Relational.globalCumSum]] over the SAME total
+    * order (two distributed passes, no global window); the k probe
+    * ranks are max(1, d·n div k) (the equiDepthBoundaries probe
+    * idiom — n and total are the documented one-scalar driver
+    * bootstraps) and both shares are single truncating micro
+    * divisions. Returns (bucket, rank, pop_share6, wealth_share6),
+    * k rows; under the ascending sort the bottom d/k of units hold
+    * AT MOST d/k of the value, so wealth_share6 ≤ pop_share6
+    * row-by-row, with equality exactly when all values are equal —
+    * the curve's sag below the diagonal IS the inequality.
+    */
+  def lorenzCurve(
+      df: DataFrame,
+      valueCol: Column,
+      tieCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in 1..1000")
+    val in = df
+      .select(valueCol.cast("long").as("__v"), tieCol.as("__t"))
+      .filter(col("__v").isNotNull)
+    val cum = Relational
+      .globalCumSum(in, Seq(col("__v"), col("__t")), "__v", "__below")
+      .withColumn("__cum", col("__below") + col("__v"))
+    val ranked = Relational
+      .globalRank(cum, Seq(col("__v"), col("__t")), "__rank")
+    val n = in.count()
+    val total = in.agg(coalesce(sum(col("__v")), lit(0L))).head().getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = (1 to k)
+      .map(d => (d.toLong, math.max(1L, d.toLong * n / k)))
+      .toDF("bucket", "__rank")
+    ranked
+      .join(broadcast(targets), Seq("__rank"))
+      .select(
+        col("bucket"),
+        col("__rank").as("rank"),
+        expr(s"CAST((1000000 * __rank) div $n AS BIGINT)").as("pop_share6"),
+        expr(s"CAST((1000000 * __cum) div $total AS BIGINT)").as("wealth_share6"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Fano factor / index of dispersion (Fano 1947) over the same
+    * pre-aggregated (grp, bucket, n) daily grid as [[cusum]] and
+    * [[pageHinkley]]: variance-to-mean ratio of the per-bucket
+    * counts — 1e6 = Poisson-like arrivals, far above = BURSTY (bot
+    * burst lists, replay storms), far below = suspiciously regular
+    * (rate-limited schedulers, synthetic traffic). The cheapest
+    * member of the bot battery: one moment pass.
+    *
+    * Exactness: F·1e6 = 1e6·(days·Σn² − (Σn)²) div ((days−1)·Σn) —
+    * exact DECIMAL(38,0) cross-products, one truncating division;
+    * days < 2 or zero total → 0 by the established degenerate
+    * convention. Returns (grp, days, total, fano6).
+    */
+  def fanoFactor(counts: DataFrame): DataFrame =
+    counts
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("days"),
+        sum(col("n")).as("total"),
+        sum(col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__ss"))
+      .select(
+        col("grp"),
+        col("days"),
+        col("total"),
+        expr(
+          """CASE WHEN days < 2 OR total <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(days AS DECIMAL(38,0)) * __ss
+            |      - CAST(total AS DECIMAL(38,0)) * total))
+            |  div (CAST(days - 1 AS DECIMAL(38,0)) * total)
+            |AS BIGINT) END""".stripMargin).as("fano6"))
+
   /** Kendall's tau-b rank correlation (Kendall 1938; tie correction
     * per Kendall 1945) between two integer-quantized columns — the
     * ORDINAL association audit next to [[chiSquareIndependence]]

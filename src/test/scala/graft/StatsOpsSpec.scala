@@ -451,6 +451,39 @@ class StatsOpsSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 4L, 7L))
   }
 
+  test("theilIndex: equal values score 0; {3,1} folds hand-computed micro-nat terms") {
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("x")
+    val r0 = Checks.theilIndex(eq, col("x")).head()
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) == ((4L, 20L, 0L)))
+    // mu = 2: terms 1.5*ln1.5 -> 608198, 0.5*ln0.5 -> -346574
+    // theil6 = 261624 div 2 = 130812
+    val sk = Seq(3L, 1L).toDF("x")
+    assert(Checks.theilIndex(sk, col("x")).head().getLong(2) == 130812L)
+    // non-positive rows are excluded, not ln'd
+    val withZero = Seq(3L, 1L, 0L, -2L).toDF("x")
+    val r2 = Checks.theilIndex(withZero, col("x")).head()
+    assert((r2.getLong(0), r2.getLong(2)) == ((2L, 130812L)))
+  }
+
+  test("lorenzCurve: bottom-half share of {1,2,3,4} is 3/10; terminal point closes at 1e6") {
+    val rows = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "x")
+    val got = Checks.lorenzCurve(rows, col("x"), col("id"), 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 500000L, 300000L), (2L, 4L, 1000000L, 1000000L)))
+  }
+
+  test("fanoFactor: flat series scores 0; a burst day scores var/mean exactly") {
+    val rows = Seq(
+      ("f", "d1", 10L), ("f", "d2", 10L),
+      ("b", "d1", 0L), ("b", "d2", 20L)).toDF("grp", "bucket", "n")
+    val got = Checks.fanoFactor(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("f") == ((2L, 20L, 0L)))
+    // var = 200, mean = 10 -> F = 20
+    assert(got("b") == ((2L, 20L, 20000000L)))
+  }
+
   test("kendallTauB: perfect concordance 1e6, reversal -1e6, square-tied grid 0") {
     val inc = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
     val r1 = Checks.kendallTauB(inc, col("x"), col("y")).head()
