@@ -5882,6 +5882,32 @@ object SparkEntryCoverage {
           least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
           10))
     },
+    // Isotonic calibration map (Evaluation.isotonicCalibration): the
+    // FIX for what a_brier_ece diagnoses — the best monotone
+    // bin-to-rate mapping via the PAV minimax identity, pure
+    // grid-bounded joins.
+    "a_isotonic" -> { (s, dir) =>
+      Evaluation.isotonicCalibration(
+        Evaluation.calibrationBins(
+          t(s, dir, "events")
+            .filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type") === "purchase",
+          least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
+          10))
+    },
+    // Murphy decomposition (Evaluation.brierDecomposition): WHY the
+    // Brier score is what it is — reliability vs resolution vs
+    // irreducible uncertainty, separating "calibrated" from
+    // "useful"; pico-scaled exact cross-products off the bin grid.
+    "a_brier_decomp" -> { (s, dir) =>
+      Evaluation.brierDecomposition(
+        Evaluation.calibrationBins(
+          t(s, dir, "events")
+            .filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type") === "purchase",
+          least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
+          10))
+    },
     // Odds ratio with Wald CI (Experiments.oddsRatio): the 2x2
     // effect-size readout next to a_ab_test's significance —
     // Haldane-Anscombe half-unit cells keep zeros finite.
@@ -11320,6 +11346,48 @@ object SparkEntryCoverage {
         |  CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
         |FROM g ORDER BY bin""".stripMargin,
     "a_brier_ece" -> brierEceOracleSql,
+    "a_isotonic" ->
+      """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT LEAST(9, (s6 * 10) // 1000000) AS bin, s6,
+        |        CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |      FROM base),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yy) AS BIGINT) AS x
+        |      FROM b GROUP BY 1),
+        |acc AS (SELECT bin, n, x, CAST((1000000 * x) // n AS BIGINT) AS acc6 FROM g),
+        |iv AS (SELECT j.bin AS j, l.bin AS l,
+        |         CAST((1000000 * SUM(m.x)) // SUM(m.n) AS BIGINT) AS avg6
+        |       FROM g j JOIN g l ON j.bin <= l.bin
+        |            JOIN g m ON m.bin BETWEEN j.bin AND l.bin
+        |       GROUP BY 1, 2),
+        |mn AS (SELECT iv.j, i.bin AS i, MIN(avg6) AS m
+        |       FROM iv JOIN g i ON i.bin >= iv.j AND i.bin <= iv.l
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT i AS bin, CAST(MAX(m) AS BIGINT) AS iso6 FROM mn GROUP BY 1)
+        |SELECT acc.bin, acc.n, acc.x, acc.acc6, iso.iso6
+        |FROM acc JOIN iso USING (bin) ORDER BY acc.bin""".stripMargin,
+    "a_brier_decomp" ->
+      """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT LEAST(9, (s6 * 10) // 1000000) AS bin, s6,
+        |        CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |      FROM base),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yy) AS BIGINT) AS x,
+        |        CAST(SUM(s6) AS BIGINT) AS ss
+        |      FROM b GROUP BY 1),
+        |a2 AS (SELECT bin, n, x, CAST(ss // n AS BIGINT) AS conf6,
+        |         CAST((1000000 * x) // n AS BIGINT) AS acc6 FROM g),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(x) AS BIGINT) AS xt FROM g),
+        |bb AS (SELECT nt, CAST((1000000 * xt) // nt AS BIGINT) AS base6 FROM t)
+        |SELECT nt AS n, base6,
+        |  CAST(SUM(CAST(a2.n AS HUGEINT) * (conf6 - acc6) * (conf6 - acc6)) // nt
+        |       AS BIGINT) AS rel12,
+        |  CAST(SUM(CAST(a2.n AS HUGEINT) * (acc6 - base6) * (acc6 - base6)) // nt
+        |       AS BIGINT) AS res12,
+        |  CAST(base6 * (1000000 - base6) AS BIGINT) AS unc12
+        |FROM a2, bb GROUP BY nt, base6""".stripMargin,
     "a_odds_ratio" ->
       """WITH cells AS (
         | SELECT event_type AS g,

@@ -186,6 +186,94 @@ object Evaluation {
         col("sysum"))
       .orderBy(col("bin"))
 
+  /** Isotonic calibration map (pool-adjacent-violators; Ayer et al.
+    * 1955, the Zadrozny & Elkan 2002 recalibration recipe) over the
+    * [[calibrationBins]] grid — the FIX for what ECE diagnoses: the
+    * best MONOTONE mapping from score bin to observed rate, the
+    * lookup table a serving layer applies to turn a miscalibrated
+    * score into a probability.
+    *
+    * Computed via the minimax identity instead of the sequential
+    * stack: iso(i) = max_{j≤i} min_{l≥i} avg(x over bins j..l) —
+    * equivalent to PAV and, unlike the stack, pure joins. The grid
+    * is bin-bounded (≤ `bins` rows upstream), so the interval
+    * enumeration is O(B³) rows of BOUNDED size — the documented
+    * bounded-BNLJ class, never corpus-proportional. Exactness: each
+    * interval average rounds ONCE (avg6 = 1e6·Σx div Σn, exact
+    * integer sums), and the minimax over already-rounded micro
+    * integers is order-free — bit-identical on both engines.
+    * Returns (bin, n, x, acc6, iso6), iso6 non-decreasing.
+    */
+  def isotonicCalibration(binGrid: DataFrame): DataFrame = {
+    val bins = binGrid.select(col("bin"), col("n"), col("x"))
+    val b1 = bins.select(col("bin").as("j"), col("n").as("nj"), col("x").as("xj"))
+    val b2 = bins.select(col("bin").as("l"))
+    // interval (j..l) averages off exact prefix-free sums: join the
+    // grid to itself (bounded), aggregate the member bins
+    val intervals = b1
+      .crossJoin(b2)
+      .filter(col("j") <= col("l"))
+      .join(
+        bins.select(col("bin").as("m"), col("n").as("nm"), col("x").as("xm")),
+        col("m") >= col("j") && col("m") <= col("l"))
+      .groupBy(col("j"), col("l"))
+      .agg(sum(col("nm")).as("sn"), sum(col("xm")).as("sx"))
+      .select(
+        col("j"), col("l"),
+        expr("CAST((1000000 * sx) div sn AS BIGINT)").as("avg6"))
+    val iGrid = bins.select(col("bin").as("i"))
+    val minOverL = intervals
+      .join(iGrid, col("i") >= col("j") && col("i") <= col("l"))
+      .groupBy(col("j"), col("i"))
+      .agg(min(col("avg6")).as("__m"))
+    val iso = minOverL
+      .groupBy(col("i").as("bin"))
+      .agg(max(col("__m")).as("iso6"))
+    binGrid
+      .select(col("bin"), col("n"), col("x"), col("acc6"))
+      .join(iso, Seq("bin"))
+      .orderBy(col("bin"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score off the
+    * [[calibrationBins]] grid — WHY is the score what it is:
+    *
+    *   REL (reliability, lower better)  = Σ n_b·(conf6−acc6)²  / N
+    *   RES (resolution, higher better)  = Σ n_b·(acc6−base6)² / N
+    *   UNC (uncertainty, data-fixed)    = base6·(1e6−base6)
+    *
+    * with base6 the overall positive rate; Brier ≈ REL − RES + UNC
+    * (exact in the binned limit — binning and per-bin micro rounding
+    * make the identity approximate, documented). A score can have a
+    * fine Brier by being uninformative (RES ≈ 0) — this readout
+    * separates "calibrated" from "useful". All pico-scaled exact
+    * integer cross-products off the bin sums, one truncating
+    * division each. Returns (n, base6, rel12, res12, unc12).
+    */
+  def brierDecomposition(binGrid: DataFrame): DataFrame = {
+    val base = broadcast(
+      binGrid.agg(
+        sum(col("n")).as("__nt"),
+        sum(col("x")).as("__xt"))
+        .withColumn("__base6", expr("CAST((1000000 * __xt) div __nt AS BIGINT)")))
+    binGrid
+      .crossJoin(base)
+      .groupBy(col("__nt"), col("__base6"))
+      .agg(
+        sum(expr(
+          """CAST(n AS DECIMAL(38,0)) * (conf6 - acc6) * (conf6 - acc6)"""))
+          .cast("decimal(38,0)").as("__rel"),
+        sum(expr(
+          """CAST(n AS DECIMAL(38,0)) * (acc6 - __base6) * (acc6 - __base6)"""))
+          .cast("decimal(38,0)").as("__res"))
+      .select(
+        col("__nt").as("n"),
+        col("__base6").as("base6"),
+        expr("CAST(__rel div __nt AS BIGINT)").as("rel12"),
+        expr("CAST(__res div __nt AS BIGINT)").as("res12"),
+        expr("CAST(__base6 * (1000000 - __base6) AS BIGINT)").as("unc12"))
+  }
+
   /** One-row calibration summary off the [[calibrationBins]] grid —
     * no second corpus scan:
     *

@@ -79,6 +79,37 @@ class EvaluationSpec extends SparkSpec {
       ((4L, 125000L, 102500000000L)))
   }
 
+  test("isotonicCalibration: violating middle bin pools with its left neighbor") {
+    // acc = [0.3, 0.1, 0.6] with equal mass -> PAV pools bins 0-1 at 0.2:
+    // iso = [200000, 200000, 600000] via the minimax identity
+    val grid = Seq(
+      (0L, 10L, 3L, 300000L), (1L, 10L, 1L, 100000L), (2L, 10L, 6L, 600000L))
+      .toDF("bin", "n", "x", "acc6")
+    val got = Evaluation.isotonicCalibration(grid).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 300000L, 200000L), (1L, 100000L, 200000L), (2L, 600000L, 600000L)))
+    // already-monotone grid is a fixed point
+    val mono = Seq(
+      (0L, 10L, 1L, 100000L), (1L, 10L, 5L, 500000L), (2L, 10L, 9L, 900000L))
+      .toDF("bin", "n", "x", "acc6")
+    val got2 = Evaluation.isotonicCalibration(mono).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(got2.forall(p => p._1 == p._2))
+  }
+
+  test("brierDecomposition: hand-computed REL/RES/UNC off the bin grid") {
+    // bins: (n=2, x=1, conf 0.3, acc 0.5), (n=2, x=2, conf 0.95, acc 1.0)
+    // base6 = 750000; rel12 = (2*4e10 + 2*2.5e9) div 4 = 21_250_000_000
+    // res12 = (2+2)*(250000^2) div 4 = 62_500_000_000; unc12 = 187_500_000_000
+    val grid = Seq(
+      (0L, 2L, 1L, 300000L, 500000L), (1L, 2L, 2L, 950000L, 1000000L))
+      .toDF("bin", "n", "x", "conf6", "acc6")
+    val r = Evaluation.brierDecomposition(grid).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 750000L, 21250000000L, 62500000000L, 187500000000L)))
+  }
+
   test("calibrationBins: out-of-range score fails fast; bins bounds enforced") {
     val bad = Seq((1L, 1000001L)).toDF("y", "s6")
     val e = intercept[Exception](
