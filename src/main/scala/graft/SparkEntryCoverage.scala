@@ -5882,6 +5882,31 @@ object SparkEntryCoverage {
           least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
           10))
     },
+    // Youden-J optimal threshold (Evaluation.youdenThreshold): where
+    // to CUT the purchase score — max TPR-FPR over every distinct
+    // threshold via the descending rank chassis, plus the signed
+    // MCC^2 at the chosen operating point.
+    "a_youden" -> { (s, dir) =>
+      Evaluation.youdenThreshold(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("value").isNotNull),
+        col("event_type") === "purchase",
+        round(col("value") * 100.0, 0).cast("long"))
+    },
+    // Gains/lift table (Evaluation.gainsTable): rank users by total
+    // spend, slice into deciles — how concentrated are the buyers in
+    // the top of the score? Range-partitioned ranks, exact
+    // cross-product lift, k-bounded cumulative gains.
+    "a_gains" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull
+          && col("event_type").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buyer"))
+      Evaluation.gainsTable(per, col("buyer") === 1L, col("cents"), col("user_id"), 10)
+    },
     // Isotonic calibration map (Evaluation.isotonicCalibration): the
     // FIX for what a_brier_ece diagnoses — the best monotone
     // bin-to-rate mapping via the PAV minimax identity, pure
@@ -11346,6 +11371,62 @@ object SparkEntryCoverage {
         |  CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
         |FROM g ORDER BY bin""".stripMargin,
     "a_brier_ece" -> brierEceOracleSql,
+    "a_youden" ->
+      """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cnt AS (SELECT v,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM base GROUP BY 1),
+        |t AS (SELECT CAST(SUM(np) AS BIGINT) AS tnp, CAST(SUM(nn) AS BIGINT) AS tnn
+        |      FROM cnt),
+        |cum AS (SELECT v,
+        |    CAST(SUM(np) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+        |  FROM cnt),
+        |j AS (SELECT v, tp, fp, tnp, tnn,
+        |    CAST((1000000 * tp) // tnp AS BIGINT)
+        |      - CAST((1000000 * fp) // tnn AS BIGINT) AS j6
+        |  FROM cum, t),
+        |best AS (SELECT * FROM j ORDER BY j6 DESC, v DESC LIMIT 1),
+        |d AS (SELECT *,
+        |    CAST(tp AS HUGEINT) * (tnn - fp) - CAST(fp AS HUGEINT) * (tnp - tp) AS dd
+        |  FROM best)
+        |SELECT v AS thr, tnp AS n_pos, tnn AS n_neg, tp, fp, j6,
+        |  CASE WHEN tp + fp = 0 OR tnp + tnn - tp - fp = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CASE WHEN dd >= 0 THEN 1 ELSE -1 END)
+        |    * ((CAST(1000000 AS HUGEINT) * dd * dd)
+        |       // (CAST(tp + fp AS HUGEINT) * tnp * tnn * (tnp + tnn - tp - fp)))
+        |    AS BIGINT) END AS mcc2s6
+        |FROM d""".stripMargin,
+    "a_gains" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS buyer
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |rk AS (SELECT cents, user_id, buyer,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS r
+        |  FROM per),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(buyer) AS BIGINT) AS x
+        |      FROM per),
+        |b AS (SELECT ((r - 1) * 10) // n + 1 AS bucket, buyer, n, x FROM rk, t),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_d,
+        |        CAST(SUM(buyer) AS BIGINT) AS x_d,
+        |        ANY_VALUE(n) AS n, ANY_VALUE(x) AS x
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT *, CAST(SUM(x_d) OVER (ORDER BY bucket) AS BIGINT) AS cumx FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_d AS n, x_d AS x,
+        |  CAST((1000000 * x_d) // n_d AS BIGINT) AS rate6,
+        |  CASE WHEN x = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * x_d * n)
+        |            // (CAST(n_d AS HUGEINT) * x) AS BIGINT) END AS lift6,
+        |  CASE WHEN x = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((1000000 * cumx) // x AS BIGINT) END AS cum_gain6
+        |FROM c ORDER BY bucket""".stripMargin,
     "a_isotonic" ->
       """WITH base AS (SELECT (event_type = 'purchase') AS y,
         |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -91,6 +92,152 @@ object Evaluation {
       .select(
         col("n_pos"), col("n_neg"), col("u2x"), col("auc6"),
         (lit(2L) * col("auc6") - 1000000L).as("gini6"))
+  }
+
+  /** Youden-J optimal threshold (Youden 1950) with the confusion
+    * matrix and signed MCC² at the optimum — the operating-point
+    * chooser that turns a scored detector into a GATE: over every
+    * distinct score threshold (predict positive when score ≥ thr),
+    * maximize J = TPR − FPR; ties prefer the LARGEST threshold (the
+    * conservative gate). [[rocAuc]] says whether the score ranks;
+    * this says where to cut it.
+    *
+    * Exactness — the rocAuc count-table chassis read from the top:
+    * per distinct score, cumulative tp/fp come from
+    * [[Relational.globalCumSum]] under the DESCENDING score order
+    * (distributed, never a single-task window); tpr6/fpr6 are one
+    * truncating division each, j6 = tpr6 − fpr6; the argmax is a
+    * distributed TakeOrdered(1). Matthews correlation at the chosen
+    * threshold is emitted as its SIGNED SQUARE (the kendallTauB
+    * no-sqrt rule): mcc2s6 = sign(d)·1e6·d² div Π(margins) with
+    * d = tp·tn − fp·fn, DECIMAL(38,0) cross-products (d² reaches
+    * n⁴), any zero margin → 0. Single-class input fails fast (the
+    * rocAuc contract). Returns one row (thr, n_pos, n_neg, tp, fp,
+    * j6, mcc2s6).
+    */
+  def youdenThreshold(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val vs = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .groupBy(scoreCol.cast("long").as("v"))
+      .agg(
+        count(lit(1)).as("t"),
+        sum(when(labelCol.cast("boolean"), 1L).otherwise(0L)).as("np_v"))
+    val totals = broadcast(
+      vs.agg(
+        sum(col("np_v")).as("__np"),
+        sum(col("t") - col("np_v")).as("__nn")))
+    val checked = vs
+      .crossJoin(totals)
+      .filter(
+        assert_true(
+          col("__np") > 0L && col("__nn") > 0L,
+          concat(
+            lit("youdenThreshold: both classes required (n_pos="),
+            col("__np").cast("string"),
+            lit(", n_neg="),
+            col("__nn").cast("string"),
+            lit(")"))).isNull)
+      .select(
+        col("v"), col("np_v"), (col("t") - col("np_v")).as("nn_v"),
+        col("__np"), col("__nn"))
+    // cumulative tp/fp scanning thresholds from the TOP score down
+    val cum = Relational
+      .globalCumSum(
+        Relational.globalCumSum(checked, Seq(col("v").desc), "np_v", "__tpx"),
+        Seq(col("v").desc), "nn_v", "__fpx")
+      .withColumn("tp", col("__tpx") + col("np_v"))
+      .withColumn("fp", col("__fpx") + col("nn_v"))
+      .withColumn("__j6", expr(
+        "CAST((1000000 * tp) div __np AS BIGINT) - CAST((1000000 * fp) div __nn AS BIGINT)"))
+    cum
+      .orderBy(col("__j6").desc, col("v").desc)
+      .limit(1)
+      .withColumn(
+        "__d",
+        expr(
+          """CAST(tp AS DECIMAL(38,0)) * (__nn - fp)
+            |- CAST(fp AS DECIMAL(38,0)) * (__np - tp)""".stripMargin))
+      .withColumn(
+        "mcc2s6",
+        expr(
+          """CASE WHEN tp + fp = 0 OR tp + (__np - tp) = 0
+            |  OR (__nn - fp) + fp = 0 OR __np + __nn - tp - fp = 0
+            |  OR (CAST(tp + fp AS DECIMAL(38,0)) * __np * __nn
+            |      * CAST(__np + __nn - tp - fp AS DECIMAL(38,0))) = 0
+            |THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CASE WHEN __d >= 0 THEN 1 ELSE -1 END)
+            |  * ((CAST(1000000 AS DECIMAL(38,0)) * __d * __d)
+            |     div (CAST(tp + fp AS DECIMAL(38,0))
+            |          * CAST(__np AS DECIMAL(38,0))
+            |          * CAST(__nn AS DECIMAL(38,0))
+            |          * CAST(__np + __nn - tp - fp AS DECIMAL(38,0))))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("v").as("thr"),
+        col("__np").as("n_pos"),
+        col("__nn").as("n_neg"),
+        col("tp"), col("fp"),
+        col("__j6").as("j6"),
+        col("mcc2s6"))
+  }
+
+  /** Gains / lift table at k score-rank quantiles — the campaign-
+    * targeting readout ("how concentrated are the positives in the
+    * top deciles of the score"): units rank by (score desc, tie),
+    * slice into k equal-population buckets, and each bucket reports
+    * its positive rate against the base rate plus the cumulative
+    * gain curve.
+    *
+    * Exactness: ranks from [[Relational.globalRank]]'s range-
+    * partitioned total order (`tieCol` must make the order TOTAL —
+    * ties across a bucket boundary would otherwise land
+    * engine-dependently); decile = ((rank−1)·k) div n + 1;
+    * lift6 = (1e6·x_d·N) div (n_d·X) is ONE division of exact
+    * cross-products, cum_gain6 = 1e6·cumX div X over the k-bounded
+    * grid. Returns (bucket, n, x, rate6, lift6, cum_gain6), k rows.
+    */
+  def gainsTable(
+      df: DataFrame,
+      labelCol: Column,
+      scoreCol: Column,
+      tieCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in 1..1000")
+    val in = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .select(
+        scoreCol.cast("long").as("__v"),
+        tieCol.as("__t"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val ranked = Relational
+      .globalRank(in, Seq(col("__v").desc, col("__t")), "__rank")
+    val tot = broadcast(
+      in.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__x")))
+    val buckets = ranked
+      .crossJoin(tot)
+      .withColumn("bucket", expr(s"((__rank - 1) * $k) div __n + 1"))
+      .groupBy(col("bucket"), col("__n"), col("__x"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("x"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("__cumx", sum(col("x")).over(w))
+      .select(
+        col("bucket"),
+        col("n"),
+        col("x"),
+        expr("CAST((1000000 * x) div n AS BIGINT)").as("rate6"),
+        expr(
+          """CASE WHEN __x = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * x * __n)
+            |div (CAST(n AS DECIMAL(38,0)) * __x) AS BIGINT) END""".stripMargin)
+          .as("lift6"),
+        expr(
+          """CASE WHEN __x = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((1000000 * __cumx) div __x AS BIGINT) END""".stripMargin)
+          .as("cum_gain6"))
+      .orderBy(col("bucket"))
   }
 
   /** Reliability table for a micro-scaled probability score (the

@@ -35,6 +35,35 @@ class EvaluationSpec extends SparkSpec {
     assert(e.getMessage.contains("both classes required"))
   }
 
+  test("youdenThreshold: perfect separation cuts at the lowest positive score with MCC=1") {
+    val sep = Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L)).toDF("y", "v")
+    val r = Evaluation.youdenThreshold(sep, col("y"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((3L, 2L, 2L, 2L, 0L, 1000000L, 1000000L)))
+    // overlap: pos {1,3}, neg {2} -> best J = 0.5 at thr 3, MCC^2 = 0.25
+    val mix = Seq((true, 1L), (true, 3L), (false, 2L)).toDF("y", "v")
+    val r2 = Evaluation.youdenThreshold(mix, col("y"), col("v")).head()
+    assert((r2.getLong(0), r2.getLong(5), r2.getLong(6)) == ((3L, 500000L, 250000L)))
+    val one = Seq((true, 1L)).toDF("y", "v")
+    val e = intercept[Exception](
+      Evaluation.youdenThreshold(one, col("y"), col("v")).head())
+    assert(e.getMessage.contains("both classes required"))
+  }
+
+  test("gainsTable: positives concentrated on top scores double the top-bucket lift") {
+    val rows = Seq(
+      (1L, 40L, 1L), (2L, 30L, 1L), (3L, 20L, 0L), (4L, 10L, 0L))
+      .toDF("id", "v", "y")
+    val got = Evaluation
+      .gainsTable(rows, col("y") === 1L, col("v"), col("id"), 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1000000L, 2000000L, 1000000L),
+      (2L, 2L, 0L, 0L, 0L, 1000000L)))
+  }
+
   test("calibrationBins: hand grid at bins=2; top edge closes the last bin") {
     // (s6, y): (200000,0) (400000,1) -> bin 0; (900000,1) (1000000,1) -> bin 1
     // (1e6*2 div 1e6 = 2, clamped to bins-1 = 1).
