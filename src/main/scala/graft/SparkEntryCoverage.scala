@@ -348,6 +348,35 @@ object SparkEntryCoverage {
         |       st[5] > 20000000 AS alarm
         |FROM f ORDER BY grp""".stripMargin
 
+  /** a_roc_auc / st_roc_auc shared oracle: the streaming monitor
+    * merges partial per-score count grids and re-runs the same rank
+    * chassis, so one SQL is the truth for both paths.
+    */
+  private[graft] lazy val rocAucOracleSql: String =
+    """WITH base AS (SELECT (event_type = 'purchase') AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        |          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |        FROM base GROUP BY 1),
+        |rk AS (SELECT v, t, np,
+        |         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+        |           AS rmin
+        |       FROM cnt),
+        |agg AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |               CAST(SUM(t - np) AS BIGINT) AS n_neg,
+        |               CAST(SUM(np * (2 * rmin + t - 1)) AS BIGINT) AS r2p
+        |        FROM rk),
+        |u AS (SELECT n_pos, n_neg, r2p - n_pos * (n_pos + 1) AS u2x FROM agg),
+        |a AS (SELECT n_pos, n_neg, u2x,
+        |        CAST((CAST(1000000 AS HUGEINT) * u2x)
+        |             // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc6
+        |      FROM u)
+        |SELECT n_pos, n_neg, u2x, auc6,
+        |       CAST(2 * auc6 - 1000000 AS BIGINT) AS gini6
+        |FROM a""".stripMargin
+
   /** a_brier_ece / st_brier_ece shared oracle: the streaming monitor
     * merges partial calibration-cell grids (all sums linear) and
     * re-derives the summary, so one SQL is the truth for both paths.
@@ -5882,6 +5911,18 @@ object SparkEntryCoverage {
           least(lit(1000000L), round(col("value") * 100.0, 0).cast("long") * 100L),
           10))
     },
+    // Quantile treatment effects (Experiments
+    // .quantileTreatmentEffect): WHERE did the A/B distributions
+    // move — exact order-statistic probes per arm at each decile,
+    // integer differences; the readout a mean test dilutes.
+    "a_qte" -> { (s, dir) =>
+      Experiments.quantileTreatmentEffect(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull),
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+        round(col("value") * 100.0, 0).cast("long"),
+        10)
+    },
     // Youden-J optimal threshold (Evaluation.youdenThreshold): where
     // to CUT the purchase score — max TPR-FPR over every distinct
     // threshold via the descending rank chassis, plus the signed
@@ -11331,30 +11372,7 @@ object SparkEntryCoverage {
         |SELECT CAST(3 AS BIGINT) AS k, n AS n_units, l2, e2, z2_6,
         |       z2_6 >= 3841459 AS significant
         |FROM f""".stripMargin,
-    "a_roc_auc" ->
-      """WITH base AS (SELECT (event_type = 'purchase') AS y,
-        |    CAST(round(value * 100) AS BIGINT) AS v
-        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
-        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
-        |          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
-        |        FROM base GROUP BY 1),
-        |rk AS (SELECT v, t, np,
-        |         CAST(COALESCE(SUM(t) OVER (ORDER BY v
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
-        |           AS rmin
-        |       FROM cnt),
-        |agg AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
-        |               CAST(SUM(t - np) AS BIGINT) AS n_neg,
-        |               CAST(SUM(np * (2 * rmin + t - 1)) AS BIGINT) AS r2p
-        |        FROM rk),
-        |u AS (SELECT n_pos, n_neg, r2p - n_pos * (n_pos + 1) AS u2x FROM agg),
-        |a AS (SELECT n_pos, n_neg, u2x,
-        |        CAST((CAST(1000000 AS HUGEINT) * u2x)
-        |             // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc6
-        |      FROM u)
-        |SELECT n_pos, n_neg, u2x, auc6,
-        |       CAST(2 * auc6 - 1000000 AS BIGINT) AS gini6
-        |FROM a""".stripMargin,
+    "a_roc_auc" -> rocAucOracleSql,
     "a_calibration" ->
       """WITH base AS (SELECT (event_type = 'purchase') AS y,
         |    LEAST(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS s6
@@ -11371,6 +11389,26 @@ object SparkEntryCoverage {
         |  CAST(abs((1000000 * x) // n - ss // n) AS BIGINT) AS gap6
         |FROM g ORDER BY bin""".stripMargin,
     "a_brier_ece" -> brierEceOracleSql,
+    "a_qte" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS s,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base WHERE s = 'A'),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base WHERE s = 'B'),
+        |ra AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS r
+        |       FROM base WHERE s = 'A'),
+        |rb AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS r
+        |       FROM base WHERE s = 'B'),
+        |ta AS (SELECT CAST(g.d AS BIGINT) AS bucket, greatest(1, (g.d * na.n) // 10) AS r
+        |       FROM generate_series(1, 10) AS g(d), na),
+        |tb AS (SELECT CAST(g.d AS BIGINT) AS bucket, greatest(1, (g.d * nb.n) // 10) AS r
+        |       FROM generate_series(1, 10) AS g(d), nb),
+        |qa AS (SELECT ta.bucket, ra.v AS q_a FROM ta JOIN ra USING (r)),
+        |qb AS (SELECT tb.bucket, rb.v AS q_b FROM tb JOIN rb USING (r))
+        |SELECT qa.bucket, 'A' AS side_a, 'B' AS side_b, q_a, q_b,
+        |       q_a - q_b AS qte
+        |FROM qa JOIN qb USING (bucket) ORDER BY qa.bucket""".stripMargin,
     "a_youden" ->
       """WITH base AS (SELECT (event_type = 'purchase') AS y,
         |    CAST(round(value * 100) AS BIGINT) AS v

@@ -777,6 +777,32 @@ object SparkEntryStreaming {
           20000000L)
         .orderBy(col("grp"))
     },
+    // Streaming ROC-AUC monitor — the per-distinct-score count grid
+    // (v, t, np_v) is a SUFFICIENT STATISTIC (counts linear, partial
+    // grids SUM-merge): micro-batches append partial grids, the
+    // monitor re-runs the doubled-mid-rank AUC over the merged
+    // score-domain-bounded grid — bit-equal to the one-shot batch
+    // a_roc_auc under the shared oracle. Live detector-quality
+    // watching with zero history re-scans.
+    "st_roc_auc" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/rocgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      def cells(d: DataFrame) =
+        graft.operators.Evaluation.rocAucCells(
+          d.filter(col("event_type").isNotNull && col("value").isNotNull),
+          col("event_type") === "purchase",
+          round(col("value") * 100.0, 0).cast("long"))
+      cells(ev.filter(lit(false))).write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          cells(batch).write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Evaluation.rocAucFromCells(s.read.parquet(cPath))
+    },
     // Streaming calibration monitor — the reliability-bin grid is a
     // SUFFICIENT STATISTIC (n, x, Σs, Σs², Σsy per bin, all linear):
     // micro-batches append partial cell grids, the monitor SUM-merges
@@ -1223,6 +1249,9 @@ object SparkEntryStreaming {
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout
     "st_brier_ece" -> SparkEntryCoverage.brierEceOracleSql,
+    // per-score count-grid merge-invariance: the streamed AUC must
+    // equal the one-shot batch readout
+    "st_roc_auc" -> SparkEntryCoverage.rocAucOracleSql,
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),

@@ -49,15 +49,33 @@ object Evaluation {
     * (never a single-task window), a 1-row bounded final aggregate.
     * Returns one row (n_pos, n_neg, u2x, auc6, gini6).
     */
-  def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
-    // ONE corpus scan to the per-score count table; class totals and
-    // the fail-fast both derive from it
-    val vs = df
+  def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame =
+    rocAucFromCells(rocAucCells(df, labelCol, scoreCol))
+
+  /** The MERGEABLE half of [[rocAuc]]: the per-distinct-score count
+    * grid (v, t, np_v) — counts are linear, so partial grids from
+    * independent slices SUM-merge exactly and [[rocAucFromCells]]
+    * over the merged grid is bit-equal to a single-pass AUC (the
+    * calibrationCells posture applied to ranking quality: a live
+    * detector-AUC monitor never re-scans history). Grid size is
+    * bounded by the score DOMAIN; one corpus scan.
+    */
+  def rocAucCells(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame =
+    df
       .filter(labelCol.isNotNull && scoreCol.isNotNull)
       .groupBy(scoreCol.cast("long").as("v"))
       .agg(
         count(lit(1)).as("t"),
         sum(when(labelCol.cast("boolean"), 1L).otherwise(0L)).as("np_v"))
+
+  /** AUC off a (possibly merged) [[rocAucCells]] grid — ranks and
+    * the one division happen AFTER the merge, so partials stay
+    * exact. Single-class input fails fast (the rocAuc contract).
+    */
+  def rocAucFromCells(cells: DataFrame): DataFrame = {
+    val vs = cells
+      .groupBy(col("v"))
+      .agg(sum(col("t")).as("t"), sum(col("np_v")).as("np_v"))
     val totals = broadcast(
       vs.agg(
         sum(col("np_v")).as("__np"),

@@ -1848,6 +1848,62 @@ object Experiments {
         col("n_units"), col("n"), col("n_categories"), col("do6"), col("alpha6"))
   }
 
+  /** Quantile treatment effects (Doksum 1974; the Lehmann QTE) — the
+    * DISTRIBUTIONAL readout every mean-based test hides: at each of
+    * k population quantiles, how far apart are the two arms' value
+    * distributions? A treatment that moves only the tail (a latency
+    * fix for the p99, a spend cap for whales) is invisible to
+    * [[welchT]] and diluted in [[mannWhitneyU]]; the QTE table shows
+    * WHERE the distribution moved.
+    *
+    * Exactness: each arm's quantiles are exact ORDER STATISTICS —
+    * the value at rank max(1, d·n_arm div k) under [[Relational
+    * .globalRank]]'s range-partitioned sort (the equiDepthBoundaries
+    * probe idiom; the d-th order-statistic VALUE is invariant to how
+    * ties permute, so no tie column is needed) — and qte is their
+    * exact integer difference. No interpolation, no floats. Sides
+    * are the lexicographic (min, max) of `sideCol`; exactly two
+    * required (driver-side require off a 2-row bounded distinct —
+    * the documented constant bootstrap class). Returns
+    * (bucket, side_a, side_b, q_a, q_b, qte), k rows.
+    */
+  def quantileTreatmentEffect(
+      df: DataFrame,
+      sideCol: Column,
+      valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in 1..100")
+    val base = df
+      .filter(sideCol.isNotNull && valueCol.isNotNull)
+      .select(sideCol.cast("string").as("s"), valueCol.cast("long").as("v"))
+    val sides = base.select(col("s")).distinct().orderBy(col("s"))
+      .collect().map(_.getString(0))
+    require(sides.length == 2,
+      s"quantileTreatmentEffect: exactly 2 sides required, got ${sides.length}")
+    val (sa, sb) = (sides(0), sides(1))
+    def probes(side: String, out: String): DataFrame = {
+      val in = base.filter(col("s") === side).select(col("v"))
+      val ranked = Relational.globalRank(in, Seq(col("v")), "__rank")
+      val n = in.count()
+      val spark = df.sparkSession
+      import spark.implicits._
+      val targets = (1 to k)
+        .map(d => (d.toLong, math.max(1L, d.toLong * n / k)))
+        .toDF("bucket", "__rank")
+      ranked.join(broadcast(targets), Seq("__rank")).select(col("bucket"), col("v").as(out))
+    }
+    probes(sa, "q_a")
+      .join(probes(sb, "q_b"), Seq("bucket"))
+      .select(
+        col("bucket"),
+        lit(sa).as("side_a"),
+        lit(sb).as("side_b"),
+        col("q_a"),
+        col("q_b"),
+        (col("q_a") - col("q_b")).as("qte"))
+      .orderBy(col("bucket"))
+  }
+
   /** Cochran–Mantel–Haenszel test (Cochran 1954; Mantel & Haenszel
     * 1959) — the STRATIFIED 2×2 association test: does the treatment
     * move the binary outcome once a confounder is held fixed, by

@@ -28,6 +28,20 @@ class EvaluationSpec extends SparkSpec {
     assert((r3.getLong(2), r3.getLong(3), r3.getLong(4)) == ((1L, 500000L, 0L)))
   }
 
+  test("rocAucCells: partial grids SUM-merge to the single-pass AUC") {
+    val rows = Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L))
+    val whole = rows.toDF("y", "v")
+    val merged = Seq(
+      Seq(rows(0), rows(2)).toDF("y", "v"),
+      Seq(rows(1), rows(3)).toDF("y", "v"))
+      .map(p => Evaluation.rocAucCells(p, col("y"), col("v")))
+      .reduce(_ unionByName _)
+    val fromCells = Evaluation.rocAucFromCells(merged).head()
+    val onePass = Evaluation.rocAuc(whole, col("y"), col("v")).head()
+    assert(fromCells.toSeq == onePass.toSeq)
+    assert(fromCells.getLong(3) == 1000000L)
+  }
+
   test("rocAuc: single-class input fails fast") {
     val onlyPos = Seq((true, 1L), (true, 2L)).toDF("y", "v")
     val e = intercept[Exception](

@@ -625,6 +625,21 @@ class ExperimentsSpec extends SparkSpec {
     assert(Experiments.signTest(ties, col("pre"), col("post")).head().getLong(3) == 0L)
   }
 
+  test("quantileTreatmentEffect: order-statistic probes difference exactly; three sides fail") {
+    // A {1,2,3,4}, B {2,4,6,8}, k=2: medians 2 vs 4, maxes 4 vs 8
+    val rows = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 2L), ("B", 4L), ("B", 6L), ("B", 8L)).toDF("s", "v")
+    val got = Experiments.quantileTreatmentEffect(rows, col("s"), col("v"), 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq((1L, 2L, 4L, -2L), (2L, 4L, 8L, -4L)))
+    val three = Seq(("A", 1L), ("B", 2L), ("C", 3L)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException](
+      Experiments.quantileTreatmentEffect(three, col("s"), col("v"), 2))
+    assert(e.getMessage.contains("exactly 2 sides"))
+  }
+
   test("friedman: perfect concordance scores chi2=4, W=1; fully-tied units score 0; ragged fails") {
     // two units both ranking a < b < c: chi2 = 4, W = chi2/(n(k-1)) = 1.
     val rows = Seq(
