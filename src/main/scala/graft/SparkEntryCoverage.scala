@@ -5504,6 +5504,48 @@ object SparkEntryCoverage {
         30,
         365)
     },
+    // Mantel-Haenszel hazard ratio (Series.hazardRatio): the effect
+    // size behind a_logrank's verdict — observed-over-expected churn
+    // ratio on the same two-group grid, per-side E6 terms
+    // micro-rounded per age then exactly summed.
+    "a_hazard_ratio" -> { (s, dir) =>
+      Series.hazardRatio(
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderdate"),
+            when(col("o_custkey") % 2 === 0, lit("A")).otherwise(lit("B")).as("par")),
+        "o_custkey",
+        "o_orderdate",
+        "par",
+        30,
+        365)
+    },
+    // Restricted mean survival time (Series.restrictedMeanSurvival):
+    // expected customer lifetime within the first 12 age units (360
+    // days) — the model-free scalar that stays defined under
+    // censoring; exact step areas under the KM curve.
+    "a_rmst" -> { (s, dir) =>
+      Series.restrictedMeanSurvival(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate")),
+        "o_custkey",
+        "o_orderdate",
+        30,
+        365,
+        12L)
+    },
+    // Poisson rate ratio (Experiments.poissonRateRatio): events per
+    // USER-DAY of exposure across the parity arms — the incidence
+    // readout that an arm with stickier users can't fake; exact
+    // conditional chi-square, rate ratio as the effect size.
+    "a_rate_ratio" -> { (s, dir) =>
+      Experiments.poissonRateRatio(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull),
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+        col("user_id"),
+        to_date(col("ts")))
+    },
     // One-way ANOVA (Experiments.oneWayAnova): does mean cent value
     // differ across the 5 event types? SSB/SSW from one moment pass,
     // large-sample chi-square significance vs the dof-4 literal.
@@ -10684,6 +10726,101 @@ object SparkEntryCoverage {
         |  CAST(SUM((1000000 * d) // n) OVER (ORDER BY age
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h6
         |FROM g ORDER BY age""".stripMargin,
+    "a_rmst" ->
+      """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens FROM u, cm),
+        |ag AS (SELECT age, CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c FROM lv GROUP BY 1),
+        |g AS (SELECT age, d, c, CAST(sum(d + c) OVER (ORDER BY age DESC) AS BIGINT) AS n,
+        |        row_number() OVER (ORDER BY age) AS i FROM ag),
+        |km AS (
+        |  SELECT i, CAST((1000000 * (n - d)) // n AS BIGINT) AS s6 FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.i, CAST((km.s6 * (g.n - g.d)) // g.n AS BIGINT)
+        |  FROM km JOIN g ON g.i = km.i + 1),
+        |kj AS (SELECT g.age, g.n, km.s6 FROM g JOIN km USING (i)),
+        |kk AS (SELECT age, s6, lead(age) OVER (ORDER BY age) AS nxt FROM kj)
+        |SELECT CAST(12 AS BIGINT) AS tau,
+        |  (SELECT CAST(MAX(n) AS BIGINT) FROM kj) AS n_entities,
+        |  CAST(least((SELECT MIN(age) FROM kj), 12) * 1000000
+        |    + COALESCE(SUM(s6 * (least(COALESCE(nxt, 12), 12) - least(age, 12))), 0)
+        |    AS BIGINT) AS rmst6
+        |FROM kk""".stripMargin,
+    "a_hazard_ratio" ->
+      """WITH u AS (SELECT o_custkey,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |    min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1, 2),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |sides AS (SELECT min(g) AS side_a, max(g) AS side_b FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens,
+        |         (g = (SELECT side_a FROM sides)) AS isa
+        |       FROM u, cm),
+        |ag AS (SELECT age,
+        |    CAST(SUM(CASE WHEN NOT cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN NOT cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS db,
+        |    CAST(SUM(CASE WHEN cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lv GROUP BY 1),
+        |g2 AS (SELECT age, da, db, ca, cb,
+        |    CAST(SUM(da + ca) OVER (ORDER BY age DESC) AS BIGINT) AS na,
+        |    CAST(SUM(db + cb) OVER (ORDER BY age DESC) AS BIGINT) AS nb
+        |  FROM ag),
+        |tt AS (SELECT da, db,
+        |    CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * (da + db) * na) // (na + nb)
+        |              AS BIGINT) END AS ea6,
+        |    CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * (da + db) * nb) // (na + nb)
+        |              AS BIGINT) END AS eb6
+        |  FROM g2),
+        |f AS (SELECT
+        |    (SELECT side_a FROM sides) AS side_a,
+        |    (SELECT side_b FROM sides) AS side_b,
+        |    CAST(SUM(da) AS BIGINT) AS o_a, CAST(SUM(db) AS BIGINT) AS o_b,
+        |    CAST(SUM(ea6) AS BIGINT) AS ea6, CAST(SUM(eb6) AS BIGINT) AS eb6
+        |  FROM tt)
+        |SELECT side_a, side_b, o_a, o_b, ea6, eb6,
+        |  CASE WHEN o_b <= 0 OR ea6 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * o_a * eb6)
+        |            // (CAST(o_b AS HUGEINT) * ea6) AS BIGINT) END AS hr6
+        |FROM f""".stripMargin,
+    "a_rate_ratio" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS s,
+        |    user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |ev AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1),
+        |ex AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ex
+        |       FROM (SELECT DISTINCT s, u, d FROM base) GROUP BY 1),
+        |f AS (SELECT 'A' AS side_a, 'B' AS side_b,
+        |    (SELECT o FROM ev WHERE s = 'A') AS o_a,
+        |    (SELECT o FROM ev WHERE s = 'B') AS o_b,
+        |    (SELECT ex FROM ex WHERE s = 'A') AS exp_a,
+        |    (SELECT ex FROM ex WHERE s = 'B') AS exp_b)
+        |SELECT side_a, side_b, o_a, o_b, exp_a, exp_b,
+        |  CASE WHEN o_b = 0 OR exp_a = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT) * o_a * exp_b)
+        |            // (CAST(o_b AS HUGEINT) * exp_a) AS BIGINT) END AS rr6,
+        |  CASE WHEN o_a + o_b = 0 OR exp_a = 0 OR exp_b = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(
+        |    (CAST(1000000 AS HUGEINT)
+        |     * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
+        |     * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
+        |     * (exp_a + exp_b))
+        |    // (CAST(o_a + o_b AS HUGEINT) * exp_a * exp_b) AS BIGINT) END AS z2_6,
+        |  CASE WHEN o_a + o_b = 0 OR exp_a = 0 OR exp_b = 0 THEN FALSE
+        |  ELSE (CAST(1000000 AS HUGEINT)
+        |        * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
+        |        * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
+        |        * (exp_a + exp_b))
+        |       // (CAST(o_a + o_b AS HUGEINT) * exp_a * exp_b) >= 3841459
+        |  END AS significant
+        |FROM f""".stripMargin,
     "a_logrank" ->
       """WITH u AS (SELECT o_custkey,
         |    CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS g,

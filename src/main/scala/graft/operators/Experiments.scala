@@ -1848,6 +1848,83 @@ object Experiments {
         col("n_units"), col("n"), col("n_categories"), col("do6"), col("alpha6"))
   }
 
+  /** Poisson rate-ratio test (the conditional/binomial exact-form
+    * chi², Przyborowski & Wilenski 1940) — the INCIDENCE comparison
+    * every per-user rate question actually is: events per unit of
+    * EXPOSURE (user-days), not per user, so an arm whose users
+    * simply stick around longer doesn't fake a lift. Exposure is
+    * the distinct (unit, day) count per arm; under the equal-rate
+    * null the arm-A event count is Binomial(N, exp_a/(exp_a+exp_b)),
+    * and the 1-df chi² has the exact integer form
+    *
+    *   z²·1e6 = 1e6·(O_a·exp_b − O_b·exp_a)²·(exp_a+exp_b)
+    *            div (N·exp_a·exp_b)
+    *
+    * (DECIMAL(38,0) cross-products, one truncating division), with
+    * the rate ratio rr6 = (1e6·O_a·exp_b) div (O_b·exp_a) as the
+    * effect size (0 when O_b = 0, the degenerate convention).
+    * Exactly two arms, lexicographic (min, max), fail-fast in-plan.
+    *
+    * Scale shape: one distinct + two hash aggregates, a 2-row pivot,
+    * 1-row output (side_a, side_b, o_a, o_b, exp_a, exp_b, rr6,
+    * z2_6, significant).
+    */
+  def poissonRateRatio(
+      df: DataFrame,
+      sideCol: Column,
+      unitCol: Column,
+      dayCol: Column): DataFrame = {
+    val base = df
+      .filter(sideCol.isNotNull && unitCol.isNotNull && dayCol.isNotNull)
+      .select(sideCol.cast("string").as("s"), unitCol.as("u"), dayCol.as("d"))
+    val events = base.groupBy(col("s")).agg(count(lit(1)).as("o"))
+    val expo = base.distinct().groupBy(col("s")).agg(count(lit(1)).as("ex"))
+    val cells = cached(events.join(expo, Seq("s")))
+    val sides = broadcast(
+      cells.agg(
+        count_distinct(col("s")).as("__ns"),
+        min(col("s")).as("side_a"),
+        max(col("s")).as("side_b")))
+    cells
+      .crossJoin(sides)
+      .filter(
+        assert_true(
+          col("__ns") === 2L,
+          concat(
+            lit("poissonRateRatio: exactly 2 arms required, got "),
+            col("__ns").cast("string"))).isNull)
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(
+        sum(when(col("s") === col("side_a"), col("o")).otherwise(0L)).as("o_a"),
+        sum(when(col("s") === col("side_b"), col("o")).otherwise(0L)).as("o_b"),
+        sum(when(col("s") === col("side_a"), col("ex")).otherwise(0L)).as("exp_a"),
+        sum(when(col("s") === col("side_b"), col("ex")).otherwise(0L)).as("exp_b"))
+      .withColumn(
+        "rr6",
+        expr(
+          """CASE WHEN o_b = 0 OR exp_a = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * o_a * exp_b)
+            |div (CAST(o_b AS DECIMAL(38,0)) * exp_a) AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN o_a + o_b = 0 OR exp_a = 0 OR exp_b = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0))
+            |   * (CAST(o_a AS DECIMAL(38,0)) * exp_b
+            |      - CAST(o_b AS DECIMAL(38,0)) * exp_a)
+            |   * (CAST(o_a AS DECIMAL(38,0)) * exp_b
+            |      - CAST(o_b AS DECIMAL(38,0)) * exp_a)
+            |   * CAST(exp_a + exp_b AS DECIMAL(38,0)))
+            |  div (CAST(o_a + o_b AS DECIMAL(38,0))
+            |       * CAST(exp_a AS DECIMAL(38,0)) * CAST(exp_b AS DECIMAL(38,0)))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("side_a"), col("side_b"), col("o_a"), col("o_b"),
+        col("exp_a"), col("exp_b"), col("rr6"), col("z2_6"),
+        (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+  }
+
   /** Quantile treatment effects (Doksum 1974; the Lehmann QTE) — the
     * DISTRIBUTIONAL readout every mean-based test hides: at each of
     * k population quantiles, how far apart are the two arms' value

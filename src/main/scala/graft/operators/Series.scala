@@ -796,7 +796,12 @@ object Series {
     * output (side_a, side_b, n_a, n_b, o_a, e6, v6, z2_6,
     * significant).
     */
-  def logRank(
+  /** Shared two-group per-age grid of [[logRank]] and [[hazardRatio]]:
+    * (age, side_a, side_b, da, db, ca, cb, na, nb) — lifetimes split
+    * by a per-entity group, at-risk counts from the age-bounded
+    * descending running sum, both fail-fast contracts applied.
+    */
+  private def logRankGrid(
       df: DataFrame,
       idCol: String,
       dayCol: String,
@@ -852,6 +857,16 @@ object Series {
     ages
       .withColumn("na", sum(col("da") + col("ca")).over(wDesc))
       .withColumn("nb", sum(col("db") + col("cb")).over(wDesc))
+  }
+
+  def logRank(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      groupCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    logRankGrid(df, idCol, dayCol, groupCol, ageUnitDays, censorDays)
       .withColumn(
         "__e6",
         expr(
@@ -887,6 +902,103 @@ object Series {
         col("o_a"), col("e6"), col("v6"), col("z2_6"),
         // 1.96^2 micro-scaled — the Experiments.Z2Alpha05Micro literal
         (col("z2_6") >= 3841459L).as("significant"))
+  }
+
+  /** Mantel–Haenszel hazard ratio off the [[logRank]] grid — the
+    * EFFECT SIZE the log-rank test is about (the test says the
+    * curves differ; this says by HOW MUCH, as a constant relative
+    * risk): HR = (O_A/E_A)/(O_B/E_B), the observed-over-expected
+    * ratio under the shared-hazard null, the standard companion
+    * readout of every survival comparison.
+    *
+    * Exactness: E6 terms micro-round once per age for EACH side
+    * (e6_a = 1e6·d·nA div n, e6_b = 1e6·d·nB div n — the logRank
+    * per-term discipline), then
+    * hr6 = (1e6·O_A·ΣE6_B) div (O_B·ΣE6_A) is one DECIMAL division;
+    * a zero denominator (no churn in B, or no expected churn in A)
+    * → 0 by the established degenerate convention. Same fail-fast
+    * contracts as logRank. Returns one row (side_a, side_b, o_a,
+    * o_b, ea6, eb6, hr6).
+    */
+  def hazardRatio(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      groupCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame =
+    logRankGrid(df, idCol, dayCol, groupCol, ageUnitDays, censorDays)
+      .withColumn(
+        "__ea6",
+        expr(
+          """CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * (da + db) * na)
+            |div (na + nb) AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__eb6",
+        expr(
+          """CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * (da + db) * nb)
+            |div (na + nb) AS BIGINT) END""".stripMargin))
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(
+        sum(col("da")).as("o_a"),
+        sum(col("db")).as("o_b"),
+        sum(col("__ea6")).as("ea6"),
+        sum(col("__eb6")).as("eb6"))
+      .withColumn(
+        "hr6",
+        expr(
+          """CASE WHEN o_b <= 0 OR ea6 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * o_a * eb6)
+            |  div (CAST(o_b AS DECIMAL(38,0)) * ea6)
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("side_a"), col("side_b"), col("o_a"), col("o_b"),
+        col("ea6"), col("eb6"), col("hr6"))
+
+  /** Restricted mean survival time (RMST; Royston & Parmar 2013's
+    * recommended model-free summary) off the [[kaplanMeier]] curve:
+    * the area under S(t) up to horizon τ — "expected lifetime within
+    * the first τ age units", the scalar that stays meaningful when
+    * censoring makes the plain mean undefined and hazards are not
+    * proportional.
+    *
+    *   RMST6(τ) = 1e6·min(a₁, τ) + Σ_i S6(a_i)·(min(a_{i+1}, τ) −
+    *              min(a_i, τ))
+    *
+    * — S is a step function constant between event ages, so the
+    * integral is an exact sum of step areas over the age-BOUNDED
+    * grid (S6 terms already micro-rounded by KM; widths are exact
+    * integers; one lead() over the bounded grid — the documented
+    * bounded-window class; rows at or past τ contribute 0; the
+    * segment before the first grid age is survival 1). Same
+    * construction parameters as kaplanMeier. Returns one row
+    * (tau, n_entities, rmst6 — micro age-units).
+    */
+  def restrictedMeanSurvival(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      ageUnitDays: Int,
+      censorDays: Int,
+      tau: Long): DataFrame = {
+    require(tau >= 1L, "tau must be >= 1 age unit")
+    val km = kaplanMeier(df, idCol, dayCol, ageUnitDays, censorDays)
+    val w = Window.orderBy(col("age"))
+    km
+      .withColumn("__next", lead(col("age"), 1).over(w))
+      .agg(
+        max(lit(tau)).as("tau"),
+        max(col("n_risk")).as("n_entities"),
+        (least(min(col("age")), lit(tau)) * lit(1000000L) +
+          coalesce(
+            sum(
+              col("s6") *
+                (least(coalesce(col("__next"), lit(tau)), lit(tau))
+                  - least(col("age"), lit(tau)))),
+            lit(0L))).as("rmst6"))
   }
 
   /** Gap-fill a per-key daily series onto the full calendar grid

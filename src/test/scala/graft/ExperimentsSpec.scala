@@ -625,6 +625,22 @@ class ExperimentsSpec extends SparkSpec {
     assert(Experiments.signTest(ties, col("pre"), col("post")).head().getLong(3) == 0L)
   }
 
+  test("poissonRateRatio: exposure-normalized rates; exact chi2; three arms fail") {
+    // A: 4 events over 2 unit-days, B: 2 over 2 -> rr = 2.0,
+    // d = 4, z2 = 1e6*16*4 div (6*2*2) = 2666666 (not significant)
+    val rows = Seq(
+      ("A", 1L, "d1"), ("A", 1L, "d1"), ("A", 1L, "d1"), ("A", 1L, "d2"),
+      ("B", 1L, "d1"), ("B", 1L, "d2")).toDF("s", "u", "d")
+    val r = Experiments.poissonRateRatio(rows, col("s"), col("u"), col("d")).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)) ==
+      (("A", "B", 4L, 2L, 2L, 2L, 2000000L, 2666666L, false)))
+    val three = Seq(("A", 1L, "d1"), ("B", 1L, "d1"), ("C", 1L, "d1")).toDF("s", "u", "d")
+    val e = intercept[Exception](
+      Experiments.poissonRateRatio(three, col("s"), col("u"), col("d")).head())
+    assert(e.getMessage.contains("exactly 2 arms"))
+  }
+
   test("quantileTreatmentEffect: order-statistic probes difference exactly; three sides fail") {
     // A {1,2,3,4}, B {2,4,6,8}, k=2: medians 2 vs 4, maxes 4 vs 8
     val rows = Seq(

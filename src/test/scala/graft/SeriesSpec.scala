@@ -427,6 +427,35 @@ class SeriesSpec extends SparkSpec {
       ((1L, 1333333L, 722222L, 153845L)))
   }
 
+  test("hazardRatio: per-side expected churn folds to the hand-computed MH ratio") {
+    // the logRank fixture: A lifetimes {0,1}, B {2,3}, no censoring.
+    // EA6 = 500000+333333, EB6 = 500000+666666+1e6+1e6 = 3166666
+    // hr6 = (1e6*2*3166666) div (2*833333) = 3800000
+    val rows = Seq(
+      (1L, "A", "2024-01-01"), (2L, "A", "2024-01-01"), (2L, "A", "2024-01-02"),
+      (3L, "B", "2024-01-01"), (3L, "B", "2024-01-03"),
+      (4L, "B", "2024-01-01"), (4L, "B", "2024-01-04"))
+      .toDF("id", "g", "d").withColumn("day", col("d").cast("date"))
+    val r = Series.hazardRatio(rows, "id", "day", "g", 1, 0).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (("A", "B", 2L, 2L, 833333L, 3166666L, 3800000L)))
+  }
+
+  test("restrictedMeanSurvival: step areas under the KM curve, horizon-clipped") {
+    // the kaplanMeier fixture: ages 0/1/2 with S6 = 750000/750000/375000
+    def d(day: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, day))
+    val ev = Seq(
+      (1L, d(5)), (2L, d(8)), (2L, d(9)), (3L, d(3)), (3L, d(5)),
+      (4L, d(8)), (4L, d(10))).toDF("id", "day")
+    // tau=2: 750000*(1-0) + 750000*(2-1) = 1500000
+    val r2 = Series.restrictedMeanSurvival(ev, "id", "day", 1, 2, 2L).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((2L, 4L, 1500000L)))
+    // tau=5: + 375000*(5-2) = 2625000 (last step extends to tau)
+    val r5 = Series.restrictedMeanSurvival(ev, "id", "day", 1, 2, 5L).head()
+    assert(r5.getLong(2) == 2625000L)
+  }
+
   test("logRank: three groups and a two-group entity both fail fast") {
     import graft.operators.Series
     def chain(t: Throwable): String =
