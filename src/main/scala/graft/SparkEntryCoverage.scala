@@ -348,6 +348,62 @@ object SparkEntryCoverage {
         |       st[5] > 20000000 AS alarm
         |FROM f ORDER BY grp""".stripMargin
 
+  /** w_logrank / st_logrank shared oracle: a per-entity lifetime is
+    * (min day, max day) — both mergeable — so the streaming monitor's
+    * min/max-merged partials feed the identical test; one SQL is the
+    * truth for both paths (events lifetimes, 3-day ages, 5-day
+    * censor horizon, parity groups).
+    */
+  private[graft] lazy val eventsLogRankOracleSql: String =
+    """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |    min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |sides AS (SELECT min(g) AS side_a, max(g) AS side_b FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 3 AS age,
+        |         (datediff('day', l, cmax) < 5) AS cens,
+        |         (g = (SELECT side_a FROM sides)) AS isa
+        |       FROM u, cm),
+        |ag AS (SELECT age,
+        |    CAST(SUM(CASE WHEN NOT cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN NOT cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS db,
+        |    CAST(SUM(CASE WHEN cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lv GROUP BY 1),
+        |g2 AS (SELECT age, da, db, ca, cb,
+        |    CAST(SUM(da + ca) OVER (ORDER BY age DESC) AS BIGINT) AS na,
+        |    CAST(SUM(db + cb) OVER (ORDER BY age DESC) AS BIGINT) AS nb
+        |  FROM ag),
+        |tt AS (SELECT da, db, ca, cb, na, nb,
+        |    CAST((CAST(1000000 AS HUGEINT) * (da + db) * na) // (na + nb) AS BIGINT)
+        |      AS e6,
+        |    CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * (da + db) * na * nb
+        |               * (na + nb - da - db))
+        |              // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+        |              AS BIGINT) END AS v6
+        |  FROM g2),
+        |f AS (SELECT
+        |    (SELECT side_a FROM sides) AS side_a,
+        |    (SELECT side_b FROM sides) AS side_b,
+        |    CAST(SUM(da + ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(db + cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(da) AS BIGINT) AS o_a,
+        |    CAST(SUM(e6) AS BIGINT) AS e6,
+        |    CAST(SUM(v6) AS BIGINT) AS v6
+        |  FROM tt)
+        |SELECT side_a, side_b, n_a, n_b, o_a, e6, v6,
+        |  CASE WHEN v6 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |             * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 AS BIGINT)
+        |  END AS z2_6,
+        |  CASE WHEN v6 <= 0 THEN FALSE
+        |  ELSE ((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |        * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 >= 3841459
+        |  END AS significant
+        |FROM f""".stripMargin
+
   /** a_roc_auc / st_roc_auc shared oracle: the streaming monitor
     * merges partial per-score count grids and re-runs the same rank
     * chassis, so one SQL is the truth for both paths.
@@ -5503,6 +5559,36 @@ object SparkEntryCoverage {
         "par",
         30,
         365)
+    },
+    // Events-based log-rank (Series.logRank on activity lifetimes):
+    // the batch half of the st_logrank streaming pair — 3-day ages,
+    // 5-day censor horizon, parity groups; one shared oracle.
+    "w_logrank" -> { (s, dir) =>
+      Series.logRank(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(
+            col("user_id"),
+            to_date(col("ts")).as("day"),
+            when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")).as("par")),
+        "user_id",
+        "day",
+        "par",
+        3,
+        5)
+    },
+    // Greenwood variance band (Series.kaplanMeierGreenwood): the
+    // uncertainty behind a_survival_km's point curve — per-age pico
+    // terms rounded once then exactly summed, S^2-scaled.
+    "a_km_greenwood" -> { (s, dir) =>
+      Series
+        .kaplanMeierGreenwood(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate")),
+          "o_custkey",
+          "o_orderdate",
+          30,
+          365)
+        .orderBy(col("age"))
     },
     // Mantel-Haenszel hazard ratio (Series.hazardRatio): the effect
     // size behind a_logrank's verdict — observed-over-expected churn
@@ -10726,6 +10812,37 @@ object SparkEntryCoverage {
         |  CAST(SUM((1000000 * d) // n) OVER (ORDER BY age
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h6
         |FROM g ORDER BY age""".stripMargin,
+    "w_logrank" -> eventsLogRankOracleSql,
+    "a_km_greenwood" ->
+      """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens FROM u, cm),
+        |ag AS (SELECT age, CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c FROM lv GROUP BY 1),
+        |g AS (SELECT age, d, c, CAST(sum(d + c) OVER (ORDER BY age DESC) AS BIGINT) AS n,
+        |        row_number() OVER (ORDER BY age) AS i FROM ag),
+        |km AS (
+        |  SELECT i, CAST((1000000 * (n - d)) // n AS BIGINT) AS s6 FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.i, CAST((km.s6 * (g.n - g.d)) // g.n AS BIGINT)
+        |  FROM km JOIN g ON g.i = km.i + 1),
+        |kj AS (SELECT g.age, g.n, g.d, g.c, km.s6 FROM g JOIN km USING (i)),
+        |gw AS (SELECT age, n, d, c, s6,
+        |    CASE WHEN n - d <= 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000000000 AS HUGEINT) * d)
+        |              // (CAST(n AS HUGEINT) * (n - d)) AS BIGINT) END AS g12
+        |  FROM kj),
+        |cg AS (SELECT age, n, d, c, s6,
+        |    CAST(SUM(g12) OVER (ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gsum
+        |  FROM gw)
+        |SELECT CAST(age AS BIGINT) AS age, n AS n_risk, d AS n_churn, c AS n_censored,
+        |  s6,
+        |  CAST((CAST(s6 AS HUGEINT) * s6 * gsum)
+        |       // CAST(1000000000000 AS HUGEINT) AS BIGINT) AS gvar12
+        |FROM cg ORDER BY age""".stripMargin,
     "a_rmst" ->
       """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
         |  FROM orders GROUP BY 1),

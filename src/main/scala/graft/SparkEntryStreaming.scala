@@ -777,6 +777,38 @@ object SparkEntryStreaming {
           20000000L)
         .orderBy(col("grp"))
     },
+    // Streaming log-rank monitor — a per-entity LIFETIME is
+    // (min day, max day), and min/max are mergeable: micro-batches
+    // append partial per-entity (first, last) grids, the monitor
+    // min/max-merges and re-runs the two-group test over the merged
+    // lifetimes (fed back as two rows per entity) — bit-equal to the
+    // batch w_logrank under the shared oracle. Live cohort-survival
+    // watching with zero history re-scans.
+    "st_logrank" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/lrgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      def partials(d: DataFrame) =
+        d.filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(
+            col("user_id").as("u"),
+            when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")).as("g"))
+          .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      partials(ev.filter(lit(false))).write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          partials(batch).write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.parquet(cPath)
+        .groupBy(col("u"), col("g"))
+        .agg(min(col("f")).as("f"), max(col("l")).as("l"))
+      val pts = merged.select(col("u"), col("g"), col("f").as("day"))
+        .unionByName(merged.select(col("u"), col("g"), col("l").as("day")))
+      graft.operators.Series.logRank(pts, "u", "day", "g", 3, 5)
+    },
     // Streaming ROC-AUC monitor — the per-distinct-score count grid
     // (v, t, np_v) is a SUFFICIENT STATISTIC (counts linear, partial
     // grids SUM-merge): micro-batches append partial grids, the
@@ -1252,6 +1284,9 @@ object SparkEntryStreaming {
     // per-score count-grid merge-invariance: the streamed AUC must
     // equal the one-shot batch readout
     "st_roc_auc" -> SparkEntryCoverage.rocAucOracleSql,
+    // per-entity lifetime (min/max) merge-invariance: the streamed
+    // survival comparison must equal the one-shot batch readout
+    "st_logrank" -> SparkEntryCoverage.eventsLogRankOracleSql,
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),

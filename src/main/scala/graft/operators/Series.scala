@@ -904,6 +904,55 @@ object Series {
         (col("z2_6") >= 3841459L).as("significant"))
   }
 
+  /** Greenwood variance of the Kaplan–Meier curve (Greenwood 1926) —
+    * the uncertainty band every published survival curve carries:
+    * Var(S(t)) = S(t)²·Σ_{a≤t} d/(n(n−d)). Where [[kaplanMeier]]
+    * gives the point estimate, this says how much at-risk evidence
+    * backs each step (late ages with tiny risk sets get honest wide
+    * variance). Emitted as the pico-scaled variance (callers apply
+    * their own z·sqrt — the no-runtime-sqrt rule).
+    *
+    * Exactness: per-age terms round ONCE to pico units
+    * (g12 = 1e12·d div (n·(n−d)), truncating, DECIMAL for the n²
+    * product; d = n degenerates the term to the n−d = 0 guard → the
+    * curve is dead, variance 0 by convention), an exact ascending
+    * running sum over the age-bounded grid, then
+    * gvar12 = (S6²·Σg12) div 1e12 — one more truncating division of
+    * DECIMAL cross-products. Returns the kaplanMeier columns plus
+    * gvar12.
+    */
+  def kaplanMeierGreenwood(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    val km = kaplanMeier(df, idCol, dayCol, ageUnitDays, censorDays)
+    val wAsc = Window
+      .orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km
+      .withColumn(
+        "__g12",
+        expr(
+          """CASE WHEN n_risk - n_churn <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000000000 AS DECIMAL(38,0)) * n_churn)
+            |  div (CAST(n_risk AS DECIMAL(38,0)) * (n_risk - n_churn))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn("__gsum", sum(col("__g12")).over(wAsc))
+      .withColumn(
+        "gvar12",
+        expr(
+          """CAST(
+            |  (CAST(s6 AS DECIMAL(38,0)) * s6 * __gsum)
+            |  div CAST(1000000000000 AS DECIMAL(38,0))
+            |AS BIGINT)""".stripMargin))
+      .select(
+        col("age"), col("n_risk"), col("n_churn"), col("n_censored"),
+        col("s6"), col("gvar12"))
+  }
+
   /** Mantel–Haenszel hazard ratio off the [[logRank]] grid — the
     * EFFECT SIZE the log-rank test is about (the test says the
     * curves differ; this says by HOW MUCH, as a constant relative

@@ -427,6 +427,22 @@ class SeriesSpec extends SparkSpec {
       ((1L, 1333333L, 722222L, 153845L)))
   }
 
+  test("kaplanMeierGreenwood: per-age pico terms accumulate; zero-churn age adds nothing") {
+    // KM fixture ages 0/1/2, (n,d) = (4,1),(3,0),(2,1), S6 = 750000/750000/375000
+    // g12 terms: 1e12/(4*3), 0, 1e12/(2*1); gvar12 via S^2 * cumsum
+    def d(day: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, day))
+    val ev = Seq(
+      (1L, d(5)), (2L, d(8)), (2L, d(9)), (3L, d(3)), (3L, d(5)),
+      (4L, d(8)), (4L, d(10))).toDF("id", "day")
+    val got = Series.kaplanMeierGreenwood(ev, "id", "day", 1, 2)
+      .orderBy(col("age")).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 750000L, 46874999999L),
+      (1L, 750000L, 46874999999L),
+      (2L, 375000L, 82031249999L)))
+  }
+
   test("hazardRatio: per-side expected churn folds to the hand-computed MH ratio") {
     // the logRank fixture: A lifetimes {0,1}, B {2,3}, no censoring.
     // EA6 = 500000+333333, EB6 = 500000+666666+1e6+1e6 = 3166666
