@@ -130,6 +130,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a_kendall_tau: every window in the concordance plan is PARTITIONED") {
+    // kendallTauB computes 2-D dominance counts via two prefix scans,
+    // each partitioned by the OPPOSITE axis — a global Window.orderBy
+    // here would re-create the r8 single-task funnel on the dense grid.
+    val p = plan("a_kendall_tau")
+    // every Window node must carry a partition spec: Spark prints
+    // unpartitioned windows as "Window [..], [ord..]" with NO
+    // partition clause between the two bracket groups; partitioned
+    // ones print three bracket groups. Assert by counting groups on
+    // each Window line.
+    val windows = p.linesIterator
+      .filter(_.replaceAll("^[\\s+*:()\\-0-9]*", "").startsWith("Window"))
+      .toSeq
+    assert(windows.nonEmpty, s"expected windows in the tau plan:\n$p")
+    windows.foreach { w =>
+      val groups = "\\[".r.findAllIn(w).length
+      assert(groups >= 3, s"unpartitioned Window in a_kendall_tau: $w")
+    }
+  }
+
+  test("a_qte / a_lorenz: order statistics come from the rank chassis, never a Window") {
+    for (name <- Seq("a_qte", "a_lorenz")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name still plans a Window:\n$p")
+    }
+  }
+
   test("t_top_terms: rank window runs over the counts table, after the hash agg") {
     val p = plan("t_top_terms")
     // the token stream must collapse via HashAggregate BEFORE any
