@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Checks, Dedup, Graph, TextAnalysis}
+import graft.operators.{Checks, Dedup, Evaluation, Experiments, Graph, TextAnalysis}
 import graft.sources.Io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -138,6 +138,30 @@ object ScaleBench {
       })
   }
 
+  /** events ×m: copy i offsets user_id by i·1e7 and keeps event_type/
+    * ts/value verbatim — rows and users scale with m while the VALUE
+    * DOMAIN (distinct cent values, days, score grids) stays constant,
+    * which is exactly the regime the rank/grid chassis (globalCumSum
+    * count tables, kendall dense grids, calibration bins) claims to
+    * be bounded by: the honest expectation is wall growth dominated
+    * by the one row-linear aggregate/sort, with the grid-side work
+    * flat.
+    */
+  private def eventsX(spark: SparkSession, base: String, m: Int): DataFrame = {
+    val src = Engine.normalizeEventTs(spark.read.parquet(s"$base/events.parquet"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+    amplifiedTable(
+      spark,
+      s"/tmp/graft_scale/${slug(base)}_events_x$m",
+      (0 until m).map { i =>
+        src.select(
+          (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
+          col("event_type"),
+          col("ts"),
+          col("value"))
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,3,10")
@@ -259,6 +283,52 @@ object ScaleBench {
         }
         parts += f""""ivf_build":{"sec":$ibSec%.2f,"rows":$ib}"""
         parts += f""""ivf_topk":{"sec":$iqSec%.2f,"rows":$iq}"""
+      }
+
+      if (on("rankstats")) {
+        // the evaluation/rank-chassis wave (T185+): score-domain-
+        // bounded grids under row growth — AUC's distinct-score count
+        // table, kendall's dense 2-D grid (constant cells, growing
+        // counts), QTE's per-arm distributed order statistics, and
+        // the gains table's global rank
+        val ev = eventsX(spark, base, m)
+        val evFiltered = ev.filter(col("event_type").isNotNull && col("value").isNotNull)
+        reset(spark)
+        val (ra, raSec) = timed(
+          Evaluation.rocAuc(
+            evFiltered,
+            col("event_type") === "purchase",
+            round(col("value") * 100.0, 0).cast("long")).count())
+        parts += f""""roc_auc":{"sec":$raSec%.2f,"rows":$ra}"""
+        reset(spark)
+        val (kt, ktSec) = timed(
+          Checks.kendallTauB(
+            ev.filter(col("value").isNotNull && col("ts").isNotNull),
+            expr("CAST(round(value * 100) AS BIGINT) div 1000"),
+            expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")).count())
+        parts += f""""kendall_tau":{"sec":$ktSec%.2f,"rows":$kt}"""
+        reset(spark)
+        val (qt, qtSec) = timed(
+          Experiments.quantileTreatmentEffect(
+            ev.filter(col("user_id").isNotNull && col("value").isNotNull),
+            when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+            round(col("value") * 100.0, 0).cast("long"),
+            10).count())
+        parts += f""""qte":{"sec":$qtSec%.2f,"rows":$qt}"""
+        reset(spark)
+        val (gn, gnSec) = timed {
+          val per = ev
+            .filter(col("user_id").isNotNull && col("value").isNotNull
+              && col("event_type").isNotNull)
+            .groupBy(col("user_id"))
+            .agg(
+              sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+              max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buyer"))
+          Evaluation
+            .gainsTable(per, col("buyer") === 1L, col("cents"), col("user_id"), 10)
+            .count()
+        }
+        parts += f""""gains":{"sec":$gnSec%.2f,"rows":$gn}"""
       }
 
       reset(spark)
