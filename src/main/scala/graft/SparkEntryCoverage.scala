@@ -351,8 +351,9 @@ object SparkEntryCoverage {
   /** w_logrank / st_logrank shared oracle: a per-entity lifetime is
     * (min day, max day) — both mergeable — so the streaming monitor's
     * min/max-merged partials feed the identical test; one SQL is the
-    * truth for both paths (events lifetimes, 3-day ages, 5-day
-    * censor horizon, parity groups).
+    * truth for both paths (events lifetimes, 3-day ages, 1-day
+    * censor horizon — the corpus ends abruptly, so only a tight
+    * horizon leaves churn to test — parity groups).
     */
   private[graft] lazy val eventsLogRankOracleSql: String =
     """WITH u AS (SELECT user_id,
@@ -362,7 +363,7 @@ object SparkEntryCoverage {
         |cm AS (SELECT max(l) AS cmax FROM u),
         |sides AS (SELECT min(g) AS side_a, max(g) AS side_b FROM u),
         |lv AS (SELECT datediff('day', f, l) // 3 AS age,
-        |         (datediff('day', l, cmax) < 5) AS cens,
+        |         (datediff('day', l, cmax) < 1) AS cens,
         |         (g = (SELECT side_a FROM sides)) AS isa
         |       FROM u, cm),
         |ag AS (SELECT age,
@@ -5562,7 +5563,9 @@ object SparkEntryCoverage {
     },
     // Events-based log-rank (Series.logRank on activity lifetimes):
     // the batch half of the st_logrank streaming pair — 3-day ages,
-    // 5-day censor horizon, parity groups; one shared oracle.
+    // 1-day censor horizon (the events corpus ends abruptly, so only
+    // a tight horizon leaves any churn to test), parity groups; one
+    // shared oracle.
     "w_logrank" -> { (s, dir) =>
       Series.logRank(
         t(s, dir, "events")
@@ -5575,7 +5578,7 @@ object SparkEntryCoverage {
         "day",
         "par",
         3,
-        5)
+        1)
     },
     // Greenwood variance band (Series.kaplanMeierGreenwood): the
     // uncertainty behind a_survival_km's point curve — per-age pico
@@ -5589,6 +5592,44 @@ object SparkEntryCoverage {
           30,
           365)
         .orderBy(col("age"))
+    },
+    // Stratified log-rank (Series.stratifiedLogRank): the a_logrank
+    // question with a per-customer stratum held fixed — per-(stratum,
+    // age) hypergeometric cells summed; cohort-mix confounding can't
+    // fake or mask the arm effect.
+    "a_strat_logrank" -> { (s, dir) =>
+      Series.stratifiedLogRank(
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderdate"),
+            when(col("o_custkey") % 2 === 0, lit("A")).otherwise(lit("B")).as("par"),
+            concat(lit("s"), (col("o_custkey") % 3).cast("string")).as("st")),
+        "o_custkey",
+        "o_orderdate",
+        "par",
+        "st",
+        30,
+        365)
+    },
+    // Cumulative incidence under competing risks (Series
+    // .cumulativeIncidence): WHICH event type terminates each user's
+    // activity — per-cause churn decomposed against the all-cause KM
+    // (the 1-KM-per-cause bias avoided); 3-day ages, 1-day censor
+    // (the corpus ends abruptly — a wider horizon censors everyone).
+    "a_cif" -> { (s, dir) =>
+      Series
+        .cumulativeIncidence(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("ts").isNotNull
+              && col("event_type").isNotNull)
+            .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type")),
+          "user_id",
+          "day",
+          "event_type",
+          3,
+          1)
+        .orderBy(col("cause"), col("age"))
     },
     // Mantel-Haenszel hazard ratio (Series.hazardRatio): the effect
     // size behind a_logrank's verdict — observed-over-expected churn
@@ -10813,6 +10854,91 @@ object SparkEntryCoverage {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h6
         |FROM g ORDER BY age""".stripMargin,
     "w_logrank" -> eventsLogRankOracleSql,
+    "a_strat_logrank" ->
+      """WITH u AS (SELECT o_custkey,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |    's' || CAST(o_custkey % 3 AS VARCHAR) AS st,
+        |    min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1, 2, 3),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |sides AS (SELECT min(g) AS side_a, max(g) AS side_b FROM u),
+        |lv AS (SELECT st, datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens,
+        |         (g = (SELECT side_a FROM sides)) AS isa
+        |       FROM u, cm),
+        |ag AS (SELECT st, age,
+        |    CAST(SUM(CASE WHEN NOT cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN NOT cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS db,
+        |    CAST(SUM(CASE WHEN cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lv GROUP BY 1, 2),
+        |g2 AS (SELECT st, age, da, db, ca, cb,
+        |    CAST(SUM(da + ca) OVER (PARTITION BY st ORDER BY age DESC) AS BIGINT) AS na,
+        |    CAST(SUM(db + cb) OVER (PARTITION BY st ORDER BY age DESC) AS BIGINT) AS nb
+        |  FROM ag),
+        |tt AS (SELECT st, da, db, ca, cb, na, nb,
+        |    CAST((CAST(1000000 AS HUGEINT) * (da + db) * na) // (na + nb) AS BIGINT)
+        |      AS e6,
+        |    CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * (da + db) * na * nb
+        |               * (na + nb - da - db))
+        |              // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+        |              AS BIGINT) END AS v6
+        |  FROM g2),
+        |f AS (SELECT
+        |    (SELECT side_a FROM sides) AS side_a,
+        |    (SELECT side_b FROM sides) AS side_b,
+        |    CAST(COUNT(DISTINCT st) AS BIGINT) AS k_strata,
+        |    CAST(SUM(da + ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(db + cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(da) AS BIGINT) AS o_a,
+        |    CAST(SUM(e6) AS BIGINT) AS e6,
+        |    CAST(SUM(v6) AS BIGINT) AS v6
+        |  FROM tt)
+        |SELECT side_a, side_b, k_strata, n_a, n_b, o_a, e6, v6,
+        |  CASE WHEN v6 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |             * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 AS BIGINT)
+        |  END AS z2_6,
+        |  CASE WHEN v6 <= 0 THEN FALSE
+        |  ELSE ((CAST(1000000 AS HUGEINT) * o_a - e6)
+        |        * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 >= 3841459
+        |  END AS significant
+        |FROM f""".stripMargin,
+    "a_cif" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l,
+        |    split_part(max(strftime(CAST(ts AS DATE), '%Y-%m-%d')
+        |                   || '|' || event_type), '|', 2) AS cause
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 3 AS age,
+        |         (datediff('day', l, cmax) < 1) AS cens, cause FROM u, cm),
+        |ag AS (SELECT age, CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |       FROM lv GROUP BY 1),
+        |g AS (SELECT age, d, c, CAST(sum(d + c) OVER (ORDER BY age DESC) AS BIGINT) AS n,
+        |        row_number() OVER (ORDER BY age) AS i FROM ag),
+        |km AS (
+        |  SELECT i, CAST((1000000 * (n - d)) // n AS BIGINT) AS s6 FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.i, CAST((km.s6 * (g.n - g.d)) // g.n AS BIGINT)
+        |  FROM km JOIN g ON g.i = km.i + 1),
+        |kj AS (SELECT g.age, g.n, km.s6,
+        |         COALESCE(lag(km.s6) OVER (ORDER BY g.age), 1000000) AS s6prev
+        |       FROM g JOIN km USING (i)),
+        |ca AS (SELECT cause, age, CAST(COUNT(*) AS BIGINT) AS d_c
+        |       FROM lv WHERE NOT cens GROUP BY 1, 2),
+        |inc AS (SELECT ca.cause, ca.age, kj.n, ca.d_c,
+        |          CAST((kj.s6prev * ((1000000 * ca.d_c) // kj.n)) // 1000000 AS BIGINT)
+        |            AS inc6
+        |        FROM ca JOIN kj ON ca.age = kj.age)
+        |SELECT cause, age, n AS n_risk, d_c,
+        |  CAST(SUM(inc6) OVER (PARTITION BY cause ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cif6
+        |FROM inc ORDER BY cause, age""".stripMargin,
     "a_km_greenwood" ->
       """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
         |  FROM orders GROUP BY 1),

@@ -807,7 +807,7 @@ object SparkEntryStreaming {
         .agg(min(col("f")).as("f"), max(col("l")).as("l"))
       val pts = merged.select(col("u"), col("g"), col("f").as("day"))
         .unionByName(merged.select(col("u"), col("g"), col("l").as("day")))
-      graft.operators.Series.logRank(pts, "u", "day", "g", 3, 5)
+      graft.operators.Series.logRank(pts, "u", "day", "g", 3, 1)
     },
     // Streaming ROC-AUC monitor — the per-distinct-score count grid
     // (v, t, np_v) is a SUFFICIENT STATISTIC (counts linear, partial

@@ -904,6 +904,227 @@ object Series {
         (col("z2_6") >= 3841459L).as("significant"))
   }
 
+  /** Stratified log-rank test (the Mantel 1966 test summed over
+    * strata — [[Experiments.mantelHaenszel]]'s posture applied to
+    * survival): does the treatment's survival effect hold once a
+    * confounder is fixed, by summing each stratum's per-age
+    * hypergeometric evidence? A cohort mix shift (old strata churn
+    * fast AND skew toward one arm) fools the plain [[logRank]]; the
+    * stratified form compares arms only WITHIN strata.
+    *
+    * Exactness: the logRank per-term discipline per (stratum, age)
+    * cell — e6/v6 micro-round once per cell off DECIMAL(38,0)
+    * cross-products, then exact BIGINT sums over every cell;
+    * z2_6 = (1e6·O_A − Σe6)² div Σv6 is one DECIMAL division.
+    * At-risk counts come from a descending running sum PARTITIONED
+    * BY STRATUM (each partition is one stratum's age-bounded grid —
+    * strictly better-shaped than the unpartitioned survival-grid
+    * window). Same fail-fast contracts as logRank (exactly 2 groups
+    * GLOBALLY; one group per entity), plus one entity = one stratum
+    * (an id in two strata is the same caller bug). Returns one row
+    * (side_a, side_b, k_strata, n_a, n_b, o_a, e6, v6, z2_6,
+    * significant).
+    */
+  def stratifiedLogRank(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      groupCol: String,
+      stratumCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    require(ageUnitDays >= 1, "ageUnitDays must be >= 1")
+    require(censorDays >= 0, "censorDays must be >= 0")
+    val perUser = df
+      .filter(col(idCol).isNotNull && col(dayCol).isNotNull
+        && col(groupCol).isNotNull && col(stratumCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        min(col(dayCol)).as("__f"),
+        max(col(dayCol)).as("__l"),
+        min(col(groupCol)).as("__g"),
+        max(col(groupCol)).as("__g2"),
+        min(col(stratumCol)).as("__st"),
+        max(col(stratumCol)).as("__st2"))
+      .filter(
+        assert_true(
+          col("__g") === col("__g2") && col("__st") === col("__st2"),
+          concat(
+            lit("stratifiedLogRank: entity in two groups or strata: "),
+            col(idCol).cast("string"))).isNull)
+    val clock = broadcast(
+      perUser.agg(
+        max(col("__l")).as("__cmax"),
+        count_distinct(col("__g")).as("__ng"),
+        min(col("__g")).as("side_a"),
+        max(col("__g")).as("side_b")))
+    val lives = perUser
+      .crossJoin(clock)
+      .filter(
+        assert_true(
+          col("__ng") === 2L,
+          concat(
+            lit("stratifiedLogRank: exactly 2 groups required, got "),
+            col("__ng").cast("string"))).isNull)
+      .select(
+        col("__st").as("st"),
+        expr(s"CAST(datediff(__l, __f) div $ageUnitDays AS BIGINT)").as("age"),
+        (datediff(col("__cmax"), col("__l")) < censorDays).as("__cens"),
+        (col("__g") === col("side_a")).as("__isa"),
+        col("side_a"),
+        col("side_b"))
+    val ages = lives
+      .groupBy(col("st"), col("age"), col("side_a"), col("side_b"))
+      .agg(
+        sum(when(!col("__cens") && col("__isa"), 1L).otherwise(0L)).as("da"),
+        sum(when(!col("__cens") && !col("__isa"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("__cens") && col("__isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__cens") && !col("__isa"), 1L).otherwise(0L)).as("cb"))
+    val wDesc = Window
+      .partitionBy(col("st"))
+      .orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ages
+      .withColumn("na", sum(col("da") + col("ca")).over(wDesc))
+      .withColumn("nb", sum(col("db") + col("cb")).over(wDesc))
+      .withColumn(
+        "__e6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (da + db) * na)
+            |div (na + nb) AS BIGINT)""".stripMargin))
+      .withColumn(
+        "__v6",
+        expr(
+          """CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * (da + db) * na * nb
+            |   * (na + nb - da - db))
+            |  div (CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb - 1))
+            |AS BIGINT) END""".stripMargin))
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(
+        count_distinct(col("st")).as("k_strata"),
+        sum(col("da") + col("ca")).as("n_a"),
+        sum(col("db") + col("cb")).as("n_b"),
+        sum(col("da")).as("o_a"),
+        sum(col("__e6")).as("e6"),
+        sum(col("__v6")).as("v6"))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN v6 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  ((CAST(1000000 AS DECIMAL(38,0)) * o_a - e6)
+            |   * (CAST(1000000 AS DECIMAL(38,0)) * o_a - e6))
+            |  div CAST(v6 AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin))
+      .select(
+        col("side_a"), col("side_b"), col("k_strata"), col("n_a"), col("n_b"),
+        col("o_a"), col("e6"), col("v6"), col("z2_6"),
+        (col("z2_6") >= 3841459L).as("significant"))
+  }
+
+  /** Cumulative incidence function under competing risks (Aalen &
+    * Johansen 1978; Kalbfleisch & Prentice's CIF) — WHICH way do
+    * entities leave, when "churn" has causes: each entity's terminal
+    * cause is its LAST event's type, and naively running per-cause
+    * KM treats competitors as censoring, which overstates every
+    * cause (the classic 1−KM bias). The CIF is the honest
+    * decomposition:
+    *
+    *   CIF_c(t) = Σ_{a ≤ t} S(a−) · d_c(a)/n(a),   Σ_c CIF_c(∞) +
+    *   censored mass = 1
+    *
+    * with S the ALL-CAUSE Kaplan–Meier and d_c the cause-c churn.
+    *
+    *       Exactness: S(a−) is the lagged all-cause KM step (already
+    * micro-rounded by the [[kaplanMeier]] fold; the age BEFORE a is
+    * the previous grid row — one lag over the age-bounded grid);
+    * each increment rounds once more —
+    * inc6 = (S6prev·(1e6·d_c div n)) div 1e6, the documented
+    * two-stage convention — then an exact running sum PARTITIONED BY
+    * CAUSE over the bounded grid. Returns (cause, age, n_risk, d_c,
+    * cif6), cif6 non-decreasing per cause.
+    */
+  def cumulativeIncidence(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      causeCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame = {
+    require(ageUnitDays >= 1, "ageUnitDays must be >= 1")
+    require(censorDays >= 0, "censorDays must be >= 0")
+    // per-entity lifetime + terminal cause = the LAST event's type
+    // (max(ts) struct argmax — deterministic: ties on the same last
+    // day break by the cause string itself)
+    val perUser = df
+      .filter(col(idCol).isNotNull && col(dayCol).isNotNull && col(causeCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        min(col(dayCol)).as("__f"),
+        max(col(dayCol)).as("__l"),
+        max(struct(col(dayCol).as("d"), col(causeCol).as("c"))).as("__last"))
+    val clock = broadcast(perUser.agg(max(col("__l")).as("__cmax")))
+    val lives = perUser
+      .crossJoin(clock)
+      .select(
+        expr(s"CAST(datediff(__l, __f) div $ageUnitDays AS BIGINT)").as("age"),
+        (datediff(col("__cmax"), col("__l")) < censorDays).as("__cens"),
+        col("__last.c").as("cause"))
+    // all-cause grid + KM fold (the kaplanMeier construction inline —
+    // the grid also needs per-cause churn, so the shared helper's
+    // 2-group shape does not fit)
+    val ages = lives
+      .groupBy(col("age"))
+      .agg(
+        sum(when(!col("__cens"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("c"))
+    val wDesc = Window
+      .orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = ages.withColumn("n", sum(col("d") + col("c")).over(wDesc))
+    val arr = broadcast(
+      grid.agg(
+        array_sort(collect_list(struct(col("age"), col("d"), col("n"))))
+          .as("__arr")))
+    val km = grid
+      .crossJoin(arr)
+      .withColumn(
+        "s6",
+        expr(
+          "aggregate(filter(__arr, x -> x.age <= age), " +
+            "CAST(1000000 AS BIGINT), " +
+            "(acc, x) -> (acc * (x.n - x.d)) div x.n)"))
+      // S(a-) = the step BEFORE this age: fold over strictly-smaller
+      // ages (1e6 before the first event age)
+      .withColumn(
+        "s6prev",
+        expr(
+          "aggregate(filter(__arr, x -> x.age < age), " +
+            "CAST(1000000 AS BIGINT), " +
+            "(acc, x) -> (acc * (x.n - x.d)) div x.n)"))
+      .select(col("age"), col("n"), col("s6prev"))
+    val causeAges = lives
+      .filter(!col("__cens"))
+      .groupBy(col("cause"), col("age"))
+      .agg(count(lit(1)).as("d_c"))
+    val wAsc = Window
+      .partitionBy(col("cause"))
+      .orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    causeAges
+      .join(km, Seq("age"))
+      .withColumn(
+        "__inc6",
+        expr(
+          """CAST((s6prev * CAST(1000000 * d_c div n AS BIGINT))
+            |div 1000000 AS BIGINT)""".stripMargin))
+      .withColumn("cif6", sum(col("__inc6")).over(wAsc))
+      .select(
+        col("cause"), col("age"), col("n").as("n_risk"), col("d_c"), col("cif6"))
+  }
+
   /** Greenwood variance of the Kaplan–Meier curve (Greenwood 1926) —
     * the uncertainty band every published survival curve carries:
     * Var(S(t)) = S(t)²·Σ_{a≤t} d/(n(n−d)). Where [[kaplanMeier]]

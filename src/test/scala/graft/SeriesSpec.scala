@@ -472,6 +472,55 @@ class SeriesSpec extends SparkSpec {
     assert(r5.getLong(2) == 2625000L)
   }
 
+  test("stratifiedLogRank: one stratum equals logRank; two identical strata double the evidence") {
+    val one = Seq(
+      (1L, "A", "s1", "2024-01-01"), (2L, "A", "s1", "2024-01-01"), (2L, "A", "s1", "2024-01-02"),
+      (3L, "B", "s1", "2024-01-01"), (3L, "B", "s1", "2024-01-03"),
+      (4L, "B", "s1", "2024-01-01"), (4L, "B", "s1", "2024-01-04"))
+      .toDF("id", "g", "st", "d").withColumn("day", col("d").cast("date"))
+    val r1 = Series.stratifiedLogRank(one, "id", "day", "g", "st", 1, 0).head()
+    // same evidence as the logRank fixture: z2_6 = 2882355
+    assert((r1.getLong(2), r1.getLong(5), r1.getLong(6), r1.getLong(7), r1.getLong(8)) ==
+      ((1L, 2L, 833333L, 472222L, 2882355L)))
+    // a second isomorphic stratum doubles O/E/V: z2 = (4e6-1666666)^2 div 944444
+    val two = one.unionByName(
+      one.select((col("id") + 100L).as("id"), col("g"), lit("s2").as("st"),
+        col("d"), col("day")))
+    val r2 = Series.stratifiedLogRank(two, "id", "day", "g", "st", 1, 0).head()
+    assert((r2.getLong(2), r2.getLong(5), r2.getLong(6), r2.getLong(7), r2.getLong(8),
+      r2.getBoolean(9)) == ((2L, 4L, 1666666L, 944444L, 5764711L, true)))
+    // an entity spanning two strata is a caller bug
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val dup = Seq(
+      (1L, "A", "s1", "2024-01-01"), (1L, "A", "s2", "2024-01-02"),
+      (2L, "B", "s1", "2024-01-01"))
+      .toDF("id", "g", "st", "d").withColumn("day", col("d").cast("date"))
+    val e = intercept[Exception](
+      Series.stratifiedLogRank(dup, "id", "day", "g", "st", 1, 0).collect())
+    assert(chain(e).contains("two groups or strata"))
+  }
+
+  test("cumulativeIncidence: per-cause mass sums to the all-cause churn; last event names the cause") {
+    // e1 (age0, x), e2 (age0, y), e3 (age1, last=x), e4 (age1, x):
+    // S(0-) = 1e6, S(1-) = 500000
+    // CIF_x: 250000 at age0, 750000 at age1; CIF_y: 250000 at age0
+    val rows = Seq(
+      (1L, "x", "2024-01-01"),
+      (2L, "y", "2024-01-01"),
+      (3L, "y", "2024-01-01"), (3L, "x", "2024-01-02"),
+      (4L, "x", "2024-01-01"), (4L, "x", "2024-01-02"))
+      .toDF("id", "cause", "d").withColumn("day", col("d").cast("date"))
+    val got = Series.cumulativeIncidence(rows, "id", "day", "cause", 1, 0)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(("x", 0L)) == ((1L, 250000L)))
+    assert(got(("y", 0L)) == ((1L, 250000L)))
+    assert(got(("x", 1L)) == ((2L, 750000L)))
+    assert(got.size == 3)
+  }
+
   test("logRank: three groups and a two-group entity both fail fast") {
     import graft.operators.Series
     def chain(t: Throwable): String =
