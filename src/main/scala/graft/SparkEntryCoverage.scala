@@ -405,6 +405,46 @@ object SparkEntryCoverage {
         |  END AS significant
         |FROM f""".stripMargin
 
+  /** a_cif / st_cif shared oracle: per-entity lifetime (min/max day)
+    * and terminal cause ((day, cause) struct-max) are all mergeable,
+    * so the streaming monitor's merged partials feed the identical
+    * CIF; one SQL is the truth for both paths.
+    */
+  private[graft] lazy val cifOracleSql: String =
+    """WITH RECURSIVE u AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l,
+        |    split_part(max(strftime(CAST(ts AS DATE), '%Y-%m-%d')
+        |                   || '|' || event_type), '|', 2) AS cause
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 3 AS age,
+        |         (datediff('day', l, cmax) < 1) AS cens, cause FROM u, cm),
+        |ag AS (SELECT age, CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |       FROM lv GROUP BY 1),
+        |g AS (SELECT age, d, c, CAST(sum(d + c) OVER (ORDER BY age DESC) AS BIGINT) AS n,
+        |        row_number() OVER (ORDER BY age) AS i FROM ag),
+        |km AS (
+        |  SELECT i, CAST((1000000 * (n - d)) // n AS BIGINT) AS s6 FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.i, CAST((km.s6 * (g.n - g.d)) // g.n AS BIGINT)
+        |  FROM km JOIN g ON g.i = km.i + 1),
+        |kj AS (SELECT g.age, g.n, km.s6,
+        |         COALESCE(lag(km.s6) OVER (ORDER BY g.age), 1000000) AS s6prev
+        |       FROM g JOIN km USING (i)),
+        |ca AS (SELECT cause, age, CAST(COUNT(*) AS BIGINT) AS d_c
+        |       FROM lv WHERE NOT cens GROUP BY 1, 2),
+        |inc AS (SELECT ca.cause, ca.age, kj.n, ca.d_c,
+        |          CAST((kj.s6prev * ((1000000 * ca.d_c) // kj.n)) // 1000000 AS BIGINT)
+        |            AS inc6
+        |        FROM ca JOIN kj ON ca.age = kj.age)
+        |SELECT cause, age, n AS n_risk, d_c,
+        |  CAST(SUM(inc6) OVER (PARTITION BY cause ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cif6
+        |FROM inc ORDER BY cause, age""".stripMargin
+
   /** a_roc_auc / st_roc_auc shared oracle: the streaming monitor
     * merges partial per-score count grids and re-runs the same rank
     * chassis, so one SQL is the truth for both paths.
@@ -10905,40 +10945,7 @@ object SparkEntryCoverage {
         |        * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 >= 3841459
         |  END AS significant
         |FROM f""".stripMargin,
-    "a_cif" ->
-      """WITH RECURSIVE u AS (SELECT user_id,
-        |    min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l,
-        |    split_part(max(strftime(CAST(ts AS DATE), '%Y-%m-%d')
-        |                   || '|' || event_type), '|', 2) AS cause
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1),
-        |cm AS (SELECT max(l) AS cmax FROM u),
-        |lv AS (SELECT datediff('day', f, l) // 3 AS age,
-        |         (datediff('day', l, cmax) < 1) AS cens, cause FROM u, cm),
-        |ag AS (SELECT age, CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |         CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
-        |       FROM lv GROUP BY 1),
-        |g AS (SELECT age, d, c, CAST(sum(d + c) OVER (ORDER BY age DESC) AS BIGINT) AS n,
-        |        row_number() OVER (ORDER BY age) AS i FROM ag),
-        |km AS (
-        |  SELECT i, CAST((1000000 * (n - d)) // n AS BIGINT) AS s6 FROM g WHERE i = 1
-        |  UNION ALL
-        |  SELECT g.i, CAST((km.s6 * (g.n - g.d)) // g.n AS BIGINT)
-        |  FROM km JOIN g ON g.i = km.i + 1),
-        |kj AS (SELECT g.age, g.n, km.s6,
-        |         COALESCE(lag(km.s6) OVER (ORDER BY g.age), 1000000) AS s6prev
-        |       FROM g JOIN km USING (i)),
-        |ca AS (SELECT cause, age, CAST(COUNT(*) AS BIGINT) AS d_c
-        |       FROM lv WHERE NOT cens GROUP BY 1, 2),
-        |inc AS (SELECT ca.cause, ca.age, kj.n, ca.d_c,
-        |          CAST((kj.s6prev * ((1000000 * ca.d_c) // kj.n)) // 1000000 AS BIGINT)
-        |            AS inc6
-        |        FROM ca JOIN kj ON ca.age = kj.age)
-        |SELECT cause, age, n AS n_risk, d_c,
-        |  CAST(SUM(inc6) OVER (PARTITION BY cause ORDER BY age
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cif6
-        |FROM inc ORDER BY cause, age""".stripMargin,
+    "a_cif" -> cifOracleSql,
     "a_km_greenwood" ->
       """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
         |  FROM orders GROUP BY 1),

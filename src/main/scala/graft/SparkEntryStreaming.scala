@@ -809,6 +809,52 @@ object SparkEntryStreaming {
         .unionByName(merged.select(col("u"), col("g"), col("l").as("day")))
       graft.operators.Series.logRank(pts, "u", "day", "g", 3, 1)
     },
+    // Streaming competing-risks monitor — per-entity lifetime
+    // (min/max day) AND terminal cause ((day, cause) struct-max) are
+    // all mergeable: micro-batches append partial per-entity
+    // (first, last, last-cause) grids, the monitor merges and re-runs
+    // the cumulative-incidence decomposition — bit-equal to the batch
+    // a_cif under the shared oracle. Live which-way-are-they-leaving
+    // watching with zero history re-scans.
+    "st_cif" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/cifgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      def partials(d: DataFrame) =
+        d.filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("event_type").isNotNull)
+          .groupBy(col("user_id").as("u"))
+          .agg(
+            min(to_date(col("ts"))).as("f"),
+            max(to_date(col("ts"))).as("l"),
+            max(struct(to_date(col("ts")).as("d"), col("event_type").as("c")))
+              .as("last"))
+          .select(col("u"), col("f"), col("l"),
+            col("last.d").as("lastd"), col("last.c").as("lastc"))
+      partials(ev.filter(lit(false))).write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          partials(batch).write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.parquet(cPath)
+        .groupBy(col("u"))
+        .agg(
+          min(col("f")).as("f"),
+          max(col("l")).as("l"),
+          max(struct(col("lastd").as("d"), col("lastc").as("c"))).as("last"))
+      // two rows per entity reproduce (min, max, last) exactly under
+      // cumulativeIncidence's own per-entity aggregate
+      val pts = merged
+        .select(col("u"), col("f").as("day"), col("last.c").as("cause"))
+        .unionByName(
+          merged.select(col("u"), col("l").as("day"), col("last.c").as("cause")))
+      graft.operators.Series
+        .cumulativeIncidence(pts, "u", "day", "cause", 3, 1)
+        .orderBy(col("cause"), col("age"))
+    },
     // Streaming ROC-AUC monitor — the per-distinct-score count grid
     // (v, t, np_v) is a SUFFICIENT STATISTIC (counts linear, partial
     // grids SUM-merge): micro-batches append partial grids, the
@@ -1287,6 +1333,9 @@ object SparkEntryStreaming {
     // per-entity lifetime (min/max) merge-invariance: the streamed
     // survival comparison must equal the one-shot batch readout
     "st_logrank" -> SparkEntryCoverage.eventsLogRankOracleSql,
+    // lifetime + terminal-cause merge-invariance: the streamed CIF
+    // must equal the one-shot batch decomposition
+    "st_cif" -> SparkEntryCoverage.cifOracleSql,
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),
