@@ -5671,6 +5671,39 @@ object SparkEntryCoverage {
           1)
         .orderBy(col("cause"), col("age"))
     },
+    // Gehan-Wilcoxon weighted log-rank (Series.gehanWilcoxon): the
+    // early-difference-sensitive reading of a_logrank's comparison —
+    // at-risk-count weights on the same per-age grid; a verdict
+    // split between the two says the hazards cross.
+    "a_gehan" -> { (s, dir) =>
+      Series.gehanWilcoxon(
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderdate"),
+            when(col("o_custkey") % 2 === 0, lit("A")).otherwise(lit("B")).as("par")),
+        "o_custkey",
+        "o_orderdate",
+        "par",
+        30,
+        365)
+    },
+    // Qini curve (Evaluation.qiniCurve): a_gains re-asked causally —
+    // where did the parity "treatment" CAUSE purchases, with the
+    // control baseline subtracted at every score depth.
+    "a_qini" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull
+          && col("event_type").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buyer"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast("long"))
+      Evaluation.qiniCurve(
+        per, col("treated") === 1L, col("buyer") === 1L,
+        col("cents"), col("user_id"), 10)
+    },
     // Mantel-Haenszel hazard ratio (Series.hazardRatio): the effect
     // size behind a_logrank's verdict — observed-over-expected churn
     // ratio on the same two-group grid, per-side E6 terms
@@ -10976,6 +11009,91 @@ object SparkEntryCoverage {
         |  CAST((CAST(s6 AS HUGEINT) * s6 * gsum)
         |       // CAST(1000000000000 AS HUGEINT) AS BIGINT) AS gvar12
         |FROM cg ORDER BY age""".stripMargin,
+    "a_gehan" ->
+      """WITH u AS (SELECT o_custkey,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |    min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1, 2),
+        |cm AS (SELECT max(l) AS cmax FROM u),
+        |sides AS (SELECT min(g) AS side_a, max(g) AS side_b FROM u),
+        |lv AS (SELECT datediff('day', f, l) // 30 AS age,
+        |         (datediff('day', l, cmax) < 365) AS cens,
+        |         (g = (SELECT side_a FROM sides)) AS isa
+        |       FROM u, cm),
+        |ag AS (SELECT age,
+        |    CAST(SUM(CASE WHEN NOT cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN NOT cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS db,
+        |    CAST(SUM(CASE WHEN cens AND isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN cens AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lv GROUP BY 1),
+        |g2 AS (SELECT age, da, db, ca, cb,
+        |    CAST(SUM(da + ca) OVER (ORDER BY age DESC) AS BIGINT) AS na,
+        |    CAST(SUM(db + cb) OVER (ORDER BY age DESC) AS BIGINT) AS nb
+        |  FROM ag),
+        |tt AS (SELECT da, db, ca, cb, na, nb,
+        |    CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * (da + db) * na) // (na + nb)
+        |              AS BIGINT) END AS e6,
+        |    CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT) * (da + db) * na * nb
+        |               * (na + nb - da - db))
+        |              // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+        |              AS BIGINT) END AS v6
+        |  FROM g2),
+        |ww AS (SELECT da, db, ca, cb,
+        |    CAST(1000000 AS HUGEINT) * (na + nb) * da
+        |      - CAST(na + nb AS HUGEINT) * e6 AS num,
+        |    CAST(na + nb AS HUGEINT) * (na + nb) * v6 AS den6
+        |  FROM tt),
+        |f AS (SELECT
+        |    (SELECT side_a FROM sides) AS side_a,
+        |    (SELECT side_b FROM sides) AS side_b,
+        |    CAST(SUM(da + ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(db + cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(da) AS BIGINT) AS o_a,
+        |    SUM(num) AS num, SUM(den6) AS den6
+        |  FROM ww)
+        |SELECT side_a, side_b, n_a, n_b, o_a,
+        |  CASE WHEN den6 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((num * num) // den6 AS BIGINT) END AS z2_6,
+        |  CASE WHEN den6 <= 0 THEN FALSE
+        |  ELSE (num * num) // den6 >= 3841459 END AS significant
+        |FROM f""".stripMargin,
+    "a_qini" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS buyer,
+        |    CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS tr
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |rk AS (SELECT cents, user_id, tr, buyer,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS r
+        |  FROM per),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+        |b AS (SELECT ((r - 1) * 10) // n + 1 AS bucket, tr, buyer FROM rk, t),
+        |g AS (SELECT bucket,
+        |    CAST(SUM(tr) AS BIGINT) AS n_t,
+        |    CAST(SUM(tr * buyer) AS BIGINT) AS x_t,
+        |    CAST(SUM(1 - tr) AS BIGINT) AS n_c,
+        |    CAST(SUM((1 - tr) * buyer) AS BIGINT) AS x_c
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(SUM(n_t) OVER (ORDER BY bucket) AS BIGINT) AS cnt,
+        |    CAST(SUM(x_t) OVER (ORDER BY bucket) AS BIGINT) AS cxt,
+        |    CAST(SUM(n_c) OVER (ORDER BY bucket) AS BIGINT) AS cnc,
+        |    CAST(SUM(x_c) OVER (ORDER BY bucket) AS BIGINT) AS cxc
+        |  FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_t, x_t, n_c, x_c,
+        |  CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((1000000 * x_t) // n_t - (1000000 * x_c) // n_c AS BIGINT)
+        |  END AS uplift6,
+        |  CASE WHEN cnc = 0 THEN CAST(1000000 * cxt AS BIGINT)
+        |  ELSE CAST(CAST(1000000 AS HUGEINT) * cxt
+        |       - (CAST(1000000 AS HUGEINT) * cxc * cnt) // cnc AS BIGINT)
+        |  END AS qini6
+        |FROM c ORDER BY bucket""".stripMargin,
     "a_rmst" ->
       """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
         |  FROM orders GROUP BY 1),

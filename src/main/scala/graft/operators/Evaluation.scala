@@ -258,6 +258,73 @@ object Evaluation {
       .orderBy(col("bucket"))
   }
 
+  /** Qini curve (Radcliffe 2007) — the UPLIFT sibling of
+    * [[gainsTable]]: when units split into TREATED and CONTROL, the
+    * question is not "where are the positives" but "where did the
+    * treatment CAUSE positives" — gains credits a score for finding
+    * would-buy-anyway users; Qini subtracts the control baseline at
+    * every depth:
+    *
+    *   Q(k) = X_t(k) − X_c(k)·N_t(k)/N_c(k)   (cumulative to
+    *   bucket k; the curve a random score walks at 0)
+    *
+    * Exactness: one global (score desc, tie) rank ([[Relational
+    * .globalRank]]), k equal-population buckets, cumulative counts
+    * over the k-bounded grid; qini6 = 1e6·X_t − (1e6·X_c·N_t) div
+    * N_c is one truncating DECIMAL division per bucket (no control
+    * yet → the uncorrected 1e6·X_t, documented), and the per-bucket
+    * uplift6 is the two-rate difference off exact counts. `tieCol`
+    * totality is the determinism contract (the gainsTable rule).
+    * Returns (bucket, n_t, x_t, n_c, x_c, uplift6, qini6), k rows.
+    */
+  def qiniCurve(
+      df: DataFrame,
+      treatCol: Column,
+      outcomeCol: Column,
+      scoreCol: Column,
+      tieCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in 1..1000")
+    val in = df
+      .filter(treatCol.isNotNull && outcomeCol.isNotNull && scoreCol.isNotNull)
+      .select(
+        scoreCol.cast("long").as("__v"),
+        tieCol.as("__t"),
+        when(treatCol.cast("boolean"), 1L).otherwise(0L).as("__tr"),
+        when(outcomeCol.cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val ranked = Relational
+      .globalRank(in, Seq(col("__v").desc, col("__t")), "__rank")
+    val n = in.count()
+    val buckets = ranked
+      .withColumn("bucket", expr(s"((__rank - 1) * $k) div $n + 1"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("__tr")).as("n_t"),
+        sum(col("__tr") * col("__y")).as("x_t"),
+        sum(lit(1L) - col("__tr")).as("n_c"),
+        sum((lit(1L) - col("__tr")) * col("__y")).as("x_c"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("__cnt", sum(col("n_t")).over(w))
+      .withColumn("__cxt", sum(col("x_t")).over(w))
+      .withColumn("__cnc", sum(col("n_c")).over(w))
+      .withColumn("__cxc", sum(col("x_c")).over(w))
+      .select(
+        col("bucket"), col("n_t"), col("x_t"), col("n_c"), col("x_c"),
+        expr(
+          """CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((1000000 * x_t) div n_t - (1000000 * x_c) div n_c
+            |AS BIGINT) END""".stripMargin).as("uplift6"),
+        expr(
+          """CASE WHEN __cnc = 0 THEN CAST(1000000 * __cxt AS BIGINT)
+            |ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * __cxt
+            |  - (CAST(1000000 AS DECIMAL(38,0)) * __cxc * __cnt)
+            |    div CAST(__cnc AS DECIMAL(38,0))
+            |AS BIGINT) END""".stripMargin).as("qini6"))
+      .orderBy(col("bucket"))
+  }
+
   /** Reliability table for a micro-scaled probability score (the
     * binned calibration diagram of Guo et al., "On Calibration of
     * Modern Neural Networks", ICML 2017): equal-width bins over

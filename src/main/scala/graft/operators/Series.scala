@@ -904,6 +904,73 @@ object Series {
         (col("z2_6") >= 3841459L).as("significant"))
   }
 
+  /** Gehan–Wilcoxon weighted log-rank (Gehan 1965; Breslow 1970) —
+    * the EARLY-difference-sensitive member of the weighted-log-rank
+    * family: each age's hypergeometric term is weighted by the
+    * at-risk count n(a), so divergence while everyone is still at
+    * risk dominates, where the plain [[logRank]] (w = 1) weighs all
+    * ages equally and is best against proportional hazards. Run both:
+    * agreeing verdicts are robust, a split says the hazards CROSS.
+    *
+    *   z² = (Σ n·(d_A − E))² / (Σ n²·V)
+    *
+    * Exactness: the logRank grid's per-age e6/v6 (each micro-rounded
+    * once) are weighted by EXACT integer n and n² before the exact
+    * sums — num = Σ(1e6·n·d_A − n·e6), den6 = Σ n²·v6 — and
+    * z2_6 = num² div den6 is one DECIMAL division (num reaches
+    * 1e6·n², den 1e6·n³: exact to ~1e8 entities, the logRank bound).
+    * Same contracts and grid as logRank. Returns one row (side_a,
+    * side_b, n_a, n_b, o_a, z2_6, significant).
+    */
+  def gehanWilcoxon(
+      df: DataFrame,
+      idCol: String,
+      dayCol: String,
+      groupCol: String,
+      ageUnitDays: Int,
+      censorDays: Int): DataFrame =
+    logRankGrid(df, idCol, dayCol, groupCol, ageUnitDays, censorDays)
+      .withColumn(
+        "__e6",
+        expr(
+          """CASE WHEN na + nb = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * (da + db) * na)
+            |div (na + nb) AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__v6",
+        expr(
+          """CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(1000000 AS DECIMAL(38,0)) * (da + db) * na * nb
+            |   * (na + nb - da - db))
+            |  div (CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb - 1))
+            |AS BIGINT) END""".stripMargin))
+      .withColumn(
+        "__num",
+        expr(
+          """CAST(1000000 AS DECIMAL(38,0)) * (na + nb) * da
+            |- CAST(na + nb AS DECIMAL(38,0)) * __e6""".stripMargin))
+      .withColumn(
+        "__den6",
+        expr(
+          """CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * __v6"""))
+      .groupBy(col("side_a"), col("side_b"))
+      .agg(
+        sum(col("da") + col("ca")).as("n_a"),
+        sum(col("db") + col("cb")).as("n_b"),
+        sum(col("da")).as("o_a"),
+        sum(col("__num")).cast("decimal(38,0)").as("__n"),
+        sum(col("__den6")).cast("decimal(38,0)").as("__d"))
+      .withColumn(
+        "z2_6",
+        expr(
+          """CASE WHEN __d <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((__n * __n) div __d AS BIGINT) END""".stripMargin))
+      .select(
+        col("side_a"), col("side_b"), col("n_a"), col("n_b"), col("o_a"),
+        col("z2_6"),
+        (col("z2_6") >= 3841459L).as("significant"))
+
   /** Stratified log-rank test (the Mantel 1966 test summed over
     * strata — [[Experiments.mantelHaenszel]]'s posture applied to
     * survival): does the treatment's survival effect hold once a

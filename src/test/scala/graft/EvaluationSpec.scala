@@ -78,6 +78,28 @@ class EvaluationSpec extends SparkSpec {
       (2L, 2L, 0L, 0L, 0L, 1000000L)))
   }
 
+  test("qiniCurve: balanced arms walk at zero; treated-only conversions score full uplift") {
+    // balanced: both arms convert at the top -> Q = 0 everywhere
+    val bal = Seq(
+      (1L, 40L, true, true), (2L, 30L, false, true),
+      (3L, 20L, true, false), (4L, 10L, false, false))
+      .toDF("id", "v", "tr", "y")
+    val g1 = Evaluation
+      .qiniCurve(bal, col("tr"), col("y"), col("v"), col("id"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getLong(6)))
+    assert(g1.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+    // uplift concentrated: only the treated top converts ->
+    // bucket-1 uplift 1e6, Q = 1e6 at both depths
+    val up = Seq(
+      (1L, 40L, true, true), (2L, 30L, false, false),
+      (3L, 20L, true, false), (4L, 10L, false, false))
+      .toDF("id", "v", "tr", "y")
+    val g2 = Evaluation
+      .qiniCurve(up, col("tr"), col("y"), col("v"), col("id"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getLong(6)))
+    assert(g2.toSeq == Seq((1L, 1000000L, 1000000L), (2L, 0L, 1000000L)))
+  }
+
   test("calibrationBins: hand grid at bins=2; top edge closes the last bin") {
     // (s6, y): (200000,0) (400000,1) -> bin 0; (900000,1) (1000000,1) -> bin 1
     // (1e6*2 div 1e6 = 2, clamped to bins-1 = 1).

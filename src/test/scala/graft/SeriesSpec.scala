@@ -472,6 +472,19 @@ class SeriesSpec extends SparkSpec {
     assert(r5.getLong(2) == 2625000L)
   }
 
+  test("gehanWilcoxon: at-risk weights re-weigh the logRank fixture's early evidence") {
+    // per-age num = 1e6*n*dA - n*e6: 2e6 + 2000001 + 0 + 0 = 4000001
+    // den6 = n^2*v6: 4e6 + 1999998 = 5999998 -> z2_6 = 2666668
+    val rows = Seq(
+      (1L, "A", "2024-01-01"), (2L, "A", "2024-01-01"), (2L, "A", "2024-01-02"),
+      (3L, "B", "2024-01-01"), (3L, "B", "2024-01-03"),
+      (4L, "B", "2024-01-01"), (4L, "B", "2024-01-04"))
+      .toDF("id", "g", "d").withColumn("day", col("d").cast("date"))
+    val r = Series.gehanWilcoxon(rows, "id", "day", "g", 1, 0).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getBoolean(6)) == (("A", "B", 2L, 2L, 2L, 2666668L, false)))
+  }
+
   test("stratifiedLogRank: one stratum equals logRank; two identical strata double the evidence") {
     val one = Seq(
       (1L, "A", "s1", "2024-01-01"), (2L, "A", "s1", "2024-01-01"), (2L, "A", "s1", "2024-01-02"),
