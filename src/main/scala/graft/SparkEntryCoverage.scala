@@ -1483,6 +1483,39 @@ object SparkEntryCoverage {
         when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
         col("value") > 50.0)
     },
+    // Split-conformal threshold + coverage (Evaluation
+    // .conformalThreshold): the distribution-free guarantee layer —
+    // even users calibrate the 90% threshold over cent values, odd
+    // users audit that the guarantee holds out of sample.
+    "a_conformal" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+      Evaluation.conformalThreshold(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        round(col("value") * 100.0, 0).cast("long"),
+        100000L)
+    },
+    // Zipf rank-frequency head (the corpus-linguistics smoke test):
+    // the top-30 terms with rank x freq — a healthy natural corpus
+    // keeps rf roughly constant; a template-spam corpus doesn't.
+    // (t_zipf proper fits the SLOPE; this publishes the head table.)
+    "t_zipf_head" -> { (s, dir) =>
+      val top = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(30)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("term"))
+      top
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(
+          col("rank"), col("term"), col("freq"),
+          (col("rank") * col("freq")).as("rf"))
+        .orderBy(col("rank"))
+    },
     // Good-Turing unseen mass + bias-corrected Chao1 richness
     // (TextAnalysis.vocabCoverage): how much vocabulary has the
     // corpus NOT seen — the sampling-theory complement of the
@@ -12278,6 +12311,31 @@ object SparkEntryCoverage {
         |        * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 >= 3841459
         |  END AS significant
         |FROM f""".stripMargin,
+    "a_conformal" ->
+      """WITH cal AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND user_id % 2 = 0),
+        |hold AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND user_id % 2 = 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+        |rr AS (SELECT n, least(n, ((n + 1) * 900000 + 999999) // 1000000) AS r FROM nn),
+        |q AS (SELECT rk.v AS qhat, rr.n, rr.r
+        |      FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cal) rk, rr
+        |      WHERE rk.rn = rr.r),
+        |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |        CAST(SUM(CASE WHEN hold.v <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS cov
+        |      FROM hold, q)
+        |SELECT q.n AS n_cal, q.r AS rank, q.qhat, h.m AS n_holdout, h.cov AS covered,
+        |  CAST((1000000 * h.cov) // h.m AS BIGINT) AS coverage6,
+        |  CAST(900000 AS BIGINT) AS target6
+        |FROM q, h""".stripMargin,
+    "t_zipf_head" ->
+      """WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM terms GROUP BY 1),
+        |top AS (SELECT term, freq FROM cnt ORDER BY freq DESC, term LIMIT 30),
+        |rk AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+        |         AS rank, term, freq FROM top)
+        |SELECT rank, term, freq, rank * freq AS rf FROM rk ORDER BY rank""".stripMargin,
     "t_vocab_coverage" ->
       """WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),

@@ -258,6 +258,53 @@ object Evaluation {
       .orderBy(col("bucket"))
   }
 
+  /** Split-conformal threshold + holdout coverage (Vovk et al. 2005;
+    * the Lei et al. 2018 split recipe) — the distribution-free
+    * guarantee layer over any score: the calibration set's
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score is the threshold
+    * q̂ below which a FRESH exchangeable point falls with probability
+    * ≥ 1−α, no model assumptions. The audit half then measures the
+    * guarantee empirically: holdout coverage should sit at or above
+    * the target.
+    *
+    * Exactness: the rank is exact integer ceiling arithmetic —
+    * r = min(n, ((n+1)·(1e6−alpha6) + 999999) div 1e6) — and q̂ is
+    * the value at rank r under [[Relational.globalRank]] (the
+    * tie-permutation-invariant order-statistic probe); coverage6 is
+    * one truncating division off exact counts. Returns one row
+    * (n_cal, rank, qhat, n_holdout, covered, coverage6, target6).
+    */
+  def conformalThreshold(
+      cal: DataFrame,
+      holdout: DataFrame,
+      scoreCol: Column,
+      alpha6: Long): DataFrame = {
+    require(alpha6 > 0L && alpha6 < 1000000L, "alpha6 must be in (0, 1e6)")
+    val calV = cal.filter(scoreCol.isNotNull).select(scoreCol.cast("long").as("__v"))
+    val n = calV.count()
+    require(n >= 1L, "conformalThreshold: calibration set must be non-empty")
+    val r = math.min(n, ((n + 1L) * (1000000L - alpha6) + 999999L) / 1000000L)
+    val qhatRow = Relational
+      .globalRank(calV, Seq(col("__v")), "__rank")
+      .filter(col("__rank") === r)
+    holdout
+      .filter(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("__h"))
+      .crossJoin(broadcast(qhatRow.select(col("__v").as("qhat"))))
+      .groupBy(col("qhat"))
+      .agg(
+        count(lit(1)).as("n_holdout"),
+        sum(when(col("__h") <= col("qhat"), 1L).otherwise(0L)).as("covered"))
+      .select(
+        lit(n).as("n_cal"),
+        lit(r).as("rank"),
+        col("qhat"),
+        col("n_holdout"),
+        col("covered"),
+        expr("CAST((1000000 * covered) div n_holdout AS BIGINT)").as("coverage6"),
+        lit(1000000L - alpha6).as("target6"))
+  }
+
   /** Qini curve (Radcliffe 2007) — the UPLIFT sibling of
     * [[gainsTable]]: when units split into TREATED and CONTROL, the
     * question is not "where are the positives" but "where did the

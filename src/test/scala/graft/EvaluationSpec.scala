@@ -78,6 +78,20 @@ class EvaluationSpec extends SparkSpec {
       (2L, 2L, 0L, 0L, 0L, 1000000L)))
   }
 
+  test("conformalThreshold: ceil((n+1)(1-a)) order statistic; holdout coverage exact") {
+    val cal = (1L to 9L).toDF("v")
+    val hold = Seq(5L, 10L).toDF("v")
+    // alpha = 0.1: r = ceil(10*0.9) = 9 -> qhat = 9; holdout covers 1 of 2
+    val r1 = Evaluation.conformalThreshold(cal, hold, col("v"), 100000L).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4),
+      r1.getLong(5), r1.getLong(6)) == ((9L, 9L, 9L, 2L, 1L, 500000L, 900000L)))
+    // alpha = 0.2: r = ceil(10*0.8) = 8 -> qhat = 8
+    val r2 = Evaluation.conformalThreshold(cal, hold, col("v"), 200000L).head()
+    assert((r2.getLong(1), r2.getLong(2)) == ((8L, 8L)))
+    intercept[IllegalArgumentException](
+      Evaluation.conformalThreshold(cal, hold, col("v"), 0L))
+  }
+
   test("qiniCurve: balanced arms walk at zero; treated-only conversions score full uplift") {
     // balanced: both arms convert at the top -> Q = 0 everywhere
     val bal = Seq(
