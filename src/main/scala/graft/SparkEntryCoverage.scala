@@ -405,6 +405,46 @@ object SparkEntryCoverage {
         |  END AS significant
         |FROM f""".stripMargin
 
+  /** a_qini / st_qini shared oracle: the per-user (spend, buyer,
+    * treated) table is a sufficient statistic (sums and maxes merge),
+    * so one SQL is the truth for both paths.
+    */
+  private[graft] lazy val qiniOracleSql: String =
+    """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS buyer,
+        |    CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS tr
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |rk AS (SELECT cents, user_id, tr, buyer,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS r
+        |  FROM per),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+        |b AS (SELECT ((r - 1) * 10) // n + 1 AS bucket, tr, buyer FROM rk, t),
+        |g AS (SELECT bucket,
+        |    CAST(SUM(tr) AS BIGINT) AS n_t,
+        |    CAST(SUM(tr * buyer) AS BIGINT) AS x_t,
+        |    CAST(SUM(1 - tr) AS BIGINT) AS n_c,
+        |    CAST(SUM((1 - tr) * buyer) AS BIGINT) AS x_c
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(SUM(n_t) OVER (ORDER BY bucket) AS BIGINT) AS cnt,
+        |    CAST(SUM(x_t) OVER (ORDER BY bucket) AS BIGINT) AS cxt,
+        |    CAST(SUM(n_c) OVER (ORDER BY bucket) AS BIGINT) AS cnc,
+        |    CAST(SUM(x_c) OVER (ORDER BY bucket) AS BIGINT) AS cxc
+        |  FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_t, x_t, n_c, x_c,
+        |  CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((1000000 * x_t) // n_t - (1000000 * x_c) // n_c AS BIGINT)
+        |  END AS uplift6,
+        |  CASE WHEN cnc = 0 THEN CAST(1000000 * cxt AS BIGINT)
+        |  ELSE CAST(CAST(1000000 AS HUGEINT) * cxt
+        |       - (CAST(1000000 AS HUGEINT) * cxc * cnt) // cnc AS BIGINT)
+        |  END AS qini6
+        |FROM c ORDER BY bucket""".stripMargin
+
   /** a_cif / st_cif shared oracle: per-entity lifetime (min/max day)
     * and terminal cause ((day, cause) struct-max) are all mergeable,
     * so the streaming monitor's merged partials feed the identical
@@ -11092,41 +11132,7 @@ object SparkEntryCoverage {
         |  CASE WHEN den6 <= 0 THEN FALSE
         |  ELSE (num * num) // den6 >= 3841459 END AS significant
         |FROM f""".stripMargin,
-    "a_qini" ->
-      """WITH per AS (SELECT user_id,
-        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS buyer,
-        |    CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS tr
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1),
-        |rk AS (SELECT cents, user_id, tr, buyer,
-        |    CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS r
-        |  FROM per),
-        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
-        |b AS (SELECT ((r - 1) * 10) // n + 1 AS bucket, tr, buyer FROM rk, t),
-        |g AS (SELECT bucket,
-        |    CAST(SUM(tr) AS BIGINT) AS n_t,
-        |    CAST(SUM(tr * buyer) AS BIGINT) AS x_t,
-        |    CAST(SUM(1 - tr) AS BIGINT) AS n_c,
-        |    CAST(SUM((1 - tr) * buyer) AS BIGINT) AS x_c
-        |  FROM b GROUP BY 1),
-        |c AS (SELECT *,
-        |    CAST(SUM(n_t) OVER (ORDER BY bucket) AS BIGINT) AS cnt,
-        |    CAST(SUM(x_t) OVER (ORDER BY bucket) AS BIGINT) AS cxt,
-        |    CAST(SUM(n_c) OVER (ORDER BY bucket) AS BIGINT) AS cnc,
-        |    CAST(SUM(x_c) OVER (ORDER BY bucket) AS BIGINT) AS cxc
-        |  FROM g)
-        |SELECT CAST(bucket AS BIGINT) AS bucket, n_t, x_t, n_c, x_c,
-        |  CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST((1000000 * x_t) // n_t - (1000000 * x_c) // n_c AS BIGINT)
-        |  END AS uplift6,
-        |  CASE WHEN cnc = 0 THEN CAST(1000000 * cxt AS BIGINT)
-        |  ELSE CAST(CAST(1000000 AS HUGEINT) * cxt
-        |       - (CAST(1000000 AS HUGEINT) * cxc * cnt) // cnc AS BIGINT)
-        |  END AS qini6
-        |FROM c ORDER BY bucket""".stripMargin,
+    "a_qini" -> qiniOracleSql,
     "a_rmst" ->
       """WITH RECURSIVE u AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
         |  FROM orders GROUP BY 1),

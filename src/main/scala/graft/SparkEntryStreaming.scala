@@ -809,6 +809,39 @@ object SparkEntryStreaming {
         .unionByName(merged.select(col("u"), col("g"), col("l").as("day")))
       graft.operators.Series.logRank(pts, "u", "day", "g", 3, 1)
     },
+    // Streaming Qini monitor — the per-user (spend, buyer, treated)
+    // table is a SUFFICIENT STATISTIC (cent sums and buyer maxes
+    // merge): micro-batches append partial per-user grids, the
+    // monitor sum/max-merges and re-ranks the uplift curve —
+    // bit-equal to the batch a_qini under the shared oracle. Live
+    // uplift-targeting watching with zero history re-scans.
+    "st_qini" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/qinigrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      def partials(d: DataFrame) =
+        d.filter(col("user_id").isNotNull && col("value").isNotNull
+          && col("event_type").isNotNull)
+          .groupBy(col("user_id").as("u"))
+          .agg(
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buyer"))
+      partials(ev.filter(lit(false))).write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          partials(batch).write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.parquet(cPath)
+        .groupBy(col("u"))
+        .agg(sum(col("cents")).as("cents"), max(col("buyer")).as("buyer"))
+        .withColumn("treated", (col("u") % 2 === 0).cast("long"))
+      graft.operators.Evaluation.qiniCurve(
+        merged, col("treated") === 1L, col("buyer") === 1L,
+        col("cents"), col("u"), 10)
+    },
     // Streaming competing-risks monitor — per-entity lifetime
     // (min/max day) AND terminal cause ((day, cause) struct-max) are
     // all mergeable: micro-batches append partial per-entity
@@ -1336,6 +1369,9 @@ object SparkEntryStreaming {
     // lifetime + terminal-cause merge-invariance: the streamed CIF
     // must equal the one-shot batch decomposition
     "st_cif" -> SparkEntryCoverage.cifOracleSql,
+    // per-user spend/buyer merge-invariance: the streamed uplift
+    // curve must equal the one-shot batch ranking
+    "st_qini" -> SparkEntryCoverage.qiniOracleSql,
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),
