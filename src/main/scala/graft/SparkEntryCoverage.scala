@@ -317,6 +317,47 @@ object SparkEntryCoverage {
         |SELECT event_type, n_days, s_stat, tau6, z2_6, z2_6 >= 3841459 AS significant
         |FROM f ORDER BY event_type""".stripMargin
 
+  /** w_cusum / st_cusum shared oracle: the daily count grid is the
+    * mergeable sufficient statistic, so one SQL is the truth for
+    * both paths.
+    */
+  private[graft] lazy val cusumOracleSql: String =
+    """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, list(n ORDER BY bucket) AS seq, CAST(sum(n) AS BIGINT) AS tot,
+        |        CAST(count(*) AS BIGINT) AS days FROM c GROUP BY 1),
+        |p AS (SELECT grp, days, seq, tot * 1000000 // days AS mu6 FROM g),
+        |f AS (SELECT grp, days, mu6,
+        |        list_reduce(
+        |          list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+        |                       list_transform(seq, x -> [x, x])),
+        |          (acc, e) -> [greatest(0, acc[1] + e[1] * 1000000 - mu6 - mu6 // 10),
+        |                       greatest(acc[2],
+        |                         greatest(0, acc[1] + e[1] * 1000000 - mu6 - mu6 // 10))]) AS st
+        |      FROM p)
+        |SELECT grp, days, mu6, st[1] AS cusum_final6, st[2] AS cusum_max6,
+        |       st[2] > mu6 * 5 AS alarm
+        |FROM f ORDER BY grp""".stripMargin
+
+  /** w_fano / st_fano shared oracle: same daily-grid merge
+    * invariance.
+    */
+  private[graft] lazy val fanoOracleSql: String =
+    """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS days,
+        |        CAST(SUM(n) AS BIGINT) AS total,
+        |        SUM(CAST(n AS HUGEINT) * n) AS ss
+        |      FROM c GROUP BY 1)
+        |SELECT grp, days, total,
+        |  CASE WHEN days < 2 OR total <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT)
+        |             * (CAST(days AS HUGEINT) * ss - CAST(total AS HUGEINT) * total))
+        |            // (CAST(days - 1 AS HUGEINT) * total) AS BIGINT) END AS fano6
+        |FROM g ORDER BY grp""".stripMargin
+
   /** w_page_hinkley / st_page_hinkley shared oracle: the streaming
     * monitor merges partial daily count grids and re-runs the same
     * running-mean fold, so one SQL is the truth for both paths.
@@ -9903,20 +9944,7 @@ object SparkEntryCoverage {
         |  CAST((1000000 * rk.r) // t.n AS BIGINT) AS pop_share6,
         |  CAST((1000000 * rk.cum) // t.total AS BIGINT) AS wealth_share6
         |FROM tg JOIN rk ON rk.r = tg.r, t ORDER BY tg.bucket""".stripMargin,
-    "w_fano" ->
-      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
-        |             CAST(count(*) AS BIGINT) AS n
-        |           FROM events GROUP BY 1, 2),
-        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS days,
-        |        CAST(SUM(n) AS BIGINT) AS total,
-        |        SUM(CAST(n AS HUGEINT) * n) AS ss
-        |      FROM c GROUP BY 1)
-        |SELECT grp, days, total,
-        |  CASE WHEN days < 2 OR total <= 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST((CAST(1000000 AS HUGEINT)
-        |             * (CAST(days AS HUGEINT) * ss - CAST(total AS HUGEINT) * total))
-        |            // (CAST(days - 1 AS HUGEINT) * total) AS BIGINT) END AS fano6
-        |FROM g ORDER BY grp""".stripMargin,
+    "w_fano" -> fanoOracleSql,
     "a_gini" ->
       """WITH pc AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
         |  FROM orders GROUP BY 1),
@@ -12225,24 +12253,7 @@ object SparkEntryCoverage {
     "dq_volume_anomaly" -> volumeAnomalyOracleSql,
     // the identical [S, maxS] micro-unit fold replayed by list_reduce
     // over the bucket-ordered counts
-    "w_cusum" ->
-      """WITH c AS (SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS bucket,
-        |             CAST(count(*) AS BIGINT) AS n
-        |           FROM events GROUP BY 1, 2),
-        |g AS (SELECT grp, list(n ORDER BY bucket) AS seq, CAST(sum(n) AS BIGINT) AS tot,
-        |        CAST(count(*) AS BIGINT) AS days FROM c GROUP BY 1),
-        |p AS (SELECT grp, days, seq, tot * 1000000 // days AS mu6 FROM g),
-        |f AS (SELECT grp, days, mu6,
-        |        list_reduce(
-        |          list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
-        |                       list_transform(seq, x -> [x, x])),
-        |          (acc, e) -> [greatest(0, acc[1] + e[1] * 1000000 - mu6 - mu6 // 10),
-        |                       greatest(acc[2],
-        |                         greatest(0, acc[1] + e[1] * 1000000 - mu6 - mu6 // 10))]) AS st
-        |      FROM p)
-        |SELECT grp, days, mu6, st[1] AS cusum_final6, st[2] AS cusum_max6,
-        |       st[2] > mu6 * 5 AS alarm
-        |FROM f ORDER BY grp""".stripMargin,
+    "w_cusum" -> cusumOracleSql,
     // the identical [i, S, m, min_m, max_ph] running-mean fold
     // replayed by list_reduce; mean6 = (1e6*S_i) // i off the exact
     // prefix sum (S >= 0, so floor == truncation on both engines);

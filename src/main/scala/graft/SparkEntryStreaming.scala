@@ -809,6 +809,70 @@ object SparkEntryStreaming {
         .unionByName(merged.select(col("u"), col("g"), col("l").as("day")))
       graft.operators.Series.logRank(pts, "u", "day", "g", 3, 1)
     },
+    // Streaming CUSUM + Fano monitors — the daily count grid is the
+    // same mergeable sufficient statistic st_page_hinkley appends:
+    // these two re-run their folds over the SUM-merged grid,
+    // bit-equal to the batch w_cusum / w_fano under shared oracles.
+    // Together the three cover the drift triad live: baseline-shift
+    // (cusum), running-mean drift (page-hinkley), burstiness (fano).
+    "st_cusum" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/cusumgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(
+          col("event_type").cast("string").as("grp"),
+          date_format(col("ts"), "yyyy-MM-dd").as("bucket"),
+          lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .groupBy(
+              col("event_type").cast("string").as("grp"),
+              date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Checks
+        .cusum(
+          s.read.parquet(cPath)
+            .groupBy(col("grp"), col("bucket"))
+            .agg(sum(col("n")).as("n")))
+        .orderBy(col("grp"))
+    },
+    "st_fano" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/fanogrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(
+          col("event_type").cast("string").as("grp"),
+          date_format(col("ts"), "yyyy-MM-dd").as("bucket"),
+          lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .groupBy(
+              col("event_type").cast("string").as("grp"),
+              date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Checks
+        .fanoFactor(
+          s.read.parquet(cPath)
+            .groupBy(col("grp"), col("bucket"))
+            .agg(sum(col("n")).as("n")))
+        .orderBy(col("grp"))
+    },
     // Streaming Qini monitor — the per-user (spend, buyer, treated)
     // table is a SUFFICIENT STATISTIC (cent sums and buyer maxes
     // merge): micro-batches append partial per-user grids, the
@@ -1372,6 +1436,9 @@ object SparkEntryStreaming {
     // per-user spend/buyer merge-invariance: the streamed uplift
     // curve must equal the one-shot batch ranking
     "st_qini" -> SparkEntryCoverage.qiniOracleSql,
+    // daily-grid merge-invariance for the remaining drift pair
+    "st_cusum" -> SparkEntryCoverage.cusumOracleSql,
+    "st_fano" -> SparkEntryCoverage.fanoOracleSql,
     // LM count-grid merge-invariance: the streamed model must score
     // bit-identically to the in-line full-corpus fit
     "st_lm_upsert" -> SparkEntryCoverage.bigramPplOracleSql("TRUE"),
