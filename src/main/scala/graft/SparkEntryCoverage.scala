@@ -1564,6 +1564,18 @@ object SparkEntryCoverage {
         when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
         col("value") > 50.0)
     },
+    // Delete-one-bucket jackknife (Experiments.jackknifeRatio): the
+    // variance behind the purchase-share RATIO metric — leave-one-
+    // user-bucket-out replicates, the CI machinery ratio metrics
+    // actually get at scale.
+    "a_jackknife" -> { (s, dir) =>
+      Experiments.jackknifeRatio(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull),
+        col("user_id") % 10,
+        when(col("event_type") === "purchase", 1L).otherwise(0L),
+        lit(1L))
+    },
     // Split-conformal threshold + coverage (Evaluation
     // .conformalThreshold): the distribution-free guarantee layer —
     // even users calibrate the 90% threshold over cent values, odd
@@ -12328,6 +12340,26 @@ object SparkEntryCoverage {
         |        * (CAST(1000000 AS HUGEINT) * o_a - e6)) // v6 >= 3841459
         |  END AS significant
         |FROM f""".stripMargin,
+    "a_jackknife" ->
+      """WITH cells AS (SELECT user_id % 10 AS b,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS xt,
+        |        CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+        |reps AS (SELECT b,
+        |    CAST((CAST(1000000 AS HUGEINT) * (xt - x)) // (nt - n) AS BIGINT) AS r6
+        |  FROM cells, t),
+        |rb AS (SELECT CAST(SUM(r6) // COUNT(*) AS BIGINT) AS rbar6 FROM reps),
+        |ss AS (SELECT SUM(CAST(r6 - rbar6 AS HUGEINT) * (r6 - rbar6)) AS sq
+        |       FROM reps, rb)
+        |SELECT t.k, t.xt AS num, t.nt AS den,
+        |  CAST((CAST(1000000 AS HUGEINT) * t.xt) // t.nt AS BIGINT) AS ratio6,
+        |  rb.rbar6,
+        |  CAST((CAST(t.k - 1 AS HUGEINT) * ss.sq) // t.k AS BIGINT) AS jk_var12
+        |FROM t, rb, ss""".stripMargin,
     "a_conformal" ->
       """WITH cal AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND user_id % 2 = 0),

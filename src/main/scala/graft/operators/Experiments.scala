@@ -1848,6 +1848,82 @@ object Experiments {
         col("n_units"), col("n"), col("n_categories"), col("do6"), col("alpha6"))
   }
 
+  /** Delete-one-bucket jackknife variance for a RATIO metric (Quenouille
+    * 1956; Tukey 1958 — the machinery every large-scale experimentation
+    * platform uses for clicks-per-user-class metrics): a ratio of sums
+    * is not a mean of anything, so its variance has no clean
+    * closed form; the jackknife re-computes the ratio with each of k
+    * disjoint buckets deleted and reads the spread of those leave-one-out
+    * replicates:
+    *
+    *   r_(−j) = (X − x_j)/(N − n_j),   Var ≈ (k−1)/k · Σ_j (r_(−j) − r̄)²
+    *
+    * Exactness: per-replicate ratios round ONCE to micro units
+    * (truncating, off exact integer sums), r̄6 = Σr_j6 div k rounds
+    * once more, and the variance fold is exact DECIMAL cross-products
+    * with one final division — deterministic and oracle-mirrored (the
+    * spread of ALREADY-ROUNDED replicates, documented). A bucket whose
+    * deletion empties the denominator fails fast in-plan (the jackknife
+    * is undefined; a k that concentrated is a bucketing bug). The
+    * bucket column is the caller's hash contract (e.g. user_id % k) —
+    * deterministic bucketing is what makes replicates reproducible.
+    * Returns one row (k, num, den, ratio6, rbar6, jk_var12).
+    *
+    * Scale shape: one hash aggregate to k cells, everything after is
+    * k-bounded.
+    */
+  def jackknifeRatio(
+      df: DataFrame,
+      bucketCol: Column,
+      numCol: Column,
+      denCol: Column): DataFrame = {
+    val cells = cached(
+      df
+        .filter(bucketCol.isNotNull && numCol.isNotNull && denCol.isNotNull)
+        .groupBy(bucketCol.as("b"))
+        .agg(sum(numCol.cast("long")).as("x"), sum(denCol.cast("long")).as("n")))
+    val tot = broadcast(
+      cells.agg(
+        count(lit(1)).as("k"),
+        sum(col("x")).as("__xt"),
+        sum(col("n")).as("__nt")))
+    val reps = cells
+      .crossJoin(tot)
+      .filter(
+        assert_true(
+          col("__nt") - col("n") > 0L,
+          concat(
+            lit("jackknifeRatio: deleting bucket "),
+            col("b").cast("string"),
+            lit(" empties the denominator — the jackknife is undefined"))).isNull)
+      .withColumn(
+        "__r6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (__xt - x))
+            |div CAST(__nt - n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+    val rbar = broadcast(
+      reps.agg(sum(col("__r6")).as("__rs"), count(lit(1)).as("__kk"))
+        .withColumn("rbar6", expr("CAST(__rs div __kk AS BIGINT)")))
+    reps
+      .crossJoin(rbar.select(col("rbar6")))
+      .groupBy(col("k"), col("__xt"), col("__nt"), col("rbar6"))
+      .agg(
+        sum(
+          expr("CAST(__r6 - rbar6 AS DECIMAL(38,0)) * CAST(__r6 - rbar6 AS DECIMAL(38,0))"))
+          .cast("decimal(38,0)").as("__ss"))
+      .select(
+        col("k"),
+        col("__xt").as("num"),
+        col("__nt").as("den"),
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * __xt)
+            |div CAST(__nt AS DECIMAL(38,0)) AS BIGINT)""".stripMargin).as("ratio6"),
+        col("rbar6"),
+        expr(
+          """CAST((CAST(k - 1 AS DECIMAL(38,0)) * __ss)
+            |div CAST(k AS DECIMAL(38,0)) AS BIGINT)""".stripMargin).as("jk_var12"))
+  }
+
   /** Poisson rate-ratio test (the conditional/binomial exact-form
     * chi², Przyborowski & Wilenski 1940) — the INCIDENCE comparison
     * every per-user rate question actually is: events per unit of

@@ -625,6 +625,22 @@ class ExperimentsSpec extends SparkSpec {
     assert(Experiments.signTest(ties, col("pre"), col("post")).head().getLong(3) == 0L)
   }
 
+  test("jackknifeRatio: leave-one-out replicates spread exactly; lone bucket fails fast") {
+    // b0 (x=2, n=2), b1 (x=0, n=2): replicates 0 and 1e6,
+    // rbar = 500000, SS = 5e11 -> jk_var12 = (1*5e11) div 2 = 2.5e11
+    val rows = Seq((0L, 1L, 1L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 0L, 1L))
+      .toDF("b", "x", "n")
+    val r = Experiments.jackknifeRatio(rows, col("b"), col("x"), col("n")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((2L, 2L, 4L, 500000L, 500000L, 250000000000L)))
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val lone = Seq((0L, 1L, 1L)).toDF("b", "x", "n")
+    val e = intercept[Exception](
+      Experiments.jackknifeRatio(lone, col("b"), col("x"), col("n")).collect())
+    assert(chain(e).contains("empties the denominator"))
+  }
+
   test("poissonRateRatio: exposure-normalized rates; exact chi2; three arms fail") {
     // A: 4 events over 2 unit-days, B: 2 over 2 -> rr = 2.0,
     // d = 4, z2 = 1e6*16*4 div (6*2*2) = 2666666 (not significant)
