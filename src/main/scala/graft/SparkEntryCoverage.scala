@@ -1589,6 +1589,23 @@ object SparkEntryCoverage {
         round(col("value") * 100.0, 0).cast("long"),
         100000L)
     },
+    // Mondrian group-conditional conformal (Evaluation
+    // .mondrianConformal): per-event-type 90% thresholds so easy
+    // groups can't subsidize hard ones — per-group order statistics
+    // off the count grid, no per-group sort anywhere.
+    "a_mondrian" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull
+          && col("event_type").isNotNull)
+      Evaluation
+        .mondrianConformal(
+          ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1),
+          col("event_type"),
+          round(col("value") * 100.0, 0).cast("long"),
+          100000L)
+        .orderBy(col("g"))
+    },
     // Zipf rank-frequency head (the corpus-linguistics smoke test):
     // the top-30 terms with rank x freq — a healthy natural corpus
     // keeps rf roughly constant; a template-spam corpus doesn't.
@@ -12377,6 +12394,35 @@ object SparkEntryCoverage {
         |  CAST((1000000 * h.cov) // h.m AS BIGINT) AS coverage6,
         |  CAST(900000 AS BIGINT) AS target6
         |FROM q, h""".stripMargin,
+    "a_mondrian" ->
+      """WITH cal AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND user_id % 2 = 0),
+        |hold AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND user_id % 2 = 1),
+        |grid AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY 1, 2),
+        |ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_cal FROM grid GROUP BY 1),
+        |nr AS (SELECT g, n_cal,
+        |         least(n_cal, ((n_cal + 1) * 900000 + 999999) // 1000000) AS rank
+        |       FROM ng),
+        |cum AS (SELECT g, v,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM grid),
+        |q AS (SELECT cum.g, nr.n_cal, nr.rank, CAST(MIN(cum.v) AS BIGINT) AS qhat
+        |      FROM cum JOIN nr ON nr.g = cum.g WHERE cum.cum >= nr.rank
+        |      GROUP BY 1, 2, 3),
+        |h AS (SELECT hold.g, CAST(COUNT(*) AS BIGINT) AS m,
+        |        CAST(SUM(CASE WHEN hold.v <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS cov,
+        |        ANY_VALUE(q.n_cal) AS n_cal, ANY_VALUE(q.rank) AS rank,
+        |        ANY_VALUE(q.qhat) AS qhat
+        |      FROM hold JOIN q ON q.g = hold.g GROUP BY 1)
+        |SELECT g, n_cal, rank, qhat, m AS n_holdout, cov AS covered,
+        |  CAST((1000000 * cov) // m AS BIGINT) AS coverage6,
+        |  CAST(900000 AS BIGINT) AS target6
+        |FROM h ORDER BY g""".stripMargin,
     "t_zipf_head" ->
       """WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),

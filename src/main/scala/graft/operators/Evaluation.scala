@@ -305,6 +305,62 @@ object Evaluation {
         lit(1000000L - alpha6).as("target6"))
   }
 
+  /** Mondrian (group-conditional) split-conformal thresholds — the
+    * fairness-grade upgrade of [[conformalThreshold]]: one global
+    * threshold guarantees coverage ON AVERAGE, which lets easy groups
+    * subsidize hard ones (English covered at 95%, Thai at 60%);
+    * Mondrian calibrates PER GROUP, so each group gets its own
+    * ⌈(n_g+1)(1−α)⌉-th order statistic and its own audit.
+    *
+    * Scale shape — per-group order statistics WITHOUT per-group
+    * sorts: calibration scores collapse to the (group, value) count
+    * grid (bounded by group × value DOMAIN, never rows), cumulative
+    * counts run in a window PARTITIONED BY GROUP over that bounded
+    * grid, and q̂_g is the smallest value whose cumulative count
+    * reaches the exact integer rank — so a group with 1e9 rows costs
+    * one hash aggregate, not a single-task sort. Coverage audits per
+    * group on the holdout with one truncating division. Returns one
+    * row per group present in BOTH halves (g, n_cal, rank, qhat,
+    * n_holdout, covered, coverage6, target6).
+    */
+  def mondrianConformal(
+      cal: DataFrame,
+      holdout: DataFrame,
+      groupCol: Column,
+      scoreCol: Column,
+      alpha6: Long): DataFrame = {
+    require(alpha6 > 0L && alpha6 < 1000000L, "alpha6 must be in (0, 1e6)")
+    val grid = cal
+      .filter(groupCol.isNotNull && scoreCol.isNotNull)
+      .groupBy(groupCol.as("g"), scoreCol.cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val nG = grid.groupBy(col("g")).agg(sum(col("__c")).as("n_cal"))
+      .withColumn(
+        "rank",
+        expr(s"least(n_cal, ((n_cal + 1) * ${1000000L - alpha6} + 999999) div 1000000)"))
+    val w = Window.partitionBy(col("g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = grid
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(nG, Seq("g"))
+      .filter(col("__cum") >= col("rank"))
+      .groupBy(col("g"), col("n_cal"), col("rank"))
+      .agg(min(col("__v")).as("qhat"))
+    holdout
+      .filter(groupCol.isNotNull && scoreCol.isNotNull)
+      .select(groupCol.as("g"), scoreCol.cast("long").as("__h"))
+      .join(qhat, Seq("g"))
+      .groupBy(col("g"), col("n_cal"), col("rank"), col("qhat"))
+      .agg(
+        count(lit(1)).as("n_holdout"),
+        sum(when(col("__h") <= col("qhat"), 1L).otherwise(0L)).as("covered"))
+      .select(
+        col("g"), col("n_cal"), col("rank"), col("qhat"),
+        col("n_holdout"), col("covered"),
+        expr("CAST((1000000 * covered) div n_holdout AS BIGINT)").as("coverage6"),
+        lit(1000000L - alpha6).as("target6"))
+  }
+
   /** Qini curve (Radcliffe 2007) — the UPLIFT sibling of
     * [[gainsTable]]: when units split into TREATED and CONTROL, the
     * question is not "where are the positives" but "where did the

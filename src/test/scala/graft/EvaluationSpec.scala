@@ -78,6 +78,21 @@ class EvaluationSpec extends SparkSpec {
       (2L, 2L, 0L, 0L, 0L, 1000000L)))
   }
 
+  test("mondrianConformal: per-group thresholds off the count grid; per-group coverage") {
+    val cal = ((1L to 9L).map(v => ("A", v)) ++ Seq(("B", 10L), ("B", 20L))).toDF("g", "v")
+    val hold = Seq(("A", 5L), ("A", 10L), ("B", 15L)).toDF("g", "v")
+    val got = Evaluation
+      .mondrianConformal(cal, hold, col("g"), col("v"), 100000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // A: n=9, rank ceil(10*0.9)=9 -> qhat 9; covers 1 of 2
+    assert(got("A") == ((9L, 9L, 9L, 2L, 1L, 500000L)))
+    // B: n=2, rank min(2, ceil(3*0.9)=3) = 2 -> qhat 20; covers 1 of 1
+    assert(got("B") == ((2L, 2L, 20L, 1L, 1L, 1000000L)))
+  }
+
   test("conformalThreshold: ceil((n+1)(1-a)) order statistic; holdout coverage exact") {
     val cal = (1L to 9L).toDF("v")
     val hold = Seq(5L, 10L).toDF("v")
