@@ -331,6 +331,33 @@ object ScaleBench {
         parts += f""""gains":{"sec":$gnSec%.2f,"rows":$gn}"""
       }
 
+      if (on("survival")) {
+        // the survival chassis (T187+): per-entity min/max aggregate
+        // is the only row-proportional stage; the age grid is
+        // calendar-bounded, so tests over it should stay flat
+        val ev = eventsX(spark, base, m)
+        val evG = ev
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(
+            col("user_id"),
+            to_date(col("ts")).as("day"),
+            when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")).as("par"))
+        reset(spark)
+        val (lr, lrSec) = timed(
+          graft.operators.Series.logRank(evG, "user_id", "day", "par", 3, 1).count())
+        parts += f""""logrank":{"sec":$lrSec%.2f,"rows":$lr}"""
+        reset(spark)
+        val (ci, ciSec) = timed(
+          graft.operators.Series
+            .cumulativeIncidence(
+              ev.filter(col("user_id").isNotNull && col("ts").isNotNull
+                && col("event_type").isNotNull)
+                .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type")),
+              "user_id", "day", "event_type", 3, 1)
+            .count())
+        parts += f""""cif":{"sec":$ciSec%.2f,"rows":$ci}"""
+      }
+
       reset(spark)
       val skew = Checks
         .skewReport(Dedup.shingleTable(docs, "text", "doc_id", 3), col("shingle"))
