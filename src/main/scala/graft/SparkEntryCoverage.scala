@@ -544,9 +544,11 @@ object SparkEntryCoverage {
         |       FROM cnt),
         |agg AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
         |               CAST(SUM(t - np) AS BIGINT) AS n_neg,
-        |               CAST(SUM(np * (2 * rmin + t - 1)) AS BIGINT) AS r2p
+        |               SUM(CAST(np AS HUGEINT) * (2 * rmin + t - 1)) AS r2p
         |        FROM rk),
-        |u AS (SELECT n_pos, n_neg, r2p - n_pos * (n_pos + 1) AS u2x FROM agg),
+        |u AS (SELECT n_pos, n_neg,
+        |        CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2x
+        |      FROM agg),
         |a AS (SELECT n_pos, n_neg, u2x,
         |        CAST((CAST(1000000 AS HUGEINT) * u2x)
         |             // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc6
@@ -1816,7 +1818,6 @@ object SparkEntryCoverage {
     // terms by (rank desc, term). The corpus-level keyword extractor
     // next to per-doc RAKE (t_rake).
     "t_textrank" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val bp = TextAnalysis
         .bigramPairs(t(s, dir, "documents"), "text", "doc_id")
         .filter(col("prev").isNotNull && col("prev") =!= col("term"))
@@ -1826,10 +1827,17 @@ object SparkEntryCoverage {
         .groupBy(col("ta"), col("tb"))
         .agg(count(lit(1)).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val vocab = bp.select(col("ta").as("term"))
-        .union(bp.select(col("tb").as("term")))
-        .distinct()
-        .withColumn("tid", row_number().over(Window.orderBy(col("term"))).cast("long"))
+      // vocabulary ids via the range-partitioned globalRank chassis —
+      // a term domain is 1e7+ at corpus scale, so an unpartitioned
+      // row_number window (one task sorting the whole vocabulary) is
+      // exactly the funnel the r8/r9 sweeps eliminated elsewhere
+      val vocab = Relational
+        .globalRank(
+          bp.select(col("ta").as("term"))
+            .union(bp.select(col("tb").as("term")))
+            .distinct(),
+          Seq(col("term")),
+          "tid")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = bp
         .join(vocab.select(col("term").as("ta"), col("tid").as("id_a")), Seq("ta"))
@@ -1913,14 +1921,22 @@ object SparkEntryCoverage {
         .groupBy(col("user_id"))
         .agg(min(col("p_us") - col("c_us")).as("lat_us"))
         .select(col("user_id"), expr("CAST(lat_us div 1000000 AS BIGINT)").as("lat_s"))
-      lat
-        .withColumn(
-          "rn",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("lat_s"), col("user_id"))))
-        .crossJoin(broadcast(lat.agg(count(lit(1)).as("n"))))
-        .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+      // lower/upper median off the distinct-latency count grid + the
+      // range-partitioned prefix sum (the a_mood_median chassis) —
+      // the latency table is one row per CONVERTING USER, so an
+      // unpartitioned row_number over it is the single-task funnel.
+      // A grid row is kept when its cumulative range covers either
+      // median rank; the avg over kept rows equals the old row-level
+      // readout exactly (same-row double cover keeps one row, as the
+      // old OR-filter did).
+      val counts = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("t"))
+      val tot = broadcast(counts.agg(sum(col("t")).as("n")))
+      def covers(rank: String) =
+        col("__below") < expr(rank) && expr(rank) <= col("__below") + col("t")
+      Relational.globalCumSum(counts, Seq(col("lat_s")), "t", "__below")
+        .crossJoin(tot)
+        .filter(covers("CAST((n + 1) div 2 AS BIGINT)") ||
+          covers("CAST((n + 2) div 2 AS BIGINT)"))
         .groupBy(col("n"))
         .agg(
           (sum(col("lat_s")).cast("double") / count(lit(1)).cast("double"))
@@ -2465,15 +2481,19 @@ object SparkEntryCoverage {
       val q = broadcast(
         proj.filter(col("vec_id") === 0)
           .select(col("rp").as("qrp"), col("embedding").as("qemb")))
-      val ranked = proj.filter(col("vec_id") =!= 0)
-        .crossJoin(q)
-        .withColumn("pscore", Similarity.intDot(col("rp"), col("qrp")))
-        .withColumn(
-          "prank",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("pscore").desc, col("vec_id"))))
-        .withColumn("score", graft.functions.VectorFns.cosine(col("embedding"), col("qemb")))
+      // projection ranks via the range-partitioned globalRank chassis
+      // — the ranked table is the CORPUS, so an unpartitioned
+      // row_number window here is the single-task funnel the registry
+      // sweep forbids
+      val ranked = Relational.globalRank(
+        proj.filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .withColumn("pscore", Similarity.intDot(col("rp"), col("qrp")))
+          .withColumn(
+            "score",
+            graft.functions.VectorFns.cosine(col("embedding"), col("qemb"))),
+        Seq(col("pscore").desc, col("vec_id")),
+        "prank")
       val exactTop = ranked
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
@@ -3038,6 +3058,50 @@ object SparkEntryCoverage {
         .crossJoin(broadcast(qs))
         .withColumn("score", VectorFns.cosine(col("embedding"), col("qe")))
         .select(col("qid"), col("vec_id").as("doc_id"), col("score"))
+      TextAnalysis
+        .rrfFuse(bm25, cos, 60, 20)
+        .filter(col("fused_rank") <= 5)
+        .orderBy(col("qid"), col("fused_rank"))
+    },
+    // RRF fusion, ANN scale path (the marginAlignFromCandidates
+    // precedent): the embedding leg's candidates come from the banded
+    // hyperplane-LSH bucket join (4 bands × 4 bits, seed 42 — the
+    // v_lsh_topk_banded config) between the query set and the corpus
+    // — an equi-join on (band, bucket), NEVER r_rrf_fusion's
+    // corpus × (corpus/20) crossJoin whose query side grows WITH the
+    // corpus. Exact cosine runs only on bucket survivors; rrfFuse
+    // consumes the shortlist unchanged. The oracle mirrors the band
+    // predicate bit by bit (the v_lsh_topk_probed idiom), so parity
+    // is exact by construction; fused-list agreement with the exact
+    // crossJoin fusion is floored separately in AnnRecallSpec.
+    "r_rrf_fusion_ann" -> { (s, dir) =>
+      val (bm25, _) = bm25EvalTables(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val signed = Similarity
+        .hyperplaneSignature(emb, "embedding", LshDim, LshBands * LshBandBits, 42L)
+        .select(col("vec_id"), col("embedding"), col("lsh_bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def banded(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val bucketCols = (0 until LshBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            substring(col("lsh_bucket"), b * LshBandBits + 1, LshBandBits).as("bucket"))
+        }
+        df.select(col("vec_id"), explode(array(bucketCols: _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      }
+      val cand = banded(signed.filter(col("vec_id") % 20 === 0))
+        .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+        .join(
+          banded(signed).select(col("vec_id").as("doc_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select(col("qid"), col("doc_id"))
+        .distinct()
+      val cos = cand
+        .join(signed.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+        .join(signed.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .withColumn("score", VectorFns.cosine(col("embedding"), col("qe")))
+        .select(col("qid"), col("doc_id"), col("score"))
       TextAnalysis
         .rrfFuse(bm25, cos, 60, 20)
         .filter(col("fused_rank") <= 5)
@@ -6184,15 +6248,23 @@ object SparkEntryCoverage {
     // median per event type, then the chi-square independence gate —
     // the quick-and-robust k-sample location check.
     "a_mood_median" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "events")
         .filter(col("event_type").isNotNull && col("value").isNotNull)
         .select(col("event_type"), round(col("value") * 100.0, 0).cast("long").as("v"))
+      // grand median off the distinct-value count grid + the
+      // range-partitioned prefix sum — never a full-table
+      // row_number().over(Window.orderBy(...)) (ONE task holding
+      // every event at corpus scale): the grid is bounded by the
+      // cent-value DOMAIN, and the lower median is the unique value
+      // whose cumulative range covers rank (n+1) div 2
+      val counts = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val tot = broadcast(counts.agg(sum(col("t")).as("n")))
       val med = broadcast(
-        base
-          .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .filter(col("rn") === expr("CAST((n + 1) div 2 AS INT)"))
+        Relational.globalCumSum(counts, Seq(col("v")), "t", "__below")
+          .crossJoin(tot)
+          .filter(
+            col("__below") < expr("CAST((n + 1) div 2 AS BIGINT)") &&
+              expr("CAST((n + 1) div 2 AS BIGINT)") <= col("__below") + col("t"))
           .select(col("v").as("med")))
       Checks.chiSquareIndependence(
         base.crossJoin(med),
@@ -7483,10 +7555,11 @@ object SparkEntryCoverage {
         |       FROM cnt),
         |agg AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
         |               CAST(SUM(t - na_v) AS BIGINT) AS n_b,
-        |               CAST(SUM(na_v * (2 * rmin + t - 1)) AS BIGINT) AS r2a,
-        |               CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
+        |               SUM(CAST(na_v AS HUGEINT) * (2 * rmin + t - 1)) AS r2a,
+        |               SUM(CAST(t AS HUGEINT) * t * t - t) AS ties3
         |        FROM rk),
-        |u AS (SELECT side_a, side_b, n_a, n_b, r2a - n_a * (n_a + 1) AS u2x, ties3
+        |u AS (SELECT side_a, side_b, n_a, n_b,
+        |        CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2x, ties3
         |      FROM agg CROSS JOIN sides),
         |den AS (SELECT u.*,
         |         CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
@@ -7496,8 +7569,8 @@ object SparkEntryCoverage {
         |zz AS (SELECT side_a, side_b, n_a, n_b, u2x,
         |        CASE WHEN d <= 0 THEN CAST(0 AS BIGINT)
         |        ELSE CAST((CAST(3000000 AS HUGEINT)
-        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
-        |                   * CAST(u2x - n_a * n_b AS HUGEINT)
+        |                   * (CAST(u2x AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+        |                   * (CAST(u2x AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
         |                   * CAST(n_a + n_b AS HUGEINT)
         |                   * CAST(n_a + n_b - 1 AS HUGEINT)) // d AS BIGINT) END AS z2_6
         |       FROM den)
@@ -7767,6 +7840,57 @@ object SparkEntryCoverage {
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
       s"(a, b) -> a * 16 + b)"
+
+  /** Shared BM25-leg + fusion chassis for the two r_rrf_fusion
+    * oracles — `cosxBlock` supplies the embedding leg's CTE chain,
+    * which must end in cosx(qid, doc_id, score): the exact query uses
+    * the full cross join, the ANN variant the banded-signature
+    * candidate join. Everything around it (BM25 run, per-leg top-20
+    * ranks, the 1e6 div (60+rank) fusion, fused top-5) is identical.
+    */
+  private def rrfFusionOracleSql(cosxBlock: String): String =
+    s"""WITH q AS (SELECT qid, term FROM (
+       |    SELECT doc_id AS qid, unnest(tk[3:10]) AS term FROM (
+       |      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |      FROM documents WHERE doc_id % 20 = 0)) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+       |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+       |       FROM documents),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
+       |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |          FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |contrib AS (SELECT tf.doc_id, tf.term,
+       |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
+       |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
+       |        (CAST(tf.tf AS DOUBLE) * 2.2) /
+       |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
+       |      FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
+       |sc AS (SELECT q.qid, contrib.doc_id, round(SUM(c), 6) AS bm25
+       |       FROM contrib JOIN q ON q.term = contrib.term GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+       |       FROM sc),
+       |ra AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_a FROM rk WHERE rnk <= 20),
+       |$cosxBlock,
+       |rb0 AS (SELECT qid, doc_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |        FROM cosx),
+       |rb AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_b FROM rb0 WHERE rnk <= 20),
+       |fu AS (SELECT COALESCE(ra.qid, rb.qid) AS qid,
+       |         COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       |         ra.rank_a, rb.rank_b,
+       |         CAST(COALESCE(1000000 // (60 + ra.rank_a), 0)
+       |              + COALESCE(1000000 // (60 + rb.rank_b), 0) AS BIGINT) AS rrf6
+       |       FROM ra FULL JOIN rb ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id),
+       |fr AS (SELECT qid, doc_id, rank_a, rank_b, rrf6,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rrf6 DESC, doc_id)
+       |           AS fused_rank
+       |       FROM fu)
+       |SELECT qid, doc_id, rank_a, rank_b, rrf6, CAST(fused_rank AS BIGINT) AS fused_rank
+       |FROM fr WHERE fused_rank <= 5 ORDER BY qid, fused_rank""".stripMargin
 
   private def sqlCosine(a: String, b: String): String = {
     val n = s"least(len($a), len($b))"
@@ -11274,14 +11398,12 @@ object SparkEntryCoverage {
         |  ELSE CAST(
         |    (CAST(1000000 AS HUGEINT)
         |     * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
-        |     * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
-        |     * (exp_a + exp_b))
+        |     * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a))
         |    // (CAST(o_a + o_b AS HUGEINT) * exp_a * exp_b) AS BIGINT) END AS z2_6,
         |  CASE WHEN o_a + o_b = 0 OR exp_a = 0 OR exp_b = 0 THEN FALSE
         |  ELSE (CAST(1000000 AS HUGEINT)
         |        * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
-        |        * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a)
-        |        * (exp_a + exp_b))
+        |        * (CAST(o_a AS HUGEINT) * exp_b - CAST(o_b AS HUGEINT) * exp_a))
         |       // (CAST(o_a + o_b AS HUGEINT) * exp_a * exp_b) >= 3841459
         |  END AS significant
         |FROM f""".stripMargin,
@@ -13059,33 +13181,8 @@ object SparkEntryCoverage {
         |FROM f ORDER BY qid""".stripMargin,
     // BM25 rank chain shared with r_mrr_eval; cosine run mirrors the
     // v2_cosine_topk sequential double fold; integer RRF terms
-    "r_rrf_fusion" ->
-      """WITH q AS (SELECT qid, term FROM (
-        |    SELECT doc_id AS qid, unnest(tk[3:10]) AS term FROM (
-        |      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        |      FROM documents WHERE doc_id % 20 = 0)) GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
-        |       FROM documents),
-        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen, COUNT(*) AS n FROM dl),
-        |terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        |          FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
-        |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
-        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |contrib AS (SELECT tf.doc_id, tf.term,
-        |        ln((CAST(n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) /
-        |           (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) *
-        |        (CAST(tf.tf AS DOUBLE) * 2.2) /
-        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / avglen))) AS c
-        |      FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, stats),
-        |sc AS (SELECT q.qid, contrib.doc_id, round(SUM(c), 6) AS bm25
-        |       FROM contrib JOIN q ON q.term = contrib.term GROUP BY 1, 2),
-        |rk AS (SELECT qid, doc_id,
-        |        row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
-        |       FROM sc),
-        |ra AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_a FROM rk WHERE rnk <= 20),
-        |qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
+    "r_rrf_fusion" -> rrfFusionOracleSql(
+      """qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
         |cosx AS (SELECT qe.qid, e.vec_id AS doc_id,
         |    CASE WHEN sqrt(list_reduce(list_transform(
         |             generate_series(1, least(len(e.embedding), len(qe.qv))),
@@ -13108,23 +13205,26 @@ object SparkEntryCoverage {
         |             i -> CAST(qe.qv[i] AS DOUBLE)*CAST(qe.qv[i] AS DOUBLE)),
         |             (x,y) -> x+y)))
         |    END AS score
-        |  FROM embeddings e, qe),
-        |rb0 AS (SELECT qid, doc_id,
-        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
-        |        FROM cosx),
-        |rb AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_b FROM rb0 WHERE rnk <= 20),
-        |fu AS (SELECT COALESCE(ra.qid, rb.qid) AS qid,
-        |         COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
-        |         ra.rank_a, rb.rank_b,
-        |         CAST(COALESCE(1000000 // (60 + ra.rank_a), 0)
-        |              + COALESCE(1000000 // (60 + rb.rank_b), 0) AS BIGINT) AS rrf6
-        |       FROM ra FULL JOIN rb ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id),
-        |fr AS (SELECT qid, doc_id, rank_a, rank_b, rrf6,
-        |         row_number() OVER (PARTITION BY qid ORDER BY rrf6 DESC, doc_id)
-        |           AS fused_rank
-        |       FROM fu)
-        |SELECT qid, doc_id, rank_a, rank_b, rrf6, CAST(fused_rank AS BIGINT) AS fused_rank
-        |FROM fr WHERE fused_rank <= 5 ORDER BY qid, fused_rank""".stripMargin,
+        |  FROM embeddings e, qe)""".stripMargin),
+    // the ANN variant: same fusion chassis, the embedding leg's
+    // candidates from the bit-identical banded-signature predicate
+    // (the v_lsh_topk_probed oracle idiom) instead of the cross join
+    "r_rrf_fusion_ann" -> {
+      val sigE = lshBandPlanes.map(p => sqlLshBit("embedding", p)).mkString(" || ")
+      val anyBand = (0 until LshBands)
+        .map(b =>
+          s"substring(e.s, ${b * LshBandBits + 1}, $LshBandBits) = " +
+            s"substring(qe.qs, ${b * LshBandBits + 1}, $LshBandBits)")
+        .mkString(" OR ")
+      rrfFusionOracleSql(
+        s"""sig AS (SELECT vec_id, embedding, $sigE AS s FROM embeddings),
+           |qe AS (SELECT vec_id AS qid, embedding AS qv, s AS qs
+           |       FROM sig WHERE vec_id % 20 = 0),
+           |cand AS (SELECT DISTINCT qe.qid, e.vec_id AS doc_id, qe.qv, e.embedding
+           |         FROM sig e JOIN qe ON ($anyBand)),
+           |cosx AS (SELECT qid, doc_id, ${sqlCosine("embedding", "qv")} AS score
+           |         FROM cand)""".stripMargin)
+    },
     // the same 3 merge steps unrolled as MATERIALIZED CTEs (the
     // g_kcore lesson): per step, pair counts from the previous
     // vocabulary, totally-ordered argmax, plain-replace rewrite

@@ -99,8 +99,19 @@ object Evaluation {
       .agg(
         sum(col("np_v")).as("n_pos"),
         sum(col("t") - col("np_v")).as("n_neg"),
-        sum(col("np_v") * (lit(2L) * col("rmin") + col("t") - 1L)).as("__r2p"))
-      .withColumn("u2x", col("__r2p") - col("n_pos") * (col("n_pos") + 1L))
+        // the doubled rank-sum in DECIMAL from the first multiply:
+        // np_v·(2·rmin+t−1) reaches ~2·N·np_v and its SUM ~2·N·n⁺,
+        // both past 2^63 near the ~3e9-rows-per-class bound — a
+        // silent BIGINT wrap here would corrupt the AUC, so the
+        // numerator gets the same DECIMAL(38,0) discipline as the
+        // denominator below
+        sum(
+          col("np_v").cast("decimal(38,0)")
+            * (lit(2L) * col("rmin") + col("t") - 1L)).as("__r2p"))
+      .withColumn(
+        "u2x",
+        (col("__r2p") - col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1L))
+          .cast("long"))
       .withColumn(
         "auc6",
         expr(

@@ -310,9 +310,20 @@ object Experiments {
       .agg(
         sum(col("na_v")).as("n_a"),
         sum(col("t") - col("na_v")).as("n_b"),
-        sum(col("na_v") * (lit(2L) * col("rmin") + col("t") - 1L)).as("__r2a"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("__ties3"))
-      .withColumn("u2x", col("__r2a") - col("n_a") * (col("n_a") + 1L))
+        // doubled rank-sum and tie cubes in DECIMAL from the first
+        // multiply — na_v·(2·rmin+t−1) ~ 2·N·na_v and t³ both pass
+        // 2^63 well before the per-side row bound does (same
+        // discipline as rocAucFromCells.__r2p)
+        sum(
+          col("na_v").cast("decimal(38,0)")
+            * (lit(2L) * col("rmin") + col("t") - 1L)).as("__r2a"),
+        sum(
+          col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("__ties3"))
+      .withColumn(
+        "u2x",
+        (col("__r2a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1L))
+          .cast("long"))
       // tie-corrected variance denominator in DECIMAL from the first
       // multiply — (n+1)·n·(n−1) passes 2^63 already at n ≈ 2e6
       .withColumn(
@@ -329,8 +340,8 @@ object Experiments {
           """CASE WHEN __den <= 0 THEN CAST(0 AS BIGINT)
             |ELSE CAST(
             |  (CAST(3000000 AS DECIMAL(38,0))
-            |   * CAST(u2x - n_a * n_b AS DECIMAL(38,0))
-            |   * CAST(u2x - n_a * n_b AS DECIMAL(38,0))
+            |   * (CAST(u2x AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)
+            |   * (CAST(u2x AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)
             |   * CAST(n_a + n_b AS DECIMAL(38,0))
             |   * CAST(n_a + n_b - 1 AS DECIMAL(38,0)))
             |  div __den
@@ -1933,8 +1944,13 @@ object Experiments {
     * null the arm-A event count is Binomial(N, exp_a/(exp_a+exp_b)),
     * and the 1-df chi² has the exact integer form
     *
-    *   z²·1e6 = 1e6·(O_a·exp_b − O_b·exp_a)²·(exp_a+exp_b)
+    *   z²·1e6 = 1e6·(O_a·exp_b − O_b·exp_a)²
     *            div (N·exp_a·exp_b)
+    *
+    * (the (exp_a+exp_b)² normalizations of the binomial mean and
+    * variance cancel exactly: O_a − N·p = d/(exp_a+exp_b) and
+    * N·p·(1−p) = N·exp_a·exp_b/(exp_a+exp_b)², so z² = d² div
+    * (N·exp_a·exp_b) with d = O_a·exp_b − O_b·exp_a)
     *
     * (DECIMAL(38,0) cross-products, one truncating division), with
     * the rate ratio rr6 = (1e6·O_a·exp_b) div (O_b·exp_a) as the
@@ -1990,8 +2006,7 @@ object Experiments {
             |   * (CAST(o_a AS DECIMAL(38,0)) * exp_b
             |      - CAST(o_b AS DECIMAL(38,0)) * exp_a)
             |   * (CAST(o_a AS DECIMAL(38,0)) * exp_b
-            |      - CAST(o_b AS DECIMAL(38,0)) * exp_a)
-            |   * CAST(exp_a + exp_b AS DECIMAL(38,0)))
+            |      - CAST(o_b AS DECIMAL(38,0)) * exp_a))
             |  div (CAST(o_a + o_b AS DECIMAL(38,0))
             |       * CAST(exp_a AS DECIMAL(38,0)) * CAST(exp_b AS DECIMAL(38,0)))
             |AS BIGINT) END""".stripMargin))

@@ -900,8 +900,7 @@ object Series {
       .select(
         col("side_a"), col("side_b"), col("n_a"), col("n_b"),
         col("o_a"), col("e6"), col("v6"), col("z2_6"),
-        // 1.96^2 micro-scaled — the Experiments.Z2Alpha05Micro literal
-        (col("z2_6") >= 3841459L).as("significant"))
+        (col("z2_6") >= Experiments.Z2Alpha05Micro).as("significant"))
   }
 
   /** Gehan–Wilcoxon weighted log-rank (Gehan 1965; Breslow 1970) —
@@ -969,7 +968,7 @@ object Series {
       .select(
         col("side_a"), col("side_b"), col("n_a"), col("n_b"), col("o_a"),
         col("z2_6"),
-        (col("z2_6") >= 3841459L).as("significant"))
+        (col("z2_6") >= Experiments.Z2Alpha05Micro).as("significant"))
 
   /** Stratified log-rank test (the Mantel 1966 test summed over
     * strata — [[Experiments.mantelHaenszel]]'s posture applied to
@@ -1088,7 +1087,7 @@ object Series {
       .select(
         col("side_a"), col("side_b"), col("k_strata"), col("n_a"), col("n_b"),
         col("o_a"), col("e6"), col("v6"), col("z2_6"),
-        (col("z2_6") >= 3841459L).as("significant"))
+        (col("z2_6") >= Experiments.Z2Alpha05Micro).as("significant"))
   }
 
   /** Cumulative incidence function under competing risks (Aalen &

@@ -162,8 +162,13 @@ object Sketches {
       minsCol: Column,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 65536,
+      "kmvOverlapEstimate: k must be in 1..65536 (the union-rank window input is 2k rows)")
     val aH = sketchA.select(explode(minsCol).as("h")).distinct()
     val bH = sketchB.select(explode(minsCol).as("h")).distinct()
+    // unpartitioned window input ≤ 2k rows BY CONSTRUCTION: each side
+    // is one KmvAggregator buffer holding at most k hashes (the
+    // documented bounded-grid window class, enforced by the k require)
     val uni = aH.unionAll(bH).distinct()
       .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
       .filter(col("rn") <= k)

@@ -388,6 +388,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"margin-from-candidates recall $recall below floor (exact ${exact.size}, approx ${approx.size})")
   }
 
+  test("rrf fusion from banded-LSH candidates: fused top-5 agreement >= 0.6 vs exact fusion") {
+    // the r_rrf_fusion_ann contract: the fused list off the banded
+    // candidate shortlist must substantially agree with the fused
+    // list off the exact corpus × query-set cross join. Agreement =
+    // mean per-qid |top5_ann ∩ top5_exact| / 5 over the exact run's
+    // qids — top-k overlap, the RBO@5 numerator without the depth
+    // weights (order-insensitive on purpose: the BM25 leg is shared,
+    // so disagreement isolates the embedding leg's recall gap, and
+    // the driver embeddings are near-uniform, the ANN worst case).
+    val dir = "/root/testdata/sf0.001"
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir)
+        .select(col("qid"), col("doc_id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = top5("r_rrf_fusion")
+    val ann = top5("r_rrf_fusion_ann")
+    assert(exact.nonEmpty)
+    val agreement = exact.map { case (q, e) =>
+      (e & ann.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }.sum / exact.size
+    assert(agreement >= 0.6,
+      s"fused top-5 agreement $agreement below floor over ${exact.size} qids")
+  }
+
   test("mmrRerank diversifies: redundant twin demoted, diverse pick promoted") {
     import spark.implicits._
     // rel order: 1 (0.99) > 2 (0.98, near-clone of 1) > 3 (0.90,

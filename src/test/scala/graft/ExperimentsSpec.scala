@@ -643,14 +643,14 @@ class ExperimentsSpec extends SparkSpec {
 
   test("poissonRateRatio: exposure-normalized rates; exact chi2; three arms fail") {
     // A: 4 events over 2 unit-days, B: 2 over 2 -> rr = 2.0,
-    // d = 4, z2 = 1e6*16*4 div (6*2*2) = 2666666 (not significant)
+    // d = 4*2 - 2*2 = 4, z2 = 1e6*16 div (6*2*2) = 666666 (not significant)
     val rows = Seq(
       ("A", 1L, "d1"), ("A", 1L, "d1"), ("A", 1L, "d1"), ("A", 1L, "d2"),
       ("B", 1L, "d1"), ("B", 1L, "d2")).toDF("s", "u", "d")
     val r = Experiments.poissonRateRatio(rows, col("s"), col("u"), col("d")).head()
     assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
       r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)) ==
-      (("A", "B", 4L, 2L, 2L, 2L, 2000000L, 2666666L, false)))
+      (("A", "B", 4L, 2L, 2L, 2L, 2000000L, 666666L, false)))
     val three = Seq(("A", 1L, "d1"), ("B", 1L, "d1"), ("C", 1L, "d1")).toDF("s", "u", "d")
     val e = intercept[Exception](
       Experiments.poissonRateRatio(three, col("s"), col("u"), col("d")).head())

@@ -122,9 +122,16 @@ class PlanSpec extends SparkSpec {
     // through Relational.globalRank / globalCumSum / globalRunningMax
     // (range-partitioned sort + per-partition fold), so NO Window node
     // of any kind may appear in the executed plan.
+    // r9 additions: a_mood_median's grand median and t_textrank's
+    // vocabulary ids used to rank a corpus-scale table in one task;
+    // a_conversion_latency's per-user median and v_recall_curve's
+    // corpus projection rank were the same class, found by the
+    // registry-wide WindowSweepSpec. All four now route through
+    // globalRank / the count-grid + globalCumSum chassis.
     for (name <- Seq(
         "a_mann_whitney", "a_wilcoxon", "a_kruskal", "st_kruskal",
-        "a_rfm_segments", "a_skyline")) {
+        "a_rfm_segments", "a_skyline",
+        "a_mood_median", "t_textrank", "a_conversion_latency", "v_recall_curve")) {
       val p = plan(name)
       assert(!p.contains("Window"), s"$name still plans a Window:\n$p")
     }
