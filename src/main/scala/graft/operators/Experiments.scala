@@ -1295,10 +1295,16 @@ object Experiments {
         .groupBy(col("arm"))
         .agg(
           sum(col("c")).as("n_g"),
-          sum(col("c") * (lit(2L) * col("rmin") + col("t") - 1L)).as("r2_g")))
+          // rank sums and tie cubes in DECIMAL from the first multiply
+          // — c·(2·rmin+t−1) ~ 2·N·c and t³ pass 2^63 long before the
+          // row bound does (the rocAucFromCells.__r2p discipline)
+          sum(col("c").cast("decimal(38,0)")
+            * (lit(2L) * col("rmin") + col("t") - 1L)).as("r2_g")))
     val tot = broadcast(arms.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n")))
     val ties = broadcast(
-      vt.agg(sum(col("t") * col("t") * col("t") - col("t")).as("__ties3")))
+      vt.agg(
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("__ties3")))
     arms
       .crossJoin(tot)
       // per-arm micro term 12·(R2_g/2)²/(n_g·N(N+1)) rounded ONCE —
@@ -1330,7 +1336,8 @@ object Experiments {
       .withColumn(
         "hc6",
         expr(
-          """CASE WHEN n * n * n - n - __ties3 <= 0 THEN CAST(0 AS BIGINT)
+          """CASE WHEN CAST(n AS DECIMAL(38,0)) * n * n - n - __ties3 <= 0
+            |THEN CAST(0 AS BIGINT)
             |ELSE CAST(
             |  (CAST(__h6 AS DECIMAL(38,0))
             |   * (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
@@ -2455,8 +2462,13 @@ object Experiments {
       .drop("__below")
     val agg = ranked.agg(
       sum(col("t")).as("n"),
-      sum(col("np_v") * (lit(2L) * col("rmin") + col("t") - 1L)).as("t2x"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("__ties3"))
+      // doubled rank-sum and tie cubes in DECIMAL from the first
+      // multiply (the rocAucFromCells.__r2p discipline) — the BIGINT
+      // t2x output column is re-cast at the boundary below
+      sum(col("np_v").cast("decimal(38,0)")
+        * (lit(2L) * col("rmin") + col("t") - 1L)).as("t2x"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .as("__ties3"))
     agg
       .na.fill(0L, Seq("n", "t2x", "__ties3"))
       .crossJoin(zeroCnt)
@@ -2480,7 +2492,7 @@ object Experiments {
             |  div __den
             |AS BIGINT) END""".stripMargin))
       .select(
-        col("n"), col("n_zero"), col("t2x"), col("z2_6"),
+        col("n"), col("n_zero"), col("t2x").cast("long").as("t2x"), col("z2_6"),
         (col("z2_6") >= Z2Alpha05Micro).as("significant"))
   }
 
@@ -2561,26 +2573,37 @@ object Experiments {
       .join(va.select(col("v"), col("arm").as("ah"), col("c").as("ch")), Seq("v"))
       .filter(col("ag") < col("ah"))
       .agg(coalesce(
-        sum(col("ch") * (lit(2L) * col("b") + col("cg"))), lit(0L)).as("jt2"))
+        // JT2 terms in DECIMAL from the first multiply — ch·(2·B+c)
+        // sums to ~N² concordant pairs, past 2^63 at N ≈ 3e9
+        sum(col("ch").cast("decimal(38,0)") * (lit(2L) * col("b") + col("cg"))),
+        lit(0L).cast("decimal(38,0)")).as("jt2"))
+    // the Lehmann variance inputs are n³-class PER GROUP — n_g³ and
+    // t_v³ wrap BIGINT already at ~2.1e6 rows per arm / per tied
+    // value, far below any corpus bound, so every cube chain starts
+    // in DECIMAL(38,0)
     val gStats = broadcast(
       va.groupBy(col("arm")).agg(sum(col("c")).as("n_g"))
         .agg(
           sum(col("n_g")).as("n"),
-          sum(col("n_g") * col("n_g")).as("__sq"),
-          sum(col("n_g") * (col("n_g") - 1L) * (lit(2L) * col("n_g") + 5L)).as("__ga"),
-          sum(col("n_g") * (col("n_g") - 1L) * (col("n_g") - 2L)).as("__gb"),
-          sum(col("n_g") * (col("n_g") - 1L)).as("__gc")))
+          sum(col("n_g").cast("decimal(38,0)") * col("n_g")).as("__sq"),
+          sum(col("n_g").cast("decimal(38,0)") * (col("n_g") - 1L)
+            * (lit(2L) * col("n_g") + 5L)).as("__ga"),
+          sum(col("n_g").cast("decimal(38,0)") * (col("n_g") - 1L)
+            * (col("n_g") - 2L)).as("__gb"),
+          sum(col("n_g").cast("decimal(38,0)") * (col("n_g") - 1L)).as("__gc")))
     val tStats = broadcast(
       va.groupBy(col("v")).agg(sum(col("c")).as("t"))
         .agg(
-          sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("__ta"),
-          sum(col("t") * (col("t") - 1L) * (col("t") - 2L)).as("__tb"),
-          sum(col("t") * (col("t") - 1L)).as("__tc")))
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1L)
+            * (lit(2L) * col("t") + 5L)).as("__ta"),
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1L)
+            * (col("t") - 2L)).as("__tb"),
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1L)).as("__tc")))
     jt
       .crossJoin(gStats)
       .crossJoin(tStats)
       .withColumn("k", lit(armTotals.length.toLong))
-      .withColumn("e2", expr("(n * n - __sq) div 2"))
+      .withColumn("e2", expr("(CAST(n AS DECIMAL(38,0)) * n - __sq) div 2"))
       .withColumn(
         "__var72",
         expr(
@@ -2607,7 +2630,9 @@ object Experiments {
             |  div __var72
             |AS BIGINT) END""".stripMargin))
       .select(
-        col("k"), col("n"), col("jt2"), col("e2"), col("z2_6"),
+        col("k"), col("n"),
+        col("jt2").cast("long").as("jt2"), col("e2").cast("long").as("e2"),
+        col("z2_6"),
         (col("z2_6") >= Z2Alpha05Micro).as("significant"))
   }
 
