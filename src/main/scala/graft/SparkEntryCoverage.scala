@@ -5953,6 +5953,36 @@ object SparkEntryCoverage {
         col("user_id"),
         to_date(col("ts")))
     },
+    // Anytime-valid e-process monitor (Experiments.eProcessRate):
+    // daily wealth against H0 "purchase share = 20%", betting
+    // lambda 0.3, alpha 0.05 — peek every day forever, the Ville
+    // guarantee holds with no look table; binary outcomes make the
+    // log-wealth an exact integer affine map of the running counts.
+    "a_eprocess" -> { (s, dir) =>
+      Experiments.eProcessRate(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("ts").isNotNull),
+        col("event_type") === "purchase",
+        to_date(col("ts")),
+        p0Ppm = 200000L,
+        lambdaPpm = 300000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
+    // Winsorized + trimmed per-arm means (Experiments.winsorizedMeans):
+    // the heavy-tail-robust readout for the parity arms' cent values —
+    // pooled exact order-statistic cutoffs at 1%/99% (identical clamps
+    // for both arms), clamped and dropped-tail means in exact micro
+    // cents; the whale-proof metric every raw arm mean needs beside it.
+    "a_winsorized" -> { (s, dir) =>
+      Experiments.winsorizedMeans(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull),
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+        round(col("value") * 100.0, 0).cast("long"),
+        loPpm = 10000L,
+        hiPpm = 990000L)
+    },
     // One-way ANOVA (Experiments.oneWayAnova): does mean cent value
     // differ across the 5 event types? SSB/SSW from one moment pass,
     // large-sample chi-square significance vs the dof-4 literal.
@@ -7840,6 +7870,31 @@ object SparkEntryCoverage {
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
       s"(a, b) -> a * 16 + b)"
+
+  /** a_eprocess / st_eprocess shared oracle: the streaming monitor
+    * merges partial (day, n, x) grids and re-runs the same affine
+    * wealth readout, so one SQL is the truth for both paths; the
+    * micro-nat constants come from the SAME eProcessConstants call
+    * the engine uses (the ndcgWeights shared-constant discipline).
+    */
+  private[graft] lazy val eProcessOracleSql: String = {
+    val (a6, b6, thr6) = Experiments.eProcessConstants(200000L, 300000L, 50000L)
+    s"""WITH base AS (SELECT CAST(ts AS DATE) AS day,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS xx
+       |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xx) AS BIGINT) AS x
+       |      FROM base GROUP BY 1),
+       |c AS (SELECT day, n, x,
+       |        CAST(SUM(x) OVER (ORDER BY day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx,
+       |        CAST(SUM(n) OVER (ORDER BY day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+       |      FROM d)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, n, x,
+       |  CAST(cx * ($a6) + (cn - cx) * ($b6) AS BIGINT) AS ln_e6,
+       |  (cx * ($a6) + (cn - cx) * ($b6)) >= $thr6 AS crossed
+       |FROM c ORDER BY day""".stripMargin
+  }
 
   /** Shared BM25-leg + fusion chassis for the two r_rrf_fusion
     * oracles — `cosxBlock` supplies the embedding leg's CTE chain,
@@ -11377,6 +11432,43 @@ object SparkEntryCoverage {
         |  ELSE CAST((CAST(1000000 AS HUGEINT) * o_a * eb6)
         |            // (CAST(o_b AS HUGEINT) * ea6) AS BIGINT) END AS hr6
         |FROM f""".stripMargin,
+    "a_eprocess" -> eProcessOracleSql,
+    "a_winsorized" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS s,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM cnt),
+        |cum AS (SELECT v, t,
+        |          CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+        |        FROM cnt),
+        |rk AS (SELECT n,
+        |         GREATEST(1, (CAST(n AS HUGEINT) * 10000 + 999999) // 1000000) AS rlo,
+        |         GREATEST(GREATEST(1, (CAST(n AS HUGEINT) * 10000 + 999999) // 1000000),
+        |                  LEAST(n, (CAST(n AS HUGEINT) * 990000 + 999999) // 1000000))
+        |           AS rhi
+        |       FROM tot),
+        |lo AS (SELECT v AS lo_cut FROM cum, rk WHERE b < rlo AND rlo <= b + t),
+        |hi AS (SELECT v AS hi_cut FROM cum, rk WHERE b < rhi AND rhi <= b + t)
+        |SELECT s AS side, CAST(COUNT(*) AS BIGINT) AS n, lo_cut, hi_cut,
+        |  CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clamped,
+        |  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clamped,
+        |  CAST((CAST(1000000 AS HUGEINT)
+        |        * SUM(GREATEST(lo_cut, LEAST(hi_cut, v))))
+        |       // COUNT(*) AS BIGINT) AS wins_mean6,
+        |  CAST(SUM(CASE WHEN v >= lo_cut AND v <= hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_trim,
+        |  CASE WHEN SUM(CASE WHEN v >= lo_cut AND v <= hi_cut THEN 1 ELSE 0 END) = 0
+        |       THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(1000000 AS HUGEINT)
+        |             * SUM(CASE WHEN v >= lo_cut AND v <= hi_cut THEN v ELSE 0 END))
+        |            // SUM(CASE WHEN v >= lo_cut AND v <= hi_cut THEN 1 ELSE 0 END)
+        |       AS BIGINT) END AS trim_mean6
+        |FROM base, lo, hi
+        |GROUP BY s, lo_cut, hi_cut
+        |ORDER BY side""".stripMargin,
     "a_rate_ratio" ->
       """WITH base AS (SELECT
         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS s,

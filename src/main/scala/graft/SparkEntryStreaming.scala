@@ -739,6 +739,42 @@ object SparkEntryStreaming {
         .withColumnRenamed("k", "event_type")
         .orderBy(col("event_type"))
     },
+    // Streaming anytime-valid e-process monitor — the natural home of
+    // an always-valid test (peek as traffic arrives, Ville covers
+    // every peek): per-batch partial (day, n, x) grids SUM-merge
+    // exactly (the st_mann_kendall sufficient-statistic posture), the
+    // monitor re-runs the exact affine wealth readout over the merged
+    // day-bounded grid — bit-equal to the batch a_eprocess under one
+    // shared oracle.
+    "st_eprocess" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/epgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(to_date(col("ts")).as("day"), lit(0L).as("n"), lit(0L).as("x"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("event_type").isNotNull && col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessFromCells(
+          s.read.parquet(cPath),
+          p0Ppm = 200000L,
+          lambdaPpm = 300000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming Page-Hinkley drift monitor — the running-mean fold is
     // order-pinned and not mergeable, but the DAILY COUNT GRID is
     // (per-batch partial counts SUM-merge exactly, the
@@ -1420,6 +1456,9 @@ object SparkEntryStreaming {
     // daily-count-grid merge-invariance makes the streamed trend test
     // bit-equal to the batch w_mann_kendall — one shared oracle
     "st_mann_kendall" -> SparkEntryCoverage.mannKendallOracleSql,
+    // (day, n, x) count-grid merge-invariance: the streamed wealth
+    // readout must equal the one-shot batch a_eprocess
+    "st_eprocess" -> SparkEntryCoverage.eProcessOracleSql,
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout

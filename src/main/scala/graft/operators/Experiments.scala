@@ -2795,4 +2795,184 @@ object Experiments {
       .select(
         col("k"), col("n"), col("x"), col("z2_6"),
         (col("z2_6") >= Z2Alpha05Micro).as("significant"))
+
+  /** Anytime-valid e-process rate monitor (Waudby-Smith & Ramdas,
+    * JRSS-B 2024 betting form; Ville 1939 for the inequality) — the
+    * MODERN replacement for fixed-look group-sequential boundaries
+    * ([[obfLooks5]]/[[pocockLooks5]]): the wealth process
+    * E_n = Π (1 + λ·(X_i − p0)) is a nonnegative supermartingale
+    * under H0: rate = p0, so by Ville P(sup E_n ≥ 1/α) ≤ α — the
+    * monitor may peek EVERY day forever and the α guarantee still
+    * holds, no look table, no alpha spending.
+    *
+    * Exactness — the ndcgWeights shared-constant discipline: X is
+    * binary, so ln E_n has exactly TWO distinct per-event terms,
+    * a = ln(1 + λ(1−p0)) and b = ln(1 − λ·p0), computed ONCE here in
+    * micro-nats and injected as literals into both engines; the
+    * cumulative log-wealth is then the exact integer
+    * lnE6(d) = c1(d)·a6 + c0(d)·b6 over the running success/failure
+    * counts, and the threshold ln(1/α) is one more literal. Daily
+    * cumulative counts come from [[Relational.globalCumSum]] over the
+    * calendar-day grid (bounded, but the chassis costs nothing —
+    * zero Window nodes). DECIMAL(38,0) products (c·a6 passes 2^63
+    * near 1e13 rows).
+    *
+    * Scale shape: one hash agg to the day grid, two distributed
+    * prefix sums, a map-side affine readout. The (c0, c1) pair is a
+    * SUFFICIENT STATISTIC — partial day grids from independent
+    * slices sum-merge exactly, so the streaming twin never re-scans
+    * history. Returns one row per day (day, n, x, ln_e6, crossed),
+    * ordered by day; `crossed` latches via the running maximum being
+    * monotone in counts only at the day granularity (a day that
+    * crosses stays crossed in any later re-read because counts only
+    * grow).
+    */
+  def eProcessRate(
+      df: DataFrame,
+      successCol: Column,
+      dayCol: Column,
+      p0Ppm: Long,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessFromCells(
+      df
+        .filter(successCol.isNotNull && dayCol.isNotNull)
+        .groupBy(dayCol.as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x")),
+      p0Ppm,
+      lambdaPpm,
+      alphaPpm)
+
+  /** [[eProcessRate]]'s readout over a (possibly merged) (day, n, x)
+    * count grid — the MERGEABLE half (the rocAucCells posture):
+    * counts are linear, so partial grids from independent slices
+    * SUM-merge exactly and the wealth readout over the merged grid
+    * is bit-equal to a single-pass run; a live monitor never
+    * re-scans history.
+    */
+  def eProcessFromCells(
+      cells: DataFrame,
+      p0Ppm: Long,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame = {
+    require(p0Ppm > 0L && p0Ppm < 1000000L, "p0Ppm must be in (0, 1e6)")
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
+    require(lambdaPpm > 0L && lambdaPpm * p0Ppm < 1000000000000L,
+      "lambdaPpm must be positive with lambda * p0 < 1 (wealth must stay positive)")
+    val (a6, b6, thr6) = eProcessConstants(p0Ppm, lambdaPpm, alphaPpm)
+    val daily = cells
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("x")).as("x"))
+    val c1 = Relational.globalCumSum(daily, Seq(col("day")), "x", "__x0")
+    val c01 = Relational.globalCumSum(c1, Seq(col("day")), "n", "__n0")
+    c01
+      .select(
+        col("day"),
+        col("n"),
+        col("x"),
+        ((col("__x0") + col("x")).cast("decimal(38,0)") * a6 +
+          (col("__n0") + col("n") - col("__x0") - col("x")).cast("decimal(38,0)") * b6)
+          .cast("long").as("ln_e6"))
+      .withColumn("crossed", col("ln_e6") >= thr6)
+      .orderBy(col("day"))
+  }
+
+  /** The literals [[eProcessRate]] injects, exposed so the oracle SQL
+    * interpolates the SAME micro-nat constants (the ndcgWeights
+    * shared-constant discipline).
+    */
+  def eProcessConstants(p0Ppm: Long, lambdaPpm: Long, alphaPpm: Long): (Long, Long, Long) = {
+    val p0 = p0Ppm / 1e6
+    val lam = lambdaPpm / 1e6
+    (
+      math.round(math.log1p(lam * (1.0 - p0)) * 1e6),
+      math.round(math.log1p(-lam * p0) * 1e6),
+      math.round(math.log(1e6 / alphaPpm) * 1e6))
+  }
+
+  /** Winsorized and trimmed per-arm means (Tukey; the Dixon &
+    * Tukey 1968 winsorization) — the heavy-tail-robust metric
+    * readout every large-scale revenue experiment ships: one whale
+    * user can move a raw arm mean more than the treatment does, so
+    * the tails are CLAMPED (winsorized) or DROPPED (trimmed) at
+    * fixed quantile cutoffs before averaging. Cutoffs are computed
+    * on the POOLED distribution so both arms clamp at identical
+    * values — per-arm cutoffs would absorb exactly the tail shift a
+    * treatment may cause (the standard practice, e.g. Kohavi et al.,
+    * "Trustworthy Online Controlled Experiments" §22).
+    *
+    * Exactness: the cutoffs are exact ORDER STATISTICS — L = the
+    * value at pooled rank max(1, ceil(n·loPpm/1e6)), U = at rank
+    * max(r_lo, min(n, ceil(n·hiPpm/1e6))) — read off the
+    * distinct-value count grid + [[Relational.globalCumSum]] (the
+    * value whose cumulative range covers the target rank; the
+    * a_mood_median chassis), never a full-table rank window. Sums
+    * of clamped values accumulate in DECIMAL(38,0); each mean is
+    * one truncating division (mean6 = 1e6·Σ div n). loPpm = 0 /
+    * hiPpm = 1e6 degrade to the raw mean exactly (L = min, U = max).
+    *
+    * Scale shape: one hash agg to the value-domain count grid, the
+    * distributed prefix sum, a 1-row broadcast of (L, U), one
+    * map-side clamp + per-arm hash agg. Returns one row per arm
+    * (side, n, lo_cut, hi_cut, n_lo_clamped, n_hi_clamped,
+    * wins_mean6, n_trim, trim_mean6), ordered by side.
+    */
+  def winsorizedMeans(
+      df: DataFrame,
+      sideCol: Column,
+      valueCol: Column,
+      loPpm: Long,
+      hiPpm: Long): DataFrame = {
+    require(loPpm >= 0L && hiPpm <= 1000000L && loPpm < hiPpm,
+      "winsorizedMeans: need 0 <= loPpm < hiPpm <= 1000000")
+    val base = df
+      .filter(sideCol.isNotNull && valueCol.isNotNull)
+      .select(sideCol.cast("string").as("s"), valueCol.cast("long").as("v"))
+    val counts = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val tot = broadcast(counts.agg(sum(col("t")).as("n")))
+    val cum = Relational.globalCumSum(counts, Seq(col("v")), "t", "__below")
+      .crossJoin(tot)
+      // ceil-rank targets in DECIMAL (n·ppm passes 2^63 at n ≈ 9e12)
+      .withColumn(
+        "__rlo",
+        expr(s"""GREATEST(CAST(1 AS BIGINT),
+                |  (CAST(n AS DECIMAL(38,0)) * $loPpm + 999999) div 1000000)"""
+          .stripMargin))
+      .withColumn(
+        "__rhi",
+        expr(s"""GREATEST(__rlo, LEAST(n,
+                |  (CAST(n AS DECIMAL(38,0)) * $hiPpm + 999999) div 1000000))"""
+          .stripMargin))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cutAt(rank: String, out: String): DataFrame =
+      cum
+        .filter(col("__below") < col(rank) && col(rank) <= col("__below") + col("t"))
+        .select(col("v").as(out))
+    val cuts = broadcast(cutAt("__rlo", "lo_cut").crossJoin(cutAt("__rhi", "hi_cut")))
+    val w = greatest(col("lo_cut"), least(col("hi_cut"), col("v")))
+    val inRange = col("v") >= col("lo_cut") && col("v") <= col("hi_cut")
+    base
+      .crossJoin(cuts)
+      .groupBy(col("s").as("side"), col("lo_cut"), col("hi_cut"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_lo_clamped"),
+        sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_hi_clamped"),
+        sum(w.cast("decimal(38,0)")).as("__ws"),
+        sum(when(inRange, 1L).otherwise(0L)).as("n_trim"),
+        sum(when(inRange, col("v")).otherwise(0L).cast("decimal(38,0)")).as("__ts"))
+      .select(
+        col("side"), col("n"), col("lo_cut"), col("hi_cut"),
+        col("n_lo_clamped"), col("n_hi_clamped"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __ws) div n AS BIGINT)")
+          .as("wins_mean6"),
+        col("n_trim"),
+        expr(
+          """CASE WHEN n_trim = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * __ts) div n_trim AS BIGINT)
+            |END""".stripMargin).as("trim_mean6"))
+      .orderBy(col("side"))
+  }
 }

@@ -657,6 +657,51 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly 2 arms"))
   }
 
+  test("eProcessRate: exact affine log-wealth over running counts; bad lambda fails") {
+    // p0 = 0.5, lambda = 0.5: a6 = round(ln 1.25 * 1e6) = 223144,
+    // b6 = round(ln 0.75 * 1e6) = -287682; alpha 0.05 -> thr6 =
+    // round(ln 20 * 1e6) = 2995732.
+    // d1: two successes -> lnE6 = 446288; d2: one failure ->
+    // lnE6 = 446288 - 287682 = 158606; neither crosses.
+    assert(Experiments.eProcessConstants(500000L, 500000L, 50000L) ==
+      ((223144L, -287682L, 2995732L)))
+    val rows = Seq(("d1", true), ("d1", true), ("d2", false)).toDF("day", "ok")
+    val got = Experiments
+      .eProcessRate(rows, col("ok"), col("day"), 500000L, 500000L, 50000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("d1", 2L, 2L, 446288L, false),
+      ("d2", 1L, 0L, 158606L, false)))
+    val e = intercept[IllegalArgumentException](
+      Experiments.eProcessRate(rows, col("ok"), col("day"), 500000L, 2000001L, 50000L))
+    assert(e.getMessage.contains("wealth must stay positive"))
+  }
+
+  test("winsorizedMeans: pooled exact cutoffs, identical clamps per arm; bad ppm fails") {
+    // pooled sorted values: 1..10 then 100,200,...,1000; n = 20.
+    // loPpm 10% -> r_lo = ceil(2) = 2 -> L = 2; hiPpm 90% ->
+    // r_hi = ceil(18) = 18 -> U = 800.
+    // A (1..10): clamp 1->2 (one lo), wins sum 56 -> 5_600_000;
+    //   trim keeps 2..10 (9 rows, sum 54) -> 6_000_000.
+    // B (100..1000): clamp 900,1000 -> 800 (two hi),
+    //   wins sum 3600+1600 = 5200 -> 520_000_000;
+    //   trim keeps 100..800 (8 rows, sum 3600) -> 450_000_000.
+    val rows = ((1 to 10).map(v => ("A", v.toLong)) ++
+      (1 to 10).map(v => ("B", v.toLong * 100L))).toDF("s", "v")
+    val got = Experiments
+      .winsorizedMeans(rows, col("s"), col("v"), 100000L, 900000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got.toSeq == Seq(
+      ("A", 10L, 2L, 800L, 1L, 0L, 5600000L, 9L, 6000000L),
+      ("B", 10L, 2L, 800L, 0L, 2L, 520000000L, 8L, 450000000L)))
+    val e = intercept[IllegalArgumentException](
+      Experiments.winsorizedMeans(rows, col("s"), col("v"), 500000L, 500000L))
+    assert(e.getMessage.contains("loPpm < hiPpm"))
+  }
+
   test("quantileTreatmentEffect: order-statistic probes difference exactly; three sides fail") {
     // A {1,2,3,4}, B {2,4,6,8}, k=2: medians 2 vs 4, maxes 4 vs 8
     val rows = Seq(
