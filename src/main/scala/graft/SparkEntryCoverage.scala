@@ -5969,6 +5969,26 @@ object SparkEntryCoverage {
         alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     },
+    // Two-sample anytime-valid A/B monitor (Experiments
+    // .eProcessTwoSample): bet on the arm label of each purchase —
+    // under H0 "equal purchase rates" with the 50/50 parity design,
+    // successes are arm-A with probability exactly 1/2, so the
+    // one-sample wealth chassis runs verbatim with p0 = pi_A.
+    "a_eprocess_ab" -> { (s, dir) =>
+      Experiments.eProcessTwoSample(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull
+            && col("event_type").isNotNull),
+        col("user_id"),
+        col("user_id") % 2 === 0,
+        col("event_type") === "purchase",
+        to_date(col("ts")),
+        piAPpm = 500000L,
+        lambdaPpm = 200000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Winsorized + trimmed per-arm means (Experiments.winsorizedMeans):
     // the heavy-tail-robust readout for the parity arms' cent values —
     // pooled exact order-statistic cutoffs at 1%/99% (identical clamps
@@ -11433,6 +11453,26 @@ object SparkEntryCoverage {
         |            // (CAST(o_b AS HUGEINT) * ea6) AS BIGINT) END AS hr6
         |FROM f""".stripMargin,
     "a_eprocess" -> eProcessOracleSql,
+    "a_eprocess_ab" -> {
+      val (a6, b6, thr6) = Experiments.eProcessConstants(500000L, 200000L, 50000L)
+      s"""WITH base AS (SELECT CAST(ts AS DATE) AS day,
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS xx
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type = 'purchase'),
+         |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xx) AS BIGINT) AS x
+         |      FROM base GROUP BY 1),
+         |c AS (SELECT day, n, x,
+         |        CAST(SUM(x) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx,
+         |        CAST(SUM(n) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+         |      FROM d)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n, x,
+         |  CAST(cx * ($a6) + (cn - cx) * ($b6) AS BIGINT) AS ln_e6,
+         |  (cx * ($a6) + (cn - cx) * ($b6)) >= $thr6 AS crossed
+         |FROM c ORDER BY day""".stripMargin
+    },
     "a_winsorized" ->
       """WITH base AS (SELECT
         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS s,

@@ -2879,6 +2879,45 @@ object Experiments {
       .orderBy(col("day"))
   }
 
+  /** Anytime-valid TWO-SAMPLE rate comparison — the A/B form of
+    * [[eProcessRate]] via the success-stream reduction: under
+    * H0: p_A = p_B with a FIXED design assignment probability π_A
+    * (fixed randomization, the [[srmCheck]] precondition), each
+    * SUCCESS is an arm-A success with probability exactly π_A
+    * regardless of the common rate, so betting on the arm label of
+    * successive successes is a one-sample e-process with p0 = π_A —
+    * wealth grows when arm A wins more (λ > 0 bets "A is better";
+    * run a second monitor with the arms swapped for the other
+    * side). Same Ville guarantee: peek every day forever at α.
+    *
+    * The reduction means the chassis is shared verbatim: cells =
+    * (day, n = successes, x = arm-A successes) feed
+    * [[eProcessFromCells]] with p0Ppm = piAPpm — so the (day, n, x)
+    * grid is again the mergeable sufficient statistic and a
+    * streaming twin costs nothing new. Returns one row per day with
+    * ≥1 success (day, n, x, ln_e6, crossed), ordered by day.
+    */
+  def eProcessTwoSample(
+      df: DataFrame,
+      sideCol: Column,
+      isA: Column,
+      successCol: Column,
+      dayCol: Column,
+      piAPpm: Long,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessFromCells(
+      df
+        .filter(sideCol.isNotNull && successCol.isNotNull && dayCol.isNotNull)
+        .filter(successCol.cast("boolean"))
+        .groupBy(dayCol.as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(isA, 1L).otherwise(0L)).as("x")),
+      piAPpm,
+      lambdaPpm,
+      alphaPpm)
+
   /** The literals [[eProcessRate]] injects, exposed so the oracle SQL
     * interpolates the SAME micro-nat constants (the ndcgWeights
     * shared-constant discipline).

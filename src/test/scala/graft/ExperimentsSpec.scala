@@ -678,6 +678,25 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("wealth must stay positive"))
   }
 
+  test("eProcessTwoSample: success-stream reduction — failures ignored, arm labels bet on") {
+    // pi_A = 0.5, lambda = 0.5 -> same constants as the one-sample
+    // fixture (a6 = 223144, b6 = -287682). d1: successes A, A, plus
+    // an ignored failure -> lnE6 = 446288; d2: one B success ->
+    // 446288 - 287682 = 158606. A failure-only day emits no row.
+    val rows = Seq(
+      ("d1", "A", true), ("d1", "A", true), ("d1", "B", false),
+      ("d2", "B", true), ("d3", "A", false)).toDF("day", "arm", "ok")
+    val got = Experiments
+      .eProcessTwoSample(
+        rows, col("arm"), col("arm") === "A", col("ok"), col("day"),
+        500000L, 500000L, 50000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("d1", 2L, 2L, 446288L, false),
+      ("d2", 1L, 0L, 158606L, false)))
+  }
+
   test("winsorizedMeans: pooled exact cutoffs, identical clamps per arm; bad ppm fails") {
     // pooled sorted values: 1..10 then 100,200,...,1000; n = 20.
     // loPpm 10% -> r_lo = ceil(2) = 2 -> L = 2; hiPpm 90% ->
