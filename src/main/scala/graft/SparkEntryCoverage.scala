@@ -5969,6 +5969,23 @@ object SparkEntryCoverage {
         alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     },
+    // Anytime-valid confidence sequence (Experiments
+    // .eProcessConfidenceSeq): the running always-valid band for the
+    // purchase rate — 99 percent-grid candidates each run their own
+    // betting wealth, rejection latches via the per-candidate running
+    // max, and each day reads [min, max] of the survivors; intervals
+    // only shrink, and the whole PATH covers at 95%.
+    "a_eprocess_cs" -> { (s, dir) =>
+      Experiments.eProcessConfidenceSeq(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("ts").isNotNull),
+        col("event_type") === "purchase",
+        to_date(col("ts")),
+        lambdaPpm = 500000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Two-sample anytime-valid A/B monitor (Experiments
     // .eProcessTwoSample): bet on the arm label of each purchase —
     // under H0 "equal purchase rates" with the 50/50 parity design,
@@ -11453,6 +11470,37 @@ object SparkEntryCoverage {
         |            // (CAST(o_b AS HUGEINT) * ea6) AS BIGINT) END AS hr6
         |FROM f""".stripMargin,
     "a_eprocess" -> eProcessOracleSql,
+    "a_eprocess_cs" -> {
+      val thr6 = math.round(math.log(2e6 / 50000L) * 1e6)
+      val gridVals = Experiments.eProcessCsGrid(500000L)
+        .map { case (p, ap, bp, an, bn) => s"($p, $ap, $bp, $an, $bn)" }
+        .mkString(", ")
+      s"""WITH grid(pct, ap6, bp6, an6, bn6) AS (VALUES $gridVals),
+         |base AS (SELECT CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS xx
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xx) AS BIGINT) AS x
+         |      FROM base GROUP BY 1),
+         |c AS (SELECT day, n, x,
+         |        CAST(SUM(x) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx,
+         |        CAST(SUM(n) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+         |      FROM d),
+         |w AS (SELECT c.day, c.n, c.x, g.pct,
+         |        GREATEST(
+         |          CAST(c.cx * g.ap6 + (c.cn - c.cx) * g.bp6 AS BIGINT),
+         |          CAST(c.cx * g.an6 + (c.cn - c.cx) * g.bn6 AS BIGINT)) AS ln_e6
+         |      FROM c CROSS JOIN grid g),
+         |s AS (SELECT day, n, x, pct,
+         |        MAX(ln_e6) OVER (PARTITION BY pct ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sup6
+         |      FROM w)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n, x,
+         |  CAST(MIN(pct) AS BIGINT) AS lo_pct, CAST(MAX(pct) AS BIGINT) AS hi_pct
+         |FROM s WHERE sup6 < $thr6
+         |GROUP BY day, n, x ORDER BY day""".stripMargin
+    },
     "a_eprocess_ab" -> {
       val (a6, b6, thr6) = Experiments.eProcessConstants(500000L, 200000L, 50000L)
       s"""WITH base AS (SELECT CAST(ts AS DATE) AS day,

@@ -2918,6 +2918,105 @@ object Experiments {
       lambdaPpm,
       alphaPpm)
 
+  /** Anytime-valid confidence SEQUENCE for a rate — the band the
+    * T224 wealth process implies (Waudby-Smith & Ramdas 2024 §3:
+    * a CS is the set of p0 no e-process has rejected yet; by Ville
+    * the running band covers the true rate at every time
+    * simultaneously with probability ≥ 1−α): each candidate p0 on
+    * the percent grid 1..99 runs ITS OWN betting wealth against the
+    * running counts, and day d's interval is [min, max] of the
+    * still-unrejected candidates. Intervals only SHRINK over time
+    * (wealth suprema are monotone in the running maximum; rejection
+    * latches via the running max below), which is the defining CS
+    * property a per-day fixed-n interval lacks.
+    *
+    * Two-sided by TWO one-sided bets (the standard composition): per
+    * candidate, a λ>0 wealth catches "true rate above p0" and a λ<0
+    * wealth catches "below p0", each tested at α/2 (union bound ⇒
+    * simultaneous α). Exactness: the grid is 99 literal
+    * (pct, a⁺6, b⁺6, a⁻6, b⁻6) tuples computed once here (the
+    * ndcgWeights discipline — the oracle interpolates the SAME longs
+    * via [[eProcessCsGrid]]); per (day, candidate) each side's
+    * log-wealth is an exact affine map of (cx, cn); the latch is a
+    * candidate-partitioned running max over the day-bounded grid
+    * (PARTITIONED window — the sweep-clean kind). λ is clamped per
+    * candidate to keep BOTH sides' wealth positive:
+    * λ(p0) = min(lambdaPpm/1e6, 0.5/max(p0, 1−p0)).
+    *
+    * Scale shape: one hash agg to the day grid, two distributed
+    * prefix sums, a broadcast 99-row grid join, one partitioned
+    * running max. Returns one row per day (day, n, x, lo_pct,
+    * hi_pct), ordered by day.
+    */
+  def eProcessConfidenceSeq(
+      df: DataFrame,
+      successCol: Column,
+      dayCol: Column,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
+    require(lambdaPpm > 0L && lambdaPpm <= 1000000L, "lambdaPpm must be in (0, 1e6]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // per-side level alpha/2 -> threshold ln(2/alpha)
+    val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
+    val grid = broadcast(
+      eProcessCsGrid(lambdaPpm).toDF("pct", "ap6", "bp6", "an6", "bn6"))
+    val daily = df
+      .filter(successCol.isNotNull && dayCol.isNotNull)
+      .groupBy(dayCol.as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x"))
+    val c1 = Relational.globalCumSum(daily, Seq(col("day")), "x", "__x0")
+    val c01 = Relational.globalCumSum(c1, Seq(col("day")), "n", "__n0")
+    val wealth = c01
+      .select(
+        col("day"), col("n"), col("x"),
+        (col("__x0") + col("x")).as("cx"),
+        (col("__n0") + col("n")).as("cn"))
+      .crossJoin(grid)
+      .withColumn(
+        "ln_e6",
+        greatest(
+          (col("cx").cast("decimal(38,0)") * col("ap6") +
+            (col("cn") - col("cx")).cast("decimal(38,0)") * col("bp6")).cast("long"),
+          (col("cx").cast("decimal(38,0)") * col("an6") +
+            (col("cn") - col("cx")).cast("decimal(38,0)") * col("bn6")).cast("long")))
+    // rejection latches: a candidate whose wealth EVER crossed stays
+    // rejected (sup over time, the Ville form) — running max per
+    // candidate over the day order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pct"))
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    wealth
+      .withColumn("__sup6", max(col("ln_e6")).over(w))
+      .filter(col("__sup6") < thr6)
+      .groupBy(col("day"), col("n"), col("x"))
+      .agg(min(col("pct")).as("lo_pct"), max(col("pct")).as("hi_pct"))
+      .orderBy(col("day"))
+  }
+
+  /** The 99-row (pct, a⁺6, b⁺6, a⁻6, b⁻6) literal grid
+    * [[eProcessConfidenceSeq]] bets with, exposed so the oracle
+    * interpolates the SAME longs: the λ>0 side's success/failure
+    * terms and the λ<0 side's. λ is truncated per candidate to keep
+    * both sides' per-event wealth factors positive.
+    */
+  def eProcessCsGrid(lambdaPpm: Long): Seq[(Long, Long, Long, Long, Long)] =
+    (1L to 99L).map { pct =>
+      val p0 = pct / 100.0
+      val lamMax = 0.5 / math.max(p0, 1.0 - p0)
+      val lam = math.min(lambdaPpm / 1e6, lamMax)
+      (
+        pct,
+        math.round(math.log1p(lam * (1.0 - p0)) * 1e6),
+        math.round(math.log1p(-lam * p0) * 1e6),
+        math.round(math.log1p(-lam * (1.0 - p0)) * 1e6),
+        math.round(math.log1p(lam * p0) * 1e6))
+    }
+
   /** The literals [[eProcessRate]] injects, exposed so the oracle SQL
     * interpolates the SAME micro-nat constants (the ndcgWeights
     * shared-constant discipline).

@@ -678,6 +678,38 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("wealth must stay positive"))
   }
 
+  test("eProcessConfidenceSeq: two-sided band; rejection latches; interval only shrinks") {
+    // day 1: 16/20 successes; day 2: 4/20 (running rate drops to
+    // 1/2). Expected intervals from an INDEPENDENT sequential fold
+    // over the same literal grid (the single-threaded-reference
+    // idiom): per candidate, each day's two-sided log-wealth is the
+    // exact affine map, a candidate survives while its running SUP
+    // stays under the per-side ln(2/alpha) threshold.
+    val rows = ((1 to 16).map(_ => ("d1", true)) ++
+      (1 to 4).map(_ => ("d1", false)) ++
+      (1 to 4).map(_ => ("d2", true)) ++
+      (1 to 16).map(_ => ("d2", false))).toDF("day", "ok")
+    val grid = Experiments.eProcessCsGrid(500000L)
+    val thr = math.round(math.log(2e6 / 50000L) * 1e6)
+    def lnE(cx: Long, cn: Long)(g: (Long, Long, Long, Long, Long)): Long =
+      math.max(cx * g._2 + (cn - cx) * g._3, cx * g._4 + (cn - cx) * g._5)
+    val surv1 = grid.filter(g => lnE(16, 20)(g) < thr).map(_._1)
+    val surv2 = grid.filter(g =>
+      math.max(lnE(16, 20)(g), lnE(20, 40)(g)) < thr).map(_._1)
+    assert(surv1.nonEmpty && surv2.nonEmpty && surv2.toSet.subsetOf(surv1.toSet))
+    val got = Experiments
+      .eProcessConfidenceSeq(rows, col("ok"), col("day"), 500000L, 50000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("d1", 20L, 16L, surv1.min, surv1.max),
+      ("d2", 20L, 4L, surv2.min, surv2.max)), got.toSeq.toString)
+    // sanity on the reference itself: a low-rate hypothesis died on
+    // day 1, the interval is two-sided proper, and it SHRANK
+    assert(surv1.min > 1L && surv1.max == 99L)
+    assert(surv2.min >= surv1.min && surv2.max < surv1.max)
+  }
+
   test("eProcessTwoSample: success-stream reduction — failures ignored, arm labels bet on") {
     // pi_A = 0.5, lambda = 0.5 -> same constants as the one-sample
     // fixture (a6 = 223144, b6 = -287682). d1: successes A, A, plus
