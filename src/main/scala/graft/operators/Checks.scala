@@ -493,10 +493,14 @@ object Checks {
     val stats = counts
       .withColumn("w_cnt", count(lit(1)).over(w))
       .withColumn("w_sum", sum(col("n")).over(w))
-      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+      .withColumn(
+        "w_sumsq",
+        sum(col("n").cast("decimal(38,0)") * col("n")).over(w))
+    // variance cross-products in DECIMAL — a ~3e9-row bucket squares
+    // past 2^63
     val varN2 = greatest(
-      col("w_cnt") * col("w_sumsq") - col("w_sum") * col("w_sum"),
-      col("w_cnt") * col("w_cnt"))
+      col("w_cnt") * col("w_sumsq") - col("w_sum").cast("decimal(38,0)") * col("w_sum"),
+      (col("w_cnt") * col("w_cnt")).cast("decimal(38,0)"))
     val z = (col("w_cnt") * col("n") - col("w_sum")).cast("double") /
       sqrt(varN2.cast("double"))
     stats
@@ -1248,21 +1252,26 @@ object Checks {
       .agg(
         sum(col("n")).as("n"),
         count(lit(1)).as("n_classes"),
-        sum(col("n") * (col("n") - 1L)).as("__pairs"))
+        // pair counts in DECIMAL — n·(n−1) wraps BIGINT at ~3e9-row
+        // groups, and 1e6·pairs a thousand times sooner
+        sum(col("n").cast("decimal(38,0)") * (col("n") - 1L)).as("__pairs"))
       .filter(col("n") >= 2L)
       .select(
         col("g"),
         col("n"),
         col("n_classes"),
-        expr("CAST(1000000 * __pairs div (n * (n - 1)) AS BIGINT)").as("simpson6"))
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * __pairs)
+            |div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)""".stripMargin)
+          .as("simpson6"))
 
   /** Herfindahl–Hirschman concentration per group: HHI = Σ_i s_i²
     * with s_i = n_i/N the class share — [[simpsonDiversity]]'s
     * with-replacement sibling and the standard market-concentration
     * scale (US DOJ: >0.25 "highly concentrated" → hhi6 > 250000).
     * Exact: hhi6 = (1e6·Σn_i²) div N², ONE truncating division per
-    * group. Overflow bound: 1e6·Σn_i² < 2^63 — group sizes to ~3e6
-    * rows; pre-aggregate counts upstream past that. Returns
+    * group, all cross-products in DECIMAL(38,0) from the first
+    * multiply — no group-size bound. Returns
     * (group, n, n_classes, hhi6).
     */
   def hhiConcentration(df: DataFrame, groupCol: Column, classCol: Column): DataFrame =
@@ -1273,12 +1282,15 @@ object Checks {
       .agg(
         sum(col("n")).as("n"),
         count(lit(1)).as("n_classes"),
-        sum(col("n") * col("n")).as("__sq"))
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("__sq"))
       .select(
         col("g"),
         col("n"),
         col("n_classes"),
-        expr("CAST(1000000 * __sq div (n * n) AS BIGINT)").as("hhi6"))
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq)
+            |div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+          .as("hhi6"))
 
   /** Theil inequality index (Theil 1967) over a positive value
     * column — the DECOMPOSABLE concentration score beside the Gini
@@ -1448,9 +1460,15 @@ object Checks {
     val xs = cells.groupBy(col("x")).agg(sum(col("c")).as("nx"))
     val ys = cells.groupBy(col("y")).agg(sum(col("c")).as("ny"))
     val dims = broadcast(
-      xs.agg(count(lit(1)).as("kx"), sum(col("nx") * (col("nx") - 1L)).as("tx2"))
+      // tie-pair terms in DECIMAL — a single value carrying ~3e9
+      // rows wraps n·(n−1) in BIGINT
+      xs.agg(
+          count(lit(1)).as("kx"),
+          sum(col("nx").cast("decimal(38,0)") * (col("nx") - 1L)).as("tx2"))
         .crossJoin(
-          ys.agg(count(lit(1)).as("ky"), sum(col("ny") * (col("ny") - 1L)).as("ty2"))))
+          ys.agg(
+            count(lit(1)).as("ky"),
+            sum(col("ny").cast("decimal(38,0)") * (col("ny") - 1L)).as("ty2"))))
     // gap-filled dense grid, capped in-plan BEFORE it is materialized
     val dense = xs
       .crossJoin(dims)

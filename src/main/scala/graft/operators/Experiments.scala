@@ -394,13 +394,18 @@ object Experiments {
         count(lit(1)).as("__n"),
         sum(col("covariate")).as("__sx"),
         sum(col("metric")).as("__sy"),
-        sum(col("covariate") * col("covariate")).as("__sxx"),
-        sum(col("covariate") * col("metric")).as("__sxy")))
+        // covariate moments in DECIMAL from the first multiply —
+        // cent-class values square to ~1e14 per row, so the BIGINT
+        // sum wraps at ~1e5 rows of whale covariates (the silent-wrap
+        // class the r10 sweep is closing)
+        sum(col("covariate").cast("decimal(38,0)") * col("covariate")).as("__sxx"),
+        sum(col("covariate").cast("decimal(38,0)") * col("metric")).as("__sxy")))
     base
       .crossJoin(stats)
       .filter(
         assert_true(
-          col("__n") * col("__sxx") - col("__sx") * col("__sx") =!= 0L,
+          col("__n") * col("__sxx") - col("__sx").cast("decimal(38,0)") * col("__sx")
+            =!= lit(0L).cast("decimal(38,0)"),
           lit("cupedAdjust: covariate is constant — var(x) = 0, theta undefined; " +
             "pick a covariate that varies")).isNull)
       .withColumn(
@@ -1607,7 +1612,8 @@ object Experiments {
       sum(col("r")).as("__n"),
       sum(col("r") * col("r")).as("__rr"))
     val cAgg = base.groupBy(col("t")).agg(sum(col("x")).as("c"))
-      .agg(sum(col("c") * col("c")).as("__cc"))
+      // per-treatment totals square past 2^63 at ~3e9 successes
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("__cc"))
     rAgg
       .crossJoin(broadcast(cAgg))
       .crossJoin(k)
@@ -2768,9 +2774,11 @@ object Experiments {
         count(lit(1)).as("k"),
         sum(col("n_v")).as("n"),
         sum(col("x_v")).as("x"),
-        sum(col("w") * col("x_v")).as("__wx"),
-        sum(col("w") * col("n_v")).as("__wn"),
-        sum(col("w") * col("w") * col("n_v")).as("__wwn"))
+        // dose-weighted moments in DECIMAL — the dose domain is
+        // caller-defined (any long), so w²·n has no safe BIGINT bound
+        sum(col("w").cast("decimal(38,0)") * col("x_v")).as("__wx"),
+        sum(col("w").cast("decimal(38,0)") * col("n_v")).as("__wn"),
+        sum(col("w").cast("decimal(38,0)") * col("w") * col("n_v")).as("__wwn"))
       .withColumn(
         "__num",
         expr(
