@@ -643,7 +643,9 @@ object Evaluation {
     binGrid
       .agg(
         sum(col("n")).as("n"),
-        sum(col("n") * col("gap6")).as("__wgap"),
+        // n·gap6 ≤ 1e6·N — DECIMAL keeps the weighted-gap sum exact
+        // past ~9e12 total rows (the family-wide wrap discipline)
+        sum(col("n").cast("decimal(38,0)") * col("gap6")).as("__wgap"),
         sum(col("s2sum")).as("__s2"),
         sum(col("sysum").cast("decimal(38,0)")).as("__sy"),
         sum(col("x")).as("__x"))
