@@ -775,6 +775,40 @@ object SparkEntryStreaming {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Streaming anytime-valid confidence SEQUENCE — the band off the
+    // SAME (day, n, x) sufficient statistic st_eprocess appends: the
+    // monitor re-runs the 99-candidate two-sided wealth latch over
+    // the merged grid — bit-equal to the batch a_eprocess_cs under
+    // one shared oracle. A live always-valid band with zero history
+    // re-scans.
+    "st_eprocess_cs" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/epcsgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(to_date(col("ts")).as("day"), lit(0L).as("n"), lit(0L).as("x"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("event_type").isNotNull && col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessConfidenceSeqFromCells(
+          s.read.parquet(cPath),
+          lambdaPpm = 500000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming Page-Hinkley drift monitor — the running-mean fold is
     // order-pinned and not mergeable, but the DAILY COUNT GRID is
     // (per-batch partial counts SUM-merge exactly, the
@@ -1459,6 +1493,9 @@ object SparkEntryStreaming {
     // (day, n, x) count-grid merge-invariance: the streamed wealth
     // readout must equal the one-shot batch a_eprocess
     "st_eprocess" -> SparkEntryCoverage.eProcessOracleSql,
+    // same grid, the 99-candidate band readout — one oracle with the
+    // batch a_eprocess_cs
+    "st_eprocess_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_cs"),
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout

@@ -2961,21 +2961,38 @@ object Experiments {
       successCol: Column,
       dayCol: Column,
       lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessConfidenceSeqFromCells(
+      df
+        .filter(successCol.isNotNull && dayCol.isNotNull)
+        .groupBy(dayCol.as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x")),
+      lambdaPpm,
+      alphaPpm)
+
+  /** [[eProcessConfidenceSeq]]'s readout over a (possibly merged)
+    * (day, n, x) count grid — the MERGEABLE half, shared with
+    * [[eProcessFromCells]]: the same sufficient statistic feeds both
+    * the point monitor and the band, so a live CS never re-scans
+    * history either.
+    */
+  def eProcessConfidenceSeqFromCells(
+      cells: DataFrame,
+      lambdaPpm: Long,
       alphaPpm: Long): DataFrame = {
     require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
     require(lambdaPpm > 0L && lambdaPpm <= 1000000L, "lambdaPpm must be in (0, 1e6]")
-    val spark = df.sparkSession
+    val spark = cells.sparkSession
     import spark.implicits._
     // per-side level alpha/2 -> threshold ln(2/alpha)
     val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
     val grid = broadcast(
       eProcessCsGrid(lambdaPpm).toDF("pct", "ap6", "bp6", "an6", "bn6"))
-    val daily = df
-      .filter(successCol.isNotNull && dayCol.isNotNull)
-      .groupBy(dayCol.as("day"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x"))
+    val daily = cells
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("x")).as("x"))
     val c1 = Relational.globalCumSum(daily, Seq(col("day")), "x", "__x0")
     val c01 = Relational.globalCumSum(c1, Seq(col("day")), "n", "__n0")
     val wealth = c01
