@@ -349,6 +349,32 @@ object ScaleBench {
         parts += f""""gains":{"sec":$gnSec%.2f,"rows":$gn}"""
       }
 
+      if (on("wealth")) {
+        // the r10 wave: winsorized means (value-domain count grid +
+        // two order-stat cutoffs) and the anytime-valid confidence
+        // sequence (day-grid × 99-candidate wealth latch) — both
+        // claim grid-bounded work under row growth
+        val ev = eventsX(spark, base, m)
+        reset(spark)
+        val (wm, wmSec) = timed(
+          Experiments.winsorizedMeans(
+            ev.filter(col("user_id").isNotNull && col("value").isNotNull),
+            when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+            round(col("value") * 100.0, 0).cast("long"),
+            10000L,
+            990000L).count())
+        parts += f""""winsorized":{"sec":$wmSec%.2f,"rows":$wm}"""
+        reset(spark)
+        val (cs, csSec) = timed(
+          Experiments.eProcessConfidenceSeq(
+            ev.filter(col("event_type").isNotNull && col("ts").isNotNull),
+            col("event_type") === "purchase",
+            to_date(col("ts")),
+            500000L,
+            50000L).count())
+        parts += f""""eprocess_cs":{"sec":$csSec%.2f,"rows":$cs}"""
+      }
+
       if (on("survival")) {
         // the survival chassis (T187+): per-entity min/max aggregate
         // is the only row-proportional stage; the age grid is
