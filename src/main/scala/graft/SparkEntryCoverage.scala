@@ -4056,6 +4056,18 @@ object SparkEntryCoverage {
         li.filter(col("l_shipdate") >= lit("1995-07-01")), col("l_extendedprice"), 110000.0, 64)
       Checks.cvmFromCounts(a, b)
     },
+    // Single-changepoint binomial split scan (Checks
+    // .binomialSplitScan): for every day-grid split, the exact
+    // micro-nat LRT gain of a two-rate model of the purchase share —
+    // the WHERE companion of dq_volume_anomaly/w_page_hinkley's
+    // WHETHER; the analyst reads the argmax day.
+    "dq_rate_split" -> { (s, dir) =>
+      Checks.binomialSplitScan(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("ts").isNotNull),
+        col("event_type") === "purchase",
+        date_format(col("ts"), "yyyy-MM-dd"))
+    },
     // Benford first-digit audit (Checks.benfordAudit): the
     // fraud/fabrication smoke test on order totals — observed vs
     // expected leading-digit frequency in exact integer ppm, with
@@ -10090,6 +10102,32 @@ object SparkEntryCoverage {
         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
     // same grids as dq_ks; squared micro CDF gaps weighted by the
     // combined bucket mass, one truncating division at the end
+    "dq_rate_split" -> {
+      def term(c: String, n: String) =
+        s"(CASE WHEN $c > 0 THEN CAST($c AS HUGEINT) " +
+          s"* CAST(round(ln(CAST($c AS DOUBLE) / $n) * 1000000) AS BIGINT) " +
+          "ELSE 0 END)"
+      def ll(x: String, n: String) = s"(${term(x, n)} + ${term(s"($n - $x)", n)})"
+      s"""WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS xx
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xx) AS BIGINT) AS x
+         |      FROM base GROUP BY 1),
+         |c AS (SELECT bucket,
+         |        CAST(SUM(n) OVER (ORDER BY bucket
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         |        CAST(SUM(x) OVER (ORDER BY bucket
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS xl
+         |      FROM d),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS xx
+         |      FROM d)
+         |SELECT bucket, nl AS n_left, xl AS x_left,
+         |  (nn - nl) AS n_right, (xx - xl) AS x_right,
+         |  CAST(2 * (${ll("xl", "nl")}
+         |            + ${ll("(xx - xl)", "(nn - nl)")}
+         |            - ${ll("xx", "nn")}) AS BIGINT) AS g6
+         |FROM c, t WHERE nl < nn ORDER BY bucket""".stripMargin
+    },
     "dq_cvm" ->
       """WITH pa AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
         |  WHERE l_shipdate < DATE '1995-07-01'),

@@ -733,6 +733,74 @@ object Checks {
         col("js6"))
   }
 
+  /** Single-changepoint binomial split scan (the sup-LRT / binary-
+    * segmentation first step, Hinkley 1970) — the WHERE companion of
+    * [[pageHinkley]]'s WHETHER: for every split point of the bucket
+    * grid, the likelihood-ratio gain of modeling the success rate as
+    * two segments instead of one,
+    *
+    *   g6(s) = 2·(LL(left) + LL(right) − LL(all))
+    *
+    * with LL(x, n) = x·ln(x/n) + (n−x)·ln((n−x)/n). The full k-row
+    * table is emitted (the dd_threshold_sweep posture: the analyst
+    * reads the knee / argmax; sup-LRT critical values are
+    * scan-length-dependent, so no significance column pretends
+    * otherwise).
+    *
+    * Exactness — the jsFromCounts entropy-family discipline: the one
+    * float op per term is the ln of an integer ratio (identical IEEE
+    * doubles in both engines), rounded ONCE to micro-nats via
+    * HALF_UP, then multiplied by the exact integer count in
+    * DECIMAL(38,0) (c·l6 reaches ~28e6·N, past 2^63 near 3e11 rows)
+    * and summed exactly; empty-segment and zero/full-rate terms
+    * contribute 0 by the x·ln(x) = 0 convention. Cumulative (x, n)
+    * prefixes come from [[Relational.globalCumSum]] over the bucket
+    * grid — the day/bucket DOMAIN, never the event stream.
+    *
+    * Returns one row per split AFTER each bucket except the last
+    * (bucket, n_left, x_left, n_right, x_right, g6), ordered by
+    * bucket.
+    */
+  def binomialSplitScan(df: DataFrame, successCol: Column, bucketCol: Column): DataFrame = {
+    val cells = df
+      .filter(successCol.isNotNull && bucketCol.isNotNull)
+      .groupBy(bucketCol.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x"))
+    val c1 = Relational.globalCumSum(cells, Seq(col("bucket")), "x", "__x0")
+    val c01 = Relational.globalCumSum(c1, Seq(col("bucket")), "n", "__n0")
+    val tot = broadcast(cells.agg(sum(col("n")).as("__nn"), sum(col("x")).as("__xx")))
+    // micro-nat log-likelihood of a (x, n) segment: per-term ln
+    // rounded once (HALF_UP, the shared-IEEE contract), exact
+    // DECIMAL multiply-and-add after
+    def ll6(x: Column, n: Column): Column = {
+      def term(c: Column): Column =
+        when(
+          c > 0L,
+          c.cast("decimal(38,0)") *
+            round(log(c.cast("double") / n.cast("double")) * 1e6, 0).cast("long"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))
+      term(x) + term(n - x)
+    }
+    val xl = col("__x0") + col("x")
+    val nl = col("__n0") + col("n")
+    c01
+      .crossJoin(tot)
+      .filter(nl < col("__nn"))
+      .select(
+        col("bucket"),
+        nl.as("n_left"),
+        xl.as("x_left"),
+        (col("__nn") - nl).as("n_right"),
+        (col("__xx") - xl).as("x_right"),
+        (lit(2L) *
+          (ll6(xl, nl) + ll6(col("__xx") - xl, col("__nn") - nl)
+            - ll6(col("__xx"), col("__nn"))))
+          .cast("long").as("g6"))
+      .orderBy(col("bucket"))
+  }
+
   /** Two-sample Cramér–von Mises criterion between two bucket-count
     * tables — the INTEGRATED squared CDF gap, completing the drift
     * panel's geometry: KS reads the single worst gap (sensitive to

@@ -31,6 +31,22 @@ class StatsOpsSpec extends SparkSpec {
     assert((d.getLong(3), d.getLong(4), d.getLong(5)) == ((0L, 0L, 0L)))
   }
 
+  test("binomialSplitScan: exact micro-nat LRT per split; last split dropped") {
+    import spark.implicits._
+    // b1: 1/2 successes, b2: 2/2. One valid split (after b1):
+    // LL(1,2) = 2*round(ln .5 * 1e6) = -1386294; LL(2,2) = 0;
+    // LL(3,4) = 3*round(ln .75 * 1e6) + round(ln .25 * 1e6)
+    //         = 3*(-287682) + (-1386294) = -2249340;
+    // g6 = 2*(-1386294 + 0 + 2249340) = 1726092.
+    val rows = Seq(
+      ("b1", true), ("b1", false), ("b2", true), ("b2", true)).toDF("b", "ok")
+    val got = Checks.binomialSplitScan(rows, col("ok"), col("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("b1", 2L, 1L, 2L, 2L, 1726092L)), got.toSeq.toString)
+  }
+
   test("simpsonDiversity: {2,2} split scores 333333; singleton groups dropped") {
     val df = Seq(
       ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
