@@ -4068,6 +4068,17 @@ object SparkEntryCoverage {
         col("event_type") === "purchase",
         date_format(col("ts"), "yyyy-MM-dd"))
     },
+    // Mean-shift split scan (Checks.meanSplitScan): WHERE did the
+    // cent-value LEVEL move — the continuous sibling of
+    // dq_rate_split on the same day grid; staged truncating integer
+    // divisions keep every stage inside DECIMAL(38,0).
+    "dq_mean_split" -> { (s, dir) =>
+      Checks.meanSplitScan(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull),
+        round(col("value") * 100.0, 0).cast("long"),
+        date_format(col("ts"), "yyyy-MM-dd"))
+    },
     // Benford first-digit audit (Checks.benfordAudit): the
     // fraud/fabrication smoke test on order totals — observed vs
     // expected leading-digit frequency in exact integer ppm, with
@@ -10102,6 +10113,33 @@ object SparkEntryCoverage {
         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
     // same grids as dq_ks; squared micro CDF gaps weighted by the
     // combined bucket mass, one truncating division at the end
+    "dq_mean_split" ->
+      """WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |      FROM base GROUP BY 1),
+        |c AS (SELECT bucket,
+        |        CAST(SUM(n) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+        |        CAST(SUM(s) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+        |      FROM d),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(v) AS BIGINT) AS ss,
+        |        SUM(CAST(v AS HUGEINT) * v) AS qq
+        |      FROM base),
+        |w AS (SELECT bucket, nl, (nn - nl) AS nr,
+        |        CAST((CAST(1000000 AS HUGEINT) * sl) // nl AS BIGINT) AS ml6,
+        |        CAST((CAST(1000000 AS HUGEINT) * (ss - sl)) // (nn - nl) AS BIGINT) AS mr6,
+        |        CAST((CAST(nl AS HUGEINT) * (nn - nl)) // nn AS BIGINT) AS wgt,
+        |        CAST((CAST(nn AS HUGEINT) * qq - CAST(ss AS HUGEINT) * ss)
+        |             // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS varc2
+        |      FROM c, t WHERE nl < nn)
+        |SELECT bucket, nl AS n_left, nr AS n_right, ml6 AS mean_l6, mr6 AS mean_r6,
+        |  CASE WHEN varc2 <= 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST((CAST(wgt AS HUGEINT) * (ml6 - mr6) * (ml6 - mr6))
+        |            // (CAST(1000000 AS HUGEINT) * varc2) AS BIGINT) END AS z2_6
+        |FROM w ORDER BY bucket""".stripMargin,
     "dq_rate_split" -> {
       def term(c: String, n: String) =
         s"(CASE WHEN $c > 0 THEN CAST($c AS HUGEINT) " +

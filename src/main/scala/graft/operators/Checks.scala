@@ -801,6 +801,74 @@ object Checks {
       .orderBy(col("bucket"))
   }
 
+  /** Mean-shift single-changepoint split scan — [[binomialSplitScan]]'s
+    * continuous sibling (the known-variance Gaussian LRT / classic
+    * binary-segmentation statistic): for every split of the bucket
+    * grid, z²(s) = w·(μ_l − μ_r)²/σ̂² with w = n_l·n_r/n the split
+    * weight and σ̂² the pooled MLE variance — WHERE did the level of
+    * a value series move, next to the volume/rate monitors' WHETHER.
+    *
+    * Exact-integer staging (each stage sized to DECIMAL(38,0) — the
+    * naive single expression d²·n with d = s_l·n_r − s_r·n_l reaches
+    * ~1e51 at corpus scale and silently nulls a decimal):
+    * per-side micro-means m6 = (1e6·s) div n; w = (n_l·n_r) div n;
+    * varc2 = (n·Q − S²) div n² (pooled variance in value² units,
+    * truncating — document sub-unit loss); z2_6 = (w·d6²) div
+    * (1e6·varc2) with d6 = m_l6 − m_r6. Every division truncating,
+    * both engines identical. Constant series (varc2 ≤ 0) emits 0.
+    * Prefix sums from [[Relational.globalCumSum]] over the bucket
+    * DOMAIN. Returns one row per split (bucket, n_left, n_right,
+    * mean_l6, mean_r6, z2_6), ordered by bucket.
+    */
+  def meanSplitScan(df: DataFrame, valueCol: Column, bucketCol: Column): DataFrame = {
+    val cells = df
+      .filter(valueCol.isNotNull && bucketCol.isNotNull)
+      .groupBy(bucketCol.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(valueCol.cast("long")).as("s"))
+    val c1 = Relational.globalCumSum(cells, Seq(col("bucket")), "s", "__s0")
+    val c01 = Relational.globalCumSum(c1, Seq(col("bucket")), "n", "__n0")
+    val tot = broadcast(
+      df.filter(valueCol.isNotNull && bucketCol.isNotNull)
+        .select(valueCol.cast("long").as("__v"))
+        .agg(
+          count(lit(1)).as("__nn"),
+          sum(col("__v")).as("__ss"),
+          sum(col("__v").cast("decimal(38,0)") * col("__v")).as("__qq")))
+    val nl = col("__n0") + col("n")
+    val sl = col("__s0") + col("s")
+    val nr = col("__nn") - nl
+    val sr = col("__ss") - sl
+    c01
+      .crossJoin(tot)
+      .filter(nl < col("__nn"))
+      .withColumn("__ml6", expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (__s0 + s)) div (__n0 + n) AS BIGINT)"))
+      .withColumn("__mr6", expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (__ss - __s0 - s)) div (__nn - __n0 - n) AS BIGINT)"))
+      .withColumn("__w", expr("CAST((CAST(__n0 + n AS DECIMAL(38,0)) * (__nn - __n0 - n)) div __nn AS BIGINT)"))
+      .withColumn(
+        "__varc2",
+        expr(
+          """CAST((CAST(__nn AS DECIMAL(38,0)) * __qq
+            |  - CAST(__ss AS DECIMAL(38,0)) * __ss)
+            |div (CAST(__nn AS DECIMAL(38,0)) * __nn) AS BIGINT)""".stripMargin))
+      .select(
+        col("bucket"),
+        nl.as("n_left"),
+        nr.as("n_right"),
+        col("__ml6").as("mean_l6"),
+        col("__mr6").as("mean_r6"),
+        expr(
+          """CASE WHEN __varc2 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CAST(__w AS DECIMAL(38,0))
+            |   * CAST(__ml6 - __mr6 AS DECIMAL(38,0))
+            |   * CAST(__ml6 - __mr6 AS DECIMAL(38,0)))
+            |  div (CAST(1000000 AS DECIMAL(38,0)) * __varc2)
+            |AS BIGINT) END""".stripMargin).as("z2_6"))
+      .orderBy(col("bucket"))
+  }
+
   /** Two-sample Cramér–von Mises criterion between two bucket-count
     * tables — the INTEGRATED squared CDF gap, completing the drift
     * panel's geometry: KS reads the single worst gap (sensitive to

@@ -47,6 +47,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("b1", 2L, 1L, 2L, 2L, 1726092L)), got.toSeq.toString)
   }
 
+  test("meanSplitScan: exact z2 at the level shift; constant series scores 0") {
+    import spark.implicits._
+    // b1: {0, 0}, b2: {10, 10}: split after b1 has w = 4 div 4 = 1,
+    // means 0 vs 10_000_000 micro, pooled varc2 = (4*200 - 400) div
+    // 16 = 25 (sigma = 5 exactly) -> z2_6 = (1 * 1e7 * 1e7) div
+    // (1e6 * 25) = 4_000_000 (z2 = w*d2/var = 100/25 = 4).
+    val rows = Seq(("b1", 0L), ("b1", 0L), ("b2", 10L), ("b2", 10L)).toDF("b", "v")
+    val got = Checks.meanSplitScan(rows, col("v"), col("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("b1", 2L, 2L, 0L, 10000000L, 4000000L)), got.toSeq.toString)
+    val flat = Seq(("b1", 7L), ("b2", 7L)).toDF("b", "v")
+    val z = Checks.meanSplitScan(flat, col("v"), col("b"))
+      .collect().map(_.getLong(5)).toSeq
+    assert(z == Seq(0L), z.toString)
+  }
+
   test("simpsonDiversity: {2,2} split scores 333333; singleton groups dropped") {
     val df = Seq(
       ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
