@@ -821,21 +821,25 @@ object Checks {
     * mean_l6, mean_r6, z2_6), ordered by bucket.
     */
   def meanSplitScan(df: DataFrame, valueCol: Column, bucketCol: Column): DataFrame = {
+    // ONE corpus scan: the per-bucket cells also carry the sum of
+    // squares, so the totals fold from the grid instead of re-reading
+    // the events
     val cells = df
       .filter(valueCol.isNotNull && bucketCol.isNotNull)
       .groupBy(bucketCol.as("bucket"))
       .agg(
         count(lit(1)).as("n"),
-        sum(valueCol.cast("long")).as("s"))
+        sum(valueCol.cast("long")).as("s"),
+        sum(valueCol.cast("long").cast("decimal(38,0)") * valueCol.cast("long"))
+          .as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = Relational.globalCumSum(cells, Seq(col("bucket")), "s", "__s0")
     val c01 = Relational.globalCumSum(c1, Seq(col("bucket")), "n", "__n0")
     val tot = broadcast(
-      df.filter(valueCol.isNotNull && bucketCol.isNotNull)
-        .select(valueCol.cast("long").as("__v"))
-        .agg(
-          count(lit(1)).as("__nn"),
-          sum(col("__v")).as("__ss"),
-          sum(col("__v").cast("decimal(38,0)") * col("__v")).as("__qq")))
+      cells.agg(
+        sum(col("n")).as("__nn"),
+        sum(col("s")).as("__ss"),
+        sum(col("q")).as("__qq")))
     val nl = col("__n0") + col("n")
     val sl = col("__s0") + col("s")
     val nr = col("__nn") - nl
