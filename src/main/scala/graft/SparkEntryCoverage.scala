@@ -6009,6 +6009,25 @@ object SparkEntryCoverage {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Anytime-valid DIFFERENCE band (Experiments.eProcessDiffBand):
+    // each parity arm runs its own purchase-rate confidence sequence
+    // at alpha/2; the union bound makes [loA−hiB, hiA−loB] a
+    // time-uniform 90% band for p_A − p_B — the always-valid effect
+    // size beside a_eprocess_ab's always-valid test.
+    "a_eprocess_diff" -> { (s, dir) =>
+      Experiments.eProcessDiffBand(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull
+            && col("event_type").isNotNull),
+        col("user_id"),
+        col("user_id") % 2 === 0,
+        col("event_type") === "purchase",
+        to_date(col("ts")),
+        lambdaPpm = 500000L,
+        alphaPpm = 100000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Two-sample anytime-valid A/B monitor (Experiments
     // .eProcessTwoSample): bet on the arm label of each purchase —
     // under H0 "equal purchase rates" with the 50/50 parity design,
@@ -11576,6 +11595,47 @@ object SparkEntryCoverage {
          |  CAST(MIN(pct) AS BIGINT) AS lo_pct, CAST(MAX(pct) AS BIGINT) AS hi_pct
          |FROM s WHERE sup6 < $thr6
          |GROUP BY day, n, x ORDER BY day""".stripMargin
+    },
+    "a_eprocess_diff" -> {
+      val thr6 = math.round(math.log(2e6 / 50000L) * 1e6)
+      val gridVals = Experiments.eProcessCsGrid(500000L)
+        .map { case (p, ap, bp, an, bn) => s"($p, $ap, $bp, $an, $bn)" }
+        .mkString(", ")
+      def arm(pred: String, suf: String) =
+        s"""base_$suf AS (SELECT CAST(ts AS DATE) AS day,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS xx
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           |    AND event_type IS NOT NULL AND $pred),
+           |d_$suf AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+           |        CAST(SUM(xx) AS BIGINT) AS x
+           |      FROM base_$suf GROUP BY 1),
+           |c_$suf AS (SELECT day, n, x,
+           |        CAST(SUM(x) OVER (ORDER BY day
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx,
+           |        CAST(SUM(n) OVER (ORDER BY day
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+           |      FROM d_$suf),
+           |w_$suf AS (SELECT c.day, c.n, c.x, g.pct,
+           |        GREATEST(
+           |          CAST(c.cx * g.ap6 + (c.cn - c.cx) * g.bp6 AS BIGINT),
+           |          CAST(c.cx * g.an6 + (c.cn - c.cx) * g.bn6 AS BIGINT)) AS ln_e6
+           |      FROM c_$suf c CROSS JOIN grid g),
+           |s_$suf AS (SELECT day, n, x, pct,
+           |        MAX(ln_e6) OVER (PARTITION BY pct ORDER BY day
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sup6
+           |      FROM w_$suf),
+           |band_$suf AS (SELECT day, n, x,
+           |        CAST(MIN(pct) AS BIGINT) AS lo, CAST(MAX(pct) AS BIGINT) AS hi
+           |      FROM s_$suf WHERE sup6 < $thr6 GROUP BY day, n, x)"""
+      s"""WITH grid(pct, ap6, bp6, an6, bn6) AS (VALUES $gridVals),
+         |${arm("user_id % 2 = 0", "a")},
+         |${arm("user_id % 2 <> 0", "b")}
+         |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+         |  a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+         |  CAST(a.lo - b.hi AS BIGINT) AS lo_diff_pct,
+         |  CAST(a.hi - b.lo AS BIGINT) AS hi_diff_pct
+         |FROM band_a a JOIN band_b b ON a.day = b.day
+         |ORDER BY day""".stripMargin
     },
     "a_eprocess_ab" -> {
       val (a6, b6, thr6) = Experiments.eProcessConstants(500000L, 200000L, 50000L)

@@ -3023,6 +3023,62 @@ object Experiments {
       .orderBy(col("day"))
   }
 
+  /** Anytime-valid band for a rate DIFFERENCE p_A − p_B — the
+    * two-sample completion of [[eProcessConfidenceSeq]]: each arm
+    * runs its own confidence sequence at α/2, and by the union bound
+    * both bands cover their rates simultaneously at every time with
+    * probability ≥ 1−α, so [lo_A − hi_B, hi_A − lo_B] is a valid
+    * time-uniform band for the difference (the standard interval
+    * composition; wider than a bespoke difference martingale, but
+    * exactly as always-valid and built ENTIRELY from the shared
+    * mergeable (day, arm, n, x) grid — a streaming twin costs
+    * nothing new). Arms are the caller's isA/else split. Days are
+    * emitted once BOTH arms have appeared (inner join on the day
+    * spine — each arm's band is defined from its first observation);
+    * α/2 truncates toward conservative on odd ppm.
+    *
+    * Returns one row per day (day, n_a, x_a, n_b, x_b, lo_diff_pct,
+    * hi_diff_pct), ordered by day; the diff bounds are whole
+    * percentage points (the grid's resolution).
+    */
+  def eProcessDiffBand(
+      df: DataFrame,
+      sideCol: Column,
+      isA: Column,
+      successCol: Column,
+      dayCol: Column,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame = {
+    val base = df
+      .filter(sideCol.isNotNull && successCol.isNotNull && dayCol.isNotNull)
+      .select(
+        when(isA, lit("A")).otherwise(lit("B")).as("__arm"),
+        dayCol.as("day"),
+        when(successCol.cast("boolean"), 1L).otherwise(0L).as("__x"))
+    val cells = base
+      .groupBy(col("__arm"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(arm: String, suf: String): DataFrame =
+      eProcessConfidenceSeqFromCells(
+        cells.filter(col("__arm") === arm).select(col("day"), col("n"), col("x")),
+        lambdaPpm,
+        alphaPpm / 2L)
+        .select(
+          col("day"),
+          col("n").as(s"n_$suf"),
+          col("x").as(s"x_$suf"),
+          col("lo_pct").as(s"__lo_$suf"),
+          col("hi_pct").as(s"__hi_$suf"))
+    band("A", "a")
+      .join(band("B", "b"), Seq("day"))
+      .select(
+        col("day"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (col("__lo_a") - col("__hi_b")).as("lo_diff_pct"),
+        (col("__hi_a") - col("__lo_b")).as("hi_diff_pct"))
+      .orderBy(col("day"))
+  }
+
   /** The 99-row (pct, a⁺6, b⁺6, a⁻6, b⁻6) literal grid
     * [[eProcessConfidenceSeq]] bets with, exposed so the oracle
     * interpolates the SAME longs: the λ>0 side's success/failure

@@ -710,6 +710,40 @@ class ExperimentsSpec extends SparkSpec {
     assert(surv2.min >= surv1.min && surv2.max < surv1.max)
   }
 
+  test("eProcessDiffBand: composes the per-arm alpha/2 bands; one-arm days withheld") {
+    // arm A: 16/20 on d1; arm B: 4/20 on d1; d2 carries only A (no
+    // output row). The band must equal the hand-composition of the
+    // two per-arm confidence sequences at alpha/2.
+    val mk = (arm: String, day: String, ok: Boolean, k: Int) =>
+      (1 to k).map(_ => (arm, day, ok))
+    val rows = (mk("A", "d1", true, 16) ++ mk("A", "d1", false, 4) ++
+      mk("B", "d1", true, 4) ++ mk("B", "d1", false, 16) ++
+      mk("A", "d2", true, 3)).toDF("arm", "day", "ok")
+    def bandOf(arm: String): (Long, Long) = {
+      val r = Experiments
+        .eProcessConfidenceSeq(
+          rows.filter(col("arm") === arm), col("ok"), col("day"), 500000L, 50000L)
+        .filter(col("day") === "d1")
+        .head()
+      (r.getLong(3), r.getLong(4))
+    }
+    val (loA, hiA) = bandOf("A")
+    val (loB, hiB) = bandOf("B")
+    val got = Experiments
+      .eProcessDiffBand(
+        rows, col("arm"), col("arm") === "A", col("ok"), col("day"),
+        500000L, 100000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("d1", 20L, 16L, 20L, 4L, loA - hiB, hiA - loB)), got.toSeq.toString)
+    // 20 obs/arm cannot exclude 0 at 90% time-uniform — assert the
+    // coverage property instead: the true 60-point gap is inside
+    assert(loA - hiB <= 60L && 60L <= hiA - loB,
+      s"band [${loA - hiB}, ${hiA - loB}] must cover the true 60-pct gap")
+  }
+
   test("eProcessTwoSample: success-stream reduction — failures ignored, arm labels bet on") {
     // pi_A = 0.5, lambda = 0.5 -> same constants as the one-sample
     // fixture (a6 = 223144, b6 = -287682). d1: successes A, A, plus
