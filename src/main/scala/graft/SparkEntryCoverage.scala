@@ -1459,6 +1459,43 @@ object SparkEntryCoverage {
           (col("value") > 50.0).cast("long"))
         .orderBy(col("group"))
     },
+    // Cluster Poisson bootstrap (Experiments.poissonBootDiff):
+    // percentile CI for the A-vs-B mean-cents-per-event gap with
+    // USERS as the resampling unit — md5-hex weights vs the injected
+    // Poisson(1) CDF literals make both engines draw identical
+    // replicates; the user×replicate explosion map-side combines to
+    // 100 arm-partial rows.
+    "a_poisson_boot" -> { (s, dir) =>
+      Experiments.poissonBootDiff(
+        t(s, dir, "events"),
+        col("user_id"),
+        col("user_id") % 2 === 0,
+        round(col("value") * 100.0, 0).cast("long"),
+        reps = 100)
+    },
+    // Coarsened exact matching (Experiments.cemAtt): ATT of the
+    // even-id arm on purchase spend with users stratified by
+    // coarsened activity (event-count and active-day buckets) —
+    // strata lacking either arm drop, the match rate is reported,
+    // and the one signed division is the documented sign·(|num| div
+    // den) convention.
+    "a_cem_att" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(
+          col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_ev"),
+          countDistinct(to_date(col("ts"))).as("n_days"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100.0, 0).cast("long")).otherwise(0L))
+            .as("spend_cents"))
+      Experiments.cemAtt(
+        per,
+        col("user_id") % 2 === 0,
+        col("spend_cents"),
+        Seq(expr("n_ev div 20"), expr("n_days div 10")))
+    },
     // Mann–Whitney U rank-sum (Experiments.mannWhitneyU): did click
     // values stochastically dominate purchase values? Doubled
     // mid-ranks keep ties integer; tie-corrected z² in micro-units.
@@ -4079,6 +4116,28 @@ object SparkEntryCoverage {
         round(col("value") * 100.0, 0).cast("long"),
         date_format(col("ts"), "yyyy-MM-dd"))
     },
+    // Depth-2 binary segmentation of the purchase rate (Checks
+    // .binomialBinseg2): the split scan's recursion — argmax split,
+    // then the best split INSIDE each side under the side's own null
+    // model; localizes up to 3 changepoints from one corpus scan
+    // (every pass after the day-grid collapse is grid-bounded).
+    "dq_rate_binseg" -> { (s, dir) =>
+      Checks.binomialBinseg2(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("ts").isNotNull),
+        col("event_type") === "purchase",
+        date_format(col("ts"), "yyyy-MM-dd"))
+    },
+    // Depth-2 binary segmentation of the cent-value level (Checks
+    // .meanBinseg2): the continuous sibling — each side re-scored
+    // against its OWN pooled variance folded from the sub-grid.
+    "dq_mean_binseg" -> { (s, dir) =>
+      Checks.meanBinseg2(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull),
+        round(col("value") * 100.0, 0).cast("long"),
+        date_format(col("ts"), "yyyy-MM-dd"))
+    },
     // Benford first-digit audit (Checks.benfordAudit): the
     // fraud/fabrication smoke test on order totals — observed vs
     // expected leading-digit frequency in exact integer ppm, with
@@ -4358,6 +4417,19 @@ object SparkEntryCoverage {
         .select(col("doc_id"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)
+    },
+    // Forecast-accuracy panel (Series.seasonalNaiveEval, Hyndman &
+    // Koehler 2006): WAPE/sMAPE/MASE of the season-7 naive forecast
+    // over the last-14-day holdout of the daily revenue series —
+    // MASE's denominator is the TRAIN-side seasonal-naive MAE, so
+    // any model shipped later is judged on this same exact-integer
+    // scale.
+    "w_forecast_eval" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("y"))
+      Series.seasonalNaiveEval(daily, "day", "y", season = 7, holdout = 14)
     },
     // Day-of-week seasonal decomposition (Series.seasonalIndexDow):
     // per-dow index in exact micro-units off the daily count table —
@@ -8505,6 +8577,92 @@ object SparkEntryCoverage {
         |WHERE k.pb IS NULL OR k.gb > k.pb
         |ORDER BY price_cents, p_partkey""".stripMargin,
     "a_ab_test" -> abTestOracleSql,
+    // same coarsened strata; the signed ATT division mirrored as
+    // sign * (abs // den) so truncation agrees
+    "a_cem_att" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |s AS (SELECT n_ev // 20 AS k0, n_days // 10 AS k1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN spend ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN spend ELSE 0 END) AS BIGINT) AS syc
+        |  FROM per GROUP BY 1, 2),
+        |g AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_strata_matched,
+        |    CAST(SUM(nt) AS BIGINT) AS n_treated,
+        |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END) AS BIGINT)
+        |      AS n_treated_matched,
+        |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN nc ELSE 0 END) AS BIGINT)
+        |      AS n_control_matched,
+        |    SUM(CASE WHEN nt > 0 AND nc > 0
+        |        THEN CAST(nt AS HUGEINT)
+        |             * ((CAST(1000000 AS HUGEINT) * syt) // nt
+        |                - (CAST(1000000 AS HUGEINT) * syc) // nc)
+        |        ELSE CAST(0 AS HUGEINT) END) AS num
+        |  FROM s)
+        |SELECT n_strata, n_strata_matched, n_treated, n_treated_matched,
+        |  n_control_matched,
+        |  CASE WHEN n_treated = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((CAST(1000000 AS HUGEINT) * n_treated_matched)
+        |                 // n_treated AS BIGINT) END AS match_ppm,
+        |  CASE WHEN n_treated_matched = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |                 * (abs(num) // n_treated_matched) AS BIGINT) END AS att6
+        |FROM g""".stripMargin,
+    // identical md5-hex weight draws from the SAME injected
+    // Pois1HexCdf literals; HUGEINT mirrors the DECIMAL(38,0) stages
+    "a_poisson_boot" -> {
+      val wCase = "CASE " +
+        operators.Experiments.Pois1HexCdf.zipWithIndex
+          .map { case (x, k) => s"WHEN h < '$x' THEN $k" }
+          .mkString(" ") + " ELSE 8 END"
+      s"""WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         |pu AS (SELECT CAST(user_id AS VARCHAR) AS u, (user_id % 2 = 0) AS a,
+         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv
+         |  FROM ev GROUP BY 1, 2),
+         |hs AS (SELECT pu.u, pu.a, pu.n, pu.sv, g.r,
+         |    substring(md5(pu.u || ':' || CAST(g.r AS VARCHAR)), 1, 15) AS h
+         |  FROM pu, (SELECT r FROM generate_series(0, 99) AS t(r)) g),
+         |ws AS (SELECT r, a, n, sv, $wCase AS w FROM hs),
+         |cells AS (SELECT r,
+         |    CAST(SUM(CASE WHEN a THEN w * n ELSE 0 END) AS BIGINT) AS nwa,
+         |    SUM(CASE WHEN a THEN CAST(w AS HUGEINT) * sv
+         |        ELSE CAST(0 AS HUGEINT) END) AS swa,
+         |    CAST(SUM(CASE WHEN NOT a THEN w * n ELSE 0 END) AS BIGINT) AS nwb,
+         |    SUM(CASE WHEN NOT a THEN CAST(w AS HUGEINT) * sv
+         |        ELSE CAST(0 AS HUGEINT) END) AS swb
+         |  FROM ws GROUP BY r),
+         |d AS (SELECT CAST((CAST(1000000 AS HUGEINT) * swa) // nwa
+         |        - (CAST(1000000 AS HUGEINT) * swb) // nwb AS BIGINT) AS diff6
+         |      FROM cells WHERE nwa > 0 AND nwb > 0),
+         |ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+         |    list_sort(list(diff6)) AS s FROM d),
+         |pt AS (SELECT
+         |    CAST(SUM(CASE WHEN a THEN n ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN NOT a THEN n ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST((CAST(1000000 AS HUGEINT)
+         |          * SUM(CASE WHEN a THEN CAST(sv AS HUGEINT) ELSE 0 END))
+         |      // SUM(CASE WHEN a THEN n ELSE 0 END) AS BIGINT) AS mean_a6,
+         |    CAST((CAST(1000000 AS HUGEINT)
+         |          * SUM(CASE WHEN NOT a THEN CAST(sv AS HUGEINT) ELSE 0 END))
+         |      // SUM(CASE WHEN NOT a THEN n ELSE 0 END) AS BIGINT) AS mean_b6
+         |  FROM pu)
+         |SELECT n_reps, n_a, n_b, mean_a6, mean_b6,
+         |  (mean_a6 - mean_b6) AS diff_point6,
+         |  s[CAST((n_reps * 25) // 1000 + 1 AS INTEGER)] AS diff_lo6,
+         |  s[CAST(n_reps - (n_reps * 25) // 1000 AS INTEGER)] AS diff_hi6
+         |FROM ci, pt""".stripMargin
+    },
     "a_mann_whitney" -> mannWhitneyOracleSql,
     "a_cuped" ->
       """WITH per AS (
@@ -10159,6 +10317,86 @@ object SparkEntryCoverage {
         |  ELSE CAST((CAST(wgt AS HUGEINT) * (ml6 - mr6) * (ml6 - mr6))
         |            // (CAST(1000000 AS HUGEINT) * varc2) AS BIGINT) END AS z2_6
         |FROM w ORDER BY bucket""".stripMargin,
+    // same day grid as dq_rate_split; the scan template is applied
+    // to the full grid and to each side of the argmax split (ties to
+    // the earliest bucket, deterministic because g6 is exact integer
+    // in both engines)
+    "dq_rate_binseg" -> {
+      def term(c: String, n: String) =
+        s"(CASE WHEN $c > 0 THEN CAST($c AS HUGEINT) " +
+          s"* CAST(round(ln(CAST($c AS DOUBLE) / $n) * 1000000) AS BIGINT) " +
+          "ELSE 0 END)"
+      def ll(x: String, n: String) = s"(${term(x, n)} + ${term(s"($n - $x)", n)})"
+      def scan(g: String) =
+        s"""SELECT bucket, nl AS n_left, xl AS x_left,
+           |    (nn - nl) AS n_right, (xx - xl) AS x_right,
+           |    CAST(2 * (${ll("xl", "nl")}
+           |              + ${ll("(xx - xl)", "(nn - nl)")}
+           |              - ${ll("xx", "nn")}) AS BIGINT) AS g6
+           |  FROM (SELECT bucket,
+           |          CAST(SUM(n) OVER w AS BIGINT) AS nl,
+           |          CAST(SUM(x) OVER w AS BIGINT) AS xl
+           |        FROM $g WINDOW w AS (ORDER BY bucket
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) c,
+           |       (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           |               CAST(SUM(x) AS BIGINT) AS xx FROM $g) t
+           |  WHERE nl < nn""".stripMargin
+      def best(g: String) =
+        s"SELECT * FROM (${scan(g)}) ORDER BY g6 DESC, bucket LIMIT 1"
+      s"""WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS xx
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xx) AS BIGINT) AS x
+         |      FROM base GROUP BY 1),
+         |b1 AS (${best("d")}),
+         |dl AS (SELECT d.* FROM d, b1 WHERE d.bucket <= b1.bucket),
+         |dr AS (SELECT d.* FROM d, b1 WHERE d.bucket > b1.bucket)
+         |SELECT CAST(1 AS INTEGER) AS depth, '*' AS side, * FROM b1
+         |UNION ALL SELECT CAST(2 AS INTEGER), 'L', * FROM (${best("dl")})
+         |UNION ALL SELECT CAST(2 AS INTEGER), 'R', * FROM (${best("dr")})
+         |ORDER BY depth, side""".stripMargin
+    },
+    // same cent-value day grid as dq_mean_split; each side re-scored
+    // against its own pooled variance (the sub-grid's moments)
+    "dq_mean_binseg" -> {
+      def scan(g: String) =
+        s"""SELECT bucket, nl AS n_left, (nn - nl) AS n_right,
+           |    ml6 AS mean_l6, mr6 AS mean_r6,
+           |    CASE WHEN varc2 <= 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((CAST(wgt AS HUGEINT) * (ml6 - mr6) * (ml6 - mr6))
+           |              // (CAST(1000000 AS HUGEINT) * varc2) AS BIGINT)
+           |    END AS z2_6
+           |  FROM (SELECT c.bucket, c.nl, t.nn,
+           |      CAST((CAST(1000000 AS HUGEINT) * c.sl) // c.nl AS BIGINT) AS ml6,
+           |      CAST((CAST(1000000 AS HUGEINT) * (t.ss - c.sl))
+           |           // (t.nn - c.nl) AS BIGINT) AS mr6,
+           |      CAST((CAST(c.nl AS HUGEINT) * (t.nn - c.nl)) // t.nn AS BIGINT) AS wgt,
+           |      CAST((CAST(t.nn AS HUGEINT) * t.qq - CAST(t.ss AS HUGEINT) * t.ss)
+           |           // (CAST(t.nn AS HUGEINT) * t.nn) AS BIGINT) AS varc2
+           |    FROM (SELECT bucket,
+           |            CAST(SUM(n) OVER w AS BIGINT) AS nl,
+           |            CAST(SUM(s) OVER w AS BIGINT) AS sl
+           |          FROM $g WINDOW w AS (ORDER BY bucket
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) c,
+           |         (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+           |                 CAST(SUM(q) AS HUGEINT) AS qq FROM $g) t
+           |    WHERE c.nl < t.nn)""".stripMargin
+      def best(g: String) =
+        s"SELECT * FROM (${scan(g)}) ORDER BY z2_6 DESC, bucket LIMIT 1"
+      s"""WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         |        SUM(CAST(v AS HUGEINT) * v) AS q
+         |      FROM base GROUP BY 1),
+         |b1 AS (${best("d")}),
+         |dl AS (SELECT d.* FROM d, b1 WHERE d.bucket <= b1.bucket),
+         |dr AS (SELECT d.* FROM d, b1 WHERE d.bucket > b1.bucket)
+         |SELECT CAST(1 AS INTEGER) AS depth, '*' AS side, * FROM b1
+         |UNION ALL SELECT CAST(2 AS INTEGER), 'L', * FROM (${best("dl")})
+         |UNION ALL SELECT CAST(2 AS INTEGER), 'R', * FROM (${best("dr")})
+         |ORDER BY depth, side""".stripMargin
+    },
     "dq_rate_split" -> {
       def term(c: String, n: String) =
         s"(CASE WHEN $c > 0 THEN CAST($c AS HUGEINT) " +
@@ -10499,6 +10737,39 @@ object SparkEntryCoverage {
     },
     // same cross-multiplied integer index; DuckDB's dayofweek is
     // already 0=Sunday (Spark's minus 1)
+    // seasonal pairs from the same self-join-by-7-days; per-day
+    // sMAPE terms truncating, WAPE/MASE one HUGEINT division each
+    "w_forecast_eval" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+        |p AS (SELECT a.day, a.y, b.y AS yhat FROM d a JOIN d b ON a.day = b.day + 7),
+        |m AS (SELECT max(day) AS mx FROM d),
+        |s AS (SELECT p.*, (m.mx - p.day < 14) AS ev,
+        |        CASE WHEN y + yhat = 0 THEN CAST(0 AS BIGINT)
+        |             ELSE CAST((CAST(2000000 AS HUGEINT) * abs(y - yhat))
+        |                       // (y + yhat) AS BIGINT) END AS t6
+        |      FROM p, m),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN NOT ev THEN abs(y - yhat) ELSE 0 END) AS BIGINT) AS tsae,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN ev THEN abs(y - yhat) ELSE 0 END) AS BIGINT) AS sum_abs_err,
+        |    CAST(SUM(CASE WHEN ev THEN abs(y) ELSE 0 END) AS BIGINT) AS sum_abs_y,
+        |    CAST(SUM(CASE WHEN ev AND y - yhat > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |    CAST(SUM(CASE WHEN ev AND y - yhat < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+        |    CAST(SUM(CASE WHEN ev THEN t6 ELSE 0 END) AS BIGINT) AS smsum
+        |  FROM s)
+        |SELECT n_train, n_eval, sum_abs_err, sum_abs_y, n_over, n_under,
+        |  CASE WHEN sum_abs_y = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((CAST(1000000 AS HUGEINT) * sum_abs_err)
+        |                 // sum_abs_y AS BIGINT) END AS wape6,
+        |  CASE WHEN n_eval = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(smsum // n_eval AS BIGINT) END AS smape6,
+        |  CASE WHEN n_eval = 0 OR tsae = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((CAST(1000000 AS HUGEINT) * sum_abs_err * n_train)
+        |                 // (CAST(n_eval AS HUGEINT) * tsae) AS BIGINT) END AS mase6
+        |FROM g""".stripMargin,
     "w_seasonal" ->
       """WITH d0 AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),

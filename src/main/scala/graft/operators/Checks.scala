@@ -768,6 +768,14 @@ object Checks {
       .agg(
         count(lit(1)).as("n"),
         sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x"))
+    binomialScanOnGrid(cells).orderBy(col("bucket"))
+  }
+
+  /** The split scan proper, over an already-built (bucket, n, x)
+    * count grid — totals fold from the GRID it is given, so the same
+    * scan serves the full series and any contiguous sub-segment of
+    * it (the [[binomialBinseg2]] recursion). Unordered; callers sort. */
+  private[graft] def binomialScanOnGrid(cells: DataFrame): DataFrame = {
     val c1 = Relational.globalCumSum(cells, Seq(col("bucket")), "x", "__x0")
     val c01 = Relational.globalCumSum(c1, Seq(col("bucket")), "n", "__n0")
     val tot = broadcast(cells.agg(sum(col("n")).as("__nn"), sum(col("x")).as("__xx")))
@@ -798,7 +806,50 @@ object Checks {
           (ll6(xl, nl) + ll6(col("__xx") - xl, col("__nn") - nl)
             - ll6(col("__xx"), col("__nn"))))
           .cast("long").as("g6"))
-      .orderBy(col("bucket"))
+  }
+
+  /** Depth-2 binary segmentation of the binomial rate series
+    * (Scott & Knott 1974 / Vostrikova 1981's recursion, stopped at
+    * depth 2): run [[binomialScanOnGrid]] on the full grid, take the
+    * argmax split (ties to the earliest bucket — the statistic is an
+    * exact integer in both engines, so the argmax is deterministic),
+    * then re-run the SAME scan on each side's sub-grid, where the
+    * segment's own totals (folded from the sub-grid) are the null
+    * model. Localizes up to three changepoints from ONE corpus scan:
+    * the events collapse to the (bucket, n, x) day-grid once, and
+    * every subsequent pass is grid-bounded (the persisted cells are
+    * the only thing re-read).
+    *
+    * Returns ≤3 rows (depth, side, bucket, n_left, x_left, n_right,
+    * x_right, g6): depth 1 side '*' = the top split; depth 2 sides
+    * 'L'/'R' = the best split strictly inside each segment (absent
+    * when a side has <2 buckets). Ordered by (depth, side).
+    */
+  def binomialBinseg2(df: DataFrame, successCol: Column, bucketCol: Column): DataFrame = {
+    val cells = df
+      .filter(successCol.isNotNull && bucketCol.isNotNull)
+      .groupBy(bucketCol.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outCols = Seq("bucket", "n_left", "x_left", "n_right", "x_right", "g6").map(col)
+    def best(scan: DataFrame): DataFrame =
+      scan.orderBy(col("g6").desc, col("bucket")).limit(1).select(outCols: _*)
+    val top = best(binomialScanOnGrid(cells))
+    val t1 = broadcast(top.select(col("bucket").as("__t1")))
+    val sided = cells.crossJoin(t1)
+    val bestL = best(binomialScanOnGrid(
+      sided.filter(col("bucket") <= col("__t1")).drop("__t1")))
+    val bestR = best(binomialScanOnGrid(
+      sided.filter(col("bucket") > col("__t1")).drop("__t1")))
+    top.withColumn("depth", lit(1).cast("int")).withColumn("side", lit("*"))
+      .unionByName(
+        bestL.withColumn("depth", lit(2).cast("int")).withColumn("side", lit("L")))
+      .unionByName(
+        bestR.withColumn("depth", lit(2).cast("int")).withColumn("side", lit("R")))
+      .select(Seq(col("depth"), col("side")) ++ outCols: _*)
+      .orderBy(col("depth"), col("side"))
   }
 
   /** Mean-shift single-changepoint split scan — [[binomialSplitScan]]'s
@@ -833,6 +884,15 @@ object Checks {
         sum(valueCol.cast("long").cast("decimal(38,0)") * valueCol.cast("long"))
           .as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    meanScanOnGrid(cells).orderBy(col("bucket"))
+  }
+
+  /** The mean-shift scan proper, over an already-built
+    * (bucket, n, s, q) moment grid — the segment totals (and the
+    * pooled variance of the null model) fold from the GRID it is
+    * given, so the same scan serves the full series and any
+    * contiguous sub-segment ([[meanBinseg2]]). Unordered. */
+  private[graft] def meanScanOnGrid(cells: DataFrame): DataFrame = {
     val c1 = Relational.globalCumSum(cells, Seq(col("bucket")), "s", "__s0")
     val c01 = Relational.globalCumSum(c1, Seq(col("bucket")), "n", "__n0")
     val tot = broadcast(
@@ -870,7 +930,47 @@ object Checks {
             |   * CAST(__ml6 - __mr6 AS DECIMAL(38,0)))
             |  div (CAST(1000000 AS DECIMAL(38,0)) * __varc2)
             |AS BIGINT) END""".stripMargin).as("z2_6"))
-      .orderBy(col("bucket"))
+  }
+
+  /** Depth-2 binary segmentation of the value-level series —
+    * [[binomialBinseg2]]'s continuous sibling on the
+    * [[meanScanOnGrid]] statistic. Argmax split of the full grid
+    * (ties to the earliest bucket), then the best split strictly
+    * inside each side, each side scored against its OWN pooled
+    * variance (the sub-grid's moments are the null model). One
+    * corpus scan builds the (bucket, n, s, q) grid; all three scans
+    * re-read only the persisted grid. Returns ≤3 rows (depth, side,
+    * bucket, n_left, n_right, mean_l6, mean_r6, z2_6), ordered by
+    * (depth, side); a side with <2 buckets emits nothing.
+    */
+  def meanBinseg2(df: DataFrame, valueCol: Column, bucketCol: Column): DataFrame = {
+    val cells = df
+      .filter(valueCol.isNotNull && bucketCol.isNotNull)
+      .groupBy(bucketCol.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(valueCol.cast("long")).as("s"),
+        sum(valueCol.cast("long").cast("decimal(38,0)") * valueCol.cast("long"))
+          .as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outCols =
+      Seq("bucket", "n_left", "n_right", "mean_l6", "mean_r6", "z2_6").map(col)
+    def best(scan: DataFrame): DataFrame =
+      scan.orderBy(col("z2_6").desc, col("bucket")).limit(1).select(outCols: _*)
+    val top = best(meanScanOnGrid(cells))
+    val t1 = broadcast(top.select(col("bucket").as("__t1")))
+    val sided = cells.crossJoin(t1)
+    val bestL = best(meanScanOnGrid(
+      sided.filter(col("bucket") <= col("__t1")).drop("__t1")))
+    val bestR = best(meanScanOnGrid(
+      sided.filter(col("bucket") > col("__t1")).drop("__t1")))
+    top.withColumn("depth", lit(1).cast("int")).withColumn("side", lit("*"))
+      .unionByName(
+        bestL.withColumn("depth", lit(2).cast("int")).withColumn("side", lit("L")))
+      .unionByName(
+        bestR.withColumn("depth", lit(2).cast("int")).withColumn("side", lit("R")))
+      .select(Seq(col("depth"), col("side")) ++ outCols: _*)
+      .orderBy(col("depth"), col("side"))
   }
 
   /** Two-sample Cramér–von Mises criterion between two bucket-count

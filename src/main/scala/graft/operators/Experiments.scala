@@ -3194,4 +3194,196 @@ object Experiments {
             |END""".stripMargin).as("trim_mean6"))
       .orderBy(col("side"))
   }
+
+  /** Poisson(1) CDF thresholds as 15-hex-digit string literals
+    * (floor(cdf_k · 16^15), zero-padded lowercase): a 15-char md5
+    * prefix compared lexicographically against these IS a numeric
+    * compare of the same 60-bit uniform draw, so Spark and DuckDB
+    * draw identical bootstrap weights from identical literals.
+    * Computed once here (the dq_benford injected-literal precedent)
+    * for k = 0..7; the residual mass past k = 7 (~1e-5) caps at 8.
+    */
+  private[graft] lazy val Pois1HexCdf: Seq[String] = {
+    val pmf = Iterator
+      .iterate((0, math.exp(-1.0))) { case (k, p) => (k + 1, p / (k + 1)) }
+      .map(_._2)
+    pmf
+      .scanLeft(0.0)(_ + _)
+      .slice(1, 9) // cdf_0 .. cdf_7
+      .map(c => f"${(BigDecimal(c) * BigDecimal(BigInt(16).pow(15))).toBigInt.toLong}%015x")
+      .toSeq
+  }
+
+  /** One-pass cluster Poisson bootstrap for the difference in the
+    * ratio-of-sums mean between two arms (Chamandy–Muralidharan–
+    * Najmi–Naidu 2012's streaming bootstrap, at the experiment's
+    * RANDOMIZATION unit): each unit's (n, Σv) collapses from one
+    * corpus scan; every (unit, replicate) pair then draws an i.i.d.
+    * Poisson(1) weight and the replicate statistic is
+    * Σ w·Σv / Σ w·n per arm — the cluster bootstrap a ratio metric
+    * needs (resampling EVENTS understates the variance when users
+    * contribute many events; this is [[jackknifeRatio]]'s
+    * percentile-CI sibling).
+    *
+    * Determinism — the injected-literal discipline: weights come
+    * from the md5 of "unit:replicate" compared against
+    * [[Pois1HexCdf]]'s 15-hex-digit thresholds (lexicographic ==
+    * numeric for fixed-width lowercase hex), so both engines draw
+    * bit-identical weights. All means are exact truncating DECIMAL
+    * divisions in micro-units (operands nonnegative by the valueCol
+    * ≥ 0 contract, so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree).
+    *
+    * Scale shape: the unit×reps explosion never materializes — it is
+    * map-side combined into reps rows of arm partials; the quantile
+    * selection is a k-bounded sorted array over the reps-row
+    * replicate table (reps ≤ 1000, fail-fast). Replicates where
+    * either arm draws zero total weight are dropped (probability
+    * ~(1/e)^units — real only on toy fixtures); the CI indexes are
+    * the integer-exact lo = floor(.025·R)+1, hi = R − floor(.025·R)
+    * over the R VALID replicates.
+    *
+    * Returns one row (n_reps, n_a, n_b, mean_a6, mean_b6,
+    * diff_point6, diff_lo6, diff_hi6).
+    */
+  def poissonBootDiff(
+      df: DataFrame,
+      unitCol: Column,
+      isACol: Column,
+      valueCol: Column,
+      reps: Int = 100): DataFrame = {
+    require(reps >= 40 && reps <= 1000, s"reps must be in [40, 1000], got $reps")
+    val dec = "decimal(38,0)"
+    val perUnit = df
+      .filter(unitCol.isNotNull && isACol.isNotNull && valueCol.isNotNull)
+      .groupBy(unitCol.cast("string").as("u"), isACol.cast("boolean").as("a"))
+      .agg(count(lit(1)).as("n"), sum(valueCol.cast("long")).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = df.sparkSession
+    val r = spark.range(reps.toLong).select(col("id").cast("int").as("r"))
+    val h = substring(
+      md5(concat(col("u"), lit(":"), col("r").cast("string")).cast("binary")),
+      1, 15)
+    val w = Pois1HexCdf.zipWithIndex.reverse.foldLeft(lit(8L)) {
+      case (acc, (t, k)) => when(h < lit(t), lit(k.toLong)).otherwise(acc)
+    }
+    val zero = lit(0L).cast(dec)
+    val cells = perUnit
+      .crossJoin(r)
+      .withColumn("__w", w)
+      .groupBy(col("r"))
+      .agg(
+        sum(when(col("a"), col("__w") * col("n")).otherwise(0L)).as("nwa"),
+        sum(when(col("a"), col("__w").cast(dec) * col("sv")).otherwise(zero)).as("swa"),
+        sum(when(!col("a"), col("__w") * col("n")).otherwise(0L)).as("nwb"),
+        sum(when(!col("a"), col("__w").cast(dec) * col("sv")).otherwise(zero)).as("swb"))
+    val diffs = cells
+      .filter(col("nwa") > 0L && col("nwb") > 0L)
+      .select(
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * swa) div nwa
+            |  - (CAST(1000000 AS DECIMAL(38,0)) * swb) div nwb AS BIGINT)"""
+            .stripMargin).as("diff6"))
+    val ci = diffs
+      .agg(
+        count(lit(1)).as("n_reps"),
+        array_sort(collect_list(col("diff6"))).as("__sorted"))
+      .select(
+        col("n_reps"),
+        element_at(
+          col("__sorted"),
+          (expr("(n_reps * 25) div 1000") + 1L).cast("int")).as("diff_lo6"),
+        element_at(
+          col("__sorted"),
+          (col("n_reps") - expr("(n_reps * 25) div 1000")).cast("int")).as("diff_hi6"))
+    val point = perUnit
+      .agg(
+        sum(when(col("a"), col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("a"), col("sv")).otherwise(0L)).cast(dec).as("__sa"),
+        sum(when(!col("a"), col("n")).otherwise(0L)).as("n_b"),
+        sum(when(!col("a"), col("sv")).otherwise(0L)).cast(dec).as("__sb"))
+      .select(
+        col("n_a"),
+        col("n_b"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __sa) div n_a AS BIGINT)")
+          .as("mean_a6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __sb) div n_b AS BIGINT)")
+          .as("mean_b6"))
+    ci.crossJoin(broadcast(point))
+      .select(
+        col("n_reps"), col("n_a"), col("n_b"), col("mean_a6"), col("mean_b6"),
+        (col("mean_a6") - col("mean_b6")).as("diff_point6"),
+        col("diff_lo6"), col("diff_hi6"))
+  }
+
+  /** Coarsened exact matching ATT (Iacus–King–Porro 2012): stratify
+    * units by the caller-coarsened covariate columns, keep only
+    * strata containing BOTH treated and control units, and average
+    * the within-stratum treated-minus-control outcome gaps weighted
+    * by each stratum's treated count — the observational-data
+    * complement of the randomized [[twoProportionZ]]/CUPED family
+    * (when assignment correlates with the covariates, the raw gap
+    * confounds; CEM compares like with like and reports how much of
+    * the treated population survived matching).
+    *
+    * Exactness: outcomes are exact integer units, ≥ 0 by contract
+    * (per-stratum means are truncating divisions of NONNEGATIVE
+    * operands, where Spark's `div` and DuckDB's `//` agree); the
+    * final ATT numerator Σ n_t·(ȳ_t6 − ȳ_c6) CAN be negative, so the
+    * one signed division is routed through an explicit
+    * sign·(|num| div den) — both engines identical, convention
+    * documented here: truncation toward zero.
+    *
+    * Scale: one corpus scan to the strata grid (bounded by the
+    * coarsened covariate product — the caller's binning IS the
+    * guarantee), one grid fold to a single row. Returns (n_strata,
+    * n_strata_matched, n_treated, n_treated_matched,
+    * n_control_matched, match_ppm, att6).
+    */
+  def cemAtt(
+      df: DataFrame,
+      treatedCol: Column,
+      outcomeCol: Column,
+      strataCols: Seq[Column]): DataFrame = {
+    require(strataCols.nonEmpty, "cemAtt needs at least one coarsened covariate")
+    val keys = strataCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
+    val u = df
+      .filter(treatedCol.isNotNull && outcomeCol.isNotNull)
+      .select(
+        Seq(treatedCol.cast("boolean").as("__tr"),
+          outcomeCol.cast("long").as("__y")) ++ keys: _*)
+    val strata = u
+      .groupBy(keys.indices.map(i => col(s"__k$i")): _*)
+      .agg(
+        sum(when(col("__tr"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("__tr"), col("__y")).otherwise(0L)).as("syt"),
+        sum(when(!col("__tr"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("__tr"), col("__y")).otherwise(0L)).as("syc"))
+    val matched = col("nt") > 0L && col("nc") > 0L
+    val gap6 = expr(
+      """(CAST(1000000 AS DECIMAL(38,0)) * syt) div nt
+        |  - (CAST(1000000 AS DECIMAL(38,0)) * syc) div nc""".stripMargin)
+    strata
+      .agg(
+        count(lit(1)).as("n_strata"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_strata_matched"),
+        sum(col("nt")).as("n_treated"),
+        sum(when(matched, col("nt")).otherwise(0L)).as("n_treated_matched"),
+        sum(when(matched, col("nc")).otherwise(0L)).as("n_control_matched"),
+        sum(when(matched, col("nt").cast("decimal(38,0)") * gap6)
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__num"))
+      .select(
+        col("n_strata"), col("n_strata_matched"), col("n_treated"),
+        col("n_treated_matched"), col("n_control_matched"),
+        expr(
+          """CASE WHEN n_treated = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * n_treated_matched)
+            |          div n_treated AS BIGINT) END""".stripMargin).as("match_ppm"),
+        expr(
+          """CASE WHEN n_treated_matched = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(
+            |  (CASE WHEN __num < 0 THEN -1 ELSE 1 END)
+            |  * (abs(__num) div n_treated_matched) AS BIGINT) END"""
+            .stripMargin).as("att6"))
+  }
 }

@@ -1774,4 +1774,79 @@ object Series {
         (col("__n") * 1000000L).as("ushape6"))
     perChannel.unionByName(orphans)
   }
+
+  /** Forecast-accuracy panel for the seasonal-naive baseline
+    * (Hyndman & Koehler 2006's MASE discipline): split the daily
+    * series into train / last-`holdout`-days eval, forecast each
+    * eval day as the value `season` days earlier, and score WAPE,
+    * sMAPE, and MASE — MASE's denominator is the TRAIN-side mean
+    * absolute seasonal-naive error, so a score < 1e6 micro means
+    * "beat the naive forecaster on its own scale", comparable across
+    * series. Any model's forecast can be judged against this panel;
+    * shipping the baseline's own score calibrates what the series
+    * allows.
+    *
+    * Exactness: values are exact integer units (cents/counts, ≥ 0 by
+    * contract — division parity needs nonnegative operands); sMAPE
+    * is the mean of per-day (2e6·|e|) div (y + ŷ) truncating terms
+    * (0 when both sides are 0), WAPE/MASE one staged DECIMAL(38,0)
+    * division each. Day pairs come from an equi-join of the daily
+    * grid with itself shifted by `season` — days missing their
+    * seasonal parent drop on BOTH sides (deterministic in both
+    * engines); gaps in the grid are the caller's to fill
+    * ([[gapFill]]) if calendar-complete eval is wanted. One
+    * grid-bounded pass after the daily collapse; the eval window is
+    * anchored to the series' own max day. Returns one row (n_train,
+    * n_eval, sum_abs_err, sum_abs_y, n_over, n_under, wape6, smape6,
+    * mase6).
+    */
+  def seasonalNaiveEval(
+      daily: DataFrame,
+      dayCol: String,
+      valCol: String,
+      season: Int,
+      holdout: Int): DataFrame = {
+    require(season >= 1 && season <= 366, s"season must be in [1, 366], got $season")
+    require(holdout >= 1, s"holdout must be >= 1, got $holdout")
+    val d = daily.select(
+      col(dayCol).cast("date").as("day"),
+      col(valCol).cast("long").as("y"))
+      .filter(col("day").isNotNull && col("y").isNotNull)
+    val shifted = d.select(
+      date_add(col("day"), season).as("day"),
+      col("y").as("yhat"))
+    val mx = broadcast(d.agg(max(col("day")).as("__mx")))
+    val e = col("y") - col("yhat")
+    val isEval = datediff(col("__mx"), col("day")) < holdout
+    val smapeTerm =
+      when(col("y") + col("yhat") === 0L, 0L)
+        .otherwise(expr("CAST((CAST(2000000 AS DECIMAL(38,0)) * abs(y - yhat)) div (y + yhat) AS BIGINT)"))
+    d.join(shifted, Seq("day"))
+      .crossJoin(mx)
+      .agg(
+        sum(when(!isEval, 1L).otherwise(0L)).as("n_train"),
+        sum(when(!isEval, abs(e)).otherwise(0L)).as("__train_sae"),
+        sum(when(isEval, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(isEval, abs(e)).otherwise(0L)).as("sum_abs_err"),
+        sum(when(isEval, abs(col("y"))).otherwise(0L)).as("sum_abs_y"),
+        sum(when(isEval && e > 0L, 1L).otherwise(0L)).as("n_over"),
+        sum(when(isEval && e < 0L, 1L).otherwise(0L)).as("n_under"),
+        sum(when(isEval, smapeTerm).otherwise(0L)).as("__smape_sum"))
+      .select(
+        col("n_train"), col("n_eval"), col("sum_abs_err"), col("sum_abs_y"),
+        col("n_over"), col("n_under"),
+        expr(
+          """CASE WHEN sum_abs_y = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_abs_err)
+            |          div sum_abs_y AS BIGINT) END""".stripMargin).as("wape6"),
+        expr(
+          """CASE WHEN n_eval = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(__smape_sum div n_eval AS BIGINT) END""".stripMargin)
+          .as("smape6"),
+        expr(
+          """CASE WHEN n_eval = 0 OR __train_sae = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_abs_err * n_train)
+            |          div (CAST(n_eval AS DECIMAL(38,0)) * __train_sae)
+            |     AS BIGINT) END""".stripMargin).as("mase6"))
+  }
 }

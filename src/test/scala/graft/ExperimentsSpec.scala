@@ -856,4 +856,53 @@ class ExperimentsSpec extends SparkSpec {
     val rz = Experiments.wilcoxonSignedRank(allz, col("pre"), col("post")).head()
     assert((rz.getLong(0), rz.getLong(1), rz.getLong(3)) == ((0L, 2L, 0L)))
   }
+
+  test("poissonBootDiff: constant arms give an exactly degenerate CI; reps bound fails fast") {
+    import spark.implicits._
+    // 30 units per arm, arm A always 100, arm B always 50: every
+    // unit's ratio is the arm constant, so EVERY replicate's
+    // ratio-of-sums is exactly 100e6/50e6 micro regardless of the
+    // weights it drew -> point diff and both CI ends are exactly
+    // 50_000_000, and (at 30 units/arm) no replicate drops.
+    val rows = (0L until 30L).flatMap(u =>
+      Seq((u * 2L, 100L), (u * 2L, 100L), (u * 2L + 1L, 50L), (u * 2L + 1L, 50L), (u * 2L + 1L, 50L)))
+    val df = rows.toDF("uid", "v")
+    val r = Experiments
+      .poissonBootDiff(df, col("uid"), col("uid") % 2 === 0, col("v"), reps = 100)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 60L, 90L)))
+    assert((r.getLong(3), r.getLong(4)) == ((100000000L, 50000000L)))
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((50000000L, 50000000L, 50000000L)))
+    // the Poisson CDF literals: 15 lowercase hex chars, strictly increasing
+    val t = Experiments.Pois1HexCdf
+    assert(t.size == 8 && t.forall(_.matches("[0-9a-f]{15}")) && t == t.sorted)
+    assert(t.head.startsWith("5e2d58d8")) // floor(e^-1 * 16^15) prefix
+    intercept[IllegalArgumentException] {
+      Experiments.poissonBootDiff(df, col("uid"), col("uid") % 2 === 0, col("v"), reps = 10)
+    }
+  }
+
+  test("cemAtt: treated-weighted matched-strata gap; unmatched strata drop; signed div toward zero") {
+    import spark.implicits._
+    // Stratum A: t{10} vs c{4} -> gap 6e6, weight 1. Stratum B:
+    // t{20,30} vs c{5} -> gap 20e6, weight 2. Stratum C treated-only,
+    // D control-only -> both drop. att6 = 46e6 div 3 = 15333333;
+    // match_ppm = 3/4 treated matched = 750000.
+    val rows = Seq(
+      ("A", true, 10L), ("A", false, 4L),
+      ("B", true, 20L), ("B", true, 30L), ("B", false, 5L),
+      ("C", true, 99L), ("D", false, 7L)).toDF("k", "tr", "y")
+    val r = Experiments.cemAtt(rows, col("tr"), col("y"), Seq(col("k"))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((4L, 2L, 4L, 3L, 2L, 750000L, 15333333L)))
+    // negative ATT: single matched stratum t{1} vs c{2}
+    val neg = Seq(("A", true, 1L), ("A", false, 2L)).toDF("k", "tr", "y")
+    val rn = Experiments.cemAtt(neg, col("tr"), col("y"), Seq(col("k"))).head()
+    assert(rn.getLong(6) == -1000000L)
+    intercept[IllegalArgumentException] {
+      Experiments.cemAtt(rows, col("tr"), col("y"), Seq.empty)
+    }
+  }
 }

@@ -657,4 +657,33 @@ class SeriesSpec extends SparkSpec {
       ("click", 3L, 2L, 1166666L, 1300000L),
       ("view", 2L, 2L, 833333L, 700000L)))
   }
+
+  test("seasonalNaiveEval: exact WAPE/sMAPE/MASE on a three-week step series") {
+    import spark.implicits._
+    // Weeks at levels 10 / 12 / 15, season 7, holdout 7: train pairs
+    // are days 8-14 (|e| = 2 each, MAE 2), eval days 15-21 (|e| = 3,
+    // MAE 3). wape6 = (1e6*21) div 105 = 200000; per-day smape term
+    // (2e6*3) div 27 = 222222; mase6 = 1.5e6 exactly.
+    val rows = (1 to 21).map { i =>
+      (f"2024-01-$i%02d", if (i <= 7) 10L else if (i <= 14) 12L else 15L)
+    }
+    val r = Series
+      .seasonalNaiveEval(rows.toDF("day", "y"), "day", "y", season = 7, holdout = 7)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+      ((7L, 7L, 21L, 105L, 7L, 0L, 200000L, 222222L, 1500000L)))
+    // degenerate guards: a flat series has zero train error -> MASE
+    // guard returns 0 (not a division error); zero values exercise
+    // the smape 0/0 convention
+    val flat = (1 to 21).map(i => (f"2024-01-$i%02d", 0L))
+    val z = Series
+      .seasonalNaiveEval(flat.toDF("day", "y"), "day", "y", season = 7, holdout = 7)
+      .head()
+    assert((z.getLong(2), z.getLong(6), z.getLong(7), z.getLong(8)) ==
+      ((0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Series.seasonalNaiveEval(rows.toDF("day", "y"), "day", "y", season = 0, holdout = 7)
+    }
+  }
 }

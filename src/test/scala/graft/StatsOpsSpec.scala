@@ -65,6 +65,44 @@ class StatsOpsSpec extends SparkSpec {
     assert(z == Seq(0L), z.toString)
   }
 
+  test("binomialBinseg2: argmax split then per-side rescans; flat sides score 0") {
+    import spark.implicits._
+    // b1,b2: 0/2 each; b3,b4: 2/2 each. Top split after b2:
+    // ll(0,4) = 0, ll(4,4) = 0, ll(4,8) = 8*round(ln .5 * 1e6)
+    // = -5545176 -> g6 = 11090352 (vs 3452184 after b1/b3).
+    // Both sides are rate-constant -> their best splits score 0.
+    val rows = Seq(
+      ("b1", false), ("b1", false), ("b2", false), ("b2", false),
+      ("b3", true), ("b3", true), ("b4", true), ("b4", true)).toDF("b", "ok")
+    val got = Checks.binomialBinseg2(rows, col("ok"), col("b"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      (1, "*", "b2", 4L, 0L, 4L, 4L, 11090352L),
+      (2, "L", "b1", 2L, 0L, 2L, 0L, 0L),
+      (2, "R", "b3", 2L, 2L, 2L, 2L, 0L)), got.toSeq.toString)
+  }
+
+  test("meanBinseg2: level shift localized at depth 1; constant sides score 0") {
+    import spark.implicits._
+    // b1,b2: {0,0}; b3,b4: {10,10}. Top split after b2: w = 16 div 8
+    // = 2, d6 = 1e7, varc2 = (8*400 - 1600) div 64 = 25 ->
+    // z2_6 = (2 * 1e14) div 2.5e7 = 8_000_000. Each side is
+    // constant (varc2 = 0) -> depth-2 rows score 0.
+    val rows = Seq(
+      ("b1", 0L), ("b1", 0L), ("b2", 0L), ("b2", 0L),
+      ("b3", 10L), ("b3", 10L), ("b4", 10L), ("b4", 10L)).toDF("b", "v")
+    val got = Checks.meanBinseg2(rows, col("v"), col("b"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      (1, "*", "b2", 4L, 4L, 0L, 10000000L, 8000000L),
+      (2, "L", "b1", 2L, 2L, 0L, 0L, 0L),
+      (2, "R", "b3", 2L, 2L, 10000000L, 10000000L, 0L)), got.toSeq.toString)
+  }
+
   test("simpsonDiversity: {2,2} split scores 333333; singleton groups dropped") {
     val df = Seq(
       ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
