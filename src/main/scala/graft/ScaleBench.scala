@@ -375,6 +375,31 @@ object ScaleBench {
         parts += f""""eprocess_cs":{"sec":$csSec%.2f,"rows":$cs}"""
       }
 
+      if (on("changepoint")) {
+        // the T230-T231 wave: depth-2 binary segmentation (day-grid
+        // moment cells + three grid-bounded scans) and the cluster
+        // Poisson bootstrap (per-unit collapse, unit×100-rep weight
+        // draws map-side combined to 100 arm-partial rows) — both
+        // claim one row-linear pass with everything after bounded
+        val ev = eventsX(spark, base, m)
+        reset(spark)
+        val (bs, bsSec) = timed(
+          Checks.meanBinseg2(
+            ev.filter(col("value").isNotNull && col("ts").isNotNull),
+            round(col("value") * 100.0, 0).cast("long"),
+            date_format(col("ts"), "yyyy-MM-dd")).count())
+        parts += f""""mean_binseg":{"sec":$bsSec%.2f,"rows":$bs}"""
+        reset(spark)
+        val (pb, pbSec) = timed(
+          Experiments.poissonBootDiff(
+            ev,
+            col("user_id"),
+            col("user_id") % 2 === 0,
+            round(col("value") * 100.0, 0).cast("long"),
+            reps = 100).count())
+        parts += f""""poisson_boot":{"sec":$pbSec%.2f,"rows":$pb}"""
+      }
+
       if (on("survival")) {
         // the survival chassis (T187+): per-entity min/max aggregate
         // is the only row-proportional stage; the age grid is

@@ -809,6 +809,44 @@ object SparkEntryStreaming {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Streaming depth-2 changepoint localization — the WHERE readout
+    // off the SAME (day, n, x) sufficient statistic st_eprocess
+    // appends (partial grids SUM-merge exactly): micro-batches append
+    // partial purchase-rate grids, the monitor re-runs the full
+    // binary segmentation (argmax split, then per-side rescans) over
+    // the merged day-bounded grid — bit-equal to the batch
+    // dq_rate_binseg under one shared oracle. The always-valid
+    // monitors say WHETHER the rate moved; this localizes WHERE,
+    // live, with zero history re-scans.
+    "st_rate_binseg" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/bsgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select(
+          date_format(col("ts"), "yyyy-MM-dd").as("bucket"),
+          lit(0L).as("n"),
+          lit(0L).as("x"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("event_type").isNotNull && col("ts").isNotNull)
+            .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Checks
+        .binomialBinseg2FromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("bucket"))
+            .agg(sum(col("n")).as("n"), sum(col("x")).as("x")))
+    },
     // Streaming Page-Hinkley drift monitor — the running-mean fold is
     // order-pinned and not mergeable, but the DAILY COUNT GRID is
     // (per-batch partial counts SUM-merge exactly, the
@@ -1496,6 +1534,9 @@ object SparkEntryStreaming {
     // same grid, the 99-candidate band readout — one oracle with the
     // batch a_eprocess_cs
     "st_eprocess_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_cs"),
+    // same (day, n, x) grid, the depth-2 changepoint readout — one
+    // oracle with the batch dq_rate_binseg
+    "st_rate_binseg" -> SparkEntryCoverage.oracleSql("dq_rate_binseg"),
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout

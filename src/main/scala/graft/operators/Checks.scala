@@ -825,13 +825,23 @@ object Checks {
     * 'L'/'R' = the best split strictly inside each segment (absent
     * when a side has <2 buckets). Ordered by (depth, side).
     */
-  def binomialBinseg2(df: DataFrame, successCol: Column, bucketCol: Column): DataFrame = {
-    val cells = df
-      .filter(successCol.isNotNull && bucketCol.isNotNull)
-      .groupBy(bucketCol.as("bucket"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x"))
+  def binomialBinseg2(df: DataFrame, successCol: Column, bucketCol: Column): DataFrame =
+    binomialBinseg2FromCells(
+      df
+        .filter(successCol.isNotNull && bucketCol.isNotNull)
+        .groupBy(bucketCol.as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(successCol.cast("boolean"), 1L).otherwise(0L)).as("x")))
+
+  /** [[binomialBinseg2]] over an already-merged (bucket, n, x) count
+    * grid — the grid is the MERGEABLE sufficient statistic (partial
+    * grids SUM-merge exactly), so a streaming monitor that appends
+    * per-batch partials re-runs this bit-equal to the batch scan
+    * with zero history re-scans (the st_eprocess grid, reused). */
+  def binomialBinseg2FromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0
+      .select(col("bucket"), col("n").cast("long").as("n"), col("x").cast("long").as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outCols = Seq("bucket", "n_left", "x_left", "n_right", "x_right", "g6").map(col)
     def best(scan: DataFrame): DataFrame =

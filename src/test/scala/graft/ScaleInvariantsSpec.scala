@@ -97,4 +97,35 @@ class ScaleInvariantsSpec extends SparkSpec {
     val r10 = TextAnalysis.invertedIndex(docsX(10), "text", "doc_id").count()
     assert(r10 == 10L * r1, s"postings not linear: 1x=$r1 10x=$r10")
   }
+
+  test("binseg amplification law: 10x rows leave split locations fixed and scale g6 exactly 10x") {
+    import spark.implicits._
+    // The rate-binseg statistic is Σ c·round(ln(c/n)·1e6) with every
+    // count multiplied by the amplification and every RATIO c/n
+    // unchanged — so a k× row amplification must reproduce the SAME
+    // split buckets with g6 exactly k× (the merge-invariance the
+    // streaming twin and the x100 curve both rest on). Any deviation
+    // means the scan is reading something row-positional, not the
+    // (bucket, n, x) sufficient statistic.
+    val rows = Seq(
+      ("b1", false), ("b1", false), ("b1", true),
+      ("b2", false), ("b2", true), ("b2", true),
+      ("b3", true), ("b3", true), ("b3", true),
+      ("b4", true), ("b4", false), ("b4", true)).toDF("b", "ok")
+    val amp10 = (0 until 10).map(_ => rows).reduce(_ unionByName _)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Checks.binomialBinseg2(df, col("ok"), col("b"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toSeq
+    val one = run(rows)
+    val ten = run(amp10)
+    assert(one.map(t => (t._1, t._2, t._3)) == ten.map(t => (t._1, t._2, t._3)),
+      s"split locations moved under amplification: $one vs $ten")
+    assert(
+      ten == one.map(t =>
+        (t._1, t._2, t._3, t._4 * 10, t._5 * 10, t._6 * 10, t._7 * 10, t._8 * 10)),
+      s"g6/counts not exactly 10x: $one vs $ten")
+  }
 }
