@@ -1473,6 +1473,22 @@ object SparkEntryCoverage {
         round(col("value") * 100.0, 0).cast("long"),
         reps = 100)
     },
+    // TOST equivalence gate (Experiments.tostEquivalence, Schuirmann
+    // 1987): the SHIP decision a_ab_test can't make — per event
+    // type, is the even-vs-odd-arm high-value rate gap provably
+    // inside ±5 pp? Both one-sided z² predicates as exact integer
+    // compares against the one-sided 95th literal; no sqrt anywhere.
+    "a_tost" -> { (s, dir) =>
+      Experiments
+        .tostEquivalence(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+          (col("value") > 50.0).cast("long"),
+          marginPpm = 50000L)
+        .orderBy(col("group"))
+    },
     // Coarsened exact matching (Experiments.cemAtt): ATT of the
     // even-id arm on purchase spend with users stratified by
     // coarsened activity (event-count and active-day buckets) —
@@ -5127,6 +5143,24 @@ object SparkEntryCoverage {
         .select(col("id").as("part_id"), col("community"))
         .orderBy(col("part_id"))
     },
+    // Newman modularity (Graph.modularity) of the labelprop
+    // partition over the same co-purchase graph: per-community
+    // intra-edge share minus the degree-preserving chance share, in
+    // exact micro-units — the score that says whether the clustering
+    // found structure (Σ term6 ≈ 0 means it didn't).
+    "g_modularity" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 4))
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -8577,6 +8611,41 @@ object SparkEntryCoverage {
         |WHERE k.pb IS NULL OR k.gb > k.pb
         |ORDER BY price_cents, p_partkey""".stripMargin,
     "a_ab_test" -> abTestOracleSql,
+    // same (group, variant) cells; both one-sided predicates as
+    // HUGEINT compares against the one-sided 95th literal
+    "a_tost" ->
+      """WITH base AS (SELECT event_type AS g,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(s) AS BIGINT) AS x FROM base GROUP BY 1, 2),
+        |mins AS (SELECT g, COUNT(*) AS nv, MIN(v) AS variant_a, MAX(v) AS variant_b
+        |  FROM cells GROUP BY 1),
+        |j AS (SELECT m.g, m.variant_a, m.variant_b,
+        |    ca.n AS n_a, ca.x AS x_a, cb.n AS n_b, cb.x AS x_b
+        |  FROM mins m
+        |  JOIN cells ca ON ca.g = m.g AND ca.v = m.variant_a
+        |  JOIN cells cb ON cb.g = m.g AND cb.v = m.variant_b
+        |  WHERE m.nv = 2),
+        |d AS (SELECT j.*,
+        |    CAST((CAST(1000000 AS HUGEINT) * x_a) // n_a
+        |      - (CAST(1000000 AS HUGEINT) * x_b) // n_b AS BIGINT) AS diff6,
+        |    CAST((CAST(1000000000000 AS HUGEINT) * x_a * (n_a - x_a))
+        |           // (CAST(n_a AS HUGEINT) * n_a * n_a)
+        |      + (CAST(1000000000000 AS HUGEINT) * x_b * (n_b - x_b))
+        |           // (CAST(n_b AS HUGEINT) * n_b * n_b) AS BIGINT) AS se2_12
+        |  FROM j)
+        |SELECT g AS "group", variant_a, variant_b, n_a, x_a, n_b, x_b,
+        |  diff6, se2_12,
+        |  (diff6 + 50000 > 0 AND 50000 - diff6 > 0
+        |   AND CAST(1000000 AS HUGEINT) * (diff6 + 50000) * (diff6 + 50000)
+        |       >= CAST(2705543 AS HUGEINT) * se2_12
+        |   AND CAST(1000000 AS HUGEINT) * (50000 - diff6) * (50000 - diff6)
+        |       >= CAST(2705543 AS HUGEINT) * se2_12) AS equivalent
+        |FROM d ORDER BY g""".stripMargin,
     // same coarsened strata; the signed ATT division mirrored as
     // sign * (abs // den) so truncation agrees
     "a_cem_att" ->
@@ -11108,6 +11177,48 @@ object SparkEntryCoverage {
          |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
          |$rounds
          |SELECT id AS part_id, lbl AS community FROM l4 ORDER BY part_id""".stripMargin
+    },
+    // same labelprop chain, then the modularity readout over the
+    // undirected (a < b) edge set: truncating micro shares, HUGEINT
+    // for d_c^2 and 4m^2, subtraction after
+    "g_modularity" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
+         |     UNION ALL SELECT id_b, id_a FROM ed),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds,
+         |lab AS (SELECT id, lbl AS community FROM l4),
+         |intra AS (SELECT la.community, CAST(count(*) AS BIGINT) AS intra_edges
+         |          FROM ed JOIN lab la ON la.id = ed.id_a
+         |               JOIN lab lb ON lb.id = ed.id_b
+         |          WHERE la.community = lb.community GROUP BY 1),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed)
+         |        GROUP BY 1),
+         |dc AS (SELECT lab.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+         |       FROM deg JOIN lab ON lab.id = deg.id GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed)
+         |SELECT dc.community, dc.n_nodes,
+         |  COALESCE(intra.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         |  dc.degree_sum,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |        * COALESCE(intra.intra_edges, CAST(0 AS BIGINT))) // mm.m
+         |    - (CAST(1000000 AS HUGEINT) * dc.degree_sum * dc.degree_sum)
+         |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
+         |FROM dc LEFT JOIN intra ON intra.community = dc.community CROSS JOIN mm
+         |ORDER BY dc.community""".stripMargin
     },
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are

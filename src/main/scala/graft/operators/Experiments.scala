@@ -3195,6 +3195,102 @@ object Experiments {
       .orderBy(col("side"))
   }
 
+  /** One-sided z 95th-percentile squared, micro-scaled:
+    * 1.6448536269514722² = 2.705543… → 2705543. The TOST gate's
+    * literal (each one-sided test runs at α = .05, so the
+    * equivalence conclusion holds at overall α = .05 — TOST needs no
+    * multiplicity correction; the intersection-union argument is
+    * Berger & Hsu 1996). */
+  val Z2OneSided05Micro: Long = 2705543L
+
+  /** TOST equivalence gate for two-arm conversion rates (Schuirmann
+    * 1987 two one-sided tests; Berger & Hsu 1996): the SHIP decision
+    * [[twoProportionZ]] cannot make — failing to find a difference
+    * is not evidence of equivalence; TOST rejects "|p_a − p_b| ≥ δ"
+    * only when BOTH one-sided tests reject, i.e. the rate gap is
+    * provably inside ±δ. The non-inferiority/parity gate a pipeline
+    * runs before swapping in a cheaper model or a refactored
+    * operator.
+    *
+    * Exactness — no sqrt anywhere: with diff6 the micro rate gap and
+    * se2_12 the UNPOOLED variance in micro² (per-arm truncating
+    * divisions of nonnegative integer cross-products, DECIMAL(38,0)
+    * staged), each one-sided rejection is the integer predicate
+    *
+    *   diff6 + δ6 > 0  AND  1e6·(diff6 + δ6)² ≥ Z2OneSided05Micro·se2_12
+    *
+    * (and its mirror with δ6 − diff6) — z² compared in micro against
+    * the literal, both engines bit-identical. Degenerate constant
+    * arms (se2_12 = 0) degrade to the strict sign conditions
+    * −δ6 < diff6 < δ6, which is the correct zero-variance limit.
+    *
+    * Group/variant conventions as [[twoProportionZ]] (exactly two
+    * variants per group, lexicographic arm order). Scale shape: one
+    * map-side-combined (group, variant) cell aggregate, then
+    * grid-bounded pivots. Returns (group, variant_a, variant_b, n_a,
+    * x_a, n_b, x_b, diff6, se2_12, equivalent).
+    */
+  def tostEquivalence(
+      df: DataFrame,
+      groupCol: Column,
+      variantCol: Column,
+      successCol: Column,
+      marginPpm: Long): DataFrame = {
+    require(
+      marginPpm > 0L && marginPpm <= 1000000L,
+      s"marginPpm must be in (0, 1e6], got $marginPpm")
+    val cells = cached(
+      df
+        .filter(groupCol.isNotNull && variantCol.isNotNull && successCol.isNotNull)
+        .groupBy(groupCol.as("g"), variantCol.as("v"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(successCol.cast("long")).as("x")))
+    val mins = cells.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__nv"),
+        min(col("v")).as("variant_a"),
+        max(col("v")).as("variant_b"))
+      .filter(col("__nv") === 2L)
+    mins
+      .join(
+        cells.select(col("g"), col("v").as("variant_a"), col("n").as("n_a"), col("x").as("x_a")),
+        Seq("g", "variant_a"))
+      .join(
+        cells.select(col("g"), col("v").as("variant_b"), col("n").as("n_b"), col("x").as("x_b")),
+        Seq("g", "variant_b"))
+      .withColumn(
+        "diff6",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * x_a) div n_a
+            |  - (CAST(1000000 AS DECIMAL(38,0)) * x_b) div n_b AS BIGINT)"""
+            .stripMargin))
+      .withColumn(
+        "se2_12",
+        expr(
+          """CAST(
+            |  (CAST(1000000000000 AS DECIMAL(38,0)) * x_a * (n_a - x_a))
+            |    div (CAST(n_a AS DECIMAL(38,0)) * n_a * n_a)
+            |  + (CAST(1000000000000 AS DECIMAL(38,0)) * x_b * (n_b - x_b))
+            |    div (CAST(n_b AS DECIMAL(38,0)) * n_b * n_b)
+            |AS BIGINT)""".stripMargin))
+      .withColumn(
+        "equivalent",
+        expr(
+          s"""diff6 + $marginPpm > 0 AND $marginPpm - diff6 > 0
+             |AND CAST(1000000 AS DECIMAL(38,0))
+             |    * (diff6 + $marginPpm) * (diff6 + $marginPpm)
+             |    >= CAST($Z2OneSided05Micro AS DECIMAL(38,0)) * se2_12
+             |AND CAST(1000000 AS DECIMAL(38,0))
+             |    * ($marginPpm - diff6) * ($marginPpm - diff6)
+             |    >= CAST($Z2OneSided05Micro AS DECIMAL(38,0)) * se2_12"""
+            .stripMargin))
+      .select(
+        col("g").as("group"), col("variant_a"), col("variant_b"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("diff6"), col("se2_12"), col("equivalent"))
+  }
+
   /** Poisson(1) CDF thresholds as 15-hex-digit string literals
     * (floor(cdf_k · 16^15), zero-padded lowercase): a 15-char md5
     * prefix compared lexicographically against these IS a numeric

@@ -753,4 +753,65 @@ object Graph {
         col("common"),
         expr("CAST(1000000 * common div (__da + __db - common) AS BIGINT)").as("jac6"))
   }
+
+  /** Newman modularity of a community assignment over an undirected
+    * pair graph (Newman & Girvan 2004) — the quality score that
+    * grades [[labelPropagation]]'s (or any) partition: per community,
+    *
+    *   term = e_c/m − (d_c / 2m)²
+    *
+    * (intra-edge share minus the share a degree-preserving random
+    * rewiring would give it); Q = Σ_c term ∈ [−0.5, 1], ≈ 0 means
+    * the partition is no better than chance. Emitted per community
+    * (community, n_nodes, intra_edges, degree_sum, term6) ordered by
+    * community — the analyst reads Σ term6 as Q6 and the per-row
+    * table names WHICH communities carry the structure.
+    *
+    * Exactness: both shares are truncating integer divisions of
+    * NONNEGATIVE operands in micro-units (d_c² and 4m² staged in
+    * DECIMAL(38,0) — degree sums square past 2^63 at corpus scale),
+    * subtracted after — bit-identical in both engines. Scale shape:
+    * edge hygiene + two edge-stream hash-aggregates (intra count,
+    * degree count) + a node-bounded label join; the community grid
+    * is the only thing after the shuffles. Nodes enter by edge
+    * incidence (labelPropagation's domain); labels covering nodes
+    * absent from the graph contribute nothing.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val e = pairs
+      .filter(
+        col("id_a").isNotNull && col("id_b").isNotNull
+          && col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val lab = labels.select(col("id"), col("community"))
+    val intra = e
+      .join(lab.select(col("id").as("id_a"), col("community").as("__ca")), "id_a")
+      .join(lab.select(col("id").as("id_b"), col("community").as("__cb")), "id_b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(col("id_a").as("id"))
+      .unionAll(e.select(col("id_b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__deg"))
+      .join(lab, "id")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("degree_sum"))
+    val tot = broadcast(e.agg(count(lit(1)).as("__m")))
+    deg
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(tot)
+      .select(
+        col("community"), col("n_nodes"), col("intra_edges"), col("degree_sum"),
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * intra_edges) div __m
+            |  - (CAST(1000000 AS DECIMAL(38,0)) * degree_sum * degree_sum)
+            |    div (CAST(4 AS DECIMAL(38,0)) * __m * __m) AS BIGINT)"""
+            .stripMargin).as("term6"))
+      .orderBy(col("community"))
+  }
 }

@@ -883,6 +883,34 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("tostEquivalence: inside-margin gap passes, big gap fails, zero-variance limit is the sign test") {
+    import spark.implicits._
+    def arm(g: String, v: String, n: Int, x: Int) =
+      Seq.tabulate(n)(i => (g, v, if (i < x) 1L else 0L))
+    // g1: .500 vs .510 at n=1000/arm, margin 5pp: diff6 = -10000,
+    // se2_12 = 250000000 + 249900000 = 499900000; both one-sided z²
+    // clear 2705543 micro (1e6*40000² and 1e6*60000² vs
+    // 2705543*499900000 ≈ 1.3526e15) -> equivalent.
+    // g2: .5 vs .4 — the gap exceeds the margin -> not equivalent.
+    // g3: both arms constant 0 -> se2 = 0, diff 0: the documented
+    // zero-variance limit (strict sign test) -> equivalent.
+    val df = (arm("g1", "A", 1000, 500) ++ arm("g1", "B", 1000, 510) ++
+      arm("g2", "A", 1000, 500) ++ arm("g2", "B", 1000, 400) ++
+      arm("g3", "A", 5, 0) ++ arm("g3", "B", 7, 0)).toDF("g", "v", "s")
+    val r = Experiments
+      .tostEquivalence(df, col("g"), col("v"), col("s"), marginPpm = 50000L)
+      .orderBy(col("group"))
+      .collect()
+      .map(x => (x.getString(0), x.getLong(7), x.getLong(8), x.getBoolean(9)))
+    assert(r.toSeq == Seq(
+      ("g1", -10000L, 499900000L, true),
+      ("g2", 100000L, 490000000L, false),
+      ("g3", 0L, 0L, true)), r.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Experiments.tostEquivalence(df, col("g"), col("v"), col("s"), marginPpm = 0L)
+    }
+  }
+
   test("cemAtt: treated-weighted matched-strata gap; unmatched strata drop; signed div toward zero") {
     import spark.implicits._
     // Stratum A: t{10} vs c{4} -> gap 6e6, weight 1. Stratum B:

@@ -299,4 +299,27 @@ class GraphSpec extends SparkSpec {
     val e = Graph.reciprocity(empty).head()
     assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((0L, 0L, 0L)))
   }
+
+  test("modularity: two bridged triangles score the textbook 2x178571; merged partition scores 0") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {4,5,6} bridged by (3,4): m = 7,
+    // per-triangle e_c = 3, d_c = 7 -> term6 = (3e6 div 7) -
+    // (49e6 div 196) = 428571 - 250000 = 178571 each (Q = 0.357142).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "community")
+    val got = Graph.modularity(edges, labels)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 3L, 3L, 7L, 178571L), (4L, 3L, 3L, 7L, 178571L)),
+      got.toSeq.toString)
+    // everything in one community: e_c = m and d_c = 2m, so
+    // term6 = 1e6 - 1e6 = 0 exactly — chance-level by construction
+    val one = labels.select(col("id"), lit(0L).as("community"))
+    val flat = Graph.modularity(edges, one).collect()
+    assert(flat.length == 1 && flat.head.getLong(4) == 0L)
+  }
 }
