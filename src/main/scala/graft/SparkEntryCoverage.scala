@@ -1473,6 +1473,20 @@ object SparkEntryCoverage {
         round(col("value") * 100.0, 0).cast("long"),
         reps = 100)
     },
+    // Gaussian partial pooling (Experiments.ebShrinkMeans, Efron &
+    // Morris 1975): per-user mean spend shrunk toward the grand mean
+    // with weight tau²/(tau² + sigma²_w/n) — the readout that stops
+    // a 3-event user outranking a 300-event one; MoM prior entirely
+    // in integers, one signed truncating division per group.
+    "a_eb_means" -> { (s, dir) =>
+      Experiments
+        .ebShrinkMeans(
+          t(s, dir, "events")
+            .filter(col("user_id").isNotNull && col("value").isNotNull),
+          col("user_id"),
+          round(col("value") * 100.0, 0).cast("long"))
+        .orderBy(col("group"))
+    },
     // TOST equivalence gate (Experiments.tostEquivalence, Schuirmann
     // 1987): the SHIP decision a_ab_test can't make — per event
     // type, is the even-vs-odd-arm high-value rate gap provably
@@ -8611,6 +8625,40 @@ object SparkEntryCoverage {
         |WHERE k.pb IS NULL OR k.gb > k.pb
         |ORDER BY price_cents, p_partkey""".stripMargin,
     "a_ab_test" -> abTestOracleSql,
+    // same group cells and MoM moments; the one signed division
+    // mirrored as sign * (abs // den)
+    "a_eb_means" ->
+      """WITH base AS (SELECT user_id AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q FROM base GROUP BY 1),
+        |c2 AS (SELECT g, n, s, q,
+        |    CAST((CAST(1000000 AS HUGEINT) * s) // n AS BIGINT) AS raw6,
+        |    CAST(s // n AS BIGINT) AS rawc,
+        |    q - (CAST(s AS HUGEINT) * s) // n AS ssw
+        |  FROM cells),
+        |m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS gc, CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(rawc) AS BIGINT) AS sp,
+        |    SUM(CAST(rawc AS HUGEINT) * rawc) AS spp, SUM(ssw) AS sswt
+        |  FROM c2),
+        |b AS (SELECT c2.g, c2.n, c2.raw6,
+        |    CAST((CAST(1000000 AS HUGEINT) * st) // nt AS BIGINT) AS m6,
+        |    CAST((CAST(1000 AS HUGEINT)
+        |          * (CAST(gc AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp))
+        |         // (CAST(gc AS HUGEINT) * (gc - 1)) AS BIGINT) AS vm,
+        |    CAST((CAST(1000 AS HUGEINT) * sswt) // (nt - gc) AS BIGINT) AS sw2m
+        |  FROM c2, m1),
+        |b2 AS (SELECT b.*, CAST(sw2m // n AS BIGINT) AS sampm FROM b),
+        |m2 AS (SELECT CAST(CAST(SUM(sampm) AS HUGEINT) // COUNT(*) AS BIGINT)
+        |    AS avgm FROM b2),
+        |f AS (SELECT b2.*, greatest(CAST(0 AS BIGINT), vm - m2.avgm) AS taum
+        |  FROM b2, m2)
+        |SELECT g AS "group", n, raw6,
+        |  CASE WHEN taum + sampm = 0 THEN raw6
+        |    ELSE m6 + (CASE WHEN raw6 < m6 THEN -1 ELSE 1 END)
+        |      * CAST((CAST(taum AS HUGEINT) * abs(raw6 - m6))
+        |             // (CAST(taum AS HUGEINT) + sampm) AS BIGINT) END AS shrunk6
+        |FROM f ORDER BY g""".stripMargin,
     // same (group, variant) cells; both one-sided predicates as
     // HUGEINT compares against the one-sided 95th literal
     "a_tost" ->

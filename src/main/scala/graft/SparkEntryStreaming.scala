@@ -847,6 +847,47 @@ object SparkEntryStreaming {
             .groupBy(col("bucket"))
             .agg(sum(col("n")).as("n"), sum(col("x")).as("x")))
     },
+    // Streaming depth-2 MEAN changepoint — st_rate_binseg's
+    // continuous sibling: the (day, n, s, q) moment grid is linear
+    // in every coordinate (n/s BIGINT sums, q a DECIMAL(38,0) sum of
+    // squares), so per-batch partials SUM-merge exactly and the
+    // monitor re-runs the full segmentation over the merged grid —
+    // bit-equal to the batch dq_mean_binseg under one shared oracle.
+    "st_mean_binseg" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/msbsgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      ev.filter(lit(false))
+        .select(
+          date_format(col("ts"), "yyyy-MM-dd").as("bucket"),
+          lit(0L).as("n"),
+          lit(0L).as("s"),
+          lit(0L).cast("decimal(38,0)").as("q"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("value").isNotNull && col("ts").isNotNull)
+            .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(cents).as("s"),
+              sum(cents.cast("decimal(38,0)") * cents).as("q"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Checks
+        .meanBinseg2FromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("bucket"))
+            .agg(
+              sum(col("n")).as("n"),
+              sum(col("s")).as("s"),
+              sum(col("q")).as("q")))
+    },
     // Streaming Page-Hinkley drift monitor — the running-mean fold is
     // order-pinned and not mergeable, but the DAILY COUNT GRID is
     // (per-batch partial counts SUM-merge exactly, the
@@ -1537,6 +1578,9 @@ object SparkEntryStreaming {
     // same (day, n, x) grid, the depth-2 changepoint readout — one
     // oracle with the batch dq_rate_binseg
     "st_rate_binseg" -> SparkEntryCoverage.oracleSql("dq_rate_binseg"),
+    // (day, n, s, q) moment-grid merge-invariance — one oracle with
+    // the batch dq_mean_binseg
+    "st_mean_binseg" -> SparkEntryCoverage.oracleSql("dq_mean_binseg"),
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout

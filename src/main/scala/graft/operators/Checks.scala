@@ -953,15 +953,30 @@ object Checks {
     * bucket, n_left, n_right, mean_l6, mean_r6, z2_6), ordered by
     * (depth, side); a side with <2 buckets emits nothing.
     */
-  def meanBinseg2(df: DataFrame, valueCol: Column, bucketCol: Column): DataFrame = {
-    val cells = df
-      .filter(valueCol.isNotNull && bucketCol.isNotNull)
-      .groupBy(bucketCol.as("bucket"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(valueCol.cast("long")).as("s"),
-        sum(valueCol.cast("long").cast("decimal(38,0)") * valueCol.cast("long"))
-          .as("q"))
+  def meanBinseg2(df: DataFrame, valueCol: Column, bucketCol: Column): DataFrame =
+    meanBinseg2FromCells(
+      df
+        .filter(valueCol.isNotNull && bucketCol.isNotNull)
+        .groupBy(bucketCol.as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(valueCol.cast("long")).as("s"),
+          sum(valueCol.cast("long").cast("decimal(38,0)") * valueCol.cast("long"))
+            .as("q")))
+
+  /** [[meanBinseg2]] over an already-merged (bucket, n, s, q) moment
+    * grid — n/s are BIGINT sums and q a DECIMAL(38,0) sum, ALL
+    * linear, so per-batch partial grids SUM-merge exactly and a
+    * streaming monitor re-runs this bit-equal to the batch scan
+    * (the [[binomialBinseg2FromCells]] posture with one more
+    * moment). */
+  def meanBinseg2FromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0
+      .select(
+        col("bucket"),
+        col("n").cast("long").as("n"),
+        col("s").cast("long").as("s"),
+        col("q").cast("decimal(38,0)").as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outCols =
       Seq("bucket", "n_left", "n_right", "mean_l6", "mean_r6", "z2_6").map(col)

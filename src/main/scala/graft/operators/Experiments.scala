@@ -1126,6 +1126,101 @@ object Experiments {
       .select(col("g").as("group"), col("n"), col("x"), col("raw6"), col("eb6"))
   }
 
+  /** Empirical-Bayes shrinkage of per-group MEANS —
+    * [[ebShrinkRates]]' Gaussian sibling (the James–Stein/partial-
+    * pooling estimator, Efron & Morris 1975, method-of-moments
+    * prior): a 3-event user's mean must not outrank a 300-event
+    * user's, so each group's mean is pulled toward the grand mean
+    * with weight τ²/(τ² + σ̂²_w/n_i) — τ² the between-group variance
+    * the data supports beyond sampling noise, σ̂²_w the pooled
+    * within-group variance.
+    *
+    * Method of moments entirely in integers (values exact integer
+    * units, ≥ 0 by contract — div/floor parity). Unit discipline:
+    * Spark's `div` returns BIGINT, so every variance quantity lives
+    * in MILLI-value² units — variances are INTENSIVE (they do not
+    * grow with N), so ~1e11 milli-cents² fits a long at any corpus
+    * size, where the micro² staging a first draft used wraps at the
+    * first real dataset. rawc_i = s_i div n_i (value units, moments
+    * only; the OUTPUT means stay micro); v_m = (1000·(G·Σrawc² −
+    * (Σrawc)²)) div (G·(G−1)); within SS ssw_i = q_i − (s_i² div
+    * n_i) summed → sw2_m = (1000·Σssw) div (N−G); sampvar_m_i =
+    * sw2_m div n_i; τ²_m = max(0, v_m − (Σ sampvar_m div G)). The
+    * shrink is ONE signed truncating division per group routed
+    * through the documented sign·(|τ²·(raw6−m6)| div (τ²+sampvar))
+    * convention (the τ²/(τ²+s²) factor is unit-free, so the milli
+    * staging cancels exactly). Degenerate: τ²_m = 0 → complete
+    * pooling (shrunk6 = m6); a zero denominator (constant corpus)
+    * returns the raw mean; G < 2 or N ≤ G fails fast.
+    *
+    * Scale shape: one hash aggregate to group cells, two broadcast
+    * 1-row moment bootstraps (the second needs σ̂²_w first), one
+    * projection. Returns (group, n, raw6, shrunk6).
+    */
+  def ebShrinkMeans(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = cached(
+      df
+        .filter(groupCol.isNotNull && valueCol.isNotNull)
+        .groupBy(groupCol.as("g"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(valueCol.cast("long")).as("s"),
+          sum(valueCol.cast("long").cast("decimal(38,0)") * valueCol.cast("long"))
+            .as("q"))
+        .withColumn("raw6", expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s) div n AS BIGINT)"))
+        .withColumn("__rawc", expr("s div n"))
+        .withColumn(
+          "__ssw",
+          expr("q - (CAST(s AS DECIMAL(38,0)) * s) div n")))
+    val m1 = broadcast(
+      cells.agg(
+        count(lit(1)).as("__gc"),
+        sum(col("n")).as("__nt"),
+        sum(col("s")).as("__st"),
+        sum(col("__rawc")).as("__sp"),
+        sum(expr("CAST(__rawc AS DECIMAL(38,0)) * __rawc")).as("__spp"),
+        sum(col("__ssw")).as("__sswt")))
+    val base = cells
+      .crossJoin(m1)
+      .filter(
+        assert_true(
+          col("__gc") >= 2L && col("__nt") > col("__gc"),
+          lit("ebShrinkMeans: needs >= 2 groups and N > G (within-group " +
+            "variance must exist)")).isNull)
+      .withColumn("__m6", expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __st) div __nt AS BIGINT)"))
+      .withColumn(
+        "__vm",
+        expr(
+          """(CAST(1000 AS DECIMAL(38,0))
+            |  * (CAST(__gc AS DECIMAL(38,0)) * __spp
+            |     - CAST(__sp AS DECIMAL(38,0)) * __sp))
+            |div (CAST(__gc AS DECIMAL(38,0)) * (__gc - 1))""".stripMargin))
+      .withColumn(
+        "__sw2m",
+        expr("(CAST(1000 AS DECIMAL(38,0)) * __sswt) div (__nt - __gc)"))
+      .withColumn("__sampm", expr("__sw2m div n"))
+    val m2 = broadcast(
+      base.agg(
+        expr("CAST(SUM(__sampm) AS DECIMAL(38,0)) div COUNT(*)").as("__avgm")))
+    base
+      .crossJoin(m2)
+      .withColumn(
+        "__taum",
+        greatest(lit(0L), col("__vm") - col("__avgm")))
+      .withColumn(
+        "shrunk6",
+        expr(
+          """CASE WHEN __taum + __sampm = 0 THEN raw6
+            |ELSE __m6 + (CASE WHEN raw6 < __m6 THEN -1 ELSE 1 END)
+            |  * (CAST(__taum AS DECIMAL(38,0)) * abs(raw6 - __m6))
+            |    div (CAST(__taum AS DECIMAL(38,0)) + __sampm)
+            |END""".stripMargin).cast("long"))
+      .select(col("g").as("group"), col("n"), col("raw6"), col("shrunk6"))
+  }
+
   /** One-way ANOVA across k arms (Fisher) — the many-armed sibling of
     * [[welchT]]: did the metric's mean differ across ANY of the k
     * variants? F = (SSB/(k−1)) / (SSW/(N−k)) from one pass of

@@ -883,6 +883,28 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("ebShrinkMeans: half-pooling fixture exact; zero within-variance means no pooling") {
+    import spark.implicits._
+    // g1 {0,10}, g2 {10,20}: raw6 = 5e6/15e6, m6 = 10e6, within SS
+    // 50+50 -> sw2 = 50, samp12 = 2.5e13 each; v12 = 5e13, avg12 =
+    // 2.5e13 -> tau12 = 2.5e13 -> shrink factor exactly 1/2:
+    // shrunk6 = 7.5e6 / 12.5e6.
+    val noisy = Seq(("g1", 0L), ("g1", 10L), ("g2", 10L), ("g2", 20L)).toDF("g", "v")
+    val r = Experiments.ebShrinkMeans(noisy, col("g"), col("v"))
+      .orderBy(col("group")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("g1", 2L, 5000000L, 7500000L),
+      ("g2", 2L, 15000000L, 12500000L)), r.toSeq.toString)
+    // constant groups: sampling variance 0 -> tau carries ALL the
+    // spread and the shrink is the identity (raw means survive)
+    val clean = Seq(("g1", 0L), ("g1", 0L), ("g2", 10L), ("g2", 10L)).toDF("g", "v")
+    val c = Experiments.ebShrinkMeans(clean, col("g"), col("v"))
+      .orderBy(col("group")).collect()
+      .map(x => (x.getLong(2), x.getLong(3)))
+    assert(c.toSeq == Seq((0L, 0L), (10000000L, 10000000L)), c.toSeq.toString)
+  }
+
   test("tostEquivalence: inside-margin gap passes, big gap fails, zero-variance limit is the sign test") {
     import spark.implicits._
     def arm(g: String, v: String, n: Int, x: Int) =
