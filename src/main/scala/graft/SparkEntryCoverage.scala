@@ -7395,6 +7395,34 @@ object SparkEntryCoverage {
           col("frame_index").cast("long").as("frame_index"),
           length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
         .orderBy(col("media_id"), col("frame_index"))
+    },
+    // Container sniffing (Multimodal.sniffMedia): REAL magic-byte +
+    // fixed-offset dimension parsing, no stub — blobs synthesized
+    // with doc_id-derived PNG/GIF dims (plus JPEG/PDF/junk rows) are
+    // parsed BACK by the engine, and the oracle checks against the
+    // generator's ground truth: a parser bug cannot round-trip.
+    "mm_sniff" -> { (s, dir) =>
+      val w = (col("doc_id") % 1920 + 1).cast("long")
+      val h = (col("doc_id") % 1080 + 1).cast("long")
+      def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
+      def le16(v: org.apache.spark.sql.Column) = concat(
+        unhex(lpad(hex(v % 256), 2, "0")),
+        unhex(lpad(hex(shiftright(v, 8)), 2, "0")))
+      val content = when(col("doc_id") % 5 === 0,
+        concat(
+          unhex(lit("89504E470D0A1A0A0000000D49484452")),
+          be32(w), be32(h), unhex(lit("0806000000"))))
+        .when(col("doc_id") % 5 === 1,
+          concat(unhex(lit("474946383961")), le16(w), le16(h), unhex(lit("F70000"))))
+        .when(col("doc_id") % 5 === 2, unhex(lit("FFD8FFE000104A46494600")))
+        .when(col("doc_id") % 5 === 3, encode(lit("%PDF-1.7 fixture"), "UTF-8"))
+        .otherwise(encode(lit("plain text payload"), "UTF-8"))
+      Multimodal
+        .sniffMedia(
+          t(s, dir, "documents").select(col("doc_id"), content.as("content")),
+          "content")
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -14289,6 +14317,17 @@ object SparkEntryCoverage {
         |   greatest(CAST(ceil(length(text) / 100.0) AS INT) - 1, 0))) AS i) gs
         |WHERE length(text) > 0
         |ORDER BY media_id, frame_index""".stripMargin,
+    // the generator's ground truth — the engine must parse the
+    // synthesized headers BACK to exactly these doc_id-derived dims
+    "mm_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'jpeg' WHEN 3 THEN 'pdf' ELSE 'unknown' END AS fmt,
+        |  CASE WHEN doc_id % 5 IN (0, 1)
+        |    THEN CAST(doc_id % 1920 + 1 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 5 IN (0, 1)
+        |    THEN CAST(doc_id % 1080 + 1 AS INTEGER) END AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dd_simhash_pairs" -> {
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
          |sim AS (SELECT doc_id, ${sqlSimhash("tk")} AS simhash FROM tok),

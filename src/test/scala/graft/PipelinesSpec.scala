@@ -79,6 +79,41 @@ class PipelinesSpec extends SparkSpec {
     assert(new String(resized(0).getAs[Array[Byte]]("content_resized"), "UTF-8") == "abcd")
   }
 
+  test("Multimodal.sniffMedia: real magic-byte + dimension parsing; truncation yields null dims") {
+    import org.apache.spark.sql.functions.{col, unhex, lit, encode}
+    // hand-built headers with known dims: PNG 800x600 (big-endian
+    // u32 at 17/21), GIF 320x200 (little-endian u16 at 7/9), JPEG
+    // SOI+APP0, PDF, WAV RIFF....WAVE, ZIP local header, junk, and a
+    // PNG truncated mid-width
+    val rows = Seq(
+      (1L, "89504E470D0A1A0A0000000D49484452" + "00000320" + "00000258" + "08"),
+      (2L, "474946383961" + "4001" + "C800" + "F7"),
+      (3L, "FFD8FFE000104A46494600"),
+      (4L, "255044462D312E37"),
+      (5L, "52494646A0860100" + "57415645"),
+      (6L, "504B030414000000"),
+      (8L, "89504E470D0A1A0A0000000D49484452" + "0000")) // truncated
+    val df = rows.toDF("media_id", "hx")
+      .select(col("media_id"), unhex(col("hx")).as("content"))
+      .unionByName(Seq(7L).toDF("media_id")
+        .select(col("media_id"), encode(lit("not a container"), "UTF-8").as("content")))
+    val got = Multimodal.sniffMedia(df, "content")
+      .orderBy("media_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, "png", 800, 600),
+      (2L, "gif", 320, 200),
+      (3L, "jpeg", -1, -1),
+      (4L, "pdf", -1, -1),
+      (5L, "wav", -1, -1),
+      (6L, "zip", -1, -1),
+      (7L, "unknown", -1, -1),
+      (8L, "png", -1, -1)), got.toSeq.toString)
+  }
+
   test("Rag.rrfFuse: both-leg docs beat one-leg docs; missing leg scores zero") {
     val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
     val vec = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
