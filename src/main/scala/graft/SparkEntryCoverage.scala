@@ -6422,6 +6422,24 @@ object SparkEntryCoverage {
           Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L))
         .orderBy(col("rank"))
     },
+    // Holm step-down (Experiments.holmStepDown): the FWER correction
+    // over the same 5-test family a_bh_fdr screens — reject ranks
+    // strictly before the FIRST failure against chi2_1(alpha/(m-i+1))
+    // literals; the ship/no-ship discipline where one false
+    // rejection is the disaster.
+    "a_holm" -> { (s, dir) =>
+      val tests = Experiments.twoProportionZ(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull),
+        col("event_type"),
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")),
+        (col("value") > 50.0).cast("long"))
+      Experiments
+        .holmStepDown(
+          tests, col("group"), col("z2_6"), col("group"),
+          Seq(6634897L, 6238533L, 5731139L, 5023886L, 3841459L))
+        .orderBy(col("rank"))
+    },
     // Cochran's Q (Experiments.cochranQ): per user, did the
     // any-high-value flag differ across January's three decades —
     // McNemar generalized to k=3 repeated measurements.
@@ -12647,6 +12665,21 @@ object SparkEntryCoverage {
          |      FROM r JOIN thr ON thr.rank = r.rank),
          |c AS (SELECT MAX(pass) AS cut FROM j)
          |SELECT "group", rank, z2_6, thr6, rank <= cut AS significant
+         |FROM j CROSS JOIN c ORDER BY rank""".stripMargin,
+    // same ranked family; the step-DOWN scan — min failing rank,
+    // reject strictly before it
+    "a_holm" ->
+      s"""WITH zt AS ($abTestOracleSql),
+         |r AS (SELECT "group", z2_6,
+         |        CAST(row_number() OVER (ORDER BY z2_6 DESC, "group") AS BIGINT) AS rank
+         |      FROM zt),
+         |thr(rank, thr6) AS (VALUES (CAST(1 AS BIGINT), CAST(6634897 AS BIGINT)),
+         |  (2, 6238533), (3, 5731139), (4, 5023886), (5, 3841459)),
+         |j AS (SELECT r."group", r.rank, r.z2_6, thr.thr6,
+         |        CASE WHEN r.z2_6 < thr.thr6 THEN r.rank ELSE 6 END AS fail
+         |      FROM r JOIN thr ON thr.rank = r.rank),
+         |c AS (SELECT MIN(fail) AS cut FROM j)
+         |SELECT "group", rank, z2_6, thr6, rank < cut AS significant
          |FROM j CROSS JOIN c ORDER BY rank""".stripMargin,
     "a_cochran_q" ->
       """WITH per AS (SELECT user_id,

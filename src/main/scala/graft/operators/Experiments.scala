@@ -1662,6 +1662,60 @@ object Experiments {
         (col("rank") <= col("__cut")).as("significant"))
   }
 
+  /** Holm step-DOWN multiple-test correction (Holm 1979) —
+    * [[bhStepUp]]'s FWER sibling: where BH controls the FALSE
+    * DISCOVERY RATE (fine for a screening dashboard that tolerates a
+    * few false leads), Holm controls the FAMILY-WISE error rate with
+    * no independence assumption — the correction for ship/no-ship
+    * families where ONE false rejection is the disaster. Mechanics
+    * mirror bhStepUp (descending-stat rank against a caller-supplied
+    * literal chi²₁(α/(m−i+1)) micro table, family size enforced
+    * in-plan) with the opposite scan: step-down REJECTS ranks
+    * strictly before the FIRST failure (step-up accepts up to the
+    * LAST pass), so the cutoff fold is a min over failing ranks —
+    * a k-row bounded window + two 1-row folds, same as BH. Returns
+    * (group, rank, z2_6, thr6, significant).
+    */
+  def holmStepDown(
+      tests: DataFrame,
+      groupCol: Column,
+      statCol: Column,
+      tieCol: Column,
+      thresholds6: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholds6.nonEmpty, "thresholds6 must be non-empty")
+    require(
+      thresholds6 == thresholds6.sorted.reverse,
+      "thresholds6 must be descending (most significant rank first)")
+    val m = thresholds6.length
+    val spark = tests.sparkSession
+    import spark.implicits._
+    val thr = broadcast(
+      thresholds6.zipWithIndex.map { case (t, i) => (i + 1L, t) }.toDF("rank", "thr6"))
+    val ranked = tests
+      .select(groupCol.as("group"), statCol.cast("long").as("z2_6"), tieCol.as("__tie"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("z2_6").desc, col("__tie"))).cast("long"))
+      .crossJoin(broadcast(tests.agg(count(lit(1)).as("__m"))))
+      .filter(
+        assert_true(
+          col("__m") === m.toLong,
+          concat(
+            lit(s"holmStepDown: the literal threshold table is for a family of $m tests, got "),
+            col("__m").cast("string"))).isNull)
+      .join(thr, Seq("rank"))
+      .withColumn(
+        "__fail",
+        when(col("z2_6") < col("thr6"), col("rank")).otherwise(lit(m + 1L)))
+    val cutoff = broadcast(ranked.agg(min(col("__fail")).as("__cut")))
+    ranked
+      .crossJoin(cutoff)
+      .select(
+        col("group"), col("rank"), col("z2_6"), col("thr6"),
+        (col("rank") < col("__cut")).as("significant"))
+  }
+
   /** Cochran's Q (Cochran 1950) — [[mcnemar]] generalized to k
     * repeated binary measurements per unit: did the success rate
     * differ across ANY of the k treatments/periods, with each unit

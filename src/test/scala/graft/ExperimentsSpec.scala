@@ -883,6 +883,35 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("holmStepDown: rejection stops at the FIRST failure even if later ranks clear their bars") {
+    import spark.implicits._
+    // Holm table for m=5: 6634897, 6238533, 5731139, 5023886,
+    // 3841459. Stats 10e6, 6e6, 5.9e6, 4e6, 1e6: rank 1 passes,
+    // rank 2 FAILS its bar (6e6 < 6238533) — so rank 3 must NOT be
+    // significant even though 5.9e6 >= 5731139 clears its own bar
+    // (the step-down monotonicity BH's step-up scan doesn't have).
+    val thr = Seq(6634897L, 6238533L, 5731139L, 5023886L, 3841459L)
+    val tests = Seq(("t1", 10000000L), ("t2", 6000000L), ("t3", 5900000L),
+      ("t4", 4000000L), ("t5", 1000000L)).toDF("g", "z")
+    val r = Experiments
+      .holmStepDown(tests, col("g"), col("z"), col("g"), thr)
+      .orderBy(col("rank")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      ("t1", 1L, true), ("t2", 2L, false), ("t3", 3L, false),
+      ("t4", 4L, false), ("t5", 5L, false)), r.toSeq.toString)
+    // all clear their bars -> all rejected
+    val strong = Seq(("t1", 10000000L), ("t2", 9000000L), ("t3", 8000000L),
+      ("t4", 7000000L), ("t5", 6000000L)).toDF("g", "z")
+    val all = Experiments
+      .holmStepDown(strong, col("g"), col("z"), col("g"), thr)
+      .collect().map(_.getBoolean(4))
+    assert(all.forall(identity))
+    intercept[IllegalArgumentException] {
+      Experiments.holmStepDown(tests, col("g"), col("z"), col("g"), thr.reverse)
+    }
+  }
+
   test("ebShrinkMeans: half-pooling fixture exact; zero within-variance means no pooling") {
     import spark.implicits._
     // g1 {0,10}, g2 {10,20}: raw6 = 5e6/15e6, m6 = 10e6, within SS

@@ -54,6 +54,8 @@ class WindowSweepSpec extends SparkSpec {
     Map(
       "a_bh_fdr" -> ("m = 5 hypotheses (one per event type; literal 5-entry " +
         "threshold table in the query — Experiments.bhStepUp ranks the m-row grid)"),
+      "a_holm" -> ("m = 5 hypotheses (the a_bh_fdr family under the FWER scan — " +
+        "Experiments.holmStepDown ranks the same m-row grid)"),
       "a_cif" -> survivalAgeGrid,
       "a_gehan" -> survivalAgeGrid,
       "a_hazard_ratio" -> survivalAgeGrid,
