@@ -4895,6 +4895,14 @@ object SparkEntryCoverage {
     // (Similarity.embeddingDriftByGroup): nano-quantized exact integer
     // sums, cosine of SUM vectors (scale-invariant — no division),
     // the encoder-bump / poisoned-feed early warning
+    // Embedding dispersion (Similarity.embeddingDispersion): the
+    // one-pass corpus-diversity readout — mean squared distance to
+    // the centroid (and its pairwise twin) via the variance
+    // identity, NO pairwise join; a falling value between snapshots
+    // means mode collapse.
+    "v_dispersion" -> { (s, dir) =>
+      Similarity.embeddingDispersion(t(s, dir, "embeddings"), "embedding")
+    },
     "v_embed_drift" -> { (s, dir) =>
       Similarity
         .embeddingDriftByGroup(t(s, dir, "embeddings"), col("label"), "embedding")
@@ -11091,6 +11099,30 @@ object SparkEntryCoverage {
          |  AND 2 * q * k_a * k_b * 20 >= 21 * (sum_a * k_b + sum_b * k_a)
          |ORDER BY id_a""".stripMargin
     },
+    // zipped unnests give the same coordinate grouping; per-j
+    // centroid terms truncating, one HUGEINT fold
+    "v_dispersion" ->
+      """WITH e AS (SELECT embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        |x AS (SELECT unnest(range(1, len(embedding) + 1)) AS j,
+        |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS q
+        |      FROM e),
+        |pj AS (SELECT j, CAST(SUM(q) AS HUGEINT) AS sj,
+        |         SUM(CAST(q AS HUGEINT) * q) AS qj
+        |       FROM x GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, SUM(qj) AS qq,
+        |        CAST(SUM((sj * sj) // (CAST(n AS HUGEINT) * n)) AS BIGINT) AS cent
+        |      FROM pj, nn),
+        |f AS (SELECT nn.n, c.dim, CAST(c.qq // nn.n AS BIGINT) AS mean_sq12,
+        |        c.cent AS centroid_sq12,
+        |        greatest(CAST(0 AS BIGINT),
+        |          CAST(c.qq // nn.n AS BIGINT) - c.cent) AS dispersion12
+        |      FROM c, nn)
+        |SELECT n, dim, mean_sq12, centroid_sq12, dispersion12,
+        |  CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((CAST(2 AS HUGEINT) * n * dispersion12)
+        |                 // (n - 1) AS BIGINT) END AS pairwise12
+        |FROM f""".stripMargin,
     "v_embed_drift" -> {
       s"""WITH dims AS (
          | SELECT label AS grp, gs.i - 1 AS dim,

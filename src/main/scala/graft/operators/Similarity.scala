@@ -1184,4 +1184,70 @@ object Similarity {
     * space similarity for [[randomProject]] shortlists). */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Embedding-space dispersion in ONE pass — the corpus-diversity /
+    * mode-collapse readout a training-data pipeline watches per
+    * snapshot: by the variance identity, the mean squared distance
+    * to the centroid is E‖x‖² − ‖Ex‖² and the mean pairwise squared
+    * distance is 2N/(N−1) times that — NO pairwise join anywhere,
+    * just per-coordinate sums (a falling dispersion between
+    * snapshots means the corpus is collapsing onto fewer modes —
+    * the embedding-side twin of the token-side t_ttr_hapax signal).
+    *
+    * Exactness: coordinates micro-quantized ONCE (round(x·1e6),
+    * float→double promotion and half-away rounding identical in both
+    * engines), then everything is exact integer: Q = Σ q² and per-
+    * coordinate S_j in DECIMAL(38,0), mean_sq12 = Q div N,
+    * centroid_sq12 = Σ_j (S_j² div N²) (per-coordinate truncating,
+    * mirrored), dispersion12 = max(0, mean−centroid) (truncation can
+    * undershoot by ≤ 1 µ²; the exact value is ≥ 0), pairwise12 =
+    * (2N·disp) div (N−1). Ragged arrays fail fast in-plan (every
+    * coordinate must appear in every vector). Scale shape: one
+    * posexplode → dim-bounded hash agg (map-side combined; 64 cells
+    * per task), two 1-row folds. Returns one row (n, dim,
+    * mean_sq12, centroid_sq12, dispersion12, pairwise12).
+    */
+  def embeddingDispersion(df: DataFrame, embCol: String): DataFrame = {
+    val q = df
+      .filter(col(embCol).isNotNull)
+      .select(posexplode(col(embCol)).as(Seq("j", "x")))
+      .select(col("j"), expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("q"))
+    val nAgg = broadcast(
+      df.filter(col(embCol).isNotNull).agg(count(lit(1)).as("n")))
+    val perJ = q
+      .groupBy(col("j"))
+      .agg(
+        sum(col("q")).cast("decimal(38,0)").as("__sj"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("__qj"),
+        count(lit(1)).as("__nj"))
+      .crossJoin(nAgg)
+      .filter(
+        assert_true(
+          col("__nj") === col("n"),
+          lit("embeddingDispersion: ragged embedding arrays (a coordinate is " +
+            "missing from some vectors)")).isNull)
+      .withColumn(
+        "__cj12",
+        expr("(__sj * __sj) div (CAST(n AS DECIMAL(38,0)) * n)"))
+    perJ
+      .groupBy(col("n"))
+      .agg(
+        count(lit(1)).as("dim"),
+        sum(col("__qj")).as("__q"),
+        sum(col("__cj12")).as("__cent"))
+      .select(
+        col("n"), col("dim"),
+        expr("CAST(__q div n AS BIGINT)").as("mean_sq12"),
+        col("__cent").cast("long").as("centroid_sq12"),
+        expr(
+          """greatest(CAST(0 AS BIGINT),
+            |  CAST(__q div n AS BIGINT) - CAST(__cent AS BIGINT))"""
+            .stripMargin).as("dispersion12"))
+      .withColumn(
+        "pairwise12",
+        expr(
+          """CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(2 AS DECIMAL(38,0)) * n * dispersion12)
+            |          div (n - 1) AS BIGINT) END""".stripMargin))
+  }
 }

@@ -473,4 +473,21 @@ class AnnRecallSpec extends SparkSpec {
       .collect()
     assert(ok.length == 3)
   }
+
+  test("embeddingDispersion: variance identity exact on a 2-vector fixture; collapsed corpus scores 0") {
+    import spark.implicits._
+    // (0,0) and (2,0): micro q = 0 / 2e6. Q = 4e12, mean_sq12 =
+    // 2e12; centroid terms (2e6)² div 4 = 1e12 -> dispersion 1e12;
+    // pairwise = 2N/(N-1)·disp = 4e12 (the exact squared distance
+    // between the two points).
+    val vs = Seq(Array(0f, 0f), Array(2f, 0f)).toDF("embedding")
+    val r = Similarity.embeddingDispersion(vs, "embedding").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((2L, 2L, 2000000000000L, 1000000000000L, 1000000000000L, 4000000000000L)))
+    // identical vectors: zero dispersion exactly (mode collapse reads 0)
+    val same = Seq(Array(1f, 3f), Array(1f, 3f), Array(1f, 3f)).toDF("embedding")
+    val z = Similarity.embeddingDispersion(same, "embedding").head()
+    assert((z.getLong(4), z.getLong(5)) == ((0L, 0L)))
+  }
 }
