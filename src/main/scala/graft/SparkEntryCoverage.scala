@@ -4903,6 +4903,13 @@ object SparkEntryCoverage {
     "v_dispersion" -> { (s, dir) =>
       Similarity.embeddingDispersion(t(s, dir, "embeddings"), "embedding")
     },
+    // Calinski-Harabasz variance-ratio (Similarity.calinskiHarabasz):
+    // does the label column explain the embedding geometry —
+    // between/within variance ratio from (label x dim) moment cells,
+    // no pairwise join; grades any clustering the engine ships.
+    "v_calinski" -> { (s, dir) =>
+      Similarity.calinskiHarabasz(t(s, dir, "embeddings"), "label", "embedding")
+    },
     "v_embed_drift" -> { (s, dir) =>
       Similarity
         .embeddingDriftByGroup(t(s, dir, "embeddings"), col("label"), "embedding")
@@ -11099,6 +11106,33 @@ object SparkEntryCoverage {
          |  AND 2 * q * k_a * k_b * 20 >= 21 * (sum_a * k_b + sum_b * k_a)
          |ORDER BY id_a""".stripMargin
     },
+    // same zipped-unnest cells; milli quantization (the extensive
+    // per-cell quotient bound), Konig-Huygens twice
+    "v_calinski" ->
+      """WITH e AS (SELECT label AS c, embedding FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |x AS (SELECT c, unnest(range(1, len(embedding) + 1)) AS j,
+        |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+        |      FROM e),
+        |cells AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+        |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+        |  FROM x GROUP BY 1, 2),
+        |pj AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+        |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
+        |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, MAX(nj) AS n, MAX(kj) AS k,
+        |    SUM(qj) AS q, SUM(aj) AS a,
+        |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
+        |  FROM pj)
+        |SELECT n, k, dim,
+        |  greatest(CAST(0 AS BIGINT), CAST((a - b) // n AS BIGINT)) AS ssb6,
+        |  greatest(CAST(0 AS BIGINT), CAST((q - a) // n AS BIGINT)) AS ssw6,
+        |  CASE WHEN q - a <= 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(1000000 AS HUGEINT)
+        |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
+        |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
+        |FROM t""".stripMargin,
     // zipped unnests give the same coordinate grouping; per-j
     // centroid terms truncating, one HUGEINT fold
     "v_dispersion" ->

@@ -1250,4 +1250,80 @@ object Similarity {
             |ELSE CAST((CAST(2 AS DECIMAL(38,0)) * n * dispersion12)
             |          div (n - 1) AS BIGINT) END""".stripMargin))
   }
+
+  /** Calinski–Harabasz index (1974's variance-ratio criterion) over
+    * a LABELED embedding column — does the labeling explain the
+    * geometry? CH = (SSB/(k−1)) / (SSW/(N−k)), the pseudo-F that
+    * grades any clustering/taxonomy this engine ships (labelprop
+    * communities, IVF cells, source labels) without a pairwise join:
+    * both sums decompose over per-(label, coordinate) moment cells —
+    * with A = Σ_cj S_cj²/n_c and B = Σ_j S_j²/N,
+    * SSW = Q − A and SSB = A − B (König–Huygens twice).
+    *
+    * Unit discipline (the ebShrinkMeans lesson, applied at design
+    * time): the per-cell term S_cj²/n_c is EXTENSIVE — micro
+    * quantization would overflow Spark's long-valued `div` on big
+    * cells — so coordinates quantize to MILLI units (per-cell
+    * quotient ≤ n_c·(1e3·|x|)², safe past 1e12 rows for unit-norm
+    * embeddings; variance resolution 1e-6 value², plenty for a
+    * ratio index); A/B/Q accumulate in DECIMAL(38,0) and ONLY
+    * intensive quantities exit to BIGINT: per-vector means ssb6 =
+    * (A−B) div N, ssw6 = (Q−A) div N (clamped at 0 — truncation can
+    * undershoot the exact nonnegative values), and ch6 = (1e6·
+    * (A−B)·(N−k)) div ((Q−A)·(k−1)). ssw = 0 (perfectly tight
+    * clusters) returns ch6 = 0 by convention — read ssb6 directly.
+    * k < 2, N ≤ k, or ragged arrays fail fast. Scale shape: one
+    * posexplode → (label × dim)-bounded hash agg, a dim-bounded
+    * fold, one 1-row fold. Returns (n, k, dim, ssb6, ssw6, ch6).
+    */
+  def calinskiHarabasz(df: DataFrame, labelCol: String, embCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(labelCol).as("__c"), posexplode(col(embCol)).as(Seq("j", "x")))
+      .select(
+        col("__c"), col("j"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)").as("q"))
+      .groupBy(col("__c"), col("j"))
+      .agg(
+        sum(col("q")).cast("decimal(38,0)").as("scj"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("qcj"),
+        count(lit(1)).as("ncj"))
+    val perJ = cells
+      .groupBy(col("j"))
+      .agg(
+        sum(col("scj")).as("sj"),
+        sum(col("ncj")).as("nj"),
+        sum(col("qcj")).as("qj"),
+        sum(expr("CAST((scj * scj) div ncj AS DECIMAL(38,0))")).as("aj"),
+        countDistinct(col("__c")).as("kj"))
+      .withColumn(
+        "bj",
+        expr("CAST((sj * sj) div CAST(nj AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+    perJ
+      .agg(
+        count(lit(1)).as("dim"),
+        max(col("nj")).as("n"),
+        min(col("nj")).as("__nmin"),
+        max(col("kj")).as("k"),
+        min(col("kj")).as("__kmin"),
+        sum(col("qj")).as("__q"),
+        sum(col("aj")).as("__a"),
+        sum(col("bj")).as("__b"))
+      .filter(
+        assert_true(
+          col("__nmin") === col("n") && col("__kmin") === col("k")
+            && col("k") >= 2L && col("n") > col("k"),
+          lit("calinskiHarabasz: ragged arrays, or k < 2, or N <= k")).isNull)
+      .select(
+        col("n"), col("k"), col("dim"),
+        greatest(lit(0L), expr("(__a - __b) div n")).as("ssb6"),
+        greatest(lit(0L), expr("(__q - __a) div n")).as("ssw6"),
+        expr(
+          """CASE WHEN __q - __a <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0))
+            |           * greatest(CAST(0 AS DECIMAL(38,0)), __a - __b)
+            |           * (n - k))
+            |          div ((__q - __a) * (k - 1)) AS BIGINT)
+            |END""".stripMargin).as("ch6"))
+  }
 }

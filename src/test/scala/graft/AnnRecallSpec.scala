@@ -490,4 +490,25 @@ class AnnRecallSpec extends SparkSpec {
     val z = Similarity.embeddingDispersion(same, "embedding").head()
     assert((z.getLong(4), z.getLong(5)) == ((0L, 0L)))
   }
+
+  test("calinskiHarabasz: hand fixture gives CH = 50 exactly; tight clusters hit the ssw=0 convention") {
+    import spark.implicits._
+    // A: (0,0), (0,2); B: (10,0), (10,2) — between = 25/vector (x
+    // gap 5 from grand each), within = 1/vector (y ±1):
+    // CH = (SSB/(k-1)) / (SSW/(N-k)) = 1e8 / (4e6/2) = 50 -> 5e7.
+    val df = Seq(
+      ("A", Array(0f, 0f)), ("A", Array(0f, 2f)),
+      ("B", Array(10f, 0f)), ("B", Array(10f, 2f))).toDF("label", "embedding")
+    val r = Similarity.calinskiHarabasz(df, "label", "embedding").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((4L, 2L, 2L, 25000000L, 1000000L, 50000000L)))
+    // perfectly tight clusters: ssw6 = 0 -> ch6 = 0 by convention,
+    // ssb6 carries the separation
+    val tight = Seq(
+      ("A", Array(0f, 0f)), ("A", Array(0f, 0f)),
+      ("B", Array(2f, 0f)), ("B", Array(2f, 0f))).toDF("label", "embedding")
+    val tz = Similarity.calinskiHarabasz(tight, "label", "embedding").head()
+    assert((tz.getLong(3), tz.getLong(4), tz.getLong(5)) == ((1000000L, 0L, 0L)))
+  }
 }
