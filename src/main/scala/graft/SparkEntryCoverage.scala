@@ -1473,6 +1473,23 @@ object SparkEntryCoverage {
         round(col("value") * 100.0, 0).cast("long"),
         reps = 100)
     },
+    // Sign-flip permutation test (Experiments.signFlipTest, Fisher
+    // 1935): is per-user spend symmetric across January's halves?
+    // The design-based null — md5-hex sign draws identical in both
+    // engines, cluster-level flips, add-one p in exact ppm.
+    "a_permutation" -> { (s, dir) =>
+      val cents = round(col("value") * 100.0, 0).cast("long")
+      val per = t(s, dir, "events")
+        .filter(
+          col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), cents)
+            .otherwise(0L))
+            - sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), cents)
+              .otherwise(0L))).as("d_cents"))
+      Experiments.signFlipTest(per, col("user_id"), col("d_cents"), reps = 200)
+    },
     // Gaussian partial pooling (Experiments.ebShrinkMeans, Efron &
     // Morris 1975): per-user mean spend shrunk toward the grand mean
     // with weight tau²/(tau² + sigma²_w/n) — the readout that stops
@@ -8686,6 +8703,34 @@ object SparkEntryCoverage {
         |WHERE k.pb IS NULL OR k.gb > k.pb
         |ORDER BY price_cents, p_partkey""".stripMargin,
     "a_ab_test" -> abTestOracleSql,
+    // same md5-hex sign draws (< '8' + 14 zeros = exactly half the
+    // 60-bit space); HUGEINT replicate sums
+    "a_permutation" ->
+      """WITH per AS (SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      - SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(d) AS HUGEINT) AS tobs FROM per),
+        |ts AS (SELECT r,
+        |    SUM(CASE WHEN substring(md5(u || ':' || CAST(r AS VARCHAR)), 1, 15)
+        |        < '800000000000000' THEN -CAST(d AS HUGEINT)
+        |        ELSE CAST(d AS HUGEINT) END) AS t
+        |  FROM per, (SELECT r FROM generate_series(0, 199) AS g(r)) reps
+        |  GROUP BY r),
+        |f AS (SELECT obs.n_units, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |    CAST(obs.tobs AS BIGINT) AS t_obs,
+        |    CAST(SUM(CASE WHEN abs(ts.t) >= abs(obs.tobs) THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_ge
+        |  FROM ts, obs GROUP BY obs.n_units, obs.tobs)
+        |SELECT n_units, n_reps, t_obs, n_ge,
+        |  CAST((CAST(1000000 AS HUGEINT) * (1 + n_ge)) // (n_reps + 1) AS BIGINT)
+        |    AS p_ppm
+        |FROM f""".stripMargin,
     // same group cells and MoM moments; the one signed division
     // mirrored as sign * (abs // den)
     "a_eb_means" ->

@@ -888,6 +888,43 @@ object SparkEntryStreaming {
               sum(col("s")).as("s"),
               sum(col("q")).as("q")))
     },
+    // Streaming embedding-dispersion monitor — the live mode-collapse
+    // gauge: vectors stream in, each micro-batch appends its partial
+    // per-coordinate (j, n, s, q) moment grid (every coordinate
+    // linear: count + two exact sums), the monitor re-runs the
+    // variance-identity readout over the merged dim-bounded grid —
+    // bit-equal to the batch v_dispersion under one shared oracle.
+    "st_dispersion" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/dispgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val quant = expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+      def grid(df: DataFrame): DataFrame = df
+        .filter(col("embedding").isNotNull)
+        .select(posexplode(col("embedding")).as(Seq("j", "x")))
+        .select(col("j"), quant.as("qv"))
+        .groupBy(col("j"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qv")).cast("decimal(38,0)").as("s"),
+          sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("q"))
+      grid(emb.filter(lit(false))).write.mode("overwrite").parquet(cPath)
+      val q = s.readStream
+        .schema(emb.schema)
+        .parquet(s"$dir/[e]mbeddings.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          grid(batch).write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Similarity
+        .embeddingDispersionFromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("j"))
+            .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("q")).as("q")))
+    },
     // Streaming Page-Hinkley drift monitor — the running-mean fold is
     // order-pinned and not mergeable, but the DAILY COUNT GRID is
     // (per-batch partial counts SUM-merge exactly, the
@@ -1581,6 +1618,9 @@ object SparkEntryStreaming {
     // (day, n, s, q) moment-grid merge-invariance — one oracle with
     // the batch dq_mean_binseg
     "st_mean_binseg" -> SparkEntryCoverage.oracleSql("dq_mean_binseg"),
+    // per-coordinate moment-grid merge-invariance — one oracle with
+    // the batch v_dispersion
+    "st_dispersion" -> SparkEntryCoverage.oracleSql("v_dispersion"),
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout

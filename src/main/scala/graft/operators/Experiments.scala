@@ -1221,6 +1221,66 @@ object Experiments {
       .select(col("g").as("group"), col("n"), col("raw6"), col("shrunk6"))
   }
 
+  /** Paired sign-flip permutation test (Fisher 1935's randomization
+    * test, the design-based gold standard): under H0 "the paired
+    * difference is symmetric around 0", every unit's sign is
+    * exchangeable — so the null distribution of T = Σ d_i is read
+    * off R random sign patterns, assumption-free (no normality, no
+    * rank approximation; the exact-finite-sample complement of
+    * [[wilcoxonSignedRank]] that keeps the MAGNITUDES).
+    *
+    * Determinism — the [[poissonBootDiff]] md5 discipline: unit i's
+    * sign in replicate r flips iff the 15-hex md5 prefix of
+    * "unit:r" is < "800000000000000" (exactly half the 60-bit space;
+    * a literal, no computed threshold needed), identical in both
+    * engines. Everything else is exact integer: per-unit differences
+    * collapse first (cluster-level flips — the randomization-unit
+    * discipline), replicate sums in DECIMAL(38,0), and the add-one
+    * p-value p_ppm = 1e6·(1 + #{|T_r| ≥ |T_obs|}) div (R+1) — the
+    * only division, nonnegative both sides. Scale shape: the
+    * unit×reps explosion map-side combines to R replicate rows;
+    * reps ≤ 1000 fail-fast. Returns one row (n_units, n_reps,
+    * t_obs, n_ge, p_ppm).
+    */
+  def signFlipTest(
+      df: DataFrame,
+      unitCol: Column,
+      diffCol: Column,
+      reps: Int = 200): DataFrame = {
+    require(reps >= 40 && reps <= 1000, s"reps must be in [40, 1000], got $reps")
+    val perUnit = cached(
+      df
+        .filter(unitCol.isNotNull && diffCol.isNotNull)
+        .groupBy(unitCol.cast("string").as("u"))
+        .agg(sum(diffCol.cast("long")).as("d")))
+    val spark = df.sparkSession
+    val r = spark.range(reps.toLong).select(col("id").cast("int").as("r"))
+    val h = substring(
+      md5(concat(col("u"), lit(":"), col("r").cast("string")).cast("binary")),
+      1, 15)
+    val obs = broadcast(
+      perUnit.agg(
+        count(lit(1)).as("n_units"),
+        sum(col("d")).cast("decimal(38,0)").as("__tobs")))
+    val ts = perUnit
+      .crossJoin(r)
+      .withColumn("__sd", when(h < lit("800000000000000"), -col("d")).otherwise(col("d")))
+      .groupBy(col("r"))
+      .agg(sum(col("__sd").cast("decimal(38,0)")).as("__t"))
+    ts
+      .crossJoin(obs)
+      .agg(
+        max(col("n_units")).as("n_units"),
+        count(lit(1)).as("n_reps"),
+        max(col("__tobs")).cast("long").as("t_obs"),
+        sum(when(abs(col("__t")) >= abs(col("__tobs")), 1L).otherwise(0L)).as("n_ge"))
+      .withColumn(
+        "p_ppm",
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (1 + n_ge))
+            |div (n_reps + 1) AS BIGINT)""".stripMargin))
+  }
+
   /** One-way ANOVA across k arms (Fisher) — the many-armed sibling of
     * [[welchT]]: did the metric's mean differ across ANY of the k
     * variants? F = (SSB/(k−1)) / (SSW/(N−k)) from one pass of

@@ -1207,34 +1207,50 @@ object Similarity {
     * per task), two 1-row folds. Returns one row (n, dim,
     * mean_sq12, centroid_sq12, dispersion12, pairwise12).
     */
-  def embeddingDispersion(df: DataFrame, embCol: String): DataFrame = {
-    val q = df
-      .filter(col(embCol).isNotNull)
-      .select(posexplode(col(embCol)).as(Seq("j", "x")))
-      .select(col("j"), expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("q"))
-    val nAgg = broadcast(
-      df.filter(col(embCol).isNotNull).agg(count(lit(1)).as("n")))
-    val perJ = q
-      .groupBy(col("j"))
-      .agg(
-        sum(col("q")).cast("decimal(38,0)").as("__sj"),
-        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("__qj"),
-        count(lit(1)).as("__nj"))
-      .crossJoin(nAgg)
-      .filter(
-        assert_true(
-          col("__nj") === col("n"),
-          lit("embeddingDispersion: ragged embedding arrays (a coordinate is " +
-            "missing from some vectors)")).isNull)
+  def embeddingDispersion(df: DataFrame, embCol: String): DataFrame =
+    embeddingDispersionFromCells(
+      df
+        .filter(col(embCol).isNotNull)
+        .select(posexplode(col(embCol)).as(Seq("j", "x")))
+        .select(
+          col("j"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("q"))
+        .groupBy(col("j"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("q")).cast("decimal(38,0)").as("s"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("q")))
+
+  /** [[embeddingDispersion]] over an already-merged per-coordinate
+    * (j, n, s, q) moment grid — every coordinate is linear (n BIGINT
+    * count, s/q DECIMAL(38,0) sums), so per-batch partial grids
+    * SUM-merge exactly and a streaming monitor re-runs this
+    * bit-equal to the batch readout (the live mode-collapse gauge:
+    * dim-bounded state, zero history re-scans). Ragged inputs (a
+    * coordinate missing from some vectors) fail fast.
+    */
+  def embeddingDispersionFromCells(cells0: DataFrame): DataFrame = {
+    val perJ = cells0
+      .select(
+        col("j"),
+        col("n").cast("long").as("__nj"),
+        col("s").cast("decimal(38,0)").as("__sj"),
+        col("q").cast("decimal(38,0)").as("__qj"))
       .withColumn(
         "__cj12",
-        expr("(__sj * __sj) div (CAST(n AS DECIMAL(38,0)) * n)"))
+        expr("(__sj * __sj) div (CAST(__nj AS DECIMAL(38,0)) * __nj)"))
     perJ
-      .groupBy(col("n"))
       .agg(
+        max(col("__nj")).as("n"),
+        min(col("__nj")).as("__nmin"),
         count(lit(1)).as("dim"),
         sum(col("__qj")).as("__q"),
         sum(col("__cj12")).as("__cent"))
+      .filter(
+        assert_true(
+          col("__nmin") === col("n"),
+          lit("embeddingDispersion: ragged embedding arrays (a coordinate is " +
+            "missing from some vectors)")).isNull)
       .select(
         col("n"), col("dim"),
         expr("CAST(__q div n AS BIGINT)").as("mean_sq12"),

@@ -883,6 +883,26 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("signFlipTest: one-sided-heavy fixture rejects at the add-one floor; zero diffs give p = 1") {
+    import spark.implicits._
+    // 30 units, every d = +100: |T_r| >= |T_obs| = 3000 needs all 30
+    // md5 draws to agree — probability ~2^-29 per replicate, so
+    // n_ge = 0 and p_ppm = 1e6 * 1 div 201 = 4975 (the add-one
+    // floor: a permutation p can never be 0).
+    val pos = (0L until 30L).map(u => (u, 100L)).toDF("u", "d")
+    val r = Experiments.signFlipTest(pos, col("u"), col("d"), reps = 200).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((30L, 200L, 3000L, 0L, 4975L)))
+    // all-zero differences: every replicate ties T_obs = 0 exactly,
+    // p = 1e6 (no evidence by construction)
+    val zero = (0L until 10L).map(u => (u, 0L)).toDF("u", "d")
+    val z = Experiments.signFlipTest(zero, col("u"), col("d"), reps = 200).head()
+    assert((z.getLong(3), z.getLong(4)) == ((200L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      Experiments.signFlipTest(pos, col("u"), col("d"), reps = 5)
+    }
+  }
+
   test("holmStepDown: rejection stops at the FIRST failure even if later ranks clear their bars") {
     import spark.implicits._
     // Holm table for m=5: 6634897, 6238533, 5731139, 5023886,
