@@ -1219,6 +1219,24 @@ object SparkEntryCoverage {
         .withColumnRenamed("g", "lang")
         .orderBy(col("lang"))
     },
+    // Good-Turing frequency-of-frequencies (TextAnalysis.goodTuring):
+    // n_r / token-mass share / GT re-estimate r* per occurrence
+    // count, plus the r=0 row carrying the unseen-mass estimate
+    // n_1/N — the "how incomplete is this vocabulary" readout under
+    // every smoothed LM the engine ships.
+    // the trigram-shingle domain: the vocabulary whose completeness
+    // an LM / decontamination table actually depends on (whole-word
+    // GT is degenerate on a closed vocabulary)
+    "t_good_turing" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(split(trim(col("text")), "\\s+").as("__tk"))
+        .filter(size(col("__tk")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(__tk) - 2), i -> concat_ws(' ', slice(__tk, i, 3)))"))
+          .as("tok"))
+      TextAnalysis.goodTuringFromTokens(toks, maxR = 10)
+    },
     // First-order Markov transition matrix over per-user event
     // sequences (Series.transitionMatrix): the behavioral fingerprint
     // (bot loops pin p(x|x) near 1e6). Total order (ts, event_id) —
@@ -9533,6 +9551,32 @@ object SparkEntryCoverage {
         |SELECT g AS r_name, n, n_classes,
         | CAST((1000000 * sq) // (n * n) AS BIGINT) AS hhi6
         |FROM g ORDER BY r_name""".stripMargin,
+    // same tokenize pass; the r/r+1 self-join on the rank grid,
+    // HUGEINT divisions
+    "t_good_turing" ->
+      """WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (SELECT tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS tok
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+        |  WHERE len(tk) >= 3),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM f),
+        |cells AS (SELECT n AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        |  FROM f WHERE n <= 11 GROUP BY 1),
+        |body AS (SELECT c.r, c.n_r,
+        |    CAST((CAST(1000000 AS HUGEINT) * c.r * c.n_r) // t.nn AS BIGINT)
+        |      AS mass_ppm,
+        |    CAST((CAST(1000000 AS HUGEINT) * (c.r + 1) * COALESCE(nx.n_r, 0))
+        |         // c.n_r AS BIGINT) AS r_star6
+        |  FROM cells c LEFT JOIN cells nx ON nx.r = c.r + 1 CROSS JOIN t
+        |  WHERE c.r <= 10),
+        |zero AS (SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+        |    CAST((CAST(1000000 AS HUGEINT)
+        |          * COALESCE((SELECT n_r FROM cells WHERE r = 1), 0))
+        |         // t.nn AS BIGINT) AS mass_ppm,
+        |    CAST(0 AS BIGINT) AS r_star6
+        |  FROM t)
+        |SELECT * FROM zero UNION ALL SELECT * FROM body ORDER BY r""".stripMargin,
     "t_ttr_hapax" ->
       """WITH toks AS (
         | SELECT lang AS g, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -1879,4 +1879,75 @@ object TextAnalysis {
         col("__B").as("n_tokens_b"),
         col("jsd6"))
   }
+
+  /** Good–Turing frequency-of-frequencies table (Good 1953) — the
+    * corpus statistic underneath every smoothed LM this engine ships
+    * (Kneser–Ney's absolute discounts are its steady-state): for
+    * each observed occurrence count r ≤ maxR, how many types occur
+    * exactly r times (n_r), what share of all tokens they carry
+    * (mass_ppm = r·n_r/N), and the GT re-estimated count
+    * r* = (r+1)·n_{r+1}/n_r — r* ≪ r in the low ranks means heavy
+    * tail (healthy natural text); r* ≈ r means template/bot text.
+    * The r = 0 row carries THE Good–Turing number: the probability
+    * mass the corpus assigns to tokens it has never seen,
+    * p₀ = n_1/N — the honest "how incomplete is this vocabulary"
+    * readout before any coverage decision.
+    *
+    * Exactness: pure integer counts; mass_ppm and r*6 one truncating
+    * DECIMAL division each; an r with no n_{r+1} successor emits
+    * r*6 = 0 (GT is undefined there — callers smooth; emitting the
+    * raw 0 keeps the oracle trivial). Absent ranks emit no row.
+    * Scale shape: one tokenize → type-count hash agg (the ttrStats
+    * pass), then everything is grids bounded by maxR ≤ 100
+    * (fail-fast). Returns (r, n_r, mass_ppm, r_star6) ordered by r,
+    * r = 0 first.
+    */
+  def goodTuring(df: DataFrame, textCol: String, maxR: Int): DataFrame =
+    goodTuringFromTokens(
+      Width.spread(df)
+        .filter(length(trim(col(textCol))) > 0)
+        .select(explode(split(trim(col(textCol)), "\\s+")).as("tok")),
+      maxR)
+
+  /** [[goodTuring]] over an already-built one-column token table —
+    * the entry point for alternate token domains (word n-gram
+    * shingles, BPE pieces, char n-grams): GT on the trigram domain
+    * is the "how incomplete is my n-gram table" readout an LM/
+    * decontamination pipeline actually consults. */
+  def goodTuringFromTokens(tokens: DataFrame, maxR: Int): DataFrame = {
+    require(maxR >= 1 && maxR <= 100, s"maxR must be in [1, 100], got $maxR")
+    val freq = tokens
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val cells = freq
+      .groupBy(col("n").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .filter(col("r") <= maxR + 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = broadcast(freq.agg(sum(col("n")).as("__nn")))
+    val next = cells.select((col("r") - 1L).as("r"), col("n_r").as("__nr1"))
+    val body = cells
+      .filter(col("r") <= maxR.toLong)
+      .join(next, Seq("r"), "left")
+      .na.fill(0L, Seq("__nr1"))
+      .crossJoin(tot)
+      .select(
+        col("r"), col("n_r"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * r * n_r) div __nn AS BIGINT)")
+          .as("mass_ppm"),
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (r + 1) * __nr1)
+            |div n_r AS BIGINT)""".stripMargin).as("r_star6"))
+    val n1 = cells.filter(col("r") === 1L).select(col("n_r").as("__n1"))
+    val zero = tot
+      .join(n1, lit(true), "left")
+      .na.fill(0L, Seq("__n1"))
+      .select(
+        lit(0L).as("r"),
+        lit(0L).as("n_r"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __n1) div __nn AS BIGINT)")
+          .as("mass_ppm"),
+        lit(0L).as("r_star6"))
+    zero.unionByName(body).orderBy(col("r"))
+  }
 }

@@ -133,6 +133,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(got("fr") == ((2L, 2L, 2L, 1000000L, 1000000L)))
   }
 
+  test("goodTuring: 'a a a b b c' gives the exact fof table and the n1/N unseen mass") {
+    val df = Seq(("a a a b b c")).toDF("text")
+    val got = TextAnalysis.goodTuring(df, "text", maxR = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // N = 6; counts a=3, b=2, c=1 -> n_1 = n_2 = n_3 = 1.
+    // r=0 mass = 1e6*1 div 6; r* = (r+1)*n_{r+1}/n_r exact;
+    // r=3 has no successor -> r*6 = 0 by the documented convention.
+    assert(got.toSeq == Seq(
+      (0L, 0L, 166666L, 0L),
+      (1L, 1L, 166666L, 2000000L),
+      (2L, 1L, 333333L, 3000000L),
+      (3L, 1L, 500000L, 0L)), got.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.goodTuring(df, "text", maxR = 0)
+    }
+  }
+
   test("transitionMatrix: hand-traced sequences give exact counts and row-normalized p6") {
     val df = Seq(
       (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
