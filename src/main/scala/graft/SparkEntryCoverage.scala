@@ -1224,6 +1224,15 @@ object SparkEntryCoverage {
     // count, plus the r=0 row carrying the unseen-mass estimate
     // n_1/N — the "how incomplete is this vocabulary" readout under
     // every smoothed LM the engine ships.
+    // Term burstiness head (TextAnalysis.burstinessTop, Church &
+    // Gale 1995): top-30 terms with occurrences-per-containing-doc
+    // and doc share — evenly-stamped high-burst terms are template
+    // boilerplate, the cross-doc twin of t_repetition.
+    "t_burstiness" -> { (s, dir) =>
+      TextAnalysis
+        .burstinessTop(t(s, dir, "documents"), "text", "doc_id", 30)
+        .orderBy(col("n").desc, col("term"))
+    },
     // the trigram-shingle domain: the vocabulary whose completeness
     // an LM / decontamination table actually depends on (whole-word
     // GT is degenerate on a closed vocabulary)
@@ -9553,6 +9562,23 @@ object SparkEntryCoverage {
         |FROM g ORDER BY r_name""".stripMargin,
     // same tokenize pass; the r/r+1 self-join on the rank grid,
     // HUGEINT divisions
+    // same tokenize; the (doc, term) -> term two-level aggregate,
+    // top-30 by n with the term tiebreak
+    "t_burstiness" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(trim(text)) > 0 AND doc_id IS NOT NULL),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM base),
+        |toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM base),
+        |dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1)
+        |SELECT term, n, df,
+        |  CAST((CAST(1000000 AS HUGEINT) * n) // df AS BIGINT) AS burst6,
+        |  CAST((CAST(1000000 AS HUGEINT) * df) // nd.n_docs AS BIGINT)
+        |    AS doc_share_ppm
+        |FROM tt, nd ORDER BY n DESC, term LIMIT 30""".stripMargin,
     "t_good_turing" ->
       """WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
         |  FROM documents WHERE length(trim(text)) > 0),

@@ -1902,6 +1902,44 @@ object TextAnalysis {
     * (fail-fast). Returns (r, n_r, mass_ppm, r_star6) ordered by r,
     * r = 0 first.
     */
+  /** Term burstiness head table (after Church & Gale 1995's
+    * Poisson-mixture observation): real content words are BURSTY —
+    * rare across documents but repeated within the ones they hit —
+    * while function words and template boilerplate spread evenly.
+    * For the top-k terms by total count: occurrences n, document
+    * frequency df, burst6 = n/df (mean occurrences per CONTAINING
+    * doc) and doc_share_ppm = df/n_docs. The template/bot smoke
+    * test beside [[repetitionStats]]'s within-doc view: a non-stop
+    * term with high burst AND high doc share is boilerplate
+    * stamped across the corpus.
+    *
+    * Exact integers; two truncating divisions per emitted row. One
+    * tokenize → (doc, term) hash agg → term agg (both map-side
+    * combined), then a distributed TakeOrdered of k rows (ties to
+    * the lexicographically first term). k ≤ 1000 fail-fast.
+    */
+  def burstinessTop(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val base = Width.spread(df)
+      .filter(length(trim(col(textCol))) > 0 && col(idCol).isNotNull)
+    val nDocs = broadcast(base.agg(countDistinct(col(idCol)).as("__nd")))
+    base
+      .select(col(idCol).as("__id"), explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("term"))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(
+        col("term"), col("n"), col("df"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div df AS BIGINT)")
+          .as("burst6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * df) div __nd AS BIGINT)")
+          .as("doc_share_ppm"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+  }
+
   def goodTuring(df: DataFrame, textCol: String, maxR: Int): DataFrame =
     goodTuringFromTokens(
       Width.spread(df)

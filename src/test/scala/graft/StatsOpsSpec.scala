@@ -151,6 +151,22 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("burstinessTop: bursty vs stamped terms separate; top-k and tiebreak exact") {
+    // 'x' appears 4 times in ONE of two docs (bursty: burst6 = 4e6,
+    // share 500000); 'the' once in each (stamped-evenly: burst6 =
+    // 1e6, share 1e6).
+    val df = Seq((1L, "x x x x the"), (2L, "the y")).toDF("doc_id", "text")
+    val got = TextAnalysis.burstinessTop(df, "text", "doc_id", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("x", 4L, 1L, 4000000L, 500000L),
+      ("the", 2L, 2L, 1000000L, 1000000L)), got.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.burstinessTop(df, "text", "doc_id", 0)
+    }
+  }
+
   test("transitionMatrix: hand-traced sequences give exact counts and row-normalized p6") {
     val df = Seq(
       (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
