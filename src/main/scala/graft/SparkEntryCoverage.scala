@@ -6160,6 +6160,22 @@ object SparkEntryCoverage {
     // lambda 0.3, alpha 0.05 — peek every day forever, the Ville
     // guarantee holds with no look table; binary outcomes make the
     // log-wealth an exact integer affine map of the running counts.
+    // Anytime-valid bounded-mean monitor (Experiments.eProcessMean):
+    // is mean cent-value above $175 of the declared $500 bound? —
+    // the e-process family's VALUE member: one micro-nat ln term per
+    // distinct value off the (day, value) grid, wealth cumulated
+    // over the day domain, Ville-covered at every peek.
+    "a_eprocess_mean" -> { (s, dir) =>
+      Experiments.eProcessMean(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull),
+        round(col("value") * 100.0, 0).cast("long") * 20L,
+        to_date(col("ts")),
+        m0Ppm = 350000L,
+        lambdaPpm = 300000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
     "a_eprocess" -> { (s, dir) =>
       Experiments.eProcessRate(
         t(s, dir, "events")
@@ -12222,6 +12238,28 @@ object SparkEntryCoverage {
         |            // (CAST(o_b AS HUGEINT) * ea6) AS BIGINT) END AS hr6
         |FROM f""".stripMargin,
     "a_eprocess" -> eProcessOracleSql,
+    // same (day, value) grid; the per-value integer-ratio ln term,
+    // HUGEINT count-multiply, day-window cumulative
+    "a_eprocess_mean" ->
+      """WITH base AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) * 20 AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |terms AS (SELECT day, n,
+        |    CAST(round(ln(CAST(1000000000000 + 300000 * (v - 350000) AS DOUBLE)
+        |        / 1e12) * 1000000) AS BIGINT) AS t6
+        |  FROM cells),
+        |daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(n AS HUGEINT) * t6) AS BIGINT) AS d6
+        |  FROM terms GROUP BY 1),
+        |cum AS (SELECT day, n,
+        |    CAST(SUM(d6) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_e6
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, ln_e6,
+        |  ln_e6 >= 2995732 AS crossed
+        |FROM cum ORDER BY day""".stripMargin,
     "a_eprocess_cs" -> {
       val thr6 = math.round(math.log(2e6 / 50000L) * 1e6)
       val gridVals = Experiments.eProcessCsGrid(500000L)

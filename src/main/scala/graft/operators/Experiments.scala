@@ -3096,6 +3096,83 @@ object Experiments {
       .orderBy(col("day"))
   }
 
+  /** Anytime-valid BOUNDED-MEAN monitor — the e-process family's
+    * VALUE-metric member (Waudby-Smith & Ramdas 2024's capital
+    * process for means in [0,1]): wealth W_n = Π(1 + λ(y_i − m0))
+    * is a nonnegative supermartingale under H0 "E[y] ≤ m0" for
+    * y ∈ [0,1], so ln W crossing ln(1/α) rejects with Ville's
+    * guarantee at EVERY peek — the always-valid revenue/latency
+    * monitor beside the Bernoulli-rate T224 (λ > 0 bets "the mean
+    * exceeds m0").
+    *
+    * Values arrive ppm-quantized against a caller-DECLARED upper
+    * bound (y_ppm ∈ [0, 1e6], violations fail fast in-plan — an
+    * undeclared whale would silently break the supermartingale
+    * property, so it must break the job instead). Unlike the
+    * Bernoulli case, ln(1+λ(y−m0)) is not affine in counts — but it
+    * IS constant per distinct value, so the (day, value) count grid
+    * (the mannWhitneyU value-domain discipline) carries one
+    * micro-nat ln term per distinct value: ln of the integer ratio
+    * (1e12 + λppm·(v − m0ppm))/1e12 (shared IEEE), rounded ONCE,
+    * multiplied by exact counts in DECIMAL(38,0), day totals
+    * cumulated by [[Relational.globalCumSum]] over the day DOMAIN.
+    * The grid is the mergeable sufficient statistic — the streaming
+    * twin SUM-merges partial grids and re-runs bit-equal.
+    * Returns one row per day (day, n, ln_e6, crossed), ordered.
+    */
+  def eProcessMean(
+      df: DataFrame,
+      valuePpmCol: Column,
+      dayCol: Column,
+      m0Ppm: Long,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessMeanFromCells(
+      df
+        .filter(valuePpmCol.isNotNull && dayCol.isNotNull)
+        .select(dayCol.as("day"), valuePpmCol.cast("long").as("v"))
+        .filter(
+          assert_true(
+            col("v") >= 0L && col("v") <= 1000000L,
+            lit("eProcessMean: valuePpm outside [0, 1e6] — the declared " +
+              "bound is violated")).isNull)
+        .groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("n")),
+      m0Ppm, lambdaPpm, alphaPpm)
+
+  /** [[eProcessMean]] over a (possibly merged) (day, v, n) value-grid
+    * — the mergeable half, mirroring [[eProcessFromCells]]. */
+  def eProcessMeanFromCells(
+      cells: DataFrame,
+      m0Ppm: Long,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame = {
+    require(m0Ppm > 0L && m0Ppm < 1000000L, "m0Ppm must be in (0, 1e6)")
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
+    require(lambdaPpm > 0L && lambdaPpm * m0Ppm < 1000000000000L,
+      "lambdaPpm must be positive with lambda * m0 < 1 (wealth must stay positive)")
+    val thr6 = math.round(math.log(1e6 / alphaPpm) * 1e6)
+    val daily = cells
+      .groupBy(col("day"), col("v"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn(
+        "__t6",
+        expr(
+          s"""CAST(round(ln(CAST(1000000000000 + $lambdaPpm * (v - $m0Ppm)
+             |AS DOUBLE) / 1e12) * 1000000, 0) AS BIGINT)""".stripMargin))
+      .groupBy(col("day"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("n").cast("decimal(38,0)") * col("__t6")).cast("long").as("__d6"))
+    Relational.globalCumSum(daily, Seq(col("day")), "__d6", "__lw0")
+      .select(
+        col("day"),
+        col("n"),
+        (col("__lw0") + col("__d6")).as("ln_e6"))
+      .withColumn("crossed", col("ln_e6") >= lit(thr6))
+      .orderBy(col("day"))
+  }
+
   /** Anytime-valid TWO-SAMPLE rate comparison — the A/B form of
     * [[eProcessRate]] via the success-stream reduction: under
     * H0: p_A = p_B with a FIXED design assignment probability π_A

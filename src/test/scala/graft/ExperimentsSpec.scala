@@ -883,6 +883,31 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("eProcessMean: exact micro-nat wealth on the value grid; bound violation fails fast") {
+    import spark.implicits._
+    // m0 = 0.5, lambda = 0.5: y = 1 contributes ln(1.25) -> 223144
+    // micro-nats, y = 0 contributes ln(0.75) -> -287682. Day 1 has
+    // two max-value rows, day 2 one zero row.
+    val rows = Seq(("d1", 1000000L), ("d1", 1000000L), ("d2", 0L)).toDF("d", "v")
+    val r = Experiments
+      .eProcessMean(rows, col("v"), col("d"), m0Ppm = 500000L,
+        lambdaPpm = 500000L, alphaPpm = 50000L)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      ("d1", 2L, 446288L, false),
+      ("d2", 1L, 158606L, false)), r.toSeq.toString)
+    // an undeclared whale breaks the job, not the guarantee
+    val whale = Seq(("d1", 1000001L)).toDF("d", "v")
+    intercept[Exception] {
+      Experiments.eProcessMean(whale, col("v"), col("d"), 500000L, 500000L, 50000L)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      Experiments.eProcessMean(rows, col("v"), col("d"), 500000L, 2000001L, 50000L)
+    }
+  }
+
   test("signFlipTest: one-sided-heavy fixture rejects at the add-one floor; zero diffs give p = 1") {
     import spark.implicits._
     // 30 units, every d = +100: |T_r| >= |T_obs| = 3000 needs all 30
