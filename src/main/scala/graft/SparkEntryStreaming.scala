@@ -847,6 +847,44 @@ object SparkEntryStreaming {
             .groupBy(col("bucket"))
             .agg(sum(col("n")).as("n"), sum(col("x")).as("x")))
     },
+    // Streaming anytime-valid bounded-MEAN monitor — the value
+    // member of the e-process family live: micro-batches append
+    // partial (day, v, n) value-grid cells (counts are linear), the
+    // monitor SUM-merges and re-runs the exact per-value micro-nat
+    // wealth readout — bit-equal to the batch a_eprocess_mean under
+    // one shared oracle. The natural home of an always-valid
+    // revenue monitor: peek as traffic arrives, Ville covers every
+    // peek.
+    "st_eprocess_mean" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/epmgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 20")
+      ev.filter(lit(false))
+        .select(to_date(col("ts")).as("day"), lit(0L).as("v"), lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("value").isNotNull && col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"), vppm.as("v"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessMeanFromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("day"), col("v"))
+            .agg(sum(col("n")).as("n")),
+          m0Ppm = 350000L,
+          lambdaPpm = 300000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming depth-2 MEAN changepoint — st_rate_binseg's
     // continuous sibling: the (day, n, s, q) moment grid is linear
     // in every coordinate (n/s BIGINT sums, q a DECIMAL(38,0) sum of
@@ -1621,6 +1659,9 @@ object SparkEntryStreaming {
     // per-coordinate moment-grid merge-invariance — one oracle with
     // the batch v_dispersion
     "st_dispersion" -> SparkEntryCoverage.oracleSql("v_dispersion"),
+    // (day, value) grid merge-invariance — one oracle with the batch
+    // a_eprocess_mean
+    "st_eprocess_mean" -> SparkEntryCoverage.oracleSql("a_eprocess_mean"),
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout
