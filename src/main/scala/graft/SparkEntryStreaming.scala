@@ -847,6 +847,46 @@ object SparkEntryStreaming {
             .groupBy(col("bucket"))
             .agg(sum(col("n")).as("n"), sum(col("x")).as("x")))
     },
+    // Streaming Good–Turing — the monitor pattern extended to the
+    // ARTIFACT-class sufficient statistic: per-type counts are
+    // linear, so micro-batches append partial (tok, n) counts to a
+    // parquet artifact (the postings posture — type-bounded, not
+    // driver state) and the fof/unseen-mass readout over the
+    // SUM-merge is bit-equal to the batch t_good_turing under one
+    // shared oracle. The live "how incomplete is my n-gram table"
+    // gauge an ingest pipeline watches.
+    "st_good_turing" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/gtgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def toks(df: DataFrame): DataFrame = df
+        .filter(length(trim(col("text"))) > 0)
+        .select(split(trim(col("text")), "\\s+").as("__tk"))
+        .filter(size(col("__tk")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(__tk) - 2), i -> concat_ws(' ', slice(__tk, i, 3)))"))
+          .as("tok"))
+      toks(s.read.parquet(s"$dir/documents.parquet").filter(lit(false)))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          toks(batch).groupBy(col("tok")).agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.TextAnalysis
+        .goodTuringFromFreq(
+          s.read.parquet(cPath)
+            .groupBy(col("tok"))
+            .agg(sum(col("n")).as("n")),
+          maxR = 10)
+    },
     // Streaming anytime-valid bounded-MEAN monitor — the value
     // member of the e-process family live: micro-batches append
     // partial (day, v, n) value-grid cells (counts are linear), the
@@ -1662,6 +1702,9 @@ object SparkEntryStreaming {
     // (day, value) grid merge-invariance — one oracle with the batch
     // a_eprocess_mean
     "st_eprocess_mean" -> SparkEntryCoverage.oracleSql("a_eprocess_mean"),
+    // type-count artifact merge-invariance — one oracle with the
+    // batch t_good_turing
+    "st_good_turing" -> SparkEntryCoverage.oracleSql("t_good_turing"),
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout

@@ -1952,11 +1952,20 @@ object TextAnalysis {
     * shingles, BPE pieces, char n-grams): GT on the trigram domain
     * is the "how incomplete is my n-gram table" readout an LM/
     * decontamination pipeline actually consults. */
-  def goodTuringFromTokens(tokens: DataFrame, maxR: Int): DataFrame = {
+  def goodTuringFromTokens(tokens: DataFrame, maxR: Int): DataFrame =
+    goodTuringFromFreq(
+      tokens.groupBy(col("tok")).agg(count(lit(1)).as("n")),
+      maxR)
+
+  /** [[goodTuring]] over an already-merged (tok, n) type-count table
+    * — per-type counts are linear, so per-batch partial counts
+    * SUM-merge exactly and a streaming monitor re-runs the fof
+    * readout bit-equal to batch. Unlike the day/value grids this
+    * sufficient statistic is TYPE-bounded (corpus-scale) — it is the
+    * postings-artifact class: a parquet table a live intake appends
+    * partials to, not driver state. */
+  def goodTuringFromFreq(freq: DataFrame, maxR: Int): DataFrame = {
     require(maxR >= 1 && maxR <= 100, s"maxR must be in [1, 100], got $maxR")
-    val freq = tokens
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("n"))
     val cells = freq
       .groupBy(col("n").as("r"))
       .agg(count(lit(1)).as("n_r"))
