@@ -4954,6 +4954,22 @@ object SparkEntryCoverage {
     "v_calinski" -> { (s, dir) =>
       Similarity.calinskiHarabasz(t(s, dir, "embeddings"), "label", "embedding")
     },
+    // The same index grading the ANN index's OWN geometry: CH over
+    // the ivfAssign cell labels — a falling score on refresh means
+    // the frozen centroids no longer explain the corpus (time to
+    // refit), the quantitative version of v_embed_drift's alarm.
+    "v_ivf_quality" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      Similarity.calinskiHarabasz(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "cell",
+        "embedding")
+    },
     "v_embed_drift" -> { (s, dir) =>
       Similarity
         .embeddingDriftByGroup(t(s, dir, "embeddings"), col("label"), "embedding")
@@ -11237,6 +11253,43 @@ object SparkEntryCoverage {
          |  AND 2 * q * k_a * k_b * 20 >= 21 * (sum_a * k_b + sum_b * k_a)
          |ORDER BY id_a""".stripMargin
     },
+    // the ivf assignment chain (the ivfTopkOracle idiom) feeding the
+    // v_calinski chain with c = cell
+    "v_ivf_quality" ->
+      s"""WITH cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |        embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT b.vec_id, b.embedding, c.cell,
+         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+         | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
+         |assign AS (
+         | SELECT vec_id, embedding, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |x AS (SELECT cell AS c, unnest(range(1, len(embedding) + 1)) AS j,
+         |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+         |      FROM assign),
+         |cells AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+         |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+         |  FROM x GROUP BY 1, 2),
+         |pj AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+         |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
+         |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
+         |  FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, MAX(nj) AS n, MAX(kj) AS k,
+         |    SUM(qj) AS q, SUM(aj) AS a,
+         |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
+         |  FROM pj)
+         |SELECT n, k, dim,
+         |  greatest(CAST(0 AS BIGINT), CAST((a - b) // n AS BIGINT)) AS ssb6,
+         |  greatest(CAST(0 AS BIGINT), CAST((q - a) // n AS BIGINT)) AS ssw6,
+         |  CASE WHEN q - a <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((CAST(1000000 AS HUGEINT)
+         |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
+         |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
+         |FROM t""".stripMargin,
     // same zipped-unnest cells; milli quantization (the extensive
     // per-cell quotient bound), Konig-Huygens twice
     "v_calinski" ->
