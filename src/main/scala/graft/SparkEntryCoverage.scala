@@ -6177,7 +6177,7 @@ object SparkEntryCoverage {
     // guarantee holds with no look table; binary outcomes make the
     // log-wealth an exact integer affine map of the running counts.
     // Anytime-valid bounded-mean monitor (Experiments.eProcessMean):
-    // is mean cent-value above $175 of the declared $500 bound? —
+    // is mean cent-value above $175 of the declared $1000 bound? —
     // the e-process family's VALUE member: one micro-nat ln term per
     // distinct value off the (day, value) grid, wealth cumulated
     // over the day domain, Ville-covered at every peek.
@@ -6185,9 +6185,9 @@ object SparkEntryCoverage {
       Experiments.eProcessMean(
         t(s, dir, "events")
           .filter(col("value").isNotNull && col("ts").isNotNull),
-        round(col("value") * 100.0, 0).cast("long") * 20L,
+        round(col("value") * 100.0, 0).cast("long") * 10L,
         to_date(col("ts")),
-        m0Ppm = 350000L,
+        m0Ppm = 175000L,
         lambdaPpm = 300000L,
         alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -12295,12 +12295,12 @@ object SparkEntryCoverage {
     // HUGEINT count-multiply, day-window cumulative
     "a_eprocess_mean" ->
       """WITH base AS (SELECT CAST(ts AS DATE) AS day,
-        |    CAST(round(value * 100) AS BIGINT) * 20 AS v
+        |    CAST(round(value * 100) AS BIGINT) * 10 AS v
         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
         |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM base GROUP BY 1, 2),
         |terms AS (SELECT day, n,
-        |    CAST(round(ln(CAST(1000000000000 + 300000 * (v - 350000) AS DOUBLE)
+        |    CAST(round(ln(CAST(1000000000000 + 300000 * (v - 175000) AS DOUBLE)
         |        / 1e12) * 1000000) AS BIGINT) AS t6
         |  FROM cells),
         |daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n,

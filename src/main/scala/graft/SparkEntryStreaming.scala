@@ -898,7 +898,7 @@ object SparkEntryStreaming {
     "st_eprocess_mean" -> { (s, dir) =>
       val cPath = s"/tmp/graft_idx/epmgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
-      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 20")
+      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 10")
       ev.filter(lit(false))
         .select(to_date(col("ts")).as("day"), lit(0L).as("v"), lit(0L).as("n"))
         .write.mode("overwrite").parquet(cPath)
@@ -919,7 +919,7 @@ object SparkEntryStreaming {
           s.read.parquet(cPath)
             .groupBy(col("day"), col("v"))
             .agg(sum(col("n")).as("n")),
-          m0Ppm = 350000L,
+          m0Ppm = 175000L,
           lambdaPpm = 300000L,
           alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
