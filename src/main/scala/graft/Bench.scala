@@ -67,8 +67,42 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Isolation re-runs of the heaviest queries (the ±1.6×
+    // suite-position/JVM band documented since r4 pollutes exactly
+    // these): each of the top-20 re-runs in a FRESH SparkSession —
+    // no inherited cache, no inherited GC debt, no shared /tmp
+    // artifact bases (application-keyed bases rebuild inside the
+    // window, so an isolation timing is SELF-CONTAINED and
+    // comparable iso-to-iso across rounds, not to the amortized main
+    // map). Janino's codegen cache is JVM-global, so the sessions
+    // stay JIT-warm. Skipped under SPARK_GRAFT_NO_ISO=1.
+    val isoCount = sys.env.get("SPARK_GRAFT_ISO_TOP").map(_.toInt).getOrElse(20)
+    val runIso = !sys.env.get("SPARK_GRAFT_NO_ISO").contains("1") && only.isEmpty
+    val topNames = results.sortBy(-_._2).take(isoCount).map(_._1).sorted
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.stop()
+    val iso = if (!runIso) Seq.empty[(String, Double)] else topNames.map { name =>
+      val s2 = Engine.session("graft-bench-iso", s"local[$cpus]", cpus)
+      s2.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(s2, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-iso] $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      s2.stop()
+      name -> dt
+    }
+    val isoQs = iso
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_iso":$isoQs,"sf":"$sfDir"}"""
     println(line)
     // The driver scrapes a bounded log tail, which truncates the line
     // once the corpus passes ~100 queries — persist the full map to a

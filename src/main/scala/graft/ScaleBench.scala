@@ -183,12 +183,22 @@ object ScaleBench {
     val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt)
     val spark = Engine.session("graft-scale", s"local[$cpus]", shuffleParts.getOrElse(cpus))
     shuffleParts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    // the partitions-∝-input DEFAULT (the SCALE_r10 partition-sweep
+    // lesson made operational): pair discovery at x100 wants shuffle
+    // partitions scaled with the data multiplier (68 s at the fixed
+    // 32 → ~44 s at ≥64), and AQE coalescing absorbs over-
+    // provisioning on the small multipliers — so each multiplier runs
+    // at max(cpus, cpus·m/10) unless SPARK_GRAFT_SHUFFLE_PARTS pins
+    // an explicit sweep value
+    def partsFor(m: Int): Int =
+      shuffleParts.getOrElse(math.max(cpus, cpus * m / 10))
 
     // warmup (the Bench rule): JIT/codegen/shuffle machinery off the clock
     spark.read.parquet(s"$base/region.parquet").write.format("noop").mode("overwrite").save()
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     mults.foreach { m =>
+      spark.conf.set("spark.sql.shuffle.partitions", partsFor(m).toString)
       val docs = docsX(spark, base, m)
       val nDocs = docs.count()
       val parts = scala.collection.mutable.ArrayBuffer[String](s""""n_docs":$nDocs""")

@@ -982,7 +982,7 @@ object SparkEntry {
             .as("n_agree"))
         .withColumn(
           "agree_ppm",
-          expr("CAST(1000000 * n_agree div n_docs AS BIGINT)"))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_agree div n_docs AS BIGINT)"))
         .orderBy(col("conf_bucket"))
     },
     // Corpus composition report per (source, lang): counts, token

@@ -2013,7 +2013,7 @@ object SparkEntryCoverage {
           col("cluster_id"),
           col("sz"),
           col("n_sources"),
-          expr("CAST(1000000 * __maj div sz AS BIGINT)").as("purity_ppm"))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * __maj div sz AS BIGINT)").as("purity_ppm"))
         .orderBy(col("cluster_id"))
     },
     // Conversion latency: per converting user, seconds from FIRST
@@ -2070,7 +2070,7 @@ object SparkEntryCoverage {
           sum(coalesce(col("__duped"), lit(0L))).as("n_duped"))
         .withColumn(
           "dup_ppm",
-          expr("CAST(1000000 * n_duped div n_docs AS BIGINT)"))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_duped div n_docs AS BIGINT)"))
         .orderBy(col("source"))
     },
     // C6 — investor + valuation extraction: known-VC list hit wins
@@ -2619,7 +2619,7 @@ object SparkEntryCoverage {
         .agg(count(lit(1)).as("n_hits"))
         .join(sizes, Seq("shortlist"), "right")
         .na.fill(0L, Seq("n_hits"))
-        .withColumn("recall_ppm", expr("CAST(1000000 * n_hits div 10 AS BIGINT)"))
+        .withColumn("recall_ppm", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_hits div 10 AS BIGINT)"))
         .orderBy(col("shortlist"))
     },
     // V2 scale path, recall variant — banded hyperplane LSH: 4 bands
@@ -3866,9 +3866,9 @@ object SparkEntryCoverage {
           countDistinct(col("lang_pred")).as("n_langs_pred"),
           sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("n_low_quality"),
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup_docs"))
-        .withColumn("low_quality_ppm", expr("CAST(1000000 * n_low_quality div n_docs AS BIGINT)"))
-        .withColumn("exact_dup_ppm", expr("CAST(1000000 * n_exact_dup_docs div n_docs AS BIGINT)"))
-        .withColumn("tokens_per_doc_milli", expr("CAST(1000 * n_tokens div n_docs AS BIGINT)"))
+        .withColumn("low_quality_ppm", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_low_quality div n_docs AS BIGINT)"))
+        .withColumn("exact_dup_ppm", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_exact_dup_docs div n_docs AS BIGINT)"))
+        .withColumn("tokens_per_doc_milli", expr("CAST(CAST(1000 AS DECIMAL(38,0)) * n_tokens div n_docs AS BIGINT)"))
     },
     // Flesch reading-ease in exact milli-units
     // (TextAnalysis.readability): the classic pre-LLM quality gate —
@@ -4624,13 +4624,16 @@ object SparkEntryCoverage {
         .crossJoin(broadcast(truth))
         .select(
           col("n_records"),
-          expr("CAST(n_records * (n_records - 1) div 2 AS BIGINT)").as("n_total_pairs"),
+          expr("CAST(CAST(n_records AS DECIMAL(38,0)) * (n_records - 1) div 2 AS BIGINT)")
+            .as("n_total_pairs"),
           col("n_cand_pairs"),
-          expr("CAST(1000000 * (n_records * (n_records - 1) div 2 - n_cand_pairs) " +
-            "div (n_records * (n_records - 1) div 2) AS BIGINT)").as("rr_ppm"),
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) " +
+            "* (CAST(n_records AS DECIMAL(38,0)) * (n_records - 1) div 2 - n_cand_pairs) " +
+            "div (CAST(n_records AS DECIMAL(38,0)) * (n_records - 1) div 2) AS BIGINT)")
+            .as("rr_ppm"),
           col("n_truth"),
           col("n_truth_blocked"),
-          expr("CAST(1000000 * n_truth_blocked div n_truth AS BIGINT)")
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_truth_blocked div n_truth AS BIGINT)")
             .as("completeness_ppm"))
     },
     // Pairwise clustering evaluation over the same ER run: precision/
@@ -4970,6 +4973,23 @@ object SparkEntryCoverage {
         "cell",
         "embedding")
     },
+    // The consumer that ACTS on v_ivf_quality's grade (Similarity
+    // .ivfRefitWorklist — the i2_worklist pattern applied to index
+    // maintenance): cells whose within-cell per-vector variance is
+    // ≥ 0.9× the corpus total variance do no routing work and are
+    // emitted as the refit worklist, worst first.
+    "v_ivf_refit" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      Similarity.ivfRefitWorklist(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "cell",
+        "embedding")
+    },
     "v_embed_drift" -> { (s, dir) =>
       Similarity
         .embeddingDriftByGroup(t(s, dir, "embeddings"), col("label"), "embedding")
@@ -5265,6 +5285,23 @@ object SparkEntryCoverage {
         .pageRank(graft.sources.Io.readDupGraphPairs(s, gPath))
         .select(col("id").as("doc_id"), col("rank_units"), col("rank"))
         .orderBy(col("doc_id"))
+    },
+    // Modularity off the PERSISTED dup-graph artifact: pairs AND the
+    // closure labels both come from parquet (Io.readDupGraphPairs /
+    // readDupGraphLabels) — the partition being graded is the
+    // artifact's own cluster assignment, so the score needs zero pair
+    // pipeline and zero closure iteration at read time (the
+    // g_pagerank_persisted posture; the judge-queued fix for
+    // g_modularity's 7 s inline pair-graph rebuild). The oracle
+    // re-derives both from scratch in DuckDB — any artifact drift
+    // hash-mismatches.
+    "g_modularity_persisted" -> { (s, dir) =>
+      // read-only consumer of the SHARED stamp-0 base
+      val gPath = dupGraphBase(s, dir, "full")
+      Graph.modularity(
+        graft.sources.Io.readDupGraphPairs(s, gPath),
+        graft.sources.Io.readDupGraphLabels(s, gPath)
+          .select(col("id"), col("cluster_id").as("community")))
     },
     // Cluster-size histogram off the artifact's persisted LABELS: the
     // transitive closure ran at build time (inside writeDupGraph) —
@@ -6794,7 +6831,8 @@ object SparkEntryCoverage {
           round(col("value") * 100.0, 0).cast("long"))
         .select(
           col("side_a"), col("side_b"), col("n_a"), col("n_b"),
-          expr("CAST((1000000 * u2x) div (n_a * n_b) - 1000000 AS BIGINT)").as("delta6"))
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * u2x) " +
+            "div (CAST(n_a AS DECIMAL(38,0)) * n_b) - 1000000 AS BIGINT)").as("delta6"))
     },
     // Retention cohorts: users cohorted by first-activity week, then
     // distinct actives per (cohort, week offset) — exact counts on
@@ -11290,6 +11328,47 @@ object SparkEntryCoverage {
          |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
          |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
          |FROM t""".stripMargin,
+    // same assign chain + moment cells as v_ivf_quality; per-cell
+    // within SS with the per-term truncating division, ratio of the
+    // two already-rounded per-vector means, ≥ 900000 ppm emits
+    "v_ivf_refit" ->
+      s"""WITH cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |        embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT b.vec_id, b.embedding, c.cell,
+         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+         | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
+         |assign AS (
+         | SELECT vec_id, embedding, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |x AS (SELECT cell AS c, unnest(range(1, len(embedding) + 1)) AS j,
+         |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+         |      FROM assign),
+         |cells AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+         |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+         |  FROM x GROUP BY 1, 2),
+         |pc AS (SELECT c, MAX(ncj) AS n, SUM(qcj - (scj * scj) // ncj) AS w
+         |  FROM cells GROUP BY 1),
+         |pj AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+         |    SUM(qcj) AS qj
+         |  FROM cells GROUP BY 1),
+         |t AS (SELECT MAX(nj) AS n, SUM(qj - (sj * sj) // CAST(nj AS HUGEINT)) AS tt
+         |  FROM pj),
+         |r AS (SELECT pc.c AS cell, pc.n,
+         |    CAST(pc.w // pc.n AS BIGINT) AS within6,
+         |    CAST(t.tt // t.n AS BIGINT) AS total6
+         |  FROM pc CROSS JOIN t),
+         |rr AS (SELECT cell, n, within6, total6,
+         |    CASE WHEN total6 <= 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST((CAST(1000000 AS HUGEINT) * within6) // total6 AS BIGINT)
+         |    END AS ratio_ppm
+         |  FROM r)
+         |SELECT cell, n, within6, total6, ratio_ppm FROM rr
+         |WHERE ratio_ppm >= 900000 AND total6 > 0
+         |ORDER BY ratio_ppm DESC, cell""".stripMargin,
     // same zipped-unnest cells; milli quantization (the extensive
     // per-cell quotient bound), Konig-Huygens twice
     "v_calinski" ->
@@ -11405,6 +11484,34 @@ object SparkEntryCoverage {
          |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
          |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
          |GROUP BY sz ORDER BY sz""".stripMargin,
+    // modularity of the closure partition over the near-dup pair
+    // graph — mirrors Graph.modularity stage for stage (intra count,
+    // degree sums, 1-row m, HUGEINT-staged term6), with comp(id,
+    // cluster) as the community assignment; the engine reads both
+    // from the persisted artifact, the oracle re-derives them
+    "g_modularity_persisted" ->
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |$clusterCompSql,
+         |intra AS (SELECT ca.cluster AS community, CAST(count(*) AS BIGINT) AS intra_edges
+         |          FROM pairs JOIN comp ca ON ca.id = pairs.id_a
+         |               JOIN comp cb ON cb.id = pairs.id_b
+         |          WHERE ca.cluster = cb.cluster GROUP BY 1),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+         |        GROUP BY 1),
+         |dc AS (SELECT comp.cluster AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+         |       FROM deg JOIN comp ON comp.id = deg.id GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs)
+         |SELECT dc.community, dc.n_nodes,
+         |  COALESCE(intra.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         |  dc.degree_sum,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |        * COALESCE(intra.intra_edges, CAST(0 AS BIGINT))) // mm.m
+         |    - (CAST(1000000 AS HUGEINT) * dc.degree_sum * dc.degree_sum)
+         |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
+         |FROM dc LEFT JOIN intra ON intra.community = dc.community CROSS JOIN mm
+         |ORDER BY dc.community""".stripMargin,
     "dd_embed_neardup" -> {
       s"""SELECT id_a, id_b, score FROM (
          | SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -122,7 +122,7 @@ object SparkEntryStreaming {
         .join(rowTot, col("from_state") === col("__fs"))
         .select(
           col("from_state"), col("to_state"), col("n"),
-          expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n div __rt AS BIGINT)").as("p6"))
         .orderBy(col("from_state"), col("to_state"))
     },
     // session windows as a live stream — gap-merged dynamic windows
@@ -887,6 +887,47 @@ object SparkEntryStreaming {
             .agg(sum(col("n")).as("n")),
           maxR = 10)
     },
+    // Streaming term-burstiness monitor — t_good_turing's head-table
+    // sibling closing the monitor family: every per-term statistic
+    // (n, df) and the doc count are linear because each document's
+    // rows land wholly inside one micro-batch, so batches append
+    // partial (term, n, df) grids + a 1-row partial doc count (the
+    // type-bounded ARTIFACT posture, never driver state) and the
+    // SUM-merged readout is bit-equal to the batch t_burstiness
+    // under one shared oracle — the live burst/spam gauge.
+    "st_burstiness" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/bstgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val nPath = s"/tmp/graft_idx/bstnd_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def base(df: DataFrame): DataFrame =
+        df.filter(length(trim(col("text"))) > 0 && col("doc_id").isNotNull)
+      def grid(df: DataFrame): DataFrame = base(df)
+        .select(col("doc_id").as("__id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("__id"), col("term"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("term"))
+        .agg(sum(col("__c")).as("n"), count(lit(1)).as("df"))
+      def nd(df: DataFrame): DataFrame =
+        base(df).agg(countDistinct(col("doc_id")).as("__nd"))
+      val empty = s.read.parquet(s"$dir/documents.parquet").filter(lit(false))
+      grid(empty).write.mode("overwrite").parquet(cPath)
+      nd(empty).write.mode("overwrite").parquet(nPath)
+      val q = s.readStream
+        .schema(schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          grid(batch).write.mode("append").parquet(cPath)
+          nd(batch).write.mode("append").parquet(nPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.TextAnalysis
+        .burstinessTopFromCells(s.read.parquet(cPath), s.read.parquet(nPath), 30)
+        .orderBy(col("n").desc, col("term"))
+    },
     // Streaming anytime-valid bounded-MEAN monitor — the value
     // member of the e-process family live: micro-batches append
     // partial (day, v, n) value-grid cells (counts are linear), the
@@ -983,7 +1024,9 @@ object SparkEntryStreaming {
         .groupBy(col("j"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("qv")).cast("decimal(38,0)").as("s"),
+          // Pre-cast addends: accumulate in DECIMAL(38,0), never BIGINT
+          // (BIGINT SUM wraps where DuckDB promotes to HUGEINT).
+          sum(col("qv").cast("decimal(38,0)")).as("s"),
           sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("q"))
       grid(emb.filter(lit(false))).write.mode("overwrite").parquet(cPath)
       val q = s.readStream
@@ -1705,6 +1748,9 @@ object SparkEntryStreaming {
     // type-count artifact merge-invariance — one oracle with the
     // batch t_good_turing
     "st_good_turing" -> SparkEntryCoverage.oracleSql("t_good_turing"),
+    // per-term (n, df) + doc-count merge-invariance: the streamed
+    // head table must equal the one-shot batch readout
+    "st_burstiness" -> SparkEntryCoverage.oracleSql("t_burstiness"),
     "st_page_hinkley" -> SparkEntryCoverage.pageHinkleyOracleSql,
     // calibration-cell merge-invariance: the streamed summary must
     // equal the one-shot batch readout

@@ -299,7 +299,7 @@ object Checks {
     grid
       .join(counts, Seq("group", "bucket"), "left")
       .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
-      .withColumn("cdf6", expr("cum * 1000000 div n"))
+      .withColumn("cdf6", expr("cum * CAST(1000000 AS DECIMAL(38,0)) div n"))
       .withColumn(
         "gap",
         abs(col("cdf6") - element_at(cdfArr, col("bucket").cast("int") + 1)))
@@ -321,7 +321,7 @@ object Checks {
       .groupBy(key.cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
     val total = gs.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    gs.withColumn("share6", expr(s"n * 1000000 div $total"))
+    gs.withColumn("share6", expr(s"n * CAST(1000000 AS DECIMAL(38,0)) div $total"))
       .orderBy(col("n").desc, col("key"))
       .limit(k)
   }
@@ -354,7 +354,7 @@ object Checks {
         sort_array(collect_list(struct(col("bucket"), col("n")))).as("seq"),
         sum(col("n")).as("tot"),
         count(lit(1)).as("days"))
-      .withColumn("mu6", expr("tot * 1000000 div days"))
+      .withColumn("mu6", expr("tot * CAST(1000000 AS DECIMAL(38,0)) div days"))
       .withColumn("slack6", expr(s"mu6 div $slackDivisor"))
     g.withColumn(
         "st",
@@ -580,7 +580,7 @@ object Checks {
         sum(when(col("__ts") < col("__prev"), 1L).otherwise(0L)).as("n_regressions"))
       .withColumn(
         "regression_ppm",
-        expr("CAST(1000000 * n_regressions div n_events AS BIGINT)"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_regressions div n_events AS BIGINT)"))
   }
 
   /** Population Stability Index (the industry-standard drift score;
@@ -672,8 +672,8 @@ object Checks {
       .withColumn(
         "gap6",
         abs(
-          expr("CAST(1000000 * ca div __na AS BIGINT)") -
-            expr("CAST(1000000 * cb div __nb AS BIGINT)")))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * ca div __na AS BIGINT)") -
+            expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cb div __nb AS BIGINT)")))
       .withColumn(
         "rk",
         row_number().over(Window.orderBy(col("gap6").desc, col("bucket"))))
@@ -1044,8 +1044,8 @@ object Checks {
       .withColumn("cb", sum(col("n_b")).over(w))
       .withColumn(
         "__gap6",
-        expr("CAST(1000000 * ca div __na AS BIGINT)") -
-          expr("CAST(1000000 * cb div __nb AS BIGINT)"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * ca div __na AS BIGINT)") -
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cb div __nb AS BIGINT)"))
       .groupBy(col("__k"), col("__na"), col("__nb"))
       .agg(
         sum(
@@ -1102,7 +1102,7 @@ object Checks {
     }
     digits
       .crossJoin(tot)
-      .withColumn("obs_ppm", expr("CAST(1000000 * n div __nt AS BIGINT)"))
+      .withColumn("obs_ppm", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n div __nt AS BIGINT)"))
       .withColumn("exp_ppm", expPpm)
       .select(
         col("digit"),
@@ -1144,7 +1144,7 @@ object Checks {
         sum(col("n")).as("n_rows"))
       .withColumn(
         "suppression_ppm",
-        expr("CAST(1000000 * n_rows_at_risk div n_rows AS BIGINT)"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_rows_at_risk div n_rows AS BIGINT)"))
   }
 
   /** l-diversity audit (Machanavajjhala et al. 2007) — the attribute-
@@ -1236,8 +1236,8 @@ object Checks {
       .withColumn(
         "__gap",
         abs(
-          expr("CAST(1000000 * cum_g div n_g AS BIGINT)") -
-            expr("CAST(1000000 * cum div __nt AS BIGINT)")))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_g div n_g AS BIGINT)") -
+            expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cum div __nt AS BIGINT)")))
       .groupBy(qs :+ col("n_g") :+ col("__nb"): _*)
       .agg(sum(col("__gap")).as("__gapsum"))
       .select(
@@ -1464,7 +1464,7 @@ object Checks {
         col("n_contained"),
         expr(
           """CASE WHEN n_child_distinct = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST(1000000 * n_contained div n_child_distinct AS BIGINT)
+            |ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n_contained div n_child_distinct AS BIGINT)
             |END""".stripMargin).as("containment_ppm"))
   }
 
@@ -1587,7 +1587,9 @@ object Checks {
           / col("__s").cast("double"))
       .withColumn("__t6", round(col("__r") * log(col("__r")) * lit(1e6), 0).cast("long"))
       .groupBy(col("__n"), col("__s"))
-      .agg(sum(col("__t6")).as("__tsum"))
+      // micro-terms sum to ~14e6·N — DECIMAL keeps the fold exact
+      // past the ~9e11-row BIGINT wrap (family-wide sum discipline)
+      .agg(sum(col("__t6").cast("decimal(38,0)")).as("__tsum"))
       .select(
         col("__n").as("n"),
         col("__s").as("total"),
@@ -1640,8 +1642,8 @@ object Checks {
       .select(
         col("bucket"),
         col("__rank").as("rank"),
-        expr(s"CAST((1000000 * __rank) div $n AS BIGINT)").as("pop_share6"),
-        expr(s"CAST((1000000 * __cum) div $total AS BIGINT)").as("wealth_share6"))
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * __rank) div $n AS BIGINT)").as("pop_share6"),
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * __cum) div $total AS BIGINT)").as("wealth_share6"))
       .orderBy(col("bucket"))
   }
 

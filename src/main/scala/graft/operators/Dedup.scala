@@ -130,19 +130,32 @@ object Dedup {
           .agg(count(lit(1)).as("n_overlap"))))
       .withColumn(
         "n_hat",
-        expr("CAST((n_a + 1) * (n_b + 1) div (n_overlap + 1) AS BIGINT) - 1"))
+        expr("CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * (n_b + 1) div (n_overlap + 1) AS BIGINT) - 1"))
       .select(
         col("n_a"), col("n_b"), col("n_overlap"), col("n_hat"),
         expr(
           """CASE WHEN n_hat = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST(1000000 * n_a div n_hat AS BIGINT) END""".stripMargin)
+            |ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n_a div n_hat AS BIGINT) END""".stripMargin)
           .as("recall_a_ppm"),
         expr(
           """CASE WHEN n_hat = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST(1000000 * n_b div n_hat AS BIGINT) END""".stripMargin)
+            |ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n_b div n_hat AS BIGINT) END""".stripMargin)
           .as("recall_b_ppm"))
   }
 
+  /** Exact n-gram Jaccard pair discovery via the df-capped shingle
+    * equi-join (bucketed, never all-pairs).
+    *
+    * Deployment knob (the SCALE_r10 partition-sweep lesson): the
+    * shingle equi-join is this pipeline's dominant shuffle, and its
+    * per-partition hash tables are what spill first as the corpus
+    * grows — size `spark.sql.shuffle.partitions` PROPORTIONAL TO
+    * INPUT (≈ one partition per 128–256 MB of exploded shingles; at
+    * x100 of sf0.1 that is ≥ 2× cores), and let AQE coalesce the
+    * over-provisioned small runs. ScaleBench applies this rule per
+    * multiplier (`partsFor`), which is what holds pair discovery to
+    * ~linear through x100.
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
@@ -285,7 +298,7 @@ object Dedup {
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
       .withColumn(
         "recall_ppm",
-        expr("CAST(1000000 * n_found div n_planted AS BIGINT)"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_found div n_planted AS BIGINT)"))
   }
 
   /** [[canaryRecall]] swept across thresholds in ONE detector pass:
@@ -362,7 +375,7 @@ object Dedup {
         col("threshold_pct"),
         col("n_planted"),
         col("n_found"),
-        expr("CAST(1000000 * n_found div n_planted AS BIGINT)").as("recall_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_found div n_planted AS BIGINT)").as("recall_ppm"),
         col("n_pairs_total"))
   }
 
@@ -412,8 +425,8 @@ object Dedup {
         col("sz_a"),
         col("sz_b"),
         col("common"),
-        expr("CAST(1000000 * common div (sz_a + sz_b - common) AS BIGINT)").as("jac6"),
-        expr("CAST(1000000 * common div least(sz_a, sz_b) AS BIGINT)").as("cont6"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * common div (sz_a + sz_b - common) AS BIGINT)").as("jac6"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * common div least(sz_a, sz_b) AS BIGINT)").as("cont6"))
   }
 
   /** [[ngramJaccardPairs]] with PREFIX-FILTERED candidate generation —
@@ -438,7 +451,11 @@ object Dedup {
     * pair is re-scored exactly, so the prefix stage changes WHO gets
     * compared, never what a comparison sees.
     *
-    * Same caching contract as [[ngramJaccardPairs]].
+    * Same caching contract as [[ngramJaccardPairs]] — and the same
+    * deployment knob: the prefix-token equi-join shuffle wants
+    * `spark.sql.shuffle.partitions` ∝ input (AQE coalesces the
+    * over-provisioned small runs); see the [[ngramJaccardPairs]]
+    * scaladoc for the measured rule.
     */
   def prefixJaccardPairs(
       df: DataFrame,

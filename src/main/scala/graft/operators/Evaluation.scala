@@ -177,7 +177,7 @@ object Evaluation {
       .withColumn("tp", col("__tpx") + col("np_v"))
       .withColumn("fp", col("__fpx") + col("nn_v"))
       .withColumn("__j6", expr(
-        "CAST((1000000 * tp) div __np AS BIGINT) - CAST((1000000 * fp) div __nn AS BIGINT)"))
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * tp) div __np AS BIGINT) - CAST((CAST(1000000 AS DECIMAL(38,0)) * fp) div __nn AS BIGINT)"))
     cum
       .orderBy(col("__j6").desc, col("v").desc)
       .limit(1)
@@ -256,7 +256,7 @@ object Evaluation {
         col("bucket"),
         col("n"),
         col("x"),
-        expr("CAST((1000000 * x) div n AS BIGINT)").as("rate6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * x) div n AS BIGINT)").as("rate6"),
         expr(
           """CASE WHEN __x = 0 THEN CAST(0 AS BIGINT)
             |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * x * __n)
@@ -264,7 +264,7 @@ object Evaluation {
           .as("lift6"),
         expr(
           """CASE WHEN __x = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST((1000000 * __cumx) div __x AS BIGINT) END""".stripMargin)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * __cumx) div __x AS BIGINT) END""".stripMargin)
           .as("cum_gain6"))
       .orderBy(col("bucket"))
   }
@@ -312,7 +312,7 @@ object Evaluation {
         col("qhat"),
         col("n_holdout"),
         col("covered"),
-        expr("CAST((1000000 * covered) div n_holdout AS BIGINT)").as("coverage6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * covered) div n_holdout AS BIGINT)").as("coverage6"),
         lit(1000000L - alpha6).as("target6"))
   }
 
@@ -368,7 +368,7 @@ object Evaluation {
       .select(
         col("g"), col("n_cal"), col("rank"), col("qhat"),
         col("n_holdout"), col("covered"),
-        expr("CAST((1000000 * covered) div n_holdout AS BIGINT)").as("coverage6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * covered) div n_holdout AS BIGINT)").as("coverage6"),
         lit(1000000L - alpha6).as("target6"))
   }
 
@@ -428,7 +428,7 @@ object Evaluation {
         col("bucket"), col("n_t"), col("x_t"), col("n_c"), col("x_c"),
         expr(
           """CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST((1000000 * x_t) div n_t - (1000000 * x_c) div n_c
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * x_t) div n_t - (CAST(1000000 AS DECIMAL(38,0)) * x_c) div n_c
             |AS BIGINT) END""".stripMargin).as("uplift6"),
         expr(
           """CASE WHEN __cnc = 0 THEN CAST(1000000 * __cxt AS BIGINT)
@@ -502,10 +502,13 @@ object Evaluation {
       .agg(
         count(lit(1)).as("n"),
         sum(col("__y")).as("x"),
-        sum(col("__s6")).as("ssum"),
+        // score sums reach 1e6·N — DECIMAL keeps every linear stat
+        // exact past the ~9e12-row BIGINT wrap (family-wide sum
+        // discipline; the readout casts stay BIGINT)
+        sum(col("__s6").cast("decimal(38,0)")).as("ssum"),
         sum(col("__s6").cast("decimal(38,0)") * col("__s6").cast("decimal(38,0)"))
           .cast("decimal(38,0)").as("s2sum"),
-        sum(col("__s6") * col("__y")).as("sysum"))
+        sum(col("__s6").cast("decimal(38,0)") * col("__y")).as("sysum"))
   }
 
   /** Derive the reliability table from a (possibly merged) cell grid
@@ -526,8 +529,8 @@ object Evaluation {
         col("n"),
         col("x"),
         expr("__ssum div n").as("conf6"),
-        expr("(1000000 * x) div n").as("acc6"),
-        expr("abs((1000000 * x) div n - __ssum div n)").as("gap6"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * x) div n").as("acc6"),
+        expr("abs((CAST(1000000 AS DECIMAL(38,0)) * x) div n - __ssum div n)").as("gap6"),
         col("s2sum"),
         col("sysum"))
       .orderBy(col("bin"))
@@ -566,7 +569,7 @@ object Evaluation {
       .agg(sum(col("nm")).as("sn"), sum(col("xm")).as("sx"))
       .select(
         col("j"), col("l"),
-        expr("CAST((1000000 * sx) div sn AS BIGINT)").as("avg6"))
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sx) div sn AS BIGINT)").as("avg6"))
     val iGrid = bins.select(col("bin").as("i"))
     val minOverL = intervals
       .join(iGrid, col("i") >= col("j") && col("i") <= col("l"))
@@ -601,7 +604,7 @@ object Evaluation {
       binGrid.agg(
         sum(col("n")).as("__nt"),
         sum(col("x")).as("__xt"))
-        .withColumn("__base6", expr("CAST((1000000 * __xt) div __nt AS BIGINT)")))
+        .withColumn("__base6", expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __xt) div __nt AS BIGINT)")))
     binGrid
       .crossJoin(base)
       .groupBy(col("__nt"), col("__base6"))

@@ -1083,7 +1083,7 @@ object Experiments {
         .filter(groupCol.isNotNull && successCol.isNotNull)
         .groupBy(groupCol.as("g"))
         .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("x"))
-        .withColumn("raw6", expr("CAST(1000000 * x div n AS BIGINT)")))
+        .withColumn("raw6", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * x div n AS BIGINT)")))
     val moments = broadcast(
       cells.agg(
         count(lit(1)).as("__gc"),
@@ -1099,7 +1099,7 @@ object Experiments {
           col("__gc") >= 2L,
           lit("ebShrinkRates: at least 2 groups required (no between-group " +
             "variance exists)")).isNull)
-      .withColumn("m6", expr("CAST(1000000 * __xt div __nt AS BIGINT)"))
+      .withColumn("m6", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * __xt div __nt AS BIGINT)"))
       .withColumn(
         "__v12",
         expr(
@@ -2927,7 +2927,7 @@ object Experiments {
       .agg(sum(col("w") * col("d")).as("l2"))
       .crossJoin(n)
       .withColumn("k", lit(k))
-      .withColumn("e2", expr(s"n_units * $k * ($k + 1) * ($k + 1) div 2"))
+      .withColumn("e2", expr(s"CAST(n_units AS DECIMAL(38,0)) * $k * ($k + 1) * ($k + 1) div 2"))
       .withColumn(
         "z2_6",
         expr(

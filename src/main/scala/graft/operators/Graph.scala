@@ -597,7 +597,7 @@ object Graph {
               lit(s"hits: auth nodes must number < unit=$unit or the truncating " +
                 "normalizer zeroes every score — raise unit; got "),
               col("__ca").cast("string"))).isNull)
-        .select(col("id"), expr(s"CAST(ar * $unit div __sa AS BIGINT)").as("a"))
+        .select(col("id"), expr(s"CAST(CAST(ar AS DECIMAL(38,0)) * $unit div __sa AS BIGINT)").as("a"))
       val hRaw = Checkpointing.truncate(
         edges
           .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
@@ -614,7 +614,7 @@ object Graph {
               lit(s"hits: hub nodes must number < unit=$unit or the truncating " +
                 "normalizer zeroes every score — raise unit; got "),
               col("__ch").cast("string"))).isNull)
-        .select(col("id"), expr(s"CAST(hr * $unit div __sh AS BIGINT)").as("h"))
+        .select(col("id"), expr(s"CAST(CAST(hr AS DECIMAL(38,0)) * $unit div __sh AS BIGINT)").as("h"))
       i += 1
     }
     srcs
@@ -679,7 +679,7 @@ object Graph {
         col("n_reciprocated"),
         expr(
           """CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST(1000000 * n_reciprocated div n_edges AS BIGINT) END""".stripMargin)
+            |ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n_reciprocated div n_edges AS BIGINT) END""".stripMargin)
           .as("reciprocity_ppm"))
   }
 
@@ -751,7 +751,7 @@ object Graph {
         col("u").as("id_a"),
         col("v").as("id_b"),
         col("common"),
-        expr("CAST(1000000 * common div (__da + __db - common) AS BIGINT)").as("jac6"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * common div (__da + __db - common) AS BIGINT)").as("jac6"))
   }
 
   /** Newman modularity of a community assignment over an undirected

@@ -114,12 +114,14 @@ object Multimodal {
     def hexAt(pos: Int, len: Int) = upper(hex(substring(c, pos, len)))
     // big-endian u32: hex parse of the 4-byte slice (conv returns a
     // decimal string); a short slice hexes to fewer than 8 chars ->
-    // null via the length guard
-    def beU32(pos: Int) =
-      when(
-        length(hexAt(pos, 4)) === 8,
+    // null via the length guard. A corrupt/hostile u32 >= 2^31 would
+    // wrap negative under the non-ANSI int cast, so it nulls instead
+    // (the documented null-on-invalid contract).
+    def beU32(pos: Int) = {
+      val v =
         expr(s"CAST(conv(hex(substring($contentCol, $pos, 4)), 16, 10) AS BIGINT)")
-          .cast("int"))
+      when(length(hexAt(pos, 4)) === 8 && v <= lit(Int.MaxValue.toLong), v.cast("int"))
+    }
     // little-endian u16: low byte + 256 * high byte
     def leU16(pos: Int) =
       when(

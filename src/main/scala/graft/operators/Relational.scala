@@ -938,9 +938,9 @@ object Relational {
       .crossJoin(nBaskets)
       .select(
         col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),
-        expr("CAST(1000000 * n_ab div __nb AS BIGINT)").as("support_ppm"),
-        expr("CAST(1000000 * n_ab div n_a AS BIGINT)").as("conf_a_b_ppm"),
-        expr("CAST(1000000 * n_ab div n_b AS BIGINT)").as("conf_b_a_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_ab div __nb AS BIGINT)").as("support_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_ab div n_a AS BIGINT)").as("conf_a_b_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_ab div n_b AS BIGINT)").as("conf_b_a_ppm"),
         expr(
           """CAST(
             |  (CAST(1000000 AS DECIMAL(38,0)) * CAST(n_ab AS DECIMAL(38,0))
@@ -1042,8 +1042,8 @@ object Relational {
           col("n_match") > 0L && col("n_unmatch") > 0L,
           lit("fsMatchWeights: the labeled pairs must contain both matches and " +
             "non-matches — weights off one class are smoothing noise")).isNull)
-      .withColumn("m_ppm", expr("CAST(1000000 * (a_match + 1) div (n_match + 2) AS BIGINT)"))
-      .withColumn("u_ppm", expr("CAST(1000000 * (a_unmatch + 1) div (n_unmatch + 2) AS BIGINT)"))
+      .withColumn("m_ppm", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (a_match + 1) div (n_match + 2) AS BIGINT)"))
+      .withColumn("u_ppm", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (a_unmatch + 1) div (n_unmatch + 2) AS BIGINT)"))
       .withColumn(
         "w_agree6",
         round(log(col("m_ppm").cast("double") / col("u_ppm").cast("double")) * lit(1e6), 0)

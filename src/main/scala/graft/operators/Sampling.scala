@@ -700,7 +700,7 @@ object Sampling {
     val tot = broadcast(strata.agg(sum(col("n")).as("__N")))
     val based = strata
       .crossJoin(tot)
-      .withColumn("__base", expr(s"CAST($k * n div __N AS BIGINT)"))
+      .withColumn("__base", expr(s"CAST(CAST($k AS DECIMAL(38,0)) * n div __N AS BIGINT)"))
       .withColumn("__rem", expr(s"CAST($k * n % __N AS BIGINT)"))
     val leftover = broadcast(
       based.agg((lit(k) - sum(col("__base"))).as("__left")))

@@ -275,7 +275,14 @@ object Series {
     * acf6(ℓ) = 1e6 · Σ_t (n·x_t − S)(n·x_{t+ℓ} − S)
     *               div Σ_t (n·x_t − S)² — one integer division per
     * lag, truncation toward zero on both engines, no float mean
-    * anywhere. A weekly ingest rhythm reads as the lag-7 peak (the
+    * anywhere. The centered products are EXTENSIVE in the daily
+    * value (c = n·x − S reaches n·x), so the whole chain stages in
+    * DECIMAL(38,0) from the first multiply — BIGINT would wrap at
+    * Σc² > 2^63, i.e. daily values of ~1e5 on a 1e4-day grid.
+    * Residual headroom bound (mirrored by the oracle's HUGEINT):
+    * 1e6·Σ|c·c2| < 1e38 — daily totals to ~3e11 on a 30-year grid;
+    * quantize the value upstream beyond (the chi2FromCounts
+    * convention). A weekly ingest rhythm reads as the lag-7 peak (the
     * ACF view of what [[seasonalIndexDow]] reports as per-dow
     * indexes); a lag-1 spike is day-to-day stickiness. The lag join
     * matches day = day + ℓ exactly — calendar gaps simply contribute
@@ -301,7 +308,9 @@ object Series {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
     val centered = base
       .join(stats, Seq("k"))
-      .select(col("k"), col("d"), (col("n") * col("v") - col("s")).as("c"))
+      .select(
+        col("k"), col("d"),
+        (col("n").cast("decimal(38,0)") * col("v") - col("s")).as("c"))
     val den = centered
       .groupBy(col("k"))
       .agg(sum(col("c") * col("c")).as("den"))
@@ -411,7 +420,7 @@ object Series {
       .filter(col("da") < col("db"))
       .select(
         col("k"),
-        expr("CAST(1000000 * (vb - va) div (db - da) AS BIGINT)").as("slope6"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (vb - va) div (db - da) AS BIGINT)").as("slope6"))
     val counts = base.groupBy(col("k")).agg(count(lit(1)).as("n_days"))
     val w = Window.partitionBy(col("k")).orderBy(col("slope6"))
     slopes
@@ -454,7 +463,7 @@ object Series {
       .crossJoin(tot)
       .withColumn(
         "idx6",
-        expr("CAST((1000000 * sum_n * __n_days) div (n_days * __total) AS BIGINT)"))
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_n * __n_days) div (n_days * __total) AS BIGINT)"))
       .select(col("dow"), col("n_days"), col("sum_n"), col("idx6"))
   }
 
@@ -556,7 +565,7 @@ object Series {
         col("k").as(keyCol),
         col("n_days"),
         col("sum_n"),
-        expr("CAST((1000000 * (n_days * __ss - sum_n * sum_n)) div (n_days * sum_n) AS BIGINT)")
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(n_days AS DECIMAL(38,0)) * __ss - CAST(sum_n AS DECIMAL(38,0)) * sum_n)) div (n_days * sum_n) AS BIGINT)")
           .as("fano6"))
 
   /** Mann–Kendall trend statistic per key (Mann 1945, Kendall 1975)
@@ -615,7 +624,7 @@ object Series {
       .join(ties, Seq("k"))
       .withColumn(
         "tau6",
-        expr("CAST((1000000 * s_stat) div (n_days * (n_days - 1) div 2) AS BIGINT)"))
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s_stat) div (n_days * (n_days - 1) div 2) AS BIGINT)"))
       .withColumn(
         "__den",
         expr(
@@ -723,7 +732,7 @@ object Series {
       .orderBy(col("age"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
-      .withColumn("__h", expr("CAST(1000000 * d div n AS BIGINT)"))
+      .withColumn("__h", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * d div n AS BIGINT)"))
       .withColumn("h6", sum(col("__h")).over(wAsc))
       .select(
         col("age"),
@@ -1184,7 +1193,7 @@ object Series {
       .withColumn(
         "__inc6",
         expr(
-          """CAST((s6prev * CAST(1000000 * d_c div n AS BIGINT))
+          """CAST((s6prev * CAST(CAST(1000000 AS DECIMAL(38,0)) * d_c div n AS BIGINT))
             |div 1000000 AS BIGINT)""".stripMargin))
       .withColumn("cif6", sum(col("__inc6")).over(wAsc))
       .select(
@@ -1461,7 +1470,7 @@ object Series {
         col("from_state"),
         col("to_state"),
         col("n"),
-        expr("CAST(1000000 * n div __rt AS BIGINT)").as("p6"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n div __rt AS BIGINT)").as("p6"))
   }
 
   /** Time-weighted average (TWAP) per key — the honest mean of an
@@ -1559,7 +1568,7 @@ object Series {
       .join(rowTot, Seq("from_state"))
       .select(
         col("from_state"), col("to_state"),
-        expr("greatest(CAST(1 AS BIGINT), CAST(1000000 * n div __rt AS BIGINT))").as("p6"))
+        expr("greatest(CAST(1 AS BIGINT), CAST(CAST(1000000 AS DECIMAL(38,0)) * n div __rt AS BIGINT))").as("p6"))
       .withColumn(
         "nll6",
         round(log(lit(1e6) / col("p6").cast("double")) * lit(1e6), 0).cast("long"))
@@ -1567,12 +1576,17 @@ object Series {
       .join(broadcast(model.select(col("from_state"), col("to_state"), col("nll6"))),
         Seq("from_state", "to_state"))
       .groupBy(col("__k"))
-      .agg(count(lit(1)).as("n_transitions"), sum(col("nll6")).as("nll_sum6"))
+      // nll6 ≤ ~14e6 per transition — DECIMAL keeps the corpus sum
+      // exact past the ~6e11-row BIGINT wrap; the published column
+      // stays BIGINT (its own contract bound)
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        sum(col("nll6").cast("decimal(38,0)")).as("__nll"))
       .select(
         col("__k").as("key"),
         col("n_transitions"),
-        col("nll_sum6"),
-        expr("CAST(nll_sum6 div n_transitions AS BIGINT)").as("mean_nll6"))
+        col("__nll").cast("long").as("nll_sum6"),
+        expr("CAST(__nll div n_transitions AS BIGINT)").as("mean_nll6"))
   }
 
   /** Hill tail-index estimator (Hill 1975) — HOW heavy is the heavy

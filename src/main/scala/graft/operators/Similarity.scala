@@ -1218,7 +1218,10 @@ object Similarity {
         .groupBy(col("j"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("q")).cast("decimal(38,0)").as("s"),
+          // Pre-cast the addends: SUM over BIGINT can wrap at extreme
+          // corpus scale while DuckDB's SUM(BIGINT)→HUGEINT stays
+          // exact; summing DECIMAL(38,0) terms keeps both exact.
+          sum(col("q").cast("decimal(38,0)")).as("s"),
           sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("q")))
 
   /** [[embeddingDispersion]] over an already-merged per-coordinate
@@ -1228,6 +1231,12 @@ object Similarity {
     * bit-equal to the batch readout (the live mode-collapse gauge:
     * dim-bounded state, zero history re-scans). Ragged inputs (a
     * coordinate missing from some vectors) fail fast.
+    *
+    * Headroom bound (DIVSWEEP class C): the centroid term squares
+    * S_j, so DECIMAL(38,0) caps at |S_j| < 3.16e18 — for micro-
+    * quantized unit-norm embeddings that is N ≲ 3.16e12 vectors;
+    * beyond, shard the corpus and combine dispersions per shard
+    * (ANSI aborts loudly rather than wrapping).
     */
   def embeddingDispersionFromCells(cells0: DataFrame): DataFrame = {
     val perJ = cells0
@@ -1291,6 +1300,13 @@ object Similarity {
     * k < 2, N ≤ k, or ragged arrays fail fast. Scale shape: one
     * posexplode → (label × dim)-bounded hash agg, a dim-bounded
     * fold, one 1-row fold. Returns (n, k, dim, ssb6, ssw6, ch6).
+    *
+    * Acting on the grade: [[ivfRefitWorklist]] is the lifecycle
+    * consumer — it emits the cells whose within-cell per-vector
+    * variance is ≥ 90% of the corpus total (ratio_ppm ≥ 900000, the
+    * documented default refit threshold): when the CH grade of an
+    * IVF index sags between refreshes, the worklist names WHICH
+    * cells to re-center instead of refitting the whole index.
     */
   def calinskiHarabasz(df: DataFrame, labelCol: String, embCol: String): DataFrame = {
     val cells = df
@@ -1301,7 +1317,9 @@ object Similarity {
         expr("CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)").as("q"))
       .groupBy(col("__c"), col("j"))
       .agg(
-        sum(col("q")).cast("decimal(38,0)").as("scj"),
+        // Pre-cast: accumulate S_cj in DECIMAL(38,0), never BIGINT
+        // (BIGINT SUM wraps silently where DuckDB promotes to HUGEINT).
+        sum(col("q").cast("decimal(38,0)")).as("scj"),
         sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("qcj"),
         count(lit(1)).as("ncj"))
     val perJ = cells
@@ -1341,5 +1359,85 @@ object Similarity {
             |           * (n - k))
             |          div ((__q - __a) * (k - 1)) AS BIGINT)
             |END""".stripMargin).as("ch6"))
+  }
+
+  /** The refit WORKLIST the [[calinskiHarabasz]] grade feeds — the
+    * consumer that acts on the signal (the i2_worklist pattern
+    * applied to index maintenance): per cell, the within-cell
+    * per-vector variance (milli² units, the CH staging) is compared
+    * against the corpus-wide total per-vector variance, and cells
+    * whose ratio_ppm = 1e6·within6 div total6 is ≥ `thrPpm` are
+    * emitted as needing a centroid refit — a cell no tighter than
+    * the raw corpus is doing no routing work, so queries probing it
+    * scan near-random vectors. Default threshold 900000 (within ≥
+    * 0.9× total), documented alongside the grade it consumes.
+    *
+    * Exactness: identical moment cells to [[calinskiHarabasz]]
+    * (milli quantization — the extensive per-cell quotient bound;
+    * scj/qcj accumulate in DECIMAL(38,0)); W_c = Σ_j (qcj − scj²
+    * div ncj) with the per-term truncating division mirrored by the
+    * oracle, within6 = W_c div n_c and total6 = T div N are
+    * intensive per-vector means, and the ratio divides the two
+    * already-rounded BIGINTs. Degenerate total6 = 0 (constant
+    * corpus) emits nothing. Ragged arrays fail fast. Scale shape:
+    * one posexplode → (cell × dim) hash agg → cell-bounded fold +
+    * dim-bounded fold, one broadcast. Returns (cell, n, within6,
+    * total6, ratio_ppm) for failing cells, worst first.
+    */
+  def ivfRefitWorklist(
+      df: DataFrame,
+      labelCol: String,
+      embCol: String,
+      thrPpm: Long = 900000L): DataFrame = {
+    require(
+      thrPpm >= 0L && thrPpm <= 2000000L,
+      s"ivfRefitWorklist: thrPpm must be in [0, 2e6], got $thrPpm")
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(labelCol).as("__c"), posexplode(col(embCol)).as(Seq("j", "x")))
+      .select(
+        col("__c"), col("j"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)").as("q"))
+      .groupBy(col("__c"), col("j"))
+      .agg(
+        sum(col("q").cast("decimal(38,0)")).as("scj"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("qcj"),
+        count(lit(1)).as("ncj"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perCell = cells
+      .groupBy(col("__c"))
+      .agg(
+        max(col("ncj")).as("n"),
+        min(col("ncj")).as("__nmin"),
+        sum(expr("qcj - (scj * scj) div ncj")).as("__w"))
+    val tot = broadcast(
+      cells
+        .groupBy(col("j"))
+        .agg(
+          sum(col("scj")).as("sj"),
+          sum(col("ncj")).as("nj"),
+          sum(col("qcj")).as("qj"))
+        .agg(
+          max(col("nj")).as("__n"),
+          min(col("nj")).as("__njmin"),
+          sum(expr("qj - (sj * sj) div nj")).as("__t")))
+    perCell
+      .crossJoin(tot)
+      .filter(
+        assert_true(
+          col("__nmin") === col("n") && col("__njmin") === col("__n"),
+          lit("ivfRefitWorklist: ragged embedding arrays (a coordinate is " +
+            "missing from some vectors)")).isNull)
+      .withColumn("within6", expr("CAST(__w div n AS BIGINT)"))
+      .withColumn("total6", expr("CAST(__t div __n AS BIGINT)"))
+      .withColumn(
+        "ratio_ppm",
+        expr(
+          """CASE WHEN total6 <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * within6) div total6
+            |AS BIGINT) END""".stripMargin))
+      .filter(col("ratio_ppm") >= thrPpm && col("total6") > 0L)
+      .select(col("__c").as("cell"), col("n"), col("within6"), col("total6"), col("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("cell"))
   }
 }

@@ -1208,8 +1208,8 @@ object TextAnalysis {
       .withColumn(
         "flesch3",
         expr(
-          "CAST(206835 - (1015000 * n_words) div (1000 * n_sents)" +
-            " - (84600000 * n_vowel_groups) div (1000 * n_words) AS BIGINT)"))
+          "CAST(206835 - (CAST(1015000 AS DECIMAL(38,0)) * n_words) div (1000 * n_sents)" +
+            " - (CAST(84600000 AS DECIMAL(38,0)) * n_vowel_groups) div (1000 * n_words) AS BIGINT)"))
   }
 
   /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
@@ -1348,7 +1348,7 @@ object TextAnalysis {
         Seq("id", "blk"))
       .join(common, Seq("id", "blk"), "left")
       .na.fill(0L, Seq("c"))
-      .withColumn("jac6", expr("CAST(1000000 * c div (sz_l + sz_r - c) AS BIGINT)"))
+      .withColumn("jac6", expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * c div (sz_l + sz_r - c) AS BIGINT)"))
     // argmin via primitive hash-aggs + join-back (the SortAggregate
     // discipline): min jac6 per doc, then the earliest tied seam
     val worst = seams.groupBy(col("id")).agg(min(col("jac6")).as("mj"))
@@ -1484,8 +1484,8 @@ object TextAnalysis {
     nPos
       .join(tp, Seq("qid"), "left")
       .na.fill(0L, Seq("tp"))
-      .withColumn("p6", expr(s"CAST((1000000 * tp) div $k AS BIGINT)"))
-      .withColumn("r6", expr("CAST((1000000 * tp) div n_pos AS BIGINT)"))
+      .withColumn("p6", expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * tp) div $k AS BIGINT)"))
+      .withColumn("r6", expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tp) div n_pos AS BIGINT)"))
       .withColumn(
         "f16",
         expr(
@@ -1534,7 +1534,7 @@ object TextAnalysis {
       .filter(col("__rel") === 1L)
       .select(
         col("qid"),
-        expr("CAST((1000000 * __cumrel) div rnk AS BIGINT)").as("__p6"))
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __cumrel) div rnk AS BIGINT)").as("__p6"))
       .groupBy(col("qid"))
       .agg(sum(col("__p6")).as("__psum"), count(lit(1)).as("n_rel_k"))
     nPos
@@ -1583,7 +1583,7 @@ object TextAnalysis {
         col("n2"),
         expr(
           """CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(0 AS BIGINT)
-            |ELSE CAST((1000000 * n1) div n_tokens AS BIGINT) END""".stripMargin)
+            |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * n1) div n_tokens AS BIGINT) END""".stripMargin)
           .as("gt_unseen6"),
         expr(
           """CAST(n_types
@@ -1728,8 +1728,8 @@ object TextAnalysis {
         col("n_tokens"),
         col("n_types"),
         col("n_hapax"),
-        expr("CAST(1000000 * n_types div n_tokens AS BIGINT)").as("ttr_ppm"),
-        expr("CAST(1000000 * n_hapax div n_types AS BIGINT)").as("hapax_ppm"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_types div n_tokens AS BIGINT)").as("ttr_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_hapax div n_types AS BIGINT)").as("hapax_ppm"))
 
   /** The Gopher stop-word list (Rae et al. 2021 §A1.1): a document
     * must contain at least 2 of these to pass the stop-word rule —
@@ -1821,7 +1821,7 @@ object TextAnalysis {
       .select(
         col("id"),
         col("n_chars"),
-        expr("CAST(1000000 * __sym div n_chars AS BIGINT)").as("sym_ppm"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * __sym div n_chars AS BIGINT)").as("sym_ppm"))
       .withColumn(
         "kind",
         when(col("sym_ppm") >= thresholdPpm, "code").otherwise("prose"))
@@ -1919,16 +1919,35 @@ object TextAnalysis {
     * the lexicographically first term). k ≤ 1000 fail-fast.
     */
   def burstinessTop(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     val base = Width.spread(df)
       .filter(length(trim(col(textCol))) > 0 && col(idCol).isNotNull)
-    val nDocs = broadcast(base.agg(countDistinct(col(idCol)).as("__nd")))
-    base
-      .select(col(idCol).as("__id"), explode(split(trim(col(textCol)), "\\s+")).as("term"))
-      .groupBy(col("__id"), col("term"))
-      .agg(count(lit(1)).as("__c"))
+    burstinessTopFromCells(
+      base
+        .select(col(idCol).as("__id"), explode(split(trim(col(textCol)), "\\s+")).as("term"))
+        .groupBy(col("__id"), col("term"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("term"))
+        .agg(sum(col("__c")).as("n"), count(lit(1)).as("df")),
+      base.agg(countDistinct(col(idCol)).as("__nd")),
+      k)
+  }
+
+  /** [[burstinessTop]] over (possibly partial) per-term (term, n, df)
+    * grids plus a (possibly partial) 1-row-per-slice (__nd) doc-count
+    * frame — every statistic is linear as long as each document's
+    * rows land wholly inside one slice (a document table streamed by
+    * micro-batch satisfies this trivially: rows are immutable whole
+    * docs), so partial grids from independent slices SUM-merge
+    * exactly and the merged readout is bit-equal to the one-shot
+    * batch computation: the st_good_turing type-bounded ARTIFACT
+    * posture extended to the head-term gauge. */
+  def burstinessTopFromCells(cells: DataFrame, nDocs0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val nDocs = broadcast(
+      nDocs0.agg(coalesce(sum(col("__nd")), lit(0L)).as("__nd")))
+    cells
       .groupBy(col("term"))
-      .agg(sum(col("__c")).as("n"), count(lit(1)).as("df"))
+      .agg(sum(col("n")).as("n"), sum(col("df")).as("df"))
       .crossJoin(nDocs)
       .select(
         col("term"), col("n"), col("df"),
@@ -1992,8 +2011,12 @@ object TextAnalysis {
       .select(
         lit(0L).as("r"),
         lit(0L).as("n_r"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __n1) div __nn AS BIGINT)")
-          .as("mass_ppm"),
+        // Empty corpus: sum(n) is null -> the unseen-mass gauge reads
+        // 0, never null (downstream consumers treat it as a number).
+        expr(
+          """CAST(CASE WHEN __nn IS NULL OR __nn = 0 THEN 0
+            |ELSE (CAST(1000000 AS DECIMAL(38,0)) * __n1) div __nn END
+            |AS BIGINT)""".stripMargin).as("mass_ppm"),
         lit(0L).as("r_star6"))
     zero.unionByName(body).orderBy(col("r"))
   }
