@@ -1533,6 +1533,44 @@ object SparkEntryStreaming {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("sz"))
     },
+    // Streaming modularity monitor — the edge-append posture applied
+    // to the partition-quality gauge: batches discover increment-
+    // proportional pairs (two-table operator, never a full-corpus
+    // recompute), upsert them into the dup-graph artifact (which
+    // maintains the closure labels), and the readout scores the
+    // artifact's OWN live partition with Graph.modularity — the
+    // union of restricted base + cross increments is exactly the
+    // full-corpus pair set (the dd_graph_upsert argument), so the
+    // live score must bit-equal the batch g_modularity_persisted
+    // under the shared oracle: structure collapsing in the live dup
+    // graph (term6 mass draining) is the re-cluster signal.
+    "st_modularity" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val gPath = s"/tmp/graft_idx/dupg_stmod_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      SparkEntryCoverage.copyTree(
+        SparkEntryCoverage.dupGraphBase(s, dir, "half"), gPath)
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 250)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertDupGraph(
+            graft.operators.Dedup
+              .ngramJaccardAgainst(batch, docs, "text", "doc_id", 3, 0.2)
+              .select(col("id_a"), col("id_b")),
+            gPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Graph.modularity(
+        graft.sources.Io.readDupGraphPairs(s, gPath),
+        graft.sources.Io.readDupGraphLabels(s, gPath)
+          .select(col("id"), col("cluster_id").as("community")))
+    },
     // Streaming data-quality gate: the same one-pass violation
     // aggregate as the batch dq_checks report, running on live intake
     // (complete mode) — violation sums are merge-invariant across
@@ -1811,6 +1849,9 @@ object SparkEntryStreaming {
     // streamed incremental closure must converge to the full-corpus
     // closure — dd_cluster_sizes' oracle, shared three ways
     "st_dupgraph_upsert" -> SparkEntryCoverage.oracleSql("dd_cluster_sizes"),
+    // live artifact's own partition scored: must equal the batch
+    // persisted-modularity readout (same full-corpus pair set)
+    "st_modularity" -> SparkEntryCoverage.oracleSql("g_modularity_persisted"),
     // streamed takedowns: phrase results over exactly the survivors
     "st_takedown" -> SparkEntryCoverage.phraseSearchOracleFor("doc_id % 4 <> 0"),
     // streamed vector takedowns: top-k over exactly the survivors
