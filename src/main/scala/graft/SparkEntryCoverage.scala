@@ -4990,6 +4990,31 @@ object SparkEntryCoverage {
         "cell",
         "embedding")
     },
+    // The ACTION on v_ivf_refit's worklist (Similarity
+    // .ivfRecenteredCentroids — a targeted Lloyd step): flagged cells
+    // get re-centered on their assigned vectors' exact milli-mean,
+    // untouched cells keep their centroids, and the refit index is
+    // re-assigned and re-graded with the variance-ratio index —
+    // closing the lifecycle loop grade → worklist → action →
+    // re-grade. The oracle replays the whole loop in SQL.
+    "v_ivf_refit_apply" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
+      val newCents = Similarity.ivfRecenteredCentroids(
+        assigned,
+        Similarity.ivfRefitWorklist(assigned, "cell", "embedding"),
+        cents,
+        "cell",
+        "embedding")
+      Similarity.calinskiHarabasz(
+        Similarity.ivfAssign(corpus, "embedding", newCents), "cell", "embedding")
+    },
     "v_embed_drift" -> { (s, dir) =>
       Similarity
         .embeddingDriftByGroup(t(s, dir, "embeddings"), col("label"), "embedding")
@@ -11369,6 +11394,78 @@ object SparkEntryCoverage {
          |SELECT cell, n, within6, total6, ratio_ppm FROM rr
          |WHERE ratio_ppm >= 900000 AND total6 > 0
          |ORDER BY ratio_ppm DESC, cell""".stripMargin,
+    // the whole lifecycle loop replayed in SQL: assign → worklist
+    // (the v_ivf_refit chain) → flagged cells re-centered on exact
+    // milli-means (// then /1000.0, one IEEE double division —
+    // engine-identical) → re-assign → CH re-grade
+    "v_ivf_refit_apply" ->
+      s"""WITH cents AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |        embedding AS ce
+         | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |scored AS (
+         | SELECT b.vec_id, b.embedding, c.cell,
+         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+         | FROM embeddings b CROSS JOIN cents c WHERE b.vec_id <> 0),
+         |assign AS (
+         | SELECT vec_id, embedding, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |x AS (SELECT cell AS c, unnest(range(1, len(embedding) + 1)) AS j,
+         |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+         |      FROM assign),
+         |cells AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+         |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+         |  FROM x GROUP BY 1, 2),
+         |pc AS (SELECT c, MAX(ncj) AS n, SUM(qcj - (scj * scj) // ncj) AS w
+         |  FROM cells GROUP BY 1),
+         |pj0 AS (SELECT j, CAST(SUM(ncj) AS BIGINT) AS nj, SUM(qcj) AS qj,
+         |    SUM(scj) AS sj
+         |  FROM cells GROUP BY 1),
+         |t0 AS (SELECT MAX(nj) AS n, SUM(qj - (sj * sj) // CAST(nj AS HUGEINT)) AS tt
+         |  FROM pj0),
+         |wl AS (SELECT pc.c AS cell FROM pc CROSS JOIN t0
+         |  WHERE t0.tt // t0.n > 0
+         |    AND (CAST(1000000 AS HUGEINT) * CAST(pc.w // pc.n AS BIGINT))
+         |        // CAST(t0.tt // t0.n AS BIGINT) >= 900000),
+         |newc AS (SELECT c AS cell,
+         |    list(CAST(m AS DOUBLE) / 1000.0 ORDER BY j) AS ce
+         |  FROM (SELECT c, j, CAST(SUM(CAST(q AS HUGEINT)) // COUNT(*) AS BIGINT) AS m
+         |        FROM x WHERE c IN (SELECT cell FROM wl) GROUP BY c, j)
+         |  GROUP BY c),
+         |cents2 AS (SELECT c.cell,
+         |    COALESCE(n.ce, list_transform(c.ce, v -> CAST(v AS DOUBLE))) AS ce
+         |  FROM cents c LEFT JOIN newc n ON n.cell = c.cell),
+         |scored2 AS (
+         | SELECT b.vec_id, b.embedding, c.cell,
+         |        ${sqlCosine("b.embedding", "c.ce")} AS sim
+         | FROM embeddings b CROSS JOIN cents2 c WHERE b.vec_id <> 0),
+         |assign2 AS (
+         | SELECT vec_id, embedding, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+         |  FROM scored2) WHERE rn = 1),
+         |x2 AS (SELECT cell AS c, unnest(range(1, len(embedding) + 1)) AS j,
+         |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+         |      FROM assign2),
+         |cells2 AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+         |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+         |  FROM x2 GROUP BY 1, 2),
+         |pj AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+         |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
+         |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
+         |  FROM cells2 GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, MAX(nj) AS n, MAX(kj) AS k,
+         |    SUM(qj) AS q, SUM(aj) AS a,
+         |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
+         |  FROM pj)
+         |SELECT n, k, dim,
+         |  greatest(CAST(0 AS BIGINT), CAST((a - b) // n AS BIGINT)) AS ssb6,
+         |  greatest(CAST(0 AS BIGINT), CAST((q - a) // n AS BIGINT)) AS ssw6,
+         |  CASE WHEN q - a <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((CAST(1000000 AS HUGEINT)
+         |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
+         |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
+         |FROM t""".stripMargin,
     // same zipped-unnest cells; milli quantization (the extensive
     // per-cell quotient bound), Konig-Huygens twice
     "v_calinski" ->

@@ -1440,4 +1440,48 @@ object Similarity {
       .select(col("__c").as("cell"), col("n"), col("within6"), col("total6"), col("ratio_ppm"))
       .orderBy(col("ratio_ppm").desc, col("cell"))
   }
+
+  /** The ACTION the [[ivfRefitWorklist]] feeds — re-center exactly
+    * the flagged cells (a targeted Lloyd step, never a whole-index
+    * refit): each worklist cell's centroid is replaced by the
+    * per-coordinate mean of its currently-assigned vectors, every
+    * other centroid is left untouched, and the caller re-assigns +
+    * re-grades ([[ivfAssign]] → [[calinskiHarabasz]]) to close the
+    * lifecycle loop grade → worklist → action → re-grade.
+    *
+    * Exactness: means are computed in milli units with truncating
+    * integer division off DECIMAL(38,0) sums (the CH staging — both
+    * engines identical), and only then divided by 1000.0 — one
+    * deterministic IEEE double division per coordinate, mirrored by
+    * the oracle. The collects are the documented bounded-constant
+    * bootstrap (≤ k cells × dim coordinates — centroid-sized, the
+    * ivfAssign idiom); a worklist cell id outside [0, k) fails fast.
+    */
+  def ivfRecenteredCentroids(
+      assigned: DataFrame,
+      worklist: DataFrame,
+      centroids: Seq[Array[Double]],
+      labelCol: String,
+      embCol: String): Seq[Array[Double]] = {
+    val flagged = worklist.select(col("cell").cast("int")).collect().map(_.getInt(0)).toSet
+    flagged.foreach(c => require(
+      c >= 0 && c < centroids.size,
+      s"ivfRecenteredCentroids: worklist cell $c outside [0, ${centroids.size})"))
+    if (flagged.isEmpty) centroids
+    else {
+      val means = assigned
+        .filter(col(labelCol).cast("int").isin(flagged.toSeq: _*))
+        .select(col(labelCol).cast("int").as("c"), posexplode(col(embCol)).as(Seq("j", "x")))
+        .select(
+          col("c"), col("j"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)").as("q"))
+        .groupBy(col("c"), col("j"))
+        .agg(expr("CAST(sum(CAST(q AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      centroids.zipWithIndex.map { case (c0, i) =>
+        if (!flagged(i)) c0
+        else c0.indices.map(j => means((i, j)).toDouble / 1000.0).toArray
+      }
+    }
+  }
 }

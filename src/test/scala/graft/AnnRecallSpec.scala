@@ -511,4 +511,43 @@ class AnnRecallSpec extends SparkSpec {
     val tz = Similarity.calinskiHarabasz(tight, "label", "embedding").head()
     assert((tz.getLong(3), tz.getLong(4), tz.getLong(5)) == ((1000000L, 0L, 0L)))
   }
+
+  test("ivf refit loop: worklist -> recenter -> regrade improves CH on bad centroids") {
+    import spark.implicits._
+    // two tight direction-clusters, but BOTH initial centroids sit
+    // inside cluster A — cell 0 catches A's upper half PLUS all of
+    // orthogonal cluster B, so its within-variance rivals the corpus
+    // total and it lands on the worklist; one targeted Lloyd step
+    // must re-center it toward B and raise the variance-ratio grade
+    val vecs = (
+      Seq.fill(6)(Array(1.0f, 0.05f)) ++ Seq.fill(6)(Array(1.0f, -0.05f)) ++
+        Seq.fill(12)(Array(0.05f, 1.0f))).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val badCents = Seq(Array(1.0, 0.05), Array(1.0, -0.05))
+    val assigned = Similarity.ivfAssign(vecs, "embedding", badCents)
+    val before = Similarity
+      .calinskiHarabasz(assigned, "cell", "embedding").head().getLong(5)
+    // the mixed cell's within/total ratio on this geometry is ~0.84 —
+    // pass an explicit threshold under it (thrPpm is the caller's
+    // policy knob; the query uses the documented 900000 default)
+    val wl = Similarity.ivfRefitWorklist(assigned, "cell", "embedding", thrPpm = 700000L)
+    assert(wl.count() >= 1, "expected at least one unfit cell on the worklist")
+    val newCents =
+      Similarity.ivfRecenteredCentroids(assigned, wl, badCents, "cell", "embedding")
+    val after = Similarity
+      .calinskiHarabasz(
+        Similarity.ivfAssign(vecs, "embedding", newCents), "cell", "embedding")
+      .head().getLong(5)
+    assert(after > before, s"refit should raise CH: before=$before after=$after")
+    // untouched cells keep their centroid object identity-equal values
+    val flagged = wl.select(col("cell").cast("int")).collect().map(_.getInt(0)).toSet
+    badCents.indices.filterNot(flagged).foreach { i =>
+      assert(newCents(i).sameElements(badCents(i)))
+    }
+    // empty worklist is a no-op
+    val empty = wl.filter(lit(false))
+    assert(Similarity.ivfRecenteredCentroids(assigned, empty, badCents, "cell", "embedding")
+      eq badCents)
+  }
 }
