@@ -6254,6 +6254,25 @@ object SparkEntryCoverage {
         alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     },
+    // Anytime-valid DISPERSION monitor (Experiments.eProcessVariance):
+    // is the daily cent-value variance above the declared H0 band? —
+    // v0 = 5000 ppm of the bounded-value variance cap B²/4 (= $1250²-
+    // units against the $1000 declared bound; observed daily variance
+    // is ~9-11k ppm at sf0.1 and ~7-14k ppm at sf0.01, so the monitor
+    // demonstrably detects and crosses), betting λ = 100, α = 0.05.
+    // A variance widening under a stable mean is invisible to
+    // a_eprocess_mean — this is that gap, Ville-covered.
+    "a_eprocess_var" -> { (s, dir) =>
+      Experiments.eProcessVariance(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull),
+        round(col("value") * 100.0, 0).cast("long") * 10L,
+        to_date(col("ts")),
+        v0Ppm = 5000L,
+        lambdaPpm = 100000000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
     "a_eprocess" -> { (s, dir) =>
       Experiments.eProcessRate(
         t(s, dir, "events")
@@ -12515,6 +12534,34 @@ object SparkEntryCoverage {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_e6
         |  FROM daily)
         |SELECT strftime(day, '%Y-%m-%d') AS day, n, ln_e6,
+        |  ln_e6 >= 2995732 AS crossed
+        |FROM cum ORDER BY day""".stripMargin,
+    // same (day, v, n) grid; per-day unbiased sample variance in
+    // exact ppm² (HUGEINT cross-products, sequential truncations
+    // mirrored), one micro-nat ln term per DAY
+    "a_eprocess_var" ->
+      """WITH base AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) * 10 AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |d AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(CAST(n AS HUGEINT) * v) AS s,
+        |    SUM(CAST(n AS HUGEINT) * v * v) AS q
+        |  FROM cells GROUP BY 1),
+        |z AS (SELECT day, n,
+        |    CAST(((n * q - s * s) // (CAST(n AS HUGEINT) * (n - 1))) // 250000
+        |      AS BIGINT) AS var_hat_ppm
+        |  FROM d WHERE n >= 2),
+        |t AS (SELECT day, n, var_hat_ppm,
+        |    CAST(round(ln(CAST(1000000000000 + 100000000 * (var_hat_ppm - 5000)
+        |        AS DOUBLE) / 1e12) * 1000000) AS BIGINT) AS t6
+        |  FROM z),
+        |cum AS (SELECT day, n, var_hat_ppm,
+        |    CAST(SUM(t6) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_e6
+        |  FROM t)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, var_hat_ppm, ln_e6,
         |  ln_e6 >= 2995732 AS crossed
         |FROM cum ORDER BY day""".stripMargin,
     "a_eprocess_cs" -> {

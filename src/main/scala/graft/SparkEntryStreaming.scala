@@ -966,6 +966,43 @@ object SparkEntryStreaming {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Streaming anytime-valid DISPERSION monitor — the variance
+    // member live: the SAME (day, v, n) value-grid sufficient
+    // statistic as st_eprocess_mean (counts are linear, partials
+    // SUM-merge), re-run through the per-day unbiased-sample-
+    // variance betting readout — bit-equal to the batch
+    // a_eprocess_var under one shared oracle. The live "did the
+    // value distribution widen" alarm a mean monitor can't see.
+    "st_eprocess_var" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/epvgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 10")
+      ev.filter(lit(false))
+        .select(to_date(col("ts")).as("day"), lit(0L).as("v"), lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("value").isNotNull && col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"), vppm.as("v"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessVarianceFromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("day"), col("v"))
+            .agg(sum(col("n")).as("n")),
+          v0Ppm = 5000L,
+          lambdaPpm = 100000000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming depth-2 MEAN changepoint — st_rate_binseg's
     // continuous sibling: the (day, n, s, q) moment grid is linear
     // in every coordinate (n/s BIGINT sums, q a DECIMAL(38,0) sum of
@@ -1783,6 +1820,9 @@ object SparkEntryStreaming {
     // (day, value) grid merge-invariance — one oracle with the batch
     // a_eprocess_mean
     "st_eprocess_mean" -> SparkEntryCoverage.oracleSql("a_eprocess_mean"),
+    // value-grid merge-invariance, the variance functional: the
+    // streamed dispersion monitor must equal the batch readout
+    "st_eprocess_var" -> SparkEntryCoverage.oracleSql("a_eprocess_var"),
     // type-count artifact merge-invariance — one oracle with the
     // batch t_good_turing
     "st_good_turing" -> SparkEntryCoverage.oracleSql("t_good_turing"),

@@ -3173,6 +3173,96 @@ object Experiments {
       .orderBy(col("day"))
   }
 
+  /** Anytime-valid DISPERSION monitor — the e-process family's
+    * VARIANCE member: is the daily variance above v0? A variance
+    * widening under a stable mean is invisible to [[eProcessMean]]
+    * (the moodMedianTest argument, made anytime-valid). Each day
+    * with N_d ≥ 2 is ONE betting round on the day's UNBIASED sample
+    * variance: z_d = (N_d·Q_d − S_d²) div (N_d·(N_d−1)) in exact
+    * ppm² off the SAME (day, v, n) value grid the mean monitor
+    * rides, normalized against the maximal variance of a bounded
+    * ppm value (B²/4 = 2.5e11 ppm²): ẑ = z_d div 250000 ∈ [0, 1e6].
+    * W = Π_days (1 + λ(ẑ_d − v̂0)) is a nonnegative supermartingale
+    * under H0 "every day's variance ≤ v0" (E[ẑ_d] ≤ v̂0 by
+    * unbiasedness; truncation only biases ẑ DOWN — conservative for
+    * the λ > 0 bet), so ln W crossing ln(1/α) rejects with Ville's
+    * guarantee at every peek. λ·v̂0 < 1 keeps wealth positive
+    * (fail-fast require, the family convention).
+    *
+    * Exactness: one micro-nat ln term per day off the integer ratio
+    * (1e12 + λppm·(ẑ − v̂0))/1e12 (shared IEEE, rounded ONCE), day
+    * wealth via [[Relational.globalCumSum]] — and the grid is the
+    * mergeable sufficient statistic, so the streaming twin
+    * SUM-merges partial grids and re-runs bit-equal. Days with
+    * N_d < 2 carry no variance and contribute nothing (documented).
+    * Returns one row per contributing day
+    * (day, n, var_hat_ppm, ln_e6, crossed), ordered.
+    */
+  def eProcessVariance(
+      df: DataFrame,
+      valuePpmCol: Column,
+      dayCol: Column,
+      v0Ppm: Long,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessVarianceFromCells(
+      df
+        .filter(valuePpmCol.isNotNull && dayCol.isNotNull)
+        .select(dayCol.as("day"), valuePpmCol.cast("long").as("v"))
+        .filter(
+          assert_true(
+            col("v") >= 0L && col("v") <= 1000000L,
+            lit("eProcessVariance: valuePpm outside [0, 1e6] — the declared " +
+              "bound is violated")).isNull)
+        .groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("n")),
+      v0Ppm, lambdaPpm, alphaPpm)
+
+  /** [[eProcessVariance]] over a (possibly merged) (day, v, n)
+    * value-grid — the mergeable half, mirroring
+    * [[eProcessMeanFromCells]] (same grid, different functional). */
+  def eProcessVarianceFromCells(
+      cells: DataFrame,
+      v0Ppm: Long,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame = {
+    require(v0Ppm > 0L && v0Ppm < 1000000L, "v0Ppm must be in (0, 1e6)")
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
+    require(lambdaPpm > 0L && lambdaPpm * v0Ppm < 1000000000000L,
+      "lambdaPpm must be positive with lambda * v0 < 1 (wealth must stay positive)")
+    val thr6 = math.round(math.log(1e6 / alphaPpm) * 1e6)
+    val daily = cells
+      .groupBy(col("day"), col("v"))
+      .agg(sum(col("n")).as("n"))
+      .groupBy(col("day"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("n").cast("decimal(38,0)") * col("v")).as("__s"),
+        sum(col("n").cast("decimal(38,0)") * col("v") * col("v")).as("__q"))
+      .filter(col("n") >= 2L)
+      // z ≤ B²/4 = 2.5e11 ppm² — intensive quotient, DECIMAL-staged
+      // numerator and denominator (the DIVSWEEP discipline)
+      .withColumn(
+        "__z",
+        expr(
+          """(CAST(n AS DECIMAL(38,0)) * __q - __s * __s)
+            |div (CAST(n AS DECIMAL(38,0)) * (n - 1))""".stripMargin))
+      .withColumn("var_hat_ppm", expr("__z div 250000"))
+      .withColumn(
+        "__t6",
+        expr(
+          s"""CAST(round(ln(CAST(1000000000000 + $lambdaPpm * (var_hat_ppm - $v0Ppm)
+             |AS DOUBLE) / 1e12) * 1000000, 0) AS BIGINT)""".stripMargin))
+    Relational.globalCumSum(daily, Seq(col("day")), "__t6", "__lw0")
+      .select(
+        col("day"),
+        col("n"),
+        col("var_hat_ppm"),
+        (col("__lw0") + col("__t6")).as("ln_e6"))
+      .withColumn("crossed", col("ln_e6") >= lit(thr6))
+      .orderBy(col("day"))
+  }
+
   /** Anytime-valid TWO-SAMPLE rate comparison — the A/B form of
     * [[eProcessRate]] via the success-stream reduction: under
     * H0: p_A = p_B with a FIXED design assignment probability π_A
