@@ -6301,6 +6301,25 @@ object SparkEntryCoverage {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Anytime-valid confidence sequence for the MEAN (Experiments
+    // .eProcessMeanCs): the running always-valid band for mean
+    // cent-value as a share of the declared $1000 bound — 99
+    // percent-grid candidates each run two betting wealths (above/
+    // below, α/2 each, λ capped per candidate at the WSR positivity
+    // bound), rejection latches, intervals only shrink, the whole
+    // path covers at 95%. The value-metric completion of
+    // a_eprocess_cs.
+    "a_eprocess_mean_cs" -> { (s, dir) =>
+      Experiments.eProcessMeanCs(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull),
+        round(col("value") * 100.0, 0).cast("long") * 10L,
+        to_date(col("ts")),
+        lambdaPpm = 500000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Anytime-valid DIFFERENCE band (Experiments.eProcessDiffBand):
     // each parity arm runs its own purchase-rate confidence sequence
     // at alpha/2; the union bound makes [loA−hiB, hiA−loB] a
@@ -12564,6 +12583,44 @@ object SparkEntryCoverage {
         |SELECT strftime(day, '%Y-%m-%d') AS day, n, var_hat_ppm, ln_e6,
         |  ln_e6 >= 2995732 AS crossed
         |FROM cum ORDER BY day""".stripMargin,
+    // per-(value, candidate, side) micro-nat terms off the shared
+    // value grid; 99-candidate partitioned running sums + sup latch;
+    // grid literals interpolated from eProcessMeanCsGrid (the
+    // shared-constant discipline)
+    "a_eprocess_mean_cs" -> {
+      val gridVals = Experiments.eProcessMeanCsGrid(500000L)
+        .map { case (p, m0, lam) => s"($p, $m0, $lam)" }.mkString(", ")
+      val thr6 = math.round(math.log(2e6 / 50000L) * 1e6)
+      s"""WITH grid(pct, m0, lam6) AS (VALUES $gridVals),
+         |base AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(round(value * 100) AS BIGINT) * 10 AS v
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM base GROUP BY 1, 2),
+         |d AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |tt AS (SELECT day, pct,
+         |    CAST(SUM(CAST(n AS HUGEINT)
+         |      * CAST(round(ln(CAST(1000000000000 + lam6 * (v - m0) AS DOUBLE)
+         |          / 1e12) * 1000000) AS BIGINT)) AS BIGINT) AS d6p,
+         |    CAST(SUM(CAST(n AS HUGEINT)
+         |      * CAST(round(ln(CAST(1000000000000 - lam6 * (v - m0) AS DOUBLE)
+         |          / 1e12) * 1000000) AS BIGINT)) AS BIGINT) AS d6n
+         |  FROM cells CROSS JOIN grid GROUP BY 1, 2),
+         |w AS (SELECT day, pct,
+         |    SUM(d6p) OVER (PARTITION BY pct ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnp,
+         |    SUM(d6n) OVER (PARTITION BY pct ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnn
+         |  FROM tt),
+         |s AS (SELECT day, pct,
+         |    MAX(greatest(lnp, lnn)) OVER (PARTITION BY pct ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sup6
+         |  FROM w)
+         |SELECT strftime(s.day, '%Y-%m-%d') AS day, d.n,
+         |  CAST(MIN(pct) AS BIGINT) AS lo_pct, CAST(MAX(pct) AS BIGINT) AS hi_pct
+         |FROM s JOIN d ON d.day = s.day WHERE sup6 < $thr6
+         |GROUP BY 1, 2 ORDER BY day""".stripMargin
+    },
     "a_eprocess_cs" -> {
       val thr6 = math.round(math.log(2e6 / 50000L) * 1e6)
       val gridVals = Experiments.eProcessCsGrid(500000L)

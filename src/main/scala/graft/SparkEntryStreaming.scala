@@ -1003,6 +1003,42 @@ object SparkEntryStreaming {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Streaming anytime-valid MEAN confidence sequence — the running
+    // always-valid band live: the SAME (day, v, n) value-grid
+    // sufficient statistic (third consumer of the posture), re-run
+    // through the 99-candidate two-sided betting readout — bit-equal
+    // to the batch a_eprocess_mean_cs under one shared oracle. The
+    // live "what IS the mean, with path-valid coverage" readout
+    // beside the mean/variance alarms.
+    "st_eprocess_mean_cs" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/epcgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 10")
+      ev.filter(lit(false))
+        .select(to_date(col("ts")).as("day"), lit(0L).as("v"), lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("value").isNotNull && col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"), vppm.as("v"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessMeanCsFromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("day"), col("v"))
+            .agg(sum(col("n")).as("n")),
+          lambdaPpm = 500000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming depth-2 MEAN changepoint — st_rate_binseg's
     // continuous sibling: the (day, n, s, q) moment grid is linear
     // in every coordinate (n/s BIGINT sums, q a DECIMAL(38,0) sum of
@@ -1823,6 +1859,9 @@ object SparkEntryStreaming {
     // value-grid merge-invariance, the variance functional: the
     // streamed dispersion monitor must equal the batch readout
     "st_eprocess_var" -> SparkEntryCoverage.oracleSql("a_eprocess_var"),
+    // value-grid merge-invariance, the CS functional: the streamed
+    // band must equal the batch path
+    "st_eprocess_mean_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_mean_cs"),
     // type-count artifact merge-invariance — one oracle with the
     // batch t_good_turing
     "st_good_turing" -> SparkEntryCoverage.oracleSql("t_good_turing"),

@@ -3399,6 +3399,111 @@ object Experiments {
       .orderBy(col("day"))
   }
 
+  /** Anytime-valid confidence SEQUENCE for a BOUNDED MEAN — the
+    * value-metric completion of [[eProcessConfidenceSeq]] (the CS the
+    * T244 mean monitor implies): each candidate mean m0 on the
+    * percent grid runs TWO betting wealths against the value stream —
+    * λ > 0 catches "true mean above m0", λ < 0 catches "below" —
+    * each at α/2, and day d's interval is [min, max] of the
+    * still-unrejected candidates; rejection latches via the running
+    * max (Ville's sup form), so the band only shrinks and the whole
+    * PATH covers at 1−α. Per candidate the betting fraction is
+    * capped at the WSR positivity bound λ ≤ 0.5/max(m0, 1−m0)
+    * (shared by both sides — the [[eProcessCsGrid]] convention),
+    * computed in exact integer ppm so both engines share literals.
+    *
+    * Exactness: like [[eProcessMean]], ln(1 ± λ(y − m0)) is constant
+    * per distinct value, so the (day, v, n) grid × the 99-candidate
+    * broadcast carries one micro-nat term per (value, candidate,
+    * side) — shared IEEE ln of an integer ratio, rounded ONCE,
+    * count-multiplied in DECIMAL(38,0); per-candidate day wealth and
+    * the rejection latch are bounded-partition windows (99 candidate
+    * partitions — never an unpartitioned window). The value grid is
+    * again the mergeable sufficient statistic: the same artifact the
+    * mean and variance monitors ride feeds the live band. Returns
+    * one row per day with ≥1 surviving candidate
+    * (day, n, lo_pct, hi_pct), ordered.
+    */
+  def eProcessMeanCs(
+      df: DataFrame,
+      valuePpmCol: Column,
+      dayCol: Column,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessMeanCsFromCells(
+      df
+        .filter(valuePpmCol.isNotNull && dayCol.isNotNull)
+        .select(dayCol.as("day"), valuePpmCol.cast("long").as("v"))
+        .filter(
+          assert_true(
+            col("v") >= 0L && col("v") <= 1000000L,
+            lit("eProcessMeanCs: valuePpm outside [0, 1e6] — the declared " +
+              "bound is violated")).isNull)
+        .groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("n")),
+      lambdaPpm, alphaPpm)
+
+  /** [[eProcessMeanCs]] over a (possibly merged) (day, v, n)
+    * value-grid — the mergeable half; same grid as
+    * [[eProcessMeanFromCells]] / [[eProcessVarianceFromCells]]. */
+  def eProcessMeanCsFromCells(
+      cells: DataFrame,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
+    require(lambdaPpm > 0L && lambdaPpm <= 1000000L, "lambdaPpm must be in (0, 1e6]")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
+    val grid = broadcast(eProcessMeanCsGrid(lambdaPpm).toDF("pct", "m0", "lam6"))
+    val merged = cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n"))
+    val daily = merged.groupBy(col("day")).agg(sum(col("n")).as("n"))
+    val dayPct = merged
+      .crossJoin(grid)
+      .withColumn(
+        "__t6p",
+        expr(
+          """CAST(round(ln(CAST(1000000000000 + lam6 * (v - m0) AS DOUBLE)
+            |/ 1e12) * 1000000, 0) AS BIGINT)""".stripMargin))
+      .withColumn(
+        "__t6n",
+        expr(
+          """CAST(round(ln(CAST(1000000000000 - lam6 * (v - m0) AS DOUBLE)
+            |/ 1e12) * 1000000, 0) AS BIGINT)""".stripMargin))
+      .groupBy(col("day"), col("pct"))
+      .agg(
+        sum(col("n").cast("decimal(38,0)") * col("__t6p")).cast("long").as("__d6p"),
+        sum(col("n").cast("decimal(38,0)") * col("__t6n")).cast("long").as("__d6n"))
+    // 99 candidate partitions — bounded-grid windows by construction
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pct"))
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dayPct
+      .withColumn("__lnp", sum(col("__d6p")).over(wCum))
+      .withColumn("__lnn", sum(col("__d6n")).over(wCum))
+      .withColumn("__sup6", max(greatest(col("__lnp"), col("__lnn"))).over(wCum))
+      .filter(col("__sup6") < thr6)
+      .groupBy(col("day"))
+      .agg(min(col("pct")).as("lo_pct"), max(col("pct")).as("hi_pct"))
+      .join(daily, Seq("day"))
+      .select(col("day"), col("n"), col("lo_pct"), col("hi_pct"))
+      .orderBy(col("day"))
+  }
+
+  /** The (pct, m0Ppm, lam6) literals [[eProcessMeanCs]] bets with,
+    * exposed for the oracle (the eProcessCsGrid shared-constant
+    * discipline): per candidate, λ is capped at the WSR positivity
+    * bound 0.5/max(m0, 1−m0) — exact integer ppm, no float in the
+    * cap.
+    */
+  def eProcessMeanCsGrid(lambdaPpm: Long): Seq[(Long, Long, Long)] =
+    (1L to 99L).map { pct =>
+      val m0 = pct * 10000L
+      val lamMax6 = 500000000000L / math.max(m0, 1000000L - m0)
+      (pct, m0, math.min(lambdaPpm, lamMax6))
+    }
+
   /** Anytime-valid band for a rate DIFFERENCE p_A − p_B — the
     * two-sample completion of [[eProcessConfidenceSeq]]: each arm
     * runs its own confidence sequence at α/2, and by the union bound
