@@ -3458,7 +3458,11 @@ object Experiments {
     val grid = broadcast(eProcessMeanCsGrid(lambdaPpm).toDF("pct", "m0", "lam6"))
     val merged = cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n"))
     val daily = merged.groupBy(col("day")).agg(sum(col("n")).as("n"))
-    val dayPct = merged
+    // the ln terms depend only on (value, candidate) — compute each
+    // ONCE over the distinct-value domain (~|V|·99 rows) instead of
+    // per (day, value, candidate) cell (~9× fewer ln calls at a
+    // 30-day grid; identical values, the plan-only optimization)
+    val vTerms = merged.select(col("v")).distinct()
       .crossJoin(grid)
       .withColumn(
         "__t6p",
@@ -3470,6 +3474,9 @@ object Experiments {
         expr(
           """CAST(round(ln(CAST(1000000000000 - lam6 * (v - m0) AS DOUBLE)
             |/ 1e12) * 1000000, 0) AS BIGINT)""".stripMargin))
+      .select(col("v"), col("pct"), col("__t6p"), col("__t6n"))
+    val dayPct = merged
+      .join(vTerms, Seq("v"))
       .groupBy(col("day"), col("pct"))
       .agg(
         sum(col("n").cast("decimal(38,0)") * col("__t6p")).cast("long").as("__d6p"),
