@@ -4212,6 +4212,24 @@ object SparkEntryCoverage {
         round(col("value") * 100.0, 0).cast("long"),
         date_format(col("ts"), "yyyy-MM-dd"))
     },
+    // Depth-3 binary segmentation (Checks.meanBinseg3FromCells via
+    // the same grid): one level deeper for multi-changepoint
+    // localization — the depth-2 splits bound four leaf segments,
+    // each scanned against its OWN pooled variance; segment
+    // restriction is plan-side (crossJoins with the 1-row best-split
+    // frames), so a thin parent side empties its children instead of
+    // erroring.
+    "dq_mean_binseg3" -> { (s, dir) =>
+      Checks.meanBinseg3FromCells(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("value") * 100.0, 0).cast("long")).as("s"),
+            sum(round(col("value") * 100.0, 0).cast("long").cast("decimal(38,0)")
+              * round(col("value") * 100.0, 0).cast("long")).as("q")))
+    },
     // Benford first-digit audit (Checks.benfordAudit): the
     // fraud/fabrication smoke test on order totals — observed vs
     // expected leading-digit frequency in exact integer ppm, with
@@ -10821,6 +10839,61 @@ object SparkEntryCoverage {
          |SELECT CAST(1 AS INTEGER) AS depth, '*' AS side, * FROM b1
          |UNION ALL SELECT CAST(2 AS INTEGER), 'L', * FROM (${best("dl")})
          |UNION ALL SELECT CAST(2 AS INTEGER), 'R', * FROM (${best("dr")})
+         |ORDER BY depth, side""".stripMargin
+    },
+    // the depth-2 chain deepened one level: the four leaf segments
+    // bound by (tL, t1, tR), each re-scanned against its own pooled
+    // variance; joins with the (possibly empty) best-split CTEs give
+    // the missing-parent semantics
+    "dq_mean_binseg3" -> {
+      def scan(g: String) =
+        s"""SELECT bucket, nl AS n_left, (nn - nl) AS n_right,
+           |    ml6 AS mean_l6, mr6 AS mean_r6,
+           |    CASE WHEN varc2 <= 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((CAST(wgt AS HUGEINT) * (ml6 - mr6) * (ml6 - mr6))
+           |              // (CAST(1000000 AS HUGEINT) * varc2) AS BIGINT)
+           |    END AS z2_6
+           |  FROM (SELECT c.bucket, c.nl, t.nn,
+           |      CAST((CAST(1000000 AS HUGEINT) * c.sl) // c.nl AS BIGINT) AS ml6,
+           |      CAST((CAST(1000000 AS HUGEINT) * (t.ss - c.sl))
+           |           // (t.nn - c.nl) AS BIGINT) AS mr6,
+           |      CAST((CAST(c.nl AS HUGEINT) * (t.nn - c.nl)) // t.nn AS BIGINT) AS wgt,
+           |      CAST((CAST(t.nn AS HUGEINT) * t.qq - CAST(t.ss AS HUGEINT) * t.ss)
+           |           // (CAST(t.nn AS HUGEINT) * t.nn) AS BIGINT) AS varc2
+           |    FROM (SELECT bucket,
+           |            CAST(SUM(n) OVER w AS BIGINT) AS nl,
+           |            CAST(SUM(s) OVER w AS BIGINT) AS sl
+           |          FROM $g WINDOW w AS (ORDER BY bucket
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) c,
+           |         (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+           |                 CAST(SUM(q) AS HUGEINT) AS qq FROM $g) t
+           |    WHERE c.nl < t.nn)""".stripMargin
+      def best(g: String) =
+        s"SELECT * FROM (${scan(g)}) ORDER BY z2_6 DESC, bucket LIMIT 1"
+      s"""WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         |        SUM(CAST(v AS HUGEINT) * v) AS q
+         |      FROM base GROUP BY 1),
+         |b1 AS (${best("d")}),
+         |dl AS (SELECT d.* FROM d, b1 WHERE d.bucket <= b1.bucket),
+         |dr AS (SELECT d.* FROM d, b1 WHERE d.bucket > b1.bucket),
+         |bl AS (${best("dl")}),
+         |br AS (${best("dr")}),
+         |dll AS (SELECT d.* FROM d, bl WHERE d.bucket <= bl.bucket),
+         |dlr AS (SELECT d.* FROM d, bl, b1
+         |        WHERE d.bucket > bl.bucket AND d.bucket <= b1.bucket),
+         |drl AS (SELECT d.* FROM d, b1, br
+         |        WHERE d.bucket > b1.bucket AND d.bucket <= br.bucket),
+         |drr AS (SELECT d.* FROM d, br WHERE d.bucket > br.bucket)
+         |SELECT CAST(1 AS INTEGER) AS depth, '*' AS side, * FROM b1
+         |UNION ALL SELECT CAST(2 AS INTEGER), 'L', * FROM (${best("dl")})
+         |UNION ALL SELECT CAST(2 AS INTEGER), 'R', * FROM (${best("dr")})
+         |UNION ALL SELECT CAST(3 AS INTEGER), 'LL', * FROM (${best("dll")})
+         |UNION ALL SELECT CAST(3 AS INTEGER), 'LR', * FROM (${best("dlr")})
+         |UNION ALL SELECT CAST(3 AS INTEGER), 'RL', * FROM (${best("drl")})
+         |UNION ALL SELECT CAST(3 AS INTEGER), 'RR', * FROM (${best("drr")})
          |ORDER BY depth, side""".stripMargin
     },
     "dq_rate_split" -> {

@@ -1080,6 +1080,45 @@ object SparkEntryStreaming {
               sum(col("s")).as("s"),
               sum(col("q")).as("q")))
     },
+    // Streaming depth-3 MEAN changepoint — the st_mean_binseg grid
+    // (same linear moment coordinates) read through the deepened
+    // four-leaf segmentation: multi-changepoint localization live,
+    // bit-equal to the batch dq_mean_binseg3 under one shared oracle.
+    "st_mean_binseg3" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/msbs3grid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      ev.filter(lit(false))
+        .select(
+          date_format(col("ts"), "yyyy-MM-dd").as("bucket"),
+          lit(0L).as("n"),
+          lit(0L).as("s"),
+          lit(0L).cast("decimal(38,0)").as("q"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("value").isNotNull && col("ts").isNotNull)
+            .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("bucket"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(cents).as("s"),
+              sum(cents.cast("decimal(38,0)") * cents).as("q"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Checks
+        .meanBinseg3FromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("bucket"))
+            .agg(
+              sum(col("n")).as("n"),
+              sum(col("s")).as("s"),
+              sum(col("q")).as("q")))
+    },
     // Streaming embedding-dispersion monitor — the live mode-collapse
     // gauge: vectors stream in, each micro-batch appends its partial
     // per-coordinate (j, n, s, q) moment grid (every coordinate
@@ -1850,6 +1889,8 @@ object SparkEntryStreaming {
     // (day, n, s, q) moment-grid merge-invariance — one oracle with
     // the batch dq_mean_binseg
     "st_mean_binseg" -> SparkEntryCoverage.oracleSql("dq_mean_binseg"),
+    // same moment-grid merge-invariance, one level deeper
+    "st_mean_binseg3" -> SparkEntryCoverage.oracleSql("dq_mean_binseg3"),
     // per-coordinate moment-grid merge-invariance — one oracle with
     // the batch v_dispersion
     "st_dispersion" -> SparkEntryCoverage.oracleSql("v_dispersion"),

@@ -998,6 +998,63 @@ object Checks {
       .orderBy(col("depth"), col("side"))
   }
 
+  /** Depth-3 binary segmentation — [[meanBinseg2FromCells]] deepened
+    * one level for multi-changepoint localization (up to 7 split
+    * candidates over ≤4 leaf segments): the depth-2 splits (t1, tL,
+    * tR) bound four sub-segments, and each is scanned against its
+    * OWN pooled variance exactly as depth 2 scans the halves. All
+    * segment restriction is plan-side crossJoin with the 1-row
+    * best-split frames — no driver collect, and a parent side with
+    * <2 buckets yields an EMPTY 1-row frame whose crossJoin empties
+    * the child segments too (the missing-parent semantics for free).
+    * Same mergeable (bucket, n, s, q) grid; ≤7 rows out
+    * (depth, side ∈ {*, L, R, LL, LR, RL, RR}, bucket, n_left,
+    * n_right, mean_l6, mean_r6, z2_6), ordered by (depth, side).
+    */
+  def meanBinseg3FromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0
+      .select(
+        col("bucket"),
+        col("n").cast("long").as("n"),
+        col("s").cast("long").as("s"),
+        col("q").cast("decimal(38,0)").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outCols =
+      Seq("bucket", "n_left", "n_right", "mean_l6", "mean_r6", "z2_6").map(col)
+    def best(scan: DataFrame): DataFrame =
+      scan.orderBy(col("z2_6").desc, col("bucket")).limit(1).select(outCols: _*)
+    val top = best(meanScanOnGrid(cells))
+    val t1 = broadcast(top.select(col("bucket").as("__t1")))
+    val sided = cells.crossJoin(t1)
+    val bestL = best(meanScanOnGrid(
+      sided.filter(col("bucket") <= col("__t1")).drop("__t1")))
+    val bestR = best(meanScanOnGrid(
+      sided.filter(col("bucket") > col("__t1")).drop("__t1")))
+    val tL = broadcast(bestL.select(col("bucket").as("__tl")))
+    val tR = broadcast(bestR.select(col("bucket").as("__tr")))
+    val segLL = cells.crossJoin(tL)
+      .filter(col("bucket") <= col("__tl")).drop("__tl")
+    val segLR = cells.crossJoin(tL).crossJoin(t1)
+      .filter(col("bucket") > col("__tl") && col("bucket") <= col("__t1"))
+      .drop("__tl", "__t1")
+    val segRL = cells.crossJoin(t1).crossJoin(tR)
+      .filter(col("bucket") > col("__t1") && col("bucket") <= col("__tr"))
+      .drop("__t1", "__tr")
+    val segRR = cells.crossJoin(tR)
+      .filter(col("bucket") > col("__tr")).drop("__tr")
+    def lvl(d: Int, side: String, b: DataFrame): DataFrame =
+      b.withColumn("depth", lit(d).cast("int")).withColumn("side", lit(side))
+    lvl(1, "*", top)
+      .unionByName(lvl(2, "L", bestL))
+      .unionByName(lvl(2, "R", bestR))
+      .unionByName(lvl(3, "LL", best(meanScanOnGrid(segLL))))
+      .unionByName(lvl(3, "LR", best(meanScanOnGrid(segLR))))
+      .unionByName(lvl(3, "RL", best(meanScanOnGrid(segRL))))
+      .unionByName(lvl(3, "RR", best(meanScanOnGrid(segRR))))
+      .select(Seq(col("depth"), col("side")) ++ outCols: _*)
+      .orderBy(col("depth"), col("side"))
+  }
+
   /** Two-sample Cramér–von Mises criterion between two bucket-count
     * tables — the INTEGRATED squared CDF gap, completing the drift
     * panel's geometry: KS reads the single worst gap (sensitive to
