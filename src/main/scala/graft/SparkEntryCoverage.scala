@@ -4776,6 +4776,40 @@ object SparkEntryCoverage {
         .pqTopK(encoded, "embedding", centroids, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // PQ codebook quality (the v_ivf_quality symmetry): each
+    // subspace's 4-code partition graded by Calinski–Harabasz over
+    // the SUBVECTOR geometry it quantizes — the per-subspace refit
+    // signal for the OTHER index family (a low-CH subspace is a
+    // codebook whose cells don't explain its slice of the embedding
+    // space; quantization error concentrates exactly there).
+    "v_pq_quality" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val centroids = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity
+        .pqEncode(emb.filter(col("vec_id") =!= 0), "embedding", subDim, centroids)
+      (0 until 8)
+        .map { sp =>
+          Similarity
+            .calinskiHarabasz(
+              encoded.withColumn(
+                "__sub",
+                slice(col("embedding").cast("array<double>"), sp * subDim + 1, subDim)),
+              s"pq_$sp",
+              "__sub")
+            .withColumn("subspace", lit(sp.toLong))
+        }
+        .reduce(_ unionByName _)
+        .select(
+          col("subspace"), col("n"), col("k"), col("dim"),
+          col("ssb6"), col("ssw6"), col("ch6"))
+        .orderBy(col("subspace"))
+    },
     // PQ top-k off the PERSISTED index: codebooks + codes written to
     // parquet once (the expensive encode is the build-time artifact),
     // the query loads and ranks without re-encoding anything — same
@@ -11389,6 +11423,50 @@ object SparkEntryCoverage {
          |            / CAST(n_pred_pairs + n_true_pairs AS DOUBLE) END AS f1
          |FROM p, tpc, tc""".stripMargin,
     "v_pq_topk" -> pqTopkOracle,
+    // 8 copies of the v_calinski chain, one per subspace: assignment
+    // by subvector-cosine argmax (ties to the larger code — the
+    // greatest-struct semantics), then the milli-quantized CH moments
+    "v_pq_quality" -> {
+      val chains = (0 until 8).map { sp =>
+        val lo = sp * 8 + 1
+        val hi = (sp + 1) * 8
+        s"""cents$sp AS (
+           | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+           |        embedding[$lo:$hi] AS ce
+           | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+           |sub$sp AS (SELECT vec_id, embedding[$lo:$hi] AS sub
+           |  FROM embeddings WHERE vec_id <> 0),
+           |asg$sp AS (SELECT vec_id, sub, cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (SELECT b.vec_id, b.sub, c.cell, ${sqlCosine("b.sub", "c.ce")} AS sim
+           |        FROM sub$sp b CROSS JOIN cents$sp c)) WHERE rn = 1),
+           |x$sp AS (SELECT cell AS c, unnest(range(1, len(sub) + 1)) AS j,
+           |        CAST(round(CAST(unnest(sub) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+           |      FROM asg$sp),
+           |cl$sp AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+           |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+           |  FROM x$sp GROUP BY 1, 2),
+           |pj$sp AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+           |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
+           |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
+           |  FROM cl$sp GROUP BY 1),
+           |t$sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, MAX(nj) AS n, MAX(kj) AS k,
+           |    SUM(qj) AS q, SUM(aj) AS a,
+           |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
+           |  FROM pj$sp)""".stripMargin
+      }.mkString(",\n")
+      val selects = (0 until 8).map { sp =>
+        s"""SELECT CAST($sp AS BIGINT) AS subspace, n, k, dim,
+           |  greatest(CAST(0 AS BIGINT), CAST((a - b) // n AS BIGINT)) AS ssb6,
+           |  greatest(CAST(0 AS BIGINT), CAST((q - a) // n AS BIGINT)) AS ssw6,
+           |  CASE WHEN q - a <= 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((CAST(1000000 AS HUGEINT)
+           |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
+           |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
+           |FROM t$sp""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"WITH $chains\n$selects\nORDER BY subspace"
+    },
     // the persisted index must reproduce the in-line encode+rank
     // exactly — one oracle, two paths
     "v_pq_persisted" -> pqTopkOracle,
