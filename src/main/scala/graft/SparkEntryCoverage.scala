@@ -176,6 +176,42 @@ object SparkEntryCoverage {
     * artifact writes, merges and scoring stay un-shared — they ARE
     * the thing each query proves).
     */
+  /** Memoized (day, v, n) VALUE GRID per (application, dataset) —
+    * the docNgramPairs discipline for the e-process family's shared
+    * sufficient statistic: the mean monitor, the variance monitor and
+    * the mean confidence sequence all fold the SAME grid from events
+    * (cents·10 ppm of the declared $1000 bound); it now builds once
+    * into a parquet memo and each batch consumer reads it back — the
+    * production posture (one value-grid artifact, many monitors).
+    * The st_ twins keep their own streamed builds: the artifact
+    * append IS what those queries prove. The in-plan declared-bound
+    * guard runs at memo BUILD time, same failure surface as before.
+    */
+  private val valueGridCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def valueGridCells(s: SparkSession, dir: String): DataFrame = {
+    val p = valueGridCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir", {
+        val path = s"/tmp/graft_idx/valgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull)
+          .select(
+            to_date(col("ts")).as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT) * 10").as("v"))
+          .filter(
+            assert_true(
+              col("v") >= 0L && col("v") <= 1000000L,
+              lit("valueGridCells: valuePpm outside [0, 1e6] — the declared " +
+                "bound is violated")).isNull)
+          .groupBy(col("day"), col("v"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(path)
+        path
+      })
+    s.read.parquet(p)
+  }
+
   private val lmGridCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, StructType, StructType)]
   private[graft] def lmCountGrids(
@@ -6296,11 +6332,8 @@ object SparkEntryCoverage {
     // distinct value off the (day, value) grid, wealth cumulated
     // over the day domain, Ville-covered at every peek.
     "a_eprocess_mean" -> { (s, dir) =>
-      Experiments.eProcessMean(
-        t(s, dir, "events")
-          .filter(col("value").isNotNull && col("ts").isNotNull),
-        round(col("value") * 100.0, 0).cast("long") * 10L,
-        to_date(col("ts")),
+      Experiments.eProcessMeanFromCells(
+        valueGridCells(s, dir),
         m0Ppm = 175000L,
         lambdaPpm = 300000L,
         alphaPpm = 50000L)
@@ -6315,11 +6348,8 @@ object SparkEntryCoverage {
     // A variance widening under a stable mean is invisible to
     // a_eprocess_mean — this is that gap, Ville-covered.
     "a_eprocess_var" -> { (s, dir) =>
-      Experiments.eProcessVariance(
-        t(s, dir, "events")
-          .filter(col("value").isNotNull && col("ts").isNotNull),
-        round(col("value") * 100.0, 0).cast("long") * 10L,
-        to_date(col("ts")),
+      Experiments.eProcessVarianceFromCells(
+        valueGridCells(s, dir),
         v0Ppm = 5000L,
         lambdaPpm = 100000000L,
         alphaPpm = 50000L)
@@ -6362,11 +6392,8 @@ object SparkEntryCoverage {
     // path covers at 95%. The value-metric completion of
     // a_eprocess_cs.
     "a_eprocess_mean_cs" -> { (s, dir) =>
-      Experiments.eProcessMeanCs(
-        t(s, dir, "events")
-          .filter(col("value").isNotNull && col("ts").isNotNull),
-        round(col("value") * 100.0, 0).cast("long") * 10L,
-        to_date(col("ts")),
+      Experiments.eProcessMeanCsFromCells(
+        valueGridCells(s, dir),
         lambdaPpm = 500000L,
         alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
