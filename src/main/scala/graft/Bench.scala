@@ -77,25 +77,40 @@ object Bench {
     // comparable iso-to-iso across rounds, not to the amortized main
     // map). Janino's codegen cache is JVM-global, so the sessions
     // stay JIT-warm. Skipped under SPARK_GRAFT_NO_ISO=1.
-    val isoCount = sys.env.get("SPARK_GRAFT_ISO_TOP").map(_.toInt).getOrElse(20)
+    val isoCount = sys.env.get("SPARK_GRAFT_ISO_TOP")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(20)
     val runIso = !sys.env.get("SPARK_GRAFT_NO_ISO").contains("1") && only.isEmpty
     val topNames = results.sortBy(-_._2).take(isoCount).map(_._1).sorted
+    // Persist the completed suite's map BEFORE the iso phase: a
+    // failure anywhere in the fresh-session loop must not discard
+    // the full suite's timings (queries_iso merges in on success).
+    val mainLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), mainLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] main dump failed: ${e.getMessage}") }
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.stop()
-    val iso = if (!runIso) Seq.empty[(String, Double)] else topNames.map { name =>
-      val s2 = Engine.session("graft-bench-iso", s"local[$cpus]", cpus)
-      s2.read.parquet(s"$sfDir/region.parquet")
-        .write.format("noop").mode("overwrite").save()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(s2, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+    val iso = if (!runIso) Seq.empty[(String, Double)] else topNames.flatMap { name =>
+      try {
+        val s2 = Engine.session("graft-bench-iso", s"local[$cpus]", cpus)
+        s2.read.parquet(s"$sfDir/region.parquet")
+          .write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(s2, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench-iso] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        s2.stop()
+        Some(name -> dt)
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench-iso] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench-iso] $name session failed: ${e.getMessage}")
+          None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      s2.stop()
-      name -> dt
     }
     val isoQs = iso
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -176,41 +176,49 @@ object SparkEntryCoverage {
     * artifact writes, merges and scoring stay un-shared — they ARE
     * the thing each query proves).
     */
-  /** Memoized (day, v, n) VALUE GRID per (application, dataset) —
-    * the docNgramPairs discipline for the e-process family's shared
-    * sufficient statistic: the mean monitor, the variance monitor and
-    * the mean confidence sequence all fold the SAME grid from events
-    * (cents·10 ppm of the declared $1000 bound); it now builds once
-    * into a parquet memo and each batch consumer reads it back — the
-    * production posture (one value-grid artifact, many monitors).
-    * The st_ twins keep their own streamed builds: the artifact
-    * append IS what those queries prove. The in-plan declared-bound
-    * guard runs at memo BUILD time, same failure surface as before.
+  /** The (day, v, n) VALUE GRID, built ONCE per (application,
+    * dataset) as a PERSISTED Io.writeValueGrid artifact (the 8th
+    * seq-versioned family) and read back by every batch e-process
+    * consumer — the mean monitor, the variance monitor and the mean
+    * confidence sequence all fold the SAME sufficient statistic
+    * (cents·10 ppm of the declared $1000 bound). The st_ twins keep
+    * their own streamed builds: the artifact's upsert path IS what
+    * those queries prove. The in-plan declared-bound guard now fires
+    * inside writeValueGrid (every write of the family), the same
+    * failure surface the memo build had. The memoLock serializes the
+    * side-effecting build: TrieMap.getOrElseUpdate may evaluate the
+    * thunk more than once under contention, and an artifact write
+    * must happen exactly once per key.
     */
+  private val memoLock = new Object
   private val valueGridCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def valueGridCells(s: SparkSession, dir: String): DataFrame = {
-    val p = valueGridCache.getOrElseUpdate(
-      s"${s.sparkContext.applicationId}:$dir", {
-        val path = s"/tmp/graft_idx/valgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
-          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-        t(s, dir, "events")
-          .filter(col("value").isNotNull && col("ts").isNotNull)
-          .select(
-            to_date(col("ts")).as("day"),
-            expr("CAST(round(value * 100, 0) AS BIGINT) * 10").as("v"))
-          .filter(
-            assert_true(
-              col("v") >= 0L && col("v") <= 1000000L,
-              lit("valueGridCells: valuePpm outside [0, 1e6] — the declared " +
-                "bound is violated")).isNull)
-          .groupBy(col("day"), col("v"))
-          .agg(count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(path)
-        path
-      })
-    s.read.parquet(p)
+    val p = memoLock.synchronized {
+      valueGridCache.getOrElseUpdate(
+        s"${s.sparkContext.applicationId}:$dir", {
+          val path = s"/tmp/graft_idx/valgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+            s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+          graft.sources.Io.writeValueGrid(eventValueGrid(t(s, dir, "events")), path)
+          path
+        })
+    }
+    graft.sources.Io.readValueGrid(s, p)
   }
+
+  /** The (day, v, n) grid fold from an events frame — cents·10 ppm
+    * of the declared $1000 bound (the e-process family's canonical
+    * quantization). Shared by the memoized full-corpus build and the
+    * valgrid lifecycle queries' partial builds.
+    */
+  private def eventValueGrid(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(
+        to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT) * 10").as("v"))
+      .groupBy(col("day"), col("v"))
+      .agg(count(lit(1)).as("n"))
 
   private val lmGridCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, StructType, StructType)]
@@ -4829,21 +4837,79 @@ object SparkEntryCoverage {
       val centroids = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
       val encoded = Similarity
         .pqEncode(emb.filter(col("vec_id") =!= 0), "embedding", subDim, centroids)
-      (0 until 8)
-        .map { sp =>
-          Similarity
-            .calinskiHarabasz(
-              encoded.withColumn(
-                "__sub",
-                slice(col("embedding").cast("array<double>"), sp * subDim + 1, subDim)),
-              s"pq_$sp",
-              "__sub")
-            .withColumn("subspace", lit(sp.toLong))
-        }
-        .reduce(_ unionByName _)
+      Similarity
+        .pqSubspaceGrades(encoded, "embedding", subDim, 8)
+        .orderBy(col("subspace"))
+    },
+    // The refit WORKLIST the v_pq_quality grade feeds (Similarity
+    // .pqRefitWorklist — the v_ivf_refit symmetry for the PQ family):
+    // the frozen-codebook rule makes a codebook refit a REBUILD of
+    // that subspace's whole code column, so the maintenance loop
+    // processes ONE subspace per cycle, worst-first — the worklist is
+    // the argmin-CH subspace (ties to the smaller id).
+    "v_pq_refit" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val centroids = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity
+        .pqEncode(emb.filter(col("vec_id") =!= 0), "embedding", subDim, centroids)
+      Similarity.pqRefitWorklist(
+        Similarity.pqSubspaceGrades(encoded, "embedding", subDim, 8))
+    },
+    // The ACTION on v_pq_refit's worklist — the T248 lifecycle loop
+    // executed for the SECOND index family: grade all 8 subspaces,
+    // pick the argmin-CH one, re-center its 4 codes on exact
+    // milli-means of their assigned subvectors (Similarity
+    // .pqRefittedSubCodebook — empty codes keep their centroid),
+    // REBUILD that subspace's code column against the new codebook
+    // (pqReencodeSubspace — the frozen-codebook rule: a codebook
+    // change is a new index generation, never an increment), and
+    // re-grade. Output: per subspace (ch6_before, ch6_after, refit) —
+    // the refit row must show ch6 rising. The oracle replays the
+    // whole loop: 8 before-chains, SQL argmin, 8 conditional
+    // after-chains.
+    "v_pq_refit_apply" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity
+        .pqEncode(emb.filter(col("vec_id") =!= 0), "embedding", subDim, books)
+      val grades = Similarity
+        .pqSubspaceGrades(encoded, "embedding", subDim, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 1-row bounded bootstrap: the worklist IS the loop's control
+      // decision (the ivfRecenteredCentroids collect class)
+      val sp = Similarity.pqRefitWorklist(grades)
+        .collect().head.getLong(0).toInt
+      val newSub = Similarity
+        .pqRefittedSubCodebook(encoded, "embedding", subDim, sp, books(sp))
+      val reencoded = Similarity
+        .pqReencodeSubspace(encoded, "embedding", subDim, sp, newSub)
+      val after = Similarity
+        .calinskiHarabasz(
+          reencoded.withColumn(
+            "__sub",
+            slice(col("embedding").cast("array<double>"), sp * subDim + 1, subDim)),
+          s"pq_$sp",
+          "__sub")
+        .select(lit(sp.toLong).as("subspace"), col("ch6").as("__after"))
+      grades
+        .join(broadcast(after), Seq("subspace"), "left")
         .select(
           col("subspace"), col("n"), col("k"), col("dim"),
-          col("ssb6"), col("ssw6"), col("ch6"))
+          col("ch6").as("ch6_before"),
+          coalesce(col("__after"), col("ch6")).as("ch6_after"),
+          col("__after").isNotNull.as("refit"))
         .orderBy(col("subspace"))
     },
     // PQ top-k off the PERSISTED index: codebooks + codes written to
@@ -6334,6 +6400,74 @@ object SparkEntryCoverage {
     "a_eprocess_mean" -> { (s, dir) =>
       Experiments.eProcessMeanFromCells(
         valueGridCells(s, dir),
+        m0Ppm = 175000L,
+        lambdaPpm = 300000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
+    // Value-grid artifact lifecycle, clause 1 — UPSERT convergence:
+    // the grid lands as two disjoint partial builds (even-cent events
+    // at stamp 0, odd-cent events appended at stamp 1 — counts are
+    // linear, so ANY disjoint split SUM-merges to the full grid); the
+    // mean monitor over the merged read must equal the monitor over
+    // the plain full-corpus grid, so a_eprocess_mean's oracle is
+    // shared — a broken merge would shift ln-wealth and hash-mismatch.
+    "a_valgrid_upsert" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+      val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+      val path = s"/tmp/graft_idx/valgrid_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeValueGrid(
+        eventValueGrid(ev.filter(pmod(cents, lit(2L)) === 0L)), path)
+      graft.sources.Io.upsertValueGrid(
+        eventValueGrid(ev.filter(pmod(cents, lit(2L)) === 1L)), path, 1L)
+      Experiments.eProcessMeanFromCells(
+        graft.sources.Io.readValueGrid(s, path),
+        m0Ppm = 175000L,
+        lambdaPpm = 300000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
+    // Value-grid lifecycle, clause 2 — TAKEDOWN + AS-OF: the %5-cent
+    // events' grid appends NEGATED at stamp 1 (subtraction IS removal
+    // for a linear statistic); the as-of-0 read must resurrect the
+    // pre-takedown monitor exactly (a_eprocess_mean's oracle shared).
+    "a_valgrid_asof" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+      val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+      val path = s"/tmp/graft_idx/valgrid_ao_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeValueGrid(eventValueGrid(ev), path)
+      graft.sources.Io.upsertValueGrid(
+        eventValueGrid(ev.filter(pmod(cents, lit(5L)) === 0L))
+          .withColumn("n", -col("n")),
+        path, 1L)
+      Experiments.eProcessMeanFromCells(
+        graft.sources.Io.readValueGridAsOf(s, path, 0L),
+        m0Ppm = 175000L,
+        lambdaPpm = 300000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
+    // Value-grid lifecycle, clause 3 — COMPACTION: after the %5-cent
+    // takedown the history rewrites as one merged generation at stamp
+    // 0 (zero-count cells purged, as-of history forfeited); the
+    // stamp-0 read must now equal the LIVE post-takedown view — the
+    // monitor over events excluding the taken-down subset (its own
+    // oracle re-derives that from scratch).
+    "a_valgrid_compacted" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+      val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+      val path = s"/tmp/graft_idx/valgrid_cp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeValueGrid(eventValueGrid(ev), path)
+      graft.sources.Io.upsertValueGrid(
+        eventValueGrid(ev.filter(pmod(cents, lit(5L)) === 0L))
+          .withColumn("n", -col("n")),
+        path, 1L)
+      graft.sources.Io.compactValueGrid(s, path)
+      Experiments.eProcessMeanFromCells(
+        graft.sources.Io.readValueGridAsOf(s, path, 0L),
         m0Ppm = 175000L,
         lambdaPpm = 300000L,
         alphaPpm = 50000L)
@@ -8471,6 +8605,121 @@ object SparkEntryCoverage {
        | ELSE ${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))
        | END""".stripMargin
   }
+
+  /** The bounded-mean e-process monitor's oracle over an events
+    * subset (the value-grid family's shared oracle: the lifecycle
+    * queries converge the artifact to the grid a plain rebuild on
+    * `extraWhere`-filtered events would produce).
+    */
+  private def eProcessMeanOracleFor(extraWhere: String): String =
+    s"""WITH base AS (SELECT CAST(ts AS DATE) AS day,
+       |    CAST(round(value * 100) AS BIGINT) * 10 AS v
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |    AND ($extraWhere)),
+       |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM base GROUP BY 1, 2),
+       |terms AS (SELECT day, n,
+       |    CAST(round(ln(CAST(1000000000000 + 300000 * (v - 175000) AS DOUBLE)
+       |        / 1e12) * 1000000) AS BIGINT) AS t6
+       |  FROM cells),
+       |daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(n AS HUGEINT) * t6) AS BIGINT) AS d6
+       |  FROM terms GROUP BY 1),
+       |cum AS (SELECT day, n,
+       |    CAST(SUM(d6) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_e6
+       |  FROM daily)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, n, ln_e6,
+       |  ln_e6 >= 2995732 AS crossed
+       |FROM cum ORDER BY day""".stripMargin
+
+  /** WITH-chain for one PQ subspace's BEFORE grade (the v_pq_quality
+    * chain, shared with the refit family): codebook from vec 1–4
+    * slices, assignment by subvector-cosine argmax (ties to the
+    * larger code — greatest-struct semantics), milli-quantized CH
+    * moment cells. Defines cents/sub/asg/x/cl/pj/t for subspace sp.
+    */
+  private def pqGradeChain(sp: Int): String = {
+    val lo = sp * 8 + 1
+    val hi = (sp + 1) * 8
+    s"""cents$sp AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |        embedding[$lo:$hi] AS ce
+       | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |sub$sp AS (SELECT vec_id, embedding[$lo:$hi] AS sub
+       |  FROM embeddings WHERE vec_id <> 0),
+       |asg$sp AS (SELECT vec_id, sub, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |  FROM (SELECT b.vec_id, b.sub, c.cell, ${sqlCosine("b.sub", "c.ce")} AS sim
+       |        FROM sub$sp b CROSS JOIN cents$sp c)) WHERE rn = 1),
+       |x$sp AS (SELECT cell AS c, unnest(range(1, len(sub) + 1)) AS j,
+       |        CAST(round(CAST(unnest(sub) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+       |      FROM asg$sp),
+       |cl$sp AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+       |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+       |  FROM x$sp GROUP BY 1, 2),
+       |pj$sp AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+       |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
+       |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
+       |  FROM cl$sp GROUP BY 1),
+       |t$sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, MAX(nj) AS n, MAX(kj) AS k,
+       |    SUM(qj) AS q, SUM(aj) AS a,
+       |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
+       |  FROM pj$sp)""".stripMargin
+  }
+
+  /** One subspace's grade row off [[pqGradeChain]]'s t-frame. */
+  private def pqGradeSelect(sp: Int): String =
+    s"""SELECT CAST($sp AS BIGINT) AS subspace, n, k, dim,
+       |  greatest(CAST(0 AS BIGINT), CAST((a - b) // n AS BIGINT)) AS ssb6,
+       |  greatest(CAST(0 AS BIGINT), CAST((q - a) // n AS BIGINT)) AS ssw6,
+       |  CASE WHEN q - a <= 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST((CAST(1000000 AS HUGEINT)
+       |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
+       |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
+       |FROM t$sp""".stripMargin
+
+  /** WITH-chain for one PQ subspace's AFTER-refit grade: codes
+    * re-centered on exact milli-means of their assigned subvectors
+    * (empty codes COALESCE to the old centroid), re-assignment
+    * against the new codebook, CH re-grade. Rides [[pqGradeChain]]'s
+    * cents/sub/x frames; defines m/nb/cb/asg2/x2/cl2/pj2/t2.
+    */
+  private def pqAfterChain(sp: Int): String =
+    s"""m$sp AS (SELECT c, j, CAST(SUM(CAST(q AS HUGEINT)) // COUNT(*) AS BIGINT) AS m
+       |  FROM x$sp GROUP BY c, j),
+       |nb$sp AS (SELECT c AS cell, list(CAST(m AS DOUBLE) / 1000.0 ORDER BY j) AS ce
+       |  FROM m$sp GROUP BY c),
+       |cb$sp AS (SELECT c.cell,
+       |    COALESCE(n.ce, list_transform(c.ce, v -> CAST(v AS DOUBLE))) AS ce
+       |  FROM cents$sp c LEFT JOIN nb$sp n ON n.cell = c.cell),
+       |asg2$sp AS (SELECT vec_id, sub, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |  FROM (SELECT b.vec_id, b.sub, c.cell, ${sqlCosine("b.sub", "c.ce")} AS sim
+       |        FROM sub$sp b CROSS JOIN cb$sp c)) WHERE rn = 1),
+       |x2$sp AS (SELECT cell AS c, unnest(range(1, len(sub) + 1)) AS j,
+       |        CAST(round(CAST(unnest(sub) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+       |      FROM asg2$sp),
+       |cl2$sp AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+       |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+       |  FROM x2$sp GROUP BY 1, 2),
+       |pj2$sp AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+       |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
+       |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
+       |  FROM cl2$sp GROUP BY 1),
+       |t2$sp AS (SELECT MAX(nj) AS n, MAX(kj) AS k,
+       |    SUM(qj) AS q, SUM(aj) AS a,
+       |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
+       |  FROM pj2$sp)""".stripMargin
+
+  /** One subspace's post-refit ch6 off [[pqAfterChain]]'s t2-frame. */
+  private def pqAfterSelect(sp: Int): String =
+    s"""SELECT CAST($sp AS BIGINT) AS subspace,
+       |  CASE WHEN q - a <= 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST((CAST(1000000 AS HUGEINT)
+       |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
+       |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
+       |FROM t2$sp""".stripMargin
 
   /** Literal DuckDB list for a plane vector (Double.toString is
     * round-trip exact; DuckDB parses correctly rounded).
@@ -11454,45 +11703,40 @@ object SparkEntryCoverage {
     // by subvector-cosine argmax (ties to the larger code — the
     // greatest-struct semantics), then the milli-quantized CH moments
     "v_pq_quality" -> {
-      val chains = (0 until 8).map { sp =>
-        val lo = sp * 8 + 1
-        val hi = (sp + 1) * 8
-        s"""cents$sp AS (
-           | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-           |        embedding[$lo:$hi] AS ce
-           | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
-           |sub$sp AS (SELECT vec_id, embedding[$lo:$hi] AS sub
-           |  FROM embeddings WHERE vec_id <> 0),
-           |asg$sp AS (SELECT vec_id, sub, cell FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-           |  FROM (SELECT b.vec_id, b.sub, c.cell, ${sqlCosine("b.sub", "c.ce")} AS sim
-           |        FROM sub$sp b CROSS JOIN cents$sp c)) WHERE rn = 1),
-           |x$sp AS (SELECT cell AS c, unnest(range(1, len(sub) + 1)) AS j,
-           |        CAST(round(CAST(unnest(sub) AS DOUBLE) * 1000.0) AS BIGINT) AS q
-           |      FROM asg$sp),
-           |cl$sp AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
-           |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
-           |  FROM x$sp GROUP BY 1, 2),
-           |pj$sp AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
-           |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
-           |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
-           |  FROM cl$sp GROUP BY 1),
-           |t$sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, MAX(nj) AS n, MAX(kj) AS k,
-           |    SUM(qj) AS q, SUM(aj) AS a,
-           |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
-           |  FROM pj$sp)""".stripMargin
-      }.mkString(",\n")
-      val selects = (0 until 8).map { sp =>
-        s"""SELECT CAST($sp AS BIGINT) AS subspace, n, k, dim,
-           |  greatest(CAST(0 AS BIGINT), CAST((a - b) // n AS BIGINT)) AS ssb6,
-           |  greatest(CAST(0 AS BIGINT), CAST((q - a) // n AS BIGINT)) AS ssw6,
-           |  CASE WHEN q - a <= 0 THEN CAST(0 AS BIGINT)
-           |    ELSE CAST((CAST(1000000 AS HUGEINT)
-           |               * greatest(CAST(0 AS HUGEINT), a - b) * (n - k))
-           |              // ((q - a) * (k - 1)) AS BIGINT) END AS ch6
-           |FROM t$sp""".stripMargin
-      }.mkString("\nUNION ALL ")
+      val chains = (0 until 8).map(pqGradeChain).mkString(",\n")
+      val selects = (0 until 8).map(pqGradeSelect).mkString("\nUNION ALL ")
       s"WITH $chains\n$selects\nORDER BY subspace"
+    },
+    // the grade chains + SQL argmin: the worst-graded subspace is the
+    // whole worklist (one REBUILD per maintenance cycle — the
+    // frozen-codebook rule)
+    "v_pq_refit" -> {
+      val chains = (0 until 8).map(pqGradeChain).mkString(",\n")
+      val selects = (0 until 8).map(pqGradeSelect).mkString("\nUNION ALL ")
+      s"""WITH $chains,
+         |g AS ($selects)
+         |SELECT subspace, n, k, dim, ch6 FROM g
+         |ORDER BY ch6 ASC, subspace ASC LIMIT 1""".stripMargin
+    },
+    // the whole PQ lifecycle loop replayed in SQL: 8 before-grades →
+    // argmin winner → per-subspace refit chains (milli-mean
+    // re-centering, re-assignment, CH re-grade) → the winner's
+    // after-grade spliced into its row, every other row unchanged
+    "v_pq_refit_apply" -> {
+      val before = (0 until 8).map(pqGradeChain).mkString(",\n")
+      val after = (0 until 8).map(pqAfterChain).mkString(",\n")
+      val gsel = (0 until 8).map(pqGradeSelect).mkString("\nUNION ALL ")
+      val asel = (0 until 8).map(pqAfterSelect).mkString("\nUNION ALL ")
+      s"""WITH $before,
+         |$after,
+         |g AS ($gsel),
+         |win AS (SELECT subspace AS ws FROM g ORDER BY ch6 ASC, subspace ASC LIMIT 1),
+         |aft AS ($asel)
+         |SELECT g.subspace, g.n, g.k, g.dim, g.ch6 AS ch6_before,
+         |  CASE WHEN g.subspace = w.ws THEN aft.ch6 ELSE g.ch6 END AS ch6_after,
+         |  g.subspace = w.ws AS refit
+         |FROM g CROSS JOIN win w LEFT JOIN aft ON aft.subspace = g.subspace
+         |ORDER BY g.subspace""".stripMargin
     },
     // the persisted index must reproduce the in-line encode+rank
     // exactly — one oracle, two paths
@@ -12713,26 +12957,16 @@ object SparkEntryCoverage {
     "a_eprocess" -> eProcessOracleSql,
     // same (day, value) grid; the per-value integer-ratio ln term,
     // HUGEINT count-multiply, day-window cumulative
-    "a_eprocess_mean" ->
-      """WITH base AS (SELECT CAST(ts AS DATE) AS day,
-        |    CAST(round(value * 100) AS BIGINT) * 10 AS v
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-        |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM base GROUP BY 1, 2),
-        |terms AS (SELECT day, n,
-        |    CAST(round(ln(CAST(1000000000000 + 300000 * (v - 175000) AS DOUBLE)
-        |        / 1e12) * 1000000) AS BIGINT) AS t6
-        |  FROM cells),
-        |daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(n AS HUGEINT) * t6) AS BIGINT) AS d6
-        |  FROM terms GROUP BY 1),
-        |cum AS (SELECT day, n,
-        |    CAST(SUM(d6) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_e6
-        |  FROM daily)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, n, ln_e6,
-        |  ln_e6 >= 2995732 AS crossed
-        |FROM cum ORDER BY day""".stripMargin,
+    "a_eprocess_mean" -> eProcessMeanOracleFor("TRUE"),
+    // disjoint partial grids SUM-merge to the full grid: the upserted
+    // artifact's monitor must equal the plain full-corpus monitor
+    "a_valgrid_upsert" -> eProcessMeanOracleFor("TRUE"),
+    // the as-of-0 read resurrects the pre-takedown grid exactly
+    "a_valgrid_asof" -> eProcessMeanOracleFor("TRUE"),
+    // post-compaction the stamp-0 view IS the live post-takedown
+    // view: the monitor over events excluding the %5-cent subset
+    "a_valgrid_compacted" -> eProcessMeanOracleFor(
+      "CAST(round(value * 100) AS BIGINT) % 5 <> 0"),
     // same (day, v, n) grid; per-day unbiased sample variance in
     // exact ppm² (HUGEINT cross-products, sequential truncations
     // mirrored), one micro-nat ln term per DAY

@@ -3180,8 +3180,15 @@ object Experiments {
     * with N_d ≥ 2 is ONE betting round on the day's UNBIASED sample
     * variance: z_d = (N_d·Q_d − S_d²) div (N_d·(N_d−1)) in exact
     * ppm² off the SAME (day, v, n) value grid the mean monitor
-    * rides, normalized against the maximal variance of a bounded
-    * ppm value (B²/4 = 2.5e11 ppm²): ẑ = z_d div 250000 ∈ [0, 1e6].
+    * rides, normalized against the maximal POPULATION variance of a
+    * bounded ppm value (B²/4 = 2.5e11 ppm²): ẑ = z_d div 250000.
+    * NOTE the normalized UNBIASED statistic is NOT confined to
+    * [0, 1e6]: its range is [0, 1e6·N_d/(N_d−1)] ≤ 2e6 (one 0 and
+    * one B in a 2-observation day gives ẑ = 2e6). The guarantee
+    * below relies on UNBIASEDNESS (E[ẑ] ≤ v̂0 under H0), not on the
+    * range; wealth positivity needs only λ·v̂0 < 1 (the λ > 0 bet
+    * can only gain from large ẑ). Calibrate λ/v0 against the 2e6
+    * ceiling, not 1e6.
     * W = Π_days (1 + λ(ẑ_d − v̂0)) is a nonnegative supermartingale
     * under H0 "every day's variance ≤ v0" (E[ẑ_d] ≤ v̂0 by
     * unbiasedness; truncation only biases ẑ DOWN — conservative for

@@ -701,7 +701,7 @@ object Sampling {
     val based = strata
       .crossJoin(tot)
       .withColumn("__base", expr(s"CAST(CAST($k AS DECIMAL(38,0)) * n div __N AS BIGINT)"))
-      .withColumn("__rem", expr(s"CAST($k * n % __N AS BIGINT)"))
+      .withColumn("__rem", expr(s"CAST(CAST($k AS DECIMAL(38,0)) * n % __N AS BIGINT)"))
     val leftover = broadcast(
       based.agg((lit(k) - sum(col("__base"))).as("__left")))
     based

@@ -1484,4 +1484,114 @@ object Similarity {
       }
     }
   }
+
+  /** Per-subspace PQ codebook grades — [[calinskiHarabasz]] over
+    * each subspace's 4-code partition of the SUBVECTOR geometry it
+    * quantizes (the v_ivf_quality symmetry for the byte-coded
+    * family): a low-CH subspace is a codebook whose cells don't
+    * explain its slice of the embedding space, which is exactly
+    * where quantization error concentrates. One grade row per
+    * subspace; `encoded` must carry the `pq_<s>` code columns
+    * ([[pqEncode]]'s output).
+    */
+  def pqSubspaceGrades(
+      encoded: DataFrame,
+      embCol: String,
+      subDim: Int,
+      numSub: Int): DataFrame =
+    (0 until numSub)
+      .map { sp =>
+        calinskiHarabasz(
+          encoded.withColumn(
+            "__sub",
+            slice(col(embCol).cast("array<double>"), sp * subDim + 1, subDim)),
+          s"pq_$sp",
+          "__sub")
+          .withColumn("subspace", lit(sp.toLong))
+      }
+      .reduce(_ unionByName _)
+      .select(
+        col("subspace"), col("n"), col("k"), col("dim"),
+        col("ssb6"), col("ssw6"), col("ch6"))
+
+  /** The refit WORKLIST the [[pqSubspaceGrades]] grade feeds — the
+    * [[ivfRefitWorklist]] symmetry for the PQ family, with one
+    * structural difference the frozen-codebook rule forces: a PQ
+    * codebook refit REBUILDS that subspace's entire code column
+    * (every row re-encodes — upserts encode against frozen
+    * codebooks, so a codebook change is a new index generation, not
+    * an increment). The maintenance loop therefore processes ONE
+    * subspace per cycle, worst-first: the worklist is the argmin-CH
+    * subspace (ties to the smaller subspace id), not a threshold
+    * set. Returns one row (subspace, n, k, dim, ch6).
+    */
+  def pqRefitWorklist(grades: DataFrame): DataFrame =
+    grades
+      .orderBy(col("ch6").asc, col("subspace").asc)
+      .limit(1)
+      .select(col("subspace"), col("n"), col("k"), col("dim"), col("ch6"))
+
+  /** The ACTION the [[pqRefitWorklist]] feeds — re-fit ONE
+    * subspace's codebook (a targeted Lloyd step confined to the
+    * flagged subspace, the [[ivfRecenteredCentroids]] pattern): each
+    * of the subspace's codes is re-centered on the per-coordinate
+    * mean of the subvectors currently encoded to it; a code with no
+    * assigned vectors keeps its old centroid. The caller then
+    * re-encodes the subspace ([[pqReencodeSubspace]]) and re-grades
+    * ([[pqSubspaceGrades]]) — grade → worklist → action → re-grade,
+    * the lifecycle loop closed for the second index family.
+    *
+    * Exactness: means in milli units with truncating integer
+    * division off DECIMAL(38,0) sums (the CH staging), then ONE
+    * deterministic IEEE double division per coordinate — mirrored by
+    * the oracle. The collect is the documented bounded-constant
+    * bootstrap (≤ codes × subDim — sub-codebook-sized).
+    */
+  def pqRefittedSubCodebook(
+      encoded: DataFrame,
+      embCol: String,
+      subDim: Int,
+      subspace: Int,
+      oldSub: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val means = encoded
+      .filter(col(s"pq_$subspace").isNotNull && col(embCol).isNotNull)
+      .select(
+        col(s"pq_$subspace").cast("int").as("c"),
+        posexplode(
+          slice(col(embCol).cast("array<double>"), subspace * subDim + 1, subDim))
+          .as(Seq("j", "x")))
+      .select(
+        col("c"), col("j"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)").as("q"))
+      .groupBy(col("c"), col("j"))
+      .agg(expr("CAST(sum(CAST(q AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    means.keys.foreach { case (c, _) => require(
+      c >= 0 && c < oldSub.size,
+      s"pqRefittedSubCodebook: code $c outside [0, ${oldSub.size})") }
+    oldSub.zipWithIndex.map { case (c0, i) =>
+      if (!means.contains((i, 0))) c0
+      else c0.indices.map(j => means((i, j)).toDouble / 1000.0).toArray
+    }
+  }
+
+  /** Re-encode ONE subspace's code column against a replacement
+    * sub-codebook (the REBUILD step of the PQ refit — every other
+    * subspace's codes are untouched). Same argmax-cosine,
+    * ties-to-the-larger-code semantics as [[pqEncode]].
+    */
+  def pqReencodeSubspace(
+      encoded: DataFrame,
+      embCol: String,
+      subDim: Int,
+      subspace: Int,
+      subCents: Seq[Array[Double]]): DataFrame = {
+    val sub = slice(col(embCol).cast("array<double>"), subspace * subDim + 1, subDim)
+    val scored = subCents.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFns.cosine(sub, array(c.toIndexedSeq.map(lit): _*)).as("sim"),
+        lit(i).as("cell"))
+    }
+    encoded.withColumn(s"pq_$subspace", greatest(scored: _*).getField("cell"))
+  }
 }

@@ -1186,6 +1186,100 @@ object Io {
     deleteDir(spark, bStage)
   }
 
+  /** Persisted (day, v, n) VALUE-GRID artifact — the EIGHTH
+    * seq-versioned family: the e-process monitors' shared sufficient
+    * statistic (the mean monitor, the variance monitor and the mean
+    * confidence sequence all fold the SAME grid) promoted from a
+    * session memo to a lifecycle artifact. Counts are LINEAR, so the
+    * lmCounts rules apply verbatim: an increment appends its partial
+    * grid under a seq stamp, a TAKEDOWN appends the removed rows'
+    * grid NEGATED (subtraction IS removal — no tombstone machinery),
+    * readers SUM-merge with zero-count keys dropping, and compaction
+    * rewrites one merged generation at stamp 0. The streaming
+    * monitors' append posture IS this artifact's upsert path.
+    *
+    * The declared-bound contract (v ∈ [0, 1e6] — ppm of the family's
+    * documented value bound) is enforced at EVERY write, so a
+    * violating increment fails at append time, never twelve hours
+    * later inside a consumer — the same fail-fast surface the memo
+    * build had, now owned by the artifact.
+    */
+  def writeValueGrid(cells: DataFrame, path: String, buckets: Int = 32): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val g = valueGridGuard(cells.select(col("day"), col("v"), col("n")))
+      .withColumn("day_bucket", pmod(xxhash64(col("day")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+    g.write.mode("overwrite").partitionBy("day_bucket").parquet(s"$path/grid")
+    Seq((buckets, g.schema.json))
+      .toDF("buckets", "grid_schema")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private def valueGridGuard(df: DataFrame): DataFrame =
+    df.filter(
+      assert_true(
+        col("v") >= 0L && col("v") <= 1000000L,
+        lit("valueGrid: v outside [0, 1e6] — the declared value bound " +
+          "is violated")).isNull)
+
+  private def valueGridMeta(spark: SparkSession, path: String): (Int, StructType) = {
+    val m = spark.read.parquet(s"$path/_meta")
+      .select(col("buckets"), col("grid_schema"))
+      .head()
+    (m.getInt(0),
+      org.apache.spark.sql.types.DataType.fromJson(m.getString(1)).asInstanceOf[StructType])
+  }
+
+  /** Append an increment's partial (day, v, n) grid with a seq stamp;
+    * negate `n` for a takedown (counts are linear).
+    */
+  def upsertValueGrid(delta: DataFrame, path: String, seq: Long): Unit = {
+    require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
+    val (buckets, _) = valueGridMeta(delta.sparkSession, path)
+    valueGridGuard(delta.select(col("day"), col("v"), col("n")))
+      .withColumn("day_bucket", pmod(xxhash64(col("day")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(seq))
+      .write.mode("append").partitionBy("day_bucket").parquet(s"$path/grid")
+  }
+
+  /** Merged grid AS OF a stamp: SUM over all deltas with
+    * `__seq <= asOfSeq`, keys whose merged count reaches 0 DROP (a
+    * taken-down day×value cell vanishes exactly as a rebuild on the
+    * filtered events would produce). Returns the (day, v, n)
+    * monitor-fit grid.
+    */
+  def readValueGridAsOf(spark: SparkSession, path: String, asOfSeq: Long): DataFrame = {
+    val (_, schema) = valueGridMeta(spark, path)
+    spark.read.schema(schema).parquet(s"$path/grid")
+      .filter(coalesce(col("__seq"), lit(0L)) <= asOfSeq)
+      .groupBy(col("day"), col("v"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0L)
+  }
+
+  /** Latest merged grid (as-of the maximum stamp). */
+  def readValueGrid(spark: SparkSession, path: String): DataFrame =
+    readValueGridAsOf(spark, path, Long.MaxValue)
+
+  /** Rewrite the delta history as ONE merged grid at stamp 0 —
+    * the family's compaction (staged rewrite, zero-count keys
+    * purged, history forfeited).
+    */
+  def compactValueGrid(spark: SparkSession, path: String): Unit = {
+    val (buckets, schema) = valueGridMeta(spark, path)
+    val stage = s"$path/grid_compacting"
+    readValueGrid(spark, path)
+      .withColumn("day_bucket", pmod(xxhash64(col("day")), lit(buckets.toLong)))
+      .withColumn("__seq", lit(0L))
+      .write.mode("overwrite").partitionBy("day_bucket").parquet(stage)
+    spark.read.schema(schema).parquet(stage)
+      .write.mode("overwrite").partitionBy("day_bucket").parquet(s"$path/grid")
+    deleteDir(spark, stage)
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files —
     * the cure for long append histories and over-parallel writes (a
     * 32-task write of a 10 MB table leaves 32 tiny files; a month of

@@ -550,4 +550,56 @@ class AnnRecallSpec extends SparkSpec {
     assert(Similarity.ivfRecenteredCentroids(assigned, empty, badCents, "cell", "embedding")
       eq badCents)
   }
+
+  test("pq refit loop: grade -> worklist -> subspace rebuild -> regrade improves CH") {
+    import spark.implicits._
+    // subspace 0 gets a healthy codebook; subspace 1's two codes both
+    // sit inside one direction-cluster (the IVF bad-centroid geometry
+    // confined to a subspace), so its CH grade is the argmin, the
+    // worklist picks it, and one targeted Lloyd step must raise it
+    val sub0: Seq[Array[Float]] =
+      Seq.fill(6)(Array(1f, 0.1f)) ++ Seq.fill(6)(Array(1f, -0.1f)) ++
+        Seq.fill(6)(Array(0.1f, 1f)) ++ Seq.fill(6)(Array(-0.1f, 1f))
+    val sub1: Seq[Array[Float]] =
+      Seq.fill(6)(Array(1f, 0.05f)) ++ Seq.fill(6)(Array(1f, -0.05f)) ++
+        Seq.fill(12)(Array(0.05f, 1f))
+    val vecs = sub0.zip(sub1).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a ++ b) }
+      .toDF("vec_id", "embedding")
+    val books = Seq(
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Seq(Array(1.0, 0.05), Array(1.0, -0.05)))
+    val encoded = Similarity.pqEncode(vecs, "embedding", 2, books)
+    val grades = Similarity.pqSubspaceGrades(encoded, "embedding", 2, 2)
+    val byS = grades.collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(byS(1L) < byS(0L), s"fixture must make subspace 1 the worst: $byS")
+    val wl = Similarity.pqRefitWorklist(grades).collect()
+    assert(wl.length == 1 && wl.head.getLong(0) == 1L, wl.mkString(","))
+    val newSub = Similarity.pqRefittedSubCodebook(encoded, "embedding", 2, 1, books(1))
+    val re = Similarity.pqReencodeSubspace(encoded, "embedding", 2, 1, newSub)
+    // the REBUILD touches only the flagged subspace's code column
+    assert(re.select(col("vec_id"), col("pq_0")).collect().toSet ==
+      encoded.select(col("vec_id"), col("pq_0")).collect().toSet)
+    val after = Similarity
+      .calinskiHarabasz(
+        re.withColumn("__sub", slice(col("embedding").cast("array<double>"), 3, 2)),
+        "pq_1", "__sub")
+      .head().getLong(5)
+    assert(after > byS(1L), s"refit should raise CH: before=${byS(1L)} after=$after")
+  }
+
+  test("pqRefittedSubCodebook: a code with no assigned vectors keeps its centroid") {
+    import spark.implicits._
+    // duplicate centroids tie every row to the LARGER code (the
+    // greatest-struct rule) -> code 0 is empty and must survive the
+    // refit untouched; code 1 re-centers on the exact mean
+    val vecs = (0 until 5).map(i => (i.toLong, Array(1f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val books = Seq(
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Seq(Array(1.0, 0.0), Array(1.0, 0.0)))
+    val encoded = Similarity.pqEncode(vecs, "embedding", 2, books)
+    val newSub = Similarity.pqRefittedSubCodebook(encoded, "embedding", 2, 1, books(1))
+    assert(newSub(0) eq books(1)(0))
+    assert(newSub(1).toSeq == Seq(1.0, 0.0))
+  }
 }

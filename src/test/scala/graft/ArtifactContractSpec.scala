@@ -5,9 +5,9 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** ONE parametrized contract over ALL SIX persisted artifact
+/** ONE parametrized contract over ALL EIGHT persisted artifact
   * families (IVF, PQ, postings, phash, dup graph, minhash
-  * signatures), so a family
+  * signatures, LM count grids, value grid), so a family
   * drifting from the shared as-of/compaction semantics fails HERE
   * even if its own suite forgot the clause. The lifecycle under test
   * is upsert-only (deletes have per-family tombstone-visibility
@@ -186,9 +186,54 @@ class ArtifactContractSpec extends SparkSpec {
     def plain(dir: String) = live(dir) // the merged reader IS the plain reader
   }
 
+  private def vg(rows: Seq[(String, Long, Long)]) =
+    rows.toDF("day", "v", "n").withColumn("day", to_date(col("day")))
+
+  private object ValueGridFamily extends Family {
+    val name = "valuegrid"
+    private def view(df: org.apache.spark.sql.DataFrame) = canon(
+      df.select(
+        concat_ws("|", date_format(col("day"), "yyyy-MM-dd"), col("v")).as("k"),
+        col("n")))
+    def build(dir: String): Unit = Io.writeValueGrid(
+      vg(Seq(("2026-01-01", 100L, 2L), ("2026-01-02", 200L, 1L))), dir, buckets = 4)
+    def upsert(dir: String, seq: Long): Unit = Io.upsertValueGrid(
+      // bumps an existing cell's count AND adds a new (day, v) cell
+      vg(Seq(("2026-01-01", 100L, seq), ("2026-01-03", 300L + seq * 10, 1L))), dir, seq)
+    def live(dir: String) = view(Io.readValueGrid(spark, dir))
+    def asOf(dir: String, seq: Long) = view(Io.readValueGridAsOf(spark, dir, seq))
+    def compact(dir: String): Unit = Io.compactValueGrid(spark, dir)
+    def plain(dir: String) = live(dir) // the merged reader IS the plain reader
+  }
+
   private val families: Seq[Family] =
     Seq(IvfFamily, PqFamily, PostingsFamily, PhashFamily, DupGraphFamily,
-      MinhashSigsFamily, LmCountsFamily)
+      MinhashSigsFamily, LmCountsFamily, ValueGridFamily)
+
+  test("[valuegrid] negative-delta takedown: zeroed cells vanish live, as-of resurrects them") {
+    val dir = tmp("contract_vgtd") + "/art"
+    ValueGridFamily.build(dir)
+    val full = ValueGridFamily.live(dir)
+    Io.upsertValueGrid(vg(Seq(("2026-01-02", 200L, -1L))), dir, seq = 1L)
+    val after = ValueGridFamily.live(dir)
+    assert(!after.exists(_.contains("2026-01-02")), after.toString)
+    assert(after.exists(_.contains("2026-01-01")), after.toString)
+    assert(ValueGridFamily.asOf(dir, 0L) == full)
+    Io.compactValueGrid(spark, dir)
+    assert(ValueGridFamily.plain(dir) == after)
+    assert(ValueGridFamily.asOf(dir, 0L) == after)
+  }
+
+  test("[valuegrid] declared-bound guard fires at WRITE time on every path") {
+    val dir = tmp("contract_vgbound") + "/art"
+    intercept[Exception] {
+      Io.writeValueGrid(vg(Seq(("2026-01-01", 1000001L, 1L))), dir)
+    }
+    ValueGridFamily.build(dir)
+    intercept[Exception] {
+      Io.upsertValueGrid(vg(Seq(("2026-01-01", -10L, 1L))), dir, seq = 1L)
+    }
+  }
 
   test("[lmcounts] negative-delta takedown: zeroed keys vanish live, as-of resurrects them") {
     val dir = tmp("contract_lmtd") + "/art"
