@@ -1097,6 +1097,17 @@ object Checks {
             col("__na").cast("string"),
             lit(" / "),
             col("__nb").cast("string"))).isNull)
+      // DIVSWEEP Class C bound in-plan: the t6 numerator na·nb·Σ mass
+      // exhausts DECIMAL(38) past the documented grid mass N ≈ 2e8 —
+      // guard BEFORE the CDF gap math so the caller gets the remedy
+      .filter(
+        assert_true(
+          col("__na") + col("__nb") <= 200000000L,
+          concat(
+            lit("cvmFromCounts: total histogram mass exceeds the documented " +
+              "DECIMAL(38) validity bound 2e8 — quantize to coarser buckets " +
+              "upstream (DIVSWEEP Class C); got "),
+            (col("__na") + col("__nb")).cast("string"))).isNull)
       .withColumn("ca", sum(col("n_a")).over(w))
       .withColumn("cb", sum(col("n_b")).over(w))
       .withColumn(
@@ -1372,6 +1383,17 @@ object Checks {
       .join(cells, Seq("__a", "__b"), "left")
       .na.fill(0L, Seq("n"))
       .crossJoin(tot)
+      // DIVSWEEP Class C bound in-plan: 1e6·d² with d up to ~N²/4
+      // exhausts DECIMAL(38) past the documented N ≈ 3e6 — guard
+      // BEFORE the term math so the caller gets the remedy
+      .filter(
+        assert_true(
+          col("__N") <= 3000000L,
+          concat(
+            lit("chiSquareIndependence: N exceeds the documented DECIMAL(38) " +
+              "validity bound 3e6 — quantize or pre-aggregate counts " +
+              "upstream (DIVSWEEP Class C); got N = "),
+            col("__N").cast("string"))).isNull)
     grid
       .select(
         col("__N"), col("__na"), col("__nb"),

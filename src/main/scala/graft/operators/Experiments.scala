@@ -1467,6 +1467,18 @@ object Experiments {
           .as("__ties3")))
     arms
       .crossJoin(tot)
+      // DIVSWEEP Class C bound in-plan: R2² reaches 4N⁴, exhausting
+      // DECIMAL(38) past the documented N ≈ 5e7 — the guard sits
+      // BEFORE the u_g6 term so the caller gets the remedy, not a
+      // mid-job ANSI ArithmeticException
+      .filter(
+        assert_true(
+          col("n") <= 50000000L,
+          concat(
+            lit("kruskalWallis: N exceeds the documented DECIMAL(38) validity " +
+              "bound 5e7 (rank-sum squares reach 4N⁴) — quantize values or " +
+              "subsample arms upstream (DIVSWEEP Class C); got N = "),
+            col("n").cast("string"))).isNull)
       // per-arm micro term 12·(R2_g/2)²/(n_g·N(N+1)) rounded ONCE —
       // dividing by the FULL denominator per arm keeps every
       // intermediate ≤ ~12e6·n_g (a huge t_g = 1e6·R2² div 4n_g
@@ -2766,6 +2778,18 @@ object Experiments {
     require(
       armTotals.length >= 2 && armTotals.length <= 11,
       s"jonckheereTerpstra: 2..11 ordered arms required, got ${armTotals.length}")
+    // DIVSWEEP Class C bound pushed in-plan: the Lehmann variance's
+    // A·N³ cross-products exhaust DECIMAL(38) headroom past the
+    // documented N ≈ 1e6 — fail at PLAN time with the remedy, not
+    // mid-job with an ANSI ArithmeticException
+    locally {
+      val nTotal = armTotals.map(_._2).sum
+      require(
+        nTotal <= 1000000L,
+        s"jonckheereTerpstra: N = $nTotal exceeds the documented DECIMAL(38) " +
+          "validity bound 1e6 (A·N³ variance cross-products) — collapse to " +
+          "the count grid or subsample upstream (DIVSWEEP Class C)")
+    }
     val offsets = broadcast(
       armTotals.toSeq
         .scanLeft((0L, 0L)) { case ((_, acc), (a, n0)) => (a, acc + n0) }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Checks, Evaluation, Series, Similarity, TextAnalysis}
+import graft.operators.{Checks, Evaluation, Experiments, Series, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
@@ -140,6 +140,53 @@ class DivQuotientSpec extends SparkSpec {
     assert(r.getAs[Long]("centroid_sq12") == 1000000000000L)
     assert(r.getAs[Long]("dispersion12") == 0L)
     assert(r.getAs[Long]("pairwise12") == 0L)
+  }
+
+  test("Class C guard: kruskalWallis fails fast just over N = 5e7, runs at it") {
+    // the count-grid input puts N wherever we want without
+    // materializing rows — one row over the documented bound must
+    // name the remedy; AT the bound the 4N⁴ staging still fits
+    val over = Seq((1L, 1L, 30000000L), (2L, 2L, 20000001L)).toDF("arm", "v", "c")
+    val e = intercept[Exception] {
+      Experiments.kruskalWallisFromCounts(over).collect()
+    }
+    assert(e.getMessage.contains("validity bound 5e7"), e.getMessage)
+    val at = Seq((1L, 1L, 30000000L), (2L, 2L, 20000000L)).toDF("arm", "v", "c")
+    assert(Experiments.kruskalWallisFromCounts(at).collect().length == 1)
+  }
+
+  test("Class C guard: cvmFromCounts fails fast just over mass 2e8, runs at it") {
+    val a = Seq((1L, 150000000L)).toDF("bucket", "n")
+    val e = intercept[Exception] {
+      Checks.cvmFromCounts(a, Seq((1L, 50000001L)).toDF("bucket", "n")).collect()
+    }
+    assert(e.getMessage.contains("validity bound 2e8"), e.getMessage)
+    val r = Checks.cvmFromCounts(a, Seq((1L, 50000000L)).toDF("bucket", "n")).head()
+    assert(r.getAs[Long]("t6") == 0L) // identical single-bucket CDFs
+  }
+
+  test("Class C guard: chiSquareIndependence fails fast just over N = 3e6, runs at it") {
+    def table(n: Long) = spark.range(n)
+      .select((col("id") % 2).as("a"), (col("id") % 3).as("b"))
+    val e = intercept[Exception] {
+      Checks.chiSquareIndependence(table(3000001L), col("a"), col("b")).collect()
+    }
+    assert(e.getMessage.contains("validity bound 3e6"), e.getMessage)
+    val r = Checks.chiSquareIndependence(table(3000000L), col("a"), col("b")).head()
+    assert(r.getAs[Long]("n_rows") == 3000000L)
+  }
+
+  test("Class C guard: jonckheereTerpstra fails at PLAN time just over N = 1e6") {
+    def arms(n: Long) = spark.range(n)
+      .select((col("id") % 2).as("arm"), (col("id") % 5).as("v"))
+    // the require fires inside the driver bootstrap — no action needed
+    val e = intercept[IllegalArgumentException] {
+      Experiments.jonckheereTerpstra(arms(1000001L), col("arm"), col("v"))
+    }
+    assert(e.getMessage.contains("validity bound 1e6"), e.getMessage)
+    val r = Experiments
+      .jonckheereTerpstra(arms(1000000L), col("arm"), col("v")).head()
+    assert(r.getAs[Long]("n") == 1000000L)
   }
 
   test("goodTuringFromFreq: empty corpus reads mass_ppm 0, never null") {
