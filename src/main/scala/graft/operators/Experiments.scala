@@ -3460,7 +3460,8 @@ object Experiments {
       valuePpmCol: Column,
       dayCol: Column,
       lambdaPpm: Long,
-      alphaPpm: Long): DataFrame =
+      alphaPpm: Long,
+      stepPct: Long = 1L): DataFrame =
     eProcessMeanCsFromCells(
       df
         .filter(valuePpmCol.isNotNull && dayCol.isNotNull)
@@ -3472,21 +3473,34 @@ object Experiments {
               "bound is violated")).isNull)
         .groupBy(col("day"), col("v"))
         .agg(count(lit(1)).as("n")),
-      lambdaPpm, alphaPpm)
+      lambdaPpm, alphaPpm, stepPct)
 
   /** [[eProcessMeanCs]] over a (possibly merged) (day, v, n)
     * value-grid — the mergeable half; same grid as
-    * [[eProcessMeanFromCells]] / [[eProcessVarianceFromCells]]. */
+    * [[eProcessMeanFromCells]] / [[eProcessVarianceFromCells]].
+    *
+    * `stepPct` is the candidate-density knob: the band IS one monitor
+    * per candidate, so its cost is linear in the grid density. The
+    * canonical operating point (and every registry query) stays the
+    * full percent grid (stepPct = 1, 99 candidates); a caller that
+    * wants a cheaper live band coarsens the grid — the stepPct = k
+    * band is exactly the 1%-band's surviving candidates restricted
+    * to multiples of k (each candidate's wealth path is independent
+    * of the others), so coarsening trades RESOLUTION (the mean is
+    * located only to the k% grid) and nothing else: every remaining
+    * candidate keeps its own anytime-validity untouched.
+    */
   def eProcessMeanCsFromCells(
       cells: DataFrame,
       lambdaPpm: Long,
-      alphaPpm: Long): DataFrame = {
+      alphaPpm: Long,
+      stepPct: Long = 1L): DataFrame = {
     require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
     require(lambdaPpm > 0L && lambdaPpm <= 1000000L, "lambdaPpm must be in (0, 1e6]")
     val spark = cells.sparkSession
     import spark.implicits._
     val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
-    val grid = broadcast(eProcessMeanCsGrid(lambdaPpm).toDF("pct", "m0", "lam6"))
+    val grid = broadcast(eProcessMeanCsGrid(lambdaPpm, stepPct).toDF("pct", "m0", "lam6"))
     val merged = cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n"))
     val daily = merged.groupBy(col("day")).agg(sum(col("n")).as("n"))
     // the ln terms depend only on (value, candidate) — compute each
@@ -3535,12 +3549,14 @@ object Experiments {
     * bound 0.5/max(m0, 1−m0) — exact integer ppm, no float in the
     * cap.
     */
-  def eProcessMeanCsGrid(lambdaPpm: Long): Seq[(Long, Long, Long)] =
-    (1L to 99L).map { pct =>
+  def eProcessMeanCsGrid(lambdaPpm: Long, stepPct: Long = 1L): Seq[(Long, Long, Long)] = {
+    require(stepPct >= 1L && stepPct <= 50L, "stepPct must be in [1, 50]")
+    (stepPct to 99L by stepPct).map { pct =>
       val m0 = pct * 10000L
       val lamMax6 = 500000000000L / math.max(m0, 1000000L - m0)
       (pct, m0, math.min(lambdaPpm, lamMax6))
     }
+  }
 
   /** Anytime-valid band for a rate DIFFERENCE p_A − p_B — the
     * two-sample completion of [[eProcessConfidenceSeq]]: each arm

@@ -908,6 +908,34 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("eProcessMeanCs stepPct knob: coarse grid is the 1% grid subsampled; band nests") {
+    import spark.implicits._
+    // the k-grid's candidates (and their capped lambdas) are literally
+    // the 1-grid's entries at multiples of k — validity per candidate
+    // is untouched, only resolution is traded
+    assert(Experiments.eProcessMeanCsGrid(500000L, 5L) ==
+      Experiments.eProcessMeanCsGrid(500000L).filter(_._1 % 5 == 0))
+    val rows = Seq(
+      ("d1", 40000L), ("d1", 60000L), ("d2", 50000L), ("d2", 50000L),
+      ("d3", 45000L), ("d3", 55000L)).toDF("d", "v")
+    def band(step: Long) = Experiments
+      .eProcessMeanCs(rows, col("v"), col("d"), lambdaPpm = 500000L,
+        alphaPpm = 50000L, stepPct = step)
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    val fine = band(1L)
+    val coarse = band(5L)
+    coarse.foreach { case (d, (lo, hi)) =>
+      assert(lo % 5 == 0 && hi % 5 == 0, s"$d: coarse endpoints off-grid ($lo, $hi)")
+      val (lo1, hi1) = fine(d)
+      assert(lo >= lo1 && hi <= hi1,
+        s"$d: coarse band ($lo,$hi) must be the fine band's ($lo1,$hi1) restriction")
+    }
+    intercept[IllegalArgumentException] {
+      Experiments.eProcessMeanCsGrid(500000L, 0L)
+    }
+  }
+
   test("signFlipTest: one-sided-heavy fixture rejects at the add-one floor; zero diffs give p = 1") {
     import spark.implicits._
     // 30 units, every d = +100: |T_r| >= |T_obs| = 3000 needs all 30
