@@ -1039,6 +1039,46 @@ object SparkEntryStreaming {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Streaming upsert of the PERSISTED value-grid artifact (the 8th
+    // seq-versioned family) — where st_eprocess_mean proves the
+    // sufficient statistic merges, this proves the FAMILY's own
+    // lifecycle API is the streaming posture: the base generation is
+    // an empty grid, each micro-batch's partial grid lands through
+    // Io.upsertValueGrid under its batch-id stamp (the declared-bound
+    // guard firing on every append), and the monitor reads the merged
+    // artifact back through Io.readValueGrid — bit-equal to the batch
+    // a_eprocess_mean under the shared oracle.
+    "st_valgrid_upsert" -> { (s, dir) =>
+      val gPath = s"/tmp/graft_idx/valgrid_st_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 10")
+      graft.sources.Io.writeValueGrid(
+        ev.filter(lit(false))
+          .select(to_date(col("ts")).as("day"), lit(0L).as("v"), lit(0L).as("n")),
+        gPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertValueGrid(
+            batch
+              .filter(col("value").isNotNull && col("ts").isNotNull)
+              .groupBy(to_date(col("ts")).as("day"), vppm.as("v"))
+              .agg(count(lit(1)).as("n")),
+            gPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessMeanFromCells(
+          graft.sources.Io.readValueGrid(s, gPath),
+          m0Ppm = 175000L,
+          lambdaPpm = 300000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming depth-2 MEAN changepoint — st_rate_binseg's
     // continuous sibling: the (day, n, s, q) moment grid is linear
     // in every coordinate (n/s BIGINT sums, q a DECIMAL(38,0) sum of
@@ -1900,6 +1940,7 @@ object SparkEntryStreaming {
     // value-grid merge-invariance, the variance functional: the
     // streamed dispersion monitor must equal the batch readout
     "st_eprocess_var" -> SparkEntryCoverage.oracleSql("a_eprocess_var"),
+    "st_valgrid_upsert" -> SparkEntryCoverage.oracleSql("a_eprocess_mean"),
     // value-grid merge-invariance, the CS functional: the streamed
     // band must equal the batch path
     "st_eprocess_mean_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_mean_cs"),
