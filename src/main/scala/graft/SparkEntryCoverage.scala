@@ -6533,6 +6533,23 @@ object SparkEntryCoverage {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Anytime-valid confidence sequence for the MEDIAN (Experiments
+    // .eProcessMedianCs): the sign-test member of the CS family and
+    // the FOURTH consumer of the shared (day, v, n) value grid — per
+    // candidate m, two one-sided Bernoulli bets at p0 = 1/2 (under
+    // H0 "median = m" both P(Y>m) and P(Y<m) are ≤ 1/2 for ANY
+    // distribution, ties included), so the band holds with no
+    // moment assumption at all — the location readout a heavy tail
+    // can't drag. Cheapest member: two shared micro-nat constants,
+    // zero ln calls in-plan.
+    "a_eprocess_median_cs" -> { (s, dir) =>
+      Experiments.eProcessMedianCsFromCells(
+        valueGridCells(s, dir),
+        lambdaPpm = 500000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Anytime-valid DIFFERENCE band (Experiments.eProcessDiffBand):
     // each parity arm runs its own purchase-rate confidence sequence
     // at alpha/2; the union bound makes [loA−hiB, hiA−loB] a
@@ -12967,6 +12984,48 @@ object SparkEntryCoverage {
     // view: the monitor over events excluding the %5-cent subset
     "a_valgrid_compacted" -> eProcessMeanOracleFor(
       "CAST(round(value * 100) AS BIGINT) % 5 <> 0"),
+    // the sign-test CS replayed in SQL: same candidate grid, same
+    // two injected micro-nat constants, same affine integer wealth
+    // and partitioned running-max latch — ties count in n, in
+    // neither indicator
+    "a_eprocess_median_cs" -> {
+      val (a6, b6) = Experiments.eProcessMedianCsConstants(500000L)
+      val thr6 = math.round(math.log(2e6 / 50000L) * 1e6)
+      s"""WITH base AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(round(value * 100) AS BIGINT) * 10 AS v
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+         |daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |dcum AS (SELECT day, n,
+         |    CAST(SUM(n) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+         |  FROM daily),
+         |grid AS (SELECT CAST(p AS BIGINT) AS pct, CAST(p * 10000 AS BIGINT) AS m
+         |  FROM (SELECT unnest(generate_series(1, 99)) AS p)),
+         |dp AS (SELECT day, pct,
+         |    CAST(SUM(CASE WHEN v > m THEN n ELSE 0 END) AS BIGINT) AS xg,
+         |    CAST(SUM(CASE WHEN v < m THEN n ELSE 0 END) AS BIGINT) AS xl
+         |  FROM cells CROSS JOIN grid GROUP BY 1, 2),
+         |cum AS (SELECT day, pct,
+         |    CAST(SUM(xg) OVER w AS BIGINT) AS cxg,
+         |    CAST(SUM(xl) OVER w AS BIGINT) AS cxl
+         |  FROM dp WINDOW w AS (PARTITION BY pct ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |wl AS (SELECT c.day, c.pct,
+         |    CAST(CAST(c.cxg AS HUGEINT) * ($a6) + CAST(d.cn - c.cxg AS HUGEINT) * ($b6)
+         |      AS BIGINT) AS wg6,
+         |    CAST(CAST(c.cxl AS HUGEINT) * ($a6) + CAST(d.cn - c.cxl AS HUGEINT) * ($b6)
+         |      AS BIGINT) AS wl6
+         |  FROM cum c JOIN dcum d USING (day)),
+         |sup AS (SELECT day, pct,
+         |    MAX(GREATEST(wg6, wl6)) OVER (PARTITION BY pct ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sup6
+         |  FROM wl),
+         |surv AS (SELECT day, MIN(pct) AS lo_pct, MAX(pct) AS hi_pct
+         |  FROM sup WHERE sup6 < $thr6 GROUP BY 1)
+         |SELECT strftime(s.day, '%Y-%m-%d') AS day, d.n, s.lo_pct, s.hi_pct
+         |FROM surv s JOIN daily d USING (day) ORDER BY day""".stripMargin
+    },
     // same (day, v, n) grid; per-day unbiased sample variance in
     // exact ppm² (HUGEINT cross-products, sequential truncations
     // mirrored), one micro-nat ln term per DAY

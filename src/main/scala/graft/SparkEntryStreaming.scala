@@ -1039,6 +1039,41 @@ object SparkEntryStreaming {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Streaming anytime-valid MEDIAN confidence sequence — the
+    // sign-test member live: the SAME (day, v, n) value-grid
+    // sufficient statistic (fourth consumer of the posture), re-run
+    // through the two-constant affine betting readout — bit-equal to
+    // the batch a_eprocess_median_cs under one shared oracle. The
+    // live location band no heavy tail can drag.
+    "st_eprocess_median_cs" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/epdgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 10")
+      ev.filter(lit(false))
+        .select(to_date(col("ts")).as("day"), lit(0L).as("v"), lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("value").isNotNull && col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"), vppm.as("v"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessMedianCsFromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("day"), col("v"))
+            .agg(sum(col("n")).as("n")),
+          lambdaPpm = 500000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming upsert of the PERSISTED value-grid artifact (the 8th
     // seq-versioned family) — where st_eprocess_mean proves the
     // sufficient statistic merges, this proves the FAMILY's own
@@ -1941,6 +1976,9 @@ object SparkEntryStreaming {
     // streamed dispersion monitor must equal the batch readout
     "st_eprocess_var" -> SparkEntryCoverage.oracleSql("a_eprocess_var"),
     "st_valgrid_upsert" -> SparkEntryCoverage.oracleSql("a_eprocess_mean"),
+    // value-grid merge-invariance, the sign-test functional: the
+    // streamed median band must equal the batch path
+    "st_eprocess_median_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_median_cs"),
     // value-grid merge-invariance, the CS functional: the streamed
     // band must equal the batch path
     "st_eprocess_mean_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_mean_cs"),

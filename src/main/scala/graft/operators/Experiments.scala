@@ -3558,6 +3558,117 @@ object Experiments {
     }
   }
 
+  /** Anytime-valid confidence SEQUENCE for the MEDIAN — the
+    * sign-test member of the CS family and the FOURTH consumer of
+    * the shared (day, v, n) value grid (mean alarm, variance alarm,
+    * mean band, and now the location band that no heavy tail can
+    * drag): for each candidate m on the percent grid of the declared
+    * bound, under H0 "median = m" BOTH P(Y > m) ≤ 1/2 and
+    * P(Y < m) ≤ 1/2 hold for ANY distribution (ties at m only lower
+    * both), so two one-sided Bernoulli bets at p0 = 1/2 and level
+    * α/2 each (the [[eProcessConfidenceSeq]] composition) reject
+    * candidates below/above the true median; day d's band is the
+    * surviving candidates' hull, rejection latches via the running
+    * sup (Ville), the band only shrinks and the whole path covers at
+    * 1−α (Howard & Ramdas 2022's time-uniform quantile bands, in
+    * betting form).
+    *
+    * Exactness — the family's cheapest member: at p0 = 1/2 the
+    * per-event wealth factors ln(1 ± λ/2) are TWO micro-nat
+    * constants shared by every candidate and both sides
+    * ([[eProcessMedianCsConstants]], injected into the oracle — the
+    * ndcgWeights discipline), so per (day, candidate) each side's
+    * log-wealth is an exact affine map of (c_gt, c_lt, c_n): NO ln
+    * runs in either plan. Ties (v = m) count in n but in neither
+    * indicator — exactly the inequality H0 needs. Scale shape: the
+    * grid × 99-candidate broadcast comparison-aggregates to
+    * (day, pct), then 99-partition bounded cumulative windows — the
+    * value grid is again the mergeable sufficient statistic, so the
+    * streaming twin SUM-merges partials and re-runs bit-equal.
+    * Returns one row per day with ≥1 surviving candidate
+    * (day, n, lo_pct, hi_pct), ordered.
+    */
+  def eProcessMedianCs(
+      df: DataFrame,
+      valuePpmCol: Column,
+      dayCol: Column,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessMedianCsFromCells(
+      df
+        .filter(valuePpmCol.isNotNull && dayCol.isNotNull)
+        .select(dayCol.as("day"), valuePpmCol.cast("long").as("v"))
+        .filter(
+          assert_true(
+            col("v") >= 0L && col("v") <= 1000000L,
+            lit("eProcessMedianCs: valuePpm outside [0, 1e6] — the declared " +
+              "bound is violated")).isNull)
+        .groupBy(col("day"), col("v"))
+        .agg(count(lit(1)).as("n")),
+      lambdaPpm, alphaPpm)
+
+  /** [[eProcessMedianCs]] over a (possibly merged) (day, v, n)
+    * value grid — the mergeable half; same grid as the other three
+    * e-process consumers.
+    */
+  def eProcessMedianCsFromCells(
+      cells: DataFrame,
+      lambdaPpm: Long,
+      alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
+    require(lambdaPpm > 0L && lambdaPpm <= 1000000L, "lambdaPpm must be in (0, 1e6]")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val (a6, b6) = eProcessMedianCsConstants(lambdaPpm)
+    val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
+    val merged = cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n"))
+    val daily = merged.groupBy(col("day")).agg(sum(col("n")).as("n"))
+    val dailyCum = Relational
+      .globalCumSum(daily, Seq(col("day")), "n", "__n0")
+      .select(col("day"), col("n"), (col("__n0") + col("n")).as("cn"))
+    val grid = broadcast(
+      (1L to 99L).map(p => (p, p * 10000L)).toDF("pct", "m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pct"))
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    merged
+      .crossJoin(grid)
+      .groupBy(col("day"), col("pct"))
+      .agg(
+        sum(when(col("v") > col("m"), col("n")).otherwise(0L)).as("xg"),
+        sum(when(col("v") < col("m"), col("n")).otherwise(0L)).as("xl"))
+      .withColumn("cxg", sum(col("xg")).over(w))
+      .withColumn("cxl", sum(col("xl")).over(w))
+      .join(dailyCum, Seq("day"))
+      .withColumn(
+        "__wg6",
+        (col("cxg").cast("decimal(38,0)") * a6 +
+          (col("cn") - col("cxg")).cast("decimal(38,0)") * b6).cast("long"))
+      .withColumn(
+        "__wl6",
+        (col("cxl").cast("decimal(38,0)") * a6 +
+          (col("cn") - col("cxl")).cast("decimal(38,0)") * b6).cast("long"))
+      .withColumn("__sup6", max(greatest(col("__wg6"), col("__wl6"))).over(w))
+      .filter(col("__sup6") < thr6)
+      .groupBy(col("day"), col("n"))
+      .agg(min(col("pct")).as("lo_pct"), max(col("pct")).as("hi_pct"))
+      .select(col("day"), col("n"), col("lo_pct"), col("hi_pct"))
+      .orderBy(col("day"))
+  }
+
+  /** The two micro-nat wealth constants [[eProcessMedianCs]] bets
+    * with — ln(1 + λ/2) and ln(1 − λ/2), shared by every candidate
+    * and both sides (p0 = 1/2 makes the grid degenerate) — exposed
+    * so the oracle injects the SAME longs.
+    */
+  def eProcessMedianCsConstants(lambdaPpm: Long): (Long, Long) = {
+    val lam = lambdaPpm / 1e6
+    (
+      math.round(math.log1p(lam * 0.5) * 1e6),
+      math.round(math.log1p(-lam * 0.5) * 1e6))
+  }
+
   /** Anytime-valid band for a rate DIFFERENCE p_A − p_B — the
     * two-sample completion of [[eProcessConfidenceSeq]]: each arm
     * runs its own confidence sequence at α/2, and by the union bound

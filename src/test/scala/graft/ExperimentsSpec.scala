@@ -936,6 +936,37 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("eProcessMedianCs: sign-test bets pin the median; ties count in n, neither side") {
+    import spark.implicits._
+    // λ = 1.0 makes the two shared constants ln(1.5) and ln(0.5)
+    assert(Experiments.eProcessMedianCsConstants(1000000L) == ((405465L, -693147L)))
+    // day 1: twenty observations exactly at 50% of the bound. Every
+    // candidate below 50 sees 20 'above' successes -> wealth
+    // 20·405465 = 8.1e6 >= ln(2/α)·1e6 = 3.69e6 -> rejected; every
+    // candidate above 50 symmetric; candidate 50 sees only TIES
+    // (in n, in neither indicator) -> wealth stays negative. The
+    // band collapses to [50, 50] in one day.
+    val d1 = Seq.fill(20)(("d1", 500000L))
+    // day 2: ten observations at 51% — candidate 50's above-side
+    // wealth is 10·405465 + 20·(−693147) < 0, so it still survives;
+    // candidate 51 was already latched out on day 1 (its below-side
+    // saw 20 successes), so the band stays [50, 50]
+    val d2 = Seq.fill(10)(("d2", 510000L))
+    val r = Experiments
+      .eProcessMedianCs(
+        (d1 ++ d2).toDF("d", "v"), col("v"), col("d"),
+        lambdaPpm = 1000000L, alphaPpm = 50000L)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("d1", 20L, 50L, 50L), ("d2", 10L, 50L, 50L)), r.toSeq.toString)
+    // the declared bound is enforced at the grid fold
+    intercept[Exception] {
+      Experiments.eProcessMedianCs(
+        Seq(("d1", 1000001L)).toDF("d", "v"), col("v"), col("d"), 500000L, 50000L)
+        .collect()
+    }
+  }
+
   test("signFlipTest: one-sided-heavy fixture rejects at the add-one floor; zero diffs give p = 1") {
     import spark.implicits._
     // 30 units, every d = +100: |T_r| >= |T_obs| = 3000 needs all 30
