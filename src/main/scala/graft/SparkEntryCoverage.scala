@@ -4912,6 +4912,38 @@ object SparkEntryCoverage {
           col("__after").isNotNull.as("refit"))
         .orderBy(col("subspace"))
     },
+    // IVF-PQ hybrid top-k (Similarity.ivfPqTopK — the IVFADC layout):
+    // the coarse quantizer routes the query to its 2 nearest cells,
+    // the scan inside them ranks by the PQ lookup tables (byte codes,
+    // never vectors), the 50-row shortlist re-ranks exact. The two
+    // index families composed: cell routing cuts candidates, code
+    // scan cuts bytes per candidate, and the cuts multiply — the
+    // billion-vector shape.
+    "v_ivfpq_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val cents = full.toSeq
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, books)
+      Similarity
+        .ivfPqTopK(encoded, "embedding", cents, books, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // PQ top-k off the PERSISTED index: codebooks + codes written to
     // parquet once (the expensive encode is the build-time artifact),
     // the query loads and ranks without re-encoding anything — same
@@ -8895,14 +8927,16 @@ object SparkEntryCoverage {
     */
   private[graft] def pqTopkOracleFor(
       corpusPred: String,
-      embExpr: String = "e.embedding"): String = {
+      embExpr: String = "e.embedding",
+      extraCtes: String = ""): String = {
     def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
     val codeCos = sqlCosine("sub_v", "sub_c")
+    val extras = if (extraCtes.isEmpty) "" else extraCtes.stripSuffix(",") + ",\n"
     s"""WITH cents AS (
        | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
        | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |scored AS (
+       |${extras}scored AS (
        | SELECT e.vec_id, e.label, ($embExpr) AS embedding, gs.s, c.cell,
        |        ${subSlice(s"($embExpr)", "gs.s")} AS sub_v,
        |        ${subSlice("c.ce", "gs.s")} AS sub_c
@@ -11716,6 +11750,23 @@ object SparkEntryCoverage {
          |            / CAST(n_pred_pairs + n_true_pairs AS DOUBLE) END AS f1
          |FROM p, tpc, tc""".stripMargin,
     "v_pq_topk" -> pqTopkOracle,
+    // the IVFADC composition: the pq ADC chain over the corpus
+    // restricted to the query's 2 nearest coarse cells (full-space
+    // argmax assignment, ties to the larger cell; probe ties to the
+    // SMALLER cell — the engine's stable sort over ascending index)
+    "v_ivfpq_topk" -> pqTopkOracleFor(
+      "e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM pcand)",
+      extraCtes =
+        s"""iscored AS (
+           | SELECT e2.vec_id, c2.cell, ${sqlCosine("e2.embedding", "c2.ce")} AS sim
+           | FROM embeddings e2 CROSS JOIN cents c2 WHERE e2.vec_id <> 0),
+           |iassign AS (SELECT vec_id, cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM iscored) WHERE rn = 1),
+           |iprobe AS (SELECT c3.cell FROM cents c3, q
+           |  ORDER BY ${sqlCosine("q.qe", "c3.ce")} DESC, c3.cell LIMIT 2),
+           |pcand AS (SELECT vec_id FROM iassign
+           |  WHERE cell IN (SELECT cell FROM iprobe))""".stripMargin),
     // 8 copies of the v_calinski chain, one per subspace: assignment
     // by subvector-cosine argmax (ties to the larger code — the
     // greatest-struct semantics), then the milli-quantized CH moments

@@ -1015,6 +1015,53 @@ object Similarity {
       k)
   }
 
+  /** IVF-PQ hybrid top-k — the two index families COMPOSED into the
+    * billion-vector layout (the IVFADC shape of Jégou, Douze &
+    * Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): the IVF coarse quantizer routes the query to its
+    * `nprobe` nearest cells (a ≤k-centroid driver-side bootstrap,
+    * the [[ivfTopK]] idiom), the scan INSIDE the probed cells ranks
+    * by the PQ asymmetric-distance lookup (8 array reads + adds per
+    * row — byte codes, never vectors), and only the `shortlist`
+    * best re-rank with exact cosine. At 100 TB this touches codes
+    * for ~nprobe/k of the corpus and full vectors for `shortlist`
+    * rows — cell routing cuts the candidate set, code scan cuts the
+    * bytes per candidate, and the two cuts multiply.
+    *
+    * `assigned` must carry the IVF `cell` column ([[ivfAssign]]) and
+    * the `pq_<s>` code columns ([[pqEncode]]); probe ties keep the
+    * smaller cell (stable sort over the ascending centroid index,
+    * mirrored by the oracle's ORDER BY sim DESC, cell ASC).
+    */
+  def ivfPqTopK(
+      assigned: DataFrame,
+      embCol: String,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      query: Array[Double],
+      subDim: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cos(query, c), i) }
+      .sortBy(-_._1)
+      .take(nprobe)
+      .map(_._2)
+    pqTopK(
+      assigned.filter(col("cell").isin(probeCells: _*)),
+      embCol, codebooks, query, subDim, shortlist, k, idCol)
+  }
+
   /** Margin-based cross-source vector alignment — the bitext-mining
     * criterion (Artetxe & Schwenk, "Margin-based Parallel Corpus
     * Mining with Multilingual Sentence Embeddings", ACL 2019, ratio
