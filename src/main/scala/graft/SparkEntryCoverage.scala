@@ -4944,6 +4944,44 @@ object SparkEntryCoverage {
           nprobe = 2, shortlist = 50, k = 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // The hybrid served from the PERSISTED artifacts: the coarse
+    // centroids land in the IVF index family, the cell-tagged codes
+    // land in the PQ index family (pqEncode keeps every column, so
+    // the code rows carry `cell`), and the query loads both and runs
+    // the IVFADC scan without re-assigning or re-encoding anything —
+    // v_ivfpq_topk's oracle shared verbatim (artifact round-trips are
+    // result-identity, the v_pq_persisted rule).
+    "v_ivfpq_persisted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val cents = full.toSeq
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, books)
+      val ivfPath = s"/tmp/graft_idx/ivfpq_c_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val pqPath = s"/tmp/graft_idx/ivfpq_p_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(encoded.select(col("vec_id"), col("cell")), cents, ivfPath)
+      graft.sources.Io.writePqIndex(encoded, books, pqPath)
+      val (loadedCents, _) = graft.sources.Io.readIvfIndex(s, ivfPath)
+      val (loadedBooks, codes) = graft.sources.Io.readPqIndex(s, pqPath)
+      Similarity
+        .ivfPqTopK(codes, "embedding", loadedCents, loadedBooks, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // PQ top-k off the PERSISTED index: codebooks + codes written to
     // parquet once (the expensive encode is the build-time artifact),
     // the query loads and ranks without re-encoding anything — same
@@ -8979,6 +9017,9 @@ object SparkEntryCoverage {
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     base ++ Map(
+      // the persisted hybrid must reproduce the in-line composition
+      // exactly — one oracle, two paths (the v_pq_persisted rule)
+      "v_ivfpq_persisted" -> base("v_ivfpq_topk"),
       "g_pagerank_persisted" -> base("g_pagerank"),
       "dd_cluster_sizes_persisted" -> base("dd_cluster_sizes"),
       "dd_cluster_resolve_persisted" -> base("dd_cluster_resolve"),
