@@ -6620,6 +6620,20 @@ object SparkEntryCoverage {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // The same sign-test machinery at q = 90% (Experiments
+    // .eProcessQuantileCsFromCells): the always-valid TAIL band — is
+    // p90 cent-value drifting up? — the tail-latency/tail-cost
+    // readout a mean monitor can't see, distribution-free like the
+    // median band (fifth consumer of the shared value grid).
+    "a_eprocess_p90_cs" -> { (s, dir) =>
+      Experiments.eProcessQuantileCsFromCells(
+        valueGridCells(s, dir),
+        qPpm = 900000L,
+        lambdaPpm = 500000L,
+        alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Anytime-valid DIFFERENCE band (Experiments.eProcessDiffBand):
     // each parity arm runs its own purchase-rate confidence sequence
     // at alpha/2; the union bound makes [loA−hiB, hiA−loB] a
@@ -8719,6 +8733,50 @@ object SparkEntryCoverage {
        |SELECT strftime(day, '%Y-%m-%d') AS day, n, ln_e6,
        |  ln_e6 >= 2995732 AS crossed
        |FROM cum ORDER BY day""".stripMargin
+
+  /** The quantile-CS oracle at general q (the a_eprocess_median_cs
+    * chain with per-side constants injected via
+    * [[Experiments.eProcessQuantileCsConstants]] — at q = 50% both
+    * sides coincide and this IS the median oracle).
+    */
+  private def quantileCsOracleFor(qPpm: Long, lambdaPpm: Long, alphaPpm: Long): String = {
+    val (ag6, bg6, al6, bl6) = Experiments.eProcessQuantileCsConstants(qPpm, lambdaPpm)
+    val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
+    s"""WITH base AS (SELECT CAST(ts AS DATE) AS day,
+       |    CAST(round(value * 100) AS BIGINT) * 10 AS v
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+       |daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY 1),
+       |dcum AS (SELECT day, n,
+       |    CAST(SUM(n) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+       |  FROM daily),
+       |grid AS (SELECT CAST(p AS BIGINT) AS pct, CAST(p * 10000 AS BIGINT) AS m
+       |  FROM (SELECT unnest(generate_series(1, 99)) AS p)),
+       |dp AS (SELECT day, pct,
+       |    CAST(SUM(CASE WHEN v > m THEN n ELSE 0 END) AS BIGINT) AS xg,
+       |    CAST(SUM(CASE WHEN v < m THEN n ELSE 0 END) AS BIGINT) AS xl
+       |  FROM cells CROSS JOIN grid GROUP BY 1, 2),
+       |cum AS (SELECT day, pct,
+       |    CAST(SUM(xg) OVER w AS BIGINT) AS cxg,
+       |    CAST(SUM(xl) OVER w AS BIGINT) AS cxl
+       |  FROM dp WINDOW w AS (PARTITION BY pct ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |wl AS (SELECT c.day, c.pct,
+       |    CAST(CAST(c.cxg AS HUGEINT) * ($ag6) + CAST(d.cn - c.cxg AS HUGEINT) * ($bg6)
+       |      AS BIGINT) AS wg6,
+       |    CAST(CAST(c.cxl AS HUGEINT) * ($al6) + CAST(d.cn - c.cxl AS HUGEINT) * ($bl6)
+       |      AS BIGINT) AS wl6
+       |  FROM cum c JOIN dcum d USING (day)),
+       |sup AS (SELECT day, pct,
+       |    MAX(GREATEST(wg6, wl6)) OVER (PARTITION BY pct ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sup6
+       |  FROM wl),
+       |surv AS (SELECT day, MIN(pct) AS lo_pct, MAX(pct) AS hi_pct
+       |  FROM sup WHERE sup6 < $thr6 GROUP BY 1)
+       |SELECT strftime(s.day, '%Y-%m-%d') AS day, d.n, s.lo_pct, s.hi_pct
+       |FROM surv s JOIN daily d USING (day) ORDER BY day""".stripMargin
+  }
 
   /** WITH-chain for one PQ subspace's BEFORE grade (the v_pq_quality
     * chain, shared with the refit family): codebook from vec 1–4
@@ -13077,47 +13135,12 @@ object SparkEntryCoverage {
     "a_valgrid_compacted" -> eProcessMeanOracleFor(
       "CAST(round(value * 100) AS BIGINT) % 5 <> 0"),
     // the sign-test CS replayed in SQL: same candidate grid, same
-    // two injected micro-nat constants, same affine integer wealth
-    // and partitioned running-max latch — ties count in n, in
-    // neither indicator
-    "a_eprocess_median_cs" -> {
-      val (a6, b6) = Experiments.eProcessMedianCsConstants(500000L)
-      val thr6 = math.round(math.log(2e6 / 50000L) * 1e6)
-      s"""WITH base AS (SELECT CAST(ts AS DATE) AS day,
-         |    CAST(round(value * 100) AS BIGINT) * 10 AS v
-         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-         |cells AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
-         |daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY 1),
-         |dcum AS (SELECT day, n,
-         |    CAST(SUM(n) OVER (ORDER BY day
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
-         |  FROM daily),
-         |grid AS (SELECT CAST(p AS BIGINT) AS pct, CAST(p * 10000 AS BIGINT) AS m
-         |  FROM (SELECT unnest(generate_series(1, 99)) AS p)),
-         |dp AS (SELECT day, pct,
-         |    CAST(SUM(CASE WHEN v > m THEN n ELSE 0 END) AS BIGINT) AS xg,
-         |    CAST(SUM(CASE WHEN v < m THEN n ELSE 0 END) AS BIGINT) AS xl
-         |  FROM cells CROSS JOIN grid GROUP BY 1, 2),
-         |cum AS (SELECT day, pct,
-         |    CAST(SUM(xg) OVER w AS BIGINT) AS cxg,
-         |    CAST(SUM(xl) OVER w AS BIGINT) AS cxl
-         |  FROM dp WINDOW w AS (PARTITION BY pct ORDER BY day
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |wl AS (SELECT c.day, c.pct,
-         |    CAST(CAST(c.cxg AS HUGEINT) * ($a6) + CAST(d.cn - c.cxg AS HUGEINT) * ($b6)
-         |      AS BIGINT) AS wg6,
-         |    CAST(CAST(c.cxl AS HUGEINT) * ($a6) + CAST(d.cn - c.cxl AS HUGEINT) * ($b6)
-         |      AS BIGINT) AS wl6
-         |  FROM cum c JOIN dcum d USING (day)),
-         |sup AS (SELECT day, pct,
-         |    MAX(GREATEST(wg6, wl6)) OVER (PARTITION BY pct ORDER BY day
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sup6
-         |  FROM wl),
-         |surv AS (SELECT day, MIN(pct) AS lo_pct, MAX(pct) AS hi_pct
-         |  FROM sup WHERE sup6 < $thr6 GROUP BY 1)
-         |SELECT strftime(s.day, '%Y-%m-%d') AS day, d.n, s.lo_pct, s.hi_pct
-         |FROM surv s JOIN daily d USING (day) ORDER BY day""".stripMargin
-    },
+    // injected micro-nat constants, same affine integer wealth and
+    // partitioned running-max latch — ties count in n, in neither
+    // indicator
+    "a_eprocess_median_cs" -> quantileCsOracleFor(500000L, 500000L, 50000L),
+    // the same machinery at q = 90% — the always-valid tail band
+    "a_eprocess_p90_cs" -> quantileCsOracleFor(900000L, 500000L, 50000L),
     // same (day, v, n) grid; per-day unbiased sample variance in
     // exact ppm² (HUGEINT cross-products, sequential truncations
     // mirrored), one micro-nat ln term per DAY

@@ -1074,6 +1074,41 @@ object SparkEntryStreaming {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
     },
+    // Streaming anytime-valid p90 band — the tail member live (the
+    // SAME value-grid sufficient statistic, fifth consumer), re-run
+    // through the four-constant affine quantile betting readout —
+    // bit-equal to the batch a_eprocess_p90_cs under one shared
+    // oracle. The live "is the tail fattening" alarm.
+    "st_eprocess_p90_cs" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/epqgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val vppm = expr("CAST(round(value * 100) AS BIGINT) * 10")
+      ev.filter(lit(false))
+        .select(to_date(col("ts")).as("day"), lit(0L).as("v"), lit(0L).as("n"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("value").isNotNull && col("ts").isNotNull)
+            .groupBy(to_date(col("ts")).as("day"), vppm.as("v"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Experiments
+        .eProcessQuantileCsFromCells(
+          s.read.parquet(cPath)
+            .groupBy(col("day"), col("v"))
+            .agg(sum(col("n")).as("n")),
+          qPpm = 900000L,
+          lambdaPpm = 500000L,
+          alphaPpm = 50000L)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
     // Streaming upsert of the PERSISTED value-grid artifact (the 8th
     // seq-versioned family) — where st_eprocess_mean proves the
     // sufficient statistic merges, this proves the FAMILY's own
@@ -1979,6 +2014,9 @@ object SparkEntryStreaming {
     // value-grid merge-invariance, the sign-test functional: the
     // streamed median band must equal the batch path
     "st_eprocess_median_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_median_cs"),
+    // value-grid merge-invariance, the tail functional: the streamed
+    // p90 band must equal the batch path
+    "st_eprocess_p90_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_p90_cs"),
     // value-grid merge-invariance, the CS functional: the streamed
     // band must equal the batch path
     "st_eprocess_mean_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_mean_cs"),

@@ -3609,17 +3609,44 @@ object Experiments {
 
   /** [[eProcessMedianCs]] over a (possibly merged) (day, v, n)
     * value grid — the mergeable half; same grid as the other three
-    * e-process consumers.
+    * e-process consumers. The q = 50% case of
+    * [[eProcessQuantileCsFromCells]].
     */
   def eProcessMedianCsFromCells(
       cells: DataFrame,
       lambdaPpm: Long,
+      alphaPpm: Long): DataFrame =
+    eProcessQuantileCsFromCells(cells, 500000L, lambdaPpm, alphaPpm)
+
+  /** Anytime-valid confidence SEQUENCE for ANY quantile — the
+    * [[eProcessMedianCs]] machinery at general q (the tail member:
+    * at q = 90% this is the always-valid p90 band, the tail-latency/
+    * tail-cost readout a mean can't see and a heavy tail can't
+    * drag): per candidate m, under H0 "the q-quantile is m" both
+    * P(Y > m) ≤ 1−q and P(Y < m) ≤ q hold for ANY distribution
+    * (ties at m only lower both), so the above-side bets a Bernoulli
+    * e-process at p0 = 1−q on {y > m} and the below-side at p0 = q
+    * on {y < m}, each at α/2; rejection latches (Ville), the band
+    * only shrinks, the whole path covers at 1−α.
+    *
+    * Exactness: FOUR micro-nat constants shared by every candidate
+    * ([[eProcessQuantileCsConstants]] — the per-side success/failure
+    * factors ln(1 ± λ_side·(·)), λ capped per side at the positivity
+    * bound 0.5/max(p0, 1−p0)), so per (day, candidate) each side's
+    * log-wealth is an exact affine map of running counts — zero ln
+    * calls in-plan, the cheapest family shape at any q.
+    */
+  def eProcessQuantileCsFromCells(
+      cells: DataFrame,
+      qPpm: Long,
+      lambdaPpm: Long,
       alphaPpm: Long): DataFrame = {
+    require(qPpm > 0L && qPpm < 1000000L, "qPpm must be in (0, 1e6)")
     require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
     require(lambdaPpm > 0L && lambdaPpm <= 1000000L, "lambdaPpm must be in (0, 1e6]")
     val spark = cells.sparkSession
     import spark.implicits._
-    val (a6, b6) = eProcessMedianCsConstants(lambdaPpm)
+    val (ag6, bg6, al6, bl6) = eProcessQuantileCsConstants(qPpm, lambdaPpm)
     val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
     val merged = cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n"))
     val daily = merged.groupBy(col("day")).agg(sum(col("n")).as("n"))
@@ -3643,12 +3670,12 @@ object Experiments {
       .join(dailyCum, Seq("day"))
       .withColumn(
         "__wg6",
-        (col("cxg").cast("decimal(38,0)") * a6 +
-          (col("cn") - col("cxg")).cast("decimal(38,0)") * b6).cast("long"))
+        (col("cxg").cast("decimal(38,0)") * ag6 +
+          (col("cn") - col("cxg")).cast("decimal(38,0)") * bg6).cast("long"))
       .withColumn(
         "__wl6",
-        (col("cxl").cast("decimal(38,0)") * a6 +
-          (col("cn") - col("cxl")).cast("decimal(38,0)") * b6).cast("long"))
+        (col("cxl").cast("decimal(38,0)") * al6 +
+          (col("cn") - col("cxl")).cast("decimal(38,0)") * bl6).cast("long"))
       .withColumn("__sup6", max(greatest(col("__wg6"), col("__wl6"))).over(w))
       .filter(col("__sup6") < thr6)
       .groupBy(col("day"), col("n"))
@@ -3667,6 +3694,27 @@ object Experiments {
     (
       math.round(math.log1p(lam * 0.5) * 1e6),
       math.round(math.log1p(-lam * 0.5) * 1e6))
+  }
+
+  /** The four micro-nat wealth constants [[eProcessQuantileCsFromCells]]
+    * bets with — (above-success, above-failure, below-success,
+    * below-failure), λ capped per side at 0.5/max(p0, 1−p0) — exposed
+    * so the oracle injects the SAME longs. At qPpm = 500000 the two
+    * sides coincide with [[eProcessMedianCsConstants]].
+    */
+  def eProcessQuantileCsConstants(
+      qPpm: Long,
+      lambdaPpm: Long): (Long, Long, Long, Long) = {
+    def side(p0: Double): (Long, Long) = {
+      val lam = math.min(lambdaPpm / 1e6, 0.5 / math.max(p0, 1.0 - p0))
+      (
+        math.round(math.log1p(lam * (1.0 - p0)) * 1e6),
+        math.round(math.log1p(-lam * p0) * 1e6))
+    }
+    val q = qPpm / 1e6
+    val (ag, bg) = side(1.0 - q) // bet on {y > m}, null mean 1−q
+    val (al, bl) = side(q) // bet on {y < m}, null mean q
+    (ag, bg, al, bl)
   }
 
   /** Anytime-valid band for a rate DIFFERENCE p_A − p_B — the

@@ -59,7 +59,11 @@ class BoundsCalibrationSpec extends SparkSpec {
     "Checks.scala" -> 21,
     "Dedup.scala" -> 16,
     "Evaluation.scala" -> 9,
-    "Experiments.scala" -> 55,
+    // round-12 +5 over the post-Class-C baseline: one data-magnitude
+    // valuePpm guard (the median CS — marker below) + four structural
+    // parameter requires (the mean-CS stepPct range and the quantile
+    // CS qPpm/alphaPpm/lambdaPpm ranges)
+    "Experiments.scala" -> 60,
     "Graph.scala" -> 13,
     "Layout.scala" -> 1,
     "Multimodal.scala" -> 5,
@@ -77,7 +81,9 @@ class BoundsCalibrationSpec extends SparkSpec {
     * or be reworded out of the inventory.
     */
   private val dataMagnitudeMarkers: Seq[(String, String, Int)] = Seq(
-    ("Experiments.scala", "valuePpm outside [0, 1e6]", 3),
+    // mean, variance, mean-CS, median-CS — all four share the $1000
+    // declared-cap calibration basis below
+    ("Experiments.scala", "valuePpm outside [0, 1e6]", 4),
     ("Experiments.scala", "exceeds the documented", 2),
     ("Checks.scala", "exceeds the documented", 2),
     ("Graph.scala", "nodes must number < unit", 2),
