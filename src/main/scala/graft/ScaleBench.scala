@@ -383,6 +383,21 @@ object ScaleBench {
             500000L,
             50000L).count())
         parts += f""""eprocess_cs":{"sec":$csSec%.2f,"rows":$cs}"""
+        // the r12 wave: the quantile CS — one row-linear grid fold,
+        // then everything candidate×day bounded (the sign-test band
+        // claims the cheapest family shape; this measures it)
+        reset(spark)
+        val (qcs, qcsSec) = timed(
+          Experiments.eProcessQuantileCsFromCells(
+            ev.filter(col("value").isNotNull && col("ts").isNotNull)
+              .groupBy(
+                to_date(col("ts")).as("day"),
+                expr("CAST(round(value * 100) AS BIGINT) * 10").as("v"))
+              .agg(count(lit(1)).as("n")),
+            qPpm = 900000L,
+            lambdaPpm = 500000L,
+            alphaPpm = 50000L).count())
+        parts += f""""quantile_cs":{"sec":$qcsSec%.2f,"rows":$qcs}"""
       }
 
       if (on("changepoint")) {
