@@ -4982,6 +4982,103 @@ object SparkEntryCoverage {
           nprobe = 2, shortlist = 50, k = 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // The composed index's MUTATION path — upsertPqIndex on the
+    // CELL-TAGGED code rows: the base build lands every 5th vector
+    // STALE (reversed embedding — assigned AND encoded as such), the
+    // seq-1 upsert re-assigns + re-encodes the true versions against
+    // the FROZEN coarse centroids and codebooks, and last-wins on the
+    // code row carries the `cell` column with it — a vector that
+    // MOVES across coarse cells on correction needs no separate
+    // cell-tombstone machinery, because the cell lives in the same
+    // row the id resolution replaces. Converged read must equal the
+    // plain hybrid, so v_ivfpq_topk's oracle is shared — a broken
+    // composed last-wins would rank reversed vectors (or probe the
+    // stale cell) and hash-mismatch.
+    "v_ivfpq_upsert" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val cents = full.toSeq
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus.withColumn(
+        "embedding",
+        when(col("vec_id") % 5 === 0, reverse(col("embedding"))).otherwise(col("embedding")))
+      val ivfPath = s"/tmp/graft_idx/ivfpq_uc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val pqPath = s"/tmp/graft_idx/ivfpq_up_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val staleEnc = Similarity.pqEncode(
+        Similarity.ivfAssign(stale, "embedding", cents), "embedding", subDim, books)
+      graft.sources.Io.writeIvfIndex(staleEnc.select(col("vec_id"), col("cell")), cents, ivfPath)
+      graft.sources.Io.writePqIndex(staleEnc, books, pqPath)
+      graft.sources.Io.upsertPqIndex(
+        Similarity.pqEncode(
+          Similarity.ivfAssign(corpus.filter(col("vec_id") % 5 === 0), "embedding", cents),
+          "embedding", subDim, books),
+        pqPath,
+        seq = 1L)
+      val (loadedCents, _) = graft.sources.Io.readIvfIndex(s, ivfPath)
+      val (loadedBooks, latest) = graft.sources.Io.readPqIndexLatest(s, pqPath, "vec_id")
+      Similarity
+        .ivfPqTopK(latest, "embedding", loadedCents, loadedBooks, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
+    // Composed-index TIME TRAVEL: the same stale-base + corrected-
+    // upsert history as v_ivfpq_upsert, read AS OF 0 — the pre-upsert
+    // hybrid, whose coarse cells, codes AND re-rank vectors are all
+    // the stale (reversed) ones. The oracle probes and ranks the same
+    // stale corpus view (the v_pq_asof discipline, composed).
+    "v_ivfpq_asof" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val cents = full.toSeq
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus.withColumn(
+        "embedding",
+        when(col("vec_id") % 5 === 0, reverse(col("embedding"))).otherwise(col("embedding")))
+      val ivfPath = s"/tmp/graft_idx/ivfpq_ac_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val pqPath = s"/tmp/graft_idx/ivfpq_ap_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val staleEnc = Similarity.pqEncode(
+        Similarity.ivfAssign(stale, "embedding", cents), "embedding", subDim, books)
+      graft.sources.Io.writeIvfIndex(staleEnc.select(col("vec_id"), col("cell")), cents, ivfPath)
+      graft.sources.Io.writePqIndex(staleEnc, books, pqPath)
+      graft.sources.Io.upsertPqIndex(
+        Similarity.pqEncode(
+          Similarity.ivfAssign(corpus.filter(col("vec_id") % 5 === 0), "embedding", cents),
+          "embedding", subDim, books),
+        pqPath,
+        seq = 1L)
+      val (loadedCents, _) = graft.sources.Io.readIvfIndex(s, ivfPath)
+      val (loadedBooks, asOf0) = graft.sources.Io.readPqIndexAsOf(s, pqPath, "vec_id", 0L)
+      Similarity
+        .ivfPqTopK(asOf0, "embedding", loadedCents, loadedBooks, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // PQ top-k off the PERSISTED index: codebooks + codes written to
     // parquet once (the expensive encode is the build-time artifact),
     // the query loads and ranks without re-encoding anything — same
@@ -8778,6 +8875,31 @@ object SparkEntryCoverage {
        |FROM surv s JOIN daily d USING (day) ORDER BY day""".stripMargin
   }
 
+  /** The IVFADC composed-index oracle: the pq ADC chain over the
+    * corpus restricted to the query's 2 nearest coarse cells —
+    * full-space argmax assignment over `assignEmbExpr` (the stale
+    * variants substitute a CASE; must textually use alias `e2`),
+    * probe ties to the SMALLER cell (the engine's stable sort),
+    * codes/re-rank over `rankEmbExpr` (alias `e`).
+    */
+  private def ivfPqTopkOracleFor(
+      assignEmbExpr: String,
+      rankEmbExpr: String = "e.embedding"): String =
+    pqTopkOracleFor(
+      "e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM pcand)",
+      embExpr = rankEmbExpr,
+      extraCtes =
+        s"""iscored AS (
+           | SELECT e2.vec_id, c2.cell, ${sqlCosine(s"($assignEmbExpr)", "c2.ce")} AS sim
+           | FROM embeddings e2 CROSS JOIN cents c2 WHERE e2.vec_id <> 0),
+           |iassign AS (SELECT vec_id, cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM iscored) WHERE rn = 1),
+           |iprobe AS (SELECT c3.cell FROM cents c3, q
+           |  ORDER BY ${sqlCosine("q.qe", "c3.ce")} DESC, c3.cell LIMIT 2),
+           |pcand AS (SELECT vec_id FROM iassign
+           |  WHERE cell IN (SELECT cell FROM iprobe))""".stripMargin)
+
   /** WITH-chain for one PQ subspace's BEFORE grade (the v_pq_quality
     * chain, shared with the refit family): codebook from vec 1–4
     * slices, assignment by subvector-cosine argmax (ties to the
@@ -9078,6 +9200,9 @@ object SparkEntryCoverage {
       // the persisted hybrid must reproduce the in-line composition
       // exactly — one oracle, two paths (the v_pq_persisted rule)
       "v_ivfpq_persisted" -> base("v_ivfpq_topk"),
+      // composed last-wins (codes + the cell they carry) must
+      // converge the hybrid to the plain table — same oracle again
+      "v_ivfpq_upsert" -> base("v_ivfpq_topk"),
       "g_pagerank_persisted" -> base("g_pagerank"),
       "dd_cluster_sizes_persisted" -> base("dd_cluster_sizes"),
       "dd_cluster_resolve_persisted" -> base("dd_cluster_resolve"),
@@ -11853,19 +11978,13 @@ object SparkEntryCoverage {
     // restricted to the query's 2 nearest coarse cells (full-space
     // argmax assignment, ties to the larger cell; probe ties to the
     // SMALLER cell — the engine's stable sort over ascending index)
-    "v_ivfpq_topk" -> pqTopkOracleFor(
-      "e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM pcand)",
-      extraCtes =
-        s"""iscored AS (
-           | SELECT e2.vec_id, c2.cell, ${sqlCosine("e2.embedding", "c2.ce")} AS sim
-           | FROM embeddings e2 CROSS JOIN cents c2 WHERE e2.vec_id <> 0),
-           |iassign AS (SELECT vec_id, cell FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-           |  FROM iscored) WHERE rn = 1),
-           |iprobe AS (SELECT c3.cell FROM cents c3, q
-           |  ORDER BY ${sqlCosine("q.qe", "c3.ce")} DESC, c3.cell LIMIT 2),
-           |pcand AS (SELECT vec_id FROM iassign
-           |  WHERE cell IN (SELECT cell FROM iprobe))""".stripMargin),
+    "v_ivfpq_topk" -> ivfPqTopkOracleFor("e2.embedding"),
+    // the as-of-0 composed read: cells, codes AND re-rank vectors are
+    // the stale (reversed) %5 versions — the same chain over the
+    // stale corpus view
+    "v_ivfpq_asof" -> ivfPqTopkOracleFor(
+      "CASE WHEN e2.vec_id % 5 = 0 THEN list_reverse(e2.embedding) ELSE e2.embedding END",
+      "CASE WHEN e.vec_id % 5 = 0 THEN list_reverse(e.embedding) ELSE e.embedding END"),
     // 8 copies of the v_calinski chain, one per subspace: assignment
     // by subvector-cosine argmax (ties to the larger code — the
     // greatest-struct semantics), then the milli-quantized CH moments
