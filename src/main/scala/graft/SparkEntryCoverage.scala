@@ -5079,6 +5079,54 @@ object SparkEntryCoverage {
           nprobe = 2, shortlist = 50, k = 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // Composed-index takedown + COMPACTION: %7 ids tombstone at seq 1,
+    // the %14 subset re-upserts at seq 2 (delete-then-reupsert
+    // restores, purely by stamp order), compaction physically purges
+    // the unservable rows and collapses history to one generation —
+    // the hybrid over the compacted read must equal the hybrid over
+    // the corpus minus the net-deleted ids (the v_pq_compacted rule
+    // on the cell-tagged layout: the purge drops the cell row and the
+    // code row TOGETHER, because they are the same row).
+    "v_ivfpq_compacted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val cents = full.toSeq
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val ivfPath = s"/tmp/graft_idx/ivfpq_cc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val pqPath = s"/tmp/graft_idx/ivfpq_cp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val enc = Similarity.pqEncode(
+        Similarity.ivfAssign(corpus, "embedding", cents), "embedding", subDim, books)
+      graft.sources.Io.writeIvfIndex(enc.select(col("vec_id"), col("cell")), cents, ivfPath)
+      graft.sources.Io.writePqIndex(enc, books, pqPath)
+      graft.sources.Io.deletePqIds(
+        corpus.filter(col("vec_id") % 7 === 0).select(col("vec_id")), pqPath, seq = 1L)
+      graft.sources.Io.upsertPqIndex(
+        Similarity.pqEncode(
+          Similarity.ivfAssign(corpus.filter(col("vec_id") % 14 === 0), "embedding", cents),
+          "embedding", subDim, books),
+        pqPath,
+        seq = 2L)
+      graft.sources.Io.compactPqIndex(s, pqPath, "vec_id")
+      val (loadedCents, _) = graft.sources.Io.readIvfIndex(s, ivfPath)
+      val (loadedBooks, codes) = graft.sources.Io.readPqIndex(s, pqPath)
+      Similarity
+        .ivfPqTopK(codes, "embedding", loadedCents, loadedBooks, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // PQ top-k off the PERSISTED index: codebooks + codes written to
     // parquet once (the expensive encode is the build-time artifact),
     // the query loads and ranks without re-encoding anything — same
@@ -8884,9 +8932,10 @@ object SparkEntryCoverage {
     */
   private def ivfPqTopkOracleFor(
       assignEmbExpr: String,
-      rankEmbExpr: String = "e.embedding"): String =
+      rankEmbExpr: String = "e.embedding",
+      extraPred: String = "TRUE"): String =
     pqTopkOracleFor(
-      "e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM pcand)",
+      s"e.vec_id <> 0 AND ($extraPred) AND e.vec_id IN (SELECT vec_id FROM pcand)",
       embExpr = rankEmbExpr,
       extraCtes =
         s"""iscored AS (
@@ -11979,6 +12028,12 @@ object SparkEntryCoverage {
     // argmax assignment, ties to the larger cell; probe ties to the
     // SMALLER cell — the engine's stable sort over ascending index)
     "v_ivfpq_topk" -> ivfPqTopkOracleFor("e2.embedding"),
+    // takedown + compaction leaves the hybrid over the corpus minus
+    // the net-deleted ids (the %7-not-%14 set) — the probe and ADC
+    // chains see only survivors
+    "v_ivfpq_compacted" -> ivfPqTopkOracleFor(
+      "e2.embedding",
+      extraPred = "NOT (e.vec_id % 7 = 0 AND e.vec_id % 14 <> 0)"),
     // the as-of-0 composed read: cells, codes AND re-rank vectors are
     // the stale (reversed) %5 versions — the same chain over the
     // stale corpus view
