@@ -4176,4 +4176,59 @@ object Experiments {
             |  * (abs(__num) div n_treated_matched) AS BIGINT) END"""
             .stripMargin).as("att6"))
   }
+
+  /** e-BH — false-discovery-rate control ACROSS the monitor family
+    * (Wang & Ramdas, "False discovery rate control with e-values",
+    * JRSS-B 2022, the base procedure): given one e-value per
+    * hypothesis (any of this file's monitors' final wealth qualifies
+    * — e-processes are e-values at every stopping time, which is the
+    * theorem's whole point), reject the hypotheses holding the k*
+    * largest e-values, k* = max{k : e_(k) ≥ K/(α·k)}. FDR ≤ α holds
+    * under ARBITRARY dependence between the e-values — no PRDS
+    * assumption, no independence audit across monitors that all
+    * watch the same corpus (the reason e-BH, not p-value BH, is the
+    * right composition here).
+    *
+    * Input: (hyp, ln_e6) — hypothesis id + the monitor's final
+    * micro-nat log wealth. In log space the rejection test is
+    * ln_e6_(k) ≥ ln(K·1e6/(αppm·k)); the threshold is computed
+    * in-plan by ONE shared-IEEE expression (ln of a double built
+    * from exact integers — mirrored textually in the oracle, the
+    * eProcessVariance discipline), rounded once to micro-nats.
+    *
+    * Scale shape: ranking rides [[Relational.globalRank]] (the
+    * two-pass distributed chassis, no single-task window); K and k*
+    * are 1-row broadcast aggregates. The hypothesis universe is the
+    * MONITOR count — thousands at most — so every intermediate is
+    * hypothesis-bounded; the corpus never enters this operator (it
+    * was already reduced to one wealth scalar per monitor upstream).
+    * Ties rank by hypothesis id ascending (total order, both
+    * engines). Returns (hyp, ln_e6, k, thr6, rejected), ordered by
+    * k: `rejected` = the e-BH set at level αppm.
+    */
+  def eBhRejections(evals: DataFrame, alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm must be in (0, 1e6)")
+    val in = evals.select(col("hyp").cast("string").as("hyp"), col("ln_e6").cast("long").as("ln_e6"))
+    val kTot = broadcast(in.agg(count(lit(1)).as("__K")))
+    val ranked = Relational.globalRank(in, Seq(col("ln_e6").desc, col("hyp")), "k")
+    val thresholded = ranked
+      .crossJoin(kTot)
+      .withColumn(
+        "thr6",
+        expr(
+          s"""CAST(round(ln(CAST(__K AS DOUBLE) * 1000000.0
+             | / ($alphaPpm * CAST(k AS DOUBLE))) * 1000000, 0) AS BIGINT)""".stripMargin))
+    val kStar = broadcast(
+      thresholded.agg(
+        coalesce(max(when(col("ln_e6") >= col("thr6"), col("k"))), lit(0L)).as("__kstar")))
+    thresholded
+      .crossJoin(kStar)
+      .select(
+        col("hyp"),
+        col("ln_e6"),
+        col("k"),
+        col("thr6"),
+        (col("k") <= col("__kstar")).as("rejected"))
+      .orderBy(col("k"))
+  }
 }

@@ -1088,4 +1088,31 @@ class ExperimentsSpec extends SparkSpec {
       Experiments.cemAtt(rows, col("tr"), col("y"), Seq.empty)
     }
   }
+
+  test("eBhRejections: k* step by hand; hindsight rescue; empty set; alpha guard") {
+    import spark.implicits._
+    // K=5, alpha=0.05: thr6(k) = round(ln(100/k)*1e6) =
+    // 4605170, 3912023, 3506558, 3218876, 2995732. Values clear
+    // k=1..3 and fail k=4..5 -> k*=3, top 3 rejected.
+    val ev = Seq(
+      ("a", 5000000L), ("b", 4000000L), ("c", 3600000L),
+      ("d", 3000000L), ("e", 1000000L)).toDF("hyp", "ln_e6")
+    val r = Experiments.eBhRejections(ev, 50000L)
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.map(_._1).toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(r.map(_._3).toSeq == Seq(4605170L, 3912023L, 3506558L, 3218876L, 2995732L))
+    assert(r.map(_._4).toSeq == Seq(true, true, true, false, false))
+    // the e-BH signature move: the TOP e-value misses its own k=1
+    // threshold (ln(60) = 4.0943) but k=2 and k=3 pass, so k*=3
+    // rejects ALL three — max-k, not first-failure
+    val rescue = Seq(("a", 4000000L), ("b", 3950000L), ("c", 3600000L)).toDF("hyp", "ln_e6")
+    val rr = Experiments.eBhRejections(rescue, 50000L).collect()
+    assert(rr.forall(_.getBoolean(4)))
+    // nothing clears -> kstar = 0, empty rejection set
+    val none = Seq(("a", 100L), ("b", 50L)).toDF("hyp", "ln_e6")
+    assert(Experiments.eBhRejections(none, 50000L).collect().forall(!_.getBoolean(4)))
+    intercept[IllegalArgumentException] {
+      Experiments.eBhRejections(ev, 0L)
+    }
+  }
 }
