@@ -5127,6 +5127,131 @@ object SparkEntryCoverage {
           nprobe = 2, shortlist = 50, k = 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // Residual-encoding IVFADC (Similarity.pqEncodeResidual +
+    // ivfPqResidualTopK) — the encoding Jégou-Douze-Schmid actually
+    // ship: codes quantize x − c_cell, not x, so the byte budget
+    // describes only what the coarse quantizer missed, and the
+    // approximate inner product DECOMPOSES exactly as
+    // dot(q, c_cell) + Σ_s dot(q_s, book_s[code_s]) — one per-cell
+    // constant lookup on top of the same 8 table lookups, no vector
+    // math on the scan. Residual codebooks derive from vecs 5–8's
+    // residuals w.r.t. their ASSIGNED cells (vecs 1–4 are the coarse
+    // centroids — their residuals are zero and carry no codebook
+    // information; the 3-collect bootstrap is the bounded-constant
+    // class: 4 centroids + 4 donors + 1 query). The oracle replays
+    // the full residual chain: assign → subtract → residual-codebook
+    // argmax (ties to the larger code) → decomposed ADC in the same
+    // left-to-right addition order → exact re-rank.
+    "v_ivfpq_residual" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val donors = emb
+        .filter(col("vec_id").between(5, 8))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val cents = full.toSeq
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var x = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) { x += a(i) * b(i); i += 1 }
+        x
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        if (d == 0.0) 0.0 else dot(a, b) / d
+      }
+      // donor residuals w.r.t. their assigned cell — ties to the
+      // larger cell, the ivfAssign/oracle convention
+      val donorRes = donors.map { v =>
+        val cell = cents.zipWithIndex
+          .map { case (c, i) => (cos(v, c), i) }
+          .maxBy { case (sim, i) => (sim, i) }
+          ._2
+        v.zip(cents(cell)).map { case (x, y) => x - y }
+      }
+      val books = (0 until 8).map(sp =>
+        donorRes.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncodeResidual(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, cents, books)
+      Similarity
+        .ivfPqResidualTopK(encoded, "embedding", cents, books, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
+    // The residual hybrid served from the PERSISTED artifacts — the
+    // v_ivfpq_persisted rule on residual codes: pqEncodeResidual's
+    // rows carry the cell tag and the residual byte codes in one row,
+    // so they flow through writeIvfIndex/writePqIndex UNCHANGED (the
+    // residual codebooks land where the raw ones would); the query
+    // loads both artifacts and serves without re-assigning,
+    // re-subtracting or re-encoding anything. Residual-oracle shared
+    // verbatim — artifact round-trips are result-identity.
+    "v_ivfpq_residual_persisted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val donors = emb
+        .filter(col("vec_id").between(5, 8))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val cents = full.toSeq
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var x = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) { x += a(i) * b(i); i += 1 }
+        x
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        if (d == 0.0) 0.0 else dot(a, b) / d
+      }
+      val donorRes = donors.map { v =>
+        val cell = cents.zipWithIndex
+          .map { case (c, i) => (cos(v, c), i) }
+          .maxBy { case (sim, i) => (sim, i) }
+          ._2
+        v.zip(cents(cell)).map { case (x, y) => x - y }
+      }
+      val books = (0 until 8).map(sp =>
+        donorRes.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncodeResidual(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, cents, books)
+      val ivfPath = s"/tmp/graft_idx/ivfpq_rc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val pqPath = s"/tmp/graft_idx/ivfpq_rp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(encoded.select(col("vec_id"), col("cell")), cents, ivfPath)
+      graft.sources.Io.writePqIndex(encoded, books, pqPath)
+      val (loadedCents, _) = graft.sources.Io.readIvfIndex(s, ivfPath)
+      val (loadedBooks, codes) = graft.sources.Io.readPqIndex(s, pqPath)
+      Similarity
+        .ivfPqResidualTopK(codes, "embedding", loadedCents, loadedBooks, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // PQ top-k off the PERSISTED index: codebooks + codes written to
     // parquet once (the expensive encode is the build-time artifact),
     // the query loads and ranks without re-encoding anything — same
@@ -6714,6 +6839,34 @@ object SparkEntryCoverage {
         lambdaPpm = 300000L,
         alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
+    // e-BH FDR control across a monitor FAMILY (Experiments
+    // .eBhRejections — Wang & Ramdas 2022): 20 user-bucket
+    // hypotheses, each H0 "bucket's purchase rate ≤ 15%", each
+    // e-value the bucket's FINAL Bernoulli e-process wealth (the
+    // affine count readout with the shared micro-nat constants —
+    // final wealth needs only the TOTAL success/failure counts, no
+    // day cumsum), then one e-BH pass rejects the k* top-ranked
+    // buckets with FDR ≤ 5% under arbitrary dependence — the
+    // composition layer that turns 20 per-slice monitors into ONE
+    // multiplicity-honest alarm set. On this data the buckets hover
+    // around a 20% rate, so sampling spread splits the set: the
+    // high-wealth buckets clear ln(K·1e6/(α·k)) at their rank, the
+    // low ones don't — both branches of k* exercised.
+    "a_ebh_rates" -> { (s, dir) =>
+      val (a6, b6, _) = Experiments.eProcessConstants(150000L, 300000L, 50000L)
+      val evals = t(s, dir, "events")
+        .filter(
+          col("event_type").isNotNull && col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy((col("user_id") % 20).as("hyp"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+        .select(
+          col("hyp"),
+          (col("x").cast("decimal(38,0)") * a6 +
+            (col("n") - col("x")).cast("decimal(38,0)") * b6).cast("long").as("ln_e6"))
+      Experiments.eBhRejections(evals, alphaPpm = 50000L)
     },
     // Anytime-valid confidence sequence (Experiments
     // .eProcessConfidenceSeq): the running always-valid band for the
@@ -8767,6 +8920,35 @@ object SparkEntryCoverage {
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
       s"(a, b) -> a * 16 + b)"
 
+  /** a_ebh_rates / st_ebh_rates shared oracle: the e-value table is
+    * the affine final-wealth readout per user bucket (the SAME
+    * eProcessConstants the engine injects), the e-BH pass is the
+    * rank / shared-IEEE-ln-threshold / max-k chain mirrored
+    * textually. The streaming twin SUM-merges partial (hyp, n, x)
+    * grids and re-runs the identical readout, so one SQL serves both.
+    */
+  private[graft] lazy val ebhRatesOracleSql: String = {
+    val (a6, b6, _) = Experiments.eProcessConstants(150000L, 300000L, 50000L)
+    s"""WITH base AS (SELECT user_id % 20 AS hyp, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY 1),
+       |ev AS (SELECT CAST(hyp AS VARCHAR) AS hyp,
+       |        CAST(x * ($a6) + (n - x) * ($b6) AS BIGINT) AS ln_e6 FROM base),
+       |kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS K FROM ev),
+       |r AS (SELECT hyp, ln_e6,
+       |        CAST(row_number() OVER (ORDER BY ln_e6 DESC, hyp) AS BIGINT) AS k FROM ev),
+       |t AS (SELECT r.hyp, r.ln_e6, r.k,
+       |        CAST(round(ln(CAST(kt.K AS DOUBLE) * 1000000.0
+       |          / (50000 * CAST(r.k AS DOUBLE))) * 1000000, 0) AS BIGINT) AS thr6
+       |      FROM r, kt),
+       |ks AS (SELECT COALESCE(MAX(CASE WHEN ln_e6 >= thr6 THEN k END),
+       |        CAST(0 AS BIGINT)) AS kstar FROM t)
+       |SELECT hyp, ln_e6, k, thr6, k <= ks.kstar AS rejected
+       |FROM t, ks ORDER BY k""".stripMargin
+  }
+
   /** a_eprocess / st_eprocess shared oracle: the streaming monitor
     * merges partial (day, n, x) grids and re-runs the same affine
     * wealth readout, so one SQL is the truth for both paths; the
@@ -8948,6 +9130,70 @@ object SparkEntryCoverage {
            |  ORDER BY ${sqlCosine("q.qe", "c3.ce")} DESC, c3.cell LIMIT 2),
            |pcand AS (SELECT vec_id FROM iassign
            |  WHERE cell IN (SELECT cell FROM iprobe))""".stripMargin)
+
+  /** Full residual-IVFADC replay for v_ivfpq_residual: coarse assign
+    * (ties to the larger cell) → in-SQL residual subtraction →
+    * residual codebooks from vec 5–8's residuals → per-subspace
+    * argmax-cosine codes (ties to the larger code) → the DECOMPOSED
+    * approximate score dot(q, c_cell) + Σ_s dot(q_s, book[code]) in
+    * the engine's exact left-to-right addition order → exact re-rank.
+    * Every fold mirrors sqlCosine's sequential i-ascending reduce, so
+    * the doubles are bit-identical across engines.
+    */
+  private def ivfPqResidualOracle: String = {
+    def sqlDot(a: String, b: String, n: Int): String =
+      s"""list_reduce(list_transform(generate_series(1, $n),
+         | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
+    def subSlice(v: String) = s"$v[(gs.s*8+1):(gs.s*8+8)]"
+    s"""WITH cents AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+       | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |iscored AS (
+       | SELECT e2.vec_id, c2.cell, ${sqlCosine("e2.embedding", "c2.ce")} AS sim
+       | FROM embeddings e2 CROSS JOIN cents c2 WHERE e2.vec_id <> 0),
+       |iassign AS (SELECT vec_id, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |  FROM iscored) WHERE rn = 1),
+       |res AS (
+       | SELECT e.vec_id, e.label, e.embedding, a.cell,
+       |        list_transform(generate_series(1, 64),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) AS r
+       | FROM embeddings e JOIN iassign a USING (vec_id) JOIN cents c ON c.cell = a.cell),
+       |bk AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r AS br
+       | FROM res WHERE vec_id BETWEEN 5 AND 8),
+       |iprobe AS (SELECT c3.cell FROM cents c3, q
+       | ORDER BY ${sqlCosine("q.qe", "c3.ce")} DESC, c3.cell LIMIT 2),
+       |scored AS (
+       | SELECT d.vec_id, d.label, d.embedding, d.cell, gs.s, b.code,
+       |        ${sqlCosine(subSlice("d.r"), subSlice("b.br"))} AS sim
+       | FROM res d
+       | CROSS JOIN bk b
+       | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs
+       | WHERE d.cell IN (SELECT cell FROM iprobe)),
+       |best AS (
+       | SELECT vec_id, label, embedding, cell, s, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY sim DESC, code DESC) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |adcv AS (
+       | SELECT b.code, gs.s, ${sqlDot(subSlice("q.qe"), subSlice("b.br"), 8)} AS v
+       | FROM bk b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs, q),
+       |cellc AS (SELECT c.cell, ${sqlDot("q.qe", "c.ce", 64)} AS cv FROM cents c, q),
+       |approx AS (
+       | SELECT b.vec_id, any_value(b.label) AS label, any_value(b.embedding) AS embedding,
+       |        any_value(b.cell) AS cell, list(a.v ORDER BY b.s) AS vals
+       | FROM best b JOIN adcv a ON a.s = b.s AND a.code = b.code
+       | GROUP BY b.vec_id),
+       |short AS (
+       | SELECT a.vec_id, a.label, a.embedding,
+       |        cc.cv + vals[1]+vals[2]+vals[3]+vals[4]+vals[5]+vals[6]+vals[7]+vals[8]
+       |          AS approx_score
+       | FROM approx a JOIN cellc cc ON cc.cell = a.cell
+       | ORDER BY approx_score DESC, a.vec_id LIMIT 50)
+       |SELECT vec_id, label, approx_score, ${sqlCosine("embedding", "q.qe")} AS score
+       |FROM short, q
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   /** WITH-chain for one PQ subspace's BEFORE grade (the v_pq_quality
     * chain, shared with the refit family): codebook from vec 1–4
@@ -9249,6 +9495,9 @@ object SparkEntryCoverage {
       // the persisted hybrid must reproduce the in-line composition
       // exactly — one oracle, two paths (the v_pq_persisted rule)
       "v_ivfpq_persisted" -> base("v_ivfpq_topk"),
+      // residual codes round-trip the same two artifact families —
+      // the persisted serve must reproduce the in-line residual chain
+      "v_ivfpq_residual_persisted" -> base("v_ivfpq_residual"),
       // composed last-wins (codes + the cell they carry) must
       // converge the hybrid to the plain table — same oracle again
       "v_ivfpq_upsert" -> base("v_ivfpq_topk"),
@@ -12028,6 +12277,7 @@ object SparkEntryCoverage {
     // argmax assignment, ties to the larger cell; probe ties to the
     // SMALLER cell — the engine's stable sort over ascending index)
     "v_ivfpq_topk" -> ivfPqTopkOracleFor("e2.embedding"),
+    "v_ivfpq_residual" -> ivfPqResidualOracle,
     // takedown + compaction leaves the hybrid over the corpus minus
     // the net-deleted ids (the %7-not-%14 set) — the probe and ADC
     // chains see only survivors
@@ -13296,6 +13546,7 @@ object SparkEntryCoverage {
         |            // (CAST(o_b AS HUGEINT) * ea6) AS BIGINT) END AS hr6
         |FROM f""".stripMargin,
     "a_eprocess" -> eProcessOracleSql,
+    "a_ebh_rates" -> ebhRatesOracleSql,
     // same (day, value) grid; the per-value integer-ratio ln term,
     // HUGEINT count-multiply, day-window cumulative
     "a_eprocess_mean" -> eProcessMeanOracleFor("TRUE"),

@@ -509,6 +509,74 @@ object SparkEntryStreaming {
         .pqTopK(latest, "embedding", books, query, subDim, 50, 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // Streaming COMPOSED-index maintenance — the IVFADC hybrid's
+    // st_pq_upsert twin: the base build lands every 5th vector STALE
+    // (reversed — assigned AND encoded as such, so its cell tag and
+    // codes are both wrong), corrections stream in, and each
+    // micro-batch re-ASSIGNS + re-encodes its rows against the FROZEN
+    // coarse centroids and codebooks before appending with
+    // seq = batchId+1. Because the cell tag and the byte codes live in
+    // the same row, last-wins id resolution fixes a vector that moved
+    // across coarse cells with no separate cell-tombstone machinery —
+    // the composed-mutation invariant, now proven from the stream
+    // path. The converged hybrid must equal the plain table's
+    // (v_ivfpq_topk's oracle, shared three ways: in-line, batch
+    // upsert, stream upsert).
+    "st_ivfpq_upsert" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val query = emb
+        .filter(col("vec_id") === 0)
+        .collect()
+        .head
+        .getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble)
+        .toArray
+      val subDim = 8
+      val cents = full.toSeq
+      val books =
+        (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val stale = corpus.withColumn(
+        "embedding",
+        when(col("vec_id") % 5 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val ivfPath = s"/tmp/graft_idx/ivfpq_sc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val pqPath = s"/tmp/graft_idx/ivfpq_sp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val staleEnc = graft.operators.Similarity.pqEncode(
+        graft.operators.Similarity.ivfAssign(stale, "embedding", cents),
+        "embedding", subDim, books)
+      graft.sources.Io.writeIvfIndex(
+        staleEnc.select(col("vec_id"), col("cell")), cents, ivfPath)
+      graft.sources.Io.writePqIndex(staleEnc, books, pqPath)
+      val stream = s.readStream
+        .schema(emb.schema)
+        .parquet(s"$dir/[e]mbeddings.parquet")
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 5 === 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertPqIndex(
+            graft.operators.Similarity.pqEncode(
+              graft.operators.Similarity.ivfAssign(batch, "embedding", cents),
+              "embedding", subDim, books),
+            pqPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (loadedCents, _) = graft.sources.Io.readIvfIndex(s, ivfPath)
+      val (loadedBooks, latest) = graft.sources.Io.readPqIndexLatest(s, pqPath, "vec_id")
+      graft.operators.Similarity
+        .ivfPqTopK(latest, "embedding", loadedCents, loadedBooks, query, subDim,
+          nprobe = 2, shortlist = 50, k = 10)
+        .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // Streaming VOLUME gate — the dq_volume_anomaly check fed by the
     // live intake: each micro-batch appends its PARTIAL (type, day)
     // counts to a persisted count artifact (no state store needed —
@@ -774,6 +842,47 @@ object SparkEntryStreaming {
           alphaPpm = 50000L)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("day"))
+    },
+    // Streaming e-BH — the FDR composition fed from the live intake:
+    // each micro-batch appends its PARTIAL per-bucket (hyp, n, x)
+    // counts (linear — no state store), the merged grid folds to one
+    // final-wealth e-value per bucket with the shared micro-nat
+    // constants, and ONE e-BH pass over those 20 e-values re-runs
+    // bit-equal to the batch readout (a_ebh_rates' oracle shared) —
+    // the monitor-of-monitors posture: the family's rejection set is
+    // itself a sufficient-statistic readout.
+    "st_ebh_rates" -> { (s, dir) =>
+      val cPath = s"/tmp/graft_idx/ebhgrid_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = Engine.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(lit(false))
+        .select((col("user_id") % 20).as("hyp"), lit(0L).as("n"), lit(0L).as("x"))
+        .write.mode("overwrite").parquet(cPath)
+      val q = eventStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(
+              col("event_type").isNotNull && col("ts").isNotNull &&
+                col("user_id").isNotNull)
+            .groupBy((col("user_id") % 20).as("hyp"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+            .write.mode("append").parquet(cPath)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (a6, b6, _) =
+        graft.operators.Experiments.eProcessConstants(150000L, 300000L, 50000L)
+      val evals = s.read.parquet(cPath)
+        .groupBy(col("hyp"))
+        .agg(sum(col("n")).as("n"), sum(col("x")).as("x"))
+        .select(
+          col("hyp"),
+          (col("x").cast("decimal(38,0)") * a6 +
+            (col("n") - col("x")).cast("decimal(38,0)") * b6).cast("long").as("ln_e6"))
+      graft.operators.Experiments.eBhRejections(evals, alphaPpm = 50000L)
     },
     // Streaming anytime-valid confidence SEQUENCE — the band off the
     // SAME (day, n, x) sufficient statistic st_eprocess appends: the
@@ -1990,6 +2099,9 @@ object SparkEntryStreaming {
     // (day, n, x) count-grid merge-invariance: the streamed wealth
     // readout must equal the one-shot batch a_eprocess
     "st_eprocess" -> SparkEntryCoverage.eProcessOracleSql,
+    // merged partial (hyp, n, x) grids fold to the same final-wealth
+    // e-values, so the batch e-BH chain is the oracle for both paths
+    "st_ebh_rates" -> SparkEntryCoverage.ebhRatesOracleSql,
     // same grid, the 99-candidate band readout — one oracle with the
     // batch a_eprocess_cs
     "st_eprocess_cs" -> SparkEntryCoverage.oracleSql("a_eprocess_cs"),
@@ -2080,6 +2192,10 @@ object SparkEntryStreaming {
     // PQ mirror of the same three-path convergence (in-line v_pq_topk,
     // batch v_pq_upsert, this stream) — one shared oracle
     "st_pq_upsert" -> SparkEntryCoverage.pqTopkOracle,
+    // composed-index convergence: the streamed cell+code corrections
+    // must serve the plain hybrid — v_ivfpq_topk's oracle, shared
+    // three ways (in-line, batch upsert, stream upsert)
+    "st_ivfpq_upsert" -> SparkEntryCoverage.oracleSql("v_ivfpq_topk"),
     // streamed doc-version upserts must converge the postings index
     // to the plain corpus's phrase results — r_phrase_search's oracle
     "st_postings_upsert" -> SparkEntryCoverage.phraseSearchOracle,

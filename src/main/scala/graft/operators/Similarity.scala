@@ -1641,4 +1641,112 @@ object Similarity {
     }
     encoded.withColumn(s"pq_$subspace", greatest(scored: _*).getField("cell"))
   }
+
+  /** Residual product quantization — the encoding IVFADC actually
+    * ships (Jégou, Douze & Schmid, TPAMI 2011 §III): quantize
+    * x − c_cell, not x. After coarse assignment most of x's energy
+    * IS c_cell; the codes only have to describe the (much smaller)
+    * residual, so the same byte budget buys a finer reconstruction
+    * and the approximate score tightens at zero extra scan cost.
+    *
+    * Input must carry [[ivfAssign]]'s `cell` column. The residual is
+    * built in-plan (`element_at` into the literal centroid array by
+    * cell, `zip_with` subtraction — whole-stage codegen, no UDF),
+    * then each subspace's code is the argmax-cosine entry of that
+    * subspace's RESIDUAL codebook, ties to the larger code — the
+    * [[pqEncode]] convention, mirrored by the oracle's
+    * `ORDER BY sim DESC, cell DESC` rank. Output keeps every input
+    * column and adds `pq_0..pq_{S-1}`, so the rows flow through the
+    * PQ index family's persist/upsert paths unchanged (the cell tag
+    * and the codes stay one row, the composed-mutation invariant).
+    */
+  def pqEncodeResidual(
+      assigned: DataFrame,
+      embCol: String,
+      subDim: Int,
+      coarse: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    require(coarse.nonEmpty, "pqEncodeResidual: coarse centroids must be non-empty")
+    val emb = col(embCol).cast("array<double>")
+    val centArr = element_at(
+      array(coarse.map(c => array(c.toIndexedSeq.map(lit): _*)): _*),
+      col("cell").cast("int") + 1)
+    val res = zip_with(emb, centArr, (x, y) => x - y)
+    val withRes = assigned.withColumn("__res", res)
+    codebooks.zipWithIndex
+      .foldLeft(withRes) { case (acc, (subCents, s)) =>
+        val sub = slice(col("__res"), s * subDim + 1, subDim)
+        val scored = subCents.zipWithIndex.map { case (c, i) =>
+          struct(
+            VectorFns.cosine(sub, array(c.toIndexedSeq.map(lit): _*)).as("sim"),
+            lit(i).as("cell"))
+        }
+        acc.withColumn(s"pq_$s", greatest(scored: _*).getField("cell"))
+      }
+      .drop("__res")
+  }
+
+  /** IVFADC with residual codes — [[ivfPqTopK]]'s scoring adapted to
+    * [[pqEncodeResidual]] rows. The approximate inner product
+    * DECOMPOSES exactly: dot(q, c_cell + r̂) = dot(q, c_cell) +
+    * Σ_s dot(q_s, book_s[code_s]), so the scan cost is unchanged —
+    * one extra lookup into a per-cell constant table (nlist doubles,
+    * a driver-side literal) on top of the same S code-table lookups;
+    * no vector math touches the scan. Probe routing, shortlist
+    * re-rank and every tie rule are [[ivfPqTopK]]'s verbatim.
+    */
+  def ivfPqResidualTopK(
+      encoded: DataFrame,
+      embCol: String,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      query: Array[Double],
+      subDim: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0.0) 0.0 else dot(a, b) / d
+    }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cos(query, c), i) }
+      .sortBy(-_._1)
+      .take(nprobe)
+      .map(_._2)
+    // per-cell constant dot(q, c_cell) and per-subspace residual ADC
+    // tables — both driver-side literals, both O(1) lookups on the scan
+    val cellConst = element_at(
+      array(centroids.map(c => lit(dot(query, c))): _*),
+      col("cell").cast("int") + 1)
+    val adc: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (subCents, s) =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      subCents.map(c => dot(qs, c))
+    }
+    // ((const + t0) + t1) + … — the oracle's left-to-right SQL chain
+    // exactly (double addition is not associative; the fold shape is
+    // part of the contract)
+    val approx = adc.zipWithIndex
+      .map { case (tbl, s) =>
+        element_at(array(tbl.map(lit): _*), col(s"pq_$s").cast("int") + 1)
+      }
+      .foldLeft(cellConst)(_ + _)
+    val short = encoded
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("approx_score", approx)
+      .orderBy(col("approx_score").desc, col(idCol))
+      .limit(shortlist)
+    short
+      .withColumn(
+        "score",
+        VectorFns.cosine(col(embCol), array(query.toIndexedSeq.map(lit): _*)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -634,4 +634,54 @@ class AnnRecallSpec extends SparkSpec {
     assert(newSub(0) eq books(1)(0))
     assert(newSub(1).toSeq == Seq(1.0, 0.0))
   }
+
+  test("residual IVFADC: exhaustive shortlist is exact; composed recall floor holds") {
+    val subDim = 8
+    val n = corpus.count().toInt
+    val cents = Similarity.fitCentroids(corpus, "vec_id", "embedding", k = 16, iters = 5)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
+    // residual codebooks from 16 donor residuals w.r.t. their cells
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var x = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { x += a(i) * b(i); i += 1 }
+      x
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0.0) 0.0 else dot(a, b) / d
+    }
+    val donors = corpus
+      .filter(col("vec_id").between(1, 16))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val donorRes = donors.map { v =>
+      val cell = cents.zipWithIndex
+        .map { case (c, i) => (cos(v, c), i) }.maxBy { case (s, i) => (s, i) }._2
+      v.zip(cents(cell)).map { case (x, y) => x - y }
+    }
+    val books = (0 until query.length / subDim)
+      .map(s => donorRes.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val encoded = Similarity
+      .pqEncodeResidual(assigned, "embedding", subDim, cents, books)
+    // structural identity: all cells probed + shortlist >= corpus means
+    // the ADC ranking is irrelevant — the exact re-rank over every
+    // candidate MUST return the brute-force top-10
+    val exhaustive = ids(Similarity.ivfPqResidualTopK(
+      encoded, "embedding", cents, books, query, subDim,
+      nprobe = cents.size, shortlist = n, k = 10))
+    assert(exhaustive == exactTop10,
+      s"exhaustive residual hybrid must be exact: $exhaustive vs $exactTop10")
+    // the composed approximation at the hybrid test's operating point
+    // (probe 8/16, ADC shortlist 150): measured 0.8 on this
+    // near-uniform worst-case data — the residual codes reconstruct
+    // x - c_cell instead of x, so the same 16-entry byte budget holds
+    // the ADC ranking tighter; pin the plain hybrid's 0.5 floor
+    val hybrid = ids(Similarity.ivfPqResidualTopK(
+      encoded, "embedding", cents, books, query, subDim,
+      nprobe = 8, shortlist = 150, k = 10))
+    val recall = (hybrid & exactTop10).size / 10.0
+    info(s"residual IVFADC recall@10 at nprobe 8/16, shortlist 150: $recall")
+    assert(recall >= 0.5, s"residual IVF-PQ recall@10 = $recall (approx=$hybrid exact=$exactTop10)")
+  }
 }

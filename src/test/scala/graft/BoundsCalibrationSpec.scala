@@ -62,15 +62,19 @@ class BoundsCalibrationSpec extends SparkSpec {
     // round-12 +5 over the post-Class-C baseline: one data-magnitude
     // valuePpm guard (the median CS — marker below) + four structural
     // parameter requires (the mean-CS stepPct range and the quantile
-    // CS qPpm/alphaPpm/lambdaPpm ranges)
-    "Experiments.scala" -> 60,
+    // CS qPpm/alphaPpm/lambdaPpm ranges); +1 e-BH: the structural
+    // alphaPpm range require (no data magnitude — the hypothesis
+    // universe is monitor-bounded by construction)
+    "Experiments.scala" -> 61,
     "Graph.scala" -> 13,
     "Layout.scala" -> 1,
     "Multimodal.scala" -> 5,
     "Relational.scala" -> 11,
     "Sampling.scala" -> 19,
     "Series.scala" -> 24,
-    "Similarity.scala" -> 28,
+    // +1 round-12: pqEncodeResidual's structural non-empty-centroids
+    // require (parameter shape, not data magnitude)
+    "Similarity.scala" -> 29,
     "Sketches.scala" -> 6,
     "TextAnalysis.scala" -> 21,
     "Io.scala" -> 27)

@@ -40,8 +40,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val expectedCollect: Map[String, Int] = Map(
     "Profile.scala" -> 3,
     "ScaleBench.scala" -> 1,
-    "SparkEntryCoverage.scala" -> 47,
-    "SparkEntryStreaming.scala" -> 6,
+    "SparkEntryCoverage.scala" -> 55,
+    "SparkEntryStreaming.scala" -> 8,
     "pipelines/Corpus.scala" -> 1,
     "operators/Checks.scala" -> 3,
     "operators/Experiments.scala" -> 3,
