@@ -5127,6 +5127,53 @@ object SparkEntryCoverage {
           nprobe = 2, shortlist = 50, k = 10)
         .select(col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // BATCHED IVFADC serving (Similarity.ivfPqTopKBatch) — the whole
+    // query TABLE (every 125th vector) routed, ADC-scored and exactly
+    // re-ranked in ONE plan: per-query probe routing and ADC lookup
+    // tables collapse to Q·nprobe broadcast rows (a 32-entry array
+    // each), the corpus never shuffles (broadcast hash join on
+    // cell), and only the candidate set moves by qid for the
+    // shortlist/re-rank windows (all qid-partitioned — no single-task
+    // window). The index side reuses the standard vec-1..4 bootstrap;
+    // the QUERY side is collect-free — no query vector ever becomes a
+    // plan literal, which is what makes the nightly 100k-query eval
+    // batch one job instead of 100k compiled plans. Oracle replays
+    // the full per-qid chain (probe ties to the smaller cell, the
+    // left-to-right ADC sum, both tie-broken windows); AnnRecallSpec
+    // pins 1-query-batch ≡ single-query-hybrid row for row.
+    "v_ivfpq_batch" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val cents = full.toSeq
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, books)
+      // index-side frames, in-plan: vecs 1-4 ARE cells 0-3, so the
+      // cell id is vec_id - 1 (no window, no collect)
+      val centsDf = emb
+        .filter(col("vec_id").between(1, 4))
+        .select(
+          (col("vec_id") - 1).cast("int").as("cell"),
+          col("embedding").cast("array<double>").as("ce"))
+      val cbDf = centsDf
+        .select(
+          col("cell").as("code"), col("ce"),
+          explode(array((0 until 8).map(lit): _*)).as("s"))
+        .select(col("s"), col("code"), slice(col("ce"), col("s") * subDim + 1, lit(subDim)).as("be"))
+      val queries = emb
+        .filter(col("vec_id") % 125 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+      Similarity
+        .ivfPqTopKBatch(encoded, "embedding", centsDf, cbDf, queries, subDim,
+          nSub = 8, codeCount = 4, nprobe = 2, shortlist = 50, k = 10)
+        .select(col("qid"), col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // Residual-encoding IVFADC (Similarity.pqEncodeResidual +
     // ivfPqResidualTopK) — the encoding Jégou-Douze-Schmid actually
     // ship: codes quantize x − c_cell, not x, so the byte budget
@@ -8920,6 +8967,77 @@ object SparkEntryCoverage {
       s"d -> CAST(strpos('0123456789abcdef', substring(md5(CAST($key AS VARCHAR)), CAST(d AS INT), 1)) - 1 AS BIGINT)), " +
       s"(a, b) -> a * 16 + b)"
 
+  /** v_ivfpq_batch oracle — the per-qid replay of the hybrid chain:
+    * corpus assign/encode are query-independent (the pqTopkOracleFor
+    * shapes), then EVERY stage that was a driver literal in the
+    * single-query oracle becomes a qid-keyed CTE: probe routing
+    * (PARTITION BY qid, ties to the smaller cell), the per-(qid, s,
+    * code) ADC values, the left-to-right sum, and both tie-broken
+    * per-qid windows.
+    */
+  private def ivfPqBatchOracle: String = {
+    def sqlDot(a: String, b: String, n: Int): String =
+      s"""list_reduce(list_transform(generate_series(1, $n),
+         | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
+    def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
+    s"""WITH cents AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+       | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe
+       | FROM embeddings WHERE vec_id % 125 = 0 AND vec_id <> 0),
+       |gs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       |iscored AS (
+       | SELECT e2.vec_id, c2.cell, ${sqlCosine("e2.embedding", "c2.ce")} AS sim
+       | FROM embeddings e2 CROSS JOIN cents c2 WHERE e2.vec_id <> 0),
+       |iassign AS (SELECT vec_id, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |  FROM iscored) WHERE rn = 1),
+       |cscored AS (
+       | SELECT e.vec_id, e.label, e.embedding, gs.s, c.cell AS code,
+       |        ${sqlCosine(subSlice("e.embedding", "gs.s"), subSlice("c.ce", "gs.s"))} AS sim
+       | FROM embeddings e CROSS JOIN cents c CROSS JOIN gs
+       | WHERE e.vec_id <> 0),
+       |best AS (
+       | SELECT vec_id, label, embedding, s, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY sim DESC, code DESC) AS rn
+       |  FROM cscored) WHERE rn = 1),
+       |probe AS (SELECT qid, cell FROM (
+       | SELECT q.qid, c.cell,
+       |        row_number() OVER (PARTITION BY q.qid
+       |          ORDER BY ${sqlCosine("q.qe", "c.ce")} DESC, c.cell) AS rn
+       | FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+       |adcv AS (
+       | SELECT q.qid, gs.s, c.cell AS code,
+       |        ${sqlDot(subSlice("q.qe", "gs.s"), subSlice("c.ce", "gs.s"), 8)} AS v
+       | FROM qs q CROSS JOIN cents c CROSS JOIN gs),
+       |approx AS (
+       | SELECT p.qid, b.vec_id, any_value(b.label) AS label,
+       |        any_value(b.embedding) AS embedding,
+       |        list(v.v ORDER BY b.s) AS vals
+       | FROM iassign a
+       | JOIN probe p ON p.cell = a.cell
+       | JOIN best b ON b.vec_id = a.vec_id
+       | JOIN adcv v ON v.qid = p.qid AND v.s = b.s AND v.code = b.code
+       | GROUP BY p.qid, b.vec_id),
+       |ascored AS (
+       | SELECT qid, vec_id, label, embedding,
+       |        vals[1]+vals[2]+vals[3]+vals[4]+vals[5]+vals[6]+vals[7]+vals[8]
+       |          AS approx_score
+       | FROM approx),
+       |short AS (SELECT * FROM (
+       | SELECT qid, vec_id, label, embedding, approx_score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY approx_score DESC, vec_id) AS rn
+       | FROM ascored) WHERE rn <= 50),
+       |rk AS (SELECT * FROM (
+       | SELECT s.qid, s.vec_id, s.label, s.approx_score,
+       |        ${sqlCosine("s.embedding", "q.qe")} AS score,
+       |        row_number() OVER (PARTITION BY s.qid
+       |          ORDER BY ${sqlCosine("s.embedding", "q.qe")} DESC, s.vec_id) AS krn
+       | FROM short s JOIN qs q ON q.qid = s.qid) WHERE krn <= 10)
+       |SELECT qid, vec_id, label, approx_score, score
+       |FROM rk ORDER BY qid, score DESC, vec_id""".stripMargin
+  }
+
   /** a_ebh_rates / st_ebh_rates shared oracle: the e-value table is
     * the affine final-wealth readout per user bucket (the SAME
     * eProcessConstants the engine injects), the e-BH pass is the
@@ -12278,6 +12396,7 @@ object SparkEntryCoverage {
     // SMALLER cell — the engine's stable sort over ascending index)
     "v_ivfpq_topk" -> ivfPqTopkOracleFor("e2.embedding"),
     "v_ivfpq_residual" -> ivfPqResidualOracle,
+    "v_ivfpq_batch" -> ivfPqBatchOracle,
     // takedown + compaction leaves the hybrid over the corpus minus
     // the net-deleted ids (the %7-not-%14 set) — the probe and ADC
     // chains see only survivors

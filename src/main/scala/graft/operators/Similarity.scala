@@ -1749,4 +1749,104 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** BATCHED IVFADC — the production serving shape: a whole query
+    * TABLE routed, scored and re-ranked in one plan, no driver-side
+    * query literals anywhere (the single-query [[ivfPqTopK]] bakes
+    * the query vector into the plan — right for one ad-hoc probe,
+    * wrong for the nightly 100k-query eval batch, which would
+    * compile 100k plans).
+    *
+    * Everything query-side is in-plan and query-count bounded:
+    * probe routing is a (Q × nlist) crossJoin + a qid-PARTITIONED
+    * row_number (never a single-task window); the per-query ADC
+    * tables (dot(q_s, book_s[c]) for all S·K codes) collapse to ONE
+    * array column per (qid, probed cell) — Q·nprobe rows broadcast
+    * into the corpus scan, so the corpus itself never shuffles:
+    * candidates fall out of a broadcast hash join on `cell`, the
+    * approximate score is S array lookups summed in [[pqTopK]]'s
+    * exact reduce order (a 1-query batch is row-for-row equal to the
+    * single-query hybrid — AnnRecallSpec pins it), and only the
+    * candidate set (≈ Q·corpus·nprobe/nlist rows) shuffles by qid
+    * for the shortlist and exact-re-rank windows. Ties: probe →
+    * smaller cell (the stable-sort convention), shortlist/top-k →
+    * smaller id.
+    *
+    * `centroids` = (cell int, ce array<double>) and `codebooks` =
+    * (s int, code int, be array<double>) arrive as DataFrames —
+    * read them from the IVF/PQ index artifacts; nothing here ever
+    * collects them. Returns (qid, `idCol`, every encoded column,
+    * approx_score, score), top-k per qid, ordered
+    * (qid, score desc, id).
+    */
+  def ivfPqTopKBatch(
+      encoded: DataFrame,
+      embCol: String,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      subDim: Int,
+      nSub: Int,
+      codeCount: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(subDim > 0 && nSub > 0 && codeCount > 0 && nprobe > 0 && shortlist >= k && k > 0,
+      "ivfPqTopKBatch: dims, counts and probe/shortlist/k must be positive with shortlist >= k")
+    import org.apache.spark.sql.expressions.Window
+    // per-query ADC table as ONE array column: vals[s*K + code + 1] =
+    // dot(q_s, book_s[code]) — (qid, s, code) folds to a qid-bounded
+    // array, so the scan does lookups, never vector math
+    val vtab = queries
+      .crossJoin(broadcast(codebooks))
+      .select(
+        col("qid"),
+        (col("s") * codeCount + col("code")).as("i"),
+        VectorFns.dotc(
+          slice(col("qe"), col("s") * subDim + 1, lit(subDim)),
+          col("be")).as("v"))
+      .groupBy(col("qid"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("i"), col("v")))),
+          x => x.getField("v")).as("adc"))
+    // probe routing: top-nprobe cells per query, ties to the smaller
+    // cell; each probed (qid, cell) row carries the query vector for
+    // the exact re-rank
+    val probed = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", VectorFns.cosine(col("qe"), col("ce")))
+      .withColumn(
+        "__pr",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("__sim").desc, col("cell"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col("qid"), col("cell"), col("qe"))
+    val probeInfo = probed.join(vtab, Seq("qid"))
+    // corpus stays put: candidates fall out of a broadcast hash join
+    val cand = encoded.join(broadcast(probeInfo), Seq("cell"))
+    val approx = (0 until nSub)
+      .map(s =>
+        element_at(col("adc"), col(s"pq_$s").cast("int") + lit(s * codeCount) + 1))
+      .reduce(_ + _) // pqTopK's exact left-to-right reduce — 1-query
+    // batches must be bit-equal to the single-query hybrid
+    val short = cand
+      .withColumn("approx_score", approx)
+      .withColumn(
+        "__sr",
+        row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("approx_score").desc, col(idCol))))
+      .filter(col("__sr") <= shortlist)
+    short
+      .withColumn("score", VectorFns.cosine(col(embCol), col("qe")))
+      .withColumn(
+        "__kr",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))))
+      .filter(col("__kr") <= k)
+      .drop("__sr", "__kr", "adc", "qe")
+      .orderBy(col("qid"), col("score").desc, col(idCol))
+  }
 }

@@ -684,4 +684,43 @@ class AnnRecallSpec extends SparkSpec {
     info(s"residual IVFADC recall@10 at nprobe 8/16, shortlist 150: $recall")
     assert(recall >= 0.5, s"residual IVF-PQ recall@10 = $recall (approx=$hybrid exact=$exactTop10)")
   }
+
+  test("batched IVFADC: a 1-query batch equals the single-query hybrid row for row") {
+    val subDim = 8
+    val sample = corpus
+      .filter(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val cents = sample.toSeq
+    val books = (0 until query.length / subDim)
+      .map(s => sample.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val encoded = Similarity.pqEncode(
+      Similarity.ivfAssign(corpus, "embedding", cents), "embedding", subDim, books)
+    val single = Similarity
+      .ivfPqTopK(encoded, "embedding", cents, books, query, subDim,
+        nprobe = 2, shortlist = 50, k = 10)
+      .select(col("vec_id"), col("approx_score"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val centsDf = corpus
+      .filter(col("vec_id").between(1, 4))
+      .select(
+        (col("vec_id") - 1).cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("ce"))
+    val cbDf = centsDf
+      .select(col("cell").as("code"), col("ce"),
+        explode(array((0 until 8).map(lit): _*)).as("s"))
+      .select(col("s"), col("code"), slice(col("ce"), col("s") * subDim + 1, lit(subDim)).as("be"))
+    val queries = emb
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    val batch = Similarity
+      .ivfPqTopKBatch(encoded, "embedding", centsDf, cbDf, queries, subDim,
+        nSub = 8, codeCount = 4, nprobe = 2, shortlist = 50, k = 10)
+      .select(col("vec_id"), col("approx_score"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // same ids, same approximate scores, same exact scores — the
+    // in-plan ADC lookup chain is bit-equal to the driver-literal one
+    assert(batch == single, s"batch path diverged:\n$batch\nvs\n$single")
+  }
 }

@@ -72,9 +72,10 @@ class BoundsCalibrationSpec extends SparkSpec {
     "Relational.scala" -> 11,
     "Sampling.scala" -> 19,
     "Series.scala" -> 24,
-    // +1 round-12: pqEncodeResidual's structural non-empty-centroids
-    // require (parameter shape, not data magnitude)
-    "Similarity.scala" -> 29,
+    // +2 round-12: pqEncodeResidual's structural non-empty-centroids
+    // require and ivfPqTopKBatch's structural dims/probe/shortlist
+    // parameter require (shapes, not data magnitudes)
+    "Similarity.scala" -> 30,
     "Sketches.scala" -> 6,
     "TextAnalysis.scala" -> 21,
     "Io.scala" -> 27)
