@@ -5174,6 +5174,84 @@ object SparkEntryCoverage {
           nSub = 8, codeCount = 4, nprobe = 2, shortlist = 50, k = 10)
         .select(col("qid"), col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // T258 ∘ T260: BATCHED serving of the RESIDUAL hybrid — the
+    // composition's only new term (the per-cell constant dot(q, c))
+    // rides the probe rows for free: candidates join probes ON cell,
+    // so the probed row's constant IS the candidate's. The residual
+    // CODEBOOK side is fully in-plan here (donor vecs 5-8 assigned by
+    // a vec_id-partitioned window, residuals by zip_with, the
+    // codebook exploded per subspace) — no donor collect on the query
+    // path; the index-build side keeps the standard bootstrap. Oracle
+    // = the residual chain per qid (probe ties to the smaller cell,
+    // constant-first left-to-right sum, tie-broken windows).
+    "v_ivfpq_batch_residual" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val donors = emb
+        .filter(col("vec_id").between(5, 8))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val cents = full.toSeq
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var x = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) { x += a(i) * b(i); i += 1 }
+        x
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        if (d == 0.0) 0.0 else dot(a, b) / d
+      }
+      val donorRes = donors.map { v =>
+        val cell = cents.zipWithIndex
+          .map { case (c, i) => (cos(v, c), i) }
+          .maxBy { case (sim, i) => (sim, i) }
+          ._2
+        v.zip(cents(cell)).map { case (x, y) => x - y }
+      }
+      val books = (0 until 8).map(sp =>
+        donorRes.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncodeResidual(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, cents, books)
+      val centsDf = emb
+        .filter(col("vec_id").between(1, 4))
+        .select(
+          (col("vec_id") - 1).cast("int").as("cell"),
+          col("embedding").cast("array<double>").as("ce"))
+      // residual codebooks IN-PLAN: donors 5-8 assigned to their cell
+      // (ties to the larger cell — the iassign convention), residual
+      // by zip_with, one row per (s, code)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("__sim").desc, col("cell").desc)
+      val cbDf = emb
+        .filter(col("vec_id").between(5, 8))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("__sim", graft.functions.VectorFns.cosine(col("de"), col("ce")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(
+          (col("vec_id") - 5).cast("int").as("code"),
+          zip_with(col("de"), col("ce"), (x, y) => x - y).as("r"))
+        .select(
+          col("code"), col("r"),
+          explode(array((0 until 8).map(lit): _*)).as("s"))
+        .select(col("s"), col("code"), slice(col("r"), col("s") * subDim + 1, lit(subDim)).as("be"))
+      val queries = emb
+        .filter(col("vec_id") % 125 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+      Similarity
+        .ivfPqTopKBatchResidual(encoded, "embedding", centsDf, cbDf, queries, subDim,
+          nSub = 8, codeCount = 4, nprobe = 2, shortlist = 50, k = 10)
+        .select(col("qid"), col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // Residual-encoding IVFADC (Similarity.pqEncodeResidual +
     // ivfPqResidualTopK) — the encoding Jégou-Douze-Schmid actually
     // ship: codes quantize x − c_cell, not x, so the byte budget
@@ -9038,6 +9116,82 @@ object SparkEntryCoverage {
        |FROM rk ORDER BY qid, score DESC, vec_id""".stripMargin
   }
 
+  /** v_ivfpq_batch_residual oracle — the residual chain per qid:
+    * corpus assign / residual subtraction / donor codebooks / code
+    * argmax are query-independent (the ivfPqResidualOracle CTEs);
+    * probe routing, the per-(qid, s, code) residual ADC values, the
+    * per-cell constants dot(qe, ce) and the constant-first
+    * left-to-right sum are qid-keyed (the ivfPqBatchOracle shapes).
+    */
+  private def ivfPqBatchResidualOracle: String = {
+    def sqlDot(a: String, b: String, n: Int): String =
+      s"""list_reduce(list_transform(generate_series(1, $n),
+         | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
+    def subSlice(v: String, s: String) = s"$v[($s*8+1):($s*8+8)]"
+    s"""WITH cents AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS ce
+       | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe
+       | FROM embeddings WHERE vec_id % 125 = 0 AND vec_id <> 0),
+       |gs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       |iscored AS (
+       | SELECT e2.vec_id, c2.cell, ${sqlCosine("e2.embedding", "c2.ce")} AS sim
+       | FROM embeddings e2 CROSS JOIN cents c2 WHERE e2.vec_id <> 0),
+       |iassign AS (SELECT vec_id, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |  FROM iscored) WHERE rn = 1),
+       |res AS (
+       | SELECT e.vec_id, e.label, e.embedding, a.cell,
+       |        list_transform(generate_series(1, 64),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) AS r
+       | FROM embeddings e JOIN iassign a USING (vec_id) JOIN cents c ON c.cell = a.cell),
+       |bk AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r AS br
+       | FROM res WHERE vec_id BETWEEN 5 AND 8),
+       |rscored AS (
+       | SELECT d.vec_id, d.label, d.embedding, d.cell, gs.s, b.code,
+       |        ${sqlCosine(subSlice("d.r", "gs.s"), subSlice("b.br", "gs.s"))} AS sim
+       | FROM res d CROSS JOIN bk b CROSS JOIN gs),
+       |rbest AS (
+       | SELECT vec_id, label, embedding, cell, s, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY sim DESC, code DESC) AS rn
+       |  FROM rscored) WHERE rn = 1),
+       |probe AS (SELECT qid, cell, qconst FROM (
+       | SELECT q.qid, c.cell,
+       |        row_number() OVER (PARTITION BY q.qid
+       |          ORDER BY ${sqlCosine("q.qe", "c.ce")} DESC, c.cell) AS rn,
+       |        ${sqlDot("q.qe", "c.ce", 64)} AS qconst
+       | FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+       |adcv AS (
+       | SELECT q.qid, gs.s, b.code,
+       |        ${sqlDot(subSlice("q.qe", "gs.s"), subSlice("b.br", "gs.s"), 8)} AS v
+       | FROM qs q CROSS JOIN bk b CROSS JOIN gs),
+       |approx AS (
+       | SELECT p.qid, b.vec_id, any_value(b.label) AS label,
+       |        any_value(b.embedding) AS embedding, any_value(p.qconst) AS qconst,
+       |        list(v.v ORDER BY b.s) AS vals
+       | FROM rbest b
+       | JOIN probe p ON p.cell = b.cell
+       | JOIN adcv v ON v.qid = p.qid AND v.s = b.s AND v.code = b.code
+       | GROUP BY p.qid, b.vec_id),
+       |ascored AS (
+       | SELECT qid, vec_id, label, embedding,
+       |        qconst + vals[1]+vals[2]+vals[3]+vals[4]+vals[5]+vals[6]+vals[7]+vals[8]
+       |          AS approx_score
+       | FROM approx),
+       |short AS (SELECT * FROM (
+       | SELECT qid, vec_id, label, embedding, approx_score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY approx_score DESC, vec_id) AS rn
+       | FROM ascored) WHERE rn <= 50),
+       |rk AS (SELECT * FROM (
+       | SELECT s.qid, s.vec_id, s.label, s.approx_score,
+       |        ${sqlCosine("s.embedding", "q.qe")} AS score,
+       |        row_number() OVER (PARTITION BY s.qid
+       |          ORDER BY ${sqlCosine("s.embedding", "q.qe")} DESC, s.vec_id) AS krn
+       | FROM short s JOIN qs q ON q.qid = s.qid) WHERE krn <= 10)
+       |SELECT qid, vec_id, label, approx_score, score
+       |FROM rk ORDER BY qid, score DESC, vec_id""".stripMargin
+  }
+
   /** a_ebh_rates / st_ebh_rates shared oracle: the e-value table is
     * the affine final-wealth readout per user bucket (the SAME
     * eProcessConstants the engine injects), the e-BH pass is the
@@ -12397,6 +12551,7 @@ object SparkEntryCoverage {
     "v_ivfpq_topk" -> ivfPqTopkOracleFor("e2.embedding"),
     "v_ivfpq_residual" -> ivfPqResidualOracle,
     "v_ivfpq_batch" -> ivfPqBatchOracle,
+    "v_ivfpq_batch_residual" -> ivfPqBatchResidualOracle,
     // takedown + compaction leaves the hybrid over the corpus minus
     // the net-deleted ids (the %7-not-%14 set) — the probe and ADC
     // chains see only survivors

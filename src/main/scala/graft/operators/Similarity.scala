@@ -1791,7 +1791,49 @@ object Similarity {
       nprobe: Int,
       shortlist: Int,
       k: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id"): DataFrame =
+    ivfPqBatchCore(encoded, embCol, centroids, codebooks, queries, subDim,
+      nSub, codeCount, nprobe, shortlist, k, idCol, cellConst = false)
+
+  /** [[ivfPqTopKBatch]] over RESIDUAL codes ([[pqEncodeResidual]]
+    * rows + residual codebooks): the approximate score regains the
+    * decomposition's cell term, dot(q, c_cell) + Σ_s lookups — and
+    * because candidates join the probe rows ON `cell`, the probed
+    * row's dot(q, c) IS the candidate's cell constant, so the term
+    * costs one extra column on the Q·nprobe broadcast rows, nothing
+    * on the scan. Addition chains left-to-right from the constant
+    * (the [[ivfPqResidualTopK]] associativity contract).
+    */
+  def ivfPqTopKBatchResidual(
+      encoded: DataFrame,
+      embCol: String,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      subDim: Int,
+      nSub: Int,
+      codeCount: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    ivfPqBatchCore(encoded, embCol, centroids, codebooks, queries, subDim,
+      nSub, codeCount, nprobe, shortlist, k, idCol, cellConst = true)
+
+  private def ivfPqBatchCore(
+      encoded: DataFrame,
+      embCol: String,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      subDim: Int,
+      nSub: Int,
+      codeCount: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      idCol: String,
+      cellConst: Boolean): DataFrame = {
     require(subDim > 0 && nSub > 0 && codeCount > 0 && nprobe > 0 && shortlist >= k && k > 0,
       "ivfPqTopKBatch: dims, counts and probe/shortlist/k must be positive with shortlist >= k")
     import org.apache.spark.sql.expressions.Window
@@ -1822,15 +1864,22 @@ object Similarity {
         row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("__sim").desc, col("cell"))))
       .filter(col("__pr") <= nprobe)
-      .select(col("qid"), col("cell"), col("qe"))
+      .select(
+        col("qid"), col("cell"),
+        (if (cellConst) VectorFns.dotc(col("qe"), col("ce")) else lit(0.0)).as("qconst"),
+        col("qe"))
     val probeInfo = probed.join(vtab, Seq("qid"))
     // corpus stays put: candidates fall out of a broadcast hash join
     val cand = encoded.join(broadcast(probeInfo), Seq("cell"))
-    val approx = (0 until nSub)
+    val lookups = (0 until nSub)
       .map(s =>
         element_at(col("adc"), col(s"pq_$s").cast("int") + lit(s * codeCount) + 1))
-      .reduce(_ + _) // pqTopK's exact left-to-right reduce — 1-query
-    // batches must be bit-equal to the single-query hybrid
+    // raw codes: pqTopK's exact left-to-right reduce (1-query batch
+    // bit-equal to the single-query hybrid); residual codes: the
+    // constant leads the same chain (the decomposition's fold shape)
+    val approx =
+      if (cellConst) lookups.foldLeft(col("qconst"))(_ + _)
+      else lookups.reduce(_ + _)
     val short = cand
       .withColumn("approx_score", approx)
       .withColumn(
@@ -1846,7 +1895,7 @@ object Similarity {
         row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))))
       .filter(col("__kr") <= k)
-      .drop("__sr", "__kr", "adc", "qe")
+      .drop("__sr", "__kr", "adc", "qconst", "qe")
       .orderBy(col("qid"), col("score").desc, col(idCol))
   }
 }

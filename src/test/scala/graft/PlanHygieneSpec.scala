@@ -40,7 +40,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val expectedCollect: Map[String, Int] = Map(
     "Profile.scala" -> 3,
     "ScaleBench.scala" -> 1,
-    "SparkEntryCoverage.scala" -> 56,
+    "SparkEntryCoverage.scala" -> 58,
     "SparkEntryStreaming.scala" -> 8,
     "pipelines/Corpus.scala" -> 1,
     "operators/Checks.scala" -> 3,
