@@ -39,7 +39,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     */
   private val expectedCollect: Map[String, Int] = Map(
     "Profile.scala" -> 3,
-    "ScaleBench.scala" -> 1,
+    "ScaleBench.scala" -> 2,
     "SparkEntryCoverage.scala" -> 58,
     "SparkEntryStreaming.scala" -> 8,
     "pipelines/Corpus.scala" -> 1,
