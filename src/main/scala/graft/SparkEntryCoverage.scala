@@ -5914,6 +5914,34 @@ object SparkEntryCoverage {
         .select(col("id_a"), col("id_b"))
       Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 4))
     },
+    // The ACTION on g_modularity's grade (Graph.louvainBestMove —
+    // the T248/T253 grade→action→re-grade discipline on the partition
+    // family): across every (node, neighbor-community) pair, the
+    // single strictly-best Louvain phase-1 relabel by exact integer
+    // gain (ΔQ·2m² = 2m·(k_in(c) − k_in(a)) − k·(Σtot(c)+k−Σtot(a)),
+    // DECIMAL-staged, ties to smaller id then smaller target), applied
+    // only when positive — ONE move, not a synchronous sweep, because
+    // parallel swaps can oscillate while the argmax move is MONOTONE:
+    // Q after ≥ Q before by construction (GraphSpec proves both the
+    // hand-fixture move and the fixed point). Output = the re-grade:
+    // the per-community modularity table over the moved partition;
+    // the oracle replays labelprop, every gain, the argmax and the
+    // re-grade.
+    "g_louvain_move" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.modularity(
+        edges,
+        Graph.louvainBestMove(edges, Graph.labelPropagation(edges, rounds = 4)))
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -13092,6 +13120,70 @@ object SparkEntryCoverage {
          |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
          |FROM dc LEFT JOIN intra ON intra.community = dc.community CROSS JOIN mm
          |ORDER BY dc.community""".stripMargin
+    },
+    // the g_modularity chain + the full move replay: every
+    // (node, neighbor-community) integer gain, the argmax (gain DESC,
+    // id, target), the CASE relabel, and the re-grade over the moved
+    // partition — HUGEINT mirrors the engine's DECIMAL(38,0) staging
+    "g_louvain_move" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
+         |     UNION ALL SELECT id_b, id_a FROM ed),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds,
+         |lab AS (SELECT id, lbl AS community FROM l4),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed)
+         |        GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |tot AS (SELECT lab.community, CAST(sum(deg.deg) AS BIGINT) AS s
+         |        FROM deg JOIN lab ON lab.id = deg.id GROUP BY 1),
+         |kin AS (SELECT e.src AS id, l.community AS cn, CAST(count(*) AS BIGINT) AS kin
+         |        FROM e JOIN lab l ON l.id = e.dst GROUP BY 1, 2),
+         |node AS (SELECT lab.id, lab.community, deg.deg AS k,
+         |          COALESCE(ka.kin, CAST(0 AS BIGINT)) AS kin_a, ta.s AS s_a
+         |         FROM lab JOIN deg ON deg.id = lab.id
+         |         LEFT JOIN kin ka ON ka.id = lab.id AND ka.cn = lab.community
+         |         JOIN tot ta ON ta.community = lab.community),
+         |cand AS (SELECT n.id, kin.cn,
+         |          CAST(2 AS HUGEINT) * mm.m * (kin.kin - n.kin_a)
+         |            - CAST(n.k AS HUGEINT) * (tc.s + n.k - n.s_a) AS gain
+         |         FROM node n
+         |         JOIN kin ON kin.id = n.id AND kin.cn <> n.community
+         |         JOIN tot tc ON tc.community = kin.cn CROSS JOIN mm),
+         |best AS (SELECT id, cn FROM cand WHERE gain > 0
+         |         ORDER BY gain DESC, id, cn LIMIT 1),
+         |lab2 AS (SELECT l.id,
+         |          CASE WHEN b.id IS NOT NULL AND l.id = b.id THEN b.cn
+         |               ELSE l.community END AS community
+         |         FROM lab l LEFT JOIN best b ON TRUE),
+         |intra2 AS (SELECT la.community, CAST(count(*) AS BIGINT) AS intra_edges
+         |          FROM ed JOIN lab2 la ON la.id = ed.id_a
+         |               JOIN lab2 lb ON lb.id = ed.id_b
+         |          WHERE la.community = lb.community GROUP BY 1),
+         |dc2 AS (SELECT lab2.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+         |       FROM deg JOIN lab2 ON lab2.id = deg.id GROUP BY 1)
+         |SELECT dc2.community, dc2.n_nodes,
+         |  COALESCE(intra2.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         |  dc2.degree_sum,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |        * COALESCE(intra2.intra_edges, CAST(0 AS BIGINT))) // mm.m
+         |    - (CAST(1000000 AS HUGEINT) * dc2.degree_sum * dc2.degree_sum)
+         |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
+         |FROM dc2 LEFT JOIN intra2 ON intra2.community = dc2.community CROSS JOIN mm
+         |ORDER BY dc2.community""".stripMargin
     },
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are

@@ -322,4 +322,30 @@ class GraphSpec extends SparkSpec {
     val flat = Graph.modularity(edges, one).collect()
     assert(flat.length == 1 && flat.head.getLong(4) == 0L)
   }
+
+  test("louvainBestMove: hand-computed argmax move applies; optimum is a fixed point") {
+    // path 1-2-3-4, labels {1,2}->10, {3}->30, {4}->40; m=3.
+    // gains (x 2m^2): node2->c30: -2; node3->c10: 0; node3->c40: +4;
+    // node4->c30: +4 -> tie at 4 breaks to the smaller id: node 3
+    // moves to community 40. After: {1,2} and {3,4}.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 30L), (4L, 40L)).toDF("id", "community")
+    val moved = Graph.louvainBestMove(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(moved == Map(1L -> 10L, 2L -> 10L, 3L -> 40L, 4L -> 40L), moved.toString)
+    // the move is monotone: Q rises from (83333 - 111111 - 27777) to
+    // (83333 + 83333) exactly
+    def q6(lab: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(edges, lab).agg(sum(col("term6"))).head().getLong(0)
+    assert(q6(labels) == -55555L)
+    val after = Seq((1L, 10L), (2L, 10L), (3L, 40L), (4L, 40L)).toDF("id", "community")
+    assert(q6(after) == 166666L)
+    // a partition with no strictly-positive move is a FIXED POINT:
+    // two disjoint edges, each its own community — unchanged
+    val opt = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val optLab = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "community")
+    val kept = Graph.louvainBestMove(opt, optLab)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), kept.toString)
+  }
 }
