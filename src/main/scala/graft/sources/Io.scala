@@ -1624,4 +1624,34 @@ object Io {
       .toSeq
       .sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** The IVF index's coarse centroids as a FRAME — (cell int,
+    * ce array<double>), the exact shape
+    * [[graft.operators.Similarity.ivfPqTopKBatch]] consumes. The
+    * single-query readers ([[readIvfIndex]]) collect the centroid
+    * table into driver literals because a one-off probe bakes its
+    * query into the plan anyway; the BATCHED serving path must stay
+    * literal-free end-to-end, so this reader keeps the nlist-bounded
+    * table in-plan — Catalyst broadcasts it into the probe
+    * crossJoin, nothing ever touches the driver.
+    */
+  def readIvfCentroidFrame(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+      .select(
+        col("cell").cast("int").as("cell"),
+        col("centroid").cast("array<double>").as("ce"))
+
+  /** The PQ index's codebooks as a FRAME — (s int, code int,
+    * be array<double>), [[graft.operators.Similarity.ivfPqTopKBatch]]'s
+    * codebook shape: one row per (subspace, code word). S·K rows
+    * total (bounded by the index geometry, never the corpus), kept
+    * in-plan for the batched ADC-table build — the collect-backed
+    * [[readPqCodebooks]] stays the single-query bootstrap's reader.
+    */
+  def readPqCodebookFrame(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codebooks")
+      .select(
+        col("sub").cast("int").as("s"),
+        col("cell").cast("int").as("code"),
+        col("centroid").cast("array<double>").as("be"))
 }

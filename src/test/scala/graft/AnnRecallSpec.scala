@@ -723,4 +723,59 @@ class AnnRecallSpec extends SparkSpec {
     // in-plan ADC lookup chain is bit-equal to the driver-literal one
     assert(batch == single, s"batch path diverged:\n$batch\nvs\n$single")
   }
+
+  test("batched IVFADC served off artifact frames equals the in-plan-frame batch") {
+    val subDim = 8
+    val sample = corpus
+      .filter(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val cents = sample.toSeq
+    val books = (0 until query.length / subDim)
+      .map(s => sample.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val encoded = Similarity.pqEncode(
+      Similarity.ivfAssign(corpus, "embedding", cents), "embedding", subDim, books)
+    val ivfPath = "/tmp/graft_idx/spec_batch_cents"
+    val pqPath = "/tmp/graft_idx/spec_batch_books"
+    graft.sources.Io.writeIvfIndex(encoded.select(col("vec_id"), col("cell")), cents, ivfPath)
+    graft.sources.Io.writePqIndex(encoded, books, pqPath)
+    // the frame readers reproduce the written geometry exactly
+    val centsDf = graft.sources.Io.readIvfCentroidFrame(spark, ivfPath)
+    assert(centsDf.columns.toSeq == Seq("cell", "ce"))
+    val readCents = centsDf.orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("ce").toSeq)
+    assert(readCents.toSeq == cents.map(_.toSeq), "centroid frame drift")
+    val cbDf = graft.sources.Io.readPqCodebookFrame(spark, pqPath)
+    assert(cbDf.columns.toSeq == Seq("s", "code", "be"))
+    assert(cbDf.count() == books.length.toLong * books.head.length)
+    val readBooks = cbDf.orderBy(col("s"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[scala.collection.Seq[Double]](2).toSeq))
+    val expBooks = books.zipWithIndex.flatMap { case (b, s) =>
+      b.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }
+    assert(readBooks.toSeq == expBooks, "codebook frame drift")
+    // and serving from them is row-for-row equal to the in-plan frames
+    val inPlanCents = corpus
+      .filter(col("vec_id").between(1, 4))
+      .select(
+        (col("vec_id") - 1).cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("ce"))
+    val inPlanCb = inPlanCents
+      .select(col("cell").as("code"), col("ce"),
+        explode(array((0 until 8).map(lit): _*)).as("s"))
+      .select(col("s"), col("code"), slice(col("ce"), col("s") * subDim + 1, lit(subDim)).as("be"))
+    val queries = emb
+      .filter(col("vec_id") % 125 === 0 && col("vec_id") =!= 0)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    def run(c: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Similarity
+        .ivfPqTopKBatch(encoded, "embedding", c, b, queries, subDim,
+          nSub = 8, codeCount = 4, nprobe = 2, shortlist = 50, k = 10)
+        .select(col("qid"), col("vec_id"), col("approx_score"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
+    assert(run(centsDf, cbDf) == run(inPlanCents, inPlanCb), "artifact-served batch diverged")
+  }
 }
