@@ -842,7 +842,67 @@ object Graph {
     * strictly improves (the fixed-point read).
     */
   def louvainBestMove(pairs: DataFrame, labels: DataFrame): DataFrame = {
-    val e = pairs
+    val e = louvainEdgeHygiene(pairs)
+    val d = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val lab = labels.select(col("id"), col("community"))
+    val m = broadcast(e.agg(count(lit(1)).as("__m")))
+    val deg = d.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    louvainMoveStep(d, deg, m, lab)
+  }
+
+  /** K bounded Louvain phase-1 moves — [[louvainBestMove]] iterated,
+    * with the iterative-operator storage discipline ([[pageRank]]'s):
+    * the directed edge frame and the degree table are derived ONCE
+    * and materialized (they are move-invariant), and each move's
+    * relabel truncates its lineage so move k builds on stored labels,
+    * not on a plan that re-expands every earlier move's candidate
+    * scan per downstream reference. Each move is the strictly-best
+    * positive-gain relabel, so the composition is MONOTONE
+    * (Q_0 ≤ Q_1 ≤ … ≤ Q_K) and a mid-loop fixed point absorbs —
+    * once no strictly-positive move exists, every later move is the
+    * identity (the null `best` broadcast relabels nothing).
+    *
+    * `moves` is deliberately bounded: each move costs one full
+    * (node, neighbor-community) candidate scan, so phase-1
+    * "to convergence" at 100 TB is a caller LOOP over bounded passes
+    * with its own stopping read (the re-grade), not an unbounded
+    * plan — the K-round labelPropagation / pageRank posture.
+    * `checkpointDir` picks executor-local vs reliable truncation
+    * ([[Checkpointing]] for the executor-loss tradeoff).
+    */
+  def louvainMoves(
+      pairs: DataFrame,
+      labels: DataFrame,
+      moves: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(moves >= 1 && moves <= 8,
+      "louvainMoves: moves must be in [1, 8] — each move is a full candidate scan; " +
+        "run larger budgets as caller loops with a re-grade between passes")
+    val e = louvainEdgeHygiene(pairs)
+      .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
+    val d = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val m = broadcast(e.agg(count(lit(1)).as("__m")))
+    val deg = d.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+      .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
+    var lab = labels.select(col("id"), col("community"))
+    var i = 0
+    while (i < moves) {
+      lab = Checkpointing.truncate(
+        louvainMoveStep(d, deg, m, lab), checkpointDir, eager = false)
+      i += 1
+    }
+    lab
+  }
+
+  /** Shared edge hygiene for the Louvain moves: nulls and self-loops
+    * out, duplicates and reversed duplicates collapsed to one
+    * canonical (min, max) row — enforced, not assumed, exactly as
+    * [[modularity]] and [[pageRank]] do.
+    */
+  private def louvainEdgeHygiene(pairs: DataFrame): DataFrame =
+    pairs
       .filter(
         col("id_a").isNotNull && col("id_b").isNotNull
           && col("id_a") =!= col("id_b"))
@@ -850,11 +910,19 @@ object Graph {
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    val d = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val lab = labels.select(col("id"), col("community"))
-    val m = broadcast(e.agg(count(lit(1)).as("__m")))
-    val deg = d.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+
+  /** One best-move relabel over precomputed move-invariant frames:
+    * `d` = directed edges (src, dst), `deg` = (id, k), `m` = 1-row
+    * broadcast undirected edge count, `lab` = (id, community). The
+    * gain arithmetic, tie-breaks and null-best identity are
+    * [[louvainBestMove]]'s — that public single-move surface is this
+    * step over freshly derived frames.
+    */
+  private def louvainMoveStep(
+      d: DataFrame,
+      deg: DataFrame,
+      m: DataFrame,
+      lab: DataFrame): DataFrame = {
     val tot = deg.join(lab, "id").groupBy(col("community")).agg(sum(col("k")).as("s"))
     val kin = d
       .join(lab.select(col("id").as("dst"), col("community").as("cn")), "dst")

@@ -348,4 +348,31 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(kept == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), kept.toString)
   }
+
+  test("louvainMoves: three moves assemble the path optimum monotonically; fixed point absorbs") {
+    import spark.implicits._
+    // path 1-2-3-4 from all-singletons: move 1 (ties at gain 4 break
+    // to node 1) merges {1,2}; move 2 (node 3 -> c4 at gain 4) merges
+    // {3,4}; move 3 finds no positive gain — the optimum absorbs.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val singletons = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "community")
+    def labMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def q6(df: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(edges, df).agg(sum(col("term6"))).head().getLong(0)
+    // K=1 is exactly the public single-move surface
+    assert(labMap(Graph.louvainMoves(edges, singletons, 1))
+      == labMap(Graph.louvainBestMove(edges, singletons)))
+    val m3 = Graph.louvainMoves(edges, singletons, 3)
+    assert(labMap(m3) == Map(1L -> 2L, 2L -> 2L, 3L -> 4L, 4L -> 4L), labMap(m3).toString)
+    // monotone: -277776 (singletons) -> 166666 (optimum), and a 4th
+    // move is the identity
+    assert(q6(singletons) == -277776L)
+    assert(q6(m3) == 166666L)
+    assert(labMap(Graph.louvainMoves(edges, singletons, 4)) == labMap(m3))
+    // the bound is enforced, not advisory
+    intercept[IllegalArgumentException] {
+      Graph.louvainMoves(edges, singletons, 9)
+    }
+  }
 }
