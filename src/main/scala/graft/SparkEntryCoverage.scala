@@ -5252,6 +5252,49 @@ object SparkEntryCoverage {
           nSub = 8, codeCount = 4, nprobe = 2, shortlist = 50, k = 10)
         .select(col("qid"), col("vec_id"), col("label"), col("approx_score"), col("score"))
     },
+    // BATCHED serving straight off the PERSISTED index artifacts —
+    // the T260 operator fed by the parquet the index build already
+    // landed: coarse centroids via Io.readIvfCentroidFrame and
+    // codebooks via Io.readPqCodebookFrame arrive as FRAMES (the
+    // batch operator's native shape), so the production path is
+    // literal-free END-TO-END — build collects nothing at serve
+    // time, the nightly query table joins the artifact's own
+    // centroid/codebook rows in-plan, and the corpus codes never
+    // shuffle (broadcast hash join on cell, the T260 contract). The
+    // in-plan frame derivation v_ivfpq_batch uses (cells 0-3 ARE
+    // vecs 1-4) is a fixture convenience; THIS is the shape a 100 TB
+    // deployment runs, where centroids come from a trained index,
+    // not from arithmetic on vec ids. Oracle shared verbatim with
+    // v_ivfpq_batch — the artifact round-trip must be
+    // result-identity.
+    "v_ivfpq_batch_persisted" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val cents = full.toSeq
+      val books = (0 until 8).map(sp => full.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, books)
+      val ivfPath = s"/tmp/graft_idx/ivfpq_bc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val pqPath = s"/tmp/graft_idx/ivfpq_bp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Io.writeIvfIndex(encoded.select(col("vec_id"), col("cell")), cents, ivfPath)
+      graft.sources.Io.writePqIndex(encoded, books, pqPath)
+      val centsDf = graft.sources.Io.readIvfCentroidFrame(s, ivfPath)
+      val cbDf = graft.sources.Io.readPqCodebookFrame(s, pqPath)
+      val (_, codes) = graft.sources.Io.readPqIndex(s, pqPath)
+      val queries = emb
+        .filter(col("vec_id") % 125 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+      Similarity
+        .ivfPqTopKBatch(codes, "embedding", centsDf, cbDf, queries, subDim,
+          nSub = 8, codeCount = 4, nprobe = 2, shortlist = 50, k = 10)
+        .select(col("qid"), col("vec_id"), col("label"), col("approx_score"), col("score"))
+    },
     // Residual-encoding IVFADC (Similarity.pqEncodeResidual +
     // ivfPqResidualTopK) — the encoding Jégou-Douze-Schmid actually
     // ship: codes quantize x − c_cell, not x, so the byte budget
@@ -5941,6 +5984,57 @@ object SparkEntryCoverage {
       Graph.modularity(
         edges,
         Graph.louvainBestMove(edges, Graph.labelPropagation(edges, rounds = 4)))
+    },
+    // The move ITERATED — Graph.louvainMoves: 3 bounded phase-1
+    // passes, each the strictly-best positive-gain relabel, so the
+    // composition is monotone (Q0 <= Q1 <= Q2 <= Q3) and a mid-loop
+    // fixed point absorbs (the null-best identity). Storage-wise the
+    // labelprop chassis: edge frame + degree table derived once and
+    // materialized, each relabel lineage-truncated (the pageRank
+    // discipline) — the unrolled ORACLE replays all three argmax
+    // moves CTE by CTE, so a single wrong tie-break or a stale
+    // Σtot in any round hash-mismatches the final re-grade.
+    "g_louvain_moves" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.modularity(
+        edges,
+        Graph.louvainMoves(edges, Graph.labelPropagation(edges, rounds = 4), moves = 3))
+    },
+    // The move off the PERSISTED dup-graph artifact — the
+    // g_modularity_persisted posture applied to the ACTION: pairs and
+    // labels both load from parquet, zero pair pipeline at read time.
+    // The closure labels themselves are connected components, and no
+    // Louvain move can improve a component partition (every node's
+    // edges stay inside its component, so any cross-community gain
+    // term k_in(c) is 0 and the gain is strictly negative) — grading
+    // the raw artifact would be a vacuous fixed-point read. So the
+    // graded partition is the artifact's labels DEGRADED the way the
+    // IVF/PQ refit fixtures degrade their codebooks: every 7th node
+    // split out as a singleton community (-id-1, collision-free with
+    // the nonnegative cluster ids), and the best move provably
+    // REPAIRS the split — the grade → action → re-grade contract on
+    // persisted state. The oracle re-derives closure, degradation,
+    // every gain, the argmax and the re-grade from scratch.
+    "g_louvain_move_persisted" -> { (s, dir) =>
+      // read-only consumer of the SHARED stamp-0 base
+      val gPath = dupGraphBase(s, dir, "full")
+      val pairs = graft.sources.Io.readDupGraphPairs(s, gPath)
+      val degraded = graft.sources.Io.readDupGraphLabels(s, gPath)
+        .select(
+          col("id"),
+          when(col("id") % 7 === 0, -col("id") - 1)
+            .otherwise(col("cluster_id"))
+            .as("community"))
+      Graph.modularity(pairs, Graph.louvainBestMove(pairs, degraded))
     },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
@@ -8565,6 +8659,61 @@ object SparkEntryCoverage {
        | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
 
+  /** One Louvain best-move replay as CTEs — the g_louvain_move oracle
+    * fragment parameterized over the incoming label CTE so the
+    * K-move and persisted variants chain it. Expects `e` (directed
+    * edges src/dst), `deg` (id, deg) and `mm` (1-row m) in scope;
+    * ends in `mlab$i(id, community)`. HUGEINT staging, argmax ties
+    * (gain DESC, id, cn) and the null-best identity all mirror
+    * Graph.louvainMoveStep.
+    */
+  private def louvainMoveSql(prev: String, i: Int): String =
+    s"""tot$i AS (SELECT l.community, CAST(sum(deg.deg) AS BIGINT) AS s
+       |        FROM deg JOIN $prev l ON l.id = deg.id GROUP BY 1),
+       |kin$i AS MATERIALIZED (SELECT e.src AS id, l.community AS cn,
+       |          CAST(count(*) AS BIGINT) AS kin
+       |        FROM e JOIN $prev l ON l.id = e.dst GROUP BY 1, 2),
+       |node$i AS (SELECT l.id, l.community, deg.deg AS k,
+       |          COALESCE(ka.kin, CAST(0 AS BIGINT)) AS kin_a, ta.s AS s_a
+       |         FROM $prev l JOIN deg ON deg.id = l.id
+       |         LEFT JOIN kin$i ka ON ka.id = l.id AND ka.cn = l.community
+       |         JOIN tot$i ta ON ta.community = l.community),
+       |cand$i AS (SELECT n.id, kin$i.cn,
+       |          CAST(2 AS HUGEINT) * mm.m * (kin$i.kin - n.kin_a)
+       |            - CAST(n.k AS HUGEINT) * (tc.s + n.k - n.s_a) AS gain
+       |         FROM node$i n
+       |         JOIN kin$i ON kin$i.id = n.id AND kin$i.cn <> n.community
+       |         JOIN tot$i tc ON tc.community = kin$i.cn CROSS JOIN mm),
+       |best$i AS (SELECT id, cn FROM cand$i WHERE gain > 0
+       |         ORDER BY gain DESC, id, cn LIMIT 1),
+       |mlab$i AS MATERIALIZED (SELECT l.id,
+       |          CASE WHEN b.id IS NOT NULL AND l.id = b.id THEN b.cn
+       |               ELSE l.community END AS community
+       |         FROM $prev l LEFT JOIN best$i b ON TRUE)""".stripMargin
+
+  /** The modularity re-grade over a moved label CTE — the closing
+    * SELECT shared by the Louvain-move oracles. Expects `deg` and
+    * `mm` in scope; `edgeCte` is the undirected (id_a, id_b) pair
+    * set the intra count scans.
+    */
+  private def louvainRegradeSql(labCte: String, edgeCte: String): String =
+    s"""intraF AS (SELECT la.community, CAST(count(*) AS BIGINT) AS intra_edges
+       |          FROM $edgeCte JOIN $labCte la ON la.id = $edgeCte.id_a
+       |               JOIN $labCte lb ON lb.id = $edgeCte.id_b
+       |          WHERE la.community = lb.community GROUP BY 1),
+       |dcF AS (SELECT la.community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+       |       FROM deg JOIN $labCte la ON la.id = deg.id GROUP BY 1)
+       |SELECT dcF.community, dcF.n_nodes,
+       |  COALESCE(intraF.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+       |  dcF.degree_sum,
+       |  CAST((CAST(1000000 AS HUGEINT)
+       |        * COALESCE(intraF.intra_edges, CAST(0 AS BIGINT))) // mm.m
+       |    - (CAST(1000000 AS HUGEINT) * dcF.degree_sum * dcF.degree_sum)
+       |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
+       |FROM dcF LEFT JOIN intraF ON intraF.community = dcF.community CROSS JOIN mm
+       |ORDER BY dcF.community""".stripMargin
+
   /** Shared fuzzy-entity pair generation ending in
     * `pairs(id_a, id_b, lev)` (suffix blocking + levenshtein ≤ 2 over
     * the canon+typo fixture) — one fragment feeds the dd_fuzzy_match
@@ -9795,6 +9944,9 @@ object SparkEntryCoverage {
       // the persisted hybrid must reproduce the in-line composition
       // exactly — one oracle, two paths (the v_pq_persisted rule)
       "v_ivfpq_persisted" -> base("v_ivfpq_topk"),
+      // batched serving off the artifact frames must reproduce the
+      // in-plan batch exactly — one oracle, two frame sources
+      "v_ivfpq_batch_persisted" -> base("v_ivfpq_batch"),
       // residual codes round-trip the same two artifact families —
       // the persisted serve must reproduce the in-line residual chain
       "v_ivfpq_residual_persisted" -> base("v_ivfpq_residual"),
@@ -13185,6 +13337,51 @@ object SparkEntryCoverage {
          |FROM dc2 LEFT JOIN intra2 ON intra2.community = dc2.community CROSS JOIN mm
          |ORDER BY dc2.community""".stripMargin
     },
+    // three louvainMoveSql rounds chained off the labelprop labels,
+    // then the re-grade over mlab3 — every argmax replayed
+    "g_louvain_moves" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val moves = (1 to 3).map { i =>
+        louvainMoveSql(if (i == 1) "lab" else s"mlab${i - 1}", i)
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
+         |     UNION ALL SELECT id_b, id_a FROM ed),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds,
+         |lab AS (SELECT id, lbl AS community FROM l4),
+         |deg AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed)
+         |        GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |$moves,
+         |${louvainRegradeSql("mlab3", "ed")}""".stripMargin
+    },
+    // closure from scratch, the %7 singleton degradation, one move
+    // replay, the re-grade — mirrors the engine's artifact read
+    "g_louvain_move_persisted" ->
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |$clusterCompSql,
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+         |     UNION ALL SELECT id_b, id_a FROM pairs),
+         |lab AS (SELECT id, CASE WHEN id % 7 = 0 THEN -id - 1 ELSE cluster END AS community
+         |        FROM comp),
+         |deg AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+         |        GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |${louvainMoveSql("lab", 1)},
+         |${louvainRegradeSql("mlab1", "pairs")}""".stripMargin,
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are
     // a graph property so they must agree exactly

@@ -1902,6 +1902,49 @@ object SparkEntryStreaming {
         graft.sources.Io.readDupGraphLabels(s, gPath)
           .select(col("id"), col("cluster_id").as("community")))
     },
+    // Streaming Louvain move — the ACTION twin of st_modularity: the
+    // same edge-append maintenance (increment-proportional pair
+    // discovery upserted into the live dup-graph artifact), then the
+    // readout degrades the live closure labels (%7 singleton split,
+    // the g_louvain_move_persisted fixture) and applies ONE argmax
+    // relabel before re-grading. Because the converged artifact's
+    // pairs and labels equal the full-corpus build (the dd_graph_
+    // upsert argument), the moved re-grade must bit-equal the batch
+    // persisted-move query under its shared oracle — the monitor
+    // proves the repair action itself is stable under micro-batch
+    // arrival order.
+    "st_louvain_move" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val gPath = s"/tmp/graft_idx/dupg_stlmv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      SparkEntryCoverage.copyTree(
+        SparkEntryCoverage.dupGraphBase(s, dir, "half"), gPath)
+      val stream = s.readStream
+        .schema(docs.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 250)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Io.upsertDupGraph(
+            graft.operators.Dedup
+              .ngramJaccardAgainst(batch, docs, "text", "doc_id", 3, 0.2)
+              .select(col("id_a"), col("id_b")),
+            gPath,
+            seq = batchId + 1L)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val pairs = graft.sources.Io.readDupGraphPairs(s, gPath)
+      val degraded = graft.sources.Io.readDupGraphLabels(s, gPath)
+        .select(
+          col("id"),
+          when(col("id") % 7 === 0, -col("id") - 1)
+            .otherwise(col("cluster_id"))
+            .as("community"))
+      graft.operators.Graph.modularity(
+        pairs, graft.operators.Graph.louvainBestMove(pairs, degraded))
+    },
     // Streaming data-quality gate: the same one-pass violation
     // aggregate as the batch dq_checks report, running on live intake
     // (complete mode) — violation sums are merge-invariant across
@@ -2205,6 +2248,9 @@ object SparkEntryStreaming {
     // live artifact's own partition scored: must equal the batch
     // persisted-modularity readout (same full-corpus pair set)
     "st_modularity" -> SparkEntryCoverage.oracleSql("g_modularity_persisted"),
+    // the streamed move must reproduce the batch persisted move —
+    // one oracle, one degradation, two maintenance paths
+    "st_louvain_move" -> SparkEntryCoverage.oracleSql("g_louvain_move_persisted"),
     // streamed takedowns: phrase results over exactly the survivors
     "st_takedown" -> SparkEntryCoverage.phraseSearchOracleFor("doc_id % 4 <> 0"),
     // streamed vector takedowns: top-k over exactly the survivors
