@@ -6036,6 +6036,60 @@ object SparkEntryCoverage {
             .as("community"))
       Graph.modularity(pairs, Graph.louvainBestMove(pairs, degraded))
     },
+    // Louvain PHASE 2 — community aggregation (Graph.louvainCoarsen):
+    // the co-purchase graph collapsed to labelprop's communities, one
+    // super-node each, inter-community weights = original edge
+    // counts, self-loops = intra counts. THE scale move: every
+    // further community pass runs on this orders-of-magnitude-smaller
+    // graph instead of the edge list. One hash aggregate over the
+    // labeled edge stream.
+    "g_louvain_coarsen" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      Graph.louvainCoarsen(edges, Graph.labelPropagation(edges, rounds = 4))
+    },
+    // The coarsening EXACTNESS proof as a query: weighted modularity
+    // of the coarse graph under IDENTITY labels must reproduce the
+    // original partition's per-community grade — e_c becomes the
+    // self-loop weight, d_c the weighted degree with self-loops
+    // counting twice, W the coarse total — so (community, intra,
+    // degree_sum, term6) match g_modularity's rows EXACTLY (n_nodes
+    // is the one honest difference: each community is now ONE
+    // super-node, so it is dropped here). The oracle re-derives the
+    // whole chain from the raw edge list — a coarsening that lost or
+    // double-counted any mass hash-mismatches.
+    "g_modularity_coarse" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      // the coarse graph is community-count bounded — materialize it
+      // once (the iterative-operator storage rule) instead of
+      // re-expanding the co-purchase build per downstream reference
+      val coarse = graft.operators.Checkpointing.truncate(
+        Graph.louvainCoarsen(edges, Graph.labelPropagation(edges, rounds = 4)),
+        None, eager = true)
+      val ident = coarse.select(col("id_a").as("id"))
+        .unionAll(coarse.select(col("id_b").as("id")))
+        .distinct()
+        .select(col("id"), col("id").as("community"))
+      Graph.modularityWeighted(coarse, ident)
+        .select(col("community"), col("intra_w"), col("degree_sum"), col("term6"))
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -13382,6 +13436,76 @@ object SparkEntryCoverage {
          |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
          |${louvainMoveSql("lab", 1)},
          |${louvainRegradeSql("mlab1", "pairs")}""".stripMargin,
+    // the labelprop chain, then every edge mapped to its canonical
+    // community pair and counted — self-loops are the intra rows
+    "g_louvain_coarsen" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
+         |     UNION ALL SELECT id_b, id_a FROM ed),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds,
+         |lab AS (SELECT id, lbl AS community FROM l4)
+         |SELECT least(la.community, lb.community) AS id_a,
+         |       greatest(la.community, lb.community) AS id_b,
+         |       CAST(count(*) AS BIGINT) AS w
+         |FROM ed JOIN lab la ON la.id = ed.id_a
+         |        JOIN lab lb ON lb.id = ed.id_b
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+    },
+    // deliberately NOT a coarse-graph replay: the oracle grades the
+    // ORIGINAL partition with g_modularity's own chain (minus
+    // n_nodes) — the engine's coarsen ∘ weighted-grade must land on
+    // the same table by the aggregation-invariance theorem, so any
+    // lost/double-counted mass in either phase-2 operator mismatches
+    "g_modularity_coarse" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
+         |     UNION ALL SELECT id_b, id_a FROM ed),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds,
+         |lab AS (SELECT id, lbl AS community FROM l4),
+         |intra AS (SELECT la.community, CAST(count(*) AS BIGINT) AS intra_edges
+         |          FROM ed JOIN lab la ON la.id = ed.id_a
+         |               JOIN lab lb ON lb.id = ed.id_b
+         |          WHERE la.community = lb.community GROUP BY 1),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed)
+         |        GROUP BY 1),
+         |dc AS (SELECT lab.community, CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+         |       FROM deg JOIN lab ON lab.id = deg.id GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed)
+         |SELECT dc.community,
+         |  COALESCE(intra.intra_edges, CAST(0 AS BIGINT)) AS intra_w,
+         |  dc.degree_sum,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |        * COALESCE(intra.intra_edges, CAST(0 AS BIGINT))) // mm.m
+         |    - (CAST(1000000 AS HUGEINT) * dc.degree_sum * dc.degree_sum)
+         |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
+         |FROM dc LEFT JOIN intra ON intra.community = dc.community CROSS JOIN mm
+         |ORDER BY dc.community""".stripMargin
+    },
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are
     // a graph property so they must agree exactly

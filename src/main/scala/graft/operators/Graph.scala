@@ -962,4 +962,99 @@ object Graph {
           .otherwise(col("community"))
           .as("community"))
   }
+
+  /** Louvain PHASE 2 — community aggregation (Blondel et al. 2008,
+    * §2): collapse each community to one super-node; inter-community
+    * edge weights are the counts of original edges between the two
+    * communities, and each super-node carries a SELF-LOOP weighted by
+    * its community's intra-edge count. This is THE scale move for
+    * community detection on a 100 TB graph: after a phase-1 pass the
+    * coarse graph is orders of magnitude smaller than the edge list,
+    * and every further pass runs on it — one hash aggregate over the
+    * labeled edge stream, never an all-pairs anything.
+    *
+    * Exactness contract (the reason the self-loop convention
+    * matters): with labels covering every edge-incident node,
+    * [[modularityWeighted]] of the coarse graph under IDENTITY labels
+    * reproduces [[modularity]] of the original partition ROW FOR ROW
+    * — e_c becomes the self-loop weight, d_c the weighted degree
+    * (self-loops counting twice), m the total coarse weight. Edges
+    * with an unlabeled endpoint are dropped (labels are a cover by
+    * contract; the closure/labelprop producers cover by
+    * construction). Returns (id_a, id_b, w) with id_a <= id_b,
+    * ordered — self-loops are the id_a = id_b rows.
+    */
+  def louvainCoarsen(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val e = louvainEdgeHygiene(pairs)
+    val lab = labels.select(col("id"), col("community"))
+    e
+      .join(lab.select(col("id").as("id_a"), col("community").as("__ca")), "id_a")
+      .join(lab.select(col("id").as("id_b"), col("community").as("__cb")), "id_b")
+      .select(
+        least(col("__ca"), col("__cb")).as("id_a"),
+        greatest(col("__ca"), col("__cb")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** [[modularity]] over a WEIGHTED undirected graph (id_a, id_b, w)
+    * that may carry SELF-LOOPS — the coarse-graph grade closing the
+    * phase-2 loop: Q = Σ_c (e_c/W − (d_c/2W)²) with e_c the
+    * intra-community weight (self-loops counted once), d_c the
+    * weighted degree sum (a self-loop contributes 2w to its node,
+    * the A_ii = 2w_ii convention), W the total edge weight. Unit
+    * weights with no self-loops reduce EXACTLY to [[modularity]] —
+    * same micro-unit truncating divisions, same DECIMAL(38,0)
+    * staging of d_c² and 4W² (weighted degree sums square past 2^63
+    * even sooner than counts). Hygiene is [[pageRankWeighted]]'s
+    * multigraph collapse: nulls and nonpositive weights out,
+    * duplicate and reversed-duplicate rows SUM their weights
+    * (canonicalized to (min, max) first so a reversed duplicate
+    * can't double-count); self-loops are kept, not dropped — they
+    * are the coarse graph's intra mass. Output shape mirrors
+    * [[modularity]]: (community, n_nodes, intra_w, degree_sum,
+    * term6) ordered by community.
+    */
+  def modularityWeighted(pairsW: DataFrame, labels: DataFrame): DataFrame = {
+    val e = pairsW
+      .filter(
+        col("id_a").isNotNull && col("id_b").isNotNull
+          && col("w").isNotNull && col("w") > 0L)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("w").cast("long").as("w"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w")).as("w"))
+    val lab = labels.select(col("id"), col("community"))
+    val intra = e
+      .join(lab.select(col("id").as("id_a"), col("community").as("__ca")), "id_a")
+      .join(lab.select(col("id").as("id_b"), col("community").as("__cb")), "id_b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(sum(col("w")).as("intra_w"))
+    // weighted degree: each endpoint of a non-loop edge gains w; a
+    // self-loop gains its single endpoint 2w (emitted on both unions)
+    val deg = e.select(col("id_a").as("id"), col("w"))
+      .unionAll(e.select(col("id_b").as("id"), col("w")))
+      .groupBy(col("id"))
+      .agg(sum(col("w")).as("__deg"))
+      .join(lab, "id")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("degree_sum"))
+    val tot = broadcast(e.agg(sum(col("w")).as("__m")))
+    deg
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_w"))
+      .crossJoin(tot)
+      .select(
+        col("community"), col("n_nodes"), col("intra_w"), col("degree_sum"),
+        expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * intra_w) div __m
+            |  - (CAST(1000000 AS DECIMAL(38,0)) * degree_sum * degree_sum)
+            |    div (CAST(4 AS DECIMAL(38,0)) * __m * __m) AS BIGINT)"""
+            .stripMargin).as("term6"))
+      .orderBy(col("community"))
+  }
 }

@@ -375,4 +375,84 @@ class GraphSpec extends SparkSpec {
       Graph.louvainMoves(edges, singletons, 9)
     }
   }
+
+  test("louvainCoarsen: bridged triangles collapse to two self-looped super-nodes") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "community")
+    val coarse = Graph.louvainCoarsen(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // two self-loops carrying the triangles' intra mass, one bridge
+    assert(coarse == Seq((1L, 1L, 3L), (1L, 4L, 1L), (4L, 4L, 3L)), coarse.toString)
+  }
+
+  test("modularityWeighted on the coarse graph reproduces modularity of the original partition") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "community")
+    val coarse = Graph.louvainCoarsen(edges, labels)
+    val ident = coarse.select(col("id_a").as("id"))
+      .unionAll(coarse.select(col("id_b").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("community"))
+    val graded = Graph.modularityWeighted(coarse, ident)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val original = Graph.modularity(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // (community, intra, degree_sum, term6) identical — the
+    // aggregation-invariance theorem as an assertion; n_nodes is the
+    // honest difference (3 originals vs 1 super-node) and is skipped
+    assert(graded == original, s"$graded vs $original")
+    // and each coarse community is exactly one super-node
+    val n = Graph.modularityWeighted(coarse, ident)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(n == Seq((1L, 1L), (4L, 1L)), n.toString)
+  }
+
+  test("modularityWeighted: unit weights reduce to modularity; hygiene collapses multigraph rows") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "community")
+    val unitW = edges.withColumn("w", lit(1L))
+    val viaW = Graph.modularityWeighted(unitW, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val plain = Graph.modularity(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(viaW.toSeq == plain.toSeq, s"$viaW vs $plain")
+    // hygiene: a duplicate row, a reversed duplicate and a
+    // nonpositive-weight row on a 2-node fixture — weights SUM on
+    // the canonical pair, the w<=0 row drops; with one community the
+    // flat-partition zero is exact (e_c = W, d_c = 2W)
+    val messy = Seq(
+      (1L, 2L, 2L), (2L, 1L, 3L), (1L, 2L, 1L), (1L, 2L, 0L), (2L, 1L, -5L))
+      .toDF("id_a", "id_b", "w")
+    val oneLab = Seq((1L, 7L), (2L, 7L)).toDF("id", "community")
+    val got = Graph.modularityWeighted(messy, oneLab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((7L, 2L, 6L, 12L, 0L)), got.toSeq.toString)
+    // self-loop convention: loop weight counts once in intra, twice
+    // in degree — path 1-2 plus a loop on 1, one community:
+    // W = 3, e_c = 3, d_c = 2+1+... = 6 -> term6 = 1e6 - 1e6 = 0;
+    // split partition {1},{2}: c1 e=2 (loop), d=5; c2 e=0, d=1
+    val loopy = Seq((1L, 1L, 2L), (1L, 2L, 1L)).toDF("id_a", "id_b", "w")
+    val split = Seq((1L, 1L), (2L, 2L)).toDF("id", "community")
+    val lres = Graph.modularityWeighted(loopy, split)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // m=3: c1 term6 = (2e6 div 3) - (25e6 div 36) = 666666 - 694444
+    // = -27778; c2 = 0 - (1e6 div 36) = -27777 (truncation toward
+    // zero on the positive quotient, subtracted after)
+    assert(lres.toSeq == Seq((1L, 2L, 5L, -27778L), (2L, 0L, 1L, -27777L)), lres.toSeq.toString)
+  }
 }
