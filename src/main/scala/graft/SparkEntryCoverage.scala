@@ -6090,6 +6090,37 @@ object SparkEntryCoverage {
       Graph.modularityWeighted(coarse, ident)
         .select(col("community"), col("intra_w"), col("degree_sum"), col("term6"))
     },
+    // Phase 2's OPTIMIZATION step (Graph.louvainBestMoveWeighted):
+    // from identity labels on the coarse graph, a strictly-positive
+    // move MERGES the two communities sharing more weight than the
+    // degree-preserving chance level (gain·2W² = 2W·w_cd − k_c·k_d),
+    // self-loop mass traveling with its super-node — the hierarchy
+    // builder that runs on the community-count-sized graph, never
+    // the corpus edge list. Output = the weighted re-grade of the
+    // merged partition (n_nodes now counts SUPER-nodes: the merged
+    // community reads 2). The oracle replays coarsen, every weighted
+    // gain, the argmax and the weighted re-grade in HUGEINT.
+    "g_louvain_move_coarse" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      val coarse = graft.operators.Checkpointing.truncate(
+        Graph.louvainCoarsen(edges, Graph.labelPropagation(edges, rounds = 4)),
+        None, eager = true)
+      val ident = coarse.select(col("id_a").as("id"))
+        .unionAll(coarse.select(col("id_b").as("id")))
+        .distinct()
+        .select(col("id"), col("id").as("community"))
+      Graph.modularityWeighted(
+        coarse, Graph.louvainBestMoveWeighted(coarse, ident))
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -13505,6 +13536,84 @@ object SparkEntryCoverage {
          |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
          |FROM dc LEFT JOIN intra ON intra.community = dc.community CROSS JOIN mm
          |ORDER BY dc.community""".stripMargin
+    },
+    // coarsen in SQL, then the full weighted-move replay: weighted
+    // degrees with self-loops at 2w, loop-free kin sums, every
+    // HUGEINT gain, the argmax, the weighted re-grade
+    "g_louvain_move_coarse" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
+         |     UNION ALL SELECT id_b, id_a FROM ed),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds,
+         |lab AS (SELECT id, lbl AS community FROM l4),
+         |coarse AS MATERIALIZED (
+         |  SELECT least(la.community, lb.community) AS id_a,
+         |         greatest(la.community, lb.community) AS id_b,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM ed JOIN lab la ON la.id = ed.id_a
+         |          JOIN lab lb ON lb.id = ed.id_b
+         |  GROUP BY 1, 2),
+         |nl AS (SELECT id_a, id_b, w FROM coarse WHERE id_a <> id_b),
+         |cd AS (SELECT id_a AS src, id_b AS dst, w FROM nl
+         |       UNION ALL SELECT id_b, id_a, w FROM nl),
+         |cdeg AS MATERIALIZED (SELECT id, CAST(sum(w) AS BIGINT) AS k FROM (
+         |        SELECT src AS id, w FROM cd
+         |        UNION ALL SELECT id_a AS id, 2 * w AS w FROM coarse
+         |        WHERE id_a = id_b)
+         |      GROUP BY 1),
+         |ww AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM coarse),
+         |ilab AS (SELECT id, id AS community FROM
+         |         (SELECT id_a AS id FROM coarse UNION SELECT id_b FROM coarse)),
+         |totW AS (SELECT l.community, CAST(sum(cdeg.k) AS BIGINT) AS s
+         |        FROM cdeg JOIN ilab l ON l.id = cdeg.id GROUP BY 1),
+         |kinW AS MATERIALIZED (SELECT cd.src AS id, l.community AS cn,
+         |          CAST(sum(cd.w) AS BIGINT) AS kin
+         |        FROM cd JOIN ilab l ON l.id = cd.dst GROUP BY 1, 2),
+         |nodeW AS (SELECT l.id, l.community, cdeg.k,
+         |          COALESCE(ka.kin, CAST(0 AS BIGINT)) AS kin_a, ta.s AS s_a
+         |         FROM ilab l JOIN cdeg ON cdeg.id = l.id
+         |         LEFT JOIN kinW ka ON ka.id = l.id AND ka.cn = l.community
+         |         JOIN totW ta ON ta.community = l.community),
+         |candW AS (SELECT n.id, kinW.cn,
+         |          CAST(2 AS HUGEINT) * ww.m * (kinW.kin - n.kin_a)
+         |            - CAST(n.k AS HUGEINT) * (tc.s + n.k - n.s_a) AS gain
+         |         FROM nodeW n
+         |         JOIN kinW ON kinW.id = n.id AND kinW.cn <> n.community
+         |         JOIN totW tc ON tc.community = kinW.cn CROSS JOIN ww),
+         |bestW AS (SELECT id, cn FROM candW WHERE gain > 0
+         |         ORDER BY gain DESC, id, cn LIMIT 1),
+         |wlab AS (SELECT l.id,
+         |          CASE WHEN b.id IS NOT NULL AND l.id = b.id THEN b.cn
+         |               ELSE l.community END AS community
+         |         FROM ilab l LEFT JOIN bestW b ON TRUE),
+         |intraW AS (SELECT la.community, CAST(sum(coarse.w) AS BIGINT) AS intra_w
+         |          FROM coarse JOIN wlab la ON la.id = coarse.id_a
+         |               JOIN wlab lb ON lb.id = coarse.id_b
+         |          WHERE la.community = lb.community GROUP BY 1),
+         |dcW AS (SELECT la.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(cdeg.k) AS BIGINT) AS degree_sum
+         |       FROM cdeg JOIN wlab la ON la.id = cdeg.id GROUP BY 1)
+         |SELECT dcW.community, dcW.n_nodes,
+         |  COALESCE(intraW.intra_w, CAST(0 AS BIGINT)) AS intra_w,
+         |  dcW.degree_sum,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |        * COALESCE(intraW.intra_w, CAST(0 AS BIGINT))) // ww.m
+         |    - (CAST(1000000 AS HUGEINT) * dcW.degree_sum * dcW.degree_sum)
+         |      // (CAST(4 AS HUGEINT) * ww.m * ww.m) AS BIGINT) AS term6
+         |FROM dcW LEFT JOIN intraW ON intraW.community = dcW.community CROSS JOIN ww
+         |ORDER BY dcW.community""".stripMargin
     },
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are

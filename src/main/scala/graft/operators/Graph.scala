@@ -843,11 +843,51 @@ object Graph {
     */
   def louvainBestMove(pairs: DataFrame, labels: DataFrame): DataFrame = {
     val e = louvainEdgeHygiene(pairs)
-    val d = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val d = e.select(col("id_a").as("src"), col("id_b").as("dst"), lit(1L).as("w"))
+      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst"), lit(1L).as("w")))
     val lab = labels.select(col("id"), col("community"))
     val m = broadcast(e.agg(count(lit(1)).as("__m")))
-    val deg = d.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val deg = d.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+    louvainMoveStep(d, deg, m, lab)
+  }
+
+  /** [[louvainBestMove]] on a WEIGHTED, possibly self-looped graph —
+    * the phase-2 optimization step run on [[louvainCoarsen]]'s
+    * output: from identity labels, a strictly-positive move MERGES
+    * two communities that share more weight than the degree-
+    * preserving chance level (gain·2W² = 2W·w_cd − k_c·k_d > 0), and
+    * iterating move → re-grade builds the Louvain hierarchy on a
+    * community-count-sized graph instead of the corpus edge list.
+    * Self-loop mass travels WITH its node (it cancels in every gain
+    * difference, so kin sums exclude loops while k and Σtot include
+    * them at 2w — the A_ii = 2w convention [[modularityWeighted]]
+    * grades by). Hygiene is [[modularityWeighted]]'s multigraph
+    * collapse. Gains stage in DECIMAL(38,0) (2W·w products square
+    * corpus-scale weights); ties and the null-best identity are
+    * [[louvainBestMove]]'s.
+    */
+  def louvainBestMoveWeighted(pairsW: DataFrame, labels: DataFrame): DataFrame = {
+    val e = pairsW
+      .filter(
+        col("id_a").isNotNull && col("id_b").isNotNull
+          && col("w").isNotNull && col("w") > 0L)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("w").cast("long").as("w"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w")).as("w"))
+    val nl = e.filter(col("id_a") =!= col("id_b"))
+    val d = nl.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .unionAll(nl.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+    val lab = labels.select(col("id"), col("community"))
+    val m = broadcast(e.agg(sum(col("w")).as("__m")))
+    val deg = d.select(col("src").as("id"), col("w"))
+      .unionAll(
+        e.filter(col("id_a") === col("id_b"))
+          .select(col("id_a").as("id"), (col("w") * 2).as("w")))
+      .groupBy(col("id"))
+      .agg(sum(col("w")).as("k"))
     louvainMoveStep(d, deg, m, lab)
   }
 
@@ -881,10 +921,10 @@ object Graph {
         "run larger budgets as caller loops with a re-grade between passes")
     val e = louvainEdgeHygiene(pairs)
       .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
-    val d = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val d = e.select(col("id_a").as("src"), col("id_b").as("dst"), lit(1L).as("w"))
+      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst"), lit(1L).as("w")))
     val m = broadcast(e.agg(count(lit(1)).as("__m")))
-    val deg = d.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val deg = d.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
       .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
     var lab = labels.select(col("id"), col("community"))
     var i = 0
@@ -912,11 +952,14 @@ object Graph {
       .distinct()
 
   /** One best-move relabel over precomputed move-invariant frames:
-    * `d` = directed edges (src, dst), `deg` = (id, k), `m` = 1-row
-    * broadcast undirected edge count, `lab` = (id, community). The
+    * `d` = directed non-loop edges (src, dst, w) — unit weights for
+    * the unweighted surfaces, coarse weights for
+    * [[louvainBestMoveWeighted]] — `deg` = (id, k) (weighted degree,
+    * self-loops already folded at 2w by the weighted builder), `m` =
+    * 1-row broadcast total edge weight, `lab` = (id, community). The
     * gain arithmetic, tie-breaks and null-best identity are
     * [[louvainBestMove]]'s — that public single-move surface is this
-    * step over freshly derived frames.
+    * step over freshly derived unit-weight frames.
     */
   private def louvainMoveStep(
       d: DataFrame,
@@ -927,7 +970,7 @@ object Graph {
     val kin = d
       .join(lab.select(col("id").as("dst"), col("community").as("cn")), "dst")
       .groupBy(col("src").as("id"), col("cn"))
-      .agg(count(lit(1)).as("kin"))
+      .agg(sum(col("w")).as("kin"))
     val node = lab
       .join(deg, "id")
       .join(

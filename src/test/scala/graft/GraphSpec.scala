@@ -455,4 +455,39 @@ class GraphSpec extends SparkSpec {
     // zero on the positive quotient, subtracted after)
     assert(lres.toSeq == Seq((1L, 2L, 5L, -27778L), (2L, 0L, 1L, -27777L)), lres.toSeq.toString)
   }
+
+  test("louvainBestMoveWeighted: a heavy bridge merges the super-nodes; a light one is a fixed point") {
+    import spark.implicits._
+    // coarse graph (1,1,1),(1,4,5),(4,4,1): W = 7, k1 = k4 = 7;
+    // gain(1 -> c4)·2W² = 2·7·5 - 7·(7+7-7) = 21 > 0 — the bridge
+    // outweighs chance, the communities merge (labels {1->4, 4->4})
+    val heavy = Seq((1L, 1L, 1L), (1L, 4L, 5L), (4L, 4L, 1L)).toDF("id_a", "id_b", "w")
+    val ident = Seq((1L, 1L), (4L, 4L)).toDF("id", "community")
+    val merged = Graph.louvainBestMoveWeighted(heavy, ident)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == Map(1L -> 4L, 4L -> 4L), merged.toString)
+    // merged re-grade: one community holding ALL the mass is exactly
+    // chance level (term6 = 0) — and that beats the split partition's
+    // 2 x (1e6 div 7 - 49e6 div 196) = 2 x (142857 - 250000)
+    val regrade = Graph.modularityWeighted(
+      heavy, Graph.louvainBestMoveWeighted(heavy, ident))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(regrade.toSeq == Seq((4L, 2L, 7L, 14L, 0L)), regrade.toSeq.toString)
+    // bridged-triangle coarse graph (self-loops 3, bridge 1): the
+    // bridge is BELOW chance (2·7·1 - 7·7 < 0) — identity absorbs,
+    // matching the positive split term6 the plain grade assigns
+    val light = Seq((1L, 1L, 3L), (1L, 4L, 1L), (4L, 4L, 3L)).toDF("id_a", "id_b", "w")
+    val kept = Graph.louvainBestMoveWeighted(light, ident)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(1L -> 1L, 4L -> 4L), kept.toString)
+    // unit weights with no loops reduce to the unweighted move: the
+    // hand path fixture takes the same argmax step
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 30L), (4L, 40L)).toDF("id", "community")
+    val viaW = Graph.louvainBestMoveWeighted(edges.withColumn("w", lit(1L)), labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = Graph.louvainBestMove(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaW == plain, s"$viaW vs $plain")
+  }
 }
