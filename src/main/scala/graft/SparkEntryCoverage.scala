@@ -4841,6 +4841,54 @@ object SparkEntryCoverage {
         .pqSubspaceGrades(encoded, "embedding", subDim, 8)
         .orderBy(col("subspace"))
     },
+    // The RESIDUAL codebooks graded (Similarity
+    // .pqSubspaceGradesResidual) — the T258 symmetry of v_pq_quality:
+    // the clusters under judgment are residual codes over residual
+    // subvectors (x − c_cell rebuilt in-plan; the encode drops it),
+    // so a residual codebook that stopped describing what the coarse
+    // quantizer misses shows up as a low per-subspace CH — the number
+    // that would queue the T253 refit for the residual generation.
+    // Oracle replays assign → residual → residual-code argmax →
+    // milli-quantized CH moments per subspace.
+    "v_pq_quality_residual" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val full = emb
+        .filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val donors = emb
+        .filter(col("vec_id").between(5, 8))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val subDim = 8
+      val cents = full.toSeq
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var x = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) { x += a(i) * b(i); i += 1 }
+        x
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        if (d == 0.0) 0.0 else dot(a, b) / d
+      }
+      val donorRes = donors.map { v =>
+        val cell = cents.zipWithIndex
+          .map { case (c, i) => (cos(v, c), i) }
+          .maxBy { case (sim, i) => (sim, i) }
+          ._2
+        v.zip(cents(cell)).map { case (x, y) => x - y }
+      }
+      val books = (0 until 8).map(sp =>
+        donorRes.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+      val encoded = Similarity.pqEncodeResidual(
+        Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", cents),
+        "embedding", subDim, cents, books)
+      Similarity
+        .pqSubspaceGradesResidual(encoded, "embedding", subDim, cents, 8)
+        .orderBy(col("subspace"))
+    },
     // The refit WORKLIST the v_pq_quality grade feeds (Similarity
     // .pqRefitWorklist — the v_ivf_refit symmetry for the PQ family):
     // the frozen-codebook rule makes a codebook refit a REBUILD of
@@ -9764,6 +9812,39 @@ object SparkEntryCoverage {
        |  FROM pj$sp)""".stripMargin
   }
 
+  /** WITH-chain for one RESIDUAL subspace's grade — [[pqGradeChain]]
+    * retargeted at residual codes over residual subvectors. Expects
+    * the shared residual prefix (`res(vec_id, cell, r)`, `bk(code,
+    * br)`) in scope; assignment is the residual-codebook cosine
+    * argmax (ties to the larger code — the pqEncodeResidual
+    * greatest-struct rule), then the same milli-quantized CH moment
+    * tail ending in `t$sp` so [[pqGradeSelect]] reads it unchanged.
+    */
+  private def pqResidualGradeChain(sp: Int): String = {
+    val lo = sp * 8 + 1
+    val hi = (sp + 1) * 8
+    s"""rs$sp AS (SELECT r.vec_id, r.r[$lo:$hi] AS sub, b.code,
+       |    ${sqlCosine(s"r.r[$lo:$hi]", s"b.br[$lo:$hi]")} AS sim
+       |  FROM res r CROSS JOIN bk b),
+       |asgr$sp AS (SELECT vec_id, sub, code AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, code DESC) AS rn
+       |  FROM rs$sp) WHERE rn = 1),
+       |x$sp AS (SELECT cell AS c, unnest(range(1, len(sub) + 1)) AS j,
+       |        CAST(round(CAST(unnest(sub) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+       |      FROM asgr$sp),
+       |cl$sp AS (SELECT c, j, CAST(SUM(q) AS HUGEINT) AS scj,
+       |    SUM(CAST(q AS HUGEINT) * q) AS qcj, CAST(COUNT(*) AS BIGINT) AS ncj
+       |  FROM x$sp GROUP BY 1, 2),
+       |pj$sp AS (SELECT j, SUM(scj) AS sj, CAST(SUM(ncj) AS BIGINT) AS nj,
+       |    SUM(qcj) AS qj, SUM((scj * scj) // ncj) AS aj,
+       |    CAST(COUNT(DISTINCT c) AS BIGINT) AS kj
+       |  FROM cl$sp GROUP BY 1),
+       |t$sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim, MAX(nj) AS n, MAX(kj) AS k,
+       |    SUM(qj) AS q, SUM(aj) AS a,
+       |    SUM((sj * sj) // CAST(nj AS HUGEINT)) AS b
+       |  FROM pj$sp)""".stripMargin
+  }
+
   /** One subspace's grade row off [[pqGradeChain]]'s t-frame. */
   private def pqGradeSelect(sp: Int): String =
     s"""SELECT CAST($sp AS BIGINT) AS subspace, n, k, dim,
@@ -12836,6 +12917,31 @@ object SparkEntryCoverage {
       val chains = (0 until 8).map(pqGradeChain).mkString(",\n")
       val selects = (0 until 8).map(pqGradeSelect).mkString("\nUNION ALL ")
       s"WITH $chains\n$selects\nORDER BY subspace"
+    },
+    // coarse assign → in-SQL residual → residual-code argmax per
+    // subspace → the same milli-quantized CH moment tail
+    "v_pq_quality_residual" -> {
+      val prefix =
+        s"""cents AS (
+           | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+           |        embedding AS ce
+           | FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+           |iscored AS (
+           | SELECT e2.vec_id, c2.cell, ${sqlCosine("e2.embedding", "c2.ce")} AS sim
+           | FROM embeddings e2 CROSS JOIN cents c2 WHERE e2.vec_id <> 0),
+           |iassign AS (SELECT vec_id, cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM iscored) WHERE rn = 1),
+           |res AS MATERIALIZED (
+           | SELECT e.vec_id, a.cell,
+           |        list_transform(generate_series(1, 64),
+           |          i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) AS r
+           | FROM embeddings e JOIN iassign a USING (vec_id) JOIN cents c ON c.cell = a.cell),
+           |bk AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r AS br
+           | FROM res WHERE vec_id BETWEEN 5 AND 8)""".stripMargin
+      val chains = (0 until 8).map(pqResidualGradeChain).mkString(",\n")
+      val selects = (0 until 8).map(pqGradeSelect).mkString("\nUNION ALL ")
+      s"WITH $prefix,\n$chains\n$selects\nORDER BY subspace"
     },
     // the grade chains + SQL argmin: the worst-graded subspace is the
     // whole worklist (one REBUILD per maintenance cycle — the

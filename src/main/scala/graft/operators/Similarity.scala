@@ -1561,6 +1561,32 @@ object Similarity {
         col("subspace"), col("n"), col("k"), col("dim"),
         col("ssb6"), col("ssw6"), col("ch6"))
 
+  /** [[pqSubspaceGrades]] for RESIDUAL codebooks — the grade the
+    * T258 encoding needs: the clusters under judgment are residual
+    * codes over residual subvectors, so the residual x − c_cell is
+    * rebuilt in-plan ([[pqEncodeResidual]]'s own zip_with expression
+    * — the encode drops it) and each subspace's CH is computed on
+    * the residual slice grouped by its residual code column. Same
+    * milli-quantized exact moment cells, same output shape.
+    */
+  def pqSubspaceGradesResidual(
+      encoded: DataFrame,
+      embCol: String,
+      subDim: Int,
+      coarse: Seq[Array[Double]],
+      numSub: Int): DataFrame = {
+    require(coarse.nonEmpty, "pqSubspaceGradesResidual: coarse centroids must be non-empty")
+    val emb = col(embCol).cast("array<double>")
+    val centArr = element_at(
+      array(coarse.map(c => array(c.toIndexedSeq.map(lit): _*)): _*),
+      col("cell").cast("int") + 1)
+    pqSubspaceGrades(
+      encoded.withColumn("__pqres", zip_with(emb, centArr, (x, y) => x - y)),
+      "__pqres",
+      subDim,
+      numSub)
+  }
+
   /** The refit WORKLIST the [[pqSubspaceGrades]] grade feeds — the
     * [[ivfRefitWorklist]] symmetry for the PQ family, with one
     * structural difference the frozen-codebook rule forces: a PQ

@@ -724,6 +724,56 @@ class AnnRecallSpec extends SparkSpec {
     assert(batch == single, s"batch path diverged:\n$batch\nvs\n$single")
   }
 
+  test("pqSubspaceGradesResidual grades residual codes on residuals, not raw vectors") {
+    val subDim = 8
+    val sample = corpus
+      .filter(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val donors = corpus
+      .filter(col("vec_id").between(5, 8))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val cents = sample.toSeq
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0.0) 0.0 else dot(a, b) / d
+    }
+    val donorRes = donors.map { v =>
+      val cell = cents.zipWithIndex
+        .map { case (c, i) => (cos(v, c), i) }
+        .maxBy { case (sim, i) => (sim, i) }._2
+      v.zip(cents(cell)).map { case (x, y) => x - y }
+    }
+    val books = (0 until 8).map(sp =>
+      donorRes.toSeq.map(_.slice(sp * subDim, (sp + 1) * subDim)))
+    val encoded = Similarity.pqEncodeResidual(
+      Similarity.ivfAssign(corpus, "embedding", cents), "embedding", subDim, cents, books)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("subspace"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(6)))
+      .toSeq
+    val g1 = rows(Similarity.pqSubspaceGradesResidual(encoded, "embedding", subDim, cents, 8))
+    // shape: 8 subspaces, full corpus graded, 1-4 residual codes each
+    assert(g1.map(_._1) == (0L until 8L), g1.toString)
+    val n = corpus.count()
+    assert(g1.forall(_._2 == n), g1.toString)
+    assert(g1.forall(t => t._3 >= 1L && t._3 <= 4L), g1.toString)
+    // deterministic: a re-run reproduces every moment exactly
+    assert(g1 == rows(
+      Similarity.pqSubspaceGradesResidual(encoded, "embedding", subDim, cents, 8)))
+    // and it is NOT the raw-vector grade: grading the raw embedding
+    // under the same code columns must differ somewhere (the
+    // residual rebuild is what this operator adds)
+    val raw = rows(Similarity.pqSubspaceGrades(encoded, "embedding", subDim, 8))
+    assert(g1 != raw, "residual grade unexpectedly equals the raw-vector grade")
+  }
+
   test("batched IVFADC served off artifact frames equals the in-plan-frame batch") {
     val subDim = 8
     val sample = corpus

@@ -66,7 +66,10 @@ class BoundsCalibrationSpec extends SparkSpec {
     // alphaPpm range require (no data magnitude — the hypothesis
     // universe is monitor-bounded by construction)
     "Experiments.scala" -> 61,
-    "Graph.scala" -> 13,
+    // +1 round-12: louvainMoves' structural moves-in-[1,8] unroll
+    // bound (a plan-size parameter, not a data magnitude — larger
+    // budgets are caller loops per the scaladoc)
+    "Graph.scala" -> 14,
     "Layout.scala" -> 1,
     "Multimodal.scala" -> 5,
     "Relational.scala" -> 11,
@@ -74,8 +77,10 @@ class BoundsCalibrationSpec extends SparkSpec {
     "Series.scala" -> 24,
     // +2 round-12: pqEncodeResidual's structural non-empty-centroids
     // require and ivfPqTopKBatch's structural dims/probe/shortlist
-    // parameter require (shapes, not data magnitudes)
-    "Similarity.scala" -> 30,
+    // parameter require (shapes, not data magnitudes); +1:
+    // pqSubspaceGradesResidual's same structural non-empty-centroids
+    // shape require
+    "Similarity.scala" -> 31,
     "Sketches.scala" -> 6,
     "TextAnalysis.scala" -> 21,
     "Io.scala" -> 27)

@@ -40,7 +40,12 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val expectedCollect: Map[String, Int] = Map(
     "Profile.scala" -> 3,
     "ScaleBench.scala" -> 2,
-    "SparkEntryCoverage.scala" -> 58,
+    // round-12 +3: v_ivfpq_batch_persisted's bounded index-BUILD
+    // bootstrap (4 centroid donors — the SERVE path reads artifact
+    // frames and collects nothing, which is the row's point) and
+    // v_pq_quality_residual's standard 2-collect residual bootstrap
+    // (4 centroid + 4 codebook donors, the v_ivfpq_residual class)
+    "SparkEntryCoverage.scala" -> 61,
     "SparkEntryStreaming.scala" -> 8,
     "pipelines/Corpus.scala" -> 1,
     "operators/Checks.scala" -> 3,
