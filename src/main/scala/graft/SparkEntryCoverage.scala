@@ -6169,6 +6169,34 @@ object SparkEntryCoverage {
       Graph.modularityWeighted(
         coarse, Graph.louvainBestMoveWeighted(coarse, ident))
     },
+    // The merge pass ITERATED (Graph.louvainMovesWeighted, 2 passes):
+    // the second pass's gains are computed against the MERGED
+    // partition's Σtot — the hierarchy's actual inner loop, still
+    // community-bounded (SCALE_r12 wave 4: the weighted move is flat
+    // to x100 because it never touches the corpus edge list). The
+    // oracle chains two full weighted-move replays before the
+    // re-grade.
+    "g_louvain_moves_coarse" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      val coarse = graft.operators.Checkpointing.truncate(
+        Graph.louvainCoarsen(edges, Graph.labelPropagation(edges, rounds = 4)),
+        None, eager = true)
+      val ident = coarse.select(col("id_a").as("id"))
+        .unionAll(coarse.select(col("id_b").as("id")))
+        .distinct()
+        .select(col("id"), col("id").as("community"))
+      Graph.modularityWeighted(
+        coarse, Graph.louvainMovesWeighted(coarse, ident, moves = 2))
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -8846,6 +8874,101 @@ object SparkEntryCoverage {
        |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS term6
        |FROM dcF LEFT JOIN intraF ON intraF.community = dcF.community CROSS JOIN mm
        |ORDER BY dcF.community""".stripMargin
+
+  /** Shared prefix for the coarse-ladder oracles: the co-purchase
+    * graph, labelprop, the coarsened super-graph with self-loops,
+    * its directed non-loop edges (`cd`), weighted degrees with
+    * self-loops at 2w (`cdeg`), total weight (`ww`) and identity
+    * labels (`ilab`).
+    */
+  private lazy val coarseLadderPrefixSql: String = {
+    val rounds = (1 to 4).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
+         |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT id, lbl FROM (
+         |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |  FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+       |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
+       |     UNION ALL SELECT id_b, id_a FROM ed),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       |$rounds,
+       |lab AS (SELECT id, lbl AS community FROM l4),
+       |coarse AS MATERIALIZED (
+       |  SELECT least(la.community, lb.community) AS id_a,
+       |         greatest(la.community, lb.community) AS id_b,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM ed JOIN lab la ON la.id = ed.id_a
+       |          JOIN lab lb ON lb.id = ed.id_b
+       |  GROUP BY 1, 2),
+       |nl AS (SELECT id_a, id_b, w FROM coarse WHERE id_a <> id_b),
+       |cd AS (SELECT id_a AS src, id_b AS dst, w FROM nl
+       |       UNION ALL SELECT id_b, id_a, w FROM nl),
+       |cdeg AS MATERIALIZED (SELECT id, CAST(sum(w) AS BIGINT) AS k FROM (
+       |        SELECT src AS id, w FROM cd
+       |        UNION ALL SELECT id_a AS id, 2 * w AS w FROM coarse
+       |        WHERE id_a = id_b)
+       |      GROUP BY 1),
+       |ww AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM coarse),
+       |ilab AS (SELECT id, id AS community FROM
+       |         (SELECT id_a AS id FROM coarse UNION SELECT id_b FROM coarse))""".stripMargin
+  }
+
+  /** One WEIGHTED Louvain move replay off [[coarseLadderPrefixSql]]'s
+    * frames (`cd`, `cdeg`, `ww`) — kin sums over non-loop weights,
+    * the same HUGEINT gain, argmax ties (gain DESC, id, cn) and
+    * null-best identity as [[louvainMoveSql]]; ends in
+    * `wlab$i(id, community)`.
+    */
+  private def louvainMoveWSql(prev: String, i: Int): String =
+    s"""totW$i AS (SELECT l.community, CAST(sum(cdeg.k) AS BIGINT) AS s
+       |        FROM cdeg JOIN $prev l ON l.id = cdeg.id GROUP BY 1),
+       |kinW$i AS MATERIALIZED (SELECT cd.src AS id, l.community AS cn,
+       |          CAST(sum(cd.w) AS BIGINT) AS kin
+       |        FROM cd JOIN $prev l ON l.id = cd.dst GROUP BY 1, 2),
+       |nodeW$i AS (SELECT l.id, l.community, cdeg.k,
+       |          COALESCE(ka.kin, CAST(0 AS BIGINT)) AS kin_a, ta.s AS s_a
+       |         FROM $prev l JOIN cdeg ON cdeg.id = l.id
+       |         LEFT JOIN kinW$i ka ON ka.id = l.id AND ka.cn = l.community
+       |         JOIN totW$i ta ON ta.community = l.community),
+       |candW$i AS (SELECT n.id, kinW$i.cn,
+       |          CAST(2 AS HUGEINT) * ww.m * (kinW$i.kin - n.kin_a)
+       |            - CAST(n.k AS HUGEINT) * (tc.s + n.k - n.s_a) AS gain
+       |         FROM nodeW$i n
+       |         JOIN kinW$i ON kinW$i.id = n.id AND kinW$i.cn <> n.community
+       |         JOIN totW$i tc ON tc.community = kinW$i.cn CROSS JOIN ww),
+       |bestW$i AS (SELECT id, cn FROM candW$i WHERE gain > 0
+       |         ORDER BY gain DESC, id, cn LIMIT 1),
+       |wlab$i AS (SELECT l.id,
+       |          CASE WHEN b.id IS NOT NULL AND l.id = b.id THEN b.cn
+       |               ELSE l.community END AS community
+       |         FROM $prev l LEFT JOIN bestW$i b ON TRUE)""".stripMargin
+
+  /** The weighted modularity re-grade over a moved coarse label CTE
+    * — the closing SELECT of the coarse-ladder move oracles.
+    */
+  private def louvainRegradeWSql(labCte: String): String =
+    s"""intraW AS (SELECT la.community, CAST(sum(coarse.w) AS BIGINT) AS intra_w
+       |          FROM coarse JOIN $labCte la ON la.id = coarse.id_a
+       |               JOIN $labCte lb ON lb.id = coarse.id_b
+       |          WHERE la.community = lb.community GROUP BY 1),
+       |dcW AS (SELECT la.community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(cdeg.k) AS BIGINT) AS degree_sum
+       |       FROM cdeg JOIN $labCte la ON la.id = cdeg.id GROUP BY 1)
+       |SELECT dcW.community, dcW.n_nodes,
+       |  COALESCE(intraW.intra_w, CAST(0 AS BIGINT)) AS intra_w,
+       |  dcW.degree_sum,
+       |  CAST((CAST(1000000 AS HUGEINT)
+       |        * COALESCE(intraW.intra_w, CAST(0 AS BIGINT))) // ww.m
+       |    - (CAST(1000000 AS HUGEINT) * dcW.degree_sum * dcW.degree_sum)
+       |      // (CAST(4 AS HUGEINT) * ww.m * ww.m) AS BIGINT) AS term6
+       |FROM dcW LEFT JOIN intraW ON intraW.community = dcW.community CROSS JOIN ww
+       |ORDER BY dcW.community""".stripMargin
 
   /** Shared fuzzy-entity pair generation ending in
     * `pairs(id_a, id_b, lev)` (suffix blocking + levenshtein ≤ 2 over
@@ -13646,81 +13769,17 @@ object SparkEntryCoverage {
     // coarsen in SQL, then the full weighted-move replay: weighted
     // degrees with self-loops at 2w, loop-free kin sums, every
     // HUGEINT gain, the argmax, the weighted re-grade
-    "g_louvain_move_coarse" -> {
-      val rounds = (1 to 4).map { r =>
-        val prev = if (r == 1) "l0" else s"l${r - 1}"
-        s"""c$r AS MATERIALIZED (SELECT e.dst AS id, l.lbl, count(*) AS c
-           |  FROM e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
-           |l$r AS MATERIALIZED (SELECT id, lbl FROM (
-           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-           |  FROM c$r) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         |ew AS (SELECT a.p AS u, b.p AS v, count(*) AS w
-         |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-         |ed AS (SELECT u AS id_a, v AS id_b FROM ew WHERE w >= 2),
-         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
-         |     UNION ALL SELECT id_b, id_a FROM ed),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e),
-         |$rounds,
-         |lab AS (SELECT id, lbl AS community FROM l4),
-         |coarse AS MATERIALIZED (
-         |  SELECT least(la.community, lb.community) AS id_a,
-         |         greatest(la.community, lb.community) AS id_b,
-         |         CAST(count(*) AS BIGINT) AS w
-         |  FROM ed JOIN lab la ON la.id = ed.id_a
-         |          JOIN lab lb ON lb.id = ed.id_b
-         |  GROUP BY 1, 2),
-         |nl AS (SELECT id_a, id_b, w FROM coarse WHERE id_a <> id_b),
-         |cd AS (SELECT id_a AS src, id_b AS dst, w FROM nl
-         |       UNION ALL SELECT id_b, id_a, w FROM nl),
-         |cdeg AS MATERIALIZED (SELECT id, CAST(sum(w) AS BIGINT) AS k FROM (
-         |        SELECT src AS id, w FROM cd
-         |        UNION ALL SELECT id_a AS id, 2 * w AS w FROM coarse
-         |        WHERE id_a = id_b)
-         |      GROUP BY 1),
-         |ww AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM coarse),
-         |ilab AS (SELECT id, id AS community FROM
-         |         (SELECT id_a AS id FROM coarse UNION SELECT id_b FROM coarse)),
-         |totW AS (SELECT l.community, CAST(sum(cdeg.k) AS BIGINT) AS s
-         |        FROM cdeg JOIN ilab l ON l.id = cdeg.id GROUP BY 1),
-         |kinW AS MATERIALIZED (SELECT cd.src AS id, l.community AS cn,
-         |          CAST(sum(cd.w) AS BIGINT) AS kin
-         |        FROM cd JOIN ilab l ON l.id = cd.dst GROUP BY 1, 2),
-         |nodeW AS (SELECT l.id, l.community, cdeg.k,
-         |          COALESCE(ka.kin, CAST(0 AS BIGINT)) AS kin_a, ta.s AS s_a
-         |         FROM ilab l JOIN cdeg ON cdeg.id = l.id
-         |         LEFT JOIN kinW ka ON ka.id = l.id AND ka.cn = l.community
-         |         JOIN totW ta ON ta.community = l.community),
-         |candW AS (SELECT n.id, kinW.cn,
-         |          CAST(2 AS HUGEINT) * ww.m * (kinW.kin - n.kin_a)
-         |            - CAST(n.k AS HUGEINT) * (tc.s + n.k - n.s_a) AS gain
-         |         FROM nodeW n
-         |         JOIN kinW ON kinW.id = n.id AND kinW.cn <> n.community
-         |         JOIN totW tc ON tc.community = kinW.cn CROSS JOIN ww),
-         |bestW AS (SELECT id, cn FROM candW WHERE gain > 0
-         |         ORDER BY gain DESC, id, cn LIMIT 1),
-         |wlab AS (SELECT l.id,
-         |          CASE WHEN b.id IS NOT NULL AND l.id = b.id THEN b.cn
-         |               ELSE l.community END AS community
-         |         FROM ilab l LEFT JOIN bestW b ON TRUE),
-         |intraW AS (SELECT la.community, CAST(sum(coarse.w) AS BIGINT) AS intra_w
-         |          FROM coarse JOIN wlab la ON la.id = coarse.id_a
-         |               JOIN wlab lb ON lb.id = coarse.id_b
-         |          WHERE la.community = lb.community GROUP BY 1),
-         |dcW AS (SELECT la.community, CAST(count(*) AS BIGINT) AS n_nodes,
-         |         CAST(sum(cdeg.k) AS BIGINT) AS degree_sum
-         |       FROM cdeg JOIN wlab la ON la.id = cdeg.id GROUP BY 1)
-         |SELECT dcW.community, dcW.n_nodes,
-         |  COALESCE(intraW.intra_w, CAST(0 AS BIGINT)) AS intra_w,
-         |  dcW.degree_sum,
-         |  CAST((CAST(1000000 AS HUGEINT)
-         |        * COALESCE(intraW.intra_w, CAST(0 AS BIGINT))) // ww.m
-         |    - (CAST(1000000 AS HUGEINT) * dcW.degree_sum * dcW.degree_sum)
-         |      // (CAST(4 AS HUGEINT) * ww.m * ww.m) AS BIGINT) AS term6
-         |FROM dcW LEFT JOIN intraW ON intraW.community = dcW.community CROSS JOIN ww
-         |ORDER BY dcW.community""".stripMargin
-    },
+    "g_louvain_move_coarse" ->
+      s"""WITH $coarseLadderPrefixSql,
+         |${louvainMoveWSql("ilab", 1)},
+         |${louvainRegradeWSql("wlab1")}""".stripMargin,
+    // two chained weighted-move replays — the second pass's gains
+    // computed against the MERGED partition's Σtot
+    "g_louvain_moves_coarse" ->
+      s"""WITH $coarseLadderPrefixSql,
+         |${louvainMoveWSql("ilab", 1)},
+         |${louvainMoveWSql("wlab1", 2)},
+         |${louvainRegradeWSql("wlab2")}""".stripMargin,
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are
     // a graph property so they must agree exactly

@@ -867,7 +867,49 @@ object Graph {
     * [[louvainBestMove]]'s.
     */
   def louvainBestMoveWeighted(pairsW: DataFrame, labels: DataFrame): DataFrame = {
-    val e = pairsW
+    val e = weightedEdgeHygiene(pairsW)
+    val (d, deg, m) = weightedMoveFrames(e)
+    louvainMoveStep(d, deg, m, labels.select(col("id"), col("community")))
+  }
+
+  /** [[louvainMoves]] on the weighted self-looped graph — K bounded
+    * phase-2 merge passes on [[louvainCoarsen]]'s output, the step a
+    * hierarchy ITERATES (each pass merges the most above-chance
+    * community pair; the next pass sees the merged Σtot): same
+    * monotone-composition and absorbing-fixed-point contract, same
+    * storage discipline (edge/degree frames once, relabels
+    * lineage-truncated), and the coarse graph keeps the whole loop
+    * community-bounded — SCALE_r12 wave 4 measures the single move
+    * flat to x100 for exactly this reason.
+    */
+  def louvainMovesWeighted(
+      pairsW: DataFrame,
+      labels: DataFrame,
+      moves: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(moves >= 1 && moves <= 8,
+      "louvainMovesWeighted: moves must be in [1, 8] — run larger merge budgets as " +
+        "caller loops with a re-grade between passes")
+    val e = weightedEdgeHygiene(pairsW)
+      .transform(Checkpointing.truncate(_, checkpointDir, eager = true))
+    val (d, degRaw, m) = weightedMoveFrames(e)
+    val deg = Checkpointing.truncate(degRaw, checkpointDir, eager = true)
+    var lab = labels.select(col("id"), col("community"))
+    var i = 0
+    while (i < moves) {
+      lab = Checkpointing.truncate(
+        louvainMoveStep(d, deg, m, lab), checkpointDir, eager = false)
+      i += 1
+    }
+    lab
+  }
+
+  /** [[modularityWeighted]]'s multigraph collapse as a shared frame:
+    * nulls and nonpositive weights out, duplicate and reversed
+    * duplicates SUM on the canonical (min, max) row, self-loops kept.
+    */
+  private def weightedEdgeHygiene(pairsW: DataFrame): DataFrame =
+    pairsW
       .filter(
         col("id_a").isNotNull && col("id_b").isNotNull
           && col("w").isNotNull && col("w") > 0L)
@@ -877,10 +919,15 @@ object Graph {
         col("w").cast("long").as("w"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("w")).as("w"))
+
+  /** Move-invariant frames off a hygienic weighted edge set: directed
+    * non-loop edges, weighted degrees (self-loops folded at 2w), the
+    * 1-row total-weight broadcast.
+    */
+  private def weightedMoveFrames(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val nl = e.filter(col("id_a") =!= col("id_b"))
     val d = nl.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
       .unionAll(nl.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
-    val lab = labels.select(col("id"), col("community"))
     val m = broadcast(e.agg(sum(col("w")).as("__m")))
     val deg = d.select(col("src").as("id"), col("w"))
       .unionAll(
@@ -888,7 +935,7 @@ object Graph {
           .select(col("id_a").as("id"), (col("w") * 2).as("w")))
       .groupBy(col("id"))
       .agg(sum(col("w")).as("k"))
-    louvainMoveStep(d, deg, m, lab)
+    (d, deg, m)
   }
 
   /** K bounded Louvain phase-1 moves — [[louvainBestMove]] iterated,

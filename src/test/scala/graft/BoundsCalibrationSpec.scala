@@ -66,10 +66,11 @@ class BoundsCalibrationSpec extends SparkSpec {
     // alphaPpm range require (no data magnitude — the hypothesis
     // universe is monitor-bounded by construction)
     "Experiments.scala" -> 61,
-    // +1 round-12: louvainMoves' structural moves-in-[1,8] unroll
-    // bound (a plan-size parameter, not a data magnitude — larger
-    // budgets are caller loops per the scaladoc)
-    "Graph.scala" -> 14,
+    // +2 round-12: louvainMoves' and louvainMovesWeighted's
+    // structural moves-in-[1,8] unroll bounds (plan-size parameters,
+    // not data magnitudes — larger budgets are caller loops per the
+    // scaladoc)
+    "Graph.scala" -> 15,
     "Layout.scala" -> 1,
     "Multimodal.scala" -> 5,
     "Relational.scala" -> 11,

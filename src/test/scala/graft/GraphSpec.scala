@@ -490,4 +490,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(viaW == plain, s"$viaW vs $plain")
   }
+
+  test("louvainMovesWeighted: two sequential merges collapse the super-node chain") {
+    import spark.implicits._
+    // chain 1-2-3 with bridges w=5 and loops on the endpoints: W=12,
+    // k1 = k3 = 7, k2 = 10. Move 1 ties at gain 50 -> node 1 joins
+    // c2; move 2: only node 3 -> merged c2 stays positive (gain 1),
+    // everything lands in community 2 — and the second gain is
+    // computed against the MERGED Σtot (17), which is the point.
+    val chain = Seq((1L, 1L, 1L), (1L, 2L, 5L), (2L, 3L, 5L), (3L, 3L, 1L))
+      .toDF("id_a", "id_b", "w")
+    val ident = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "community")
+    def labMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labMap(Graph.louvainMovesWeighted(chain, ident, 1))
+      == Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+    val two = Graph.louvainMovesWeighted(chain, ident, 2)
+    assert(labMap(two) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), labMap(two).toString)
+    // the all-merged grade is exactly chance level (e = W, d = 2W),
+    // monotone from -177083 (identity) via -3472 (one merge)
+    def q6(lab: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularityWeighted(chain, lab)
+        .agg(sum(col("term6"))).head().getLong(0)
+    assert(q6(ident) == -177083L)
+    assert(q6(Graph.louvainMovesWeighted(chain, ident, 1)) == -3472L)
+    assert(q6(two) == 0L)
+    // a third pass is the identity — the optimum absorbs
+    assert(labMap(Graph.louvainMovesWeighted(chain, ident, 3)) == labMap(two))
+  }
 }
