@@ -6197,6 +6197,47 @@ object SparkEntryCoverage {
       Graph.modularityWeighted(
         coarse, Graph.louvainMovesWeighted(coarse, ident, moves = 2))
     },
+    // The hierarchy END-TO-END: labelprop partitions the co-purchase
+    // graph, phase 2 coarsens and runs TWO merge passes on the
+    // super-graph, and the merged coarse labels PROJECT BACK through
+    // the phase-1 assignment (node → its community's merged
+    // community) — the readout is plain modularity of the projected
+    // partition on the ORIGINAL graph, which by the aggregation
+    // invariance must capture exactly the coarse-side gains: every
+    // merge that fired above chance on the super-graph raises Q on
+    // the corpus graph. This is the query a 100 TB deployment runs
+    // per hierarchy level: all corpus-proportional work happens once
+    // (edges + labelprop + coarsen), the iterated optimization is
+    // community-bounded. Oracle chains labelprop, coarsen, both
+    // weighted move replays, the back-projection join and the plain
+    // re-grade.
+    "g_louvain_hierarchy" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      val lab1 = graft.operators.Checkpointing.truncate(
+        Graph.labelPropagation(edges, rounds = 4), None, eager = true)
+      val coarse = graft.operators.Checkpointing.truncate(
+        Graph.louvainCoarsen(edges, lab1), None, eager = true)
+      val ident = coarse.select(col("id_a").as("id"))
+        .unionAll(coarse.select(col("id_b").as("id")))
+        .distinct()
+        .select(col("id"), col("id").as("community"))
+      val merged = Graph.louvainMovesWeighted(coarse, ident, moves = 2)
+      val projected = lab1
+        .join(
+          merged.select(col("id").as("community"), col("community").as("__c2")),
+          Seq("community"))
+        .select(col("id"), col("__c2").as("community"))
+      Graph.modularity(edges, projected)
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -13780,6 +13821,20 @@ object SparkEntryCoverage {
          |${louvainMoveWSql("ilab", 1)},
          |${louvainMoveWSql("wlab1", 2)},
          |${louvainRegradeWSql("wlab2")}""".stripMargin,
+    // both merge replays, then the back-projection join (node → its
+    // phase-1 community's merged community) and the PLAIN modularity
+    // re-grade on the original edge list
+    "g_louvain_hierarchy" ->
+      s"""WITH $coarseLadderPrefixSql,
+         |${louvainMoveWSql("ilab", 1)},
+         |${louvainMoveWSql("wlab1", 2)},
+         |flab AS (SELECT l.id, w2.community
+         |         FROM lab l JOIN wlab2 w2 ON w2.id = l.community),
+         |deg AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed)
+         |        GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |${louvainRegradeSql("flab", "ed")}""".stripMargin,
     // plain id-ordered triangle join — deliberately a DIFFERENT
     // algorithm from the engine's degree-oriented one; the counts are
     // a graph property so they must agree exactly
