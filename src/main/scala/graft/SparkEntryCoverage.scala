@@ -6238,6 +6238,56 @@ object SparkEntryCoverage {
         .select(col("id"), col("__c2").as("community"))
       Graph.modularity(edges, projected)
     },
+    // The hierarchy RECURSES (Graph.louvainCoarsenWeighted): level
+    // 1's merged partition coarsens AGAIN — weights sum into
+    // canonical community pairs, self-loops fold into the community
+    // loop, total W conserved level to level — and two more merge
+    // passes run on the level-2 super-graph; the final labels
+    // project back through BOTH levels (node → phase-1 community →
+    // merged-1 → merged-2) and the readout is plain modularity on
+    // the ORIGINAL graph. Every level after the first touches only
+    // community-count-sized frames — the recursion a 100 TB
+    // hierarchy iterates until the merge passes go dry. The oracle
+    // chains both coarsens, all four weighted move replays, the
+    // two-level back-projection and the plain re-grade.
+    "g_louvain_hierarchy2" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.select(col("o"), col("p").as("id_a"))
+        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      val lab1 = graft.operators.Checkpointing.truncate(
+        Graph.labelPropagation(edges, rounds = 4), None, eager = true)
+      val coarse1 = graft.operators.Checkpointing.truncate(
+        Graph.louvainCoarsen(edges, lab1), None, eager = true)
+      val ident1 = coarse1.select(col("id_a").as("id"))
+        .unionAll(coarse1.select(col("id_b").as("id")))
+        .distinct()
+        .select(col("id"), col("id").as("community"))
+      val merged1 = graft.operators.Checkpointing.truncate(
+        Graph.louvainMovesWeighted(coarse1, ident1, moves = 2), None, eager = true)
+      val coarse2 = graft.operators.Checkpointing.truncate(
+        Graph.louvainCoarsenWeighted(coarse1, merged1), None, eager = true)
+      val ident2 = coarse2.select(col("id_a").as("id"))
+        .unionAll(coarse2.select(col("id_b").as("id")))
+        .distinct()
+        .select(col("id"), col("id").as("community"))
+      val merged2 = Graph.louvainMovesWeighted(coarse2, ident2, moves = 2)
+      val projected = lab1
+        .join(
+          merged1.select(col("id").as("community"), col("community").as("__c2")),
+          Seq("community"))
+        .join(
+          merged2.select(col("id").as("__c2"), col("community").as("__c3")),
+          Seq("__c2"))
+        .select(col("id"), col("__c3").as("community"))
+      Graph.modularity(edges, projected)
+    },
     // PageRank off the PERSISTED dup-graph artifact (Io.writeDupGraph):
     // the shingle/band/verify pair pipeline runs ONCE into bucketed
     // parquet, the iteration loads the edge list back — the ANN-index
@@ -8966,15 +9016,19 @@ object SparkEntryCoverage {
     * null-best identity as [[louvainMoveSql]]; ends in
     * `wlab$i(id, community)`.
     */
-  private def louvainMoveWSql(prev: String, i: Int): String =
-    s"""totW$i AS (SELECT l.community, CAST(sum(cdeg.k) AS BIGINT) AS s
-       |        FROM cdeg JOIN $prev l ON l.id = cdeg.id GROUP BY 1),
-       |kinW$i AS MATERIALIZED (SELECT cd.src AS id, l.community AS cn,
-       |          CAST(sum(cd.w) AS BIGINT) AS kin
-       |        FROM cd JOIN $prev l ON l.id = cd.dst GROUP BY 1, 2),
-       |nodeW$i AS (SELECT l.id, l.community, cdeg.k,
+  private def louvainMoveWSql(
+      prev: String,
+      i: Int,
+      cd: String = "cd",
+      cdeg: String = "cdeg"): String =
+    s"""totW$i AS (SELECT l.community, CAST(sum($cdeg.k) AS BIGINT) AS s
+       |        FROM $cdeg JOIN $prev l ON l.id = $cdeg.id GROUP BY 1),
+       |kinW$i AS MATERIALIZED (SELECT $cd.src AS id, l.community AS cn,
+       |          CAST(sum($cd.w) AS BIGINT) AS kin
+       |        FROM $cd JOIN $prev l ON l.id = $cd.dst GROUP BY 1, 2),
+       |nodeW$i AS (SELECT l.id, l.community, $cdeg.k,
        |          COALESCE(ka.kin, CAST(0 AS BIGINT)) AS kin_a, ta.s AS s_a
-       |         FROM $prev l JOIN cdeg ON cdeg.id = l.id
+       |         FROM $prev l JOIN $cdeg ON $cdeg.id = l.id
        |         LEFT JOIN kinW$i ka ON ka.id = l.id AND ka.cn = l.community
        |         JOIN totW$i ta ON ta.community = l.community),
        |candW$i AS (SELECT n.id, kinW$i.cn,
@@ -13821,6 +13875,41 @@ object SparkEntryCoverage {
          |${louvainMoveWSql("ilab", 1)},
          |${louvainMoveWSql("wlab1", 2)},
          |${louvainRegradeWSql("wlab2")}""".stripMargin,
+    // the level-2 recursion: weighted re-coarsen off the merged
+    // labels (weights sum, W conserved so `ww` is shared), two more
+    // move replays on the level-2 frames, the two-level
+    // back-projection, the plain re-grade
+    "g_louvain_hierarchy2" ->
+      s"""WITH $coarseLadderPrefixSql,
+         |${louvainMoveWSql("ilab", 1)},
+         |${louvainMoveWSql("wlab1", 2)},
+         |coarse2 AS MATERIALIZED (
+         |  SELECT least(la.community, lb.community) AS id_a,
+         |         greatest(la.community, lb.community) AS id_b,
+         |         CAST(sum(coarse.w) AS BIGINT) AS w
+         |  FROM coarse JOIN wlab2 la ON la.id = coarse.id_a
+         |          JOIN wlab2 lb ON lb.id = coarse.id_b
+         |  GROUP BY 1, 2),
+         |nl2 AS (SELECT id_a, id_b, w FROM coarse2 WHERE id_a <> id_b),
+         |cd2 AS (SELECT id_a AS src, id_b AS dst, w FROM nl2
+         |       UNION ALL SELECT id_b, id_a, w FROM nl2),
+         |cdeg2 AS MATERIALIZED (SELECT id, CAST(sum(w) AS BIGINT) AS k FROM (
+         |        SELECT src AS id, w FROM cd2
+         |        UNION ALL SELECT id_a AS id, 2 * w AS w FROM coarse2
+         |        WHERE id_a = id_b)
+         |      GROUP BY 1),
+         |ilab2 AS (SELECT id, id AS community FROM
+         |         (SELECT id_a AS id FROM coarse2 UNION SELECT id_b FROM coarse2)),
+         |${louvainMoveWSql("ilab2", 3, cd = "cd2", cdeg = "cdeg2")},
+         |${louvainMoveWSql("wlab3", 4, cd = "cd2", cdeg = "cdeg2")},
+         |flab AS (SELECT l.id, w4.community
+         |         FROM lab l JOIN wlab2 w2 ON w2.id = l.community
+         |                    JOIN wlab4 w4 ON w4.id = w2.community),
+         |deg AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed)
+         |        GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |${louvainRegradeSql("flab", "ed")}""".stripMargin,
     // both merge replays, then the back-projection join (node → its
     // phase-1 community's merged community) and the PLAIN modularity
     // re-grade on the original edge list

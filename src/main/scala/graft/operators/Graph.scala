@@ -1088,6 +1088,33 @@ object Graph {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[louvainCoarsen]] for a graph that is ALREADY weighted and
+    * self-looped — the recursion step that makes the hierarchy go
+    * DEEPER: level-k's merged partition coarsens into the level-k+1
+    * super-graph by summing edge weights into canonical community
+    * pairs (a node's self-loop folds into its community's — weight
+    * is conserved level to level, so the total W and every grade
+    * denominator are invariant across the whole hierarchy). Same
+    * exactness contract as the unweighted coarsen:
+    * [[modularityWeighted]] of the output under identity labels
+    * reproduces the input graph's weighted grade row for row.
+    * Hygiene is [[modularityWeighted]]'s multigraph collapse.
+    */
+  def louvainCoarsenWeighted(pairsW: DataFrame, labels: DataFrame): DataFrame = {
+    val e = weightedEdgeHygiene(pairsW)
+    val lab = labels.select(col("id"), col("community"))
+    e
+      .join(lab.select(col("id").as("id_a"), col("community").as("__ca")), "id_a")
+      .join(lab.select(col("id").as("id_b"), col("community").as("__cb")), "id_b")
+      .select(
+        least(col("__ca"), col("__cb")).as("id_a"),
+        greatest(col("__ca"), col("__cb")).as("id_b"),
+        col("w"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w")).as("w"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** [[modularity]] over a WEIGHTED undirected graph (id_a, id_b, w)
     * that may carry SELF-LOOPS — the coarse-graph grade closing the
     * phase-2 loop: Q = Σ_c (e_c/W − (d_c/2W)²) with e_c the

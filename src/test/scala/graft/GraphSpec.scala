@@ -518,4 +518,28 @@ class GraphSpec extends SparkSpec {
     // a third pass is the identity — the optimum absorbs
     assert(labMap(Graph.louvainMovesWeighted(chain, ident, 3)) == labMap(two))
   }
+
+  test("louvainCoarsenWeighted: self-loops fold, weight is conserved, the grade is invariant") {
+    import spark.implicits._
+    // chain 1-2-3 with loops on the endpoints, labels {1,2} -> 7 and
+    // {3} -> 3: community 7's loop = node 1's loop + the intra bridge
+    // (1+5), the cross bridge stays w=5, node 3's loop stays w=1
+    val chain = Seq((1L, 1L, 1L), (1L, 2L, 5L), (2L, 3L, 5L), (3L, 3L, 1L))
+      .toDF("id_a", "id_b", "w")
+    val labels = Seq((1L, 7L), (2L, 7L), (3L, 3L)).toDF("id", "community")
+    val coarse = Graph.louvainCoarsenWeighted(chain, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(coarse == Seq((3L, 3L, 1L), (3L, 7L, 5L), (7L, 7L, 6L)), coarse.toString)
+    // total weight conserved: 12 in, 12 out
+    assert(coarse.map(_._3).sum == 12L)
+    // the invariance theorem at level 2: grading the coarse graph
+    // under identity labels reproduces the weighted grade of the
+    // partition on the input graph (minus n_nodes)
+    val ident = Seq((3L, 3L), (7L, 7L)).toDF("id", "community")
+    val graded = Graph.modularityWeighted(Graph.louvainCoarsenWeighted(chain, labels), ident)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val direct = Graph.modularityWeighted(chain, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(graded == direct, s"$graded vs $direct")
+  }
 }
