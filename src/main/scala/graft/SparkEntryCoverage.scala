@@ -63,6 +63,36 @@ object SparkEntryCoverage {
     s.read.schema(schema).parquet(path)
   }
 
+  /** The co-purchase part graph (parts sharing ≥ 2 orders) built from
+    * lineitem, lineage-truncated ONCE per query: the Louvain-family
+    * queries hand this identical self-join to 2–4 operators each
+    * (labelprop + coarsen + move + re-grade), and before truncation
+    * every operator reference re-expanded the corpus build into its
+    * own plan subtree — the g_modularity physical plan carried the
+    * lineitem scan 5 times. Truncation is pure storage policy
+    * ([[graft.operators.Checkpointing]]): values identical, and each
+    * query still derives the graph from the parquet inputs inside its
+    * own timed window. keepW keeps the co-order count column (the
+    * weighted surfaces).
+    */
+  private def coPurchaseEdges(
+      s: SparkSession,
+      dir: String,
+      keepW: Boolean = false): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = op.select(col("o"), col("p").as("id_a"))
+      .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    graft.operators.Checkpointing.truncate(
+      if (keepW) e else e.select(col("id_a"), col("id_b")),
+      None, eager = true)
+  }
+
   /** Shared immutable stamp-0 dup-graph BASE artifact per
     * (application, dataset, kind) — kind "full" = every verified
     * pair, "half" = both endpoints < 250 (the historical-half base
@@ -5993,16 +6023,7 @@ object SparkEntryCoverage {
     // exact micro-units — the score that says whether the clustering
     // found structure (Σ term6 ≈ 0 means it didn't).
     "g_modularity" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 4))
     },
     // The ACTION on g_modularity's grade (Graph.louvainBestMove —
@@ -6019,16 +6040,7 @@ object SparkEntryCoverage {
     // the oracle replays labelprop, every gain, the argmax and the
     // re-grade.
     "g_louvain_move" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       Graph.modularity(
         edges,
         Graph.louvainBestMove(edges, Graph.labelPropagation(edges, rounds = 4)))
@@ -6043,16 +6055,7 @@ object SparkEntryCoverage {
     // moves CTE by CTE, so a single wrong tie-break or a stale
     // Σtot in any round hash-mismatches the final re-grade.
     "g_louvain_moves" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       Graph.modularity(
         edges,
         Graph.louvainMoves(edges, Graph.labelPropagation(edges, rounds = 4), moves = 3))
@@ -6092,16 +6095,7 @@ object SparkEntryCoverage {
     // graph instead of the edge list. One hash aggregate over the
     // labeled edge stream.
     "g_louvain_coarsen" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       Graph.louvainCoarsen(edges, Graph.labelPropagation(edges, rounds = 4))
     },
     // The coarsening EXACTNESS proof as a query: weighted modularity
@@ -6115,16 +6109,7 @@ object SparkEntryCoverage {
     // whole chain from the raw edge list — a coarsening that lost or
     // double-counted any mass hash-mismatches.
     "g_modularity_coarse" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       // the coarse graph is community-count bounded — materialize it
       // once (the iterative-operator storage rule) instead of
       // re-expanding the co-purchase build per downstream reference
@@ -6149,16 +6134,7 @@ object SparkEntryCoverage {
     // community reads 2). The oracle replays coarsen, every weighted
     // gain, the argmax and the weighted re-grade in HUGEINT.
     "g_louvain_move_coarse" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       val coarse = graft.operators.Checkpointing.truncate(
         Graph.louvainCoarsen(edges, Graph.labelPropagation(edges, rounds = 4)),
         None, eager = true)
@@ -6177,16 +6153,7 @@ object SparkEntryCoverage {
     // oracle chains two full weighted-move replays before the
     // re-grade.
     "g_louvain_moves_coarse" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       val coarse = graft.operators.Checkpointing.truncate(
         Graph.louvainCoarsen(edges, Graph.labelPropagation(edges, rounds = 4)),
         None, eager = true)
@@ -6212,16 +6179,7 @@ object SparkEntryCoverage {
     // weighted move replays, the back-projection join and the plain
     // re-grade.
     "g_louvain_hierarchy" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       val lab1 = graft.operators.Checkpointing.truncate(
         Graph.labelPropagation(edges, rounds = 4), None, eager = true)
       val coarse = graft.operators.Checkpointing.truncate(
@@ -6251,16 +6209,7 @@ object SparkEntryCoverage {
     // chains both coarsens, all four weighted move replays, the
     // two-level back-projection and the plain re-grade.
     "g_louvain_hierarchy2" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = op.select(col("o"), col("p").as("id_a"))
-        .join(op.select(col("o"), col("p").as("id_b")), Seq("o"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("id_a"), col("id_b"))
+      val edges = coPurchaseEdges(s, dir)
       val lab1 = graft.operators.Checkpointing.truncate(
         Graph.labelPropagation(edges, rounds = 4), None, eager = true)
       val coarse1 = graft.operators.Checkpointing.truncate(

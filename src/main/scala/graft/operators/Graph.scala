@@ -479,12 +479,17 @@ object Graph {
     * (n_nodes, n_edges_directed, assort6).
     */
   def assortativity(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    // one materialization feeds the degree table and the per-edge
+    // join — without it each reference re-runs the upstream pair
+    // pipeline (the triangleCounts storage rule)
+    val edges = Checkpointing.truncate(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      None, eager = true)
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val xy = edges
       .join(deg.select(col("id").as("src"), col("deg").as("x")), Seq("src"))
@@ -687,9 +692,13 @@ object Graph {
     val undirected = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val edges = undirected
-      .union(undirected.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+    // materialized once: referenced by the degree table, both wedge
+    // sides and the existing-edge anti-join (×4 otherwise)
+    val edges = Checkpointing.truncate(
+      undirected
+        .union(undirected.select(col("b").as("a"), col("a").as("b")))
+        .distinct(),
+      None, eager = true)
     val deg = edges.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
     // deg-1 leaves can never be wedge middles, and ln(1) = 0 would
     // divide by zero under ANSI — the weight table holds middles only
@@ -731,9 +740,13 @@ object Graph {
     val undirected = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val edges = undirected
-      .union(undirected.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+    // materialized once: degree table, both wedge sides and the
+    // anti-join all read it (×5 otherwise)
+    val edges = Checkpointing.truncate(
+      undirected
+        .union(undirected.select(col("b").as("a"), col("a").as("b")))
+        .distinct(),
+      None, eager = true)
     val deg = edges.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
     val wedges = edges.select(col("a").as("u"), col("b").as("mid"))
       .join(edges.select(col("a").as("mid"), col("b").as("v")), Seq("mid"))
@@ -778,15 +791,25 @@ object Graph {
     * absent from the graph contribute nothing.
     */
   def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
-    val e = pairs
-      .filter(
-        col("id_a").isNotNull && col("id_b").isNotNull
-          && col("id_a") =!= col("id_b"))
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .distinct()
-    val lab = labels.select(col("id"), col("community"))
+    // one materialization feeds intra, degrees and the total — the
+    // triangleCounts storage rule: without it each of the three
+    // references re-runs the whole upstream pair pipeline (for the
+    // co-purchase consumers that is the corpus self-join, ×3)
+    val e = Checkpointing.truncate(
+      pairs
+        .filter(
+          col("id_a").isNotNull && col("id_b").isNotNull
+            && col("id_a") =!= col("id_b"))
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct(),
+      None, eager = true)
+    // labels referenced by intra (×2) and the degree rollup — for the
+    // grade-the-action consumers the label frame is itself a move
+    // pipeline, so truncate it too
+    val lab = Checkpointing.truncate(
+      labels.select(col("id"), col("community")), None, eager = true)
     val intra = e
       .join(lab.select(col("id").as("id_a"), col("community").as("__ca")), "id_a")
       .join(lab.select(col("id").as("id_b"), col("community").as("__cb")), "id_b")
@@ -842,10 +865,15 @@ object Graph {
     * strictly improves (the fixed-point read).
     */
   def louvainBestMove(pairs: DataFrame, labels: DataFrame): DataFrame = {
-    val e = louvainEdgeHygiene(pairs)
+    // single-move surface gets the louvainMoves storage rule too: e
+    // feeds the directed frame (×2), the total and the degrees —
+    // truncate once so the upstream pair pipeline runs once, and
+    // truncate the labels (the move step references them four times)
+    val e = Checkpointing.truncate(louvainEdgeHygiene(pairs), None, eager = true)
     val d = e.select(col("id_a").as("src"), col("id_b").as("dst"), lit(1L).as("w"))
       .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst"), lit(1L).as("w")))
-    val lab = labels.select(col("id"), col("community"))
+    val lab = Checkpointing.truncate(
+      labels.select(col("id"), col("community")), None, eager = true)
     val m = broadcast(e.agg(count(lit(1)).as("__m")))
     val deg = d.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
     louvainMoveStep(d, deg, m, lab)
@@ -867,9 +895,11 @@ object Graph {
     * [[louvainBestMove]]'s.
     */
   def louvainBestMoveWeighted(pairsW: DataFrame, labels: DataFrame): DataFrame = {
-    val e = weightedEdgeHygiene(pairsW)
+    val e = Checkpointing.truncate(weightedEdgeHygiene(pairsW), None, eager = true)
     val (d, deg, m) = weightedMoveFrames(e)
-    louvainMoveStep(d, deg, m, labels.select(col("id"), col("community")))
+    louvainMoveStep(d, deg, m,
+      Checkpointing.truncate(
+        labels.select(col("id"), col("community")), None, eager = true))
   }
 
   /** [[louvainMoves]] on the weighted self-looped graph — K bounded
@@ -1134,17 +1164,12 @@ object Graph {
     * term6) ordered by community.
     */
   def modularityWeighted(pairsW: DataFrame, labels: DataFrame): DataFrame = {
-    val e = pairsW
-      .filter(
-        col("id_a").isNotNull && col("id_b").isNotNull
-          && col("w").isNotNull && col("w") > 0L)
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("w").cast("long").as("w"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("w")).as("w"))
-    val lab = labels.select(col("id"), col("community"))
+    // same storage rule as [[modularity]]: e feeds intra, degrees and
+    // the total, lab feeds intra (×2) and the rollup — materialize
+    // both once instead of re-expanding the upstream pipelines
+    val e = Checkpointing.truncate(weightedEdgeHygiene(pairsW), None, eager = true)
+    val lab = Checkpointing.truncate(
+      labels.select(col("id"), col("community")), None, eager = true)
     val intra = e
       .join(lab.select(col("id").as("id_a"), col("community").as("__ca")), "id_a")
       .join(lab.select(col("id").as("id_b"), col("community").as("__cb")), "id_b")
