@@ -6350,10 +6350,17 @@ object SparkEntryCoverage {
       copyTree(dupGraphBase(s, dir, "half"), gPath)
       val docs = t(s, dir, "documents")
       val pairs = docNgramPairs(s, dir).select(col("id_a"), col("id_b"))
+      // this query's readout re-closes from the AS-OF pair read below
+      // and never consults the label table — skip both label
+      // refreshes (the API's documented bulk-maintenance posture);
+      // pair appends and tombstones, the state as-of reads resolve
+      // from, are identical either way
       graft.sources.Io.upsertDupGraph(
-        pairs.filter(col("id_a") >= 250 || col("id_b") >= 250), gPath, seq = 1L)
+        pairs.filter(col("id_a") >= 250 || col("id_b") >= 250), gPath, seq = 1L,
+        recomputeLabels = false)
       graft.sources.Io.deleteDupGraphDocs(
-        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L)
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L,
+        recompute = false)
       val labels = Dedup.clusterPairs(
         graft.sources.Io.readDupGraphPairsAsOf(s, gPath, asOfSeq = 1L)
           .select(col("id_a"), col("id_b")))
@@ -6412,9 +6419,15 @@ object SparkEntryCoverage {
       // double-discovery a pair whose endpoints surface in two
       // micro-batches gets; both copies land in the pair base and
       // only compaction may collapse them
-      graft.sources.Io.upsertDupGraph(incr.unionAll(incr), gPath, seq = 1L)
+      // readout re-closes from the PLAIN pair reader after compaction
+      // and never consults the label table — skip both label
+      // refreshes (bulk-maintenance posture); the pair base,
+      // tombstones and compaction are byte-identical either way
+      graft.sources.Io.upsertDupGraph(incr.unionAll(incr), gPath, seq = 1L,
+        recomputeLabels = false)
       graft.sources.Io.deleteDupGraphDocs(
-        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L)
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), gPath, seq = 2L,
+        recompute = false)
       graft.sources.Io.compactDupGraph(s, gPath)
       val labels = Dedup.clusterPairs(
         graft.sources.Io.readDupGraphPairs(s, gPath).select(col("id_a"), col("id_b")))

@@ -502,6 +502,13 @@ object Io {
       .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
     stampedPairs
+      // cluster by the partition column before the partitioned write
+      // (guide-standard REBALANCE-before-write): each bucket lands in
+      // ONE task → one file per bucket per generation, instead of a
+      // file per (task × bucket) — the write used to emit ~4 small
+      // files per bucket and every read/copy paid the listing. At
+      // production scale the bucket modulus is the file-sizing knob.
+      .repartition(col("pair_bucket"))
       .write
       .mode("overwrite")
       .partitionBy("pair_bucket")
@@ -518,6 +525,7 @@ object Io {
         checkpointDir = checkpointDir)
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
     stampedLabels
+      .repartition(col("id_bucket"))
       .write
       .mode("overwrite")
       .partitionBy("id_bucket")
@@ -655,15 +663,20 @@ object Io {
       spark: SparkSession,
       path: String,
       checkpointDir: Option[String] = None): Unit = {
-    val (buckets, _, labelsSchema) = dupGraphMeta(spark, path)
+    val (buckets, _, _) = dupGraphMeta(spark, path)
     graft.operators.Dedup
       .clusterPairs(
         readDupGraphPairs(spark, path).select(col("id_a"), col("id_b")),
         checkpointDir = checkpointDir)
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .repartition(col("id_bucket"))
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels_next")
-    spark.read.schema(labelsSchema).parquet(s"$path/labels_next")
-      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels")
+    // directory swap instead of read-back + rewrite: the staged table
+    // used to be re-shuffled and re-written into the live dir (2× the
+    // label I/O per refresh); a rename carries the same crash
+    // contract (staged dir intact until the live one is replaced, so
+    // an interrupted swap is re-runnable from the stage)
+    swapDir(spark, s"$path/labels_next", s"$path/labels")
   }
 
   /** Load [[writeDupGraph]] cluster labels: (id, cluster_id), pair-
@@ -690,16 +703,19 @@ object Io {
     * resolved table and are untouched.
     */
   def compactDupGraph(spark: SparkSession, path: String): Unit = {
-    val (buckets, pairsSchema, _) = dupGraphMeta(spark, path)
+    val (buckets, _, _) = dupGraphMeta(spark, path)
     val stage = s"$path/pairs_compacting"
     readDupGraphPairs(spark, path)
       .distinct()
       .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
+      .repartition(col("pair_bucket"))
       .write.mode("overwrite").partitionBy("pair_bucket").parquet(stage)
-    spark.read.schema(pairsSchema).parquet(stage)
-      .write.mode("overwrite").partitionBy("pair_bucket").parquet(s"$path/pairs")
-    deleteDir(spark, stage)
+    // swap, don't rewrite: the compacted generation was read back and
+    // re-written into the live dir — 2× the surviving-pair I/O per
+    // compaction for the same crash contract (stage survives until
+    // the live dir is replaced)
+    swapDir(spark, stage, s"$path/pairs")
     // the compacted base holds only LIVE pairs at stamp 0 — keeping
     // the tombstones would wrongly re-hide docs whose pairs were
     // re-appended before compaction
@@ -737,14 +753,23 @@ object Io {
       newPairs: DataFrame,
       path: String,
       seq: Long,
-      checkpointDir: Option[String] = None): Unit = {
+      checkpointDir: Option[String] = None,
+      recomputeLabels: Boolean = true): Unit = {
     require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
     val spark = newPairs.sparkSession
-    val (buckets, pairsSchema, labelsSchema) = dupGraphMeta(spark, path)
+    val (buckets, pairsSchema, _) = dupGraphMeta(spark, path)
     newPairs
       .withColumn("pair_bucket", pmod(xxhash64(col("id_a")), lit(buckets.toLong)))
       .withColumn("__seq", lit(seq))
+      .repartition(col("pair_bucket"))
       .write.mode("append").partitionBy("pair_bucket").parquet(s"$path/pairs")
+    // `recomputeLabels = false` is the bulk-maintenance posture the
+    // delete path already offers: appends are the durable truth (pair
+    // reads and as-of reads are correct immediately); skip the
+    // star-edge merge when the maintenance window ends with its own
+    // label refresh (or when the consumer reads pairs, not labels) —
+    // N batched upserts then pay ONE closure, not N.
+    if (!recomputeLabels) return
     val oldLabels = readDupGraphLabels(spark, path)
     val stars = oldLabels
       .filter(col("id") =!= col("cluster_id"))
@@ -766,12 +791,12 @@ object Io {
         coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
     rewritten
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
+      .repartition(col("id_bucket"))
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels_next")
-    // swap via re-write (labels dir is doc-bounded): read the staged
-    // table fully, then overwrite the live one — the staged dir
-    // exists so a crashed swap is re-runnable
-    spark.read.schema(labelsSchema).parquet(s"$path/labels_next")
-      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/labels")
+    // swap via rename (same crash contract as the old read-back +
+    // rewrite — the staged dir survives until the live one is
+    // replaced — at half the label I/O)
+    swapDir(spark, s"$path/labels_next", s"$path/labels")
   }
 
   /** Persist a perceptual-hash code table
@@ -1410,6 +1435,23 @@ object Io {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Replace `dst` with the fully-written staged dir `src` by rename —
+    * the staged-swap step for artifact maintenance without the old
+    * read-back + rewrite (which paid the table's I/O twice per swap).
+    * Crash contract is unchanged: `src` is complete before `dst` is
+    * touched, so an interrupted swap re-runs from the stage. On object
+    * stores without atomic rename the FS client copies server-side —
+    * still cheaper than pulling the table through Spark again.
+    */
+  private def swapDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    val fs = s.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(d)) fs.delete(d, true)
+    if (!fs.rename(s, d))
+      throw new java.io.IOException(s"swapDir: rename $src -> $dst failed")
   }
 
   /** Compact a persisted IVF index: materialize the effective corpus
