@@ -223,6 +223,10 @@ object Io {
     // mergeSchema)
     assigned
       .withColumn("__seq", lit(0L))
+      // file-per-cell write (REBALANCE-before-partitionBy, the
+      // dup-graph rule): without it every task emits a sliver into
+      // every cell directory
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -247,6 +251,8 @@ object Io {
     index
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
+      // file-per-bucket write (the dup-graph rule)
+      .repartition(col("term_bucket"))
       .write
       .mode("overwrite")
       .partitionBy("term_bucket")
@@ -306,6 +312,7 @@ object Io {
     index
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("__seq", lit(seq))
+      .repartition(col("term_bucket"))
       .write.mode("append").partitionBy("term_bucket").parquet(path)
     index.select(col("id")).distinct()
       .withColumn("seq", lit(seq))
@@ -811,6 +818,8 @@ object Io {
   def writePhashIndex(codes: DataFrame, path: String): Unit =
     codes
       .withColumn("__seq", lit(0L))
+      // file-per-prefix write (the dup-graph rule)
+      .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(path)
 
   def readPhashIndex(spark: SparkSession, path: String): DataFrame =
@@ -830,6 +839,7 @@ object Io {
     require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
     codes
       .withColumn("__seq", lit(seq))
+      .repartition(col("pfx"))
       .write.mode("append").partitionBy("pfx").parquet(path)
   }
 
@@ -882,10 +892,11 @@ object Io {
     val stage = s"${path}__compacting"
     readPhashIndexLatest(spark, path)
       .withColumn("__seq", lit(0L))
+      .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(stage)
-    spark.read.parquet(stage)
-      .write.mode("overwrite").partitionBy("pfx").parquet(path)
-    deleteDir(spark, stage)
+    // swap, don't rewrite (same crash contract, half the I/O); the
+    // fresh stage has no _tombstones child, so the purge rides along
+    swapDir(spark, stage, path)
   }
 
   // ---- minhash signature artifact (the 6th seq-versioned family) --
@@ -917,7 +928,9 @@ object Io {
     val stamped = sigs
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
-    stamped.write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/sigs")
+    stamped
+      .repartition(col("id_bucket"))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/sigs")
     Seq((buckets, stamped.schema.json))
       .toDF("buckets", "sigs_schema")
       .coalesce(1)
@@ -942,6 +955,7 @@ object Io {
     sigs
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
       .withColumn("__seq", lit(seq))
+      .repartition(col("id_bucket"))
       .write.mode("append").partitionBy("id_bucket").parquet(s"$path/sigs")
   }
 
@@ -999,10 +1013,9 @@ object Io {
     readMinhashSigsLatest(spark, path)
       .withColumn("id_bucket", pmod(xxhash64(col("id")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
+      .repartition(col("id_bucket"))
       .write.mode("overwrite").partitionBy("id_bucket").parquet(stage)
-    spark.read.schema(schema).parquet(stage)
-      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/sigs")
-    deleteDir(spark, stage)
+    swapDir(spark, stage, s"$path/sigs")
     deleteDir(spark, s"$path/_tombstones")
   }
 
@@ -1056,7 +1069,8 @@ object Io {
     val bi = biLp.withColumn(
       "prev_bucket",
       pmod(xxhash64(col("prev")), lit(buckets.toLong)))
-    bi.write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bigrams")
+    bi.repartition(col("prev_bucket"))
+      .write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bigrams")
     uniLp.write.mode("overwrite").parquet(s"$path/unigrams")
     Seq((buckets, oov6, oovbo6, bi.schema.json, uniLp.schema.json))
       .toDF("buckets", "oov6", "oovbo6", "bi_schema", "uni_schema")
@@ -1115,11 +1129,13 @@ object Io {
     val u = uni
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
-    u.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/uni")
+    u.repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/uni")
     val b = bi
       .withColumn("prev_bucket", pmod(xxhash64(col("prev")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
-    b.write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bi")
+    b.repartition(col("prev_bucket"))
+      .write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bi")
     Seq((buckets, u.schema.json, b.schema.json))
       .toDF("buckets", "uni_schema", "bi_schema")
       .coalesce(1)
@@ -1150,10 +1166,12 @@ object Io {
     uniDelta
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("__seq", lit(seq))
+      .repartition(col("term_bucket"))
       .write.mode("append").partitionBy("term_bucket").parquet(s"$path/uni")
     biDelta
       .withColumn("prev_bucket", pmod(xxhash64(col("prev")), lit(buckets.toLong)))
       .withColumn("__seq", lit(seq))
+      .repartition(col("prev_bucket"))
       .write.mode("append").partitionBy("prev_bucket").parquet(s"$path/bi")
   }
 
@@ -1197,18 +1215,16 @@ object Io {
     uni
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
+      .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(uStage)
-    spark.read.schema(uniSchema).parquet(uStage)
-      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/uni")
-    deleteDir(spark, uStage)
+    swapDir(spark, uStage, s"$path/uni")
     val bStage = s"$path/bi_compacting"
     bi
       .withColumn("prev_bucket", pmod(xxhash64(col("prev")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
+      .repartition(col("prev_bucket"))
       .write.mode("overwrite").partitionBy("prev_bucket").parquet(bStage)
-    spark.read.schema(biSchema).parquet(bStage)
-      .write.mode("overwrite").partitionBy("prev_bucket").parquet(s"$path/bi")
-    deleteDir(spark, bStage)
+    swapDir(spark, bStage, s"$path/bi")
   }
 
   /** Persisted (day, v, n) VALUE-GRID artifact — the EIGHTH
@@ -1236,7 +1252,8 @@ object Io {
     val g = valueGridGuard(cells.select(col("day"), col("v"), col("n")))
       .withColumn("day_bucket", pmod(xxhash64(col("day")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
-    g.write.mode("overwrite").partitionBy("day_bucket").parquet(s"$path/grid")
+    g.repartition(col("day_bucket"))
+      .write.mode("overwrite").partitionBy("day_bucket").parquet(s"$path/grid")
     Seq((buckets, g.schema.json))
       .toDF("buckets", "grid_schema")
       .coalesce(1)
@@ -1267,6 +1284,7 @@ object Io {
     valueGridGuard(delta.select(col("day"), col("v"), col("n")))
       .withColumn("day_bucket", pmod(xxhash64(col("day")), lit(buckets.toLong)))
       .withColumn("__seq", lit(seq))
+      .repartition(col("day_bucket"))
       .write.mode("append").partitionBy("day_bucket").parquet(s"$path/grid")
   }
 
@@ -1299,10 +1317,9 @@ object Io {
     readValueGrid(spark, path)
       .withColumn("day_bucket", pmod(xxhash64(col("day")), lit(buckets.toLong)))
       .withColumn("__seq", lit(0L))
+      .repartition(col("day_bucket"))
       .write.mode("overwrite").partitionBy("day_bucket").parquet(stage)
-    spark.read.schema(schema).parquet(stage)
-      .write.mode("overwrite").partitionBy("day_bucket").parquet(s"$path/grid")
-    deleteDir(spark, stage)
+    swapDir(spark, stage, s"$path/grid")
   }
 
   /** Rewrite a parquet directory into ~`targetBytes`-sized files —
@@ -1463,10 +1480,9 @@ object Io {
     val (_, latest) = readIvfIndexLatest(spark, path, idCol)
     latest
       .withColumn("__seq", lit(0L))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells_compacting")
-    spark.read.parquet(s"$path/cells_compacting")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    deleteDir(spark, s"$path/cells_compacting")
+    swapDir(spark, s"$path/cells_compacting", s"$path/cells")
     deleteDir(spark, s"$path/_tombstones")
   }
 
@@ -1478,9 +1494,7 @@ object Io {
     latest
       .withColumn("__seq", lit(0L))
       .write.mode("overwrite").parquet(s"$path/codes_compacting")
-    spark.read.parquet(s"$path/codes_compacting")
-      .write.mode("overwrite").parquet(s"$path/codes")
-    deleteDir(spark, s"$path/codes_compacting")
+    swapDir(spark, s"$path/codes_compacting", s"$path/codes")
     deleteDir(spark, s"$path/_tombstones")
   }
 
@@ -1511,6 +1525,7 @@ object Io {
     require(seq > 0L, "upsert seq must be positive (0 is the base build's stamp)")
     assigned
       .withColumn("__seq", lit(seq))
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
