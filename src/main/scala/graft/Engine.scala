@@ -36,7 +36,7 @@ object Engine {
       appName: String = "graft",
       master: String = "local[32]",
       shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(master)
       .appName(appName)
@@ -45,9 +45,28 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let the planner pick shuffled-hash over sort-merge when its
+      // size conditions hold (guide posture): skips both sort passes
+      // on equi-joins whose build side fits a per-partition hash map.
+      // Not a force — SMJ remains the fallback, AQE skew handling
+      // still applies. A/B on a 17-query mid-weight subset at sf0.1:
+      // 158/139 s (SMJ) vs 130/134 s (SHJ allowed).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Deployment-specific overrides without a code change (the
+    // scale-dependent-settings-stay-parameterised rule): semicolon-
+    // separated key=value pairs, applied last so a cluster launcher
+    // can size shuffle partitions / broadcast thresholds per
+    // deployment while the local defaults above keep the driver's
+    // bench methodology unchanged when the variable is unset.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
+      kvs.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -165,12 +165,17 @@ object SparkEntryCoverage {
         val base = s"/tmp/graft_idx/bm25eval_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
           s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
         val docs = t(s, dir, "documents")
-        val qterms = docs
-          .filter(col("doc_id") % 20 === 0)
-          .select(
-            col("doc_id").as("qid"),
-            explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
-          .distinct()
+        // referenced by the scorer, the per-query term counts, the
+        // doc-term semi-join and the judgment join — materialize once
+        // instead of re-tokenizing the query docs per reference
+        val qterms = graft.operators.Checkpointing.truncate(
+          docs
+            .filter(col("doc_id") % 20 === 0)
+            .select(
+              col("doc_id").as("qid"),
+              explode(slice(TextFns.tokens(col("text")), 3, 8)).as("term"))
+            .distinct(),
+          None, eager = true)
         val scored = TextAnalysis
           .bm25PerQuery(docs, "text", "doc_id", qterms)
           .withColumnRenamed("bm25", "score")

@@ -1233,20 +1233,28 @@ object Dedup {
         maxSz.getLong(0) <= maxClusterSize,
         s"medoidCanonicals: cluster of ${maxSz.getLong(0)} exceeds maxClusterSize=" +
           s"$maxClusterSize — excise the template blob upstream")
-    val members = labels.join(
-      df.select(col(idCol).as("id"), col(embCol).as("__emb")),
-      Seq("id"))
+    // members feeds both sides of the score join; totals feeds the
+    // per-cluster max AND the argmax join back — materialize each
+    // once, or the embedding join (and worse, the quadratic
+    // member×member score join) re-runs per reference
+    val members = graft.operators.Checkpointing.truncate(
+      labels.join(
+        df.select(col(idCol).as("id"), col(embCol).as("__emb")),
+        Seq("id")),
+      None, eager = true)
     val a = members.select(col("cluster_id"), col("id").as("ia"), col("__emb").as("ea"))
     val b = members.select(col("cluster_id"), col("id").as("ib"), col("__emb").as("eb"))
-    val totals = a
-      .join(b, Seq("cluster_id"))
-      .filter(col("ia") =!= col("ib"))
-      .select(
-        col("cluster_id"),
-        col("ia").as("id"),
-        round(VectorFns.cosine(col("ea"), col("eb")) * 1e6, 0).cast("long").as("s6"))
-      .groupBy(col("cluster_id"), col("id"))
-      .agg(sum(col("s6")).as("t6"))
+    val totals = graft.operators.Checkpointing.truncate(
+      a
+        .join(b, Seq("cluster_id"))
+        .filter(col("ia") =!= col("ib"))
+        .select(
+          col("cluster_id"),
+          col("ia").as("id"),
+          round(VectorFns.cosine(col("ea"), col("eb")) * 1e6, 0).cast("long").as("s6"))
+        .groupBy(col("cluster_id"), col("id"))
+        .agg(sum(col("s6")).as("t6")),
+      None, eager = true)
     // argmax via two primitive hash-aggs + an equi-join back (a
     // struct-valued min would plan as SortAggregate — the audit
     // trap): level 1 takes the max total per cluster, level 2 the

@@ -3501,7 +3501,12 @@ object Experiments {
     import spark.implicits._
     val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
     val grid = broadcast(eProcessMeanCsGrid(lambdaPpm, stepPct).toDF("pct", "m0", "lam6"))
-    val merged = cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n"))
+    // merged grid referenced by the daily rollup and the candidate
+    // scan — materialize once (the modularity storage rule) instead
+    // of re-reading + re-aggregating the cells per reference
+    val merged = Checkpointing.truncate(
+      cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n")),
+      None, eager = true)
     val daily = merged.groupBy(col("day")).agg(sum(col("n")).as("n"))
     // the ln terms depend only on (value, candidate) — compute each
     // ONCE over the distinct-value domain (~|V|·99 rows) instead of
@@ -3648,7 +3653,12 @@ object Experiments {
     import spark.implicits._
     val (ag6, bg6, al6, bl6) = eProcessQuantileCsConstants(qPpm, lambdaPpm)
     val thr6 = math.round(math.log(2e6 / alphaPpm) * 1e6)
-    val merged = cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n"))
+    // merged grid referenced by the daily rollup and the candidate
+    // scan — materialize once (the modularity storage rule) instead
+    // of re-reading + re-aggregating the cells per reference
+    val merged = Checkpointing.truncate(
+      cells.groupBy(col("day"), col("v")).agg(sum(col("n")).as("n")),
+      None, eager = true)
     val daily = merged.groupBy(col("day")).agg(sum(col("n")).as("n"))
     val dailyCum = Relational
       .globalCumSum(daily, Seq(col("day")), "n", "__n0")

@@ -871,16 +871,24 @@ object TextAnalysis {
       queries: DataFrame): DataFrame = {
     val qt = queries.select(col("qid"), col("term")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = docs.select(col(idCol).as("doc_id"), TextFns.wordCount(col(textCol)).as("dl"))
+    // dl feeds the broadcast stats AND the per-doc join; tf feeds the
+    // df rollup AND the scoring join — materialize each once or every
+    // reference re-runs the corpus tokenize/explode (the dominant
+    // cost of the whole scorer: ~4 full tokenizations collapse to 1)
+    val dl = Checkpointing.truncate(
+      docs.select(col(idCol).as("doc_id"), TextFns.wordCount(col(textCol)).as("dl")),
+      None, eager = true)
     val stats = broadcast(
       dl.agg(
         (sum(col("dl")).cast("double") / count(lit(1))).as("avglen"),
         count(lit(1)).as("n")))
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("term"))
-      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = Checkpointing.truncate(
+      docs
+        .select(col(idCol).as("doc_id"), explode(TextFns.tokens(col(textCol))).as("term"))
+        .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      None, eager = true)
     val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(
       (col("n").cast("double") - col("df").cast("double") + 0.5) /
