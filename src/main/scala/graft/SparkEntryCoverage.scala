@@ -3873,12 +3873,16 @@ object SparkEntryCoverage {
       // canonical = min-id member: min(id) keeps the agg in primitive
       // HashAggregate (a min_by on the name STRING degrades to
       // SortAggregate — the i_cdc_apply lesson), the name joins back
-      val members = all
-        .join(labels, Seq("id"), "left")
-        .select(
-          col("id"),
-          col("name"),
-          coalesce(col("__cluster"), col("id")).as("cluster_id"))
+      // referenced by the size rollup AND the canonical-name lookup —
+      // materialize once or the union+label join re-runs per reference
+      val members = graft.operators.Checkpointing.truncate(
+        all
+          .join(labels, Seq("id"), "left")
+          .select(
+            col("id"),
+            col("name"),
+            coalesce(col("__cluster"), col("id")).as("cluster_id")),
+        None, eager = true)
       members
         .groupBy(col("cluster_id"))
         .agg(min(col("id")).as("__min_id"), count(lit(1)).as("n_members"))
@@ -4818,12 +4822,16 @@ object SparkEntryCoverage {
       graft.sources.Io.writeDupGraph(pairs, gPath)
       val labels = graft.sources.Io.readDupGraphLabels(s, gPath)
         .withColumnRenamed("cluster_id", "__cluster")
-      val members = all
-        .join(labels, Seq("id"), "left")
-        .select(
-          col("id"),
-          col("name"),
-          coalesce(col("__cluster"), col("id")).as("cluster_id"))
+      // referenced by the size rollup AND the canonical-name lookup —
+      // materialize once or the union+label join re-runs per reference
+      val members = graft.operators.Checkpointing.truncate(
+        all
+          .join(labels, Seq("id"), "left")
+          .select(
+            col("id"),
+            col("name"),
+            coalesce(col("__cluster"), col("id")).as("cluster_id")),
+        None, eager = true)
       members
         .groupBy(col("cluster_id"))
         .agg(min(col("id")).as("__min_id"), count(lit(1)).as("n_members"))
