@@ -45,13 +45,6 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // let the planner pick shuffled-hash over sort-merge when its
-      // size conditions hold (guide posture): skips both sort passes
-      // on equi-joins whose build side fits a per-partition hash map.
-      // Not a force — SMJ remains the fallback, AQE skew handling
-      // still applies. A/B on a 17-query mid-weight subset at sf0.1:
-      // 158/139 s (SMJ) vs 130/134 s (SHJ allowed).
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // Deployment-specific overrides without a code change (the
